@@ -1,0 +1,145 @@
+package graft.lexicon
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analysis.TextAnalyzer
+
+/**
+ * The reference's flagship pipeline (kreeben/resin):
+ *  - build    ≙ StringAnalyzer.BuildLexicon (StringAnalyzer.cs:35-86):
+ *    corpus → tokenize into sparse vectors → per-token identity angle key →
+ *    dedup by key → sorted columnar store.
+ *  - validate ≙ StringAnalyzer.ValidateLexicon (StringAnalyzer.cs:88-171):
+ *    re-tokenize corpus, point-lookup each token's angle, fail on a miss,
+ *    compare stored vs fresh vector (mutualAngle), count collisions below the
+ *    identity threshold, track the global minimum angle.
+ *
+ * Spark-first shape: the single-threaded enumerator pipeline becomes
+ * `flatMap → dropDuplicates(angle) → sortWithinPartitions → parquet`, and
+ * validation becomes one equi-join + one aggregate. At 100 TB the only
+ * shuffles are the dedup hash-exchange and the join; both partition by the
+ * angle key, so AQE can coalesce and skew-split freely. The lexicon (distinct
+ * tokens) is orders of magnitude smaller than the corpus, so the validate
+ * join broadcasts when it fits.
+ */
+object Lexicon {
+
+  /** Lexicon row: identity-angle key + the token's sparse vector. */
+  final case class Entry(angle: Double, label: String,
+                         indices: Array[Int], values: Array[Double])
+
+  /** Token occurrence during validation (pre-join). */
+  final case class TokenRow(angle: Double, label: String,
+                            indices: Array[Int], values: Array[Double])
+
+  /**
+   * Tokenize a corpus column into (angle, label, indices, values) rows.
+   * Pure flatMap: fully parallel, no shuffle.
+   */
+  def tokenize(docs: DataFrame, textCol: String,
+               dims: Int = TextAnalyzer.DefaultDims): Dataset[TokenRow] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(textCol).cast("string")).na.drop()
+      .as[String]
+      .flatMap { text =>
+        TextAnalyzer.tokenizeIntoVectors(text, dims).map { t =>
+          TokenRow(TextAnalyzer.angleOfId(t, dims), t.label, t.indices, t.values)
+        }
+      }
+  }
+
+  /**
+   * Build the lexicon DataFrame: one row per distinct identity angle
+   * (set semantics of ColumnWriter.TryPut — first writer wins).
+   */
+  def build(docs: DataFrame, textCol: String = "text",
+            dims: Int = TextAnalyzer.DefaultDims): Dataset[Entry] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    tokenize(docs, textCol, dims)
+      .dropDuplicates("angle")
+      .map(t => Entry(t.angle, t.label, t.indices, t.values))
+  }
+
+  /**
+   * Build and persist sorted-by-angle parquet (write locality ≙ the
+   * reference's pre-write sort, StringAnalyzer.cs:69-70; parquet min/max
+   * row-group stats then give data-skipping on angle lookups).
+   */
+  def buildAndWrite(docs: DataFrame, path: String, textCol: String = "text",
+                    dims: Int = TextAnalyzer.DefaultDims): Unit =
+    build(docs, textCol, dims)
+      .repartitionByRange(col("angle"))
+      .sortWithinPartitions("angle")
+      .write.mode("overwrite").parquet(path)
+
+  /**
+   * Validation result: verdict + diagnostics (mirrors the reference's logged
+   * aggregates: doc/token counts, collision count, global lowest mutual
+   * angle and its token).
+   */
+  final case class ValidationReport(ok: Boolean, totalTokens: Long,
+                                    missing: Long, collisions: Long,
+                                    minMutualAngle: Double,
+                                    leastEntropicToken: String)
+
+  /**
+   * Validate a corpus against a lexicon: every token's angle must exist
+   * (miss ⇒ ok=false) and the stored vector must be ≈ the fresh vector.
+   * One left join + one aggregate; Catalyst broadcasts the smaller side.
+   */
+  def validate(docs: DataFrame, lexicon: DataFrame, textCol: String = "text",
+               dims: Int = TextAnalyzer.DefaultDims,
+               identityAngle: Double = TextAnalyzer.DefaultIdentityAngle): ValidationReport = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tokens = tokenize(docs, textCol, dims)
+    val lex = lexicon.select(col("angle").as("lex_angle"),
+      col("indices").as("lex_indices"), col("values").as("lex_values"))
+
+    val joined = tokens.join(lex, tokens("angle") === lex("lex_angle"), "left")
+    val mutual = joined.map { row =>
+      val label = row.getAs[String]("label")
+      val hit = !row.isNullAt(row.fieldIndex("lex_angle"))
+      val m =
+        if (!hit) Double.NaN
+        else graft.functions.VectorOps.cosineSparse(
+          row.getAs[scala.collection.Seq[Int]]("indices").toArray,
+          row.getAs[scala.collection.Seq[Double]]("values").toArray,
+          row.getAs[scala.collection.Seq[Int]]("lex_indices").toArray,
+          row.getAs[scala.collection.Seq[Double]]("lex_values").toArray)
+      (label, hit, m)
+    }.toDF("label", "hit", "mutual")
+
+    val agg = mutual.agg(
+      count(lit(1)).as("total"),
+      sum(when(!col("hit"), 1L).otherwise(0L)).as("missing"),
+      sum(when(col("hit") && col("mutual") < identityAngle, 1L).otherwise(0L)).as("collisions"),
+      min(when(col("hit"), col("mutual"))).as("minMutual"),
+      min_by(col("label"), when(col("hit"), col("mutual"))).as("worstToken")
+    ).collect()(0)
+
+    val total = agg.getLong(0)
+    val missing = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+    val collisions = if (agg.isNullAt(2)) 0L else agg.getLong(2)
+    val minMutual = if (agg.isNullAt(3)) 1.0 else agg.getDouble(3)
+    val worst = if (agg.isNullAt(4)) "" else agg.getString(4)
+    ValidationReport(missing == 0L, total, missing, collisions, minMutual, worst)
+  }
+
+  /**
+   * ≙ LexiconInspector.FindMissingAngles/SampleAngles (LexiconInspector.cs:
+   * 20-42): uniform angle probes in [-1,1] (seeded), anti-joined against the
+   * lexicon keys.
+   */
+  def findMissingAngles(lexicon: DataFrame, count: Int, seed: Long = 12345L): Array[Double] = {
+    val spark = lexicon.sparkSession
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val probes = Seq.fill(count)(rnd.nextDouble() * 2.0 - 1.0)
+    probes.toDF("angle")
+      .join(lexicon.select("angle"), Seq("angle"), "left_anti")
+      .as[Double].collect()
+  }
+}
