@@ -1,27 +1,55 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.analysis.TextMetrics
+import graft.dedup.Dedup
+import graft.index.SimilarityIndex
 import graft.lexicon.Lexicon
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * `queries` carries one entry per implemented operator from SURVEY.md §2;
-  * `oracleSql` carries the DuckDB-equivalent SQL for everything
-  * SQL-expressible (same column names/aliases — the driver's compare sorts
-  * columns by name before hashing values).
+  * `queries` carries one entry per implemented operator from SURVEY.md §2
+  * plus the training-data-pipeline extensions (dedup / similarity / text
+  * analysis); `oracleSql` carries DuckDB-equivalent SQL for everything
+  * SQL-expressible (same column aliases both sides — the driver's compare
+  * sorts columns by name before hashing values).
   *
   * Oracle-parity rules used throughout:
-  *  - double sums are only order-independent when the addends are exactly
-  *    representable; prices here have 2 decimals, so money aggregates go
-  *    through `CAST(... AS DECIMAL(18,2))` on BOTH sides, then back to
-  *    DOUBLE for a stable hash.
-  *  - every query has a total ORDER BY on a unique key combination.
+  *  - double sums go through CAST(... AS DECIMAL(18,x)) on BOTH sides
+  *    (2-decimal prices are not binary-exact, so raw double sums are
+  *    summation-order-dependent), then back to DOUBLE.
+  *  - integer-valued doubles (l_quantity) and counts sum exactly — no cast.
+  *  - every query ends in a total ORDER BY over a unique key combination.
+  *  - regexes restricted to the Java∩RE2 common subset ([a-z0-9], \s, +).
   */
 object SparkEntry {
 
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet stores INT64 TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read as a timestamp — read nanos as long, then floor-truncate to µs
+    * with integer division (a double round-trip would lose precision at
+    * 1.7e18). DuckDB's ns→µs conversion floors identically. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    tbl(spark, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** documents ∪ deterministically truncated copies — self-contained
+    * near-duplicate fixture (the mutation is reproducible in DuckDB). */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents").select("doc_id", "text")
+    val mutated = d.filter(col("doc_id") % 50 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        // floor() explicitly: Spark's double→int cast truncates but
+        // DuckDB's rounds, so the oracle must use the same floor()
+        expr("substr(text, 1, cast(floor(length(text)*0.7) as int))").as("text"))
+    d.unionByName(mutated)
+  }
 
   /** Flagship query (≙ reference `lexicon` command, LexiconCommand.cs:14-58):
     * build the identity-angle lexicon over the documents corpus. */
@@ -32,15 +60,18 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // --- reference flagship: lexicon build + validate (non-SQL-expressible,
-    //     rows-only driver check) -----------------------------------------
+    // ==================================================================
+    // Reference flagship: lexicon build (non-SQL-expressible key function
+    // → rows-only driver check)
+    // ==================================================================
     "lexicon_build" -> ((s, dir) => {
       Lexicon.build(tbl(s, dir, "documents"), "text").toDF()
         .select("angle", "label").orderBy("angle")
     }),
 
-    // --- relational operator coverage (DuckDB-oracled) -------------------
-    // Aggregation with grouped sums/averages (≙ S11 scan + §2.8 aggregations)
+    // ==================================================================
+    // Relational operator coverage (§2.8) — all DuckDB-oracled
+    // ==================================================================
     "q1_pricing_summary" -> ((s, dir) => {
       val li = tbl(s, dir, "lineitem")
       li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
@@ -55,7 +86,6 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
-    // Multi-way join with broadcast dims + group + top-k
     "q3_top_revenue_orders" -> ((s, dir) => {
       val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = tbl(s, dir, "orders")
@@ -69,9 +99,24 @@ object SparkEntry {
         .limit(10)
     }),
 
-    // Window function: rank orders per customer by totalprice
+    // 6-table join through the star schema, revenue per nation
+    "q5_revenue_by_nation" -> ((s, dir) => {
+      val r = tbl(s, dir, "region"); val n = tbl(s, dir, "nation")
+      val c = tbl(s, dir, "customer"); val o = tbl(s, dir, "orders")
+      val l = tbl(s, dir, "lineitem"); val su = tbl(s, dir, "supplier")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
     "q_window_top_orders" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val o = tbl(s, dir, "orders")
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(desc("o_totalprice"), col("o_orderkey"))
@@ -81,8 +126,6 @@ object SparkEntry {
         .orderBy(col("o_custkey"), col("rn"), col("o_orderkey"))
     }),
 
-    // Set semantics: key-set intersection/difference across columns
-    // (≙ README.md:52 "columns are sets of keys, enabling set operations")
     "q_keyset_ops" -> ((s, dir) => {
       val o = tbl(s, dir, "orders")
       val highValue = o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
@@ -92,7 +135,6 @@ object SparkEntry {
         .orderBy("custkey")
     }),
 
-    // Anti-join membership probe (≙ S12 KeyExists / T12 FindMissingAngles)
     "q_orders_without_lineitems" -> ((s, dir) => {
       val o = tbl(s, dir, "orders")
       val l = tbl(s, dir, "lineitem").select(col("l_orderkey"))
@@ -101,14 +143,219 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
-    // Exact dedup by content hash (training-data pipeline op; md5 is
-    // bit-identical across engines)
+    // rollup (grouping sets) with null grouping keys folded to 'ALL'
+    "q_rollup_order_stats" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")
+    }),
+
+    // string functions over part
+    "q_string_funcs" -> ((s, dir) => {
+      tbl(s, dir, "part")
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          min(length(col("p_name"))).as("min_name_len"),
+          max(upper(substring(col("p_type"), 1, 5))).as("max_type_prefix"),
+          sum(when(col("p_name").like("%green%"), 1L).otherwise(0L)).as("n_green"))
+        .orderBy("p_brand")
+    }),
+
+    // date functions over orders
+    "q_orders_by_year" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("yr", "mo")
+    }),
+
+    // JSON extraction from the events props column
+    "q_events_json" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }),
+
+    // time bucketing (streaming-shaped agg in batch form)
+    "q_events_hourly" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+
+    // sessionization: 30-min-gap sessions per user (window lag; session
+    // count = gap count + 1, which is order-stable under ts/event_id ties)
+    "q_events_sessions" -> ((s, dir) => {
+      val e = events(s, dir)
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(byUser)
+      e.withColumn("new_s", when(gapUs > 1800L * 1000000L, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg((sum(col("new_s")) + 1).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // ==================================================================
+    // KV column semantics (§2.1): multi-value grouped read (putOrAppend →
+    // getMany); sorted multiset of values per key
+    // ==================================================================
+    "kv_grouped_values" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("key"))
+        .agg(array_sort(collect_list(col("l_quantity"))).as("vals"),
+          count(lit(1)).as("n"))
+        .orderBy("key")
+    }),
+
+    // ==================================================================
+    // Dedup suite (training-data pipeline)
+    // ==================================================================
     "doc_exact_dedup" -> ((s, dir) => {
       tbl(s, dir, "documents")
         .groupBy(md5(col("text")).as("text_hash"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
         .orderBy("doc_id")
         .select("doc_id", "text_hash", "n_copies")
+    }),
+
+    "doc_normalized_dedup" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .groupBy(md5(Dedup.normalized(col("text"))).as("norm_hash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("keep_id")
+        .select("keep_id", "norm_hash", "n_copies")
+    }),
+
+    // exact n-gram Jaccard join (inverted index, no cross join) — oracled
+    // against a brute-force DuckDB pair scan
+    "doc_ngram_jaccard_dups" -> ((s, dir) => {
+      Dedup.ngramJaccardJoin(docsWithNearDups(s, dir), "text", "doc_id",
+        shingleK = 4, threshold = 0.3, maxDocFreq = Int.MaxValue)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // MinHash-LSH near-dups (xxhash64 signatures — not oracle-expressible)
+    "doc_minhash_dups" -> ((s, dir) => {
+      Dedup.minhashNearDuplicates(docsWithNearDups(s, dir), "text", "doc_id",
+        shingleK = 4, numHashes = 64, bands = 32, threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // SimHash near-dups over docs ∪ exact copies (hamming 0 guaranteed)
+    "doc_simhash_dups" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val copies = d.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+      Dedup.simhashNearDuplicates(d.unionByName(copies), "text", "doc_id",
+        maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // embedding cosine near-dups via hyperplane LSH over embeddings ∪
+    // scaled copies (cosine ≈ 1 by construction)
+    "emb_near_dups" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val copies = e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.05f)).as("embedding"))
+      Dedup.embeddingNearDuplicates(e.unionByName(copies), "embedding", "vec_id",
+        dims = 64, threshold = 0.98, planes = 16, bands = 8)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // ==================================================================
+    // Similarity search (§2.4)
+    // ==================================================================
+    "emb_top1_brute" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      SimilarityIndex.bruteForceTopK(
+        e.select("vec_id", "embedding"), q, k = 2)
+        .filter(col("vec_id") =!= col("query_id")) // drop trivial self-hit
+        .orderBy("query_id", "rank")
+    }),
+
+    "emb_topk_lsh" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      SimilarityIndex.lshTopK(e.select("vec_id", "embedding"), q,
+        k = 5, dims = 64, planes = 16, bands = 16)
+        .orderBy("query_id", "rank")
+    }),
+
+    // ==================================================================
+    // Text analysis (training-data pipeline)
+    // ==================================================================
+    // per-language corpus stats (integer token/char sums — exact)
+    "doc_token_stats" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      d.select(col("lang"),
+        TextMetrics.tokenCountWs(col("text")).as("tws"),
+        TextMetrics.tokenCountBpeish(col("text")).as("tbp"),
+        length(col("text")).as("nc"))
+        .groupBy("lang")
+        .agg(sum(col("tws")).as("sum_tokens_ws"),
+          sum(col("tbp")).as("sum_tokens_bpeish"),
+          sum(col("nc")).as("sum_chars"),
+          count(lit(1)).as("n_docs"))
+        .orderBy("lang")
+    }),
+
+    // corpus vocabulary histogram (explode + count)
+    "doc_token_histogram" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy("token")
+    }),
+
+    // per-document character-class profile (all integers — exact oracle)
+    "doc_charclass_stats" -> ((s, dir) => {
+      val t = col("text")
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        length(t).as("n_chars_m"),
+        (length(t) - length(regexp_replace(t, "[a-z0-9]", ""))).as("n_alnum"),
+        (length(t) - length(regexp_replace(t, "\\s", ""))).as("n_space"),
+        TextMetrics.tokenCountWs(t).as("n_tokens"))
+        .orderBy("doc_id")
+    }),
+
+    // language-ID heuristic + quality score + fingerprint (Scala kernels —
+    // rows-only checks)
+    "doc_langid" -> ((s, dir) => {
+      val langIdUdf = udf((t: String) => TextMetrics.languageId(t))
+      tbl(s, dir, "documents")
+        .select(col("lang"), langIdUdf(col("text")).as("predicted"))
+        .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
+    "doc_quality" -> ((s, dir) => {
+      TextMetrics.profile(tbl(s, dir, "documents"))
+        .select(col("doc_id"), col("m_quality"), col("m_stopword_ratio"),
+          col("m_punct_ratio"), col("m_tokens_ws"))
+        .orderBy("doc_id")
+    }),
+
+    "doc_fingerprints" -> ((s, dir) => {
+      val fp = udf((t: String) => TextMetrics.rollingFingerprint(t))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), fp(col("text")).as("fingerprint"))
+        .orderBy("doc_id")
     })
   )
 
@@ -134,6 +381,18 @@ object SparkEntry {
         |GROUP BY l_orderkey, o_orderdate
         |ORDER BY revenue DESC, l_orderkey
         |LIMIT 10""".stripMargin,
+    "q5_revenue_by_nation" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
     "q_window_top_orders" ->
       """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
@@ -152,10 +411,103 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_rollup_order_stats" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_brand, count(*) AS n,
+        |  min(length(p_name)) AS min_name_len,
+        |  max(upper(substr(p_type, 1, 5))) AS max_type_prefix,
+        |  sum(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END) AS n_green
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_orders_by_year" ->
+      """SELECT CAST(extract(year FROM o_orderdate) AS INT) AS yr,
+        |  CAST(extract(month FROM o_orderdate) AS INT) AS mo,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type,
+        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_events_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |)
+        |SELECT user_id, sum(new_s) + 1 AS n_sessions, count(*) AS n_events
+        |FROM marked GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "kv_grouped_values" ->
+      """SELECT l_orderkey AS key, list_sort(list(l_quantity)) AS vals,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_orderkey ORDER BY key""".stripMargin,
     "doc_exact_dedup" ->
       """SELECT doc_id, text_hash, n_copies FROM (
         |  SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies
         |  FROM documents GROUP BY md5(text)) t
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "doc_normalized_dedup" ->
+      """SELECT keep_id, norm_hash, n_copies FROM (
+        |  SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS norm_hash,
+        |    min(doc_id) AS keep_id, count(*) AS n_copies
+        |  FROM documents GROUP BY 1) t
+        |ORDER BY keep_id""".stripMargin,
+    "doc_ngram_jaccard_dups" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    substr(text, 1, CAST(floor(length(text)*0.7) AS INT)) AS text
+        |  FROM documents WHERE doc_id % 50 = 0
+        |), d AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-2),
+        |      i -> array_to_string(w[i:i+3], ' ')) END) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM base) t
+        |)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id) p
+        |WHERE jaccard >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "doc_token_stats" ->
+      """SELECT lang,
+        |  sum(len(regexp_split_to_array(trim(text), '\s+'))) AS sum_tokens_ws,
+        |  sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS sum_tokens_bpeish,
+        |  sum(length(text)) AS sum_chars,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "doc_token_histogram" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents) t
+        |GROUP BY token ORDER BY token""".stripMargin,
+    "doc_charclass_stats" ->
+      """SELECT doc_id,
+        |  length(text) AS n_chars_m,
+        |  length(text) - length(regexp_replace(text, '[a-z0-9]', '', 'g')) AS n_alnum,
+        |  length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_space,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

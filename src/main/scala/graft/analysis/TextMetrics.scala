@@ -1,0 +1,158 @@
+package graft.analysis
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Document-level text analysis for large-scale training-data pipelines:
+ * language ID, quality scoring, token counting, fingerprinting.
+ *
+ * Everything column-first: built-in `functions._` expressions stay inside
+ * whole-stage codegen, so these run at parquet-scan speed with no UDF
+ * ser/de. The only Scala closures are languageId/rollingFingerprint (genuine
+ * per-string imperative logic).
+ */
+object TextMetrics {
+
+  // ------------------------------------------------------------ token counts
+
+  /** Whitespace token count (codegen'd). */
+  def tokenCountWs(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /**
+   * BPE-ish token count: word pieces = runs of letters, runs of digits, or
+   * single non-space symbols (a portable approximation of GPT-2's pre-token
+   * regex that parses identically under Java regex and RE2).
+   */
+  val BpeishPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
+  // ---------------------------------------------------------- quality scores
+
+  /** Ratio of non-alphanumeric, non-space chars (symbol noise). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, lit(0.0)).otherwise(
+      (n - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))).cast("double") / n)
+  }
+
+  /** Ratio of whitespace chars. */
+  def spaceRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, lit(0.0)).otherwise(
+      (n - length(regexp_replace(text, "\\s", ""))).cast("double") / n)
+  }
+
+  /** Mean word length over whitespace tokens. */
+  def meanWordLen(text: Column): Column = {
+    val toks = tokenCountWs(text)
+    when(toks === 0, lit(0.0))
+      .otherwise(length(regexp_replace(trim(text), "\\s", "")).cast("double") / toks)
+  }
+
+  private val EnStopwords = Seq("the", "a", "an", "and", "or", "of", "to",
+    "in", "is", "it", "that", "for", "on", "with", "as", "at", "by")
+
+  /** Fraction of tokens that are common English stopwords (quality signal:
+    * real prose has 0.2-0.5; keyword spam / boilerplate has ≈0). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val n = size(toks)
+    val stop = filter(toks, t => t.isin(EnStopwords: _*))
+    when(n === 0, lit(0.0)).otherwise(size(stop).cast("double") / n)
+  }
+
+  /**
+   * Composite quality score in [0,1]: rewards stopword presence and sane
+   * word lengths, penalizes symbol noise. Weights are heuristic (the
+   * reference has no quality model; this is the pipeline extension).
+   */
+  def qualityScore(text: Column): Column = {
+    val stop = stopwordRatio(text)
+    val punct = punctRatio(text)
+    val mwl = meanWordLen(text)
+    val lenOk = when(mwl >= 3.0 && mwl <= 10.0, lit(1.0)).otherwise(lit(0.5))
+    val stopOk = least(stop * lit(4.0), lit(1.0))
+    val punctOk = greatest(lit(1.0) - punct * lit(4.0), lit(0.0))
+    (stopOk * lit(0.4) + punctOk * lit(0.3) + lenOk * lit(0.3))
+  }
+
+  // ------------------------------------------------------------- language ID
+
+  private val StopwordsByLang: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "in", "is", "that", "it", "for", "with", "as", "was", "on", "are", "this"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "una", "los", "las", "por", "con", "para", "es", "del"),
+    "de" -> Set("der", "die", "das", "und", "ist", "von", "mit", "den", "des", "ein", "eine", "im", "für", "auf", "nicht"),
+    "fr" -> Set("le", "la", "les", "de", "des", "et", "est", "un", "une", "du", "dans", "pour", "que", "qui", "sur"))
+
+  /**
+   * N-gram/stopword language-ID heuristic: CJK codepoint share decides zh;
+   * otherwise the language whose stopword set covers the most tokens wins
+   * (ties → "en"). Pure function — used inside a UDF.
+   */
+  def languageId(text: String): String = {
+    if (text == null || text.isEmpty) return "und"
+    var cjk = 0; var total = 0
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (!Character.isWhitespace(c)) {
+        total += 1
+        val b = Character.UnicodeBlock.of(c)
+        if (b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS ||
+          b == Character.UnicodeBlock.CJK_UNIFIED_IDEOGRAPHS_EXTENSION_A ||
+          b == Character.UnicodeBlock.HIRAGANA || b == Character.UnicodeBlock.KATAKANA ||
+          b == Character.UnicodeBlock.HANGUL_SYLLABLES) cjk += 1
+      }
+      i += 1
+    }
+    if (total > 0 && cjk.toDouble / total > 0.2) return "zh"
+    val tokens = text.toLowerCase(java.util.Locale.ROOT).split("\\s+")
+    var best = "en"; var bestScore = -1
+    for ((lang, stops) <- StopwordsByLang.toSeq.sortBy(_._1)) {
+      var score = 0
+      tokens.foreach(t => if (stops.contains(t)) score += 1)
+      if (score > bestScore) { bestScore = score; best = lang }
+    }
+    if (bestScore == 0) "und" else best
+  }
+
+  // ------------------------------------------------------------ fingerprints
+
+  /** Deterministic 64-bit polynomial rolling hash of normalized text
+    * (lowercase, collapsed whitespace) — the document fingerprint. */
+  def rollingFingerprint(text: String): Long = {
+    if (text == null) return 0L
+    val norm = text.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("\\s+", " ").trim
+    var h = 1125899906842597L // prime
+    var i = 0
+    while (i < norm.length) { h = 31 * h + norm.charAt(i); i += 1 }
+    h
+  }
+
+  /** Register language_id / quality / fingerprint as SQL UDFs. */
+  def registerUdfs(spark: SparkSession): Unit = {
+    spark.udf.register("language_id", (s: String) => languageId(s))
+    spark.udf.register("doc_fingerprint", (s: String) => rollingFingerprint(s))
+  }
+
+  /** Full per-document profile (one codegen'd projection, no shuffle). */
+  def profile(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col("*"),
+      length(t).as("m_chars"),
+      tokenCountWs(t).as("m_tokens_ws"),
+      tokenCountBpeish(t).as("m_tokens_bpeish"),
+      punctRatio(t).as("m_punct_ratio"),
+      spaceRatio(t).as("m_space_ratio"),
+      meanWordLen(t).as("m_mean_word_len"),
+      stopwordRatio(t).as("m_stopword_ratio"),
+      qualityScore(t).as("m_quality"))
+  }
+}

@@ -1,0 +1,106 @@
+package graft.cli
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.analysis.TextAnalyzer
+import graft.index.SimilarityIndex
+import graft.lexicon.Lexicon
+
+/**
+ * Command-line surface (SURVEY.md §2.7) — the reference's plugin commands
+ * (Program.cs:9-63, PluginReader.cs:14-50) become spark-submit subcommands:
+ *
+ *   lexicon          <docsParquet> <lexiconPath> [textCol] [dims]
+ *   validatelexicon  <docsParquet> <lexiconPath> [textCol] [dims]
+ *   truncate         <path>
+ *   stringcompare    <str1> <str2>
+ *   graph-build      <sentencesParquet> <indexPath> [idCol] [textCol]
+ *   graph-search     <indexPath> <querySentence>
+ *
+ * Flag parsing mirrors ArgumentParser.cs:5-24 (positional, no flags — the
+ * reference's dict-of-flags collapses to positional args here since every
+ * command has a fixed arity).
+ */
+object Main {
+
+  private def session(): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val s = SparkSession.builder()
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def main(args: Array[String]): Unit = args.toList match {
+    case "lexicon" :: docs :: out :: rest =>
+      val textCol = rest.headOption.getOrElse("text")
+      val dims = rest.drop(1).headOption.map(_.toInt).getOrElse(TextAnalyzer.DefaultDims)
+      val spark = session()
+      val t0 = System.nanoTime()
+      Lexicon.buildAndWrite(spark.read.parquet(docs), out, textCol, dims)
+      val n = spark.read.parquet(out).count()
+      println(f"lexicon: $n%d entries -> $out (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+      spark.stop()
+
+    case "validatelexicon" :: docs :: lex :: rest =>
+      val textCol = rest.headOption.getOrElse("text")
+      val dims = rest.drop(1).headOption.map(_.toInt).getOrElse(TextAnalyzer.DefaultDims)
+      val spark = session()
+      val report = Lexicon.validate(spark.read.parquet(docs),
+        spark.read.parquet(lex), textCol, dims)
+      println(s"validatelexicon: $report")
+      spark.stop()
+      if (!report.ok) sys.exit(1)
+
+    case "truncate" :: path :: Nil =>
+      val spark = session()
+      new graft.store.KeyValueColumn(spark, path).truncate()
+      println(s"truncate: dropped $path")
+      spark.stop()
+
+    case "stringcompare" :: a :: b :: Nil =>
+      // ≙ StringCompareCommand.cs:9-19 — pure kernel, no session needed
+      println(f"compare($a%s, $b%s) = ${TextAnalyzer.compare(a, b)}%.6f")
+      println(f"angle_of_identity($a%s) = ${TextAnalyzer.compareToUnitVector(a)}%.6f")
+      println(f"angle_of_identity($b%s) = ${TextAnalyzer.compareToUnitVector(b)}%.6f")
+
+    case "graph-build" :: sentences :: out :: rest =>
+      val idCol = rest.headOption.getOrElse("id")
+      val textCol = rest.drop(1).headOption.getOrElse("sentence")
+      val spark = session()
+      val df = spark.read.parquet(sentences)
+        .select(col(idCol).as("id"), col(textCol).as("sentence"))
+      val vocab = SimilarityIndex.buildVocabulary(df, "sentence")
+      vocab.write.mode("overwrite").parquet(s"$out/vocab")
+      SimilarityIndex.bagOfWords(df, vocab)
+        .write.mode("overwrite").parquet(s"$out/index")
+      println(s"graph-build: ${spark.read.parquet(s"$out/index").count()} sentences -> $out")
+      spark.stop()
+
+    case "graph-search" :: index :: query :: Nil =>
+      val spark = session()
+      import spark.implicits._
+      val vocab = spark.read.parquet(s"$index/vocab")
+      val idx = spark.read.parquet(s"$index/index")
+      val q = SimilarityIndex.bagOfWords(
+        Seq((0L, query)).toDF("id", "sentence"), vocab)
+      SimilarityIndex.closestMatch(idx, q).show(false)
+      spark.stop()
+
+    case _ =>
+      System.err.println(
+        """usage: graft.cli.Main <command> [args]
+          |  lexicon          <docsParquet> <lexiconPath> [textCol] [dims]
+          |  validatelexicon  <docsParquet> <lexiconPath> [textCol] [dims]
+          |  truncate         <path>
+          |  stringcompare    <str1> <str2>
+          |  graph-build      <sentencesParquet> <indexPath> [idCol] [textCol]
+          |  graph-search     <indexPath> <querySentence>""".stripMargin)
+      sys.exit(2)
+  }
+}

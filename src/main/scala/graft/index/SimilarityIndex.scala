@@ -1,0 +1,155 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/**
+ * Batch similarity search over embedding columns — the Spark-native
+ * delivery of the reference's vector-tree capabilities (SURVEY.md §2.4):
+ *
+ *  - bruteForceTopK ≙ GraphTraverser.Traverse + GraphSearcher.Search
+ *    (GraphTraverser.cs:7-28, GraphSearcher.cs:12-16): exact scoring of
+ *    every (query, item) pair, top-k per query.
+ *  - lshTopK        ≙ GraphExtensions.ClosestMatch / SeekableGraphReader
+ *    (GraphExtensions.cs:46-84, SeekableGraphReader.cs:57-104): approximate
+ *    search that only touches a candidate subset (hyperplane buckets play
+ *    the role of the tree path / seek offsets).
+ *  - buildVocabulary / bagOfWords ≙ LexiconBuilder.BuildLexicon +
+ *    Tokenizer.Tokenize + sentence-vector sum (LexiconBuilder.cs:5-18,
+ *    Tokenizer.cs:16-27, GraphBuilder.cs:26-30).
+ *  - validateIndex  ≙ GraphIndexValidator.ValidateIndex
+ *    (GraphIndexValidator.cs:24-55): every build-corpus query must return
+ *    itself at ≈ identical score.
+ *
+ * Scale shape: brute force broadcasts the (small) query side so the big
+ * corpus never shuffles; LSH hashes both sides into band buckets — one
+ * shuffle each — and scores within buckets only. Top-k per query is a
+ * window over (query, score), which AQE partitions by query id.
+ */
+object SimilarityIndex {
+
+  /**
+   * Exact top-k: score every corpus row against every query (queries
+   * broadcast — the corpus side never moves), rank per query.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     corpusId: String = "vec_id", corpusVec: String = "embedding",
+                     queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("cosine", VectorOps.cosineCol(col(corpusVec), col(queryVec)))
+    val w = Window.partitionBy(col(queryId))
+      .orderBy(desc("cosine"), col(corpusId))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  }
+
+  /**
+   * Approximate top-k via random-hyperplane LSH: items sharing at least one
+   * band bucket with the query are scored; others are never touched (the
+   * scale path — candidate count is ~bucket-sized, not corpus-sized).
+   * Recall/cost tradeoff via (planes, bands).
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
+              planes: Int = 16, bands: Int = 8,
+              corpusId: String = "vec_id", corpusVec: String = "embedding",
+              queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
+    val ppb = planes / bands
+    def banded(df: DataFrame, vec: String, keep: Seq[Column]): DataFrame = {
+      val bits = graft.dedup.Dedup.signBits(col(vec), dims, planes)
+      df.select(keep :+ bits.as("bits"): _*)
+        .select(keep :+ posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("bits"), b * ppb + lit(1), lit(ppb)))))
+          .as(Seq("band", "bucket")): _*)
+    }
+    val c = banded(corpus, corpusVec, Seq(col(corpusId), col(corpusVec)))
+    val q = banded(queries, queryVec, Seq(col(queryId), col(queryVec)))
+    val candidates = c.join(q, Seq("band", "bucket"))
+      .select(col(queryId), col(queryVec), col(corpusId), col(corpusVec))
+      .distinct()
+    val w = Window.partitionBy(col(queryId)).orderBy(desc("cosine"), col(corpusId))
+    candidates
+      .withColumn("cosine", VectorOps.cosineCol(col(corpusVec), col(queryVec)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  }
+
+  // ------------------------------------------------- vocab / bag-of-words
+
+  /**
+   * Dense word→index vocabulary from a corpus of `;`-separated sentences
+   * (≙ LexiconBuilder: first-seen order becomes a stable sorted order here —
+   * alphabetical, since "first seen" is meaningless under parallel scan).
+   */
+  def buildVocabulary(sentences: DataFrame, textCol: String = "sentence",
+                      sep: String = ";"): DataFrame = {
+    val words = sentences
+      .select(explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+    words
+      .withColumn("index",
+        row_number().over(Window.orderBy(col("word"))) - 1)
+  }
+
+  /**
+   * Bag-of-words sentence vectors against a vocabulary: unknown words are
+   * skipped (≙ Tokenizer.cs:16-27), counts summed (≙ GraphBuilder.cs:26-30).
+   * Output: (id, sentence, indices array<int>, counts array<double>) sparse form.
+   */
+  def bagOfWords(sentences: DataFrame, vocab: DataFrame,
+                 idCol: String = "id", textCol: String = "sentence",
+                 sep: String = ";"): DataFrame = {
+    val toks = sentences.select(col(idCol), col(textCol),
+      explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("word"))
+    toks.join(vocab, Seq("word")) // inner join drops unknown words
+      .groupBy(col(idCol), col(textCol), col("index"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+      .groupBy(col(idCol), col(textCol))
+      .agg(
+        transform(array_sort(collect_list(struct(col("index"), col("cnt")))),
+          x => x.getField("index")).as("indices"),
+        transform(array_sort(collect_list(struct(col("index"), col("cnt")))),
+          x => x.getField("cnt")).as("counts"))
+  }
+
+  /** Sparse cosine over (indices, counts) pairs — for BoW vectors. */
+  private val sparseCos = udf(
+    (ia: Seq[Int], va: Seq[Double], ib: Seq[Int], vb: Seq[Double]) =>
+      VectorOps.cosineSparse(ia.toArray, va.toArray, ib.toArray, vb.toArray))
+
+  /**
+   * Closest match of each query sentence against the indexed corpus
+   * (≙ GraphService.Search → ClosestMatch): exact top-1 by cosine.
+   */
+  def closestMatch(indexed: DataFrame, queries: DataFrame): DataFrame = {
+    val idx = indexed.select(col("id").as("corpus_id"),
+      col("sentence").as("corpus_sentence"),
+      col("indices").as("c_idx"), col("counts").as("c_cnt"))
+    val q = queries.select(col("id").as("query_id"),
+      col("sentence").as("query_sentence"),
+      col("indices").as("q_idx"), col("counts").as("q_cnt"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), col("corpus_id"))
+    idx.crossJoin(broadcast(q))
+      .withColumn("score", sparseCos(col("c_idx"), col("c_cnt"), col("q_idx"), col("q_cnt")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("query_sentence"),
+        col("corpus_id"), col("corpus_sentence"), col("score"))
+  }
+
+  /**
+   * ≙ GraphIndexValidator: re-query the build corpus; every sentence must
+   * find itself (or an identical-vector twin) at score ≈ identicalAngle.
+   * Returns rows that FAIL the check (empty result = index is valid).
+   */
+  def validateIndex(indexed: DataFrame, identicalAngle: Double = 0.99,
+                    precision: Double = 0.01): DataFrame =
+    closestMatch(indexed, indexed)
+      .filter(col("score") < identicalAngle - precision)
+}

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/**
+ * Structured-Streaming extensions (SURVEY.md §2.8 "Streaming"): the
+ * reference is batch-only, so these are the Spark-native additions a
+ * continuous ingest of the same pipelines needs — watermarked windowed
+ * aggregation, state-bounded streaming dedup (the streaming form of the
+ * lexicon's TryPut set semantics), and stateful sessionization.
+ *
+ * All transforms take a generic DataFrame so the same code runs on a
+ * `readStream` source in production and a `MemoryStream`/file source in
+ * tests. At scale: state stores are keyed by the groupBy keys and bounded
+ * by the watermark — no unbounded driver or executor state.
+ */
+object EventStreams {
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+                         event_type: String, value: Double)
+
+  final case class SessionUpdate(user_id: Long, session_start: Timestamp,
+                                 n_events: Long, total_value: Double)
+
+  final case class SessionState(start: Long, last: Long, n: Long, total: Double)
+
+  /** Watermarked per-window, per-type counts and sums (append mode capable). */
+  def windowedTypeCounts(events: DataFrame, window_ : String = "5 minutes",
+                         watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+
+  /**
+   * Streaming dedup with bounded state: first event per key wins; keys
+   * older than the watermark are dropped from the state store
+   * (≙ ColumnWriter.TryPut set semantics, continuously).
+   */
+  def dedupByKey(events: DataFrame, keyCol: String = "event_id",
+                 watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(keyCol, "ts")
+
+  /**
+   * Stateful sessionization with flatMapGroupsWithState: a session closes
+   * when a later event arrives more than `gapSeconds` after it (gap
+   * detection in event time); closed sessions are emitted downstream. The
+   * trailing open session stays in state — production deployments add a
+   * state timeout to flush it; tests keep NoTimeout so micro-batches are
+   * fully deterministic.
+   */
+  def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)(
+    implicit spark: SparkSession): Dataset[SessionUpdate] = {
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[SessionUpdate] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var out = List.empty[SessionUpdate]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(st) if t - st.last > gapSeconds * 1000L =>
+            out = SessionUpdate(userId, new Timestamp(st.start), st.n, st.total) :: out
+            cur = Some(SessionState(t, t, 1L, e.value))
+          case Some(st) =>
+            cur = Some(st.copy(last = math.max(st.last, t), n = st.n + 1,
+              total = st.total + e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1L, e.value))
+        }
+      }
+      cur.foreach(state.update)
+      out.reverseIterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /**
+   * Continuous lexicon ingest (streaming form of Lexicon.build): tokenize
+   * incoming documents, key by identity angle, emit first-seen tokens only.
+   * dropDuplicates state is keyed by the angle — bounded by watermark when
+   * the source carries event time.
+   */
+  def lexiconStream(docs: DataFrame, textCol: String = "text",
+                    dims: Int = graft.analysis.TextAnalyzer.DefaultDims): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(textCol).cast("string").as("text"))
+      .as[String]
+      .flatMap { text =>
+        graft.analysis.TextAnalyzer.tokenizeIntoVectors(text, dims).map { t =>
+          (graft.analysis.TextAnalyzer.angleOfId(t, dims), t.label)
+        }
+      }
+      .toDF("angle", "label")
+      .dropDuplicates("angle")
+  }
+}

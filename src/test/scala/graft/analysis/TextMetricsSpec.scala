@@ -1,0 +1,74 @@
+package graft.analysis
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class TextMetricsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("token counts: whitespace and BPE-ish") {
+    val df = Seq(
+      ("hello world", 2, 2),
+      ("  padded   spaces  ", 2, 2),
+      ("", 0, 0),
+      ("don't stop-me now!", 3, 8), // don ' t stop - me now !
+      ("x2 42", 2, 3)               // x 2 42
+    ).toDF("text", "ws", "bpeish")
+    val got = df.select(col("ws"), col("bpeish"),
+      TextMetrics.tokenCountWs(col("text")).as("g_ws"),
+      TextMetrics.tokenCountBpeish(col("text")).as("g_bp")).collect()
+    got.foreach { r =>
+      assert(r.getInt(2) === r.getInt(0), s"ws mismatch in $r")
+      assert(r.getInt(3) === r.getInt(1), s"bpeish mismatch in $r")
+    }
+  }
+
+  test("quality metrics are bounded and ordered sensibly") {
+    val prose = "the cat sat on the mat and it was happy with the sun"
+    val spam = "$$$ BUY NOW!!! @@@ ### $$$ WIN WIN WIN !!! ### @@@ $$$"
+    val rows = Seq(prose, spam).toDF("text")
+      .select(TextMetrics.qualityScore(col("text")).as("q"),
+        TextMetrics.punctRatio(col("text")).as("p"),
+        TextMetrics.stopwordRatio(col("text")).as("s"))
+      .as[(Double, Double, Double)].collect()
+    val (proseQ, spamQ) = (rows(0)._1, rows(1)._1)
+    assert(proseQ > spamQ, s"prose $proseQ must outscore spam $spamQ")
+    rows.foreach { case (q, p, s) =>
+      assert(q >= 0.0 && q <= 1.0); assert(p >= 0.0 && p <= 1.0)
+      assert(s >= 0.0 && s <= 1.0)
+    }
+  }
+
+  test("language id: charset and stopword heuristics") {
+    assert(TextMetrics.languageId("the cat is on the mat and it is happy") === "en")
+    assert(TextMetrics.languageId("el gato está en la casa y es feliz con el sol") === "es")
+    assert(TextMetrics.languageId("der Hund ist im Haus und die Katze ist auf dem Dach nicht") === "de")
+    assert(TextMetrics.languageId("le chat est dans la maison et les oiseaux sur le toit") === "fr")
+    assert(TextMetrics.languageId("这是一个中文句子，用来测试语言识别") === "zh")
+    assert(TextMetrics.languageId("zxqw plugh xyzzy") === "und")
+    assert(TextMetrics.languageId("") === "und")
+  }
+
+  test("fingerprint is normalization-invariant and deterministic") {
+    val a = TextMetrics.rollingFingerprint("Hello   World")
+    val b = TextMetrics.rollingFingerprint("hello world")
+    val c = TextMetrics.rollingFingerprint("hello world!")
+    assert(a === b)  // case + whitespace normalize away
+    assert(a !== c)
+    assert(a === TextMetrics.rollingFingerprint("Hello   World"))
+  }
+
+  test("profile adds all metric columns in one projection") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(50)
+    val prof = TextMetrics.profile(docs)
+    val cols = prof.columns.toSet
+    Seq("m_chars", "m_tokens_ws", "m_tokens_bpeish", "m_punct_ratio",
+      "m_space_ratio", "m_mean_word_len", "m_stopword_ratio", "m_quality")
+      .foreach(c => assert(cols.contains(c), s"missing $c"))
+    val r = prof.agg(min("m_quality"), max("m_quality"),
+      min("m_tokens_ws")).as[(Double, Double, Int)].head()
+    assert(r._1 >= 0.0 && r._2 <= 1.0 && r._3 > 0)
+    // n_chars ground truth column must agree with m_chars
+    assert(prof.filter(col("m_chars") =!= col("n_chars")).count() === 0)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.dedup
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "The quick brown fox jumps over the lazy dog!"), // normalized dup of 1
+    (4L, "the quick brown fox leaps over the lazy dog"), // near dup (1 word)
+    (5L, "completely different content about spark engines and parquet files"),
+    (6L, "Completely different content about spark engines and parquet files") // norm dup of 5
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts") {
+    val groups = Dedup.exactGroups(docs, "text", "doc_id")
+    assert(groups.count() === 5) // 1+2 collapse
+    val kept = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+    assert(kept.count() === 5)
+    assert(kept.filter($"doc_id" === 2L).count() === 0) // min id kept
+  }
+
+  test("normalization collapses case and punctuation") {
+    val n = docs.select(Dedup.normalized($"text").as("n"))
+      .distinct().count()
+    assert(n === 3) // {1,2,3}, {4}, {5,6}... plus: 4 distinct? 1,2,3 same; 4; 5,6 same → 3
+  }
+
+  test("shingles produce word k-grams") {
+    val sh = Seq((1L, "a b c d")).toDF("id", "text")
+      .select(Dedup.shingles($"text", 2).as("sh"))
+      .as[Seq[String]].head()
+    assert(sh === Seq("a b", "b c", "c d"))
+    // shorter than k → whole text as one shingle
+    val short = Seq((1L, "a b")).toDF("id", "text")
+      .select(Dedup.shingles($"text", 5).as("sh")).as[Seq[String]].head()
+    assert(short === Seq("a b"))
+  }
+
+  test("minhash LSH finds near-duplicates and skips distinct docs") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+      shingleK = 2, numHashes = 32, bands = 16, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"exact dup must surface: $pairs")
+    assert(pairs.contains((1L, 3L)), s"normalized dup must surface: $pairs")
+    assert(pairs.contains((1L, 4L)), s"near dup must surface: $pairs")
+    assert(pairs.contains((5L, 6L)), s"second cluster must surface: $pairs")
+    assert(!pairs.exists(p => Set(1L, 2L, 3L, 4L).contains(p._1) &&
+      Set(5L, 6L).contains(p._2)), "clusters must not cross-match")
+  }
+
+  test("simhash near-duplicates by hamming distance") {
+    val pairs = Dedup.simhashNearDuplicates(docs, "text", "doc_id", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L))) // same normalized tokens → same simhash
+    assert(pairs.contains((5L, 6L)))
+  }
+
+  test("ngram jaccard join computes exact jaccard") {
+    val out = Dedup.ngramJaccardJoin(docs, "text", "doc_id",
+      shingleK = 2, threshold = 0.4)
+    val m = out.as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(math.abs(m((1L, 2L)) - 1.0) < 1e-12) // identical sets
+    assert(m.contains((1L, 4L)) && m((1L, 4L)) < 1.0)
+    assert(!m.keySet.exists(p => p._1 <= 4L && p._2 >= 5L))
+  }
+
+  test("embedding near-duplicates via hyperplane LSH") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (2L, Array(0.99f, 0.01f, 0.0f, 0.1f)),  // ≈ vec 1
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 0.98f, 0.05f, 0.0f)),  // ≈ vec 3
+      (5L, Array(-1.0f, -0.2f, 0.5f, -0.3f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDuplicates(vecs, "embedding", "vec_id",
+      dims = 4, threshold = 0.95, planes = 8, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"got $pairs")
+    assert(pairs.contains((3L, 4L)), s"got $pairs")
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("simhash64 kernel: identical token sets collide, disjoint differ") {
+    val a = Dedup.simhash64(Seq("alpha", "beta", "gamma"))
+    val b = Dedup.simhash64(Seq("alpha", "beta", "gamma"))
+    assert(a === b)
+    val c = Dedup.simhash64(Seq("totally", "unrelated", "words", "here"))
+    assert(java.lang.Long.bitCount(a ^ c) > 10)
+  }
+}

@@ -1,0 +1,90 @@
+package graft.index
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Mirrors reference GraphTests.cs: build-corpus queries return themselves
+  * at ≈ identical score; closest-match picks the nearest sentence. */
+class SimilarityIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ≙ FIXTURES A5: ';'-joined sentence pairs over a 4-word vocab
+  private val sentences = Seq(
+    (0L, "sentence-A;sentence-B"),
+    (1L, "sentence-B;sentence-C"),
+    (2L, "sentence-C;sentence-D"),
+    (3L, "sentence-A;sentence-D")
+  ).toDF("id", "sentence")
+
+  test("vocabulary assigns dense stable indices") {
+    val vocab = SimilarityIndex.buildVocabulary(sentences, "sentence")
+    val m = vocab.as[(String, Int)].collect().toMap
+    assert(m.keySet === Set("sentence-A", "sentence-B", "sentence-C", "sentence-D"))
+    assert(m.values.toSet === Set(0, 1, 2, 3))
+  }
+
+  test("bag-of-words skips unknown words and counts known ones") {
+    val vocab = SimilarityIndex.buildVocabulary(sentences, "sentence")
+    val bow = SimilarityIndex.bagOfWords(
+      Seq((9L, "sentence-A;sentence-A;unknown-word")).toDF("id", "sentence"), vocab)
+    val row = bow.select("indices", "counts").as[(Seq[Int], Seq[Double])].head()
+    assert(row._1.length === 1)     // only sentence-A known
+    assert(row._2 === Seq(2.0))     // counted twice
+  }
+
+  test("closest match returns the build sentence itself at score ≈ 1") {
+    val vocab = SimilarityIndex.buildVocabulary(sentences, "sentence")
+    val indexed = SimilarityIndex.bagOfWords(sentences, vocab).cache()
+    val hits = SimilarityIndex.closestMatch(indexed, indexed)
+    val scores = hits.select("query_id", "corpus_id", "score")
+      .as[(Long, Long, Double)].collect()
+    assert(scores.length === 4)
+    scores.foreach { case (q, c, s) =>
+      assert(s > 0.99, s"query $q matched $c at $s — expected ≈1.0")
+      assert(q === c, s"query $q should match itself, got $c")
+    }
+    // ≙ GraphIndexValidator: no failures
+    assert(SimilarityIndex.validateIndex(indexed).count() === 0)
+  }
+
+  test("closest match prefers the overlapping sentence") {
+    val vocab = SimilarityIndex.buildVocabulary(sentences, "sentence")
+    val indexed = SimilarityIndex.bagOfWords(sentences, vocab)
+    val q = SimilarityIndex.bagOfWords(
+      Seq((100L, "sentence-A;sentence-B;sentence-B")).toDF("id", "sentence"), vocab)
+    val hit = SimilarityIndex.closestMatch(indexed, q)
+      .select("corpus_id", "score").as[(Long, Double)].head()
+    assert(hit._1 === 0L, s"expected corpus sentence 0, got $hit") // A;B
+    assert(hit._2 > 0.9)
+  }
+
+  test("brute-force top-k ranks by cosine with deterministic ties") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((10L, Array(1.0f, 0.0f))).toDF("query_id", "query_vec")
+    val top = SimilarityIndex.bruteForceTopK(corpus, queries, k = 2)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(top.map(_._2).toList === List(1L, 2L))
+    assert(math.abs(top(0)._3 - 1.0) < 1e-6)
+  }
+
+  test("LSH top-k finds the true nearest neighbor for clustered data") {
+    // two tight clusters far apart — bucket boundaries can't split them
+    val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
+      case (v, i) => if (i == 0) v + eps else v }
+    val c1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val c2 = Array(0.0f, 0.0f, 0.0f, -1.0f)
+    val corpus = (1 to 10).map(i => (i.toLong, mk(c1, i * 0.01f))) ++
+      (11 to 20).map(i => (i.toLong, mk(c2, i * 0.01f)))
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val queries = Seq((1L, c1), (2L, c2)).toDF("query_id", "query_vec")
+    val exact = SimilarityIndex.bruteForceTopK(corpusDf, queries, k = 1)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    val approx = SimilarityIndex.lshTopK(corpusDf, queries, k = 1, dims = 4,
+      planes = 8, bands = 8) // 8 bands of 1 plane → high recall
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
+    assert(approx === exact, s"LSH $approx must match exact $exact here")
+  }
+}

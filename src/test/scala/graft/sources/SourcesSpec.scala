@@ -1,0 +1,48 @@
+package graft.sources
+
+import graft.SparkTestBase
+import java.io.{BufferedWriter, OutputStreamWriter}
+import java.nio.file.Files
+import java.util.zip.GZIPOutputStream
+
+/** ≙ reference WikipediaHelper semantics (WikipediaHelper.cs:13-112):
+  * gzip JSON-lines, header/action lines skipped, field projection, url
+  * synthesis from title, skip/take pagination. */
+class SourcesSpec extends SparkTestBase {
+
+  private lazy val dumpPath: String = {
+    val dir = Files.createTempDirectory("graft_dump")
+    val f = dir.resolve("dump.json.gz")
+    val w = new BufferedWriter(new OutputStreamWriter(
+      new GZIPOutputStream(Files.newOutputStream(f)), "UTF-8"))
+    // CirrusSearch-style: action lines interleaved with doc lines
+    (0 until 10).foreach { i =>
+      w.write(s"""{"index":{"_id":"$i"}}"""); w.newLine()
+      w.write(s"""{"title":"Page $i","text":"body of page $i","popularity":$i}"""); w.newLine()
+    }
+    w.close()
+    f.toString
+  }
+
+  test("reads gzip json-lines, drops action lines, projects fields") {
+    val df = Sources.readJsonLines(spark, dumpPath, Seq("title", "text"))
+    assert(df.count() === 10)
+    assert(df.columns.toSet === Set("title", "text", "url"))
+    val r = df.filter(df("title") === "Page 3").head()
+    assert(r.getAs[String]("text") === "body of page 3")
+    assert(r.getAs[String]("url") === "https://en.wikipedia.org/wiki/Page+3")
+  }
+
+  test("skip/take paginate in input order (reference skip bug fixed)") {
+    val df = Sources.readJsonLines(spark, dumpPath, Seq("title"),
+      skip = 2, take = 3, synthesizeUrl = false)
+    val titles = df.collect().map(_.getAs[String]("title")).sorted
+    assert(titles === Array("Page 2", "Page 3", "Page 4"))
+  }
+
+  test("registerAll exposes every test table to spark.sql") {
+    Sources.registerAll(spark, sfDir)
+    assert(spark.sql("SELECT count(*) FROM lineitem").head().getLong(0) > 0)
+    assert(spark.sql("SELECT count(*) FROM documents").head().getLong(0) > 0)
+  }
+}

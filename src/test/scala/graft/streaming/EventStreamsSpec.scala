@@ -1,0 +1,81 @@
+package graft.streaming
+
+import graft.SparkTestBase
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class EventStreamsSpec extends SparkTestBase {
+  import spark.implicits._
+  implicit val s: org.apache.spark.sql.SparkSession = spark
+
+  private def ts(minute: Int, second: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:$second%02d")
+
+  test("windowed counts aggregate by 5-minute window and type") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.windowedTypeCounts(events)
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    input.addData(
+      (ts(0), "click", 1.0), (ts(1), "click", 2.0),
+      (ts(2), "view", 5.0), (ts(7), "click", 3.0))
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("win_counts")
+      .select(col("window.start"), col("event_type"), col("n"), col("sum_value"))
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    assert(rows.contains((ts(0), "click", 2L, 3.0)))
+    assert(rows.contains((ts(0), "view", 1L, 5.0)))
+    assert(rows.contains((ts(5), "click", 1L, 3.0)))
+  }
+
+  test("streaming dedup keeps first event per key") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "value")
+    val q = EventStreams.dedupByKey(events)
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData((1L, ts(0), 1.0), (1L, ts(0), 1.0), (2L, ts(1), 2.0))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_out").count() === 2)
+  }
+
+  test("stateful sessionization emits closed sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    // user 7: burst at 10:00-10:02, then new session at 11:00 (gap > 30 min)
+    val q = EventStreams.sessionize(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode("append").start()
+    input.addData(
+      EventStreams.Event(1, ts(0), 7L, "click", 1.0),
+      EventStreams.Event(2, ts(1), 7L, "view", 2.0),
+      EventStreams.Event(3, ts(2), 7L, "click", 3.0))
+    q.processAllAvailable()
+    input.addData(
+      EventStreams.Event(4, Timestamp.valueOf("2024-01-01 11:00:00"), 7L, "click", 4.0))
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("sessions_out")
+      .as[EventStreams.SessionUpdate].collect()
+    // first session (3 events, total 6.0) must have been emitted when the
+    // 11:00 event opened a new one
+    assert(sessions.exists(su => su.user_id == 7L && su.n_events == 3L &&
+      math.abs(su.total_value - 6.0) < 1e-9), s"got ${sessions.mkString(",")}")
+  }
+
+  test("streaming lexicon emits first-seen angles only") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = EventStreams.lexiconStream(input.toDF().toDF("text"))
+      .writeStream.format("memory").queryName("lex_out")
+      .outputMode("append").start()
+    input.addData("a world of dew", "a world of struggle")
+    q.processAllAvailable(); q.stop()
+    val labels = spark.table("lex_out").select("label").as[String].collect().toSet
+    assert(labels === Set("a", "world", "of", "dew", "struggle"))
+  }
+}
