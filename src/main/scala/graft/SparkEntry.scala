@@ -7,6 +7,7 @@ import graft.analysis.TextMetrics
 import graft.dedup.Dedup
 import graft.index.SimilarityIndex
 import graft.lexicon.Lexicon
+import graft.multimodal.Multimodal
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -143,6 +144,39 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // EXISTS / semi-join: orders with at least one discounted lineitem
+    "q_semi_join_exists" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val l = tbl(s, dir, "lineitem").filter(col("l_discount") > 0.05)
+        .select(col("l_orderkey"))
+      o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // correlated-aggregate pattern (TPC-H Q17 shape): lineitems far below
+    // their part's average quantity; the per-part aggregate joins back in
+    "q_below_avg_qty" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem")
+      val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg(avg(col("l_quantity")).as("avg_qty"))
+      l.join(avgQty, l("l_partkey") === avgQty("ap_partkey"))
+        .filter(col("l_quantity") < col("avg_qty") * 0.5)
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("total_price"),
+          count(lit(1)).as("n"))
+    }),
+
+    // distinct-count aggregate
+    "q_distinct_customers" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"),
+          count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
     // rollup (grouping sets) with null grouping keys folded to 'ALL'
     "q_rollup_order_stats" -> ((s, dir) => {
       tbl(s, dir, "orders")
@@ -215,6 +249,15 @@ object SparkEntry {
         .groupBy(col("l_orderkey").as("key"))
         .agg(array_sort(collect_list(col("l_quantity"))).as("vals"),
           count(lit(1)).as("n"))
+        .orderBy("key")
+    }),
+
+    // indexOf: rank of each key in the sorted distinct key set (S10).
+    // The global window is fine for a key set (always ≪ data); at 100 TB
+    // the same rank comes from range-partitioned sort + partition offsets.
+    "kv_index_of" -> ((s, dir) => {
+      tbl(s, dir, "orders").select(col("o_custkey").as("key")).distinct()
+        .withColumn("idx", row_number().over(Window.orderBy(col("key"))) - 1)
         .orderBy("key")
     }),
 
@@ -356,6 +399,51 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"), fp(col("text")).as("fingerprint"))
         .orderBy("doc_id")
+    }),
+
+    // ==================================================================
+    // Lexicon validate (reference flagship #2) + graph closest-match
+    // ==================================================================
+    // build + validate round-trip: report as a single row (rows-only check;
+    // worst-token column excluded — min_by ties are nondeterministic)
+    "lexicon_validate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents")
+      val lex = Lexicon.build(docs, "text").toDF()
+      val r = Lexicon.validate(docs, lex, "text")
+      Seq((r.ok, r.totalTokens, r.missing, r.collisions, r.minMutualAngle))
+        .toDF("ok", "total_tokens", "missing", "collisions", "min_mutual")
+    }),
+
+    // bag-of-words closest match (≙ GraphService.Search, G1–G9): first 8
+    // docs queried against the whole corpus — each finds itself at score 1
+    "graph_closest_match" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id").as("id"), Dedup.normalized(col("text")).as("sentence"))
+      val vocab = SimilarityIndex.buildVocabulary(docs, "sentence", " ")
+      val indexed = SimilarityIndex.bagOfWords(docs, vocab, "id", "sentence", " ")
+      SimilarityIndex.closestMatch(indexed, indexed.filter(col("id") < 8))
+        .select(col("query_id"), col("corpus_id"), col("score"))
+        .orderBy("query_id")
+    }),
+
+    // ==================================================================
+    // Multimodal plumbing (binary payload + typed metadata; decode stubbed)
+    // ==================================================================
+    "media_features" -> ((s, dir) => {
+      Multimodal.extractFeatures(
+        Multimodal.syntheticMedia(tbl(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
+        .select(col("id"), col("media_type"), col("byte_len"))
+        .orderBy("id")
+    }),
+
+    "media_frames" -> ((s, dir) => {
+      Multimodal.sampleFrames(
+        Multimodal.syntheticMedia(tbl(s, dir, "documents"), "doc_id", "text"),
+        stride = 2)
+        .groupBy(col("id")).agg(count(lit(1)).as("n_frames"))
+        .orderBy("id")
     })
   )
 
