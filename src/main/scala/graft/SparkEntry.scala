@@ -15,7 +15,10 @@ import graft.multimodal.Multimodal
   * plus the training-data-pipeline extensions (dedup / similarity / text
   * analysis); `oracleSql` carries DuckDB-equivalent SQL for everything
   * SQL-expressible (same column aliases both sides — the driver's compare
-  * sorts columns by name before hashing values).
+  * sorts columns by name before hashing values). Queries without an oracle
+  * are the ones whose keys derive from engine-private hash kernels
+  * (lexicon angle, minhash/simhash buckets, LSH bands) — the driver
+  * records a rows>0 check for those.
   *
   * Oracle-parity rules used throughout:
   *  - double sums go through CAST(... AS DECIMAL(18,x)) on BOTH sides
@@ -242,22 +245,41 @@ object SparkEntry {
 
     // ==================================================================
     // KV column semantics (§2.1): multi-value grouped read (putOrAppend →
-    // getMany); sorted multiset of values per key
+    // getMany); sorted multiset of values per key. Values stringified —
+    // l_quantity is integer-valued — so the driver's pandas compare hashes
+    // a scalar column (raw arrays are unhashable there).
     // ==================================================================
     "kv_grouped_values" -> ((s, dir) => {
       tbl(s, dir, "lineitem")
         .groupBy(col("l_orderkey").as("key"))
-        .agg(array_sort(collect_list(col("l_quantity"))).as("vals"),
+        .agg(array_join(transform(
+          array_sort(collect_list(col("l_quantity").cast("long"))),
+          x => x.cast("string")), ",").as("vals"),
           count(lit(1)).as("n"))
         .orderBy("key")
     }),
 
-    // indexOf: rank of each key in the sorted distinct key set (S10).
-    // The global window is fine for a key set (always ≪ data); at 100 TB
-    // the same rank comes from range-partitioned sort + partition offsets.
+    // point lookup / getMany (S8-S9): probe a small key set against the big
+    // table — the probe side broadcasts, the big side never shuffles
+    "kv_point_lookup" -> ((s, dir) => {
+      val probes = tbl(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey").as("key"))
+      tbl(s, dir, "lineitem")
+        .join(broadcast(probes), col("l_orderkey") === col("key"))
+        .groupBy("key")
+        .agg(count(lit(1)).as("n_values"),
+          array_join(transform(
+            array_sort(collect_list(col("l_quantity").cast("long"))),
+            x => x.cast("string")), ",").as("vals"))
+        .orderBy("key")
+    }),
+
+    // indexOf: rank of each key in the sorted distinct key set (S10),
+    // via two-phase range-partitioned rank (Ranks) — no global window.
     "kv_index_of" -> ((s, dir) => {
-      tbl(s, dir, "orders").select(col("o_custkey").as("key")).distinct()
-        .withColumn("idx", row_number().over(Window.orderBy(col("key"))) - 1)
+      val keys = tbl(s, dir, "orders").select(col("o_custkey").as("key")).distinct()
+      graft.store.Ranks.withOrderedIndex(keys, "key", "idx")
         .orderBy("key")
     }),
 
@@ -313,21 +335,24 @@ object SparkEntry {
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("embedding"), x => x * lit(1.05f)).as("embedding"))
       Dedup.embeddingNearDuplicates(e.unionByName(copies), "embedding", "vec_id",
-        dims = 64, threshold = 0.98, planes = 16, bands = 8)
+        dims = 64, threshold = 0.98, planes = 96, bands = 8)
         .orderBy("id_a", "id_b")
     }),
 
     // ==================================================================
     // Similarity search (§2.4)
     // ==================================================================
+    // exact nearest neighbor (non-self) per query — id-only output so the
+    // DuckDB oracle can rank with its own cosine kernel (float rounding
+    // differs in the low bits; the argmax does not)
     "emb_top1_brute" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings")
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       SimilarityIndex.bruteForceTopK(
-        e.select("vec_id", "embedding"), q, k = 2)
-        .filter(col("vec_id") =!= col("query_id")) // drop trivial self-hit
-        .orderBy("query_id", "rank")
+        e.select("vec_id", "embedding"), q, k = 1, excludeSelf = true)
+        .select("query_id", "vec_id")
+        .orderBy("query_id")
     }),
 
     "emb_topk_lsh" -> ((s, dir) => {
@@ -335,7 +360,7 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
       SimilarityIndex.lshTopK(e.select("vec_id", "embedding"), q,
-        k = 5, dims = 64, planes = 16, bands = 16)
+        k = 5, dims = 64, planes = 64, bands = 16)
         .orderBy("query_id", "rank")
     }),
 
@@ -399,6 +424,29 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"), fp(col("text")).as("fingerprint"))
         .orderBy("doc_id")
+    }),
+
+    // winnowing-style fingerprint: min-md5 over the doc's word-4-shingle
+    // set — portable across engines, so fully oracle-checked
+    "doc_winnow_fingerprints" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          array_min(transform(Dedup.shinglesUdf(4)(col("text")),
+            sh => md5(sh))).as("winnow_fp"))
+        .orderBy("doc_id")
+    }),
+
+    // token classification (≙ reference IsNumberToken, StringAnalyzer.cs:
+    // 414-429, restricted to the Java∩RE2 regex subset)
+    "q_token_classes" -> ((s, dir) => {
+      tbl(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+        .select(when(col("token").rlike("^[0-9]+$"), "int")
+          .when(col("token").rlike("^[0-9]*\\.[0-9]+$"), "dec")
+          .when(col("token").rlike("^[a-z]+$"), "word")
+          .otherwise("other").as("cls"))
+        .groupBy("cls").agg(count(lit(1)).as("n"))
+        .orderBy("cls")
     }),
 
     // ==================================================================
@@ -507,11 +555,14 @@ object SparkEntry {
         |FROM orders
         |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin,
+    // NOTE (all integer sums below): DuckDB sum(INTEGER) returns HUGEINT,
+    // which pandas renders as float64 — CAST to BIGINT so both sides hash
+    // as int64 (this was every round-1 hash mismatch).
     "q_string_funcs" ->
       """SELECT p_brand, count(*) AS n,
         |  min(length(p_name)) AS min_name_len,
         |  max(upper(substr(p_type, 1, 5))) AS max_type_prefix,
-        |  sum(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END) AS n_green
+        |  CAST(sum(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END) AS BIGINT) AS n_green
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_orders_by_year" ->
       """SELECT CAST(extract(year FROM o_orderdate) AS INT) AS yr,
@@ -521,7 +572,7 @@ object SparkEntry {
         |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin,
     "q_events_json" ->
       """SELECT event_type,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_events_hourly" ->
@@ -537,12 +588,40 @@ object SparkEntry {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |)
-        |SELECT user_id, sum(new_s) + 1 AS n_sessions, count(*) AS n_events
+        |SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM marked GROUP BY user_id ORDER BY user_id""".stripMargin,
     "kv_grouped_values" ->
-      """SELECT l_orderkey AS key, list_sort(list(l_quantity)) AS vals,
+      """SELECT l_orderkey AS key,
+        |  array_to_string(list_sort(list(CAST(l_quantity AS BIGINT))), ',') AS vals,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_orderkey ORDER BY key""".stripMargin,
+    "kv_point_lookup" ->
+      """SELECT l_orderkey AS key, count(*) AS n_values,
+        |  array_to_string(list_sort(list(CAST(l_quantity AS BIGINT))), ',') AS vals
+        |FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |GROUP BY l_orderkey ORDER BY key""".stripMargin,
+    "kv_index_of" ->
+      """SELECT key, CAST(row_number() OVER (ORDER BY key) - 1 AS BIGINT) AS idx
+        |FROM (SELECT DISTINCT o_custkey AS key FROM orders) t
+        |ORDER BY key""".stripMargin,
+    "q_semi_join_exists" ->
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.05)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_below_avg_qty" ->
+      """WITH ap AS (
+        |  SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
+        |  FROM lineitem GROUP BY 1)
+        |SELECT
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  count(*) AS n
+        |FROM lineitem JOIN ap ON l_partkey = ap_partkey
+        |WHERE l_quantity < avg_qty * 0.5""".stripMargin,
+    "q_distinct_customers" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "doc_exact_dedup" ->
       """SELECT doc_id, text_hash, n_copies FROM (
         |  SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies
@@ -580,9 +659,10 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     "doc_token_stats" ->
       """SELECT lang,
-        |  sum(len(regexp_split_to_array(trim(text), '\s+'))) AS sum_tokens_ws,
-        |  sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS sum_tokens_bpeish,
-        |  sum(length(text)) AS sum_chars,
+        |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS sum_tokens_ws,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))) AS BIGINT) AS sum_tokens_bpeish,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
         |  count(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "doc_token_histogram" ->
@@ -595,7 +675,109 @@ object SparkEntry {
         |  length(text) AS n_chars_m,
         |  length(text) - length(regexp_replace(text, '[a-z0-9]', '', 'g')) AS n_alnum,
         |  length(text) - length(regexp_replace(text, '\s', '', 'g')) AS n_space,
-        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |  CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_classes" ->
+      """SELECT cls, count(*) AS n FROM (
+        |  SELECT CASE
+        |    WHEN regexp_matches(token, '^[0-9]+$') THEN 'int'
+        |    WHEN regexp_matches(token, '^[0-9]*\.[0-9]+$') THEN 'dec'
+        |    WHEN regexp_matches(token, '^[a-z]+$') THEN 'word'
+        |    ELSE 'other' END AS cls
+        |  FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |        FROM documents) t) c
+        |GROUP BY cls ORDER BY cls""".stripMargin,
+    "doc_winnow_fingerprints" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-2),
+        |      i -> array_to_string(w[i:i+3], ' ')) END) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM documents) t
+        |)
+        |SELECT doc_id, list_min(list_transform(sh, s -> md5(s))) AS winnow_fp
+        |FROM d ORDER BY doc_id""".stripMargin,
+    // mirrors TextMetrics.profile formulas op-for-op (same IEEE evaluation
+    // order) — per-row arithmetic on ints/doubles is bit-deterministic
+    "doc_quality" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    length(text) AS nch,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+        |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS npunct,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by'))) AS nstop,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS nsplit,
+        |    length(regexp_replace(trim(text), '\s', '', 'g')) AS nws
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nsplit = 0 THEN 0.0 ELSE CAST(nstop AS DOUBLE) / nsplit END AS stop_ratio,
+        |    CASE WHEN nch = 0 THEN 0.0 ELSE CAST(npunct AS DOUBLE) / nch END AS punct_ratio,
+        |    CASE WHEN toks = 0 THEN 0.0 ELSE CAST(nws AS DOUBLE) / toks END AS mwl,
+        |    toks
+        |  FROM p)
+        |SELECT doc_id,
+        |  least(stop_ratio * 4.0, 1.0) * 0.4
+        |    + greatest(1.0 - punct_ratio * 4.0, 0.0) * 0.3
+        |    + (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.5 END) * 0.3
+        |    AS m_quality,
+        |  stop_ratio AS m_stopword_ratio,
+        |  punct_ratio AS m_punct_ratio,
+        |  toks AS m_tokens_ws
+        |FROM r ORDER BY doc_id""".stripMargin,
+    // mirrors TextMetrics.languageId: no CJK chars exist in the corpus, so
+    // the stopword-coverage argmax (ties resolved alphabetically, all-zero
+    // -> 'und') is the whole decision
+    "doc_langid" ->
+      """WITH s AS (
+        |  SELECT lang,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t IN ('der','die','das','und','ist','von','mit','den','des',
+        |                 'ein','eine','im','für','auf','nicht'))) AS s_de,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t IN ('the','and','of','to','in','is','that','it','for',
+        |                 'with','as','was','on','are','this'))) AS s_en,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t IN ('el','la','de','que','y','en','un','una','los','las',
+        |                 'por','con','para','es','del'))) AS s_es,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t IN ('le','la','les','de','des','et','est','un','une','du',
+        |                 'dans','pour','que','qui','sur'))) AS s_fr
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+        |    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |    WHEN s_es >= s_fr THEN 'es'
+        |    ELSE 'fr' END AS predicted,
+        |  count(*) AS n
+        |FROM s GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    "media_features" ->
+      """SELECT doc_id AS id,
+        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS media_type,
+        |  octet_length(encode(text)) AS byte_len
+        |FROM documents ORDER BY id""".stripMargin,
+    "media_frames" ->
+      """SELECT doc_id AS id,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN (8 + doc_id % 8 + 1) // 2
+        |    ELSE 1 END AS BIGINT) AS n_frames
+        |FROM documents ORDER BY id""".stripMargin,
+    "emb_top1_brute" ->
+      """SELECT query_id, vec_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |               c.vec_id) AS rn
+        |  FROM embeddings c
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+        |  WHERE c.vec_id <> q.vec_id) t
+        |WHERE rn = 1 ORDER BY query_id""".stripMargin
   )
 }

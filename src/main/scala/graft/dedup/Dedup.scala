@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 /**
@@ -38,7 +39,8 @@ object Dedup {
 
   // ------------------------------------------------------------ shingling
 
-  /** Word k-shingles of the normalized text as an array<string> column. */
+  /** Word k-shingles of the normalized text as an array<string> column
+    * (built-in HOF variant — kept for SQL-only callers). */
   def shingles(text: Column, k: Int): Column = {
     val toks = split(normalized(text), " ")
     val n = size(toks)
@@ -47,15 +49,70 @@ object Dedup {
         i => array_join(slice(toks, i + lit(1), lit(k)), " ")))
   }
 
+  /** Pure-Scala normalization, char-for-char identical to `normalized`. */
+  def normalizeString(s: String): String =
+    if (s == null) ""
+    else s.toLowerCase.replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim
+
+  /** Distinct word k-shingles, identical output to
+    * `array_distinct(shingles(text, k))` but one tight pass per row instead
+    * of interpreted per-element HOF evaluation (the HOF path dominated
+    * round-1 bench profiles). */
+  def shinglesUdf(k: Int): UserDefinedFunction = udf { (text: String) =>
+    val toks = normalizeString(text).split(" ", -1)
+    if (toks.length < k) Array(toks.mkString(" "))
+    else {
+      val seen = new java.util.LinkedHashSet[String]()
+      var i = 0
+      val sb = new java.lang.StringBuilder(k * 12)
+      while (i <= toks.length - k) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        seen.add(sb.toString)
+        i += 1
+      }
+      val out = new Array[String](seen.size)
+      seen.toArray(out)
+      out
+    }
+  }
+
   // --------------------------------------------------------- MinHash + LSH
 
+  /** Murmur3/SplitMix 64-bit finalizer — the cheap per-hash mixer used by
+    * the minhash and hyperplane kernels. */
+  @inline private[dedup] def mix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^ (x >>> 33)
+  }
+
   /**
-   * MinHash signature: numHashes independent min-hashes over the shingle
-   * set, hash_i(s) = xxhash64(i, s). Pure built-ins → codegen'd, no UDF.
+   * MinHash signature kernel: one polynomial hash per shingle, then
+   * `numHashes` derived hashes via golden-ratio offsets + mix64 (the
+   * standard "one permutation family from one base hash" construction).
+   * A tight while-loop UDF: the round-1 nested-HOF formulation
+   * (`transform(sequence, i => array_min(transform(sh, xxhash64(i, s))))`)
+   * evaluated interpreted per element and was ~100× slower at sf0.1.
    */
-  def minhashSignature(shingleCol: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(i, s))))
+  def minhashSigUdf(numHashes: Int): UserDefinedFunction = udf { (sh: Seq[String]) =>
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    if (sh != null) sh.foreach { s =>
+      var h = 1125899906842597L
+      var i = 0
+      while (i < s.length) { h = 31 * h + s.charAt(i); i += 1 }
+      val base = mix64(h)
+      var j = 0
+      while (j < numHashes) {
+        val hj = mix64(base + j * 0x9e3779b97f4a7c15L)
+        if (hj < sig(j)) sig(j) = hj
+        j += 1
+      }
+    }
+    sig
+  }
 
   /** Band hashes for LSH: split the signature into `bands` bands of
     * `rowsPerBand` and hash each band. */
@@ -79,8 +136,8 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val base = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleK)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      shinglesUdf(shingleK)(col(textCol)).as("sh"))
+      .withColumn("sig", minhashSigUdf(numHashes)(col("sh")))
 
     val banded = base
       .select(col("id"), posexplode(bandHashes(col("sig"), bands, rowsPerBand))
@@ -186,17 +243,25 @@ object Dedup {
                        shingleK: Int = 3, threshold: Double = 0.5,
                        maxDocFreq: Int = 1000): DataFrame = {
     val sets = df.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleK)).as("sh"))
+      shinglesUdf(shingleK)(col(textCol)).as("sh"))
       .withColumn("setsize", size(col("sh")))
     val inverted = sets
       .select(col("id"), col("setsize"), explode(col("sh")).as("shingle"))
-    val byShingle = inverted.groupBy("shingle")
-      .agg(collect_list(struct(col("id"), col("setsize"))).as("docs"))
-      .filter(size(col("docs")).between(2, maxDocFreq))
-    val coocc = byShingle
-      .select(explode(candidatePairStructs(col("docs"))).as("p"))
-      .select(col("p.a_id").as("id_a"), col("p.a_size").as("size_a"),
-        col("p.b_id").as("id_b"), col("p.b_size").as("size_b"))
+    // drop shingles shared by more than maxDocFreq docs before the pair
+    // join (they cannot identify near-dups and would explode quadratically)
+    val pruned =
+      if (maxDocFreq == Int.MaxValue) inverted
+      else {
+        val freq = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select("shingle")
+        inverted.join(freq, "shingle")
+      }
+    // codegen'd self-join on the inverted index (the round-1 collect_list +
+    // interpreted pair-explode allocated O(df²) structs per shingle)
+    val a = pruned.select(col("shingle"), col("id").as("id_a"), col("setsize").as("size_a"))
+    val b = pruned.select(col("shingle"), col("id").as("id_b"), col("setsize").as("size_b"))
+    val coocc = a.join(b, Seq("shingle"))
+      .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b", "size_a", "size_b")
       .agg(count(lit(1)).as("inter"))
     coocc
@@ -204,14 +269,6 @@ object Dedup {
         (col("size_a") + col("size_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
-  }
-
-  private def candidatePairStructs(docs: Column): Column = {
-    val sorted = array_sort(docs) // struct sort: by id then size — ids unique
-    flatten(transform(sorted, (x, i) =>
-      transform(slice(sorted, i + 2, size(sorted)), y => struct(
-        x.getField("id").as("a_id"), x.getField("setsize").as("a_size"),
-        y.getField("id").as("b_id"), y.getField("setsize").as("b_size")))))
   }
 
   // ------------------------------------------- embedding cosine near-dup
@@ -222,46 +279,82 @@ object Dedup {
    * pseudo-random hyperplanes are generated from xxhash64 — reproducible
    * across runs with no RNG state shipped to executors.
    */
+  /**
+   * Sizing note: `planes/bands` is the bits-per-band; with fewer than ~8
+   * bits random vectors collapse into a handful of buckets and in-bucket
+   * verification degenerates toward all-pairs (the round-1 default of 2
+   * bits/band cost 40s on 2k vectors). 12-16 bits/band × 8 bands gives
+   * >95% recall at cosine 0.98 with near-empty buckets.
+   *
+   * Candidate pairs travel as ids only; vectors are joined back for the
+   * cosine check — at scale this keeps the band shuffle narrow (id+hash)
+   * instead of duplicating every vector into each of its band buckets.
+   */
   def embeddingNearDuplicates(df: DataFrame, vecCol: String, idCol: String,
                               dims: Int, threshold: Double = 0.95,
-                              planes: Int = 16, bands: Int = 4,
+                              planes: Int = 96, bands: Int = 8,
                               maxBucketSize: Int = 2000): DataFrame = {
+    require(planes % bands == 0, "bands must divide planes")
     val planesPerBand = planes / bands
-    val sigBits = signBits(col(vecCol), dims, planes)
+    val sigBits = signBitsUdf(dims, planes)(col(vecCol))
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       sigBits.as("bits"))
-    val banded = base.select(col("id"), col("v"),
+    val banded = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("bits"), b * planesPerBand + lit(1), lit(planesPerBand)))))
         .as(Seq("band", "bucket")))
-    val buckets = banded.groupBy("band", "bucket")
-      .agg(collect_list(struct(col("id"), col("v"))).as("docs"))
-      .filter(size(col("docs")).between(2, maxBucketSize))
-    val pairs = buckets
-      .select(explode(vecPairStructs(col("docs"))).as("p"))
-      .select(col("p.a_id").as("id_a"), col("p.a_v").as("v_a"),
-        col("p.b_id").as("id_b"), col("p.b_v").as("v_b"))
+    // degenerate-bucket guard (empty/constant vectors all share a signature)
+    val sized = banded.join(
+      banded.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz").between(2, maxBucketSize))
+        .select("band", "bucket"),
+      Seq("band", "bucket"))
+    val pairs = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(sized.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
       .distinct()
     pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("cosine", graft.functions.VectorOps.cosineCol(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
 
-  /** Sign bits of the vector against `planes` deterministic hyperplanes.
-    * Plane p, dim d gets component in [-1,1) derived from xxhash64(p, d). */
-  def signBits(vec: Column, dims: Int, planes: Int): Column =
-    transform(sequence(lit(0), lit(planes - 1)), p =>
-      when(aggregate(zip_with(vec,
-        transform(sequence(lit(0), lit(dims - 1)),
-          d => (xxhash64(p, d) % 1000000L).cast("double") / 1000000.0),
-        (x, h) => x * h), lit(0.0d), (acc, x) => acc + x) >= 0, lit(1)).otherwise(lit(0)))
+  /** Deterministic pseudo-random hyperplane matrix (planes × dims),
+    * components in (-1, 1) derived from mix64 — reproducible across runs
+    * and executors with no RNG state shipped. */
+  def hyperplanes(dims: Int, planes: Int): Array[Array[Double]] =
+    Array.tabulate(planes) { p =>
+      Array.tabulate(dims) { d =>
+        (mix64(p.toLong * 1000003L + d) % 1000000L).toDouble / 1000000.0
+      }
+    }
 
-  private def vecPairStructs(docs: Column): Column = {
-    val sorted = array_sort(docs)
-    flatten(transform(sorted, (x, i) =>
-      transform(slice(sorted, i + 2, size(sorted)), y => struct(
-        x.getField("id").as("a_id"), x.getField("v").as("a_v"),
-        y.getField("id").as("b_id"), y.getField("v").as("b_v")))))
+  /** Sign bits of a float-vector column against `planes` deterministic
+    * hyperplanes. The plane matrix is built once driver-side and shipped in
+    * the UDF closure — the round-1 HOF version re-derived every component
+    * per row via interpreted xxhash64 and dominated emb_near_dups. */
+  def signBitsUdf(dims: Int, planes: Int): UserDefinedFunction = {
+    val hp = hyperplanes(dims, planes)
+    udf { (v: Seq[Float]) =>
+      val out = new Array[Int](planes)
+      if (v != null) {
+        val n = math.min(v.length, dims)
+        var p = 0
+        while (p < planes) {
+          val row = hp(p)
+          var s = 0.0
+          var d = 0
+          while (d < n) { s += v(d) * row(d); d += 1 }
+          out(p) = if (s >= 0) 1 else 0
+          p += 1
+        }
+      }
+      out
+    }
   }
+
 }

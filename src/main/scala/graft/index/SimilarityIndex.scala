@@ -36,8 +36,12 @@ object SimilarityIndex {
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      corpusId: String = "vec_id", corpusVec: String = "embedding",
-                     queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(queries))
+                     queryId: String = "query_id", queryVec: String = "query_vec",
+                     excludeSelf: Boolean = false): DataFrame = {
+    val crossed = corpus.crossJoin(broadcast(queries))
+    val candidates =
+      if (excludeSelf) crossed.filter(col(corpusId) =!= col(queryId)) else crossed
+    val scored = candidates
       .withColumn("cosine", VectorOps.cosineCol(col(corpusVec), col(queryVec)))
     val w = Window.partitionBy(col(queryId))
       .orderBy(desc("cosine"), col(corpusId))
@@ -60,7 +64,7 @@ object SimilarityIndex {
     require(planes % bands == 0, "bands must divide planes")
     val ppb = planes / bands
     def banded(df: DataFrame, vec: String, keep: Seq[Column]): DataFrame = {
-      val bits = graft.dedup.Dedup.signBits(col(vec), dims, planes)
+      val bits = graft.dedup.Dedup.signBitsUdf(dims, planes)(col(vec))
       df.select(keep :+ bits.as("bits"): _*)
         .select(keep :+ posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => xxhash64(slice(col("bits"), b * ppb + lit(1), lit(ppb)))))
@@ -92,9 +96,9 @@ object SimilarityIndex {
       .select(explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("word"))
       .filter(length(col("word")) > 0)
       .distinct()
-    words
-      .withColumn("index",
-        row_number().over(Window.orderBy(col("word"))) - 1)
+    // two-phase distributed rank — no single-partition global window
+    graft.store.Ranks.withOrderedIndex(words, "word", "index")
+      .withColumn("index", col("index").cast("int"))
   }
 
   /**

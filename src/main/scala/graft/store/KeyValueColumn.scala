@@ -52,9 +52,15 @@ final class KeyValueColumn(spark: SparkSession, path: String, keyCol: String = "
   }
 
   private def stamp(batchData: DataFrame, batch: Long): DataFrame = {
-    // seq: stable per-batch insertion order. A window over a constant
-    // partition would funnel everything to one task, so derive order from
-    // the caller-provided frame position instead.
+    // seq: per-batch insertion order. monotonically_increasing_id orders by
+    // (partitionId, offset-within-partition) — exact for single-partition
+    // batches and for any source whose partition order IS the insertion
+    // order (files read in order, sorted frames). For an arbitrarily
+    // shuffled multi-partition batch the *global* order across partitions
+    // is partition order, not the caller's row order; callers needing
+    // strict arrival order should pass their own `seq` column or a
+    // single-partition frame. (A global window would funnel the batch
+    // through one task — wrong at scale.)
     batchData
       .withColumn("batch", lit(batch))
       .withColumn("seq", monotonically_increasing_id())

@@ -36,15 +36,17 @@ object EventStreams {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
 
   /**
-   * Streaming dedup with bounded state: first event per key wins; keys
-   * older than the watermark are dropped from the state store
-   * (≙ ColumnWriter.TryPut set semantics, continuously).
+   * Streaming dedup with bounded state: first event per key wins — key-only
+   * semantics (a re-send of the same key at a different timestamp is still
+   * a duplicate), with state bounded by the watermark via
+   * `dropDuplicatesWithinWatermark` (≙ ColumnWriter.TryPut set semantics,
+   * continuously).
    */
   def dedupByKey(events: DataFrame, keyCol: String = "event_id",
                  watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .dropDuplicates(keyCol, "ts")
+      .dropDuplicatesWithinWatermark(keyCol)
 
   /**
    * Stateful sessionization with flatMapGroupsWithState: a session closes

@@ -24,17 +24,24 @@ def run_verify():
 
 def canon(v):
     import datetime, decimal, math
+    import numpy as np
     if v is None: return "NULL"
-    if isinstance(v, float):
+    if isinstance(v, (float, np.floating)):
         if math.isnan(v): return "NaN"
-        return repr(v)
+        return repr(float(v))
+    if isinstance(v, (int, np.integer)): return repr(int(v))
     if isinstance(v, decimal.Decimal): return repr(float(v))
     if isinstance(v, (datetime.datetime, datetime.date)): return v.isoformat()
     return repr(v)
 
-def table_of(rows, cols):
+def table_of(rel):
+    """Go through pandas (like the driver does) so dtype coercions —
+    e.g. DuckDB HUGEINT -> float64 — are faithfully reproduced."""
+    df = rel.df()
+    cols = list(df.columns)
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return [tuple(canon(r[i]) for i in order) for r in rows], [cols[i] for i in order]
+    rows = [tuple(canon(r[i]) for i in order) for r in df.itertuples(index=False, name=None)]
+    return rows, [cols[i] for i in order]
 
 def main():
     run_verify()
@@ -53,10 +60,10 @@ def main():
         if not files:
             print(f"FAIL {name}: no spark output"); failures += 1; continue
         got = con.sql(f"SELECT * FROM '{files[0]}'")
-        got_rows, got_cols = table_of(got.fetchall(), [c[0] for c in got.description])
+        got_rows, got_cols = table_of(got)
         try:
             exp = con.sql(sql)
-            exp_rows, exp_cols = table_of(exp.fetchall(), [c[0] for c in exp.description])
+            exp_rows, exp_cols = table_of(exp)
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}"); failures += 1; continue
         if got_cols != exp_cols:
