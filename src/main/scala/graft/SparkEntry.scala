@@ -139,6 +139,16 @@ object SparkEntry {
         .orderBy("custkey")
     }),
 
+    // symmetric difference via EXCEPT + UNION (README.md:52 set semantics)
+    "q_keyset_symdiff" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders")
+      val highValue = o.filter(col("o_totalprice") > 150000).select(col("o_custkey"))
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+      highValue.except(urgent).union(urgent.except(highValue))
+        .withColumnRenamed("o_custkey", "custkey")
+        .orderBy("custkey")
+    }),
+
     "q_orders_without_lineitems" -> ((s, dir) => {
       val o = tbl(s, dir, "orders")
       val l = tbl(s, dir, "lineitem").select(col("l_orderkey"))
@@ -364,6 +374,18 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF approximate top-k (k-means lists + nprobe probing — the
+    // clustered-data scale path; rows-only check: k-means assignment is
+    // engine-private)
+    "emb_topk_ivf" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      SimilarityIndex.ivfTopK(e.select("vec_id", "embedding"), q,
+        k = 5, nlist = 16, nprobe = 4)
+        .orderBy("query_id", "rank")
+    }),
+
     // ==================================================================
     // Text analysis (training-data pipeline)
     // ==================================================================
@@ -447,6 +469,16 @@ object SparkEntry {
           .otherwise("other").as("cls"))
         .groupBy("cls").agg(count(lit(1)).as("n"))
         .orderBy("cls")
+    }),
+
+    // unicode codepoint range over the corpus (≙ FindUnicodeRange,
+    // StringAnalyzer.cs:714-743)
+    "q_unicode_range" -> ((s, dir) => {
+      val cps = transform(
+        filter(split(col("text"), ""), s => s =!= ""), c => ascii(c))
+      tbl(s, dir, "documents")
+        .select(array_min(cps).as("dmin"), array_max(cps).as("dmax"))
+        .agg(min(col("dmin")).as("min_cp"), max(col("dmax")).as("max_cp"))
     }),
 
     // ==================================================================
@@ -543,10 +575,25 @@ object SparkEntry {
         |  INTERSECT
         |  SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT') t
         |ORDER BY custkey""".stripMargin,
+    "q_keyset_symdiff" ->
+      """SELECT custkey FROM (
+        |  (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000
+        |   EXCEPT
+        |   SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |  UNION ALL
+        |  (SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |   EXCEPT
+        |   SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000)) t
+        |ORDER BY custkey""".stripMargin,
     "q_orders_without_lineitems" ->
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_unicode_range" ->
+      """SELECT
+        |  min(list_min(list_transform(string_split(text, ''), s -> unicode(s)))) AS min_cp,
+        |  max(list_max(list_transform(string_split(text, ''), s -> unicode(s)))) AS max_cp
+        |FROM documents""".stripMargin,
     "q_rollup_order_stats" ->
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |  coalesce(o_orderpriority, 'ALL') AS priority,

@@ -83,6 +83,69 @@ object SimilarityIndex {
       .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
   }
 
+  /**
+   * IVF (inverted-file) approximate top-k — the clustered-data scale path
+   * alongside `lshTopK`:
+   *
+   *   1. fit nlist k-means centroids (MLlib, fixed seed — deterministic),
+   *   2. assign every corpus vector to its nearest centroid (map-side, the
+   *      centroid matrix broadcasts; the corpus never shuffles for this),
+   *   3. each query probes its `nprobe` nearest centroids and scores only
+   *      vectors in those lists.
+   *
+   * At 100 TB: fit on a sample (`fitSampleFraction`), persist assignments
+   * partitioned by `list_id` so a query touches only matching partitions —
+   * the Spark analog of the reference reading only the nodes on the search
+   * path (SeekableGraphReader.cs:57-104).
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              nlist: Int = 64, nprobe: Int = 8,
+              corpusId: String = "vec_id", corpusVec: String = "embedding",
+              queryId: String = "query_id", queryVec: String = "query_vec",
+              fitSampleFraction: Double = 1.0): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vectors => MLVectors}
+    val spark = corpus.sparkSession
+    val toVec = udf((a: Seq[Float]) =>
+      MLVectors.dense(a.map(_.toDouble).toArray))
+    val trainBase = corpus.select(toVec(col(corpusVec)).as("features"))
+    val train = if (fitSampleFraction < 1.0)
+      trainBase.sample(withReplacement = false, fitSampleFraction, seed = 42L)
+    else trainBase
+    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(train)
+    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
+    val bc = spark.sparkContext.broadcast(centers)
+
+    def sqDist(v: Seq[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(v.length, c.length)
+      while (i < n) { val d = v(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    val assignUdf = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue; var j = 0
+      while (j < cs.length) {
+        val d = sqDist(v, cs(j)); if (d < bestD) { bestD = d; best = j }; j += 1
+      }
+      best
+    }
+    val probeUdf = udf { (v: Seq[Float]) =>
+      val cs = bc.value
+      cs.indices.map(j => (sqDist(v, cs(j)), j)).sorted
+        .take(math.min(nprobe, cs.length)).map(_._2).toArray
+    }
+    val cAssigned = corpus.withColumn("list_id", assignUdf(col(corpusVec)))
+    val qProbed = queries.withColumn("list_id", explode(probeUdf(col(queryVec))))
+    val w = Window.partitionBy(col(queryId)).orderBy(desc("cosine"), col(corpusId))
+    cAssigned.join(qProbed, Seq("list_id"))
+      .withColumn("cosine", VectorOps.cosineCol(col(corpusVec), col(queryVec)))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  }
+
   // ------------------------------------------------- vocab / bag-of-words
 
   /**

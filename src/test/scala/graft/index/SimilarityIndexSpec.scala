@@ -87,4 +87,40 @@ class SimilarityIndexSpec extends SparkTestBase {
       .select("query_id", "vec_id").as[(Long, Long)].collect().toMap
     assert(approx === exact, s"LSH $approx must match exact $exact here")
   }
+
+  test("IVF top-k matches brute force when probing covers the true list") {
+    // two tight clusters; nlist=2 k-means must separate them, and each
+    // query probes both lists (nprobe=2) so recall is exact
+    val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
+      case (v, i) => if (i == 0) v + eps else v }
+    val c1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val c2 = Array(0.0f, 0.0f, 0.0f, -1.0f)
+    val corpus = (1 to 10).map(i => (i.toLong, mk(c1, i * 0.01f))) ++
+      (11 to 20).map(i => (i.toLong, mk(c2, i * 0.01f)))
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val queries = Seq((1L, c1), (2L, c2)).toDF("query_id", "query_vec")
+    val exact = SimilarityIndex.bruteForceTopK(corpusDf, queries, k = 2)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val ivf = SimilarityIndex.ivfTopK(corpusDf, queries, k = 2,
+      nlist = 2, nprobe = 2)
+      .select("query_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivf === exact, s"IVF $ivf must match exact $exact here")
+  }
+
+  test("IVF with nprobe=1 only scores vectors in the probed list") {
+    val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
+      case (v, i) => if (i == 0) v + eps else v }
+    val c1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val c2 = Array(0.0f, 0.0f, 0.0f, -1.0f)
+    val corpus = (1 to 10).map(i => (i.toLong, mk(c1, i * 0.01f))) ++
+      (11 to 20).map(i => (i.toLong, mk(c2, i * 0.01f)))
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val queries = Seq((1L, c1)).toDF("query_id", "query_vec")
+    val hits = SimilarityIndex.ivfTopK(corpusDf, queries, k = 20,
+      nlist = 2, nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    // only the c1 cluster's list is probed — no c2 ids can appear
+    assert(hits.nonEmpty && hits.subsetOf((1L to 10L).toSet),
+      s"got $hits — expected only ids 1-10")
+  }
 }
