@@ -253,6 +253,20 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // the streaming sessionizer run in batch mode (same
+    // flatMapGroupsWithState code path; state starts empty so exactly the
+    // closed sessions emit) — oracled against a DuckDB window rewrite
+    "q_events_closed_sessions" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sp: SparkSession = s
+      val ev = events(s, dir).drop("props")
+        .as[graft.streaming.EventStreams.Event]
+      graft.streaming.EventStreams.sessionize(ev)
+        .toDF()
+        .select(col("user_id"), col("session_start"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    }),
+
     // ==================================================================
     // KV column semantics (§2.1): multi-value grouped read (putOrAppend →
     // getMany); sorted multiset of values per key. Values stringified —
@@ -502,7 +516,7 @@ object SparkEntry {
         .select(col("doc_id").as("id"), Dedup.normalized(col("text")).as("sentence"))
       val vocab = SimilarityIndex.buildVocabulary(docs, "sentence", " ")
       val indexed = SimilarityIndex.bagOfWords(docs, vocab, "id", "sentence", " ")
-      SimilarityIndex.closestMatch(indexed, indexed.filter(col("id") < 8))
+      SimilarityIndex.closestMatchInverted(indexed, indexed.filter(col("id") < 8))
         .select(col("query_id"), col("corpus_id"), col("score"))
         .orderBy("query_id")
     }),
@@ -637,6 +651,25 @@ object SparkEntry {
         |)
         |SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM marked GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_events_closed_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g),
+        |a AS (
+        |  SELECT user_id, sess, min(ts) AS session_start, count(*) AS n_events
+        |  FROM s GROUP BY 1, 2),
+        |m AS (SELECT user_id, max(sess) AS mx FROM a GROUP BY 1)
+        |SELECT a.user_id, a.session_start, a.n_events
+        |FROM a JOIN m ON a.user_id = m.user_id AND a.sess < m.mx
+        |ORDER BY a.user_id, a.session_start""".stripMargin,
     "kv_grouped_values" ->
       """SELECT l_orderkey AS key,
         |  array_to_string(list_sort(list(CAST(l_quantity AS BIGINT))), ',') AS vals,

@@ -211,6 +211,43 @@ object SimilarityIndex {
   }
 
   /**
+   * Scale path for closestMatch: sparse cosine via an inverted-index join
+   * on shared vocabulary indices instead of a crossJoin — dot(q,c) =
+   * Σ cnt_q·cnt_c over shared dims, norms precomputed per side. Candidates
+   * are only (query, corpus) pairs sharing ≥1 word, so the shuffle is
+   * proportional to real term overlap, not |corpus|×|queries|. Queries with
+   * zero vocabulary overlap (score would be 0 everywhere) return no row.
+   */
+  def closestMatchInverted(indexed: DataFrame, queries: DataFrame): DataFrame = {
+    def toks(df: DataFrame, idAs: String, sentAs: String, cntAs: String): DataFrame =
+      df.select(col("id").as(idAs), col("sentence").as(sentAs),
+        explode(arrays_zip(col("indices"), col("counts"))).as("z"))
+        .select(col(idAs), col(sentAs),
+          col("z.indices").as("dim"), col("z.counts").as(cntAs))
+    def norms(df: DataFrame, idAs: String, normAs: String): DataFrame =
+      df.select(col("id").as(idAs),
+        sqrt(aggregate(col("counts"), lit(0.0d), (acc, x) => acc + x * x)).as(normAs))
+
+    val cTok = toks(indexed, "corpus_id", "corpus_sentence", "cnt_c")
+    val qTok = toks(queries, "query_id", "query_sentence", "cnt_q")
+    val dots = cTok.join(qTok, Seq("dim"))
+      .groupBy(col("query_id"), col("query_sentence"),
+        col("corpus_id"), col("corpus_sentence"))
+      .agg(sum(col("cnt_c") * col("cnt_q")).as("dot"))
+    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), col("corpus_id"))
+    dots
+      .join(norms(indexed, "corpus_id", "norm_c"), "corpus_id")
+      .join(norms(queries, "query_id", "norm_q"), "query_id")
+      .withColumn("score",
+        when(col("norm_c") === 0.0 || col("norm_q") === 0.0, lit(0.0))
+          .otherwise(col("dot") / (col("norm_c") * col("norm_q"))))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") === 1)
+      .select(col("query_id"), col("query_sentence"),
+        col("corpus_id"), col("corpus_sentence"), col("score"))
+  }
+
+  /**
    * ≙ GraphIndexValidator: re-query the build corpus; every sentence must
    * find itself (or an identical-vector twin) at score ≈ identicalAngle.
    * Returns rows that FAIL the check (empty result = index is valid).

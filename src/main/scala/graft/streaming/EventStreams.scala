@@ -48,13 +48,26 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Timestamp → epoch microseconds (Spark's native timestamp precision;
+    * ms-level getTime alone would truncate the µs the test events carry). */
+  private def tsMicros(t: Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  private def microsToTs(us: Long): Timestamp = {
+    val ts = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    ts
+  }
+
   /**
    * Stateful sessionization with flatMapGroupsWithState: a session closes
    * when a later event arrives more than `gapSeconds` after it (gap
-   * detection in event time); closed sessions are emitted downstream. The
-   * trailing open session stays in state — production deployments add a
-   * state timeout to flush it; tests keep NoTimeout so micro-batches are
-   * fully deterministic.
+   * detection in event time, microsecond precision); closed sessions are
+   * emitted downstream. The trailing open session stays in state —
+   * production deployments add a state timeout to flush it; tests keep
+   * NoTimeout so micro-batches are fully deterministic. The same code runs
+   * in batch (state starts empty, only closed sessions emit) — SparkEntry's
+   * q_events_closed_sessions oracles it against a DuckDB window rewrite.
    */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)(
     implicit spark: SparkSession): Dataset[SessionUpdate] = {
@@ -62,14 +75,14 @@ object EventStreams {
 
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[SessionState]): Iterator[SessionUpdate] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
       var out = List.empty[SessionUpdate]
       var cur = state.getOption
       sorted.foreach { e =>
-        val t = e.ts.getTime
+        val t = tsMicros(e.ts)
         cur match {
-          case Some(st) if t - st.last > gapSeconds * 1000L =>
-            out = SessionUpdate(userId, new Timestamp(st.start), st.n, st.total) :: out
+          case Some(st) if t - st.last > gapSeconds * 1000000L =>
+            out = SessionUpdate(userId, microsToTs(st.start), st.n, st.total) :: out
             cur = Some(SessionState(t, t, 1L, e.value))
           case Some(st) =>
             cur = Some(st.copy(last = math.max(st.last, t), n = st.n + 1,

@@ -58,6 +58,16 @@ class SimilarityIndexSpec extends SparkTestBase {
     assert(hit._2 > 0.9)
   }
 
+  test("inverted-index closest match agrees with the crossJoin path") {
+    val vocab = SimilarityIndex.buildVocabulary(sentences, "sentence")
+    val indexed = SimilarityIndex.bagOfWords(sentences, vocab).cache()
+    val dense = SimilarityIndex.closestMatch(indexed, indexed)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    val sparse = SimilarityIndex.closestMatchInverted(indexed, indexed)
+      .select("query_id", "corpus_id").as[(Long, Long)].collect().toMap
+    assert(sparse === dense)
+  }
+
   test("brute-force top-k ranks by cosine with deterministic ties") {
     val corpus = Seq(
       (1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
