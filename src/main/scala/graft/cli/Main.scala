@@ -51,11 +51,21 @@ object Main {
       val textCol = rest.headOption.getOrElse("text")
       val dims = rest.drop(1).headOption.map(_.toInt).getOrElse(TextAnalyzer.DefaultDims)
       val spark = session()
-      val report = Lexicon.validate(spark.read.parquet(docs),
-        spark.read.parquet(lex), textCol, dims)
+      import spark.implicits._
+      val lexDf = spark.read.parquet(lex)
+      // positive pass (≙ ValidateLexiconCommand.cs:26-27)
+      val report = Lexicon.validate(spark.read.parquet(docs), lexDf, textCol, dims)
       println(s"validatelexicon: $report")
+      // negative pass (≙ ValidateLexiconCommand.cs:31-40): sample angles,
+      // count the missing ones, synthesize out-of-lexicon labels, and
+      // expect validation of that synthetic corpus to FAIL
+      val missing = Lexicon.findMissingAngles(lexDf, count = 32)
+      val synth = Lexicon.synthesizeLabels(math.max(8, missing.length))
+      val negReport = Lexicon.validate(synth.toDF(textCol), lexDf, textCol, dims)
+      println(s"validatelexicon (negative, ${synth.length} synthetic labels, " +
+        s"${missing.length}/32 sampled angles missing): ok=${negReport.ok} (expected false)")
       spark.stop()
-      if (!report.ok) sys.exit(1)
+      if (!report.ok || negReport.ok) sys.exit(1)
 
     case "truncate" :: path :: Nil =>
       val spark = session()

@@ -142,4 +142,22 @@ object Lexicon {
       .join(lexicon.select("angle"), Seq("angle"), "left_anti")
       .as[Double].collect()
   }
+
+  /**
+   * ≙ TokenSynthesizer.Synthesize (TokenSynthesizer.cs:32-79, seed 12345 at
+   * :10-14): deterministic pseudo-random labels for negative validation —
+   * out-of-vocabulary strings whose identity angles are (with overwhelming
+   * probability) absent from any built lexicon, so `validate` on a corpus
+   * of them must fail. Driver-side fixture generator, plain Scala.
+   */
+  def synthesizeLabels(count: Int, seed: Long = 12345L): Seq[String] = {
+    val rnd = new scala.util.Random(seed)
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    (0 until count).map { _ =>
+      val len = 4 + rnd.nextInt(9)
+      val sb = new StringBuilder(len)
+      (0 until len).foreach(_ => sb.append(alphabet.charAt(rnd.nextInt(alphabet.length))))
+      "zz" + sb.result() // prefix keeps synthetics disjoint from real corpora
+    }
+  }
 }
