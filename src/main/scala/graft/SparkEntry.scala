@@ -253,6 +253,16 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // the streaming windowed aggregation run in batch (same window() code
+    // path; the watermark is a no-op on batch frames)
+    "q_events_windowed" -> ((s, dir) => {
+      graft.streaming.EventStreams
+        .windowedTypeCounts(events(s, dir), "5 minutes", "10 minutes")
+        .select(col("window.start").as("w_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    }),
+
     // the streaming sessionizer run in batch mode (same
     // flatMapGroupsWithState code path; state starts empty so exactly the
     // closed sessions emit) — oracled against a DuckDB window rewrite
@@ -651,6 +661,11 @@ object SparkEntry {
         |)
         |SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM marked GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_events_windowed" ->
+      """SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin,
     "q_events_closed_sessions" ->
       """WITH g AS (
         |  SELECT user_id, ts, event_id,

@@ -27,13 +27,18 @@ object EventStreams {
 
   final case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
-  /** Watermarked per-window, per-type counts and sums (append mode capable). */
+  /** Watermarked per-window, per-type counts and sums (append mode capable;
+    * a batch frame passes through unchanged — EliminateEventTimeWatermark
+    * drops the no-op watermark). The value sum goes through DECIMAL so the
+    * result is summation-order independent (reproducible across retries,
+    * partitionings, and engines). */
   def windowedTypeCounts(events: DataFrame, window_ : String = "5 minutes",
                          watermark: String = "10 minutes"): DataFrame =
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), window_), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
 
   /**
    * Streaming dedup with bounded state: first event per key wins — key-only
