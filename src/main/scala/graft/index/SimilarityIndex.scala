@@ -219,20 +219,19 @@ object SimilarityIndex {
    * zero vocabulary overlap (score would be 0 everywhere) return no row.
    */
   def closestMatchInverted(indexed: DataFrame, queries: DataFrame): DataFrame = {
-    def toks(df: DataFrame, idAs: String, sentAs: String, cntAs: String): DataFrame =
-      df.select(col("id").as(idAs), col("sentence").as(sentAs),
+    // token rows carry ids only — sentences would otherwise ride every
+    // per-dim shuffle row; they join back after the top-1 cut
+    def toks(df: DataFrame, idAs: String, cntAs: String): DataFrame =
+      df.select(col("id").as(idAs),
         explode(arrays_zip(col("indices"), col("counts"))).as("z"))
-        .select(col(idAs), col(sentAs),
-          col("z.indices").as("dim"), col("z.counts").as(cntAs))
+        .select(col(idAs), col("z.indices").as("dim"), col("z.counts").as(cntAs))
     def norms(df: DataFrame, idAs: String, normAs: String): DataFrame =
       df.select(col("id").as(idAs),
         sqrt(aggregate(col("counts"), lit(0.0d), (acc, x) => acc + x * x)).as(normAs))
 
-    val cTok = toks(indexed, "corpus_id", "corpus_sentence", "cnt_c")
-    val qTok = toks(queries, "query_id", "query_sentence", "cnt_q")
-    val dots = cTok.join(qTok, Seq("dim"))
-      .groupBy(col("query_id"), col("query_sentence"),
-        col("corpus_id"), col("corpus_sentence"))
+    val dots = toks(indexed, "corpus_id", "cnt_c")
+      .join(toks(queries, "query_id", "cnt_q"), Seq("dim"))
+      .groupBy(col("query_id"), col("corpus_id"))
       .agg(sum(col("cnt_c") * col("cnt_q")).as("dot"))
     val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), col("corpus_id"))
     dots
@@ -243,6 +242,10 @@ object SimilarityIndex {
           .otherwise(col("dot") / (col("norm_c") * col("norm_q"))))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") === 1)
+      .join(queries.select(col("id").as("query_id"),
+        col("sentence").as("query_sentence")), "query_id")
+      .join(indexed.select(col("id").as("corpus_id"),
+        col("sentence").as("corpus_sentence")), "corpus_id")
       .select(col("query_id"), col("query_sentence"),
         col("corpus_id"), col("corpus_sentence"), col("score"))
   }
