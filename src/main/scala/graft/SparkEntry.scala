@@ -525,7 +525,10 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
         .select(col("doc_id").as("id"), Dedup.normalized(col("text")).as("sentence"))
       val vocab = SimilarityIndex.buildVocabulary(docs, "sentence", " ")
+      // the index feeds token explode, norms, and the sentence join —
+      // persist so the two-groupBy bagOfWords isn't recomputed per branch
       val indexed = SimilarityIndex.bagOfWords(docs, vocab, "id", "sentence", " ")
+        .persist()
       SimilarityIndex.closestMatchInverted(indexed, indexed.filter(col("id") < 8))
         .select(col("query_id"), col("corpus_id"), col("score"))
         .orderBy("query_id")

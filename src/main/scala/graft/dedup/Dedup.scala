@@ -97,7 +97,7 @@ object Dedup {
    * (`transform(sequence, i => array_min(transform(sh, xxhash64(i, s))))`)
    * evaluated interpreted per element and was ~100× slower at sf0.1.
    */
-  def minhashSigUdf(numHashes: Int): UserDefinedFunction = udf { (sh: Seq[String]) =>
+  def minhashSig(sh: Iterable[String], numHashes: Int): Array[Long] = {
     val sig = Array.fill(numHashes)(Long.MaxValue)
     if (sh != null) sh.foreach { s =>
       var h = 1125899906842597L
@@ -113,6 +113,9 @@ object Dedup {
     }
     sig
   }
+
+  def minhashSigUdf(numHashes: Int): UserDefinedFunction =
+    udf { (sh: Seq[String]) => minhashSig(sh, numHashes) }
 
   /** Band hashes for LSH: split the signature into `bands` bands of
     * `rowsPerBand` and hash each band. */

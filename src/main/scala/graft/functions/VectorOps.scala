@@ -149,6 +149,12 @@ object VectorOps {
     if (normSig == 0.0) 0.0 else (sum * u) / normSig
   }
 
+  /** ≙ VectorOperations.AsString (VectorOperations.cs:450-472): sparse
+    * vector values reinterpreted as chars — a debug aid for eyeballing
+    * one-hot/count vectors, kept for surface parity. */
+  def asString(values: Array[Double]): String =
+    new String(values.map(v => v.toChar))
+
   // ---------------------------------------------------------------- Spark API
 
   /**

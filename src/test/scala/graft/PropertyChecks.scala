@@ -1,0 +1,84 @@
+package graft
+
+import org.scalacheck.{Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.analysis.{TextAnalyzer, TextMetrics}
+import graft.dedup.Dedup
+import graft.functions.VectorOps
+
+/** Property-based invariants (SURVEY.md §5 test plan): pure kernels only —
+  * no SparkSession — so arbitrary unicode inputs run in volume. */
+object PropertyChecks extends Properties("graft.kernels") {
+
+  // ≙ StringAnalyzerTests.cs:209-221 (vectors finite + normalized), as a law
+  property("token vectors are finite, unit-norm, sorted, in-range") =
+    forAll { (s: String) =>
+      TextAnalyzer.tokenizeIntoVectors(s, 128).forall { t =>
+        val finite = t.values.forall(v => !v.isNaN && !v.isInfinite)
+        val norm = VectorOps.l2Norm(t.values)
+        val sorted = t.indices.sameElements(t.indices.sorted)
+        val inRange = t.indices.forall(i => i >= 0 && i < 128)
+        finite && sorted && inRange && math.abs(norm - 1.0) < 1e-9
+      }
+    }
+
+  property("tokenization is deterministic") = forAll { (s: String) =>
+    val a = TextAnalyzer.tokenizeIntoVectors(s, 128).toSeq
+    val b = TextAnalyzer.tokenizeIntoVectors(s, 128).toSeq
+    a.map(_.label) == b.map(_.label) &&
+      a.zip(b).forall { case (x, y) =>
+        x.indices.sameElements(y.indices) && x.values.sameElements(y.values)
+      }
+  }
+
+  property("identity angle lies in [-1, 1]") = forAll { (s: String) =>
+    TextAnalyzer.tokenizeIntoVectors(s, 128).forall { t =>
+      val a = VectorOps.angleOfIdentity(t.indices, t.values, 128)
+      a >= -1.0 && a <= 1.0 && !a.isNaN
+    }
+  }
+
+  property("normalizeString is idempotent") = forAll { (s: String) =>
+    val n = Dedup.normalizeString(s)
+    Dedup.normalizeString(n) == n
+  }
+
+  // the defining min-hash law: sig(A ∪ B) = elementwise min(sig A, sig B)
+  property("minhash signature distributes over union") =
+    forAll { (a: List[String], b: List[String]) =>
+      val sa = Dedup.minhashSig(a, 16)
+      val sb = Dedup.minhashSig(b, 16)
+      val su = Dedup.minhashSig(a ++ b, 16)
+      su.sameElements(sa.zip(sb).map { case (x, y) => math.min(x, y) })
+    }
+
+  // simhash accumulates per-bit counts — multiset order cannot matter
+  property("simhash is permutation-invariant") = forAll { (ts: List[String]) =>
+    Dedup.simhash64(ts) == Dedup.simhash64(ts.reverse)
+  }
+
+  property("cosine is symmetric and bounded") =
+    forAll { (a: List[Double], b: List[Double]) =>
+      // clamp magnitudes so the dot product cannot overflow — the law is
+      // about the finite domain
+      def clean(l: List[Double]): Array[Double] =
+        l.map(v => if (v.isNaN || v.isInfinite) 0.0 else v % 1e6)
+          .take(32).toArray
+      val x = clean(a); val y = clean(b)
+      val c1 = VectorOps.cosine(x, y)
+      val c2 = VectorOps.cosine(y, x)
+      c1 == c2 && c1 >= -1.0 - 1e-9 && c1 <= 1.0 + 1e-9
+    }
+
+  property("languageId is total and deterministic") = forAll { (s: String) =>
+    val a = TextMetrics.languageId(s)
+    a == TextMetrics.languageId(s) && a.nonEmpty
+  }
+
+  property("rollingFingerprint ignores whitespace runs and case") =
+    forAll { (s: String) =>
+      TextMetrics.rollingFingerprint(s) ==
+        TextMetrics.rollingFingerprint(s.toLowerCase(java.util.Locale.ROOT)
+          .replaceAll("\\s+", " ").trim)
+    }
+}
