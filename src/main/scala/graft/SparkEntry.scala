@@ -551,6 +551,19 @@ object SparkEntry {
         stride = 2)
         .groupBy(col("id")).agg(count(lit(1)).as("n_frames"))
         .orderBy("id")
+    }),
+
+    // resize plumbing: fixed-length re-bucketed features; first/last
+    // buckets are scalar-checkable against the oracle (ASCII corpus →
+    // byte == codepoint)
+    "media_resized" -> ((s, dir) => {
+      Multimodal.resizeTo(
+        Multimodal.syntheticMedia(tbl(s, dir, "documents"), "doc_id", "text"),
+        targetLen = 16)
+        .select(col("id"),
+          element_at(col("resized"), 1).as("r_first"),
+          element_at(col("resized"), 16).as("r_last"))
+        .orderBy("id")
     })
   )
 
@@ -866,6 +879,13 @@ object SparkEntry {
       """SELECT doc_id AS id,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN (8 + doc_id % 8 + 1) // 2
         |    ELSE 1 END AS BIGINT) AS n_frames
+        |FROM documents ORDER BY id""".stripMargin,
+    "media_resized" ->
+      """SELECT doc_id AS id,
+        |  unicode(substr(text, 1, 1)) / 255.0 AS r_first,
+        |  unicode(substr(text,
+        |    CAST(15 * octet_length(encode(text)) // 16 AS INT) + 1, 1)) / 255.0
+        |    AS r_last
         |FROM documents ORDER BY id""".stripMargin,
     "emb_top1_brute" ->
       """SELECT query_id, vec_id FROM (

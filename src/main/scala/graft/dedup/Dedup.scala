@@ -138,9 +138,12 @@ object Dedup {
                             maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
+    // consumed by three branches (banding + both verify sides) — persist,
+    // MLlib-style, so shingling/signatures compute once per run
     val base = df.select(col(idCol).as("id"),
       shinglesUdf(shingleK)(col(textCol)).as("sh"))
       .withColumn("sig", minhashSigUdf(numHashes)(col("sh")))
+      .persist()
 
     val banded = base
       .select(col("id"), posexplode(bandHashes(col("sig"), bands, rowsPerBand))
@@ -250,6 +253,7 @@ object Dedup {
       .withColumn("setsize", size(col("sh")))
     val inverted = sets
       .select(col("id"), col("setsize"), explode(col("sh")).as("shingle"))
+      .persist() // both sides of the pair self-join (and the freq prune) read it
     // drop shingles shared by more than maxDocFreq docs before the pair
     // join (they cannot identify near-dups and would explode quadratically)
     val pruned =
@@ -300,8 +304,10 @@ object Dedup {
     require(planes % bands == 0, "bands must divide planes")
     val planesPerBand = planes / bands
     val sigBits = signBitsUdf(dims, planes)(col(vecCol))
+    // banding + two vector-fetch joins read this — persist once
     val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       sigBits.as("bits"))
+      .persist()
     val banded = base.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(slice(col("bits"), b * planesPerBand + lit(1), lit(planesPerBand)))))
