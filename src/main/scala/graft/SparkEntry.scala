@@ -495,6 +495,24 @@ object SparkEntry {
         .orderBy("cls")
     }),
 
+    // SQL surface of the native Catalyst cosine_similarity expression
+    // (registered via GraftExtensions / SparkSessionExtensions): per-row
+    // cosine in pure SQL text, decimal-quantized so the double sum is
+    // order-independent and engine-comparable
+    "q_sql_cosine" -> ((s, dir) => {
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT
+          |  CAST(sum(CAST(cosine_similarity(
+          |    array(CAST(l_quantity AS DOUBLE), CAST(l_discount AS DOUBLE),
+          |          CAST(1.0 AS DOUBLE)),
+          |    array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE),
+          |          CAST(3.0 AS DOUBLE))) AS DECIMAL(18,9))) AS DOUBLE)
+          |    AS sum_cos,
+          |  count(*) AS n
+          |FROM lineitem""".stripMargin)
+    }),
+
     // unicode codepoint range over the corpus (≙ FindUnicodeRange,
     // StringAnalyzer.cs:714-743)
     "q_unicode_range" -> ((s, dir) => {
@@ -629,6 +647,13 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_sql_cosine" ->
+      """SELECT
+        |  CAST(sum(CAST(list_cosine_similarity(
+        |    [l_quantity, l_discount, 1.0]::DOUBLE[],
+        |    [1.0, 2.0, 3.0]::DOUBLE[]) AS DECIMAL(18,9))) AS DOUBLE) AS sum_cos,
+        |  count(*) AS n
+        |FROM lineitem""".stripMargin,
     "q_unicode_range" ->
       """SELECT
         |  min(list_min(list_transform(string_split(text, ''), s -> unicode(s)))) AS min_cp,

@@ -327,7 +327,7 @@ object Dedup {
     pairs
       .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
-      .withColumn("cosine", graft.functions.VectorOps.cosineCol(col("v_a"), col("v_b")))
+      .withColumn("cosine", graft.functions.expressions.CosineSimilarity.cosineNative(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -42,7 +42,7 @@ object SimilarityIndex {
     val candidates =
       if (excludeSelf) crossed.filter(col(corpusId) =!= col(queryId)) else crossed
     val scored = candidates
-      .withColumn("cosine", VectorOps.cosineCol(col(corpusVec), col(queryVec)))
+      .withColumn("cosine", graft.functions.expressions.CosineSimilarity.cosineNative(col(corpusVec), col(queryVec)))
     val w = Window.partitionBy(col(queryId))
       .orderBy(desc("cosine"), col(corpusId))
     scored
@@ -77,7 +77,7 @@ object SimilarityIndex {
       .distinct()
     val w = Window.partitionBy(col(queryId)).orderBy(desc("cosine"), col(corpusId))
     candidates
-      .withColumn("cosine", VectorOps.cosineCol(col(corpusVec), col(queryVec)))
+      .withColumn("cosine", graft.functions.expressions.CosineSimilarity.cosineNative(col(corpusVec), col(queryVec)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
@@ -140,7 +140,7 @@ object SimilarityIndex {
     val qProbed = queries.withColumn("list_id", explode(probeUdf(col(queryVec))))
     val w = Window.partitionBy(col(queryId)).orderBy(desc("cosine"), col(corpusId))
     cAssigned.join(qProbed, Seq("list_id"))
-      .withColumn("cosine", VectorOps.cosineCol(col(corpusVec), col(queryVec)))
+      .withColumn("cosine", graft.functions.expressions.CosineSimilarity.cosineNative(col(corpusVec), col(queryVec)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
