@@ -344,10 +344,14 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    // MinHash-LSH near-dups (xxhash64 signatures — not oracle-expressible)
+    // MinHash-LSH near-dups. Candidates are LSH-generated but the output is
+    // exact-Jaccard-verified, so the brute-force pair scan is a valid
+    // oracle as long as recall holds: the fixture's true pairs all have
+    // jaccard ≥ 0.58, and at 128 hashes / 64 bands the per-pair miss
+    // probability is (1-0.58²)^64 ≈ 3e-12.
     "doc_minhash_dups" -> ((s, dir) => {
       Dedup.minhashNearDuplicates(docsWithNearDups(s, dir), "text", "doc_id",
-        shingleK = 4, numHashes = 64, bands = 32, threshold = 0.3)
+        shingleK = 4, numHashes = 128, bands = 64, threshold = 0.3)
         .orderBy("id_a", "id_b")
     }),
 
@@ -362,7 +366,10 @@ object SparkEntry {
     }),
 
     // embedding cosine near-dups via hyperplane LSH over embeddings ∪
-    // scaled copies (cosine ≈ 1 by construction)
+    // scaled copies (cosine ≈ 1 by construction). Output is ids-only so the
+    // DuckDB brute-force scan can oracle the pair set with its own float
+    // kernel — at threshold 0.98 both engines agree robustly (random 64-d
+    // pairs sit near cosine 0, copies near 1; nothing lands near the cut).
     "emb_near_dups" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
       val copies = e.filter(col("vec_id") % 20 === 0)
@@ -370,6 +377,7 @@ object SparkEntry {
           transform(col("embedding"), x => x * lit(1.05f)).as("embedding"))
       Dedup.embeddingNearDuplicates(e.unionByName(copies), "embedding", "vec_id",
         dims = 64, threshold = 0.98, planes = 96, bands = 8)
+        .select("id_a", "id_b")
         .orderBy("id_a", "id_b")
     }),
 
@@ -792,6 +800,43 @@ object SparkEntry {
         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id) p
         |WHERE jaccard >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // identical brute-force oracle as doc_ngram_jaccard_dups: the minhash
+    // output is exact-Jaccard-verified, LSH only gates candidate generation
+    "doc_minhash_dups" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    substr(text, 1, CAST(floor(length(text)*0.7) AS INT)) AS text
+        |  FROM documents WHERE doc_id % 50 = 0
+        |), d AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-2),
+        |      i -> array_to_string(w[i:i+3], ' ')) END) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM base) t
+        |)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id) p
+        |WHERE jaccard >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "emb_near_dups" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x * 1.05 AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 20 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM base a JOIN base b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                             CAST(b.embedding AS DOUBLE[])) >= 0.98
         |ORDER BY id_a, id_b""".stripMargin,
     "doc_token_stats" ->
       """SELECT lang,
