@@ -83,13 +83,17 @@ object Main {
     case "graph-build" :: sentences :: out :: rest =>
       val idCol = rest.headOption.getOrElse("id")
       val textCol = rest.drop(1).headOption.getOrElse("sentence")
+      val sep = rest.drop(2).headOption.getOrElse(";")
       val spark = session()
       val df = spark.read.parquet(sentences)
         .select(col(idCol).as("id"), col(textCol).as("sentence"))
-      val vocab = SimilarityIndex.buildVocabulary(df, "sentence")
+      val vocab = SimilarityIndex.buildVocabulary(df, "sentence", sep)
       vocab.write.mode("overwrite").parquet(s"$out/vocab")
-      SimilarityIndex.bagOfWords(df, vocab)
+      SimilarityIndex.bagOfWords(df, vocab, sep = sep)
         .write.mode("overwrite").parquet(s"$out/index")
+      // the separator is part of the index contract — persist it for search
+      spark.createDataFrame(Seq(Tuple1(sep))).toDF("sep")
+        .write.mode("overwrite").parquet(s"$out/meta")
       println(s"graph-build: ${spark.read.parquet(s"$out/index").count()} sentences -> $out")
       spark.stop()
 
@@ -98,8 +102,9 @@ object Main {
       import spark.implicits._
       val vocab = spark.read.parquet(s"$index/vocab")
       val idx = spark.read.parquet(s"$index/index")
+      val sep = spark.read.parquet(s"$index/meta").as[String].head()
       val q = SimilarityIndex.bagOfWords(
-        Seq((0L, query)).toDF("id", "sentence"), vocab)
+        Seq((0L, query)).toDF("id", "sentence"), vocab, sep = sep)
       SimilarityIndex.closestMatch(idx, q).show(false)
       spark.stop()
 
@@ -110,7 +115,7 @@ object Main {
           |  validatelexicon  <docsParquet> <lexiconPath> [textCol] [dims]
           |  truncate         <path>
           |  stringcompare    <str1> <str2>
-          |  graph-build      <sentencesParquet> <indexPath> [idCol] [textCol]
+          |  graph-build      <sentencesParquet> <indexPath> [idCol] [textCol] [sep]
           |  graph-search     <indexPath> <querySentence>""".stripMargin)
       sys.exit(2)
   }

@@ -174,7 +174,7 @@ object SimilarityIndex {
                  sep: String = ";"): DataFrame = {
     val toks = sentences.select(col(idCol), col(textCol),
       explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("word"))
-    toks.join(vocab, Seq("word")) // inner join drops unknown words
+    val grouped = toks.join(vocab, Seq("word")) // inner join drops unknown words
       .groupBy(col(idCol), col(textCol), col("index"))
       .agg(count(lit(1)).cast("double").as("cnt"))
       .groupBy(col(idCol), col(textCol))
@@ -183,6 +183,13 @@ object SimilarityIndex {
           x => x.getField("index")).as("indices"),
         transform(array_sort(collect_list(struct(col("index"), col("cnt")))),
           x => x.getField("cnt")).as("counts"))
+    // sentences whose every token is unknown still get a (zero) vector —
+    // they must rank (at score 0), not silently vanish from searches
+    sentences.select(col(idCol), col(textCol))
+      .join(grouped, Seq(idCol, textCol), "left")
+      .select(col(idCol), col(textCol),
+        coalesce(col("indices"), array().cast("array<int>")).as("indices"),
+        coalesce(col("counts"), array().cast("array<double>")).as("counts"))
   }
 
   /** Sparse cosine over (indices, counts) pairs — for BoW vectors. */
