@@ -181,6 +181,22 @@ object SparkEntry {
           count(lit(1)).as("n"))
     }),
 
+    // statistical aggregates: exact interpolated percentiles (both engines
+    // use the (n-1)·p linear-interpolation convention; integer-valued
+    // quantities make the arithmetic deterministic) + decimal-quantized
+    // stddev (the accumulation algorithms differ in the last ulps)
+    "q_quantile_stats" -> ((s, dir) => {
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, 0.9)").as("p90_qty"),
+          stddev_samp(col("l_quantity")).cast("decimal(18,6)").cast("double")
+            .as("sd_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // distinct-count aggregate
     "q_distinct_customers" -> ((s, dir) => {
       tbl(s, dir, "orders")
@@ -762,6 +778,13 @@ object SparkEntry {
         |  count(*) AS n
         |FROM lineitem JOIN ap ON l_partkey = ap_partkey
         |WHERE l_quantity < avg_qty * 0.5""".stripMargin,
+    "q_quantile_stats" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.5) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  CAST(CAST(stddev_samp(l_quantity) AS DECIMAL(18,6)) AS DOUBLE) AS sd_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_distinct_customers" ->
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
         |  count(*) AS n_orders
