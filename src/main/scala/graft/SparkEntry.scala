@@ -519,6 +519,22 @@ object SparkEntry {
         .orderBy("cls")
     }),
 
+    // pure SQL text through spark.sql (TPC-H Q6 shape) — the engine's SQL
+    // dialect surface over registered views
+    "q6_forecast_revenue" -> ((s, dir) => {
+      tbl(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT
+          |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+          |    AS DOUBLE) AS revenue,
+          |  count(*) AS n
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  AND l_discount BETWEEN 0.03 AND 0.07
+          |  AND l_quantity < 24""".stripMargin)
+    }),
+
     // SQL surface of the native Catalyst cosine_similarity expression
     // (registered via GraftExtensions / SparkSessionExtensions): per-row
     // cosine in pure SQL text, decimal-quantized so the double sum is
@@ -671,6 +687,16 @@ object SparkEntry {
       """SELECT o_orderkey, o_orderstatus FROM orders
         |WHERE o_orderkey NOT IN (SELECT l_orderkey FROM lineitem)
         |ORDER BY o_orderkey""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
     "q_sql_cosine" ->
       """SELECT
         |  CAST(sum(CAST(list_cosine_similarity(

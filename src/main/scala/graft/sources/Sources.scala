@@ -34,7 +34,14 @@ object Sources {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      // events.parquet stores INT64 TIMESTAMP(NANOS), which Spark 4 refuses
+      // to read as a timestamp — read nanos as long, floor-truncate to µs
+      // (integer division; a double round-trip would lose precision)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every test table as a temp view so spark.sql can see them. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =

@@ -45,4 +45,21 @@ class SourcesSpec extends SparkTestBase {
     assert(spark.sql("SELECT count(*) FROM lineitem").head().getLong(0) > 0)
     assert(spark.sql("SELECT count(*) FROM documents").head().getLong(0) > 0)
   }
+
+  test("format zoo: parquet/json/csv round-trip the same rows") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.0), (3L, "gamma", 0.25))
+      .toDF("id", "name", "score")
+    val dir = Files.createTempDirectory("graft_formats")
+    Seq("parquet", "json", "csv").foreach { fmt =>
+      val p = dir.resolve(fmt).toString
+      df.write.format(fmt).option("header", "true").save(p)
+      val back = spark.read.format(fmt)
+        .option("header", "true").option("inferSchema", "true").load(p)
+        .select($"id".cast("long"), $"name", $"score".cast("double"))
+        .as[(Long, String, Double)].collect().sortBy(_._1)
+      assert(back.toSeq === Seq((1L, "alpha", 1.5), (2L, "beta", -2.0),
+        (3L, "gamma", 0.25)), s"round-trip mismatch for $fmt")
+    }
+  }
 }
