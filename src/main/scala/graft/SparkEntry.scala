@@ -269,6 +269,15 @@ object SparkEntry {
         .orderBy("user_id")
     }),
 
+    // a REAL Structured Streaming execution: readStream over the events
+    // parquet → watermark → windowed agg → memory sink (AvailableNow);
+    // oracled identically to the batch hourly rollup
+    "q_events_stream_hourly" -> ((s, dir) => {
+      graft.streaming.EventStreams
+        .runHourlyStream(s, s"$dir/events.parquet")
+        .orderBy("hour", "event_type")
+    }),
+
     // the streaming windowed aggregation run in batch (same window() code
     // path; the watermark is a no-op on batch frames)
     "q_events_windowed" -> ((s, dir) => {
@@ -752,6 +761,11 @@ object SparkEntry {
         |)
         |SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM marked GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_events_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q_events_windowed" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type,
         |  count(*) AS n,

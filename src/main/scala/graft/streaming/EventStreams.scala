@@ -106,6 +106,39 @@ object EventStreams {
   }
 
   /**
+   * End-to-end Structured Streaming run over a parquet events path:
+   * readStream → watermarked hourly window aggregation → memory sink,
+   * Trigger.AvailableNow (process everything, then stop). Returns the
+   * materialized result table. This is the genuine streaming engine path —
+   * state store, watermark tracking, micro-batch planner — executed batch-
+   * deterministically, so the same DuckDB oracle as the batch rollup holds.
+   */
+  def runHourlyStream(spark: SparkSession, eventsPath: String,
+                      queryName: String = "graft_stream_hourly"): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsPath).schema
+    // the file-stream source wants a directory to monitor; point it at the
+    // parent dir and glob-filter to the events file
+    val p = new org.apache.hadoop.fs.Path(eventsPath)
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", p.getName)
+      .parquet(p.getParent.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+    val q = stream.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /**
    * Continuous lexicon ingest (streaming form of Lexicon.build): tokenize
    * incoming documents, key by identity angle, emit first-seen tokens only.
    * dropDuplicates state is keyed by the angle — bounded by watermark when
