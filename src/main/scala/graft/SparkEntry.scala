@@ -864,6 +864,90 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id) p
         |WHERE jaccard >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    // the rolling-hash fingerprint (h = 31h + char over lowercased,
+    // ws-collapsed text, Java Long wraparound) in HUGEINT mod-2^64 SQL —
+    // verified bit-exact against the Scala kernel
+    "doc_fingerprints" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |    THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT)
+        |    AS fingerprint
+        |FROM (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(1125899906842597::HUGEINT,
+        |      list_transform(
+        |        string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ''),
+        |        c -> unicode(c)::HUGEINT)),
+        |    (h, c) -> (31::HUGEINT * h + c) % 18446744073709551616::HUGEINT) AS h
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    // bag-of-words closest match: counts are integers so dot products and
+    // squared norms sum exactly in double regardless of order — the score
+    // double is bit-deterministic and the argmax comparable across engines
+    "graph_closest_match" ->
+      """WITH docs AS (
+        |  SELECT doc_id AS id, trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS sentence
+        |  FROM documents
+        |), tok AS (
+        |  SELECT id, t, CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM (SELECT id, unnest(string_split(sentence, ' ')) AS t FROM docs) u
+        |  GROUP BY id, t
+        |), norms AS (
+        |  SELECT id, sqrt(sum(cnt * cnt)) AS nrm FROM tok GROUP BY id
+        |), dots AS (
+        |  SELECT q.id AS query_id, c.id AS corpus_id, sum(q.cnt * c.cnt) AS dot
+        |  FROM tok q JOIN tok c ON q.t = c.t
+        |  WHERE q.id < 8
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT d.query_id, d.corpus_id,
+        |    d.dot / (nc.nrm * nq.nrm) AS score,
+        |    row_number() OVER (PARTITION BY d.query_id
+        |      ORDER BY d.dot / (nc.nrm * nq.nrm) DESC, d.corpus_id) AS rn
+        |  FROM dots d
+        |  JOIN norms nc ON d.corpus_id = nc.id
+        |  JOIN norms nq ON d.query_id = nq.id
+        |)
+        |SELECT query_id, corpus_id, score FROM scored
+        |WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    // the SimHash kernel (FNV-1a per token, per-bit vote) reproduced in SQL
+    // with HUGEINT mod-2^64 arithmetic — verified bit-exact against the
+    // Scala kernel; pairs at hamming <= 3 from a brute-force scan
+    "doc_simhash_dups" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 2000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 50 = 0
+        |), tok AS (
+        |  SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS t
+        |  FROM base
+        |), th AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(14695981039346656037::HUGEINT,
+        |      list_transform(string_split(t, ''), c -> unicode(c)::HUGEINT)),
+        |    (h, c) -> (xor(h, c) * 1099511628211::HUGEINT)
+        |      % 18446744073709551616::HUGEINT) AS h
+        |  FROM tok
+        |), bits AS (
+        |  SELECT doc_id, b.b,
+        |    CASE WHEN sum(CASE WHEN (h >> b.b) & 1::HUGEINT = 1
+        |      THEN 1 ELSE -1 END) > 0
+        |      THEN (1::HUGEINT << b.b) ELSE 0::HUGEINT END AS contrib
+        |  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) b
+        |  GROUP BY doc_id, b.b
+        |), sh AS (
+        |  SELECT doc_id, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |    THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS h64
+        |  FROM (SELECT doc_id, sum(contrib) AS s FROM bits GROUP BY doc_id) q
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.h64, b.h64)) AS INT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h64, b.h64)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     // identical brute-force oracle as doc_ngram_jaccard_dups: the minhash
     // output is exact-Jaccard-verified, LSH only gates candidate generation
     "doc_minhash_dups" ->
