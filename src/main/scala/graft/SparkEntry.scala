@@ -572,6 +572,17 @@ object SparkEntry {
         .agg(min(col("dmin")).as("min_cp"), max(col("dmax")).as("max_cp"))
     }),
 
+    // the composed corpus-cleaning pipeline (language filter → quality
+    // filter → normalized dedup) — every stage individually oracled above,
+    // the composition oracled here
+    "doc_clean_pipeline" -> ((s, dir) => {
+      graft.pipeline.CorpusClean
+        .clean(tbl(s, dir, "documents"), minQuality = 0.5,
+          keepLangs = Seq("en", "de"))
+        .select(col("doc_id"), col("pred_lang"), col("m_quality"))
+        .orderBy("doc_id")
+    }),
+
     // ==================================================================
     // Lexicon validate (reference flagship #2) + graph closest-match
     // ==================================================================
@@ -1086,6 +1097,60 @@ object SparkEntry {
         |    ELSE 'fr' END AS predicted,
         |  count(*) AS n
         |FROM s GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    "doc_clean_pipeline" ->
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t IN ('der','die','das','und','ist','von','mit','den','des',
+        |                 'ein','eine','im','für','auf','nicht'))) AS s_de,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t IN ('the','and','of','to','in','is','that','it','for',
+        |                 'with','as','was','on','are','this'))) AS s_en,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t IN ('el','la','de','que','y','en','un','una','los','las',
+        |                 'por','con','para','es','del'))) AS s_es,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |      t -> t IN ('le','la','les','de','des','et','est','un','une','du',
+        |                 'dans','pour','que','qui','sur'))) AS s_fr
+        |  FROM documents
+        |), lang AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN s_de = 0 AND s_en = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+        |      WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+        |      WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+        |      WHEN s_es >= s_fr THEN 'es'
+        |      ELSE 'fr' END AS pred_lang
+        |  FROM s
+        |), p AS (
+        |  SELECT doc_id, text, pred_lang,
+        |    length(text) AS nch,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS toks,
+        |    length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\s]', '', 'g')) AS npunct,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      t -> t IN ('the','a','an','and','or','of','to','in','is','it',
+        |                 'that','for','on','with','as','at','by'))) AS nstop,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+')) AS nsplit,
+        |    length(regexp_replace(trim(text), '\s', '', 'g')) AS nws
+        |  FROM lang
+        |), r AS (
+        |  SELECT doc_id, text, pred_lang,
+        |    least((CASE WHEN nsplit = 0 THEN 0.0
+        |        ELSE CAST(nstop AS DOUBLE) / nsplit END) * 4.0, 1.0) * 0.4
+        |    + greatest(1.0 - (CASE WHEN nch = 0 THEN 0.0
+        |        ELSE CAST(npunct AS DOUBLE) / nch END) * 4.0, 0.0) * 0.3
+        |    + (CASE WHEN (CASE WHEN toks = 0 THEN 0.0
+        |        ELSE CAST(nws AS DOUBLE) / toks END) BETWEEN 3.0 AND 10.0
+        |        THEN 1.0 ELSE 0.5 END) * 0.3 AS m_quality
+        |  FROM p
+        |)
+        |SELECT doc_id, pred_lang, m_quality FROM r
+        |WHERE pred_lang IN ('en', 'de') AND m_quality >= 0.5
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text),
+        |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
+        |  ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
     "media_features" ->
       """SELECT doc_id AS id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
