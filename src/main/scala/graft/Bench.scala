@@ -36,6 +36,9 @@ object Bench {
           false
         }
       val dt = (System.nanoTime() - t0) / 1e9
+      // drop caches a query pinned (dedup/rank helpers persist internally)
+      // so later timings aren't distorted by accumulated storage memory
+      spark.catalog.clearCache()
       // failed queries report negative elapsed so they can't masquerade as
       // fast successes in the JSON
       name -> (if (ok) dt else -dt)

@@ -33,15 +33,10 @@ object SparkEntry {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores INT64 TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp — read nanos as long, then floor-truncate to µs
-    * with integer division (a double round-trip would lose precision at
-    * 1.7e18). DuckDB's ns→µs conversion floors identically. */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    tbl(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  /** events.parquet needs the shared nanos→µs handling — one loader
+    * (graft.sources.Sources.table) owns that logic. */
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.Sources.table(spark, dir, "events")
 
   /** documents ∪ deterministically truncated copies — self-contained
     * near-duplicate fixture (the mutation is reproducible in DuckDB). */
@@ -901,8 +896,12 @@ object SparkEntry {
         |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS sentence
         |  FROM documents
         |), tok AS (
+        |  -- empty tokens are excluded like buildVocabulary's length>0
+        |  -- filter: a doc normalizing to '' has a zero vector and, per the
+        |  -- inverted-match contract, no result row
         |  SELECT id, t, CAST(count(*) AS DOUBLE) AS cnt
         |  FROM (SELECT id, unnest(string_split(sentence, ' ')) AS t FROM docs) u
+        |  WHERE t <> ''
         |  GROUP BY id, t
         |), norms AS (
         |  SELECT id, sqrt(sum(cnt * cnt)) AS nrm FROM tok GROUP BY id

@@ -24,6 +24,8 @@ object Skew {
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
                  salts: Int = 16): DataFrame = {
     require(salts > 0, "salts must be positive")
+    require(!big.columns.contains("_salt") && !small.columns.contains("_salt"),
+      "inputs already carry a _salt column — rename it before saltedJoin")
     // deterministic per-row salt: hash of partition+offset spreads rows
     // uniformly without an RNG (output is salt-invariant either way)
     val saltedBig = big.withColumn("_salt",
@@ -39,6 +41,8 @@ object Skew {
     * hash aggregation already map-side combines sums/counts. */
   def saltedCountSum(df: DataFrame, keyCol: String, valueCol: String,
                      salts: Int = 16): DataFrame = {
+    require(!df.columns.exists(Set("_salt", "_n", "_s")),
+      "input already carries a _salt/_n/_s column — rename it first")
     val salted = df.withColumn("_salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
     salted.groupBy(col(keyCol), col("_salt"))

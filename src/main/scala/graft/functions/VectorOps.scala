@@ -157,22 +157,11 @@ object VectorOps {
 
   // ---------------------------------------------------------------- Spark API
 
-  /**
-   * Cosine similarity of two array<float> columns using built-in higher-order
-   * functions only — stays inside whole-stage codegen (no UDF ser/de) and is
-   * the scale path for the `embeddings` table.
-   */
-  def cosineCol(a: Column, b: Column): Column = {
-    val d = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d),
-      (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0d), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0d), (acc, x) => acc + x * x))
-    when(na === 0.0 || nb === 0.0, lit(0.0)).otherwise(d / (na * nb))
-  }
-
-  /** Dot product of two array columns (codegen-friendly). */
-  def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  // NOTE: the former HOF cosine/dot Column helpers were removed — all
+  // scoring goes through the codegen'd Catalyst expression
+  // (graft.functions.expressions.CosineSimilarity.cosineNative), which
+  // fuses the three reductions into one loop. Keep norm/normalize: they
+  // have no native counterpart and are used for unit-sphere preprocessing.
 
   /** L2 norm of an array column. */
   def normCol(a: Column): Column =

@@ -184,7 +184,9 @@ object SimilarityIndex {
         transform(array_sort(collect_list(struct(col("index"), col("cnt")))),
           x => x.getField("cnt")).as("counts"))
     // sentences whose every token is unknown still get a (zero) vector —
-    // they must rank (at score 0), not silently vanish from searches
+    // exhaustive closestMatch ranks them at score 0 instead of losing them.
+    // (closestMatchInverted documents its own contract: zero-overlap
+    // queries return no row, since only shared dims generate candidates.)
     sentences.select(col(idCol), col(textCol))
       .join(grouped, Seq(idCol, textCol), "left")
       .select(col(idCol), col(textCol),

@@ -117,12 +117,14 @@ object EventStreams {
                       queryName: String = "graft_stream_hourly"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
-    // the file-stream source wants a directory to monitor; point it at the
-    // parent dir and glob-filter to the events file
+    // the file-stream source wants a directory to monitor: stream the path
+    // itself when it already is one (standard multi-file parquet layout),
+    // else its parent glob-filtered to the single file
     val p = new org.apache.hadoop.fs.Path(eventsPath)
-    val stream = spark.readStream.schema(schema)
-      .option("pathGlobFilter", p.getName)
-      .parquet(p.getParent.toString)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val reader = spark.readStream.schema(schema)
+    val stream = (if (fs.getFileStatus(p).isDirectory) reader.parquet(eventsPath)
+      else reader.option("pathGlobFilter", p.getName).parquet(p.getParent.toString))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
