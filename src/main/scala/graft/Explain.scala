@@ -30,6 +30,10 @@ object Explain {
         case Some(fn) =>
           println(s"\n========== $n ==========")
           fn(spark, sfDir).explain("formatted")
+          // match Bench/Verify cache hygiene: helpers persist at plan
+          // construction; leftover entries would print InMemoryRelation
+          // scans in later plans that production runs won't have
+          spark.catalog.clearCache()
         case None => println(s"unknown query: $n")
       }
     }

@@ -41,8 +41,10 @@ object Skew {
     * hash aggregation already map-side combines sums/counts. */
   def saltedCountSum(df: DataFrame, keyCol: String, valueCol: String,
                      salts: Int = 16): DataFrame = {
-    require(!df.columns.exists(Set("_salt", "_n", "_s")),
-      "input already carries a _salt/_n/_s column — rename it first")
+    // only _salt is hazardous (withColumn silently replaces it); _n/_s are
+    // born in the first agg whose output namespace excludes input columns
+    require(!df.columns.contains("_salt"),
+      "input already carries a _salt column — rename it before saltedCountSum")
     val salted = df.withColumn("_salt",
       pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)))
     salted.groupBy(col(keyCol), col("_salt"))

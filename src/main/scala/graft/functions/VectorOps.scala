@@ -160,8 +160,9 @@ object VectorOps {
   // NOTE: the former HOF cosine/dot Column helpers were removed — all
   // scoring goes through the codegen'd Catalyst expression
   // (graft.functions.expressions.CosineSimilarity.cosineNative), which
-  // fuses the three reductions into one loop. Keep norm/normalize: they
-  // have no native counterpart and are used for unit-sphere preprocessing.
+  // fuses the three reductions into one loop. norm/normalize below have no
+  // internal callers; they stay as the library's public array-normalization
+  // surface (unit-sphere preprocessing for cosine⇔euclidean LSH).
 
   /** L2 norm of an array column. */
   def normCol(a: Column): Column =

@@ -38,9 +38,10 @@ object Sources {
       // events.parquet stores INT64 TIMESTAMP(NANOS), which Spark 4 refuses
       // to read as a timestamp — read nanos as long, floor-truncate to µs
       // (integer division; a double round-trip would lose precision).
-      // This is the ONE place owning the workaround (SparkEntry and the
-      // streaming reader route through here); note it flips a session-wide
-      // legacy conf — other nanos-parquet reads in the session see longs.
+      // Owns the batch-side workaround (SparkEntry routes through here);
+      // EventStreams.runHourlyStream must repeat the conversion for its
+      // readStream — keep the two in sync. Note the session-wide legacy
+      // conf flip: other nanos-parquet reads in the session see longs.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))

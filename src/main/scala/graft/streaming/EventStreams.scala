@@ -122,8 +122,13 @@ object EventStreams {
     // else its parent glob-filtered to the single file
     val p = new org.apache.hadoop.fs.Path(eventsPath)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // getFileStatus throws on glob strings — treat non-statable paths like
+    // single-file/glob leaves and stream the parent with a glob filter
+    val isDir =
+      try fs.getFileStatus(p).isDirectory
+      catch { case _: java.io.FileNotFoundException => false }
     val reader = spark.readStream.schema(schema)
-    val stream = (if (fs.getFileStatus(p).isDirectory) reader.parquet(eventsPath)
+    val stream = (if (isDir) reader.parquet(eventsPath)
       else reader.option("pathGlobFilter", p.getName).parquet(p.getParent.toString))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
