@@ -213,6 +213,42 @@ object SparkEntry {
         .orderBy("status", "priority")
     }),
 
+    // cube: all grouping-set combinations (rollup's sibling)
+    "q_cube_order_stats" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"))
+        .orderBy("status", "priority")
+    }),
+
+    // pivot: order counts per status × priority, priorities as columns
+    "q_pivot_status_priority" -> ((s, dir) => {
+      tbl(s, dir, "orders")
+        .groupBy(col("o_orderstatus").as("status"))
+        .pivot("o_orderpriority",
+          Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .withColumnsRenamed(Map("1-URGENT" -> "p1", "2-HIGH" -> "p2",
+          "3-MEDIUM" -> "p3", "4-NOT SPECIFIED" -> "p4", "5-LOW" -> "p5"))
+        .orderBy("status")
+    }),
+
+    // map functions: props parsed to a typed map, value via element_at
+    "q_map_funcs" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("m", from_json(col("props"), org.apache.spark.sql.types
+          .MapType(org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType)))
+        .groupBy(col("event_type"))
+        .agg(sum(element_at(col("m"), "k")).as("sum_k"),
+          count(when(map_contains_key(col("m"), "k"), 1)).as("n_with_k"))
+        .orderBy("event_type")
+    }),
+
     // string functions over part
     "q_string_funcs" -> ((s, dir) => {
       tbl(s, dir, "part")
@@ -741,6 +777,27 @@ object SparkEntry {
         |  max(upper(substr(p_type, 1, 5))) AS max_type_prefix,
         |  CAST(sum(CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END) AS BIGINT) AS n_green
         |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q_cube_order_stats" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q_pivot_status_priority" ->
+      """SELECT o_orderstatus AS status,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS p5
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  count(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+        |    THEN 1 END) AS n_with_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_orders_by_year" ->
       """SELECT CAST(extract(year FROM o_orderdate) AS INT) AS yr,
         |  CAST(extract(month FROM o_orderdate) AS INT) AS mo,
