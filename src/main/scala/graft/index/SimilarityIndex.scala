@@ -172,12 +172,14 @@ object SimilarityIndex {
   def bagOfWords(sentences: DataFrame, vocab: DataFrame,
                  idCol: String = "id", textCol: String = "sentence",
                  sep: String = ";"): DataFrame = {
-    val toks = sentences.select(col(idCol), col(textCol),
+    // token rows and both aggregations carry the numeric id only — the
+    // sentence string joins back at the end instead of riding two shuffles
+    val toks = sentences.select(col(idCol),
       explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("word"))
     val grouped = toks.join(vocab, Seq("word")) // inner join drops unknown words
-      .groupBy(col(idCol), col(textCol), col("index"))
+      .groupBy(col(idCol), col("index"))
       .agg(count(lit(1)).cast("double").as("cnt"))
-      .groupBy(col(idCol), col(textCol))
+      .groupBy(col(idCol))
       .agg(
         transform(array_sort(collect_list(struct(col("index"), col("cnt")))),
           x => x.getField("index")).as("indices"),
@@ -188,7 +190,7 @@ object SimilarityIndex {
     // (closestMatchInverted documents its own contract: zero-overlap
     // queries return no row, since only shared dims generate candidates.)
     sentences.select(col(idCol), col(textCol))
-      .join(grouped, Seq(idCol, textCol), "left")
+      .join(grouped, Seq(idCol), "left")
       .select(col(idCol), col(textCol),
         coalesce(col("indices"), array().cast("array<int>")).as("indices"),
         coalesce(col("counts"), array().cast("array<double>")).as("counts"))

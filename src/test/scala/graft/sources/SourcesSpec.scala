@@ -51,7 +51,7 @@ class SourcesSpec extends SparkTestBase {
     val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.0), (3L, "gamma", 0.25))
       .toDF("id", "name", "score")
     val dir = Files.createTempDirectory("graft_formats")
-    Seq("parquet", "json", "csv").foreach { fmt =>
+    Seq("parquet", "orc", "json", "csv").foreach { fmt =>
       val p = dir.resolve(fmt).toString
       df.write.format(fmt).option("header", "true").save(p)
       val back = spark.read.format(fmt)
