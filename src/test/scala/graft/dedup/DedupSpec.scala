@@ -40,6 +40,27 @@ class DedupSpec extends SparkTestBase {
     assert(short === Seq("a b"))
   }
 
+  test("shinglesUdf produces exactly array_distinct(shingles(...)) sets") {
+    // the DuckDB ngram/minhash oracles mirror the HOF formulation; the UDF
+    // fast path must stay set-identical on adversarial inputs
+    val fixtures = Seq("", "   ", "a", "a b", "a b c d e f",
+      "Hello, World!! multi  space\tand\ttabs", "x; y; z -- punct",
+      "ONE one One oNe", "1 2 3 4 5 6 7 8 9", "ümlaut łatin ascii-only")
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = fixtures.toDF("id", "text")
+    Seq(2, 4).foreach { k =>
+      val hof = df.select($"id",
+        org.apache.spark.sql.functions.array_distinct(
+          Dedup.shingles($"text", k)).as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      val fast = df.select($"id", Dedup.shinglesUdf(k)($"text").as("sh"))
+        .as[(Long, Seq[String])].collect().toMap
+      fixtures.foreach { case (id, t) =>
+        assert(fast(id).toSet === hof(id).toSet, s"k=$k text='$t'")
+      }
+    }
+  }
+
   test("minhash LSH finds near-duplicates and skips distinct docs") {
     val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
       shingleK = 2, numHashes = 32, bands = 16, threshold = 0.5)
