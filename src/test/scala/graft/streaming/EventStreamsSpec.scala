@@ -67,6 +67,26 @@ class EventStreamsSpec extends SparkTestBase {
       math.abs(su.total_value - 6.0) < 1e-9), s"got ${sessions.mkString(",")}")
   }
 
+  test("sessionize preserves microsecond precision in session_start") {
+    implicit val sqlCtx = spark.sqlContext
+    val start = Timestamp.valueOf("2024-01-01 10:00:00")
+    start.setNanos(123456000) // 10:00:00.123456 — µs the old ms path lost
+    val later = Timestamp.valueOf("2024-01-01 12:00:00")
+    val input = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(input.toDS(), gapSeconds = 1800)
+      .writeStream.format("memory").queryName("sessions_us_out")
+      .outputMode("append").start()
+    input.addData(
+      EventStreams.Event(1, start, 9L, "click", 1.0),
+      EventStreams.Event(2, later, 9L, "click", 2.0))
+    q.processAllAvailable(); q.stop()
+    val closed = spark.table("sessions_us_out")
+      .as[EventStreams.SessionUpdate].collect()
+    assert(closed.length === 1)
+    assert(closed.head.session_start.getNanos === 123456000,
+      s"µs component lost: ${closed.head.session_start}")
+  }
+
   test("streaming lexicon emits first-seen angles only") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
