@@ -1,0 +1,98 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/**
+ * Bounded distributed top-k per group — the scale-safe replacement for
+ * `row_number().over(Window.partitionBy(group).orderBy(score desc))`, which
+ * funnels every candidate row of a group through ONE reducer task (for a
+ * brute-force scorer that is the whole corpus per query).
+ *
+ * Shape: a typed `Aggregator` whose buffer is a bounded, sorted (score desc,
+ * id asc) pair of primitive arrays. Spark plans it as an ObjectHashAggregate
+ * with a PARTIAL stage before the exchange, so each map task ships at most
+ * k rows per group and the final merge sees ≤ k · numPartitions rows per
+ * group — no task ever ranks a full corpus. Ties break on the lower id,
+ * matching the window ordering `orderBy(desc(score), id)` it replaces.
+ *
+ * ≙ reference GraphSearcher.Search (GraphSearcher.cs:12-16): exhaustive
+ * Traverse + OrderByDescending(Score).First() — same contract, distributed
+ * without its single-node sort.
+ */
+object TopK {
+
+  /** One scored candidate: (score, id). */
+  final case class Scored(score: Double, id: Long)
+
+  /** Bounded buffer: parallel arrays sorted best-first, length ≤ k. */
+  final case class Buf(scores: Array[Double], ids: Array[Long])
+
+  /** True iff (s1,i1) ranks strictly before (s2,i2): higher score first,
+    * lower id on ties. NaN scores never win (compare yields false). */
+  private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  private final class TopKAggregator(k: Int)
+      extends Aggregator[Scored, Buf, Buf] {
+
+    override def zero: Buf = Buf(Array.emptyDoubleArray, Array.emptyLongArray)
+
+    private def insert(b: Buf, score: Double, id: Long): Buf = {
+      val n = b.ids.length
+      if (n >= k && !beats(score, id, b.scores(n - 1), b.ids(n - 1))) b
+      else {
+        var pos = n
+        while (pos > 0 && beats(score, id, b.scores(pos - 1), b.ids(pos - 1))) pos -= 1
+        val m = math.min(n + 1, k)
+        val ns = new Array[Double](m)
+        val ni = new Array[Long](m)
+        System.arraycopy(b.scores, 0, ns, 0, pos)
+        System.arraycopy(b.ids, 0, ni, 0, pos)
+        ns(pos) = score; ni(pos) = id
+        val tail = m - pos - 1
+        if (tail > 0) {
+          System.arraycopy(b.scores, pos, ns, pos + 1, tail)
+          System.arraycopy(b.ids, pos, ni, pos + 1, tail)
+        }
+        Buf(ns, ni)
+      }
+    }
+
+    override def reduce(b: Buf, a: Scored): Buf = insert(b, a.score, a.id)
+
+    override def merge(b1: Buf, b2: Buf): Buf = {
+      var acc = b1
+      var i = 0
+      while (i < b2.ids.length) { acc = insert(acc, b2.scores(i), b2.ids(i)); i += 1 }
+      acc
+    }
+
+    override def finish(r: Buf): Buf = r
+    override def bufferEncoder = Encoders.product[Buf]
+    override def outputEncoder = Encoders.product[Buf]
+  }
+
+  /**
+   * Append per-group top-k rows: for each distinct `groupCol` value keep the
+   * k best (`scoreCol` desc, `idCol` asc) rows, with a 1-based `rank`
+   * column. Output columns: (groupCol, idCol, scoreCol, rank). `idCol` is
+   * cast to long (all engine ids are integral).
+   */
+  def topKPerGroup(scored: DataFrame, groupCol: String, idCol: String,
+                   scoreCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val agg = udaf(new TopKAggregator(k), Encoders.product[Scored])
+    scored
+      .groupBy(col(groupCol))
+      .agg(agg(col(scoreCol).cast("double"), col(idCol).cast("long")).as("_top"))
+      .select(col(groupCol), col("_top.scores").as("_s"), col("_top.ids").as("_i"))
+      .select(col(groupCol),
+        posexplode(arrays_zip(col("_s"), col("_i"))).as(Seq("_pos", "_z")))
+      .select(col(groupCol),
+        col("_z._i").as(idCol),
+        col("_z._s").as(scoreCol),
+        (col("_pos") + 1).cast("int").as("rank"))
+  }
+}

@@ -1,9 +1,8 @@
 package graft.index
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.functions.VectorOps
+import graft.functions.{TopK, VectorOps}
 
 /**
  * Batch similarity search over embedding columns — the Spark-native
@@ -16,6 +15,10 @@ import graft.functions.VectorOps
  *    (GraphExtensions.cs:46-84, SeekableGraphReader.cs:57-104): approximate
  *    search that only touches a candidate subset (hyperplane buckets play
  *    the role of the tree path / seek offsets).
+ *  - ivfBuild/ivfSearchIndexed ≙ GraphSerializer.Save + SeekableGraphReader
+ *    (GraphSerializer.cs:29-61, SeekableGraphReader.cs:57-104): a persisted
+ *    index where a search reads ONLY the lists on its probe path, via
+ *    list_id-partitioned parquet + partition pruning.
  *  - buildVocabulary / bagOfWords ≙ LexiconBuilder.BuildLexicon +
  *    Tokenizer.Tokenize + sentence-vector sum (LexiconBuilder.cs:5-18,
  *    Tokenizer.cs:16-27, GraphBuilder.cs:26-30).
@@ -24,15 +27,20 @@ import graft.functions.VectorOps
  *    itself at ≈ identical score.
  *
  * Scale shape: brute force broadcasts the (small) query side so the big
- * corpus never shuffles; LSH hashes both sides into band buckets — one
- * shuffle each — and scores within buckets only. Top-k per query is a
- * window over (query, score), which AQE partitions by query id.
+ * corpus never shuffles; LSH bands ids only — vectors never ride the band
+ * exchange — and scores within buckets only. All per-query ranking goes
+ * through `TopK.topKPerGroup` (bounded partial aggregation): no per-query
+ * window funnel anywhere in this file.
  */
 object SimilarityIndex {
 
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.expressions.CosineSimilarity.cosineNative(a, b)
+
   /**
    * Exact top-k: score every corpus row against every query (queries
-   * broadcast — the corpus side never moves), rank per query.
+   * broadcast — the corpus side never moves), bounded top-k per query
+   * (map-side partial combine keeps ≤ k rows per query per task).
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      corpusId: String = "vec_id", corpusVec: String = "embedding",
@@ -42,13 +50,9 @@ object SimilarityIndex {
     val candidates =
       if (excludeSelf) crossed.filter(col(corpusId) =!= col(queryId)) else crossed
     val scored = candidates
-      .withColumn("cosine", graft.functions.expressions.CosineSimilarity.cosineNative(col(corpusVec), col(queryVec)))
-    val w = Window.partitionBy(col(queryId))
-      .orderBy(desc("cosine"), col(corpusId))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+      .withColumn("cosine", cosine(col(corpusVec), col(queryVec)))
+      .select(col(queryId), col(corpusId), col("cosine"))
+    TopK.topKPerGroup(scored, queryId, corpusId, "cosine", k)
   }
 
   /**
@@ -56,6 +60,12 @@ object SimilarityIndex {
    * band bucket with the query are scored; others are never touched (the
    * scale path — candidate count is ~bucket-sized, not corpus-sized).
    * Recall/cost tradeoff via (planes, bands).
+   *
+   * The band exchange carries (id, band, bucket) ONLY — vectors are joined
+   * back for scoring after the candidate ids are deduped, mirroring
+   * Dedup.embeddingNearDuplicates (the ids-only banding pattern). At 100 TB
+   * that is the difference between shuffling `bands ×` every embedding and
+   * shuffling three scalars per banded row.
    */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dims: Int,
               planes: Int = 16, bands: Int = 8,
@@ -63,24 +73,64 @@ object SimilarityIndex {
               queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     require(planes % bands == 0, "bands must divide planes")
     val ppb = planes / bands
-    def banded(df: DataFrame, vec: String, keep: Seq[Column]): DataFrame = {
+    // ids-only banding: the vector is consumed by the signature UDF inside
+    // this projection and never survives into the exploded band rows
+    def bandedIds(df: DataFrame, id: String, vec: String): DataFrame = {
       val bits = graft.dedup.Dedup.signBitsUdf(dims, planes)(col(vec))
-      df.select(keep :+ bits.as("bits"): _*)
-        .select(keep :+ posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(slice(col("bits"), b * ppb + lit(1), lit(ppb)))))
-          .as(Seq("band", "bucket")): _*)
+      df.select(col(id), bits.as("_bits"))
+        .select(col(id), posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("_bits"), b * ppb + lit(1), lit(ppb)))))
+          .as(Seq("band", "bucket")))
     }
-    val c = banded(corpus, corpusVec, Seq(col(corpusId), col(corpusVec)))
-    val q = banded(queries, queryVec, Seq(col(queryId), col(queryVec)))
-    val candidates = c.join(q, Seq("band", "bucket"))
-      .select(col(queryId), col(queryVec), col(corpusId), col(corpusVec))
+    val candidates = bandedIds(corpus, corpusId, corpusVec)
+      .join(bandedIds(queries, queryId, queryVec), Seq("band", "bucket"))
+      .select(col(queryId), col(corpusId))
       .distinct()
-    val w = Window.partitionBy(col(queryId)).orderBy(desc("cosine"), col(corpusId))
-    candidates
-      .withColumn("cosine", graft.functions.expressions.CosineSimilarity.cosineNative(col(corpusVec), col(queryVec)))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+    val scored = candidates
+      .join(corpus.select(col(corpusId), col(corpusVec)), Seq(corpusId))
+      .join(broadcast(queries.select(col(queryId), col(queryVec))), Seq(queryId))
+      .withColumn("cosine", cosine(col(corpusVec), col(queryVec)))
+      .select(col(queryId), col(corpusId), col("cosine"))
+    TopK.topKPerGroup(scored, queryId, corpusId, "cosine", k)
+  }
+
+  // ------------------------------------------------------------------ IVF
+
+  /** Shared IVF kernels: centroid fit + nearest-list assignment/probing. */
+  private def fitCentroids(corpus: DataFrame, corpusVec: String, nlist: Int,
+                           fitSampleFraction: Double): Array[Array[Double]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vectors => MLVectors}
+    val toVec = udf((a: Seq[Float]) => MLVectors.dense(a.map(_.toDouble).toArray))
+    val trainBase = corpus.select(toVec(col(corpusVec)).as("features"))
+    val train = if (fitSampleFraction < 1.0)
+      trainBase.sample(withReplacement = false, fitSampleFraction, seed = 42L)
+    else trainBase
+    new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(train)
+      .clusterCenters.map(_.toArray)
+  }
+
+  private def sqDist(v: Seq[Float], c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val n = math.min(v.length, c.length)
+    while (i < n) { val d = v(i) - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** Nearest-centroid id (map-side: the centroid matrix rides the closure). */
+  private def assignUdf(centers: Array[Array[Double]]) = udf { (v: Seq[Float]) =>
+    var best = 0; var bestD = Double.MaxValue; var j = 0
+    while (j < centers.length) {
+      val d = sqDist(v, centers(j)); if (d < bestD) { bestD = d; best = j }; j += 1
+    }
+    best
+  }
+
+  /** The `nprobe` nearest centroid ids for a query vector. */
+  private def probeUdf(centers: Array[Array[Double]], nprobe: Int) = udf { (v: Seq[Float]) =>
+    centers.indices.map(j => (sqDist(v, centers(j)), j)).sorted
+      .take(math.min(nprobe, centers.length)).map(_._2).toArray
   }
 
   /**
@@ -88,62 +138,88 @@ object SimilarityIndex {
    * alongside `lshTopK`:
    *
    *   1. fit nlist k-means centroids (MLlib, fixed seed — deterministic),
+   *      on a corpus sample when `fitSampleFraction < 1` (at 100 TB the fit
+   *      must never scan the full corpus),
    *   2. assign every corpus vector to its nearest centroid (map-side, the
    *      centroid matrix broadcasts; the corpus never shuffles for this),
    *   3. each query probes its `nprobe` nearest centroids and scores only
-   *      vectors in those lists.
+   *      vectors in those lists, bounded top-k per query.
    *
-   * At 100 TB: fit on a sample (`fitSampleFraction`), persist assignments
-   * partitioned by `list_id` so a query touches only matching partitions —
-   * the Spark analog of the reference reading only the nodes on the search
-   * path (SeekableGraphReader.cs:57-104).
+   * For a reusable on-disk index with partition-pruned probes, see
+   * `ivfBuild` / `ivfSearchIndexed`.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
               nlist: Int = 64, nprobe: Int = 8,
               corpusId: String = "vec_id", corpusVec: String = "embedding",
               queryId: String = "query_id", queryVec: String = "query_vec",
               fitSampleFraction: Double = 1.0): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vectors => MLVectors}
-    val spark = corpus.sparkSession
-    val toVec = udf((a: Seq[Float]) =>
-      MLVectors.dense(a.map(_.toDouble).toArray))
-    val trainBase = corpus.select(toVec(col(corpusVec)).as("features"))
-    val train = if (fitSampleFraction < 1.0)
-      trainBase.sample(withReplacement = false, fitSampleFraction, seed = 42L)
-    else trainBase
-    val model = new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("features").fit(train)
-    val centers: Array[Array[Double]] = model.clusterCenters.map(_.toArray)
-    val bc = spark.sparkContext.broadcast(centers)
+    val centers = fitCentroids(corpus, corpusVec, nlist, fitSampleFraction)
+    val cAssigned = corpus.withColumn("list_id", assignUdf(centers)(col(corpusVec)))
+    val qProbed = queries.withColumn("list_id",
+      explode(probeUdf(centers, nprobe)(col(queryVec))))
+    val scored = cAssigned.join(broadcast(qProbed), Seq("list_id"))
+      .withColumn("cosine", cosine(col(corpusVec), col(queryVec)))
+      .select(col(queryId), col(corpusId), col("cosine"))
+    TopK.topKPerGroup(scored, queryId, corpusId, "cosine", k)
+  }
 
-    def sqDist(v: Seq[Float], c: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      val n = math.min(v.length, c.length)
-      while (i < n) { val d = v(i) - c(i); s += d * d; i += 1 }
-      s
-    }
-    val assignUdf = udf { (v: Seq[Float]) =>
-      val cs = bc.value
-      var best = 0; var bestD = Double.MaxValue; var j = 0
-      while (j < cs.length) {
-        val d = sqDist(v, cs(j)); if (d < bestD) { bestD = d; best = j }; j += 1
-      }
-      best
-    }
-    val probeUdf = udf { (v: Seq[Float]) =>
-      val cs = bc.value
-      cs.indices.map(j => (sqDist(v, cs(j)), j)).sorted
-        .take(math.min(nprobe, cs.length)).map(_._2).toArray
-    }
-    val cAssigned = corpus.withColumn("list_id", assignUdf(col(corpusVec)))
-    val qProbed = queries.withColumn("list_id", explode(probeUdf(col(queryVec))))
-    val w = Window.partitionBy(col(queryId)).orderBy(desc("cosine"), col(corpusId))
-    cAssigned.join(qProbed, Seq("list_id"))
-      .withColumn("cosine", graft.functions.expressions.CosineSimilarity.cosineNative(col(corpusVec), col(queryVec)))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(queryId), col(corpusId), col("cosine"), col("rank"))
+  /**
+   * Fit and persist an IVF index (≙ GraphSerializer.Save, GraphSerializer
+   * .cs:29-61 — but as a queryable columnar layout instead of a node file):
+   *
+   *   - `<path>/centroids`   — (list_id, centroid array<double>), nlist rows
+   *   - `<path>/assignments` — the corpus + its list_id, written
+   *     `partitionBy("list_id")` so each inverted list is its own partition
+   *     directory and a probe reads ONLY matching partitions.
+   *
+   * `fitSampleFraction` bounds the k-means fit scan — the default samples;
+   * pass 1.0 only for small corpora.
+   */
+  def ivfBuild(corpus: DataFrame, path: String, nlist: Int = 64,
+               corpusId: String = "vec_id", corpusVec: String = "embedding",
+               fitSampleFraction: Double = 0.5): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centers = fitCentroids(corpus, corpusVec, nlist, fitSampleFraction)
+    centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("list_id", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    corpus.withColumn("list_id", assignUdf(centers)(col(corpusVec)))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/assignments")
+  }
+
+  /**
+   * Search a persisted IVF index: probe lists are resolved driver-side from
+   * the (tiny) centroid table, and the assignment scan carries a
+   * `list_id IN (...)` partition filter — the file index prunes every
+   * non-probed list before a single byte is read. This is the true analog
+   * of SeekableGraphReader.ClosestMatch (SeekableGraphReader.cs:57-104):
+   * read only the nodes on the search path.
+   *
+   * Queries are expected to be small (an interactive probe set); the probe
+   * assignment runs driver-side over the collected query vectors.
+   */
+  def ivfSearchIndexed(spark: SparkSession, path: String, queries: DataFrame,
+                       k: Int, nprobe: Int = 8,
+                       corpusId: String = "vec_id", corpusVec: String = "embedding",
+                       queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
+    import spark.implicits._
+    val centers = spark.read.parquet(s"$path/centroids")
+      .select("list_id", "centroid").as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2)
+    val qProbed = queries.withColumn("list_id",
+      explode(probeUdf(centers, nprobe)(col(queryVec))))
+    // the probed list union is ≤ |queries| · nprobe values — collect it so
+    // the scan gets a literal IN filter the partition index can prune on
+    val probedLists = qProbed.select("list_id").distinct().as[Int].collect()
+    val assignments = spark.read.parquet(s"$path/assignments")
+      .filter(col("list_id").isin(probedLists.map(_.asInstanceOf[Any]): _*))
+    val scored = assignments.join(broadcast(qProbed), Seq("list_id"))
+      .withColumn("cosine", cosine(col(corpusVec), col(queryVec)))
+      .select(col(queryId), col(corpusId), col("cosine"))
+    TopK.topKPerGroup(scored, queryId, corpusId, "cosine", k)
   }
 
   // ------------------------------------------------- vocab / bag-of-words
@@ -203,20 +279,24 @@ object SimilarityIndex {
 
   /**
    * Closest match of each query sentence against the indexed corpus
-   * (≙ GraphService.Search → ClosestMatch): exact top-1 by cosine.
+   * (≙ GraphService.Search → ClosestMatch): exact top-1 by cosine, via the
+   * bounded top-k aggregate (sentences join back after the top-1 cut — only
+   * ids and scores ride the aggregation).
    */
   def closestMatch(indexed: DataFrame, queries: DataFrame): DataFrame = {
     val idx = indexed.select(col("id").as("corpus_id"),
-      col("sentence").as("corpus_sentence"),
       col("indices").as("c_idx"), col("counts").as("c_cnt"))
     val q = queries.select(col("id").as("query_id"),
-      col("sentence").as("query_sentence"),
       col("indices").as("q_idx"), col("counts").as("q_cnt"))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), col("corpus_id"))
-    idx.crossJoin(broadcast(q))
+    val scored = idx.crossJoin(broadcast(q))
       .withColumn("score", sparseCos(col("c_idx"), col("c_cnt"), col("q_idx"), col("q_cnt")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
+      .select(col("query_id"), col("corpus_id"), col("score"))
+    TopK.topKPerGroup(scored, "query_id", "corpus_id", "score", 1)
+      .drop("rank")
+      .join(queries.select(col("id").as("query_id"),
+        col("sentence").as("query_sentence")), "query_id")
+      .join(indexed.select(col("id").as("corpus_id"),
+        col("sentence").as("corpus_sentence")), "corpus_id")
       .select(col("query_id"), col("query_sentence"),
         col("corpus_id"), col("corpus_sentence"), col("score"))
   }
@@ -244,19 +324,67 @@ object SimilarityIndex {
       .join(toks(queries, "query_id", "cnt_q"), Seq("dim"))
       .groupBy(col("query_id"), col("corpus_id"))
       .agg(sum(col("cnt_c") * col("cnt_q")).as("dot"))
-    val w = Window.partitionBy(col("query_id")).orderBy(desc("score"), col("corpus_id"))
-    dots
+    val scored = dots
       .join(norms(indexed, "corpus_id", "norm_c"), "corpus_id")
       .join(norms(queries, "query_id", "norm_q"), "query_id")
       .withColumn("score",
         when(col("norm_c") === 0.0 || col("norm_q") === 0.0, lit(0.0))
           .otherwise(col("dot") / (col("norm_c") * col("norm_q"))))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") === 1)
+      .select(col("query_id"), col("corpus_id"), col("score"))
+    TopK.topKPerGroup(scored, "query_id", "corpus_id", "score", 1)
+      .drop("rank")
       .join(queries.select(col("id").as("query_id"),
         col("sentence").as("query_sentence")), "query_id")
       .join(indexed.select(col("id").as("corpus_id"),
         col("sentence").as("corpus_sentence")), "corpus_id")
+      .select(col("query_id"), col("query_sentence"),
+        col("corpus_id"), col("corpus_sentence"), col("score"))
+  }
+
+  /**
+   * Direct hashed-dimension closest match — the single-pass scale path that
+   * skips the vocabulary fit entirely: token dims are `xxhash64(word)`
+   * instead of dense ranked indices. Dims only need equality semantics for
+   * the inverted dot product, and the scores are bit-identical to the
+   * vocabulary path (integer counts sum exactly in double; a 64-bit hash
+   * collision, p ≈ |vocab|²/2⁶⁵, is the only divergence source). Saves the
+   * distinct+rank jobs and the two BoW array aggregations. Same contract as
+   * closestMatchInverted: zero-overlap queries return no row.
+   *
+   * `corpus`/`queries`: (id, sentence) frames; queries may be a filtered
+   * subset of the corpus. Token rows are persisted for the duration of the
+   * lineage (read by both the dot-product and the norm pass).
+   */
+  def closestMatchHashed(corpus: DataFrame, queries: DataFrame,
+                         idCol: String = "id", textCol: String = "sentence",
+                         sep: String = ";"): DataFrame = {
+    def toks(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"),
+        explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("id"), xxhash64(col("word")).as("dim"))
+      .agg(count(lit(1)).cast("double").as("cnt"))
+    val cToks = toks(corpus).persist()
+    val qToks = toks(queries)
+    def norms(t: DataFrame, idAs: String, normAs: String): DataFrame =
+      t.groupBy(col("id").as(idAs))
+        .agg(sqrt(sum(col("cnt") * col("cnt"))).as(normAs))
+    val dots = cToks.select(col("id").as("corpus_id"), col("dim"), col("cnt").as("cnt_c"))
+      .join(qToks.select(col("id").as("query_id"), col("dim"), col("cnt").as("cnt_q")),
+        Seq("dim"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum(col("cnt_c") * col("cnt_q")).as("dot"))
+    val scored = dots
+      .join(norms(cToks, "corpus_id", "norm_c"), "corpus_id")
+      .join(norms(qToks, "query_id", "norm_q"), "query_id")
+      .withColumn("score", col("dot") / (col("norm_c") * col("norm_q")))
+      .select(col("query_id"), col("corpus_id"), col("score"))
+    TopK.topKPerGroup(scored, "query_id", "corpus_id", "score", 1)
+      .drop("rank")
+      .join(queries.select(col(idCol).as("query_id"),
+        col(textCol).as("query_sentence")), "query_id")
+      .join(corpus.select(col(idCol).as("corpus_id"),
+        col(textCol).as("corpus_sentence")), "corpus_id")
       .select(col("query_id"), col("query_sentence"),
         col("corpus_id"), col("corpus_sentence"), col("score"))
   }

@@ -117,6 +117,79 @@ class SimilarityIndexSpec extends SparkTestBase {
     assert(ivf === exact, s"IVF $ivf must match exact $exact here")
   }
 
+  test("hashed-dims closest match agrees with the inverted vocabulary path") {
+    val vocab = SimilarityIndex.buildVocabulary(sentences, "sentence")
+    val indexed = SimilarityIndex.bagOfWords(sentences, vocab).cache()
+    val viaVocab = SimilarityIndex.closestMatchInverted(indexed, indexed)
+      .select("query_id", "corpus_id", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    val direct = SimilarityIndex.closestMatchHashed(sentences, sentences)
+      .select("query_id", "corpus_id", "score")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(direct === viaVocab)
+  }
+
+  test("top-k paths plan bounded aggregation, never a per-query window") {
+    val corpus = (1 to 50).map(i => (i.toLong,
+      Array(i.toFloat, (51 - i).toFloat, 1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("query_id", "query_vec")
+    val plans = Seq(
+      "brute" -> SimilarityIndex.bruteForceTopK(corpus, queries, k = 3),
+      "lsh" -> SimilarityIndex.lshTopK(corpus, queries, k = 3, dims = 4,
+        planes = 8, bands = 4),
+      "ivf" -> SimilarityIndex.ivfTopK(corpus, queries, k = 3, nlist = 2,
+        nprobe = 2))
+    plans.foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"),
+        s"$name top-k must not rank through a window funnel:\n$plan")
+    }
+  }
+
+  test("LSH band exchange carries ids only — vectors never ride the explode") {
+    val corpus = (1 to 50).map(i => (i.toLong,
+      Array(i.toFloat, (51 - i).toFloat, 1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val queries = Seq((1L, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("query_id", "query_vec")
+    val df = SimilarityIndex.lshTopK(corpus, queries, k = 3, dims = 4,
+      planes = 8, bands = 4)
+    // the Generate (posexplode) outputs must not include an embedding column
+    val generates = df.queryExecution.optimizedPlan.collect {
+      case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+    }
+    assert(generates.nonEmpty)
+    generates.foreach { g =>
+      val carried = (g.requiredChildOutput ++ g.generatorOutput).map(_.name)
+      assert(!carried.exists(n => n.contains("embedding") || n.contains("query_vec")),
+        s"band explode must carry ids only, got: $carried")
+    }
+  }
+
+  test("persisted IVF index probes with partition pruning") {
+    val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
+      case (v, i) => if (i == 0) v + eps else v }
+    val c1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val c2 = Array(0.0f, 0.0f, 0.0f, -1.0f)
+    val corpus = (1 to 10).map(i => (i.toLong, mk(c1, i * 0.01f))) ++
+      (11 to 20).map(i => (i.toLong, mk(c2, i * 0.01f)))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    SimilarityIndex.ivfBuild(corpus.toDF("vec_id", "embedding"), dir,
+      nlist = 2, fitSampleFraction = 1.0)
+    val queries = Seq((1L, c1)).toDF("query_id", "query_vec")
+    val hits = SimilarityIndex.ivfSearchIndexed(spark, dir, queries,
+      k = 20, nprobe = 1)
+    val ids = hits.select("vec_id").as[Long].collect().toSet
+    // only the c1 cluster's list is probed — no c2 ids can appear
+    assert(ids.nonEmpty && ids.subsetOf((1L to 10L).toSet),
+      s"got $ids — expected only ids 1-10")
+    // and the pruning is physical: the scan must carry a list_id partition
+    // filter (the non-probed list's files are never opened)
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"expected list_id partition pruning in:\n$plan")
+  }
+
   test("IVF with nprobe=1 only scores vectors in the probed list") {
     val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
       case (v, i) => if (i == 0) v + eps else v }
