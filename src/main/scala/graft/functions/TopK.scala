@@ -30,9 +30,15 @@ object TopK {
   final case class Buf(scores: Array[Double], ids: Array[Long])
 
   /** True iff (s1,i1) ranks strictly before (s2,i2): higher score first,
-    * lower id on ties. NaN scores never win (compare yields false). */
-  private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+    * lower id on ties — Spark SQL `orderBy(desc(score), id)` semantics
+    * exactly: NaN sorts above every double (so NaN-scored rows rank FIRST
+    * in desc, same as the window funnel this replaces) and -0.0 ties 0.0
+    * (`+ 0.0` normalizes -0.0 to 0.0 and passes NaN through, where raw
+    * `Double.compare` would put -0.0 below 0.0). */
+  private def beats(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1 + 0.0, s2 + 0.0)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   private final class TopKAggregator(k: Int)
       extends Aggregator[Scored, Buf, Buf] {

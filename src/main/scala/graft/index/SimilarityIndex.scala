@@ -222,6 +222,38 @@ object SimilarityIndex {
     TopK.topKPerGroup(scored, queryId, corpusId, "cosine", k)
   }
 
+  /**
+   * Recall gate for approximate top-k — the distributed form of the
+   * reference's own index-quality contract (GraphTests.cs:40-43 and
+   * GraphIndexValidator.cs:24-55: build-corpus queries must return
+   * themselves at ≈ IdenticalAngle). For corpus-member queries:
+   *
+   *   - `top1_id`     — the approximate rank-1 hit. A corpus-member query
+   *     always collides with itself in every LSH band (identical sign
+   *     bits) / probes its own IVF list (same nearest centroid), so this
+   *     is deterministically the query itself at cosine 1 — directly
+   *     oracle-checkable.
+   *   - `recall_pass` — |approx ∩ exact| ≥ `recallFloor` of the exact
+   *     top-k, the containment check against a brute-force ranking.
+   *
+   * `approx` and `exact` are both `topKPerGroup` outputs
+   * (queryId, idCol, score, rank). Both are tiny (≤ |queries|·k rows), so
+   * this report costs nothing next to the searches themselves.
+   */
+  def approxRecallReport(approx: DataFrame, exact: DataFrame, recallFloor: Int,
+                         queryId: String = "query_id",
+                         idCol: String = "vec_id"): DataFrame = {
+    val hits = approx.select(col(queryId), col(idCol))
+      .join(exact.select(col(queryId), col(idCol)), Seq(queryId, idCol))
+      .groupBy(col(queryId))
+      .agg(count(lit(1)).as("_hits"))
+    approx.filter(col("rank") === 1)
+      .select(col(queryId), col(idCol).as("top1_id"))
+      .join(hits, Seq(queryId), "left")
+      .select(col(queryId), col("top1_id"),
+        (coalesce(col("_hits"), lit(0L)) >= recallFloor).as("recall_pass"))
+  }
+
   // ------------------------------------------------- vocab / bag-of-words
 
   /**
@@ -291,15 +323,24 @@ object SimilarityIndex {
     val scored = idx.crossJoin(broadcast(q))
       .withColumn("score", sparseCos(col("c_idx"), col("c_cnt"), col("q_idx"), col("q_cnt")))
       .select(col("query_id"), col("corpus_id"), col("score"))
-    TopK.topKPerGroup(scored, "query_id", "corpus_id", "score", 1)
-      .drop("rank")
-      .join(queries.select(col("id").as("query_id"),
-        col("sentence").as("query_sentence")), "query_id")
-      .join(indexed.select(col("id").as("corpus_id"),
-        col("sentence").as("corpus_sentence")), "corpus_id")
+    withSentences(
+      TopK.topKPerGroup(scored, "query_id", "corpus_id", "score", 1).drop("rank"),
+      indexed, queries)
+  }
+
+  /** Join query/corpus sentence strings back onto an ids-only top-1 frame.
+    * Kept OUT of the ids-only paths: Catalyst cannot prune an inner join
+    * whose output the caller drops, so callers selecting ids+score only
+    * should use the `*Ids` variants and skip both joins entirely. */
+  private def withSentences(ids: DataFrame, corpus: DataFrame, queries: DataFrame,
+                            idCol: String = "id", textCol: String = "sentence"): DataFrame =
+    ids
+      .join(queries.select(col(idCol).as("query_id"),
+        col(textCol).as("query_sentence")), "query_id")
+      .join(corpus.select(col(idCol).as("corpus_id"),
+        col(textCol).as("corpus_sentence")), "corpus_id")
       .select(col("query_id"), col("query_sentence"),
         col("corpus_id"), col("corpus_sentence"), col("score"))
-  }
 
   /**
    * Scale path for closestMatch: sparse cosine via an inverted-index join
@@ -308,8 +349,10 @@ object SimilarityIndex {
    * are only (query, corpus) pairs sharing ≥1 word, so the shuffle is
    * proportional to real term overlap, not |corpus|×|queries|. Queries with
    * zero vocabulary overlap (score would be 0 everywhere) return no row.
+   * Output: (query_id, corpus_id, score) — use `closestMatchInverted` when
+   * the sentence strings are wanted too.
    */
-  def closestMatchInverted(indexed: DataFrame, queries: DataFrame): DataFrame = {
+  def closestMatchInvertedIds(indexed: DataFrame, queries: DataFrame): DataFrame = {
     // token rows carry ids only — sentences would otherwise ride every
     // per-dim shuffle row; they join back after the top-1 cut
     def toks(df: DataFrame, idAs: String, cntAs: String): DataFrame =
@@ -333,13 +376,11 @@ object SimilarityIndex {
       .select(col("query_id"), col("corpus_id"), col("score"))
     TopK.topKPerGroup(scored, "query_id", "corpus_id", "score", 1)
       .drop("rank")
-      .join(queries.select(col("id").as("query_id"),
-        col("sentence").as("query_sentence")), "query_id")
-      .join(indexed.select(col("id").as("corpus_id"),
-        col("sentence").as("corpus_sentence")), "corpus_id")
-      .select(col("query_id"), col("query_sentence"),
-        col("corpus_id"), col("corpus_sentence"), col("score"))
   }
+
+  /** closestMatchInvertedIds + sentence strings joined back. */
+  def closestMatchInverted(indexed: DataFrame, queries: DataFrame): DataFrame =
+    withSentences(closestMatchInvertedIds(indexed, queries), indexed, queries)
 
   /**
    * Direct hashed-dimension closest match — the single-pass scale path that
@@ -354,10 +395,12 @@ object SimilarityIndex {
    * `corpus`/`queries`: (id, sentence) frames; queries may be a filtered
    * subset of the corpus. Token rows are persisted for the duration of the
    * lineage (read by both the dot-product and the norm pass).
+   * Output: (query_id, corpus_id, score) — `closestMatchHashed` adds the
+   * sentence strings.
    */
-  def closestMatchHashed(corpus: DataFrame, queries: DataFrame,
-                         idCol: String = "id", textCol: String = "sentence",
-                         sep: String = ";"): DataFrame = {
+  def closestMatchHashedIds(corpus: DataFrame, queries: DataFrame,
+                            idCol: String = "id", textCol: String = "sentence",
+                            sep: String = ";"): DataFrame = {
     def toks(df: DataFrame): DataFrame = df
       .select(col(idCol).as("id"),
         explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("word"))
@@ -381,13 +424,14 @@ object SimilarityIndex {
       .select(col("query_id"), col("corpus_id"), col("score"))
     TopK.topKPerGroup(scored, "query_id", "corpus_id", "score", 1)
       .drop("rank")
-      .join(queries.select(col(idCol).as("query_id"),
-        col(textCol).as("query_sentence")), "query_id")
-      .join(corpus.select(col(idCol).as("corpus_id"),
-        col(textCol).as("corpus_sentence")), "corpus_id")
-      .select(col("query_id"), col("query_sentence"),
-        col("corpus_id"), col("corpus_sentence"), col("score"))
   }
+
+  /** closestMatchHashedIds + sentence strings joined back. */
+  def closestMatchHashed(corpus: DataFrame, queries: DataFrame,
+                         idCol: String = "id", textCol: String = "sentence",
+                         sep: String = ";"): DataFrame =
+    withSentences(closestMatchHashedIds(corpus, queries, idCol, textCol, sep),
+      corpus, queries, idCol, textCol)
 
   /**
    * ≙ GraphIndexValidator: re-query the build corpus; every sentence must

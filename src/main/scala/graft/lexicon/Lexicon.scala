@@ -54,10 +54,17 @@ object Lexicon {
    * (set semantics of ColumnWriter.TryPut — first writer wins).
    */
   def build(docs: DataFrame, textCol: String = "text",
-            dims: Int = TextAnalyzer.DefaultDims): Dataset[Entry] = {
-    val spark = docs.sparkSession
+            dims: Int = TextAnalyzer.DefaultDims): Dataset[Entry] =
+    buildFromTokens(tokenize(docs, textCol, dims))
+
+  /** Lexicon from an already-tokenized corpus — lets build + validate share
+    * ONE tokenize pass (persist the token Dataset, feed it to both): the
+    * 512-d vectorizer is the most expensive kernel in the pipeline and must
+    * not run twice over the same corpus. */
+  def buildFromTokens(tokens: Dataset[TokenRow]): Dataset[Entry] = {
+    val spark = tokens.sparkSession
     import spark.implicits._
-    tokenize(docs, textCol, dims)
+    tokens
       .dropDuplicates("angle")
       .map(t => Entry(t.angle, t.label, t.indices, t.values))
   }
@@ -84,6 +91,14 @@ object Lexicon {
                                     minMutualAngle: Double,
                                     leastEntropicToken: String)
 
+  /** Stored-vs-fresh sparse cosine — a column UDF (not a Dataset.map over
+    * Row) so the join→aggregate plan stays in whole-stage codegen with only
+    * this scalar call interpreted. */
+  private val mutualAngleUdf = udf(
+    (ia: Seq[Int], va: Seq[Double], ib: Seq[Int], vb: Seq[Double]) =>
+      graft.functions.VectorOps.cosineSparse(
+        ia.toArray, va.toArray, ib.toArray, vb.toArray))
+
   /**
    * Validate a corpus against a lexicon: every token's angle must exist
    * (miss ⇒ ok=false) and the stored vector must be ≈ the fresh vector.
@@ -91,26 +106,24 @@ object Lexicon {
    */
   def validate(docs: DataFrame, lexicon: DataFrame, textCol: String = "text",
                dims: Int = TextAnalyzer.DefaultDims,
-               identityAngle: Double = TextAnalyzer.DefaultIdentityAngle): ValidationReport = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val tokens = tokenize(docs, textCol, dims)
+               identityAngle: Double = TextAnalyzer.DefaultIdentityAngle): ValidationReport =
+    validateTokens(tokenize(docs, textCol, dims), lexicon, identityAngle)
+
+  /** `validate` over an already-tokenized corpus — pair with
+    * `buildFromTokens` so the corpus is vectorized exactly once for the
+    * build + validate round-trip. */
+  def validateTokens(tokens: Dataset[TokenRow], lexicon: DataFrame,
+                     identityAngle: Double = TextAnalyzer.DefaultIdentityAngle): ValidationReport = {
     val lex = lexicon.select(col("angle").as("lex_angle"),
       col("indices").as("lex_indices"), col("values").as("lex_values"))
 
-    val joined = tokens.join(lex, tokens("angle") === lex("lex_angle"), "left")
-    val mutual = joined.map { row =>
-      val label = row.getAs[String]("label")
-      val hit = !row.isNullAt(row.fieldIndex("lex_angle"))
-      val m =
-        if (!hit) Double.NaN
-        else graft.functions.VectorOps.cosineSparse(
-          row.getAs[scala.collection.Seq[Int]]("indices").toArray,
-          row.getAs[scala.collection.Seq[Double]]("values").toArray,
-          row.getAs[scala.collection.Seq[Int]]("lex_indices").toArray,
-          row.getAs[scala.collection.Seq[Double]]("lex_values").toArray)
-      (label, hit, m)
-    }.toDF("label", "hit", "mutual")
+    val joined = tokens.toDF().join(lex, col("angle") === col("lex_angle"), "left")
+    val hit = col("lex_angle").isNotNull
+    val mutual = joined.select(
+      col("label"),
+      hit.as("hit"),
+      when(hit, mutualAngleUdf(col("indices"), col("values"),
+        col("lex_indices"), col("lex_values"))).as("mutual"))
 
     val agg = mutual.agg(
       count(lit(1)).as("total"),

@@ -38,6 +38,27 @@ class TopKSpec extends SparkTestBase {
     assert(got.toList === List((1L, 11L, 0.9, 1), (1L, 10L, 0.5, 2)))
   }
 
+  test("NaN and signed-zero scores order exactly like the window it replaces") {
+    // NaN sorts ABOVE every double in Spark's desc ordering, and -0.0 ties
+    // 0.0 — the reachable case is a NaN cosine from a zero vector. The
+    // bounded aggregate must agree with the window definition on both,
+    // whatever the buffer fill order (ids spread over partitions).
+    val df = Seq(
+      (1L, 1L, Double.NaN), (1L, 2L, 1.0), (1L, 3L, Double.NaN),
+      (1L, 4L, -0.0), (1L, 5L, 0.0), (1L, 6L, 0.5),
+      (2L, 7L, Double.NaN), (2L, 8L, 2.0)
+    ).toDF("g", "id", "score").repartition(4).cache()
+    val got = TopK.topKPerGroup(df, "g", "id", "score", 4)
+      .select($"g", $"id", $"rank").as[(Long, Long, Int)].collect().toSet
+    val w = Window.partitionBy($"g").orderBy(desc("score"), $"id")
+    val want = df.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 4)
+      .select($"g", $"id", $"rank".cast("int"))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === want)
+    df.unpersist()
+  }
+
   test("plan is a partial aggregate, not a window funnel") {
     val plan = TopK.topKPerGroup(fixture, "g", "id", "score", 3)
       .queryExecution.executedPlan.toString
