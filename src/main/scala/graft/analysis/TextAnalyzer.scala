@@ -329,6 +329,19 @@ object TextAnalyzer {
   def angleOfId(t: TokenVec, dims: Int = DefaultDims): Double =
     VectorOps.angleOfIdentity(t.indices, t.values, dims)
 
+  /** Hashed dimension of the positional-bigram feature — chars `a`,`b` with
+    * bigram start offset `pos` — i.e. the exact bucket `vectorizeToken`
+    * weights +0.75. Exposed so the token synthesizer targets real
+    * dimensions of THIS vectorizer instead of a parallel re-derived hash
+    * (≙ TokenSynthesizer.cs:18-31, which re-implements StringAnalyzer's
+    * hash for the same purpose). */
+  def positionalBigramDim(a: Char, b: Char, pos: Int,
+                          dims: Int = DefaultDims): Int = {
+    val off = offsets(dims)
+    val span = Array(a, b, (pos & 0xFF).toChar, ((pos >> 8) & 0xFF).toChar)
+    (off.bg + idx(span, 0, 4, dims)) % dims
+  }
+
   // -------------------------------------------------------- number/geo checks
 
   def isVowel(c: Char): Boolean = Character.toLowerCase(c) match {

@@ -156,21 +156,60 @@ object Lexicon {
       .as[Double].collect()
   }
 
+  private val SynthAlphabet = "abcdefghijklmnopqrstuvwxyz"
+
   /**
-   * ≙ TokenSynthesizer.Synthesize (TokenSynthesizer.cs:32-79, seed 12345 at
-   * :10-14): deterministic pseudo-random labels for negative validation —
-   * out-of-vocabulary strings whose identity angles are (with overwhelming
-   * probability) absent from any built lexicon, so `validate` on a corpus
-   * of them must fail. Driver-side fixture generator, plain Scala.
+   * ≙ TokenSynthesizer.SynthesizeLabelForDimensions (TokenSynthesizer.cs:
+   * 32-66): grow a nonsensical-but-readable label one character at a time,
+   * steering each positional bigram toward the target hashed dimensions.
+   * At every position the alphabet is scanned from a seeded rotation and
+   * the first character whose bigram feature
+   * (`TextAnalyzer.positionalBigramDim` — the vectorizer's own +0.75
+   * bucket, not a parallel hash) lands in a still-unmet target dim is
+   * taken; if none hits, the rotation start char is used. Stops early once
+   * every target is met (≙ the reference's hit-and-length break,
+   * TokenSynthesizer.cs:61-62).
    */
-  def synthesizeLabels(count: Int, seed: Long = 12345L): Seq[String] = {
+  def synthesizeLabelForDims(targetDims: Array[Int], rnd: scala.util.Random,
+                             dims: Int = TextAnalyzer.DefaultDims): String = {
+    val sb = new StringBuilder
+    sb.append(SynthAlphabet.charAt(rnd.nextInt(SynthAlphabet.length)))
+    val unmet = scala.collection.mutable.Set(targetDims.toIndexedSeq: _*)
+    var i = 0
+    while (i < 6 && unmet.nonEmpty) {
+      val pos = sb.length - 1
+      val start = rnd.nextInt(SynthAlphabet.length)
+      var pick = SynthAlphabet.charAt(start)
+      var t = 0
+      var found = false
+      while (t < SynthAlphabet.length && !found) {
+        val c = SynthAlphabet.charAt((start + t) % SynthAlphabet.length)
+        val d = TextAnalyzer.positionalBigramDim(sb.charAt(pos), c, pos, dims)
+        if (unmet.contains(d)) { pick = c; unmet -= d; found = true }
+        t += 1
+      }
+      sb.append(pick)
+      i += 1
+    }
+    sb.append(SynthAlphabet.charAt(rnd.nextInt(SynthAlphabet.length)))
+    sb.result()
+  }
+
+  /**
+   * ≙ TokenSynthesizer.Synthesize (TokenSynthesizer.cs:68-78, seed 12345 at
+   * :10-14): deterministic dim-targeting labels for negative validation —
+   * each label aims at a random 4-7-dim target set, and the resulting
+   * strings are (with overwhelming probability) out-of-vocabulary for any
+   * real corpus, so `validate` on a corpus of them must fail. Driver-side
+   * fixture generator, plain Scala.
+   */
+  def synthesizeLabels(count: Int, seed: Long = 12345L,
+                       dims: Int = TextAnalyzer.DefaultDims): Seq[String] = {
     val rnd = new scala.util.Random(seed)
-    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
     (0 until count).map { _ =>
-      val len = 4 + rnd.nextInt(9)
-      val sb = new StringBuilder(len)
-      (0 until len).foreach(_ => sb.append(alphabet.charAt(rnd.nextInt(alphabet.length))))
-      "zz" + sb.result() // prefix keeps synthetics disjoint from real corpora
+      val k = 4 + rnd.nextInt(4)
+      val targets = Array.fill(k)(rnd.nextInt(dims))
+      synthesizeLabelForDims(targets, rnd, dims)
     }
   }
 }
