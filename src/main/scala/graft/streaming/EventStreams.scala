@@ -17,7 +17,7 @@ import java.sql.Timestamp
  * tests. At scale: state stores are keyed by the groupBy keys and bounded
  * by the watermark — no unbounded driver or executor state.
  */
-object EventStreams {
+object EventStreams extends Serializable {
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
@@ -64,14 +64,39 @@ object EventStreams {
     ts
   }
 
+  /** Shared session fold: run this batch's events (event-time order,
+    * microsecond precision) against the open session, returning the closed
+    * sessions in emit order plus the still-open tail. */
+  private def foldSessions(userId: Long, rows: Iterator[Event],
+                           open: Option[SessionState], gapSeconds: Long)
+      : (List[SessionUpdate], Option[SessionState]) = {
+    val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
+    var out = List.empty[SessionUpdate]
+    var cur = open
+    sorted.foreach { e =>
+      val t = tsMicros(e.ts)
+      cur match {
+        case Some(st) if t - st.last > gapSeconds * 1000000L =>
+          out = SessionUpdate(userId, microsToTs(st.start), st.n, st.total) :: out
+          cur = Some(SessionState(t, t, 1L, e.value))
+        case Some(st) =>
+          cur = Some(st.copy(last = math.max(st.last, t), n = st.n + 1,
+            total = st.total + e.value))
+        case None =>
+          cur = Some(SessionState(t, t, 1L, e.value))
+      }
+    }
+    (out.reverse, cur)
+  }
+
   /**
    * Stateful sessionization with flatMapGroupsWithState: a session closes
    * when a later event arrives more than `gapSeconds` after it (gap
    * detection in event time, microsecond precision); closed sessions are
-   * emitted downstream. The trailing open session stays in state —
-   * production deployments add a state timeout to flush it; tests keep
-   * NoTimeout so micro-batches are fully deterministic. The same code runs
-   * in batch (state starts empty, only closed sessions emit) — SparkEntry's
+   * emitted downstream. The trailing open session stays in state — use
+   * `sessionizeWithTimeout` when it must flush; this NoTimeout variant
+   * keeps micro-batches fully deterministic. The same code runs in batch
+   * (state starts empty, only closed sessions emit) — SparkEntry's
    * q_events_closed_sessions oracles it against a DuckDB window rewrite.
    */
   def sessionize(events: Dataset[Event], gapSeconds: Long = 1800)(
@@ -80,29 +105,52 @@ object EventStreams {
 
     def update(userId: Long, rows: Iterator[Event],
                state: GroupState[SessionState]): Iterator[SessionUpdate] = {
-      val sorted = rows.toSeq.sortBy(e => (tsMicros(e.ts), e.event_id))
-      var out = List.empty[SessionUpdate]
-      var cur = state.getOption
-      sorted.foreach { e =>
-        val t = tsMicros(e.ts)
-        cur match {
-          case Some(st) if t - st.last > gapSeconds * 1000000L =>
-            out = SessionUpdate(userId, microsToTs(st.start), st.n, st.total) :: out
-            cur = Some(SessionState(t, t, 1L, e.value))
-          case Some(st) =>
-            cur = Some(st.copy(last = math.max(st.last, t), n = st.n + 1,
-              total = st.total + e.value))
-          case None =>
-            cur = Some(SessionState(t, t, 1L, e.value))
-        }
-      }
+      val (closed, cur) = foldSessions(userId, rows, state.getOption, gapSeconds)
       cur.foreach(state.update)
-      out.reverseIterator
+      closed.iterator
     }
 
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(update)
+  }
+
+  /**
+   * Durable sessionization: same gap semantics as `sessionize`, but the
+   * trailing open session flushes once the event-time watermark passes
+   * `last + gapSeconds` — the exact moment no in-order event can extend it
+   * (EventTimeTimeout; state is removed on flush, so state size stays
+   * bounded by the number of concurrently-open sessions). Requires an
+   * event-time source; the watermark is applied here.
+   */
+  def sessionizeWithTimeout(events: Dataset[Event], gapSeconds: Long = 1800,
+                            watermark: String = "10 minutes")(
+    implicit spark: SparkSession): Dataset[SessionUpdate] = {
+    import spark.implicits._
+
+    def update(userId: Long, rows: Iterator[Event],
+               state: GroupState[SessionState]): Iterator[SessionUpdate] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        Iterator.single(SessionUpdate(userId, microsToTs(st.start), st.n, st.total))
+      } else {
+        val (closed, cur) = foldSessions(userId, rows, state.getOption, gapSeconds)
+        cur.foreach { st =>
+          state.update(st)
+          // flush at last+gap; clamp above the current watermark (a late
+          // event can leave last+gap already behind it, which Spark rejects)
+          val flushAt = Math.floorDiv(st.last, 1000L) + gapSeconds * 1000L
+          state.setTimeoutTimestamp(math.max(flushAt, state.getCurrentWatermarkMs() + 1L))
+        }
+        closed.iterator
+      }
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(update)
   }
 
   /**
@@ -113,8 +161,10 @@ object EventStreams {
    * state store, watermark tracking, micro-batch planner — executed batch-
    * deterministically, so the same DuckDB oracle as the batch rollup holds.
    */
-  def runHourlyStream(spark: SparkSession, eventsPath: String,
-                      queryName: String = "graft_stream_hourly"): DataFrame = {
+  /** readStream source + watermarked hourly aggregation shared by the
+    * memory-sink and durable-sink runners. */
+  private def hourlyAggStream(spark: SparkSession, eventsPath: String,
+                              maxFilesPerTrigger: Option[Int]): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsPath).schema
     // the file-stream source wants a directory to monitor: stream the path
@@ -127,14 +177,21 @@ object EventStreams {
     val isDir =
       try fs.getFileStatus(p).isDirectory
       catch { case _: java.io.FileNotFoundException => false }
-    val reader = spark.readStream.schema(schema)
-    val stream = (if (isDir) reader.parquet(eventsPath)
+    val reader0 = spark.readStream.schema(schema)
+    val reader = maxFilesPerTrigger
+      .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
+    (if (isDir) reader.parquet(eventsPath)
       else reader.option("pathGlobFilter", p.getName).parquet(p.getParent.toString))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+  }
+
+  def runHourlyStream(spark: SparkSession, eventsPath: String,
+                      queryName: String = "graft_stream_hourly"): DataFrame = {
+    val stream = hourlyAggStream(spark, eventsPath, None)
     val q = stream.writeStream
       .format("memory")
       .queryName(queryName)
@@ -143,6 +200,40 @@ object EventStreams {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /**
+   * Durable-sink variant of the hourly stream: update output mode through
+   * `foreachBatch`, upserting each micro-batch's changed aggregate rows
+   * into plain parquet via dynamic partition overwrite. The sink is
+   * partitioned by (hour, event_type) — exactly the aggregation key — so
+   * every partition holds one aggregate row and an updated row rewrites
+   * precisely its own partition: an idempotent upsert with no table format
+   * required. Unlike the memory/complete path the state store only ships
+   * CHANGED rows per batch, and the checkpoint makes the run resumable —
+   * the shape a 100 TB continuous ingest needs (complete mode re-emits the
+   * whole result table every batch; memory sinks collect it to the driver).
+   */
+  def runHourlyStreamDurable(spark: SparkSession, eventsPath: String,
+                             outPath: String, checkpointPath: String,
+                             maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    val stream = hourlyAggStream(spark, eventsPath, maxFilesPerTrigger)
+      // partition-path-safe key; the timestamp is reconstructible from it
+      .withColumn("hour", date_format(col("hour"), "yyyy-MM-dd HH:mm:ss"))
+    val q = stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite")
+          .partitionBy("hour", "event_type")
+          .parquet(outPath)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(outPath)
   }
 
   /**

@@ -87,6 +87,65 @@ class EventStreamsSpec extends SparkTestBase {
       s"µs component lost: ${closed.head.session_start}")
   }
 
+  test("sessionizeWithTimeout flushes the trailing session via watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStreams.Event]
+    // gap 60 s, watermark delay 10 s: the 10:00-10:01 session times out
+    // as soon as the watermark passes 10:02
+    val q = EventStreams.sessionizeWithTimeout(input.toDS(),
+      gapSeconds = 60, watermark = "10 seconds")
+      .writeStream.format("memory").queryName("sessions_flush_out")
+      .outputMode("append").start()
+    input.addData(
+      EventStreams.Event(1, ts(0), 7L, "click", 1.0),
+      EventStreams.Event(2, ts(1), 7L, "view", 2.0))
+    q.processAllAvailable()
+    assert(spark.table("sessions_flush_out").count() === 0,
+      "open session must not emit before the watermark passes last+gap")
+    // a different user's late-hour event advances the watermark far past
+    // 10:01+60s; the next batch fires user 7's timeout
+    input.addData(
+      EventStreams.Event(3, Timestamp.valueOf("2024-01-01 11:00:00"), 8L, "click", 4.0))
+    q.processAllAvailable()
+    // one more batch so the timeout (evaluated against the watermark
+    // committed at the previous batch's end) actually executes
+    input.addData(
+      EventStreams.Event(4, Timestamp.valueOf("2024-01-01 11:00:01"), 8L, "click", 5.0))
+    q.processAllAvailable(); q.stop()
+    val flushed = spark.table("sessions_flush_out")
+      .as[EventStreams.SessionUpdate].collect()
+    assert(flushed.exists(su => su.user_id == 7L && su.n_events == 2L &&
+      math.abs(su.total_value - 3.0) < 1e-9),
+      s"trailing session not flushed: ${flushed.mkString(",")}")
+  }
+
+  test("durable hourly stream upserts parquet partitions across batches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_durable_").toFile
+    dir.deleteOnExit()
+    val eventsPath = s"${dir.getAbsolutePath}/events"
+    val outPath = s"${dir.getAbsolutePath}/out"
+    val ckptPath = s"${dir.getAbsolutePath}/ckpt"
+    // two files => two micro-batches at maxFilesPerTrigger=1; hour 10
+    // 'click' spans both files, so its partition must be OVERWRITTEN by the
+    // second batch's updated aggregate, not duplicated
+    val nanos = (m: Int) => Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      .getTime * 1000000L
+    Seq((1L, nanos(0), 7L, "click", 1.0), (2L, nanos(1), 7L, "view", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(eventsPath)
+    Seq((3L, nanos(2), 8L, "click", 3.0), (4L, nanos(40), 8L, "click", 4.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(eventsPath)
+    val result = EventStreams.runHourlyStreamDurable(spark,
+      eventsPath, outPath, ckptPath, maxFilesPerTrigger = Some(1))
+      .select("hour", "event_type", "n", "sum_value")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(result === Set(
+      ("2024-01-01 10:00:00", "click", 3L, 8.0),
+      ("2024-01-01 10:00:00", "view", 1L, 2.0)),
+      s"durable sink content wrong: $result")
+  }
+
   test("streaming lexicon emits first-seen angles only") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
