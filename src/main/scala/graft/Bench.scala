@@ -26,22 +26,30 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => }
     val errors = scala.collection.mutable.ListBuffer.empty[String]
+    // two timed runs per query, min reported: one run is hostage to JIT /
+    // page-cache / GC timing on a shared machine, and round-over-round
+    // comparisons need the repeatable floor, not one sample of the noise
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          errors += name
-          false
-        }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // drop caches a query pinned (dedup/rank helpers persist internally)
-      // so later timings aren't distorted by accumulated storage memory
-      spark.catalog.clearCache()
-      // failed queries report negative elapsed so they can't masquerade as
-      // fast successes in the JSON
-      name -> (if (ok) dt else -dt)
+      val times = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            false
+          }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop caches a query pinned (dedup/rank helpers persist internally)
+        // so later timings aren't distorted by accumulated storage memory
+        spark.catalog.clearCache()
+        // failed runs report negative elapsed so they can't masquerade as
+        // fast successes in the JSON
+        if (ok) dt else -dt
+      }
+      if (times.exists(_ < 0)) errors += name
+      // any failed run marks the query failed (negative); else min of runs
+      name -> (if (times.exists(_ < 0)) times.filter(_ < 0).max else times.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
