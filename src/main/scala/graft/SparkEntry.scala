@@ -310,6 +310,23 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     }),
 
+    // the DURABLE streaming path: update output mode upserted through
+    // foreachBatch into (hour, event_type)-partitioned parquet with a
+    // checkpoint — the sink shape a continuous ingest needs (the memory/
+    // complete path above re-emits and driver-collects the whole table
+    // every batch). Oracled identically to the batch hourly rollup: the
+    // sink's final on-disk content must equal it. Fresh tmp dirs per call
+    // keep the run deterministic (no stale checkpoint short-circuits).
+    "q_events_stream_durable" -> ((s, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_durable_")
+        .toFile.getAbsolutePath
+      graft.streaming.EventStreams.runHourlyStreamDurable(s,
+        s"$dir/events.parquet", s"$tmp/out", s"$tmp/ckpt")
+        .select(col("hour").cast("timestamp").as("hour"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("hour", "event_type")
+    }),
+
     // the streaming windowed aggregation run in batch (same window() code
     // path; the watermark is a no-op on batch frames)
     "q_events_windowed" -> ((s, dir) => {
@@ -846,6 +863,11 @@ object SparkEntry {
         |SELECT user_id, CAST(sum(new_s) + 1 AS BIGINT) AS n_sessions, count(*) AS n_events
         |FROM marked GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q_events_stream_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_events_stream_durable" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type,
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
