@@ -650,6 +650,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // deterministic weighted corpus mixing (RNG-free Knuth-hash sampling —
+    // reproducible across engines/retries, so the sampled rows themselves
+    // are oracle-checkable, not just their count)
+    "doc_sample_mix" -> ((s, dir) => {
+      graft.pipeline.Sampling.mixByWeights(tbl(s, dir, "documents"),
+        "lang", "doc_id", Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // deterministic train/validation split — complement partitions of the
+    // same hash coordinate (train ∪ val == corpus, train ∩ val == ∅)
+    "doc_train_val_split" -> ((s, dir) => {
+      val (train, valSet) = graft.pipeline.Sampling
+        .trainValSplit(tbl(s, dir, "documents"), "doc_id", 0.2)
+      train.select(lit("train").as("split"), col("doc_id"))
+        .unionByName(valSet.select(lit("val").as("split"), col("doc_id")))
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")
+    }),
+
+    // sequence packing: concat-then-chunk token-budget bins over sharded
+    // per-language streams — the window partitions by (lang, shard), never
+    // globally, so no task funnels the corpus
+    "doc_pack_bins" -> ((s, dir) => {
+      val withTokens = tbl(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextMetrics.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      graft.pipeline.Packing.packByTokenBudget(withTokens,
+        "doc_id", "n_tokens", "lang", tokenBudget = 512, nShards = 4)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("shard"), col("bin"))
+        .orderBy("doc_id")
+    }),
+
     // ==================================================================
     // Lexicon validate (reference flagship #2) + graph closest-match
     // ==================================================================
@@ -1095,6 +1130,36 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.98
         |ORDER BY id_a, id_b""".stripMargin,
+    // Sampling/mixing/packing: the Knuth multiplicative hash and the
+    // chunked cumsum are plain BIGINT arithmetic, reproduced exactly
+    "doc_sample_mix" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 4294967296 <
+        |  CASE lang WHEN 'en' THEN 4294967296
+        |            WHEN 'de' THEN 2147483648
+        |            WHEN 'fr' THEN 1073741824
+        |            ELSE 0 END
+        |ORDER BY doc_id""".stripMargin,
+    "doc_train_val_split" ->
+      """SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 858993459
+        |  THEN 'val' ELSE 'train' END AS split, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    "doc_pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tokens,
+        |    doc_id % 4 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, shard, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, shard,
+        |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
+        |FROM c ORDER BY doc_id""".stripMargin,
     "doc_token_stats" ->
       """SELECT lang,
         |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0

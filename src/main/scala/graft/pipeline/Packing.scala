@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sequence packing for pretraining pipelines: assign documents to
+ * fixed-token-budget bins (the "pack short documents into 4k-token rows"
+ * step), as a declarative plan.
+ *
+ * Semantics are concat-then-chunk: within a (stratum, shard) stream the
+ * documents are laid end-to-end in key order and the stream is cut every
+ * `tokenBudget` tokens; a document belongs to the bin where it STARTS
+ * (bin = floor(cumsum_before / budget)), so a straddling document may push
+ * its bin past the budget by less than its own length — the convention
+ * that keeps every bin a contiguous segment and no document dropped or
+ * reordered (oversized documents get isolated bins; segmentation happens
+ * downstream). Made distributed by sharding:
+ *
+ *  - The window partitions by (stratum, shard), NEVER globally — each
+ *    window holds |stratum|/nShards docs, so no single task funnels the
+ *    corpus. A global `Window.orderBy` would serialize 100 TB through one
+ *    task — the exact funnel the top-k paths also ban.
+ *  - `shard = key mod nShards` is deterministic, so bin ids are stable
+ *    across retries/engines (oracle-checkable in DuckDB with the same
+ *    window SQL).
+ *  - Bin ids are globally unique via (stratum, shard, bin) — callers
+ *    group by that triple to materialize packed rows.
+ */
+object Packing {
+
+  /**
+   * @param df          input frame
+   * @param keyCol      unique numeric row key (orders docs within a shard)
+   * @param tokensCol   per-row token count
+   * @param stratumCol  grouping column packs never cross (e.g. language)
+   * @param tokenBudget bin capacity in tokens
+   * @param nShards     parallel packing streams per stratum
+   * @return input columns + (shard, bin) — bin local to (stratum, shard)
+   */
+  def packByTokenBudget(df: DataFrame, keyCol: String, tokensCol: String,
+                        stratumCol: String, tokenBudget: Long,
+                        nShards: Int = 64): DataFrame = {
+    val cumWindow = Window
+      .partitionBy(col(stratumCol), col("shard"))
+      .orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("shard", pmod(col(keyCol), lit(nShards.toLong)))
+      .withColumn("_cum", sum(col(tokensCol)).over(cumWindow))
+      .withColumn("bin", ((col("_cum") - col(tokensCol)) / lit(tokenBudget))
+        .cast("long"))
+      .drop("_cum")
+  }
+}

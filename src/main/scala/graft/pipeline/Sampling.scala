@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deterministic sampling / corpus mixing for training-data pipelines.
+ *
+ * Everything here is RNG-free: membership is a pure function of the row key
+ * via a Knuth multiplicative hash over the low 32 bits. That buys three
+ * properties `df.sample`/`sampleBy` cannot give at 100 TB:
+ *
+ *  - reproducible across engines (the same arithmetic runs in DuckDB SQL,
+ *    so sampled outputs are oracle-checkable row-for-row),
+ *  - reproducible across retries/partitionings (no per-partition RNG state —
+ *    a recomputed task samples identical rows, so downstream caches and
+ *    shuffle retries stay consistent),
+ *  - composable: train/val splits are complements by construction; mixing
+ *    weights can be re-tuned without re-shuffling anything (pure map, the
+ *    filter fuses into the scan).
+ *
+ * The hash: h(k) = ((k * 2654435761) mod 2^32) / 2^32 ∈ [0,1), Knuth's
+ * golden-ratio multiplier — well-distributed on sequential ids, exact in
+ * BIGINT arithmetic (k < 2^31 keeps the product < 2^63 — true for the
+ * synthetic doc/vec ids and for any 32-bit key; wider keys should be
+ * pre-folded with a mod).
+ */
+object Sampling {
+
+  private val KnuthMult = 2654435761L
+  private val Mod32 = 4294967296L // 2^32
+
+  /** h(key) scaled to [0, 2^32): the sampling coordinate. */
+  def hashCoord(key: Column): Column = pmod(key * lit(KnuthMult), lit(Mod32))
+
+  /** Keep rows whose hash coordinate falls below `fraction` — a
+    * deterministic Bernoulli sample. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double): DataFrame =
+    df.filter(hashCoord(col(keyCol)) < lit((fraction * Mod32).toLong))
+
+  /**
+   * Weighted corpus mixing: per-stratum sampling fractions (e.g. language →
+   * weight), one declarative filter — `when` chains on the stratum column,
+   * so the whole mix is a single scan with the predicate pushed down; no
+   * shuffle, no RNG, no driver loop. Strata absent from `weights` are
+   * dropped (weight 0).
+   */
+  def mixByWeights(df: DataFrame, stratumCol: String, keyCol: String,
+                   weights: Map[String, Double]): DataFrame = {
+    val threshold = weights.foldLeft(lit(0L)) { case (acc, (stratum, w)) =>
+      when(col(stratumCol) === stratum, lit((w * Mod32).toLong)).otherwise(acc)
+    }
+    df.filter(hashCoord(col(keyCol)) < threshold)
+  }
+
+  /**
+   * Deterministic train/validation split: complement partitions of the same
+   * hash coordinate, so union(train, val) == corpus and train ∩ val == ∅ by
+   * construction — across any retry, partitioning, or engine.
+   */
+  def trainValSplit(df: DataFrame, keyCol: String,
+                    valFraction: Double): (DataFrame, DataFrame) = {
+    val cut = lit((valFraction * Mod32).toLong)
+    (df.filter(hashCoord(col(keyCol)) >= cut),
+      df.filter(hashCoord(col(keyCol)) < cut))
+  }
+}

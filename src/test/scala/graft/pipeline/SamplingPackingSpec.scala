@@ -1,0 +1,80 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class SamplingPackingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  test("hashSample is deterministic and fraction-accurate") {
+    val total = docs.count()
+    val a = Sampling.hashSample(docs, "doc_id", 0.3)
+    val b = Sampling.hashSample(docs, "doc_id", 0.3)
+    assert(a.select("doc_id").collect().toSet === b.select("doc_id").collect().toSet)
+    val frac = a.count().toDouble / total
+    // multiplicative hash on sequential ids: within a few points of target
+    assert(frac > 0.2 && frac < 0.4, s"sample fraction off: $frac")
+    // monotone: a smaller fraction is a strict subset of a larger one
+    val small = Sampling.hashSample(docs, "doc_id", 0.1)
+      .select("doc_id").as[Long].collect().toSet
+    val big = a.select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("trainValSplit partitions the corpus exactly") {
+    val (train, valSet) = Sampling.trainValSplit(docs, "doc_id", 0.2)
+    val n = docs.count()
+    assert(train.count() + valSet.count() === n)
+    assert(train.select("doc_id").intersect(valSet.select("doc_id")).count() === 0)
+    // val is exactly the complement sample
+    val sampled = Sampling.hashSample(docs, "doc_id", 0.2)
+    assert(valSet.select("doc_id").except(sampled.select("doc_id")).count() === 0)
+  }
+
+  test("mixByWeights applies per-stratum fractions and drops absent strata") {
+    val mixed = Sampling.mixByWeights(docs, "lang", "doc_id",
+      Map("en" -> 1.0, "de" -> 0.5))
+    val langs = mixed.select("lang").distinct().as[String].collect().toSet
+    assert(langs.subsetOf(Set("en", "de")), s"unexpected strata: $langs")
+    val en = docs.filter(col("lang") === "en").count()
+    assert(mixed.filter(col("lang") === "en").count() === en,
+      "weight 1.0 must keep every row of the stratum")
+    val de = docs.filter(col("lang") === "de").count()
+    val deMixed = mixed.filter(col("lang") === "de").count()
+    assert(deMixed > 0 && deMixed < de, s"0.5 weight kept $deMixed of $de")
+  }
+
+  test("packByTokenBudget: bins are contiguous, ordered, near-budget") {
+    val withTokens = docs.select(col("doc_id"), col("lang"),
+      graft.analysis.TextMetrics.tokenCountWs(col("text")).as("n_tokens"))
+    val packed = Packing.packByTokenBudget(withTokens, "doc_id", "n_tokens",
+      "lang", tokenBudget = 512, nShards = 4)
+    val rows = packed.select("lang", "shard", "bin", "doc_id", "n_tokens")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .groupBy(r => (r._1, r._2))
+
+    rows.foreach { case ((lang, shard), stream) =>
+      val inOrder = stream.sortBy(_._4)
+      // bins are non-decreasing along the doc stream and start at 0
+      assert(inOrder.head._3 === 0L, s"($lang,$shard) first bin not 0")
+      inOrder.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 <= b._3,
+          s"bin went backwards in ($lang,$shard): $a -> $b")
+        case _ =>
+      }
+      // concat-then-chunk invariant: every bin except the last holds at
+      // least the budget when its straddling doc is included, and the
+      // tokens BEFORE each bin's first doc are exactly bin * budget rounded
+      // down — i.e. floor(cumsum_before/budget) == bin for every doc
+      var cum = 0L
+      inOrder.foreach { case (_, _, bin, _, nTok) =>
+        assert(cum / 512 === bin, s"bin formula violated at cum=$cum")
+        cum += nTok
+      }
+    }
+    // shard is key mod nShards — deterministic placement
+    assert(packed.filter(pmod(col("doc_id"), lit(4L)) =!= col("shard")).count() === 0)
+  }
+}
