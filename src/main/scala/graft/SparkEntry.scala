@@ -310,20 +310,20 @@ object SparkEntry {
         .orderBy("hour", "event_type")
     }),
 
-    // the DURABLE streaming path: update output mode upserted through
-    // foreachBatch into (hour, event_type)-partitioned parquet with a
-    // checkpoint — the sink shape a continuous ingest needs (the memory/
-    // complete path above re-emits and driver-collects the whole table
-    // every batch). Oracled identically to the batch hourly rollup: the
-    // sink's final on-disk content must equal it. Fresh tmp dirs per call
-    // keep the run deterministic (no stale checkpoint short-circuits).
+    // the DURABLE streaming path: update output mode appended through
+    // foreachBatch as a batch-id-stamped parquet changelog with a
+    // checkpoint, compacted last-writer-wins on read — the sink shape a
+    // continuous ingest needs (the memory/complete path above re-emits and
+    // driver-collects the whole table every batch; partitioning a sink by
+    // the aggregation key mints one tiny file per aggregate row). Oracled
+    // identically to the batch hourly rollup: the compacted log must equal
+    // it. Fresh tmp dirs per call keep the run deterministic.
     "q_events_stream_durable" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_durable_")
         .toFile.getAbsolutePath
       graft.streaming.EventStreams.runHourlyStreamDurable(s,
         s"$dir/events.parquet", s"$tmp/out", s"$tmp/ckpt")
-        .select(col("hour").cast("timestamp").as("hour"), col("event_type"),
-          col("n"), col("sum_value"))
+        .select(col("hour"), col("event_type"), col("n"), col("sum_value"))
         .orderBy("hour", "event_type")
     }),
 

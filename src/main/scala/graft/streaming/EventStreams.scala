@@ -204,37 +204,44 @@ object EventStreams extends Serializable {
 
   /**
    * Durable-sink variant of the hourly stream: update output mode through
-   * `foreachBatch`, upserting each micro-batch's changed aggregate rows
-   * into plain parquet via dynamic partition overwrite. The sink is
-   * partitioned by (hour, event_type) — exactly the aggregation key — so
-   * every partition holds one aggregate row and an updated row rewrites
-   * precisely its own partition: an idempotent upsert with no table format
-   * required. Unlike the memory/complete path the state store only ships
-   * CHANGED rows per batch, and the checkpoint makes the run resumable —
-   * the shape a 100 TB continuous ingest needs (complete mode re-emits the
-   * whole result table every batch; memory sinks collect it to the driver).
+   * `foreachBatch` into an append-only parquet CHANGELOG — each micro-batch
+   * appends only its changed aggregate rows stamped with the batch id, and
+   * `compactHourlyLog` resolves last-writer-wins per (hour, event_type) on
+   * read. This is the compacted-topic shape a 100 TB continuous ingest
+   * needs: the state store ships only changed rows per batch, a batch
+   * writes one small file set regardless of how many distinct keys exist
+   * (partitioning the sink BY the aggregation key would mint one tiny file
+   * per aggregate row — millions of files at scale), the checkpoint makes
+   * the run resumable, and a replayed batch appends identical rows under
+   * the same batch_id so the read-side resolution is replay-idempotent.
+   * A periodic maintenance job can rewrite the log with its own compacted
+   * output to bound read amplification.
    */
   def runHourlyStreamDurable(spark: SparkSession, eventsPath: String,
                              outPath: String, checkpointPath: String,
                              maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     val stream = hourlyAggStream(spark, eventsPath, maxFilesPerTrigger)
-      // partition-path-safe key; the timestamp is reconstructible from it
-      .withColumn("hour", date_format(col("hour"), "yyyy-MM-dd HH:mm:ss"))
     val q = stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("overwrite")
-          .partitionBy("hour", "event_type")
-          .parquet(outPath)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.read.parquet(outPath)
+    compactHourlyLog(spark.read.parquet(outPath))
   }
+
+  /** Resolve the durable changelog to current state: the highest batch_id
+    * wins per aggregation key (one hash aggregation — no window funnel). */
+  def compactHourlyLog(log: DataFrame): DataFrame =
+    log.groupBy("hour", "event_type")
+      .agg(max_by(struct(col("n"), col("sum_value")), col("batch_id")).as("_v"))
+      .select(col("hour"), col("event_type"),
+        col("_v.n").as("n"), col("_v.sum_value").as("sum_value"))
 
   /**
    * Continuous lexicon ingest (streaming form of Lexicon.build): tokenize

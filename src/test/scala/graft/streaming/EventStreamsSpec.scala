@@ -119,15 +119,16 @@ class EventStreamsSpec extends SparkTestBase {
       s"trailing session not flushed: ${flushed.mkString(",")}")
   }
 
-  test("durable hourly stream upserts parquet partitions across batches") {
+  test("durable hourly stream compacts the changelog last-writer-wins") {
     val dir = java.nio.file.Files.createTempDirectory("graft_durable_").toFile
     dir.deleteOnExit()
     val eventsPath = s"${dir.getAbsolutePath}/events"
     val outPath = s"${dir.getAbsolutePath}/out"
     val ckptPath = s"${dir.getAbsolutePath}/ckpt"
     // two files => two micro-batches at maxFilesPerTrigger=1; hour 10
-    // 'click' spans both files, so its partition must be OVERWRITTEN by the
-    // second batch's updated aggregate, not duplicated
+    // 'click' spans both files, so the log holds two click rows and
+    // compaction must resolve to the SECOND batch's aggregate, not
+    // duplicate or keep the first
     val nanos = (m: Int) => Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
       .getTime * 1000000L
     Seq((1L, nanos(0), 7L, "click", 1.0), (2L, nanos(1), 7L, "view", 2.0))
@@ -139,11 +140,18 @@ class EventStreamsSpec extends SparkTestBase {
     val result = EventStreams.runHourlyStreamDurable(spark,
       eventsPath, outPath, ckptPath, maxFilesPerTrigger = Some(1))
       .select("hour", "event_type", "n", "sum_value")
-      .as[(String, String, Long, Double)].collect().toSet
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val h10 = Timestamp.valueOf("2024-01-01 10:00:00")
     assert(result === Set(
-      ("2024-01-01 10:00:00", "click", 3L, 8.0),
-      ("2024-01-01 10:00:00", "view", 1L, 2.0)),
+      (h10, "click", 3L, 8.0),
+      (h10, "view", 1L, 2.0)),
       s"durable sink content wrong: $result")
+    // the raw log must be a changelog: the superseded batch-0 click row is
+    // still present (append-only), distinguished by batch_id
+    val raw = spark.read.parquet(outPath)
+    assert(raw.filter($"event_type" === "click").count() === 2,
+      "changelog should retain the superseded click row")
+    assert(raw.select("batch_id").distinct().count() === 2)
   }
 
   test("streaming lexicon emits first-seen angles only") {
