@@ -29,8 +29,14 @@ object Bench {
     // two timed runs per query, min reported: one run is hostage to JIT /
     // page-cache / GC timing on a shared machine, and round-over-round
     // comparisons need the repeatable floor, not one sample of the noise
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // clamp: 0 or garbage must not crash the whole bench (times.min on empty)
+    val runs = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt).getOrElse(2))
+    // optional comma-separated filter for local iteration on a few queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -51,6 +51,17 @@ object SparkEntry {
     d.unionByName(mutated)
   }
 
+  /** Register a temp directory for recursive deletion at JVM exit
+    * (File.deleteOnExit only handles empty dirs). */
+  private def deleteRecursivelyOnExit(dir: java.nio.file.Path): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+      catch { case _: Throwable => () } // best-effort cleanup
+    }))
+
   /** Flagship query (≙ reference `lexicon` command, LexiconCommand.cs:14-58):
     * build the identity-angle lexicon over the documents corpus. */
   def entry(spark: SparkSession): DataFrame = {
@@ -319,8 +330,13 @@ object SparkEntry {
     // identically to the batch hourly rollup: the compacted log must equal
     // it. Fresh tmp dirs per call keep the run deterministic.
     "q_events_stream_durable" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_durable_")
-        .toFile.getAbsolutePath
+      val tmpDir = java.nio.file.Files.createTempDirectory("graft_durable_")
+      // the changelog parquet must outlive this call (the returned frame
+      // reads it lazily), so reclamation is a JVM-exit hook, not an inline
+      // delete — without it, min-of-2 bench runs plus the run-all-queries
+      // test leave a changelog+checkpoint pair in /tmp per invocation
+      deleteRecursivelyOnExit(tmpDir)
+      val tmp = tmpDir.toFile.getAbsolutePath
       graft.streaming.EventStreams.runHourlyStreamDurable(s,
         s"$dir/events.parquet", s"$tmp/out", s"$tmp/ckpt")
         .select(col("hour"), col("event_type"), col("n"), col("sum_value"))
@@ -682,6 +698,18 @@ object SparkEntry {
         "doc_id", "n_tokens", "lang", tokenBudget = 512, nShards = 4)
         .select(col("doc_id"), col("lang"), col("n_tokens"),
           col("shard"), col("bin"))
+        .orderBy("doc_id")
+    }),
+
+    // benchmark decontamination: training docs sharing >=1 distinct word
+    // 5-gram with a held-out eval set (here: every 97th doc), with the
+    // evidence count. The benchmark gram set broadcasts; the corpus side
+    // streams through a map-side semi-join — no corpus shuffle.
+    "doc_decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val bench = docs.filter(col("doc_id") % 97 === 0).select("text")
+      graft.pipeline.Decontaminate
+        .contaminationHits(docs, "doc_id", "text", bench, n = 5)
         .orderBy("doc_id")
     }),
 
@@ -1160,6 +1188,24 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, shard,
         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
+    // distinct word 5-grams on both sides (same normalization + short-text
+    // fallback as the Jaccard oracle); n_hits = distinct shared grams
+    "doc_decontaminate" ->
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-3),
+        |      i -> array_to_string(w[i:i+4], ' ')) END)) AS gram
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM documents) t
+        |), bgrams AS (
+        |  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0 AND gram <> ''
+        |)
+        |SELECT doc_id, count(*) AS n_hits
+        |FROM grams JOIN bgrams USING (gram)
+        |WHERE gram <> ''
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_token_stats" ->
       """SELECT lang,
         |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -209,7 +209,13 @@ object Lexicon {
     (0 until count).map { _ =>
       val k = 4 + rnd.nextInt(4)
       val targets = Array.fill(k)(rnd.nextInt(dims))
-      synthesizeLabelForDims(targets, rnd, dims)
+      // "qzx" never occurs as a substring of natural-language tokens, so the
+      // negative-validation fixture is GUARANTEED out-of-vocabulary rather
+      // than merely improbable (a bare 3-8-char lowercase label can collide
+      // with a real short word). Suffix, not prefix: a prefix would shift
+      // every position and undo the dim targeting above; a suffix only adds
+      // bigrams after the targeted ones are already met.
+      synthesizeLabelForDims(targets, rnd, dims) + "qzx"
     }
   }
 }

@@ -48,8 +48,11 @@ object Packing {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("shard", pmod(col(keyCol), lit(nShards.toLong)))
       .withColumn("_cum", sum(col(tokensCol)).over(cumWindow))
-      .withColumn("bin", ((col("_cum") - col(tokensCol)) / lit(tokenBudget))
-        .cast("long"))
-      .drop("_cum")
+      // integral `div`, not double-divide-then-cast: DuckDB's oracle uses
+      // `//`, and double rounding can flip a bin at a boundary once the
+      // cumulative sum exceeds ~2^53/budget — `div` is exact for all longs
+      .withColumn("_start", col("_cum") - col(tokensCol))
+      .withColumn("bin", expr(s"_start div ${tokenBudget}L"))
+      .drop("_cum", "_start")
   }
 }
