@@ -581,6 +581,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style repetition signals: word-level duplicate fraction
+    // (codegen HOF) + most-frequent-2-gram share (tight UDF pass). Both
+    // are exact integer ratios, so the DuckDB oracle compares bit-equal.
+    "doc_repetition" -> ((s, dir) => {
+      val topBigram = udf((t: String) => TextMetrics.topBigramFraction(t))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          TextMetrics.dupWordFraction(col("text")).as("dupword_frac"),
+          topBigram(col("text")).as("top2gram_frac"))
+        .orderBy("doc_id")
+    }),
+
     "doc_fingerprints" -> ((s, dir) => {
       val fp = udf((t: String) => TextMetrics.rollingFingerprint(t))
       tbl(s, dir, "documents")
@@ -1283,6 +1295,30 @@ object SparkEntry {
     // mirrors TextMetrics.languageId: no CJK chars exist in the corpus, so
     // the stopword-coverage argmax (ties resolved alphabetically, all-zero
     // -> 'und') is the whole decision
+    // integer-ratio repetition signals — exact on both engines
+    "doc_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w,
+        |    length(trim(text)) AS lt
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(w)),
+        |      i -> w[i] || ' ' || w[i+1])) AS gram,
+        |    len(w) - 1 AS total
+        |  FROM w WHERE lt > 0 AND len(w) >= 2),
+        |m AS (
+        |  SELECT doc_id, max(c)::DOUBLE / any_value(total) AS top2gram_frac
+        |  FROM (SELECT doc_id, gram, any_value(total) AS total, count(*) AS c
+        |        FROM g GROUP BY doc_id, gram) t
+        |  GROUP BY doc_id)
+        |SELECT w.doc_id,
+        |  CASE WHEN lt = 0 THEN 0.0
+        |    ELSE (len(w) - len(list_distinct(w)))::DOUBLE / len(w) END
+        |    AS dupword_frac,
+        |  coalesce(m.top2gram_frac, 0.0) AS top2gram_frac
+        |FROM w LEFT JOIN m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "doc_langid" ->
       """WITH s AS (
         |  SELECT lang,

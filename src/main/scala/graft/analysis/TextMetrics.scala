@@ -81,6 +81,41 @@ object TextMetrics {
     (stopOk * lit(0.4) + punctOk * lit(0.3) + lenOk * lit(0.3))
   }
 
+  // ------------------------------------------------------- repetition signals
+
+  /** Fraction of whitespace tokens that repeat an earlier token
+    * (1 - distinct/total) — the word-level "duplicate line fraction" analog
+    * of the Gopher repetition rules for corpora without line structure.
+    * Column-first: stays in the scan projection, no shuffle. */
+  def dupWordFraction(text: Column): Column = {
+    val toks = split(trim(text), "\\s+")
+    val n = size(toks)
+    when(length(trim(text)) === 0, lit(0.0))
+      .otherwise((n - size(array_distinct(toks))).cast("double") / n)
+  }
+
+  /** Occurrence share of the single most frequent word 2-gram (boilerplate /
+    * spam detector: real prose tops out ≈0.05, templated spam ≫0.2). Pure
+    * function — one hash-map pass per string, used inside a UDF (the HOF
+    * equivalent is an interpreted O(n²) scan per row). */
+  def topBigramFraction(text: String): Double = {
+    if (text == null) return 0.0
+    val toks = text.trim.split("\\s+")
+    if (text.trim.isEmpty || toks.length < 2) return 0.0
+    val counts = new java.util.HashMap[String, Int]()
+    var i = 0
+    var max = 0
+    while (i < toks.length - 1) {
+      val g = toks(i) + " " + toks(i + 1)
+      val c = counts.merge(g, 1, Integer.sum)
+      if (c > max) max = c
+      i += 1
+    }
+    // both operands are exact ints → the double quotient is identical in
+    // every IEEE-754 engine (oracle-safe)
+    max.toDouble / (toks.length - 1)
+  }
+
   // ------------------------------------------------------------- language ID
 
   private val StopwordsByLang: Map[String, Set[String]] = Map(
@@ -139,6 +174,7 @@ object TextMetrics {
   def registerUdfs(spark: SparkSession): Unit = {
     spark.udf.register("language_id", (s: String) => languageId(s))
     spark.udf.register("doc_fingerprint", (s: String) => rollingFingerprint(s))
+    spark.udf.register("top_bigram_fraction", (s: String) => topBigramFraction(s))
   }
 
   /** Full per-document profile (one codegen'd projection, no shuffle). */
