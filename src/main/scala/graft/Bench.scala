@@ -32,8 +32,18 @@ object Bench {
     // clamp: 0 or garbage must not crash the whole bench (times.min on empty)
     val runs = math.max(1,
       scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt).getOrElse(2))
-    // optional comma-separated filter for local iteration on a few queries
-    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").map(_.trim).toSet)
+    // optional comma-separated filter for local iteration on a few queries;
+    // an all-blank value is treated as unset, and unknown names are warned
+    // (a misspelled filter must not silently produce an empty benchmark)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      if (unknown.nonEmpty)
+        System.err.println("[bench] SPARK_GRAFT_BENCH_ONLY names not in " +
+          s"SparkEntry.queries (ignored): ${unknown.toSeq.sorted.mkString(", ")}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>

@@ -51,16 +51,37 @@ object SparkEntry {
     d.unionByName(mutated)
   }
 
-  /** Register a temp directory for recursive deletion at JVM exit
-    * (File.deleteOnExit only handles empty dirs). */
-  private def deleteRecursivelyOnExit(dir: java.nio.file.Path): Unit =
+  /** Dirs queued for recursive deletion at JVM exit, drained by ONE static
+    * shutdown hook — a hook per call would accumulate Thread objects (and
+    * retained paths) unboundedly in a long-lived JVM. */
+  private val tmpDirsToDelete =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+
+  private lazy val tmpDirHookInstalled: Boolean = {
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
-      try Files.walk(dir).sorted(Comparator.reverseOrder[Path]())
-        .forEach(p => Files.deleteIfExists(p))
-      catch { case _: Throwable => () } // best-effort cleanup
+      var dir = tmpDirsToDelete.poll()
+      while (dir != null) {
+        try {
+          val walk = Files.walk(dir)
+          try walk.sorted(Comparator.reverseOrder[Path]())
+            .forEach(p => Files.deleteIfExists(p))
+          finally walk.close()
+        } catch { case _: Throwable => () } // best-effort cleanup
+        dir = tmpDirsToDelete.poll()
+      }
     }))
+    true
+  }
+
+  /** Register a temp directory for recursive deletion at JVM exit
+    * (File.deleteOnExit only handles empty dirs). */
+  private def deleteRecursivelyOnExit(dir: java.nio.file.Path): Unit = {
+    tmpDirHookInstalled
+    tmpDirsToDelete.add(dir)
+    ()
+  }
 
   /** Flagship query (≙ reference `lexicon` command, LexiconCommand.cs:14-58):
     * build the identity-angle lexicon over the documents corpus. */

@@ -94,14 +94,30 @@ object TextMetrics {
       .otherwise((n - size(array_distinct(toks))).cast("double") / n)
   }
 
+  /** SQL `trim` semantics: strip SPACES only. Java's `String.trim` strips
+    * every char <= U+0020, so a doc with a leading/trailing tab or newline
+    * would tokenize differently here than in SQL `trim` (the DuckDB oracle
+    * and the column-side `dupWordFraction` above) — the split must also
+    * keep leading/trailing empty tokens (`limit = -1`) to match
+    * `regexp_split_to_array` / Spark `split`. */
+  private def trimSpaces(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
   /** Occurrence share of the single most frequent word 2-gram (boilerplate /
     * spam detector: real prose tops out ≈0.05, templated spam ≫0.2). Pure
     * function — one hash-map pass per string, used inside a UDF (the HOF
     * equivalent is an interpreted O(n²) scan per row). */
   def topBigramFraction(text: String): Double = {
     if (text == null) return 0.0
-    val toks = text.trim.split("\\s+")
-    if (text.trim.isEmpty || toks.length < 2) return 0.0
+    val trimmed = trimSpaces(text)
+    if (trimmed.isEmpty) return 0.0
+    val toks = trimmed.split("\\s+", -1)
+    if (toks.length < 2) return 0.0
     val counts = new java.util.HashMap[String, Int]()
     var i = 0
     var max = 0

@@ -71,4 +71,22 @@ class TextMetricsSpec extends SparkTestBase {
     // n_chars ground truth column must agree with m_chars
     assert(prof.filter(col("m_chars") =!= col("n_chars")).count() === 0)
   }
+
+  test("topBigramFraction matches SQL trim semantics on non-space whitespace") {
+    // SQL trim strips spaces only, and regexp_split keeps boundary empties:
+    // "\ta b" -> ["", "a", "b"] -> 2 bigrams, each once -> 0.5. Java's
+    // String.trim would strip the tab and report 1.0 — the doc_repetition
+    // oracle computes 0.5, so the UDF must too.
+    assert(TextMetrics.topBigramFraction("\ta b") === 0.5)
+    // trailing tab: split must keep the trailing empty token (limit = -1)
+    assert(TextMetrics.topBigramFraction("a b\t") === 0.5)
+    // plain spaces unchanged by the fix
+    assert(TextMetrics.topBigramFraction("  a b  ") === 1.0)
+    assert(TextMetrics.topBigramFraction("a b a b c") === 0.5)
+    // and the column-side dupWordFraction sees the same 3 tokens for "\ta b"
+    val dup = Seq("\ta b").toDF("text")
+      .select(TextMetrics.dupWordFraction(col("text")).as("d"))
+      .as[Double].head()
+    assert(dup === 0.0)
+  }
 }
