@@ -768,12 +768,16 @@ object SparkEntry {
     // Runs the hashed-dimension single-pass path (spec-proven equivalent to
     // the vocabulary path — integer counts make the score doubles
     // bit-identical) and the ids-only output, so no vocabulary fit jobs and
-    // no dead sentence joins execute.
+    // no dead sentence joins execute. The hot-dimension guard runs ON
+    // (maxDocFreq = 1000) and the oracle SQL reproduces the same prune
+    // (rare-dim candidates ∪ identical-multiset twins, exact re-score), so
+    // the driver exercises and hash-checks the guarded code path — the one
+    // that runs at 100 TB.
     "graph_closest_match" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
         .select(col("doc_id").as("id"), Dedup.normalized(col("text")).as("sentence"))
       SimilarityIndex.closestMatchHashedIds(docs, docs.filter(col("id") < 8),
-        "id", "sentence", " ")
+        "id", "sentence", " ", maxDocFreq = 1000)
         .orderBy("query_id")
     }),
 
@@ -1085,7 +1089,12 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // bag-of-words closest match: counts are integers so dot products and
     // squared norms sum exactly in double regardless of order — the score
-    // double is bit-deterministic and the argmax comparable across engines
+    // double is bit-deterministic and the argmax comparable across engines.
+    // Reproduces the operator's hot-dimension guard exactly: candidate
+    // pairs come from dims with corpus df <= 1000 plus identical-multiset
+    // twins (string fingerprint here ≡ the operator's xxhash64 fingerprint:
+    // both are equality on the sorted (word, cnt) set), then surviving
+    // pairs re-score exactly over all shared dims.
     "graph_closest_match" ->
       """WITH docs AS (
         |  SELECT doc_id AS id, trim(regexp_replace(regexp_replace(
@@ -1099,12 +1108,29 @@ object SparkEntry {
         |  FROM (SELECT id, unnest(string_split(sentence, ' ')) AS t FROM docs) u
         |  WHERE t <> ''
         |  GROUP BY id, t
+        |), rare AS (
+        |  SELECT t FROM (SELECT t, count(*) AS df FROM tok GROUP BY t) f
+        |  WHERE df <= 1000
+        |), fp AS (
+        |  SELECT id, string_agg(t || ':' || CAST(cnt AS BIGINT), '|' ORDER BY t) AS fp
+        |  FROM tok GROUP BY id
+        |), cand AS (
+        |  SELECT DISTINCT q.id AS query_id, c.id AS corpus_id
+        |  FROM tok q
+        |  JOIN rare r ON q.t = r.t
+        |  JOIN tok c ON q.t = c.t
+        |  WHERE q.id < 8
+        |  UNION
+        |  SELECT qf.id AS query_id, cf.id AS corpus_id
+        |  FROM fp qf JOIN fp cf ON qf.fp = cf.fp
+        |  WHERE qf.id < 8
         |), norms AS (
         |  SELECT id, sqrt(sum(cnt * cnt)) AS nrm FROM tok GROUP BY id
         |), dots AS (
-        |  SELECT q.id AS query_id, c.id AS corpus_id, sum(q.cnt * c.cnt) AS dot
-        |  FROM tok q JOIN tok c ON q.t = c.t
-        |  WHERE q.id < 8
+        |  SELECT cand.query_id, cand.corpus_id, sum(q.cnt * c.cnt) AS dot
+        |  FROM cand
+        |  JOIN tok c ON c.id = cand.corpus_id
+        |  JOIN tok q ON q.id = cand.query_id AND q.t = c.t
         |  GROUP BY 1, 2
         |), scored AS (
         |  SELECT d.query_id, d.corpus_id,

@@ -392,34 +392,94 @@ object SimilarityIndex {
    * distinct+rank jobs and the two BoW array aggregations. Same contract as
    * closestMatchInverted: zero-overlap queries return no row.
    *
+   * Hot-dimension guard (on by default): an unguarded inverted join
+   * generates `df_corpus(d) × df_queries(d)` candidate rows per dim, so one
+   * stopword dimension ("the") funnels df²-shaped work into the dot-product
+   * aggregation — the one shape that cannot survive a 100 TB corpus.
+   * Guarded, candidate PAIRS are generated only through dims with corpus
+   * document frequency ≤ `maxDocFreq` (candidate volume ≤ maxDocFreq ×
+   * |query token rows|, linear in the query side), plus — regardless of dim
+   * hotness — pairs with IDENTICAL token multisets (equi-join on a
+   * fingerprint of the sorted (dim, cnt) set; 1 row per doc per side).
+   * The fingerprint path guarantees the reference's index contract
+   * (GraphTests.cs:40-43: a build-corpus query finds itself at score 1)
+   * even for documents made entirely of hot dims. Surviving pairs are then
+   * re-scored EXACTLY over all their shared dims — the prune gates which
+   * pairs compete, never what a pair scores. Contract under the guard: a
+   * query returns no row iff it shares no rare dim AND no exact twin with
+   * the corpus; `maxDocFreq = Int.MaxValue` restores the exhaustive join.
+   *
+   * ≙ reference GraphExtensions.ClosestMatch (GraphExtensions.cs:46-84),
+   * whose greedy tree descent also touches only a candidate path, never
+   * every sentence sharing a common word.
+   *
    * `corpus`/`queries`: (id, sentence) frames; queries may be a filtered
-   * subset of the corpus. Token rows are persisted for the duration of the
-   * lineage (read by both the dot-product and the norm pass).
+   * subset of the corpus. The token aggregations are referenced by several
+   * branches of the one returned plan — Catalyst's exchange reuse
+   * materializes each underlying shuffle once, so no persist() (whose
+   * blocks would outlive the operator) is needed.
    * Output: (query_id, corpus_id, score) — `closestMatchHashed` adds the
    * sentence strings.
    */
   def closestMatchHashedIds(corpus: DataFrame, queries: DataFrame,
                             idCol: String = "id", textCol: String = "sentence",
-                            sep: String = ";"): DataFrame = {
+                            sep: String = ";", maxDocFreq: Int = 1000): DataFrame = {
     def toks(df: DataFrame): DataFrame = df
       .select(col(idCol).as("id"),
         explode(split(col(textCol), java.util.regex.Pattern.quote(sep))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("id"), xxhash64(col("word")).as("dim"))
       .agg(count(lit(1)).cast("double").as("cnt"))
-    val cToks = toks(corpus).persist()
+    val cToks = toks(corpus)
     val qToks = toks(queries)
-    def norms(t: DataFrame, idAs: String, normAs: String): DataFrame =
+    // per-doc stats in ONE aggregation per side: the L2 norm for scoring
+    // plus the multiset fingerprint for the twin candidate path — both the
+    // twin join and the final score join reference the same subplan, so
+    // exchange reuse materializes it once
+    def stats(t: DataFrame, idAs: String, normAs: String): DataFrame =
       t.groupBy(col("id").as(idAs))
-        .agg(sqrt(sum(col("cnt") * col("cnt"))).as(normAs))
-    val dots = cToks.select(col("id").as("corpus_id"), col("dim"), col("cnt").as("cnt_c"))
-      .join(qToks.select(col("id").as("query_id"), col("dim"), col("cnt").as("cnt_q")),
-        Seq("dim"))
-      .groupBy(col("query_id"), col("corpus_id"))
-      .agg(sum(col("cnt_c") * col("cnt_q")).as("dot"))
+        .agg(sqrt(sum(col("cnt") * col("cnt"))).as(normAs),
+          xxhash64(array_sort(collect_list(struct(col("dim"), col("cnt"))))).as("fp"))
+    val cStats = stats(cToks, "corpus_id", "norm_c")
+    val qStats = stats(qToks, "query_id", "norm_q")
+
+    val dots =
+      if (maxDocFreq == Int.MaxValue) {
+        // exhaustive: every shared dim generates its pair rows directly
+        cToks.select(col("id").as("corpus_id"), col("dim"), col("cnt").as("cnt_c"))
+          .join(qToks.select(col("id").as("query_id"), col("dim"), col("cnt").as("cnt_q")),
+            Seq("dim"))
+          .groupBy(col("query_id"), col("corpus_id"))
+          .agg(sum(col("cnt_c") * col("cnt_q")).as("dot"))
+      } else {
+        // 1. candidate pairs through rare dims only (corpus df ≤ maxDocFreq)
+        val rare = cToks.groupBy("dim").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select("dim")
+        val viaRare = cToks.select(col("id").as("corpus_id"), col("dim"))
+          .join(rare, "dim")
+          .join(qToks.select(col("id").as("query_id"), col("dim")), Seq("dim"))
+          .select("query_id", "corpus_id")
+        // 2. exact-twin pairs: identical (dim, cnt) multisets collide on the
+        // 64-bit fingerprint — a hash false-positive only ADDS a candidate,
+        // which the exact re-score below ranks correctly anyway
+        val viaTwin = cStats.select(col("corpus_id"), col("fp"))
+          .join(qStats.select(col("query_id"), col("fp")), "fp")
+          .select("query_id", "corpus_id")
+        val candidates = viaRare.union(viaTwin).distinct()
+        // 3. exact re-score: all shared dims of each surviving pair — work
+        // is |candidates| × doc length, not df²
+        candidates
+          .join(cToks.select(col("id").as("corpus_id"), col("dim"), col("cnt").as("cnt_c")),
+            "corpus_id")
+          .join(qToks.select(col("id").as("query_id"), col("dim"), col("cnt").as("cnt_q")),
+            Seq("query_id", "dim"))
+          .groupBy(col("query_id"), col("corpus_id"))
+          .agg(sum(col("cnt_c") * col("cnt_q")).as("dot"))
+      }
+
     val scored = dots
-      .join(norms(cToks, "corpus_id", "norm_c"), "corpus_id")
-      .join(norms(qToks, "query_id", "norm_q"), "query_id")
+      .join(cStats.select(col("corpus_id"), col("norm_c")), "corpus_id")
+      .join(qStats.select(col("query_id"), col("norm_q")), "query_id")
       .withColumn("score", col("dot") / (col("norm_c") * col("norm_q")))
       .select(col("query_id"), col("corpus_id"), col("score"))
     TopK.topKPerGroup(scored, "query_id", "corpus_id", "score", 1)
@@ -429,8 +489,8 @@ object SimilarityIndex {
   /** closestMatchHashedIds + sentence strings joined back. */
   def closestMatchHashed(corpus: DataFrame, queries: DataFrame,
                          idCol: String = "id", textCol: String = "sentence",
-                         sep: String = ";"): DataFrame =
-    withSentences(closestMatchHashedIds(corpus, queries, idCol, textCol, sep),
+                         sep: String = ";", maxDocFreq: Int = 1000): DataFrame =
+    withSentences(closestMatchHashedIds(corpus, queries, idCol, textCol, sep, maxDocFreq),
       corpus, queries, idCol, textCol)
 
   /**

@@ -129,6 +129,51 @@ class SimilarityIndexSpec extends SparkTestBase {
     assert(direct === viaVocab)
   }
 
+  test("hot-dim guard prunes candidate pairs but keeps exact twins") {
+    // "the" is hot (df = 4 > maxDocFreq = 2); rare dims identify the match
+    val corpus = Seq(
+      (0L, "the;alpha"),
+      (1L, "the;beta"),
+      (2L, "the;gamma"),
+      (3L, "the;alpha;alpha")
+    ).toDF("id", "sentence")
+    val q = Seq((100L, "the;alpha")).toDF("id", "sentence")
+    val hits = SimilarityIndex.closestMatchHashedIds(corpus, q, maxDocFreq = 2)
+      .as[(Long, Long, Double)].collect()
+    // candidates via rare "alpha" = {0, 3}; 0 is the identical multiset and
+    // must win at score 1 (exact re-score covers the hot dim too)
+    assert(hits.length === 1)
+    assert(hits.head._1 === 100L && hits.head._2 === 0L)
+    assert(hits.head._3 > 0.999)
+  }
+
+  test("hot-dim guard: hot-only overlap yields no row unless an exact twin exists") {
+    val corpus = Seq(
+      (0L, "the;the"),
+      (1L, "the;alpha")
+    ).toDF("id", "sentence")
+    // maxDocFreq = 1: "the" (df = 2) is hot, "alpha" (df = 1) is rare
+    val noTwin = Seq((100L, "the")).toDF("id", "sentence")
+    // {the:1} is parallel to doc 0's {the:2} (cosine 1) but NOT an identical
+    // multiset — the documented prune contract drops it
+    assert(SimilarityIndex.closestMatchHashedIds(corpus, noTwin, maxDocFreq = 1)
+      .count() === 0)
+    val twin = Seq((101L, "the;the")).toDF("id", "sentence")
+    val hit = SimilarityIndex.closestMatchHashedIds(corpus, twin, maxDocFreq = 1)
+      .as[(Long, Long, Double)].head()
+    assert(hit._2 === 0L && hit._3 > 0.999)
+  }
+
+  test("hot-dim guard is exact when every dim is rare; MaxValue disables it") {
+    val guarded = SimilarityIndex.closestMatchHashedIds(sentences, sentences)
+      .as[(Long, Long, Double)].collect().toSet
+    val exhaustive = SimilarityIndex.closestMatchHashedIds(sentences, sentences,
+      maxDocFreq = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(guarded === exhaustive)
+    assert(guarded.map(_._1) === Set(0L, 1L, 2L, 3L))
+  }
+
   test("top-k paths plan bounded aggregation, never a per-query window") {
     val corpus = (1 to 50).map(i => (i.toLong,
       Array(i.toFloat, (51 - i).toFloat, 1.0f, 0.5f))).toDF("vec_id", "embedding")
