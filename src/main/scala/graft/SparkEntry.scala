@@ -758,7 +758,10 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       val tokens = Lexicon.tokenize(docs, "text").persist()
       val lex = Lexicon.buildFromTokens(tokens).toDF()
+      // validateTokens collects its one aggregate row — the persist's
+      // terminal action — so the token cache releases before returning
       val r = Lexicon.validateTokens(tokens, lex)
+      tokens.unpersist()
       Seq((r.ok, r.totalTokens, r.missing, r.collisions, r.minMutualAngle))
         .toDF("ok", "total_tokens", "missing", "collisions", "min_mutual")
     }),

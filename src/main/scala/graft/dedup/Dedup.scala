@@ -138,14 +138,17 @@ object Dedup {
                             maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    // consumed by three branches (banding + both verify sides) — persist,
-    // MLlib-style, so shingling/signatures compute once per run
-    val base = df.select(col(idCol).as("id"),
+    // shingles are consumed by three branches (banding + both verify
+    // sides). No persist: caching the tokenized corpus cannot survive
+    // 100 TB anyway (it would evict-churn the storage pool and the blocks
+    // would outlive the operator), so the branches recompute the cheap
+    // shingle projection from the scan; the expensive minhash signature
+    // kernel sits only under the banding branch and runs ONCE.
+    val shingled = df.select(col(idCol).as("id"),
       shinglesUdf(shingleK)(col(textCol)).as("sh"))
-      .withColumn("sig", minhashSigUdf(numHashes)(col("sh")))
-      .persist()
 
-    val banded = base
+    val banded = shingled
+      .withColumn("sig", minhashSigUdf(numHashes)(col("sh")))
       .select(col("id"), posexplode(bandHashes(col("sig"), bands, rowsPerBand))
         .as(Seq("band", "bucket")))
 
@@ -160,8 +163,8 @@ object Dedup {
       .distinct()
 
     // verify with exact Jaccard over the true shingle sets
-    val left = base.select(col("id").as("a"), col("sh").as("sh_a"))
-    val right = base.select(col("id").as("b"), col("sh").as("sh_b"))
+    val left = shingled.select(col("id").as("a"), col("sh").as("sh_a"))
+    val right = shingled.select(col("id").as("b"), col("sh").as("sh_b"))
     pairs.join(left, "a").join(right, "b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -251,9 +254,14 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"),
       shinglesUdf(shingleK)(col(textCol)).as("sh"))
       .withColumn("setsize", size(col("sh")))
+    // both sides of the pair self-join (and the freq prune) read the
+    // inverted index. No persist (the blocks would outlive the operator and
+    // could not cache a 100 TB corpus): the self-join sides shuffle on
+    // `shingle` with canonically identical subplans, so exchange reuse
+    // materializes that shuffle once; only the df-prune aggregate pays a
+    // second scan of the cheap shingle projection.
     val inverted = sets
       .select(col("id"), col("setsize"), explode(col("sh")).as("shingle"))
-      .persist() // both sides of the pair self-join (and the freq prune) read it
     // drop shingles shared by more than maxDocFreq docs before the pair
     // join (they cannot identify near-dups and would explode quadratically)
     val pruned =
@@ -303,30 +311,31 @@ object Dedup {
                               maxBucketSize: Int = 2000): DataFrame = {
     require(planes % bands == 0, "bands must divide planes")
     val planesPerBand = planes / bands
-    val sigBits = signBitsUdf(dims, planes)(col(vecCol))
-    // banding + two vector-fetch joins read this — persist once
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      sigBits.as("bits"))
-      .persist()
-    val banded = base.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("bits"), b * planesPerBand + lit(1), lit(planesPerBand)))))
-        .as(Seq("band", "bucket")))
-    // degenerate-bucket guard (empty/constant vectors all share a signature)
-    val sized = banded.join(
-      banded.groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz").between(2, maxBucketSize))
-        .select("band", "bucket"),
-      Seq("band", "bucket"))
-    val pairs = sized.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(sized.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
+    // the vector-fetch joins read (id, v) straight off the scan; the sign
+    // bits exist only under the banding branch, so the hyperplane UDF runs
+    // ONCE with no persist (whose blocks would outlive the operator and
+    // could not cache a 100 TB corpus anyway)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = vecs
+      .withColumn("bits", signBitsUdf(dims, planes)(col("v")))
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(slice(col("bits"), b * planesPerBand + lit(1), lit(planesPerBand)))))
+          .as(Seq("band", "bucket")))
+    // bucket pairs via ONE groupBy shuffle (same shape as the minhash
+    // banding): the banded frame is consumed exactly once, with the
+    // degenerate-bucket guard (empty/constant vectors all share a
+    // signature) applied on the aggregated bucket size
+    val buckets = banded.groupBy("band", "bucket")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    val pairs = buckets
+      .select(explode(candidatePairsExpr(col("ids"))).as("pair"))
+      .select(col("pair.a").as("id_a"), col("pair.b").as("id_b"))
       .distinct()
     pairs
-      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
       .withColumn("cosine", graft.functions.expressions.CosineSimilarity.cosineNative(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -1,8 +1,8 @@
 package graft.store
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.RowBridge
 
 /**
  * Distributed global ordering index (≙ reference ColumnReader.IndexOf,
@@ -10,18 +10,17 @@ import org.apache.spark.sql.functions._
  *
  * A bare `Window.orderBy(key)` funnels every row through one task (Spark
  * even warns "No Partition Defined for Window operation"), which is wrong at
- * any real scale. This is the classic two-phase rank instead:
+ * any real scale. Instead: range-partition by the key (each partition owns a
+ * disjoint, ordered key range), sort within partitions, then zip the global
+ * index — `zipWithIndex` counts rows per partition in one job and offsets
+ * each partition by the cumulative count.
  *
- *   1. range-partition by the order key (each partition owns a disjoint,
- *      ordered key range),
- *   2. count rows per partition, cumulate the counts driver-side
- *      (numPartitions rows — trivially small at any data size),
- *   3. rank within partitions (a properly partitioned window) and add the
- *      partition's global offset.
- *
- * The partitioned frame is persisted for the duration of the lineage: range
- * boundaries come from sampling, so the count pass and the rank pass must
- * observe the *same* physical partitioning.
+ * Determinism note: range boundaries come from sampling, so the count pass
+ * and the output pass must observe the SAME physical partitioning. Both of
+ * zipWithIndex's jobs run against one RDD instance (RowBridge), so the
+ * shuffle is materialized once and reused — the earlier persist()-based
+ * two-phase rank held the frame cached for the caller's whole lineage and
+ * never released it; this holds nothing beyond the shuffle files.
  */
 object Ranks {
 
@@ -35,21 +34,7 @@ object Ranks {
             else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val parted = df
       .repartitionByRange(n, col(orderCol))
-      .withColumn("_pid", spark_partition_id())
-      .persist()
-    val counts = parted.groupBy("_pid").count()
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (pid, c) => val o = (pid, acc); acc += c; o }
-    val offsetsDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(offsets.toSeq.map(t => org.apache.spark.sql.Row(t._1, t._2)), 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("_pid", org.apache.spark.sql.types.IntegerType),
-        org.apache.spark.sql.types.StructField("_offset", org.apache.spark.sql.types.LongType))))
-    val w = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
-    parted.join(broadcast(offsetsDf), "_pid")
-      .withColumn(idxName,
-        (row_number().over(w) - lit(1)).cast("long") + col("_offset"))
-      .drop("_pid", "_offset")
+      .sortWithinPartitions(orderCol)
+    RowBridge.zipWithGlobalIndex(parted, idxName)
   }
 }
