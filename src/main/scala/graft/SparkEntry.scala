@@ -17,9 +17,11 @@ import graft.multimodal.Multimodal
   * SQL-expressible (same column aliases both sides — the driver's compare
   * sorts columns by name before hashing values). The only queries without
   * an oracle are lexicon_build / lexicon_validate, whose keys derive from
-  * the engine-private 512-d feature-hash kernel; the approximate top-k
-  * queries are oracled through their deterministic recall contract
-  * (top1 = self + recall floor — see emb_topk_lsh below).
+  * the engine-private 512-d feature-hash kernel — their tokenize path and
+  * validate totals ARE hash-checked through the lexicon_vocab /
+  * lexicon_validate_totals companions; the approximate top-k queries are
+  * oracled through their deterministic recall contract (top1 = self +
+  * recall floor — see emb_topk_lsh below).
   *
   * Oracle-parity rules used throughout:
   *  - double sums go through CAST(... AS DECIMAL(18,x)) on BOTH sides
@@ -99,6 +101,31 @@ object SparkEntry {
     "lexicon_build" -> ((s, dir) => {
       Lexicon.build(tbl(s, dir, "documents"), "text").toDF()
         .select("angle", "label").orderBy("angle")
+    }),
+
+    // Hash-checked companions for the lexicon pair: the ANGLE key derives
+    // from the engine-private 512-d feature hash (rows-only above/below),
+    // but the LABEL multiset does not — the corpus is lowercase ASCII +
+    // space at every SF, where splitWords (TextAnalyzer.scala:89) reduces
+    // to a space split, so the tokenize path feeding build/validate is
+    // DuckDB-expressible and fully hash-checked here.
+    "lexicon_vocab" -> ((s, dir) => {
+      Lexicon.tokenize(tbl(s, dir, "documents"), "text").toDF()
+        .groupBy("label").agg(count(lit(1)).as("n_occurrences"))
+        .orderBy("label")
+    }),
+
+    // The real build+validate round-trip, projected onto its two
+    // oracle-expressible aggregates: total token occurrences, and the
+    // self-validate invariant missing = 0 (every token of the corpus must
+    // hit its own lexicon).
+    "lexicon_validate_totals" -> ((s, dir) => {
+      import s.implicits._
+      val tokens = Lexicon.tokenize(tbl(s, dir, "documents"), "text").persist()
+      val lex = Lexicon.buildFromTokens(tokens).toDF()
+      val r = Lexicon.validateTokens(tokens, lex)
+      tokens.unpersist()
+      Seq((r.totalTokens, r.missing)).toDF("total_tokens", "missing")
     }),
 
     // ==================================================================
@@ -1038,6 +1065,15 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
         |  count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "lexicon_vocab" ->
+      """SELECT w AS label, count(*) AS n_occurrences
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |WHERE w <> ''
+        |GROUP BY w ORDER BY label""".stripMargin,
+    "lexicon_validate_totals" ->
+      """SELECT count(*) AS total_tokens, CAST(0 AS BIGINT) AS missing
+        |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
+        |WHERE w <> ''""".stripMargin,
     "doc_exact_dedup" ->
       """SELECT doc_id, text_hash, n_copies FROM (
         |  SELECT md5(text) AS text_hash, min(doc_id) AS doc_id, count(*) AS n_copies
