@@ -482,6 +482,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // the SAME join with the scale guard ON: shingles shared by more than
+    // maxDocFreq docs are dropped before pairing (df-pruned intersection
+    // over FULL set sizes), and the oracle reproduces the prune — so the
+    // driver hash-checks the guarded code path, the one that runs at
+    // 100 TB. maxDocFreq = 2 genuinely prunes at every SF (fixture shingle
+    // df reaches 4-6).
+    "doc_ngram_jaccard_pruned" -> ((s, dir) => {
+      Dedup.ngramJaccardJoin(docsWithNearDups(s, dir), "text", "doc_id",
+        shingleK = 4, threshold = 0.3, maxDocFreq = 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // MinHash-LSH near-dups. Candidates are LSH-generated but the output is
     // exact-Jaccard-verified, so the brute-force pair scan is a valid
     // oracle as long as recall holds: the fixture's true pairs all have
@@ -1107,6 +1119,45 @@ object SparkEntry {
         |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id) p
+        |WHERE jaccard >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // same fixture and shingling as doc_ngram_jaccard_dups, with the
+    // operator's df prune reproduced: shingles with df > 2 are dropped
+    // BEFORE pairing, intersections count pruned shingles only, set sizes
+    // stay full — jaccard is the operator's guarded underestimate exactly
+    "doc_ngram_jaccard_pruned" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    substr(text, 1, CAST(floor(length(text)*0.7) AS INT)) AS text
+        |  FROM documents WHERE doc_id % 50 = 0
+        |), d AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-2),
+        |      i -> array_to_string(w[i:i+3], ' ')) END) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM base) t
+        |), e AS (
+        |  SELECT doc_id, unnest(sh) AS shingle, len(sh) AS setsize FROM d
+        |), f AS (
+        |  SELECT shingle FROM (
+        |    SELECT shingle, count(*) AS df FROM e GROUP BY shingle) g
+        |  WHERE df <= 2
+        |), p AS (
+        |  SELECT e.doc_id, e.shingle, e.setsize FROM e JOIN f USING (shingle)
+        |), co AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.setsize AS sa, b.setsize AS sb, count(*) AS inter
+        |  FROM p a JOIN p b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    CAST(inter AS DOUBLE) / (sa + sb - inter) AS jaccard
+        |  FROM co) q
         |WHERE jaccard >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
     // the rolling-hash fingerprint (h = 31h + char over lowercased,
