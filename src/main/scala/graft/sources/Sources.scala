@@ -33,18 +33,35 @@ object Sources {
   val TableNames: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Run `body` with `spark.sql.legacy.parquet.nanosAsLong` set, restoring
+    * the prior value (or unsetting) afterwards. The conf is consulted at
+    * schema RESOLUTION (the eager `spark.read.parquet(...)` call inside
+    * `body`), so the flip does not need to outlive it — a SourcesSpec test
+    * pins that the returned frame still executes after restore and that
+    * other nanos-parquet reads in the session are unaffected. */
+  def withNanosAsLong[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.parquet stores INT64 TIMESTAMP(NANOS), which Spark 4 refuses
       // to read as a timestamp — read nanos as long, floor-truncate to µs
       // (integer division; a double round-trip would lose precision).
       // Owns the batch-side workaround (SparkEntry routes through here);
-      // EventStreams.runHourlyStream must repeat the conversion for its
-      // readStream — keep the two in sync. Note the session-wide legacy
-      // conf flip: other nanos-parquet reads in the session see longs.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // EventStreams.hourlyAggStream shares the scoped conf helper for its
+      // readStream — keep the two conversions in sync.
+      withNanosAsLong(spark) {
+        spark.read.parquet(s"$sfDir/$name.parquet")
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Register every test table as a temp view so spark.sql can see them. */

@@ -165,7 +165,9 @@ object EventStreams extends Serializable {
     * memory-sink and durable-sink runners. */
   private def hourlyAggStream(spark: SparkSession, eventsPath: String,
                               maxFilesPerTrigger: Option[Int]): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // callers (runHourlyStream*) hold the scoped nanos conf for the whole
+    // run: a streaming source may consult it again at micro-batch planning,
+    // so the restore must come after awaitTermination, not after this call
     val schema = spark.read.parquet(eventsPath).schema
     // the file-stream source wants a directory to monitor: stream the path
     // itself when it already is one (standard multi-file parquet layout),
@@ -190,17 +192,18 @@ object EventStreams extends Serializable {
   }
 
   def runHourlyStream(spark: SparkSession, eventsPath: String,
-                      queryName: String = "graft_stream_hourly"): DataFrame = {
-    val stream = hourlyAggStream(spark, eventsPath, None)
-    val q = stream.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
-  }
+                      queryName: String = "graft_stream_hourly"): DataFrame =
+    graft.sources.Sources.withNanosAsLong(spark) {
+      val stream = hourlyAggStream(spark, eventsPath, None)
+      val q = stream.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName)
+    }
 
   /**
    * Durable-sink variant of the hourly stream: update output mode through
@@ -220,18 +223,21 @@ object EventStreams extends Serializable {
   def runHourlyStreamDurable(spark: SparkSession, eventsPath: String,
                              outPath: String, checkpointPath: String,
                              maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val stream = hourlyAggStream(spark, eventsPath, maxFilesPerTrigger)
-    val q = stream.writeStream
-      .outputMode("update")
-      .option("checkpointLocation", checkpointPath)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outPath)
-        ()
-      }
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    graft.sources.Sources.withNanosAsLong(spark) {
+      val stream = hourlyAggStream(spark, eventsPath, maxFilesPerTrigger)
+      val q = stream.writeStream
+        .outputMode("update")
+        .option("checkpointLocation", checkpointPath)
+        .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(outPath)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // the changelog written above is plain µs timestamps — no nanos conf
     compactHourlyLog(spark.read.parquet(outPath))
   }
 

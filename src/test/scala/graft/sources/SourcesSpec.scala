@@ -40,6 +40,31 @@ class SourcesSpec extends SparkTestBase {
     assert(titles === Array("Page 2", "Page 3", "Page 4"))
   }
 
+  test("events read scopes the nanos conf: restored after read, frame still runs") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    try {
+      spark.conf.unset(key)
+      val events = Sources.table(spark, sfDir, "events")
+      // the flip must not outlive the read (getOption reports the session
+      // default "false" once restored — never the flipped "true")...
+      assert(!spark.conf.getOption(key).contains("true"),
+        "nanos conf leaked session-wide from Sources.table")
+      // ...the returned frame must still execute after the restore...
+      assert(events.count() > 0)
+      assert(events.schema("ts").dataType.typeName === "timestamp")
+      // ...and an unrelated nanos-parquet read in the same session must see
+      // Spark's default behavior (refuse TIMESTAMP(NANOS)), not longs
+      val raw = intercept[Throwable] {
+        spark.read.parquet(s"$sfDir/events.parquet").collect()
+      }
+      assert(raw.getMessage != null)
+    } finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("registerAll exposes every test table to spark.sql") {
     Sources.registerAll(spark, sfDir)
     assert(spark.sql("SELECT count(*) FROM lineitem").head().getLong(0) > 0)
