@@ -250,6 +250,39 @@ object EventStreams extends Serializable {
         col("_v.n").as("n"), col("_v.sum_value").as("sum_value"))
 
   /**
+   * Changelog maintenance — the periodic job the durable sink contract
+   * promises: rewrite the log as its compacted state so read amplification
+   * stays flat (one row per aggregation key) no matter how many
+   * micro-batches have appended. The compacted rows carry the log's current
+   * max batch_id: a resumed stream's next micro-batch id is strictly
+   * greater, so later appends still win last-writer-wins against the
+   * rewritten baseline, and re-running the job is idempotent. The rewrite
+   * materializes fully in a side dir before a delete+rename swap — a reader
+   * concurrent with the swap sees either the old or the new log, and both
+   * compact to the same state. Returns the compacted row count.
+   */
+  def compactAndRewrite(spark: SparkSession, outPath: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val log = spark.read.parquet(outPath)
+    val maxBatch = log.agg(max(col("batch_id"))).head().getLong(0)
+    val compacted = compactHourlyLog(log).withColumn("batch_id", lit(maxBatch))
+    val out = new Path(outPath)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(outPath + "._compacting")
+    // overwrite: a crashed prior compaction leaves only this side dir
+    compacted.write.mode("overwrite").parquet(tmp.toString)
+    val rows = spark.read.parquet(tmp.toString).count()
+    if (!fs.delete(out, true) || !fs.rename(tmp, out))
+      throw new java.io.IOException(s"changelog swap failed for $outPath")
+    // recache any CACHED plans over the path; note that (standard Spark
+    // overwrite semantics) lazy DataFrames created over the log BEFORE the
+    // rewrite hold the old file listing and must be re-created — fresh
+    // `spark.read.parquet(outPath)` calls list fresh and see the new log
+    spark.catalog.refreshByPath(outPath)
+    rows
+  }
+
+  /**
    * Continuous lexicon ingest (streaming form of Lexicon.build): tokenize
    * incoming documents, key by identity angle, emit first-seen tokens only.
    * dropDuplicates state is keyed by the angle — bounded by watermark when

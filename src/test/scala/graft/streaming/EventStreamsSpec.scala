@@ -154,6 +154,56 @@ class EventStreamsSpec extends SparkTestBase {
     assert(raw.select("batch_id").distinct().count() === 2)
   }
 
+  test("compactAndRewrite keeps read cost flat and later batches still win") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_").toFile
+    dir.deleteOnExit()
+    val eventsPath = s"${dir.getAbsolutePath}/events"
+    val outPath = s"${dir.getAbsolutePath}/out"
+    val ckptPath = s"${dir.getAbsolutePath}/ckpt"
+    val nanos = (m: Int) => Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      .getTime * 1000000L
+    // same two-file fixture as the durable test: hour-10 'click' spans both
+    // micro-batches, so the raw log holds a superseded row to compact away
+    Seq((1L, nanos(0), 7L, "click", 1.0), (2L, nanos(1), 7L, "view", 2.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.parquet(eventsPath)
+    Seq((3L, nanos(2), 8L, "click", 3.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .coalesce(1).write.mode("append").parquet(eventsPath)
+    EventStreams.runHourlyStreamDurable(spark, eventsPath, outPath, ckptPath,
+      maxFilesPerTrigger = Some(1))
+    val stateBefore = EventStreams.compactHourlyLog(spark.read.parquet(outPath))
+      .select("hour", "event_type", "n", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet
+    val rawBefore = spark.read.parquet(outPath).count()
+    assert(rawBefore > stateBefore.size, "fixture must hold a superseded row")
+
+    val rows = EventStreams.compactAndRewrite(spark, outPath)
+    assert(rows === stateBefore.size.toLong, "compacted log = one row per key")
+    val after = spark.read.parquet(outPath)
+    assert(after.count() === rows, "read cost flat after rewrite")
+    assert(EventStreams.compactHourlyLog(after)
+      .select("hour", "event_type", "n", "sum_value")
+      .as[(Timestamp, String, Long, Double)].collect().toSet === stateBefore,
+      "rewrite must preserve the resolved state")
+    // idempotent: a second run changes nothing
+    assert(EventStreams.compactAndRewrite(spark, outPath) === rows)
+
+    // an append with a HIGHER batch_id (what a resumed stream writes next)
+    // still wins over the rewritten baseline (re-read: frames created
+    // before a rewrite hold the superseded file listing, by contract)
+    val maxBatch = spark.read.parquet(outPath)
+      .agg(max($"batch_id")).head().getLong(0)
+    val h10 = Timestamp.valueOf("2024-01-01 10:00:00")
+    Seq((h10, "click", 9L, 99.0, maxBatch + 1))
+      .toDF("hour", "event_type", "n", "sum_value", "batch_id")
+      .write.mode("append").parquet(outPath)
+    val resolved = EventStreams.compactHourlyLog(spark.read.parquet(outPath))
+      .filter($"event_type" === "click")
+      .select("n", "sum_value").as[(Long, Double)].head()
+    assert(resolved === ((9L, 99.0)), "later batch must override the baseline")
+  }
+
   test("streaming lexicon emits first-seen angles only") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
