@@ -52,18 +52,21 @@ final class KeyValueColumn(spark: SparkSession, path: String, keyCol: String = "
   }
 
   private def stamp(batchData: DataFrame, batch: Long): DataFrame = {
-    // seq: per-batch insertion order. monotonically_increasing_id orders by
-    // (partitionId, offset-within-partition) — exact for single-partition
-    // batches and for any source whose partition order IS the insertion
-    // order (files read in order, sorted frames). For an arbitrarily
-    // shuffled multi-partition batch the *global* order across partitions
-    // is partition order, not the caller's row order; callers needing
-    // strict arrival order should pass their own `seq` column or a
-    // single-partition frame. (A global window would funnel the batch
-    // through one task — wrong at scale.)
-    batchData
-      .withColumn("batch", lit(batch))
-      .withColumn("seq", monotonically_increasing_id())
+    // seq: per-batch insertion order. A caller-provided `seq` column is
+    // authoritative — it survives any shuffle, so it is THE way to keep
+    // strict arrival order across a shuffled multi-partition batch.
+    // Fallback: monotonically_increasing_id, which orders by (partitionId,
+    // offset-within-partition) — exact for single-partition batches and
+    // for any source whose partition order IS the insertion order (files
+    // read in order, sorted frames); for an arbitrarily shuffled
+    // multi-partition batch the global order is partition order, not the
+    // caller's row order. (A global window would funnel the batch through
+    // one task — wrong at scale.)
+    val withSeq =
+      if (batchData.columns.contains("seq"))
+        batchData.withColumn("seq", col("seq").cast("long"))
+      else batchData.withColumn("seq", monotonically_increasing_id())
+    withSeq.withColumn("batch", lit(batch))
   }
 
   /**
@@ -72,7 +75,16 @@ final class KeyValueColumn(spark: SparkSession, path: String, keyCol: String = "
    */
   def tryPutAll(batchData: DataFrame): Long = {
     val batch = nextBatch()
-    val deduped = batchData.dropDuplicates(keyCol)
+    // first-writer-wins within the batch: with a caller seq the "first"
+    // row per key is well-defined (min seq); without one it is arbitrary
+    // (dropDuplicates keeps whichever row the scan surfaces first)
+    val deduped =
+      if (batchData.columns.contains("seq")) {
+        val others = batchData.columns.filter(_ != keyCol)
+        batchData.groupBy(col(keyCol))
+          .agg(min_by(struct(others.map(col): _*), col("seq")).as("_row"))
+          .select(col(keyCol) +: others.map(c => col(s"_row.$c").as(c)): _*)
+      } else batchData.dropDuplicates(keyCol)
     val fresh = read() match {
       case Some(existing) =>
         deduped.join(existing.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")

@@ -51,6 +51,32 @@ class KeyValueColumnSpec extends SparkTestBase {
     col.truncate()
   }
 
+  test("caller seq preserves strict arrival order through a shuffled batch") {
+    val col = freshColumn()
+    // tag arrival order, then repartition so partition order no longer
+    // matches it — the stamp fallback (monotonically_increasing_id) could
+    // not recover the order; the explicit seq column must
+    val batch = Seq((1.0, 0L, "first"), (1.0, 1L, "second"), (1.0, 2L, "third"),
+      (2.0, 0L, "solo"))
+      .toDF("key", "seq", "value")
+      .repartition(4)
+    col.putOrAppend(batch)
+    assert(col.get(1.0).select("value").as[String].collect().toList ===
+      List("first", "second", "third"))
+    col.truncate()
+  }
+
+  test("tryPutAll with caller seq keeps the min-seq row per key") {
+    val col = freshColumn()
+    val batch = Seq((1.0, 5L, "later"), (1.0, 2L, "earliest"), (2.0, 9L, "b"))
+      .toDF("key", "seq", "value")
+      .repartition(3)
+    assert(col.tryPutAll(batch) === 2L)
+    // deterministic first-writer-wins: min seq, not scan order
+    assert(col.get(1.0).select("value").as[String].head() === "earliest")
+    col.truncate()
+  }
+
   test("larger batch survives write and stays sorted") {
     // page-boundary analog of DoubleTests.cs:47-167 — parquet has no page
     // limit, so assert the 513-key batch round-trips fully and key scans sort
