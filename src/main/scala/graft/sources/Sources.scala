@@ -94,13 +94,11 @@ object Sources {
     val paged =
       if (skip > 0 || take < Long.MaxValue) {
         // deterministic pagination needs a stable order; JSON-lines input
-        // order = (file, line) order, which zipWithIndex preserves.
-        val withIdx = spark.createDataFrame(
-          docs.rdd.zipWithIndex().map { case (r, i) =>
-            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
-          },
-          docs.schema.add("_row_idx", "long"))
-        withIdx.filter(col("_row_idx") >= skip && col("_row_idx") < skip + take)
+        // order = (file, line) order, which zipWithIndex preserves. The
+        // bridge keeps rows as InternalRow end-to-end (no external Row
+        // decode/encode round-trip).
+        org.apache.spark.sql.graft.RowBridge.zipWithGlobalIndex(docs, "_row_idx")
+          .filter(col("_row_idx") >= skip && col("_row_idx") < skip + take)
           .drop("_row_idx")
       } else docs
     if (synthesizeUrl && paged.columns.contains("title"))
