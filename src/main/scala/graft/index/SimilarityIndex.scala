@@ -415,9 +415,12 @@ object SimilarityIndex {
    *
    * `corpus`/`queries`: (id, sentence) frames; queries may be a filtered
    * subset of the corpus. The token aggregations are referenced by several
-   * branches of the one returned plan — Catalyst's exchange reuse
-   * materializes each underlying shuffle once, so no persist() (whose
-   * blocks would outlive the operator) is needed.
+   * branches of the one returned plan; exchange reuse deduplicates the
+   * branches whose pruned projections match (4 ReusedExchange nodes at
+   * sf0.01), and the remaining branches re-tokenize from the scan — the
+   * deliberate trade against persist(), whose blocks would outlive the
+   * operator and could never cache a 100 TB corpus (production reuse of a
+   * corpus index belongs in a materialized table, as in `ivfBuild`).
    * Output: (query_id, corpus_id, score) — `closestMatchHashed` adds the
    * sentence strings.
    */
