@@ -34,17 +34,36 @@ object Lexicon {
 
   /**
    * Tokenize a corpus column into (angle, label, indices, values) rows.
-   * Pure flatMap: fully parallel, no shuffle.
+   * Pure mapPartitions flatMap: fully parallel, no shuffle.
+   *
+   * Each partition memoizes vectorization by label: corpora are Zipfian,
+   * so a small fraction of distinct labels covers almost all occurrences,
+   * and `vectorizeToken`'s per-OCCURRENCE 512-double buffer + scan was the
+   * pipeline's hottest kernel. The memo is bounded (cleared if a
+   * pathological vocabulary outgrows it) so executor memory stays flat;
+   * entries are immutable rows, safe to re-emit (the encoder copies).
    */
+  private final val MemoMaxLabels = 1 << 18
+
   def tokenize(docs: DataFrame, textCol: String,
                dims: Int = TextAnalyzer.DefaultDims): Dataset[TokenRow] = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col(textCol).cast("string")).na.drop()
       .as[String]
-      .flatMap { text =>
-        TextAnalyzer.tokenizeIntoVectors(text, dims).map { t =>
-          TokenRow(TextAnalyzer.angleOfId(t, dims), t.label, t.indices, t.values)
+      .mapPartitions { texts =>
+        val memo = new java.util.HashMap[String, TokenRow]()
+        texts.flatMap { text =>
+          TextAnalyzer.splitWords(text).map { w =>
+            var t = memo.get(w)
+            if (t == null) {
+              if (memo.size >= MemoMaxLabels) memo.clear()
+              val v = TextAnalyzer.vectorizeToken(w, dims)
+              t = TokenRow(TextAnalyzer.angleOfId(v, dims), v.label, v.indices, v.values)
+              memo.put(w, t)
+            }
+            t
+          }
         }
       }
   }
