@@ -254,31 +254,36 @@ object Dedup {
     val sets = df.select(col(idCol).as("id"),
       shinglesUdf(shingleK)(col(textCol)).as("sh"))
       .withColumn("setsize", size(col("sh")))
-    // both sides of the pair self-join (and the freq prune) read the
-    // inverted index. No persist (the blocks would outlive the operator and
-    // could not cache a 100 TB corpus): the self-join sides shuffle on
-    // `shingle` with canonically identical subplans, so exchange reuse
-    // materializes that shuffle once; only the df-prune aggregate pays a
-    // second scan of the cheap shingle projection.
+    // no persist on the inverted index (the blocks would outlive the
+    // operator and could not cache a 100 TB corpus)
     val inverted = sets
       .select(col("id"), col("setsize"), explode(col("sh")).as("shingle"))
-    // drop shingles shared by more than maxDocFreq docs before the pair
-    // join (they cannot identify near-dups and would explode quadratically)
-    val pruned =
-      if (maxDocFreq == Int.MaxValue) inverted
-      else {
-        val freq = inverted.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDocFreq).select("shingle")
-        inverted.join(freq, "shingle")
+    // guarded path: ONE groupBy shuffle builds per-shingle doc buckets with
+    // the df prune applied on the aggregated size (shingles shared by more
+    // than maxDocFreq docs cannot identify near-dups and would explode
+    // quadratically) — the in-bucket pair explode is bounded by the cap,
+    // ≤ maxDocFreq² pairs per shingle, so the round-1 objection to
+    // collect_list (O(df²) structs on UNCAPPED hot shingles) does not
+    // apply. The exhaustive path keeps the codegen'd self-join, whose
+    // identical sides share one exchange via reuse.
+    val coocc =
+      if (maxDocFreq == Int.MaxValue) {
+        val a = inverted.select(col("shingle"), col("id").as("id_a"), col("setsize").as("size_a"))
+        val b = inverted.select(col("shingle"), col("id").as("id_b"), col("setsize").as("size_b"))
+        a.join(b, Seq("shingle"))
+          .filter(col("id_a") < col("id_b"))
+          .groupBy("id_a", "id_b", "size_a", "size_b")
+          .agg(count(lit(1)).as("inter"))
+      } else {
+        inverted.groupBy("shingle")
+          .agg(collect_list(struct(col("id"), col("setsize"))).as("docs"))
+          .filter(size(col("docs")).between(2, maxDocFreq))
+          .select(explode(candidatePairsExpr(col("docs"))).as("pair"))
+          .select(col("pair.a.id").as("id_a"), col("pair.a.setsize").as("size_a"),
+            col("pair.b.id").as("id_b"), col("pair.b.setsize").as("size_b"))
+          .groupBy("id_a", "id_b", "size_a", "size_b")
+          .agg(count(lit(1)).as("inter"))
       }
-    // codegen'd self-join on the inverted index (the round-1 collect_list +
-    // interpreted pair-explode allocated O(df²) structs per shingle)
-    val a = pruned.select(col("shingle"), col("id").as("id_a"), col("setsize").as("size_a"))
-    val b = pruned.select(col("shingle"), col("id").as("id_b"), col("setsize").as("size_b"))
-    val coocc = a.join(b, Seq("shingle"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "size_a", "size_b")
-      .agg(count(lit(1)).as("inter"))
     coocc
       .withColumn("jaccard", col("inter").cast("double") /
         (col("size_a") + col("size_b") - col("inter")))
