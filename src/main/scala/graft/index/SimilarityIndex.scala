@@ -349,10 +349,18 @@ object SimilarityIndex {
    * are only (query, corpus) pairs sharing ≥1 word, so the shuffle is
    * proportional to real term overlap, not |corpus|×|queries|. Queries with
    * zero vocabulary overlap (score would be 0 everywhere) return no row.
+   *
+   * Carries the same hot-dimension guard as `closestMatchHashedIds` (see
+   * there for the full contract): candidate pairs are generated through
+   * dims with corpus df ≤ `maxDocFreq` plus identical-vector twins (the
+   * BoW arrays are index-sorted, so twin detection is a plain xxhash64
+   * equi-join on the array columns), then re-scored exactly over all
+   * shared dims. `maxDocFreq = Int.MaxValue` restores the exhaustive join.
    * Output: (query_id, corpus_id, score) — use `closestMatchInverted` when
    * the sentence strings are wanted too.
    */
-  def closestMatchInvertedIds(indexed: DataFrame, queries: DataFrame): DataFrame = {
+  def closestMatchInvertedIds(indexed: DataFrame, queries: DataFrame,
+                              maxDocFreq: Int = 1000): DataFrame = {
     // token rows carry ids only — sentences would otherwise ride every
     // per-dim shuffle row; they join back after the top-1 cut
     def toks(df: DataFrame, idAs: String, cntAs: String): DataFrame =
@@ -362,11 +370,34 @@ object SimilarityIndex {
     def norms(df: DataFrame, idAs: String, normAs: String): DataFrame =
       df.select(col("id").as(idAs),
         sqrt(aggregate(col("counts"), lit(0.0d), (acc, x) => acc + x * x)).as(normAs))
+    val cToks = toks(indexed, "corpus_id", "cnt_c")
+    val qToks = toks(queries, "query_id", "cnt_q")
 
-    val dots = toks(indexed, "corpus_id", "cnt_c")
-      .join(toks(queries, "query_id", "cnt_q"), Seq("dim"))
-      .groupBy(col("query_id"), col("corpus_id"))
-      .agg(sum(col("cnt_c") * col("cnt_q")).as("dot"))
+    val dots =
+      if (maxDocFreq == Int.MaxValue) {
+        cToks.join(qToks, Seq("dim"))
+          .groupBy(col("query_id"), col("corpus_id"))
+          .agg(sum(col("cnt_c") * col("cnt_q")).as("dot"))
+      } else {
+        val rare = cToks.groupBy("dim").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDocFreq).select("dim")
+        val viaRare = cToks.select(col("corpus_id"), col("dim"))
+          .join(rare, "dim")
+          .join(qToks.select(col("query_id"), col("dim")), Seq("dim"))
+          .select("query_id", "corpus_id")
+        val viaTwin = indexed
+          .select(col("id").as("corpus_id"),
+            xxhash64(col("indices"), col("counts")).as("fp"))
+          .join(queries.select(col("id").as("query_id"),
+            xxhash64(col("indices"), col("counts")).as("fp")), "fp")
+          .select("query_id", "corpus_id")
+        viaRare.union(viaTwin).distinct()
+          .join(cToks, "corpus_id")
+          .join(qToks, Seq("query_id", "dim"))
+          .groupBy(col("query_id"), col("corpus_id"))
+          .agg(sum(col("cnt_c") * col("cnt_q")).as("dot"))
+      }
+
     val scored = dots
       .join(norms(indexed, "corpus_id", "norm_c"), "corpus_id")
       .join(norms(queries, "query_id", "norm_q"), "query_id")
@@ -379,8 +410,10 @@ object SimilarityIndex {
   }
 
   /** closestMatchInvertedIds + sentence strings joined back. */
-  def closestMatchInverted(indexed: DataFrame, queries: DataFrame): DataFrame =
-    withSentences(closestMatchInvertedIds(indexed, queries), indexed, queries)
+  def closestMatchInverted(indexed: DataFrame, queries: DataFrame,
+                           maxDocFreq: Int = 1000): DataFrame =
+    withSentences(closestMatchInvertedIds(indexed, queries, maxDocFreq),
+      indexed, queries)
 
   /**
    * Direct hashed-dimension closest match — the single-pass scale path that
@@ -499,10 +532,24 @@ object SimilarityIndex {
   /**
    * ≙ GraphIndexValidator: re-query the build corpus; every sentence must
    * find itself (or an identical-vector twin) at score ≈ identicalAngle.
-   * Returns rows that FAIL the check (empty result = index is valid).
+   * Returns (query_id, corpus_id, score) rows that FAIL the check (empty
+   * result = index is valid).
+   *
+   * Runs the guarded inverted scale path, not the exhaustive crossJoin —
+   * corpus × corpus through `closestMatch` would broadcast the whole
+   * corpus and do |corpus|² work, unusable at any real scale, while the
+   * twin candidate path guarantees every self-pair is scored. Docs that
+   * produce NO result row (zero vectors — no token rows to score) can
+   * never reach identicalAngle and are emitted as failures at score 0.
    */
   def validateIndex(indexed: DataFrame, identicalAngle: Double = 0.99,
-                    precision: Double = 0.01): DataFrame =
-    closestMatch(indexed, indexed)
-      .filter(col("score") < identicalAngle - precision)
+                    precision: Double = 0.01): DataFrame = {
+    val hits = closestMatchInvertedIds(indexed, indexed)
+    val failing = hits.filter(col("score") < identicalAngle - precision)
+    val missing = indexed.select(col("id").as("query_id"))
+      .join(hits.select("query_id"), Seq("query_id"), "left_anti")
+      .select(col("query_id"), col("query_id").as("corpus_id"),
+        lit(0.0).as("score"))
+    failing.unionByName(missing)
+  }
 }

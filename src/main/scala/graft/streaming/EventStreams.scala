@@ -259,7 +259,10 @@ object EventStreams extends Serializable {
    * rewritten baseline, and re-running the job is idempotent. The rewrite
    * materializes fully in a side dir before a delete+rename swap — a reader
    * concurrent with the swap sees either the old or the new log, and both
-   * compact to the same state. Returns the compacted row count.
+   * compact to the same state. (On an object store where rename is
+   * copy+delete, run the job in the stream's maintenance window or layer
+   * the log on a table format with atomic commits; HDFS/posix renames are
+   * atomic.) Returns the compacted row count.
    */
   def compactAndRewrite(spark: SparkSession, outPath: String): Long = {
     import org.apache.hadoop.fs.Path

@@ -129,6 +129,22 @@ class SimilarityIndexSpec extends SparkTestBase {
     assert(direct === viaVocab)
   }
 
+  test("validateIndex flags zero-vector docs and scales without a crossJoin") {
+    val vocab = SimilarityIndex.buildVocabulary(sentences, "sentence")
+    // doc 9 is entirely out-of-vocabulary -> zero vector -> can never reach
+    // identicalAngle; the validator must surface it, not silently pass it
+    val withBad = sentences.unionByName(Seq((9L, "unknown-x;unknown-y")).toDF("id", "sentence"))
+    val indexed = SimilarityIndex.bagOfWords(withBad, vocab)
+    val failures = SimilarityIndex.validateIndex(indexed)
+      .select("query_id", "score").as[(Long, Double)].collect()
+    assert(failures.map(_._1).toSet === Set(9L))
+    assert(failures.head._2 === 0.0)
+    val plan = SimilarityIndex.validateIndex(indexed)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"validateIndex must not plan an all-pairs join:\n$plan")
+  }
+
   test("hot-dim guard prunes candidate pairs but keeps exact twins") {
     // "the" is hot (df = 4 > maxDocFreq = 2); rare dims identify the match
     val corpus = Seq(
