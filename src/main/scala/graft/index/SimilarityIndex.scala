@@ -313,7 +313,11 @@ object SimilarityIndex {
    * Closest match of each query sentence against the indexed corpus
    * (≙ GraphService.Search → ClosestMatch): exact top-1 by cosine, via the
    * bounded top-k aggregate (sentences join back after the top-1 cut — only
-   * ids and scores ride the aggregation).
+   * ids and scores ride the aggregation). The query side broadcasts, so
+   * this is the right plan for SMALL interactive query sets (one linear
+   * corpus scan per batch of queries); corpus-scale query sets belong on
+   * `closestMatchInvertedIds`, whose guarded inverted join never
+   * materializes |corpus|×|queries| pairs.
    */
   def closestMatch(indexed: DataFrame, queries: DataFrame): DataFrame = {
     val idx = indexed.select(col("id").as("corpus_id"),

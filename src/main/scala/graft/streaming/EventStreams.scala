@@ -297,9 +297,22 @@ object EventStreams extends Serializable {
     import spark.implicits._
     docs.select(col(textCol).cast("string").as("text"))
       .as[String]
-      .flatMap { text =>
-        graft.analysis.TextAnalyzer.tokenizeIntoVectors(text, dims).map { t =>
-          (graft.analysis.TextAnalyzer.angleOfId(t, dims), t.label)
+      .mapPartitions { texts =>
+        // same per-partition label memo as Lexicon.tokenize: the 512-d
+        // vectorization runs once per distinct label per (micro-batch,
+        // partition) instead of per occurrence
+        val memo = new java.util.HashMap[String, (Double, String)]()
+        texts.flatMap { text =>
+          graft.analysis.TextAnalyzer.splitWords(text).map { w =>
+            var t = memo.get(w)
+            if (t == null) {
+              if (memo.size >= (1 << 18)) memo.clear()
+              val v = graft.analysis.TextAnalyzer.vectorizeToken(w, dims)
+              t = (graft.analysis.TextAnalyzer.angleOfId(v, dims), v.label)
+              memo.put(w, t)
+            }
+            t
+          }
         }
       }
       .toDF("angle", "label")
