@@ -190,6 +190,35 @@ class SimilarityIndexSpec extends SparkTestBase {
     assert(guarded.map(_._1) === Set(0L, 1L, 2L, 3L))
   }
 
+  test("guard contract holds on a randomized mixed-hotness corpus") {
+    // seeded random corpus: 3 hot words (df ≈ 20 of 40 docs > maxDocFreq)
+    // mixed with 30 rare words (df ≈ 3 ≤ maxDocFreq)
+    val rnd = new scala.util.Random(7)
+    val hot = IndexedSeq("the", "of", "and")
+    val rare = (1 to 30).map(i => s"w$i")
+    val docs = (0 until 40).map { id =>
+      val words = Seq.fill(3 + rnd.nextInt(5))(
+        if (rnd.nextBoolean()) hot(rnd.nextInt(hot.length))
+        else rare(rnd.nextInt(rare.length)))
+      (id.toLong, words.mkString(";"))
+    }.toDF("id", "sentence")
+    val queries = docs.filter(col("id") < 10)
+    val guarded = SimilarityIndex.closestMatchHashedIds(docs, queries, maxDocFreq = 10)
+      .as[(Long, Long, Double)].collect()
+    // every corpus-member query must return a row (self-twin is always a
+    // candidate) at ≈ score 1, for any hotness mix
+    assert(guarded.map(_._1).toSet === (0L until 10L).toSet)
+    guarded.foreach { case (q, c, s) =>
+      assert(s > 0.999, s"query $q top-1 $c scored $s — self-twin must win") }
+    // the prune only gates which pairs compete, never inflates a score:
+    // guarded top-1 ≤ exhaustive top-1 per query
+    val exhaustive = SimilarityIndex.closestMatchHashedIds(docs, queries,
+      maxDocFreq = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    guarded.foreach { case (q, _, s) =>
+      assert(s <= exhaustive(q) + 1e-12, s"guarded score for $q exceeds exhaustive") }
+  }
+
   test("top-k paths plan bounded aggregation, never a per-query window") {
     val corpus = (1 to 50).map(i => (i.toLong,
       Array(i.toFloat, (51 - i).toFloat, 1.0f, 0.5f))).toDF("vec_id", "embedding")
