@@ -505,6 +505,19 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // transitive cluster resolution over the minhash pair list: connected
+    // components (alternating large-star/small-star, O(log² n) rounds of
+    // one reused exchange each) turn pairwise matches into dedup clusters
+    // keyed by the min-id representative — a≈b, b≈c collapse into ONE
+    // cluster even though (a,c) was never emitted. Oracled by a DuckDB
+    // recursive CTE over the same brute-force pair set.
+    "doc_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDuplicates(docsWithNearDups(s, dir),
+        "text", "doc_id", shingleK = 4, numHashes = 128, bands = 64,
+        threshold = 0.3)
+      Dedup.duplicateClusters(pairs, "id_a", "id_b").orderBy("rep")
+    }),
+
     // SimHash near-dups over docs ∪ exact copies (hamming 0 guaranteed)
     "doc_simhash_dups" -> ((s, dir) => {
       val d = tbl(s, dir, "documents").select("doc_id", "text")
@@ -1295,6 +1308,43 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id) p
         |WHERE jaccard >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    // same brute-force pair set as doc_minhash_dups, closed transitively
+    // with a recursive CTE — DuckDB's reachability fixpoint oracles the
+    // Spark-side large-star/small-star fixpoint
+    "doc_dup_clusters" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    substr(text, 1, CAST(floor(length(text)*0.7) AS INT)) AS text
+        |  FROM documents WHERE doc_id % 50 = 0
+        |), d AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-2),
+        |      i -> array_to_string(w[i:i+3], ' ')) END) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM base) t
+        |), p AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |    FROM d a JOIN d b ON a.doc_id < b.doc_id) q
+        |  WHERE jaccard >= 0.3
+        |), e AS (
+        |  SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e) n
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON reach.u = e.v
+        |), lab AS (
+        |  SELECT u AS id, min(r) AS rep FROM reach GROUP BY u
+        |)
+        |SELECT rep, count(*) AS n_members,
+        |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+        |FROM lab GROUP BY rep ORDER BY rep""".stripMargin,
     "emb_near_dups" ->
       """WITH base AS (
         |  SELECT vec_id, embedding FROM embeddings

@@ -346,6 +346,120 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  // ------------------------------------- duplicate-cluster resolution (CC)
+
+  /**
+   * Connected components over an undirected pair list — the cluster-
+   * resolution step after any pairwise near-dup join: pairs (a, b) become
+   * labels (id, rep) where `rep` is the smallest id in the component, so
+   * "keep rep, drop the rest" is a deterministic, transitive dedup policy
+   * (a≈b and b≈c collapse into ONE cluster even when a and c were never
+   * emitted as a pair). Only ids present in `pairs` appear in the output;
+   * singletons are their own representative by definition.
+   *
+   * Algorithm: alternating large-star / small-star (Kiveris et al.,
+   * "Connected Components in MapReduce and Beyond", SoCC '14), converging
+   * in O(log² n) rounds — 2-3 in practice for near-clique dup clusters,
+   * ~log n for pathological chains. Each star op is formulated join-first:
+   * a groupBy(min) plus an equi-join on the SAME key, so the aggregate and
+   * the join share one hash exchange, and no `collect_set` ever
+   * materializes a hub node's neighborhood as a single array — a 10M-edge
+   * boilerplate cluster costs rows (AQE-splittable), not one aggregation
+   * buffer.
+   *
+   * Each round is materialized eagerly to truncate lineage (an iterative
+   * self-referencing plan re-expands exponentially on recompute): reliable
+   * `checkpoint()` when the caller configured
+   * `spark.sparkContext.setCheckpointDir` (do so on a real cluster — local
+   * checkpoints die with an executor), `localCheckpoint()` otherwise.
+   * Superseded rounds are unpersisted as soon as the next round is
+   * materialized; the FINAL round's blocks back the returned frame and are
+   * released by the ContextCleaner when the caller drops it — or
+   * deterministically via [[release]].
+   */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIterations: Int = 20): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+
+    def largeStar(edges: DataFrame): DataFrame = {
+      val nbrs = edges.select(col("u"), col("v"))
+        .unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      // (v, m) for every neighbor v > u: canonical big→small by
+      // construction since v > u >= m
+      nbrs.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+
+    def smallStar(edges: DataFrame): DataFrame = {
+      // input canonical u > v, so min(v) IS min(N≤(u) ∪ {u})
+      val mins = edges.groupBy("u").agg(min(col("v")).as("m"))
+      edges.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    var edges = materialize(
+      pairs.select(greatest(col(aCol), col(bCol)).as("u"),
+          least(col(aCol), col(bCol)).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
+
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var prevSig = signature(edges)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      val next = materialize(smallStar(largeStar(edges)))
+      val sig = signature(next)
+      release(edges)
+      edges = next
+      converged = sig == prevSig
+      prevSig = sig
+      iter += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIterations rounds")
+
+    // fixpoint is a star forest: every u points at its component min, roots
+    // appear only on the v side
+    edges.select(col("u").as("id"), col("v").as("rep"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("rep")).distinct())
+  }
+
+  /** Duplicate clusters from a pair list: one row per component with the
+    * representative (min id), member count, and the sorted member list. */
+  def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
+    connectedComponents(pairs, aCol, bCol)
+      .groupBy(col("rep"))
+      .agg(count(lit(1)).as("n_members"),
+        array_join(transform(array_sort(collect_list(col("id"))),
+          x => x.cast("string")), ",").as("members"))
+
+  /** Free the materialized blocks backing a frame returned by
+    * [[connectedComponents]] (no-op for reliably-checkpointed or
+    * non-checkpointed frames — those hold no executor blocks). */
+  def release(df: DataFrame): Unit = df.queryExecution.logical.collectLeaves().foreach {
+    case lr: org.apache.spark.sql.execution.LogicalRDD =>
+      if (lr.rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+        lr.rdd.unpersist(blocking = false)
+    case _ => ()
+  }
+
   /** Deterministic pseudo-random hyperplane matrix (planes × dims),
     * components in (-1, 1) derived from mix64 — reproducible across runs
     * and executors with no RNG state shipped. */
