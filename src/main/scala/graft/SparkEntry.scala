@@ -754,6 +754,30 @@ object SparkEntry {
     // deterministic weighted corpus mixing (RNG-free Knuth-hash sampling —
     // reproducible across engines/retries, so the sampled rows themselves
     // are oracle-checkable, not just their count)
+    // PII scrubbing: per-type counts + redacted text (hashed to keep the
+    // dump compact while still checking every redacted byte). PII is
+    // synthesized deterministically onto every 7th doc so both engines
+    // scrub the same fixture; the patterns are the RE2/Java-shared subset,
+    // so the oracle runs them verbatim.
+    "doc_pii_scrub" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val withPii = docs.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com from 10."), (col("doc_id") % 256).cast("string"),
+            lit(".0.42 ssn 123-45-6789 call +44 207 946 0958")))
+          .otherwise(col("text")).as("text"))
+      graft.pipeline.Scrub.scrub(withPii, "doc_id", "text")
+        .select(col("doc_id"),
+          col("n_email").cast("long").as("n_email"),
+          col("n_ipv4").cast("long").as("n_ipv4"),
+          col("n_ssn").cast("long").as("n_ssn"),
+          col("n_phone").cast("long").as("n_phone"),
+          md5(col("redacted")).as("redacted_hash"))
+        .orderBy("doc_id")
+    }),
+
     "doc_sample_mix" -> ((s, dir) => {
       graft.pipeline.Sampling.mixByWeights(tbl(s, dir, "documents"),
         "lang", "doc_id", Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25))
@@ -1359,6 +1383,27 @@ object SparkEntry {
         |ORDER BY id_a, id_b""".stripMargin,
     // Sampling/mixing/packing: the Knuth multiplicative hash and the
     // chunked cumsum are plain BIGINT arithmetic, reproduced exactly
+    // same fixture synthesis and the same RE2-subset patterns, applied in
+    // the same order (email → ipv4 → ssn → phone)
+    "doc_pii_scrub" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' || doc_id ||
+        |      '@example.com from 10.' || (doc_id % 256) ||
+        |      '.0.42 ssn 123-45-6789 call +44 207 946 0958'
+        |    ELSE text END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+        |  len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS n_ssn,
+        |  len(regexp_extract_all(text, '\+\d{1,3}[ -]\d{3}[ -]\d{3,4}[ -]\d{3,4}\b')) AS n_phone,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\+\d{1,3}[ -]\d{3}[ -]\d{3,4}[ -]\d{3,4}\b', '<PHONE>', 'g')) AS redacted_hash
+        |FROM base ORDER BY doc_id""".stripMargin,
     "doc_sample_mix" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (doc_id * 2654435761) % 4294967296 <
