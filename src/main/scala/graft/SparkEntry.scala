@@ -778,6 +778,33 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // URL blocklist filter: hosts expand into their bounded dot-suffix
+    // chains and broadcast-equi-join the blocklist (exact domain or any
+    // subdomain blocks), never a LIKE nested-loop. URLs are synthesized
+    // deterministically so both engines see the same fixture; the oracle
+    // brute-forces the suffix match with LIKE, which is fine at sf0.01.
+    "doc_url_filter" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val withUrls = docs.select(col("doc_id"),
+        when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" see https://sub"),
+            (col("doc_id") % 5).cast("string"),
+            lit(".badsite.com/p?x=1 and http://ok.example.org/about")))
+          .when(col("doc_id") % 13 === 0,
+            concat(col("text"),
+              lit(" ref http://cdn.tracker.io and https://example.com")))
+          .otherwise(col("text")).as("text"))
+      val blocklist = Seq("badsite.com", "tracker.io").toDF("domain")
+      graft.pipeline.UrlFilter
+        .flagBlockedDomains(withUrls, "doc_id", "text", blocklist, "domain")
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit("https?://[A-Za-z0-9.-]+"))
+            .cast("long").as("n_urls"),
+          col("blocked"))
+        .orderBy("doc_id")
+    }),
+
     "doc_sample_mix" -> ((s, dir) => {
       graft.pipeline.Sampling.mixByWeights(tbl(s, dir, "documents"),
         "lang", "doc_id", Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25))
@@ -1404,6 +1431,28 @@ object SparkEntry {
         |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
         |    '\+\d{1,3}[ -]\d{3}[ -]\d{3,4}[ -]\d{3,4}\b', '<PHONE>', 'g')) AS redacted_hash
         |FROM base ORDER BY doc_id""".stripMargin,
+    "doc_url_filter" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 11 = 0 THEN text || ' see https://sub' ||
+        |        (doc_id % 5) || '.badsite.com/p?x=1 and http://ok.example.org/about'
+        |      WHEN doc_id % 13 = 0 THEN text ||
+        |        ' ref http://cdn.tracker.io and https://example.com'
+        |      ELSE text END AS text
+        |  FROM documents),
+        |bl AS (SELECT unnest(['badsite.com', 'tracker.io']) AS domain),
+        |h AS (
+        |  SELECT doc_id,
+        |    lower(unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1))) AS host
+        |  FROM base),
+        |hits AS (
+        |  SELECT DISTINCT doc_id FROM h JOIN bl
+        |    ON h.host = bl.domain OR h.host LIKE '%.' || bl.domain)
+        |SELECT b.doc_id,
+        |  len(regexp_extract_all(b.text, 'https?://[A-Za-z0-9.-]+')) AS n_urls,
+        |  (hits.doc_id IS NOT NULL) AS blocked
+        |FROM base b LEFT JOIN hits ON b.doc_id = hits.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "doc_sample_mix" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (doc_id * 2654435761) % 4294967296 <

@@ -1,0 +1,61 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * URL / domain filtering for training-data pipelines (the C4-style
+ * "drop documents citing blocklisted domains" step).
+ *
+ * Scale design: a host like `a.b.example.com` is matched against the
+ * blocklist by expanding its bounded dot-suffix chain
+ * (`[a.b.example.com, b.example.com, example.com, com]`, ≤ label count
+ * entries) and broadcast EQUI-joining the chain — never `LIKE '%.' ||
+ * domain`, which would force a nested-loop scan of corpus × blocklist.
+ * The blocklist (thousands to millions of rows) broadcasts; the corpus
+ * side stays map-side, one `distinct` shuffle on doc id for the hit set.
+ *
+ * The host regex is in the Java/RE2-shared subset, so DuckDB/Trino run
+ * the same pattern for oracle checks.
+ */
+object UrlFilter {
+
+  /** Capturing pattern for the host part of an http(s) URL. */
+  val HostRe = "https?://([A-Za-z0-9.-]+)"
+
+  /** Distinct lowercased hosts referenced by a text column. */
+  def hosts(text: Column): Column =
+    array_distinct(transform(
+      regexp_extract_all(text, lit(HostRe), lit(1)), h => lower(h)))
+
+  /** All dot-suffixes of a host: a.b.c → [a.b.c, b.c, c]. */
+  def hostSuffixes(host: Column): Column = {
+    val parts = split(host, "\\.")
+    transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts)), "."))
+  }
+
+  /**
+   * Flag documents whose text references a blocklisted domain, exactly or
+   * as a subdomain. Adds a `blocked` boolean; every input row survives.
+   */
+  def flagBlockedDomains(df: DataFrame, idCol: String, textCol: String,
+                         blocklist: DataFrame, domainCol: String): DataFrame = {
+    val suffixes = df
+      .select(col(idCol), explode(hosts(col(textCol))).as("host"))
+      .select(col(idCol), explode(hostSuffixes(col("host"))).as("suffix"))
+    val hits = suffixes
+      .join(broadcast(blocklist.select(lower(col(domainCol)).as("suffix"))),
+        Seq("suffix"))
+      .select(col(idCol)).distinct()
+      .withColumn("blocked", lit(true))
+    df.join(hits, Seq(idCol), "left")
+      .na.fill(false, Seq("blocked"))
+  }
+
+  /** Drop blocked documents (the filtering form of [[flagBlockedDomains]]). */
+  def dropBlockedDomains(df: DataFrame, idCol: String, textCol: String,
+                         blocklist: DataFrame, domainCol: String): DataFrame =
+    flagBlockedDomains(df, idCol, textCol, blocklist, domainCol)
+      .filter(!col("blocked")).drop("blocked")
+}

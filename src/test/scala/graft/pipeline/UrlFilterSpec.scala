@@ -1,0 +1,52 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class UrlFilterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val blocklist = Seq("badsite.com", "tracker.io").toDF("domain")
+
+  test("hosts extracts distinct lowercased hosts") {
+    val got = Seq("see https://A.B.com/x and http://a.b.com/y plus https://c.io")
+      .toDF("t").select(UrlFilter.hosts($"t")).as[Seq[String]].head()
+    assert(got === Seq("a.b.com", "c.io"))
+  }
+
+  test("hostSuffixes expands the bounded dot-suffix chain") {
+    val got = Seq("a.b.example.com").toDF("h")
+      .select(UrlFilter.hostSuffixes($"h")).as[Seq[String]].head()
+    assert(got === Seq("a.b.example.com", "b.example.com", "example.com", "com"))
+  }
+
+  test("exact domains and subdomains are blocked; lookalikes are not") {
+    val docs = Seq(
+      (1L, "x https://badsite.com/page y"),        // exact
+      (2L, "x http://cdn.eu.badsite.com y"),       // deep subdomain
+      (3L, "x https://notbadsite.com y"),          // lookalike — NOT blocked
+      (4L, "x https://tracker.io.evil.org y"),     // suffix only as prefix — NOT blocked
+      (5L, "no urls here"),
+      (6L, "x https://ok.example.org http://sub.tracker.io y")
+    ).toDF("id", "text")
+    val got = UrlFilter.flagBlockedDomains(docs, "id", "text", blocklist, "domain")
+      .select("id", "blocked").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> true, 3L -> false,
+      4L -> false, 5L -> false, 6L -> true))
+  }
+
+  test("dropBlockedDomains keeps clean docs with original columns") {
+    val docs = Seq((1L, "https://badsite.com"), (2L, "clean")).toDF("id", "text")
+    val kept = UrlFilter.dropBlockedDomains(docs, "id", "text", blocklist, "domain")
+    assert(kept.columns.toSeq === Seq("id", "text"))
+    assert(kept.as[(Long, String)].collect().toSeq === Seq((2L, "clean")))
+  }
+
+  test("the blocklist join broadcasts — no nested-loop, no big-side shuffle") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val plan = UrlFilter.flagBlockedDomains(docs, "doc_id", "text",
+      blocklist, "domain").queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast equi-join:\n$plan")
+    assert(!plan.contains("NestedLoop"), s"must not nested-loop:\n$plan")
+  }
+}
