@@ -826,6 +826,15 @@ object SparkEntry {
     // sequence packing: concat-then-chunk token-budget bins over sharded
     // per-language streams — the window partitions by (lang, shard), never
     // globally, so no task funnels the corpus
+    // deterministic global shuffle: rank by (knuth-hash coordinate, id) via
+    // the range-partitioned two-phase rank — the training-order permutation,
+    // reproducible across engines/retries, no global window funnel
+    "doc_global_shuffle" -> ((s, dir) => {
+      graft.pipeline.Sampling
+        .globalShuffleOrder(tbl(s, dir, "documents").select("doc_id"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
     "doc_pack_bins" -> ((s, dir) => {
       val withTokens = tbl(s, dir, "documents").select(
         col("doc_id"), col("lang"),
@@ -1465,6 +1474,11 @@ object SparkEntry {
       """SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 858993459
         |  THEN 'val' ELSE 'train' END AS split, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    "doc_global_shuffle" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
+        |    - 1 AS pos
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_pack_bins" ->
       """WITH t AS (
         |  SELECT doc_id, lang,

@@ -64,4 +64,23 @@ object Sampling {
     (df.filter(hashCoord(col(keyCol)) >= cut),
       df.filter(hashCoord(col(keyCol)) < cut))
   }
+
+  /**
+   * Deterministic global shuffle for training order: rank rows by their
+   * hash coordinate (tie-broken by the key itself, so the order is total
+   * even where the 32-bit coordinate collides) and assign the 0-based
+   * position. A training run that reads shards in position order sees a
+   * reproducible permutation of the corpus — same across engines, retries
+   * and repartitionings, with no RNG state.
+   *
+   * Scale shape: range-partition on (coordinate, key) + per-partition sort
+   * + cumulative-count offset (graft.store.Ranks) — never a global
+   * single-task window funnel.
+   */
+  def globalShuffleOrder(df: DataFrame, keyCol: String,
+                         posName: String = "pos"): DataFrame =
+    graft.store.Ranks.withOrderedIndexBy(
+      df.withColumn("_shuffle_coord", hashCoord(col(keyCol))),
+      Seq("_shuffle_coord", keyCol), posName)
+      .drop("_shuffle_coord")
 }

@@ -28,13 +28,20 @@ object Ranks {
     * Input rows must be unique on `orderCol` for the rank to be a stable
     * total order (callers pass key sets). */
   def withOrderedIndex(df: DataFrame, orderCol: String, idxName: String,
-                       numPartitions: Int = 0): DataFrame = {
+                       numPartitions: Int = 0): DataFrame =
+    withOrderedIndexBy(df, Seq(orderCol), idxName, numPartitions)
+
+  /** Multi-column variant: rank by the lexicographic order of `orderCols`
+    * (rows must be unique on the combination for a stable total order). */
+  def withOrderedIndexBy(df: DataFrame, orderCols: Seq[String], idxName: String,
+                         numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
             else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val parted = df
-      .repartitionByRange(n, col(orderCol))
-      .sortWithinPartitions(orderCol)
+      .repartitionByRange(n, orderCols.map(col): _*)
+      .sortWithinPartitions(orderCols.head, orderCols.tail: _*)
     RowBridge.zipWithGlobalIndex(parted, idxName)
   }
 }

@@ -77,4 +77,27 @@ class SamplingPackingSpec extends SparkTestBase {
     // shard is key mod nShards — deterministic placement
     assert(packed.filter(pmod(col("doc_id"), lit(4L)) =!= col("shard")).count() === 0)
   }
+
+  test("globalShuffleOrder is a deterministic permutation matching the window rank") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id")
+    val got = Sampling.globalShuffleOrder(docs, "doc_id")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+
+    // positions are exactly 0..n-1
+    val n = got.size
+    assert(got.map(_._2).sorted === (0L until n.toLong))
+
+    // matches the single-threaded window definition
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(Sampling.hashCoord(col("doc_id")), col("doc_id"))
+    val expected = docs
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got === expected)
+
+    // reruns and repartitionings reproduce the identical permutation
+    val again = Sampling.globalShuffleOrder(docs.repartition(7), "doc_id")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(again === got)
+  }
 }
