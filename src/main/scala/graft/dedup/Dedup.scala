@@ -413,25 +413,25 @@ object Dedup {
         .filter(col("u") =!= col("v"))
         .distinct())
 
-    def signature(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
+    // Star-forest test: with canonical u > v edges, the graph is a star
+    // forest iff no node is both a child (u side) and a parent (v side).
+    // Testing this directly terminates at the EARLIEST star round — the
+    // set-equality criterion would pay one extra full round just to
+    // confirm the fixpoint. (Cliques — the common near-dup shape — star
+    // in ONE round; only chains need the log² schedule.)
+    def isStarForest(df: DataFrame): Boolean =
+      df.select(col("u"))
+        .join(df.select(col("v").as("u")), "u")
+        .isEmpty
 
-    var prevSig = signature(edges)
-    var converged = false
     var iter = 0
-    while (!converged && iter < maxIterations) {
+    while (!isStarForest(edges) && iter < maxIterations) {
       val next = materialize(smallStar(largeStar(edges)))
-      val sig = signature(next)
       release(edges)
       edges = next
-      converged = sig == prevSig
-      prevSig = sig
       iter += 1
     }
-    if (!converged)
+    if (iter >= maxIterations && !isStarForest(edges))
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIterations rounds")
 

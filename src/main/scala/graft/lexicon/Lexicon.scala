@@ -130,24 +130,40 @@ object Lexicon {
 
   /** `validate` over an already-tokenized corpus — pair with
     * `buildFromTokens` so the corpus is vectorized exactly once for the
-    * build + validate round-trip. */
+    * build + validate round-trip.
+    *
+    * Occurrences pre-aggregate by (angle, label) BEFORE the lexicon join:
+    * every occurrence of a label carries the identical fresh vector, so the
+    * stored-vs-fresh cosine is computed once per DISTINCT token and weighted
+    * by its occurrence count — on a Zipfian corpus that's orders of
+    * magnitude fewer UDF calls than per-occurrence scoring, and the groupBy
+    * compresses map-side to vocabulary size before it ever shuffles. An
+    * angle collision (two labels, one angle) keeps its own group, so each
+    * label still scores its own fresh vector against the stored entry —
+    * semantics identical to the per-occurrence join. */
   def validateTokens(tokens: Dataset[TokenRow], lexicon: DataFrame,
                      identityAngle: Double = TextAnalyzer.DefaultIdentityAngle): ValidationReport = {
     val lex = lexicon.select(col("angle").as("lex_angle"),
       col("indices").as("lex_indices"), col("values").as("lex_values"))
 
-    val joined = tokens.toDF().join(lex, col("angle") === col("lex_angle"), "left")
+    val grouped = tokens.toDF()
+      .groupBy(col("angle"), col("label"))
+      .agg(count(lit(1)).as("occ"),
+        first(col("indices")).as("indices"),
+        first(col("values")).as("values"))
+
+    val joined = grouped.join(lex, col("angle") === col("lex_angle"), "left")
     val hit = col("lex_angle").isNotNull
     val mutual = joined.select(
-      col("label"),
+      col("label"), col("occ"),
       hit.as("hit"),
       when(hit, mutualAngleUdf(col("indices"), col("values"),
         col("lex_indices"), col("lex_values"))).as("mutual"))
 
     val agg = mutual.agg(
-      count(lit(1)).as("total"),
-      sum(when(!col("hit"), 1L).otherwise(0L)).as("missing"),
-      sum(when(col("hit") && col("mutual") < identityAngle, 1L).otherwise(0L)).as("collisions"),
+      coalesce(sum(col("occ")), lit(0L)).as("total"),
+      sum(when(!col("hit"), col("occ")).otherwise(0L)).as("missing"),
+      sum(when(col("hit") && col("mutual") < identityAngle, col("occ")).otherwise(0L)).as("collisions"),
       min(when(col("hit"), col("mutual"))).as("minMutual"),
       min_by(col("label"), when(col("hit"), col("mutual"))).as("worstToken")
     ).collect()(0)
