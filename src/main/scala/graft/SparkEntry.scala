@@ -544,6 +544,20 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // semantic dedup end-to-end (SemDeDup shape): embedding near-dup
+    // pairs → connected components → keep-min clusters. Same CC kernel as
+    // doc_dup_clusters, composed over the vector modality.
+    "emb_dup_clusters" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val copies = e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.05f)).as("embedding"))
+      val pairs = Dedup.embeddingNearDuplicates(e.unionByName(copies),
+        "embedding", "vec_id", dims = 64, threshold = 0.98,
+        planes = 96, bands = 8)
+      Dedup.duplicateClusters(pairs, "id_a", "id_b").orderBy("rep")
+    }),
+
     // ==================================================================
     // Similarity search (§2.4)
     // ==================================================================
@@ -826,6 +840,18 @@ object SparkEntry {
     // sequence packing: concat-then-chunk token-budget bins over sharded
     // per-language streams — the window partitions by (lang, shard), never
     // globally, so no task funnels the corpus
+    // RAG-style chunking: overlapping 64-token windows advancing by 48,
+    // pure explode (no shuffle). Chunk text hashed so the dump checks
+    // every chunk byte while staying compact.
+    "doc_chunks" -> ((s, dir) => {
+      graft.pipeline.Chunking
+        .chunkByTokens(tbl(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", windowSize = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // deterministic global shuffle: rank by (knuth-hash coordinate, id) via
     // the range-partitioned two-phase rank — the training-order permutation,
     // reproducible across engines/retries, no global window funnel
@@ -1417,6 +1443,30 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.98
         |ORDER BY id_a, id_b""".stripMargin,
+    "emb_dup_clusters" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x * 1.05 AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM base a JOIN base b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.98),
+        |e AS (
+        |  SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e) n
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON reach.u = e.v
+        |), lab AS (
+        |  SELECT u AS id, min(r) AS rep FROM reach GROUP BY u
+        |)
+        |SELECT rep, count(*) AS n_members,
+        |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+        |FROM lab GROUP BY rep ORDER BY rep""".stripMargin,
     // Sampling/mixing/packing: the Knuth multiplicative hash and the
     // chunked cumsum are plain BIGINT arithmetic, reproduced exactly
     // same fixture synthesis and the same RE2-subset patterns, applied in
@@ -1474,6 +1524,23 @@ object SparkEntry {
       """SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 858993459
         |  THEN 'val' ELSE 'train' END AS split, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    "doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) <= 64 THEN 1
+        |      ELSE (len(w) - 64 + 47) // 48 + 1 END AS n_chunks
+        |  FROM t),
+        |e AS (SELECT doc_id, w, unnest(range(n_chunks)) AS chunk_idx FROM c)
+        |SELECT doc_id, chunk_idx,
+        |  len(list_slice(w, chunk_idx*48+1, chunk_idx*48+64)) AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(w, chunk_idx*48+1, chunk_idx*48+64), ' '))
+        |    AS chunk_hash
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
     "doc_global_shuffle" ->
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
