@@ -639,6 +639,27 @@ object SparkEntry {
         .orderBy("token")
     }),
 
+    // top-5 bigrams per language via the bounded string-label top-k
+    // aggregator (partial agg ships ≤ k labels per group per task — never
+    // a per-language window funnel over the full distinct-bigram set).
+    // Tie-break is (count desc, bigram asc), portable to any engine.
+    "doc_top_bigrams" -> ((s, dir) => {
+      val toks = when(length(trim(col("text"))) === 0,
+        array().cast("array<string>"))
+        .otherwise(split(trim(col("text")), "\\s+"))
+      val bigrams = tbl(s, dir, "documents").select(col("lang"),
+        explode(when(size(toks) < 2, array().cast("array<string>"))
+          .otherwise(transform(sequence(lit(1), size(toks) - 1),
+            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
+          .as("bigram"))
+      val counts = bigrams.groupBy("lang", "bigram")
+        .agg(count(lit(1)).as("cnt"))
+      graft.functions.TopK.topLabelsPerGroup(counts, "lang", "bigram", "cnt", 5)
+        .select(col("lang"), col("bigram"),
+          col("cnt").cast("long").as("cnt"), col("rank").cast("long").as("rank"))
+        .orderBy("lang", "rank")
+    }),
+
     // per-document character-class profile (all integers — exact oracle)
     "doc_charclass_stats" -> ((s, dir) => {
       val t = col("text")
@@ -1593,6 +1614,21 @@ object SparkEntry {
         |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
         |  FROM documents) t
         |GROUP BY token ORDER BY token""".stripMargin,
+    "doc_top_bigrams" ->
+      """WITH w AS (
+        |  SELECT lang, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |b AS (
+        |  SELECT lang, unnest(list_transform(range(1, len(t)),
+        |    i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM w WHERE len(t) >= 2),
+        |c AS (SELECT lang, bigram, count(*) AS cnt FROM b GROUP BY lang, bigram),
+        |r AS (
+        |  SELECT lang, bigram, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS rank
+        |  FROM c)
+        |SELECT lang, bigram, cnt, rank FROM r WHERE rank <= 5
+        |ORDER BY lang, rank""".stripMargin,
     "doc_charclass_stats" ->
       """SELECT doc_id,
         |  length(text) AS n_chars_m,

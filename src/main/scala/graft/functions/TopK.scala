@@ -80,6 +80,85 @@ object TopK {
     override def outputEncoder = Encoders.product[Buf]
   }
 
+  /** One scored label: (score, label) — the string-keyed variant for
+    * vocabulary/n-gram statistics where the ranked thing is a token, not a
+    * numeric id. */
+  final case class ScoredLabel(score: Double, label: String)
+
+  /** Bounded buffer for labels, sorted best-first, length ≤ k. */
+  final case class LabelBuf(scores: Array[Double], labels: Array[String])
+
+  /** (s1,l1) before (s2,l2): higher score first, lexicographically smaller
+    * label on ties — ASCII labels order identically under Java compareTo
+    * and UTF-8 binary collation, so the tie-break is engine-portable. */
+  private def beatsLabel(s1: Double, l1: String, s2: Double, l2: String): Boolean = {
+    val c = java.lang.Double.compare(s1 + 0.0, s2 + 0.0)
+    c > 0 || (c == 0 && l1.compareTo(l2) < 0)
+  }
+
+  private final class TopKLabelAggregator(k: Int)
+      extends Aggregator[ScoredLabel, LabelBuf, LabelBuf] {
+
+    override def zero: LabelBuf = LabelBuf(Array.emptyDoubleArray, Array.empty[String])
+
+    private def insert(b: LabelBuf, score: Double, label: String): LabelBuf = {
+      val n = b.labels.length
+      if (n >= k && !beatsLabel(score, label, b.scores(n - 1), b.labels(n - 1))) b
+      else {
+        var pos = n
+        while (pos > 0 && beatsLabel(score, label, b.scores(pos - 1), b.labels(pos - 1))) pos -= 1
+        val m = math.min(n + 1, k)
+        val ns = new Array[Double](m)
+        val nl = new Array[String](m)
+        System.arraycopy(b.scores, 0, ns, 0, pos)
+        System.arraycopy(b.labels, 0, nl, 0, pos)
+        ns(pos) = score; nl(pos) = label
+        val tail = m - pos - 1
+        if (tail > 0) {
+          System.arraycopy(b.scores, pos, ns, pos + 1, tail)
+          System.arraycopy(b.labels, pos, nl, pos + 1, tail)
+        }
+        LabelBuf(ns, nl)
+      }
+    }
+
+    override def reduce(b: LabelBuf, a: ScoredLabel): LabelBuf = insert(b, a.score, a.label)
+
+    override def merge(b1: LabelBuf, b2: LabelBuf): LabelBuf = {
+      var acc = b1
+      var i = 0
+      while (i < b2.labels.length) { acc = insert(acc, b2.scores(i), b2.labels(i)); i += 1 }
+      acc
+    }
+
+    override def finish(r: LabelBuf): LabelBuf = r
+    override def bufferEncoder = Encoders.product[LabelBuf]
+    override def outputEncoder = Encoders.product[LabelBuf]
+  }
+
+  /**
+   * Per-group top-k by label: keep the k best (`scoreCol` desc, `labelCol`
+   * asc) rows per group — same bounded partial-aggregate shape as
+   * [[topKPerGroup]], for string-keyed rankings (top n-grams per language,
+   * top domains per source, ...). Output: (groupCol, labelCol, scoreCol,
+   * rank).
+   */
+  def topLabelsPerGroup(scored: DataFrame, groupCol: String, labelCol: String,
+                        scoreCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val agg = udaf(new TopKLabelAggregator(k), Encoders.product[ScoredLabel])
+    scored
+      .groupBy(col(groupCol))
+      .agg(agg(col(scoreCol).cast("double"), col(labelCol).cast("string")).as("_top"))
+      .select(col(groupCol), col("_top.scores").as("_s"), col("_top.labels").as("_l"))
+      .select(col(groupCol),
+        posexplode(arrays_zip(col("_s"), col("_l"))).as(Seq("_pos", "_z")))
+      .select(col(groupCol),
+        col("_z._l").as(labelCol),
+        col("_z._s").as(scoreCol),
+        (col("_pos") + 1).cast("int").as("rank"))
+  }
+
   /**
    * Append per-group top-k rows: for each distinct `groupCol` value keep the
    * k best (`scoreCol` desc, `idCol` asc) rows, with a 1-based `rank`

@@ -67,4 +67,33 @@ class TopKSpec extends SparkTestBase {
     assert(plan.contains("ObjectHashAggregate"),
       s"expected ObjectHashAggregate (partial combine before the exchange):\n$plan")
   }
+
+  private def labelFixture = {
+    val rnd = new scala.util.Random(11)
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta")
+    (1 to 400).map { _ =>
+      (rnd.nextInt(4).toLong, words(rnd.nextInt(words.size)),
+        math.rint(rnd.nextDouble() * 30) / 10) // coarse scores force ties
+    }.toDF("g", "label", "score").repartition(8)
+  }
+
+  test("topLabelsPerGroup matches the window definition, ties on smaller label") {
+    val df = labelFixture.cache()
+    val got = TopK.topLabelsPerGroup(df, "g", "label", "score", 3)
+      .as[(Long, String, Double, Int)].collect().toSet
+    val w = Window.partitionBy($"g").orderBy(desc("score"), $"label")
+    val want = df.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+      .select($"g", $"label", $"score", $"rank".cast("int"))
+      .as[(Long, String, Double, Int)].collect().toSet
+    assert(got === want)
+    df.unpersist()
+  }
+
+  test("topLabelsPerGroup plans the same bounded partial aggregate") {
+    val plan = TopK.topLabelsPerGroup(labelFixture, "g", "label", "score", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"))
+    assert(plan.contains("ObjectHashAggregate"))
+  }
 }
