@@ -644,9 +644,7 @@ object SparkEntry {
     // a per-language window funnel over the full distinct-bigram set).
     // Tie-break is (count desc, bigram asc), portable to any engine.
     "doc_top_bigrams" -> ((s, dir) => {
-      val toks = when(length(trim(col("text"))) === 0,
-        array().cast("array<string>"))
-        .otherwise(split(trim(col("text")), "\\s+"))
+      val toks = TextMetrics.wsTokens(col("text"))
       val bigrams = tbl(s, dir, "documents").select(col("lang"),
         explode(when(size(toks) < 2, array().cast("array<string>"))
           .otherwise(transform(sequence(lit(1), size(toks) - 1),
@@ -1523,7 +1521,7 @@ object SparkEntry {
         |bl AS (SELECT unnest(['badsite.com', 'tracker.io']) AS domain),
         |h AS (
         |  SELECT doc_id,
-        |    lower(unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]+)', 1))) AS host
+        |    lower(unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]*[A-Za-z0-9])', 1))) AS host
         |  FROM base),
         |hits AS (
         |  SELECT DISTINCT doc_id FROM h JOIN bl

@@ -16,6 +16,15 @@ object TextMetrics {
 
   // ------------------------------------------------------------ token counts
 
+  /** Whitespace tokens of trimmed text; empty/blank text ⇒ empty array (a
+    * bare split would yield [""]). THE engine-parity-sensitive tokenization
+    * rule — every ws-token consumer (counts, chunking, n-gram stats) must
+    * go through this one definition so Spark queries and their
+    * `regexp_split_to_array(trim(text), '\s+')` oracles cannot drift. */
+  def wsTokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
   /** Whitespace token count (codegen'd). */
   def tokenCountWs(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))

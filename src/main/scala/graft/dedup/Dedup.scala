@@ -414,15 +414,21 @@ object Dedup {
         .distinct())
 
     // Star-forest test: with canonical u > v edges, the graph is a star
-    // forest iff no node is both a child (u side) and a parent (v side).
-    // Testing this directly terminates at the EARLIEST star round — the
-    // set-equality criterion would pay one extra full round just to
-    // confirm the fixpoint. (Cliques — the common near-dup shape — star
-    // in ONE round; only chains need the log² schedule.)
-    def isStarForest(df: DataFrame): Boolean =
-      df.select(col("u"))
-        .join(df.select(col("v").as("u")), "u")
+    // forest iff (a) every child u has exactly ONE parent edge and (b) no
+    // node is both a child (u side) and a parent (v side). Both conditions
+    // are required: {(3,1),(3,2)} satisfies (b) alone yet is no star —
+    // node 3 has two parents, and labeling it would split one component
+    // into two overlapping clusters. Testing starness directly terminates
+    // at the EARLIEST star round — set-equality would pay one extra full
+    // round just to confirm the fixpoint. (Cliques — the common near-dup
+    // shape — star in ONE round; only chains need the log² schedule.)
+    def isStarForest(df: DataFrame): Boolean = {
+      val childCounts = df.groupBy("u").agg(count(lit(1)).as("c"))
+      childCounts.filter(col("c") > 1).select("u")
+        .unionByName(childCounts.select("u")
+          .join(df.select(col("v").as("u")), "u"))
         .isEmpty
+    }
 
     var iter = 0
     while (!isStarForest(edges) && iter < maxIterations) {

@@ -141,13 +141,16 @@ object TopK {
    * asc) rows per group — same bounded partial-aggregate shape as
    * [[topKPerGroup]], for string-keyed rankings (top n-grams per language,
    * top domains per source, ...). Output: (groupCol, labelCol, scoreCol,
-   * rank).
+   * rank). Rows with a null label or score are excluded from the ranking
+   * (they cannot order, and a null would poison the non-nullable
+   * aggregation buffer).
    */
   def topLabelsPerGroup(scored: DataFrame, groupCol: String, labelCol: String,
                         scoreCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val agg = udaf(new TopKLabelAggregator(k), Encoders.product[ScoredLabel])
     scored
+      .filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(agg(col(scoreCol).cast("double"), col(labelCol).cast("string")).as("_top"))
       .select(col(groupCol), col("_top.scores").as("_s"), col("_top.labels").as("_l"))
@@ -163,13 +166,16 @@ object TopK {
    * Append per-group top-k rows: for each distinct `groupCol` value keep the
    * k best (`scoreCol` desc, `idCol` asc) rows, with a 1-based `rank`
    * column. Output columns: (groupCol, idCol, scoreCol, rank). `idCol` is
-   * cast to long (all engine ids are integral).
+   * cast to long (all engine ids are integral). Rows with a null id or
+   * score are excluded from the ranking (a null would poison the
+   * non-nullable aggregation buffer).
    */
   def topKPerGroup(scored: DataFrame, groupCol: String, idCol: String,
                    scoreCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val agg = udaf(new TopKAggregator(k), Encoders.product[Scored])
     scored
+      .filter(col(idCol).isNotNull && col(scoreCol).isNotNull)
       .groupBy(col(groupCol))
       .agg(agg(col(scoreCol).cast("double"), col(idCol).cast("long")).as("_top"))
       .select(col(groupCol), col("_top.scores").as("_s"), col("_top.ids").as("_i"))

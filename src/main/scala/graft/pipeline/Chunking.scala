@@ -24,16 +24,10 @@ import org.apache.spark.sql.functions._
  */
 object Chunking {
 
-  /** Whitespace tokens of trimmed text; empty text ⇒ empty array (a bare
-    * split would yield [""]). Matches TextMetrics.tokenCountWs semantics. */
-  private def wsTokens(text: Column): Column =
-    when(length(trim(text)) === 0, array().cast("array<string>"))
-      .otherwise(split(trim(text), "\\s+"))
-
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
                     windowSize: Int, stride: Int): DataFrame = {
     require(windowSize > 0 && stride > 0, "windowSize and stride must be positive")
-    val toks = wsTokens(col(textCol))
+    val toks = graft.analysis.TextMetrics.wsTokens(col(textCol))
     val n = size(toks)
     // integer ceil((n - w)/s) + 1 via (n - w + s - 1) div s + 1
     val nChunks = when(n <= windowSize, lit(1L)).otherwise(

@@ -20,8 +20,12 @@ import org.apache.spark.sql.functions._
  */
 object UrlFilter {
 
-  /** Capturing pattern for the host part of an http(s) URL. */
-  val HostRe = "https?://([A-Za-z0-9.-]+)"
+  /** Capturing pattern for the host part of an http(s) URL. The capture
+    * must END on an alphanumeric: a bare `[A-Za-z0-9.-]+` would swallow
+    * sentence-final punctuation ("visit https://badsite.com.") into the
+    * host, and the trailing dot would defeat both the exact and the
+    * suffix match — letting a blocklisted domain through. */
+  val HostRe = "https?://([A-Za-z0-9.-]*[A-Za-z0-9])"
 
   /** Distinct lowercased hosts referenced by a text column. */
   def hosts(text: Column): Column =

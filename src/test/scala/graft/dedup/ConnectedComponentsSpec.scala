@@ -36,6 +36,15 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("a node pairing with two smaller unlinked ids still forms ONE cluster") {
+    // canonical edges {(3,1),(3,2)} have disjoint child/parent sides but
+    // are NOT a star (3 has two parents) — the termination test must not
+    // accept them as converged (regression: early-exit returned node 3
+    // with two representatives)
+    val labels = labelsOf(Seq((1L, 3L), (2L, 3L)))
+    assert(labels === Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("chain graph (worst case for propagation) converges to the min id") {
     val chain = (1L until 64L).map(i => (i, i + 1))
     val labels = labelsOf(chain)

@@ -35,6 +35,17 @@ class UrlFilterSpec extends SparkTestBase {
       4L -> false, 5L -> false, 6L -> true))
   }
 
+  test("sentence-final punctuation does not let a blocked domain escape") {
+    val docs = Seq(
+      (1L, "visit https://badsite.com. next sentence"),
+      (2L, "at the end: http://sub.tracker.io."),
+      (3L, "dashed https://badsite.com- weird")
+    ).toDF("id", "text")
+    val got = UrlFilter.flagBlockedDomains(docs, "id", "text", blocklist, "domain")
+      .select("id", "blocked").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> true, 3L -> true))
+  }
+
   test("dropBlockedDomains keeps clean docs with original columns") {
     val docs = Seq((1L, "https://badsite.com"), (2L, "clean")).toDF("id", "text")
     val kept = UrlFilter.dropBlockedDomains(docs, "id", "text", blocklist, "domain")
