@@ -644,12 +644,8 @@ object SparkEntry {
     // a per-language window funnel over the full distinct-bigram set).
     // Tie-break is (count desc, bigram asc), portable to any engine.
     "doc_top_bigrams" -> ((s, dir) => {
-      val toks = TextMetrics.wsTokens(col("text"))
       val bigrams = tbl(s, dir, "documents").select(col("lang"),
-        explode(when(size(toks) < 2, array().cast("array<string>"))
-          .otherwise(transform(sequence(lit(1), size(toks) - 1),
-            i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
-          .as("bigram"))
+        explode(TextMetrics.wsBigramsUdf(col("text"))).as("bigram"))
       val counts = bigrams.groupBy("lang", "bigram")
         .agg(count(lit(1)).as("cnt"))
       graft.functions.TopK.topLabelsPerGroup(counts, "lang", "bigram", "cnt", 5)

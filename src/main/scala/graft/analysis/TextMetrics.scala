@@ -30,6 +30,25 @@ object TextMetrics {
     when(length(trim(text)) === 0, lit(0))
       .otherwise(size(split(trim(text), "\\s+")))
 
+  /** Adjacent ws-token bigrams ("a b", "b c", ...) as one tight pass per
+    * row. A `transform(sequence(...))` formulation evaluates its lambda
+    * INTERPRETED per element (the round-1 shingle trap — 100× slower at
+    * sf0.1), so this is a UDF kernel like the other per-string loops.
+    * Tokenization must stay char-identical to [[wsTokens]]. */
+  val wsBigramsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf { (s: String) =>
+      if (s == null) Array.empty[String]
+      else {
+        val tr = s.trim
+        if (tr.isEmpty) Array.empty[String]
+        else {
+          val t = tr.split("\\s+")
+          if (t.length < 2) Array.empty[String]
+          else Array.tabulate(t.length - 1)(i => t(i) + " " + t(i + 1))
+        }
+      }
+    }
+
   /**
    * BPE-ish token count: word pieces = runs of letters, runs of digits, or
    * single non-space symbols (a portable approximation of GPT-2's pre-token
