@@ -108,6 +108,41 @@ object Main {
       SimilarityIndex.closestMatch(idx, q).show(false)
       spark.stop()
 
+    // -------- training-data-pipeline extensions (no reference analog) ----
+
+    case "scrub" :: docs :: out :: rest =>
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val textCol = rest.drop(1).headOption.getOrElse("text")
+      val spark = session()
+      graft.pipeline.Scrub.scrub(spark.read.parquet(docs), idCol, textCol)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"scrub: $n docs redacted -> $out")
+      spark.stop()
+
+    case "chunk" :: docs :: out :: window :: stride :: rest =>
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val textCol = rest.drop(1).headOption.getOrElse("text")
+      val spark = session()
+      graft.pipeline.Chunking.chunkByTokens(spark.read.parquet(docs),
+          idCol, textCol, window.toInt, stride.toInt)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"chunk: $n chunks (window=$window stride=$stride) -> $out")
+      spark.stop()
+
+    case "dedup-cluster" :: pairs :: out :: rest =>
+      val aCol = rest.headOption.getOrElse("id_a")
+      val bCol = rest.drop(1).headOption.getOrElse("id_b")
+      val spark = session()
+      val clusters = graft.dedup.Dedup.duplicateClusters(
+        spark.read.parquet(pairs), aCol, bCol)
+      clusters.write.mode("overwrite").parquet(out)
+      graft.dedup.Dedup.release(clusters)
+      val n = spark.read.parquet(out).count()
+      println(s"dedup-cluster: $n clusters -> $out")
+      spark.stop()
+
     case _ =>
       System.err.println(
         """usage: graft.cli.Main <command> [args]
@@ -116,7 +151,10 @@ object Main {
           |  truncate         <path>
           |  stringcompare    <str1> <str2>
           |  graph-build      <sentencesParquet> <indexPath> [idCol] [textCol] [sep]
-          |  graph-search     <indexPath> <querySentence>""".stripMargin)
+          |  graph-search     <indexPath> <querySentence>
+          |  scrub            <docsParquet> <outParquet> [idCol] [textCol]
+          |  chunk            <docsParquet> <outParquet> <window> <stride> [idCol] [textCol]
+          |  dedup-cluster    <pairsParquet> <outParquet> [aCol] [bCol]""".stripMargin)
       sys.exit(2)
   }
 }
