@@ -505,6 +505,25 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // incremental dedup: band the corpus into a persisted MinHash index
+    // once, then probe the incoming batch against it — the stored side is
+    // only read map-side (batch bands broadcast), never re-banded or
+    // shuffled. Same recall argument as doc_minhash_dups (128 hashes / 64
+    // bands), so the brute-force cross-pair scan is a valid oracle.
+    "doc_incremental_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
+        "graft-mhidx-" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      Dedup.minhashIndexBuild(d, "text", "doc_id", idxPath,
+        shingleK = 4, numHashes = 128, bands = 64)
+      val batch = d.filter(col("doc_id") % 50 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          expr("substr(text, 1, cast(floor(length(text)*0.7) as int))").as("text"))
+      Dedup.minhashIndexProbe(s, idxPath, batch, "text", "doc_id",
+        threshold = 0.3)
+        .orderBy("corpus_id", "new_id")
+    }),
+
     // transitive cluster resolution over the minhash pair list: connected
     // components (alternating large-star/small-star, O(log² n) rounds of
     // one reused exchange each) turn pairwise matches into dedup clusters
@@ -1409,6 +1428,36 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id) p
         |WHERE jaccard >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    // brute-force CROSS pairs (corpus × batch) with the same shingle CTE
+    // as doc_minhash_dups — the incremental probe must find exactly the
+    // pairs the one-shot join would
+    "doc_incremental_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-2),
+        |      i -> array_to_string(w[i:i+3], ' ')) END) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM documents) t
+        |), m AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-2),
+        |      i -> array_to_string(w[i:i+3], ' ')) END) AS sh
+        |  FROM (SELECT doc_id + 1000000 AS doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(
+        |      lower(substr(text, 1, CAST(floor(length(text)*0.7) AS INT))),
+        |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM documents WHERE doc_id % 50 = 0) t
+        |)
+        |SELECT corpus_id, new_id, jaccard FROM (
+        |  SELECT d.doc_id AS corpus_id, m.doc_id AS new_id,
+        |    CAST(len(list_intersect(d.sh, m.sh)) AS DOUBLE) /
+        |      (len(d.sh) + len(m.sh) - len(list_intersect(d.sh, m.sh))) AS jaccard
+        |  FROM d JOIN m ON true) p
+        |WHERE jaccard >= 0.3
+        |ORDER BY corpus_id, new_id""".stripMargin,
     // same brute-force pair set as doc_minhash_dups, closed transitively
     // with a recursive CTE — DuckDB's reachability fixpoint oracles the
     // Spark-side large-star/small-star fixpoint

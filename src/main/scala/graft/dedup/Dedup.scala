@@ -346,6 +346,90 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  // --------------------------------------------- incremental MinHash index
+
+  /**
+   * Persist a MinHash-LSH band index for INCREMENTAL dedup: band the
+   * corpus once, then probe each incoming batch against the stored index
+   * — the 100 TB ingestion shape, where re-banding the corpus per batch
+   * (what [[minhashNearDuplicates]] would do) is a non-starter.
+   *
+   * Layout under `path`:
+   *  - `bands/`: (id, band, bucket, bucket_size) — ids only, 4 longs/row;
+   *    `bucket_size` is precomputed so probes can skip degenerate buckets
+   *    without re-counting them.
+   *  - `sets/`: (id, sh) shingle sets for exact-Jaccard verification.
+   *  - `meta/`: the banding parameters — part of the index contract, read
+   *    back by the probe so build and probe can never disagree.
+   */
+  def minhashIndexBuild(df: DataFrame, textCol: String, idCol: String,
+                        path: String, shingleK: Int = 3, numHashes: Int = 64,
+                        bands: Int = 16): Unit = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = df.sparkSession
+    val rowsPerBand = numHashes / bands
+    val shingled = df.select(col(idCol).as("id"),
+      shinglesUdf(shingleK)(col(textCol)).as("sh"))
+    shingled.write.mode("overwrite").parquet(s"$path/sets")
+    val banded = spark.read.parquet(s"$path/sets")
+      .withColumn("sig", minhashSigUdf(numHashes)(col("sh")))
+      .select(col("id"), posexplode(bandHashes(col("sig"), bands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+    import org.apache.spark.sql.expressions.Window
+    banded
+      .withColumn("bucket_size",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
+      .write.mode("overwrite").parquet(s"$path/bands")
+    spark.createDataFrame(Seq((shingleK, numHashes, bands)))
+      .toDF("shingle_k", "num_hashes", "bands")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /**
+   * Probe an incoming batch against a [[minhashIndexBuild]] index:
+   * near-duplicate (corpus_id, new_id, jaccard) pairs above `threshold`.
+   *
+   * Scale shape: the BATCH side broadcasts (bands, then candidate pairs,
+   * then batch shingle sets) — the stored index is only ever read
+   * map-side, never shuffled; the single exchange is the candidate-pair
+   * distinct. Stored buckets above `maxBucketSize` are skipped via the
+   * precomputed `bucket_size` (boilerplate buckets cannot identify
+   * near-dups and would fan the probe out quadratically).
+   */
+  def minhashIndexProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+                        newDf: DataFrame, textCol: String, idCol: String,
+                        threshold: Double = 0.8,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (shingleK, numHashes, bands) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val rowsPerBand = numHashes / bands
+
+    val newShingled = newDf.select(col(idCol).as("new_id"),
+      shinglesUdf(shingleK)(col(textCol)).as("new_sh"))
+    val newBanded = newShingled
+      .withColumn("sig", minhashSigUdf(numHashes)(col("new_sh")))
+      .select(col("new_id"), posexplode(bandHashes(col("sig"), bands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+
+    val stored = spark.read.parquet(s"$path/bands")
+      .filter(col("bucket_size") <= maxBucketSize)
+    val pairs = stored
+      .join(broadcast(newBanded), Seq("band", "bucket"))
+      .filter(col("id") =!= col("new_id"))
+      .select(col("id"), col("new_id"))
+      .distinct()
+
+    spark.read.parquet(s"$path/sets")
+      .join(broadcast(pairs), "id")
+      .join(broadcast(newShingled), "new_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh"), col("new_sh"))).cast("double") /
+          size(array_union(col("sh"), col("new_sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id").as("corpus_id"), col("new_id"), col("jaccard"))
+  }
+
   // ------------------------------------- duplicate-cluster resolution (CC)
 
   /**

@@ -1,0 +1,94 @@
+package graft.dedup
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Incremental MinHash index: build once, probe batches — results must
+  * match the one-shot join restricted to cross (corpus × batch) pairs,
+  * the stored side must stay un-shuffled, and hot buckets must be skipped
+  * via the precomputed size. */
+class MinhashIndexSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmpPath(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit()
+    d.resolve("idx").toString
+  }
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "completely different content about spark engines and parquet files"),
+    (3L, "yet another unrelated document mentioning streams and state")
+  ).toDF("doc_id", "text")
+
+  test("probe finds near-dups of indexed docs; clean batches come back empty") {
+    val path = tmpPath("mh-idx")
+    Dedup.minhashIndexBuild(corpus, "text", "doc_id", path,
+      shingleK = 3, numHashes = 64, bands = 32)
+
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog today"), // ~dup of 1
+      (102L, "nothing like anything stored in the index at all")
+    ).toDF("doc_id", "text")
+    val hits = Dedup.minhashIndexProbe(spark, path, batch, "text", "doc_id",
+      threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(hits.map(h => (h._1, h._2)) === Seq((1L, 101L)))
+    assert(hits.head._3 >= 0.5)
+
+    val clean = Seq((201L, "entirely novel words everywhere"))
+      .toDF("doc_id", "text")
+    assert(Dedup.minhashIndexProbe(spark, path, clean, "text", "doc_id",
+      threshold = 0.5).isEmpty)
+  }
+
+  test("probe matches the one-shot join restricted to cross pairs") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val batch = docs.filter($"doc_id" % 50 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        expr("substr(text, 1, cast(floor(length(text)*0.7) as int))").as("text"))
+
+    val path = tmpPath("mh-idx-sf")
+    Dedup.minhashIndexBuild(docs, "text", "doc_id", path,
+      shingleK = 4, numHashes = 128, bands = 64)
+    val incremental = Dedup.minhashIndexProbe(spark, path, batch,
+      "text", "doc_id", threshold = 0.3)
+      .select($"corpus_id", $"new_id").as[(Long, Long)].collect().toSet
+
+    val oneShot = Dedup.minhashNearDuplicates(docs.unionByName(batch),
+      "text", "doc_id", shingleK = 4, numHashes = 128, bands = 64,
+      threshold = 0.3)
+      .filter($"id_a" < 1000000L && $"id_b" >= 1000000L)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+
+    assert(incremental === oneShot)
+    assert(incremental.nonEmpty)
+  }
+
+  test("buckets above maxBucketSize are skipped via the stored size") {
+    val boiler = (1L to 30L).map(i => (i, "same boilerplate text every time"))
+      .toDF("doc_id", "text")
+    val path = tmpPath("mh-idx-hot")
+    Dedup.minhashIndexBuild(boiler, "text", "doc_id", path,
+      shingleK = 3, numHashes = 64, bands = 32)
+    val batch = Seq((900L, "same boilerplate text every time")).toDF("doc_id", "text")
+    // every stored bucket holds all 30 docs -> skipped at maxBucketSize 10
+    assert(Dedup.minhashIndexProbe(spark, path, batch, "text", "doc_id",
+      threshold = 0.5, maxBucketSize = 10).isEmpty)
+    // and admitted when the cap allows them
+    assert(Dedup.minhashIndexProbe(spark, path, batch, "text", "doc_id",
+      threshold = 0.5, maxBucketSize = 100).count() === 30)
+  }
+
+  test("the stored index is never shuffled by a probe — batch side broadcasts") {
+    val path = tmpPath("mh-idx-plan")
+    Dedup.minhashIndexBuild(corpus, "text", "doc_id", path)
+    val batch = Seq((101L, "the quick brown fox")).toDF("doc_id", "text")
+    val plan = Dedup.minhashIndexProbe(spark, path, batch, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"stored side must not shuffle:\n$plan")
+  }
+}
