@@ -455,6 +455,23 @@ object SparkEntry {
         .orderBy("key")
     }),
 
+    // as-of join (custom operator — Spark has none): attribute each click
+    // to the latest prior view by the same user. One key shuffle + sorted
+    // sweep; oracled by DuckDB's NATIVE ASOF LEFT JOIN. (user_id, ts) is
+    // unique among views at every SF, so the match is deterministic.
+    "q_events_asof" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts").as("click_ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("view_ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      graft.operators.AsofJoin.asofBackward(clicks, views, Seq("user_id"),
+        "click_ts", "view_ts", Seq("view_id", "view_ts", "view_value"))
+        .orderBy("click_id")
+    }),
+
     // ==================================================================
     // Dedup suite (training-data pipeline)
     // ==================================================================
@@ -1147,6 +1164,20 @@ object SparkEntry {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    // DuckDB's native ASOF JOIN oracles the custom sweep operator
+    "q_events_asof" ->
+      """WITH clicks AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'),
+        |views AS (
+        |  SELECT user_id, ts AS view_ts, event_id AS view_id,
+        |    value AS view_value
+        |  FROM events WHERE event_type = 'view')
+        |SELECT c.click_id, c.user_id, c.click_ts,
+        |  v.view_id, v.view_ts, v.view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.click_ts >= v.view_ts
+        |ORDER BY click_id""".stripMargin,
     "q_events_windowed" ->
       """SELECT time_bucket(INTERVAL '5 minutes', ts) AS w_start, event_type,
         |  count(*) AS n,

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/**
+ * As-of join (backward, inclusive): each left row picks up the payload of
+ * the LATEST right row with the same key and `rightTs` <= `leftTs` —
+ * attribution ("the view that preceded this click"), mark-to-market
+ * ("the quote in force at trade time"), config-as-of-event, etc.
+ *
+ * Spark has no native as-of join, and the common workarounds are wrong at
+ * scale: a range join generates |L|×|R| candidates per key before the
+ * per-left max, and a windowed `last()` over the union funnels a key's
+ * whole history through one window frame. This operator is the plan a
+ * native implementation would emit:
+ *
+ *   tag-and-union both sides → ONE hash shuffle on the key →
+ *   sort within partitions by (key, ts, side) → single forward sweep
+ *   per partition carrying exactly one pending payload per key.
+ *
+ * O(1) state per task beyond the sort, no window funnel, no candidate
+ * blowup. The sweep is the only non-declarative step (a mapPartitions
+ * pass — genuine per-partition imperative logic).
+ *
+ * Contract: rows with a null key or null timestamp never match (SQL
+ * join-on-null semantics; unmatched left rows surface with null payload
+ * columns). Equal timestamps on both sides match (inclusive). If several
+ * right rows share (key, ts), the last in encounter order wins —
+ * pre-aggregate the right side to one row per (key, ts) for full
+ * determinism.
+ */
+object AsofJoin {
+
+  /**
+   * @param payloadCols right-side columns carried onto matched left rows
+   *        (appended to the left schema, nullable; names must not collide
+   *        with left columns — rename before joining if they do).
+   */
+  def asofBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                   leftTsCol: String, rightTsCol: String,
+                   payloadCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "asofBackward needs at least one key column")
+    val lSchema = left.schema
+    val overlap = payloadCols.toSet.intersect(lSchema.fieldNames.toSet)
+    require(overlap.isEmpty, s"payload columns collide with left columns: $overlap")
+    val lType = StructType(lSchema.fields)
+    val pType = StructType(
+      right.select(payloadCols.map(col): _*).schema.fields.map(_.copy(nullable = true)))
+
+    val lTagged = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTsCol).as("_asof_ts"),
+        lit(1).as("_asof_side"),
+        struct(lSchema.fieldNames.map(col): _*).as("_asof_l"),
+        lit(null).cast(pType).as("_asof_r")): _*)
+    val rTagged = right
+      .filter(col(rightTsCol).isNotNull)
+      .select(
+        keyCols.map(col) ++ Seq(
+          col(rightTsCol).as("_asof_ts"),
+          lit(0).as("_asof_side"),
+          lit(null).cast(lType).as("_asof_l"),
+          struct(payloadCols.map(col): _*).as("_asof_r")): _*)
+
+    val nKeys = keyCols.length
+    val nPayload = pType.length
+    val parted = lTagged.unionByName(rTagged)
+      .repartition(keyCols.map(col): _*)
+      .sortWithinPartitions(
+        keyCols.map(col) ++ Seq(col("_asof_ts").asc_nulls_first, col("_asof_side")): _*)
+
+    val outSchema = StructType(lSchema.fields ++ pType.fields)
+    parted.mapPartitions { it =>
+      var curKey: Seq[Any] = null
+      var lastR: Row = null
+      it.flatMap { row =>
+        val k = (0 until nKeys).map(row.get)
+        if (curKey == null || k != curKey) { curKey = k; lastR = null }
+        if (row.getInt(nKeys + 1) == 0) {
+          // right row: becomes the pending payload unless its key is null
+          if (!k.exists(_ == null)) lastR = row.getStruct(nKeys + 3)
+          Iterator.empty
+        } else {
+          // left row: null ts sorts before every right row of its key, so
+          // lastR is still null there — no explicit guard needed
+          val l = row.getStruct(nKeys + 2)
+          val rVals = if (lastR == null) Seq.fill[Any](nPayload)(null) else lastR.toSeq
+          Iterator.single(Row.fromSeq(l.toSeq ++ rVals))
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+import java.sql.Timestamp
+
+class AsofJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(m: Int, s: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$m%02d:$s%02d")
+
+  private val quotes = Seq(
+    (1L, ts(0), 10.0), (1L, ts(5), 11.0), (1L, ts(9), 12.0),
+    (2L, ts(3), 99.0)
+  ).toDF("key", "qts", "price")
+
+  private val trades = Seq(
+    (1L, ts(4), "t1"),  // latest quote at 10:00 → 10.0
+    (1L, ts(5), "t2"),  // inclusive: the 10:05 quote itself → 11.0
+    (1L, ts(30), "t3"), // latest overall → 12.0
+    (2L, ts(2), "t4"),  // before any quote for key 2 → null
+    (3L, ts(4), "t5")   // key never quoted → null
+  ).toDF("key", "tts", "tag")
+
+  test("backward as-of picks the latest right row at or before each left ts") {
+    val got = AsofJoin.asofBackward(trades, quotes, Seq("key"), "tts", "qts",
+        Seq("qts", "price"))
+      .select($"tag", $"price").as[(String, Option[Double])]
+      .collect().toMap
+    assert(got === Map("t1" -> Some(10.0), "t2" -> Some(11.0),
+      "t3" -> Some(12.0), "t4" -> None, "t5" -> None))
+  }
+
+  test("null keys and null timestamps never match, rows still survive") {
+    val l = Seq((Some(1L), Some(ts(6)), "a"), (None, Some(ts(6)), "b"),
+      (Some(1L), None, "c")).toDF("key", "tts", "tag")
+    val r = Seq((Some(1L), Some(ts(0)), 5.0), (None, Some(ts(0)), 7.0))
+      .toDF("key", "qts", "price")
+    val got = AsofJoin.asofBackward(l, r, Seq("key"), "tts", "qts", Seq("price"))
+      .select($"tag", $"price").as[(String, Option[Double])].collect().toMap
+    assert(got === Map("a" -> Some(5.0), "b" -> None, "c" -> None))
+  }
+
+  test("matches a brute-force range-join + argmax oracle on random data") {
+    val rnd = new scala.util.Random(13)
+    val l = (1 to 300).map(i =>
+      (rnd.nextInt(8).toLong, ts(rnd.nextInt(50), rnd.nextInt(60)), i.toLong))
+      .toDF("key", "lts", "lid")
+    val r = (1 to 200).map(i =>
+      (rnd.nextInt(8).toLong, ts(rnd.nextInt(50), rnd.nextInt(60)), i.toLong))
+      // drop duplicate (key, ts) so the winner is deterministic
+      .groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+      .toDF("key", "rts", "rid")
+
+    val got = AsofJoin.asofBackward(l, r, Seq("key"), "lts", "rts", Seq("rid"))
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+
+    val brute = l.join(r, Seq("key"), "left")
+      .filter($"rts".isNull || $"rts" <= $"lts")
+      .groupBy($"lid")
+      .agg(max_by(struct($"rts", $"rid"), $"rts").getField("rid").as("rid"))
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+    // brute's left join loses rows whose only candidates were filtered; they
+    // must appear with None in both maps
+    val want = l.select($"lid").as[Long].collect()
+      .map(id => id -> brute.getOrElse(id, None)).toMap
+    assert(got === want)
+  }
+
+  test("plan is one shuffle on the key — no window funnel, no range cross join") {
+    val plan = AsofJoin.asofBackward(trades, quotes, Seq("key"), "tts", "qts",
+      Seq("price")).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"as-of must not plan a window:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("NestedLoop"),
+      s"as-of must not cross join:\n$plan")
+    assert("hashpartitioning".r.findAllIn(plan.toLowerCase).size >= 1)
+  }
+}
