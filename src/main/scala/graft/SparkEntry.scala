@@ -415,6 +415,33 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    // range (interval) join via axis binning (custom operator): session
+    // intervals × the events inside them, as an EQUI-join on (user, time
+    // bin) + exact filter — never a per-key cartesian with a range
+    // post-filter. n_in_range re-derives each session's event count
+    // through the join, so the oracle checks interval containment exactly.
+    "q_events_range_join" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).select("user_id", "ts", "event_id")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sessions = ev
+        .withColumn("brk",
+          when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)
+            > 1800000000L, 1).otherwise(0))
+        .withColumn("sess", sum(col("brk"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess")
+        .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"))
+      graft.operators.RangeJoin.binnedRangeJoin(sessions,
+          events(s, dir).select("user_id", "ts"),
+          Seq("user_id"), "session_start", "session_end", "ts")
+        .groupBy("user_id", "session_start", "n_events")
+        .agg(count(lit(1)).as("n_in_range"))
+        .select("user_id", "session_start", "n_events", "n_in_range")
+        .orderBy("user_id", "session_start")
+    }),
+
     // ==================================================================
     // KV column semantics (§2.1): multi-value grouped read (putOrAppend →
     // getMany); sorted multiset of values per key. Values stringified —
@@ -1201,6 +1228,29 @@ object SparkEntry {
         |m AS (SELECT user_id, max(sess) AS mx FROM a GROUP BY 1)
         |SELECT a.user_id, a.session_start, a.n_events
         |FROM a JOIN m ON a.user_id = m.user_id AND a.sess < m.mx
+        |ORDER BY a.user_id, a.session_start""".stripMargin,
+    // plain BETWEEN range join over the same session intervals — DuckDB
+    // can brute-force what the binned equi-join computes at scale
+    "q_events_range_join" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sess
+        |  FROM g),
+        |a AS (
+        |  SELECT user_id, sess, min(ts) AS session_start, max(ts) AS session_end,
+        |    count(*) AS n_events
+        |  FROM s GROUP BY 1, 2)
+        |SELECT a.user_id, a.session_start, a.n_events, count(*) AS n_in_range
+        |FROM a JOIN events e
+        |  ON e.user_id = a.user_id AND e.ts BETWEEN a.session_start AND a.session_end
+        |GROUP BY 1, 2, 3
         |ORDER BY a.user_id, a.session_start""".stripMargin,
     "kv_grouped_values" ->
       """SELECT l_orderkey AS key,
