@@ -41,17 +41,23 @@ object SparkEntry {
   private def events(spark: SparkSession, dir: String): DataFrame =
     graft.sources.Sources.table(spark, dir, "events")
 
-  /** documents ∪ deterministically truncated copies — self-contained
-    * near-duplicate fixture (the mutation is reproducible in DuckDB). */
-  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame = {
-    val d = tbl(s, dir, "documents").select("doc_id", "text")
-    val mutated = d.filter(col("doc_id") % 50 === 0)
+  /** Deterministically truncated copies of every 50th document — the
+    * "incoming near-duplicate batch" half of the fixture, shared by the
+    * one-shot and incremental dedup queries so they test the same
+    * population. */
+  private def mutatedDocs(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select("doc_id", "text")
+      .filter(col("doc_id") % 50 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
         // floor() explicitly: Spark's double→int cast truncates but
         // DuckDB's rounds, so the oracle must use the same floor()
         expr("substr(text, 1, cast(floor(length(text)*0.7) as int))").as("text"))
-    d.unionByName(mutated)
-  }
+
+  /** documents ∪ deterministically truncated copies — self-contained
+    * near-duplicate fixture (the mutation is reproducible in DuckDB). */
+  private def docsWithNearDups(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents").select("doc_id", "text")
+      .unionByName(mutatedDocs(s, dir))
 
   /** Dirs queued for recursive deletion at JVM exit, drained by ONE static
     * shutdown hook — a hook per call would accumulate Thread objects (and
@@ -556,15 +562,17 @@ object SparkEntry {
     // bands), so the brute-force cross-pair scan is a valid oracle.
     "doc_incremental_dedup" -> ((s, dir) => {
       val d = tbl(s, dir, "documents").select("doc_id", "text")
-      val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft-mhidx-" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      // fresh per-call dir (a fixed path would race a concurrent
+      // Verify/Bench pair: one JVM's overwrite deleting sets/ under the
+      // other's lazy probe read), reclaimed by the JVM-exit hook — the
+      // probe result reads the index lazily, so no inline delete
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_mhidx_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
       Dedup.minhashIndexBuild(d, "text", "doc_id", idxPath,
         shingleK = 4, numHashes = 128, bands = 64)
-      val batch = d.filter(col("doc_id") % 50 === 0)
-        .select((col("doc_id") + 1000000L).as("doc_id"),
-          expr("substr(text, 1, cast(floor(length(text)*0.7) as int))").as("text"))
-      Dedup.minhashIndexProbe(s, idxPath, batch, "text", "doc_id",
-        threshold = 0.3)
+      Dedup.minhashIndexProbe(s, idxPath, mutatedDocs(s, dir),
+        "text", "doc_id", threshold = 0.3)
         .orderBy("corpus_id", "new_id")
     }),
 
@@ -667,8 +675,11 @@ object SparkEntry {
       val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
       val q = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
-      val idxPath = new java.io.File(sys.props("java.io.tmpdir"),
-        "graft-ivf-" + dir.replaceAll("[^A-Za-z0-9._-]", "_")).getAbsolutePath
+      // fresh per-call dir + JVM-exit reclamation (a fixed path leaked the
+      // index per run and raced concurrent Verify/Bench overwrites)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
       SimilarityIndex.ivfBuild(e, idxPath, nlist = 16, fitSampleFraction = 0.5)
       val approx = SimilarityIndex.ivfSearchIndexed(s, idxPath, q, k = 5, nprobe = 6)
       val exact = SimilarityIndex.bruteForceTopK(e, q, k = 5)

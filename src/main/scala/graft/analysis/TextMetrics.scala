@@ -34,15 +34,18 @@ object TextMetrics {
     * row. A `transform(sequence(...))` formulation evaluates its lambda
     * INTERPRETED per element (the round-1 shingle trap — 100× slower at
     * sf0.1), so this is a UDF kernel like the other per-string loops.
-    * Tokenization must stay char-identical to [[wsTokens]]. */
+    * Tokenization is char-identical to [[wsTokens]]: space-only trim
+    * (Java String.trim strips ALL chars <= U+0020 — not SQL trim) and a
+    * limit -1 split that keeps trailing empty tokens, exactly like
+    * Spark's `split` and DuckDB's `regexp_split_to_array`. */
   val wsBigramsUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udf { (s: String) =>
       if (s == null) Array.empty[String]
       else {
-        val tr = s.trim
+        val tr = trimSpaces(s)
         if (tr.isEmpty) Array.empty[String]
         else {
-          val t = tr.split("\\s+")
+          val t = tr.split("\\s+", -1)
           if (t.length < 2) Array.empty[String]
           else Array.tabulate(t.length - 1)(i => t(i) + " " + t(i + 1))
         }

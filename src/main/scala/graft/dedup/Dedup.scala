@@ -405,8 +405,14 @@ object Dedup {
       (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val rowsPerBand = numHashes / bands
 
+    // materialize the batch shingles once — they feed BOTH the banding
+    // branch and the verification join, and the shingle kernel dominates
+    // batch-side cost on long documents. Blocks are released by the
+    // ContextCleaner when the result is dropped, or eagerly via
+    // [[release]] (same lifetime contract as connectedComponents).
     val newShingled = newDf.select(col(idCol).as("new_id"),
       shinglesUdf(shingleK)(col(textCol)).as("new_sh"))
+      .localCheckpoint()
     val newBanded = newShingled
       .withColumn("sig", minhashSigUdf(numHashes)(col("new_sh")))
       .select(col("new_id"), posexplode(bandHashes(col("sig"), bands, rowsPerBand))

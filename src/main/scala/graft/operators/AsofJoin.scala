@@ -73,11 +73,25 @@ object AsofJoin {
 
     val outSchema = StructType(lSchema.fields ++ pType.fields)
     parted.mapPartitions { it =>
+      // semantic key equality: boxed Seq equality is REFERENCE equality
+      // for Array[Byte] (every binary key would look new, silently
+      // nulling all matches), and boxed-Double equals puts -0.0 ≠ 0.0 /
+      // NaN ≠ NaN where Spark's join/grouping semantics do the opposite.
+      def sameVal(x: Any, y: Any): Boolean = (x, y) match {
+        case (a: Array[Byte], b: Array[Byte]) => java.util.Arrays.equals(a, b)
+        case (a: java.lang.Double, b: java.lang.Double) =>
+          java.lang.Double.compare(a + 0.0, b + 0.0) == 0
+        case (a: java.lang.Float, b: java.lang.Float) =>
+          java.lang.Float.compare(a + 0.0f, b + 0.0f) == 0
+        case (a, b) => a == b
+      }
+      def sameKey(a: Seq[Any], b: Seq[Any]): Boolean =
+        a.length == b.length && a.indices.forall(i => sameVal(a(i), b(i)))
       var curKey: Seq[Any] = null
       var lastR: Row = null
       it.flatMap { row =>
         val k = (0 until nKeys).map(row.get)
-        if (curKey == null || k != curKey) { curKey = k; lastR = null }
+        if (curKey == null || !sameKey(k, curKey)) { curKey = k; lastR = null }
         if (row.getInt(nKeys + 1) == 0) {
           // right row: becomes the pending payload unless its key is null
           if (!k.exists(_ == null)) lastR = row.getStruct(nKeys + 3)

@@ -53,7 +53,13 @@ object RangeJoin {
       raise_error(concat(lit(s"interval spans more than $maxBinsPerInterval bins at "),
         col(startCol)))).otherwise(endBin)
     val leftBinned = left
-      .filter(col(startCol).isNotNull && col(endCol).isNotNull)
+      // inverted intervals (end < start) are empty under BETWEEN semantics
+      // — and must be dropped BEFORE the explode: a negative span slips
+      // past the >= maxBins guard and sequence(start, stop) with
+      // stop < start generates a DESCENDING sequence, silently exploding
+      // one corrupt row into arbitrarily many bins
+      .filter(col(startCol).isNotNull && col(endCol).isNotNull &&
+        col(startCol) <= col(endCol))
       .withColumn("_range_bin", explode(sequence(startBin, guard)))
     val rightBinned = right
       .filter(col(tsCol).isNotNull)

@@ -89,4 +89,21 @@ class TextMetricsSpec extends SparkTestBase {
       .as[Double].head()
     assert(dup === 0.0)
   }
+
+  test("wsBigramsUdf tokenizes char-identically to the wsTokens column path") {
+    def viaUdf(s: String): Seq[String] =
+      Seq(s).toDF("t").select(TextMetrics.wsBigramsUdf(col("t")))
+        .as[Seq[String]].head()
+    def viaColumn(s: String): Seq[String] = {
+      val toks = Seq(s).toDF("t").select(TextMetrics.wsTokens(col("t")))
+        .as[Seq[String]].head()
+      if (toks.length < 2) Seq.empty
+      else toks.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    // non-space whitespace at the boundaries is the divergence trap: SQL
+    // trim strips spaces only and regexp_split keeps boundary empties
+    for (s <- Seq("hello world\n", "\ta b", "a b\t", "  a b  ", "a", "", "   "))
+      assert(viaUdf(s) === viaColumn(s), s"diverged on ${s.replace("\n", "\\n")}")
+    assert(viaUdf("hello world\n") === Seq("hello world", "world "))
+  }
 }
