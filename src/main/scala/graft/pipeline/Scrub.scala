@@ -48,4 +48,20 @@ object Scrub {
   def scrub(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol) +: piiCounts(col(textCol)) :+
       redactPii(col(textCol)).as("redacted"): _*)
+
+  private lazy val compiledPatterns =
+    Patterns.map { case (_, re, token) => (java.util.regex.Pattern.compile(re), token) }
+
+  /** Pure-string kernel applying the same patterns in the same order —
+    * the Java regex engine also backs the column path's regexp_replace,
+    * so results are char-identical. */
+  def redactPiiString(s: String): String =
+    if (s == null) null
+    else compiledPatterns.foldLeft(s) { case (acc, (p, token)) =>
+      p.matcher(acc).replaceAll(token)
+    }
+
+  /** Register `pii_redact` for SQL callers (`SELECT pii_redact(text) ...`). */
+  def registerUdfs(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.udf.register("pii_redact", (s: String) => redactPiiString(s))
 }

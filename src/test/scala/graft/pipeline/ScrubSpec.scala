@@ -43,6 +43,15 @@ class ScrubSpec extends SparkTestBase {
     assert(redact("release 1.2.3.4") === "release <IP>")
   }
 
+  test("SQL pii_redact matches the column path char-for-char") {
+    Scrub.registerUdfs(spark)
+    val texts = Seq("mail a@b.io from 10.0.0.1 ssn 123-45-6789 tel +44 207 946 0958",
+      "clean", "", "x a@b.io y c@d.io z")
+    val viaSql = texts.toDF("t").selectExpr("pii_redact(t)").as[String].collect().toSeq
+    val viaCol = texts.toDF("t").select(Scrub.redactPii($"t")).as[String].collect().toSeq
+    assert(viaSql === viaCol)
+  }
+
   test("scrub stays a single codegen'd projection over the scan") {
     val plan = Scrub.scrub(
       spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id", "text")
