@@ -5,6 +5,7 @@ import org.scalacheck.Prop.forAll
 import graft.analysis.{TextAnalyzer, TextMetrics}
 import graft.dedup.Dedup
 import graft.functions.VectorOps
+import graft.pipeline.Scrub
 
 /** Property-based invariants (SURVEY.md §5 test plan): pure kernels only —
   * no SparkSession — so arbitrary unicode inputs run in volume. */
@@ -73,6 +74,20 @@ object PropertyChecks extends Properties("graft.kernels") {
   property("languageId is total and deterministic") = forAll { (s: String) =>
     val a = TextMetrics.languageId(s)
     a == TextMetrics.languageId(s) && a.nonEmpty
+  }
+
+  property("pii redaction is idempotent") = forAll { (s: String) =>
+    val once = Scrub.redactPiiString(s)
+    Scrub.redactPiiString(once) == once
+  }
+
+  // the replacement tokens contain no digits or '@', so no pattern can
+  // match anything a redaction produced — scrubbed text is scrubbed
+  property("no pii pattern survives redaction") = forAll { (s: String) =>
+    val red = Scrub.redactPiiString(s)
+    Scrub.Patterns.forall { case (_, re, _) =>
+      !java.util.regex.Pattern.compile(re).matcher(red).find()
+    }
   }
 
   property("rollingFingerprint ignores whitespace runs and case") =
