@@ -512,13 +512,17 @@ object Dedup {
     // at the EARLIEST star round — set-equality would pay one extra full
     // round just to confirm the fixpoint. (Cliques — the common near-dup
     // shape — star in ONE round; only chains need the log² schedule.)
-    def isStarForest(df: DataFrame): Boolean = {
-      val childCounts = df.groupBy("u").agg(count(lit(1)).as("c"))
-      childCounts.filter(col("c") > 1).select("u")
-        .unionByName(childCounts.select("u")
-          .join(df.select(col("v").as("u")), "u"))
+    // One union + one aggregation + isEmpty — per-node child/parent tallies
+    // in a single shuffle, no join (the driver loop pays per-JOB scheduling
+    // latency every round, so the check's stage count matters as much as
+    // its data volume).
+    def isStarForest(df: DataFrame): Boolean =
+      df.select(col("u").as("node"), lit(1L).as("asChild"))
+        .unionByName(df.select(col("v").as("node"), lit(0L).as("asChild")))
+        .groupBy("node")
+        .agg(sum(col("asChild")).as("cu"), count(lit(1)).as("ct"))
+        .filter(col("cu") > 1 || (col("cu") >= 1 && col("ct") > col("cu")))
         .isEmpty
-    }
 
     var iter = 0
     while (!isStarForest(edges) && iter < maxIterations) {
