@@ -941,6 +941,21 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // chunk-level (paragraph) dedup: disjoint 32-token windows hashed and
+    // grouped corpus-wide — the RefinedWeb-style "drop repeated boilerplate
+    // paragraphs across documents" step, composing Chunking with the exact
+    // dedup shape. Output: every chunk text shared by >1 (doc, idx) site.
+    "doc_chunk_dedup" -> ((s, dir) => {
+      graft.pipeline.Chunking
+        .chunkByTokens(tbl(s, dir, "documents").select("doc_id", "text"),
+          "doc_id", "text", windowSize = 32, stride = 32)
+        .filter(col("n_chunk_tokens") > 0)
+        .groupBy(md5(col("chunk_text")).as("chunk_hash"))
+        .agg(count(lit(1)).as("n_sites"), min(col("doc_id")).as("first_doc"))
+        .filter(col("n_sites") > 1)
+        .orderBy("chunk_hash")
+    }),
+
     // deterministic global shuffle: rank by (knuth-hash coordinate, id) via
     // the range-partitioned two-phase rank — the training-order permutation,
     // reproducible across engines/retries, no global window funnel
@@ -1697,6 +1712,28 @@ object SparkEntry {
         |  md5(array_to_string(list_slice(w, chunk_idx*48+1, chunk_idx*48+64), ' '))
         |    AS chunk_hash
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+    "doc_chunk_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) <= 32 THEN 1 ELSE (len(w) - 32 + 31) // 32 + 1 END
+        |      AS n_chunks
+        |  FROM t),
+        |e AS (SELECT doc_id, w, unnest(range(n_chunks)) AS chunk_idx FROM c),
+        |h AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(w, chunk_idx*32+1, chunk_idx*32+32), ' '))
+        |      AS chunk_hash,
+        |    len(list_slice(w, chunk_idx*32+1, chunk_idx*32+32)) AS n_toks
+        |  FROM e)
+        |SELECT chunk_hash, count(*) AS n_sites, min(doc_id) AS first_doc
+        |FROM h WHERE n_toks > 0
+        |GROUP BY chunk_hash HAVING count(*) > 1
+        |ORDER BY chunk_hash""".stripMargin,
     "doc_global_shuffle" ->
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
