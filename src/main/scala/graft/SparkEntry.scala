@@ -956,6 +956,21 @@ object SparkEntry {
         .orderBy("chunk_hash")
     }),
 
+    // exact k-per-stratum quota sample: rank docs within each language by
+    // the Knuth-hash coordinate and keep the 50 smallest — deterministic
+    // like all Sampling coordinates, but with an EXACT per-stratum count
+    // (hashSample's Bernoulli fractions only hit quotas in expectation).
+    // Bounded TopK partial agg: ≤ k rows per stratum per task, no window
+    // funnel over the stratum.
+    "doc_quota_sample" -> ((s, dir) => {
+      val scored = tbl(s, dir, "documents").select(col("lang"), col("doc_id"),
+        negate(graft.pipeline.Sampling.hashCoord(col("doc_id")).cast("double"))
+          .as("neg_coord"))
+      graft.functions.TopK.topKPerGroup(scored, "lang", "doc_id", "neg_coord", 50)
+        .select(col("lang"), col("doc_id"), col("rank").cast("long").as("rank"))
+        .orderBy("lang", "rank")
+    }),
+
     // deterministic global shuffle: rank by (knuth-hash coordinate, id) via
     // the range-partitioned two-phase rank — the training-order permutation,
     // reproducible across engines/retries, no global window funnel
@@ -1734,6 +1749,13 @@ object SparkEntry {
         |FROM h WHERE n_toks > 0
         |GROUP BY chunk_hash HAVING count(*) > 1
         |ORDER BY chunk_hash""".stripMargin,
+    "doc_quota_sample" ->
+      """SELECT lang, doc_id, rank FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rank
+        |  FROM documents) t
+        |WHERE rank <= 50 ORDER BY lang, rank""".stripMargin,
     "doc_global_shuffle" ->
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
