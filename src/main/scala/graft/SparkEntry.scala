@@ -946,13 +946,14 @@ object SparkEntry {
     // paragraphs across documents" step, composing Chunking with the exact
     // dedup shape. Output: every chunk text shared by >1 (doc, idx) site.
     "doc_chunk_dedup" -> ((s, dir) => {
-      graft.pipeline.Chunking
+      val chunks = graft.pipeline.Chunking
         .chunkByTokens(tbl(s, dir, "documents").select("doc_id", "text"),
           "doc_id", "text", windowSize = 32, stride = 32)
         .filter(col("n_chunk_tokens") > 0)
-        .groupBy(md5(col("chunk_text")).as("chunk_hash"))
-        .agg(count(lit(1)).as("n_sites"), min(col("doc_id")).as("first_doc"))
-        .filter(col("n_sites") > 1)
+      Dedup.exactGroups(chunks, "chunk_text", "doc_id")
+        .filter(col("n_copies") > 1)
+        .select(col("content_hash").as("chunk_hash"),
+          col("n_copies").as("n_sites"), col("keep_id").as("first_doc"))
         .orderBy("chunk_hash")
     }),
 

@@ -78,6 +78,32 @@ class SamplingPackingSpec extends SparkTestBase {
     assert(packed.filter(pmod(col("doc_id"), lit(4L)) =!= col("shard")).count() === 0)
   }
 
+  test("quota sampling via negated coordinate matches the window rank exactly") {
+    // pins the doc_quota_sample trick: TopK ranks DESC by score, so the
+    // k hash-SMALLEST rows per stratum ride in as negate(hashCoord) —
+    // including the -0.0 normalization for coordinate 0 and the id-asc
+    // tie-break matching the oracle's secondary sort
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("lang", "doc_id")
+    val k = 7
+    val got = graft.functions.TopK.topKPerGroup(
+        docs.withColumn("neg_coord",
+          negate(Sampling.hashCoord(col("doc_id")).cast("double"))),
+        "lang", "doc_id", "neg_coord", k)
+      .select($"lang", $"doc_id", $"rank")
+      .as[(String, Long, Int)].collect().toSet
+
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"lang")
+      .orderBy(Sampling.hashCoord(col("doc_id")), col("doc_id"))
+    val want = docs.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= k)
+      .select($"lang", $"doc_id", $"rank".cast("int"))
+      .as[(String, Long, Int)].collect().toSet
+    assert(got.map(t => (t._1, t._2)) === want.map(t => (t._1, t._2)))
+    assert(got.map(t => (t._1, t._3)).groupBy(_._1).forall(_._2.size == k))
+  }
+
   test("globalShuffleOrder is a deterministic permutation matching the window rank") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id")
     val got = Sampling.globalShuffleOrder(docs, "doc_id")
