@@ -505,6 +505,21 @@ object SparkEntry {
         .orderBy("click_id")
     }),
 
+    // z-order (Morton) layout kernel over (customer, order-day): the
+    // magic-number bit spread is pure long arithmetic, codegen'd here and
+    // reproduced shift-for-shift in DuckDB. The curve prefix (first 200
+    // cells) is a deterministic sample of the layout order zOrderWrite
+    // range-partitions on.
+    "q_zorder_curve" -> ((s, dir) => {
+      tbl(s, dir, "orders").select(col("o_orderkey"),
+        graft.store.Layout.zValue(
+          col("o_custkey"),
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date")).cast("long"))
+          .as("z"))
+        .orderBy("z", "o_orderkey")
+        .limit(200)
+    }),
+
     // ==================================================================
     // Dedup suite (training-data pipeline)
     // ==================================================================
@@ -1551,6 +1566,24 @@ object SparkEntry {
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id) p
         |WHERE jaccard >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    // the same five shift-mask spread steps, chained through CTEs
+    "q_zorder_curve" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(o_custkey AS BIGINT) & 65535 AS xa,
+        |    CAST(datediff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+        |      & 65535 AS xb
+        |  FROM orders),
+        |p1 AS (SELECT o_orderkey, (xa | (xa << 8)) & 16711935 AS xa,
+        |  (xb | (xb << 8)) & 16711935 AS xb FROM base),
+        |p2 AS (SELECT o_orderkey, (xa | (xa << 4)) & 252645135 AS xa,
+        |  (xb | (xb << 4)) & 252645135 AS xb FROM p1),
+        |p3 AS (SELECT o_orderkey, (xa | (xa << 2)) & 858993459 AS xa,
+        |  (xb | (xb << 2)) & 858993459 AS xb FROM p2),
+        |p4 AS (SELECT o_orderkey, (xa | (xa << 1)) & 1431655765 AS xa,
+        |  (xb | (xb << 1)) & 1431655765 AS xb FROM p3)
+        |SELECT o_orderkey, xa | (xb << 1) AS z
+        |FROM p4 ORDER BY z, o_orderkey LIMIT 200""".stripMargin,
     // brute-force CROSS pairs (corpus × batch) with the same shingle CTE
     // as doc_minhash_dups — the incremental probe must find exactly the
     // pairs the one-shot join would
