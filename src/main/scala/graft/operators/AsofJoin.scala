@@ -45,6 +45,10 @@ object AsofJoin {
     val lSchema = left.schema
     val overlap = payloadCols.toSet.intersect(lSchema.fieldNames.toSet)
     require(overlap.isEmpty, s"payload columns collide with left columns: $overlap")
+    // the union would otherwise silently coerce (e.g. date vs timestamp),
+    // changing comparison semantics mid-operator
+    val (lt, rt) = (lSchema(leftTsCol).dataType, right.schema(rightTsCol).dataType)
+    require(lt == rt, s"timestamp column types differ: $leftTsCol is $lt, $rightTsCol is $rt")
     val lType = StructType(lSchema.fields)
     val pType = StructType(
       right.select(payloadCols.map(col): _*).schema.fields.map(_.copy(nullable = true)))

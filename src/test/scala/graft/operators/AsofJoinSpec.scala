@@ -69,6 +69,26 @@ class AsofJoinSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("composite keys match on the full key tuple only") {
+    val r = Seq((1L, "x", ts(0), 10.0), (1L, "y", ts(0), 20.0),
+      (2L, "x", ts(0), 30.0)).toDF("k1", "k2", "qts", "price")
+    val l = Seq((1L, "x", ts(5), "a"), (1L, "y", ts(5), "b"),
+      (2L, "y", ts(5), "c")).toDF("k1", "k2", "tts", "tag")
+    val got = AsofJoin.asofBackward(l, r, Seq("k1", "k2"), "tts", "qts",
+        Seq("price"))
+      .select($"tag", $"price").as[(String, Option[Double])].collect().toMap
+    assert(got === Map("a" -> Some(10.0), "b" -> Some(20.0), "c" -> None))
+  }
+
+  test("mismatched timestamp column types are rejected, not coerced") {
+    val l = Seq((1L, java.sql.Date.valueOf("2024-01-02"), "a"))
+      .toDF("key", "tts", "tag")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(l, quotes, Seq("key"), "tts", "qts", Seq("price"))
+    }
+    assert(e.getMessage.contains("timestamp column types differ"))
+  }
+
   test("plan is one shuffle on the key — no window funnel, no range cross join") {
     val plan = AsofJoin.asofBackward(trades, quotes, Seq("key"), "tts", "qts",
       Seq("price")).queryExecution.executedPlan.toString

@@ -58,6 +58,19 @@ class RangeJoinSpec extends SparkTestBase {
     }
   }
 
+  test("composite keys and inverted intervals: full-tuple match, empty BETWEEN") {
+    val l = Seq((1L, "x", "s1", ts(0), ts(10)),
+      (1L, "y", "s2", ts(0), ts(10)),
+      (2L, "x", "inv", ts(10), ts(0))) // inverted → matches nothing
+      .toDF("k1", "k2", "tag", "start", "end")
+    val r = Seq((1L, "x", 100L, ts(5)), (1L, "y", 101L, ts(5)),
+      (2L, "x", 102L, ts(5))).toDF("k1", "k2", "pid", "pts")
+    val got = RangeJoin.binnedRangeJoin(l, r, Seq("k1", "k2"),
+        "start", "end", "pts")
+      .select($"tag", $"pid").as[(String, Long)].collect().toSet
+    assert(got === Set(("s1", 100L), ("s2", 101L)))
+  }
+
   test("degenerate intervals fail fast instead of flooding the shuffle") {
     val wide = Seq((1L, "w", ts(0),
       Timestamp.valueOf("2031-01-01 00:00:00"))).toDF("key", "tag", "start", "end")
