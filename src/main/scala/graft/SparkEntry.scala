@@ -421,6 +421,22 @@ object SparkEntry {
         .orderBy("user_id", "session_start")
     }),
 
+    // the FORWARD as-of: for each view, the user's next click at/after it
+    // (conversion lag attribution). Same sweep operator descending;
+    // DuckDB's ASOF supports the forward inequality natively.
+    "q_events_asof_fwd" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("ts").as("view_ts"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      graft.operators.AsofJoin.asofForward(views, clicks, Seq("user_id"),
+        "view_ts", "click_ts", Seq("click_id", "click_ts"))
+        .orderBy("view_id")
+    }),
+
     // range (interval) join via axis binning (custom operator): session
     // intervals × the events inside them, as an EQUI-join on (user, time
     // bin) + exact filter — never a per-key cartesian with a range
@@ -1286,6 +1302,17 @@ object SparkEntry {
         |SELECT a.user_id, a.session_start, a.n_events
         |FROM a JOIN m ON a.user_id = m.user_id AND a.sess < m.mx
         |ORDER BY a.user_id, a.session_start""".stripMargin,
+    "q_events_asof_fwd" ->
+      """WITH views AS (
+        |  SELECT event_id AS view_id, user_id, ts AS view_ts
+        |  FROM events WHERE event_type = 'view'),
+        |clicks AS (
+        |  SELECT user_id, ts AS click_ts, event_id AS click_id
+        |  FROM events WHERE event_type = 'click')
+        |SELECT v.view_id, v.user_id, v.view_ts, c.click_id, c.click_ts
+        |FROM views v ASOF LEFT JOIN clicks c
+        |  ON v.user_id = c.user_id AND v.view_ts <= c.click_ts
+        |ORDER BY view_id""".stripMargin,
     // plain BETWEEN range join over the same session intervals — DuckDB
     // can brute-force what the binned equi-join computes at scale
     "q_events_range_join" ->

@@ -40,7 +40,23 @@ object AsofJoin {
    */
   def asofBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                    leftTsCol: String, rightTsCol: String,
-                   payloadCols: Seq[String]): DataFrame = {
+                   payloadCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keyCols, leftTsCol, rightTsCol, payloadCols,
+      forward = false)
+
+  /** Forward (inclusive) variant: each left row picks up the EARLIEST
+    * right row with `rightTs` >= `leftTs` — "the next event after this
+    * point". Same single-shuffle sorted sweep, run in descending time
+    * order so the pending payload is always the nearest following row. */
+  def asofForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  leftTsCol: String, rightTsCol: String,
+                  payloadCols: Seq[String]): DataFrame =
+    asofImpl(left, right, keyCols, leftTsCol, rightTsCol, payloadCols,
+      forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                       leftTsCol: String, rightTsCol: String,
+                       payloadCols: Seq[String], forward: Boolean): DataFrame = {
     require(keyCols.nonEmpty, "asofBackward needs at least one key column")
     val lSchema = left.schema
     val overlap = payloadCols.toSet.intersect(lSchema.fieldNames.toSet)
@@ -70,10 +86,17 @@ object AsofJoin {
 
     val nKeys = keyCols.length
     val nPayload = pType.length
+    // backward sweeps time ascending; forward sweeps descending. Either
+    // way null-ts left rows sort FIRST (before any right row of their
+    // key), so they emit null payloads with no explicit guard, and the
+    // right-before-left tie order makes equal timestamps match
+    // (inclusive).
+    val tsOrder = if (forward) col("_asof_ts").desc_nulls_first
+                  else col("_asof_ts").asc_nulls_first
     val parted = lTagged.unionByName(rTagged)
       .repartition(keyCols.map(col): _*)
       .sortWithinPartitions(
-        keyCols.map(col) ++ Seq(col("_asof_ts").asc_nulls_first, col("_asof_side")): _*)
+        keyCols.map(col) ++ Seq(tsOrder, col("_asof_side")): _*)
 
     val outSchema = StructType(lSchema.fields ++ pType.fields)
     parted.mapPartitions { it =>

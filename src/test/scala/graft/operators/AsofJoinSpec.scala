@@ -69,6 +69,41 @@ class AsofJoinSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("forward as-of picks the earliest right row at or after each left ts") {
+    val got = AsofJoin.asofForward(trades, quotes, Seq("key"), "tts", "qts",
+        Seq("price"))
+      .select($"tag", $"price").as[(String, Option[Double])].collect().toMap
+    assert(got === Map(
+      "t1" -> Some(11.0), // ts(4) → next quote ts(5)
+      "t2" -> Some(11.0), // inclusive at ts(5)
+      "t3" -> None,       // after the last quote
+      "t4" -> Some(99.0), // ts(2) → key-2 quote at ts(3)
+      "t5" -> None))      // key never quoted
+  }
+
+  test("forward matches a brute-force range-join + argmin oracle on random data") {
+    val rnd = new scala.util.Random(17)
+    val l = (1 to 300).map(i =>
+      (rnd.nextInt(8).toLong, ts(rnd.nextInt(50), rnd.nextInt(60)), i.toLong))
+      .toDF("key", "lts", "lid")
+    val r = (1 to 200).map(i =>
+      (rnd.nextInt(8).toLong, ts(rnd.nextInt(50), rnd.nextInt(60)), i.toLong))
+      .groupBy(x => (x._1, x._2)).map(_._2.head).toSeq
+      .toDF("key", "rts", "rid")
+
+    val got = AsofJoin.asofForward(l, r, Seq("key"), "lts", "rts", Seq("rid"))
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+
+    val brute = l.join(r, Seq("key"), "left")
+      .filter($"rts".isNull || $"rts" >= $"lts")
+      .groupBy($"lid")
+      .agg(min_by(struct($"rts", $"rid"), $"rts").getField("rid").as("rid"))
+      .select($"lid", $"rid").as[(Long, Option[Long])].collect().toMap
+    val want = l.select($"lid").as[Long].collect()
+      .map(id => id -> brute.getOrElse(id, None)).toMap
+    assert(got === want)
+  }
+
   test("composite keys match on the full key tuple only") {
     val r = Seq((1L, "x", ts(0), 10.0), (1L, "y", ts(0), 20.0),
       (2L, "x", ts(0), 30.0)).toDF("k1", "k2", "qts", "price")
