@@ -104,6 +104,18 @@ class AsofJoinSpec extends SparkTestBase {
     assert(got === want)
   }
 
+  test("forward direction: null keys and timestamps never match either") {
+    // desc_nulls_first must still park null-ts left rows before any right
+    // row of their key — the mirror of the backward ordering guarantee
+    val l = Seq((Some(1L), Some(ts(1)), "a"), (None, Some(ts(1)), "b"),
+      (Some(1L), None, "c")).toDF("key", "tts", "tag")
+    val r = Seq((Some(1L), Some(ts(5)), 5.0), (None, Some(ts(5)), 7.0))
+      .toDF("key", "qts", "price")
+    val got = AsofJoin.asofForward(l, r, Seq("key"), "tts", "qts", Seq("price"))
+      .select($"tag", $"price").as[(String, Option[Double])].collect().toMap
+    assert(got === Map("a" -> Some(5.0), "b" -> None, "c" -> None))
+  }
+
   test("composite keys match on the full key tuple only") {
     val r = Seq((1L, "x", ts(0), 10.0), (1L, "y", ts(0), 20.0),
       (2L, "x", ts(0), 30.0)).toDF("k1", "k2", "qts", "price")
