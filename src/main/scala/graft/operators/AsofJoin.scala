@@ -57,7 +57,7 @@ object AsofJoin {
   private def asofImpl(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                        leftTsCol: String, rightTsCol: String,
                        payloadCols: Seq[String], forward: Boolean): DataFrame = {
-    require(keyCols.nonEmpty, "asofBackward needs at least one key column")
+    require(keyCols.nonEmpty, "as-of join needs at least one key column")
     val lSchema = left.schema
     val overlap = payloadCols.toSet.intersect(lSchema.fieldNames.toSet)
     require(overlap.isEmpty, s"payload columns collide with left columns: $overlap")

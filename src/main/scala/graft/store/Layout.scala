@@ -44,6 +44,8 @@ object Layout {
                   numPartitions: Int = 0): Unit = {
     val n = if (numPartitions > 0) numPartitions
             else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    require(!df.columns.contains("_z"),
+      "input already has a '_z' column — rename it before zOrderWrite")
     df.withColumn("_z", zValue(col(colA), col(colB)))
       .repartitionByRange(n, col("_z"))
       .sortWithinPartitions("_z")

@@ -125,6 +125,15 @@ class AsofJoinSpec extends SparkTestBase {
         Seq("price"))
       .select($"tag", $"price").as[(String, Option[Double])].collect().toMap
     assert(got === Map("a" -> Some(10.0), "b" -> Some(20.0), "c" -> None))
+
+    // the forward branch must honor the full composite key too (quotes sit
+    // BEFORE the trades, so forward finds nothing; move them after via a
+    // later fixture)
+    val rLate = r.withColumn("qts", lit(ts(30)))
+    val fwd = AsofJoin.asofForward(l, rLate, Seq("k1", "k2"), "tts", "qts",
+        Seq("price"))
+      .select($"tag", $"price").as[(String, Option[Double])].collect().toMap
+    assert(fwd === Map("a" -> Some(10.0), "b" -> Some(20.0), "c" -> None))
   }
 
   test("mismatched timestamp column types are rejected, not coerced") {
