@@ -607,6 +607,25 @@ object SparkEntry {
         .orderBy("corpus_id", "new_id")
     }),
 
+    // the APPEND path: install the corpus in two installments (even ids at
+    // build, odd ids folded in by minhashIndexAppend — never re-banding
+    // the stored side), then probe. Probe-after-append must equal the
+    // one-shot probe over the whole corpus, so the oracle is the SAME
+    // brute-force cross-pair scan as doc_incremental_dedup.
+    "doc_index_append" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_mhidx_app_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Dedup.minhashIndexBuild(d.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", idxPath, shingleK = 4, numHashes = 128, bands = 64)
+      Dedup.minhashIndexAppend(s, idxPath, d.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id")
+      Dedup.minhashIndexProbe(s, idxPath, mutatedDocs(s, dir),
+        "text", "doc_id", threshold = 0.3)
+        .orderBy("corpus_id", "new_id")
+    }),
+
     // transitive cluster resolution over the minhash pair list: connected
     // components (alternating large-star/small-star, O(log² n) rounds of
     // one reused exchange each) turn pairwise matches into dedup clusters
@@ -1615,6 +1634,36 @@ object SparkEntry {
     // as doc_minhash_dups — the incremental probe must find exactly the
     // pairs the one-shot join would
     "doc_incremental_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-2),
+        |      i -> array_to_string(w[i:i+3], ' ')) END) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM documents) t
+        |), m AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-2),
+        |      i -> array_to_string(w[i:i+3], ' ')) END) AS sh
+        |  FROM (SELECT doc_id + 1000000 AS doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(
+        |      lower(substr(text, 1, CAST(floor(length(text)*0.7) AS INT))),
+        |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM documents WHERE doc_id % 50 = 0) t
+        |)
+        |SELECT corpus_id, new_id, jaccard FROM (
+        |  SELECT d.doc_id AS corpus_id, m.doc_id AS new_id,
+        |    CAST(len(list_intersect(d.sh, m.sh)) AS DOUBLE) /
+        |      (len(d.sh) + len(m.sh) - len(list_intersect(d.sh, m.sh))) AS jaccard
+        |  FROM d JOIN m ON true) p
+        |WHERE jaccard >= 0.3
+        |ORDER BY corpus_id, new_id""".stripMargin,
+    // probe-after-append == one-shot: the appended index holds the SAME
+    // corpus as doc_incremental_dedup's one-shot build, so the identical
+    // brute-force cross-pair scan oracles the append path
+    "doc_index_append" ->
       """WITH d AS (
         |  SELECT doc_id, list_distinct(
         |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]

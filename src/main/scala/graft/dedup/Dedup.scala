@@ -351,38 +351,89 @@ object Dedup {
   /**
    * Persist a MinHash-LSH band index for INCREMENTAL dedup: band the
    * corpus once, then probe each incoming batch against the stored index
-   * — the 100 TB ingestion shape, where re-banding the corpus per batch
-   * (what [[minhashNearDuplicates]] would do) is a non-starter.
+   * and fold accepted batches in via [[minhashIndexAppend]] — the 100 TB
+   * daily-ingest shape, where re-banding the corpus per batch (what
+   * [[minhashNearDuplicates]] would do) is a non-starter.
    *
-   * Layout under `path`:
-   *  - `bands/`: (id, band, bucket, bucket_size) — ids only, 4 longs/row;
-   *    `bucket_size` is precomputed so probes can skip degenerate buckets
-   *    without re-counting them.
-   *  - `sets/`: (id, sh) shingle sets for exact-Jaccard verification.
+   * Layout under `path` — every data table is APPEND-ONLY, one
+   * `installment=N` partition per build/append, so folding a batch in
+   * never rewrites an existing file (mirrors the reference's
+   * append-oriented column writes, ≙ ColumnWriter.cs:29-70):
+   *  - `bands/installment=N/`: (id, band, bucket) — ids only, 3 longs/row.
+   *  - `sizes/installment=N/`: (band, bucket, cnt) per-installment
+   *    bucket-count DELTAS; a bucket's true size is sum(cnt) over its
+   *    delta rows, resolved at probe time for only the buckets the batch
+   *    touches. Computed with a groupBy (map-side partial aggregation,
+   *    AQE-splittable) — NOT a window over (band, bucket), which would
+   *    funnel a degenerate boilerplate bucket through one task at build.
+   *  - `sets/installment=N/`: (id, sh) shingle sets for exact-Jaccard
+   *    verification.
    *  - `meta/`: the banding parameters — part of the index contract, read
-   *    back by the probe so build and probe can never disagree.
+   *    back by append and probe so installments can never disagree.
+   *
+   * Each installment stage materializes through its own parquet partition
+   * (shingle → write sets, read back → write bands, read back → count):
+   * no in-memory persist, so build and append scale to any batch size.
    */
   def minhashIndexBuild(df: DataFrame, textCol: String, idCol: String,
                         path: String, shingleK: Int = 3, numHashes: Int = 64,
                         bands: Int = 16): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = df.sparkSession
-    val rowsPerBand = numHashes / bands
-    val shingled = df.select(col(idCol).as("id"),
-      shinglesUdf(shingleK)(col(textCol)).as("sh"))
-    shingled.write.mode("overwrite").parquet(s"$path/sets")
-    val banded = spark.read.parquet(s"$path/sets")
-      .withColumn("sig", minhashSigUdf(numHashes)(col("sh")))
-      .select(col("id"), posexplode(bandHashes(col("sig"), bands, rowsPerBand))
-        .as(Seq("band", "bucket")))
-    import org.apache.spark.sql.expressions.Window
-    banded
-      .withColumn("bucket_size",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("bucket"))))
-      .write.mode("overwrite").parquet(s"$path/bands")
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("sets", "bands", "sizes").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$d")
+      p.getFileSystem(conf).delete(p, true)
+    }
+    writeInstallment(df, textCol, idCol, path, 0, shingleK, numHashes, bands)
     spark.createDataFrame(Seq((shingleK, numHashes, bands)))
       .toDF("shingle_k", "num_hashes", "bands")
       .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /**
+   * Fold a new batch into a [[minhashIndexBuild]] index: shingle and band
+   * the batch with the STORED meta parameters and write it as the next
+   * `installment=` partition of `sets/`/`bands/`/`sizes/`. Existing
+   * installments are never read, re-banded, or rewritten — appending a
+   * 1 GB batch to a 100 TB index costs exactly the 1 GB batch's work
+   * (≙ append-oriented writes, ColumnWriter.cs:29-70; StreamFactory.cs:29-90).
+   *
+   * Contract: batch ids must be new to the index (the probe's pair set
+   * and Jaccard verification key on id). Appends are sequential — two
+   * concurrent appends could claim the same installment number.
+   */
+  def minhashIndexAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+                         newDf: DataFrame, textCol: String, idCol: String): Unit = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (shingleK, numHashes, bands) =
+      (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    val setsPath = new org.apache.hadoop.fs.Path(s"$path/sets")
+    val fs = setsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = fs.listStatus(setsPath).map(_.getPath.getName)
+      .filter(_.startsWith("installment="))
+      .map(_.stripPrefix("installment=").toInt).max + 1
+    writeInstallment(newDf, textCol, idCol, path, next, shingleK, numHashes, bands)
+  }
+
+  /** One installment's three tables. Each stage reads the previous stage's
+    * just-written partition back from parquet — disk materialization, no
+    * memory persist, any batch size. */
+  private def writeInstallment(df: DataFrame, textCol: String, idCol: String,
+                               path: String, installment: Int, shingleK: Int,
+                               numHashes: Int, bands: Int): Unit = {
+    val spark = df.sparkSession
+    val rowsPerBand = numHashes / bands
+    df.select(col(idCol).as("id"), shinglesUdf(shingleK)(col(textCol)).as("sh"))
+      .write.mode("overwrite").parquet(s"$path/sets/installment=$installment")
+    spark.read.parquet(s"$path/sets/installment=$installment")
+      .withColumn("sig", minhashSigUdf(numHashes)(col("sh")))
+      .select(col("id"), posexplode(bandHashes(col("sig"), bands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+      .write.mode("overwrite").parquet(s"$path/bands/installment=$installment")
+    spark.read.parquet(s"$path/bands/installment=$installment")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("cnt"))
+      .write.mode("overwrite").parquet(s"$path/sizes/installment=$installment")
   }
 
   /**
@@ -392,18 +443,38 @@ object Dedup {
    * Scale shape: the BATCH side broadcasts (bands, then candidate pairs,
    * then batch shingle sets) — the stored index is only ever read
    * map-side, never shuffled; the single exchange is the candidate-pair
-   * distinct. Stored buckets above `maxBucketSize` are skipped via the
-   * precomputed `bucket_size` (boilerplate buckets cannot identify
-   * near-dups and would fan the probe out quadratically).
+   * distinct. Degenerate buckets (boilerplate shingles shared by more
+   * than `maxBucketSize` stored docs — they cannot identify near-dups
+   * and would fan the probe out quadratically) are skipped by summing
+   * the stored per-installment size deltas for ONLY the buckets the
+   * batch touches, then removing those buckets from the BATCH side of
+   * the main join: stored rows in a hot bucket simply never match, no
+   * stored-side filter or shuffle needed.
+   *
+   * The broadcast contract assumes a batch small enough to ship to every
+   * executor (the daily-increment shape). For a batch that is itself
+   * corpus-sized, set `broadcastBatch = false`: every probe join degrades
+   * to a hash-partitioned shuffle on both sides — identical output,
+   * no driver OOM (same dual path as
+   * [[graft.pipeline.Decontaminate.contaminationHits]]).
+   *
+   * Recall contract: candidates are LSH-generated, so a true pair at
+   * Jaccard j is found with probability 1-(1-j^r)^b (r rows/band, b
+   * bands) — e.g. ~0.24% miss at j = 0.3 with r = 2, b = 64, vanishing
+   * as j rises above the threshold. Exactness applies to the VERIFIED
+   * Jaccard of emitted pairs, not to recall at the threshold boundary.
    */
   def minhashIndexProbe(spark: org.apache.spark.sql.SparkSession, path: String,
                         newDf: DataFrame, textCol: String, idCol: String,
                         threshold: Double = 0.8,
-                        maxBucketSize: Int = 1000): DataFrame = {
+                        maxBucketSize: Int = 1000,
+                        broadcastBatch: Boolean = true): DataFrame = {
     val meta = spark.read.parquet(s"$path/meta").head()
     val (shingleK, numHashes, bands) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val rowsPerBand = numHashes / bands
+    def batchSide(df: DataFrame): DataFrame =
+      if (broadcastBatch) broadcast(df) else df
 
     // materialize the batch shingles once — they feed BOTH the banding
     // branch and the verification join, and the shingle kernel dominates
@@ -418,17 +489,28 @@ object Dedup {
       .select(col("new_id"), posexplode(bandHashes(col("sig"), bands, rowsPerBand))
         .as(Seq("band", "bucket")))
 
+    // true size of each touched bucket = sum of its installment deltas;
+    // the sizes table streams map-side through the touched-bucket join,
+    // and only (band, bucket, cnt) triples for touched buckets reach the
+    // aggregate exchange.
+    val touched = newBanded.select("band", "bucket").distinct()
+    val hot = spark.read.parquet(s"$path/sizes")
+      .join(batchSide(touched), Seq("band", "bucket"))
+      .groupBy("band", "bucket").agg(sum("cnt").as("n"))
+      .filter(col("n") > maxBucketSize)
+      .select("band", "bucket")
+    val keptBanded = newBanded.join(batchSide(hot), Seq("band", "bucket"), "left_anti")
+
     val stored = spark.read.parquet(s"$path/bands")
-      .filter(col("bucket_size") <= maxBucketSize)
     val pairs = stored
-      .join(broadcast(newBanded), Seq("band", "bucket"))
+      .join(batchSide(keptBanded), Seq("band", "bucket"))
       .filter(col("id") =!= col("new_id"))
       .select(col("id"), col("new_id"))
       .distinct()
 
     spark.read.parquet(s"$path/sets")
-      .join(broadcast(pairs), "id")
-      .join(broadcast(newShingled), "new_id")
+      .join(batchSide(pairs), "id")
+      .join(batchSide(newShingled), "new_id")
       .withColumn("jaccard",
         size(array_intersect(col("sh"), col("new_sh"))).cast("double") /
           size(array_union(col("sh"), col("new_sh"))))

@@ -82,9 +82,83 @@ class MinhashIndexSpec extends SparkTestBase {
       threshold = 0.5, maxBucketSize = 100).count() === 30)
   }
 
+  test("append: probe-after-append equals the one-shot build's probe") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val batch = docs.filter($"doc_id" % 50 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        expr("substr(text, 1, cast(floor(length(text)*0.7) as int))").as("text"))
+
+    val oneShotPath = tmpPath("mh-idx-oneshot")
+    Dedup.minhashIndexBuild(docs, "text", "doc_id", oneShotPath,
+      shingleK = 4, numHashes = 128, bands = 64)
+    val oneShot = Dedup.minhashIndexProbe(spark, oneShotPath, batch,
+      "text", "doc_id", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+
+    val appendPath = tmpPath("mh-idx-appended")
+    Dedup.minhashIndexBuild(docs.filter($"doc_id" % 2 === 0),
+      "text", "doc_id", appendPath, shingleK = 4, numHashes = 128, bands = 64)
+    Dedup.minhashIndexAppend(spark, appendPath,
+      docs.filter($"doc_id" % 2 === 1), "text", "doc_id")
+    val appended = Dedup.minhashIndexProbe(spark, appendPath, batch,
+      "text", "doc_id", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+
+    assert(appended === oneShot)
+    assert(appended.nonEmpty)
+  }
+
+  test("hot-bucket guard sums size deltas ACROSS installments") {
+    val path = tmpPath("mh-idx-hot-app")
+    val boiler = (1L to 30L).map(i => (i, "same boilerplate text every time"))
+      .toDF("doc_id", "text")
+    // 15 docs per installment: each delta is under a cap of 20, but the
+    // summed bucket size (30) is over it — the guard must see the sum
+    Dedup.minhashIndexBuild(boiler.filter($"doc_id" <= 15L), "text", "doc_id",
+      path, shingleK = 3, numHashes = 64, bands = 32)
+    Dedup.minhashIndexAppend(spark, path, boiler.filter($"doc_id" > 15L),
+      "text", "doc_id")
+    val batch = Seq((900L, "same boilerplate text every time")).toDF("doc_id", "text")
+    assert(Dedup.minhashIndexProbe(spark, path, batch, "text", "doc_id",
+      threshold = 0.5, maxBucketSize = 20).isEmpty)
+    assert(Dedup.minhashIndexProbe(spark, path, batch, "text", "doc_id",
+      threshold = 0.5, maxBucketSize = 100).count() === 30)
+  }
+
+  test("broadcastBatch = false degrades to shuffled joins with identical output") {
+    val path = tmpPath("mh-idx-shuffled")
+    Dedup.minhashIndexBuild(corpus, "text", "doc_id", path,
+      shingleK = 3, numHashes = 64, bands = 32)
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog today"),
+      (102L, "nothing like anything stored in the index at all")
+    ).toDF("doc_id", "text")
+    val viaBroadcast = Dedup.minhashIndexProbe(spark, path, batch,
+      "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // broadcastBatch=false drops the FORCED hint; disable size-based
+    // auto-broadcast so the plan pin shows the degraded (shuffled) shape
+    // a corpus-sized batch would get
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val shuffled = Dedup.minhashIndexProbe(spark, path, batch,
+        "text", "doc_id", threshold = 0.5, broadcastBatch = false)
+      assert(shuffled.as[(Long, Long, Double)].collect().toSet === viaBroadcast)
+      val plan = shuffled.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"broadcastBatch=false must not plan driver broadcasts:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("the stored index is never shuffled by a probe — batch side broadcasts") {
     val path = tmpPath("mh-idx-plan")
     Dedup.minhashIndexBuild(corpus, "text", "doc_id", path)
+    // append must preserve the plan shape, so pin it on an appended index
+    Dedup.minhashIndexAppend(spark, path,
+      Seq((4L, "a fourth document appended later")).toDF("doc_id", "text"),
+      "text", "doc_id")
     val batch = Seq((101L, "the quick brown fox")).toDF("doc_id", "text")
     val plan = Dedup.minhashIndexProbe(spark, path, batch, "text", "doc_id")
       .queryExecution.executedPlan.toString
