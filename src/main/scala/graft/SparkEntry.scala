@@ -1810,14 +1810,14 @@ object SparkEntry {
         |ORDER BY b.doc_id""".stripMargin,
     "doc_sample_mix" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (doc_id * 2654435761) % 4294967296 <
+        |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <
         |  CASE lang WHEN 'en' THEN 4294967296
         |            WHEN 'de' THEN 2147483648
         |            WHEN 'fr' THEN 1073741824
         |            ELSE 0 END
         |ORDER BY doc_id""".stripMargin,
     "doc_train_val_split" ->
-      """SELECT CASE WHEN (doc_id * 2654435761) % 4294967296 < 858993459
+      """SELECT CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 < 858993459
         |  THEN 'val' ELSE 'train' END AS split, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
     "doc_chunks" ->
@@ -1863,12 +1863,12 @@ object SparkEntry {
       """SELECT lang, doc_id, rank FROM (
         |  SELECT lang, doc_id,
         |    row_number() OVER (PARTITION BY lang
-        |      ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rank
+        |      ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS rank
         |  FROM documents) t
         |WHERE rank <= 50 ORDER BY lang, rank""".stripMargin,
     "doc_global_shuffle" ->
       """SELECT doc_id,
-        |  row_number() OVER (ORDER BY (doc_id * 2654435761) % 4294967296, doc_id)
+        |  row_number() OVER (ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id)
         |    - 1 AS pos
         |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_pack_bins" ->

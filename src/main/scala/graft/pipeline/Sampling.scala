@@ -19,19 +19,27 @@ import org.apache.spark.sql.functions._
  *    weights can be re-tuned without re-shuffling anything (pure map, the
  *    filter fuses into the scan).
  *
- * The hash: h(k) = ((k * 2654435761) mod 2^32) / 2^32 ∈ [0,1), Knuth's
- * golden-ratio multiplier — well-distributed on sequential ids, exact in
- * BIGINT arithmetic (k < 2^31 keeps the product < 2^63 — true for the
- * synthetic doc/vec ids and for any 32-bit key; wider keys should be
- * pre-folded with a mod).
+ * The hash: h(k) = (((k mod 2^31) * 2654435761) mod 2^32) / 2^32 ∈ [0,1),
+ * Knuth's golden-ratio multiplier over the 31-bit-folded key — well-
+ * distributed on sequential ids, and exact in BIGINT arithmetic for ANY
+ * 64-bit key: the fold keeps the product < 2^63, so no engine ever
+ * overflows (Spark would wrap silently, DuckDB would raise — either way
+ * the cross-engine row-for-row guarantee would break exactly when ids
+ * grow past 32 bits; folding INSIDE the hash makes that impossible).
  */
 object Sampling {
 
   private val KnuthMult = 2654435761L
-  private val Mod32 = 4294967296L // 2^32
+  private val Mod32 = 4294967296L  // 2^32
+  private val Fold31 = 2147483648L // 2^31
 
-  /** h(key) scaled to [0, 2^32): the sampling coordinate. */
-  def hashCoord(key: Column): Column = pmod(key * lit(KnuthMult), lit(Mod32))
+  /** h(key) scaled to [0, 2^32): the sampling coordinate. The key is
+    * pre-folded to 31 bits inside the hash (pmod, so negative keys fold
+    * non-negative too): (2^31-1) * 2654435761 < 2^63, overflow-free for
+    * any Long key in any BIGINT engine. SQL mirror:
+    * `((key % 2147483648) * 2654435761) % 4294967296` (non-negative keys). */
+  def hashCoord(key: Column): Column =
+    pmod(pmod(key, lit(Fold31)) * lit(KnuthMult), lit(Mod32))
 
   /** Keep rows whose hash coordinate falls below `fraction` — a
     * deterministic Bernoulli sample. */
@@ -78,9 +86,12 @@ object Sampling {
    * single-task window funnel.
    */
   def globalShuffleOrder(df: DataFrame, keyCol: String,
-                         posName: String = "pos"): DataFrame =
+                         posName: String = "pos"): DataFrame = {
+    require(!df.columns.contains("_shuffle_coord"),
+      "globalShuffleOrder reserves the internal column name _shuffle_coord")
     graft.store.Ranks.withOrderedIndexBy(
       df.withColumn("_shuffle_coord", hashCoord(col(keyCol))),
       Seq("_shuffle_coord", keyCol), posName)
       .drop("_shuffle_coord")
+  }
 }

@@ -23,6 +23,25 @@ class SamplingPackingSpec extends SparkTestBase {
     assert(small.subsetOf(big))
   }
 
+  test("hashCoord is exact for 64-bit keys (the 31-bit fold)") {
+    // keys straddling every overflow boundary the UNFOLDED multiply would
+    // hit: 2^31 (product > 2^63 wraps), 2^32, Long.MaxValue, and negatives
+    val keys = Seq(0L, 1L, 2147483647L, 2147483648L, 2147483653L,
+      4294967296L, 1234567890123456789L, Long.MaxValue, -17L)
+    val got = keys.toDF("k")
+      .select(col("k"), Sampling.hashCoord(col("k")).as("h"))
+      .as[(Long, Long)].collect().toMap
+    // the BIGINT-exact semantics every oracle engine computes:
+    // ((k pmod 2^31) * 2654435761) mod 2^32, no intermediate overflow
+    keys.foreach { k =>
+      val folded = ((BigInt(k) mod BigInt(2147483648L)) * BigInt(2654435761L))
+        .mod(BigInt(4294967296L)).toLong
+      assert(got(k) === folded, s"hashCoord($k) diverged from exact arithmetic")
+    }
+    // and the fold is a no-op on 31-bit keys (oracle SQL stays compatible)
+    assert(got(1L) === 2654435761L % 4294967296L)
+  }
+
   test("trainValSplit partitions the corpus exactly") {
     val (train, valSet) = Sampling.trainValSplit(docs, "doc_id", 0.2)
     val n = docs.count()
