@@ -737,6 +737,28 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // the IVF APPEND path: fit + build on the even vec_ids, fold the odd
+    // half in against the FROZEN centroids (map-side assignment, stored
+    // assignments never rewritten), then search. The recall contract of
+    // emb_topk_ivf must hold over the two-installment index: every
+    // corpus-member query still probes its own list (its assigned list IS
+    // its nearest centroid, frozen or not), so top1 = self at cosine 1.
+    "emb_ivf_append" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_app_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      SimilarityIndex.ivfBuild(e.filter(col("vec_id") % 2 === 0), idxPath,
+        nlist = 16, fitSampleFraction = 0.5)
+      SimilarityIndex.ivfAppend(s, idxPath, e.filter(col("vec_id") % 2 === 1))
+      val approx = SimilarityIndex.ivfSearchIndexed(s, idxPath, q, k = 5, nprobe = 6)
+      val exact = SimilarityIndex.bruteForceTopK(e, q, k = 5)
+      SimilarityIndex.approxRecallReport(approx, exact, recallFloor = 2)
+        .orderBy("query_id")
+    }),
+
     // ==================================================================
     // Text analysis (training-data pipeline)
     // ==================================================================
@@ -2138,6 +2160,12 @@ object SparkEntry {
       """SELECT vec_id AS query_id, vec_id AS top1_id, true AS recall_pass
         |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
     "emb_topk_ivf" ->
+      """SELECT vec_id AS query_id, vec_id AS top1_id, true AS recall_pass
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+    // append path: self-recall is centroid-freeze-invariant (a member's
+    // assigned list is its nearest centroid by definition), so the same
+    // contract oracles the two-installment index
+    "emb_ivf_append" ->
       """SELECT vec_id AS query_id, vec_id AS top1_id, true AS recall_pass
         |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin
   )

@@ -190,6 +190,39 @@ object SimilarityIndex {
       .parquet(s"$path/assignments")
   }
 
+  /** The stored centroid matrix, list_id-ordered — nlist rows, driver-side
+    * by design (it is the index's tiny routing table). */
+  private def readCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/centroids")
+      .select("list_id", "centroid").as[(Int, Array[Double])]
+      .collect().sortBy(_._1).map(_._2)
+  }
+
+  /**
+   * Fold new vectors into a persisted [[ivfBuild]] index WITHOUT re-fitting:
+   * assign each new vector against the STORED centroids (map-side — the
+   * nlist·dim centroid matrix rides the task closure, the batch never
+   * shuffles) and append into the matching `list_id=` partition
+   * directories. Appending a batch costs exactly the batch's work; the
+   * stored assignments are never read or rewritten (≙ append-oriented
+   * writes, ColumnWriter.cs:29-70).
+   *
+   * Centroids are intentionally FROZEN: probe routing stays consistent
+   * with every previously stored assignment, so search-after-append is
+   * exactly search over the unioned corpus. If the data distribution
+   * drifts far from the fitted centroids, lists skew and recall decays —
+   * re-fit with a fresh [[ivfBuild]] at that point (the same rebuild
+   * cadence any IVF system needs).
+   */
+  def ivfAppend(spark: SparkSession, path: String, newVecs: DataFrame,
+                corpusVec: String = "embedding"): Unit = {
+    val centers = readCentroids(spark, path)
+    newVecs.withColumn("list_id", assignUdf(centers)(col(corpusVec)))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$path/assignments")
+  }
+
   /**
    * Search a persisted IVF index: probe lists are resolved driver-side from
    * the (tiny) centroid table, and the assignment scan carries a
@@ -206,9 +239,7 @@ object SimilarityIndex {
                        corpusId: String = "vec_id", corpusVec: String = "embedding",
                        queryId: String = "query_id", queryVec: String = "query_vec"): DataFrame = {
     import spark.implicits._
-    val centers = spark.read.parquet(s"$path/centroids")
-      .select("list_id", "centroid").as[(Int, Array[Double])]
-      .collect().sortBy(_._1).map(_._2)
+    val centers = readCentroids(spark, path)
     val qProbed = queries.withColumn("list_id",
       explode(probeUdf(centers, nprobe)(col(queryVec))))
     // the probed list union is ≤ |queries| · nprobe values — collect it so

@@ -280,6 +280,43 @@ class SimilarityIndexSpec extends SparkTestBase {
       s"expected list_id partition pruning in:\n$plan")
   }
 
+  test("ivfAppend: search over a two-installment index equals the one-shot build") {
+    val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
+      case (v, i) => if (i == 0) v + eps else v }
+    val c1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val c2 = Array(0.0f, 0.0f, 0.0f, -1.0f)
+    val corpus = (1 to 10).map(i => (i.toLong, mk(c1, i * 0.01f))) ++
+      (11 to 20).map(i => (i.toLong, mk(c2, i * 0.01f)))
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val queries = Seq((1L, c1), (15L, c2)).toDF("query_id", "query_vec")
+
+    val oneShotDir = java.nio.file.Files.createTempDirectory("graft_ivf_one").toString
+    SimilarityIndex.ivfBuild(corpusDf, oneShotDir, nlist = 2, fitSampleFraction = 1.0)
+    val oneShot = SimilarityIndex.ivfSearchIndexed(spark, oneShotDir, queries,
+      k = 20, nprobe = 1)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+
+    // build on the odd ids only (both clusters represented so the fitted
+    // centroids match), then fold the even ids in against the FROZEN
+    // centroids — probe routing must stay consistent across installments
+    val appDir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+    SimilarityIndex.ivfBuild(corpusDf.filter($"vec_id" % 2 === 1), appDir,
+      nlist = 2, fitSampleFraction = 1.0)
+    SimilarityIndex.ivfAppend(spark, appDir, corpusDf.filter($"vec_id" % 2 === 0))
+    val appended = SimilarityIndex.ivfSearchIndexed(spark, appDir, queries,
+      k = 20, nprobe = 1)
+
+    // both centroid fits see the same two tight clusters, so the probed
+    // lists hold the same members and scores are identical floats
+    assert(appended.select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet === oneShot)
+    // appended files land in the pruned partition layout
+    val plan = appended.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"expected list_id partition pruning in:\n$plan")
+  }
+
   test("IVF with nprobe=1 only scores vectors in the probed list") {
     val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
       case (v, i) => if (i == 0) v + eps else v }
