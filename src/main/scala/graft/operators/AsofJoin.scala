@@ -58,6 +58,12 @@ object AsofJoin {
                        leftTsCol: String, rightTsCol: String,
                        payloadCols: Seq[String], forward: Boolean): DataFrame = {
     require(keyCols.nonEmpty, "as-of join needs at least one key column")
+    // same precedent as Layout.zOrderWrite's _z guard: a caller column
+    // named like our tag/struct columns would silently collide in the
+    // tagged union
+    val reserved = (left.columns ++ right.columns).filter(_.startsWith("_asof_"))
+    require(reserved.isEmpty,
+      s"as-of join reserves internal column names _asof_*, found: ${reserved.mkString(", ")}")
     val lSchema = left.schema
     val overlap = payloadCols.toSet.intersect(lSchema.fieldNames.toSet)
     require(overlap.isEmpty, s"payload columns collide with left columns: $overlap")

@@ -286,6 +286,44 @@ object EventStreams extends Serializable {
   }
 
   /**
+   * Streaming as-of enrichment: each left row of a STREAM picks up the
+   * latest right row at-or-before its timestamp from a STATIC snapshot —
+   * the quote-at-trade-time shape, continuously
+   * (≙ graft.operators.AsofJoin.asofBackward, run per micro-batch).
+   *
+   * `foreachBatch` is the supported shape, not a workaround: the as-of
+   * sweep is a batch plan (repartition + sortWithinPartitions +
+   * mapPartitions) and Structured Streaming forbids partition sorts in a
+   * continuous plan. Per-micro-batch application is semantics-TRANSPARENT
+   * here because a left row's enrichment depends only on that row and the
+   * right snapshot — never on other left rows — so any micro-batch
+   * slicing of the stream yields exactly the batch operator's output
+   * (spec-pinned equality across multi-batch runs in AsofEnrichStreamSpec).
+   *
+   * The right side is lazily re-evaluated every micro-batch: a
+   * parquet-backed snapshot picks up data landed between batches (the
+   * daily-refreshed quote table under a long-running stream).
+   * `localCheckpoint()` or cache it first if the stream must see one
+   * frozen snapshot for its whole life.
+   *
+   * Returns a configured `DataStreamWriter` — set `checkpointLocation` /
+   * trigger and `.start()` it. The sink callback receives each enriched
+   * micro-batch with its batch id (exactly-once under retries only if the
+   * sink is idempotent per batch id, the standard foreachBatch contract).
+   */
+  def asofEnrichStream(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                       leftTsCol: String, rightTsCol: String,
+                       payloadCols: Seq[String])
+                      (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    left.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.AsofJoin.asofBackward(batch.toDF(), right,
+          keyCols, leftTsCol, rightTsCol, payloadCols), batchId)
+        ()
+    }
+
+  /**
    * Continuous lexicon ingest (streaming form of Lexicon.build): tokenize
    * incoming documents, key by identity angle, emit first-seen tokens only.
    * dropDuplicates state is keyed by the angle — bounded by watermark when

@@ -145,6 +145,19 @@ class AsofJoinSpec extends SparkTestBase {
     assert(e.getMessage.contains("timestamp column types differ"))
   }
 
+  test("reserved _asof_* column names are rejected on either side") {
+    val l = Seq((1L, 5L, "x")).toDF("key", "tts", "_asof_tag")
+    val e = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(l, quotes, Seq("key"), "tts", "qts", Seq("price"))
+    }
+    assert(e.getMessage.contains("_asof_"))
+    val r = Seq((1L, 5L, 1.0)).toDF("key", "_asof_ts", "price")
+    val e2 = intercept[IllegalArgumentException] {
+      AsofJoin.asofBackward(trades, r, Seq("key"), "tts", "_asof_ts", Seq("price"))
+    }
+    assert(e2.getMessage.contains("_asof_"))
+  }
+
   test("plan is one shuffle on the key — no window funnel, no range cross join") {
     val plan = AsofJoin.asofBackward(trades, quotes, Seq("key"), "tts", "qts",
       Seq("price")).queryExecution.executedPlan.toString

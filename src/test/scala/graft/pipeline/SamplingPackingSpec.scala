@@ -42,6 +42,13 @@ class SamplingPackingSpec extends SparkTestBase {
     assert(got(1L) === 2654435761L % 4294967296L)
   }
 
+  test("globalShuffleOrder rejects a caller _shuffle_coord column") {
+    val e = intercept[IllegalArgumentException] {
+      Sampling.globalShuffleOrder(docs.withColumn("_shuffle_coord", lit(1L)), "doc_id")
+    }
+    assert(e.getMessage.contains("_shuffle_coord"))
+  }
+
   test("trainValSplit partitions the corpus exactly") {
     val (train, valSet) = Sampling.trainValSplit(docs, "doc_id", 0.2)
     val n = docs.count()
