@@ -1,6 +1,7 @@
 package graft.store
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions._
 
 /**
@@ -42,14 +43,81 @@ object Layout {
    */
   def zOrderWrite(df: DataFrame, path: String, colA: String, colB: String,
                   numPartitions: Int = 0): Unit = {
-    val n = if (numPartitions > 0) numPartitions
-            else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     require(!df.columns.contains("_z"),
       "input already has a '_z' column — rename it before zOrderWrite")
-    df.withColumn("_z", zValue(col(colA), col(colB)))
+    writeAlongZ(df, zValue(col(colA), col(colB)), path, numPartitions)
+  }
+
+  private def writeAlongZ(df: DataFrame, z: Column, path: String,
+                          numPartitions: Int): Unit = {
+    val n = if (numPartitions > 0) numPartitions
+            else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    df.withColumn("_z", z)
       .repartitionByRange(n, col("_z"))
       .sortWithinPartitions("_z")
       .drop("_z")
       .write.mode("overwrite").parquet(path)
+  }
+
+  // ------------------------------------------- bucketize for wide domains
+
+  /**
+   * Quantile bucket boundaries mapping arbitrary numeric/timestamp/date
+   * domains onto the curve's 16 bits — the misuse-proofing for
+   * [[zValue]]'s low-16-bit clamp, which silently collapses a >16-bit
+   * domain (e.g. epoch millis) onto its low bits and destroys pruning
+   * power. One Greenwald-Khanna sketch pass over BOTH columns (no
+   * shuffle, no sort — map-side sketch merge only), ≤ 65535 split points
+   * per column on the driver. Rank buckets, not value buckets: any
+   * distribution, however skewed, fills the 16-bit range evenly, which is
+   * exactly what a space-filling curve wants. Values are sketch-ranked
+   * after a cast to double (coarse RANK is the goal; the 2^53 mantissa
+   * bound on exact long representation is irrelevant at 16-bit
+   * granularity).
+   */
+  def fitBuckets16(df: DataFrame, cols: Seq[String],
+                   relativeError: Double = 1e-4): Seq[Array[Double]] = {
+    val casted = df.select(cols.zipWithIndex.map { case (c, i) =>
+      col(c).cast("double").as(s"_bk$i") }: _*)
+    val probs = Array.tabulate(65535)(i => (i + 1).toDouble / 65536.0)
+    casted.na.drop("any")
+      .stat.approxQuantile(cols.indices.map(i => s"_bk$i").toArray,
+        probs, relativeError)
+      .toSeq
+  }
+
+  /** Bucket index in [0, 65535] of a (double-cast) value: the count of
+    * fitted boundaries <= v, via binary search — monotone in v, so bucket
+    * order preserves value order up to bucket granularity. Null in → null
+    * out. */
+  def bucket16(boundaries: Array[Double]): UserDefinedFunction = udf { (v: Double) =>
+    var lo = 0
+    var hi = boundaries.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (boundaries(mid) <= v) lo = mid + 1 else hi = mid
+    }
+    lo
+  }
+
+  /**
+   * [[zOrderWrite]] for raw wide-domain columns (timestamps, epoch
+   * millis, 64-bit ids): quantile-bucketize both columns onto 16 bits
+   * first, then lay out along the z-curve of the bucket ranks. The
+   * written data is byte-identical to the input rows (bucket and z
+   * columns are both dropped); only the ROW ORDER — and therefore the
+   * row-group min/max stats on the two raw columns — changes, so raw-
+   * value predicates on either column still prune.
+   */
+  def zOrderWriteBucketed(df: DataFrame, path: String, colA: String,
+                          colB: String, numPartitions: Int = 0,
+                          relativeError: Double = 1e-4): Unit = {
+    require(!df.columns.contains("_z"),
+      "input already has a '_z' column — rename it before zOrderWriteBucketed")
+    val Seq(ba, bb) = fitBuckets16(df, Seq(colA, colB), relativeError)
+    writeAlongZ(df,
+      zValue(bucket16(ba)(col(colA).cast("double")),
+             bucket16(bb)(col(colB).cast("double"))),
+      path, numPartitions)
   }
 }

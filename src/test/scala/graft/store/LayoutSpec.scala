@@ -51,6 +51,57 @@ class LayoutSpec extends SparkTestBase {
     assert(avgB < 65536 * 0.45, s"avg b-span $avgB not narrowed")
   }
 
+  test("bucketed z-order narrows BOTH raw wide-domain columns; plain clamp does not") {
+    val rnd = new scala.util.Random(11)
+    // epoch-millis-style a (>> 16 bits) and sparse 64-bit-ish b: the raw
+    // zValue clamp sees only the noisy low 16 bits of each
+    val df = Seq.fill(20000)(
+      (1700000000000L + rnd.nextInt(1000000000).toLong,
+        rnd.nextLong().abs / 1000))
+      .toDF("a", "b")
+
+    def avgSpans(dir: String): (Double, Double) = {
+      val spans = spark.read.parquet(dir)
+        .select(input_file_name().as("f"), $"a", $"b")
+        .groupBy("f")
+        .agg((max($"a") - min($"a")).as("sa"), (max($"b") - min($"b")).as("sb"))
+        .as[(String, Long, Long)].collect()
+      (spans.map(_._2.toDouble).sum / spans.length,
+        spans.map(_._3.toDouble).sum / spans.length)
+    }
+
+    val bucketed = java.nio.file.Files.createTempDirectory("zb").resolve("t").toString
+    Layout.zOrderWriteBucketed(df, bucketed, "a", "b", numPartitions = 16)
+    assert(spark.read.parquet(bucketed).count() === 20000)
+    val (ba, bb) = avgSpans(bucketed)
+    val spanA = 1000000000.0
+    val spanB = df.agg(max($"b") - min($"b")).as[Long].head().toDouble
+    assert(ba < spanA * 0.45, s"bucketed a-span $ba not narrowed vs $spanA")
+    assert(bb < spanB * 0.45, s"bucketed b-span $bb not narrowed vs $spanB")
+
+    // the motivating failure: the raw 16-bit clamp leaves both spans wide
+    val clamped = java.nio.file.Files.createTempDirectory("zc").resolve("t").toString
+    Layout.zOrderWrite(df, clamped, "a", "b", numPartitions = 16)
+    val (ca, cb) = avgSpans(clamped)
+    assert(ca > spanA * 0.8 && cb > spanB * 0.8,
+      s"clamped spans unexpectedly narrow ($ca, $cb) — test premise broken")
+  }
+
+  test("bucket16 is monotone and rank-uniform on skewed data") {
+    val skewed = (1 to 10000).map(i => math.pow(i.toDouble, 3)).toDF("v")
+    val Seq(bounds) = Layout.fitBuckets16(skewed, Seq("v"))
+    val got = skewed.select($"v", Layout.bucket16(bounds)($"v").as("bk"))
+      .as[(Double, Int)].collect().sortBy(_._1)
+    // monotone in v
+    got.sliding(2).foreach { case Array(x, y) => assert(x._2 <= y._2); case _ => }
+    // rank-uniform: quartiles of the VALUE domain land near quartile buckets
+    // despite the cubic skew
+    val q1 = got(2500)._2; val q3 = got(7500)._2
+    assert(math.abs(q1 - 16384) < 1000, s"q1 bucket $q1 far from 16384")
+    assert(math.abs(q3 - 49152) < 1000, s"q3 bucket $q3 far from 49152")
+    assert(got.head._2 >= 0 && got.last._2 <= 65535)
+  }
+
   test("zOrderWrite round-trips all rows with row-group-prunable stats") {
     val dir = java.nio.file.Files.createTempDirectory("zorder").resolve("t")
     val rnd = new scala.util.Random(3)
