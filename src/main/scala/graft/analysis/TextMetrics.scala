@@ -42,15 +42,21 @@ object TextMetrics {
     org.apache.spark.sql.functions.udf { (s: String) =>
       if (s == null) Array.empty[String]
       else {
-        val tr = trimSpaces(s)
-        if (tr.isEmpty) Array.empty[String]
-        else {
-          val t = tr.split("\\s+", -1)
-          if (t.length < 2) Array.empty[String]
-          else Array.tabulate(t.length - 1)(i => t(i) + " " + t(i + 1))
-        }
+        val t = wsTokenArr(s)
+        if (t.length < 2) Array.empty[String]
+        else Array.tabulate(t.length - 1)(i => t(i) + " " + t(i + 1))
       }
     }
+
+  /** The [[wsTokens]] tokenization as a plain-Scala kernel for other
+    * per-row UDF loops (bigrams, chunking): space-only trim, limit -1
+    * split keeping trailing empties, empty-after-trim → empty array.
+    * Null-intolerant by contract — callers guard null themselves (the
+    * Column form propagates null). */
+  private[graft] def wsTokenArr(s: String): Array[String] = {
+    val tr = trimSpaces(s)
+    if (tr.isEmpty) Array.empty[String] else tr.split("\\s+", -1)
+  }
 
   /**
    * BPE-ish token count: word pieces = runs of letters, runs of digits, or

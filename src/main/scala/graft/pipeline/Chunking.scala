@@ -9,36 +9,58 @@ import org.apache.spark.sql.functions._
  * tokens advancing by `stride` (stride < windowSize ⇒ overlap, the usual
  * RAG shape; stride == windowSize ⇒ disjoint packing windows).
  *
- * Scale design: a pure per-row explode — tokenize, compute the window
- * count arithmetically, `posexplode` the slices. No shuffle, no UDF; the
- * whole operator fuses into the scan projection, so chunking 100 TB is
- * one map stage whose output can stream straight into a partitioned
- * writer. Chunk identity is (doc id, chunk_idx) — deterministic, so
- * downstream chunk-level dedup (Dedup.*) and embedding indexes
- * (SimilarityIndex.*) compose on a stable key.
+ * Scale design: a pure per-row explode — one tight UDF pass per document
+ * emits every (token count, chunk text) window, then `posexplode` numbers
+ * them. No shuffle; chunking 100 TB is one map stage whose output can
+ * stream straight into a partitioned writer. The kernel is a per-row
+ * while-loop, NOT `transform(sequence(...))` with a per-element `slice` —
+ * array higher-order lambdas evaluate INTERPRETED per element
+ * (ArrayTransform is CodegenFallback; the round-1 shingle / round-6
+ * bigram trap, ~100× at sf0.1). Chunk identity is (doc id, chunk_idx) —
+ * deterministic, so downstream chunk-level dedup (Dedup.*) and embedding
+ * indexes (SimilarityIndex.*) compose on a stable key.
  *
  * Window-count contract (integer arithmetic, reproducible in any engine):
  * n ≤ windowSize ⇒ 1 chunk (an empty doc yields one empty chunk);
  * otherwise ceil((n - windowSize) / stride) + 1, so the last window
- * always reaches the final token.
+ * always reaches the final token. Null text ⇒ null chunk array ⇒ zero
+ * output rows (posexplode of null), matching the Column formulation it
+ * replaced.
  */
 object Chunking {
+
+  /** All windows of one document: (n_tokens, text) per chunk, one pass
+    * over the token array with a shared StringBuilder. */
+  private def chunkKernel(windowSize: Int, stride: Int) = udf { (s: String) =>
+    if (s == null) null
+    else {
+      val toks = graft.analysis.TextMetrics.wsTokenArr(s)
+      val n = toks.length
+      val nChunks = if (n <= windowSize) 1 else (n - windowSize + stride - 1) / stride + 1
+      val sb = new java.lang.StringBuilder(windowSize * 8)
+      Array.tabulate(nChunks) { i =>
+        val from = i * stride
+        val until = math.min(from + windowSize, n)
+        sb.setLength(0)
+        var j = from
+        while (j < until) {
+          if (j > from) sb.append(' ')
+          sb.append(toks(j))
+          j += 1
+        }
+        ((until - from).toLong, sb.toString)
+      }
+    }
+  }
 
   def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
                     windowSize: Int, stride: Int): DataFrame = {
     require(windowSize > 0 && stride > 0, "windowSize and stride must be positive")
-    val toks = graft.analysis.TextMetrics.wsTokens(col(textCol))
-    val n = size(toks)
-    // integer ceil((n - w)/s) + 1 via (n - w + s - 1) div s + 1
-    val nChunks = when(n <= windowSize, lit(1L)).otherwise(
-      floor((n - windowSize + stride - 1) / lit(stride.toDouble)).cast("long") + 1L)
-    df.select(col(idCol), toks.as("_toks"), nChunks.as("_n_chunks"))
-      .select(col(idCol),
-        posexplode(transform(sequence(lit(0L), col("_n_chunks") - 1L),
-          i => slice(col("_toks"), (i * stride).cast("int") + 1, lit(windowSize))))
-          .as(Seq("chunk_idx", "chunk_tokens")))
+    df.select(col(idCol),
+      posexplode(chunkKernel(windowSize, stride)(col(textCol)))
+        .as(Seq("chunk_idx", "_chunk")))
       .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
-        size(col("chunk_tokens")).cast("long").as("n_chunk_tokens"),
-        array_join(col("chunk_tokens"), " ").as("chunk_text"))
+        col("_chunk._1").as("n_chunk_tokens"),
+        col("_chunk._2").as("chunk_text"))
   }
 }

@@ -44,10 +44,23 @@ class ChunkingSpec extends SparkTestBase {
     assert(got.last._3.endsWith(s"t$n")) // last window reaches the end
   }
 
-  test("chunking is a pure map — no shuffle, stays codegen'd") {
-    val plan = Chunking.chunkByTokens(
+  test("chunking is a pure map — no shuffle, no interpreted array lambda") {
+    val df = Chunking.chunkByTokens(
       spark.read.parquet(s"$sfDir/documents.parquet"),
-      "doc_id", "text", 64, 48).queryExecution.executedPlan.toString
+      "doc_id", "text", 64, 48)
+    val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking must not shuffle:\n$plan")
+    // the kernel is a single per-row UDF — never transform(sequence(...)),
+    // whose lambda evaluates interpreted per element (CodegenFallback)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("transform("),
+      s"chunking must not use an array HOF lambda:\n$optimized")
+  }
+
+  test("null text yields zero chunk rows") {
+    val got = Chunking.chunkByTokens(
+      Seq((1L, "a b"), (2L, null)).toDF("id", "text"), "id", "text", 4, 2)
+      .select("id").as[Long].collect().toSeq
+    assert(got === Seq(1L))
   }
 }
