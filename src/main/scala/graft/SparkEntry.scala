@@ -590,7 +590,13 @@ object SparkEntry {
     // once, then probe the incoming batch against it — the stored side is
     // only read map-side (batch bands broadcast), never re-banded or
     // shuffled. Same recall argument as doc_minhash_dups (128 hashes / 64
-    // bands), so the brute-force cross-pair scan is a valid oracle.
+    // bands), so the brute-force cross-pair scan is a valid oracle: the
+    // fixture's true pairs (30% truncation) all sit at jaccard >= ~0.58,
+    // far above the 0.3 threshold, where the per-pair LSH miss
+    // probability is ~3e-12 — a pair AT the threshold would miss with
+    // ~0.24% probability, so keep fixture pairs away from the boundary
+    // when adding cases (Dedup.minhashIndexProbe scaladoc, "Recall
+    // contract").
     "doc_incremental_dedup" -> ((s, dir) => {
       val d = tbl(s, dir, "documents").select("doc_id", "text")
       // fresh per-call dir (a fixed path would race a concurrent
@@ -969,6 +975,10 @@ object SparkEntry {
           .when(col("doc_id") % 13 === 0,
             concat(col("text"),
               lit(" ref http://cdn.tracker.io and https://example.com")))
+          // evasion shapes the host regex must still catch: uppercase
+          // scheme and a userinfo prefix before the real host
+          .when(col("doc_id") % 17 === 0,
+            concat(col("text"), lit(" go HTTPS://u@badsite.com/x")))
           .otherwise(col("text")).as("text"))
       val blocklist = Seq("badsite.com", "tracker.io").toDF("domain")
       graft.pipeline.UrlFilter
@@ -1815,12 +1825,13 @@ object SparkEntry {
         |        (doc_id % 5) || '.badsite.com/p?x=1 and http://ok.example.org/about'
         |      WHEN doc_id % 13 = 0 THEN text ||
         |        ' ref http://cdn.tracker.io and https://example.com'
+        |      WHEN doc_id % 17 = 0 THEN text || ' go HTTPS://u@badsite.com/x'
         |      ELSE text END AS text
         |  FROM documents),
         |bl AS (SELECT unnest(['badsite.com', 'tracker.io']) AS domain),
         |h AS (
         |  SELECT doc_id,
-        |    lower(unnest(regexp_extract_all(text, 'https?://([A-Za-z0-9.-]*[A-Za-z0-9])', 1))) AS host
+        |    lower(unnest(regexp_extract_all(text, '[Hh][Tt][Tt][Pp][Ss]?://(?:[A-Za-z0-9._%+-]+@)?([A-Za-z0-9.-]*[A-Za-z0-9])', 1))) AS host
         |  FROM base),
         |hits AS (
         |  SELECT DISTINCT doc_id FROM h JOIN bl

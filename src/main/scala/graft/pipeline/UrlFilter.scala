@@ -20,12 +20,18 @@ import org.apache.spark.sql.functions._
  */
 object UrlFilter {
 
-  /** Capturing pattern for the host part of an http(s) URL. The capture
-    * must END on an alphanumeric: a bare `[A-Za-z0-9.-]+` would swallow
-    * sentence-final punctuation ("visit https://badsite.com.") into the
-    * host, and the trailing dot would defeat both the exact and the
-    * suffix match — letting a blocklisted domain through. */
-  val HostRe = "https?://([A-Za-z0-9.-]*[A-Za-z0-9])"
+  /** Capturing pattern for the host part of an http(s) URL. Evasion-
+    * hardened in three ways, each of which would otherwise let a
+    * blocklisted domain through: the capture must END on an alphanumeric
+    * (a bare `[A-Za-z0-9.-]+` would swallow sentence-final punctuation
+    * — "visit https://badsite.com." — and the trailing dot defeats both
+    * the exact and the suffix match); the scheme matches case-
+    * insensitively via explicit char classes (`HTTPS://badsite.com`; RE2
+    * has no global case flag mid-pattern portability, so char classes
+    * keep it Java∩RE2); and an optional userinfo prefix is skipped
+    * (`https://u@badsite.com` must extract `badsite.com`, not `u`). */
+  val HostRe =
+    "[Hh][Tt][Tt][Pp][Ss]?://(?:[A-Za-z0-9._%+-]+@)?([A-Za-z0-9.-]*[A-Za-z0-9])"
 
   /** Distinct lowercased hosts referenced by a text column. */
   def hosts(text: Column): Column =

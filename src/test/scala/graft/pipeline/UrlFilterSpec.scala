@@ -46,6 +46,20 @@ class UrlFilterSpec extends SparkTestBase {
     assert(got === Map(1L -> true, 2L -> true, 3L -> true))
   }
 
+  test("uppercase schemes and userinfo prefixes do not evade the filter") {
+    val docs = Seq(
+      (1L, "go HTTPS://badsite.com/x now"),          // uppercase scheme
+      (2L, "go Http://sub.badsite.com y"),           // mixed-case scheme
+      (3L, "auth https://user%40x@badsite.com/p"),   // userinfo prefix
+      (4L, "auth http://alice@sub.tracker.io/q"),    // userinfo + subdomain
+      (5L, "mail alice@badsite.com no scheme")       // bare email — NOT a URL
+    ).toDF("id", "text")
+    val got = UrlFilter.flagBlockedDomains(docs, "id", "text", blocklist, "domain")
+      .select("id", "blocked").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> true, 3L -> true,
+      4L -> true, 5L -> false))
+  }
+
   test("dropBlockedDomains keeps clean docs with original columns") {
     val docs = Seq((1L, "https://badsite.com"), (2L, "clean")).toDF("id", "text")
     val kept = UrlFilter.dropBlockedDomains(docs, "id", "text", blocklist, "domain")
