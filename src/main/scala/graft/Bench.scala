@@ -71,7 +71,13 @@ object Bench {
       .mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    // host load context: three rounds of bench "regressions" on untouched
+    // plans were adjudicated as EXTERNAL contention — record /proc/loadavg
+    // in-band so the reader can see it without a separate measurement
+    val loadavg = scala.util.Try(
+      scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")
+        .take(3).mkString("[", ",", "]")).getOrElse("[]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"loadavg":$loadavg,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
