@@ -416,6 +416,43 @@ object Dedup {
     writeInstallment(newDf, textCol, idCol, path, next, shingleK, numHashes, bands)
   }
 
+  /**
+   * Index maintenance — the periodic job the append-only contract
+   * promises (same shape as EventStreams.compactAndRewrite): fold every
+   * per-installment size delta into ONE `installment=0` partition, so a
+   * probed bucket resolves from one delta row again no matter how many
+   * appends have landed. The rewrite materializes fully in a side dir
+   * before a delete+rename swap — a concurrent probe sees either the old
+   * or the new sizes table, and both sum to identical totals (HDFS/posix
+   * renames are atomic; on an object store run this in a maintenance
+   * window or layer on a table format with atomic commits).
+   *
+   * `bands/` and `sets/` are left untouched: their rows are already
+   * minimal and installment-invariant — compacting them would be a full
+   * rewrite for no read-path gain (parquet scans all installments at full
+   * speed; if an aggressive append cadence produces tiny FILES, that is
+   * ordinary small-file compaction, orthogonal to this job). Returns the
+   * number of distinct buckets in the compacted table.
+   */
+  def minhashIndexCompactSizes(spark: org.apache.spark.sql.SparkSession,
+                               path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val sizesPath = s"$path/sizes"
+    val compacted = spark.read.parquet(sizesPath)
+      .groupBy("band", "bucket").agg(sum("cnt").as("cnt"))
+    val out = new Path(sizesPath)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(sizesPath + "._compacting")
+    // overwrite: a crashed prior compaction leaves only this side dir
+    compacted.write.mode("overwrite")
+      .parquet(new Path(tmp, "installment=0").toString)
+    val rows = spark.read.parquet(tmp.toString).count()
+    if (!fs.delete(out, true) || !fs.rename(tmp, out))
+      throw new java.io.IOException(s"sizes swap failed for $sizesPath")
+    spark.catalog.refreshByPath(sizesPath)
+    rows
+  }
+
   /** One installment's three tables. Each stage reads the previous stage's
     * just-written partition back from parquet — disk materialization, no
     * memory persist, any batch size. */

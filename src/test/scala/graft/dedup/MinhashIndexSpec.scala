@@ -126,6 +126,34 @@ class MinhashIndexSpec extends SparkTestBase {
       threshold = 0.5, maxBucketSize = 100).count() === 30)
   }
 
+  test("compacting sizes preserves probe results and folds to one installment") {
+    val path = tmpPath("mh-idx-compact")
+    val boiler = (1L to 30L).map(i => (i, "same boilerplate text every time"))
+      .toDF("doc_id", "text")
+    Dedup.minhashIndexBuild(boiler.filter($"doc_id" <= 10L), "text", "doc_id",
+      path, shingleK = 3, numHashes = 64, bands = 32)
+    Dedup.minhashIndexAppend(spark, path, boiler.filter($"doc_id" > 10L && $"doc_id" <= 20L),
+      "text", "doc_id")
+    Dedup.minhashIndexAppend(spark, path, boiler.filter($"doc_id" > 20L),
+      "text", "doc_id")
+    val batch = Seq((900L, "same boilerplate text every time")).toDF("doc_id", "text")
+
+    def probe(cap: Int) = Dedup.minhashIndexProbe(spark, path, batch,
+      "text", "doc_id", threshold = 0.5, maxBucketSize = cap)
+    val beforeSkip = probe(20).count()    // 30 > 20 across three deltas
+    val beforeHit = probe(100).count()
+    val buckets = Dedup.minhashIndexCompactSizes(spark, path)
+    assert(buckets > 0)
+    // identical guard decisions from the single compacted delta
+    assert(probe(20).count() === beforeSkip)
+    assert(probe(100).count() === beforeHit)
+    assert(beforeSkip === 0L && beforeHit === 30L)
+    // physically folded: one installment dir remains under sizes/
+    val dirs = new java.io.File(s"$path/sizes").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(dirs === Seq("installment=0"), s"got $dirs")
+  }
+
   test("broadcastBatch = false degrades to shuffled joins with identical output") {
     val path = tmpPath("mh-idx-shuffled")
     Dedup.minhashIndexBuild(corpus, "text", "doc_id", path,
