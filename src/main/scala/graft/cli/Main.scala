@@ -131,6 +131,39 @@ object Main {
       println(s"chunk: $n chunks (window=$window stride=$stride) -> $out")
       spark.stop()
 
+    case "index-build" :: docs :: idx :: rest =>
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val textCol = rest.drop(1).headOption.getOrElse("text")
+      val spark = session()
+      graft.dedup.Dedup.minhashIndexBuild(spark.read.parquet(docs),
+        textCol, idCol, idx)
+      println(s"index-build: ${spark.read.parquet(s"$idx/sets").count()} docs -> $idx")
+      spark.stop()
+
+    case "index-append" :: docs :: idx :: rest =>
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val textCol = rest.drop(1).headOption.getOrElse("text")
+      val spark = session()
+      graft.dedup.Dedup.minhashIndexAppend(spark, idx,
+        spark.read.parquet(docs), textCol, idCol)
+      println(s"index-append: ${spark.read.parquet(s"$idx/sets").count()} docs total -> $idx")
+      spark.stop()
+
+    case "index-probe" :: docs :: idx :: rest =>
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val textCol = rest.drop(1).headOption.getOrElse("text")
+      val threshold = rest.drop(2).headOption.map(_.toDouble).getOrElse(0.8)
+      val spark = session()
+      graft.dedup.Dedup.minhashIndexProbe(spark, idx, spark.read.parquet(docs),
+        textCol, idCol, threshold).show(50, truncate = false)
+      spark.stop()
+
+    case "index-compact" :: idx :: Nil =>
+      val spark = session()
+      val buckets = graft.dedup.Dedup.minhashIndexCompactSizes(spark, idx)
+      println(s"index-compact: sizes folded to one installment ($buckets buckets) in $idx")
+      spark.stop()
+
     case "dedup-cluster" :: pairs :: out :: rest =>
       val aCol = rest.headOption.getOrElse("id_a")
       val bCol = rest.drop(1).headOption.getOrElse("id_b")
@@ -154,7 +187,11 @@ object Main {
           |  graph-search     <indexPath> <querySentence>
           |  scrub            <docsParquet> <outParquet> [idCol] [textCol]
           |  chunk            <docsParquet> <outParquet> <window> <stride> [idCol] [textCol]
-          |  dedup-cluster    <pairsParquet> <outParquet> [aCol] [bCol]""".stripMargin)
+          |  dedup-cluster    <pairsParquet> <outParquet> [aCol] [bCol]
+          |  index-build      <docsParquet> <indexPath> [idCol] [textCol]
+          |  index-append     <docsParquet> <indexPath> [idCol] [textCol]
+          |  index-probe      <docsParquet> <indexPath> [idCol] [textCol] [threshold]
+          |  index-compact    <indexPath>""".stripMargin)
       sys.exit(2)
   }
 }
