@@ -324,6 +324,58 @@ object EventStreams extends Serializable {
     }
 
   /**
+   * Continuous ingest dedup — the daily-ingest loop the appendable
+   * MinHash index exists for, run per micro-batch: probe the batch
+   * against the PERSISTED index (graft.dedup.Dedup.minhashIndexProbe —
+   * stored corpus read map-side, never re-banded), drop batch rows with
+   * a stored near-duplicate, fold the survivors into the index
+   * (minhashIndexAppend — one new installment, nothing rewritten), and
+   * emit exactly the surviving rows to the sink. State is the index
+   * itself: durable, shared, resumable — no Spark state store grows with
+   * corpus size, which is what breaks `dropDuplicates` dedup at 100 TB.
+   *
+   * The survivors are materialized (localCheckpoint) BEFORE the append:
+   * the anti-join is otherwise lazy, and evaluating it after the append
+   * would re-probe against an index that now contains the batch itself —
+   * every row would look like its own duplicate. Blocks are released as
+   * soon as the sink callback returns.
+   *
+   * Near-dup semantics are batch-vs-STORED: rows inside one micro-batch
+   * that duplicate each other both survive (then coexist in the index,
+   * exactly as minhashIndexAppend's new-ids contract allows). Compose an
+   * intra-batch pass (Dedup.dropExactDuplicates / minhashNearDuplicates)
+   * upstream when that matters. Under foreachBatch's retry contract a
+   * replayed batch re-probes BEFORE its own append is visible only if
+   * the append did not complete — otherwise its rows self-match and the
+   * replay emits nothing: duplicate EMISSION is suppressed, duplicate
+   * installments of identical rows are possible (same last-writer-wins
+   * tolerance as the changelog sink).
+   *
+   * The index at `indexPath` must exist ([[graft.dedup.Dedup
+   * .minhashIndexBuild]] — an empty corpus build is valid and makes the
+   * stream self-bootstrapping).
+   */
+  def dedupIngestStream(spark: SparkSession, docs: DataFrame, indexPath: String,
+                        textCol: String, idCol: String,
+                        threshold: Double = 0.8, maxBucketSize: Int = 1000)
+                       (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val dupIds = graft.dedup.Dedup.minhashIndexProbe(spark, indexPath,
+          batch.toDF(), textCol, idCol, threshold, maxBucketSize)
+          .select(col("new_id").as(idCol)).distinct()
+        val fresh = batch.toDF().join(dupIds, Seq(idCol), "left_anti")
+          .localCheckpoint()
+        try {
+          graft.dedup.Dedup.minhashIndexAppend(spark, indexPath, fresh,
+            textCol, idCol)
+          sink(fresh, batchId)
+        } finally fresh.unpersist()
+        ()
+    }
+
+  /**
    * Continuous lexicon ingest (streaming form of Lexicon.build): tokenize
    * incoming documents, key by identity angle, emit first-seen tokens only.
    * dropDuplicates state is keyed by the angle — bounded by watermark when
