@@ -847,6 +847,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the remaining Gopher repetition signal: fraction of n-gram-
+    // occurrence characters covered by n-grams appearing >= 2 times
+    // (n = 2 and 3), over documents ∪ a doubled-text variant whose
+    // fraction approaches 1 — so the metric's full range is exercised.
+    // Integer char sums + one final division: bit-equal in DuckDB.
+    "doc_dup_ngram_chars" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val doubled = d.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ", col("text"), col("text")).as("text"))
+      d.unionByName(doubled)
+        .select(col("doc_id"),
+          TextMetrics.dupNgramCharFractionUdf(2)(col("text")).as("dup2_frac"),
+          TextMetrics.dupNgramCharFractionUdf(3)(col("text")).as("dup3_frac"))
+        .orderBy("doc_id")
+    }),
+
     "doc_fingerprints" -> ((s, dir) => {
       val fp = udf((t: String) => TextMetrics.rollingFingerprint(t))
       tbl(s, dir, "documents")
@@ -2053,6 +2070,44 @@ object SparkEntry {
         |    AS dupword_frac,
         |  coalesce(m.top2gram_frac, 0.0) AS top2gram_frac
         |FROM w LEFT JOIN m USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // duplicate-n-gram char fractions: per n, sum occurrence charlens of
+    // grams with count >= 2 over the total — integer sums, one division
+    "doc_dup_ngram_chars" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000 AS doc_id, text || ' ' || text AS text
+        |  FROM documents WHERE doc_id % 40 = 0),
+        |t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM base),
+        |g2 AS (
+        |  SELECT doc_id, array_to_string(w[i:i+1], ' ') AS gram
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |        FROM t WHERE len(w) >= 2)),
+        |s2 AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup,
+        |    sum(cnt * length(gram)) AS tot
+        |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g2 GROUP BY 1, 2)
+        |  GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i
+        |        FROM t WHERE len(w) >= 3)),
+        |s3 AS (
+        |  SELECT doc_id,
+        |    sum(CASE WHEN cnt >= 2 THEN cnt * length(gram) ELSE 0 END) AS dup,
+        |    sum(cnt * length(gram)) AS tot
+        |  FROM (SELECT doc_id, gram, count(*) AS cnt FROM g3 GROUP BY 1, 2)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  coalesce(CAST(s2.dup AS DOUBLE) / s2.tot, 0.0) AS dup2_frac,
+        |  coalesce(CAST(s3.dup AS DOUBLE) / s3.tot, 0.0) AS dup3_frac
+        |FROM t LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
     "doc_langid" ->
       """WITH s AS (

@@ -137,6 +137,54 @@ object TextMetrics {
     * and the column-side `dupWordFraction` above) — the split must also
     * keep leading/trailing empty tokens (`limit = -1`) to match
     * `regexp_split_to_array` / Spark `split`. */
+  /**
+   * Gopher-style repetition metric (Rae et al. 2021 §A1.1, "fraction of
+   * characters in duplicate n-grams"): over all word n-gram OCCURRENCES
+   * of a document, the fraction of their characters contributed by
+   * n-grams occurring at least twice. 0.0 for docs with fewer than n
+   * tokens; a doc repeated verbatim scores ≈ 1.0. One tight two-pass
+   * kernel per row (count grams, then sum lengths) — the
+   * `transform(sequence(...))` formulation would evaluate interpreted
+   * per element. Integer sums + one final double division, so any BIGINT
+   * engine reproduces the value bit-for-bit.
+   */
+  def dupNgramCharFractionUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(n >= 1, "n must be positive")
+    org.apache.spark.sql.functions.udf { (s: String) =>
+      if (s == null) 0.0
+      else {
+        val toks = wsTokenArr(s)
+        if (toks.length < n) 0.0
+        else {
+          val m = toks.length - n + 1
+          val grams = new Array[String](m)
+          val counts = new java.util.HashMap[String, Int](m * 2)
+          val sb = new java.lang.StringBuilder(n * 12)
+          var i = 0
+          while (i < m) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+            val g = sb.toString
+            grams(i) = g
+            counts.merge(g, 1, Integer.sum)
+            i += 1
+          }
+          var dup = 0L
+          var tot = 0L
+          i = 0
+          while (i < m) {
+            val len = grams(i).length.toLong
+            tot += len
+            if (counts.get(grams(i)) >= 2) dup += len
+            i += 1
+          }
+          if (tot == 0L) 0.0 else dup.toDouble / tot
+        }
+      }
+    }
+  }
+
   private def trimSpaces(s: String): String = {
     var a = 0
     var b = s.length

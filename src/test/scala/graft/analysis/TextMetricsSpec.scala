@@ -90,6 +90,31 @@ class TextMetricsSpec extends SparkTestBase {
     assert(dup === 0.0)
   }
 
+  test("dupNgramCharFraction: hand-computed cases, bounds, and doubling") {
+    def frac(n: Int, s: String): Double =
+      Seq(s).toDF("t")
+        .select(TextMetrics.dupNgramCharFractionUdf(n)(col("t")).as("f"))
+        .as[Double].head()
+    // "a b a b c": bigrams [a b, b a, a b, b c] — "a b" occurs twice
+    // (2 occurrences × 3 chars = 6 dup chars) of 12 total chars
+    assert(frac(2, "a b a b c") === 6.0 / 12.0)
+    // no repetition -> 0; fewer than n tokens -> 0; empty/null-ish -> 0
+    assert(frac(2, "all distinct words here") === 0.0)
+    assert(frac(3, "a b") === 0.0)
+    assert(frac(2, "   ") === 0.0)
+    // doubling a text drives the fraction toward 1 (every gram except
+    // those straddling the seam occurs twice; seam grams ALSO repeat
+    // here because the halves are identical end-to-start... verify >= 0.9)
+    val t = "one two three four five six seven eight nine ten"
+    val d = frac(3, t + " " + t)
+    assert(d > 0.9 && d <= 1.0, s"doubled-text dup3 fraction $d")
+    // bounds on the corpus
+    val bad = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(TextMetrics.dupNgramCharFractionUdf(2)(col("text")).as("f"))
+      .filter(col("f") < 0.0 || col("f") > 1.0).count()
+    assert(bad === 0L)
+  }
+
   test("wsBigramsUdf tokenizes char-identically to the wsTokens column path") {
     def viaUdf(s: String): Seq[String] =
       Seq(s).toDF("t").select(TextMetrics.wsBigramsUdf(col("t")))
