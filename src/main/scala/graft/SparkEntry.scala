@@ -864,6 +864,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BM25 lexical top-k (log-free RSJ idf — every op correctly-rounded
+    // IEEE arithmetic, k1/b exact binary fractions, decimal-summed term
+    // scores): queries are the first 5 normalized tokens of three fixture
+    // docs, so each query's own doc must rank (usually first) and the
+    // whole ranking is hash-comparable bit-for-bit.
+    "doc_bm25_topk" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val q = d.filter(col("doc_id").isin(3L, 77L, 201L))
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(graft.dedup.Dedup.normalized(col("text")), " "),
+            1, 5), " ").as("qtext"))
+      graft.index.Bm25.bm25TopK(d, q, k = 10)
+        .select(col("query_id"), col("doc_id"), col("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "doc_fingerprints" -> ((s, dir) => {
       val fp = udf((t: String) => TextMetrics.rollingFingerprint(t))
       tbl(s, dir, "documents")
@@ -2071,6 +2088,51 @@ object SparkEntry {
         |  coalesce(m.top2gram_frac, 0.0) AS top2gram_frac
         |FROM w LEFT JOIN m USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // BM25: identical normalization, identical arithmetic token-for-token
+    // (log-free RSJ idf; 0.25/0.75/1.25/2.25 are exact binary fractions;
+    // DECIMAL(28,10) term-score sum kills summation-order dependence),
+    // rank = row_number over (score DESC, doc_id) mirroring TopK's pinned
+    // ordering
+    "doc_bm25_topk" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, string_split(nt, ' ') AS w FROM nrm
+        |  WHERE length(nt) > 0),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+        |  FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM base) t
+        |  GROUP BY doc_id, term),
+        |scal AS (
+        |  SELECT count(*) AS n, CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM base),
+        |q AS (
+        |  SELECT doc_id AS query_id, array_to_string(w[1:5], ' ') AS qt
+        |  FROM base WHERE doc_id IN (3, 77, 201)),
+        |qt AS (
+        |  SELECT DISTINCT query_id, unnest(string_split(qt, ' ')) AS term FROM q),
+        |dfq AS (
+        |  SELECT term, count(*) AS df_t FROM post
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+        |hits AS (
+        |  SELECT qt.query_id, p.doc_id,
+        |    (n - df_t + 0.5) / (df_t + 0.5) * (tf * 2.25) /
+        |      (tf + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS ts
+        |  FROM post p JOIN qt ON p.term = qt.term
+        |    JOIN dfq ON p.term = dfq.term, scal),
+        |sc AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(sum(CAST(ts AS DECIMAL(28,10))) AS DOUBLE) AS score
+        |  FROM hits GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, score, rank FROM (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc) r
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     // duplicate-n-gram char fractions: per n, sum occurrence charlens of
     // grams with count >= 2 over the total — integer sums, one division
     "doc_dup_ngram_chars" ->

@@ -1,0 +1,61 @@
+package graft.index
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class Bm25Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "a quick tour of spark catalyst and tungsten internals"),
+    (3L, "lazy evaluation makes spark plans composable"),
+    (4L, "dogs and foxes are mammals"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("postings carry tf and dl over normalized tokens; empty docs drop out") {
+    val p = Bm25.postings(docs, "doc_id", "text")
+      .as[(Long, String, Long, Long)].collect()
+    val byDoc = p.groupBy(_._1)
+    assert(!byDoc.contains(5L))
+    // doc 1: "the" twice, 9 tokens
+    val d1 = byDoc(1L).map(r => r._2 -> r._3).toMap
+    assert(d1("the") === 2L && d1("fox") === 1L)
+    assert(byDoc(1L).forall(_._4 === 9L))
+  }
+
+  test("a query matching one doc's exact words ranks that doc first") {
+    val q = Seq((100L, "quick brown fox")).toDF("query_id", "qtext")
+    val got = Bm25.bm25TopK(docs, q, k = 3)
+      .orderBy("rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.head._2 === 1L, s"expected doc 1 first, got ${got.toSeq}")
+    assert(got.map(_._3).sameElements(got.map(_._3).sorted.reverse),
+      "scores must be non-increasing in rank")
+    // only docs sharing a term appear: 1 (all), 2 (quick), 4 (none of
+    // quick/brown/fox — 'foxes' does not stem-match)
+    assert(got.map(_._2).toSet.subsetOf(Set(1L, 2L)))
+  }
+
+  test("rarer terms out-rank common ones at equal tf (idf monotone in df)") {
+    // 'spark' appears in 2 docs, 'fox' in 1: a fox query must score doc 1
+    // higher than a spark query scores doc 3 (same tf=1, comparable dl)
+    val q = Seq((1L, "fox"), (2L, "spark")).toDF("query_id", "qtext")
+    val got = Bm25.bm25TopK(docs, q, k = 1)
+      .as[(Long, Long, Double, Int)].collect()
+      .map(r => r._1 -> r._3).toMap
+    assert(got(1L) > got(2L), s"idf ordering violated: $got")
+  }
+
+  test("no window funnel and no corpus-side shuffle past the posting build") {
+    val big = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val q = Seq((1L, "alpha beta gamma")).toDF("query_id", "qtext")
+    val plan = Bm25.bm25TopK(big, q, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"bm25 must not rank via window:\n$plan")
+    // query terms + df both broadcast into the posting scan
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probes:\n$plan")
+  }
+}
