@@ -563,6 +563,16 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // containment (overlap coefficient): |A∩B| / min(|A|,|B|) — the
+    // subset-dup detector. The fixture's truncations score ≈ 1.0 here at
+    // jaccard ≈ 0.5-0.7, exactly the truncation signature the symmetric
+    // score under-reports. Same inverted-index core, brute-force oracle.
+    "doc_containment_dups" -> ((s, dir) => {
+      Dedup.ngramContainmentJoin(docsWithNearDups(s, dir), "text", "doc_id",
+        shingleK = 4, threshold = 0.9, maxDocFreq = Int.MaxValue)
+        .orderBy("id_a", "id_b")
+    }),
+
     // the SAME join with the scale guard ON: shingles shared by more than
     // maxDocFreq docs are dropped before pairing (df-pruned intersection
     // over FULL set sizes), and the oracle reproduces the prune — so the
@@ -1503,6 +1513,31 @@ object SparkEntry {
         |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
         |  FROM d a JOIN d b ON a.doc_id < b.doc_id) p
         |WHERE jaccard >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // same shingle CTE, containment scoring: intersection over the
+    // SMALLER set — truncation pairs land at ~1.0
+    "doc_containment_dups" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    substr(text, 1, CAST(floor(length(text)*0.7) AS INT)) AS text
+        |  FROM documents WHERE doc_id % 50 = 0
+        |), d AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-2),
+        |      i -> array_to_string(w[i:i+3], ' ')) END) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM base) t
+        |)
+        |SELECT id_a, id_b, containment FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |      least(len(a.sh), len(b.sh)) AS containment
+        |  FROM d a JOIN d b ON a.doc_id < b.doc_id) p
+        |WHERE containment >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
     // same fixture and shingling as doc_ngram_jaccard_dups, with the
     // operator's df prune reproduced: shingles with df > 2 are dropped

@@ -250,7 +250,36 @@ object Dedup {
    */
   def ngramJaccardJoin(df: DataFrame, textCol: String, idCol: String,
                        shingleK: Int = 3, threshold: Double = 0.5,
-                       maxDocFreq: Int = 1000): DataFrame = {
+                       maxDocFreq: Int = 1000): DataFrame =
+    ngramCooccurrence(df, textCol, idCol, shingleK, maxDocFreq)
+      .withColumn("jaccard", col("inter").cast("double") /
+        (col("size_a") + col("size_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+
+  /**
+   * Containment (overlap-coefficient) variant of [[ngramJaccardJoin]]:
+   * score = |A ∩ B| / min(|A|, |B|). The subset-duplicate detector
+   * symmetric Jaccard under-scores: a 70% truncation of a document has
+   * Jaccard ≈ 0.7 against its original but containment ≈ 1.0 — so a
+   * high-containment, lower-Jaccard pair is the truncation/quote/
+   * boilerplate-inclusion signature (the CCNet/RefinedWeb-style sub-doc
+   * dedup rule). Same inverted-index candidate pipeline, same `maxDocFreq`
+   * guard, one shared co-occurrence core.
+   */
+  def ngramContainmentJoin(df: DataFrame, textCol: String, idCol: String,
+                           shingleK: Int = 3, threshold: Double = 0.9,
+                           maxDocFreq: Int = 1000): DataFrame =
+    ngramCooccurrence(df, textCol, idCol, shingleK, maxDocFreq)
+      .withColumn("containment", col("inter").cast("double") /
+        least(col("size_a"), col("size_b")))
+      .filter(col("containment") >= threshold)
+      .select("id_a", "id_b", "containment")
+
+  /** Distinct-pair shingle co-occurrence counts with set sizes:
+    * (id_a, id_b, size_a, size_b, inter), id_a < id_b. */
+  private def ngramCooccurrence(df: DataFrame, textCol: String, idCol: String,
+                                shingleK: Int, maxDocFreq: Int): DataFrame = {
     val sets = df.select(col(idCol).as("id"),
       shinglesUdf(shingleK)(col(textCol)).as("sh"))
       .withColumn("setsize", size(col("sh")))
@@ -285,10 +314,6 @@ object Dedup {
           .agg(count(lit(1)).as("inter"))
       }
     coocc
-      .withColumn("jaccard", col("inter").cast("double") /
-        (col("size_a") + col("size_b") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
   }
 
   // ------------------------------------------- embedding cosine near-dup

@@ -91,6 +91,27 @@ class DedupSpec extends SparkTestBase {
     assert(!m.keySet.exists(p => p._1 <= 4L && p._2 >= 5L))
   }
 
+  test("containment join finds subset dups that jaccard under-scores") {
+    val subset = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta"),  // strict prefix of 1
+      (3L, "totally different words everywhere in this one")
+    ).toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentJoin(subset, "text", "doc_id",
+      shingleK = 2, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, c) => (a, b) -> c }.toMap
+    // every bigram of doc 2 appears in doc 1 -> containment exactly 1.0
+    assert(cont((1L, 2L)) === 1.0)
+    assert(!cont.keySet.exists(p => p._1 == 3L || p._2 == 3L))
+    // the same pair's symmetric jaccard is 3/9 — below any dedup cut
+    val jac = Dedup.ngramJaccardJoin(subset, "text", "doc_id",
+      shingleK = 2, threshold = 0.0)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => (a, b) -> j }.toMap
+    assert(jac((1L, 2L)) < 0.5)
+  }
+
   test("embedding near-duplicates via hyperplane LSH") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
