@@ -885,7 +885,13 @@ object SparkEntry {
         .select(col("doc_id").as("query_id"),
           array_join(slice(split(graft.dedup.Dedup.normalized(col("text")), " "),
             1, 5), " ").as("qtext"))
-      graft.index.Bm25.bm25TopK(d, q, k = 10)
+      // persisted-index path (build once, search many — the emb_topk_ivf
+      // precedent): postings/terms/stats written to a fresh temp dir
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_bm25_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      graft.index.Bm25.bm25IndexBuild(d, idxPath)
+      graft.index.Bm25.bm25SearchIndexed(s, idxPath, q, k = 10)
         .select(col("query_id"), col("doc_id"), col("score"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")

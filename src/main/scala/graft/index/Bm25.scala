@@ -58,42 +58,93 @@ object Bm25 {
   }
 
   /**
-   * Top-k BM25 hits per query: (query_id, doc_id, score, rank), rank 1 =
-   * best, ties broken by doc_id ascending (engine-portable).
+   * Persist a BM25 index (the lexical sibling of `ivfBuild`):
+   *  - `postings/` — (term, doc_id, tf, dl)
+   *  - `terms/`    — (term, df_t), the per-term document frequency, so a
+   *    search never re-aggregates the corpus for df
+   *  - `stats/`    — one row (n, sdl): corpus doc count and total token
+   *    count as EXACT integers (avgdl is derived by one double division
+   *    at search time — identical in any engine)
+   * Each table derives from the postings parquet just written — disk
+   * materialization, no memory persist, any corpus size (the
+   * minhashIndexBuild pattern).
+   */
+  def bm25IndexBuild(docs: DataFrame, path: String,
+                     idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    postings(docs, idCol, textCol)
+      .write.mode("overwrite").parquet(s"$path/postings")
+    val post = spark.read.parquet(s"$path/postings")
+    post.groupBy("term").agg(count(lit(1)).as("df_t"))
+      .write.mode("overwrite").parquet(s"$path/terms")
+    post.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /**
+   * Search a persisted [[bm25IndexBuild]] index: query terms broadcast
+   * into the postings and terms scans (the corpus-sized tables are read
+   * map-side, never shuffled by a search); the only exchanges move
+   * (query, doc) hit rows into the decimal sum and the bounded top-k.
+   */
+  def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                        queries: DataFrame, k: Int,
+                        queryId: String = "query_id",
+                        queryText: String = "qtext"): DataFrame = {
+    val stats = spark.read.parquet(s"$path/stats").head()
+    val (nDocs, sumDl) = (stats.getLong(0), stats.getLong(1))
+    val qTerms = queryTerms(queries, queryId, queryText)
+    val dfq = spark.read.parquet(s"$path/terms")
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+    score(spark.read.parquet(s"$path/postings"), qTerms, dfq, nDocs, sumDl, k)
+  }
+
+  /**
+   * Ad-hoc (index-free) top-k BM25: (query_id, doc_id, score, rank),
+   * rank 1 = best, ties broken by doc_id ascending (engine-portable).
+   * The posting aggregation is computed ONCE (localCheckpoint) and feeds
+   * stats, df, and scoring; blocks release with the result
+   * (ContextCleaner / [[Dedup.release]]). For corpora beyond block
+   * storage — or any search-more-than-once use — build a persisted index
+   * with [[bm25IndexBuild]] instead.
    */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
                idCol: String = "doc_id", textCol: String = "text",
                queryId: String = "query_id", queryText: String = "qtext"): DataFrame = {
-    val post = postings(docs, idCol, textCol)
-
-    // corpus scalars: one 1-row aggregate (driver-side by design).
-    // avgdl = sum(dl)/N as ONE double division — the same two integers
-    // divide identically in any engine.
+    val post = postings(docs, idCol, textCol).localCheckpoint()
     val head = post.groupBy("doc_id").agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n"), sum("dl").as("sdl")).head()
-    val nDocs = head.getLong(0)
-    val avgdl = head.getLong(1).toDouble / nDocs
+    val qTerms = queryTerms(queries, queryId, queryText)
+    val dfq = post
+      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("df_t"))
+    score(post, qTerms, dfq, head.getLong(0), head.getLong(1), k)
+  }
 
-    val qTerms = queries
+  /** Distinct normalized (query_id, term) pairs. */
+  private def queryTerms(queries: DataFrame, queryId: String,
+                         queryText: String): DataFrame =
+    queries
       .select(col(queryId).as("query_id"),
         Dedup.normalized(col(queryText)).as("_nt"))
       .filter(length(col("_nt")) > 0)
       .select(col("query_id"), explode(split(col("_nt"), " ")).as("term"))
       .distinct()
 
-    // df only for terms some query mentions — tiny, broadcast back
-    val dfq = post
-      .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
-      .groupBy("term").agg(count(lit(1)).as("df_t"))
-
-    // every arithmetic step mirrors the oracle SQL token-for-token:
-    //   idf  = (N - df + 0.5) / (df + 0.5)
-    //   norm = 0.25 + 0.75 * dl / avgdl           (1 - b + b·dl/avgdl)
-    //   ts   = idf * (tf * 2.25) / (tf + 1.25 * norm)
+  /** The shared scoring tail. Every arithmetic step mirrors the oracle
+    * SQL token-for-token:
+    *   avgdl = sdl / n                            (one double division)
+    *   idf   = (N - df + 0.5) / (df + 0.5)
+    *   norm  = 0.25 + 0.75 * dl / avgdl           (1 - b + b·dl/avgdl)
+    *   ts    = idf * (tf * 2.25) / (tf + 1.25 * norm)
+    */
+  private def score(post: DataFrame, qTerms: DataFrame, dfq: DataFrame,
+                    nDocs: Long, sumDl: Long, k: Int): DataFrame = {
+    val avgdl = sumDl.toDouble / nDocs
     val idf = (lit(nDocs) - col("df_t") + lit(0.5)) / (col("df_t") + lit(0.5))
     val norm = lit(0.25) + lit(0.75) * col("dl").cast("double") / lit(avgdl)
     val ts = idf * (col("tf") * lit(2.25)) / (col("tf") + lit(1.25) * norm)
-
     val scored = post
       .join(broadcast(qTerms), Seq("term"))
       .join(broadcast(dfq), Seq("term"))

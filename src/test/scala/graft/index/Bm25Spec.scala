@@ -48,6 +48,19 @@ class Bm25Spec extends SparkTestBase {
     assert(got(1L) > got(2L), s"idf ordering violated: $got")
   }
 
+  test("persisted index search equals the ad-hoc operator exactly") {
+    val q = Seq((100L, "quick brown fox"), (101L, "spark plans")).toDF("query_id", "qtext")
+    val adhoc = Bm25.bm25TopK(docs, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val path = java.nio.file.Files.createTempDirectory("bm25-idx")
+      .resolve("idx").toString
+    Bm25.bm25IndexBuild(docs, path)
+    val indexed = Bm25.bm25SearchIndexed(spark, path, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(indexed === adhoc)
+    assert(indexed.nonEmpty)
+  }
+
   test("no window funnel and no corpus-side shuffle past the posting build") {
     val big = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
