@@ -131,6 +131,26 @@ object Main {
       println(s"chunk: $n chunks (window=$window stride=$stride) -> $out")
       spark.stop()
 
+    case "bm25-build" :: docs :: idx :: rest =>
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val textCol = rest.drop(1).headOption.getOrElse("text")
+      val spark = session()
+      graft.index.Bm25.bm25IndexBuild(spark.read.parquet(docs), idx, idCol, textCol)
+      val stats = spark.read.parquet(s"$idx/stats").head()
+      println(s"bm25-build: ${stats.getLong(0)} docs, " +
+        s"${spark.read.parquet(s"$idx/terms").count()} terms -> $idx")
+      spark.stop()
+
+    case "bm25-search" :: idx :: query :: rest =>
+      val k = rest.headOption.map(_.toInt).getOrElse(10)
+      val spark = session()
+      import spark.implicits._
+      graft.index.Bm25.bm25SearchIndexed(spark, idx,
+        Seq((0L, query)).toDF("query_id", "qtext"), k)
+        .select("rank", "doc_id", "score")
+        .show(k, truncate = false)
+      spark.stop()
+
     case "index-build" :: docs :: idx :: rest =>
       val idCol = rest.headOption.getOrElse("doc_id")
       val textCol = rest.drop(1).headOption.getOrElse("text")
@@ -188,6 +208,8 @@ object Main {
           |  scrub            <docsParquet> <outParquet> [idCol] [textCol]
           |  chunk            <docsParquet> <outParquet> <window> <stride> [idCol] [textCol]
           |  dedup-cluster    <pairsParquet> <outParquet> [aCol] [bCol]
+          |  bm25-build       <docsParquet> <indexPath> [idCol] [textCol]
+          |  bm25-search      <indexPath> <queryText> [k]
           |  index-build      <docsParquet> <indexPath> [idCol] [textCol]
           |  index-append     <docsParquet> <indexPath> [idCol] [textCol]
           |  index-probe      <docsParquet> <indexPath> [idCol] [textCol] [threshold]
