@@ -93,7 +93,10 @@ object Bm25 {
                         queryId: String = "query_id",
                         queryText: String = "qtext"): DataFrame = {
     val stats = spark.read.parquet(s"$path/stats").head()
-    val (nDocs, sumDl) = (stats.getLong(0), stats.getLong(1))
+    // sum over zero postings is SQL null — an empty index must search
+    // to an empty result, not an NPE
+    val nDocs = stats.getLong(0)
+    val sumDl = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val qTerms = queryTerms(queries, queryId, queryText)
     val dfq = spark.read.parquet(s"$path/terms")
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
@@ -115,11 +118,12 @@ object Bm25 {
     val post = postings(docs, idCol, textCol).localCheckpoint()
     val head = post.groupBy("doc_id").agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n"), sum("dl").as("sdl")).head()
+    val sumDl = if (head.isNullAt(1)) 0L else head.getLong(1)
     val qTerms = queryTerms(queries, queryId, queryText)
     val dfq = post
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("df_t"))
-    score(post, qTerms, dfq, head.getLong(0), head.getLong(1), k)
+    score(post, qTerms, dfq, head.getLong(0), sumDl, k)
   }
 
   /** Distinct normalized (query_id, term) pairs. */

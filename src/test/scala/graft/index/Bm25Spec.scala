@@ -61,6 +61,16 @@ class Bm25Spec extends SparkTestBase {
     assert(indexed.nonEmpty)
   }
 
+  test("an empty corpus searches to an empty result, ad-hoc and indexed") {
+    val empty = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    val q = Seq((1L, "anything")).toDF("query_id", "qtext")
+    assert(Bm25.bm25TopK(empty, q, k = 3).isEmpty)
+    val path = java.nio.file.Files.createTempDirectory("bm25-empty")
+      .resolve("idx").toString
+    Bm25.bm25IndexBuild(empty, path)
+    assert(Bm25.bm25SearchIndexed(spark, path, q, k = 3).isEmpty)
+  }
+
   test("no window funnel and no corpus-side shuffle past the posting build") {
     val big = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
