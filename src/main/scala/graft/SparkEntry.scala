@@ -897,6 +897,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // hybrid retrieval: reciprocal-rank fusion of the BM25 ranking with a
+    // static length prior (global top-10 by n_chars, attached to every
+    // query via explode — no cross join). Ranks are integers and each
+    // contribution is one correctly-rounded division, so the fused
+    // ranking hash-matches bit-for-bit.
+    "doc_hybrid_rrf" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text", "n_chars")
+      val q = d.filter(col("doc_id").isin(3L, 77L, 201L))
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(graft.dedup.Dedup.normalized(col("text")), " "),
+            1, 5), " ").as("qtext"))
+      val bm25 = graft.index.Bm25.bm25TopK(d.select("doc_id", "text"), q, k = 10)
+      val prior = graft.functions.TopK.topKPerGroup(
+        d.select(lit(0).as("g"), col("doc_id"),
+          col("n_chars").cast("double").as("score")),
+        "g", "doc_id", "score", 10)
+        .withColumn("query_id", explode(array(lit(3L), lit(77L), lit(201L))))
+        .select("query_id", "doc_id", "rank")
+      graft.functions.RankFusion.rrf(Seq(bm25, prior), k = 10)
+        .select(col("query_id"), col("doc_id"), col("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "doc_fingerprints" -> ((s, dir) => {
       val fp = udf((t: String) => TextMetrics.rollingFingerprint(t))
       tbl(s, dir, "documents")
@@ -2172,6 +2196,72 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY query_id
         |      ORDER BY score DESC, doc_id) AS rank
         |  FROM sc) r
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // RRF over the same BM25 CTE plus the n_chars prior; contributions
+    // are CAST(1.0 AS DOUBLE)/(60+rank) — a bare 1.0/... would be DECIMAL
+    // division in DuckDB, a different number than Spark's double op
+    "doc_hybrid_rrf" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, string_split(nt, ' ') AS w FROM nrm
+        |  WHERE length(nt) > 0),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+        |  FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM base) t
+        |  GROUP BY doc_id, term),
+        |scal AS (
+        |  SELECT count(*) AS n, CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM base),
+        |q AS (
+        |  SELECT doc_id AS query_id, array_to_string(w[1:5], ' ') AS qt
+        |  FROM base WHERE doc_id IN (3, 77, 201)),
+        |qt AS (
+        |  SELECT DISTINCT query_id, unnest(string_split(qt, ' ')) AS term FROM q),
+        |dfq AS (
+        |  SELECT term, count(*) AS df_t FROM post
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+        |hits AS (
+        |  SELECT qt.query_id, p.doc_id,
+        |    (n - df_t + 0.5) / (df_t + 0.5) * (tf * 2.25) /
+        |      (tf + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS ts
+        |  FROM post p JOIN qt ON p.term = qt.term
+        |    JOIN dfq ON p.term = dfq.term, scal),
+        |sc AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(sum(CAST(ts AS DECIMAL(28,10))) AS DOUBLE) AS score
+        |  FROM hits GROUP BY query_id, doc_id),
+        |bm AS (
+        |  SELECT query_id, doc_id, rank FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |        ORDER BY score DESC, doc_id) AS rank
+        |    FROM sc) r WHERE rank <= 10),
+        |pr AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT doc_id,
+        |      row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE) DESC, doc_id)
+        |        AS rank
+        |    FROM documents) r WHERE rank <= 10),
+        |prq AS (
+        |  SELECT qs.query_id, pr.doc_id, pr.rank
+        |  FROM pr, (SELECT unnest([3, 77, 201]) AS query_id) qs),
+        |u AS (
+        |  SELECT query_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM bm
+        |  UNION ALL
+        |  SELECT query_id, doc_id, CAST(1.0 AS DOUBLE) / (60 + rank) AS c FROM prq),
+        |f AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(sum(CAST(c AS DECIMAL(28,12))) AS DOUBLE) AS score
+        |  FROM u GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, score, rank FROM (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rank
+        |  FROM f) r
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
     // duplicate-n-gram char fractions: per n, sum occurrence charlens of
