@@ -12,13 +12,16 @@ import graft.store.Ranks
   * persistent RDDs, not on emptiness.) */
 class PersistHygieneSpec extends SparkTestBase {
 
-  private def persisted: Int = spark.sparkContext.getPersistentRDDs.size
+  private def persistedIds: Set[Int] = spark.sparkContext.getPersistentRDDs.keySet.toSet
 
+  // Asserts on the SET of new RDD ids, not the count: the shared session's
+  // ContextCleaner may release another suite's stale blocks concurrently,
+  // which would make a count delta spuriously negative (or mask a leak).
   private def assertNoNewPersists(name: String)(run: => Unit): Unit = {
-    val before = persisted
+    val before = persistedIds
     run
-    val leaked = persisted - before
-    assert(leaked === 0, s"$name left $leaked persisted RDD(s) behind")
+    val leaked = persistedIds -- before
+    assert(leaked.isEmpty, s"$name left persisted RDD(s) behind: $leaked")
   }
 
   private lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
