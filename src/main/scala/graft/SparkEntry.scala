@@ -897,6 +897,30 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the BM25 APPEND path: index the even doc_ids at build, fold the odd
+    // half in with bm25IndexAppend (df/N/avgdl resolved as sums of
+    // per-installment integer deltas — stored installments never re-read),
+    // then compact the deltas and search. Scores must be BIT-identical to
+    // the one-shot index, so the oracle is the SAME whole-corpus BM25 SQL
+    // as doc_bm25_topk.
+    "doc_bm25_append" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val q = d.filter(col("doc_id").isin(3L, 77L, 201L))
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(graft.dedup.Dedup.normalized(col("text")), " "),
+            1, 5), " ").as("qtext"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_bm25_app_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      graft.index.Bm25.bm25IndexBuild(d.filter(col("doc_id") % 2 === 0), idxPath)
+      graft.index.Bm25.bm25IndexAppend(s, idxPath, d.filter(col("doc_id") % 2 === 1))
+      graft.index.Bm25.bm25IndexCompact(s, idxPath)
+      graft.index.Bm25.bm25SearchIndexed(s, idxPath, q, k = 10)
+        .select(col("query_id"), col("doc_id"), col("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // hybrid retrieval: reciprocal-rank fusion of the BM25 ranking with a
     // static length prior (global top-10 by n_chars, attached to every
     // query via explode — no cross join). Ranks are integers and each
@@ -2159,6 +2183,49 @@ object SparkEntry {
     // rank = row_number over (score DESC, doc_id) mirroring TopK's pinned
     // ordering
     "doc_bm25_topk" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, string_split(nt, ' ') AS w FROM nrm
+        |  WHERE length(nt) > 0),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+        |  FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM base) t
+        |  GROUP BY doc_id, term),
+        |scal AS (
+        |  SELECT count(*) AS n, CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM base),
+        |q AS (
+        |  SELECT doc_id AS query_id, array_to_string(w[1:5], ' ') AS qt
+        |  FROM base WHERE doc_id IN (3, 77, 201)),
+        |qt AS (
+        |  SELECT DISTINCT query_id, unnest(string_split(qt, ' ')) AS term FROM q),
+        |dfq AS (
+        |  SELECT term, count(*) AS df_t FROM post
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+        |hits AS (
+        |  SELECT qt.query_id, p.doc_id,
+        |    (n - df_t + 0.5) / (df_t + 0.5) * (tf * 2.25) /
+        |      (tf + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS ts
+        |  FROM post p JOIN qt ON p.term = qt.term
+        |    JOIN dfq ON p.term = dfq.term, scal),
+        |sc AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(sum(CAST(ts AS DECIMAL(28,10))) AS DOUBLE) AS score
+        |  FROM hits GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, score, rank FROM (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc) r
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // append path: two installments + compaction must reproduce the
+    // one-shot whole-corpus ranking bit-for-bit, so the oracle is
+    // doc_bm25_topk's SQL verbatim
+    "doc_bm25_append" ->
       """WITH nrm AS (
         |  SELECT doc_id, trim(regexp_replace(regexp_replace(
         |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt

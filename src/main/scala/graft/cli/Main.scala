@@ -136,9 +136,28 @@ object Main {
       val textCol = rest.drop(1).headOption.getOrElse("text")
       val spark = session()
       graft.index.Bm25.bm25IndexBuild(spark.read.parquet(docs), idx, idCol, textCol)
-      val stats = spark.read.parquet(s"$idx/stats").head()
+      val stats = spark.read.parquet(s"$idx/stats")
+        .agg(org.apache.spark.sql.functions.sum("n")).head()
       println(s"bm25-build: ${stats.getLong(0)} docs, " +
         s"${spark.read.parquet(s"$idx/terms").count()} terms -> $idx")
+      spark.stop()
+
+    case "bm25-append" :: docs :: idx :: rest =>
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val textCol = rest.drop(1).headOption.getOrElse("text")
+      val spark = session()
+      graft.index.Bm25.bm25IndexAppend(spark, idx,
+        spark.read.parquet(docs), idCol, textCol)
+      val stats = spark.read.parquet(s"$idx/stats")
+        .agg(org.apache.spark.sql.functions.sum("n")).head()
+      println(s"bm25-append: ${stats.getLong(0)} docs total -> $idx")
+      spark.stop()
+
+    case "bm25-compact" :: idx :: Nil =>
+      val spark = session()
+      val terms = graft.index.Bm25.bm25IndexCompact(spark, idx)
+      println(s"bm25-compact: df/stats deltas folded to one installment " +
+        s"($terms terms) in $idx")
       spark.stop()
 
     case "bm25-search" :: idx :: query :: rest =>
@@ -209,6 +228,8 @@ object Main {
           |  chunk            <docsParquet> <outParquet> <window> <stride> [idCol] [textCol]
           |  dedup-cluster    <pairsParquet> <outParquet> [aCol] [bCol]
           |  bm25-build       <docsParquet> <indexPath> [idCol] [textCol]
+          |  bm25-append      <docsParquet> <indexPath> [idCol] [textCol]
+          |  bm25-compact     <indexPath>
           |  bm25-search      <indexPath> <queryText> [k]
           |  index-build      <docsParquet> <indexPath> [idCol] [textCol]
           |  index-append     <docsParquet> <indexPath> [idCol] [textCol]

@@ -58,28 +58,99 @@ object Bm25 {
   }
 
   /**
-   * Persist a BM25 index (the lexical sibling of `ivfBuild`):
-   *  - `postings/` — (term, doc_id, tf, dl)
-   *  - `terms/`    — (term, df_t), the per-term document frequency, so a
-   *    search never re-aggregates the corpus for df
-   *  - `stats/`    — one row (n, sdl): corpus doc count and total token
-   *    count as EXACT integers (avgdl is derived by one double division
-   *    at search time — identical in any engine)
+   * Persist a BM25 index (the lexical sibling of `ivfBuild`). Every table
+   * is APPEND-ONLY, one `installment=N` partition per build/append — the
+   * minhashIndexBuild layout (≙ append-oriented column writes,
+   * ColumnWriter.cs:29-70):
+   *  - `postings/installment=N/` — (term, doc_id, tf, dl)
+   *  - `terms/installment=N/`    — (term, df_t) per-installment document-
+   *    frequency DELTAS; a term's true df is sum(df_t) over its delta
+   *    rows, resolved at search time for only the terms a query touches
+   *  - `stats/installment=N/`    — one (n, sdl) DELTA row: doc count and
+   *    total token count as EXACT integers (avgdl is derived by one
+   *    double division at search time — identical in any engine)
    * Each table derives from the postings parquet just written — disk
-   * materialization, no memory persist, any corpus size (the
-   * minhashIndexBuild pattern).
+   * materialization, no memory persist, any corpus size.
    */
   def bm25IndexBuild(docs: DataFrame, path: String,
                      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val conf = docs.sparkSession.sparkContext.hadoopConfiguration
+    Seq("postings", "terms", "stats").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$d")
+      p.getFileSystem(conf).delete(p, true)
+    }
+    writeInstallment(docs, path, 0, idCol, textCol)
+  }
+
+  /**
+   * Fold a new batch of documents into a [[bm25IndexBuild]] index: the
+   * batch's postings, df deltas, and (n, sdl) delta are written as the
+   * next `installment=` partition. Existing installments are never read
+   * or rewritten — appending a 1 GB batch to a 100 TB index costs exactly
+   * the batch's work; the global statistics (df, N, avgdl) stay exact
+   * because they are SUMS of per-installment integer deltas.
+   *
+   * Contract: batch ids must be new to the index (a re-appended doc would
+   * double-count its df and dl contributions). Appends are sequential —
+   * two concurrent appends could claim the same installment number.
+   */
+  def bm25IndexAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+                      newDocs: DataFrame,
+                      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val next = fs.listStatus(statsPath).map(_.getPath.getName)
+      .filter(_.startsWith("installment="))
+      .map(_.stripPrefix("installment=").toInt).max + 1
+    writeInstallment(newDocs, path, next, idCol, textCol)
+  }
+
+  /**
+   * Index maintenance (the minhashIndexCompactSizes analog): fold the
+   * per-installment `terms/` df deltas and `stats/` deltas into ONE
+   * `installment=0` partition each, so a searched term resolves from one
+   * delta row no matter how many appends have landed. Each rewrite
+   * materializes fully in a side dir before a delete+rename swap — a
+   * concurrent search sees either the old or the new table, and both sum
+   * to identical totals. `postings/` is left untouched: its rows are
+   * already minimal and installment-invariant. Returns the number of
+   * distinct terms in the compacted terms table.
+   */
+  def bm25IndexCompact(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    def swap(dir: String, compacted: DataFrame): Long = {
+      val out = new Path(s"$path/$dir")
+      val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new Path(s"$path/$dir._compacting")
+      compacted.write.mode("overwrite")
+        .parquet(new Path(tmp, "installment=0").toString)
+      val rows = spark.read.parquet(tmp.toString).count()
+      if (!fs.delete(out, true) || !fs.rename(tmp, out))
+        throw new java.io.IOException(s"compaction swap failed for $path/$dir")
+      spark.catalog.refreshByPath(out.toString)
+      rows
+    }
+    val nTerms = swap("terms", spark.read.parquet(s"$path/terms")
+      .groupBy("term").agg(sum("df_t").as("df_t")))
+    swap("stats", spark.read.parquet(s"$path/stats")
+      .agg(sum("n").as("n"), sum("sdl").as("sdl")))
+    nTerms
+  }
+
+  /** One installment's three tables, each derived from the postings
+    * partition just written (disk materialization, no memory persist). */
+  private def writeInstallment(docs: DataFrame, path: String, installment: Int,
+                               idCol: String, textCol: String): Unit = {
     val spark = docs.sparkSession
     postings(docs, idCol, textCol)
-      .write.mode("overwrite").parquet(s"$path/postings")
-    val post = spark.read.parquet(s"$path/postings")
+      .write.mode("overwrite").parquet(s"$path/postings/installment=$installment")
+    val post = spark.read.parquet(s"$path/postings/installment=$installment")
     post.groupBy("term").agg(count(lit(1)).as("df_t"))
-      .write.mode("overwrite").parquet(s"$path/terms")
+      .write.mode("overwrite").parquet(s"$path/terms/installment=$installment")
     post.groupBy("doc_id").agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n"), sum("dl").as("sdl"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .write.mode("overwrite").parquet(s"$path/stats/installment=$installment")
   }
 
   /**
@@ -92,15 +163,23 @@ object Bm25 {
                         queries: DataFrame, k: Int,
                         queryId: String = "query_id",
                         queryText: String = "qtext"): DataFrame = {
-    val stats = spark.read.parquet(s"$path/stats").head()
+    // global stats = sum of per-installment integer deltas (a handful of
+    // rows — one per build/append, fewer after bm25IndexCompact).
     // sum over zero postings is SQL null — an empty index must search
     // to an empty result, not an NPE
-    val nDocs = stats.getLong(0)
+    val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum("n").as("n"), sum("sdl").as("sdl")).head()
+    val nDocs = if (stats.isNullAt(0)) 0L else stats.getLong(0)
     val sumDl = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val qTerms = queryTerms(queries, queryId, queryText)
+    // a touched term's true df = sum of its installment deltas; only
+    // (term, df_t) rows for query terms reach the aggregate exchange
     val dfq = spark.read.parquet(s"$path/terms")
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
-    score(spark.read.parquet(s"$path/postings"), qTerms, dfq, nDocs, sumDl, k)
+      .groupBy("term").agg(sum("df_t").as("df_t"))
+    val post = spark.read.parquet(s"$path/postings")
+      .select("term", "doc_id", "tf", "dl")
+    score(post, qTerms, dfq, nDocs, sumDl, k)
   }
 
   /**

@@ -71,6 +71,48 @@ class Bm25Spec extends SparkTestBase {
     assert(Bm25.bm25SearchIndexed(spark, path, q, k = 3).isEmpty)
   }
 
+  test("search-after-append equals the one-shot build exactly") {
+    val q = Seq((100L, "quick brown fox"), (101L, "spark plans")).toDF("query_id", "qtext")
+    val onePath = java.nio.file.Files.createTempDirectory("bm25-one")
+      .resolve("idx").toString
+    Bm25.bm25IndexBuild(docs, onePath)
+    val oneShot = Bm25.bm25SearchIndexed(spark, onePath, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+    val appPath = java.nio.file.Files.createTempDirectory("bm25-app")
+      .resolve("idx").toString
+    Bm25.bm25IndexBuild(docs.filter($"doc_id" % 2 === 0), appPath)
+    Bm25.bm25IndexAppend(spark, appPath, docs.filter($"doc_id" % 2 === 1))
+    val appended = Bm25.bm25SearchIndexed(spark, appPath, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+    // df, N, and avgdl are sums of integer installment deltas, so the
+    // scores are BIT-identical, not merely rank-identical
+    assert(appended === oneShot)
+    assert(appended.nonEmpty)
+  }
+
+  test("compaction folds deltas to one installment and preserves results") {
+    val q = Seq((100L, "quick brown fox")).toDF("query_id", "qtext")
+    val path = java.nio.file.Files.createTempDirectory("bm25-cmp")
+      .resolve("idx").toString
+    Bm25.bm25IndexBuild(docs.filter($"doc_id" <= 2), path)
+    Bm25.bm25IndexAppend(spark, path, docs.filter($"doc_id" === 3L))
+    Bm25.bm25IndexAppend(spark, path, docs.filter($"doc_id" >= 4L))
+    val before = Bm25.bm25SearchIndexed(spark, path, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+    val nTerms = Bm25.bm25IndexCompact(spark, path)
+    val after = Bm25.bm25SearchIndexed(spark, path, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(after === before)
+    // one delta row per term, one stats row
+    val termRows = spark.read.parquet(s"$path/terms")
+    assert(termRows.count() === nTerms)
+    assert(termRows.select("installment").distinct().count() === 1)
+    assert(spark.read.parquet(s"$path/stats").count() === 1)
+  }
+
   test("no window funnel and no corpus-side shuffle past the posting build") {
     val big = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
