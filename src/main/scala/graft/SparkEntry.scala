@@ -775,6 +775,32 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // int8-quantized brute-force top-k: one global symmetric scale
+    // (maxabs/127), integer code dot products, cosine from one div + two
+    // correctly-rounded sqrts — the quantized scores hash-match DuckDB
+    // BIT-FOR-BIT (the float kernels agree only at argmax granularity),
+    // while the packed at-rest form scans at 1/4 the bandwidth of
+    // float32. Search goes through the PERSISTED two-installment index:
+    // build fits the scale on the even ids and STORES it in meta; append
+    // quantizes the odd half with that stored scale (the shared
+    // stored-meta contract — installments can never disagree). The
+    // oracle therefore derives its scale from the even ids only and
+    // quantizes the whole corpus with it, exactly like the index does.
+    "emb_topk_int8" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_int8_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      graft.index.Quantize.int8Build(e.filter(col("vec_id") % 2 === 0), idxPath)
+      graft.index.Quantize.int8Append(s, idxPath, e.filter(col("vec_id") % 2 === 1))
+      graft.index.Quantize.int8SearchIndexed(s, idxPath, q, k = 5)
+        .select(col("query_id"), col("vec_id"), col("cosine_q"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // ==================================================================
     // Text analysis (training-data pipeline)
     // ==================================================================
@@ -2221,6 +2247,42 @@ object SparkEntry {
         |      ORDER BY score DESC, doc_id) AS rank
         |  FROM sc) r
         |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // int8 quantization: scale fitted on the build installment (even
+    // vec_ids), every code/dot/norm is exact integer arithmetic, the
+    // final cosine is one division over two correctly-rounded sqrts —
+    // scores hash-match bit-for-bit
+    "emb_topk_int8" ->
+      """WITH comp AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS ord
+        |  FROM embeddings),
+        |mx AS (SELECT max(abs(x)) / 127 AS scale FROM comp
+        |       WHERE vec_id % 2 = 0),
+        |codes AS (
+        |  SELECT vec_id, ord, CAST(floor(x / scale + 0.5) AS BIGINT) AS c
+        |  FROM comp, mx),
+        |norms AS (SELECT vec_id, sum(c*c) AS n2 FROM codes GROUP BY vec_id),
+        |q AS (SELECT vec_id AS query_id, ord, c FROM codes WHERE vec_id < 8),
+        |dots AS (
+        |  SELECT q.query_id, d.vec_id, sum(q.c * d.c) AS dot
+        |  FROM q JOIN codes d ON q.ord = d.ord
+        |  GROUP BY q.query_id, d.vec_id),
+        |sc AS (
+        |  SELECT dots.query_id, dots.vec_id,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nd.n2 AS DOUBLE)))
+        |      AS cosine_q
+        |  FROM dots
+        |  JOIN norms nq ON nq.vec_id = dots.query_id
+        |  JOIN norms nd ON nd.vec_id = dots.vec_id
+        |  WHERE nq.n2 > 0 AND nd.n2 > 0)
+        |SELECT query_id, vec_id, cosine_q, rank FROM (
+        |  SELECT query_id, vec_id, cosine_q,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine_q DESC, vec_id) AS rank
+        |  FROM sc) r
+        |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     // append path: two installments + compaction must reproduce the
     // one-shot whole-corpus ranking bit-for-bit, so the oracle is
