@@ -8,6 +8,7 @@ import graft.dedup.Dedup
 import graft.index.SimilarityIndex
 import graft.lexicon.Lexicon
 import graft.multimodal.Multimodal
+import graft.pipeline.Sampling
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -799,6 +800,26 @@ object SparkEntry {
         .select(col("query_id"), col("vec_id"), col("cosine_q"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // deterministic negative sampling (contrastive-pair mining): 3
+    // pseudo-random non-self partners per doc via the salted hash
+    // coordinate over the range-partitioned global rank — RNG-free, so
+    // the exact pair set reproduces in DuckDB
+    "doc_negative_pairs" -> ((s, dir) => {
+      Sampling.negativePairs(
+        tbl(s, dir, "documents").select("doc_id"), "doc_id", k = 3)
+        .select(col("doc_id"), col("draw").cast("long").as("draw"), col("neg_id"))
+        .orderBy("doc_id", "draw")
+    }),
+
+    // column-level profiling in ONE aggregation pass (exact distincts via
+    // Catalyst Expand — one shuffle, not a per-column rescan): the
+    // pipeline-QA operator. Profiled columns are integer/ASCII-string so
+    // min/max stringification is engine-portable.
+    "q_profile_orders" -> ((s, dir) => {
+      graft.analysis.Profile.profile(tbl(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
     }),
 
     // ==================================================================
@@ -2248,6 +2269,51 @@ object SparkEntry {
         |  FROM sc) r
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // negative sampling: same salted-hash partner arithmetic in BIGINT
+    // (every intermediate < 2^63 by the 31-bit pre-fold — no overflow in
+    // either engine); rank = row_number-1 mirrors the two-phase rank
+    "doc_negative_pairs" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT count(*) AS n FROM d),
+        |r AS (SELECT doc_id,
+        |        row_number() OVER (ORDER BY doc_id) - 1 AS rank FROM d),
+        |j AS (SELECT CAST(unnest([1, 2, 3]) AS BIGINT) AS draw),
+        |e AS (
+        |  SELECT r.doc_id, j.draw,
+        |    (r.rank + 1 +
+        |      (((((r.doc_id % 2147483648) + j.draw * 2654435761)
+        |          % 2147483648) * 2654435761) % 4294967296)
+        |        % (nn.n - 1)) % nn.n AS prank
+        |  FROM r, j, nn)
+        |SELECT e.doc_id, e.draw, p.doc_id AS neg_id
+        |FROM e JOIN r p ON p.rank = e.prank
+        |ORDER BY e.doc_id, e.draw""".stripMargin,
+    // one UNION ALL branch per profiled column mirrors the stack()
+    // unpivot; counts are exact integers, min/max stringify BIGINT and
+    // ASCII strings identically in both engines
+    "q_profile_orders" ->
+      """SELECT col_name, n_rows, n_nulls, n_distinct, min_str, max_str FROM (
+        |  SELECT 'o_custkey' AS col_name, count(*) AS n_rows,
+        |    count(*) - count(o_custkey) AS n_nulls,
+        |    count(DISTINCT o_custkey) AS n_distinct,
+        |    CAST(min(o_custkey) AS VARCHAR) AS min_str,
+        |    CAST(max(o_custkey) AS VARCHAR) AS max_str FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderkey', count(*), count(*) - count(o_orderkey),
+        |    count(DISTINCT o_orderkey),
+        |    CAST(min(o_orderkey) AS VARCHAR),
+        |    CAST(max(o_orderkey) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', count(*), count(*) - count(o_orderpriority),
+        |    count(DISTINCT o_orderpriority),
+        |    CAST(min(o_orderpriority) AS VARCHAR),
+        |    CAST(max(o_orderpriority) AS VARCHAR) FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |    count(DISTINCT o_orderstatus),
+        |    CAST(min(o_orderstatus) AS VARCHAR),
+        |    CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+        |) p ORDER BY col_name""".stripMargin,
     // int8 quantization: scale fitted on the build installment (even
     // vec_ids), every code/dot/norm is exact integer arithmetic, the
     // final cosine is one division over two correctly-rounded sqrts —

@@ -131,6 +131,14 @@ object Main {
       println(s"chunk: $n chunks (window=$window stride=$stride) -> $out")
       spark.stop()
 
+    case "profile" :: table :: cols :: rest =>
+      val exact = rest.headOption.forall(_ != "approx")
+      val spark = session()
+      graft.analysis.Profile.profile(spark.read.parquet(table),
+        cols.split(",").toSeq, exact)
+        .show(100, truncate = false)
+      spark.stop()
+
     case "bm25-build" :: docs :: idx :: rest =>
       val idCol = rest.headOption.getOrElse("doc_id")
       val textCol = rest.drop(1).headOption.getOrElse("text")
@@ -227,6 +235,7 @@ object Main {
           |  scrub            <docsParquet> <outParquet> [idCol] [textCol]
           |  chunk            <docsParquet> <outParquet> <window> <stride> [idCol] [textCol]
           |  dedup-cluster    <pairsParquet> <outParquet> [aCol] [bCol]
+          |  profile          <tableParquet> <col,col,...> [approx]
           |  bm25-build       <docsParquet> <indexPath> [idCol] [textCol]
           |  bm25-append      <docsParquet> <indexPath> [idCol] [textCol]
           |  bm25-compact     <indexPath>

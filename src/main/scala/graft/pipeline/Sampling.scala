@@ -73,6 +73,70 @@ object Sampling {
       df.filter(hashCoord(col(keyCol)) < cut))
   }
 
+  /** Salted coordinate for per-draw variation: the key pre-folds to 31
+    * bits, then shifts by `salt * KnuthMult` BEFORE the hash — every
+    * intermediate stays < 2^63 for any Long key and salt ≤ 2^31, so the
+    * overflow-free cross-engine contract of [[hashCoord]] survives the
+    * salt. SQL mirror (non-negative keys):
+    * `((((key % 2147483648) + salt*2654435761) % 2147483648)
+    *    * 2654435761) % 4294967296`. */
+  def hashCoordSalted(key: Column, salt: Column): Column =
+    hashCoord(pmod(key, lit(Fold31)) + salt * lit(KnuthMult))
+
+  /**
+   * Deterministic negative sampling for contrastive training data: for
+   * every row, `k` pseudo-random partner rows drawn from the corpus,
+   * excluding self by construction — partner(rank, j) = (rank + 1 +
+   * h_j(key) mod (N-1)) mod N over the key-sorted 0-based rank, so the
+   * offset is always in [1, N-1]. RNG-free: the same (id, j) yields the
+   * same partner on any engine, retry, or partitioning.
+   *
+   * Scale shape: ranks come from the range-partitioned two-phase rank
+   * (graft.store.Ranks — no global window); N rides a broadcast 1-row
+   * aggregate (no driver action); the only exchange is the equi-join of
+   * partner_rank against rank, hash-partitioned on the rank value.
+   * Optionally `excludePairs` (e.g. known near-duplicates) are removed
+   * AFTER generation by an anti-join on both orientations — rows may
+   * then carry fewer than `k` negatives; draw with a larger `k` and cap
+   * downstream when exact counts matter.
+   *
+   * Requires N ≥ 2 (a 1-row corpus has no valid negative; the modulus
+   * N-1 would be zero).
+   */
+  def negativePairs(df: DataFrame, keyCol: String, k: Int,
+                    excludePairs: Option[DataFrame] = None): DataFrame = {
+    require(k >= 1, "k must be at least 1")
+    Seq("_np_rank", "_np_j", "_np_n").foreach { r =>
+      require(!df.columns.contains(r),
+        s"negativePairs reserves the internal column name $r")
+    }
+    val keyed = df.select(col(keyCol))
+    val ranked = graft.store.Ranks.withOrderedIndex(keyed, keyCol, "_np_rank")
+    val n1 = broadcast(keyed.agg(count(lit(1)).as("_np_n")))
+    val drawn = ranked.crossJoin(n1)
+      .select(col(keyCol), col("_np_rank"), col("_np_n"),
+        explode(sequence(lit(1), lit(k))).as("_np_j"))
+      .select(col(keyCol), col("_np_j"),
+        pmod(col("_np_rank") + lit(1) +
+          pmod(hashCoordSalted(col(keyCol), col("_np_j")), col("_np_n") - 1),
+          col("_np_n")).as("_np_prank"))
+    val partners = ranked.select(col("_np_rank").as("_np_prank"),
+      col(keyCol).as("neg_id"))
+    val pairs = drawn.join(partners, "_np_prank")
+      .select(col(keyCol), col("_np_j").as("draw"), col("neg_id"))
+    excludePairs match {
+      case None => pairs
+      case Some(ex) =>
+        val fwd = ex.select(col(ex.columns(0)).as(keyCol),
+          col(ex.columns(1)).as("neg_id"))
+        val rev = ex.select(col(ex.columns(1)).as(keyCol),
+          col(ex.columns(0)).as("neg_id"))
+        pairs.join(fwd.unionByName(rev).distinct(),
+          Seq(keyCol, "neg_id"), "left_anti")
+          .select(col(keyCol), col("draw"), col("neg_id"))
+    }
+  }
+
   /**
    * Deterministic global shuffle for training order: rank rows by their
    * hash coordinate (tie-broken by the key itself, so the order is total

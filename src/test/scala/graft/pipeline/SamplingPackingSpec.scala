@@ -152,4 +152,47 @@ class SamplingPackingSpec extends SparkTestBase {
       .as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(again === got)
   }
+
+  test("negativePairs: k non-self partners per row, deterministic") {
+    val ids = (0L until 100L).toDF("id")
+    val got = Sampling.negativePairs(ids, "id", k = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(got.length === 300)
+    assert(got.forall(r => r._1 != r._3), "self-pair emitted")
+    assert(got.forall(r => r._3 >= 0L && r._3 < 100L))
+    // per-row draws are exactly 1..k
+    assert(got.groupBy(_._1).forall(_._2.map(_._2).sorted.sameElements(Seq(1, 2, 3))))
+
+    // a different input partitioning reproduces the identical pair set
+    val again = Sampling.negativePairs(ids.repartition(7), "id", k = 3)
+      .as[(Long, Int, Long)].collect()
+    assert(again.sortBy(r => (r._1, r._2)).toSeq === got.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
+  test("negativePairs drops excluded pairs in both orientations") {
+    val ids = (0L until 50L).toDF("id")
+    val all = Sampling.negativePairs(ids, "id", k = 2)
+      .as[(Long, Int, Long)].collect()
+    // exclude the first generated pair, in REVERSED orientation
+    val (a, _, b) = all.head
+    val ex = Seq((b, a)).toDF("x", "y")
+    val kept = Sampling.negativePairs(ids, "id", k = 2, excludePairs = Some(ex))
+      .as[(Long, Int, Long)].collect()
+    assert(!kept.exists(r => (r._1, r._3) == ((a, b)) || (r._1, r._3) == ((b, a))))
+    assert(kept.length < all.length)
+  }
+
+  test("negativePairs guards reserved names and degenerate k") {
+    val ids = (0L until 5L).toDF("id")
+    intercept[IllegalArgumentException](
+      Sampling.negativePairs(ids.withColumn("_np_rank", lit(1)), "id", 2))
+    intercept[IllegalArgumentException](Sampling.negativePairs(ids, "id", 0))
+  }
+
+  test("negativePairs plan: two-phase rank, no global window") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id")
+    val plan = Sampling.negativePairs(docs, "doc_id", k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"negativePairs must not use a window:\n$plan")
+  }
 }
