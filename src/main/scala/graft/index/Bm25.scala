@@ -106,6 +106,25 @@ object Bm25 {
   }
 
   /**
+   * Append at an EXPLICIT installment number — the idempotent form for
+   * at-least-once writers (streaming foreachBatch replays): re-running
+   * the same (batch, installment) overwrites the same three partition
+   * dirs instead of minting a duplicate delta, so retries can never
+   * double-count df/N/avgdl. Callers own the numbering discipline
+   * (distinct writers must use disjoint ranges; see
+   * [[graft.streaming.EventStreams.bm25IngestStream]]).
+   *
+   * A crash between the installment's three table writes leaves it
+   * partially visible to concurrent searches until the retry overwrites
+   * it — the same transient-window tolerance as the streaming changelog
+   * sink; the final state is exact.
+   */
+  def bm25IndexAppendAt(spark: org.apache.spark.sql.SparkSession, path: String,
+                        newDocs: DataFrame, installment: Int,
+                        idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeInstallment(newDocs, path, installment, idCol, textCol)
+
+  /**
    * Index maintenance (the minhashIndexCompactSizes analog): fold the
    * per-installment `terms/` df deltas and `stats/` deltas into ONE
    * `installment=0` partition each, so a searched term resolves from one

@@ -375,6 +375,45 @@ object EventStreams extends Serializable {
         ()
     }
 
+  /** Streaming BM25 installments live at `StreamInstallmentBase +
+    * batchId` — disjoint from any batch append a sane cadence produces
+    * (auto-numbered appends count up from 0; a stream would need 2^20
+    * of them to collide). */
+  val StreamInstallmentBase: Int = 1 << 20
+
+  /**
+   * Continuous ingest into the appendable BM25 index: every micro-batch
+   * lands as ONE index installment (postings + df/stats deltas —
+   * [[graft.index.Bm25.bm25IndexAppendAt]], nothing rewritten), so a
+   * search sees each batch's documents as soon as its installment is
+   * down, with exact global statistics.
+   *
+   * Replay-idempotent BY NUMBERING: the installment is a pure function
+   * of batchId (`StreamInstallmentBase + batchId`), so foreachBatch's
+   * at-least-once replays overwrite their own partition dirs instead of
+   * minting duplicate deltas — df/N/avgdl can never double-count, even
+   * across stream restarts (batchIds continue from the checkpoint).
+   * Contract: ONE ingest stream per index (concurrent writers would need
+   * disjoint numbering ranges), batch ids below 2^20 of headroom vs
+   * auto-numbered batch appends.
+   *
+   * The index must exist ([[graft.index.Bm25.bm25IndexBuild]] — an
+   * empty-corpus build is valid and makes the stream self-bootstrapping).
+   * Compose [[dedupIngestStream]] upstream to drop near-duplicates
+   * before they enter the search index.
+   */
+  def bm25IngestStream(spark: SparkSession, docs: DataFrame, indexPath: String,
+                       idCol: String = "doc_id", textCol: String = "text")
+                      (sink: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.index.Bm25.bm25IndexAppendAt(spark, indexPath, batch.toDF(),
+          StreamInstallmentBase + batchId.toInt, idCol, textCol)
+        sink(batchId)
+        ()
+    }
+
   /**
    * Continuous lexicon ingest (streaming form of Lexicon.build): tokenize
    * incoming documents, key by identity angle, emit first-seen tokens only.
