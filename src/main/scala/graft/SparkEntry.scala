@@ -802,6 +802,24 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // corpus-level boilerplate removal (CCNet/Dolma line-dedup shape):
+    // units appearing in more than maxDocFreq DISTINCT docs are dropped
+    // from every doc, which is then reassembled in position order. Units
+    // here are the 8-token chunks plus one injected boilerplate unit per
+    // doc (df = all docs — guaranteed hot) — the fixture's random text
+    // has no naturally-hot 8-grams, so the injection exercises the drop
+    // path deterministically in both engines.
+    "doc_boilerplate_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val lines = graft.pipeline.Chunking.chunkByTokens(d, "doc_id", "text", 8, 8)
+        .select("doc_id", "chunk_idx", "chunk_text")
+      val bp = d.select(col("doc_id"), lit(1000000L).as("chunk_idx"),
+        lit("subscribe to our newsletter today").as("chunk_text"))
+      graft.pipeline.CorpusClean.dedupUnits(lines.unionByName(bp),
+        "doc_id", "chunk_idx", "chunk_text", maxDocFreq = 5, sep = " ")
+        .orderBy("doc_id")
+    }),
+
     // deterministic negative sampling (contrastive-pair mining): 3
     // pseudo-random non-self partners per doc via the salted hash
     // coordinate over the range-partitioned global rank — RNG-free, so
@@ -2269,6 +2287,41 @@ object SparkEntry {
         |  FROM sc) r
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // boilerplate unit dedup: the doc_chunks 8/8 CTE + injected unit,
+    // hot set by count(DISTINCT doc_id) > 5, reassembly via string_agg
+    // ORDER BY pos (string_agg skips NULLs exactly like collect_list)
+    "doc_boilerplate_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) <= 8 THEN 1 ELSE (len(w) - 8 + 7) // 8 + 1 END
+        |      AS n_chunks
+        |  FROM t),
+        |e AS (SELECT doc_id, w, unnest(range(n_chunks)) AS chunk_idx FROM c),
+        |u AS (
+        |  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |    array_to_string(list_slice(w, chunk_idx*8+1, chunk_idx*8+8), ' ')
+        |      AS unit
+        |  FROM e
+        |  UNION ALL
+        |  SELECT doc_id, 1000000 AS chunk_idx,
+        |    'subscribe to our newsletter today' AS unit
+        |  FROM documents),
+        |hot AS (
+        |  SELECT unit FROM u GROUP BY unit
+        |  HAVING count(DISTINCT doc_id) > 5)
+        |SELECT u.doc_id,
+        |  coalesce(string_agg(CASE WHEN hot.unit IS NULL THEN u.unit END,
+        |    ' ' ORDER BY u.chunk_idx), '') AS clean_text,
+        |  count(CASE WHEN hot.unit IS NULL THEN 1 END) AS n_kept,
+        |  count(hot.unit) AS n_dropped
+        |FROM u LEFT JOIN hot ON u.unit = hot.unit
+        |GROUP BY u.doc_id
+        |ORDER BY u.doc_id""".stripMargin,
     // negative sampling: same salted-hash partner arithmetic in BIGINT
     // (every intermediate < 2^63 by the 31-bit pre-fold — no overflow in
     // either engine); rank = row_number-1 mirrors the two-phase rank

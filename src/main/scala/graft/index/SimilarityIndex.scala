@@ -224,6 +224,36 @@ object SimilarityIndex {
   }
 
   /**
+   * IVF index maintenance — the small-file compaction the append-only
+   * contract promises (the bm25IndexCompact/minhashIndexCompactSizes
+   * sibling): every [[ivfAppend]] lands one parquet file per touched
+   * `list_id=` partition, so a daily cadence accumulates hundreds of
+   * small files per list and probe reads degrade to file-open overhead.
+   * Rewrites the assignments hash-clustered by list (one file per list
+   * per writing task), materialized fully in a side dir before an atomic
+   * delete+rename swap — a concurrent search sees the old or the new
+   * layout, never a mix; row content is untouched, so results are
+   * bit-identical. Centroids are not touched. Returns the compacted
+   * assignment row count.
+   */
+  def ivfCompact(spark: SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val aPath = s"$path/assignments"
+    val out = new Path(aPath)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(aPath + "._compacting")
+    spark.read.parquet(aPath)
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(tmp.toString)
+    val rows = spark.read.parquet(tmp.toString).count()
+    if (!fs.delete(out, true) || !fs.rename(tmp, out))
+      throw new java.io.IOException(s"assignments swap failed for $aPath")
+    spark.catalog.refreshByPath(aPath)
+    rows
+  }
+
+  /**
    * Search a persisted IVF index: probe lists are resolved driver-side from
    * the (tiny) centroid table, and the assignment scan carries a
    * `list_id IN (...)` partition filter — the file index prunes every

@@ -39,4 +39,71 @@ object CorpusClean {
       .filter(col("_rn") === 1)
       .drop("_rn")
   }
+
+  /** Reassemble kernel: surviving (pos, unit) structs, already sorted by
+    * pos, joined with `sep` — one tight pass, no per-element HOF. */
+  private def reassembleUdf(sep: String) = udf { (units: Seq[org.apache.spark.sql.Row]) =>
+    if (units == null) ""
+    else {
+      val sb = new java.lang.StringBuilder(units.length * 32)
+      var i = 0
+      while (i < units.length) {
+        if (i > 0) sb.append(sep)
+        sb.append(units(i).getString(1))
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
+  /**
+   * Corpus-level unit dedup with reassembly — the CCNet/Dolma boilerplate-
+   * removal shape: a unit (line, paragraph, fixed chunk) appearing in more
+   * than `maxDocFreq` DISTINCT documents is boilerplate (nav chrome,
+   * license footers, cookie banners) and is dropped from EVERY document;
+   * each document is then reassembled from its surviving units in
+   * position order. Input is an exploded (id, pos, unit) frame — compose
+   * with `split(text, '\n')` + posexplode for real line corpora, or
+   * [[Chunking.chunkByTokens]] for fixed windows. Output: (id,
+   * clean_text, n_kept, n_dropped); a fully-boilerplate document keeps
+   * its row with empty text, so the caller decides its fate.
+   *
+   * Scale shape: unit doc-frequencies aggregate over md5 hashes (the
+   * heavy unit strings never ride the count exchange); the hot set is
+   * mathematically bounded by total_units / maxDocFreq and broadcasts
+   * into the flagging join, so the corpus side never shuffles for the
+   * drop decision; the reassembly groupBy is the one corpus-wide
+   * exchange, keyed by document id (uniform). For extreme corpora where
+   * even the bounded hot set exceeds broadcast limits, set
+   * `broadcastHot = false` — both joins degrade to hash-partitioned
+   * shuffles, identical output (the Decontaminate dual-path contract).
+   *
+   * Position values must be unique per document (they order the
+   * reassembly); unit strings must not contain `sep` if a later re-split
+   * must round-trip.
+   */
+  def dedupUnits(units: DataFrame, idCol: String, posCol: String,
+                 unitCol: String, maxDocFreq: Int, sep: String = "\n",
+                 broadcastHot: Boolean = true): DataFrame = {
+    require(maxDocFreq >= 1, "maxDocFreq must be at least 1")
+    Seq("_uh", "_hot").foreach { r =>
+      require(!units.columns.contains(r),
+        s"dedupUnits reserves the internal column name $r")
+    }
+    val hashed = units.select(col(idCol), col(posCol), col(unitCol),
+      md5(col(unitCol)).as("_uh"))
+    val hot = hashed.groupBy("_uh")
+      .agg(count_distinct(col(idCol)).as("_df"))
+      .filter(col("_df") > maxDocFreq)
+      .select(col("_uh"), lit(1).as("_hot"))
+    val hotSide = if (broadcastHot) broadcast(hot) else hot
+    hashed.join(hotSide, Seq("_uh"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        reassembleUdf(sep)(sort_array(collect_list(
+          when(col("_hot").isNull,
+            struct(col(posCol), col(unitCol)))))).as("clean_text"),
+        count(when(col("_hot").isNull, lit(1))).as("n_kept"),
+        count(col("_hot")).as("n_dropped"))
+  }
 }

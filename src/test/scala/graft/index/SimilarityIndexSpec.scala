@@ -317,6 +317,46 @@ class SimilarityIndexSpec extends SparkTestBase {
       s"expected list_id partition pruning in:\n$plan")
   }
 
+  test("ivfCompact: identical search results, fewer files per list") {
+    val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
+      case (v, i) => if (i == 0) v + eps else v }
+    val c1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val corpus = (1 to 12).map(i => (i.toLong, mk(c1, i * 0.01f)))
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val queries = Seq((1L, c1)).toDF("query_id", "query_vec")
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cmp").toString
+    SimilarityIndex.ivfBuild(corpusDf.filter($"vec_id" <= 4), dir,
+      nlist = 2, fitSampleFraction = 1.0)
+    // several append installments → several small files in the one list
+    (5 to 12 by 2).foreach { lo =>
+      SimilarityIndex.ivfAppend(spark, dir,
+        corpusDf.filter($"vec_id" === lo.toLong || $"vec_id" === (lo + 1).toLong))
+    }
+    def parquetFiles(): Int = {
+      val base = java.nio.file.Paths.get(dir, "assignments")
+      val out = new scala.collection.mutable.ArrayBuffer[java.nio.file.Path]()
+      java.nio.file.Files.walk(base).forEach(p => out += p)
+      out.count(_.toString.endsWith(".parquet"))
+    }
+    val before = SimilarityIndex.ivfSearchIndexed(spark, dir, queries,
+      k = 12, nprobe = 1)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    val filesBefore = parquetFiles()
+    assert(filesBefore >= 5, s"expected one file per append, got $filesBefore")
+
+    val rows = SimilarityIndex.ivfCompact(spark, dir)
+    assert(rows === 12L)
+    val after = SimilarityIndex.ivfSearchIndexed(spark, dir, queries,
+      k = 12, nprobe = 1)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(after === before)
+    assert(parquetFiles() < filesBefore,
+      s"compaction must shrink the file count (was $filesBefore)")
+  }
+
   test("IVF with nprobe=1 only scores vectors in the probed list") {
     val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
       case (v, i) => if (i == 0) v + eps else v }

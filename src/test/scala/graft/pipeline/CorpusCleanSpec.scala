@@ -29,4 +29,45 @@ class CorpusCleanSpec extends SparkTestBase {
     assert(row._1 === "es")
     assert(row._2 >= 0.0 && row._2 <= 1.0)
   }
+
+  private val lineDocs = Seq(
+    // "footer" appears in 3 docs; with maxDocFreq=2 it is boilerplate
+    (1L, 0L, "unique alpha"), (1L, 1L, "footer"), (1L, 2L, "unique beta"),
+    (2L, 0L, "footer"), (2L, 1L, "unique gamma"),
+    (3L, 0L, "unique delta"), (3L, 5L, "footer"),
+    (4L, 0L, "footer") // fully-boilerplate doc
+  ).toDF("doc_id", "pos", "line")
+
+  test("dedupUnits drops corpus-hot units and reassembles in pos order") {
+    val got = CorpusClean.dedupUnits(lineDocs, "doc_id", "pos", "line",
+      maxDocFreq = 2, sep = "\n")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, "unique alpha\nunique beta", 2L, 1L)))
+    assert(got(2L) === ((2L, "unique gamma", 1L, 1L)))
+    assert(got(3L) === ((3L, "unique delta", 1L, 1L)))
+    // a fully-boilerplate doc keeps its row with empty text
+    assert(got(4L) === ((4L, "", 0L, 1L)))
+  }
+
+  test("dedupUnits: units at the frequency boundary survive") {
+    // footer df = 4 == maxDocFreq → NOT boilerplate (strictly-greater cut)
+    val got = CorpusClean.dedupUnits(lineDocs, "doc_id", "pos", "line",
+      maxDocFreq = 4, sep = "\n")
+      .as[(Long, String, Long, Long)].collect()
+    assert(got.forall(_._4 === 0L), s"nothing should drop at df==maxDocFreq: ${got.toSeq}")
+  }
+
+  test("dedupUnits broadcast and shuffled paths agree") {
+    val a = CorpusClean.dedupUnits(lineDocs, "doc_id", "pos", "line", 2)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val b = CorpusClean.dedupUnits(lineDocs, "doc_id", "pos", "line", 2,
+      broadcastHot = false)
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(a === b)
+  }
+
+  test("dedupUnits guards reserved names") {
+    intercept[IllegalArgumentException](CorpusClean.dedupUnits(
+      lineDocs.withColumn("_uh", $"pos"), "doc_id", "pos", "line", 2))
+  }
 }
