@@ -211,6 +211,12 @@ object Main {
       println(s"index-compact: sizes folded to one installment ($buckets buckets) in $idx")
       spark.stop()
 
+    case "ivf-compact" :: idx :: Nil =>
+      val spark = session()
+      val rows = graft.index.SimilarityIndex.ivfCompact(spark, idx)
+      println(s"ivf-compact: $rows assignments rewritten one-file-per-list in $idx")
+      spark.stop()
+
     case "dedup-cluster" :: pairs :: out :: rest =>
       val aCol = rest.headOption.getOrElse("id_a")
       val bCol = rest.drop(1).headOption.getOrElse("id_b")
@@ -243,7 +249,8 @@ object Main {
           |  index-build      <docsParquet> <indexPath> [idCol] [textCol]
           |  index-append     <docsParquet> <indexPath> [idCol] [textCol]
           |  index-probe      <docsParquet> <indexPath> [idCol] [textCol] [threshold]
-          |  index-compact    <indexPath>""".stripMargin)
+          |  index-compact    <indexPath>
+          |  ivf-compact      <indexPath>""".stripMargin)
       sys.exit(2)
   }
 }

@@ -525,18 +525,29 @@ object Dedup {
    * bands) — e.g. ~0.24% miss at j = 0.3 with r = 2, b = 64, vanishing
    * as j rises above the threshold. Exactness applies to the VERIFIED
    * Jaccard of emitted pairs, not to recall at the threshold boundary.
+   *
+   * `asOfInstallment` pins the probe to the index AS OF that installment
+   * (only `installment <= asOf` partitions are read — partition-pruned,
+   * zero cost for the default full-history read): a reproducible probe
+   * against a fixed snapshot while appends keep landing. Valid between
+   * compactions — [[minhashIndexCompactSizes]] folds size history into
+   * installment 0, after which only the full-history read is meaningful.
    */
   def minhashIndexProbe(spark: org.apache.spark.sql.SparkSession, path: String,
                         newDf: DataFrame, textCol: String, idCol: String,
                         threshold: Double = 0.8,
                         maxBucketSize: Int = 1000,
-                        broadcastBatch: Boolean = true): DataFrame = {
+                        broadcastBatch: Boolean = true,
+                        asOfInstallment: Int = Int.MaxValue): DataFrame = {
     val meta = spark.read.parquet(s"$path/meta").head()
     val (shingleK, numHashes, bands) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val rowsPerBand = numHashes / bands
     def batchSide(df: DataFrame): DataFrame =
       if (broadcastBatch) broadcast(df) else df
+    def snapshot(df: DataFrame): DataFrame =
+      if (asOfInstallment == Int.MaxValue) df
+      else df.filter(col("installment") <= asOfInstallment)
 
     // materialize the batch shingles once — they feed BOTH the banding
     // branch and the verification join, and the shingle kernel dominates
@@ -556,21 +567,21 @@ object Dedup {
     // and only (band, bucket, cnt) triples for touched buckets reach the
     // aggregate exchange.
     val touched = newBanded.select("band", "bucket").distinct()
-    val hot = spark.read.parquet(s"$path/sizes")
+    val hot = snapshot(spark.read.parquet(s"$path/sizes"))
       .join(batchSide(touched), Seq("band", "bucket"))
       .groupBy("band", "bucket").agg(sum("cnt").as("n"))
       .filter(col("n") > maxBucketSize)
       .select("band", "bucket")
     val keptBanded = newBanded.join(batchSide(hot), Seq("band", "bucket"), "left_anti")
 
-    val stored = spark.read.parquet(s"$path/bands")
+    val stored = snapshot(spark.read.parquet(s"$path/bands"))
     val pairs = stored
       .join(batchSide(keptBanded), Seq("band", "bucket"))
       .filter(col("id") =!= col("new_id"))
       .select(col("id"), col("new_id"))
       .distinct()
 
-    spark.read.parquet(s"$path/sets")
+    snapshot(spark.read.parquet(s"$path/sets"))
       .join(batchSide(pairs), "id")
       .join(batchSide(newShingled), "new_id")
       .withColumn("jaccard",

@@ -178,25 +178,35 @@ object Bm25 {
    * map-side, never shuffled by a search); the only exchanges move
    * (query, doc) hit rows into the decimal sum and the bounded top-k.
    */
+  /** `asOfInstallment` pins the search to the index AS OF that
+    * installment (partition-pruned `installment <= asOf` reads; zero
+    * cost at the full-history default) — a reproducible ranking against
+    * a fixed snapshot while appends keep landing. Valid between
+    * compactions: [[bm25IndexCompact]] folds delta history into
+    * installment 0, after which only the full read is meaningful. */
   def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
                         queries: DataFrame, k: Int,
                         queryId: String = "query_id",
-                        queryText: String = "qtext"): DataFrame = {
+                        queryText: String = "qtext",
+                        asOfInstallment: Int = Int.MaxValue): DataFrame = {
+    def snapshot(df: DataFrame): DataFrame =
+      if (asOfInstallment == Int.MaxValue) df
+      else df.filter(col("installment") <= asOfInstallment)
     // global stats = sum of per-installment integer deltas (a handful of
     // rows — one per build/append, fewer after bm25IndexCompact).
     // sum over zero postings is SQL null — an empty index must search
     // to an empty result, not an NPE
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = snapshot(spark.read.parquet(s"$path/stats"))
       .agg(sum("n").as("n"), sum("sdl").as("sdl")).head()
     val nDocs = if (stats.isNullAt(0)) 0L else stats.getLong(0)
     val sumDl = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val qTerms = queryTerms(queries, queryId, queryText)
     // a touched term's true df = sum of its installment deltas; only
     // (term, df_t) rows for query terms reach the aggregate exchange
-    val dfq = spark.read.parquet(s"$path/terms")
+    val dfq = snapshot(spark.read.parquet(s"$path/terms"))
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
       .groupBy("term").agg(sum("df_t").as("df_t"))
-    val post = spark.read.parquet(s"$path/postings")
+    val post = snapshot(spark.read.parquet(s"$path/postings"))
       .select("term", "doc_id", "tf", "dl")
     score(post, qTerms, dfq, nDocs, sumDl, k)
   }

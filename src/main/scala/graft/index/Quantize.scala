@@ -169,13 +169,19 @@ object Quantize {
   }
 
   /** Search a persisted [[int8Build]] index: unpack map-side, score with
-    * the integer kernel. Queries quantize with the stored scale. */
+    * the integer kernel. Queries quantize with the stored scale.
+    * `asOfInstallment` pins the search to a fixed snapshot of the
+    * append history (partition-pruned `installment <= asOf` read). */
   def int8SearchIndexed(spark: SparkSession, path: String, queries: DataFrame,
                         k: Int, corpusId: String = "vec_id",
                         queryId: String = "query_id",
-                        queryVec: String = "query_vec"): DataFrame = {
+                        queryVec: String = "query_vec",
+                        asOfInstallment: Int = Int.MaxValue): DataFrame = {
     val scale = spark.read.parquet(s"$path/meta").head().getDouble(0)
-    val c = spark.read.parquet(s"$path/codes")
+    val codes0 = spark.read.parquet(s"$path/codes")
+    val codes = if (asOfInstallment == Int.MaxValue) codes0
+      else codes0.filter(col("installment") <= asOfInstallment)
+    val c = codes
       .select(col(corpusId), unpackCodesUdf(col("codes")).as("_cc"))
       .withColumn("_cn", normSqUdf(col("_cc")))
       .filter(col("_cn") > 0)

@@ -109,6 +109,41 @@ class MinhashIndexSpec extends SparkTestBase {
     assert(appended.nonEmpty)
   }
 
+  test("asOfInstallment pins the probe to the pre-append snapshot") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    // % 25 keeps odd source ids (25, 75, …) in the batch so the appended
+    // odd installment contributes pairs the snapshot must NOT see
+    val batch = docs.filter($"doc_id" % 25 === 0)
+      .select(($"doc_id" + 1000000L).as("doc_id"),
+        expr("substr(text, 1, cast(floor(length(text)*0.7) as int))").as("text"))
+
+    val buildOnlyPath = tmpPath("mh-idx-snap-base")
+    Dedup.minhashIndexBuild(docs.filter($"doc_id" % 2 === 0),
+      "text", "doc_id", buildOnlyPath, shingleK = 4, numHashes = 128, bands = 64)
+    val buildOnly = Dedup.minhashIndexProbe(spark, buildOnlyPath, batch,
+      "text", "doc_id", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+
+    val appendPath = tmpPath("mh-idx-snap-app")
+    Dedup.minhashIndexBuild(docs.filter($"doc_id" % 2 === 0),
+      "text", "doc_id", appendPath, shingleK = 4, numHashes = 128, bands = 64)
+    Dedup.minhashIndexAppend(spark, appendPath,
+      docs.filter($"doc_id" % 2 === 1), "text", "doc_id")
+    // as-of 0 must reproduce the build-only probe exactly, even though
+    // installment 1 is on disk
+    val snap = Dedup.minhashIndexProbe(spark, appendPath, batch,
+      "text", "doc_id", threshold = 0.3, asOfInstallment = 0)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(snap === buildOnly)
+    // and the full-history read still sees the append
+    val full = Dedup.minhashIndexProbe(spark, appendPath, batch,
+      "text", "doc_id", threshold = 0.3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(snap.subsetOf(full))
+    assert(snap !== full, "the full read must also see appended pairs")
+  }
+
   test("hot-bucket guard sums size deltas ACROSS installments") {
     val path = tmpPath("mh-idx-hot-app")
     val boiler = (1L to 30L).map(i => (i, "same boilerplate text every time"))

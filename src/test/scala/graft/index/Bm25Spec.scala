@@ -92,6 +92,29 @@ class Bm25Spec extends SparkTestBase {
     assert(appended.nonEmpty)
   }
 
+  test("asOfInstallment pins a search to the pre-append snapshot") {
+    val q = Seq((100L, "quick brown fox"), (101L, "spark plans")).toDF("query_id", "qtext")
+    val basePath = java.nio.file.Files.createTempDirectory("bm25-snap-base")
+      .resolve("idx").toString
+    Bm25.bm25IndexBuild(docs.filter($"doc_id" <= 2), basePath)
+    val buildOnly = Bm25.bm25SearchIndexed(spark, basePath, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+
+    val appPath = java.nio.file.Files.createTempDirectory("bm25-snap-app")
+      .resolve("idx").toString
+    Bm25.bm25IndexBuild(docs.filter($"doc_id" <= 2), appPath)
+    Bm25.bm25IndexAppend(spark, appPath, docs.filter($"doc_id" > 2))
+    // as-of 0: bit-identical to the build-only index (df/N/avgdl all
+    // resolve from installment 0 alone)
+    val snap = Bm25.bm25SearchIndexed(spark, appPath, q, k = 5,
+      asOfInstallment = 0)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(snap === buildOnly)
+    val full = Bm25.bm25SearchIndexed(spark, appPath, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full !== snap, "appended docs must be visible to the full read")
+  }
+
   test("compaction folds deltas to one installment and preserves results") {
     val q = Seq((100L, "quick brown fox")).toDF("query_id", "qtext")
     val path = java.nio.file.Files.createTempDirectory("bm25-cmp")

@@ -72,6 +72,24 @@ class QuantizeSpec extends SparkTestBase {
     assert(indexed.nonEmpty)
   }
 
+  test("asOfInstallment pins a search to the pre-append snapshot") {
+    val q = embs.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val path = java.nio.file.Files.createTempDirectory("int8-snap")
+      .resolve("idx").toString
+    Quantize.int8Build(embs.filter($"vec_id" % 2 === 0), path)
+    val buildOnly = Quantize.int8SearchIndexed(spark, path, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    Quantize.int8Append(spark, path, embs.filter($"vec_id" % 2 === 1))
+    val snap = Quantize.int8SearchIndexed(spark, path, q, k = 5,
+      asOfInstallment = 0)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(snap === buildOnly)
+    val full = Quantize.int8SearchIndexed(spark, path, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(full !== snap, "appended vectors must be visible to the full read")
+  }
+
   test("zero vectors are excluded, not NaN-ranked") {
     val withZero = embs.limit(20).unionByName(
       Seq((999999L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
