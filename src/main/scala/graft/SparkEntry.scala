@@ -802,6 +802,20 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // distribution drift between two corpus snapshots over the
+    // (lang, source) mix: L1/total-variation distance computed in EXACT
+    // decimal integer arithmetic until one final division — bit-identical
+    // cross-engine, no float-summation hazard. Snapshots split on
+    // doc_id % 3 (coprime with the fixture's cyclic source assignment —
+    // an even/odd split would be source-DISJOINT and saturate at 2.0)
+    "q_drift_mix" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+      graft.analysis.Drift.l1Drift(
+        d.filter(col("doc_id") % 3 === 0),
+        d.filter(col("doc_id") % 3 =!= 0),
+        concat_ws("|", col("lang"), col("source")))
+    }),
+
     // corpus-level boilerplate removal (CCNet/Dolma line-dedup shape):
     // units appearing in more than maxDocFreq DISTINCT docs are dropped
     // from every doc, which is then reassembled in position order. Units
@@ -2287,6 +2301,35 @@ object SparkEntry {
         |  FROM sc) r
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // drift: |a·B − b·A| sums exactly in DECIMAL(38,0); the only float
+    // op is the final division of two decimal-cast doubles
+    "q_drift_mix" ->
+      """WITH a AS (SELECT concat_ws('|', lang, source) AS bin
+        |           FROM documents WHERE doc_id % 3 = 0),
+        |b AS (SELECT concat_ws('|', lang, source) AS bin
+        |      FROM documents WHERE doc_id % 3 <> 0),
+        |ca AS (SELECT bin, count(*) AS n_a FROM a GROUP BY bin),
+        |cb AS (SELECT bin, count(*) AS n_b FROM b GROUP BY bin),
+        |bins AS (
+        |  SELECT coalesce(ca.bin, cb.bin) AS bin,
+        |    coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b
+        |  FROM ca FULL OUTER JOIN cb ON ca.bin = cb.bin),
+        |tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM bins),
+        |agg AS (
+        |  SELECT
+        |    sum(abs(CAST(n_a AS DECIMAL(38,0)) * CAST(tb AS DECIMAL(38,0)) -
+        |            CAST(n_b AS DECIMAL(38,0)) * CAST(ta AS DECIMAL(38,0))))
+        |      AS num,
+        |    count(*) AS n_bins,
+        |    CAST(any_value(ta) AS BIGINT) AS n_a,
+        |    CAST(any_value(tb) AS BIGINT) AS n_b
+        |  FROM bins, tot)
+        |SELECT
+        |  CAST(num AS DOUBLE) /
+        |    CAST(CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
+        |      AS DOUBLE) AS l1,
+        |  n_bins, n_a, n_b
+        |FROM agg""".stripMargin,
     // boilerplate unit dedup: the doc_chunks 8/8 CTE + injected unit,
     // hot set by count(DISTINCT doc_id) > 5, reassembly via string_agg
     // ORDER BY pos (string_agg skips NULLs exactly like collect_list)
