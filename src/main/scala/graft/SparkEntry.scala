@@ -802,6 +802,17 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // temperature-balanced mix at α = 0.5 (sqrt — the one correctly-
+    // rounded power): rare languages upsample relative to their share,
+    // thresholds derived through exact DECIMAL(28,10) sqrt sums so the
+    // sampled row set reproduces row-for-row in DuckDB
+    "doc_temperature_mix" -> ((s, dir) => {
+      Sampling.temperatureMixSqrt(
+        tbl(s, dir, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", targetRows = 250)
+        .orderBy("doc_id")
+    }),
+
     // distribution drift between two corpus snapshots over the
     // (lang, source) mix: L1/total-variation distance computed in EXACT
     // decimal integer arithmetic until one final division — bit-identical
@@ -2301,6 +2312,25 @@ object SparkEntry {
         |  FROM sc) r
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // temperature mix: identical threshold arithmetic — sqrt quantized
+    // to DECIMAL(28,10) (exact order-free sum), double ops in the same
+    // sequence (t * p / n), floor to BIGINT, Knuth-hash membership
+    "doc_temperature_mix" ->
+      """WITH st AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |        CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(28,10)) AS sd
+        |      FROM st),
+        |tot AS (SELECT sum(sd) AS td FROM w),
+        |thr AS (
+        |  SELECT lang,
+        |    CAST(floor(least(CAST(1.0 AS DOUBLE),
+        |      (250 * (CAST(sd AS DOUBLE) / CAST(td AS DOUBLE)))
+        |        / CAST(n AS DOUBLE)) * 4294967296) AS BIGINT) AS thr
+        |  FROM w, tot)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN thr ON d.lang = thr.lang
+        |WHERE ((d.doc_id % 2147483648) * 2654435761) % 4294967296 < thr.thr
+        |ORDER BY d.doc_id""".stripMargin,
     // drift: |a·B − b·A| sums exactly in DECIMAL(38,0); the only float
     // op is the final division of two decimal-cast doubles
     "q_drift_mix" ->

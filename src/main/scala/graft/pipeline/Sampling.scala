@@ -73,6 +73,57 @@ object Sampling {
       df.filter(hashCoord(col(keyCol)) < cut))
   }
 
+  /**
+   * Temperature-balanced corpus mix at α = 0.5 — the standard
+   * multinomial-temperature reweighting of pretraining mixtures
+   * (stratum sampling probability ∝ n_s^α flattens the head and
+   * upsamples the tail), restricted to the one exponent whose power
+   * function is CORRECTLY ROUNDED IEEE: sqrt. A general `pow(n, α)` is
+   * library-dependent in its low bits, which would silently break the
+   * engine's cross-engine row-for-row sampling contract; α = 0.5 keeps
+   * every step reproducible on any engine.
+   *
+   * Per stratum s: p_s = sd_s / Σ sd_t with sd_s = sqrt(n_s) quantized
+   * to DECIMAL(28,10) (the decimal sum is exact, so summation order
+   * cannot matter), keep fraction f_s = min(1, target·p_s / n_s), and
+   * membership is the usual hash-coordinate filter — deterministic,
+   * RNG-free, oracle-checkable row-for-row.
+   *
+   * The stratum count table collects driver-side (≤ #strata rows — the
+   * routing-table pattern); the sample itself is one scan-fused filter,
+   * zero shuffle. The realized size concentrates tightly around
+   * Σ floor-weighted expectations, it is not exactly `targetRows` (the
+   * same Bernoulli contract as [[hashSample]]; use quota sampling for
+   * exact per-stratum counts).
+   */
+  def temperatureMixSqrt(df: DataFrame, stratumCol: String, keyCol: String,
+                         targetRows: Long): DataFrame = {
+    require(targetRows >= 0, "targetRows must be non-negative")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val sds = counts.map { case (s, n) =>
+      (s, n, BigDecimal(math.sqrt(n.toDouble))
+        .setScale(10, BigDecimal.RoundingMode.HALF_UP))
+    }
+    val totD = sds.map(_._3).sum.toDouble
+    val thresholds = sds.map { case (s, n, sd) =>
+      val p = sd.toDouble / totD
+      val f = math.min(1.0, targetRows * p / n.toDouble)
+      s -> math.floor(f * Mod32.toDouble).toLong
+    }.toMap
+    mixThresholds(df, stratumCol, keyCol, thresholds)
+  }
+
+  /** The mixByWeights filter body over PRE-COMPUTED per-stratum
+    * coordinate thresholds (strata absent from the map are dropped). */
+  private def mixThresholds(df: DataFrame, stratumCol: String, keyCol: String,
+                            thresholds: Map[String, Long]): DataFrame = {
+    val threshold = thresholds.foldLeft(lit(0L)) { case (acc, (stratum, t)) =>
+      when(col(stratumCol) === stratum, lit(t)).otherwise(acc)
+    }
+    df.filter(hashCoord(col(keyCol)) < threshold)
+  }
+
   /** Salted coordinate for per-draw variation: the key pre-folds to 31
     * bits, then shifts by `salt * KnuthMult` BEFORE the hash — every
     * intermediate stays < 2^63 for any Long key and salt ≤ 2^31, so the

@@ -153,6 +153,34 @@ class SamplingPackingSpec extends SparkTestBase {
     assert(again === got)
   }
 
+  test("temperatureMixSqrt flattens the head and upsamples the tail") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang")
+    val total = docs.count()
+    val byLang = docs.groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val target = total / 2
+    val mixed = Sampling.temperatureMixSqrt(docs, "lang", "doc_id", target)
+      .as[(Long, String)].collect()
+    val mixedBy = mixed.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+
+    // realized size lands near the target (Bernoulli concentration)
+    assert(math.abs(mixed.length - target) < total * 0.15,
+      s"got ${mixed.length}, wanted ~$target")
+    // the keep RATE of the rarest stratum must exceed the most common's
+    val top = byLang.maxBy(_._2)._1
+    val rare = byLang.minBy(_._2)._1
+    val rateTop = mixedBy.getOrElse(top, 0.0) / byLang(top)
+    val rateRare = mixedBy.getOrElse(rare, 0.0) / byLang(rare)
+    assert(rateRare > rateTop,
+      s"sqrt temperature must upsample '$rare' ($rateRare) over '$top' ($rateTop)")
+
+    // deterministic: same rows on a rerun over a different partitioning
+    val again = Sampling.temperatureMixSqrt(docs.repartition(7),
+      "lang", "doc_id", target).as[(Long, String)].collect()
+    assert(again.sortBy(_._1).toSeq === mixed.sortBy(_._1).toSeq)
+  }
+
   test("negativePairs: k non-self partners per row, deterministic") {
     val ids = (0L until 100L).toDF("id")
     val got = Sampling.negativePairs(ids, "id", k = 3)
