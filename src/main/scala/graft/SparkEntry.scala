@@ -802,6 +802,37 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // HTML extraction (web-crawl → visible text): fixture docs wrapped
+    // in a deterministic page shell (tags, script/style bodies,
+    // comments, entities) then stripped — the cleaned text hash-checks
+    // byte-for-byte against the identical Java∩RE2 chain in DuckDB
+    "doc_html_strip" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val page = concat(
+        lit("<html><head><style>p { color: red }</style></head>" +
+          "<body><h1>Doc &amp; Title</h1><!-- id --><p>"),
+        col("text"),
+        lit("</p><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+          "</body></html>"))
+      d.select(col("doc_id"),
+          graft.analysis.TextMetrics.stripHtml(page).as("clean"))
+        .orderBy("doc_id")
+    }),
+
+    // URL canonicalization for URL-level dedup: scheme/host case,
+    // default ports, tracking params, fragments, trailing slash — all
+    // via the same RE2∩Java replace chain in both engines
+    "q_url_normalize" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id")
+      val url = concat(lit("HTTPS://Example.COM:443/Path/"),
+        col("doc_id").cast("string"),
+        lit("/?utm_source=news&id="), col("doc_id").cast("string"),
+        lit("&utm_medium=email#section"))
+      d.select(col("doc_id"),
+          graft.pipeline.UrlFilter.normalizeUrl(url).as("canon"))
+        .orderBy("doc_id")
+    }),
+
     // temperature-balanced mix at α = 0.5 (sqrt — the one correctly-
     // rounded power): rare languages upsample relative to their share,
     // thresholds derived through exact DECIMAL(28,10) sqrt sums so the
@@ -2312,6 +2343,69 @@ object SparkEntry {
         |  FROM sc) r
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // html strip: identical regexp/replace chain, 'g' flag everywhere
+    // (DuckDB defaults to first-match-only); entity &amp; decoded last
+    "doc_html_strip" ->
+      """SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            concat('<html><head><style>p { color: red }</style></head>',
+        |              '<body><h1>Doc &amp; Title</h1><!-- id --><p>', text,
+        |              '</p><script type="text/javascript">var x = 1 < 2;',
+        |              '</script></body></html>'),
+        |            '(?is)<script\b.*?</script>', ' ', 'g'),
+        |          '(?is)<style\b.*?</style>', ' ', 'g'),
+        |        '(?s)<!--.*?-->', ' ', 'g'),
+        |      '<[^>]+>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS clean
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+    // url normalize: same extraction-reassembly; DuckDB backrefs are \1
+    // where Spark writes $1 — the one notational difference
+    "q_url_normalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    concat('HTTPS://Example.COM:443/Path/', CAST(doc_id AS VARCHAR),
+        |      '/?utm_source=news&id=', CAST(doc_id AS VARCHAR),
+        |      '&utm_medium=email#section') AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS tail
+        |  FROM u),
+        |p2 AS (
+        |  SELECT doc_id, url, sch,
+        |    lower(regexp_extract(tail, '^([^/?#]*)', 1)) AS host,
+        |    regexp_replace(tail, '^[^/?#]*', '') AS rest
+        |  FROM p),
+        |n AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(concat(sch, '://', host, rest),
+        |                  '#.*$', '', 'g'),
+        |                '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
+        |              '[?&]$', '', 'g'),
+        |            '\?&', '?', 'g'),
+        |          '^(http://[^/:?#]+):80([/?]|$)', '\1\2', 'g'),
+        |        '^(https://[^/:?#]+):443([/?]|$)', '\1\2', 'g'),
+        |      '/$', '', 'g') AS canon
+        |  FROM p2)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(url, '^([A-Za-z][A-Za-z0-9+.-]*)://')
+        |    THEN canon ELSE url END AS canon
+        |FROM n
+        |ORDER BY doc_id""".stripMargin,
     // temperature mix: identical threshold arithmetic — sqrt quantized
     // to DECIMAL(28,10) (exact order-free sum), double ops in the same
     // sequence (t * p / n), floor to BIGINT, Knuth-hash membership

@@ -14,6 +14,34 @@ import org.apache.spark.sql.functions._
  */
 object TextMetrics {
 
+  // ------------------------------------------------------------- html strip
+
+  /**
+   * Strip HTML to visible text — the web-crawl extraction step every
+   * pretraining pipeline runs before quality/dedup. Column-only (fully
+   * codegen'd, fuses into the scan) and every pattern stays in the
+   * Java∩RE2 subset — `(?is)` inline flags and lazy `.*?` are in both;
+   * no lookarounds — so the same strings oracle-check in DuckDB:
+   *
+   *   1. drop <script>/<style> blocks WITH their content (their text is
+   *      code, not prose),
+   *   2. drop comments,
+   *   3. tags → one space (block boundaries must not glue words),
+   *   4. decode the six ubiquitous entities, `&amp;` LAST so
+   *      `&amp;lt;` decodes to the literal text `&lt;`, not to `<`,
+   *   5. collapse whitespace and trim (spaces only — the portable trim).
+   */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script\\b.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style\\b.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => replace(c, lit(ent), lit(ch)) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   // ------------------------------------------------------------ token counts
 
   /** Whitespace tokens of trimmed text; empty/blank text ⇒ empty array (a

@@ -38,6 +38,40 @@ object UrlFilter {
     array_distinct(transform(
       regexp_extract_all(text, lit(HostRe), lit(1)), h => lower(h)))
 
+  /**
+   * Canonicalize an http(s) URL for URL-level dedup — the same page must
+   * hash identically however it was cited. Rules (each a Java∩RE2
+   * pattern or a literal replace, so the identical chain runs in any
+   * engine; no lookarounds — trailing context is captured and restored):
+   *
+   *   1. scheme and host lowercase (path/query stay case-sensitive),
+   *   2. fragment dropped (`#…` never reaches the server),
+   *   3. tracking params dropped (`utm_*`, `gclid`, `fbclid`), with
+   *      dangling `?`/`&` repair,
+   *   4. default ports elided (`:80` on http, `:443` on https),
+   *   5. one trailing slash dropped.
+   *
+   * Non-URL input (no `scheme://`) passes through untouched.
+   */
+  def normalizeUrl(url: Column): Column = {
+    val schemeRe = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+    val scheme = lower(regexp_extract(url, schemeRe, 1))
+    val tail = regexp_replace(url, schemeRe, "")
+    val host = lower(regexp_extract(tail, "^([^/?#]*)", 1))
+    val rest = regexp_replace(tail, "^[^/?#]*", "")
+    val joined = concat(scheme, lit("://"), host, rest)
+    val noFrag = regexp_replace(joined, "#.*$", "")
+    val noUtm = regexp_replace(noFrag,
+      "(utm_[a-z]+|gclid|fbclid)=[^&#]*&?", "")
+    val noDangle = regexp_replace(regexp_replace(noUtm, "[?&]$", ""),
+      "\\?&", "?")
+    val noPort = regexp_replace(regexp_replace(noDangle,
+        "^(http://[^/:?#]+):80([/?]|$)", "$1$2"),
+      "^(https://[^/:?#]+):443([/?]|$)", "$1$2")
+    val noSlash = regexp_replace(noPort, "/$", "")
+    when(url.rlike(schemeRe), noSlash).otherwise(url)
+  }
+
   /** All dot-suffixes of a host: a.b.c → [a.b.c, b.c, c]. */
   def hostSuffixes(host: Column): Column = {
     val parts = split(host, "\\.")

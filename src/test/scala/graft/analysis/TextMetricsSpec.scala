@@ -131,4 +131,26 @@ class TextMetricsSpec extends SparkTestBase {
       assert(viaUdf(s) === viaColumn(s), s"diverged on ${s.replace("\n", "\\n")}")
     assert(viaUdf("hello world\n") === Seq("hello world", "world "))
   }
+
+  test("stripHtml: tags, script/style content, comments, entities") {
+    val cases = Seq(
+      "<p>hello <b>world</b></p>" -> "hello world",
+      // script/style bodies are code, not prose — dropped entirely
+      "<script>var x = 1;</script>before<style>p{}</style>after" -> "before after",
+      "<SCRIPT a=\"b\">x</SCRIPT>kept" -> "kept",
+      "a<!-- hidden <b>note</b> -->b" -> "a b",
+      // entity decode, &amp; last: &amp;lt; is the TEXT "&lt;", not "<"
+      "1 &lt; 2 &amp;&amp; 3 &gt; 2" -> "1 < 2 && 3 > 2",
+      "literal &amp;lt; stays" -> "literal &lt; stays",
+      "&quot;q&quot; &#39;s&#39; a&nbsp;b" -> "\"q\" 's' a b",
+      // whitespace collapse across removed block boundaries
+      "<div>one</div>\n\n<div>two</div>" -> "one two",
+      "plain text" -> "plain text")
+    val got = cases.map(_._1).toDF("h")
+      .select($"h", TextMetrics.stripHtml($"h").as("c"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) === want, s"stripHtml('$in')")
+    }
+  }
 }

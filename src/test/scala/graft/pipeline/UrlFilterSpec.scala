@@ -67,6 +67,34 @@ class UrlFilterSpec extends SparkTestBase {
     assert(kept.as[(Long, String)].collect().toSeq === Seq((2L, "clean")))
   }
 
+  test("normalizeUrl canonicalizes scheme, host, ports, tracking, fragments") {
+    val cases = Seq(
+      // scheme+host lowercase, path case preserved
+      "HTTPS://Example.COM/Path" -> "https://example.com/Path",
+      // default ports elided, non-default kept
+      "http://x.com:80/a" -> "http://x.com/a",
+      "https://x.com:443" -> "https://x.com",
+      "http://x.com:8080/a" -> "http://x.com:8080/a",
+      // fragment dropped
+      "https://x.com/a#frag" -> "https://x.com/a",
+      // tracking params dropped with dangling repair; real params stay
+      "https://x.com/a?utm_source=n&id=5" -> "https://x.com/a?id=5",
+      "https://x.com/a?id=5&utm_medium=m" -> "https://x.com/a?id=5",
+      "https://x.com/a?utm_a=1&utm_b=2" -> "https://x.com/a",
+      "https://x.com/a?gclid=zz" -> "https://x.com/a",
+      // one trailing slash dropped
+      "https://x.com/a/" -> "https://x.com/a",
+      "https://x.com/" -> "https://x.com",
+      // non-URLs pass through untouched
+      "not a url" -> "not a url")
+    val got = cases.map(_._1).toDF("u")
+      .select($"u", UrlFilter.normalizeUrl($"u").as("c"))
+      .as[(String, String)].collect().toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) === want, s"normalizeUrl('$in')")
+    }
+  }
+
   test("the blocklist join broadcasts — no nested-loop, no big-side shuffle") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val plan = UrlFilter.flagBlockedDomains(docs, "doc_id", "text",
