@@ -802,6 +802,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // BPE merge learning (tokenizer training): corpus → word-frequency
+    // table (the one corpus-sized pass) → 3 weighted pair-count rounds
+    // with portable tie-breaks → the merge table, hash-checked against
+    // a DuckDB oracle that unrolls the identical rounds
+    "doc_bpe_merges" -> ((s, dir) => {
+      graft.analysis.Bpe.learnMergesDf(s,
+        tbl(s, dir, "documents").select("text"), "text", numMerges = 3)
+        .orderBy("step")
+    }),
+
     // HTML extraction (web-crawl → visible text): fixture docs wrapped
     // in a deterministic page shell (tags, script/style bodies,
     // comments, entities) then stripped — the cleaned text hash-checks
@@ -2343,6 +2353,52 @@ object SparkEntry {
         |  FROM sc) r
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // BPE: chr(1)-joined symbols, list_zip adjacent pairs (zip pads with
+    // NULL — filtered), argmax by (cnt DESC, pair ASC), merge applied as
+    // the same literal replace; three unrolled rounds
+    "doc_bpe_merges" ->
+      """WITH nrm AS (
+        |  SELECT trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |wf AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(nt, ' ')) AS word FROM nrm
+        |    WHERE length(nt) > 0) t
+        |  WHERE length(word) > 0 GROUP BY word),
+        |s0 AS (SELECT freq,
+        |         array_to_string(string_split(word, ''), chr(1)) AS sym
+        |       FROM wf),
+        |p1 AS (
+        |  SELECT concat(z[1], chr(1), z[2]) AS pair, sum(freq) AS cnt
+        |  FROM (SELECT freq, unnest(list_zip(string_split(sym, chr(1)),
+        |          string_split(sym, chr(1))[2:])) AS z FROM s0) t
+        |  WHERE z[2] IS NOT NULL GROUP BY 1),
+        |m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |s1 AS (SELECT freq, replace(sym, (SELECT pair FROM m1),
+        |         replace((SELECT pair FROM m1), chr(1), '')) AS sym FROM s0),
+        |p2 AS (
+        |  SELECT concat(z[1], chr(1), z[2]) AS pair, sum(freq) AS cnt
+        |  FROM (SELECT freq, unnest(list_zip(string_split(sym, chr(1)),
+        |          string_split(sym, chr(1))[2:])) AS z FROM s1) t
+        |  WHERE z[2] IS NOT NULL GROUP BY 1),
+        |m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        |s2 AS (SELECT freq, replace(sym, (SELECT pair FROM m2),
+        |         replace((SELECT pair FROM m2), chr(1), '')) AS sym FROM s1),
+        |p3 AS (
+        |  SELECT concat(z[1], chr(1), z[2]) AS pair, sum(freq) AS cnt
+        |  FROM (SELECT freq, unnest(list_zip(string_split(sym, chr(1)),
+        |          string_split(sym, chr(1))[2:])) AS z FROM s2) t
+        |  WHERE z[2] IS NOT NULL GROUP BY 1),
+        |m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
+        |SELECT step, string_split(pair, chr(1))[1] AS sym_a,
+        |  string_split(pair, chr(1))[2] AS sym_b,
+        |  replace(pair, chr(1), '') AS merged, CAST(cnt AS BIGINT) AS cnt
+        |FROM (
+        |  SELECT 1 AS step, pair, cnt FROM m1
+        |  UNION ALL SELECT 2, pair, cnt FROM m2
+        |  UNION ALL SELECT 3, pair, cnt FROM m3) u
+        |ORDER BY step""".stripMargin,
     // html strip: identical regexp/replace chain, 'g' flag everywhere
     // (DuckDB defaults to first-match-only); entity &amp; decoded last
     "doc_html_strip" ->

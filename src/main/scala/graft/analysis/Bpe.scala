@@ -1,0 +1,130 @@
+package graft.analysis
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/**
+ * Byte-pair-encoding merge learning over a corpus — the "train a
+ * tokenizer on your data" step of an LLM pipeline, distributed the way
+ * the classic trainer (Sennrich et al. 2016) is meant to scale:
+ *
+ *  - the corpus collapses ONCE into the word-frequency table (the only
+ *    corpus-sized aggregation — everything after runs on vocabulary-
+ *    sized data, exactly why WordPiece/BPE training is tractable on
+ *    100 TB corpora),
+ *  - each merge round counts adjacent symbol pairs weighted by word
+ *    frequency (all index-adjacent occurrences, the reference
+ *    convention), picks the max with an engine-portable tie-break
+ *    (count desc, pair ascii asc), and applies the merge as one literal
+ *    string replace over the separator-joined symbol column —
+ *    left-to-right non-overlapping in Java and SQL alike, which IS the
+ *    BPE application rule.
+ *
+ * Symbols ride a `\u0001`-joined string (never arrays) so a merge is
+ * `replace(sym, "a\u0001b", "ab")` — a codegen'd literal replace, no
+ * per-element lambda work. The per-round argmax is a one-row collect
+ * (the driver-side routing-constant pattern); rounds run on the
+ * vocabulary table, so `numMerges` rounds cost `numMerges` tiny jobs
+ * after the single corpus pass.
+ */
+object Bpe {
+
+  /** Symbol separator inside the joined representation — U+0001 cannot
+    * occur in [[Dedup.normalized]] output (lowercase alnum + space). */
+  val Sep = "\u0001"
+
+  /** One learned merge: step (1-based), the two symbols, their
+    * concatenation, and the frequency-weighted pair count. */
+  final case class Merge(step: Int, sym_a: String, sym_b: String,
+                         merged: String, cnt: Long)
+
+  /** Word-frequency table of a corpus under the engine's canonical
+    * normalization: (word, freq), empty words dropped. */
+  def wordFrequencies(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(Dedup.normalized(col(textCol)).as("_nt"))
+      .filter(length(col("_nt")) > 0)
+      .select(explode(split(col("_nt"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+
+  /** Characters joined by [[Sep]]: "abc" → "a\u0001b\u0001c". */
+  private val charJoinUdf: UserDefinedFunction = udf { (w: String) =>
+    if (w == null) null
+    else {
+      val sb = new java.lang.StringBuilder(w.length * 2)
+      var i = 0
+      while (i < w.length) {
+        if (i > 0) sb.append('\u0001')
+        sb.append(w.charAt(i))
+        i += 1
+      }
+      sb.toString
+    }
+  }
+
+  /** All adjacent symbol pairs of a joined representation, one entry per
+    * index-adjacent occurrence (overlaps included — the counting
+    * convention; application is left-to-right non-overlapping). */
+  private val pairsUdf: UserDefinedFunction = udf { (sym: String) =>
+    if (sym == null) Array.empty[String]
+    else {
+      val parts = sym.split('\u0001')
+      if (parts.length < 2) Array.empty[String]
+      else Array.tabulate(parts.length - 1)(i =>
+        parts(i) + "\u0001" + parts(i + 1))
+    }
+  }
+
+  /**
+   * Learn `numMerges` BPE merges from a (word, freq) table. Returns the
+   * merge table in application order. Stops early when no pair occurs
+   * twice (a merge that fires once is noise, and DuckDB's LIMIT-1 oracle
+   * would tie-break among count-1 pairs meaninglessly).
+   */
+  def learnMerges(words: DataFrame, numMerges: Int): Seq[Merge] = {
+    require(numMerges >= 1, "numMerges must be at least 1")
+    var syms = words.select(col("freq"),
+      charJoinUdf(col("word")).as("sym"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    var step = 1
+    var done = false
+    while (step <= numMerges && !done) {
+      val top = syms
+        .select(col("freq"), explode(pairsUdf(col("sym"))).as("pair"))
+        .groupBy("pair").agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty || top.head.getLong(1) < 2L) done = true
+      else {
+        val pair = top.head.getString(0)
+        val cnt = top.head.getLong(1)
+        val Array(a, b) = pair.split('\u0001')
+        out += Merge(step, a, b, a + b, cnt)
+        syms = syms.withColumn("sym",
+          replace(col("sym"), lit(pair), lit(a + b)))
+        step += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** The learned merge table as a DataFrame — the query-surface form. */
+  def learnMergesDf(spark: SparkSession, docs: DataFrame, textCol: String,
+                    numMerges: Int): DataFrame = {
+    import spark.implicits._
+    learnMerges(wordFrequencies(docs, textCol), numMerges)
+      .toDF("step", "sym_a", "sym_b", "merged", "cnt")
+  }
+
+  /** Apply a learned merge table to tokenize one word — the inference
+    * side, for specs and spot checks (same left-to-right replace rule). */
+  def tokenizeWord(word: String, merges: Seq[Merge]): Seq[String] = {
+    var sym = word.toCharArray.mkString(Sep)
+    merges.foreach { m => sym = sym.replace(m.sym_a + Sep + m.sym_b, m.merged) }
+    if (sym.isEmpty) Seq.empty else sym.split('\u0001').toSeq
+  }
+}
