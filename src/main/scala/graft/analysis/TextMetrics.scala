@@ -42,6 +42,33 @@ object TextMetrics {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  // ----------------------------------------------------- compression signal
+
+  /** zlib-deflate compression ratio (compressed / raw UTF-8 bytes) — the
+    * Gopher/Dolma gibberish detector: repeated boilerplate compresses
+    * toward 0, natural prose lands ~0.3–0.6, random noise pushes past 1.
+    * Deterministic for a fixed JVM (level 6 deflate) but NOT
+    * cross-engine-reproducible (SQL has no deflate), so this metric is
+    * spec-verified and excluded from hash-checked oracles by design;
+    * filter thresholds on it are robust to zlib-version drift because
+    * the classes it separates differ by integer factors, not low bits. */
+  def compressionRatio: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (s: String) =>
+      if (s == null || s.isEmpty) 1.0
+      else {
+        val raw = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val d = new java.util.zip.Deflater(6, false)
+        d.setInput(raw)
+        d.finish()
+        // worst-case deflate expansion: ~5 B per 16 KiB block + header
+        val buf = new Array[Byte](raw.length + raw.length / 1000 + 128)
+        var n = 0
+        while (!d.finished()) n += d.deflate(buf, n, buf.length - n)
+        d.end()
+        n.toDouble / raw.length
+      }
+    }
+
   // ------------------------------------------------------------ token counts
 
   /** Whitespace tokens of trimmed text; empty/blank text ⇒ empty array (a

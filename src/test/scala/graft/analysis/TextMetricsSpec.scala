@@ -132,6 +132,29 @@ class TextMetricsSpec extends SparkTestBase {
     assert(viaUdf("hello world\n") === Seq("hello world", "world "))
   }
 
+  test("compressionRatio separates boilerplate, prose, and noise") {
+    val boiler = "click here to subscribe " * 200
+    val prose = ("the quick brown fox jumps over the lazy dog and then " +
+      "wanders through seventeen different meadows looking for dinner ") * 20
+    val noise = {
+      var x = 0x9e3779b97f4a7c15L
+      (1 to 4000).map { _ =>
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17 // xorshift, fixed seed
+        ('a' + math.floorMod(x, 26L).toInt).toChar
+      }.mkString
+    }
+    val rows = Seq(("b", boiler), ("p", prose), ("n", noise)).toDF("k", "t")
+      .select($"k", TextMetrics.compressionRatio($"t").as("r"))
+      .as[(String, Double)].collect().toMap
+    assert(rows("b") < rows("p"), s"boilerplate must compress best: $rows")
+    assert(rows("p") < rows("n"), s"noise must compress worst: $rows")
+    assert(rows("b") < 0.1 && rows("n") > 0.5, s"class separation lost: $rows")
+    // empty text is defined as incompressible
+    val empty = Seq(("e", "")).toDF("k", "t")
+      .select(TextMetrics.compressionRatio($"t")).as[Double].head()
+    assert(empty === 1.0)
+  }
+
   test("stripHtml: tags, script/style content, comments, entities") {
     val cases = Seq(
       "<p>hello <b>world</b></p>" -> "hello world",
