@@ -158,14 +158,25 @@ object Quantize {
     * append-only index contract). */
   def int8Append(spark: SparkSession, path: String, newDf: DataFrame,
                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val scale = spark.read.parquet(s"$path/meta").head().getDouble(0)
     val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
     val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = fs.listStatus(codesPath).map(_.getPath.getName)
       .filter(_.startsWith("installment="))
       .map(_.stripPrefix("installment=").toInt).max + 1
+    int8AppendAt(spark, path, newDf, next, idCol, vecCol)
+  }
+
+  /** Append at an EXPLICIT installment — the idempotent form for
+    * at-least-once writers (the bm25IndexAppendAt contract): replaying
+    * the same (batch, installment) overwrites its own partition dir, so
+    * retries can never duplicate codes. Callers own the numbering
+    * discipline. */
+  def int8AppendAt(spark: SparkSession, path: String, newDf: DataFrame,
+                   installment: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val scale = spark.read.parquet(s"$path/meta").head().getDouble(0)
     newDf.select(col(idCol), packCodesUdf(codesUdf(scale)(col(vecCol))).as("codes"))
-      .write.mode("overwrite").parquet(s"$path/codes/installment=$next")
+      .write.mode("overwrite").parquet(s"$path/codes/installment=$installment")
   }
 
   /** Search a persisted [[int8Build]] index: unpack map-side, score with

@@ -415,6 +415,34 @@ object EventStreams extends Serializable {
     }
 
   /**
+   * Continuous ingest into the int8-quantized vector index — the
+   * [[bm25IngestStream]] sibling: every micro-batch quantizes with the
+   * STORED scale and lands as one `installment = StreamInstallmentBase +
+   * batchId` partition (replay-idempotent by the same pure-function
+   * numbering; same single-writer contract). Searches see each batch as
+   * soon as its installment is down; `asOfInstallment` still pins
+   * snapshots. The index must exist ([[graft.index.Quantize.int8Build]]).
+   *
+   * IVF note: the IVF index has no streaming form BY DESIGN — its
+   * assignments partition by `list_id`, so an idempotent per-batch
+   * partition would need a second partition level that breaks the
+   * probe's pruning layout. Stream vectors through this int8 index (or
+   * a minhash/BM25-style installment index) and fold them into IVF on a
+   * periodic `ivfAppend` + `ivfCompact` cadence instead.
+   */
+  def int8IngestStream(spark: SparkSession, vecs: DataFrame, indexPath: String,
+                       idCol: String = "vec_id", vecCol: String = "embedding")
+                      (sink: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.index.Quantize.int8AppendAt(spark, indexPath, batch.toDF(),
+          StreamInstallmentBase + batchId.toInt, idCol, vecCol)
+        sink(batchId)
+        ()
+    }
+
+  /**
    * Continuous lexicon ingest (streaming form of Lexicon.build): tokenize
    * incoming documents, key by identity angle, emit first-seen tokens only.
    * dropDuplicates state is keyed by the angle — bounded by watermark when
