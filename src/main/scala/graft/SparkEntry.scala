@@ -656,6 +656,28 @@ object SparkEntry {
       Dedup.duplicateClusters(pairs, "id_a", "id_b").orderBy("rep")
     }),
 
+    // INCREMENTAL cluster maintenance: label the historical (base-base)
+    // pairs first, then fold the batch's pairs (those touching the
+    // mutated copies) into the labeling via CC over (labels ∪ new pairs)
+    // — a star forest preserves connectivity exactly, so the clusters
+    // must hash-match the one-shot doc_dup_clusters oracle verbatim
+    "doc_dup_clusters_incr" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDuplicates(docsWithNearDups(s, dir),
+        "text", "doc_id", shingleK = 4, numHashes = 128, bands = 64,
+        threshold = 0.3)
+      val historical = pairs.filter(col("id_b") < 1000000L)
+      val fresh = pairs.filter(col("id_b") >= 1000000L)
+      val labels0 = Dedup.connectedComponents(historical, "id_a", "id_b")
+      val labels = Dedup.connectedComponentsIncremental(labels0, fresh,
+        "id_a", "id_b")
+      Dedup.release(labels0)
+      labels.groupBy(col("rep"))
+        .agg(count(lit(1)).as("n_members"),
+          array_join(transform(array_sort(collect_list(col("id"))),
+            x => x.cast("string")), ",").as("members"))
+        .orderBy("rep")
+    }),
+
     // SimHash near-dups over docs ∪ exact copies (hamming 0 guaranteed)
     "doc_simhash_dups" -> ((s, dir) => {
       val d = tbl(s, dir, "documents").select("doc_id", "text")
@@ -1979,6 +2001,42 @@ object SparkEntry {
     // same brute-force pair set as doc_minhash_dups, closed transitively
     // with a recursive CTE — DuckDB's reachability fixpoint oracles the
     // Spark-side large-star/small-star fixpoint
+    // incremental path: same full-pair-set oracle — the fold must be
+    // indistinguishable from one-shot clustering
+    "doc_dup_clusters_incr" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    substr(text, 1, CAST(floor(length(text)*0.7) AS INT)) AS text
+        |  FROM documents WHERE doc_id % 50 = 0
+        |), d AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-2),
+        |      i -> array_to_string(w[i:i+3], ' ')) END) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM base) t
+        |), p AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |    FROM d a JOIN d b ON a.doc_id < b.doc_id) q
+        |  WHERE jaccard >= 0.3
+        |), e AS (
+        |  SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e) n
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON reach.u = e.v
+        |), lab AS (
+        |  SELECT u AS id, min(r) AS rep FROM reach GROUP BY u
+        |)
+        |SELECT rep, count(*) AS n_members,
+        |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+        |FROM lab GROUP BY rep ORDER BY rep""".stripMargin,
     "doc_dup_clusters" ->
       """WITH RECURSIVE base AS (
         |  SELECT doc_id, text FROM documents

@@ -696,6 +696,26 @@ object Dedup {
       .unionByName(edges.select(col("v").as("id"), col("v").as("rep")).distinct())
   }
 
+  /**
+   * Fold a NEW batch of near-dup pairs into an existing (id, rep)
+   * labeling without reclustering history — the maintenance step after
+   * an incremental-index probe surfaces fresh pairs: a stored label is
+   * itself an edge (id — rep), and a star forest preserves connectivity
+   * exactly, so CC over (labels ∪ new pairs) equals CC over (historical
+   * pairs ∪ new pairs). The input is already mostly starred, so the
+   * star rounds converge in 1–2 iterations; maintenance cost tracks the
+   * label/batch size, never the historical PAIR count (which the labels
+   * compress away). Merging clusters relabel correctly: the new rep is
+   * the min id across every merged component.
+   */
+  def connectedComponentsIncremental(labels: DataFrame, newPairs: DataFrame,
+                                     aCol: String, bCol: String,
+                                     maxIterations: Int = 20): DataFrame =
+    connectedComponents(
+      labels.select(col("id").as(aCol), col("rep").as(bCol))
+        .unionByName(newPairs.select(col(aCol), col(bCol))),
+      aCol, bCol, maxIterations)
+
   /** Duplicate clusters from a pair list: one row per component with the
     * representative (min id), member count, and the sorted member list. */
   def duplicateClusters(pairs: DataFrame, aCol: String, bCol: String): DataFrame =

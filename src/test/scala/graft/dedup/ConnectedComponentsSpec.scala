@@ -81,6 +81,33 @@ class ConnectedComponentsSpec extends SparkTestBase {
     assert(rows === Seq((3L, 3L, "3,5,9"), (40L, 2L, "40,41")))
   }
 
+  test("incremental fold equals one-shot clustering on the full pair set") {
+    val rnd = new scala.util.Random(7)
+    val all = Seq.fill(400)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter { case (a, b) => a != b }
+    val (historical, fresh) = all.splitAt(250)
+    val full = labelsOf(all)
+
+    val labels0 = Dedup.connectedComponents(historical.toDF("a", "b"), "a", "b")
+    val folded = Dedup.connectedComponentsIncremental(labels0,
+      fresh.toDF("a", "b"), "a", "b")
+    val got = folded.as[(Long, Long)].collect().toMap
+    Dedup.release(labels0)
+    Dedup.release(folded)
+    assert(got === full)
+  }
+
+  test("incremental fold merges two historical clusters through one new edge") {
+    val labels0 = Dedup.connectedComponents(
+      Seq((1L, 2L), (10L, 20L)).toDF("a", "b"), "a", "b")
+    val folded = Dedup.connectedComponentsIncremental(labels0,
+      Seq((2L, 20L)).toDF("a", "b"), "a", "b")
+    val got = folded.as[(Long, Long)].collect().toMap
+    Dedup.release(labels0)
+    Dedup.release(folded)
+    assert(got === Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 20L -> 1L))
+  }
+
   test("superseded rounds are unpersisted; release frees the final blocks") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val chain = (1L until 32L).map(i => (i, i + 1))
