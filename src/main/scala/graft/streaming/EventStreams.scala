@@ -324,6 +324,29 @@ object EventStreams extends Serializable {
     }
 
   /**
+   * Streaming range enrichment — the [[asofEnrichStream]] sibling for
+   * interval semantics: each micro-batch of point events joins the
+   * static/snapshot interval table through the binned equi-join
+   * (graft.operators.RangeJoin.binnedRangeJoin — bins + exact BETWEEN
+   * filter, never a nested-loop theta join). Semantics-transparent
+   * per-batch because one event's interval matches never depend on
+   * other events; per-batch cost is the batch's bin shuffle + the
+   * interval-side scan, so size micro-batches to amortize the snapshot
+   * scan exactly as with the as-of form.
+   */
+  def rangeEnrichStream(events: DataFrame, intervals: DataFrame,
+                        keyCols: Seq[String], startCol: String, endCol: String,
+                        tsCol: String, binWidthUs: Long = 3600000000L)
+                       (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.operators.RangeJoin.binnedRangeJoin(intervals, batch.toDF(),
+          keyCols, startCol, endCol, tsCol, binWidthUs), batchId)
+        ()
+    }
+
+  /**
    * Continuous ingest dedup — the daily-ingest loop the appendable
    * MinHash index exists for, run per micro-batch: probe the batch
    * against the PERSISTED index (graft.dedup.Dedup.minhashIndexProbe —
