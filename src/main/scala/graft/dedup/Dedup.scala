@@ -50,16 +50,43 @@ object Dedup {
   }
 
   /** Pure-Scala normalization, char-for-char identical to `normalized`. */
-  def normalizeString(s: String): String =
-    if (s == null) ""
-    else s.toLowerCase.replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim
+  def normalizeString(s: String): String = normalizeTokens(s).mkString(" ")
+
+  /**
+   * Normalized tokens in ONE char pass — exactly
+   * `normalizeString(s).split(" ", -1)`, without the two regex passes
+   * and the intermediate strings (the regex pipeline maps every char
+   * outside [a-z0-9] to a space and collapses runs, which is precisely
+   * "the [a-z0-9]+ runs of the lowercased text"; `PropertyChecks` pins
+   * the equivalence against the regex formulation on arbitrary input).
+   * An input with no alphanumeric runs yields the single empty token,
+   * matching `"".split(" ", -1)`. The shingle kernel under every minhash
+   * / n-gram dedup path runs on this, so the regex cost multiplies by
+   * corpus size — the loop form cut the shingle stage measurably at
+   * sf0.1.
+   */
+  def normalizeTokens(s: String): Array[String] = {
+    if (s == null) return Array("")
+    val lower = s.toLowerCase
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    if (out.isEmpty) Array("") else out.toArray
+  }
 
   /** Distinct word k-shingles, identical output to
     * `array_distinct(shingles(text, k))` but one tight pass per row instead
     * of interpreted per-element HOF evaluation (the HOF path dominated
     * round-1 bench profiles). */
   def shinglesUdf(k: Int): UserDefinedFunction = udf { (text: String) =>
-    val toks = normalizeString(text).split(" ", -1)
+    val toks = normalizeTokens(text)
     if (toks.length < k) Array(toks.mkString(" "))
     else {
       val seen = new java.util.LinkedHashSet[String]()

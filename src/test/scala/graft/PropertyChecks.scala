@@ -44,6 +44,15 @@ object PropertyChecks extends Properties("graft.kernels") {
     Dedup.normalizeString(n) == n
   }
 
+  // the one-pass token loop must be indistinguishable from the regex
+  // formulation the DuckDB oracles run — on ANY input, unicode included
+  property("normalizeTokens equals the regex pipeline") = forAll { (s: String) =>
+    val regexForm = s.toLowerCase
+      .replaceAll("[^a-z0-9\\s]", " ").replaceAll("\\s+", " ").trim
+    Dedup.normalizeTokens(s).sameElements(regexForm.split(" ", -1)) &&
+      Dedup.normalizeString(s) == regexForm
+  }
+
   // the defining min-hash law: sig(A ∪ B) = elementwise min(sig A, sig B)
   property("minhash signature distributes over union") =
     forAll { (a: List[String], b: List[String]) =>
