@@ -824,6 +824,57 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // behavioral training sequences: each user's ordered event-type
+    // journey as one string — the sequence-building step for
+    // user-behavior models. Order is total (ts, event_id), join is one
+    // groupBy; portable via sort_array of (ts, event_id, type) structs
+    // mirrored by string_agg ORDER BY in SQL
+    "q_user_journeys" -> ((s, dir) => {
+      // tight kernel over the pos-sorted structs — no per-element HOF
+      val joinTypes = udf { (evs: Seq[org.apache.spark.sql.Row]) =>
+        val sb = new java.lang.StringBuilder(evs.length * 8)
+        var i = 0
+        while (i < evs.length) {
+          if (i > 0) sb.append('>')
+          sb.append(evs(i).getString(2))
+          i += 1
+        }
+        sb.toString
+      }
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          joinTypes(array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type"))))).as("journey"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // exact standardization stats for numeric featurization: Σx and Σx²
+    // accumulate EXACTLY in decimal (order-free), convert once to
+    // double, then a fixed correctly-rounded op sequence
+    // (mean = sx/n; std = sqrt(sq/n − mean·mean)) reproduces
+    // bit-for-bit in any engine
+    "q_scaler_stats" -> ((s, dir) => {
+      val l = tbl(s, dir, "lineitem")
+      def sums(c: String) = {
+        val x = col(c).cast("decimal(18,2)")
+        Seq(sum(x).cast("double").as(s"_sx_$c"),
+          sum((x * x).cast("decimal(28,4)")).cast("double").as(s"_sq_$c"))
+      }
+      def meanStd(c: String, label: String) = {
+        val n = col("n").cast("double")
+        val mean = col(s"_sx_$c") / n
+        Seq(mean.as(s"mean_$label"),
+          sqrt(col(s"_sq_$c") / n - mean * mean).as(s"std_$label"))
+      }
+      val aggs = sums("l_quantity") ++ sums("l_extendedprice") :+
+        count(lit(1)).as("n")
+      l.agg(aggs.head, aggs.tail: _*)
+        .select(meanStd("l_quantity", "qty") ++
+          meanStd("l_extendedprice", "price") :+ col("n"): _*)
+    }),
+
     // BPE merge learning (tokenizer training): corpus → word-frequency
     // table (the one corpus-sized pass) → 3 weighted pair-count rounds
     // with portable tie-breaks → the merge table, hash-checked against
@@ -2411,6 +2462,34 @@ object SparkEntry {
         |  FROM sc) r
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // user journeys: string_agg ORDER BY (ts, event_id) mirrors the
+    // sorted-struct kernel (event_id unique → total order)
+    "q_user_journeys" ->
+      """SELECT user_id,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS journey,
+        |  count(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // scaler stats: decimal-exact Σx/Σx², one double conversion, then
+    // the identical (sq/n − (sx/n)·(sx/n)) op sequence
+    "q_scaler_stats" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx_q,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) *
+        |      CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+        |      AS DOUBLE) AS sq_q,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx_p,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      CAST(l_extendedprice AS DECIMAL(18,2)) AS DECIMAL(28,4)))
+        |      AS DOUBLE) AS sq_p,
+        |    count(*) AS n
+        |  FROM lineitem)
+        |SELECT sx_q / n AS mean_qty,
+        |  sqrt(sq_q / n - (sx_q / n) * (sx_q / n)) AS std_qty,
+        |  sx_p / n AS mean_price,
+        |  sqrt(sq_p / n - (sx_p / n) * (sx_p / n)) AS std_price,
+        |  n
+        |FROM s""".stripMargin,
     // BPE: chr(1)-joined symbols, list_zip adjacent pairs (zip pads with
     // NULL — filtered), argmax by (cnt DESC, pair ASC), merge applied as
     // the same literal replace; three unrolled rounds
