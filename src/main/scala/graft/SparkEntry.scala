@@ -798,6 +798,29 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // IVF-SQ8 (the FAISS billion-scale default shape): float k-means
+    // routing + partition-pruned probes over PACKED int8 codes (1 B/dim
+    // — a probe reads a quarter of the float bytes of the lists it
+    // touches). Same deterministic recall contract as emb_topk_ivf: a
+    // corpus member probes its own list and its own code matches
+    // exactly, so top1 = self.
+    "emb_topk_ivfsq8" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfsq8_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      graft.index.Quantize.ivfSq8Build(e, idxPath, nlist = 16,
+        fitSampleFraction = 0.5)
+      val approx = graft.index.Quantize.ivfSq8Search(s, idxPath, q,
+        k = 5, nprobe = 6)
+        .withColumnRenamed("cosine_q", "cosine")
+      val exact = SimilarityIndex.bruteForceTopK(e, q, k = 5)
+      SimilarityIndex.approxRecallReport(approx, exact, recallFloor = 2)
+        .orderBy("query_id")
+    }),
+
     // int8-quantized brute-force top-k: one global symmetric scale
     // (maxabs/127), integer code dot products, cosine from one div + two
     // correctly-rounded sqrts — the quantized scores hash-match DuckDB
@@ -3033,6 +3056,11 @@ object SparkEntry {
     // assigned list is its nearest centroid by definition), so the same
     // contract oracles the two-installment index
     "emb_ivf_append" ->
+      """SELECT vec_id AS query_id, vec_id AS top1_id, true AS recall_pass
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+    // IVF-SQ8: identical deterministic self-recall contract — the
+    // member's own int8 code dots to its exact squared norm, cosine 1
+    "emb_topk_ivfsq8" ->
       """SELECT vec_id AS query_id, vec_id AS top1_id, true AS recall_pass
         |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin
   )

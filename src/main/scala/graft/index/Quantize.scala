@@ -179,6 +179,97 @@ object Quantize {
       .write.mode("overwrite").parquet(s"$path/codes/installment=$installment")
   }
 
+  /**
+   * IVF-SQ8 — the standard billion-scale ANN configuration (FAISS's
+   * `IVF<nlist>,SQ8`): coarse k-means routing from [[SimilarityIndex]]
+   * composed with this file's int8 codes. The index stores, per
+   * `list_id=` partition, the PACKED codes (1 B/dim — the probe scan
+   * reads a quarter of the float bytes on top of reading only probed
+   * lists), plus `centroids/` (float routing table) and `meta/` (the
+   * global scale):
+   *
+   *   - build: fit centroids on a sample, assign map-side, quantize
+   *     with one global scale, write codes partitioned by list.
+   *   - search: resolve probe lists driver-side (float query × float
+   *     centroids — routing stays full precision), partition-pruned
+   *     scan of the probed lists only, integer-dot cosine against the
+   *     scale-quantized query, bounded top-k.
+   *
+   * Scores are the [[int8TopK]] integer kernel — bit-identical on any
+   * engine; recall follows the IVF probe contract (a corpus-member
+   * query probes its own list and its own code matches exactly, so
+   * top1 = self deterministically).
+   */
+  def ivfSq8Build(corpus: DataFrame, path: String, nlist: Int = 64,
+                  corpusId: String = "vec_id", corpusVec: String = "embedding",
+                  fitSampleFraction: Double = 0.5): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centers = SimilarityIndex.fitCentroids(corpus, corpusVec, nlist,
+      fitSampleFraction)
+    centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("list_id", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val scale = maxAbs(corpus, corpusVec) / 127.0
+    spark.createDataFrame(Seq(Tuple1(scale))).toDF("scale")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    corpus.select(col(corpusId),
+        SimilarityIndex.assignUdf(centers)(col(corpusVec)).as("list_id"),
+        packCodesUdf(codesUdf(scale)(col(corpusVec))).as("codes"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$path/codes")
+  }
+
+  /** Fold new vectors in against the FROZEN centroids and scale (the
+    * ivfAppend contract: map-side assignment + quantization, appends
+    * into matching `list_id=` partitions, nothing re-read or rewritten;
+    * re-fit with [[ivfSq8Build]] when the distribution drifts). */
+  def ivfSq8Append(spark: SparkSession, path: String, newVecs: DataFrame,
+                   corpusId: String = "vec_id",
+                   corpusVec: String = "embedding"): Unit = {
+    val centers = SimilarityIndex.readCentroids(spark, path)
+    val scale = spark.read.parquet(s"$path/meta").head().getDouble(0)
+    newVecs.select(col(corpusId),
+        SimilarityIndex.assignUdf(centers)(col(corpusVec)).as("list_id"),
+        packCodesUdf(codesUdf(scale)(col(corpusVec))).as("codes"))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$path/codes")
+  }
+
+  /** Search a persisted [[ivfSq8Build]] index: driver-resolved probe
+    * lists → partition-pruned code scan → integer-dot cosine → bounded
+    * top-k. */
+  def ivfSq8Search(spark: SparkSession, path: String, queries: DataFrame,
+                   k: Int, nprobe: Int = 8,
+                   corpusId: String = "vec_id",
+                   queryId: String = "query_id",
+                   queryVec: String = "query_vec"): DataFrame = {
+    import spark.implicits._
+    val centers = SimilarityIndex.readCentroids(spark, path)
+    val scale = spark.read.parquet(s"$path/meta").head().getDouble(0)
+    val qProbed = queries.withColumn("list_id",
+      explode(SimilarityIndex.probeUdf(centers, nprobe)(col(queryVec))))
+    val probedLists = qProbed.select("list_id").distinct().as[Int].collect()
+    val q = qProbed
+      .select(col(queryId), col("list_id"),
+        codesUdf(scale)(col(queryVec)).as("_qc"))
+      .withColumn("_qn", normSqUdf(col("_qc")))
+      .filter(col("_qn") > 0)
+    val c = spark.read.parquet(s"$path/codes")
+      .filter(col("list_id").isin(probedLists.map(_.asInstanceOf[Any]): _*))
+      .select(col(corpusId), col("list_id"),
+        unpackCodesUdf(col("codes")).as("_cc"))
+      .withColumn("_cn", normSqUdf(col("_cc")))
+      .filter(col("_cn") > 0)
+    val scored = c.join(broadcast(q), Seq("list_id"))
+      .withColumn("_dot", dotUdf(col("_cc"), col("_qc")))
+      .withColumn("cosine_q", col("_dot").cast("double") /
+        (sqrt(col("_cn").cast("double")) * sqrt(col("_qn").cast("double"))))
+      .select(col(queryId), col(corpusId), col("cosine_q"))
+    TopK.topKPerGroup(scored, queryId, corpusId, "cosine_q", k)
+  }
+
   /** Search a persisted [[int8Build]] index: unpack map-side, score with
     * the integer kernel. Queries quantize with the stored scale.
     * `asOfInstallment` pins the search to a fixed snapshot of the

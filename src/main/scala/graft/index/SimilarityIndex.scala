@@ -97,7 +97,7 @@ object SimilarityIndex {
   // ------------------------------------------------------------------ IVF
 
   /** Shared IVF kernels: centroid fit + nearest-list assignment/probing. */
-  private def fitCentroids(corpus: DataFrame, corpusVec: String, nlist: Int,
+  private[index] def fitCentroids(corpus: DataFrame, corpusVec: String, nlist: Int,
                            fitSampleFraction: Double): Array[Array[Double]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.{Vectors => MLVectors}
@@ -119,7 +119,7 @@ object SimilarityIndex {
   }
 
   /** Nearest-centroid id (map-side: the centroid matrix rides the closure). */
-  private def assignUdf(centers: Array[Array[Double]]) = udf { (v: Seq[Float]) =>
+  private[index] def assignUdf(centers: Array[Array[Double]]) = udf { (v: Seq[Float]) =>
     var best = 0; var bestD = Double.MaxValue; var j = 0
     while (j < centers.length) {
       val d = sqDist(v, centers(j)); if (d < bestD) { bestD = d; best = j }; j += 1
@@ -128,7 +128,7 @@ object SimilarityIndex {
   }
 
   /** The `nprobe` nearest centroid ids for a query vector. */
-  private def probeUdf(centers: Array[Array[Double]], nprobe: Int) = udf { (v: Seq[Float]) =>
+  private[index] def probeUdf(centers: Array[Array[Double]], nprobe: Int) = udf { (v: Seq[Float]) =>
     centers.indices.map(j => (sqDist(v, centers(j)), j)).sorted
       .take(math.min(nprobe, centers.length)).map(_._2).toArray
   }
@@ -192,7 +192,7 @@ object SimilarityIndex {
 
   /** The stored centroid matrix, list_id-ordered — nlist rows, driver-side
     * by design (it is the index's tiny routing table). */
-  private def readCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
+  private[index] def readCentroids(spark: SparkSession, path: String): Array[Array[Double]] = {
     import spark.implicits._
     spark.read.parquet(s"$path/centroids")
       .select("list_id", "centroid").as[(Int, Array[Double])]

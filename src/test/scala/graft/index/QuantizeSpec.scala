@@ -90,6 +90,36 @@ class QuantizeSpec extends SparkTestBase {
     assert(full !== snap, "appended vectors must be visible to the full read")
   }
 
+  test("IVF-SQ8: self-recall, append parity, and partition-pruned probes") {
+    val q = embs.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val path = java.nio.file.Files.createTempDirectory("ivfsq8")
+      .resolve("idx").toString
+    Quantize.ivfSq8Build(embs, path, nlist = 8, fitSampleFraction = 1.0)
+    val hits = Quantize.ivfSq8Search(spark, path, q, k = 5, nprobe = 4)
+    val top1 = hits.filter($"rank" === 1)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(top1.length === 8)
+    assert(top1.forall(r => r._1 === r._2), s"self not top-1: ${top1.toSeq}")
+
+    // probe plan prunes to the probed list partitions
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"expected list_id partition pruning:\n$plan")
+
+    // append against frozen centroids+scale == one-shot build
+    val appPath = java.nio.file.Files.createTempDirectory("ivfsq8-app")
+      .resolve("idx").toString
+    Quantize.ivfSq8Build(embs.filter($"vec_id" % 2 === 0), appPath,
+      nlist = 8, fitSampleFraction = 1.0)
+    Quantize.ivfSq8Append(spark, appPath, embs.filter($"vec_id" % 2 === 1))
+    val appended = Quantize.ivfSq8Search(spark, appPath, q, k = 1, nprobe = 8)
+      .filter($"rank" === 1).as[(Long, Long, Double, Int)].collect()
+    assert(appended.length === 8)
+    assert(appended.forall(r => r._1 === r._2),
+      s"appended member must still self-match: ${appended.toSeq}")
+  }
+
   test("zero vectors are excluded, not NaN-ranked") {
     val withZero = embs.limit(20).unionByName(
       Seq((999999L, Array.fill(64)(0.0f))).toDF("vec_id", "embedding"))
