@@ -662,15 +662,20 @@ object SparkEntry {
     // — a star forest preserves connectivity exactly, so the clusters
     // must hash-match the one-shot doc_dup_clusters oracle verbatim
     "doc_dup_clusters_incr" -> ((s, dir) => {
+      // the pair frame feeds BOTH CC passes — materialize the (small)
+      // pair list once instead of re-running shingle+band+verify per
+      // consumer (the lazy form recomputed pair generation 3×)
       val pairs = Dedup.minhashNearDuplicates(docsWithNearDups(s, dir),
         "text", "doc_id", shingleK = 4, numHashes = 128, bands = 64,
         threshold = 0.3)
+        .localCheckpoint()
       val historical = pairs.filter(col("id_b") < 1000000L)
       val fresh = pairs.filter(col("id_b") >= 1000000L)
       val labels0 = Dedup.connectedComponents(historical, "id_a", "id_b")
       val labels = Dedup.connectedComponentsIncremental(labels0, fresh,
         "id_a", "id_b")
       Dedup.release(labels0)
+      Dedup.release(pairs)
       labels.groupBy(col("rep"))
         .agg(count(lit(1)).as("n_members"),
           array_join(transform(array_sort(collect_list(col("id"))),

@@ -161,6 +161,8 @@ object Sampling {
       require(!df.columns.contains(r),
         s"negativePairs reserves the internal column name $r")
     }
+    require(keyCol != "draw" && keyCol != "neg_id",
+      "negativePairs emits 'draw' and 'neg_id' — rename the key column")
     val keyed = df.select(col(keyCol))
     val ranked = graft.store.Ranks.withOrderedIndex(keyed, keyCol, "_np_rank")
     val n1 = broadcast(keyed.agg(count(lit(1)).as("_np_n")))
