@@ -852,6 +852,16 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // feature-hashed TF-IDF vectors (hashing trick + log-free RSJ idf):
+    // the full sparse weight matrix hash-checks — md5-hex dimension
+    // hash, decimal collision/norm sums, one division per weight
+    "doc_tfidf_vectors" -> ((s, dir) => {
+      graft.analysis.Featurize.hashedTfidf(
+        tbl(s, dir, "documents").select("doc_id", "text"),
+        "doc_id", "text", dims = 64)
+        .orderBy("doc_id", "dim")
+    }),
+
     // behavioral training sequences: each user's ordered event-type
     // journey as one string — the sequence-building step for
     // user-behavior models. Order is total (ts, event_id), join is one
@@ -2490,6 +2500,35 @@ object SparkEntry {
         |  FROM sc) r
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // hashed tf-idf: identical hash (first 8 md5 hex chars → BIGINT),
+    // identical RSJ idf, decimal-exact collision and norm sums
+    "doc_tfidf_vectors" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(nt, ' ')) AS term
+        |  FROM nrm WHERE length(nt) > 0),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE length(term) > 0 GROUP BY doc_id, term),
+        |nn AS (SELECT count(DISTINCT doc_id) AS n FROM tf),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |w AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) % 64 AS dim,
+        |    CAST(sum(CAST(tf * ((n - df + 0.5) / (df + 0.5))
+        |      AS DECIMAL(28,10))) AS DOUBLE) AS wr
+        |  FROM tf JOIN dfx USING (term), nn
+        |  GROUP BY 1, 2),
+        |nv AS (
+        |  SELECT doc_id,
+        |    sqrt(CAST(sum(CAST(wr * wr AS DECIMAL(28,10))) AS DOUBLE)) AS nv
+        |  FROM w GROUP BY doc_id)
+        |SELECT w.doc_id, dim, wr / nv AS weight
+        |FROM w JOIN nv USING (doc_id)
+        |ORDER BY doc_id, dim""".stripMargin,
     // user journeys: string_agg ORDER BY (ts, event_id) mirrors the
     // sorted-struct kernel (event_id unique → total order)
     "q_user_journeys" ->
