@@ -862,6 +862,25 @@ object SparkEntry {
         .orderBy("doc_id", "dim")
     }),
 
+    // row-level snapshot diff (CDC for corpus maintenance): two
+    // deterministic snapshots derived from documents — the "old" crawl
+    // is missing doc_id%10==7 and carries a stale suffix on %10==3, the
+    // "new" crawl dropped %10==5 — classified added/removed/changed
+    // through the md5 row-hash full-outer join (wide text never ships
+    // through the shuffle; see SnapshotDiff scaladoc)
+    "doc_snapshot_diff" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text", "lang")
+      val oldSnap = docs
+        .filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(10)) === 3,
+            concat(col("text"), lit(" v1"))).otherwise(col("text")))
+      val newSnap = docs.filter(pmod(col("doc_id"), lit(10)) =!= 5)
+      graft.pipeline.SnapshotDiff
+        .diff(oldSnap, newSnap, Seq("doc_id"), Seq("text", "lang"))
+        .orderBy("doc_id")
+    }),
+
     // behavioral training sequences: each user's ordered event-type
     // journey as one string — the sequence-building step for
     // user-behavior models. Order is total (ts, event_id), join is one
@@ -2529,6 +2548,33 @@ object SparkEntry {
         |SELECT w.doc_id, dim, wr / nv AS weight
         |FROM w JOIN nv USING (doc_id)
         |ORDER BY doc_id, dim""".stripMargin,
+    // snapshot diff: same md5(chr(1)-joined values) row hash, same
+    // full-outer classification — the hash itself replays in DuckDB
+    "doc_snapshot_diff" ->
+      """WITH oldsnap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 = 3 THEN text || ' v1' ELSE text END AS text,
+        |    lang
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |newsnap AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 10 <> 5),
+        |oh AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1),
+        |    coalesce(text, chr(2) || 'NULL'),
+        |    coalesce(lang, chr(2) || 'NULL'))) AS h
+        |  FROM oldsnap),
+        |nh AS (
+        |  SELECT doc_id, md5(concat_ws(chr(1),
+        |    coalesce(text, chr(2) || 'NULL'),
+        |    coalesce(lang, chr(2) || 'NULL'))) AS h
+        |  FROM newsnap)
+        |SELECT coalesce(oh.doc_id, nh.doc_id) AS doc_id,
+        |  CASE WHEN oh.doc_id IS NULL THEN 'added'
+        |       WHEN nh.doc_id IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change
+        |FROM oh FULL OUTER JOIN nh ON oh.doc_id = nh.doc_id
+        |WHERE oh.doc_id IS NULL OR nh.doc_id IS NULL OR oh.h <> nh.h
+        |ORDER BY doc_id""".stripMargin,
     // user journeys: string_agg ORDER BY (ts, event_id) mirrors the
     // sorted-struct kernel (event_id unique → total order)
     "q_user_journeys" ->
