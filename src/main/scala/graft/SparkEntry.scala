@@ -862,6 +862,18 @@ object SparkEntry {
         .orderBy("doc_id", "dim")
     }),
 
+    // exact PPS sampling: systematic selection over the integer
+    // cumulative-weight line (stride 2000, phase 500 over n_chars) —
+    // long documents proportionally likelier, fixed realized size,
+    // RNG-free and integer-exact so DuckDB replays the selection
+    // row-for-row with a window cumsum
+    "doc_weighted_sample" -> ((s, dir) => {
+      graft.pipeline.Sampling.systematicWeightedSample(
+        tbl(s, dir, "documents").select("doc_id", "n_chars"),
+        "doc_id", "n_chars", stride = 2000L, phase = 500L)
+        .orderBy("doc_id")
+    }),
+
     // row-level snapshot diff (CDC for corpus maintenance): two
     // deterministic snapshots derived from documents — the "old" crawl
     // is missing doc_id%10==7 and carries a stale suffix on %10==3, the
@@ -2548,6 +2560,20 @@ object SparkEntry {
         |SELECT w.doc_id, dim, wr / nv AS weight
         |FROM w JOIN nv USING (doc_id)
         |ORDER BY doc_id, dim""".stripMargin,
+    // systematic weighted sample: window cumsum replays the integer
+    // weight line; // is floor division (non-negative numerators, so
+    // it agrees with Spark's truncating div)
+    "doc_weighted_sample" ->
+      """WITH c AS (
+        |  SELECT doc_id, n_chars, greatest(n_chars, 0) AS w,
+        |    coalesce(sum(greatest(n_chars, 0)) OVER
+        |      (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |       AND 1 PRECEDING), 0) AS cum
+        |  FROM documents)
+        |SELECT doc_id, n_chars FROM c
+        |WHERE (cum + w - 1 - 500 + 2000) // 2000
+        |    > (cum - 1 - 500 + 2000) // 2000
+        |ORDER BY doc_id""".stripMargin,
     // snapshot diff: same md5(chr(1)-joined values) row hash, same
     // full-outer classification — the hash itself replays in DuckDB
     "doc_snapshot_diff" ->

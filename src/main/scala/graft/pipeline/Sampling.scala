@@ -191,6 +191,61 @@ object Sampling {
   }
 
   /**
+   * Exact probability-proportional-to-size sampling via systematic
+   * (every-`stride`-units) selection over the cumulative weight line —
+   * the classic PPS design (Madow 1949), made deterministic and
+   * engine-portable by using INTEGER weights end-to-end. Rows ordered
+   * by `keyCol` occupy disjoint intervals [S, S+w) of the weight line
+   * (S = exclusive running sum); a row is selected iff its interval
+   * contains a sample point `phase + k·stride`. Long documents are
+   * proportionally more likely to be kept — and a row with w ≥ stride
+   * is ALWAYS kept — while the realized sample size is fixed at
+   * ⌈(totalW − phase) / stride⌉ points, not Bernoulli-variable.
+   *
+   * Everything is exact 64-bit integer arithmetic (no RNG, no doubles):
+   * the same rows are selected on any engine, retry, or partitioning,
+   * and the oracle replays the selection with a SQL window cumsum.
+   * Overflow-free while total weight < 2^63 − stride (a 100 TB corpus'
+   * token total is ~2^47). Negative weights clamp to 0 BEFORE the
+   * running sum (so a bad row can never shift its successors'
+   * intervals); zero-weight rows are never selected.
+   *
+   * Scale shape: range-partition by key + per-partition running sums
+   * offset by partition totals ([[org.apache.spark.sql.graft.RowBridge
+   * .zipWithGlobalCumSum]]) — the two jobs share one shuffle; never a
+   * global single-task window. The selection filter is a pure integer
+   * projection. Keys must be unique (the interval layout needs a total
+   * order).
+   */
+  def systematicWeightedSample(df: DataFrame, keyCol: String,
+                               weightCol: String, stride: Long,
+                               phase: Long = 0L): DataFrame = {
+    require(stride >= 1, "stride must be at least 1")
+    require(phase >= 0 && phase < stride, "phase must be in [0, stride)")
+    val reserved = df.columns.filter(_.startsWith("_sws_"))
+    require(reserved.isEmpty,
+      s"systematicWeightedSample reserves _sws_*, found: ${reserved.mkString(", ")}")
+    val clamped = df.withColumn("_sws_w",
+      greatest(col(weightCol).cast("long"), lit(0L)))
+    val parted = clamped
+      .repartitionByRange(col(keyCol))
+      .sortWithinPartitions(keyCol)
+    val cum = org.apache.spark.sql.graft.RowBridge
+      .zipWithGlobalCumSum(parted, "_sws_w", "_sws_cum")
+    // interval [S, S+w) contains a point phase + k·stride iff the
+    // point count below its end exceeds the count below its start;
+    // `+ stride` keeps both numerators non-negative (phase < stride),
+    // so `div` (truncating) and floor division agree on both engines
+    cum
+      .withColumn("_sws_hi",
+        col("_sws_cum") + col("_sws_w") - lit(1) - lit(phase) + lit(stride))
+      .withColumn("_sws_lo",
+        col("_sws_cum") - lit(1) - lit(phase) + lit(stride))
+      .filter(expr(s"_sws_hi div ${stride}L > _sws_lo div ${stride}L"))
+      .drop("_sws_w", "_sws_cum", "_sws_hi", "_sws_lo")
+  }
+
+  /**
    * Deterministic global shuffle for training order: rank rows by their
    * hash coordinate (tie-broken by the key itself, so the order is total
    * even where the 32-bit coordinate collides) and assign the 0-based

@@ -31,4 +31,36 @@ object RowBridge {
     }
     spark.internalCreateDataFrame(rdd, schema)
   }
+
+  /** Append each row's EXCLUSIVE global running sum of `weightCol` (a
+    * non-null LongType column) as `cumName`: row i gets
+    * Σ weights of rows 0..i-1 in (partition order × row order). Same
+    * same-RDD-instance contract as [[zipWithGlobalIndex]]: the
+    * per-partition totals job and the output job share one RDD, so the
+    * sampled range partitioning cannot drift between the two passes. */
+  def zipWithGlobalCumSum(df: DataFrame, weightCol: String,
+                          cumName: String): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val wIdx = df.schema.fieldIndex(weightCol)
+    require(df.schema(wIdx).dataType == LongType,
+      s"$weightCol must be LongType for the exact integer running sum")
+    val schema = df.schema.add(cumName, LongType, nullable = false)
+    val rdd = df.queryExecution.toRdd
+    val partSums = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(wIdx))
+      Iterator((pid, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = rdd.sparkContext.broadcast(partSums.scanLeft(0L)(_ + _))
+    val out = rdd.mapPartitionsWithIndex { case (pid, it) =>
+      var acc = offsets.value(pid)
+      it.map { r =>
+        val joined =
+          new JoinedRow(r.copy(), new GenericInternalRow(Array[Any](acc)))
+        acc += r.getLong(wIdx)
+        joined: InternalRow
+      }
+    }
+    spark.internalCreateDataFrame(out, schema)
+  }
 }

@@ -223,4 +223,81 @@ class SamplingPackingSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"negativePairs must not use a window:\n$plan")
   }
+
+  // -------------------------------------- systematic weighted sampling
+
+  private def swsReference(rows: Seq[(Long, Long)], stride: Long,
+                           phase: Long): Seq[Long] = {
+    // single-threaded oracle: walk the weight line in key order
+    var s = 0L
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    rows.sortBy(_._1).foreach { case (k, w0) =>
+      val w = math.max(w0, 0L)
+      val hi = (s + w - 1 - phase + stride) / stride
+      val lo = (s - 1 - phase + stride) / stride
+      if (hi > lo) out += k
+      s += w
+    }
+    out.toSeq
+  }
+
+  test("systematicWeightedSample matches the sequential weight-line walk") {
+    val rows = (1L to 500L).map(k => k -> ((k * 7919) % 97))
+    val df = rows.toDF("id", "w").repartition(7)
+    val got = Sampling.systematicWeightedSample(df, "id", "w", stride = 131L,
+      phase = 13L).select("id").as[Long].collect().sorted
+    assert(got.toSeq === swsReference(rows, 131L, 13L).sorted)
+  }
+
+  test("systematicWeightedSample: w >= stride rows always kept, w = 0 never") {
+    val rows = Seq((1L, 0L), (2L, 500L), (3L, 1L), (4L, -50L), (5L, 500L))
+    val df = rows.toDF("id", "w")
+    val got = Sampling.systematicWeightedSample(df, "id", "w", stride = 100L)
+      .select("id").as[Long].collect().toSet
+    assert(got.contains(2L) && got.contains(5L), s"heavy rows must be kept: $got")
+    assert(!got.contains(1L) && !got.contains(4L),
+      s"zero/negative-weight rows must never be selected: $got")
+    assert(got.toSeq.sorted === swsReference(rows, 100L, 0L).sorted)
+  }
+
+  test("systematicWeightedSample: sample size is the fixed point count") {
+    val rows = (1L to 300L).map(k => k -> 10L) // equal weights, no w>stride
+    val got = Sampling.systematicWeightedSample(rows.toDF("id", "w"),
+      "id", "w", stride = 40L).count()
+    // totalW = 3000, points at 0,40,...,2960 -> 75; each hits one row
+    assert(got === 75L)
+  }
+
+  test("systematicWeightedSample is partitioning-invariant and 64-bit safe") {
+    val rows = Seq((4294967296L * 3, 7L), (4294967296L * 2, 11L),
+      (8L, 13L), (4294967296L * 5, 2L))
+    val a = Sampling.systematicWeightedSample(rows.toDF("id", "w")
+      .repartition(5), "id", "w", 16L).select("id").as[Long].collect().sorted
+    val b = Sampling.systematicWeightedSample(rows.toDF("id", "w")
+      .coalesce(1), "id", "w", 16L).select("id").as[Long].collect().sorted
+    assert(a.toSeq === b.toSeq)
+    assert(a.toSeq === swsReference(rows, 16L, 0L).sorted)
+  }
+
+  test("systematicWeightedSample guards reserved names and bad strides") {
+    intercept[IllegalArgumentException] {
+      Sampling.systematicWeightedSample(
+        Seq((1L, 1L)).toDF("id", "_sws_w"), "id", "_sws_w", 10L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.systematicWeightedSample(
+        Seq((1L, 1L)).toDF("id", "w"), "id", "w", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.systematicWeightedSample(
+        Seq((1L, 1L)).toDF("id", "w"), "id", "w", 10L, phase = 10L)
+    }
+  }
+
+  test("systematicWeightedSample plan has no global window") {
+    val plan = Sampling.systematicWeightedSample(
+      docs.select($"doc_id", $"n_chars"), "doc_id", "n_chars", 1000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"must not window:\n$plan")
+  }
 }
