@@ -954,6 +954,27 @@ object SparkEntry {
         .orderBy("step")
     }),
 
+    // BPE ENCODE (tokenizer inference): the 3 learned merges applied
+    // back over the corpus in one scan-fused UDF pass; per-doc token
+    // totals and distinct-token counts hash-check against an oracle
+    // that re-learns the identical merges (unrolled rounds, word
+    // identity carried through) and replays the encode via a join of
+    // doc words to their final symbol state
+    "doc_bpe_encode" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val merges = graft.analysis.Bpe.learnMerges(
+        graft.analysis.Bpe.wordFrequencies(docs.select("text"), "text"),
+        numMerges = 3)
+      graft.analysis.Bpe.encode(
+        docs.select("doc_id", "text"), "doc_id", "text", merges)
+        .select(col("doc_id"),
+          size(col("tokens")).cast("long").as("n_tokens"),
+          size(array_distinct(col("tokens"))).cast("long")
+            .as("n_distinct_tokens"))
+        .filter(col("n_tokens") > 0)
+        .orderBy("doc_id")
+    }),
+
     // HTML extraction (web-crawl → visible text): fixture docs wrapped
     // in a deterministic page shell (tags, script/style bodies,
     // comments, entities) then stripped — the cleaned text hash-checks
@@ -2675,6 +2696,56 @@ object SparkEntry {
         |  UNION ALL SELECT 2, pair, cnt FROM m2
         |  UNION ALL SELECT 3, pair, cnt FROM m3) u
         |ORDER BY step""".stripMargin,
+    // BPE encode: the same unrolled merge chain with word identity
+    // carried through; each doc word joins its final symbol state, the
+    // chr(1)-split of which IS its token sequence
+    "doc_bpe_encode" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |wf AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(nt, ' ')) AS word FROM nrm
+        |    WHERE length(nt) > 0) t
+        |  WHERE length(word) > 0 GROUP BY word),
+        |s0 AS (SELECT word, freq,
+        |         array_to_string(string_split(word, ''), chr(1)) AS sym
+        |       FROM wf),
+        |p1 AS (
+        |  SELECT concat(z[1], chr(1), z[2]) AS pair, sum(freq) AS cnt
+        |  FROM (SELECT freq, unnest(list_zip(string_split(sym, chr(1)),
+        |          string_split(sym, chr(1))[2:])) AS z FROM s0) t
+        |  WHERE z[2] IS NOT NULL GROUP BY 1),
+        |m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
+        |s1 AS (SELECT word, freq, replace(sym, (SELECT pair FROM m1),
+        |         replace((SELECT pair FROM m1), chr(1), '')) AS sym FROM s0),
+        |p2 AS (
+        |  SELECT concat(z[1], chr(1), z[2]) AS pair, sum(freq) AS cnt
+        |  FROM (SELECT freq, unnest(list_zip(string_split(sym, chr(1)),
+        |          string_split(sym, chr(1))[2:])) AS z FROM s1) t
+        |  WHERE z[2] IS NOT NULL GROUP BY 1),
+        |m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
+        |s2 AS (SELECT word, freq, replace(sym, (SELECT pair FROM m2),
+        |         replace((SELECT pair FROM m2), chr(1), '')) AS sym FROM s1),
+        |p3 AS (
+        |  SELECT concat(z[1], chr(1), z[2]) AS pair, sum(freq) AS cnt
+        |  FROM (SELECT freq, unnest(list_zip(string_split(sym, chr(1)),
+        |          string_split(sym, chr(1))[2:])) AS z FROM s2) t
+        |  WHERE z[2] IS NOT NULL GROUP BY 1),
+        |m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1),
+        |s3 AS (SELECT word, replace(sym, (SELECT pair FROM m3),
+        |         replace((SELECT pair FROM m3), chr(1), '')) AS sym FROM s2),
+        |dw AS (
+        |  SELECT doc_id, unnest(string_split(nt, ' ')) AS word FROM nrm
+        |  WHERE length(nt) > 0),
+        |tok AS (
+        |  SELECT doc_id, unnest(string_split(sym, chr(1))) AS token
+        |  FROM (SELECT doc_id, word FROM dw WHERE length(word) > 0) d
+        |  JOIN s3 USING (word))
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  count(DISTINCT token) AS n_distinct_tokens
+        |FROM tok GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // html strip: identical regexp/replace chain, 'g' flag everywhere
     // (DuckDB defaults to first-match-only); entity &amp; decoded last
     "doc_html_strip" ->

@@ -127,4 +127,52 @@ object Bpe {
     merges.foreach { m => sym = sym.replace(m.sym_a + Sep + m.sym_b, m.merged) }
     if (sym.isEmpty) Seq.empty else sym.split('\u0001').toSeq
   }
+
+  /** Per-task word→tokens memo bound: corpora repeat words heavily, so
+    * encoding each DISTINCT word once per task is the whole win; the cap
+    * keeps a pathological vocabulary from growing executor state. */
+  private val EncodeCacheCap = 1 << 16
+
+  /**
+   * Distributed BPE ENCODE — apply a learned merge table to a corpus:
+   * each document becomes its token sequence (document order preserved).
+   * The inference side of [[learnMerges]], same left-to-right
+   * non-overlapping replace rule, so `encode ∘ learn` round-trips
+   * exactly (a word that became one symbol during training encodes to
+   * that symbol).
+   *
+   * Scale shape: ONE tight per-row UDF pass — the merge table rides the
+   * task closure (vocabulary-sized, tiny), words memoize per task (see
+   * [[EncodeCacheCap]]), no shuffle, no per-element higher-order
+   * functions; the projection fuses into the scan. Encoding 100 TB is
+   * embarrassingly parallel.
+   */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+             merges: Seq[Merge]): DataFrame = {
+    val ms = merges.sortBy(_.step)
+      .map(m => (m.sym_a + Sep + m.sym_b, m.merged)).toArray
+    val cache = new java.util.HashMap[String, Array[String]]()
+    val encUdf = udf { (text: String) =>
+      def encWord(w: String): Array[String] = {
+        var toks = cache.get(w)
+        if (toks == null) {
+          var sym = w.toCharArray.mkString(Sep)
+          var i = 0
+          while (i < ms.length) {
+            sym = sym.replace(ms(i)._1, ms(i)._2)
+            i += 1
+          }
+          toks = sym.split('\u0001')
+          if (cache.size >= EncodeCacheCap) cache.clear()
+          cache.put(w, toks)
+        }
+        toks
+      }
+      val words = Dedup.normalizeTokens(text)
+      val out = new scala.collection.mutable.ArrayBuffer[String](words.length)
+      words.foreach { w => if (w.nonEmpty) out ++= encWord(w) }
+      out.toArray
+    }
+    docs.select(col(idCol), encUdf(col(textCol)).as("tokens"))
+  }
 }

@@ -49,4 +49,39 @@ class BpeSpec extends SparkTestBase {
       .as[(String, Long)].collect().toMap
     assert(got === Map("the" -> 2L, "quick" -> 2L, "fox" -> 2L))
   }
+
+  test("encode matches tokenizeWord word-by-word, in document order") {
+    val merges = Bpe.learnMerges(words, numMerges = 3)
+    val docs = Seq(
+      (1L, "Lowest, newest!"),
+      (2L, "the low lower"),
+      (3L, ""),
+      (4L, "unseen")
+    ).toDF("doc_id", "text")
+    val got = Bpe.encode(docs, "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("lo", "w", "est", "n", "e", "w", "est"))
+    assert(got(2L) ===
+      Seq("t", "h", "e") ++ Seq("lo", "w") ++ Seq("lo", "w", "e", "r"))
+    assert(got(3L) === Seq.empty)
+    assert(got(4L) === Seq("u", "n", "s", "e", "e", "n"))
+  }
+
+  test("encode with no merges is character tokenization") {
+    val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    val got = Bpe.encode(docs, "doc_id", "text", Seq.empty)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("a", "b", "c", "d"))
+  }
+
+  test("encode is partitioning-invariant (per-task memo is transparent)") {
+    val merges = Bpe.learnMerges(words, numMerges = 3)
+    val docs = (1L to 200L).map(i => (i, s"newest low newest wide$i"))
+      .toDF("doc_id", "text")
+    val a = Bpe.encode(docs.repartition(7), "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    val b = Bpe.encode(docs.coalesce(1), "doc_id", "text", merges)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(a === b)
+  }
 }
