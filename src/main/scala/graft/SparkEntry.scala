@@ -1478,6 +1478,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // bloom-prefiltered decontamination: EXACT same surviving set as the
+    // broadcast path (the sketch only prunes; an exact confirm join kills
+    // false positives), but the corpus gram stream is filtered map-side by
+    // a ~1.2 GB-per-10⁹-grams broadcast sketch instead of joining a full
+    // gram relation — the shape for benchmark sets too big to hash-broadcast
+    "doc_decontaminate_bloom" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text", "lang")
+      val bench = docs.filter(col("doc_id") % 97 === 0).select("text")
+      graft.pipeline.Decontaminate
+        .decontaminateBloom(docs, "doc_id", "text", bench, n = 5)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    }),
+
     // ==================================================================
     // Lexicon validate (reference flagship #2) + graph closest-match
     // ==================================================================
@@ -2391,6 +2405,26 @@ object SparkEntry {
         |FROM grams JOIN bgrams USING (gram)
         |WHERE gram <> ''
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the bloom path must land on EXACTLY the exact-join survivors: the
+    // sketch has one-sided error and false positives die in the confirm join
+    "doc_decontaminate_bloom" ->
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-3),
+        |      i -> array_to_string(w[i:i+4], ' ')) END)) AS gram
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM documents) t
+        |), bgrams AS (
+        |  SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0 AND gram <> ''
+        |), hits AS (
+        |  SELECT DISTINCT doc_id FROM grams JOIN bgrams USING (gram)
+        |  WHERE gram <> ''
+        |)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM hits)
+        |ORDER BY doc_id""".stripMargin,
     "doc_token_stats" ->
       """SELECT lang,
         |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -70,4 +70,48 @@ object Decontaminate {
       broadcastBenchmark).select(idCol)
     docs.join(hits, Seq(idCol), "left_anti")
   }
+
+  /**
+   * Bloom-prefiltered decontamination — EXACTLY the same surviving set as
+   * [[decontaminate]] (so it shares its deterministic oracle), with the
+   * scale shape for benchmark sets too large to broadcast as a hash
+   * relation:
+   *
+   *  - A [[org.apache.spark.util.sketch.BloomFilter]] is built over the
+   *    distinct benchmark grams (one aggregate job at call time; the sketch
+   *    lands on the driver) and broadcast. At 10⁹ grams and 1% fpp the
+   *    sketch is ~1.2 GB — broadcastable where the exact gram relation
+   *    (tens of GB hashed) is not.
+   *  - The 100 TB corpus gram stream is pruned MAP-SIDE by
+   *    `mightContain` before any join: only true hits plus the ~fpp false
+   *    positives ever reach an exchange.
+   *  - The survivors then exact-confirm against the real gram set (a
+   *    shuffled equi-join whose left side is the pruned trickle) — bloom
+   *    false positives die here, so the result is exact, not approximate.
+   *    No false negatives exist by the sketch's one-sided-error contract.
+   *
+   * This is Spark's runtime-bloom-filter pattern
+   * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) made explicit and
+   * composable for a semi-join the optimizer can't see through the gram
+   * explode.
+   */
+  def decontaminateBloom(docs: DataFrame, idCol: String, textCol: String,
+                         benchmark: DataFrame, n: Int,
+                         fpp: Double = 0.01): DataFrame = {
+    val spark = docs.sparkSession
+    val grams = benchmarkNgrams(benchmark, textCol, n)
+    // two actions over the SMALL benchmark side (count sizes the sketch for
+    // the target fpp; the aggregate builds it) — the corpus side stays lazy
+    val nGrams = math.max(grams.count(), 1L)
+    val sketch = grams.stat.bloomFilter("gram", nGrams, fpp)
+    val bc = spark.sparkContext.broadcast(sketch)
+    val mightContain = udf { g: String => g != null && bc.value.mightContainString(g) }
+    val hitIds = docs
+      .select(col(idCol), explode(Dedup.shinglesUdf(n)(col(textCol))).as("gram"))
+      .filter(length(col("gram")) > 0)
+      .filter(mightContain(col("gram")))
+      .join(grams, "gram")
+      .select(idCol).distinct()
+    docs.join(hitIds, Seq(idCol), "left_anti")
+  }
 }

@@ -61,6 +61,36 @@ class DecontaminateSpec extends SparkTestBase {
     assert(bcast === shuffled)
   }
 
+  test("bloom path returns exactly the exact-join survivors") {
+    val exact = Decontaminate.decontaminate(
+      trainDocs, "doc_id", "text", benchDocs, n = 5)
+      .select("doc_id").as[Long].collect().sorted
+    val bloomed = Decontaminate.decontaminateBloom(
+      trainDocs, "doc_id", "text", benchDocs, n = 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(bloomed === exact)
+    assert(bloomed === Array(3L, 4L))
+  }
+
+  test("bloom sketch has no false negatives over the benchmark grams") {
+    val grams = Decontaminate.benchmarkNgrams(benchDocs, "text", 5)
+      .as[String].collect()
+    val sketch = Decontaminate.benchmarkNgrams(benchDocs, "text", 5)
+      .stat.bloomFilter("gram", grams.length.max(1).toLong, 0.01)
+    grams.foreach(g => assert(sketch.mightContainString(g), g))
+  }
+
+  test("bloom path at sf0.001 agrees with the exact path on real text") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val bench = docs.filter(col("doc_id") % 97 === 0).select("text")
+    val exact = Decontaminate.decontaminate(docs, "doc_id", "text", bench, 5)
+      .select("doc_id").as[Long].collect().sorted
+    val bloomed = Decontaminate.decontaminateBloom(docs, "doc_id", "text", bench, 5)
+      .select("doc_id").as[Long].collect().sorted
+    assert(bloomed === exact)
+  }
+
   test("declared query agrees with a brute-force recompute at sf0.001") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")
