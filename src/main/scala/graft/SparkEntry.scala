@@ -2829,11 +2829,13 @@ object SparkEntry {
         |          regexp_replace(
         |            regexp_replace(
         |              regexp_replace(
-        |                regexp_replace(concat(sch, '://', host, rest),
-        |                  '#.*$', '', 'g'),
-        |                '(utm_[a-z]+|gclid|fbclid)=[^&#]*&?', '', 'g'),
-        |              '[?&]$', '', 'g'),
-        |            '\?&', '?', 'g'),
+        |                regexp_replace(
+        |                  regexp_replace(concat(sch, '://', host, rest),
+        |                    '#.*$', '', 'g'),
+        |                  '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*', '\1', 'g'),
+        |                '&&+', '&', 'g'),
+        |              '\?&', '?', 'g'),
+        |            '[?&]$', '', 'g'),
         |          '^(http://[^/:?#]+):80([/?]|$)', '\1\2', 'g'),
         |        '^(https://[^/:?#]+):443([/?]|$)', '\1\2', 'g'),
         |      '/$', '', 'g') AS canon

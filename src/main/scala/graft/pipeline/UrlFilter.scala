@@ -46,8 +46,11 @@ object UrlFilter {
    *
    *   1. scheme and host lowercase (path/query stay case-sensitive),
    *   2. fragment dropped (`#…` never reaches the server),
-   *   3. tracking params dropped (`utm_*`, `gclid`, `fbclid`), with
-   *      dangling `?`/`&` repair,
+   *   3. tracking params dropped (`utm_*`, `gclid`, `fbclid`) — the
+   *      param name is ANCHORED on its `?`/`&` delimiter so suffix
+   *      look-alikes survive (`?xgclid=v` keeps `xgclid`; `?my_fbclid=a`
+   *      and `?my_fbclid=b` stay distinct) — with `&&`/dangling-`?`/`&`
+   *      repair,
    *   4. default ports elided (`:80` on http, `:443` on https),
    *   5. one trailing slash dropped.
    *
@@ -61,10 +64,17 @@ object UrlFilter {
     val rest = regexp_replace(tail, "^[^/?#]*", "")
     val joined = concat(scheme, lit("://"), host, rest)
     val noFrag = regexp_replace(joined, "#.*$", "")
+    // Delimiter-anchored: a bare `(gclid|...)=...` would also match the
+    // SUFFIX of a longer param name (`?xgclid=v` → `?x`), merging URLs
+    // that are genuinely distinct. The captured `?`/`&` is restored and
+    // the trailing `&` of a dropped param is deliberately NOT consumed —
+    // consuming it would swallow the delimiter of an immediately
+    // following tracking param (`?utm_a=1&utm_b=2` would keep `utm_b`).
+    // Leftover `&&` runs / `?&` / trailing `?`/`&` are repaired below.
     val noUtm = regexp_replace(noFrag,
-      "(utm_[a-z]+|gclid|fbclid)=[^&#]*&?", "")
-    val noDangle = regexp_replace(regexp_replace(noUtm, "[?&]$", ""),
-      "\\?&", "?")
+      "([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*", "$1")
+    val noDangle = regexp_replace(regexp_replace(regexp_replace(noUtm,
+      "&&+", "&"), "\\?&", "?"), "[?&]$", "")
     val noPort = regexp_replace(regexp_replace(noDangle,
         "^(http://[^/:?#]+):80([/?]|$)", "$1$2"),
       "^(https://[^/:?#]+):443([/?]|$)", "$1$2")

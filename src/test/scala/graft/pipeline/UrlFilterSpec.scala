@@ -82,6 +82,18 @@ class UrlFilterSpec extends SparkTestBase {
       "https://x.com/a?id=5&utm_medium=m" -> "https://x.com/a?id=5",
       "https://x.com/a?utm_a=1&utm_b=2" -> "https://x.com/a",
       "https://x.com/a?gclid=zz" -> "https://x.com/a",
+      // three consecutive tracking params, then a kept one
+      "https://x.com/a?utm_a=1&gclid=2&utm_b=3&id=4" -> "https://x.com/a?id=4",
+      // kept param BETWEEN tracking params — the && run is repaired
+      "https://x.com/a?utm_a=1&id=5&utm_b=2&id2=6" ->
+        "https://x.com/a?id=5&id2=6",
+      // suffix look-alikes of tracking names are NOT tracking params:
+      // the delimiter anchor must keep them (unanchored regexes turned
+      // `?xgclid=v` into `?x` and merged distinct `?my_fbclid=…` URLs)
+      "https://x.com/a?xgclid=v" -> "https://x.com/a?xgclid=v",
+      "https://x.com/a?my_fbclid=a" -> "https://x.com/a?my_fbclid=a",
+      "https://x.com/a?my_fbclid=b" -> "https://x.com/a?my_fbclid=b",
+      "https://x.com/a?id=1&xutm_source=n" -> "https://x.com/a?id=1&xutm_source=n",
       // one trailing slash dropped
       "https://x.com/a/" -> "https://x.com/a",
       "https://x.com/" -> "https://x.com",
