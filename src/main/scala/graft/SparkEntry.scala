@@ -945,12 +945,15 @@ object SparkEntry {
     }),
 
     // BPE merge learning (tokenizer training): corpus → word-frequency
-    // table (the one corpus-sized pass) → 3 weighted pair-count rounds
-    // with portable tie-breaks → the merge table, hash-checked against
-    // a DuckDB oracle that unrolls the identical rounds
+    // table (the one corpus-sized pass, materialized ONCE) → 16 weighted
+    // pair-count rounds with portable tie-breaks — enough rounds to
+    // exercise the mid-loop symbol re-checkpoint (CheckpointInterval=8)
+    // — → the merge table, hash-checked against a DuckDB oracle that
+    // unrolls the identical rounds and mirrors the cnt>=2 early-stop
     "doc_bpe_merges" -> ((s, dir) => {
       graft.analysis.Bpe.learnMergesDf(s,
-        tbl(s, dir, "documents").select("text"), "text", numMerges = 3)
+        tbl(s, dir, "documents").select("text"), "text",
+        numMerges = BpeMergeRounds)
         .orderBy("step")
     }),
 
@@ -1562,6 +1565,38 @@ object SparkEntry {
         .orderBy("id")
     })
   )
+
+  /** BPE merge rounds the doc_bpe_merges driver query learns — chosen
+    * > [[graft.analysis.Bpe.CheckpointInterval]] so the driver gate
+    * exercises the mid-loop re-checkpoint path, not just the unrolled
+    * toy depth. */
+  val BpeMergeRounds = 16
+
+  /** Unrolled DuckDB CTE chain for n BPE merge rounds: p_k (weighted
+    * adjacent-pair counts), m_k (argmax with the portable cnt DESC /
+    * pair ASC tie-break), s_k (merge applied as the same literal
+    * replace). `carryWord` keeps the word column through the symbol
+    * states — the encode oracle joins doc words to their final state.
+    * Every CTE is MATERIALIZED: s_k and m_k are each referenced twice,
+    * so letting the optimizer inline them doubles the expanded plan per
+    * round — 2^n base-table scans by round n, which at n=16 exhausts
+    * file handles before it exhausts patience. */
+  private def bpeRoundCtes(n: Int, carryWord: Boolean): String = {
+    val cols = if (carryWord) "word, freq" else "freq"
+    (1 to n).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT concat(z[1], chr(1), z[2]) AS pair, sum(freq) AS cnt
+         |  FROM (SELECT freq, unnest(list_zip(string_split(sym, chr(1)),
+         |          string_split(sym, chr(1))[2:])) AS z FROM s${k - 1}) t
+         |  WHERE z[2] IS NOT NULL GROUP BY 1),
+         |m$k AS MATERIALIZED (
+         |  SELECT pair, cnt FROM p$k ORDER BY cnt DESC, pair LIMIT 1),
+         |s$k AS MATERIALIZED (
+         |  SELECT $cols, replace(sym, (SELECT pair FROM m$k),
+         |         replace((SELECT pair FROM m$k), chr(1), '')) AS sym FROM s${k - 1})"""
+        .stripMargin
+    }.mkString(",\n")
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -2686,8 +2721,16 @@ object SparkEntry {
         |FROM s""".stripMargin,
     // BPE: chr(1)-joined symbols, list_zip adjacent pairs (zip pads with
     // NULL — filtered), argmax by (cnt DESC, pair ASC), merge applied as
-    // the same literal replace; three unrolled rounds
-    "doc_bpe_merges" ->
+    // the same literal replace; BpeMergeRounds generator-unrolled rounds.
+    // WHERE cnt >= 2 mirrors the operator's early-stop: once the best
+    // pair count drops below 2 it can never recover (a merge never
+    // raises an untouched pair's count, and pairs minted by a cnt<2
+    // merge inherit count <= that cnt), so filtering the unrolled tail
+    // is exactly the operator's stop
+    "doc_bpe_merges" -> {
+      val unioned = (1 to BpeMergeRounds)
+        .map(k => s"SELECT $k AS step, pair, cnt FROM m$k")
+        .mkString(" UNION ALL\n  ")
       """WITH nrm AS (
         |  SELECT trim(regexp_replace(regexp_replace(
         |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
@@ -2697,39 +2740,20 @@ object SparkEntry {
         |    SELECT unnest(string_split(nt, ' ')) AS word FROM nrm
         |    WHERE length(nt) > 0) t
         |  WHERE length(word) > 0 GROUP BY word),
-        |s0 AS (SELECT freq,
+        |s0 AS MATERIALIZED (
+        |       SELECT freq,
         |         array_to_string(string_split(word, ''), chr(1)) AS sym
         |       FROM wf),
-        |p1 AS (
-        |  SELECT concat(z[1], chr(1), z[2]) AS pair, sum(freq) AS cnt
-        |  FROM (SELECT freq, unnest(list_zip(string_split(sym, chr(1)),
-        |          string_split(sym, chr(1))[2:])) AS z FROM s0) t
-        |  WHERE z[2] IS NOT NULL GROUP BY 1),
-        |m1 AS (SELECT pair, cnt FROM p1 ORDER BY cnt DESC, pair LIMIT 1),
-        |s1 AS (SELECT freq, replace(sym, (SELECT pair FROM m1),
-        |         replace((SELECT pair FROM m1), chr(1), '')) AS sym FROM s0),
-        |p2 AS (
-        |  SELECT concat(z[1], chr(1), z[2]) AS pair, sum(freq) AS cnt
-        |  FROM (SELECT freq, unnest(list_zip(string_split(sym, chr(1)),
-        |          string_split(sym, chr(1))[2:])) AS z FROM s1) t
-        |  WHERE z[2] IS NOT NULL GROUP BY 1),
-        |m2 AS (SELECT pair, cnt FROM p2 ORDER BY cnt DESC, pair LIMIT 1),
-        |s2 AS (SELECT freq, replace(sym, (SELECT pair FROM m2),
-        |         replace((SELECT pair FROM m2), chr(1), '')) AS sym FROM s1),
-        |p3 AS (
-        |  SELECT concat(z[1], chr(1), z[2]) AS pair, sum(freq) AS cnt
-        |  FROM (SELECT freq, unnest(list_zip(string_split(sym, chr(1)),
-        |          string_split(sym, chr(1))[2:])) AS z FROM s2) t
-        |  WHERE z[2] IS NOT NULL GROUP BY 1),
-        |m3 AS (SELECT pair, cnt FROM p3 ORDER BY cnt DESC, pair LIMIT 1)
-        |SELECT step, string_split(pair, chr(1))[1] AS sym_a,
+        |""".stripMargin +
+      bpeRoundCtes(BpeMergeRounds, carryWord = false) + "\n" +
+      """SELECT step, string_split(pair, chr(1))[1] AS sym_a,
         |  string_split(pair, chr(1))[2] AS sym_b,
         |  replace(pair, chr(1), '') AS merged, CAST(cnt AS BIGINT) AS cnt
         |FROM (
-        |  SELECT 1 AS step, pair, cnt FROM m1
-        |  UNION ALL SELECT 2, pair, cnt FROM m2
-        |  UNION ALL SELECT 3, pair, cnt FROM m3) u
-        |ORDER BY step""".stripMargin,
+        |  """.stripMargin + unioned + """) u
+        |WHERE cnt >= 2
+        |ORDER BY step""".stripMargin
+    },
     // BPE encode: the same unrolled merge chain with word identity
     // carried through; each doc word joins its final symbol state, the
     // chr(1)-split of which IS its token sequence

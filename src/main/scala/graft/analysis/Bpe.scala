@@ -29,6 +29,18 @@ import graft.dedup.Dedup
  * (the driver-side routing-constant pattern); rounds run on the
  * vocabulary table, so `numMerges` rounds cost `numMerges` tiny jobs
  * after the single corpus pass.
+ *
+ * Lineage discipline (real tokenizer training is numMerges ≈ 32k, not
+ * 3): the word-frequency table is MATERIALIZED once before the round
+ * loop — without that, round k's lazy plan re-executes the corpus
+ * aggregation plus all k−1 prior replaces, i.e. numMerges+1 corpus
+ * passes — and the symbol column is re-checkpointed every
+ * [[CheckpointInterval]] rounds with the superseded round's blocks
+ * released eagerly (the connectedComponents precedent in
+ * [[graft.dedup.Dedup]]), so plan depth and executor storage stay
+ * bounded no matter how many merges are learned. Reliable
+ * `checkpoint()` is used when the caller configured a checkpoint dir
+ * (do so on a real cluster); `localCheckpoint()` otherwise.
  */
 object Bpe {
 
@@ -84,10 +96,25 @@ object Bpe {
    * twice (a merge that fires once is noise, and DuckDB's LIMIT-1 oracle
    * would tie-break among count-1 pairs meaninglessly).
    */
+  /** Rounds between symbol-column re-checkpoints: each round's job pays
+    * at most this many stacked literal replaces over the last
+    * materialization, and executor storage holds at most two round
+    * states (current + the one being superseded) at any instant. */
+  val CheckpointInterval = 8
+
   def learnMerges(words: DataFrame, numMerges: Int): Seq[Merge] = {
     require(numMerges >= 1, "numMerges must be at least 1")
-    var syms = words.select(col("freq"),
-      charJoinUdf(col("word")).as("sym"))
+    val sc = words.sparkSession.sparkContext
+    val reliable = sc.getCheckpointDir.isDefined
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+
+    // The ONE corpus pass: word frequencies (plus the char join)
+    // materialize before the loop, so every round after runs on the
+    // vocabulary-sized table — never back through the corpus scan.
+    var syms = materialize(words.select(col("freq"),
+      charJoinUdf(col("word")).as("sym")))
+    var sinceCheckpoint = 0
     val out = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var step = 1
     var done = false
@@ -106,9 +133,17 @@ object Bpe {
         out += Merge(step, a, b, a + b, cnt)
         syms = syms.withColumn("sym",
           replace(col("sym"), lit(pair), lit(a + b)))
+        sinceCheckpoint += 1
+        if (sinceCheckpoint >= CheckpointInterval) {
+          val next = materialize(syms)
+          Dedup.release(syms) // superseded round's blocks, eagerly
+          syms = next
+          sinceCheckpoint = 0
+        }
         step += 1
       }
     }
+    Dedup.release(syms) // the result is driver-side; free the last round
     out.toSeq
   }
 

@@ -43,6 +43,65 @@ class BpeSpec extends SparkTestBase {
     assert(Bpe.learnMerges(w, numMerges = 5).isEmpty)
   }
 
+  /** Driver-side reference BPE (same counting + tie-break + replace
+    * rules) to pin deep runs without trusting the implementation. */
+  private def referenceMerges(ws: Seq[(String, Long)], n: Int): Seq[Bpe.Merge] = {
+    var syms = ws.map { case (w, f) => (w.toCharArray.map(_.toString).toSeq, f) }
+    val out = Seq.newBuilder[Bpe.Merge]
+    var step = 1
+    var done = false
+    while (step <= n && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      syms.foreach { case (s, f) =>
+        s.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ => ()
+        }
+      }
+      val best = counts.toSeq
+        .sortBy { case ((a, b), c) => (-c, a + Bpe.Sep + b) }.headOption
+      best match {
+        case Some(((a, b), c)) if c >= 2L =>
+          out += Bpe.Merge(step, a, b, a + b, c)
+          syms = syms.map { case (s, f) =>
+            val r = Seq.newBuilder[String]
+            var i = 0
+            while (i < s.length) {
+              if (i + 1 < s.length && s(i) == a && s(i + 1) == b) {
+                r += a + b; i += 2
+              } else { r += s(i); i += 1 }
+            }
+            (r.result(), f)
+          }
+          step += 1
+        case _ => done = true
+      }
+    }
+    out.result()
+  }
+
+  test("deep runs cross the re-checkpoint boundary and stay correct") {
+    // enough structure for > CheckpointInterval merges with cnt >= 2
+    val ws = Seq(
+      ("abcdefgh", 9L), ("abcdefg", 8L), ("abcdef", 7L), ("abcde", 6L),
+      ("abcd", 5L), ("abc", 4L), ("hgfedcba", 3L), ("aabbccdd", 2L),
+      ("xyxyxyxy", 4L), ("wvwvwv", 3L))
+    val n = Bpe.CheckpointInterval * 2 + 3 // forces >= 2 mid-loop checkpoints
+    val got = Bpe.learnMerges(ws.toDF("word", "freq"), n)
+    val want = referenceMerges(ws, n)
+    assert(got.length > Bpe.CheckpointInterval,
+      s"fixture too sparse to cross the checkpoint boundary: ${got.length}")
+    assert(got === want)
+  }
+
+  test("learnMerges releases every checkpoint block it materializes") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Bpe.learnMerges(words, numMerges = Bpe.CheckpointInterval + 2)
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert((after -- before).isEmpty,
+      s"leaked checkpoint blocks: ${after -- before}")
+  }
+
   test("wordFrequencies uses the canonical normalization") {
     val docs = Seq((1L, "The QUICK fox! the quick-fox")).toDF("doc_id", "text")
     val got = Bpe.wordFrequencies(docs, "text")
