@@ -1536,11 +1536,20 @@ object SparkEntry {
     // ==================================================================
     // Multimodal plumbing (binary payload + typed metadata; decode stubbed)
     // ==================================================================
+    // media features through the REAL decode path: the synthetic
+    // payloads are genuine P6 PPM / concatenated-P6 / RIFF-PCM WAV
+    // bytes, parsed by dependency-free format decoders; the oracle
+    // recomputes mean luma and the first/last histogram bins from the
+    // deterministic fixture-stream formula, so a decoder that misparses
+    // a header, frame boundary, or sample hash-mismatches immediately
     "media_features" -> ((s, dir) => {
       Multimodal.extractFeatures(
         Multimodal.syntheticMedia(tbl(s, dir, "documents"), "doc_id", "text"))
         .toDF()
-        .select(col("id"), col("media_type"), col("byte_len"))
+        .select(col("id"), col("media_type"), col("byte_len"),
+          col("mean_luma"),
+          element_at(col("histogram"), 1).as("h_first"),
+          element_at(col("histogram"), 16).as("h_last"))
         .orderBy("id")
     }),
 
@@ -3258,24 +3267,55 @@ object SparkEntry {
         |    '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))
         |  ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+    // media: payloads are real P6/WAV bytes whose CONTENT is the
+    // deterministic fixture stream D(k) = (textByte[k mod L] + k) mod
+    // 256 — recomputed here from (doc_id, text) directly (corpus is
+    // ASCII, so byte == codepoint), which checks the Spark-side
+    // encode→parse→feature chain end-to-end. Decoded element counts:
+    // image/audio w*h*3, video n_frames*w*h*3.
     "media_features" ->
-      """SELECT doc_id AS id,
-        |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-        |    ELSE 'video' END AS media_type,
-        |  octet_length(encode(text)) AS byte_len
-        |FROM documents ORDER BY id""".stripMargin,
+      """WITH m AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS l,
+        |    16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h,
+        |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |      ELSE 'video' END AS mt,
+        |    CASE WHEN doc_id % 3 = 2 THEN 8 + doc_id % 8 ELSE 1 END AS nf
+        |  FROM documents),
+        |n AS (SELECT doc_id, text, l, mt, CAST(nf * w * h * 3 AS BIGINT) AS nb
+        |      FROM m),
+        |ks AS (SELECT doc_id, text, l, mt, nb,
+        |         unnest(generate_series(0, nb - 1)) AS k FROM n),
+        |d AS (SELECT doc_id, mt, nb,
+        |        CASE WHEN l = 0 THEN k % 256
+        |          ELSE (unicode(substr(text, CAST(k % l AS INT) + 1, 1)) + k) % 256
+        |        END AS val
+        |      FROM ks)
+        |SELECT doc_id AS id, mt AS media_type, CAST(nb AS INT) AS byte_len,
+        |  CAST(sum(val) AS DOUBLE) / nb AS mean_luma,
+        |  CAST(sum(CASE WHEN val < 16 THEN 1 ELSE 0 END) AS DOUBLE) / nb AS h_first,
+        |  CAST(sum(CASE WHEN val >= 240 THEN 1 ELSE 0 END) AS DOUBLE) / nb AS h_last
+        |FROM d GROUP BY doc_id, mt, nb ORDER BY id""".stripMargin,
     "media_frames" ->
       """SELECT doc_id AS id,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN (8 + doc_id % 8 + 1) // 2
         |    ELSE 1 END AS BIGINT) AS n_frames
         |FROM documents ORDER BY id""".stripMargin,
     "media_resized" ->
-      """SELECT doc_id AS id,
-        |  unicode(substr(text, 1, 1)) / 255.0 AS r_first,
-        |  unicode(substr(text,
-        |    CAST(15 * octet_length(encode(text)) // 16 AS INT) + 1, 1)) / 255.0
-        |    AS r_last
-        |FROM documents ORDER BY id""".stripMargin,
+      """WITH m AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS l,
+        |    CAST((CASE WHEN doc_id % 3 = 2 THEN 8 + doc_id % 8 ELSE 1 END)
+        |      * (16 + doc_id % 16) * (16 + doc_id % 8) * 3 AS BIGINT) AS nb
+        |  FROM documents),
+        |s AS (SELECT doc_id, text, l, CAST(15 * nb // 16 AS BIGINT) AS src
+        |      FROM m)
+        |SELECT doc_id AS id,
+        |  CASE WHEN l = 0 THEN 0.0
+        |    ELSE (unicode(substr(text, 1, 1)) % 256) / 255.0 END AS r_first,
+        |  CASE WHEN l = 0 THEN CAST(src % 256 AS DOUBLE) / 255.0
+        |    ELSE ((unicode(substr(text, CAST(src % l AS INT) + 1, 1)) + src) % 256)
+        |      / 255.0
+        |  END AS r_last
+        |FROM s ORDER BY id""".stripMargin,
     "emb_top1_brute" ->
       """SELECT query_id, vec_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /**
@@ -9,12 +9,26 @@ import org.apache.spark.sql.functions._
  * decode / feature-extract / resize / frame-sample run as partition-local
  * batch transforms.
  *
- * The actual codec step is STUBBED — this container has no image/audio
- * libraries — behind `decodeStub`, a deterministic fake that derives pixel
- * dimensions and "pixels" from the payload bytes. Everything around it is
- * real and load-bearing: the schema contract, the mapPartitions batching
- * (one decoder init per partition, not per row — the Spark-side shape a
- * JNI/FFMPEG decoder needs), partition sizing, and null/corrupt handling.
+ * The decode step is REAL, dependency-free JVM parsing of two public
+ * formats (no image/audio libraries exist in this container, and none are
+ * needed for these):
+ *
+ *  - **PPM (P6)** for image rows — the Netpbm binary RGB format: ASCII
+ *    header `P6 <width> <height> <maxval>` with `#` comments, one
+ *    whitespace byte, then `width*height*3` raw bytes. Video rows are a
+ *    concatenated P6 frame sequence (the Netpbm convention for streams —
+ *    `ppmtoy4m` et al. consume exactly this shape).
+ *  - **WAV (RIFF/PCM)** for audio rows — canonical RIFF container walked
+ *    chunk-by-chunk (unknown chunks skipped by their declared size, the
+ *    rule real files demand — LIST/INFO chunks abound), `fmt ` parsed for
+ *    PCM/mono/16-bit, `data` samples decoded s16le → unsigned 8-bit.
+ *
+ * The decoders accept ANY valid P6/WAV payload, not just the synthetic
+ * fixture; corrupt or truncated payloads yield empty output instead of
+ * failing the task. A real pipeline swaps [[decodeFrames]]'s dispatch for
+ * JPEG/H.264 via JNI — everything around it (schema contract,
+ * mapPartitions batching with one decoder state per partition, partition
+ * sizing, null/corrupt handling) is the shape that decoder drops into.
  */
 object Multimodal {
 
@@ -30,10 +44,198 @@ object Multimodal {
 
   final case class FrameRow(id: Long, frame_idx: Int, frame: Array[Byte])
 
+  // ------------------------------------------------------------------
+  // Real codecs (public formats, dependency-free)
+  // ------------------------------------------------------------------
+
+  /** Encode one P6 PPM image (maxval 255). */
+  def encodePpm(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3,
+      s"P6 needs w*h*3 = ${w * h * 3} bytes, got ${rgb.length}")
+    val header = s"P6\n$w $h\n255\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](header.length + rgb.length)
+    System.arraycopy(header, 0, out, 0, header.length)
+    System.arraycopy(rgb, 0, out, header.length, rgb.length)
+    out
+  }
+
+  /** Parse one P6 frame at `off`: (width, height, rgb, bytesConsumed).
+    * Handles the full header grammar — any whitespace run between
+    * tokens, `#` comments to end-of-line, exactly one whitespace byte
+    * after maxval. None on anything malformed or truncated. */
+  def decodePpm(bytes: Array[Byte], off: Int): Option[(Int, Int, Array[Byte], Int)] = {
+    var i = off
+    def eof = i >= bytes.length
+    def skipSpaceAndComments(): Unit = {
+      var moving = true
+      while (moving && !eof) {
+        val c = bytes(i)
+        if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 0x0b) i += 1
+        else if (c == '#') { while (!eof && bytes(i) != '\n') i += 1 }
+        else moving = false
+      }
+    }
+    def readInt(): Option[Int] = {
+      skipSpaceAndComments()
+      var v = 0L
+      var any = false
+      while (!eof && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0')
+        if (v > Int.MaxValue) return None
+        any = true
+        i += 1
+      }
+      if (any) Some(v.toInt) else None
+    }
+    if (i + 2 > bytes.length || bytes(i) != 'P' || bytes(i + 1) != '6') return None
+    i += 2
+    (readInt(), readInt(), readInt()) match {
+      case (Some(w), Some(h), Some(maxval))
+          if maxval == 255 && w > 0 && h > 0 &&
+            // overflow-safe raster size; reject before allocating
+            w.toLong * h * 3 <= Int.MaxValue &&
+            // exactly ONE whitespace byte separates maxval from raster data
+            !eof && (bytes(i) == '\n' || bytes(i) == ' ' ||
+              bytes(i) == '\t' || bytes(i) == '\r') =>
+        i += 1
+        val n = w * h * 3
+        if (i.toLong + n > bytes.length) None
+        else Some((w, h, java.util.Arrays.copyOfRange(bytes, i, i + n), i + n - off))
+      case _ => None
+    }
+  }
+
+  /** Encode a canonical 16-bit mono PCM WAV. */
+  def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes).putInt(36 + dataLen).put("WAVE".getBytes)
+    buf.put("fmt ".getBytes).putInt(16)
+      .putShort(1)                    // PCM
+      .putShort(1)                    // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)         // byte rate
+      .putShort(2)                    // block align
+      .putShort(16)                   // bits per sample
+    buf.put("data".getBytes).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Parse a RIFF/WAVE payload (PCM, mono, 16-bit) into unsigned 8-bit
+    * samples (`(s16 >> 8) + 128` — the standard 16→8 requantization).
+    * Walks the chunk list generically, skipping unknown chunks by their
+    * declared (word-aligned) size. None on malformed/unsupported. */
+  def decodeWav(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes.length < 12) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag4(at: Int): String =
+      if (at + 4 > bytes.length) ""
+      else new String(bytes, at, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (tag4(0) != "RIFF" || tag4(8) != "WAVE") return None
+    var pos = 12
+    var fmtOk = false
+    var data: Array[Byte] = null
+    while (pos + 8 <= bytes.length && (data == null || !fmtOk)) {
+      val id = tag4(pos)
+      val size = buf.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      id match {
+        case "fmt " =>
+          if (size < 16) return None
+          val audioFormat = buf.getShort(pos + 8)
+          val channels = buf.getShort(pos + 10)
+          val bits = buf.getShort(pos + 22)
+          if (audioFormat != 1 || channels != 1 || bits != 16) return None
+          fmtOk = true
+        case "data" =>
+          data = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + size)
+        case _ => () // LIST, fact, cue … — skip by declared size
+      }
+      pos += 8 + size + (size & 1) // RIFF chunks are word-aligned
+    }
+    if (!fmtOk || data == null || data.length % 2 != 0) return None
+    val out = new Array[Byte](data.length / 2)
+    val db = java.nio.ByteBuffer.wrap(data).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((db.getShort(i * 2) >> 8) + 128).toByte
+      i += 1
+    }
+    Some(out)
+  }
+
   /**
-   * Attach a binary payload + metadata struct to any table (here derived
+   * Decode a payload into its frame list by sniffing the container magic
+   * (the way real demuxers dispatch — the metadata is advisory):
+   * `P6` → one or more concatenated PPM frames (image = 1, video = many),
+   * `RIFF` → one WAV "frame" of 8-bit-requantized samples. Corrupt,
+   * truncated, or unknown payloads yield no frames — never a task failure.
+   */
+  def decodeFrames(payload: Array[Byte]): IndexedSeq[Array[Byte]] = {
+    if (payload == null || payload.length < 2) return Vector.empty
+    if (payload(0) == 'P' && payload(1) == '6') {
+      val frames = Vector.newBuilder[Array[Byte]]
+      var off = 0
+      var ok = true
+      while (ok && off < payload.length) {
+        decodePpm(payload, off) match {
+          case Some((_, _, px, consumed)) =>
+            frames += px
+            off += consumed
+          case None => ok = false // trailing garbage invalidates nothing decoded
+        }
+      }
+      if (ok) frames.result() else Vector.empty
+    } else if (payload.length >= 4 && payload(0) == 'R' && payload(1) == 'I'
+               && payload(2) == 'F' && payload(3) == 'F') {
+      decodeWav(payload).map(Vector(_)).getOrElse(Vector.empty)
+    } else Vector.empty
+  }
+
+  /** All decoded frames concatenated into one sample/pixel stream. */
+  private def decodeAll(payload: Array[Byte]): Array[Byte] = {
+    val frames = decodeFrames(payload)
+    if (frames.isEmpty) Array.emptyByteArray
+    else if (frames.length == 1) frames.head
+    else {
+      val out = new Array[Byte](frames.map(_.length).sum)
+      var at = 0
+      frames.foreach { f =>
+        System.arraycopy(f, 0, out, at, f.length)
+        at += f.length
+      }
+      out
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // Synthetic fixture (real bytes, deterministic content)
+  // ------------------------------------------------------------------
+
+  /** Deterministic fixture stream: element k is
+    * `(textByte[k mod L] + k) mod 256` (`k mod 256` for empty text) —
+    * recomputable in SQL, so the oracle can check features produced by
+    * the REAL decode path end-to-end. */
+  private def fixtureStream(text: Array[Byte], n: Int): Array[Byte] = {
+    val out = new Array[Byte](n)
+    val l = text.length
+    var k = 0
+    while (k < n) {
+      out(k) = (if (l == 0) k else (text(k % l) & 0xFF) + k).toByte
+      k += 1
+    }
+    out
+  }
+
+  /**
+   * Attach a binary payload + metadata struct to any table, derived
    * deterministically from an id + text column so the fixture reproduces
-   * at every scale factor — stands in for `spark.read.format("binaryFile")`).
+   * at every scale factor (stands in for `spark.read.format("binaryFile")`).
+   * Payloads are REAL format bytes: P6 PPM for images, concatenated P6
+   * frames for video, RIFF/PCM WAV for audio — so the decode side
+   * exercises genuine parsers, and any external P6/WAV tool reads them.
    */
   def syntheticMedia(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = df.sparkSession
@@ -41,31 +243,45 @@ object Multimodal {
     df.select(col(idCol).cast("long"), col(textCol).cast("string")).map { row =>
       val id = row.getLong(0)
       val text = row.getString(1)
-      val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      val mt = (id % 3) match {
-        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val w = 16 + (id % 16).toInt
+      val h = 16 + (id % 8).toInt
+      val perFrame = w * h * 3
+      (id % 3) match {
+        case 0 =>
+          val payload = encodePpm(w, h, fixtureStream(tb, perFrame))
+          MediaRow(id, payload, MediaMeta("image", w, h, 1, 0))
+        case 1 =>
+          val u8 = fixtureStream(tb, perFrame)
+          val samples = new Array[Short](u8.length)
+          var i = 0
+          while (i < u8.length) {
+            samples(i) = (((u8(i) & 0xFF) - 128) << 8).toShort
+            i += 1
+          }
+          MediaRow(id, encodeWav(16000, samples),
+            MediaMeta("audio", w, h, 1, 16000))
+        case _ =>
+          val nf = 8 + (id % 8).toInt
+          val all = fixtureStream(tb, nf * perFrame)
+          val out = new java.io.ByteArrayOutputStream()
+          var f = 0
+          while (f < nf) {
+            out.write(encodePpm(w, h,
+              java.util.Arrays.copyOfRange(all, f * perFrame, (f + 1) * perFrame)))
+            f += 1
+          }
+          MediaRow(id, out.toByteArray, MediaMeta("video", w, h, nf, 0))
       }
-      MediaRow(id, payload, MediaMeta(mt,
-        width = 16 + (id % 16).toInt, height = 16 + (id % 8).toInt,
-        n_frames = if (mt == "video") 8 + (id % 8).toInt else 1,
-        sample_rate = if (mt == "audio") 16000 else 0))
     }
   }
 
   /**
-   * STUB decoder: a real pipeline would decode the codec here (JPEG/PCM/
-   * H.264 via a native library). The deterministic fake returns the raw
-   * payload bytes as "pixels" so downstream feature math is testable.
-   */
-  private def decodeStub(payload: Array[Byte], meta: MediaMeta): Array[Byte] =
-    if (payload == null) Array.emptyByteArray else payload
-
-  /**
    * Feature extraction over media batches: one `mapPartitions` pass,
    * decoder state initialized once per partition (the batch shape that
-   * amortizes native-decoder init at scale), 16-bin byte histogram +
-   * mean luminance per row. Corrupt/null payloads yield empty features
-   * instead of failing the task.
+   * amortizes native-decoder init at scale), 16-bin histogram + mean
+   * luminance per row over the REAL decoded samples. Corrupt/null
+   * payloads yield empty features instead of failing the task.
    */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
@@ -75,7 +291,7 @@ object Multimodal {
       val histBuf = new Array[Double](16)
       rows.map { m =>
         java.util.Arrays.fill(histBuf, 0.0)
-        val px = decodeStub(m.payload, m.meta)
+        val px = decodeAll(m.payload)
         var i = 0
         var lumaSum = 0.0
         while (i < px.length) {
@@ -92,37 +308,35 @@ object Multimodal {
   }
 
   /**
-   * Frame sampling for video rows: every `stride`-th frame index becomes a
-   * row (payload sliced deterministically — stands in for keyframe
-   * extraction). Non-video rows pass through as frame 0.
+   * Frame sampling for video rows: every `stride`-th DECODED frame
+   * becomes a row (stands in for keyframe extraction — with P6 streams
+   * the frame boundaries come from the parser, not arithmetic).
+   * Non-video rows pass through as frame 0.
    */
   def sampleFrames(media: Dataset[MediaRow], stride: Int = 2): Dataset[FrameRow] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.flatMap { m =>
-      if (m.meta.media_type != "video" || m.meta.n_frames <= 1) {
-        Iterator.single(FrameRow(m.id, 0, decodeStub(m.payload, m.meta)))
+      val frames = decodeFrames(m.payload)
+      if (frames.length <= 1) {
+        Iterator.single(FrameRow(m.id, 0,
+          frames.headOption.getOrElse(Array.emptyByteArray)))
       } else {
-        val px = decodeStub(m.payload, m.meta)
-        val chunk = math.max(px.length / m.meta.n_frames, 1)
-        (0 until m.meta.n_frames by stride).iterator.map { f =>
-          val from = math.min(f * chunk, px.length)
-          val until = math.min(from + chunk, px.length)
-          FrameRow(m.id, f, java.util.Arrays.copyOfRange(px, from, until))
-        }
+        (0 until frames.length by stride).iterator.map(f =>
+          FrameRow(m.id, f, frames(f)))
       }
     }
   }
 
   /**
-   * "Resize": re-bucket the fake pixels to a fixed-size feature array
+   * "Resize": re-bucket the decoded samples to a fixed-size feature array
    * (stands in for bilinear resize to a model's input resolution).
    */
   def resizeTo(media: Dataset[MediaRow], targetLen: Int): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.map { m =>
-      val px = decodeStub(m.payload, m.meta)
+      val px = decodeAll(m.payload)
       val out = new Array[Double](targetLen)
       if (px.nonEmpty) {
         var i = 0

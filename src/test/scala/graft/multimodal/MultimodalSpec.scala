@@ -59,4 +59,84 @@ class MultimodalSpec extends SparkTestBase {
     val f = Multimodal.extractFeatures(bad).collect()
     assert(f.length === 1 && f(0).byte_len === 0)
   }
+
+  // ---- codec-level tests: the decoders are real format parsers ----
+
+  test("PPM round-trips and the parser handles the full header grammar") {
+    val rgb = Array.tabulate(4 * 3 * 3)(i => (i * 7 % 256).toByte)
+    val enc = Multimodal.encodePpm(4, 3, rgb)
+    val Some((w, h, px, consumed)) = Multimodal.decodePpm(enc, 0)
+    assert((w, h) === (4, 3) && consumed === enc.length)
+    assert(px.toSeq === rgb.toSeq)
+    // hand-built header: comments and mixed whitespace between tokens
+    val weird = "P6 # a comment\n  4\t3 #another\n255\n"
+      .getBytes("US-ASCII") ++ rgb
+    val Some((w2, h2, px2, _)) = Multimodal.decodePpm(weird, 0)
+    assert((w2, h2) === (4, 3) && px2.toSeq === rgb.toSeq)
+    // truncated raster, wrong magic, wrong maxval all reject
+    assert(Multimodal.decodePpm(enc.dropRight(1), 0).isEmpty)
+    assert(Multimodal.decodePpm("P5\n4 3\n255\n".getBytes ++ rgb, 0).isEmpty)
+    assert(Multimodal.decodePpm("P6\n4 3\n65535\n".getBytes ++ rgb, 0).isEmpty)
+  }
+
+  test("WAV round-trips, skips foreign RIFF chunks, rejects non-PCM-mono-16") {
+    val u8 = Array.tabulate(300)(i => (i * 11 % 256))
+    val samples = u8.map(v => ((v - 128) << 8).toShort)
+    val enc = Multimodal.encodeWav(16000, samples)
+    assert(Multimodal.decodeWav(enc).get.map(_ & 0xFF).toSeq === u8.toSeq)
+    // splice a LIST chunk between fmt and data — real files have these
+    val listChunk = "LIST".getBytes ++ Array[Byte](6, 0, 0, 0) ++
+      "INFOxy".getBytes
+    val spliced = enc.take(36) ++ listChunk ++ enc.drop(36)
+    // fix the RIFF size field
+    val bb = java.nio.ByteBuffer.wrap(spliced)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(4, spliced.length - 8)
+    assert(Multimodal.decodeWav(spliced).get.map(_ & 0xFF).toSeq === u8.toSeq)
+    // stereo (channels=2) rejects
+    val stereo = enc.clone()
+    java.nio.ByteBuffer.wrap(stereo).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(22, 2)
+    assert(Multimodal.decodeWav(stereo).isEmpty)
+    assert(Multimodal.decodeWav("RIFFxxxxNOPE".getBytes).isEmpty)
+  }
+
+  test("concatenated P6 frames decode to the frame list; truncation rejects") {
+    val f0 = Array.tabulate(2 * 2 * 3)(i => i.toByte)
+    val f1 = Array.tabulate(2 * 2 * 3)(i => (100 + i).toByte)
+    val payload = Multimodal.encodePpm(2, 2, f0) ++ Multimodal.encodePpm(2, 2, f1)
+    val frames = Multimodal.decodeFrames(payload)
+    assert(frames.length === 2)
+    assert(frames(0).toSeq === f0.toSeq && frames(1).toSeq === f1.toSeq)
+    assert(Multimodal.decodeFrames(payload.dropRight(3)).isEmpty)
+  }
+
+  test("synthetic payloads are genuine formats and features come from decoded content") {
+    val rows = media.collect()
+    rows.foreach { m =>
+      val head = new String(m.payload.take(4), "US-ASCII")
+      m.meta.media_type match {
+        case "audio" => assert(head === "RIFF", s"id ${m.id}")
+        case _ => assert(head.startsWith("P6"), s"id ${m.id}")
+      }
+    }
+    // mean luma must equal the fixture-stream formula computed directly
+    // (proves the real parse path reproduces the encoded content)
+    val feats = Multimodal.extractFeatures(media)
+      .select("id", "byte_len", "mean_luma")
+      .as[(Long, Int, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    rows.foreach { m =>
+      val w = 16 + (m.id % 16).toInt
+      val h = 16 + (m.id % 8).toInt
+      val nf = if (m.meta.media_type == "video") 8 + (m.id % 8).toInt else 1
+      assert(feats(m.id)._1 === nf * w * h * 3,
+        s"decoded element count for id ${m.id}")
+    }
+    // spot-check one image's mean against a direct decode of its payload
+    val img = rows.find(_.meta.media_type == "image").get
+    val px = Multimodal.decodeFrames(img.payload).flatten
+    val want = px.map(_ & 0xFF).sum.toDouble / px.length
+    assert(math.abs(feats(img.id)._2 - want) < 1e-12)
+  }
 }
