@@ -217,6 +217,12 @@ object Main {
       println(s"ivf-compact: $rows assignments rewritten one-file-per-list in $idx")
       spark.stop()
 
+    case "ivfsq8-compact" :: idx :: Nil =>
+      val spark = session()
+      val rows = graft.index.Quantize.ivfSq8Compact(spark, idx)
+      println(s"ivfsq8-compact: $rows packed codes rewritten one-file-per-list in $idx")
+      spark.stop()
+
     case "dedup-cluster" :: pairs :: out :: rest =>
       val aCol = rest.headOption.getOrElse("id_a")
       val bCol = rest.drop(1).headOption.getOrElse("id_b")
@@ -250,7 +256,8 @@ object Main {
           |  index-append     <docsParquet> <indexPath> [idCol] [textCol]
           |  index-probe      <docsParquet> <indexPath> [idCol] [textCol] [threshold]
           |  index-compact    <indexPath>
-          |  ivf-compact      <indexPath>""".stripMargin)
+          |  ivf-compact      <indexPath>
+          |  ivfsq8-compact   <indexPath>""".stripMargin)
       sys.exit(2)
   }
 }

@@ -460,11 +460,7 @@ object Dedup {
     val meta = spark.read.parquet(s"$path/meta").head()
     val (shingleK, numHashes, bands) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-    val setsPath = new org.apache.hadoop.fs.Path(s"$path/sets")
-    val fs = setsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = fs.listStatus(setsPath).map(_.getPath.getName)
-      .filter(_.startsWith("installment="))
-      .map(_.stripPrefix("installment=").toInt).max + 1
+    val next = graft.store.Installments.next(spark, s"$path/sets")
     writeInstallment(newDf, textCol, idCol, path, next, shingleK, numHashes, bands)
   }
 

@@ -97,11 +97,7 @@ object Bm25 {
   def bm25IndexAppend(spark: org.apache.spark.sql.SparkSession, path: String,
                       newDocs: DataFrame,
                       idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val statsPath = new org.apache.hadoop.fs.Path(s"$path/stats")
-    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = fs.listStatus(statsPath).map(_.getPath.getName)
-      .filter(_.startsWith("installment="))
-      .map(_.stripPrefix("installment=").toInt).max + 1
+    val next = graft.store.Installments.next(spark, s"$path/stats")
     writeInstallment(newDocs, path, next, idCol, textCol)
   }
 

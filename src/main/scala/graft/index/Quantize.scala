@@ -49,34 +49,50 @@ object Quantize {
 
   /** Int8 codes (as array<int> — see [[packCodesUdf]] for the stored
     * binary form): floor(v/scale + 0.5), in [-127, 127] by construction
-    * when scale = maxAbs/127. */
-  def codesUdf(scale: Double): UserDefinedFunction = udf { (v: Seq[Float]) =>
-    if (v == null) null
-    else {
-      val out = new Array[Int](v.length)
-      var i = 0
-      while (i < v.length) {
-        out(i) = math.floor(v(i).toDouble / scale + 0.5).toInt
-        i += 1
+    * when scale = maxAbs/127. Fails fast on a non-positive scale — an
+    * all-zero (or empty) corpus has maxAbs 0, and dividing by it would
+    * silently turn every code into Int.MaxValue. */
+  def codesUdf(scale: Double): UserDefinedFunction = {
+    require(scale > 0 && !scale.isNaN,
+      s"quantization scale must be positive, got $scale — " +
+        "an all-zero or empty corpus cannot be int8-quantized")
+    udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val out = new Array[Int](v.length)
+        var i = 0
+        while (i < v.length) {
+          out(i) = math.floor(v(i).toDouble / scale + 0.5).toInt
+          i += 1
+        }
+        out
       }
-      out
     }
   }
 
   /** Exact integer dot product of two code arrays (BIGINT — 64 dims of
-    * ±127 cannot overflow; associative, so no summation-order hazard). */
+    * ±127 cannot overflow; associative, so no summation-order hazard).
+    * Null in → null out (a null embedding row quantizes to null codes;
+    * the `> 0` norm filters then drop it like any zero-norm row). */
   def dotUdf: UserDefinedFunction = udf { (a: Seq[Int], b: Seq[Int]) =>
-    var s = 0L; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i).toLong * b(i); i += 1 }
-    s
+    if (a == null || b == null) None
+    else {
+      var s = 0L; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i).toLong * b(i); i += 1 }
+      Some(s)
+    }
   }
 
-  /** Integer self-dot (squared norm) of a code array. */
+  /** Integer self-dot (squared norm) of a code array; null-safe like
+    * [[dotUdf]]. */
   def normSqUdf: UserDefinedFunction = udf { (a: Seq[Int]) =>
-    var s = 0L; var i = 0
-    while (i < a.length) { s += a(i).toLong * a(i); i += 1 }
-    s
+    if (a == null) None
+    else {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i).toLong * a(i); i += 1 }
+      Some(s)
+    }
   }
 
   /** Pack int8 codes into a binary column — the at-rest form (1 byte per
@@ -158,11 +174,7 @@ object Quantize {
     * append-only index contract). */
   def int8Append(spark: SparkSession, path: String, newDf: DataFrame,
                  idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
-    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
-    val fs = codesPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val next = fs.listStatus(codesPath).map(_.getPath.getName)
-      .filter(_.startsWith("installment="))
-      .map(_.stripPrefix("installment=").toInt).max + 1
+    val next = graft.store.Installments.next(spark, s"$path/codes")
     int8AppendAt(spark, path, newDf, next, idCol, vecCol)
   }
 
@@ -235,6 +247,37 @@ object Quantize {
         packCodesUdf(codesUdf(scale)(col(corpusVec))).as("codes"))
       .write.mode("append").partitionBy("list_id")
       .parquet(s"$path/codes")
+  }
+
+  /**
+   * IVF-SQ8 index maintenance — the small-file compaction the
+   * append-only contract promises (the ivfCompact/bm25IndexCompact/
+   * minhashIndexCompactSizes sibling): every [[ivfSq8Append]] lands one
+   * parquet file per touched `list_id=` partition, so a daily cadence
+   * accumulates hundreds of small files per list and probe reads
+   * degrade to file-open overhead. Rewrites the packed codes
+   * hash-clustered by list (one file per list per writing task),
+   * materialized fully in a side dir before an atomic delete+rename
+   * swap — a concurrent search sees the old or the new layout, never a
+   * mix; code bytes are untouched, so search results are bit-identical.
+   * Centroids and the stored scale are not touched. Returns the
+   * compacted code row count.
+   */
+  def ivfSq8Compact(spark: SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val cPath = s"$path/codes"
+    val out = new Path(cPath)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(cPath + "._compacting")
+    spark.read.parquet(cPath)
+      .repartition(col("list_id"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(tmp.toString)
+    val rows = spark.read.parquet(tmp.toString).count()
+    if (!fs.delete(out, true) || !fs.rename(tmp, out))
+      throw new java.io.IOException(s"codes swap failed for $cPath")
+    spark.catalog.refreshByPath(cPath)
+    rows
   }
 
   /** Search a persisted [[ivfSq8Build]] index: driver-resolved probe

@@ -215,6 +215,22 @@ class MinhashIndexSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("append into an empty sets listing fails with a corruption message") {
+    val path = tmpPath("mh-empty")
+    Dedup.minhashIndexBuild(corpus, "text", "doc_id", path)
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete()
+    }
+    val setsDir = new java.io.File(s"$path/sets")
+    Option(setsDir.listFiles()).foreach(_.foreach(wipe))
+    assert(setsDir.exists() && setsDir.listFiles().isEmpty)
+    val e = intercept[IllegalStateException] {
+      Dedup.minhashIndexAppend(spark, path,
+        Seq((9L, "another doc")).toDF("doc_id", "text"), "text", "doc_id")
+    }
+    assert(e.getMessage.contains("no installment= partitions"))
+  }
+
   test("the stored index is never shuffled by a probe — batch side broadcasts") {
     val path = tmpPath("mh-idx-plan")
     Dedup.minhashIndexBuild(corpus, "text", "doc_id", path)

@@ -136,6 +136,22 @@ class Bm25Spec extends SparkTestBase {
     assert(spark.read.parquet(s"$path/stats").count() === 1)
   }
 
+  test("append into an empty stats listing fails with a corruption message") {
+    val path = java.nio.file.Files.createTempDirectory("bm25-empty")
+      .resolve("idx").toString
+    Bm25.bm25IndexBuild(docs.filter($"doc_id" <= 2), path)
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete()
+    }
+    val statsDir = new java.io.File(s"$path/stats")
+    Option(statsDir.listFiles()).foreach(_.foreach(wipe))
+    assert(statsDir.exists() && statsDir.listFiles().isEmpty)
+    val e = intercept[IllegalStateException] {
+      Bm25.bm25IndexAppend(spark, path, docs.filter($"doc_id" === 3L))
+    }
+    assert(e.getMessage.contains("no installment= partitions"))
+  }
+
   test("no window funnel and no corpus-side shuffle past the posting build") {
     val big = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")

@@ -132,6 +132,84 @@ class QuantizeSpec extends SparkTestBase {
     assert(got.forall(r => !r._3.isNaN && r._2 != 999999L))
   }
 
+  test("null embedding rows drop out of search like zero-norm rows") {
+    val withNull = embs.limit(20).unionByName(
+      Seq((888888L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    val scale = Quantize.maxAbs(embs.limit(20), "embedding") / 127.0
+    val q = embs.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val got = Quantize.int8TopK(withNull, q, k = 25, scale)
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.nonEmpty)
+    assert(!got.exists(_._2 === 888888L), "null-embedding row must drop out")
+    assert(got.forall(r => !r._3.isNaN))
+  }
+
+  test("an all-zero (scale 0) corpus fails fast instead of minting garbage codes") {
+    val e = intercept[IllegalArgumentException] {
+      Quantize.codesUdf(0.0)
+    }
+    assert(e.getMessage.contains("scale"))
+    val zeros = Seq((1L, Array.fill(8)(0.0f)), (2L, Array.fill(8)(0.0f)))
+      .toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("int8-zero")
+      .resolve("idx").toString
+    val e2 = intercept[IllegalArgumentException] {
+      Quantize.int8Build(zeros, path)
+    }
+    assert(e2.getMessage.contains("all-zero or empty"))
+  }
+
+  test("append into an empty codes listing fails with a corruption message") {
+    val path = java.nio.file.Files.createTempDirectory("int8-empty")
+      .resolve("idx").toString
+    Quantize.int8Build(embs.limit(10), path)
+    // simulate a half-deleted index: codes/ exists but has no installments
+    val codesDir = new java.io.File(s"$path/codes")
+    def wipe(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete()
+    }
+    Option(codesDir.listFiles()).foreach(_.foreach(wipe))
+    assert(codesDir.exists() && codesDir.listFiles().isEmpty)
+    val e = intercept[IllegalStateException] {
+      Quantize.int8Append(spark, path, embs.filter($"vec_id" < 5))
+    }
+    assert(e.getMessage.contains("no installment= partitions"))
+  }
+
+  test("ivfSq8Compact: identical search results, fewer files, scale/centroids intact") {
+    val q = embs.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val path = java.nio.file.Files.createTempDirectory("ivfsq8-compact")
+      .resolve("idx").toString
+    Quantize.ivfSq8Build(embs.filter($"vec_id" % 2 === 0), path,
+      nlist = 4, fitSampleFraction = 1.0)
+    // several small appends -> many small files per list partition
+    (1 to 3).foreach { r =>
+      Quantize.ivfSq8Append(spark, path,
+        embs.filter($"vec_id" % 6 === (2 * r - 1) % 6))
+    }
+    def parquetFiles(dir: String): Int = {
+      val base = java.nio.file.Paths.get(dir)
+      val it = java.nio.file.Files.walk(base)
+      try it.filter(p => p.toString.endsWith(".parquet")).count().toInt
+      finally it.close()
+    }
+    val before = Quantize.ivfSq8Search(spark, path, q, k = 5, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val filesBefore = parquetFiles(s"$path/codes")
+    val scaleBefore = spark.read.parquet(s"$path/meta").head().getDouble(0)
+    val rows = Quantize.ivfSq8Compact(spark, path)
+    assert(rows > 0)
+    val after = Quantize.ivfSq8Search(spark, path, q, k = 5, nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(after === before, "compaction must not change search results")
+    val filesAfter = parquetFiles(s"$path/codes")
+    assert(filesAfter < filesBefore,
+      s"expected fewer files after compaction: $filesBefore -> $filesAfter")
+    assert(spark.read.parquet(s"$path/meta").head().getDouble(0) === scaleBefore)
+  }
+
   test("scoring plan has no window funnel and broadcasts the query side") {
     val scale = Quantize.maxAbs(embs, "embedding") / 127.0
     val q = embs.filter($"vec_id" < 2)
