@@ -268,6 +268,36 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // skew-mitigated join: hot l_partkey values spread over 16 salted
+    // reducers; output is identical to the unsalted join (the salt is
+    // internal), so the oracle is the plain join — exactly the equality
+    // SkewSpec pins, now checked through the driver at sf scale
+    "q_skew_join" -> ((s, dir) => {
+      val big = tbl(s, dir, "lineitem")
+        .select(col("l_partkey").as("partkey"), col("l_quantity"))
+      val small = tbl(s, dir, "part")
+        .select(col("p_partkey").as("partkey"), col("p_brand").as("brand"))
+      graft.functions.Skew.saltedJoin(big, small, "partkey")
+        .groupBy(col("brand"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+          .as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("brand")
+    }),
+
+    // skew-mitigated aggregation: two-phase (key, salt) partial then key
+    // final; decimal-cast BEFORE the salted sum so both phases accumulate
+    // exactly and summation order cannot matter
+    "q_skew_agg" -> ((s, dir) => {
+      val df = tbl(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("decimal(18,2)").as("qty"))
+      graft.functions.Skew.saltedCountSum(df, "l_returnflag", "qty")
+        .select(col("l_returnflag"), col("n"),
+          col("sum_qty").cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // rollup (grouping sets) with null grouping keys folded to 'ALL'
     "q_rollup_order_stats" -> ((s, dir) => {
       tbl(s, dir, "orders")
@@ -1876,6 +1906,16 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
         |  count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_skew_join" ->
+      """SELECT p_brand AS brand,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY brand""".stripMargin,
+    "q_skew_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "lexicon_vocab" ->
       """SELECT w AS label, count(*) AS n_occurrences
         |FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) t
