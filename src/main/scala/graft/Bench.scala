@@ -44,10 +44,17 @@ object Bench {
         System.err.println("[bench] SPARK_GRAFT_BENCH_ONLY names not in " +
           s"SparkEntry.queries (ignored): ${unknown.toSeq.sorted.mkString(", ")}")
     }
+    // lifecycle sub-phase timings (judge-requested): queries that wrap
+    // their eager index steps in Phases.timed get a per-phase breakdown
+    // alongside the total; the un-phased remainder is the lazy search
+    // the noop sink forces. Reported from the min-total run so the
+    // breakdown and the headline number describe the same execution.
+    val phaseDetail = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to runs).map { _ =>
+      val samples = (1 to runs).map { _ =>
+        Phases.reset()
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
@@ -61,14 +68,25 @@ object Bench {
         spark.catalog.clearCache()
         // failed runs report negative elapsed so they can't masquerade as
         // fast successes in the JSON
-        if (ok) dt else -dt
+        (if (ok) dt else -dt, Phases.snapshot)
       }
+      val times = samples.map(_._1)
       if (times.exists(_ < 0)) errors += name
+      val best = if (times.exists(_ < 0)) times.filter(_ < 0).max else times.min
+      samples.find(s => s._1 == best && s._1 >= 0 && s._2.nonEmpty).foreach {
+        case (total, phases) =>
+          val rest = math.max(0.0, total - phases.map(_._2).sum)
+          val parts = phases :+ ("search" -> rest)
+          phaseDetail(name) = parts
+            .map { case (p, v) => "\"" + p + "\":" + v }.mkString("{", ",", "}")
+      }
       // any failed run marks the query failed (negative); else min of runs
-      name -> (if (times.exists(_ < 0)) times.filter(_ < 0).max else times.min)
+      name -> best
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val phasesJson = phaseDetail
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     // host load context: three rounds of bench "regressions" on untouched
@@ -77,7 +95,7 @@ object Bench {
     val loadavg = scala.util.Try(
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")
         .take(3).mkString("[", ",", "]")).getOrElse("[]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"loadavg":$loadavg,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phasesJson,"errors":$errJson,"loadavg":$loadavg,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

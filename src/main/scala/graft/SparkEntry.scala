@@ -664,10 +664,14 @@ object SparkEntry {
       val idxDir = java.nio.file.Files.createTempDirectory("graft_mhidx_app_")
       deleteRecursivelyOnExit(idxDir)
       val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
-      Dedup.minhashIndexBuild(d.filter(col("doc_id") % 2 === 0),
-        "text", "doc_id", idxPath, shingleK = 4, numHashes = 128, bands = 64)
-      Dedup.minhashIndexAppend(s, idxPath, d.filter(col("doc_id") % 2 === 1),
-        "text", "doc_id")
+      Phases.timed("build") {
+        Dedup.minhashIndexBuild(d.filter(col("doc_id") % 2 === 0),
+          "text", "doc_id", idxPath, shingleK = 4, numHashes = 128, bands = 64)
+      }
+      Phases.timed("append") {
+        Dedup.minhashIndexAppend(s, idxPath, d.filter(col("doc_id") % 2 === 1),
+          "text", "doc_id")
+      }
       Dedup.minhashIndexProbe(s, idxPath, mutatedDocs(s, dir),
         "text", "doc_id", threshold = 0.3)
         .orderBy("corpus_id", "new_id")
@@ -824,9 +828,13 @@ object SparkEntry {
       val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_app_")
       deleteRecursivelyOnExit(idxDir)
       val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
-      SimilarityIndex.ivfBuild(e.filter(col("vec_id") % 2 === 0), idxPath,
-        nlist = 16, fitSampleFraction = 0.5)
-      SimilarityIndex.ivfAppend(s, idxPath, e.filter(col("vec_id") % 2 === 1))
+      Phases.timed("build") {
+        SimilarityIndex.ivfBuild(e.filter(col("vec_id") % 2 === 0), idxPath,
+          nlist = 16, fitSampleFraction = 0.5)
+      }
+      Phases.timed("append") {
+        SimilarityIndex.ivfAppend(s, idxPath, e.filter(col("vec_id") % 2 === 1))
+      }
       val approx = SimilarityIndex.ivfSearchIndexed(s, idxPath, q, k = 5, nprobe = 6)
       val exact = SimilarityIndex.bruteForceTopK(e, q, k = 5)
       SimilarityIndex.approxRecallReport(approx, exact, recallFloor = 2)
@@ -846,8 +854,10 @@ object SparkEntry {
       val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfsq8_")
       deleteRecursivelyOnExit(idxDir)
       val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
-      graft.index.Quantize.ivfSq8Build(e, idxPath, nlist = 16,
-        fitSampleFraction = 0.5)
+      Phases.timed("build") {
+        graft.index.Quantize.ivfSq8Build(e, idxPath, nlist = 16,
+          fitSampleFraction = 0.5)
+      }
       val approx = graft.index.Quantize.ivfSq8Search(s, idxPath, q,
         k = 5, nprobe = 6)
         .withColumnRenamed("cosine_q", "cosine")
@@ -874,8 +884,12 @@ object SparkEntry {
       val idxDir = java.nio.file.Files.createTempDirectory("graft_int8_")
       deleteRecursivelyOnExit(idxDir)
       val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
-      graft.index.Quantize.int8Build(e.filter(col("vec_id") % 2 === 0), idxPath)
-      graft.index.Quantize.int8Append(s, idxPath, e.filter(col("vec_id") % 2 === 1))
+      Phases.timed("build") {
+        graft.index.Quantize.int8Build(e.filter(col("vec_id") % 2 === 0), idxPath)
+      }
+      Phases.timed("append") {
+        graft.index.Quantize.int8Append(s, idxPath, e.filter(col("vec_id") % 2 === 1))
+      }
       graft.index.Quantize.int8SearchIndexed(s, idxPath, q, k = 5)
         .select(col("query_id"), col("vec_id"), col("cosine_q"),
           col("rank").cast("long").as("rank"))
@@ -1239,9 +1253,15 @@ object SparkEntry {
       val idxDir = java.nio.file.Files.createTempDirectory("graft_bm25_app_")
       deleteRecursivelyOnExit(idxDir)
       val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
-      graft.index.Bm25.bm25IndexBuild(d.filter(col("doc_id") % 2 === 0), idxPath)
-      graft.index.Bm25.bm25IndexAppend(s, idxPath, d.filter(col("doc_id") % 2 === 1))
-      graft.index.Bm25.bm25IndexCompact(s, idxPath)
+      Phases.timed("build") {
+        graft.index.Bm25.bm25IndexBuild(d.filter(col("doc_id") % 2 === 0), idxPath)
+      }
+      Phases.timed("append") {
+        graft.index.Bm25.bm25IndexAppend(s, idxPath, d.filter(col("doc_id") % 2 === 1))
+      }
+      Phases.timed("compact") {
+        graft.index.Bm25.bm25IndexCompact(s, idxPath)
+      }
       graft.index.Bm25.bm25SearchIndexed(s, idxPath, q, k = 10)
         .select(col("query_id"), col("doc_id"), col("score"),
           col("rank").cast("long").as("rank"))
