@@ -51,15 +51,14 @@ object Sampling {
    * weight), one declarative filter — `when` chains on the stratum column,
    * so the whole mix is a single scan with the predicate pushed down; no
    * shuffle, no RNG, no driver loop. Strata absent from `weights` are
-   * dropped (weight 0).
+   * dropped (weight 0). Above [[WhenChainMaxStrata]] strata the chain
+   * switches to a broadcast equi-join on the threshold table (same rows
+   * kept — see [[mixThresholds]]).
    */
   def mixByWeights(df: DataFrame, stratumCol: String, keyCol: String,
-                   weights: Map[String, Double]): DataFrame = {
-    val threshold = weights.foldLeft(lit(0L)) { case (acc, (stratum, w)) =>
-      when(col(stratumCol) === stratum, lit((w * Mod32).toLong)).otherwise(acc)
-    }
-    df.filter(hashCoord(col(keyCol)) < threshold)
-  }
+                   weights: Map[String, Double]): DataFrame =
+    mixThresholds(df, stratumCol, keyCol,
+      weights.map { case (s, w) => s -> (w * Mod32).toLong })
 
   /**
    * Deterministic train/validation split: complement partitions of the same
@@ -114,14 +113,42 @@ object Sampling {
     mixThresholds(df, stratumCol, keyCol, thresholds)
   }
 
+  /** Strata-count cutoff for the literal `when`-chain form of
+    * [[mixThresholds]]: each stratum adds a CaseWhen branch, and past a
+    * few hundred the expression tree blows codegen's method-size limits
+    * (whole-stage falls back to interpreted CaseWhen — linear scan over
+    * the branches PER ROW) and analyzer time grows quadratically. */
+  private[pipeline] val WhenChainMaxStrata = 512
+
   /** The mixByWeights filter body over PRE-COMPUTED per-stratum
-    * coordinate thresholds (strata absent from the map are dropped). */
+    * coordinate thresholds (strata absent from the map are dropped;
+    * a null stratum matches nothing and is dropped on both paths).
+    *
+    * Two plans, one contract: up to [[WhenChainMaxStrata]] strata, a
+    * literal `when` chain — pure scan-fused projection, zero exchange.
+    * Above that, the thresholds ride a BROADCAST equi-join (the
+    * routing-table pattern used by the IVF probe paths): the big side
+    * still never shuffles, the filter runs on the joined threshold
+    * column, and the inner join drops absent strata exactly like the
+    * chain's otherwise(0). */
   private def mixThresholds(df: DataFrame, stratumCol: String, keyCol: String,
                             thresholds: Map[String, Long]): DataFrame = {
-    val threshold = thresholds.foldLeft(lit(0L)) { case (acc, (stratum, t)) =>
-      when(col(stratumCol) === stratum, lit(t)).otherwise(acc)
+    if (thresholds.size <= WhenChainMaxStrata) {
+      val threshold = thresholds.foldLeft(lit(0L)) { case (acc, (stratum, t)) =>
+        when(col(stratumCol) === stratum, lit(t)).otherwise(acc)
+      }
+      df.filter(hashCoord(col(keyCol)) < threshold)
+    } else {
+      require(!df.columns.contains("_mix_threshold"),
+        "mixThresholds reserves the internal column name _mix_threshold")
+      val spark = df.sparkSession
+      import spark.implicits._
+      val lookup = broadcast(
+        thresholds.toSeq.toDF(stratumCol, "_mix_threshold"))
+      df.join(lookup, stratumCol)
+        .filter(hashCoord(col(keyCol)) < col("_mix_threshold"))
+        .select(df.columns.map(col).toSeq: _*)
     }
-    df.filter(hashCoord(col(keyCol)) < threshold)
   }
 
   /** Salted coordinate for per-draw variation: the key pre-folds to 31

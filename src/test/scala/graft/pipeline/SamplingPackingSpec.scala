@@ -72,6 +72,51 @@ class SamplingPackingSpec extends SparkTestBase {
     assert(deMixed > 0 && deMixed < de, s"0.5 weight kept $deMixed of $de")
   }
 
+  test("mixByWeights above the when-chain cutoff: broadcast join, same rows") {
+    // 600 strata with some absent from the weight map — past
+    // WhenChainMaxStrata the implementation must switch to the broadcast
+    // threshold join, and keep EXACTLY the rows the chain contract keeps
+    val nStrata = Sampling.WhenChainMaxStrata + 88
+    val rows = (0L until (nStrata * 4L)).map { id =>
+      (id, f"s${id % nStrata}%04d")
+    }
+    val df = rows.toDF("doc_id", "stratum")
+    // strata divisible by 7 are absent (dropped); the rest cycle 5 weights
+    val weights = (0 until nStrata).filter(_ % 7 != 0).map { i =>
+      f"s$i%04d" -> (i % 5) * 0.25
+    }.toMap
+    assert(weights.size > Sampling.WhenChainMaxStrata,
+      "fixture must exceed the cutoff or the join path never runs")
+    val mixed = Sampling.mixByWeights(df, "stratum", "doc_id", weights)
+    // the exact per-row contract, replayed driver-side: keep iff the
+    // stratum is weighted and hashCoord(key) < floor(w * 2^32)
+    def coord(k: Long): Long =
+      ((BigInt(k) mod BigInt(2147483648L)) * BigInt(2654435761L))
+        .mod(BigInt(4294967296L)).toLong
+    val expected = rows.collect {
+      case (id, s) if weights.get(s).exists(w =>
+        coord(id) < (w * 4294967296.0).toLong) => id
+    }.toSet
+    assert(expected.nonEmpty && expected.size < rows.size)
+    assert(mixed.select("doc_id").as[Long].collect().toSet === expected)
+    assert(mixed.columns.toSeq === df.columns.toSeq,
+      "join path must preserve the caller's column set and order")
+    // plan: threshold table broadcasts; no 600-branch CaseWhen anywhere
+    val plan = mixed.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast threshold join, got:\n$plan")
+    assert(!plan.contains("CASE WHEN"), "when-chain must not run past the cutoff")
+    // and the two forms agree where both run: same fixture, small map
+    val smallW = weights.take(10)
+    val viaChain = Sampling.mixByWeights(df, "stratum", "doc_id", smallW)
+      .select("doc_id").as[Long].collect().toSet
+    val expectedSmall = rows.collect {
+      case (id, s) if smallW.get(s).exists(w =>
+        coord(id) < (w * 4294967296.0).toLong) => id
+    }.toSet
+    assert(viaChain === expectedSmall)
+  }
+
   test("packByTokenBudget: bins are contiguous, ordered, near-budget") {
     val withTokens = docs.select(col("doc_id"), col("lang"),
       graft.analysis.TextMetrics.tokenCountWs(col("text")).as("n_tokens"))
