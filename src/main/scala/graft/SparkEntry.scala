@@ -677,6 +677,29 @@ object SparkEntry {
         .orderBy("corpus_id", "new_id")
     }),
 
+    // the SNAPSHOT-READ path: same two-installment shape as
+    // doc_index_append, probed with asOfInstallment = 0 — the
+    // partition-pruned `installment <= 0` filter must make the append
+    // invisible. The installment split is `doc_id % 100 < 50` so the
+    // probe batch's source docs (ids ≡ 0 mod 50 — every one EVEN)
+    // straddle BOTH installments: a snapshot read that leaks
+    // installment-1 rows returns extra pairs, one that over-prunes
+    // drops installment-0 pairs — either hash-mismatches the oracle,
+    // which restricts the corpus CTE to the installment-0 half.
+    "doc_index_asof" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_mhidx_asof_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Dedup.minhashIndexBuild(d.filter(col("doc_id") % 100 < 50),
+        "text", "doc_id", idxPath, shingleK = 4, numHashes = 128, bands = 64)
+      Dedup.minhashIndexAppend(s, idxPath, d.filter(col("doc_id") % 100 >= 50),
+        "text", "doc_id")
+      Dedup.minhashIndexProbe(s, idxPath, mutatedDocs(s, dir),
+        "text", "doc_id", threshold = 0.3, asOfInstallment = 0)
+        .orderBy("corpus_id", "new_id")
+    }),
+
     // transitive cluster resolution over the minhash pair list: connected
     // components (alternating large-star/small-star, O(log² n) rounds of
     // one reused exchange each) turn pairwise matches into dedup clusters
@@ -2239,6 +2262,35 @@ object SparkEntry {
         |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
         |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
         |    FROM documents) t
+        |), m AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-2),
+        |      i -> array_to_string(w[i:i+3], ' ')) END) AS sh
+        |  FROM (SELECT doc_id + 1000000 AS doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(
+        |      lower(substr(text, 1, CAST(floor(length(text)*0.7) AS INT))),
+        |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM documents WHERE doc_id % 50 = 0) t
+        |)
+        |SELECT corpus_id, new_id, jaccard FROM (
+        |  SELECT d.doc_id AS corpus_id, m.doc_id AS new_id,
+        |    CAST(len(list_intersect(d.sh, m.sh)) AS DOUBLE) /
+        |      (len(d.sh) + len(m.sh) - len(list_intersect(d.sh, m.sh))) AS jaccard
+        |  FROM d JOIN m ON true) p
+        |WHERE jaccard >= 0.3
+        |ORDER BY corpus_id, new_id""".stripMargin,
+    // the as-of snapshot probe: the doc_index_append scan with the
+    // corpus CTE restricted to the installment-0 half (doc_id%100<50)
+    "doc_index_asof" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-2),
+        |      i -> array_to_string(w[i:i+3], ' ')) END) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM documents WHERE doc_id % 100 < 50) t
         |), m AS (
         |  SELECT doc_id, list_distinct(
         |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
