@@ -919,6 +919,27 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // INT8 SNAPSHOT READ: even-id build + odd-id append, searched at
+    // asOfInstallment = 0 — candidates prune to the even codes while
+    // queries still quantize with the stored scale. Odd-id queries lose
+    // their cosine-1 self-hit (the twin lives in the pruned
+    // installment), so a leaky snapshot is unmissable in the top-5.
+    "emb_int8_asof" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_int8_asof_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      graft.index.Quantize.int8Build(e.filter(col("vec_id") % 2 === 0), idxPath)
+      graft.index.Quantize.int8Append(s, idxPath, e.filter(col("vec_id") % 2 === 1))
+      graft.index.Quantize.int8SearchIndexed(s, idxPath, q, k = 5,
+        asOfInstallment = 0)
+        .select(col("query_id"), col("vec_id"), col("cosine_q"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // feature-hashed TF-IDF vectors (hashing trick + log-free RSJ idf):
     // the full sparse weight matrix hash-checks — md5-hex dimension
     // hash, decimal collision/norm sums, one division per weight
@@ -1286,6 +1307,30 @@ object SparkEntry {
         graft.index.Bm25.bm25IndexCompact(s, idxPath)
       }
       graft.index.Bm25.bm25SearchIndexed(s, idxPath, q, k = 10)
+        .select(col("query_id"), col("doc_id"), col("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // BM25 SNAPSHOT READ: two installments (even/odd doc ids), searched
+    // at asOfInstallment = 0 — the delta-summed stats AND the postings
+    // must both prune to the even half, so N/avgdl/df and every score
+    // are those of an even-only corpus. The oracle recomputes BM25 over
+    // `WHERE doc_id % 2 = 0`; leaked odd postings (or stats deltas)
+    // shift scores and hash-mismatch.
+    "doc_bm25_asof" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val q = d.filter(col("doc_id").isin(3L, 77L, 201L))
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(graft.dedup.Dedup.normalized(col("text")), " "),
+            1, 5), " ").as("qtext"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_bm25_asof_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      graft.index.Bm25.bm25IndexBuild(d.filter(col("doc_id") % 2 === 0), idxPath)
+      graft.index.Bm25.bm25IndexAppend(s, idxPath, d.filter(col("doc_id") % 2 === 1))
+      graft.index.Bm25.bm25SearchIndexed(s, idxPath, q, k = 10,
+        asOfInstallment = 0)
         .select(col("query_id"), col("doc_id"), col("score"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
@@ -2742,6 +2787,51 @@ object SparkEntry {
         |  FROM sc) r
         |WHERE rank <= 10
         |ORDER BY query_id, rank""".stripMargin,
+    // BM25 as-of snapshot: the doc_bm25_topk SQL with the INDEXED side
+    // (postings + N/avgdl/df) restricted to the even installment-0 half;
+    // query text still comes from the full table (queries need not be
+    // in the index)
+    "doc_bm25_asof" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, string_split(nt, ' ') AS w FROM nrm
+        |  WHERE length(nt) > 0),
+        |idx AS (SELECT * FROM base WHERE doc_id % 2 = 0),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+        |  FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM idx) t
+        |  GROUP BY doc_id, term),
+        |scal AS (
+        |  SELECT count(*) AS n, CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM idx),
+        |q AS (
+        |  SELECT doc_id AS query_id, array_to_string(w[1:5], ' ') AS qt
+        |  FROM base WHERE doc_id IN (3, 77, 201)),
+        |qt AS (
+        |  SELECT DISTINCT query_id, unnest(string_split(qt, ' ')) AS term FROM q),
+        |dfq AS (
+        |  SELECT term, count(*) AS df_t FROM post
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+        |hits AS (
+        |  SELECT qt.query_id, p.doc_id,
+        |    (n - df_t + 0.5) / (df_t + 0.5) * (tf * 2.25) /
+        |      (tf + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS ts
+        |  FROM post p JOIN qt ON p.term = qt.term
+        |    JOIN dfq ON p.term = dfq.term, scal),
+        |sc AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(sum(CAST(ts AS DECIMAL(28,10))) AS DOUBLE) AS score
+        |  FROM hits GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, score, rank FROM (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc) r
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
     // hashed tf-idf: identical hash (first 8 md5 hex chars → BIGINT),
     // identical RSJ idf, decimal-exact collision and norm sums
     "doc_tfidf_vectors" ->
@@ -3137,6 +3227,42 @@ object SparkEntry {
         |dots AS (
         |  SELECT q.query_id, d.vec_id, sum(q.c * d.c) AS dot
         |  FROM q JOIN codes d ON q.ord = d.ord
+        |  GROUP BY q.query_id, d.vec_id),
+        |sc AS (
+        |  SELECT dots.query_id, dots.vec_id,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nd.n2 AS DOUBLE)))
+        |      AS cosine_q
+        |  FROM dots
+        |  JOIN norms nq ON nq.vec_id = dots.query_id
+        |  JOIN norms nd ON nd.vec_id = dots.vec_id
+        |  WHERE nq.n2 > 0 AND nd.n2 > 0)
+        |SELECT query_id, vec_id, cosine_q, rank FROM (
+        |  SELECT query_id, vec_id, cosine_q,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine_q DESC, vec_id) AS rank
+        |  FROM sc) r
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // int8 as-of snapshot: the emb_topk_int8 SQL with the CANDIDATE
+    // side pruned to even vec_ids (the scale already fits on the even
+    // half — the stored-scale contract — so codes are unchanged)
+    "emb_int8_asof" ->
+      """WITH comp AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS ord
+        |  FROM embeddings),
+        |mx AS (SELECT max(abs(x)) / 127 AS scale FROM comp
+        |       WHERE vec_id % 2 = 0),
+        |codes AS (
+        |  SELECT vec_id, ord, CAST(floor(x / scale + 0.5) AS BIGINT) AS c
+        |  FROM comp, mx),
+        |norms AS (SELECT vec_id, sum(c*c) AS n2 FROM codes GROUP BY vec_id),
+        |q AS (SELECT vec_id AS query_id, ord, c FROM codes WHERE vec_id < 8),
+        |dots AS (
+        |  SELECT q.query_id, d.vec_id, sum(q.c * d.c) AS dot
+        |  FROM q JOIN codes d ON q.ord = d.ord
+        |  WHERE d.vec_id % 2 = 0
         |  GROUP BY q.query_id, d.vec_id),
         |sc AS (
         |  SELECT dots.query_id, dots.vec_id,
