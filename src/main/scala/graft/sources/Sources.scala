@@ -50,17 +50,27 @@ object Sources {
     }
   }
 
+  /** Normalize an events frame's `ts` to a session-zone TimestampType,
+    * whatever the file stored: INT64 TIMESTAMP(NANOS) dumps arrive as
+    * long under the nanos conf (floor-truncate to µs — integer division;
+    * a double round-trip would lose precision), µs dumps arrive as
+    * TIMESTAMP_NTZ (cast is a value-preserving relabel under the UTC
+    * session zone every entry point pins). Shared by the batch reader
+    * here and EventStreams.hourlyAggStream's readStream. */
+  def normalizeEventTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.parquet stores INT64 TIMESTAMP(NANOS), which Spark 4 refuses
-      // to read as a timestamp — read nanos as long, floor-truncate to µs
-      // (integer division; a double round-trip would lose precision).
-      // Owns the batch-side workaround (SparkEntry routes through here);
-      // EventStreams.hourlyAggStream shares the scoped conf helper for its
-      // readStream — keep the two conversions in sync.
+      // the nanos conf is consulted only when the file actually stores
+      // TIMESTAMP(NANOS) — a no-op for µs dumps, so holding it for the
+      // read keeps legacy dumps loadable without a second code path
       withNanosAsLong(spark) {
-        spark.read.parquet(s"$sfDir/$name.parquet")
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        normalizeEventTs(spark.read.parquet(s"$sfDir/$name.parquet"))
       }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
 

@@ -182,9 +182,9 @@ object EventStreams extends Serializable {
     val reader0 = spark.readStream.schema(schema)
     val reader = maxFilesPerTrigger
       .fold(reader0)(n => reader0.option("maxFilesPerTrigger", n))
-    (if (isDir) reader.parquet(eventsPath)
+    graft.sources.Sources.normalizeEventTs(
+      if (isDir) reader.parquet(eventsPath)
       else reader.option("pathGlobFilter", p.getName).parquet(p.getParent.toString))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),

@@ -53,12 +53,16 @@ class SourcesSpec extends SparkTestBase {
       // ...the returned frame must still execute after the restore...
       assert(events.count() > 0)
       assert(events.schema("ts").dataType.typeName === "timestamp")
-      // ...and an unrelated nanos-parquet read in the same session must see
-      // Spark's default behavior (refuse TIMESTAMP(NANOS)), not longs
-      val raw = intercept[Throwable] {
-        spark.read.parquet(s"$sfDir/events.parquet").collect()
-      }
-      assert(raw.getMessage != null)
+      // ...and the loader is schema-adaptive: a RAW read of the same file
+      // either refuses TIMESTAMP(NANOS) (legacy dumps, Spark's default
+      // behavior — proving the conf did not leak) or surfaces a bare
+      // NTZ/µs timestamp (regenerated dumps) — in both generations only
+      // Sources.table delivers the session-zone TimestampType column
+      val rawTs = scala.util.Try(
+        spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType)
+      assert(rawTs.isFailure ||
+        rawTs.get.typeName.startsWith("timestamp"),
+        s"unexpected raw ts type: $rawTs")
     } finally prior match {
       case Some(v) => spark.conf.set(key, v)
       case None => spark.conf.unset(key)
