@@ -940,6 +940,61 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-SQ8 + REFINE (FAISS IndexRefineFlat composition): quantized
+    // candidate generation over probed code lists, then an EXACT float
+    // re-rank of the bounded pool against the raw sidecar the build
+    // stored list-partitioned alongside the codes. Probes cover every
+    // list at this fixture, so the contract sharpens from recall to
+    // exactness: int8 error cannot push a true top-5 neighbor below
+    // rank 64 of 500, hence the refined top-5 IS the float brute-force
+    // top-5 row for row (ids at argmax granularity — the float score
+    // itself stays engine-local, like emb_top1_brute). At production
+    // scale nprobe << nlist trades this back to the IVF recall contract
+    // while answers keep full-precision ordering.
+    "emb_topk_sq8_refined" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_sq8_refine_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.index.Quantize.ivfSq8Build(e, idxPath, nlist = 16,
+          fitSampleFraction = 0.5, storeRaw = true)
+      }
+      graft.index.Quantize.ivfSq8SearchRefined(s, idxPath, q, k = 5,
+        candidateK = 64, nprobe = 16)
+        .select(col("query_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // INT8 COMPACTION lifecycle: three installments folded to one dir by
+    // the atomic-swap int8Compact, then searched — code bytes are
+    // untouched, so the result must be BIT-IDENTICAL to emb_topk_int8's
+    // two-installment scan (same oracle SQL, integer-exact scores).
+    "emb_int8_compact" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_int8_cmp_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.index.Quantize.int8Build(e.filter(col("vec_id") % 2 === 0), idxPath)
+      }
+      Phases.timed("append") {
+        graft.index.Quantize.int8Append(s, idxPath, e.filter(col("vec_id") % 2 === 1))
+      }
+      Phases.timed("compact") {
+        graft.index.Quantize.int8Compact(s, idxPath)
+      }
+      graft.index.Quantize.int8SearchIndexed(s, idxPath, q, k = 5)
+        .select(col("query_id"), col("vec_id"), col("cosine_q"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // feature-hashed TF-IDF vectors (hashing trick + log-free RSJ idf):
     // the full sparse weight matrix hash-checks — md5-hex dimension
     // hash, decimal collision/norm sums, one division per weight
@@ -3587,6 +3642,55 @@ object SparkEntry {
     // member's own int8 code dots to its exact squared norm, cosine 1
     "emb_topk_ivfsq8" ->
       """SELECT vec_id AS query_id, vec_id AS top1_id, true AS recall_pass
-        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin
+        |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+    // refined IVF-SQ8: full-probe candidates + exact float re-rank ⇒
+    // the answer IS the float brute-force top-5 (ids only — the
+    // emb_top1_brute argmax-granularity contract, widened to k=5; self
+    // is included, ranking first at cosine 1)
+    "emb_topk_sq8_refined" ->
+      """SELECT query_id, vec_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings c
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q) t
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // compacted int8 index: code bytes are untouched by the fold, so the
+    // search must stay BIT-IDENTICAL to the multi-installment scan —
+    // the emb_topk_int8 oracle verbatim (same even-half build scale)
+    "emb_int8_compact" ->
+      """WITH comp AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS ord
+        |  FROM embeddings),
+        |mx AS (SELECT max(abs(x)) / 127 AS scale FROM comp
+        |       WHERE vec_id % 2 = 0),
+        |codes AS (
+        |  SELECT vec_id, ord, CAST(floor(x / scale + 0.5) AS BIGINT) AS c
+        |  FROM comp, mx),
+        |norms AS (SELECT vec_id, sum(c*c) AS n2 FROM codes GROUP BY vec_id),
+        |q AS (SELECT vec_id AS query_id, ord, c FROM codes WHERE vec_id < 8),
+        |dots AS (
+        |  SELECT q.query_id, d.vec_id, sum(q.c * d.c) AS dot
+        |  FROM q JOIN codes d ON q.ord = d.ord
+        |  GROUP BY q.query_id, d.vec_id),
+        |sc AS (
+        |  SELECT dots.query_id, dots.vec_id,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nd.n2 AS DOUBLE)))
+        |      AS cosine_q
+        |  FROM dots
+        |  JOIN norms nq ON nq.vec_id = dots.query_id
+        |  JOIN norms nd ON nd.vec_id = dots.vec_id
+        |  WHERE nq.n2 > 0 AND nd.n2 > 0)
+        |SELECT query_id, vec_id, cosine_q, rank FROM (
+        |  SELECT query_id, vec_id, cosine_q,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine_q DESC, vec_id) AS rank
+        |  FROM sc) r
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
   )
 }

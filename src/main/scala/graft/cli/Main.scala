@@ -223,6 +223,24 @@ object Main {
       println(s"ivfsq8-compact: $rows packed codes rewritten one-file-per-list in $idx")
       spark.stop()
 
+    case "int8-compact" :: idx :: Nil =>
+      val spark = session()
+      val rows = graft.index.Quantize.int8Compact(spark, idx)
+      println(s"int8-compact: $rows packed codes folded to one installment in $idx")
+      spark.stop()
+
+    case "ivfsq8-refine-search" :: idx :: vecs :: rest =>
+      val k = rest.headOption.map(_.toInt).getOrElse(5)
+      val candidateK = rest.drop(1).headOption.map(_.toInt).getOrElse(8 * k)
+      val nprobe = rest.drop(2).headOption.map(_.toInt).getOrElse(8)
+      val spark = session()
+      graft.index.Quantize.ivfSq8SearchRefined(spark, idx,
+        spark.read.parquet(vecs)
+          .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+        k, candidateK, nprobe)
+        .orderBy("query_id", "rank").show(50, truncate = false)
+      spark.stop()
+
     case "dedup-cluster" :: pairs :: out :: rest =>
       val aCol = rest.headOption.getOrElse("id_a")
       val bCol = rest.drop(1).headOption.getOrElse("id_b")
@@ -257,7 +275,9 @@ object Main {
           |  index-probe      <docsParquet> <indexPath> [idCol] [textCol] [threshold]
           |  index-compact    <indexPath>
           |  ivf-compact      <indexPath>
-          |  ivfsq8-compact   <indexPath>""".stripMargin)
+          |  ivfsq8-compact   <indexPath>
+          |  int8-compact     <indexPath>
+          |  ivfsq8-refine-search <indexPath> <vecsParquet> [k] [candidateK] [nprobe]""".stripMargin)
       sys.exit(2)
   }
 }

@@ -214,7 +214,8 @@ object Quantize {
    */
   def ivfSq8Build(corpus: DataFrame, path: String, nlist: Int = 64,
                   corpusId: String = "vec_id", corpusVec: String = "embedding",
-                  fitSampleFraction: Double = 0.5): Unit = {
+                  fitSampleFraction: Double = 0.5,
+                  storeRaw: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centers = SimilarityIndex.fitCentroids(corpus, corpusVec, nlist,
@@ -226,11 +227,25 @@ object Quantize {
     val scale = maxAbs(corpus, corpusVec) / 127.0
     spark.createDataFrame(Seq(Tuple1(scale))).toDF("scale")
       .write.mode("overwrite").parquet(s"$path/meta")
-    corpus.select(col(corpusId),
-        SimilarityIndex.assignUdf(centers)(col(corpusVec)).as("list_id"),
+    val assigned = corpus.select(col(corpusId),
+      SimilarityIndex.assignUdf(centers)(col(corpusVec)).as("list_id"),
+      col(corpusVec))
+    assigned.select(col(corpusId), col("list_id"),
         packCodesUdf(codesUdf(scale)(col(corpusVec))).as("codes"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$path/codes")
+    // refine sidecar: the ORIGINAL float vectors, partitioned by the SAME
+    // list assignment, so an exact re-rank reads only probed lists (see
+    // ivfSq8SearchRefined). Costs the full-precision bytes back at rest —
+    // opt in only when the refine path is wanted.
+    if (storeRaw)
+      assigned.write.mode("overwrite").partitionBy("list_id")
+        .parquet(s"$path/raw")
+  }
+
+  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Fold new vectors in against the FROZEN centroids and scale (the
@@ -242,11 +257,19 @@ object Quantize {
                    corpusVec: String = "embedding"): Unit = {
     val centers = SimilarityIndex.readCentroids(spark, path)
     val scale = spark.read.parquet(s"$path/meta").head().getDouble(0)
-    newVecs.select(col(corpusId),
-        SimilarityIndex.assignUdf(centers)(col(corpusVec)).as("list_id"),
+    val assigned = newVecs.select(col(corpusId),
+      SimilarityIndex.assignUdf(centers)(col(corpusVec)).as("list_id"),
+      col(corpusVec))
+    assigned.select(col(corpusId), col("list_id"),
         packCodesUdf(codesUdf(scale)(col(corpusVec))).as("codes"))
       .write.mode("append").partitionBy("list_id")
       .parquet(s"$path/codes")
+    // the build decided whether this index carries the refine sidecar; an
+    // append must keep raw/ in lockstep with codes/ or refined searches
+    // would silently stop seeing appended vectors
+    if (dirExists(spark, s"$path/raw"))
+      assigned.write.mode("append").partitionBy("list_id")
+        .parquet(s"$path/raw")
   }
 
   /**
@@ -264,19 +287,28 @@ object Quantize {
    * compacted code row count.
    */
   def ivfSq8Compact(spark: SparkSession, path: String): Long = {
+    val rows = compactListDir(spark, s"$path/codes")
+    // keep the refine sidecar's file layout in step with the codes it
+    // shadows (same small-file accumulation per append)
+    if (dirExists(spark, s"$path/raw")) compactListDir(spark, s"$path/raw")
+    rows
+  }
+
+  /** Rewrite one `list_id=`-partitioned dir hash-clustered by list via the
+    * atomic side-dir swap (shared by codes/ and the raw/ refine sidecar). */
+  private def compactListDir(spark: SparkSession, dir: String): Long = {
     import org.apache.hadoop.fs.Path
-    val cPath = s"$path/codes"
-    val out = new Path(cPath)
+    val out = new Path(dir)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new Path(cPath + "._compacting")
-    spark.read.parquet(cPath)
+    val tmp = new Path(dir + "._compacting")
+    spark.read.parquet(dir)
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(tmp.toString)
     val rows = spark.read.parquet(tmp.toString).count()
     if (!fs.delete(out, true) || !fs.rename(tmp, out))
-      throw new java.io.IOException(s"codes swap failed for $cPath")
-    spark.catalog.refreshByPath(cPath)
+      throw new java.io.IOException(s"codes swap failed for $dir")
+    spark.catalog.refreshByPath(dir)
     rows
   }
 
@@ -311,6 +343,104 @@ object Quantize {
         (sqrt(col("_cn").cast("double")) * sqrt(col("_qn").cast("double"))))
       .select(col(queryId), col(corpusId), col("cosine_q"))
     TopK.topKPerGroup(scored, queryId, corpusId, "cosine_q", k)
+  }
+
+  /**
+   * IVF-SQ8 search with EXACT float re-ranking — FAISS's
+   * `IndexRefineFlat` composition: the packed int8 codes generate a
+   * candidate pool (`candidateK` per query, quantized integer scoring
+   * over the probed lists only), then the pool is re-scored against the
+   * ORIGINAL float vectors from the `raw/` sidecar and cut to the final
+   * top-k by exact cosine. Quantization error can only shuffle ranks
+   * INSIDE the pool, so with candidateK ≫ k the result converges to the
+   * exact float top-k over the probed lists — full-precision answers at
+   * quantized scan cost.
+   *
+   * Scale shape: both scans are partition-pruned to the probed lists;
+   * the candidate pool (≤ |queries|·candidateK id pairs) and the query
+   * vectors broadcast into the raw read, so the corpus-sized sides never
+   * shuffle. The re-rank reads float bytes for probed lists only — the
+   * 4× scan saving of SQ8 still applies to the candidate-generation
+   * pass, which is the one that touches every probed row.
+   *
+   * Requires an index built with `storeRaw = true` ([[ivfSq8Build]]);
+   * fails fast otherwise.
+   */
+  def ivfSq8SearchRefined(spark: SparkSession, path: String, queries: DataFrame,
+                          k: Int, candidateK: Int = 32, nprobe: Int = 8,
+                          corpusId: String = "vec_id",
+                          corpusVec: String = "embedding",
+                          queryId: String = "query_id",
+                          queryVec: String = "query_vec"): DataFrame = {
+    require(candidateK >= k,
+      s"candidateK ($candidateK) must be at least k ($k)")
+    require(dirExists(spark, s"$path/raw"),
+      s"$path has no raw/ refine sidecar — build with storeRaw = true " +
+        "to enable refined search")
+    import spark.implicits._
+    val centers = SimilarityIndex.readCentroids(spark, path)
+    val scale = spark.read.parquet(s"$path/meta").head().getDouble(0)
+    val qProbed = queries.withColumn("list_id",
+      explode(SimilarityIndex.probeUdf(centers, nprobe)(col(queryVec))))
+    val probedLists = qProbed.select("list_id").distinct().as[Int].collect()
+      .map(_.asInstanceOf[Any])
+    // pass 1 — quantized candidate generation over the probed code lists
+    val q = qProbed
+      .select(col(queryId), col("list_id"),
+        codesUdf(scale)(col(queryVec)).as("_qc"))
+      .withColumn("_qn", normSqUdf(col("_qc")))
+      .filter(col("_qn") > 0)
+    val c = spark.read.parquet(s"$path/codes")
+      .filter(col("list_id").isin(probedLists: _*))
+      .select(col(corpusId), col("list_id"),
+        unpackCodesUdf(col("codes")).as("_cc"))
+      .withColumn("_cn", normSqUdf(col("_cc")))
+      .filter(col("_cn") > 0)
+    val scored = c.join(broadcast(q), Seq("list_id"))
+      .withColumn("_dot", dotUdf(col("_cc"), col("_qc")))
+      .withColumn("_cq", col("_dot").cast("double") /
+        (sqrt(col("_cn").cast("double")) * sqrt(col("_qn").cast("double"))))
+      .select(col(queryId), col(corpusId), col("_cq"))
+    val pool = TopK.topKPerGroup(scored, queryId, corpusId, "_cq", candidateK)
+      .select(col(queryId), col(corpusId))
+    // pass 2 — exact float re-rank of the pool against the raw sidecar
+    val raw = spark.read.parquet(s"$path/raw")
+      .filter(col("list_id").isin(probedLists: _*))
+      .select(col(corpusId), col(corpusVec))
+    val rescored = raw
+      .join(broadcast(pool), Seq(corpusId))
+      .join(broadcast(queries.select(col(queryId), col(queryVec))), Seq(queryId))
+      .withColumn("cosine",
+        graft.functions.expressions.CosineSimilarity.cosineNative(
+          col(corpusVec), col(queryVec)))
+      .select(col(queryId), col(corpusId), col("cosine"))
+    TopK.topKPerGroup(rescored, queryId, corpusId, "cosine", k)
+  }
+
+  /**
+   * Installment-index maintenance for [[int8Build]]/[[int8Append]] — the
+   * bm25IndexCompact sibling: fold every `installment=` partition of
+   * packed codes into ONE `installment=0` dir via the atomic side-dir
+   * swap (a concurrent search sees the old or the new listing, never a
+   * mix). Code bytes and the stored scale are untouched, so search
+   * results are bit-identical; `asOfInstallment` snapshots are only
+   * meaningful between compactions (the append history folds away — the
+   * shared appendable-index contract). Returns the compacted row count.
+   */
+  def int8Compact(spark: SparkSession, path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val cPath = s"$path/codes"
+    val out = new Path(cPath)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(cPath + "._compacting")
+    spark.read.parquet(cPath).drop("installment")
+      .write.mode("overwrite")
+      .parquet(new Path(tmp, "installment=0").toString)
+    val rows = spark.read.parquet(tmp.toString).count()
+    if (!fs.delete(out, true) || !fs.rename(tmp, out))
+      throw new java.io.IOException(s"compaction swap failed for $cPath")
+    spark.catalog.refreshByPath(cPath)
+    rows
   }
 
   /** Search a persisted [[int8Build]] index: unpack map-side, score with

@@ -210,6 +210,99 @@ class QuantizeSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$path/meta").head().getDouble(0) === scaleBefore)
   }
 
+  test("refined search recovers the exact float top-k when probes cover the corpus") {
+    val q = embs.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val path = java.nio.file.Files.createTempDirectory("ivfsq8-refined")
+      .resolve("idx").toString
+    Quantize.ivfSq8Build(embs, path, nlist = 8, fitSampleFraction = 1.0,
+      storeRaw = true)
+    // probe everything: the candidate pool then certainly contains the
+    // float top-5 (int8 error cannot push a true neighbor below rank 32
+    // of 500), so refinement must return EXACTLY the brute-force answer
+    val refined = Quantize.ivfSq8SearchRefined(spark, path, q, k = 5,
+      candidateK = 32, nprobe = 8)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = SimilarityIndex.bruteForceTopK(embs, q, k = 5)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(refined === exact,
+      s"refined top-5 diverged from exact float top-5: ${refined.diff(exact)}")
+  }
+
+  test("refined search: raw sidecar follows appends and compaction, plan prunes lists") {
+    val q = embs.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val path = java.nio.file.Files.createTempDirectory("ivfsq8-refined-app")
+      .resolve("idx").toString
+    Quantize.ivfSq8Build(embs.filter($"vec_id" % 2 === 0), path,
+      nlist = 8, fitSampleFraction = 1.0, storeRaw = true)
+    Quantize.ivfSq8Append(spark, path, embs.filter($"vec_id" % 2 === 1))
+    val appended = Quantize.ivfSq8SearchRefined(spark, path, q, k = 5,
+      candidateK = 32, nprobe = 8)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // odd-id vectors entered through the append — they must be visible
+    // to the refine pass (raw/ kept in lockstep with codes/)
+    assert(appended.exists(r => r._2 % 2 === 1),
+      s"appended vectors invisible to refined search: ${appended.toSeq}")
+    Quantize.ivfSq8Compact(spark, path)
+    val compacted = Quantize.ivfSq8SearchRefined(spark, path, q, k = 5,
+      candidateK = 32, nprobe = 8)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(compacted === appended, "compaction must not change refined results")
+
+    // a narrow probe still prunes both scans to probed list partitions
+    val narrow = Quantize.ivfSq8SearchRefined(spark, path, q, k = 3,
+      candidateK = 8, nprobe = 2)
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"expected list_id partition pruning in the refined plan:\n$plan")
+    assert(!plan.contains("Window"), s"refined ranking must not use a window:\n$plan")
+    val top1 = narrow.filter($"rank" === 1).as[(Long, Long, Double, Int)].collect()
+    assert(top1.length === 4 && top1.forall(r => r._1 === r._2),
+      s"self not top-1 under narrow probes: ${top1.toSeq}")
+  }
+
+  test("refined search without a raw sidecar fails fast") {
+    val q = embs.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val path = java.nio.file.Files.createTempDirectory("ivfsq8-noraw")
+      .resolve("idx").toString
+    Quantize.ivfSq8Build(embs.limit(50), path, nlist = 4, fitSampleFraction = 1.0)
+    val e = intercept[IllegalArgumentException] {
+      Quantize.ivfSq8SearchRefined(spark, path, q, k = 3)
+    }
+    assert(e.getMessage.contains("storeRaw"))
+  }
+
+  test("int8Compact folds installments to one dir with bit-identical results") {
+    val q = embs.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val path = java.nio.file.Files.createTempDirectory("int8-compact")
+      .resolve("idx").toString
+    Quantize.int8Build(embs.filter($"vec_id" % 3 === 0), path)
+    Quantize.int8Append(spark, path, embs.filter($"vec_id" % 3 === 1))
+    Quantize.int8Append(spark, path, embs.filter($"vec_id" % 3 === 2))
+    val before = Quantize.int8SearchIndexed(spark, path, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val rows = Quantize.int8Compact(spark, path)
+    assert(rows === embs.count())
+    val installments = new java.io.File(s"$path/codes").listFiles()
+      .filter(_.getName.startsWith("installment=")).map(_.getName).toSet
+    assert(installments === Set("installment=0"),
+      s"expected one folded installment, got $installments")
+    val after = Quantize.int8SearchIndexed(spark, path, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(after === before, "compaction must not change int8 search results")
+    // the next append numbers after the folded history, not on top of it
+    Quantize.int8Append(spark, path,
+      embs.filter($"vec_id" < 3).withColumn("vec_id", $"vec_id" + 1000000))
+    val nextDirs = new java.io.File(s"$path/codes").listFiles()
+      .filter(_.getName.startsWith("installment=")).map(_.getName).toSet
+    assert(nextDirs === Set("installment=0", "installment=1"), s"got $nextDirs")
+  }
+
   test("scoring plan has no window funnel and broadcasts the query side") {
     val scale = Quantize.maxAbs(embs, "embedding") / 127.0
     val q = embs.filter($"vec_id" < 2)
