@@ -780,6 +780,22 @@ object SparkEntry {
       Dedup.duplicateClusters(pairs, "id_a", "id_b").orderBy("rep")
     }),
 
+    // SemDeDup pruning over the same planted-copy fixture: every scaled
+    // copy is cosine-1 with its original, so exactly the 1000000+ ids
+    // drop (keep-min representative) and the survivor set is the
+    // original corpus — the oracle prunes brute-force CC labels the
+    // same way, so a missed LSH candidate or a wrong representative
+    // choice both break the hash
+    "emb_semantic_dedup" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val copies = e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(1.05f)).as("embedding"))
+      Dedup.semanticDedup(e.unionByName(copies), "embedding", "vec_id",
+        dims = 64, threshold = 0.98, planes = 96, bands = 8)
+        .select("vec_id").orderBy("vec_id")
+    }),
+
     // ==================================================================
     // Similarity search (§2.4)
     // ==================================================================
@@ -2494,6 +2510,34 @@ object SparkEntry {
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                             CAST(b.embedding AS DOUBLE[])) >= 0.98
         |ORDER BY id_a, id_b""".stripMargin,
+    // SemDeDup survivors: the emb_dup_clusters CC verbatim, pruned to
+    // keep-min representatives — a row survives unless it is a
+    // non-representative member of some duplicate cluster
+    "emb_semantic_dedup" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x * 1.05 AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 20 = 0),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM base a JOIN base b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                               CAST(b.embedding AS DOUBLE[])) >= 0.98),
+        |e AS (
+        |  SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e) n
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON reach.u = e.v
+        |), lab AS (
+        |  SELECT u AS id, min(r) AS rep FROM reach GROUP BY u
+        |)
+        |SELECT b.vec_id FROM base b
+        |LEFT JOIN (SELECT id FROM lab WHERE id <> rep) d ON b.vec_id = d.id
+        |WHERE d.id IS NULL
+        |ORDER BY b.vec_id""".stripMargin,
     "emb_dup_clusters" ->
       """WITH RECURSIVE base AS (
         |  SELECT vec_id, embedding FROM embeddings

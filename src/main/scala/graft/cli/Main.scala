@@ -241,6 +241,20 @@ object Main {
         .orderBy("query_id", "rank").show(50, truncate = false)
       spark.stop()
 
+    case "semantic-dedup" :: vecs :: out :: rest =>
+      val idCol = rest.headOption.getOrElse("vec_id")
+      val vecCol = rest.drop(1).headOption.getOrElse("embedding")
+      val dims = rest.drop(2).headOption.map(_.toInt).getOrElse(64)
+      val threshold = rest.drop(3).headOption.map(_.toDouble).getOrElse(0.95)
+      val spark = session()
+      val survivors = graft.dedup.Dedup.semanticDedup(
+        spark.read.parquet(vecs), vecCol, idCol, dims, threshold)
+      survivors.write.mode("overwrite").parquet(out)
+      graft.dedup.Dedup.release(survivors)
+      val n = spark.read.parquet(out).count()
+      println(s"semantic-dedup: $n survivors -> $out")
+      spark.stop()
+
     case "dedup-cluster" :: pairs :: out :: rest =>
       val aCol = rest.headOption.getOrElse("id_a")
       val bCol = rest.drop(1).headOption.getOrElse("id_b")
@@ -265,6 +279,7 @@ object Main {
           |  scrub            <docsParquet> <outParquet> [idCol] [textCol]
           |  chunk            <docsParquet> <outParquet> <window> <stride> [idCol] [textCol]
           |  dedup-cluster    <pairsParquet> <outParquet> [aCol] [bCol]
+          |  semantic-dedup   <vecsParquet> <outParquet> [idCol] [vecCol] [dims] [threshold]
           |  profile          <tableParquet> <col,col,...> [approx]
           |  bm25-build       <docsParquet> <indexPath> [idCol] [textCol]
           |  bm25-append      <docsParquet> <indexPath> [idCol] [textCol]

@@ -398,6 +398,35 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /**
+   * Semantic deduplication — the SemDeDup pruning stage of an LLM data
+   * pipeline (Abbas et al. 2023, arXiv:2303.09540, public method): keep
+   * ONE representative per cluster of near-parallel embeddings and drop
+   * the rest. Composes the pieces this file already scales:
+   * [[embeddingNearDuplicates]] generates candidate pairs (banded
+   * hyperplane LSH — never all-pairs), [[connectedComponents]] closes
+   * them transitively (star contraction, per-round checkpoint), and the
+   * keep-min representative rule prunes every non-representative member
+   * via one anti-join on `idCol`.
+   *
+   * Scale shape: the corpus rides exactly two exchanges — the ids-only
+   * band shuffle inside the pair pass and the final `idCol` anti-join
+   * (the drop list is ids-only, duplicate-member-sized, not
+   * corpus-sized). Returns the surviving rows with their original
+   * schema. The CC checkpoint backs the returned plan — call
+   * [[release]] on the result when its blocks should be freed.
+   */
+  def semanticDedup(df: DataFrame, vecCol: String, idCol: String, dims: Int,
+                    threshold: Double = 0.95, planes: Int = 96, bands: Int = 8,
+                    maxBucketSize: Int = 2000): DataFrame = {
+    val pairs = embeddingNearDuplicates(df, vecCol, idCol, dims, threshold,
+      planes, bands, maxBucketSize)
+    val labels = connectedComponents(pairs, "id_a", "id_b")
+    val drop = labels.filter(col("id") =!= col("rep"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
   // --------------------------------------------- incremental MinHash index
 
   /**

@@ -128,6 +128,25 @@ class DedupSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("semanticDedup keeps one representative per cluster and all singletons") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.1f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.1f)),   // exact copy of 1
+      (7L, Array(1.001f, 0.0f, 0.0f, 0.1f)), // near copy of 1 -> same cluster
+      (3L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Array(0.0f, 1.0f, 0.0f, 0.0f)),   // exact copy of 3
+      (5L, Array(-1.0f, -0.2f, 0.5f, -0.3f)) // singleton
+    ).toDF("vec_id", "embedding")
+    val survivors = Dedup.semanticDedup(vecs, "embedding", "vec_id",
+      dims = 4, threshold = 0.999, planes = 8, bands = 4)
+    // schema passes through untouched; keep-min leaves 1 (not 2/7), 3
+    // (not 4), and the unclustered 5
+    assert(survivors.columns.toSeq === Seq("vec_id", "embedding"))
+    val ids = survivors.select("vec_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 3L, 5L), s"got $ids")
+    Dedup.release(survivors)
+  }
+
   test("simhash64 kernel: identical token sets collide, disjoint differ") {
     val a = Dedup.simhash64(Seq("alpha", "beta", "gamma"))
     val b = Dedup.simhash64(Seq("alpha", "beta", "gamma"))
