@@ -412,19 +412,25 @@ object Dedup {
    * Scale shape: the corpus rides exactly two exchanges — the ids-only
    * band shuffle inside the pair pass and the final `idCol` anti-join
    * (the drop list is ids-only, duplicate-member-sized, not
-   * corpus-sized). Returns the surviving rows with their original
-   * schema. The CC checkpoint backs the returned plan — call
-   * [[release]] on the result when its blocks should be freed.
+   * corpus-sized). `broadcastDrop = true` turns the anti-join into a
+   * broadcast (the corpus never shuffles at all) — the minhash-probe
+   * `broadcastBatch` contract: use it when the caller knows the
+   * duplicate fraction is small; leave the default hash shuffle for
+   * boilerplate-heavy corpora where the drop list itself is huge.
+   * Returns the surviving rows with their original schema. The CC
+   * checkpoint backs the returned plan — call [[release]] on the
+   * result when its blocks should be freed.
    */
   def semanticDedup(df: DataFrame, vecCol: String, idCol: String, dims: Int,
                     threshold: Double = 0.95, planes: Int = 96, bands: Int = 8,
-                    maxBucketSize: Int = 2000): DataFrame = {
+                    maxBucketSize: Int = 2000,
+                    broadcastDrop: Boolean = false): DataFrame = {
     val pairs = embeddingNearDuplicates(df, vecCol, idCol, dims, threshold,
       planes, bands, maxBucketSize)
     val labels = connectedComponents(pairs, "id_a", "id_b")
     val drop = labels.filter(col("id") =!= col("rep"))
       .select(col("id").as(idCol))
-    df.join(drop, Seq(idCol), "left_anti")
+    df.join(if (broadcastDrop) broadcast(drop) else drop, Seq(idCol), "left_anti")
   }
 
   // --------------------------------------------- incremental MinHash index

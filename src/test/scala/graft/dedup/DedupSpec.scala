@@ -145,6 +145,18 @@ class DedupSpec extends SparkTestBase {
     val ids = survivors.select("vec_id").as[Long].collect().toSet
     assert(ids === Set(1L, 3L, 5L), s"got $ids")
     Dedup.release(survivors)
+
+    // broadcastDrop keeps the corpus out of the anti-join shuffle
+    // entirely (BroadcastHashJoin LeftAnti) with identical survivors
+    val bcast = Dedup.semanticDedup(vecs, "embedding", "vec_id",
+      dims = 4, threshold = 0.999, planes = 8, bands = 4,
+      broadcastDrop = true)
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast anti-join:\n$plan")
+    val bIds = bcast.select("vec_id").as[Long].collect().toSet
+    assert(bIds === Set(1L, 3L, 5L), s"got $bIds")
+    Dedup.release(bcast)
   }
 
   test("simhash64 kernel: identical token sets collide, disjoint differ") {
