@@ -985,6 +985,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // flat-index refine (the sidecar-free sibling of sq8_refined): int8
+    // candidate pool from a TWO-INSTALLMENT index, exact float re-rank
+    // against the source embeddings table — candidateK=64 of 500 makes
+    // the pool certainly contain the float top-5, so the answer is the
+    // float brute force row for row (ids at argmax granularity)
+    "emb_topk_int8_refined" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_int8_ref_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.index.Quantize.int8Build(e.filter(col("vec_id") % 2 === 0), idxPath)
+      }
+      Phases.timed("append") {
+        graft.index.Quantize.int8Append(s, idxPath, e.filter(col("vec_id") % 2 === 1))
+      }
+      graft.index.Quantize.int8SearchRefined(s, idxPath, q, e, k = 5,
+        candidateK = 64)
+        .select(col("query_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // INT8 COMPACTION lifecycle: three installments folded to one dir by
     // the atomic-swap int8Compact, then searched — code bytes are
     // untouched, so the result must be BIT-IDENTICAL to emb_topk_int8's
@@ -3692,6 +3717,19 @@ object SparkEntry {
     // emb_top1_brute argmax-granularity contract, widened to k=5; self
     // is included, ranking first at cosine 1)
     "emb_topk_sq8_refined" ->
+      """SELECT query_id, vec_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings c
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q) t
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // flat-index refine: the same exact-float-top-5 contract as
+    // sq8_refined — the int8 pool (candidateK 64) certainly contains
+    // the float top-5, and the re-rank is exact
+    "emb_topk_int8_refined" ->
       """SELECT query_id, vec_id, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
         |    row_number() OVER (PARTITION BY q.vec_id

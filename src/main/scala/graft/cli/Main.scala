@@ -229,6 +229,17 @@ object Main {
       println(s"int8-compact: $rows packed codes folded to one installment in $idx")
       spark.stop()
 
+    case "int8-refine-search" :: idx :: vecs :: rest =>
+      val k = rest.headOption.map(_.toInt).getOrElse(5)
+      val candidateK = rest.drop(1).headOption.map(_.toInt).getOrElse(8 * k)
+      val spark = session()
+      val corpus = spark.read.parquet(vecs)
+      graft.index.Quantize.int8SearchRefined(spark, idx,
+        corpus.select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+        corpus, k, candidateK)
+        .orderBy("query_id", "rank").show(50, truncate = false)
+      spark.stop()
+
     case "ivfsq8-refine-search" :: idx :: vecs :: rest =>
       val k = rest.headOption.map(_.toInt).getOrElse(5)
       val candidateK = rest.drop(1).headOption.map(_.toInt).getOrElse(8 * k)
@@ -292,7 +303,8 @@ object Main {
           |  ivf-compact      <indexPath>
           |  ivfsq8-compact   <indexPath>
           |  int8-compact     <indexPath>
-          |  ivfsq8-refine-search <indexPath> <vecsParquet> [k] [candidateK] [nprobe]""".stripMargin)
+          |  ivfsq8-refine-search <indexPath> <vecsParquet> [k] [candidateK] [nprobe]
+          |  int8-refine-search <indexPath> <vecsParquet> [k] [candidateK]""".stripMargin)
       sys.exit(2)
   }
 }

@@ -418,6 +418,40 @@ object Quantize {
   }
 
   /**
+   * Flat-index refine — [[ivfSq8SearchRefined]]'s sidecar-free sibling
+   * for the installment int8 index: the packed codes generate a
+   * `candidateK` pool per query (quantized scan at 1 B/dim), then the
+   * pool re-ranks by exact float cosine against the CALLER's float
+   * corpus (the source-of-truth table the index was built from — no
+   * raw copy stored). The candidate id pairs and query vectors
+   * broadcast into the float scan, so the corpus is filtered map-side
+   * and never shuffles; float bytes are touched once, for pool rows
+   * only. `asOfInstallment` pins the CANDIDATE read to a snapshot; pass
+   * the matching corpus slice for exact-as-of semantics.
+   */
+  def int8SearchRefined(spark: SparkSession, path: String, queries: DataFrame,
+                        corpus: DataFrame, k: Int, candidateK: Int = 32,
+                        corpusId: String = "vec_id",
+                        corpusVec: String = "embedding",
+                        queryId: String = "query_id",
+                        queryVec: String = "query_vec",
+                        asOfInstallment: Int = Int.MaxValue): DataFrame = {
+    require(candidateK >= k,
+      s"candidateK ($candidateK) must be at least k ($k)")
+    val pool = int8SearchIndexed(spark, path, queries, candidateK,
+      corpusId, queryId, queryVec, asOfInstallment)
+      .select(col(queryId), col(corpusId))
+    val rescored = corpus.select(col(corpusId), col(corpusVec))
+      .join(broadcast(pool), Seq(corpusId))
+      .join(broadcast(queries.select(col(queryId), col(queryVec))), Seq(queryId))
+      .withColumn("cosine",
+        graft.functions.expressions.CosineSimilarity.cosineNative(
+          col(corpusVec), col(queryVec)))
+      .select(col(queryId), col(corpusId), col("cosine"))
+    TopK.topKPerGroup(rescored, queryId, corpusId, "cosine", k)
+  }
+
+  /**
    * Installment-index maintenance for [[int8Build]]/[[int8Append]] — the
    * bm25IndexCompact sibling: fold every `installment=` partition of
    * packed codes into ONE `installment=0` dir via the atomic side-dir

@@ -264,6 +264,28 @@ class QuantizeSpec extends SparkTestBase {
       s"self not top-1 under narrow probes: ${top1.toSeq}")
   }
 
+  test("flat-index refine equals the exact float top-k through a two-installment index") {
+    val q = embs.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val path = java.nio.file.Files.createTempDirectory("int8-refine")
+      .resolve("idx").toString
+    Quantize.int8Build(embs.filter($"vec_id" % 2 === 0), path)
+    Quantize.int8Append(spark, path, embs.filter($"vec_id" % 2 === 1))
+    val refined = Quantize.int8SearchRefined(spark, path, q, embs, k = 5,
+      candidateK = 64)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = SimilarityIndex.bruteForceTopK(embs, q, k = 5)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(refined === exact,
+      s"flat refine diverged from exact float top-5: ${refined.diff(exact)}")
+    // the float corpus is filtered by the broadcast pool, never shuffled
+    val plan = Quantize.int8SearchRefined(spark, path, q, embs, k = 5,
+      candidateK = 64).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"refine must not rank via window:\n$plan")
+  }
+
   test("refined search without a raw sidecar fails fast") {
     val q = embs.filter($"vec_id" < 2)
       .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
