@@ -691,10 +691,14 @@ object SparkEntry {
       val idxDir = java.nio.file.Files.createTempDirectory("graft_mhidx_asof_")
       deleteRecursivelyOnExit(idxDir)
       val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
-      Dedup.minhashIndexBuild(d.filter(col("doc_id") % 100 < 50),
-        "text", "doc_id", idxPath, shingleK = 4, numHashes = 128, bands = 64)
-      Dedup.minhashIndexAppend(s, idxPath, d.filter(col("doc_id") % 100 >= 50),
-        "text", "doc_id")
+      Phases.timed("build") {
+        Dedup.minhashIndexBuild(d.filter(col("doc_id") % 100 < 50),
+          "text", "doc_id", idxPath, shingleK = 4, numHashes = 128, bands = 64)
+      }
+      Phases.timed("append") {
+        Dedup.minhashIndexAppend(s, idxPath, d.filter(col("doc_id") % 100 >= 50),
+          "text", "doc_id")
+      }
       Dedup.minhashIndexProbe(s, idxPath, mutatedDocs(s, dir),
         "text", "doc_id", threshold = 0.3, asOfInstallment = 0)
         .orderBy("corpus_id", "new_id")
@@ -947,8 +951,12 @@ object SparkEntry {
       val idxDir = java.nio.file.Files.createTempDirectory("graft_int8_asof_")
       deleteRecursivelyOnExit(idxDir)
       val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
-      graft.index.Quantize.int8Build(e.filter(col("vec_id") % 2 === 0), idxPath)
-      graft.index.Quantize.int8Append(s, idxPath, e.filter(col("vec_id") % 2 === 1))
+      Phases.timed("build") {
+        graft.index.Quantize.int8Build(e.filter(col("vec_id") % 2 === 0), idxPath)
+      }
+      Phases.timed("append") {
+        graft.index.Quantize.int8Append(s, idxPath, e.filter(col("vec_id") % 2 === 1))
+      }
       graft.index.Quantize.int8SearchIndexed(s, idxPath, q, k = 5,
         asOfInstallment = 0)
         .select(col("query_id"), col("vec_id"), col("cosine_q"),
@@ -1423,8 +1431,12 @@ object SparkEntry {
       val idxDir = java.nio.file.Files.createTempDirectory("graft_bm25_asof_")
       deleteRecursivelyOnExit(idxDir)
       val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
-      graft.index.Bm25.bm25IndexBuild(d.filter(col("doc_id") % 2 === 0), idxPath)
-      graft.index.Bm25.bm25IndexAppend(s, idxPath, d.filter(col("doc_id") % 2 === 1))
+      Phases.timed("build") {
+        graft.index.Bm25.bm25IndexBuild(d.filter(col("doc_id") % 2 === 0), idxPath)
+      }
+      Phases.timed("append") {
+        graft.index.Bm25.bm25IndexAppend(s, idxPath, d.filter(col("doc_id") % 2 === 1))
+      }
       graft.index.Bm25.bm25SearchIndexed(s, idxPath, q, k = 10,
         asOfInstallment = 0)
         .select(col("query_id"), col("doc_id"), col("score"),
