@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
  * decode / feature-extract / resize / frame-sample run as partition-local
  * batch transforms.
  *
- * The decode step is REAL, dependency-free JVM parsing of two public
+ * The decode step is REAL, dependency-free JVM parsing of three public
  * formats (no image/audio libraries exist in this container, and none are
  * needed for these):
  *
@@ -18,12 +18,17 @@ import org.apache.spark.sql.functions._
  *    whitespace byte, then `width*height*3` raw bytes. Video rows are a
  *    concatenated P6 frame sequence (the Netpbm convention for streams —
  *    `ppmtoy4m` et al. consume exactly this shape).
+ *  - **BMP (24-bit BI_RGB)** for image rows — the Windows DIB container:
+ *    BITMAPFILEHEADER + BITMAPINFOHEADER, bottom-up (or top-down) BGR
+ *    rows with 4-byte stride padding, normalized on decode to the same
+ *    top-down RGB stream P6 yields, so downstream features are
+ *    container-blind.
  *  - **WAV (RIFF/PCM)** for audio rows — canonical RIFF container walked
  *    chunk-by-chunk (unknown chunks skipped by their declared size, the
  *    rule real files demand — LIST/INFO chunks abound), `fmt ` parsed for
  *    PCM/mono/16-bit, `data` samples decoded s16le → unsigned 8-bit.
  *
- * The decoders accept ANY valid P6/WAV payload, not just the synthetic
+ * The decoders accept ANY valid P6/BMP/WAV payload, not just the synthetic
  * fixture; corrupt or truncated payloads yield empty output instead of
  * failing the task. A real pipeline swaps [[decodeFrames]]'s dispatch for
  * JPEG/H.264 via JNI — everything around it (schema contract,
@@ -103,6 +108,78 @@ object Multimodal {
         else Some((w, h, java.util.Arrays.copyOfRange(bytes, i, i + n), i + n - off))
       case _ => None
     }
+  }
+
+  /** Encode a 24-bit uncompressed BI_RGB BMP (BITMAPFILEHEADER +
+    * BITMAPINFOHEADER, bottom-up BGR rows, 4-byte row padding) from a
+    * top-down RGB pixel stream — the other dependency-free image
+    * container real crawls carry alongside Netpbm. */
+  def encodeBmp(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+    require(rgb.length == w * h * 3,
+      s"BMP needs w*h*3 = ${w * h * 3} bytes, got ${rgb.length}")
+    val rowLen = w * 3
+    val pad = (4 - rowLen % 4) % 4
+    val dataLen = (rowLen + pad) * h
+    val buf = java.nio.ByteBuffer.allocate(54 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + dataLen)
+      .putShort(0).putShort(0).putInt(54)
+    buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(dataLen).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = h - 1
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val p = (y * w + x) * 3
+        buf.put(rgb(p + 2)).put(rgb(p + 1)).put(rgb(p))
+        x += 1
+      }
+      var i = 0
+      while (i < pad) { buf.put(0.toByte); i += 1 }
+      y -= 1
+    }
+    buf.array()
+  }
+
+  /** Parse a 24-bit BI_RGB BMP into (width, height, top-down RGB).
+    * Handles both bottom-up (positive height) and top-down (negative)
+    * row orders; anything else (palettized, compressed, truncated)
+    * yields None — never a task failure. */
+  def decodeBmp(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.length < 54 ||
+      bytes(0) != 'B' || bytes(1) != 'M') return None
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val dataOff = buf.getInt(10)
+    val hdrSize = buf.getInt(14)
+    val w = buf.getInt(18)
+    val hRaw = buf.getInt(22)
+    val planes = buf.getShort(26)
+    val bpp = buf.getShort(28)
+    val comp = buf.getInt(30)
+    if (hdrSize < 40 || planes != 1 || bpp != 24 || comp != 0 ||
+      w <= 0 || hRaw == 0) return None
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val stride = (w * 3 + 3) / 4 * 4
+    if (dataOff < 54 || dataOff.toLong + stride.toLong * h > bytes.length)
+      return None
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = dataOff + (if (topDown) y else h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val s = srcRow + x * 3
+        val d = (y * w + x) * 3
+        out(d) = bytes(s + 2)
+        out(d + 1) = bytes(s + 1)
+        out(d + 2) = bytes(s)
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, out))
   }
 
   /** Encode a canonical 16-bit mono PCM WAV. */
@@ -188,6 +265,9 @@ object Multimodal {
         }
       }
       if (ok) frames.result() else Vector.empty
+    } else if (payload(0) == 'B' && payload(1) == 'M') {
+      decodeBmp(payload).map { case (_, _, px) => Vector(px) }
+        .getOrElse(Vector.empty)
     } else if (payload.length >= 4 && payload(0) == 'R' && payload(1) == 'I'
                && payload(2) == 'F' && payload(3) == 'F') {
       decodeWav(payload).map(Vector(_)).getOrElse(Vector.empty)
@@ -233,9 +313,10 @@ object Multimodal {
    * Attach a binary payload + metadata struct to any table, derived
    * deterministically from an id + text column so the fixture reproduces
    * at every scale factor (stands in for `spark.read.format("binaryFile")`).
-   * Payloads are REAL format bytes: P6 PPM for images, concatenated P6
-   * frames for video, RIFF/PCM WAV for audio — so the decode side
-   * exercises genuine parsers, and any external P6/WAV tool reads them.
+   * Payloads are REAL format bytes: P6 PPM and 24-bit BMP alternating
+   * for images, concatenated P6 frames for video, RIFF/PCM WAV for
+   * audio — so the decode side exercises genuine parsers, and any
+   * external P6/BMP/WAV tool reads them.
    */
   def syntheticMedia(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = df.sparkSession
@@ -249,7 +330,13 @@ object Multimodal {
       val perFrame = w * h * 3
       (id % 3) match {
         case 0 =>
-          val payload = encodePpm(w, h, fixtureStream(tb, perFrame))
+          // alternate the image container: even image rows carry BMP,
+          // odd carry P6 — both decode to the SAME pixel stream, so the
+          // oracles (which recompute from (id, text)) are container-blind
+          // and a regression in either real parser breaks the hash
+          val px = fixtureStream(tb, perFrame)
+          val payload = if (id % 6 == 0) encodeBmp(w, h, px)
+                        else encodePpm(w, h, px)
           MediaRow(id, payload, MediaMeta("image", w, h, 1, 0))
         case 1 =>
           val u8 = fixtureStream(tb, perFrame)

@@ -101,6 +101,37 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeWav("RIFFxxxxNOPE".getBytes).isEmpty)
   }
 
+  test("BMP round-trips through padding and row flip; malformed variants reject") {
+    // width 3 -> rowLen 9, stride 12: the 4-byte padding path is live
+    val rgb = Array.tabulate(3 * 2 * 3)(i => (i * 13 % 256).toByte)
+    val enc = Multimodal.encodeBmp(3, 2, rgb)
+    assert(enc(0) === 'B'.toByte && enc(1) === 'M'.toByte)
+    val Some((w, h, px)) = Multimodal.decodeBmp(enc)
+    assert((w, h) === (3, 2))
+    assert(px.toSeq === rgb.toSeq, "bottom-up BGR must normalize back to top-down RGB")
+    // top-down variant (negative height) decodes to the same pixels:
+    // flip the stored row order, then negate the height field
+    val stride = 12
+    val topDown = enc.clone()
+    System.arraycopy(enc, 54 + stride, topDown, 54, stride)
+    System.arraycopy(enc, 54, topDown, 54 + stride, stride)
+    java.nio.ByteBuffer.wrap(topDown).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, -2)
+    assert(Multimodal.decodeBmp(topDown).get._3.toSeq === rgb.toSeq)
+    // 8-bit palettized, compressed, and truncated all reject
+    val pal = enc.clone()
+    java.nio.ByteBuffer.wrap(pal).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort(28, 8)
+    assert(Multimodal.decodeBmp(pal).isEmpty)
+    val rle = enc.clone()
+    java.nio.ByteBuffer.wrap(rle).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(30, 1)
+    assert(Multimodal.decodeBmp(rle).isEmpty)
+    assert(Multimodal.decodeBmp(enc.dropRight(1)).isEmpty)
+    // and the frame dispatcher routes BM payloads through the BMP parser
+    assert(Multimodal.decodeFrames(enc).head.toSeq === rgb.toSeq)
+  }
+
   test("concatenated P6 frames decode to the frame list; truncation rejects") {
     val f0 = Array.tabulate(2 * 2 * 3)(i => i.toByte)
     val f1 = Array.tabulate(2 * 2 * 3)(i => (100 + i).toByte)
@@ -117,6 +148,10 @@ class MultimodalSpec extends SparkTestBase {
       val head = new String(m.payload.take(4), "US-ASCII")
       m.meta.media_type match {
         case "audio" => assert(head === "RIFF", s"id ${m.id}")
+        case "image" =>
+          // image containers alternate: BMP on even rows, P6 on odd
+          if (m.id % 6 == 0) assert(head.startsWith("BM"), s"id ${m.id}")
+          else assert(head.startsWith("P6"), s"id ${m.id}")
         case _ => assert(head.startsWith("P6"), s"id ${m.id}")
       }
     }
