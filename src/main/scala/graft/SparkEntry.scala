@@ -1695,6 +1695,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the packing LAST MILE: each (lang, shard, bin) materialized as one
+    // training row — members concatenated in key order with the \n\n
+    // document separator. The assembled text hash-checks byte-for-byte,
+    // so concat order, separators, and bin membership are all pinned;
+    // aggregation state is bin-bounded (≤ budget + one straddler), never
+    // stratum-sized
+    "doc_pack_assemble" -> ((s, dir) => {
+      val withTokens = tbl(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("text"),
+        TextMetrics.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+      graft.pipeline.Packing.assemblePacked(withTokens, "doc_id", "text",
+        "n_tokens", "lang", tokenBudget = 512, nShards = 4)
+        .orderBy("lang", "shard", "bin")
+    }),
+
     // benchmark decontamination: training docs sharing >=1 distinct word
     // 5-gram with a held-out eval set (here: every 97th doc), with the
     // evidence count. The benchmark gram set broadcasts; the corpus side
@@ -2724,6 +2739,31 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, shard,
         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
+    // assembly: the same binning CTE, materialized per bin with an
+    // ordered string_agg — byte-for-byte equality pins concat order,
+    // separator bytes, and membership in one hash
+    "doc_pack_assemble" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, text,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tokens,
+        |    doc_id % 4 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, shard, text, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t),
+        |b AS (
+        |  SELECT doc_id, lang, shard, text, n_tokens,
+        |    CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
+        |  FROM c)
+        |SELECT lang, shard, bin, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+        |  string_agg(text, chr(10) || chr(10) ORDER BY doc_id) AS text
+        |FROM b GROUP BY lang, shard, bin
+        |ORDER BY lang, shard, bin""".stripMargin,
     // distinct word 5-grams on both sides (same normalization + short-text
     // fallback as the Jaccard oracle); n_hits = distinct shared grams
     "doc_decontaminate" ->

@@ -55,4 +55,36 @@ object Packing {
       .withColumn("bin", expr(s"_start div ${tokenBudget}L"))
       .drop("_cum", "_start")
   }
+
+  /**
+   * The packing last mile: materialize each (stratum, shard, bin) as ONE
+   * training row — member documents laid end-to-end in key order, joined
+   * with `sep` (the document-separator token of the downstream
+   * tokenizer). Composes [[packByTokenBudget]] with a single hash
+   * aggregation.
+   *
+   * Scale shape: aggregation state per group is BIN-BOUNDED — a bin
+   * holds at most `tokenBudget` tokens plus one straddling document, so
+   * no group can accumulate a corpus-sized buffer (contrast a naive
+   * group-by-stratum concat, where one stratum is the corpus). The sort
+   * inside each bin is an `array_sort` over that bounded member list,
+   * never a window. Output: (stratumCol, shard, bin, n_docs, n_tokens,
+   * text), one row per bin.
+   */
+  def assemblePacked(df: DataFrame, keyCol: String, textCol: String,
+                     tokensCol: String, stratumCol: String,
+                     tokenBudget: Long, nShards: Int = 64,
+                     sep: String = "\n\n"): DataFrame = {
+    val binned = packByTokenBudget(df, keyCol, tokensCol, stratumCol,
+      tokenBudget, nShards)
+    binned.groupBy(col(stratumCol), col("shard"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col(tokensCol)).as("n_tokens"),
+        // struct sort orders by the leading unique key, so the concat
+        // order is the packing order regardless of shuffle arrival
+        array_join(transform(
+          array_sort(collect_list(struct(col(keyCol), col(textCol)))),
+          s => s.getField(textCol)), sep).as("text"))
+  }
 }

@@ -149,6 +149,34 @@ class SamplingPackingSpec extends SparkTestBase {
     assert(packed.filter(pmod(col("doc_id"), lit(4L)) =!= col("shard")).count() === 0)
   }
 
+  test("assemblePacked materializes bins in key order with exact separators") {
+    // one stratum, one shard: budget 5, docs of 3/3/2/6 tokens → starts
+    // 0/3/6/8 → bins floor(start/5) = 0, 0, 1, 1 (the last doc STARTS in
+    // bin 1 and straddles past the budget — the documented convention)
+    val fixture = Seq(
+      (1L, "en", "one two three", 3L),
+      (5L, "en", "four five six", 3L),
+      (9L, "en", "seven eight", 2L),
+      (13L, "en", "n1 n2 n3 n4 n5 n6", 6L)
+    ).toDF("doc_id", "lang", "text", "n_tokens")
+    val rows = Packing.assemblePacked(fixture, "doc_id", "text", "n_tokens",
+      "lang", tokenBudget = 5, nShards = 1, sep = "\n\n")
+      .orderBy("bin")
+      .as[(String, Long, Long, Long, Long, String)].collect()
+    assert(rows.map(r => (r._3, r._4, r._5)).toSeq ===
+      Seq((0L, 2L, 6L), (1L, 2L, 8L)),
+      s"bin membership wrong: ${rows.toSeq}")
+    assert(rows(0)._6 === "one two three\n\nfour five six",
+      "concat must follow key order with the exact separator")
+    assert(rows(1)._6 === "seven eight\n\nn1 n2 n3 n4 n5 n6")
+
+    // reassembly is lossless: splitting every bin on the separator
+    // yields the original documents exactly once
+    val reassembled = rows.flatMap(_._6.split("\n\n")).toSet
+    val original = fixture.select("text").as[String].collect().toSet
+    assert(reassembled === original)
+  }
+
   test("quota sampling via negated coordinate matches the window rank exactly") {
     // pins the doc_quota_sample trick: TopK ranks DESC by score, so the
     // k hash-SMALLEST rows per stratum ride in as negate(hashCoord) —
