@@ -159,6 +159,19 @@ class DedupSpec extends SparkTestBase {
     Dedup.release(bcast)
   }
 
+  test("semanticDedup with no near-duplicates returns the corpus untouched") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val survivors = Dedup.semanticDedup(vecs, "embedding", "vec_id",
+      dims = 4, threshold = 0.999, planes = 8, bands = 4)
+    assert(survivors.select("vec_id").as[Long].collect().toSet ===
+      Set(1L, 2L, 3L))
+    Dedup.release(survivors)
+  }
+
   test("simhash64 kernel: identical token sets collide, disjoint differ") {
     val a = Dedup.simhash64(Seq("alpha", "beta", "gamma"))
     val b = Dedup.simhash64(Seq("alpha", "beta", "gamma"))

@@ -286,6 +286,41 @@ class QuantizeSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"refine must not rank via window:\n$plan")
   }
 
+  test("flat refine respects asOfInstallment on the candidate read") {
+    // queries are the odd ids that live ONLY in installment 1: pinned to
+    // installment 0 their twin codes are pruned away, so the refined
+    // top-1 cannot be the self-hit the full read returns
+    val q = embs.filter($"vec_id".isin(1L, 3L, 5L))
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val path = java.nio.file.Files.createTempDirectory("int8-refine-asof")
+      .resolve("idx").toString
+    Quantize.int8Build(embs.filter($"vec_id" % 2 === 0), path)
+    Quantize.int8Append(spark, path, embs.filter($"vec_id" % 2 === 1))
+    val full = Quantize.int8SearchRefined(spark, path, q, embs, k = 1,
+      candidateK = 8)
+      .filter($"rank" === 1).as[(Long, Long, Double, Int)].collect()
+    assert(full.forall(r => r._1 === r._2), s"full read must self-match: ${full.toSeq}")
+    val snap = Quantize.int8SearchRefined(spark, path, q,
+      embs.filter($"vec_id" % 2 === 0), k = 1, candidateK = 8,
+      asOfInstallment = 0)
+      .filter($"rank" === 1).as[(Long, Long, Double, Int)].collect()
+    assert(snap.length === 3)
+    assert(snap.forall(r => r._2 % 2 === 0),
+      s"snapshot candidates must come from installment 0 only: ${snap.toSeq}")
+  }
+
+  test("refined searches reject candidateK < k") {
+    val q = embs.filter($"vec_id" < 2)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val path = java.nio.file.Files.createTempDirectory("int8-refine-k")
+      .resolve("idx").toString
+    Quantize.int8Build(embs.limit(20), path)
+    val e = intercept[IllegalArgumentException] {
+      Quantize.int8SearchRefined(spark, path, q, embs, k = 5, candidateK = 3)
+    }
+    assert(e.getMessage.contains("candidateK"))
+  }
+
   test("refined search without a raw sidecar fails fast") {
     val q = embs.filter($"vec_id" < 2)
       .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))

@@ -175,6 +175,20 @@ class SamplingPackingSpec extends SparkTestBase {
     val reassembled = rows.flatMap(_._6.split("\n\n")).toSet
     val original = fixture.select("text").as[String].collect().toSet
     assert(reassembled === original)
+
+    // zero-token rows ride along without advancing the cumulative sum:
+    // an empty doc between two others lands in the same bin as its
+    // neighbors and contributes only a separator
+    val withEmpty = Seq(
+      (1L, "en", "a b", 2L),
+      (2L, "en", "", 0L),
+      (3L, "en", "c d", 2L)
+    ).toDF("doc_id", "lang", "text", "n_tokens")
+    val one = Packing.assemblePacked(withEmpty, "doc_id", "text", "n_tokens",
+      "lang", tokenBudget = 10, nShards = 1, sep = "|")
+      .as[(String, Long, Long, Long, Long, String)].collect()
+    assert(one.length === 1 && one.head._4 === 3L && one.head._6 === "a b||c d",
+      s"empty-doc handling drifted: ${one.toSeq}")
   }
 
   test("quota sampling via negated coordinate matches the window rank exactly") {
