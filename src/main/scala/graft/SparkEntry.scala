@@ -1244,6 +1244,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // cross-document repeated-span removal (Lee et al. 2021 ExactSubstr
+    // dedup in token space): every duplicated 8-token window survives only
+    // at its first (doc_id, pos) occurrence; the truncated near-dup copies
+    // share long prefixes with their originals, so the copies' prefix
+    // spans are removed while the originals survive intact. clean_text
+    // hash-checks byte-for-byte (token-normalized form).
+    "doc_span_dedup" -> ((s, dir) => {
+      graft.pipeline.SpanDedup.removeRepeatedSpans(
+        docsWithNearDups(s, dir), k = 8)
+        .orderBy("doc_id")
+    }),
+
     // deterministic negative sampling (contrastive-pair mining): 3
     // pseudo-random non-self partners per doc via the salted hash
     // coordinate over the range-partitioned global rank — RNG-free, so
@@ -1267,6 +1279,59 @@ object SparkEntry {
     // ==================================================================
     // Text analysis (training-data pipeline)
     // ==================================================================
+    // Stupid-Backoff bigram LM quality score (CCNet-style perplexity
+    // filter, integer-exact fixed point — every per-pair score and the
+    // per-doc sum/avg are BIGINTs, so the oracle matches bit-for-bit).
+    // Self-trained here; production passes held-out count tables.
+    "doc_ngram_lm_score" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      graft.analysis.NgramLm.selfScore(docs).orderBy("doc_id")
+    }),
+
+    // the LM-model APPEND path (4th appendable index family): count the
+    // even doc_ids at build, fold the odd half in as delta installments,
+    // compact, score everything — counts are delta-summable integers, so
+    // score-after-append is BIT-identical to the one-shot model and the
+    // oracle is the SAME whole-corpus LM SQL as doc_ngram_lm_score.
+    "doc_lm_append" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_lm_app_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.analysis.NgramLm.lmIndexBuild(docs.filter(col("doc_id") % 2 === 0), idxPath)
+      }
+      Phases.timed("append") {
+        graft.analysis.NgramLm.lmIndexAppend(s, idxPath,
+          docs.filter(col("doc_id") % 2 === 1))
+      }
+      Phases.timed("compact") {
+        graft.analysis.NgramLm.lmIndexCompact(s, idxPath)
+      }
+      graft.analysis.NgramLm.lmScoreIndexed(s, idxPath, docs).orderBy("doc_id")
+    }),
+
+    // LM SNAPSHOT READ: two installments (even/odd halves), scored at
+    // asOfInstallment = 0 — every count AND the total-token normalizer
+    // must prune to the even half, so the oracle trains on
+    // `WHERE doc_id % 2 = 0` while scoring ALL documents; a leaked odd
+    // delta shifts the integer scores and hash-mismatches.
+    "doc_lm_asof" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_lm_asof_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.analysis.NgramLm.lmIndexBuild(docs.filter(col("doc_id") % 2 === 0), idxPath)
+      }
+      Phases.timed("append") {
+        graft.analysis.NgramLm.lmIndexAppend(s, idxPath,
+          docs.filter(col("doc_id") % 2 === 1))
+      }
+      graft.analysis.NgramLm.lmScoreIndexed(s, idxPath, docs,
+        asOfInstallment = 0).orderBy("doc_id")
+    }),
+
     // per-language corpus stats (integer token/char sums — exact)
     "doc_token_stats" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
@@ -2802,6 +2867,131 @@ object SparkEntry {
         |SELECT doc_id, lang FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM hits)
         |ORDER BY doc_id""".stripMargin,
+    // Stupid-Backoff bigram LM score — all-integer fixed point (millionths):
+    // seen bigram ⌊1e6·c(w1 w2)/c(w1)⌋, else backoff ⌊2e6·c(w2)/(5·N)⌋;
+    // HUGEINT products + `//` mirror Spark's DECIMAL(38,0) `div` exactly.
+    "doc_ngram_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |uni AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(t) AS token FROM toks) u GROUP BY token),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+        |prs AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, unnest(range(1, len(t))) AS r(i)
+        |  WHERE len(t) >= 2),
+        |bi AS (
+        |  SELECT w1 || ' ' || w2 AS bigram, CAST(count(*) AS BIGINT) AS c
+        |  FROM prs GROUP BY 1),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN b.c IS NOT NULL
+        |      THEN CAST((1000000::HUGEINT * b.c) // u1.c AS BIGINT)
+        |      ELSE CAST((2000000::HUGEINT * COALESCE(u2.c, 0))
+        |                // (5::HUGEINT * t.n_total) AS BIGINT)
+        |    END AS s
+        |  FROM prs p
+        |  LEFT JOIN bi b ON b.bigram = p.w1 || ' ' || p.w2
+        |  LEFT JOIN uni u1 ON u1.token = p.w1
+        |  LEFT JOIN uni u2 ON u2.token = p.w2
+        |  CROSS JOIN tot t),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(s) AS BIGINT) AS lm_score_sum
+        |  FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(a.lm_score_sum, 0) AS BIGINT) AS lm_score_sum,
+        |  CASE WHEN COALESCE(a.n_pairs, 0) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(a.lm_score_sum // a.n_pairs AS BIGINT) END AS lm_avg
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // append == one-shot by delta-summed construction → the oracle is the
+    // SAME whole-corpus LM SQL as doc_ngram_lm_score
+    "doc_lm_append" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |uni AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(t) AS token FROM toks) u GROUP BY token),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+        |prs AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM toks, unnest(range(1, len(t))) AS r(i)
+        |  WHERE len(t) >= 2),
+        |bi AS (
+        |  SELECT w1 || ' ' || w2 AS bigram, CAST(count(*) AS BIGINT) AS c
+        |  FROM prs GROUP BY 1),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN b.c IS NOT NULL
+        |      THEN CAST((1000000::HUGEINT * b.c) // u1.c AS BIGINT)
+        |      ELSE CAST((2000000::HUGEINT * COALESCE(u2.c, 0))
+        |                // (5::HUGEINT * t.n_total) AS BIGINT)
+        |    END AS s
+        |  FROM prs p
+        |  LEFT JOIN bi b ON b.bigram = p.w1 || ' ' || p.w2
+        |  LEFT JOIN uni u1 ON u1.token = p.w1
+        |  LEFT JOIN uni u2 ON u2.token = p.w2
+        |  CROSS JOIN tot t),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(s) AS BIGINT) AS lm_score_sum
+        |  FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(a.lm_score_sum, 0) AS BIGINT) AS lm_score_sum,
+        |  CASE WHEN COALESCE(a.n_pairs, 0) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(a.lm_score_sum // a.n_pairs AS BIGINT) END AS lm_avg
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    // snapshot read: the model CTEs train on the even half only; the
+    // scoring side still walks every document's pairs
+    "doc_lm_asof" ->
+      """WITH tr AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 2 = 0 AND length(trim(text)) > 0),
+        |uni AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(t) AS token FROM tr) u GROUP BY token),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+        |bi AS (
+        |  SELECT t[i] || ' ' || t[i+1] AS bigram, CAST(count(*) AS BIGINT) AS c
+        |  FROM tr, unnest(range(1, len(t))) AS r(i)
+        |  WHERE len(t) >= 2 GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |prs AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM sc, unnest(range(1, len(t))) AS r(i)
+        |  WHERE len(t) >= 2),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN b.c IS NOT NULL AND u1.c IS NOT NULL
+        |      THEN CAST((1000000::HUGEINT * b.c) // u1.c AS BIGINT)
+        |      ELSE CAST((2000000::HUGEINT * COALESCE(u2.c, 0))
+        |                // (5::HUGEINT * t.n_total) AS BIGINT)
+        |    END AS s
+        |  FROM prs p
+        |  LEFT JOIN bi b ON b.bigram = p.w1 || ' ' || p.w2
+        |  LEFT JOIN uni u1 ON u1.token = p.w1
+        |  LEFT JOIN uni u2 ON u2.token = p.w2
+        |  CROSS JOIN tot t),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(s) AS BIGINT) AS lm_score_sum
+        |  FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(a.lm_score_sum, 0) AS BIGINT) AS lm_score_sum,
+        |  CASE WHEN COALESCE(a.n_pairs, 0) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(a.lm_score_sum // a.n_pairs AS BIGINT) END AS lm_avg
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "doc_token_stats" ->
       """SELECT lang,
         |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
@@ -3339,6 +3529,60 @@ object SparkEntry {
         |FROM u LEFT JOIN hot ON u.unit = hot.unit
         |GROUP BY u.doc_id
         |ORDER BY u.doc_id""".stripMargin,
+    // repeated-span removal: 8-token windows; a window's first (doc_id,
+    // pos) occurrence owns it, every other occurrence's tokens drop, with
+    // same-length interval merge (a mark starts a new span iff it clears
+    // the previous mark's cover). Output is the token-normalized rejoin.
+    "doc_span_dedup" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    substr(text, 1, CAST(floor(length(text)*0.7) AS INT)) AS text
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM base WHERE length(trim(text)) > 0),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS h
+        |  FROM toks, unnest(range(1, len(t) - 6)) AS r(i)
+        |  WHERE len(t) >= 8),
+        |mk AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      count(*) OVER (PARTITION BY h) AS cnt,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |    FROM wins) w
+        |  WHERE cnt >= 2 AND rn > 1),
+        |alltok AS (
+        |  SELECT doc_id, i, t[i] AS tok
+        |  FROM toks, unnest(range(1, len(t) + 1)) AS r(i)),
+        |kept AS (
+        |  SELECT a.doc_id, a.i, a.tok FROM alltok a
+        |  WHERE NOT EXISTS (SELECT 1 FROM mk m
+        |    WHERE m.doc_id = a.doc_id
+        |      AND a.i - 1 >= m.pos AND a.i - 1 < m.pos + 8)),
+        |cln AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |sp AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM (
+        |    SELECT doc_id, pos,
+        |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS pp
+        |    FROM mk) s
+        |  WHERE pp IS NULL OR pos - pp >= 8
+        |  GROUP BY doc_id),
+        |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM toks)
+        |SELECT b.doc_id,
+        |  COALESCE(c.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(nt.n, 0) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed,
+        |  CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans
+        |FROM base b
+        |LEFT JOIN nt ON nt.doc_id = b.doc_id
+        |LEFT JOIN cln c ON c.doc_id = b.doc_id
+        |LEFT JOIN sp ON sp.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // negative sampling: same salted-hash partner arithmetic in BIGINT
     // (every intermediate < 2^63 by the 31-bit pre-fold — no overflow in
     // either engine); rank = row_number-1 mirrors the two-phase rank

@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.analysis.TextMetrics
+
+/**
+ * Cross-document repeated-span removal — the ExactSubstr deduplication of
+ * Lee et al. 2021 ("Deduplicating Training Data Makes Language Models
+ * Better"), re-expressed in token space for a distributed engine. Their
+ * suffix array finds character substrings duplicated across the corpus and
+ * removes every occurrence but one; this operator does the same for
+ * k-token windows: any k-token span appearing more than once in the corpus
+ * (across documents OR repeated within one) survives only at its FIRST
+ * occurrence in (doc_id, pos) order — every other occurrence's tokens are
+ * removed, overlapping removals merging into maximal spans. This is the
+ * stage [[CorpusClean.dedupUnits]] cannot do: that drops whole aligned
+ * units by document frequency; this removes PARTIALLY-overlapping repeats
+ * at arbitrary offsets (the boilerplate-with-a-prefix / template-with-
+ * different-fill shape a unit dedup misses).
+ *
+ * Output is token-normalized: surviving tokens are rejoined with single
+ * spaces ([[TextMetrics.wsTokens]] is the engine's canonical rule), so
+ * clean_text is deterministic and byte-exact against a SQL oracle.
+ *
+ * Scale shape: the window stream carries only (doc_id, pos, md5) — the
+ * k-token window STRINGS are hashed in the scan projection and never ride
+ * an exchange (the dedupUnits precedent). One groupBy on the uniform md5
+ * key finds duplicated windows and their first occurrences; that
+ * duplicated set (bounded by the corpus's repeated content, typically ≪
+ * corpus) broadcasts into the marking join, so the corpus-sized window
+ * stream is never shuffled for the ownership decision — its only exchange
+ * is the per-document re-aggregation of marked positions (keyed by doc
+ * id, uniform; per-doc state bounded by document length). For corpora
+ * whose duplicated-window set exceeds broadcast limits, `broadcastDups =
+ * false` degrades both joins to hash-partitioned shuffles, identical
+ * output (the Decontaminate dual-path contract).
+ */
+object SpanDedup {
+
+  private val Reserved = Seq("_sd_pos", "_sd_w", "_sd_h", "_sd_cnt",
+    "_sd_own", "_sd_marks", "_sd_out")
+
+  private def guard(df: DataFrame): Unit = {
+    val clash = df.columns.toSet.intersect(Reserved.toSet)
+    require(clash.isEmpty, s"input carries reserved column(s): $clash")
+  }
+
+  /** k-token windows as space-joined strings in position order — one tight
+    * per-row kernel (never per-element HOF work). */
+  private def windowsUdf(k: Int) = udf { (s: String) =>
+    if (s == null) Array.empty[String]
+    else {
+      val t = TextMetrics.wsTokenArr(s)
+      if (t.length < k) Array.empty[String]
+      else Array.tabulate(t.length - k + 1) { i =>
+        val sb = new java.lang.StringBuilder(k * 8)
+        var j = 0
+        while (j < k) { if (j > 0) sb.append(' '); sb.append(t(i + j)); j += 1 }
+        sb.toString
+      }
+    }
+  }
+
+  /** Removal kernel: drop every token covered by a marked window [p, p+k);
+    * returns (clean_text, n_removed, n_spans) with overlapping marks merged
+    * into maximal spans. Runs over ALL docs (empty marks ⇒ identity in
+    * token-normalized form). */
+  private def removeUdf(k: Int) = udf { (s: String, marks: Seq[Int]) =>
+    val t = if (s == null) Array.empty[String] else TextMetrics.wsTokenArr(s)
+    if (marks == null || marks.isEmpty) (t.mkString(" "), 0, 0)
+    else {
+      val ps = marks.toArray
+      java.util.Arrays.sort(ps)
+      // merged span count: equal-length intervals — a mark starts a new
+      // span iff it clears the previous mark's cover (gap >= k)
+      var spans = 1
+      var i = 1
+      while (i < ps.length) { if (ps(i) - ps(i - 1) >= k) spans += 1; i += 1 }
+      val covered = new Array[Boolean](t.length)
+      i = 0
+      while (i < ps.length) {
+        var j = ps(i); val end = math.min(ps(i) + k, t.length)
+        while (j < end) { covered(j) = true; j += 1 }
+        i += 1
+      }
+      val sb = new java.lang.StringBuilder(s.length)
+      var kept = 0; var removed = 0
+      i = 0
+      while (i < t.length) {
+        if (covered(i)) removed += 1
+        else { if (kept > 0) sb.append(' '); sb.append(t(i)); kept += 1 }
+        i += 1
+      }
+      (sb.toString, removed, spans)
+    }
+  }
+
+  /**
+   * Remove all-but-first occurrences of every duplicated k-token window.
+   * Output: one row per input row — (idCol, clean_text, n_removed,
+   * n_spans); n_removed counts removed tokens, n_spans the maximal merged
+   * spans. Documents with < k tokens are never marked; clean_text is
+   * always the token-normalized (single-space-rejoined) form.
+   */
+  def removeRepeatedSpans(docs: DataFrame, textCol: String = "text",
+                          idCol: String = "doc_id", k: Int = 8,
+                          broadcastDups: Boolean = true): DataFrame = {
+    guard(docs)
+    require(k >= 2, s"window length k must be >= 2, got $k")
+
+    // (id, pos, h) — md5 projected BEFORE any exchange
+    val wins = docs
+      .select(col(idCol), posexplode(windowsUdf(k)(col(textCol)))
+        .as(Seq("_sd_pos", "_sd_w")))
+      .select(col(idCol), col("_sd_pos"), md5(col("_sd_w")).as("_sd_h"))
+
+    // duplicated windows with their first (doc_id, pos) occurrence
+    val dups = wins.groupBy("_sd_h")
+      .agg(count(lit(1)).as("_sd_cnt"),
+        min(struct(col(idCol), col("_sd_pos"))).as("_sd_own"))
+      .filter(col("_sd_cnt") >= 2)
+      .select(col("_sd_h"), col("_sd_own"))
+    val dupSide = if (broadcastDups) broadcast(dups) else dups
+
+    // non-owner occurrences of duplicated windows
+    val marked = wins.join(dupSide, "_sd_h")
+      .filter(!(col("_sd_own")(idCol) === col(idCol) &&
+        col("_sd_own")("_sd_pos") === col("_sd_pos")))
+      .groupBy(idCol)
+      .agg(collect_list(col("_sd_pos")).as("_sd_marks"))
+
+    docs.select(col(idCol), col(textCol))
+      .join(marked, Seq(idCol), "left")
+      .select(col(idCol),
+        removeUdf(k)(col(textCol), col("_sd_marks")).as("_sd_out"))
+      .select(col(idCol),
+        col("_sd_out._1").as("clean_text"),
+        col("_sd_out._2").cast("long").as("n_removed"),
+        col("_sd_out._3").cast("long").as("n_spans"))
+  }
+}

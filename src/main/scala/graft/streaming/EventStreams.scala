@@ -438,6 +438,29 @@ object EventStreams extends Serializable {
     }
 
   /**
+   * Continuous ingest into the appendable n-gram LM count model — the
+   * [[bm25IngestStream]] sibling for [[graft.analysis.NgramLm]]: every
+   * micro-batch's unigram/bigram/total-token count deltas land as one
+   * `installment = StreamInstallmentBase + batchId` partition
+   * (replay-idempotent by the same pure-function numbering; same
+   * single-writer contract), so LM quality scoring tracks the incoming
+   * corpus with exact delta-summed counts. The model must exist
+   * ([[graft.analysis.NgramLm.lmIndexBuild]] — an empty-corpus build is
+   * valid and makes the stream self-bootstrapping).
+   */
+  def lmIngestStream(spark: SparkSession, docs: DataFrame, indexPath: String,
+                     textCol: String = "text")
+                    (sink: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.analysis.NgramLm.lmIndexAppendAt(spark, indexPath, batch.toDF(),
+          StreamInstallmentBase + batchId.toInt, textCol)
+        sink(batchId)
+        ()
+    }
+
+  /**
    * Continuous ingest into the int8-quantized vector index — the
    * [[bm25IngestStream]] sibling: every micro-batch quantizes with the
    * STORED scale and lands as one `installment = StreamInstallmentBase +

@@ -114,7 +114,9 @@ class LexiconSpec extends SparkTestBase {
       // l1Drift broadcasts a ONE-ROW totals aggregate over the bin table
       "q_drift_mix",
       // hashedTfidf broadcasts a ONE-ROW corpus-size aggregate (N)
-      "doc_tfidf_vectors")
+      "doc_tfidf_vectors",
+      // NgramLm broadcasts a ONE-ROW total-token aggregate (N)
+      "doc_ngram_lm_score", "doc_lm_append", "doc_lm_asof")
 
   test("all declared queries run and return rows at sf0.001") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
