@@ -266,6 +266,57 @@ object Main {
       println(s"semantic-dedup: $n survivors -> $out")
       spark.stop()
 
+    case "lm-build" :: docs :: idx :: rest =>
+      val textCol = rest.headOption.getOrElse("text")
+      val spark = session()
+      graft.analysis.NgramLm.lmIndexBuild(spark.read.parquet(docs), idx, textCol)
+      val n = spark.read.parquet(s"$idx/tot")
+        .agg(org.apache.spark.sql.functions.sum("n_total")).head().getLong(0)
+      println(s"lm-build: $n tokens counted -> $idx")
+      spark.stop()
+
+    case "lm-append" :: docs :: idx :: rest =>
+      val textCol = rest.headOption.getOrElse("text")
+      val spark = session()
+      graft.analysis.NgramLm.lmIndexAppend(spark, idx,
+        spark.read.parquet(docs), textCol)
+      val n = spark.read.parquet(s"$idx/tot")
+        .agg(org.apache.spark.sql.functions.sum("n_total")).head().getLong(0)
+      println(s"lm-append: $n tokens total -> $idx")
+      spark.stop()
+
+    case "lm-compact" :: idx :: Nil =>
+      val spark = session()
+      val vocab = graft.analysis.NgramLm.lmIndexCompact(spark, idx)
+      println(s"lm-compact: count deltas folded to one installment " +
+        s"($vocab tokens) in $idx")
+      spark.stop()
+
+    case "lm-score" :: docs :: idx :: out :: rest =>
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val textCol = rest.drop(1).headOption.getOrElse("text")
+      val minCount = rest.drop(2).headOption.map(_.toLong).getOrElse(1L)
+      val spark = session()
+      graft.analysis.NgramLm.lmScoreIndexed(spark, idx,
+        spark.read.parquet(docs), textCol, idCol, minCount)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"lm-score: $n docs scored (minCount=$minCount) -> $out")
+      spark.stop()
+
+    case "span-dedup" :: docs :: out :: rest =>
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val textCol = rest.drop(1).headOption.getOrElse("text")
+      val k = rest.drop(2).headOption.map(_.toInt).getOrElse(50)
+      val spark = session()
+      graft.pipeline.SpanDedup.removeRepeatedSpans(spark.read.parquet(docs),
+          textCol, idCol, k)
+        .write.mode("overwrite").parquet(out)
+      val removed = spark.read.parquet(out)
+        .agg(org.apache.spark.sql.functions.sum("n_removed")).head().getLong(0)
+      println(s"span-dedup: $removed tokens removed (k=$k) -> $out")
+      spark.stop()
+
     case "dedup-cluster" :: pairs :: out :: rest =>
       val aCol = rest.headOption.getOrElse("id_a")
       val bCol = rest.drop(1).headOption.getOrElse("id_b")
@@ -304,7 +355,12 @@ object Main {
           |  ivfsq8-compact   <indexPath>
           |  int8-compact     <indexPath>
           |  ivfsq8-refine-search <indexPath> <vecsParquet> [k] [candidateK] [nprobe]
-          |  int8-refine-search <indexPath> <vecsParquet> [k] [candidateK]""".stripMargin)
+          |  int8-refine-search <indexPath> <vecsParquet> [k] [candidateK]
+          |  lm-build         <docsParquet> <indexPath> [textCol]
+          |  lm-append        <docsParquet> <indexPath> [textCol]
+          |  lm-compact       <indexPath>
+          |  lm-score         <docsParquet> <indexPath> <outParquet> [idCol] [textCol] [minCount]
+          |  span-dedup       <docsParquet> <outParquet> [idCol] [textCol] [k]""".stripMargin)
       sys.exit(2)
   }
 }
