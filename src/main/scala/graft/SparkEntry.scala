@@ -1288,6 +1288,20 @@ object SparkEntry {
       graft.analysis.NgramLm.selfScore(docs).orderBy("doc_id")
     }),
 
+    // DSIR-style data selection (importance resampling toward a target
+    // domain): every document scored under a target-domain LM (the `en`
+    // docs) and the raw-corpus LM in ONE fused pass; importance = exact
+    // integer difference of the fixed-point averages; deterministic
+    // top-100 via the bounded TopK aggregator (importance desc, id asc).
+    "doc_dsir_sample" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"))
+      graft.analysis.NgramLm.dsirSelect(
+        docs.select("doc_id", "text"),
+        docs.filter(col("lang") === "en").select("doc_id", "text"),
+        n = 100).orderBy("rank")
+    }),
+
     // the LM-model APPEND path (4th appendable index family): count the
     // even doc_ids at build, fold the odd half in as delta installments,
     // compact, score everything — counts are delta-summable integers, so
@@ -2908,6 +2922,76 @@ object SparkEntry {
         |       ELSE CAST(a.lm_score_sum // a.n_pairs AS BIGINT) END AS lm_avg
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // DSIR selection: the same integer LM arithmetic under BOTH models
+    // (target = en docs, raw = whole corpus), importance = avg_t − avg_r,
+    // rank by (importance desc, doc_id) — the TopK tie-break
+    "doc_dsir_sample" ->
+      """WITH tgt AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE lang = 'en' AND length(trim(text)) > 0),
+        |alltk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |uni_t AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(t) AS token FROM tgt) u GROUP BY token),
+        |tot_t AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_total FROM uni_t),
+        |bi_t AS (
+        |  SELECT t[i] || ' ' || t[i+1] AS bigram, CAST(count(*) AS BIGINT) AS c
+        |  FROM tgt, unnest(range(1, len(t))) AS r(i)
+        |  WHERE len(t) >= 2 GROUP BY 1),
+        |uni_r AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(t) AS token FROM alltk) u GROUP BY token),
+        |tot_r AS (SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_total FROM uni_r),
+        |bi_r AS (
+        |  SELECT t[i] || ' ' || t[i+1] AS bigram, CAST(count(*) AS BIGINT) AS c
+        |  FROM alltk, unnest(range(1, len(t))) AS r(i)
+        |  WHERE len(t) >= 2 GROUP BY 1),
+        |prs AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM alltk, unnest(range(1, len(t))) AS r(i)
+        |  WHERE len(t) >= 2),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN bt.c IS NOT NULL AND u1t.c IS NOT NULL
+        |      THEN CAST((1000000::HUGEINT * bt.c) // u1t.c AS BIGINT)
+        |      WHEN tt.n_total > 0
+        |      THEN CAST((2000000::HUGEINT * COALESCE(u2t.c, 0))
+        |                // (5::HUGEINT * tt.n_total) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS st,
+        |    CASE WHEN br.c IS NOT NULL AND u1r.c IS NOT NULL
+        |      THEN CAST((1000000::HUGEINT * br.c) // u1r.c AS BIGINT)
+        |      WHEN tr.n_total > 0
+        |      THEN CAST((2000000::HUGEINT * COALESCE(u2r.c, 0))
+        |                // (5::HUGEINT * tr.n_total) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS sr
+        |  FROM prs p
+        |  LEFT JOIN bi_t bt ON bt.bigram = p.w1 || ' ' || p.w2
+        |  LEFT JOIN uni_t u1t ON u1t.token = p.w1
+        |  LEFT JOIN uni_t u2t ON u2t.token = p.w2
+        |  LEFT JOIN bi_r br ON br.bigram = p.w1 || ' ' || p.w2
+        |  LEFT JOIN uni_r u1r ON u1r.token = p.w1
+        |  LEFT JOIN uni_r u2r ON u2r.token = p.w2
+        |  CROSS JOIN tot_t tt CROSS JOIN tot_r tr),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS np,
+        |    CAST(sum(st) AS BIGINT) AS sumt, CAST(sum(sr) AS BIGINT) AS sumr
+        |  FROM scored GROUP BY doc_id),
+        |w AS (
+        |  SELECT d.doc_id,
+        |    (CASE WHEN COALESCE(a.np, 0) = 0 THEN CAST(0 AS BIGINT)
+        |          ELSE CAST(a.sumt // a.np AS BIGINT) END)
+        |    - (CASE WHEN COALESCE(a.np, 0) = 0 THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(a.sumr // a.np AS BIGINT) END) AS importance
+        |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+        |rk AS (
+        |  SELECT doc_id, importance,
+        |    row_number() OVER (ORDER BY importance DESC, doc_id) AS rank
+        |  FROM w)
+        |SELECT doc_id, CAST(importance AS BIGINT) AS importance,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM rk WHERE rank <= 100 ORDER BY rank""".stripMargin,
     // append == one-shot by delta-summed construction → the oracle is the
     // SAME whole-corpus LM SQL as doc_ngram_lm_score
     "doc_lm_append" ->

@@ -46,7 +46,11 @@ object NgramLm {
 
   private val Reserved = Seq("_lm_p", "_lm_w1", "_lm_w2", "_lm_bg", "_lm_cb",
     "_lm_w1k", "_lm_cu1", "_lm_w2k", "_lm_cu2", "_lm_s", "_lm_n_total",
-    "_lm_np", "_lm_sum")
+    "_lm_np", "_lm_sum") ++
+    // importance-weighting suffixed variants + its rank/score internals
+    Seq("t", "r").flatMap(s => Seq(s"_lm_bg$s", s"_lm_cb$s", s"_lm_w1k$s",
+      s"_lm_cu1$s", s"_lm_w2k$s", s"_lm_cu2$s", s"_lm_nt$s", s"_lm_s$s",
+      s"_lm_sum$s")) ++ Seq("_lm_g", "_lm_w")
 
   private def guard(df: DataFrame): Unit = {
     val clash = df.columns.toSet.intersect(Reserved.toSet)
@@ -269,4 +273,116 @@ object NgramLm {
     scoreDocs(docs, unigramCounts(docs, textCol, minCount),
       bigramCounts(docs, textCol, minCount), totalTokens(docs, textCol),
       textCol, idCol, broadcastModel)
+
+  // ------------------------------------------------- importance weighting
+
+  /** Branch score with per-model column suffixes — shared by the fused
+    * two-model scorer; identical arithmetic to [[scoreDocs]]. */
+  private def pairScore(sfx: String): Column =
+    when(col(s"_lm_cb$sfx").isNotNull && col(s"_lm_cu1$sfx").isNotNull,
+        expr(s"cast($Scale as decimal(38,0)) * cast(_lm_cb$sfx as decimal(38,0))" +
+          s" div cast(_lm_cu1$sfx as decimal(38,0))"))
+      .otherwise(
+        when(col(s"_lm_nt$sfx") > 0,
+          expr(s"cast(${2 * Scale} as decimal(38,0))" +
+            s" * cast(coalesce(_lm_cu2$sfx, cast(0 as bigint)) as decimal(38,0))" +
+            s" div (cast(5 as decimal(38,0)) * cast(_lm_nt$sfx as decimal(38,0)))"))
+          .otherwise(lit(0L)))
+
+  /**
+   * DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling"): each document is scored
+   * under a TARGET-domain model and a RAW-corpus model, and its importance
+   * is the per-pair average score difference — the fixed-point stand-in
+   * for DSIR's hashed-n-gram log-likelihood ratio (each per-pair ratio is
+   * monotone in the probability exactly like its log; the Bm25 log-free
+   * RSJ precedent). All-integer, so weights are bit-portable.
+   *
+   * Output: (idCol, n_pairs, lm_avg_target, lm_avg_raw, importance =
+   * lm_avg_target − lm_avg_raw), all BIGINT; importance > 0 means the
+   * document looks more like the target domain than the raw corpus.
+   *
+   * Fused single pass: the pair stream explodes ONCE and joins both
+   * models' (broadcast) count tables — two scoreDocs calls would scan and
+   * explode the corpus twice for the same answer.
+   */
+  def importanceWeights(docs: DataFrame,
+                        targetUni: DataFrame, targetBi: DataFrame,
+                        targetTot: DataFrame,
+                        rawUni: DataFrame, rawBi: DataFrame,
+                        rawTot: DataFrame,
+                        textCol: String = "text", idCol: String = "doc_id",
+                        broadcastModel: Boolean = true): DataFrame = {
+    guard(docs)
+    def side(df: DataFrame): DataFrame = if (broadcastModel) broadcast(df) else df
+    def model(uni: DataFrame, bi: DataFrame, tot: DataFrame, sfx: String) = (
+      side(bi.select(col("bigram").as(s"_lm_bg$sfx"), col("c").as(s"_lm_cb$sfx"))),
+      side(uni.select(col("token").as(s"_lm_w1k$sfx"), col("c").as(s"_lm_cu1$sfx"))),
+      side(uni.select(col("token").as(s"_lm_w2k$sfx"), col("c").as(s"_lm_cu2$sfx"))),
+      broadcast(tot.select(col(tot.columns.head).as(s"_lm_nt$sfx"))))
+
+    val pairs = docs
+      .select(col(idCol), explode(pairsUdf(col(textCol))).as("_lm_p"))
+      .select(col(idCol), col("_lm_p._1").as("_lm_w1"), col("_lm_p._2").as("_lm_w2"))
+    val (biT, uni1T, uni2T, totT) = model(targetUni, targetBi, targetTot, "t")
+    val (biR, uni1R, uni2R, totR) = model(rawUni, rawBi, rawTot, "r")
+
+    val joined = pairs
+      .join(biT, concat_ws(" ", col("_lm_w1"), col("_lm_w2")) === col("_lm_bgt"), "left")
+      .join(biR, concat_ws(" ", col("_lm_w1"), col("_lm_w2")) === col("_lm_bgr"), "left")
+      .join(uni1T, col("_lm_w1") === col("_lm_w1kt"), "left")
+      .join(uni1R, col("_lm_w1") === col("_lm_w1kr"), "left")
+      .join(uni2T, col("_lm_w2") === col("_lm_w2kt"), "left")
+      .join(uni2R, col("_lm_w2") === col("_lm_w2kr"), "left")
+      .crossJoin(totT).crossJoin(totR)
+
+    val perDoc = joined
+      .select(col(idCol), pairScore("t").as("_lm_st"), pairScore("r").as("_lm_sr"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("_lm_np"),
+        sum("_lm_st").as("_lm_sumt"), sum("_lm_sr").as("_lm_sumr"))
+
+    def avg(sumCol: String): Column =
+      when(col("_lm_np") === 0, lit(0L))
+        .otherwise(coalesce(expr(s"$sumCol div _lm_np"), lit(0L)))
+
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_lm_np"), lit(0L)).cast("long").as("n_pairs"),
+        coalesce(avg("_lm_sumt"), lit(0L)).cast("long").as("lm_avg_target"),
+        coalesce(avg("_lm_sumr"), lit(0L)).cast("long").as("lm_avg_raw"))
+      .withColumn("importance", col("lm_avg_target") - col("lm_avg_raw"))
+  }
+
+  /**
+   * DSIR selection: train the target model on `targetDocs`, the raw model
+   * on `docs` itself, weight every document, keep the top `n` by
+   * (importance desc, id asc — the engine-portable tie-break). Output
+   * (idCol, importance, rank), rank 1 = most target-like. The ranking
+   * rides the bounded [[graft.functions.TopK]] aggregator, never a global
+   * window. (DSIR proper resamples from exp(weight) with Gumbel noise;
+   * deterministic top-n is the reproducible variant — every retry and
+   * every engine selects the identical set.)
+   */
+  def dsirSelect(docs: DataFrame, targetDocs: DataFrame, n: Int,
+                 textCol: String = "text", idCol: String = "doc_id",
+                 minCount: Long = 1L,
+                 broadcastModel: Boolean = true): DataFrame = {
+    val w = importanceWeights(docs,
+      unigramCounts(targetDocs, textCol, minCount),
+      bigramCounts(targetDocs, textCol, minCount),
+      totalTokens(targetDocs, textCol),
+      unigramCounts(docs, textCol, minCount),
+      bigramCounts(docs, textCol, minCount),
+      totalTokens(docs, textCol),
+      textCol, idCol, broadcastModel)
+    // |importance| ≤ Scale = 1e6 ≪ 2^53: the double cast for TopK is exact
+    graft.functions.TopK.topKPerGroup(
+        w.select(lit(0).as("_lm_g"), col(idCol),
+          col("importance").cast("double").as("_lm_w")),
+        "_lm_g", idCol, "_lm_w", n)
+      .select(col(idCol), col("_lm_w").cast("long").as("importance"),
+        col("rank").cast("long").as("rank"))
+  }
 }

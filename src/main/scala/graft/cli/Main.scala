@@ -304,6 +304,18 @@ object Main {
       println(s"lm-score: $n docs scored (minCount=$minCount) -> $out")
       spark.stop()
 
+    case "dsir-select" :: docs :: target :: out :: rest =>
+      val n = rest.headOption.map(_.toInt).getOrElse(1000)
+      val idCol = rest.drop(1).headOption.getOrElse("doc_id")
+      val textCol = rest.drop(2).headOption.getOrElse("text")
+      val spark = session()
+      graft.analysis.NgramLm.dsirSelect(spark.read.parquet(docs),
+          spark.read.parquet(target), n, textCol, idCol)
+        .write.mode("overwrite").parquet(out)
+      val kept = spark.read.parquet(out).count()
+      println(s"dsir-select: $kept most-target-like docs -> $out")
+      spark.stop()
+
     case "span-dedup" :: docs :: out :: rest =>
       val idCol = rest.headOption.getOrElse("doc_id")
       val textCol = rest.drop(1).headOption.getOrElse("text")
@@ -360,6 +372,7 @@ object Main {
           |  lm-append        <docsParquet> <indexPath> [textCol]
           |  lm-compact       <indexPath>
           |  lm-score         <docsParquet> <indexPath> <outParquet> [idCol] [textCol] [minCount]
+          |  dsir-select      <docsParquet> <targetParquet> <outParquet> [n] [idCol] [textCol]
           |  span-dedup       <docsParquet> <outParquet> [idCol] [textCol] [k]""".stripMargin)
       sys.exit(2)
   }

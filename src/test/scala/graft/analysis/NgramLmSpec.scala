@@ -80,5 +80,69 @@ class NgramLmSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       NgramLm.selfScore(docs)
     }
+    // importance-weighting suffixed internals are reserved too
+    intercept[IllegalArgumentException] {
+      NgramLm.selfScore(Seq((1L, "a b", 0L)).toDF("doc_id", "text", "_lm_cbt"))
+    }
+  }
+
+  // ------------------------------------------------- importance weighting
+
+  private def m(df: org.apache.spark.sql.DataFrame) =
+    (NgramLm.unigramCounts(df), NgramLm.bigramCounts(df), NgramLm.totalTokens(df))
+
+  test("importance separates target-like from raw-like documents exactly") {
+    val (ut, bt, tt) = m(Seq((1L, "a b a b")).toDF("doc_id", "text"))
+    val (ur, br, tr) = m(Seq((2L, "a c a c")).toDF("doc_id", "text"))
+    val probe = Seq((10L, "a b"), (11L, "a c")).toDF("doc_id", "text")
+    val out = NgramLm.importanceWeights(probe, ut, bt, tt, ur, br, tr)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // "a b": target seen ⌊1e6·2/2⌋=1e6, raw backoff c_r(b)=0 → 0
+    assert(out(0) === ((10L, 1L, 1000000L, 0L, 1000000L)))
+    // "a c": symmetric
+    assert(out(1) === ((11L, 1L, 0L, 1000000L, -1000000L)))
+  }
+
+  test("fused two-model pass equals two composed scoreDocs passes") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val target = docs.filter(col("lang") === "en").select("doc_id", "text")
+    val corpus = docs.select("doc_id", "text")
+    val (ut, bt, tt) = m(target)
+    val (ur, br, tr) = m(corpus)
+    val fused = NgramLm.importanceWeights(corpus, ut, bt, tt, ur, br, tr)
+      .select(col("doc_id"), col("lm_avg_target"), col("lm_avg_raw"))
+    val composed = NgramLm.scoreDocs(corpus, ut, bt, tt)
+      .select(col("doc_id"), col("lm_avg").as("lm_avg_target"))
+      .join(NgramLm.scoreDocs(corpus, ur, br, tr)
+        .select(col("doc_id"), col("lm_avg").as("lm_avg_raw")), "doc_id")
+    assert(fused.exceptAll(composed).isEmpty && composed.exceptAll(fused).isEmpty)
+  }
+
+  test("dsirSelect keeps the top-n by (importance desc, id asc)") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("lang"))
+    val target = docs.filter(col("lang") === "en").select("doc_id", "text")
+    val corpus = docs.select("doc_id", "text")
+    val sel = NgramLm.dsirSelect(corpus, target, n = 20)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sel.length === 20)
+    assert(sel.map(_._3).toList === (1L to 20L).toList)
+    // matches a full sort of the weights
+    val (ut, bt, tt) = m(target)
+    val (ur, br, tr) = m(corpus)
+    val full = NgramLm.importanceWeights(corpus, ut, bt, tt, ur, br, tr)
+      .orderBy(col("importance").desc, col("doc_id")).limit(20)
+      .select("doc_id", "importance").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(sel.map(s => (s._1, s._2)).toList === full.toList)
+    // en docs must be target-favored on average vs every other language
+    val w = NgramLm.importanceWeights(corpus, ut, bt, tt, ur, br, tr)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val avgByLang = w.groupBy("lang").agg(avg("importance").as("ai"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(avgByLang("en") > avgByLang.filter(_._1 != "en").values.max)
   }
 }

@@ -116,7 +116,9 @@ class LexiconSpec extends SparkTestBase {
       // hashedTfidf broadcasts a ONE-ROW corpus-size aggregate (N)
       "doc_tfidf_vectors",
       // NgramLm broadcasts a ONE-ROW total-token aggregate (N)
-      "doc_ngram_lm_score", "doc_lm_append", "doc_lm_asof")
+      "doc_ngram_lm_score", "doc_lm_append", "doc_lm_asof",
+      // importance weighting broadcasts TWO one-row totals (target + raw)
+      "doc_dsir_sample")
 
   test("all declared queries run and return rows at sf0.001") {
     graft.SparkEntry.queries.foreach { case (name, fn) =>
