@@ -1346,6 +1346,31 @@ object SparkEntry {
         asOfInstallment = 0).orderBy("doc_id")
     }),
 
+    // the Gopher quality rule set (Rae et al. 2021 A1.1) — every
+    // threshold integer-cross-multiplied, so the rule bits are exact.
+    // Bullet and ellipsis lines are injected deterministically (the
+    // fixture's random text has neither), exercising the line rules in
+    // both engines identically.
+    "doc_gopher_rules" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val t2 = when(col("doc_id") % 7 === 0,
+          concat(lit("• promo\n• sale\n"), col("text")))
+        .when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit("\nread more...\nclick here...")))
+        .otherwise(col("text"))
+      d.select(col("doc_id"), TextMetrics.gopherRules(t2).as("g"))
+        .select(col("doc_id"), col("g.n_words").as("n_words"),
+          col("g.r_wordcount").as("r_wordcount"),
+          col("g.r_meanlen").as("r_meanlen"),
+          col("g.r_symbol").as("r_symbol"),
+          col("g.r_bullet").as("r_bullet"),
+          col("g.r_ellipsis").as("r_ellipsis"),
+          col("g.r_alpha").as("r_alpha"),
+          col("g.r_stop").as("r_stop"),
+          col("g.keep").as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // per-language corpus stats (integer token/char sums — exact)
     "doc_token_stats" -> ((s, dir) => {
       val d = tbl(s, dir, "documents")
@@ -3076,6 +3101,54 @@ object SparkEntry {
         |       ELSE CAST(a.lm_score_sum // a.n_pairs AS BIGINT) END AS lm_avg
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // Gopher rules: identical integer cross-multiplications; letter-word
+    // counting consumes the leading separator so matches == letter tokens;
+    // stop-hit indicators are list_contains over the canonical ws split
+    "doc_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0
+        |           THEN '• promo' || chr(10) || '• sale' || chr(10) || text
+        |         WHEN doc_id % 11 = 0
+        |           THEN text || chr(10) || 'read more...' || chr(10) || 'click here...'
+        |         ELSE text END AS text
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_words,
+        |    CAST(length(regexp_replace(trim(text), '\s', '', 'g')) AS BIGINT) AS sum_len,
+        |    CAST(len(regexp_extract_all(trim(text), '(^|\s)[^\s]*[a-zA-Z][^\s]*')) AS BIGINT) AS alpha_words,
+        |    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT) AS hashes,
+        |    CAST((length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) // 3 AS BIGINT) AS ellipses,
+        |    CAST(len(regexp_split_to_array(text, '\n')) AS BIGINT) AS n_lines,
+        |    CAST(len(regexp_extract_all(text, '(^|\n)[ \t]*[•*-]')) AS BIGINT) AS bullet_lines,
+        |    CAST(len(regexp_extract_all(text, '\.\.\.[ \t]*(\n|$)')) AS BIGINT) AS ell_lines,
+        |    CAST((CASE WHEN list_contains(regexp_split_to_array(trim(lower(text)), '\s+'), 'the') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(regexp_split_to_array(trim(lower(text)), '\s+'), 'be') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(regexp_split_to_array(trim(lower(text)), '\s+'), 'to') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(regexp_split_to_array(trim(lower(text)), '\s+'), 'of') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(regexp_split_to_array(trim(lower(text)), '\s+'), 'and') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(regexp_split_to_array(trim(lower(text)), '\s+'), 'that') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(regexp_split_to_array(trim(lower(text)), '\s+'), 'have') THEN 1 ELSE 0 END
+        |        + CASE WHEN list_contains(regexp_split_to_array(trim(lower(text)), '\s+'), 'with') THEN 1 ELSE 0 END) AS BIGINT) AS stop_hits
+        |  FROM d)
+        |SELECT doc_id, n_words,
+        |  n_words >= 50 AND n_words <= 100000 AS r_wordcount,
+        |  sum_len >= n_words * 3 AND sum_len <= n_words * 10 AS r_meanlen,
+        |  (hashes + ellipses) * 10 <= n_words AS r_symbol,
+        |  bullet_lines * 10 <= n_lines AS r_bullet,
+        |  ell_lines * 10 <= n_lines * 3 AS r_ellipsis,
+        |  alpha_words * 5 >= n_words * 4 AS r_alpha,
+        |  stop_hits >= 2 AS r_stop,
+        |  (n_words >= 50 AND n_words <= 100000)
+        |    AND (sum_len >= n_words * 3 AND sum_len <= n_words * 10)
+        |    AND ((hashes + ellipses) * 10 <= n_words)
+        |    AND (bullet_lines * 10 <= n_lines)
+        |    AND (ell_lines * 10 <= n_lines * 3)
+        |    AND (alpha_words * 5 >= n_words * 4)
+        |    AND (stop_hits >= 2) AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
     "doc_token_stats" ->
       """SELECT lang,
         |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0

@@ -173,6 +173,70 @@ object TextMetrics {
     (stopOk * lit(0.4) + punctOk * lit(0.3) + lenOk * lit(0.3))
   }
 
+  // --------------------------------------------------- Gopher quality rules
+
+  /** Gopher's stop-word presence list (Rae et al. 2021, A1.1): a document
+    * must contain at least 2 of these to pass the rule. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /**
+   * The Gopher document-quality rule set (Rae et al. 2021, Appendix A1.1)
+   * as one codegen'd column struct — the published standard web-corpus
+   * filter, distinct from the heuristic composite [[qualityScore]]. Every
+   * threshold is evaluated in INTEGER-EXACT cross-multiplied form
+   * (`mean word length ≥ 3` ⇔ `Σlen ≥ 3·n`), so there is no float ratio
+   * anywhere and the rule bits reproduce on any engine:
+   *  - r_wordcount: 50 ≤ words ≤ 100 000 (ws tokens)
+   *  - r_meanlen:   3 ≤ mean word length ≤ 10
+   *  - r_symbol:    (# + "...") symbol-to-word ratio ≤ 0.1
+   *  - r_bullet:    ≤ 10% of lines start with a bullet (•, *, -)
+   *  - r_ellipsis:  ≤ 30% of lines end with "..."
+   *  - r_alpha:     ≥ 80% of words contain an alphabetic character
+   *  - r_stop:      ≥ 2 distinct [[GopherStopwords]] present
+   *  - keep:        conjunction of all seven
+   * Counting stays regex/replace column arithmetic in the Java∩RE2 subset
+   * (letter-word counting consumes the leading separator, so matches =
+   * letter-carrying tokens exactly; the ellipsis line-end alternation
+   * lists `\n` before `$` so Java's before-final-terminator `$` and RE2's
+   * end-of-text `$` agree). Blank text fails r_wordcount/r_stop → dropped.
+   */
+  def gopherRules(text: Column): Column = {
+    val tr = trim(text)
+    val nWords = tokenCountWs(text).cast("long")
+    val sumLen = length(regexp_replace(tr, "\\s", "")).cast("long")
+    val alphaWords =
+      regexp_count(tr, lit("(^|\\s)[^\\s]*[a-zA-Z][^\\s]*")).cast("long")
+    val hashes =
+      (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val ellipses =
+      ((length(text) - length(regexp_replace(text, "\\.\\.\\.", "")))
+        .cast("long") / 3).cast("long")
+    val nLines = size(split(text, "\n")).cast("long")
+    val bulletLines =
+      regexp_count(text, lit("(^|\n)[ \t]*[•*-]")).cast("long")
+    val ellLines =
+      regexp_count(text, lit("\\.\\.\\.[ \t]*(\n|$)")).cast("long")
+    val stopHits = GopherStopwords
+      .map(w => when(array_contains(wsTokens(lower(text)), w), 1L).otherwise(0L))
+      .reduce(_ + _)
+
+    val rWordcount = nWords >= 50L && nWords <= 100000L
+    val rMeanlen = sumLen >= nWords * 3 && sumLen <= nWords * 10
+    val rSymbol = (hashes + ellipses) * 10 <= nWords
+    val rBullet = bulletLines * 10 <= nLines
+    val rEllipsis = ellLines * 10 <= nLines * 3
+    val rAlpha = alphaWords * 5 >= nWords * 4
+    val rStop = stopHits >= 2L
+    struct(
+      nWords.as("n_words"),
+      rWordcount.as("r_wordcount"), rMeanlen.as("r_meanlen"),
+      rSymbol.as("r_symbol"), rBullet.as("r_bullet"),
+      rEllipsis.as("r_ellipsis"), rAlpha.as("r_alpha"), rStop.as("r_stop"),
+      (rWordcount && rMeanlen && rSymbol && rBullet && rEllipsis &&
+        rAlpha && rStop).as("keep"))
+  }
+
   // ------------------------------------------------------- repetition signals
 
   /** Fraction of whitespace tokens that repeat an earlier token

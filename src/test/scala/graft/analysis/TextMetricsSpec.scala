@@ -176,4 +176,45 @@ class TextMetricsSpec extends SparkTestBase {
       assert(got(in) === want, s"stripHtml('$in')")
     }
   }
+
+  test("gopherRules: each rule trips on its targeted pathology") {
+    import org.apache.spark.sql.Row
+    // a healthy base passing every rule: 50 prose-like words with
+    // stopwords, letters, sane lengths, no symbols/bullets/ellipses
+    val healthy = (Seq("the", "cat", "sat", "with", "it") ++
+      (1 to 45).map(i => s"word$i")).mkString(" ")
+    def rules(t: String): Row = {
+      val r = Seq(Tuple1(t)).toDF("text")
+        .select(TextMetrics.gopherRules($"text").as("g"))
+        .select("g.*").head()
+      assert(r.schema.fieldNames.toSeq === Seq("n_words", "r_wordcount",
+        "r_meanlen", "r_symbol", "r_bullet", "r_ellipsis", "r_alpha",
+        "r_stop", "keep"))
+      r
+    }
+    val ok = rules(healthy)
+    assert(ok.getBoolean(8), s"healthy doc must keep: $ok")
+
+    // word count: 49 words fails, blank fails
+    assert(!rules(healthy.split(" ").take(49).mkString(" ")).getBoolean(1))
+    assert(!rules("  ").getBoolean(1))
+    // mean word length: single-char words (mean 1 < 3)
+    assert(!rules(Seq.fill(60)("a").mkString(" ")).getBoolean(2))
+    // symbol ratio: 7 hashes over 50 words > 10%
+    assert(!rules(healthy + " # # # # # # #").getBoolean(3))
+    // "..." counts into the same symbol budget
+    assert(!rules(healthy + " ... ... ... ... ... ... ...").getBoolean(3))
+    // bullet lines: 2 of 3 lines start with bullets
+    assert(!rules("• a\n• b\n" + healthy).getBoolean(4))
+    // ellipsis line-ends: 2 of 3 lines (incl. the $-terminated last one)
+    assert(!rules("x...\n" + healthy + "\nend...").getBoolean(5))
+    // alpha words: digits-only tokens dilute below 80%
+    assert(!rules(healthy + " " + (1 to 20).map(_.toString).mkString(" "))
+      .getBoolean(6))
+    // stopwords: only one distinct stopword present
+    assert(!rules((Seq("the") ++ (1 to 49).map(i => s"word$i")).mkString(" "))
+      .getBoolean(7))
+    // n_words is the exact ws token count
+    assert(ok.getLong(0) === 50L)
+  }
 }
