@@ -1256,6 +1256,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the INCREMENTAL span-dedup shape: window hashes persisted as an
+    // append-only installment index (build even ids, append odd, compact),
+    // then the incoming near-dup batch is probed WITHOUT touching the
+    // stored corpus — stored windows always own, so probe == one-shot
+    // removal over corpus ∪ batch restricted to the batch, which is
+    // exactly what the oracle computes (corpus ids < batch ids).
+    "doc_span_index_probe" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_span_idx_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.pipeline.SpanDedup.spanIndexBuild(
+          d.filter(col("doc_id") % 2 === 0), idxPath, k = 8)
+      }
+      Phases.timed("append") {
+        graft.pipeline.SpanDedup.spanIndexAppend(s, idxPath,
+          d.filter(col("doc_id") % 2 === 1))
+      }
+      Phases.timed("compact") {
+        graft.pipeline.SpanDedup.spanIndexCompact(s, idxPath)
+      }
+      graft.pipeline.SpanDedup.spanIndexProbe(s, idxPath, mutatedDocs(s, dir))
+        .orderBy("doc_id")
+    }),
+
     // deterministic negative sampling (contrastive-pair mining): 3
     // pseudo-random non-self partners per doc via the salted hash
     // coordinate over the range-partitioned global rank — RNG-free, so
@@ -3739,6 +3765,60 @@ object SparkEntry {
         |LEFT JOIN nt ON nt.doc_id = b.doc_id
         |LEFT JOIN cln c ON c.doc_id = b.doc_id
         |LEFT JOIN sp ON sp.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+    // probe == one-shot over corpus ∪ batch restricted to batch rows
+    // (stored-always-owns == min-(doc_id,pos)-owns when corpus ids are
+    // all below the +1000000 batch ids) → the SAME span SQL, filtered
+    "doc_span_index_probe" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    substr(text, 1, CAST(floor(length(text)*0.7) AS INT)) AS text
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM base WHERE length(trim(text)) > 0),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS h
+        |  FROM toks, unnest(range(1, len(t) - 6)) AS r(i)
+        |  WHERE len(t) >= 8),
+        |mk AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      count(*) OVER (PARTITION BY h) AS cnt,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |    FROM wins) w
+        |  WHERE cnt >= 2 AND rn > 1),
+        |alltok AS (
+        |  SELECT doc_id, i, t[i] AS tok
+        |  FROM toks, unnest(range(1, len(t) + 1)) AS r(i)),
+        |kept AS (
+        |  SELECT a.doc_id, a.i, a.tok FROM alltok a
+        |  WHERE NOT EXISTS (SELECT 1 FROM mk m
+        |    WHERE m.doc_id = a.doc_id
+        |      AND a.i - 1 >= m.pos AND a.i - 1 < m.pos + 8)),
+        |cln AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |sp AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM (
+        |    SELECT doc_id, pos,
+        |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS pp
+        |    FROM mk) s
+        |  WHERE pp IS NULL OR pos - pp >= 8
+        |  GROUP BY doc_id),
+        |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM toks)
+        |SELECT b.doc_id,
+        |  COALESCE(c.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(nt.n, 0) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed,
+        |  CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans
+        |FROM base b
+        |LEFT JOIN nt ON nt.doc_id = b.doc_id
+        |LEFT JOIN cln c ON c.doc_id = b.doc_id
+        |LEFT JOIN sp ON sp.doc_id = b.doc_id
+        |WHERE b.doc_id >= 1000000
         |ORDER BY b.doc_id""".stripMargin,
     // negative sampling: same salted-hash partner arithmetic in BIGINT
     // (every intermediate < 2^63 by the 31-bit pre-fold — no overflow in

@@ -329,6 +329,46 @@ object Main {
       println(s"span-dedup: $removed tokens removed (k=$k) -> $out")
       spark.stop()
 
+    case "span-index-build" :: docs :: idx :: rest =>
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val textCol = rest.drop(1).headOption.getOrElse("text")
+      val k = rest.drop(2).headOption.map(_.toInt).getOrElse(50)
+      val spark = session()
+      graft.pipeline.SpanDedup.spanIndexBuild(spark.read.parquet(docs),
+        idx, textCol, idCol, k)
+      println(s"span-index-build: " +
+        s"${spark.read.parquet(s"$idx/wins").count()} windows (k=$k) -> $idx")
+      spark.stop()
+
+    case "span-index-append" :: docs :: idx :: rest =>
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val textCol = rest.drop(1).headOption.getOrElse("text")
+      val spark = session()
+      graft.pipeline.SpanDedup.spanIndexAppend(spark, idx,
+        spark.read.parquet(docs), textCol, idCol)
+      println(s"span-index-append: " +
+        s"${spark.read.parquet(s"$idx/wins").count()} window rows total -> $idx")
+      spark.stop()
+
+    case "span-index-compact" :: idx :: Nil =>
+      val spark = session()
+      val n = graft.pipeline.SpanDedup.spanIndexCompact(spark, idx)
+      println(s"span-index-compact: deltas folded to one installment " +
+        s"($n windows) in $idx")
+      spark.stop()
+
+    case "span-index-probe" :: docs :: idx :: out :: rest =>
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val textCol = rest.drop(1).headOption.getOrElse("text")
+      val spark = session()
+      graft.pipeline.SpanDedup.spanIndexProbe(spark, idx,
+          spark.read.parquet(docs), textCol, idCol)
+        .write.mode("overwrite").parquet(out)
+      val removed = spark.read.parquet(out)
+        .agg(org.apache.spark.sql.functions.sum("n_removed")).head().getLong(0)
+      println(s"span-index-probe: $removed tokens removed from batch -> $out")
+      spark.stop()
+
     case "dedup-cluster" :: pairs :: out :: rest =>
       val aCol = rest.headOption.getOrElse("id_a")
       val bCol = rest.drop(1).headOption.getOrElse("id_b")
@@ -373,7 +413,11 @@ object Main {
           |  lm-compact       <indexPath>
           |  lm-score         <docsParquet> <indexPath> <outParquet> [idCol] [textCol] [minCount]
           |  dsir-select      <docsParquet> <targetParquet> <outParquet> [n] [idCol] [textCol]
-          |  span-dedup       <docsParquet> <outParquet> [idCol] [textCol] [k]""".stripMargin)
+          |  span-dedup       <docsParquet> <outParquet> [idCol] [textCol] [k]
+          |  span-index-build <docsParquet> <indexPath> [idCol] [textCol] [k]
+          |  span-index-append <docsParquet> <indexPath> [idCol] [textCol]
+          |  span-index-compact <indexPath>
+          |  span-index-probe <docsParquet> <indexPath> <outParquet> [idCol] [textCol]""".stripMargin)
       sys.exit(2)
   }
 }

@@ -96,6 +96,153 @@ object SpanDedup {
     }
   }
 
+  // ------------------------------------------------ persisted window index
+
+  /**
+   * Persist the corpus's k-token window-hash counts as an append-only
+   * installment index, so INCOMING batches can be span-deduped against the
+   * historical corpus without re-windowing or shuffling it — the
+   * [[graft.dedup.Dedup.minhashIndexProbe]] shape for exact substrings,
+   * honoring the three appendable-index contracts (delta installments,
+   * as-of snapshot probes, replay-idempotent streaming ingest). Layout:
+   *  - `wins/installment=N/` — (h, c) window-hash count DELTAS (existence
+   *    is what probes need; counts delta-sum so compaction is a fold)
+   *  - `meta/` — the window length k, read back by append and probe so
+   *    installments can never disagree.
+   */
+  def spanIndexBuild(docs: DataFrame, path: String, textCol: String = "text",
+                     idCol: String = "doc_id", k: Int = 8): Unit = {
+    guard(docs)
+    require(k >= 2, s"window length k must be >= 2, got $k")
+    val spark = docs.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("wins", "meta").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$d")
+      p.getFileSystem(conf).delete(p, true)
+    }
+    writeWinsInstallment(docs, path, 0, textCol, idCol, k)
+    spark.createDataFrame(Seq(Tuple1(k))).toDF("k")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Fold a new batch's window counts in as the next installment (stored
+    * installments never read or rewritten; the STORED k applies). Batch
+    * docs must be new to the index; appends are sequential. */
+  def spanIndexAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+                      newDocs: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id"): Unit = {
+    val k = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val next = graft.store.Installments.next(spark, s"$path/wins")
+    writeWinsInstallment(newDocs, path, next, textCol, idCol, k)
+  }
+
+  /** Append at an EXPLICIT installment — the idempotent form for
+    * at-least-once streaming writers (see
+    * [[graft.streaming.EventStreams]]); callers own the numbering. */
+  def spanIndexAppendAt(spark: org.apache.spark.sql.SparkSession, path: String,
+                        newDocs: DataFrame, installment: Int,
+                        textCol: String = "text",
+                        idCol: String = "doc_id"): Unit = {
+    val k = spark.read.parquet(s"$path/meta").head().getInt(0)
+    writeWinsInstallment(newDocs, path, installment, textCol, idCol, k)
+  }
+
+  private def writeWinsInstallment(docs: DataFrame, path: String,
+                                   installment: Int, textCol: String,
+                                   idCol: String, k: Int): Unit =
+    docs
+      .select(posexplode(windowsUdf(k)(col(textCol))).as(Seq("_sd_pos", "_sd_w")))
+      .select(md5(col("_sd_w")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$path/wins/installment=$installment")
+
+  /** Maintenance: fold the per-installment count deltas into ONE
+    * `installment=0` partition via a side-dir materialization +
+    * delete+rename swap (a concurrent probe sees old or new, identical
+    * hash sets). Returns the distinct-window count. */
+  def spanIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                       path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val out = new Path(s"$path/wins")
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(s"$path/wins._compacting")
+    spark.read.parquet(s"$path/wins").groupBy("h").agg(sum("c").as("c"))
+      .write.mode("overwrite").parquet(new Path(tmp, "installment=0").toString)
+    val rows = spark.read.parquet(tmp.toString).count()
+    if (!fs.delete(out, true) || !fs.rename(tmp, out))
+      throw new java.io.IOException(s"compaction swap failed for $path/wins")
+    spark.catalog.refreshByPath(out.toString)
+    rows
+  }
+
+  /**
+   * Span-dedup an incoming batch against the index: a batch span is
+   * removed if its window exists in the STORED corpus (stored always
+   * owns) or repeats an earlier batch-internal occurrence — with corpus
+   * ids below batch ids this equals [[removeRepeatedSpans]] over
+   * corpus ∪ batch restricted to the batch (the probe == one-shot
+   * contract). Output schema matches [[removeRepeatedSpans]].
+   *
+   * Plan: the batch's distinct window hashes broadcast into the stored
+   * scan, which is filtered MAP-SIDE — the corpus-sized index is never
+   * shuffled by a probe, and the returned hit set is bounded by the
+   * batch's window count before broadcasting back into the marking join.
+   * `broadcastBatch = false` degrades both joins to hash-partitioned
+   * shuffles for corpus-sized batches — identical output.
+   * `asOfInstallment` pins the probe to the index as of that installment
+   * (partition-pruned; valid between compactions).
+   */
+  def spanIndexProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+                     batch: DataFrame, textCol: String = "text",
+                     idCol: String = "doc_id",
+                     broadcastBatch: Boolean = true,
+                     asOfInstallment: Int = Int.MaxValue): DataFrame = {
+    guard(batch)
+    val k = spark.read.parquet(s"$path/meta").head().getInt(0)
+    def bb(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
+    def snapshot(df: DataFrame): DataFrame =
+      if (asOfInstallment == Int.MaxValue) df
+      else df.filter(col("installment") <= asOfInstallment)
+
+    val wins = batch
+      .select(col(idCol), posexplode(windowsUdf(k)(col(textCol)))
+        .as(Seq("_sd_pos", "_sd_w")))
+      .select(col(idCol), col("_sd_pos"), md5(col("_sd_w")).as("_sd_h"))
+
+    // stored hashes the batch touches — the stored scan is filtered
+    // map-side against the broadcast batch-hash set and returns a result
+    // bounded by the batch's window count
+    val storedHits = snapshot(spark.read.parquet(s"$path/wins"))
+      .select(col("h").as("_sd_h"))
+      .join(bb(wins.select(col("_sd_h")).distinct()), Seq("_sd_h"), "left_semi")
+      .distinct()
+
+    val internal = wins.groupBy("_sd_h")
+      .agg(count(lit(1)).as("_sd_cnt"),
+        min(struct(col(idCol), col("_sd_pos"))).as("_sd_own"))
+      .filter(col("_sd_cnt") >= 2)
+      .select(col("_sd_h"), col("_sd_own"))
+
+    val markedStored = wins.join(bb(storedHits), Seq("_sd_h"), "left_semi")
+      .select(col(idCol), col("_sd_pos"))
+    val markedInternal = wins.join(bb(internal), "_sd_h")
+      .filter(!(col("_sd_own")(idCol) === col(idCol) &&
+        col("_sd_own")("_sd_pos") === col("_sd_pos")))
+      .select(col(idCol), col("_sd_pos"))
+    val marked = markedStored.unionByName(markedInternal).distinct()
+      .groupBy(idCol)
+      .agg(collect_list(col("_sd_pos")).as("_sd_marks"))
+
+    batch.select(col(idCol), col(textCol))
+      .join(marked, Seq(idCol), "left")
+      .select(col(idCol),
+        removeUdf(k)(col(textCol), col("_sd_marks")).as("_sd_out"))
+      .select(col(idCol),
+        col("_sd_out._1").as("clean_text"),
+        col("_sd_out._2").cast("long").as("n_removed"),
+        col("_sd_out._3").cast("long").as("n_spans"))
+  }
+
   /**
    * Remove all-but-first occurrences of every duplicated k-token window.
    * Output: one row per input row — (idCol, clean_text, n_removed,

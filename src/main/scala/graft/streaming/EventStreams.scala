@@ -438,6 +438,28 @@ object EventStreams extends Serializable {
     }
 
   /**
+   * Continuous ingest into the span-dedup window index — the
+   * [[bm25IngestStream]] sibling for [[graft.pipeline.SpanDedup]]: every
+   * micro-batch's window-hash count deltas land as one `installment =
+   * StreamInstallmentBase + batchId` partition (replay-idempotent by the
+   * same pure-function numbering; same single-writer contract), so
+   * incoming batches can be span-deduped against an index that tracks the
+   * corpus continuously. The index must exist
+   * ([[graft.pipeline.SpanDedup.spanIndexBuild]]).
+   */
+  def spanIngestStream(spark: SparkSession, docs: DataFrame, indexPath: String,
+                       idCol: String = "doc_id", textCol: String = "text")
+                      (sink: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.pipeline.SpanDedup.spanIndexAppendAt(spark, indexPath,
+          batch.toDF(), StreamInstallmentBase + batchId.toInt, textCol, idCol)
+        sink(batchId)
+        ()
+    }
+
+  /**
    * Continuous ingest into the appendable n-gram LM count model — the
    * [[bm25IngestStream]] sibling for [[graft.analysis.NgramLm]]: every
    * micro-batch's unigram/bigram/total-token count deltas land as one
