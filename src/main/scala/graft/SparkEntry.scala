@@ -1372,6 +1372,42 @@ object SparkEntry {
         asOfInstallment = 0).orderBy("doc_id")
     }),
 
+    // C4 line-level cleaning (Raffel et al. 2020 §2.2): the fixture is
+    // given line structure deterministically (8-token chunks as lines,
+    // 2 of 3 get terminal periods, plus injected code/lorem/javascript
+    // lines on fixed id residues — all reproduced in the oracle), then
+    // the famous line rules run: terminal punctuation + ≥3 words + no
+    // "javascript"; page_kept folds in the <3-kept / curly-brace /
+    // "lorem ipsum" page rules. clean_text hash-checks byte-for-byte.
+    "doc_c4_clean" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val lines = graft.pipeline.Chunking.chunkByTokens(d, "doc_id", "text", 8, 8)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          concat(col("chunk_text"),
+            when((col("doc_id") + col("chunk_idx")) % 3 === 0, lit(""))
+              .otherwise(lit("."))).as("line"))
+      val joinLines = udf { (ls: Seq[org.apache.spark.sql.Row]) =>
+        val sb = new java.lang.StringBuilder()
+        var i = 0
+        while (i < ls.length) {
+          if (i > 0) sb.append('\n'); sb.append(ls(i).getString(1)); i += 1
+        }
+        sb.toString
+      }
+      val built = lines.groupBy("doc_id")
+        .agg(joinLines(array_sort(collect_list(
+          struct(col("chunk_idx"), col("line"))))).as("t"))
+        .withColumn("t", when(col("doc_id") % 13 === 0,
+          concat(lit("function() { var x; }\n"), col("t"))).otherwise(col("t")))
+        .withColumn("t", when(col("doc_id") % 17 === 0,
+          concat(col("t"), lit("\nLorem ipsum dolor sit amet."))).otherwise(col("t")))
+        .withColumn("t", when(col("doc_id") % 19 === 0,
+          concat(col("t"), lit("\nclick javascript here now."))).otherwise(col("t")))
+      graft.pipeline.CorpusClean.c4Clean(
+        built.select(col("doc_id"), col("t").as("text")))
+        .orderBy("doc_id")
+    }),
+
     // the Gopher quality rule set (Rae et al. 2021 A1.1) — every
     // threshold integer-cross-multiplied, so the rule bits are exact.
     // Bullet and ellipsis lines are injected deterministically (the
@@ -3127,6 +3163,65 @@ object SparkEntry {
         |       ELSE CAST(a.lm_score_sum // a.n_pairs AS BIGINT) END AS lm_avg
         |FROM documents d LEFT JOIN agg a USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // C4 cleaning: the doc_chunks 8/8 CTE builds the same line fixture;
+    // line keep = terminal punct + ≥3 ws-words + no "javascript";
+    // reassembly via string_agg ORDER BY line index (NULLs skipped)
+    "doc_c4_clean" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) <= 8 THEN 1 ELSE (len(w) - 8 + 7) // 8 + 1 END
+        |      AS n_chunks
+        |  FROM t),
+        |e AS (SELECT doc_id, w, unnest(range(n_chunks)) AS chunk_idx FROM c),
+        |ln AS (
+        |  SELECT doc_id, chunk_idx,
+        |    array_to_string(list_slice(w, chunk_idx*8+1, chunk_idx*8+8), ' ')
+        |      || CASE WHEN (doc_id + chunk_idx) % 3 = 0 THEN '' ELSE '.' END
+        |      AS line
+        |  FROM e),
+        |base AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY chunk_idx) AS b
+        |  FROM ln GROUP BY doc_id),
+        |built AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 13 = 0
+        |       THEN 'function() { var x; }' || chr(10) ELSE '' END)
+        |    || b
+        |    || (CASE WHEN doc_id % 17 = 0
+        |       THEN chr(10) || 'Lorem ipsum dolor sit amet.' ELSE '' END)
+        |    || (CASE WHEN doc_id % 19 = 0
+        |       THEN chr(10) || 'click javascript here now.' ELSE '' END)
+        |      AS text
+        |  FROM base),
+        |ls AS (SELECT doc_id, text, regexp_split_to_array(text, '\n') AS la
+        |  FROM built),
+        |lx AS (
+        |  SELECT doc_id, i, trim(la[i]) AS tr
+        |  FROM ls, unnest(range(1, len(la) + 1)) AS r(i)),
+        |j AS (
+        |  SELECT doc_id, i, tr,
+        |    tr <> ''
+        |      AND substr(tr, length(tr), 1) IN ('.', '!', '?', '"')
+        |      AND len(regexp_split_to_array(tr, '\s+')) >= 3
+        |      AND strpos(lower(tr), 'javascript') = 0 AS keep
+        |  FROM lx),
+        |agg AS (
+        |  SELECT doc_id,
+        |    COALESCE(string_agg(CASE WHEN keep THEN tr END, chr(10)
+        |      ORDER BY i), '') AS clean_text,
+        |    CAST(count(CASE WHEN keep THEN 1 END) AS BIGINT) AS n_kept,
+        |    CAST(count(CASE WHEN NOT keep THEN 1 END) AS BIGINT) AS n_dropped
+        |  FROM j GROUP BY doc_id)
+        |SELECT b.doc_id, a.clean_text, a.n_kept, a.n_dropped,
+        |  (a.n_kept >= 3 AND strpos(b.text, '{') = 0
+        |    AND strpos(lower(b.text), 'lorem ipsum') = 0) AS page_kept
+        |FROM built b JOIN agg a USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     // Gopher rules: identical integer cross-multiplications; letter-word
     // counting consumes the leading separator so matches == letter tokens;
     // stop-hit indicators are list_contains over the canonical ws split

@@ -304,7 +304,7 @@ object TextMetrics {
     }
   }
 
-  private def trimSpaces(s: String): String = {
+  private[graft] def trimSpaces(s: String): String = {
     var a = 0
     var b = s.length
     while (a < b && s.charAt(a) == ' ') a += 1

@@ -329,6 +329,17 @@ object Main {
       println(s"span-dedup: $removed tokens removed (k=$k) -> $out")
       spark.stop()
 
+    case "c4-clean" :: docs :: out :: rest =>
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val textCol = rest.drop(1).headOption.getOrElse("text")
+      val spark = session()
+      graft.pipeline.CorpusClean.c4Clean(spark.read.parquet(docs), idCol, textCol)
+        .write.mode("overwrite").parquet(out)
+      val kept = spark.read.parquet(out)
+        .filter(org.apache.spark.sql.functions.col("page_kept")).count()
+      println(s"c4-clean: $kept pages kept -> $out")
+      spark.stop()
+
     case "span-index-build" :: docs :: idx :: rest =>
       val idCol = rest.headOption.getOrElse("doc_id")
       val textCol = rest.drop(1).headOption.getOrElse("text")
@@ -413,6 +424,7 @@ object Main {
           |  lm-compact       <indexPath>
           |  lm-score         <docsParquet> <indexPath> <outParquet> [idCol] [textCol] [minCount]
           |  dsir-select      <docsParquet> <targetParquet> <outParquet> [n] [idCol] [textCol]
+          |  c4-clean         <docsParquet> <outParquet> [idCol] [textCol]
           |  span-dedup       <docsParquet> <outParquet> [idCol] [textCol] [k]
           |  span-index-build <docsParquet> <indexPath> [idCol] [textCol] [k]
           |  span-index-append <docsParquet> <indexPath> [idCol] [textCol]

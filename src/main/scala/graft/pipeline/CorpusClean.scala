@@ -106,4 +106,67 @@ object CorpusClean {
         count(when(col("_hot").isNull, lit(1))).as("n_kept"),
         count(col("_hot")).as("n_dropped"))
   }
+
+  // ------------------------------------------------------ C4 line cleaning
+
+  /** C4 line kernel (one tight pass per document — the per-line HOF
+    * alternative evaluates interpreted): keep a line iff its space-trimmed
+    * form ends in terminal punctuation (. ! ? "), carries ≥ 3 ws-words,
+    * and does not mention "javascript" (ROOT-locale lowercase = SQL
+    * `lower` for the Java∩SQL subset). Kept lines are re-joined trimmed.
+    * Returns (clean_text, n_kept, n_dropped). */
+  private val c4LinesUdf = udf { (s: String) =>
+    if (s == null) ("", 0, 0)
+    else {
+      val lines = s.split("\n", -1)
+      val sb = new java.lang.StringBuilder(s.length)
+      var kept = 0
+      var dropped = 0
+      var i = 0
+      while (i < lines.length) {
+        val tr = graft.analysis.TextMetrics.trimSpaces(lines(i))
+        val endOk = tr.nonEmpty && {
+          val c = tr.charAt(tr.length - 1)
+          c == '.' || c == '!' || c == '?' || c == '"'
+        }
+        val ok = endOk &&
+          graft.analysis.TextMetrics.wsTokenArr(tr).length >= 3 &&
+          !tr.toLowerCase(java.util.Locale.ROOT).contains("javascript")
+        if (ok) { if (kept > 0) sb.append('\n'); sb.append(tr); kept += 1 }
+        else dropped += 1
+        i += 1
+      }
+      (sb.toString, kept, dropped)
+    }
+  }
+
+  /**
+   * C4-style cleaning (Raffel et al. 2020 §2.2) — the third published
+   * web-filter next to [[graft.analysis.TextMetrics.gopherRules]] and the
+   * CCNet-shaped [[clean]]:
+   *  - LINE level: keep only lines ending in terminal punctuation with
+   *    ≥ 3 words and no "javascript" mention (the famous C4 line rules);
+   *  - PAGE level: `page_kept` is false when fewer than `minKeptLines`
+   *    lines survive, or the page contains a curly brace (code) or the
+   *    phrase "lorem ipsum" (template filler). C4 counts sentences for
+   *    its ≥-5 rule; kept lines are the line-structured proxy here.
+   * Output: (idCol, clean_text, n_kept, n_dropped, page_kept) — one row
+   * per input row; callers filter on `page_kept`. Everything is one
+   * codegen'd projection + one per-row kernel: zero shuffles, the 100 TB
+   * cost is exactly one read.
+   */
+  def c4Clean(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", minKeptLines: Int = 3): DataFrame = {
+    require(!docs.columns.contains("_c4"),
+      "c4Clean reserves the internal column name _c4")
+    docs
+      .select(col(idCol), col(textCol), c4LinesUdf(col(textCol)).as("_c4"))
+      .select(col(idCol),
+        col("_c4._1").as("clean_text"),
+        col("_c4._2").cast("long").as("n_kept"),
+        col("_c4._3").cast("long").as("n_dropped"),
+        (col("_c4._2") >= minKeptLines &&
+          !col(textCol).contains("{") &&
+          instr(lower(col(textCol)), "lorem ipsum") === 0).as("page_kept"))
+  }
 }

@@ -70,4 +70,38 @@ class CorpusCleanSpec extends SparkTestBase {
     intercept[IllegalArgumentException](CorpusClean.dedupUnits(
       lineDocs.withColumn("_uh", $"pos"), "doc_id", "pos", "line", 2))
   }
+
+  test("c4Clean applies the C4 line rules and page rules byte-exactly") {
+    val docs = Seq(
+      (1L, "This is a good sentence. \n  Also kept here! \nno punct line" +
+        "\nToo short.\nHas some JavaScript inside.\nKept again, truly?"),
+      (2L, "Only one good sentence here.\nrest\nbad"),
+      (3L, "A fine sentence one.\nA fine sentence two.\nA fine sentence three." +
+        "\nvar f = { x: 1 }."),
+      (4L, "Lorem Ipsum is filler text.\nSentence a is fine." +
+        "\nSentence b is fine.\nSentence c is fine.")
+    ).toDF("doc_id", "text")
+    val out = CorpusClean.c4Clean(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    // punct + ≥3 words + no-javascript (case-insensitive); lines trimmed
+    assert(out(0) === ((1L,
+      "This is a good sentence.\nAlso kept here!\nKept again, truly?",
+      3L, 3L, true)))
+    // fewer than 3 kept lines → page dropped, lines still reported
+    assert(out(1) === ((2L, "Only one good sentence here.", 1L, 2L, false)))
+    // the code line passes the LINE rules; the '{' PAGE rule drops the doc
+    assert(out(2)._3 === 4L && out(2)._5 === false)
+    // "lorem ipsum" page rule (case-insensitive) despite 4 kept lines
+    assert(out(3)._3 === 4L && out(3)._5 === false)
+  }
+
+  test("c4Clean: blank and reserved-name edges") {
+    val out = CorpusClean.c4Clean(Seq((1L, " ")).toDF("doc_id", "text"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out(0) === (("", 0L, 1L, false)))
+    intercept[IllegalArgumentException](CorpusClean.c4Clean(
+      Seq((1L, "x", "y")).toDF("doc_id", "text", "_c4")))
+  }
 }
