@@ -1256,6 +1256,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LEAKAGE-SAFE split: near-duplicates must not straddle train/val (a
+    // near-copy of a training doc in the validation set leaks the
+    // answer), so the split coordinate is the dup-cluster representative
+    // from star-contraction CC over the minhash pair list — singletons
+    // split exactly like doc_train_val_split. The oracle reclusters with
+    // the recursive-CTE CC and applies the same Knuth-hash arithmetic.
+    "doc_leakage_safe_split" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDuplicates(docsWithNearDups(s, dir),
+        "text", "doc_id", shingleK = 4, numHashes = 128, bands = 64,
+        threshold = 0.3)
+      Sampling.leakageSafeSplit(
+        docsWithNearDups(s, dir).select("doc_id"), "doc_id",
+        pairs, "id_a", "id_b", valFraction = 0.2)
+        .select(col("doc_id"), col("rep"), col("split"))
+        .orderBy("doc_id")
+    }),
+
     // the INCREMENTAL span-dedup shape: window hashes persisted as an
     // append-only installment index (build even ids, append odd, compact),
     // then the incoming near-dup batch is probed WITHOUT touching the
@@ -2838,6 +2855,46 @@ object SparkEntry {
       """SELECT CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 < 858993459
         |  THEN 'val' ELSE 'train' END AS split, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    // leakage-safe split: the doc_dup_clusters recursive-CTE labeling +
+    // the doc_train_val_split hash arithmetic applied to the REP
+    "doc_leakage_safe_split" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    substr(text, 1, CAST(floor(length(text)*0.7) AS INT)) AS text
+        |  FROM documents WHERE doc_id % 50 = 0
+        |), d AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-2),
+        |      i -> array_to_string(w[i:i+3], ' ')) END) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM base) t
+        |), p AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |    FROM d a JOIN d b ON a.doc_id < b.doc_id) q
+        |  WHERE jaccard >= 0.3
+        |), e AS (
+        |  SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e) n
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON reach.u = e.v
+        |), lab AS (
+        |  SELECT u AS id, min(r) AS rep FROM reach GROUP BY u
+        |)
+        |SELECT b.doc_id,
+        |  COALESCE(l.rep, b.doc_id) AS rep,
+        |  CASE WHEN ((COALESCE(l.rep, b.doc_id) % 2147483648) * 2654435761)
+        |         % 4294967296 < 858993459
+        |    THEN 'val' ELSE 'train' END AS split
+        |FROM base b LEFT JOIN lab l ON l.id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     "doc_chunks" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -73,6 +73,46 @@ object Sampling {
   }
 
   /**
+   * Leakage-safe train/validation split: near-duplicate documents must
+   * land in the SAME split — a near-copy of a training document inside the
+   * validation set leaks the answer, the exact contamination effect Lee et
+   * al. 2021 measure — so the split coordinate is the document's
+   * dup-CLUSTER representative, not the document itself. `pairs` is any
+   * near-dup pair list (minhash / simhash / embedding / index-probe
+   * output); clusters resolve via the star-contraction
+   * [[graft.dedup.Dedup.connectedComponents]], and documents absent from
+   * `pairs` are their own representative (singletons split exactly like
+   * [[trainValSplit]]).
+   *
+   * Output: the input rows plus (rep, split ∈ {train, val}). Same-cluster
+   * → same-rep → same-coordinate: the invariant holds by construction,
+   * deterministically on any engine or retry.
+   *
+   * Scale shape: CC runs on the PAIR list (≪ corpus); the labels frame is
+   * cluster-membership-sized and broadcasts into the corpus join
+   * (`broadcastLabels = false` shuffled fallback when the dup set is a
+   * large corpus fraction); the split predicate itself is the scan-fused
+   * hash-coordinate filter, zero additional exchange.
+   */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+                      aCol: String, bCol: String, valFraction: Double,
+                      broadcastLabels: Boolean = true): DataFrame = {
+    Seq("rep", "split", "_ls_id", "_ls_rep").foreach { r =>
+      require(!df.columns.contains(r),
+        s"leakageSafeSplit reserves the column name $r")
+    }
+    val labels = graft.dedup.Dedup.connectedComponents(pairs, aCol, bCol)
+      .select(col("id").as("_ls_id"), col("rep").as("_ls_rep"))
+    val side = if (broadcastLabels) broadcast(labels) else labels
+    val cut = lit((valFraction * Mod32).toLong)
+    df.join(side, col(idCol) === col("_ls_id"), "left")
+      .withColumn("rep", coalesce(col("_ls_rep"), col(idCol)))
+      .withColumn("split",
+        when(hashCoord(col("rep")) < cut, lit("val")).otherwise(lit("train")))
+      .drop("_ls_id", "_ls_rep")
+  }
+
+  /**
    * Temperature-balanced corpus mix at α = 0.5 — the standard
    * multinomial-temperature reweighting of pretraining mixtures
    * (stratum sampling probability ∝ n_s^α flattens the head and

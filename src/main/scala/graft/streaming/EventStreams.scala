@@ -438,6 +438,28 @@ object EventStreams extends Serializable {
     }
 
   /**
+   * Streaming LM quality scoring — the [[asofEnrichStream]] sibling for
+   * the persisted [[graft.analysis.NgramLm]] model: each micro-batch of
+   * documents scores against the index snapshot via foreachBatch
+   * (semantics-transparent per batch — one document's score never depends
+   * on other stream documents; delta-summed counts resolve fresh per
+   * batch, so appends landing between batches take effect immediately).
+   * Compose with [[lmIngestStream]] on a separate corpus stream for a
+   * continuously-learning quality gate.
+   */
+  def lmScoreStream(spark: SparkSession, docs: DataFrame, indexPath: String,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    minCount: Long = 1L)
+                   (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.analysis.NgramLm.lmScoreIndexed(spark, indexPath,
+          batch.toDF(), textCol, idCol, minCount), batchId)
+        ()
+    }
+
+  /**
    * Continuous ingest into the span-dedup window index — the
    * [[bm25IngestStream]] sibling for [[graft.pipeline.SpanDedup]]: every
    * micro-batch's window-hash count deltas land as one `installment =

@@ -51,4 +51,76 @@ class PipelineStreamingSpec extends SparkTestBase {
     assert(streamed === batch)
     assert(streamed.contains((2L, 1L, 4L, "c d e f")))
   }
+
+  private val webDocs = Seq(
+    (1L, "A good long sentence here.\nshort\nAnother fine sentence stays!" +
+      "\nA third keeper sentence indeed."),
+    (2L, "lorem ipsum template page.\nWith a sentence kept.\nAnd one more" +
+      " kept.\nAnd a third kept."),
+    (3L, "code page { with braces }.\nKept sentence one two three."))
+
+  test("c4Clean runs unchanged on a stream and matches batch output") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = CorpusClean.c4Clean(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("c4_stream")
+      .outputMode("append").start()
+    input.addData(webDocs: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("c4_stream")
+      .as[(Long, String, Long, Long, Boolean)].collect().toSet
+    val batch = CorpusClean.c4Clean(webDocs.toDF("doc_id", "text"))
+      .as[(Long, String, Long, Long, Boolean)].collect().toSet
+    assert(streamed === batch)
+    // the lorem and brace pages are page-dropped in both worlds
+    assert(streamed.filter(!_._5).map(_._1) === Set(2L, 3L))
+  }
+
+  test("gopherRules runs unchanged on a stream and matches batch output") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val rules = (df: org.apache.spark.sql.DataFrame) =>
+      df.select(col("doc_id"),
+        graft.analysis.TextMetrics.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.n_words"), col("g.keep"))
+    val q = rules(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").start()
+    input.addData(webDocs: _*)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("gopher_stream")
+      .as[(Long, Long, Boolean)].collect().toSet
+    val batch = rules(webDocs.toDF("doc_id", "text"))
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(streamed === batch)
+  }
+
+  test("lmScoreStream scores micro-batches against the persisted model") {
+    implicit val sqlCtx = spark.sqlContext
+    val idxPath = java.nio.file.Files.createTempDirectory("lm-score-stream")
+      .resolve("idx").toString
+    val model = Seq((100L, "the quick brown fox jumps the quick wall"))
+      .toDF("doc_id", "text")
+    graft.analysis.NgramLm.lmIndexBuild(model, idxPath)
+
+    val results = scala.collection.mutable.Map.empty[Long, Set[(Long, Long)]]
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.lmScoreStream(spark,
+      input.toDF().toDF("doc_id", "text"), idxPath) { (scored, batchId) =>
+      val rows = scored.collect()
+        .map(r => (r.getLong(0), r.getLong(3))).toSet
+      results.synchronized { results(batchId) = rows }
+    }.start()
+    input.addData((1L, "the quick brown fox"), (2L, "unseen words only here"))
+    q.processAllAvailable(); q.stop()
+
+    val batchScores = graft.analysis.NgramLm.lmScoreIndexed(spark, idxPath,
+      Seq((1L, "the quick brown fox"), (2L, "unseen words only here"))
+        .toDF("doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(results(0L) === batchScores)
+    // the in-model doc scores strictly above the out-of-model doc
+    val m = batchScores.toMap
+    assert(m(1L) > m(2L))
+  }
 }

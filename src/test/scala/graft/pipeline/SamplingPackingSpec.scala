@@ -387,4 +387,43 @@ class SamplingPackingSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"must not window:\n$plan")
   }
+
+  test("leakageSafeSplit keeps every dup cluster in one split") {
+    val corpus = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters {1,2,3} (via chain), {10,11}; everything else singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Sampling.leakageSafeSplit(corpus, "doc_id", pairs,
+      "id_a", "id_b", valFraction = 0.5)
+      .select($"doc_id", $"rep", $"split").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(out(1)._1 === 1L && out(2)._1 === 1L && out(3)._1 === 1L)
+    assert(Set(out(1)._2, out(2)._2, out(3)._2).size === 1,
+      "chain cluster must not straddle splits")
+    assert(out(10)._1 === 10L && out(11)._1 === 10L &&
+      out(10)._2 === out(11)._2)
+    // singletons: rep = self, split identical to plain trainValSplit
+    val (tr, va) = Sampling.trainValSplit(
+      corpus.filter(!$"doc_id".isin(2L, 3L, 11L)), "doc_id", 0.5)
+    val trIds = tr.select("doc_id").collect().map(_.getLong(0)).toSet
+    val vaIds = va.select("doc_id").collect().map(_.getLong(0)).toSet
+    trIds.foreach(id => assert(out(id)._2 === "train", s"doc $id"))
+    vaIds.foreach(id => assert(out(id)._2 === "val", s"doc $id"))
+    // both splits populated at this fraction, and output is total
+    assert(out.size === 40)
+    assert(out.values.map(_._2).toSet === Set("train", "val"))
+  }
+
+  test("leakageSafeSplit: dual label path, determinism, reserved names") {
+    val corpus = (1L to 30L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((5L, 6L), (6L, 7L), (20L, 21L)).toDF("id_a", "id_b")
+    val a = Sampling.leakageSafeSplit(corpus, "doc_id", pairs, "id_a", "id_b",
+      0.3, broadcastLabels = true)
+    val b = Sampling.leakageSafeSplit(corpus.repartition(7), "doc_id", pairs,
+      "id_a", "id_b", 0.3, broadcastLabels = false)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    intercept[IllegalArgumentException] {
+      Sampling.leakageSafeSplit(corpus.withColumn("rep", lit(1L)), "doc_id",
+        pairs, "id_a", "id_b", 0.3)
+    }
+  }
 }
