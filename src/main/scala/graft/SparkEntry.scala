@@ -1256,6 +1256,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // near-dup PRUNING last mile: the pair detectors + CC + keep-min
+    // anti-join in one call — survivors of the near-dup union fixture
+    // (originals survive, truncated copies drop; any corpus-internal
+    // cluster keeps only its min id). Oracle = recursive-CTE CC keep-min.
+    "doc_minhash_prune" -> ((s, dir) => {
+      val survivors = Dedup.minhashPrune(docsWithNearDups(s, dir),
+        "text", "doc_id", shingleK = 4, numHashes = 128, bands = 64,
+        threshold = 0.3)
+      survivors.select(col("doc_id"), length(col("text")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     // LEAKAGE-SAFE split: near-duplicates must not straddle train/val (a
     // near-copy of a training doc in the validation set leaks the
     // answer), so the split coordinate is the dup-cluster representative
@@ -2855,6 +2867,43 @@ object SparkEntry {
       """SELECT CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296 < 858993459
         |  THEN 'val' ELSE 'train' END AS split, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY split""".stripMargin,
+    // near-dup pruning: recursive-CTE CC labels, survivors = unlabeled
+    // docs plus cluster minima
+    "doc_minhash_prune" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    substr(text, 1, CAST(floor(length(text)*0.7) AS INT)) AS text
+        |  FROM documents WHERE doc_id % 50 = 0
+        |), d AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-2),
+        |      i -> array_to_string(w[i:i+3], ' ')) END) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM base) t
+        |), p AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |      CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+        |    FROM d a JOIN d b ON a.doc_id < b.doc_id) q
+        |  WHERE jaccard >= 0.3
+        |), e AS (
+        |  SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e) n
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON reach.u = e.v
+        |), lab AS (
+        |  SELECT u AS id, min(r) AS rep FROM reach GROUP BY u
+        |)
+        |SELECT b.doc_id, CAST(length(b.text) AS BIGINT) AS n_chars
+        |FROM base b LEFT JOIN lab l ON l.id = b.doc_id
+        |WHERE l.id IS NULL OR l.rep = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // leakage-safe split: the doc_dup_clusters recursive-CTE labeling +
     // the doc_train_val_split hash arithmetic applied to the REP
     "doc_leakage_safe_split" ->

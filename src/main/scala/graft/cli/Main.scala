@@ -380,6 +380,19 @@ object Main {
       println(s"span-index-probe: $removed tokens removed from batch -> $out")
       spark.stop()
 
+    case "minhash-prune" :: docs :: out :: rest =>
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val textCol = rest.drop(1).headOption.getOrElse("text")
+      val threshold = rest.drop(2).headOption.map(_.toDouble).getOrElse(0.8)
+      val spark = session()
+      val survivors = graft.dedup.Dedup.minhashPrune(
+        spark.read.parquet(docs), textCol, idCol, threshold = threshold)
+      survivors.write.mode("overwrite").parquet(out)
+      graft.dedup.Dedup.release(survivors)
+      val n = spark.read.parquet(out).count()
+      println(s"minhash-prune: $n survivors -> $out")
+      spark.stop()
+
     case "dedup-cluster" :: pairs :: out :: rest =>
       val aCol = rest.headOption.getOrElse("id_a")
       val bCol = rest.drop(1).headOption.getOrElse("id_b")
@@ -405,6 +418,7 @@ object Main {
           |  chunk            <docsParquet> <outParquet> <window> <stride> [idCol] [textCol]
           |  dedup-cluster    <pairsParquet> <outParquet> [aCol] [bCol]
           |  semantic-dedup   <vecsParquet> <outParquet> [idCol] [vecCol] [dims] [threshold]
+          |  minhash-prune    <docsParquet> <outParquet> [idCol] [textCol] [threshold]
           |  profile          <tableParquet> <col,col,...> [approx]
           |  bm25-build       <docsParquet> <indexPath> [idCol] [textCol]
           |  bm25-append      <docsParquet> <indexPath> [idCol] [textCol]

@@ -433,6 +433,30 @@ object Dedup {
     df.join(if (broadcastDrop) broadcast(drop) else drop, Seq(idCol), "left_anti")
   }
 
+  /**
+   * Text near-dup PRUNING — the [[semanticDedup]] sibling over MinHash:
+   * detect near-duplicate documents (banded MinHash-LSH + exact-Jaccard
+   * verification), resolve transitive clusters via star-contraction CC,
+   * keep the min-id representative of each, return the surviving rows
+   * with their original schema. The user-facing last mile that turns the
+   * PAIR operators into a pruned corpus in one call. Same scale shape as
+   * its parts: banding is the only corpus-wide shuffle, CC runs on the
+   * pair list (≪ corpus), and the ids-only drop list anti-joins back
+   * (`broadcastDrop = true` when the dup set is known small). Call
+   * [[release]] on the result when its checkpoint blocks should be freed.
+   */
+  def minhashPrune(df: DataFrame, textCol: String, idCol: String,
+                   shingleK: Int = 4, numHashes: Int = 128, bands: Int = 64,
+                   threshold: Double = 0.3,
+                   broadcastDrop: Boolean = false): DataFrame = {
+    val pairs = minhashNearDuplicates(df, textCol, idCol, shingleK,
+      numHashes, bands, threshold)
+    val labels = connectedComponents(pairs, "id_a", "id_b")
+    val drop = labels.filter(col("id") =!= col("rep"))
+      .select(col("id").as(idCol))
+    df.join(if (broadcastDrop) broadcast(drop) else drop, Seq(idCol), "left_anti")
+  }
+
   // --------------------------------------------- incremental MinHash index
 
   /**

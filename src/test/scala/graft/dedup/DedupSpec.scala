@@ -172,6 +172,32 @@ class DedupSpec extends SparkTestBase {
     Dedup.release(survivors)
   }
 
+  test("minhashPrune keeps one representative per text cluster") {
+    val mk = (base: String, extra: String) => base + " " + extra
+    val common = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, mk(common, "alpha beta")),
+      (2L, mk(common, "alpha gamma")),      // near copy of 1
+      (9L, mk(common, "alpha beta")),       // exact copy of 1
+      (5L, (100 to 125).map(i => s"zzz$i").mkString(" "))  // singleton
+    ).toDF("doc_id", "text")
+    val survivors = Dedup.minhashPrune(docs, "text", "doc_id",
+      shingleK = 3, numHashes = 64, bands = 32, threshold = 0.5)
+    assert(survivors.columns.toSeq === Seq("doc_id", "text"))
+    val ids = survivors.select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(1L, 5L), s"got $ids")
+    Dedup.release(survivors)
+
+    val bcast = Dedup.minhashPrune(docs, "text", "doc_id",
+      shingleK = 3, numHashes = 64, bands = 32, threshold = 0.5,
+      broadcastDrop = true)
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected a broadcast anti-join:\n$plan")
+    assert(bcast.select("doc_id").as[Long].collect().toSet === Set(1L, 5L))
+    Dedup.release(bcast)
+  }
+
   test("simhash64 kernel: identical token sets collide, disjoint differ") {
     val a = Dedup.simhash64(Seq("alpha", "beta", "gamma"))
     val b = Dedup.simhash64(Seq("alpha", "beta", "gamma"))
