@@ -920,6 +920,27 @@ object SparkEntry {
     // stored-meta contract — installments can never disagree). The
     // oracle therefore derives its scale from the even ids only and
     // quantizes the whole corpus with it, exactly like the index does.
+    // ANN hard-negative mining (the contrastive-training complement to
+    // doc_negative_pairs' random negatives): top-5 most-similar NON-SELF
+    // vectors per query through the persisted int8 index, rank gap closed
+    // behind the dropped self hit — equals a direct (cosine desc, id)
+    // top-5 over non-self rows, which is what the oracle computes.
+    "emb_hard_negatives" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_hardneg_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.index.Quantize.int8Build(e, idxPath)
+      }
+      graft.index.Quantize.hardNegatives(s, idxPath, q, k = 5)
+        .select(col("query_id"), col("vec_id"), col("cosine_q"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     "emb_topk_int8" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
       val q = e.filter(col("vec_id") < 8)
@@ -4070,6 +4091,40 @@ object SparkEntry {
     // vec_ids), every code/dot/norm is exact integer arithmetic, the
     // final cosine is one division over two correctly-rounded sqrts —
     // scores hash-match bit-for-bit
+    // hard negatives: whole-corpus scale, self excluded, rank over
+    // (cosine desc, id) of the remainder
+    "emb_hard_negatives" ->
+      """WITH comp AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS ord
+        |  FROM embeddings),
+        |mx AS (SELECT max(abs(x)) / 127 AS scale FROM comp),
+        |codes AS (
+        |  SELECT vec_id, ord, CAST(floor(x / scale + 0.5) AS BIGINT) AS c
+        |  FROM comp, mx),
+        |norms AS (SELECT vec_id, sum(c*c) AS n2 FROM codes GROUP BY vec_id),
+        |q AS (SELECT vec_id AS query_id, ord, c FROM codes WHERE vec_id < 8),
+        |dots AS (
+        |  SELECT q.query_id, d.vec_id, sum(q.c * d.c) AS dot
+        |  FROM q JOIN codes d ON q.ord = d.ord
+        |  GROUP BY q.query_id, d.vec_id),
+        |sc AS (
+        |  SELECT dots.query_id, dots.vec_id,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nd.n2 AS DOUBLE)))
+        |      AS cosine_q
+        |  FROM dots
+        |  JOIN norms nq ON nq.vec_id = dots.query_id
+        |  JOIN norms nd ON nd.vec_id = dots.vec_id
+        |  WHERE nq.n2 > 0 AND nd.n2 > 0
+        |    AND dots.vec_id <> dots.query_id)
+        |SELECT query_id, vec_id, cosine_q, rank FROM (
+        |  SELECT query_id, vec_id, cosine_q,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine_q DESC, vec_id) AS rank
+        |  FROM sc) r
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "emb_topk_int8" ->
       """WITH comp AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,

@@ -229,6 +229,18 @@ object Main {
       println(s"int8-compact: $rows packed codes folded to one installment in $idx")
       spark.stop()
 
+    case "hard-negatives" :: idx :: vecs :: out :: rest =>
+      val k = rest.headOption.map(_.toInt).getOrElse(5)
+      val spark = session()
+      graft.index.Quantize.hardNegatives(spark, idx,
+          spark.read.parquet(vecs)
+            .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
+          k)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"hard-negatives: $n mined pairs (k=$k) -> $out")
+      spark.stop()
+
     case "int8-refine-search" :: idx :: vecs :: rest =>
       val k = rest.headOption.map(_.toInt).getOrElse(5)
       val candidateK = rest.drop(1).headOption.map(_.toInt).getOrElse(8 * k)
@@ -433,6 +445,7 @@ object Main {
           |  int8-compact     <indexPath>
           |  ivfsq8-refine-search <indexPath> <vecsParquet> [k] [candidateK] [nprobe]
           |  int8-refine-search <indexPath> <vecsParquet> [k] [candidateK]
+          |  hard-negatives   <indexPath> <vecsParquet> <outParquet> [k]
           |  lm-build         <docsParquet> <indexPath> [textCol]
           |  lm-append        <docsParquet> <indexPath> [textCol]
           |  lm-compact       <indexPath>

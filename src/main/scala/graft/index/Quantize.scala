@@ -504,4 +504,38 @@ object Quantize {
       .select(col(queryId), col(corpusId), col("cosine_q"))
     TopK.topKPerGroup(scored, queryId, corpusId, "cosine_q", k)
   }
+
+  /**
+   * Hard-negative mining over the persisted int8 index — the
+   * similarity-mined complement to [[graft.pipeline.Sampling.negativePairs]]
+   * (random negatives): for each query vector, the k MOST similar non-self
+   * corpus vectors, the classic hard negatives of contrastive training
+   * (in-batch-negative quality depends on exactly these; e.g. DPR,
+   * Karpukhin et al. 2020 mine them with BM25/ANN). Searches k+1, drops
+   * the self hit, and CLOSES THE RANK GAP (new rank = old − 1 behind the
+   * self row), so the output ranking equals a direct (cosine desc, id)
+   * top-k over non-self rows — including when an exact duplicate with a
+   * smaller id outranks self, or self fell outside the k+1 pool entirely.
+   * Bit-portable for the same reason [[int8SearchIndexed]] is: integer
+   * dot/norm kernels, one double division per score.
+   */
+  def hardNegatives(spark: SparkSession, path: String, queries: DataFrame,
+                    k: Int, corpusId: String = "vec_id",
+                    queryId: String = "query_id",
+                    queryVec: String = "query_vec",
+                    asOfInstallment: Int = Int.MaxValue): DataFrame = {
+    require(!queries.columns.contains("_hn_selfrank"),
+      "hardNegatives reserves the internal column name _hn_selfrank")
+    val hits = int8SearchIndexed(spark, path, queries, k + 1, corpusId,
+      queryId, queryVec, asOfInstallment)
+    val selfRank = hits.filter(col(corpusId) === col(queryId))
+      .select(col(queryId), col("rank").as("_hn_selfrank"))
+    hits.filter(col(corpusId) =!= col(queryId))
+      .join(broadcast(selfRank), Seq(queryId), "left")
+      .withColumn("rank",
+        when(col("_hn_selfrank").isNotNull && col("rank") > col("_hn_selfrank"),
+          col("rank") - 1).otherwise(col("rank")))
+      .filter(col("rank") <= k)
+      .drop("_hn_selfrank")
+  }
 }

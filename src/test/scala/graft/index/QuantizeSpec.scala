@@ -370,4 +370,39 @@ class QuantizeSpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"query side must broadcast:\n$plan")
   }
+
+  test("hardNegatives drops self and closes the rank gap, incl. duplicates") {
+    import org.apache.spark.sql.functions._
+    // corpus with an EXACT duplicate pair (1, 2) so the self hit of query
+    // 2 sits at rank 2 behind its twin — the gap-closing edge case
+    val dup = embs.filter($"vec_id" === 1L)
+      .select(lit(2L).as("vec_id"), $"embedding")
+    val corpus = embs.filter($"vec_id" =!= 2L).unionByName(dup)
+    val path = java.nio.file.Files.createTempDirectory("int8-hardneg")
+      .resolve("idx").toString
+    Quantize.int8Build(corpus, path)
+    val q = corpus.filter($"vec_id" < 8)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val negs = Quantize.hardNegatives(spark, path, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect()
+    // never self; ranks are exactly 1..5 per query
+    assert(negs.forall(r => r._1 !== r._2))
+    negs.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.map(_._4).sorted.toSeq === (1 to 5), s"ranks for $qid")
+    }
+    // the duplicate pair mines each other as the #1 hard negative with
+    // quantized cosine 1.0
+    val m = negs.filter(r => r._4 == 1).map(r => r._1 -> (r._2, r._3)).toMap
+    assert(m(1L)._1 === 2L && m(1L)._2 === 1.0)
+    assert(m(2L)._1 === 1L && m(2L)._2 === 1.0)
+    // equals a direct non-self re-rank of a k+1 search
+    val direct = Quantize.int8SearchIndexed(spark, path, q, k = 6)
+      .as[(Long, Long, Double, Int)].collect()
+      .filter(r => r._1 != r._2)
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+          .map { case (r, i) => (r._1, r._2, r._3, i + 1) }.toSeq
+      }.toSet
+    assert(negs.toSet === direct)
+  }
 }

@@ -106,6 +106,8 @@ class LexiconSpec extends SparkTestBase {
       // (the as-of/compact variants run the identical scorer over a
       // pruned/folded read)
       "emb_topk_int8", "emb_int8_asof", "emb_int8_compact",
+      // hard-negative mining runs the same intentional brute scorer
+      "emb_hard_negatives",
       // the refined flat search generates its candidate pool through the
       // same intentional brute scorer before the equi-join re-rank
       "emb_topk_int8_refined",
