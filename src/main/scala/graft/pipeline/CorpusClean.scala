@@ -115,7 +115,20 @@ object CorpusClean {
     * and does not mention "javascript" (ROOT-locale lowercase = SQL
     * `lower` for the Java∩SQL subset). Kept lines are re-joined trimmed.
     * Returns (clean_text, n_kept, n_dropped). */
-  private val c4LinesUdf = udf { (s: String) =>
+  /** Pure line predicate — exposed for property tests. */
+  private[graft] def c4KeepLine(line: String): Boolean = {
+    val tr = graft.analysis.TextMetrics.trimSpaces(line)
+    val endOk = tr.nonEmpty && {
+      val c = tr.charAt(tr.length - 1)
+      c == '.' || c == '!' || c == '?' || c == '"'
+    }
+    endOk &&
+      graft.analysis.TextMetrics.wsTokenArr(tr).length >= 3 &&
+      !tr.toLowerCase(java.util.Locale.ROOT).contains("javascript")
+  }
+
+  /** Pure document kernel — exposed for property tests. */
+  private[graft] def c4CleanString(s: String): (String, Int, Int) = {
     if (s == null) ("", 0, 0)
     else {
       val lines = s.split("\n", -1)
@@ -124,21 +137,18 @@ object CorpusClean {
       var dropped = 0
       var i = 0
       while (i < lines.length) {
-        val tr = graft.analysis.TextMetrics.trimSpaces(lines(i))
-        val endOk = tr.nonEmpty && {
-          val c = tr.charAt(tr.length - 1)
-          c == '.' || c == '!' || c == '?' || c == '"'
-        }
-        val ok = endOk &&
-          graft.analysis.TextMetrics.wsTokenArr(tr).length >= 3 &&
-          !tr.toLowerCase(java.util.Locale.ROOT).contains("javascript")
-        if (ok) { if (kept > 0) sb.append('\n'); sb.append(tr); kept += 1 }
-        else dropped += 1
+        if (c4KeepLine(lines(i))) {
+          if (kept > 0) sb.append('\n')
+          sb.append(graft.analysis.TextMetrics.trimSpaces(lines(i)))
+          kept += 1
+        } else dropped += 1
         i += 1
       }
       (sb.toString, kept, dropped)
     }
   }
+
+  private val c4LinesUdf = udf(c4CleanString _)
 
   /**
    * C4-style cleaning (Raffel et al. 2020 §2.2) — the third published

@@ -67,6 +67,12 @@ object SpanDedup {
     * into maximal spans. Runs over ALL docs (empty marks ⇒ identity in
     * token-normalized form). */
   private def removeUdf(k: Int) = udf { (s: String, marks: Seq[Int]) =>
+    removeSpansKernel(s, marks, k)
+  }
+
+  /** Pure removal kernel — exposed for property tests. */
+  private[graft] def removeSpansKernel(s: String, marks: Seq[Int],
+                                       k: Int): (String, Int, Int) = {
     val t = if (s == null) Array.empty[String] else TextMetrics.wsTokenArr(s)
     if (marks == null || marks.isEmpty) (t.mkString(" "), 0, 0)
     else {

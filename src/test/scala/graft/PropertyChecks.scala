@@ -105,4 +105,42 @@ object PropertyChecks extends Properties("graft.kernels") {
         TextMetrics.rollingFingerprint(s.toLowerCase(java.util.Locale.ROOT)
           .replaceAll("\\s+", " ").trim)
     }
+
+  // C4 line rules see through surrounding spaces — exactly what SQL trim
+  // strips, so the kernel and its oracle can never diverge on padding
+  property("c4 line filter is invariant under surrounding spaces") =
+    forAll { (s: String) =>
+      graft.pipeline.CorpusClean.c4KeepLine(s) ==
+        graft.pipeline.CorpusClean.c4KeepLine("  " + s + "   ")
+    }
+
+  // kept lines are already trimmed and rule-passing, so cleaning a
+  // cleaned document changes nothing
+  property("c4 cleaning is idempotent on its own output") =
+    forAll { (s: String) =>
+      val (c1, k1, _) = graft.pipeline.CorpusClean.c4CleanString(s)
+      val (c2, k2, d2) = graft.pipeline.CorpusClean.c4CleanString(c1)
+      c2 == c1 && (k1 == 0 || (k2 == k1 && d2 == 0))
+    }
+
+  // the tight span-removal kernel vs an independent brute-force coverage
+  // reference, over arbitrary text and any VALID mark set
+  property("span removal matches the brute-force coverage reference") =
+    forAll { (s: String, rawMarks: List[Int], kRaw: Int) =>
+      val k = 2 + math.abs(kRaw % 5)
+      val t = TextMetrics.wsTokenArr(if (s == null) "" else s)
+      val maxStart = t.length - k
+      val marks =
+        if (maxStart < 0) Nil
+        else rawMarks.map(m => ((m % (maxStart + 1)) + (maxStart + 1)) % (maxStart + 1))
+      val got = graft.pipeline.SpanDedup.removeSpansKernel(s, marks, k)
+      val covered = t.indices.map(i => marks.exists(p => i >= p && i < p + k))
+      val keptText = t.indices.filterNot(covered).map(t).mkString(" ")
+      val removed = covered.count(identity)
+      val ps = marks.distinct.sorted
+      val spans =
+        if (ps.isEmpty) 0
+        else 1 + ps.zip(ps.tail).count { case (a, b) => b - a >= k }
+      got == ((keptText, removed, spans))
+    }
 }
