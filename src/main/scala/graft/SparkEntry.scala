@@ -985,6 +985,66 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // INCREMENTAL EMBEDDING DEDUP (the vector sibling of
+    // doc_incremental_dedup): build+append the int8 index, then probe an
+    // incoming batch — every stored row is scored, so unlike the LSH
+    // probes the pair set is EXACT at the threshold, bit-reproducible in
+    // DuckDB's integer arithmetic. The batch stays in exactly-representable
+    // float ops (copies scaled by 2, sign flips) so both engines quantize
+    // identical input bits: ×2 twins land at quantized cosine ≈ 1 (their
+    // CODES differ from the original's — the quantizer itself is
+    // exercised, floor(2v/s + .5) ≠ 2·floor(v/s + .5)), negated rows at
+    // −1; nothing sits near the 0.98 cut.
+    "emb_incremental_dedup" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_int8_probe_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.index.Quantize.int8Build(e.filter(col("vec_id") % 2 === 0), idxPath)
+      }
+      Phases.timed("append") {
+        graft.index.Quantize.int8Append(s, idxPath, e.filter(col("vec_id") % 2 === 1))
+      }
+      val batch = e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        .unionByName(e.filter(col("vec_id") % 30 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+      graft.index.Quantize.int8NearDupProbe(s, idxPath, batch, threshold = 0.98)
+        .select("corpus_id", "new_id")
+        .orderBy("corpus_id", "new_id")
+    }),
+
+    // INGEST-TIME PRUNING over the same probe (the semanticDedup policy
+    // applied incrementally): ×2 twins drop (their component is anchored
+    // by a stored row), the planted batch-only pair (−v, −2v — cosine 1
+    // with each other, −1 with the stored twin) keeps its min id and
+    // drops the other, untouched batch rows survive. The oracle replays
+    // the full policy: exact int8 pairs (stored×batch ∪ batch-internal)
+    // → recursive-CTE components → anchored-or-non-min drop.
+    "emb_probe_prune" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_int8_prune_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      graft.index.Quantize.int8Build(e, idxPath)
+      val batch = e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        .unionByName(e.filter(col("vec_id") % 30 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+        .unionByName(e.filter(col("vec_id") % 30 === 0)
+          .select((col("vec_id") + 3000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(-2.0f)).as("embedding")))
+      graft.index.Quantize.int8ProbePrune(s, idxPath, batch, threshold = 0.98,
+          broadcastDrop = true)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
     // IVF-SQ8 + REFINE (FAISS IndexRefineFlat composition): quantized
     // candidate generation over probed code lists, then an EXACT float
     // re-rank of the bounded pool against the raw sidecar the build
@@ -4193,6 +4253,126 @@ object SparkEntry {
         |  FROM sc) r
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // incremental embedding dedup: the full int8 kernel replayed — stored
+    // scale from the even half (the build installment), batch synthesized
+    // with exactly-representable float ops (×2, sign flip), every
+    // stored×batch pair scored in integer arithmetic, thresholded at 0.98
+    "emb_incremental_dedup" ->
+      """WITH comp AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS ord
+        |  FROM embeddings),
+        |mx AS (SELECT max(abs(x)) / 127 AS scale FROM comp
+        |       WHERE vec_id % 2 = 0),
+        |codes AS (
+        |  SELECT vec_id, ord, CAST(floor(x / scale + 0.5) AS BIGINT) AS c
+        |  FROM comp, mx),
+        |batch AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 20 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 2000000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(-x AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 30 = 0),
+        |bcomp AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS ord
+        |  FROM batch),
+        |bcodes AS (
+        |  SELECT vec_id, ord, CAST(floor(x / scale + 0.5) AS BIGINT) AS c
+        |  FROM bcomp, mx),
+        |norms AS (SELECT vec_id, sum(c*c) AS n2 FROM codes GROUP BY vec_id),
+        |bnorms AS (SELECT vec_id, sum(c*c) AS n2 FROM bcodes GROUP BY vec_id),
+        |dots AS (
+        |  SELECT d.vec_id AS corpus_id, b.vec_id AS new_id,
+        |         sum(d.c * b.c) AS dot
+        |  FROM codes d JOIN bcodes b ON d.ord = b.ord
+        |  GROUP BY d.vec_id, b.vec_id)
+        |SELECT corpus_id, new_id FROM dots
+        |JOIN norms nc ON nc.vec_id = dots.corpus_id
+        |JOIN bnorms nb ON nb.vec_id = dots.new_id
+        |WHERE nc.n2 > 0 AND nb.n2 > 0
+        |  AND CAST(dot AS DOUBLE) /
+        |    (sqrt(CAST(nc.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.98
+        |ORDER BY corpus_id, new_id""".stripMargin,
+    // ingest-time pruning: exact int8 pairs (stored×batch ∪
+    // batch-internal) → recursive-CTE components → a batch row drops when
+    // its component is anchored by a stored row or it is a non-minimal
+    // batch-only member (the semanticDedup keep-min rule)
+    "emb_probe_prune" ->
+      """WITH RECURSIVE comp AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS ord
+        |  FROM embeddings),
+        |mx AS (SELECT max(abs(x)) / 127 AS scale FROM comp),
+        |codes AS (
+        |  SELECT vec_id, ord, CAST(floor(x / scale + 0.5) AS BIGINT) AS c
+        |  FROM comp, mx),
+        |batch AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 20 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 2000000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(-x AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 30 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 3000000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x * -2 AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 30 = 0),
+        |bcomp AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS ord
+        |  FROM batch),
+        |bcodes AS (
+        |  SELECT vec_id, ord, CAST(floor(x / scale + 0.5) AS BIGINT) AS c
+        |  FROM bcomp, mx),
+        |norms AS (SELECT vec_id, sum(c*c) AS n2 FROM codes GROUP BY vec_id),
+        |bnorms AS (SELECT vec_id, sum(c*c) AS n2 FROM bcodes GROUP BY vec_id),
+        |sdots AS (
+        |  SELECT d.vec_id AS id_a, b.vec_id AS id_b, sum(d.c * b.c) AS dot
+        |  FROM codes d JOIN bcodes b ON d.ord = b.ord
+        |  GROUP BY d.vec_id, b.vec_id),
+        |sp AS (
+        |  SELECT id_a, id_b FROM sdots
+        |  JOIN norms nc ON nc.vec_id = sdots.id_a
+        |  JOIN bnorms nb ON nb.vec_id = sdots.id_b
+        |  WHERE nc.n2 > 0 AND nb.n2 > 0
+        |    AND CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(nc.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.98),
+        |bdots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.c * b.c) AS dot
+        |  FROM bcodes a JOIN bcodes b ON a.ord = b.ord AND a.vec_id < b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id),
+        |bp AS (
+        |  SELECT id_a, id_b FROM bdots
+        |  JOIN bnorms na ON na.vec_id = bdots.id_a
+        |  JOIN bnorms nb ON nb.vec_id = bdots.id_b
+        |  WHERE na.n2 > 0 AND nb.n2 > 0
+        |    AND CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.98),
+        |p AS (SELECT id_a, id_b FROM sp UNION SELECT id_a, id_b FROM bp),
+        |e AS (
+        |  SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e) n
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON reach.u = e.v
+        |), lab AS (
+        |  SELECT u AS id, min(r) AS rep FROM reach GROUP BY u
+        |), sids AS (SELECT DISTINCT id_a AS id FROM sp),
+        |anch AS (
+        |  SELECT DISTINCT l.rep FROM lab l JOIN sids s ON l.id = s.id),
+        |drp AS (
+        |  SELECT l.id FROM lab l
+        |  LEFT JOIN sids s ON l.id = s.id
+        |  LEFT JOIN anch a ON l.rep = a.rep
+        |  WHERE s.id IS NULL AND (a.rep IS NOT NULL OR l.id <> l.rep))
+        |SELECT b.vec_id FROM batch b
+        |LEFT JOIN drp d ON b.vec_id = d.id
+        |WHERE d.id IS NULL
+        |ORDER BY b.vec_id""".stripMargin,
     // append path: two installments + compaction must reproduce the
     // one-shot whole-corpus ranking bit-for-bit, so the oracle is
     // doc_bm25_topk's SQL verbatim

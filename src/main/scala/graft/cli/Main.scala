@@ -223,6 +223,20 @@ object Main {
       println(s"ivfsq8-compact: $rows packed codes rewritten one-file-per-list in $idx")
       spark.stop()
 
+    case "int8-build" :: vecs :: idx :: Nil =>
+      val spark = session()
+      graft.index.Quantize.int8Build(spark.read.parquet(vecs), idx)
+      val n = spark.read.parquet(s"$idx/codes").count()
+      println(s"int8-build: $n packed code rows -> $idx")
+      spark.stop()
+
+    case "int8-append" :: vecs :: idx :: Nil =>
+      val spark = session()
+      graft.index.Quantize.int8Append(spark, idx, spark.read.parquet(vecs))
+      val n = spark.read.parquet(s"$idx/codes").count()
+      println(s"int8-append: index now holds $n packed code rows in $idx")
+      spark.stop()
+
     case "int8-compact" :: idx :: Nil =>
       val spark = session()
       val rows = graft.index.Quantize.int8Compact(spark, idx)
@@ -262,6 +276,27 @@ object Main {
           .select(col("vec_id").as("query_id"), col("embedding").as("query_vec")),
         k, candidateK, nprobe)
         .orderBy("query_id", "rank").show(50, truncate = false)
+      spark.stop()
+
+    case "int8-probe" :: idx :: vecs :: out :: rest =>
+      val threshold = rest.headOption.map(_.toDouble).getOrElse(0.95)
+      val spark = session()
+      graft.index.Quantize.int8NearDupProbe(spark, idx,
+          spark.read.parquet(vecs), threshold)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"int8-probe: $n near-dup pairs at >= $threshold -> $out")
+      spark.stop()
+
+    case "int8-prune" :: idx :: vecs :: out :: rest =>
+      val threshold = rest.headOption.map(_.toDouble).getOrElse(0.95)
+      val spark = session()
+      val survivors = graft.index.Quantize.int8ProbePrune(spark, idx,
+        spark.read.parquet(vecs), threshold)
+      survivors.write.mode("overwrite").parquet(out)
+      graft.dedup.Dedup.release(survivors)
+      val n = spark.read.parquet(out).count()
+      println(s"int8-prune: $n survivors at >= $threshold -> $out")
       spark.stop()
 
     case "semantic-dedup" :: vecs :: out :: rest =>
@@ -440,6 +475,10 @@ object Main {
           |  index-append     <docsParquet> <indexPath> [idCol] [textCol]
           |  index-probe      <docsParquet> <indexPath> [idCol] [textCol] [threshold]
           |  index-compact    <indexPath>
+          |  int8-build       <vecsParquet> <indexPath>
+          |  int8-append      <vecsParquet> <indexPath>
+          |  int8-probe       <indexPath> <vecsParquet> <outParquet> [threshold]
+          |  int8-prune       <indexPath> <vecsParquet> <outParquet> [threshold]
           |  ivf-compact      <indexPath>
           |  ivfsq8-compact   <indexPath>
           |  int8-compact     <indexPath>

@@ -452,6 +452,116 @@ object Quantize {
   }
 
   /**
+   * Incremental embedding near-dup detection against a persisted
+   * [[int8Build]] index — the vector-modality sibling of
+   * [[graft.dedup.Dedup.minhashIndexProbe]], and the read side of the
+   * daily-ingest dedup loop: quantize the incoming batch with the STORED
+   * scale, score it against the stored codes with the integer dot/norm
+   * kernel, and emit every `(corpus_id, new_id, cosine_q)` pair whose
+   * quantized cosine clears `threshold`.
+   *
+   * Exactness contract: unlike the LSH-candidate probes, there is no
+   * recall caveat — every stored row is scored, and the scores are
+   * [[int8TopK]]'s integer arithmetic (one double division at the end),
+   * so the threshold decision reproduces bit-for-bit on any engine.
+   *
+   * Scale shape: the quantized batch BROADCASTS into the scoring join and
+   * the stored code scan streams map-side at 1 B/dim — the corpus never
+   * shuffles (the probe-path invariant). The flat scan prices each probe
+   * at one read of the stored codes; when that is too much, route the
+   * batch through [[ivfSq8Search]]'s partition-pruned lists instead and
+   * accept the IVF recall contract. Batch ids must be NEW ids (the
+   * [[int8Append]] contract); zero-norm and null batch rows pair with
+   * nothing. `asOfInstallment` pins the stored side to a snapshot
+   * (partition-pruned, valid between compactions).
+   */
+  def int8NearDupProbe(spark: SparkSession, path: String, newVecs: DataFrame,
+                       threshold: Double,
+                       corpusId: String = "vec_id",
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       asOfInstallment: Int = Int.MaxValue): DataFrame = {
+    val scale = spark.read.parquet(s"$path/meta").head().getDouble(0)
+    val codes0 = spark.read.parquet(s"$path/codes")
+    val codes = if (asOfInstallment == Int.MaxValue) codes0
+      else codes0.filter(col("installment") <= asOfInstallment)
+    val c = codes
+      .select(col(corpusId).as("corpus_id"), unpackCodesUdf(col("codes")).as("_cc"))
+      .withColumn("_cn", normSqUdf(col("_cc")))
+      .filter(col("_cn") > 0)
+    val q = newVecs
+      .select(col(idCol).as("new_id"), codesUdf(scale)(col(vecCol)).as("_qc"))
+      .withColumn("_qn", normSqUdf(col("_qc")))
+      .filter(col("_qn") > 0)
+    c.join(broadcast(q), col("corpus_id") =!= col("new_id"))
+      .withColumn("_dot", dotUdf(col("_cc"), col("_qc")))
+      .withColumn("cosine_q", col("_dot").cast("double") /
+        (sqrt(col("_cn").cast("double")) * sqrt(col("_qn").cast("double"))))
+      .filter(col("cosine_q") >= threshold)
+      .select(col("corpus_id"), col("new_id"), col("cosine_q"))
+  }
+
+  /**
+   * Prune an incoming batch against the persisted index — the one-call
+   * last mile of incremental SEMANTIC dedup (the
+   * [[graft.dedup.Dedup.semanticDedup]] policy applied at ingest time):
+   * a batch row is dropped when its duplicate component (transitive
+   * closure over stored×batch pairs from [[int8NearDupProbe]] PLUS
+   * batch-internal pairs at the same threshold) contains any STORED row
+   * — the corpus already has a representative — or when it is a
+   * non-minimal member of a batch-only component (keep-min, the
+   * semanticDedup rule). Survivors keep the caller's schema and are what
+   * [[int8Append]] should fold in.
+   *
+   * Scale shape: pairs are batch-bounded, so the star-contraction CC runs
+   * on probe-sized data; the drop list anti-joins back ids-only
+   * (`broadcastDrop = true` when the dup set is known small). The stored
+   * corpus is touched only by the flat probe scan. Call
+   * [[graft.dedup.Dedup.release]] on the result when the CC checkpoint
+   * blocks should be freed eagerly.
+   */
+  def int8ProbePrune(spark: SparkSession, path: String, newVecs: DataFrame,
+                     threshold: Double,
+                     corpusId: String = "vec_id",
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     broadcastDrop: Boolean = false,
+                     asOfInstallment: Int = Int.MaxValue): DataFrame = {
+    require(!newVecs.columns.exists(_.startsWith("_ip_")),
+      "int8ProbePrune reserves internal column names starting with _ip_")
+    val stored = int8NearDupProbe(spark, path, newVecs, threshold,
+      corpusId, idCol, vecCol, asOfInstallment)
+      .select(col("corpus_id").as("id_a"), col("new_id").as("id_b"))
+    // batch-internal pairs at the same threshold: the batch quantizes with
+    // the stored scale (same code space as the probe), self-scored with
+    // one broadcast side — batch-sized, never corpus-sized
+    val scale = spark.read.parquet(s"$path/meta").head().getDouble(0)
+    val q = newVecs
+      .select(col(idCol).as("_ip_id"), codesUdf(scale)(col(vecCol)).as("_ip_c"))
+      .withColumn("_ip_n", normSqUdf(col("_ip_c")))
+      .filter(col("_ip_n") > 0)
+    val qb = q.select(col("_ip_id").as("_ip_id2"), col("_ip_c").as("_ip_c2"),
+      col("_ip_n").as("_ip_n2"))
+    val internal = q.join(broadcast(qb), col("_ip_id") < col("_ip_id2"))
+      .withColumn("_ip_dot", dotUdf(col("_ip_c"), col("_ip_c2")))
+      .filter(col("_ip_dot").cast("double") /
+        (sqrt(col("_ip_n").cast("double")) * sqrt(col("_ip_n2").cast("double")))
+        >= threshold)
+      .select(col("_ip_id").as("id_a"), col("_ip_id2").as("id_b"))
+    val pairs = stored.unionByName(internal)
+    val labels = graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val storedIds = stored.select(col("id_a").as("id")).distinct()
+    // components anchored by a stored row: every batch member drops (the
+    // corpus already holds a representative)
+    val anchoredReps = labels.join(storedIds, Seq("id"))
+      .select(col("rep")).distinct().withColumn("_ip_anchored", lit(true))
+    val drop = labels.join(storedIds, Seq("id"), "left_anti")
+      .join(anchoredReps, Seq("rep"), "left")
+      .filter(col("_ip_anchored") || col("id") =!= col("rep"))
+      .select(col("id").as(idCol))
+    newVecs.join(if (broadcastDrop) broadcast(drop) else drop,
+      Seq(idCol), "left_anti")
+  }
+
+  /**
    * Installment-index maintenance for [[int8Build]]/[[int8Append]] — the
    * bm25IndexCompact sibling: fold every `installment=` partition of
    * packed codes into ONE `installment=0` dir via the atomic side-dir

@@ -405,4 +405,104 @@ class QuantizeSpec extends SparkTestBase {
       }.toSet
     assert(negs.toSet === direct)
   }
+
+  // ------------------------------- incremental near-dup probe / prune
+
+  // hand corpus in a 4-d space: axes 1/2/4 plus a diagonal, so every
+  // pairwise cosine is 0, ±1, or ±0.707 — nothing near the 0.9 cut
+  private def probeCorpus = Seq(
+    (1L, Seq(1f, 0f, 0f, 0f)),
+    (2L, Seq(0f, 1f, 0f, 0f)),
+    (3L, Seq(0.5f, 0.5f, 0f, 0f)),
+    (4L, Seq(0f, 0f, 1f, 0f))
+  ).toDF("vec_id", "embedding")
+
+  // 101 = copy of 1; 102 ⊥ everything stored; 103 = −v2; 104 = 2·v2;
+  // 105 = 2·(102's vector) — the batch-only duplicate pair
+  private def probeBatch = Seq(
+    (101L, Seq(1f, 0f, 0f, 0f)),
+    (102L, Seq(0f, 0f, 0f, 1f)),
+    (103L, Seq(0f, -1f, 0f, 0f)),
+    (104L, Seq(0f, 2f, 0f, 0f)),
+    (105L, Seq(0f, 0f, 0f, 2f))
+  ).toDF("vec_id", "embedding")
+
+  test("int8NearDupProbe finds stored twins, not negations or orthogonals") {
+    val path = java.nio.file.Files.createTempDirectory("int8-probe")
+      .resolve("idx").toString
+    Quantize.int8Build(probeCorpus, path)
+    val pairs = Quantize.int8NearDupProbe(spark, path, probeBatch, 0.9)
+      .select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 101L), (2L, 104L)))
+  }
+
+  test("int8NearDupProbe respects asOfInstallment on the stored side") {
+    val path = java.nio.file.Files.createTempDirectory("int8-probe-asof")
+      .resolve("idx").toString
+    Quantize.int8Build(probeCorpus.filter($"vec_id" <= 2), path)
+    Quantize.int8Append(spark, path, probeCorpus.filter($"vec_id" > 2))
+    val full = Quantize.int8NearDupProbe(spark, path, probeBatch, 0.9)
+      .select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+    assert(full === Set((1L, 101L), (2L, 104L)))
+    // snapshot at installment 0 = {v1, v2} — identical here (v3/v4 pair
+    // with nothing), so pin the snapshot via a batch twin of v4 instead
+    val twinOf4 = Seq((201L, Seq(0f, 0f, 2f, 0f))).toDF("vec_id", "embedding")
+    val hitFull = Quantize.int8NearDupProbe(spark, path, twinOf4, 0.9)
+      .count()
+    val hitSnap = Quantize.int8NearDupProbe(spark, path, twinOf4, 0.9,
+      asOfInstallment = 0).count()
+    assert(hitFull === 1L && hitSnap === 0L,
+      s"asOf leak: full=$hitFull snapshot=$hitSnap")
+  }
+
+  test("int8ProbePrune drops anchored and non-min members, keeps the rest") {
+    val path = java.nio.file.Files.createTempDirectory("int8-prune")
+      .resolve("idx").toString
+    Quantize.int8Build(probeCorpus, path)
+    // 101/104 drop (component anchored by stored 1/2); 105 drops (non-min
+    // of the batch-only {102, 105} component); 102 keeps as its rep; 103
+    // pairs with nothing and survives untouched
+    val survivors = Quantize.int8ProbePrune(spark, path, probeBatch, 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors === Set(102L, 103L))
+    // schema passthrough + broadcast dual path
+    val viaBroadcast = Quantize.int8ProbePrune(spark, path, probeBatch, 0.9,
+      broadcastDrop = true)
+    assert(viaBroadcast.columns.toSeq === probeBatch.columns.toSeq)
+    assert(viaBroadcast.select("vec_id").as[Long].collect().toSet === survivors)
+  }
+
+  test("int8ProbePrune: zero-norm batch rows pair with nothing and survive") {
+    val path = java.nio.file.Files.createTempDirectory("int8-prune-zero")
+      .resolve("idx").toString
+    Quantize.int8Build(probeCorpus, path)
+    val withZero = probeBatch.unionByName(
+      Seq((106L, Seq(0f, 0f, 0f, 0f))).toDF("vec_id", "embedding"))
+    val survivors = Quantize.int8ProbePrune(spark, path, withZero, 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    assert(survivors === Set(102L, 103L, 106L))
+  }
+
+  test("int8ProbePrune guards its reserved column prefix") {
+    val path = java.nio.file.Files.createTempDirectory("int8-prune-guard")
+      .resolve("idx").toString
+    Quantize.int8Build(probeCorpus, path)
+    val clash = probeBatch.withColumn("_ip_x", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Quantize.int8ProbePrune(spark, path, clash, 0.9)
+    }
+    assert(e.getMessage.contains("_ip_"))
+  }
+
+  test("probe plan broadcasts the batch and never shuffles the stored scan") {
+    val path = java.nio.file.Files.createTempDirectory("int8-probe-plan")
+      .resolve("idx").toString
+    Quantize.int8Build(probeCorpus, path)
+    val plan = Quantize.int8NearDupProbe(spark, path, probeBatch, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"batch side must broadcast into the scoring join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the stored code scan must stream map-side, never shuffle:\n$plan")
+  }
 }

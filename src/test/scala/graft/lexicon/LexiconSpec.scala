@@ -108,6 +108,9 @@ class LexiconSpec extends SparkTestBase {
       "emb_topk_int8", "emb_int8_asof", "emb_int8_compact",
       // hard-negative mining runs the same intentional brute scorer
       "emb_hard_negatives",
+      // the incremental probe/prune pair scores every stored row against
+      // the broadcast batch by design (the exactness-over-LSH contract)
+      "emb_incremental_dedup", "emb_probe_prune",
       // the refined flat search generates its candidate pool through the
       // same intentional brute scorer before the equi-join re-rank
       "emb_topk_int8_refined",
