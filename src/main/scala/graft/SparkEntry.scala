@@ -1424,6 +1424,22 @@ object SparkEntry {
       graft.analysis.NgramLm.selfScore(docs).orderBy("doc_id")
     }),
 
+    // Nearest-centroid classifier (Rocchio — the quality/domain-classifier
+    // pipeline stage): centroids trained on the even-id docs' lang labels,
+    // every doc scored by exact-integer cosine (DECIMAL(38,0) dots/norms,
+    // one double division — bit-portable) against every centroid, argmax
+    // with the label-asc tie-break. The oracle recomputes the identical
+    // arithmetic, so a tokenization, count, or tie-break drift all break
+    // the hash.
+    "doc_quality_classifier" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "lang", "text")
+      val labeled = d.filter(col("doc_id") % 2 === 0)
+        .select(col("text"), col("lang").as("label"))
+      graft.analysis.Classify.centroidClassify(
+          d.select("doc_id", "text"), labeled)
+        .orderBy("doc_id")
+    }),
+
     // DSIR-style data selection (importance resampling toward a target
     // domain): every document scored under a target-domain LM (the `en`
     // docs) and the raw-corpus LM in ONE fused pass; importance = exact
@@ -1885,6 +1901,41 @@ object SparkEntry {
             .cast("long").as("n_urls"),
           col("blocked"))
         .orderBy("doc_id")
+    }),
+
+    // per-host statistics (the CCNet/RefinedWeb host-granularity view):
+    // deterministic synthesized urls — mixed case (host lowercases), an
+    // explicit :443 port (excluded from the host), and a non-URL arm
+    // (hostless rows must not count). Exact BIGINT doc counts and signal
+    // sums per host.
+    "doc_host_stats" -> ((s, dir) => {
+      val withUrl = tbl(s, dir, "documents").select(
+        col("doc_id"), col("n_chars"),
+        when(col("doc_id") % 17 === 0, lit("not a url"))
+          .otherwise(concat(lit("https://Host"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".Example.com:443/p/"), col("doc_id").cast("string")))
+          .as("url"))
+      graft.pipeline.UrlFilter.hostStats(withUrl, "url", "doc_id",
+          Seq("n_chars"))
+        .orderBy("host")
+    }),
+
+    // per-host document cap: at most 40 docs per host, kept by the
+    // smallest Knuth-hash coordinates (the quota-sample rule — uniform
+    // within the host, not first-k-by-id), ranked through the bounded
+    // TopK aggregator. Same url synthesis as doc_host_stats.
+    "doc_host_cap" -> ((s, dir) => {
+      val withUrl = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 17 === 0, lit("not a url"))
+          .otherwise(concat(lit("https://Host"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".Example.com:443/p/"), col("doc_id").cast("string")))
+          .as("url"))
+      graft.pipeline.UrlFilter.capPerHost(withUrl, "url", "doc_id", k = 40)
+        .select(col("host"), col("doc_id"), col("rank").cast("long").as("rank"))
+        .orderBy("host", "rank")
     }),
 
     "doc_sample_mix" -> ((s, dir) => {
@@ -2936,6 +2987,43 @@ object SparkEntry {
         |  (hits.doc_id IS NOT NULL) AS blocked
         |FROM base b LEFT JOIN hits ON b.doc_id = hits.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    "doc_host_stats" ->
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'not a url'
+        |      ELSE 'https://Host' || (doc_id % 7) || '.Example.com:443/p/' || doc_id
+        |    END AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, n_chars,
+        |    lower(regexp_extract(url,
+        |      '[Hh][Tt][Tt][Pp][Ss]?://(?:[A-Za-z0-9._%+-]+@)?([A-Za-z0-9.-]*[A-Za-z0-9])',
+        |      1)) AS host
+        |  FROM u)
+        |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_n_chars
+        |FROM h WHERE host IS NOT NULL AND length(host) > 0
+        |GROUP BY host ORDER BY host""".stripMargin,
+    "doc_host_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'not a url'
+        |      ELSE 'https://Host' || (doc_id % 7) || '.Example.com:443/p/' || doc_id
+        |    END AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url,
+        |      '[Hh][Tt][Tt][Pp][Ss]?://(?:[A-Za-z0-9._%+-]+@)?([A-Za-z0-9.-]*[A-Za-z0-9])',
+        |      1)) AS host
+        |  FROM u)
+        |SELECT host, doc_id, rank FROM (
+        |  SELECT host, doc_id,
+        |    row_number() OVER (PARTITION BY host
+        |      ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id)
+        |      AS rank
+        |  FROM h WHERE host IS NOT NULL AND length(host) > 0) t
+        |WHERE rank <= 40 ORDER BY host, rank""".stripMargin,
     "doc_sample_mix" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <
@@ -3199,6 +3287,48 @@ object SparkEntry {
     // DSIR selection: the same integer LM arithmetic under BOTH models
     // (target = en docs, raw = whole corpus), importance = avg_t − avg_r,
     // rank by (importance desc, doc_id) — the TopK tie-break
+    // nearest-centroid classifier: identical integer dot/norm arithmetic
+    // (HUGEINT products mirror DECIMAL(38,0)), identical double cosine
+    // from the same exact integers, row_number tie-break (cosine desc,
+    // label asc) = the TopK label aggregator's ordering
+    "doc_quality_classifier" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |dcnt AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS d
+        |  FROM toks GROUP BY doc_id, token),
+        |mtoks AS (
+        |  SELECT lang AS label,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents WHERE doc_id % 2 = 0 AND length(trim(text)) > 0),
+        |model AS (
+        |  SELECT label, token, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM mtoks GROUP BY label, token),
+        |cn AS (
+        |  SELECT label, sum(CAST(cnt AS HUGEINT) * cnt) AS n2
+        |  FROM model GROUP BY label),
+        |dn AS (
+        |  SELECT doc_id, sum(CAST(d AS HUGEINT) * d) AS n2
+        |  FROM dcnt GROUP BY doc_id),
+        |dots AS (
+        |  SELECT dc.doc_id, m.label, sum(CAST(dc.d AS HUGEINT) * m.cnt) AS dot
+        |  FROM dcnt dc JOIN model m ON dc.token = m.token
+        |  GROUP BY dc.doc_id, m.label),
+        |sc AS (
+        |  SELECT dots.doc_id, dots.label,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(dn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE))) AS cosine
+        |  FROM dots
+        |  JOIN dn ON dn.doc_id = dots.doc_id
+        |  JOIN cn ON cn.label = dots.label)
+        |SELECT doc_id, label, cosine FROM (
+        |  SELECT doc_id, label, cosine,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY cosine DESC, label) AS rn
+        |  FROM sc) r
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
     "doc_dsir_sample" ->
       """WITH tgt AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

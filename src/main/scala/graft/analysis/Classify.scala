@@ -1,0 +1,111 @@
+package graft.analysis
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TopK
+
+/**
+ * Nearest-centroid text classification (Rocchio, 1971 — the classic IR
+ * formulation; Manning et al., IIR §14.2) — the shape of the pretraining
+ * "quality classifier" stage (GPT-3 and LLaMA filter web pages with a
+ * linear classifier over bag-of-words features scored against curated
+ * positives): train = one groupBy producing per-class token-count
+ * centroids, score = cosine of each document's token-count vector against
+ * every centroid, predict the argmax.
+ *
+ * Arithmetic contract (the repo-wide exactness rule): dot products and
+ * squared norms are EXACT integer sums carried in DECIMAL(38,0) — BIGINT
+ * products c_t·d_t overflow silently at 10¹²-count centroids, the Drift
+ * precedent — and the cosine is formed from those exact integers with one
+ * correctly-rounded double division, so scores and argmax decisions
+ * reproduce bit-for-bit on any engine (the int8 cosine pattern). Ties
+ * break label-ascending (ASCII labels — the engine-portable tie-break).
+ *
+ * Scale shape: the model is vocabulary×classes (prune with `minCount`,
+ * CCNet-style) and BROADCASTS into the scoring join, so the corpus-sized
+ * token stream never shuffles for the lookup; the only corpus-wide
+ * exchanges are the per-(doc, token) and per-doc aggregations, keyed by
+ * doc id (uniform). `broadcastModel = false` degrades the lookup to a
+ * hash-partitioned shuffle join — identical output (the Decontaminate
+ * dual-path contract) — for a vocabulary too large to broadcast.
+ */
+object Classify {
+
+  private val Reserved = Seq("_cx_d", "_cx_dn", "_cx_cn", "_cx_dot")
+
+  private def guard(df: DataFrame): Unit = {
+    val clash = df.columns.toSet.intersect(Reserved.toSet)
+    require(clash.isEmpty, s"input carries reserved column(s): $clash")
+  }
+
+  private val Dec = DecimalType(38, 0)
+
+  /**
+   * Train: per-class token-count centroids over the canonical
+   * [[TextMetrics.wsTokens]] tokenization — `(label, token, cnt)`, pruned
+   * to `cnt >= minCount` (vocabulary pruning keeps the model
+   * broadcast-sized; rare tokens contribute negligible cosine mass).
+   * One groupBy with map-side partial aggregation; null labels are
+   * excluded (unlabeled rows train nothing).
+   */
+  def centroidTrain(labeled: DataFrame, textCol: String = "text",
+                    labelCol: String = "label",
+                    minCount: Long = 1L): DataFrame =
+    labeled.filter(col(labelCol).isNotNull)
+      .select(col(labelCol).cast("string").as("label"),
+        explode(TextMetrics.wsTokens(col(textCol))).as("token"))
+      .groupBy("label", "token").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= minCount)
+
+  /**
+   * Score: cosine of each document's token-count vector against every
+   * class centroid; returns `(idCol, label, cosine)` — the best class per
+   * document (cosine desc, label asc). Documents sharing no token with
+   * any centroid (or empty after tokenization) produce no row — emit-less,
+   * like the zero-norm rule of the vector kernels; left-join the result
+   * back when an explicit "unclassified" marker is wanted.
+   */
+  def centroidScore(docs: DataFrame, model: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    broadcastModel: Boolean = true): DataFrame = {
+    guard(docs); guard(model)
+    val m0 = model.select(col("label"), col("token"), col("cnt"))
+    val m = if (broadcastModel) broadcast(m0) else m0
+    // per-class squared norm — class-count-sized aggregate, broadcast
+    val cn = m0.groupBy("label")
+      .agg(sum(col("cnt").cast(Dec) * col("cnt")).as("_cx_cn"))
+    val toks = docs
+      .select(col(idCol), explode(TextMetrics.wsTokens(col(textCol))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("_cx_d"))
+    val dn = toks.groupBy(idCol)
+      .agg(sum(col("_cx_d").cast(Dec) * col("_cx_d")).as("_cx_dn"))
+    val dots = toks.join(m, Seq("token"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("_cx_d").cast(Dec) * col("cnt")).as("_cx_dot"))
+    val scored = dots
+      .join(broadcast(cn), Seq("label"))
+      .join(dn, Seq(idCol))
+      .withColumn("cosine", col("_cx_dot").cast("double") /
+        (sqrt(col("_cx_dn").cast("double")) * sqrt(col("_cx_cn").cast("double"))))
+      .select(col(idCol), col("label"), col("cosine"))
+    TopK.topLabelsPerGroup(scored, idCol, "label", "cosine", 1)
+      .drop("rank")
+  }
+
+  /**
+   * Train-and-score in one call — the pipeline convenience: fit centroids
+   * on the labeled slice, predict for every document. The labeled slice
+   * is typically curated and small; the corpus is not — which is why the
+   * model, not the corpus, broadcasts.
+   */
+  def centroidClassify(docs: DataFrame, labeled: DataFrame,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       labelCol: String = "label",
+                       minCount: Long = 1L,
+                       broadcastModel: Boolean = true): DataFrame =
+    centroidScore(docs,
+      centroidTrain(labeled, textCol, labelCol, minCount),
+      idCol, textCol, broadcastModel)
+}

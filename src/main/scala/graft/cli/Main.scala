@@ -223,6 +223,44 @@ object Main {
       println(s"ivfsq8-compact: $rows packed codes rewritten one-file-per-list in $idx")
       spark.stop()
 
+    case "host-stats" :: docs :: out :: rest =>
+      val urlCol = rest.headOption.getOrElse("url")
+      val idCol = rest.drop(1).headOption.getOrElse("doc_id")
+      val signals = rest.drop(2).headOption
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      val spark = session()
+      graft.pipeline.UrlFilter.hostStats(
+          spark.read.parquet(docs), urlCol, idCol, signals)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"host-stats: $n hosts -> $out")
+      spark.stop()
+
+    case "host-cap" :: docs :: out :: k :: rest =>
+      val urlCol = rest.headOption.getOrElse("url")
+      val idCol = rest.drop(1).headOption.getOrElse("doc_id")
+      val spark = session()
+      graft.pipeline.UrlFilter.capPerHost(
+          spark.read.parquet(docs), urlCol, idCol, k.toInt)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"host-cap: $n surviving (host, doc) rows at k=$k -> $out")
+      spark.stop()
+
+    case "classify" :: docs :: labeledPq :: out :: rest =>
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val textCol = rest.drop(1).headOption.getOrElse("text")
+      val labelCol = rest.drop(2).headOption.getOrElse("label")
+      val minCount = rest.drop(3).headOption.map(_.toLong).getOrElse(1L)
+      val spark = session()
+      graft.analysis.Classify.centroidClassify(
+          spark.read.parquet(docs), spark.read.parquet(labeledPq),
+          idCol, textCol, labelCol, minCount)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"classify: $n predictions -> $out")
+      spark.stop()
+
     case "int8-build" :: vecs :: idx :: Nil =>
       val spark = session()
       graft.index.Quantize.int8Build(spark.read.parquet(vecs), idx)
@@ -475,6 +513,9 @@ object Main {
           |  index-append     <docsParquet> <indexPath> [idCol] [textCol]
           |  index-probe      <docsParquet> <indexPath> [idCol] [textCol] [threshold]
           |  index-compact    <indexPath>
+          |  classify         <docsParquet> <labeledParquet> <outParquet> [idCol] [textCol] [labelCol] [minCount]
+          |  host-stats       <docsParquet> <outParquet> [urlCol] [idCol] [signalCol,signalCol,...]
+          |  host-cap         <docsParquet> <outParquet> <k> [urlCol] [idCol]
           |  int8-build       <vecsParquet> <indexPath>
           |  int8-append      <vecsParquet> <indexPath>
           |  int8-probe       <indexPath> <vecsParquet> <outParquet> [threshold]

@@ -112,4 +112,56 @@ object UrlFilter {
                          blocklist: DataFrame, domainCol: String): DataFrame =
     flagBlockedDomains(df, idCol, textCol, blocklist, domainCol)
       .filter(!col("blocked")).drop("blocked")
+
+  /** Lowercased host of ONE url column ([[HostRe]] semantics: scheme
+    * required, optional userinfo skipped, port excluded). Non-URL input
+    * yields null — callers decide whether hostless rows count. */
+  def hostOf(url: Column): Column = {
+    val h = lower(regexp_extract(url, HostRe, 1))
+    when(length(h) > 0, h)
+  }
+
+  /**
+   * Per-host corpus statistics — the host-granularity view web-pipeline
+   * policies key on (CCNet and RefinedWeb aggregate quality and dedup
+   * signals per host/domain before filtering at that level): one groupBy
+   * from `(url, …)` rows to `(host, n_docs, sum_<signal>…)`. Signals must
+   * be integral columns (exact BIGINT sums — means are derivable as
+   * sum/n downstream; a float mean would be summation-order-dependent,
+   * the repo-wide exactness rule). Hostless rows (null [[hostOf]]) are
+   * excluded. The host table is hosts-sized, not corpus-sized — the
+   * natural broadcast side of any keep/drop join a policy builds on it.
+   */
+  def hostStats(df: DataFrame, urlCol: String, idCol: String,
+                signalCols: Seq[String] = Nil): DataFrame = {
+    val base = df
+      .withColumn("host", hostOf(col(urlCol)))
+      .filter(col("host").isNotNull)
+    val aggs = count(lit(1)).as("n_docs") +:
+      signalCols.map(c => sum(col(c).cast("long")).as(s"sum_$c"))
+    base.groupBy("host").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * Deterministic per-host document cap — "at most k pages per host", the
+   * standard guard against a single boilerplate-heavy host dominating a
+   * training mix. Keeps, per host, the k documents with the smallest
+   * Knuth-hash coordinate (the quota-sampling rule: deterministic,
+   * engine-portable, uniform within the host — NOT first-k-by-id, which
+   * would bias toward old crawls), ranked through the bounded TopK
+   * aggregator (≤ k rows per host per task — no window funnel over a hot
+   * host's partition). Returns `(host, idCol, rank)`; join back on
+   * `idCol` for the surviving rows. Hostless rows are excluded.
+   */
+  def capPerHost(df: DataFrame, urlCol: String, idCol: String,
+                 k: Int): DataFrame = {
+    val scored = df
+      .withColumn("host", hostOf(col(urlCol)))
+      .filter(col("host").isNotNull)
+      .select(col("host"), col(idCol),
+        negate(graft.pipeline.Sampling.hashCoord(col(idCol)).cast("double"))
+          .as("_hs_neg"))
+    graft.functions.TopK.topKPerGroup(scored, "host", idCol, "_hs_neg", k)
+      .select(col("host"), col(idCol), col("rank"))
+  }
 }

@@ -1,0 +1,83 @@
+package graft.analysis
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class ClassifySpec extends SparkTestBase {
+  import spark.implicits._
+
+  // two classes whose centroids are hand-computable:
+  //   sport = {ball: 2, goal: 1}  (||c||² = 5)
+  //   food  = {cake: 2, bread: 1} (||c||² = 5)
+  private def labeled = Seq(
+    ("ball goal ball", "sport"),
+    ("cake bread cake", "food")
+  ).toDF("text", "label")
+
+  private def docs = Seq(
+    (1L, "ball ball goal"),   // = sport centroid direction → cosine 1.0
+    (2L, "bread cake"),       // food
+    (3L, "zzz qqq"),          // no overlap → no row
+    (4L, "   "),              // empty after trim → no row
+    (5L, "ball cake")         // exact tie (dot 2 vs 2, both norms 5) → label asc
+  ).toDF("doc_id", "text")
+
+  test("centroidTrain counts per-class tokens and prunes by minCount") {
+    val m = Classify.centroidTrain(labeled).as[(String, String, Long)]
+      .collect().toSet
+    assert(m === Set(("sport", "ball", 2L), ("sport", "goal", 1L),
+      ("food", "cake", 2L), ("food", "bread", 1L)))
+    val pruned = Classify.centroidTrain(labeled, minCount = 2L)
+      .as[(String, String, Long)].collect().toSet
+    assert(pruned === Set(("sport", "ball", 2L), ("food", "cake", 2L)))
+  }
+
+  test("centroidScore predicts the hand-computed argmax with exact cosines") {
+    val out = Classify.centroidClassify(docs, labeled)
+      .as[(Long, String, Double)].collect().sortBy(_._1)
+    assert(out.map(r => r._1 -> r._2).toSeq ===
+      Seq(1L -> "sport", 2L -> "food", 5L -> "food"))
+    // doc 1 is the sport centroid direction: dot = 5, ||d||² = 5, ||c||² = 5
+    val m = out.map(r => r._1 -> r._3).toMap
+    assert(m(1L) === 5.0 / (math.sqrt(5.0) * math.sqrt(5.0)))
+    // the tie on doc 5 is exact (dot 2 with both, norms 2 and 5): the
+    // label-asc tie-break must pick "food"
+    assert(m(5L) === 2.0 / (math.sqrt(2.0) * math.sqrt(5.0)))
+  }
+
+  test("no-overlap and empty documents produce no prediction row") {
+    val ids = Classify.centroidClassify(docs, labeled)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(3L) && !ids.contains(4L))
+  }
+
+  test("shuffled-model dual path equals the broadcast path") {
+    val m = Classify.centroidTrain(labeled)
+    val b = Classify.centroidScore(docs, m).as[(Long, String, Double)]
+      .collect().toSet
+    val s = Classify.centroidScore(docs, m, broadcastModel = false)
+      .as[(Long, String, Double)].collect().toSet
+    assert(b === s)
+  }
+
+  test("null labels train nothing; reserved columns are guarded") {
+    val withNull = labeled.unionByName(
+      Seq(("noise noise", null.asInstanceOf[String])).toDF("text", "label"))
+    val m = Classify.centroidTrain(withNull)
+    assert(m.filter(col("token") === "noise").isEmpty)
+    val e = intercept[IllegalArgumentException] {
+      Classify.centroidScore(docs.withColumn("_cx_d", lit(1)), m)
+    }
+    assert(e.getMessage.contains("_cx_d"))
+  }
+
+  test("scoring plan broadcasts the model, not the corpus") {
+    val plan = Classify.centroidClassify(docs, labeled)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"model lookup must be a broadcast equi-join:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"no nested-loop/cartesian in the classifier plan:\n$plan")
+  }
+}

@@ -114,4 +114,53 @@ class UrlFilterSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast equi-join:\n$plan")
     assert(!plan.contains("NestedLoop"), s"must not nested-loop:\n$plan")
   }
+
+  test("hostOf lowercases, skips userinfo, drops ports, nulls non-URLs") {
+    val cases = Seq(
+      "https://Example.COM/x" -> "example.com",
+      "HTTP://u@Sub.Host.org:8080/p" -> "sub.host.org",
+      "https://a.b.c:443/" -> "a.b.c",
+      "ftp://files.example.com/x" -> null,
+      "not a url" -> null)
+    val got = cases.map(_._1).toDF("u")
+      .select($"u", UrlFilter.hostOf($"u").as("h"))
+      .as[(String, Option[String])].collect().toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) === Option(want), s"hostOf('$in')")
+    }
+  }
+
+  test("hostStats counts docs and sums signals per host, skipping hostless") {
+    val rows = Seq(
+      (1L, "https://A.com/1", 10L),
+      (2L, "https://a.com/2", 20L),
+      (3L, "https://b.com/1", 5L),
+      (4L, "nope", 100L)
+    ).toDF("doc_id", "url", "n_chars")
+    val stats = UrlFilter.hostStats(rows, "url", "doc_id", Seq("n_chars"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(stats === Set(("a.com", 2L, 30L), ("b.com", 1L, 5L)))
+  }
+
+  test("capPerHost keeps the k smallest hash coordinates per host") {
+    val rows = (1L to 30L).map(i =>
+      (i, s"https://h${i % 2}.com/$i")).toDF("doc_id", "url")
+    val capped = UrlFilter.capPerHost(rows, "url", "doc_id", k = 5)
+      .as[(String, Long, Int)].collect()
+    // exactly k per host, ranks 1..k
+    capped.groupBy(_._1).foreach { case (h, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1 to 5), s"ranks for $h")
+    }
+    // equals the window-ranked reference on the same coordinate
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"host")
+      .orderBy(graft.pipeline.Sampling.hashCoord($"doc_id"), $"doc_id")
+    val ref = rows
+      .withColumn("host", UrlFilter.hostOf($"url"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"host", $"doc_id", $"rank")
+      .as[(String, Long, Int)].collect().toSet
+    assert(capped.toSet === ref)
+  }
 }
