@@ -1029,7 +1029,9 @@ object SparkEntry {
       val idxDir = java.nio.file.Files.createTempDirectory("graft_int8_prune_")
       deleteRecursivelyOnExit(idxDir)
       val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
-      graft.index.Quantize.int8Build(e, idxPath)
+      Phases.timed("build") {
+        graft.index.Quantize.int8Build(e, idxPath)
+      }
       val batch = e.filter(col("vec_id") % 20 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"),
           transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
@@ -1919,6 +1921,23 @@ object SparkEntry {
       graft.pipeline.UrlFilter.hostStats(withUrl, "url", "doc_id",
           Seq("n_chars"))
         .orderBy("host")
+    }),
+
+    // host-graph PageRank (the Common-Crawl-style host authority prior):
+    // a deterministic ASYMMETRIC link graph synthesized from documents —
+    // src host = doc_id mod 7, dst range varies per src (modulus 1 + src
+    // mod 4), so out-degrees run 1..4, h0 is everyone's sink, self-loops
+    // occur, and the three fixed-point rounds produce genuinely distinct
+    // ranks. The oracle unrolls the identical integer rounds, so the
+    // damping arithmetic, truncating divisions, dangling handling, and
+    // edge dedup all hash-check bit-for-bit.
+    "q_host_pagerank" -> ((s, dir) => {
+      val edges = tbl(s, dir, "documents").select(
+        concat(lit("h"), (col("doc_id") % 7).cast("string")).as("src"),
+        concat(lit("h"), (expr("doc_id div 7") %
+          (lit(1) + (col("doc_id") % 7) % 4)).cast("string")).as("dst"))
+      graft.operators.PageRank.pageRank(edges, "src", "dst", iters = 3)
+        .orderBy("id")
     }),
 
     // per-host document cap: at most 40 docs per host, kept by the
@@ -2987,6 +3006,43 @@ object SparkEntry {
         |  (hits.doc_id IS NOT NULL) AS blocked
         |FROM base b LEFT JOIN hits ON b.doc_id = hits.doc_id
         |ORDER BY b.doc_id""".stripMargin,
+    // PageRank: three unrolled power-iteration rounds in identical
+    // integer fixed point (BIGINT trillionths, truncating //); dangling
+    // nodes get only the base term via the LEFT JOIN + COALESCE
+    "q_host_pagerank" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'h' || (doc_id % 7) AS src,
+        |    'h' || ((doc_id // 7) % (1 + (doc_id % 7) % 4)) AS dst
+        |  FROM documents),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT id, 1000000000000 // n AS r FROM nodes, nn),
+        |s1 AS (
+        |  SELECT e.dst AS id, sum(r0.r // deg.d) AS s
+        |  FROM e JOIN r0 ON r0.id = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst),
+        |r1 AS (
+        |  SELECT nodes.id,
+        |    (3 * 1000000000000) // (20 * n) + (17 * COALESCE(s1.s, 0)) // 20 AS r
+        |  FROM nodes CROSS JOIN nn LEFT JOIN s1 ON s1.id = nodes.id),
+        |s2 AS (
+        |  SELECT e.dst AS id, sum(r1.r // deg.d) AS s
+        |  FROM e JOIN r1 ON r1.id = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT nodes.id,
+        |    (3 * 1000000000000) // (20 * n) + (17 * COALESCE(s2.s, 0)) // 20 AS r
+        |  FROM nodes CROSS JOIN nn LEFT JOIN s2 ON s2.id = nodes.id),
+        |s3 AS (
+        |  SELECT e.dst AS id, sum(r2.r // deg.d) AS s
+        |  FROM e JOIN r2 ON r2.id = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT nodes.id,
+        |    (3 * 1000000000000) // (20 * n) + (17 * COALESCE(s3.s, 0)) // 20 AS r
+        |  FROM nodes CROSS JOIN nn LEFT JOIN s3 ON s3.id = nodes.id)
+        |SELECT id, CAST(r AS BIGINT) AS rank_fp FROM r3 ORDER BY id""".stripMargin,
     "doc_host_stats" ->
       """WITH u AS (
         |  SELECT doc_id, n_chars,

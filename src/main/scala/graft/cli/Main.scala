@@ -223,6 +223,19 @@ object Main {
       println(s"ivfsq8-compact: $rows packed codes rewritten one-file-per-list in $idx")
       spark.stop()
 
+    case "pagerank" :: edges :: out :: rest =>
+      val srcCol = rest.headOption.getOrElse("src")
+      val dstCol = rest.drop(1).headOption.getOrElse("dst")
+      val iters = rest.drop(2).headOption.map(_.toInt).getOrElse(3)
+      val spark = session()
+      val ranks = graft.operators.PageRank.pageRank(
+        spark.read.parquet(edges), srcCol, dstCol, iters)
+      ranks.write.mode("overwrite").parquet(out)
+      graft.dedup.Dedup.release(ranks)
+      val n = spark.read.parquet(out).count()
+      println(s"pagerank: $n node ranks after $iters rounds -> $out")
+      spark.stop()
+
     case "host-stats" :: docs :: out :: rest =>
       val urlCol = rest.headOption.getOrElse("url")
       val idCol = rest.drop(1).headOption.getOrElse("doc_id")
@@ -514,6 +527,7 @@ object Main {
           |  index-probe      <docsParquet> <indexPath> [idCol] [textCol] [threshold]
           |  index-compact    <indexPath>
           |  classify         <docsParquet> <labeledParquet> <outParquet> [idCol] [textCol] [labelCol] [minCount]
+          |  pagerank         <edgesParquet> <outParquet> [srcCol] [dstCol] [iters]
           |  host-stats       <docsParquet> <outParquet> [urlCol] [idCol] [signalCol,signalCol,...]
           |  host-cap         <docsParquet> <outParquet> <k> [urlCol] [idCol]
           |  int8-build       <vecsParquet> <indexPath>

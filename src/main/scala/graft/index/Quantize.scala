@@ -527,9 +527,15 @@ object Quantize {
                      asOfInstallment: Int = Int.MaxValue): DataFrame = {
     require(!newVecs.columns.exists(_.startsWith("_ip_")),
       "int8ProbePrune reserves internal column names starting with _ip_")
+    // the probe's scoring join feeds THREE consumers (the CC pair list,
+    // the stored-id set, and the anchored-component flags) — materialize
+    // its pair-sized result once instead of re-scoring the stored corpus
+    // per consumer (the minhashIndexProbe newShingled precedent; blocks
+    // are freed by [[graft.dedup.Dedup.release]] on the result)
     val stored = int8NearDupProbe(spark, path, newVecs, threshold,
       corpusId, idCol, vecCol, asOfInstallment)
       .select(col("corpus_id").as("id_a"), col("new_id").as("id_b"))
+      .localCheckpoint()
     // batch-internal pairs at the same threshold: the batch quantizes with
     // the stored scale (same code space as the probe), self-scored with
     // one broadcast side — batch-sized, never corpus-sized

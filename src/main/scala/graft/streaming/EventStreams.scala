@@ -460,6 +460,28 @@ object EventStreams extends Serializable {
     }
 
   /**
+   * Streaming classification — the [[lmScoreStream]] sibling for
+   * [[graft.analysis.Classify]]: each micro-batch scores against the same
+   * trained centroid model (a static table — train once on the curated
+   * slice, classify the firehose), applied semantics-transparently per
+   * batch through foreachBatch, so stream output equals the batch
+   * operator on the same rows. The model broadcasts per batch exactly as
+   * in batch scoring; batches with no model-overlapping tokens emit
+   * nothing (the batch contract).
+   */
+  def classifyStream(spark: SparkSession, docs: DataFrame, model: DataFrame,
+                     idCol: String = "doc_id", textCol: String = "text",
+                     broadcastModel: Boolean = true)
+                    (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.analysis.Classify.centroidScore(batch.toDF(), model,
+          idCol, textCol, broadcastModel), batchId)
+        ()
+    }
+
+  /**
    * Continuous ingest into the span-dedup window index — the
    * [[bm25IngestStream]] sibling for [[graft.pipeline.SpanDedup]]: every
    * micro-batch's window-hash count deltas land as one `installment =

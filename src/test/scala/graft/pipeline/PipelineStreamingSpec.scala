@@ -123,4 +123,29 @@ class PipelineStreamingSpec extends SparkTestBase {
     val m = batchScores.toMap
     assert(m(1L) > m(2L))
   }
+
+  test("classifyStream predicts micro-batches exactly like the batch scorer") {
+    implicit val sqlCtx = spark.sqlContext
+    val model = graft.analysis.Classify.centroidTrain(Seq(
+      ("ball goal ball", "sport"),
+      ("cake bread cake", "food")).toDF("text", "label"))
+
+    val results = scala.collection.mutable.Map.empty[Long, Set[(Long, String)]]
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.classifyStream(spark,
+      input.toDF().toDF("doc_id", "text"), model) { (scored, batchId) =>
+      val rows = scored.collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      results.synchronized { results(batchId) = rows }
+    }.start()
+    input.addData((1L, "ball ball goal"), (2L, "bread cake"), (3L, "zzz"))
+    q.processAllAvailable()
+    input.addData((4L, "goal goal"))
+    q.processAllAvailable(); q.stop()
+
+    // per-batch output equals the batch operator on the same rows — incl.
+    // the emit-less no-overlap doc
+    assert(results(0L) === Set(1L -> "sport", 2L -> "food"))
+    assert(results(1L) === Set(4L -> "sport"))
+  }
 }
