@@ -2021,6 +2021,18 @@ object SparkEntry {
         .orderBy("lang", "rank")
     }),
 
+    // sharded-export assignment: the global-shuffle rank chopped into
+    // 64-row shards (shard = pos div 64, pos_in_shard = pos mod 64) — the
+    // training-reader layout, reproducible bit-for-bit from the same
+    // integer arithmetic the oracle replays
+    "doc_shard_assign" -> ((s, dir) => {
+      graft.pipeline.Export.assignShards(
+          tbl(s, dir, "documents").select("doc_id"), "doc_id",
+          rowsPerShard = 64L)
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"))
+        .orderBy("doc_id")
+    }),
+
     // deterministic global shuffle: rank by (knuth-hash coordinate, id) via
     // the range-partitioned two-phase rank — the training-order permutation,
     // reproducible across engines/retries, no global window funnel
@@ -2145,6 +2157,17 @@ object SparkEntry {
         Multimodal.syntheticMedia(tbl(s, dir, "documents"), "doc_id", "text"),
         stride = 2)
         .groupBy(col("id")).agg(count(lit(1)).as("n_frames"))
+        .orderBy("id")
+    }),
+
+    // audio triage stats over the REAL WAV decode path: energy (Σ dev²),
+    // peak |dev|, and strict-alternation zero crossings, all exact
+    // integers the oracle recomputes from the fixture formula — a parser
+    // or sign-convention regression breaks the hash
+    "media_audio_stats" -> ((s, dir) => {
+      Multimodal.audioStats(
+        Multimodal.syntheticMedia(tbl(s, dir, "documents"), "doc_id", "text"))
+        .toDF()
         .orderBy("id")
     }),
 
@@ -3215,6 +3238,13 @@ object SparkEntry {
         |      ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS rank
         |  FROM documents) t
         |WHERE rank <= 50 ORDER BY lang, rank""".stripMargin,
+    "doc_shard_assign" ->
+      """SELECT doc_id, rn // 64 AS shard, rn % 64 AS pos_in_shard FROM (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id)
+        |      - 1 AS rn
+        |  FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
     "doc_global_shuffle" ->
       """SELECT doc_id,
         |  row_number() OVER (ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id)
@@ -4812,6 +4842,36 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN val < 16 THEN 1 ELSE 0 END) AS DOUBLE) / nb AS h_first,
         |  CAST(sum(CASE WHEN val >= 240 THEN 1 ELSE 0 END) AS DOUBLE) / nb AS h_last
         |FROM d GROUP BY doc_id, mt, nb ORDER BY id""".stripMargin,
+    "media_audio_stats" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS l,
+        |    CAST((16 + doc_id % 16) * (16 + doc_id % 8) * 3 AS BIGINT) AS nb
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |ks AS (SELECT doc_id, text, l, nb,
+        |         unnest(generate_series(0, nb - 1)) AS k FROM m),
+        |d AS (SELECT doc_id, k,
+        |        (CASE WHEN l = 0 THEN k % 256
+        |          ELSE (unicode(substr(text, CAST(k % l AS INT) + 1, 1)) + k) % 256
+        |        END) - 128 AS dev
+        |      FROM ks),
+        |base AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(dev * dev) AS BIGINT) AS sum_sq_dev,
+        |    CAST(max(abs(dev)) AS BIGINT) AS peak_dev
+        |  FROM d GROUP BY doc_id),
+        |nz AS (SELECT doc_id, k, CASE WHEN dev > 0 THEN 1 ELSE -1 END AS sgn
+        |       FROM d WHERE dev <> 0),
+        |lagged AS (SELECT doc_id, sgn,
+        |             lag(sgn) OVER (PARTITION BY doc_id ORDER BY k) AS prev
+        |           FROM nz),
+        |zc AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN prev IS NOT NULL AND sgn <> prev
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |       FROM lagged GROUP BY doc_id)
+        |SELECT b.doc_id AS id, n_samples, sum_sq_dev, peak_dev,
+        |  COALESCE(zc.zero_crossings, 0) AS zero_crossings
+        |FROM base b LEFT JOIN zc ON zc.doc_id = b.doc_id
+        |ORDER BY id""".stripMargin,
     "media_frames" ->
       """SELECT doc_id AS id,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN (8 + doc_id % 8 + 1) // 2

@@ -223,6 +223,16 @@ object Main {
       println(s"ivfsq8-compact: $rows packed codes rewritten one-file-per-list in $idx")
       spark.stop()
 
+    case "export-shards" :: docs :: out :: rps :: rest =>
+      val keyCol = rest.headOption.getOrElse("doc_id")
+      val signals = rest.drop(1).headOption
+        .map(_.split(",").toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+      val spark = session()
+      val n = graft.pipeline.Export.writeShards(
+        spark.read.parquet(docs), keyCol, out, rps.toLong, signals)
+      println(s"export-shards: $n shards of <= $rps rows -> $out")
+      spark.stop()
+
     case "pagerank" :: edges :: out :: rest =>
       val srcCol = rest.headOption.getOrElse("src")
       val dstCol = rest.drop(1).headOption.getOrElse("dst")
@@ -527,6 +537,7 @@ object Main {
           |  index-probe      <docsParquet> <indexPath> [idCol] [textCol] [threshold]
           |  index-compact    <indexPath>
           |  classify         <docsParquet> <labeledParquet> <outParquet> [idCol] [textCol] [labelCol] [minCount]
+          |  export-shards    <docsParquet> <outPath> <rowsPerShard> [keyCol] [signalCol,...]
           |  pagerank         <edgesParquet> <outParquet> [srcCol] [dstCol] [iters]
           |  host-stats       <docsParquet> <outParquet> [urlCol] [idCol] [signalCol,signalCol,...]
           |  host-cap         <docsParquet> <outParquet> <k> [urlCol] [idCol]

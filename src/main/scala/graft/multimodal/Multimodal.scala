@@ -436,4 +436,47 @@ object Multimodal {
       (m.id, out)
     }.toDF("id", "resized")
   }
+
+  final case class AudioStats(id: Long, n_samples: Long, sum_sq_dev: Long,
+                              peak_dev: Long, zero_crossings: Long)
+
+  /**
+   * Audio signal statistics over the REAL decoded PCM stream — the
+   * silence/clipping triage of an audio-corpus pipeline (energy, peak
+   * amplitude, and zero-crossing count are the classic cheap
+   * voice-activity features): one `mapPartitions` pass over the audio
+   * rows; samples are the decoder's unsigned-8-bit projection (center
+   * 128), statistics EXACT integers — Σ dev² in a BIGINT, peak as
+   * max |dev|, zero crossings as strict sign alternations with zeros
+   * transparent (a run …,+,0,+,… does not cross; sign memory persists
+   * through zeros) — so an oracle can recompute them bit-for-bit.
+   * Non-audio rows and corrupt/empty payloads yield no row (emit-less,
+   * the classifier rule).
+   */
+  def audioStats(media: Dataset[MediaRow]): Dataset[AudioStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.filter(_.meta.media_type == "audio").flatMap { m =>
+        val s = decodeAll(m.payload)
+        if (s.isEmpty) Iterator.empty
+        else {
+          var i = 0; var ss = 0L; var peak = 0; var zc = 0L; var prevSign = 0
+          while (i < s.length) {
+            val d = (s(i) & 0xFF) - 128
+            ss += d.toLong * d
+            val a = math.abs(d)
+            if (a > peak) peak = a
+            val sign = Integer.signum(d)
+            if (sign != 0) {
+              if (prevSign != 0 && sign != prevSign) zc += 1
+              prevSign = sign
+            }
+            i += 1
+          }
+          Iterator.single(AudioStats(m.id, s.length.toLong, ss, peak.toLong, zc))
+        }
+      }
+    }
+  }
 }

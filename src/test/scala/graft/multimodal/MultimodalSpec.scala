@@ -174,4 +174,42 @@ class MultimodalSpec extends SparkTestBase {
     val want = px.map(_ & 0xFF).sum.toDouble / px.length
     assert(math.abs(feats(img.id)._2 - want) < 1e-12)
   }
+
+  test("audioStats: hand-computed energy/peak/ZCR; zeros are transparent") {
+    import Multimodal._
+    // u8 samples 130, 128, 126, 128, 131, 125 → devs +2, 0, −2, 0, +3, −3:
+    // Σdev² = 4+0+4+0+9+9 = 26, peak 3, crossings: +→− (zero skipped),
+    // −→+ (zero skipped), +→− = 3
+    val samples = Array[Short](
+      (2 << 8).toShort, 0, (-2 << 8).toShort, 0,
+      (3 << 8).toShort, (-3 << 8).toShort)
+    val wav = encodeWav(16000, samples)
+    val rows = Seq(
+      MediaRow(1L, wav, MediaMeta("audio", 1, 1, 1, 16000)),
+      MediaRow(2L, wav, MediaMeta("image", 1, 1, 1, 0)),      // not audio
+      MediaRow(3L, Array[Byte](1, 2, 3), MediaMeta("audio", 1, 1, 1, 16000)))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val stats = audioStats(ds).collect()
+    // non-audio and corrupt rows are emit-less
+    assert(stats.map(_.id).toSeq === Seq(1L))
+    val s = stats.head
+    assert(s.n_samples === 6L)
+    assert(s.sum_sq_dev === 26L)
+    assert(s.peak_dev === 3L)
+    assert(s.zero_crossings === 3L)
+  }
+
+  test("audioStats round-trips the synthetic fixture's sample count") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(60)
+    val stats = Multimodal.audioStats(
+      Multimodal.syntheticMedia(docs, "doc_id", "text")).collect()
+    assert(stats.nonEmpty)
+    stats.foreach { s =>
+      val w = 16 + (s.id % 16); val h = 16 + (s.id % 8)
+      assert(s.id % 3 === 1L)
+      assert(s.n_samples === w * h * 3)
+      assert(s.peak_dev <= 128L)
+    }
+  }
 }
