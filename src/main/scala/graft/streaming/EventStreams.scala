@@ -482,6 +482,28 @@ object EventStreams extends Serializable {
     }
 
   /**
+   * Streaming decontamination — drop incoming documents sharing n-grams
+   * with a STATIC benchmark table before they ever land in the corpus
+   * (filtering at ingest beats retroactive sweeps: the contaminated row
+   * never exists downstream). Per-batch application of
+   * [[graft.pipeline.Decontaminate.decontaminate]], so stream == batch on
+   * the same rows; the benchmark gram set builds per batch — pre-compute
+   * and cache the benchmark DataFrame when batches are frequent.
+   */
+  def decontaminateStream(spark: SparkSession, docs: DataFrame,
+                          benchmark: DataFrame, n: Int,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          broadcastBenchmark: Boolean = true)
+                         (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        sink(graft.pipeline.Decontaminate.decontaminate(batch.toDF(), idCol,
+          textCol, benchmark, n, broadcastBenchmark), batchId)
+        ()
+    }
+
+  /**
    * Continuous ingest into the span-dedup window index — the
    * [[bm25IngestStream]] sibling for [[graft.pipeline.SpanDedup]]: every
    * micro-batch's window-hash count deltas land as one `installment =
@@ -551,6 +573,49 @@ object EventStreams extends Serializable {
         graft.index.Quantize.int8AppendAt(spark, indexPath, batch.toDF(),
           StreamInstallmentBase + batchId.toInt, idCol, vecCol)
         sink(batchId)
+        ()
+    }
+
+  /**
+   * The COMPLETE incremental-embedding-dedup loop as one stream: each
+   * micro-batch is pruned against the index
+   * ([[graft.index.Quantize.int8ProbePrune]] — drop rows whose duplicate
+   * component is already represented in the corpus, keep-min within
+   * batch-only components) and the SURVIVORS fold in as that batch's
+   * installment. What [[int8IngestStream]] is to raw ingest, this is to
+   * deduplicated ingest — the daily-ingest shape with the corpus touched
+   * only by the map-side probe scan.
+   *
+   * Replay idempotence needs more than the pure-function installment
+   * numbering here: a retried batch must not see ITS OWN previously
+   * landed installment while probing (it would self-match, prune to
+   * empty, and overwrite the partition with nothing — data loss). The
+   * probe therefore reads the index AS OF `StreamInstallmentBase +
+   * batchId − 1` — a pure function of batchId, excluding this batch's
+   * partition and any later one, so a replay probes exactly what the
+   * first attempt probed and the overwrite reproduces the same
+   * survivors. (Between-compactions caveat as everywhere: compaction
+   * folds the history, after which replays of PRE-compaction batches are
+   * meaningless — the standing single-writer contract.)
+   */
+  def int8DedupIngestStream(spark: SparkSession, vecs: DataFrame,
+                            indexPath: String, threshold: Double,
+                            idCol: String = "vec_id",
+                            vecCol: String = "embedding")
+                           (sink: (Long, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val installment = StreamInstallmentBase + batchId.toInt
+        val survivors = graft.index.Quantize.int8ProbePrune(spark, indexPath,
+          batch.toDF(), threshold, idCol, idCol, vecCol,
+          asOfInstallment = installment - 1)
+        graft.index.Quantize.int8AppendAt(spark, indexPath, survivors,
+          installment, idCol, vecCol)
+        graft.dedup.Dedup.release(survivors)
+        val kept = spark.read
+          .parquet(s"$indexPath/codes/installment=$installment").count()
+        sink(batchId, kept)
         ()
     }
 

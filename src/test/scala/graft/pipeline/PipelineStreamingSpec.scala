@@ -148,4 +148,34 @@ class PipelineStreamingSpec extends SparkTestBase {
     assert(results(0L) === Set(1L -> "sport", 2L -> "food"))
     assert(results(1L) === Set(4L -> "sport"))
   }
+
+  test("decontaminateStream drops benchmark-overlapping docs at ingest") {
+    implicit val sqlCtx = spark.sqlContext
+    val benchmark = Seq("the secret benchmark question about owls")
+      .toDF("text")
+
+    val results = scala.collection.mutable.Map.empty[Long, Set[Long]]
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.EventStreams.decontaminateStream(spark,
+      input.toDF().toDF("doc_id", "text"), benchmark, n = 4) {
+      (clean, batchId) =>
+        val ids = clean.select("doc_id").collect().map(_.getLong(0)).toSet
+        results.synchronized { results(batchId) = ids }
+    }.start()
+    input.addData(
+      (1L, "a clean training document with plain words"),
+      (2L, "contains the secret benchmark question about owls verbatim"),
+      (3L, "another unrelated document"))
+    q.processAllAvailable(); q.stop()
+
+    assert(results(0L) === Set(1L, 3L))
+    // equals the batch operator on the same rows
+    val batch = Decontaminate.decontaminate(
+      Seq((1L, "a clean training document with plain words"),
+        (2L, "contains the secret benchmark question about owls verbatim"),
+        (3L, "another unrelated document")).toDF("doc_id", "text"),
+      "doc_id", "text", benchmark, n = 4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(results(0L) === batch)
+  }
 }
