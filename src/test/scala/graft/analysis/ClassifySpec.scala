@@ -71,6 +71,53 @@ class ClassifySpec extends SparkTestBase {
     assert(e.getMessage.contains("_cx_d"))
   }
 
+  test("random corpora match an independent in-memory reference") {
+    // seeded random docs/labels vs a direct Scala Rocchio over the same
+    // integer arithmetic — exercises multi-class argmax, ties, and
+    // no-overlap docs beyond the hand fixture
+    val words = Array("aa", "bb", "cc", "dd", "ee")
+    val rnd = new scala.util.Random(99L)
+    def doc(): String =
+      (1 to (1 + rnd.nextInt(6))).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(" ")
+    val labeledRows = (1 to 12).map(_ => (doc(), s"c${rnd.nextInt(3)}"))
+    val docRows = (1L to 20L).map(i => (i, doc()))
+
+    val centroids: Map[String, Map[String, Long]] = labeledRows
+      .groupBy(_._2).map { case (lab, rows) =>
+        lab -> rows.flatMap(_._1.split(" ")).groupBy(identity)
+          .map { case (t, ts) => t -> ts.size.toLong }
+      }
+    def predict(text: String): Option[(String, Double)] = {
+      val d = text.split(" ").groupBy(identity)
+        .map { case (t, ts) => t -> ts.size.toLong }
+      val dn = d.values.map(v => v * v).sum
+      val scored = centroids.toSeq.flatMap { case (lab, c) =>
+        val dot = d.map { case (t, v) => v * c.getOrElse(t, 0L) }.sum
+        if (dot == 0) None
+        else {
+          val cn = c.values.map(v => v * v).sum
+          Some(lab -> dot.toDouble / (math.sqrt(dn.toDouble) * math.sqrt(cn.toDouble)))
+        }
+      }
+      if (scored.isEmpty) None
+      else Some(scored.minBy { case (lab, cos) => (-cos, lab) })
+    }
+
+    val got = Classify.centroidClassify(
+        docRows.toDF("doc_id", "text"), labeledRows.toDF("text", "label"))
+      .as[(Long, String, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    docRows.foreach { case (id, text) =>
+      val want = predict(text)
+      assert(got.get(id).map(_._1) === want.map(_._1), s"doc $id '$text'")
+      (got.get(id), want) match {
+        case (Some((_, g)), Some((_, w))) => assert(math.abs(g - w) < 1e-12)
+        case _ => ()
+      }
+    }
+  }
+
   test("scoring plan broadcasts the model, not the corpus") {
     val plan = Classify.centroidClassify(docs, labeled)
       .queryExecution.executedPlan.toString

@@ -56,6 +56,40 @@ class PageRankSpec extends SparkTestBase {
     assert(repart === base)
   }
 
+  test("random graphs match an independent in-memory reference") {
+    // seeded pseudo-random graphs vs a direct Scala implementation of the
+    // SAME integer recurrence — exercises dangling nodes, multi-parents,
+    // self-loops, and disconnected pieces the hand fixtures don't cover
+    def reference(edges: Set[(Int, Int)], iters: Int): Map[Int, Long] = {
+      val nodes = edges.flatMap(e => Seq(e._1, e._2))
+      val n = nodes.size
+      val deg = edges.groupBy(_._1).map { case (k, v) => k -> v.size }
+      var r = nodes.map(_ -> PageRank.Scale / n).toMap
+      for (_ <- 0 until iters) {
+        val sums = edges.toSeq
+          .map { case (u, v) => v -> r(u) / deg(u) }
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        r = nodes.map(v => v ->
+          (3L * PageRank.Scale / (20L * n) +
+            17L * sums.getOrElse(v, 0L) / 20L)).toMap
+      }
+      r
+    }
+    val rnd = new scala.util.Random(20260814L)
+    (1 to 6).foreach { trial =>
+      val n = 2 + rnd.nextInt(8)
+      val edges = (1 to (2 + rnd.nextInt(3 * n)))
+        .map(_ => (rnd.nextInt(n), rnd.nextInt(n))).toSet
+      val iters = 1 + rnd.nextInt(3)
+      val got = PageRank.pageRank(
+        edges.toSeq.toDF("src", "dst"), "src", "dst", iters)
+      val gotMap = got.as[(Int, Long)].collect().toMap
+      graft.dedup.Dedup.release(got)
+      assert(gotMap === reference(edges, iters),
+        s"trial $trial: graph $edges at iters=$iters")
+    }
+  }
+
   test("duplicate and null edges are cleaned; parameters are validated") {
     val noisy = triangle
       .unionByName(Seq(("a", "b"), (null, "x"), ("x", null))
