@@ -1940,6 +1940,34 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // the authority signal USED for curation: rank the host graph, then
+    // keep documents whose host clears a rank floor (hostless docs keep —
+    // no evidence against them). Same integer arithmetic end-to-end, so
+    // the composed decision hash-checks bit-for-bit.
+    "doc_pagerank_filter" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 17 === 0, lit("no url here"))
+          .otherwise(concat(lit("https://h"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".example.com/p/"), col("doc_id").cast("string")))
+          .as("url"))
+      val edges = tbl(s, dir, "documents").select(
+        concat(lit("h"), (col("doc_id") % 7).cast("string"),
+          lit(".example.com")).as("src"),
+        concat(lit("h"), (expr("doc_id div 7") %
+          (lit(1) + (col("doc_id") % 7) % 4)).cast("string"),
+          lit(".example.com")).as("dst"))
+      val ranks = graft.operators.PageRank.pageRank(edges, "src", "dst",
+        iters = 3).withColumnRenamed("id", "host")
+      d.withColumn("host", graft.pipeline.UrlFilter.hostOf(col("url")))
+        .join(broadcast(ranks), Seq("host"), "left")
+        .select(col("doc_id"), col("rank_fp"),
+          (col("host").isNull || col("rank_fp") >= lit(50000000000L))
+            .as("kept"))
+        .orderBy("doc_id")
+    }),
+
     // per-host document cap: at most 40 docs per host, kept by the
     // smallest Knuth-hash coordinates (the quota-sample rule — uniform
     // within the host, not first-k-by-id), ranked through the bounded
@@ -3066,6 +3094,57 @@ object SparkEntry {
         |    (3 * 1000000000000) // (20 * n) + (17 * COALESCE(s3.s, 0)) // 20 AS r
         |  FROM nodes CROSS JOIN nn LEFT JOIN s3 ON s3.id = nodes.id)
         |SELECT id, CAST(r AS BIGINT) AS rank_fp FROM r3 ORDER BY id""".stripMargin,
+    // the q_host_pagerank rounds (with full hostnames) + host extraction
+    // + the rank-floor keep decision, all in the same integer arithmetic
+    "doc_pagerank_filter" ->
+      """WITH e AS (
+        |  SELECT DISTINCT 'h' || (doc_id % 7) || '.example.com' AS src,
+        |    'h' || ((doc_id // 7) % (1 + (doc_id % 7) % 4)) || '.example.com' AS dst
+        |  FROM documents),
+        |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+        |r0 AS (SELECT id, 1000000000000 // n AS r FROM nodes, nn),
+        |s1 AS (
+        |  SELECT e.dst AS id, sum(r0.r // deg.d) AS s
+        |  FROM e JOIN r0 ON r0.id = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst),
+        |r1 AS (
+        |  SELECT nodes.id,
+        |    (3 * 1000000000000) // (20 * n) + (17 * COALESCE(s1.s, 0)) // 20 AS r
+        |  FROM nodes CROSS JOIN nn LEFT JOIN s1 ON s1.id = nodes.id),
+        |s2 AS (
+        |  SELECT e.dst AS id, sum(r1.r // deg.d) AS s
+        |  FROM e JOIN r1 ON r1.id = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst),
+        |r2 AS (
+        |  SELECT nodes.id,
+        |    (3 * 1000000000000) // (20 * n) + (17 * COALESCE(s2.s, 0)) // 20 AS r
+        |  FROM nodes CROSS JOIN nn LEFT JOIN s2 ON s2.id = nodes.id),
+        |s3 AS (
+        |  SELECT e.dst AS id, sum(r2.r // deg.d) AS s
+        |  FROM e JOIN r2 ON r2.id = e.src JOIN deg ON deg.src = e.src
+        |  GROUP BY e.dst),
+        |r3 AS (
+        |  SELECT nodes.id, CAST((3 * 1000000000000) // (20 * n)
+        |    + (17 * COALESCE(s3.s, 0)) // 20 AS BIGINT) AS rank_fp
+        |  FROM nodes CROSS JOIN nn LEFT JOIN s3 ON s3.id = nodes.id),
+        |u AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'no url here'
+        |      ELSE 'https://h' || (doc_id % 7) || '.example.com/p/' || doc_id
+        |    END AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id,
+        |    nullif(lower(regexp_extract(url,
+        |      '[Hh][Tt][Tt][Pp][Ss]?://(?:[A-Za-z0-9._%+-]+@)?([A-Za-z0-9.-]*[A-Za-z0-9])',
+        |      1)), '') AS host
+        |  FROM u)
+        |SELECT h.doc_id, r3.rank_fp,
+        |  (h.host IS NULL OR r3.rank_fp >= 50000000000) AS kept
+        |FROM h LEFT JOIN r3 ON r3.id = h.host
+        |ORDER BY h.doc_id""".stripMargin,
     "doc_host_stats" ->
       """WITH u AS (
         |  SELECT doc_id, n_chars,
