@@ -2049,6 +2049,22 @@ object SparkEntry {
         .orderBy("lang", "rank")
     }),
 
+    // token-budget selection: realize a tokens-per-source mix spec —
+    // per language, take docs in hash-coordinate order while the
+    // inclusive running token sum stays within the language's budget
+    // (en/de/fr budgeted below their sf0.01 totals so the cut bites;
+    // es/zh unbudgeted → dropped). One range shuffle + shared-shuffle
+    // cumsum; the per-stratum offset is a strata-sized broadcast — no
+    // per-language window funnel.
+    "doc_token_budget_select" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextMetrics.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      graft.pipeline.Sampling.tokenBudgetSelect(d, "lang", "doc_id", "n_tok",
+          Map("en" -> 5000L, "de" -> 1500L, "fr" -> 2000L))
+        .select(col("doc_id"), col("lang"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
+
     // sharded-export assignment: the global-shuffle rank chopped into
     // 64-row shards (shard = pos div 64, pos_in_shard = pos mod 64) — the
     // training-reader layout, reproducible bit-for-bit from the same
@@ -3317,6 +3333,22 @@ object SparkEntry {
         |      ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) AS rank
         |  FROM documents) t
         |WHERE rank <= 50 ORDER BY lang, rank""".stripMargin,
+    "doc_token_budget_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tok,
+        |    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS coord
+        |  FROM documents),
+        |b(lang, budget) AS (VALUES ('en', 5000), ('de', 1500), ('fr', 2000)),
+        |s AS (
+        |  SELECT t.doc_id, t.lang, t.n_tok, b.budget,
+        |    sum(t.n_tok) OVER (PARTITION BY t.lang ORDER BY t.coord, t.doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t JOIN b USING (lang))
+        |SELECT doc_id, lang, n_tok FROM s WHERE cum <= budget
+        |ORDER BY doc_id""".stripMargin,
     "doc_shard_assign" ->
       """SELECT doc_id, rn // 64 AS shard, rn % 64 AS pos_in_shard FROM (
         |  SELECT doc_id,

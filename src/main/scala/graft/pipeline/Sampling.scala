@@ -313,6 +313,68 @@ object Sampling {
   }
 
   /**
+   * Token-budget selection — the "take documents until N tokens" form of
+   * corpus mixing. Real training mixes are specified in TOKENS per source
+   * ("50 B tokens of web, 5 B of code"), not in document counts
+   * ([[graft.functions.TopK quota sampling]]) or fractions
+   * ([[mixByWeights]]); this is the primitive that realizes such a spec.
+   * Within each stratum, documents are taken in hash-coordinate order
+   * (deterministic uniform priority, tie-broken by key — pre-sort `df`'s
+   * key by quality rank upstream for priority-ordered selection) and a
+   * document is kept iff its stratum-local INCLUSIVE running token sum
+   * stays ≤ the stratum's budget: the selection never overshoots, and a
+   * document that would cross the line is skipped along with everything
+   * after it (document granularity — [[Packing]] handles sub-document
+   * splitting). Strata absent from `budgets` are dropped, mirroring
+   * [[mixByWeights]]'s weight-0 convention. Negative token counts clamp
+   * to 0 before summing, so a corrupt row can never un-select its
+   * successors by dragging the running sum down.
+   *
+   * Scale shape: ONE range shuffle on (stratum, coord, key) feeding the
+   * shared-shuffle global running sum ([[org.apache.spark.sql.graft
+   * .RowBridge.zipWithGlobalCumSum]] — the totals job and the output job
+   * observe the same physical partitioning); the stratum-LOCAL sum is
+   * recovered by subtracting each stratum's first-row offset, a
+   * strata-sized `min` aggregate broadcast back. Never a per-stratum
+   * window: a hot stratum (one language is routinely 80 % of a web
+   * corpus) spreads across the whole cluster instead of funneling
+   * through one task. All arithmetic is exact 64-bit integer, so the
+   * same rows are selected on any engine/retry/partitioning and a SQL
+   * window cumsum replays the selection row-for-row.
+   */
+  def tokenBudgetSelect(df: DataFrame, stratumCol: String, keyCol: String,
+                        tokensCol: String,
+                        budgets: Map[String, Long]): DataFrame = {
+    require(budgets.nonEmpty, "budgets must be non-empty")
+    budgets.foreach { case (s, b) =>
+      require(b >= 0L, s"budget for stratum '$s' must be non-negative, got $b")
+    }
+    val reserved = df.columns.filter(_.startsWith("_tbs_"))
+    require(reserved.isEmpty,
+      s"tokenBudgetSelect reserves _tbs_*, found: ${reserved.mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val budgetDf = budgets.toSeq.sortBy(_._1).toDF(stratumCol, "_tbs_budget")
+    val scored = df
+      .join(broadcast(budgetDf), Seq(stratumCol)) // unbudgeted strata drop
+      .withColumn("_tbs_tok", greatest(col(tokensCol).cast("long"), lit(0L)))
+      .withColumn("_tbs_coord", hashCoord(col(keyCol)))
+    val parted = scored
+      .repartitionByRange(col(stratumCol), col("_tbs_coord"), col(keyCol))
+      .sortWithinPartitions(stratumCol, "_tbs_coord", keyCol)
+    val cum = org.apache.spark.sql.graft.RowBridge
+      .zipWithGlobalCumSum(parted, "_tbs_tok", "_tbs_gcum")
+    // the stratum's first row holds its minimum exclusive global cumsum
+    // (tokens are clamped non-negative, so the sum is nondecreasing in
+    // row order); subtracting it localizes the running sum per stratum
+    val offsets = cum.groupBy(stratumCol).agg(min("_tbs_gcum").as("_tbs_off"))
+    cum.join(broadcast(offsets), Seq(stratumCol))
+      .filter(col("_tbs_gcum") - col("_tbs_off") + col("_tbs_tok") <=
+        col("_tbs_budget"))
+      .drop("_tbs_budget", "_tbs_tok", "_tbs_coord", "_tbs_gcum", "_tbs_off")
+  }
+
+  /**
    * Deterministic global shuffle for training order: rank rows by their
    * hash coordinate (tie-broken by the key itself, so the order is total
    * even where the 32-bit coordinate collides) and assign the 0-based

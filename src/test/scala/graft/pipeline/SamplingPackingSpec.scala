@@ -388,6 +388,93 @@ class SamplingPackingSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"must not window:\n$plan")
   }
 
+  /** Sequential reference for tokenBudgetSelect: per stratum, walk rows in
+    * (coord, key) order accumulating clamped tokens; keep while the
+    * inclusive sum stays within budget. */
+  private def tbsReference(rows: Seq[(Long, String, Long)],
+                           budgets: Map[String, Long]): Seq[Long] = {
+    def coord(k: Long): Long =
+      (BigInt(k).mod(BigInt(2147483648L)) * BigInt(2654435761L))
+        .mod(BigInt(4294967296L)).toLong
+    rows.filter(r => budgets.contains(r._2)).groupBy(_._2).toSeq
+      .flatMap { case (lang, rs) =>
+        var cum = 0L
+        rs.sortBy(r => (coord(r._1), r._1)).flatMap { case (id, _, tok) =>
+          cum += math.max(tok, 0L)
+          if (cum <= budgets(lang)) Some(id) else None
+        }
+      }
+  }
+
+  test("tokenBudgetSelect matches the per-stratum sequential walk") {
+    val rows = (1L to 400L).map { k =>
+      (k, Seq("en", "de", "zz")((k % 3).toInt), (k * 31) % 23)
+    }
+    val budgets = Map("en" -> 300L, "de" -> 100L) // zz unbudgeted -> dropped
+    val got = Sampling.tokenBudgetSelect(
+        rows.toDF("id", "lang", "tok").repartition(7),
+        "lang", "id", "tok", budgets)
+      .select("id").as[Long].collect().sorted
+    assert(got.toSeq === tbsReference(rows, budgets).sorted)
+    assert(got.nonEmpty)
+  }
+
+  test("tokenBudgetSelect never overshoots and clamps negative tokens") {
+    val rows = Seq((1L, "en", 10L), (2L, "en", -100L), (3L, "en", 10L),
+      (4L, "en", 10L), (5L, "de", 7L))
+    val budgets = Map("en" -> 20L, "de" -> 0L)
+    val out = Sampling.tokenBudgetSelect(rows.toDF("id", "lang", "tok"),
+      "lang", "id", "tok", budgets)
+    val sums = out.groupBy("lang")
+      .agg(sum(greatest($"tok", lit(0L))).as("s"))
+      .as[(String, Long)].collect().toMap
+    sums.foreach { case (lang, s) =>
+      assert(s <= budgets(lang), s"stratum $lang overshot: $s")
+    }
+    // the negative-token row rides free (clamped to 0) — it cannot push
+    // the running sum nor un-select successors
+    val ids = out.select("id").as[Long].collect().toSet
+    assert(ids === tbsReference(rows, budgets).toSet)
+    assert(ids.contains(2L) || !ids.contains(2L)) // reference decides
+    assert(!ids.exists(Set(5L)), "zero-budget stratum must select nothing")
+  }
+
+  test("tokenBudgetSelect is partitioning-invariant") {
+    val rows = (1L to 200L).map(k => (k * 4294967296L + k, "en", k % 13))
+    val budgets = Map("en" -> 500L)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.tokenBudgetSelect(df, "lang", "id", "tok", budgets)
+        .select("id").as[Long].collect().sorted.toSeq
+    val a = run(rows.toDF("id", "lang", "tok").repartition(9))
+    val b = run(rows.toDF("id", "lang", "tok").coalesce(1))
+    assert(a === b)
+    assert(a === tbsReference(rows, budgets).sorted)
+  }
+
+  test("tokenBudgetSelect guards reserved names and bad budgets") {
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSelect(
+        Seq((1L, "en", 1L)).toDF("id", "lang", "_tbs_tok"),
+        "lang", "id", "_tbs_tok", Map("en" -> 1L))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSelect(Seq((1L, "en", 1L)).toDF("id", "lang", "tok"),
+        "lang", "id", "tok", Map("en" -> -1L))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSelect(Seq((1L, "en", 1L)).toDF("id", "lang", "tok"),
+        "lang", "id", "tok", Map.empty)
+    }
+  }
+
+  test("tokenBudgetSelect plan has no window funnel") {
+    val plan = Sampling.tokenBudgetSelect(
+        docs.select($"doc_id", $"lang", $"n_chars"),
+        "lang", "doc_id", "n_chars", Map("en" -> 1000L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"must not window:\n$plan")
+  }
+
   test("leakageSafeSplit keeps every dup cluster in one split") {
     val corpus = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // clusters {1,2,3} (via chain), {10,11}; everything else singleton
