@@ -816,6 +816,22 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // cluster-balanced downsampling (the SemDeDup shape): assign every
+    // vector to its most-cosine-similar seed (seeds = vec_id < 8,
+    // broadcast; ties → smaller seed id, the emb_top1_brute argmax
+    // precedent), then keep ≤ 60 per cluster by hash-coordinate rank.
+    // Quota bites on the five big clusters, the 56- and 48-member
+    // clusters survive whole — both paths hash-checked.
+    "emb_cluster_sample" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val seeds = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("seed_id"), col("embedding").as("seed_vec"))
+      SimilarityIndex.clusterBalancedSample(e, seeds, quota = 60)
+        .select(col("seed_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("seed_id", "rank")
+    }),
+
     // LSH top-k, oracled via the reference's own index-quality contract
     // (GraphTests.cs:40-43): corpus-member queries must return themselves
     // at rank 1 (deterministic — identical sign bits collide in every
@@ -5014,6 +5030,25 @@ object SparkEntry {
         |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
         |  WHERE c.vec_id <> q.vec_id) t
         |WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    // cluster-balanced sample: nearest-seed argmax (cosine desc, seed id
+    // asc — the emb_top1_brute ranking precedent) + per-cluster
+    // hash-coordinate quota rank
+    "emb_cluster_sample" ->
+      """WITH a AS (
+        |  SELECT c.vec_id, s.vec_id AS seed_id,
+        |    row_number() OVER (PARTITION BY c.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, s.embedding) DESC,
+        |               s.vec_id) AS arank
+        |  FROM embeddings c
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) s),
+        |r AS (
+        |  SELECT seed_id, vec_id,
+        |    row_number() OVER (PARTITION BY seed_id
+        |      ORDER BY ((vec_id % 2147483648) * 2654435761) % 4294967296,
+        |               vec_id) AS rank
+        |  FROM a WHERE arank = 1)
+        |SELECT seed_id, vec_id, rank FROM r WHERE rank <= 60
+        |ORDER BY seed_id, rank""".stripMargin,
     // The approximate top-k contract (≙ GraphTests.cs:40-43): every
     // corpus-member query returns ITSELF at rank 1 — deterministic for LSH
     // (identical sign bits share every band bucket) and IVF (same nearest

@@ -94,6 +94,55 @@ object SimilarityIndex {
     TopK.topKPerGroup(scored, queryId, corpusId, "cosine", k)
   }
 
+  /**
+   * Nearest-seed cluster assignment by cosine: each corpus vector maps to
+   * the seed it is most similar to (ties → smaller seed id). Seeds are a
+   * handful of rows and BROADCAST; the corpus side never shuffles vectors
+   * — the only exchange ships one (vec_id, seed_id, cosine) triplet per
+   * corpus row through the bounded top-1 partial aggregate (map-side
+   * combine collapses the seeds-per-vector candidates inside each task).
+   * Output: (corpusId, seed_id, cosine).
+   */
+  def clusterAssign(corpus: DataFrame, seeds: DataFrame,
+                    corpusId: String = "vec_id", corpusVec: String = "embedding",
+                    seedId: String = "seed_id", seedVec: String = "seed_vec"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(seeds))
+      .withColumn("cosine", cosine(col(corpusVec), col(seedVec)))
+      .select(col(corpusId), col(seedId), col("cosine"))
+    TopK.topKPerGroup(scored, corpusId, seedId, "cosine", 1)
+      .select(col(corpusId), col(seedId), col("cosine"))
+  }
+
+  /**
+   * Cluster-balanced downsampling — the SemDeDup/cluster-sampling shape
+   * (Abbas et al. 2023; DeepSeekMath's domain-balanced selection): when a
+   * corpus must shrink to a fraction, uniform sampling keeps the head
+   * distribution (near-duplicate-dense regions stay dense); sampling a
+   * bounded QUOTA per embedding-space cluster keeps the tails — every
+   * region of the space retains representation. Vectors are assigned to
+   * their nearest seed ([[clusterAssign]]) and, per cluster, the `quota`
+   * members with the smallest Knuth-hash coordinate survive (the
+   * deterministic, engine-portable quota-sampling rule; clusters smaller
+   * than the quota survive whole). Output: (seed_id, corpusId, rank).
+   *
+   * Scale shape: seeds broadcast, the corpus never shuffles vectors; both
+   * ranking steps ride bounded TopK partial aggregates (≤ 1 resp. ≤ quota
+   * rows per group per task) — no per-cluster window funnel, so one hot
+   * cluster (dense regions are exactly where clusters run hot) spreads
+   * across the cluster.
+   */
+  def clusterBalancedSample(corpus: DataFrame, seeds: DataFrame, quota: Int,
+                            corpusId: String = "vec_id", corpusVec: String = "embedding",
+                            seedId: String = "seed_id", seedVec: String = "seed_vec"): DataFrame = {
+    require(quota >= 1, "quota must be at least 1")
+    val assigned = clusterAssign(corpus, seeds, corpusId, corpusVec, seedId, seedVec)
+      .select(col(seedId), col(corpusId),
+        negate(graft.pipeline.Sampling.hashCoord(col(corpusId)).cast("double"))
+          .as("_cbs_neg"))
+    TopK.topKPerGroup(assigned, seedId, corpusId, "_cbs_neg", quota)
+      .select(col(seedId), col(corpusId), col("rank"))
+  }
+
   // ------------------------------------------------------------------ IVF
 
   /** Shared IVF kernels: centroid fit + nearest-list assignment/probing. */

@@ -80,6 +80,68 @@ class SimilarityIndexSpec extends SparkTestBase {
     assert(math.abs(top(0)._3 - 1.0) < 1e-6)
   }
 
+  test("clusterAssign maps to the nearest seed, ties to the smaller seed id") {
+    val seeds = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("seed_id", "seed_vec")
+    val corpus = Seq(
+      (10L, Array(0.9f, 0.1f, 0.0f)),  // → seed 0
+      (11L, Array(0.1f, 0.8f, 0.0f)),  // → seed 1
+      (12L, Array(1.0f, 1.0f, 0.0f)),  // exact tie → smaller seed id 0
+      (13L, Array(1.0f, 0.0f, 0.0f))   // seed member → itself at cos 1
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityIndex.clusterAssign(corpus, seeds)
+      .select("vec_id", "seed_id", "cosine")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(got(10L)._1 === 0L)
+    assert(got(11L)._1 === 1L)
+    assert(got(12L)._1 === 0L, "exact cosine tie must break to seed 0")
+    assert(got(13L)._1 === 0L)
+    assert(math.abs(got(13L)._2 - 1.0) < 1e-6)
+    assert(got.size === 4, "every corpus vector gets exactly one cluster")
+  }
+
+  test("clusterBalancedSample: quota bites hot clusters, spares small ones") {
+    val seeds = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f))
+    ).toDF("seed_id", "seed_vec")
+    // cluster 0: ids 1..10; cluster 1: ids 21..22 (below the quota)
+    val corpus = ((1L to 10L).map(i => (i, Array(1.0f, i * 0.01f))) ++
+      (21L to 22L).map(i => (i, Array(i * 0.001f, 1.0f))))
+      .toDF("vec_id", "embedding")
+    val got = SimilarityIndex.clusterBalancedSample(corpus, seeds, quota = 3)
+      .select("seed_id", "vec_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val byCluster = got.groupBy(_._1)
+    assert(byCluster(0L).length === 3, "hot cluster truncates to the quota")
+    assert(byCluster(1L).map(_._2).toSet === Set(21L, 22L),
+      "small cluster survives whole")
+    // survivors are exactly the quota smallest hash coordinates, in rank
+    // order — the deterministic engine-portable rule, not arrival order
+    def coord(k: Long): Long =
+      (BigInt(k).mod(BigInt(2147483648L)) * BigInt(2654435761L))
+        .mod(BigInt(4294967296L)).toLong
+    val expect0 = (1L to 10L).sortBy(k => (coord(k), k)).take(3)
+    assert(byCluster(0L).sortBy(_._3).map(_._2).toSeq === expect0)
+    // deterministic under repartitioning
+    val again = SimilarityIndex.clusterBalancedSample(
+      corpus.repartition(7), seeds, quota = 3)
+      .select("seed_id", "vec_id").as[(Long, Long)].collect().toSet
+    assert(again === got.map(t => (t._1, t._2)).toSet)
+  }
+
+  test("cluster sampling plans bounded aggregation, never a window") {
+    val seeds = Seq((0L, Array(1.0f, 0.0f))).toDF("seed_id", "seed_vec")
+    val corpus = Seq((1L, Array(1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val plan = SimilarityIndex.clusterBalancedSample(corpus, seeds, quota = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"must not window:\n$plan")
+    assert(plan.contains("BoundedTopK") || plan.contains("ObjectHashAggregate") ||
+      plan.contains("HashAggregate"), s"expected bounded aggregation:\n$plan")
+  }
+
   test("LSH top-k finds the true nearest neighbor for clustered data") {
     // two tight clusters far apart — bucket boundaries can't split them
     val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {

@@ -114,6 +114,10 @@ class LexiconSpec extends SparkTestBase {
       // the refined flat search generates its candidate pool through the
       // same intentional brute scorer before the equi-join re-rank
       "emb_topk_int8_refined",
+      // cluster assignment broadcast-cross-scores the tiny SEED set
+      // against the corpus by design (nearest-seed argmax; corpus side
+      // never shuffles vectors)
+      "emb_cluster_sample",
       // negativePairs broadcasts a ONE-ROW count aggregate (N) to every row
       "doc_negative_pairs",
       // l1Drift broadcasts a ONE-ROW totals aggregate over the bin table
