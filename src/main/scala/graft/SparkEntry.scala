@@ -2001,6 +2001,29 @@ object SparkEntry {
         .orderBy("host", "rank")
     }),
 
+    // per-host TOKEN cap (the token-granular form of doc_host_cap —
+    // hosts are capped the way mixes are measured, in tokens): uniform
+    // 1200-token budget per host via tokenBudgetCap, hostless rows
+    // excluded like capPerHost. ~3900 tokens/host at sf0.01, so the cap
+    // bites every host. Same url synthesis as doc_host_stats.
+    "doc_host_token_cap" -> ((s, dir) => {
+      val withUrl = tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TextMetrics.tokenCountWs(col("text")).cast("long").as("n_tok"),
+        when(col("doc_id") % 17 === 0, lit("not a url"))
+          .otherwise(concat(lit("https://Host"),
+            (col("doc_id") % 7).cast("string"),
+            lit(".Example.com:443/p/"), col("doc_id").cast("string")))
+          .as("url"))
+      val hosted = withUrl
+        .withColumn("host", graft.pipeline.UrlFilter.hostOf(col("url")))
+        .filter(col("host").isNotNull)
+      graft.pipeline.Sampling.tokenBudgetCap(hosted, "host", "doc_id",
+          "n_tok", budget = 1200L)
+        .select(col("host"), col("doc_id"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
+
     "doc_sample_mix" -> ((s, dir) => {
       graft.pipeline.Sampling.mixByWeights(tbl(s, dir, "documents"),
         "lang", "doc_id", Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25))
@@ -3214,6 +3237,30 @@ object SparkEntry {
         |      AS rank
         |  FROM h WHERE host IS NOT NULL AND length(host) > 0) t
         |WHERE rank <= 40 ORDER BY host, rank""".stripMargin,
+    "doc_host_token_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tok,
+        |    CASE WHEN doc_id % 17 = 0 THEN 'not a url'
+        |      ELSE 'https://Host' || (doc_id % 7) || '.Example.com:443/p/' || doc_id
+        |    END AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, n_tok,
+        |    lower(regexp_extract(url,
+        |      '[Hh][Tt][Tt][Pp][Ss]?://(?:[A-Za-z0-9._%+-]+@)?([A-Za-z0-9.-]*[A-Za-z0-9])',
+        |      1)) AS host
+        |  FROM u),
+        |s AS (
+        |  SELECT host, doc_id, n_tok,
+        |    sum(n_tok) OVER (PARTITION BY host
+        |      ORDER BY ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM h WHERE host IS NOT NULL AND length(host) > 0)
+        |SELECT host, doc_id, n_tok FROM s WHERE cum <= 1200
+        |ORDER BY doc_id""".stripMargin,
     "doc_sample_mix" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <

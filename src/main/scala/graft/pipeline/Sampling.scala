@@ -349,14 +349,60 @@ object Sampling {
     budgets.foreach { case (s, b) =>
       require(b >= 0L, s"budget for stratum '$s' must be non-negative, got $b")
     }
-    val reserved = df.columns.filter(_.startsWith("_tbs_"))
-    require(reserved.isEmpty,
-      s"tokenBudgetSelect reserves _tbs_*, found: ${reserved.mkString(", ")}")
+    requireNoTbs(df)
     val spark = df.sparkSession
     import spark.implicits._
     val budgetDf = budgets.toSeq.sortBy(_._1).toDF(stratumCol, "_tbs_budget")
-    val scored = df
+    val budgeted = df
       .join(broadcast(budgetDf), Seq(stratumCol)) // unbudgeted strata drop
+    stratumLocalCumSum(budgeted, stratumCol, keyCol, tokensCol,
+        broadcastOffsets = true)
+      .filter(col("_tbs_gcum") - col("_tbs_off") + col("_tbs_tok") <=
+        col("_tbs_budget"))
+      .drop("_tbs_budget", "_tbs_tok", "_tbs_coord", "_tbs_gcum", "_tbs_off")
+  }
+
+  /**
+   * Uniform per-stratum token cap — [[tokenBudgetSelect]] with ONE budget
+   * applied to every stratum, for cardinalities where a budget map cannot
+   * exist: "at most N tokens per HOST" over millions of hosts (the
+   * token-granular form of [[UrlFilter.capPerHost]]'s doc-count cap —
+   * the guard against one boilerplate-heavy host dominating a mix
+   * measured the way mixes are actually measured, in tokens). Same
+   * selection rule: per stratum, docs in (hash-coord, key) order keep
+   * while the inclusive running token sum stays ≤ `budget`; no stratum
+   * is dropped. Set `broadcastOffsets=false` when the stratum count is
+   * too large for a broadcast (tens of millions of hosts) — the offset
+   * join falls back to a shuffle on the stratum key.
+   */
+  def tokenBudgetCap(df: DataFrame, stratumCol: String, keyCol: String,
+                     tokensCol: String, budget: Long,
+                     broadcastOffsets: Boolean = true): DataFrame = {
+    require(budget >= 0L, s"budget must be non-negative, got $budget")
+    requireNoTbs(df)
+    stratumLocalCumSum(df, stratumCol, keyCol, tokensCol, broadcastOffsets)
+      .filter(col("_tbs_gcum") - col("_tbs_off") + col("_tbs_tok") <=
+        lit(budget))
+      .drop("_tbs_tok", "_tbs_coord", "_tbs_gcum", "_tbs_off")
+  }
+
+  /** Shared budget-selection core: range-shuffle on (stratum, coord, key),
+    * shared-shuffle global exclusive cumsum of the clamped token column,
+    * stratum-localized by joining each stratum's first-row offset back
+    * (its `min` — clamping keeps the global sum nondecreasing in row
+    * order, so the stratum's first row IS its minimum). Appends the
+    * `_tbs_tok`/`_tbs_coord`/`_tbs_gcum`/`_tbs_off` working columns;
+    * callers filter and drop. */
+  private def requireNoTbs(df: DataFrame): Unit = {
+    val reserved = df.columns.filter(_.startsWith("_tbs_"))
+    require(reserved.isEmpty,
+      s"token-budget selection reserves _tbs_*, found: ${reserved.mkString(", ")}")
+  }
+
+  private def stratumLocalCumSum(df: DataFrame, stratumCol: String,
+                                 keyCol: String, tokensCol: String,
+                                 broadcastOffsets: Boolean): DataFrame = {
+    val scored = df
       .withColumn("_tbs_tok", greatest(col(tokensCol).cast("long"), lit(0L)))
       .withColumn("_tbs_coord", hashCoord(col(keyCol)))
     val parted = scored
@@ -364,14 +410,9 @@ object Sampling {
       .sortWithinPartitions(stratumCol, "_tbs_coord", keyCol)
     val cum = org.apache.spark.sql.graft.RowBridge
       .zipWithGlobalCumSum(parted, "_tbs_tok", "_tbs_gcum")
-    // the stratum's first row holds its minimum exclusive global cumsum
-    // (tokens are clamped non-negative, so the sum is nondecreasing in
-    // row order); subtracting it localizes the running sum per stratum
     val offsets = cum.groupBy(stratumCol).agg(min("_tbs_gcum").as("_tbs_off"))
-    cum.join(broadcast(offsets), Seq(stratumCol))
-      .filter(col("_tbs_gcum") - col("_tbs_off") + col("_tbs_tok") <=
-        col("_tbs_budget"))
-      .drop("_tbs_budget", "_tbs_tok", "_tbs_coord", "_tbs_gcum", "_tbs_off")
+    cum.join(if (broadcastOffsets) broadcast(offsets) else offsets,
+      Seq(stratumCol))
   }
 
   /**

@@ -451,6 +451,37 @@ class SamplingPackingSpec extends SparkTestBase {
     assert(a === tbsReference(rows, budgets).sorted)
   }
 
+  test("tokenBudgetCap equals tokenBudgetSelect with a uniform budget map") {
+    val rows = (1L to 300L).map { k =>
+      (k, Seq("a", "b", "c", "d")((k % 4).toInt), (k * 13) % 19)
+    }
+    val df = rows.toDF("id", "lang", "tok").repartition(5)
+    val capped = Sampling.tokenBudgetCap(df, "lang", "id", "tok", 150L)
+      .select("id").as[Long].collect().sorted.toSeq
+    val selected = Sampling.tokenBudgetSelect(df, "lang", "id", "tok",
+        Map("a" -> 150L, "b" -> 150L, "c" -> 150L, "d" -> 150L))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(capped === selected)
+    assert(capped === tbsReference(rows,
+      Map("a" -> 150L, "b" -> 150L, "c" -> 150L, "d" -> 150L)).sorted)
+    // no stratum dropped: all four survive with at least one row
+    val langs = Sampling.tokenBudgetCap(df, "lang", "id", "tok", 150L)
+      .select("lang").distinct().as[String].collect().toSet
+    assert(langs === Set("a", "b", "c", "d"))
+  }
+
+  test("tokenBudgetCap shuffled-offset fallback selects identical rows") {
+    val rows = (1L to 200L).map(k => (k, s"h${k % 9}", (k * 7) % 29))
+    val df = rows.toDF("id", "host", "tok")
+    val a = Sampling.tokenBudgetCap(df, "host", "id", "tok", 100L,
+      broadcastOffsets = true).select("id").as[Long].collect().sorted.toSeq
+    val b = Sampling.tokenBudgetCap(df, "host", "id", "tok", 100L,
+      broadcastOffsets = false).select("id").as[Long].collect().sorted.toSeq
+    assert(a === b)
+    assert(a === tbsReference(rows.map(r => (r._1, r._2, r._3)),
+      (0 until 9).map(i => s"h$i" -> 100L).toMap).sorted)
+  }
+
   test("tokenBudgetSelect guards reserved names and bad budgets") {
     intercept[IllegalArgumentException] {
       Sampling.tokenBudgetSelect(
