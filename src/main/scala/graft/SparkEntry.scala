@@ -2024,6 +2024,34 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // curriculum training order: long documents (>= 50 ws-tokens) form
+    // stage 0, the rest stage 1; within each stage the order is the
+    // deterministic hash-coordinate shuffle. One two-phase range rank on
+    // (stage, coord, id) — the oracle replays the identical arithmetic
+    // with a window row_number.
+    "doc_curriculum_order" -> ((s, dir) => {
+      val staged = tbl(s, dir, "documents").select(col("doc_id"),
+        when(TextMetrics.tokenCountWs(col("text")) >= 50, 0L).otherwise(1L)
+          .as("stage"))
+      graft.pipeline.Sampling.curriculumOrder(staged, "doc_id", "stage")
+        .select(col("doc_id"), col("stage"), col("pos"))
+        .orderBy("doc_id")
+    }),
+
+    // per-source epoch repetition (the "repeat the good sources" mix):
+    // en 1 epoch, de 2.5 (every de doc twice, a deterministic half a
+    // third time), fr 0.5 (a deterministic half once), zh 0 / es absent
+    // (dropped). Map-side broadcast join + tiny-sequence explode; the
+    // oracle replays reps with the same integer threshold arithmetic.
+    "doc_epoch_repeat" -> ((s, dir) => {
+      graft.pipeline.Sampling.repeatByEpochs(
+          tbl(s, dir, "documents").select("doc_id", "lang"),
+          "lang", "doc_id",
+          Map("en" -> 1.0, "de" -> 2.5, "fr" -> 0.5, "zh" -> 0.0))
+        .select(col("doc_id"), col("lang"), col("epoch"))
+        .orderBy("doc_id", "epoch")
+    }),
+
     "doc_sample_mix" -> ((s, dir) => {
       graft.pipeline.Sampling.mixByWeights(tbl(s, dir, "documents"),
         "lang", "doc_id", Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.25))
@@ -3261,6 +3289,30 @@ object SparkEntry {
         |  FROM h WHERE host IS NOT NULL AND length(host) > 0)
         |SELECT host, doc_id, n_tok FROM s WHERE cum <= 1200
         |ORDER BY doc_id""".stripMargin,
+    "doc_curriculum_order" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END) >= 50
+        |      THEN 0 ELSE 1 END AS stage
+        |  FROM documents)
+        |SELECT doc_id, CAST(stage AS BIGINT) AS stage,
+        |  row_number() OVER (ORDER BY stage,
+        |    ((doc_id % 2147483648) * 2654435761) % 4294967296, doc_id) - 1
+        |    AS pos
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "doc_epoch_repeat" ->
+      """WITH e(lang, nfull, thresh) AS (VALUES
+        |    ('en', 1, 0), ('de', 2, 2147483648),
+        |    ('fr', 0, 2147483648), ('zh', 0, 0)),
+        |d AS (
+        |  SELECT doc_id, documents.lang,
+        |    nfull + CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296
+        |      < thresh THEN 1 ELSE 0 END AS reps
+        |  FROM documents JOIN e ON documents.lang = e.lang)
+        |SELECT doc_id, lang, CAST(unnest(range(reps)) AS BIGINT) AS epoch
+        |FROM d WHERE reps > 0
+        |ORDER BY doc_id, epoch""".stripMargin,
     "doc_sample_mix" ->
       """SELECT doc_id, lang FROM documents
         |WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 <

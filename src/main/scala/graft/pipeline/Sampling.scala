@@ -416,6 +416,78 @@ object Sampling {
   }
 
   /**
+   * Curriculum training order: a deterministic global position where
+   * documents are grouped by a caller-computed STAGE (ordered ascending —
+   * stage 0 trains first) and shuffled uniformly WITHIN each stage by the
+   * hash coordinate (a curriculum orders stages, not documents: inside a
+   * stage the reader must still see a well-mixed stream, or the first
+   * batches of every stage would be biased by storage order). The output
+   * position is the training-reader sort key; compose with
+   * [[graft.pipeline.Export.assignShards]] for the sharded layout.
+   *
+   * Scale shape: one range-partitioned two-phase rank on (stage, coord,
+   * key) — [[graft.store.Ranks]], never a global window. Same exact
+   * arithmetic as [[globalShuffleOrder]] (which this generalizes: one
+   * constant stage IS the global shuffle), so the order replays
+   * bit-for-bit on any engine/retry/partitioning.
+   */
+  def curriculumOrder(df: DataFrame, keyCol: String, stageCol: String,
+                      posName: String = "pos"): DataFrame = {
+    require(!df.columns.contains("_shuffle_coord"),
+      "curriculumOrder reserves the internal column name _shuffle_coord")
+    graft.store.Ranks.withOrderedIndexBy(
+      df.withColumn("_shuffle_coord", hashCoord(col(keyCol))),
+      Seq(stageCol, "_shuffle_coord", keyCol), posName)
+      .drop("_shuffle_coord")
+  }
+
+  /**
+   * Per-stratum epoch repetition — the "repeat the good sources" mix
+   * primitive (LLaMA-style mixtures repeat Wikipedia/books for multiple
+   * epochs while web data runs under one; data-constrained scaling,
+   * Muennighoff et al. 2023, formalizes the repeat-count regime): each
+   * row of stratum `s` is emitted `floor(epochs(s))` times (epoch ids
+   * `0 .. floor-1`) plus ONE more (the final partial epoch) iff its hash
+   * coordinate clears the fractional part — so `epochs = 2.25` repeats
+   * every document twice and a deterministic quarter of them a third
+   * time, and the realized token multiple converges to the spec. Strata
+   * absent from `epochs` are dropped (epoch 0.0 == weight 0 in
+   * [[mixByWeights]]).
+   *
+   * Scale shape: a strata-sized broadcast join + one generator (explode
+   * of a small integer sequence) — pure map-side, no shuffle, no RNG;
+   * the same row emits the same epoch ids on any engine or retry, so
+   * downstream shard layouts are stable under recomputation.
+   */
+  def repeatByEpochs(df: DataFrame, stratumCol: String, keyCol: String,
+                     epochs: Map[String, Double],
+                     epochName: String = "epoch"): DataFrame = {
+    require(epochs.nonEmpty, "epochs must be non-empty")
+    epochs.foreach { case (s, e) =>
+      require(e >= 0.0 && e <= 1000.0,
+        s"epochs for stratum '$s' must be in [0, 1000], got $e")
+    }
+    val reserved = df.columns.filter(_.startsWith("_rbe_"))
+    require(reserved.isEmpty,
+      s"repeatByEpochs reserves _rbe_*, found: ${reserved.mkString(", ")}")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val table = epochs.toSeq.sortBy(_._1).map { case (s, e) =>
+      val full = math.floor(e).toLong
+      // fractional threshold on the 2^32 coordinate line — exact for the
+      // same reason hashSample is; 1000 epochs keeps full*2^32 < 2^63
+      (s, full, ((e - full) * Mod32).toLong)
+    }.toDF(stratumCol, "_rbe_full", "_rbe_thresh")
+    df.join(broadcast(table), Seq(stratumCol))
+      .withColumn("_rbe_n", col("_rbe_full") +
+        when(hashCoord(col(keyCol)) < col("_rbe_thresh"), 1L).otherwise(0L))
+      .filter(col("_rbe_n") > 0)
+      .withColumn(epochName,
+        explode(sequence(lit(0L), col("_rbe_n") - 1)))
+      .drop("_rbe_full", "_rbe_thresh", "_rbe_n")
+  }
+
+  /**
    * Deterministic global shuffle for training order: rank rows by their
    * hash coordinate (tie-broken by the key itself, so the order is total
    * even where the 32-bit coordinate collides) and assign the 0-based

@@ -506,6 +506,76 @@ class SamplingPackingSpec extends SparkTestBase {
     assert(!plan.contains("Window"), s"must not window:\n$plan")
   }
 
+  test("curriculumOrder: stages are contiguous, shuffled within, total") {
+    val rows = (1L to 100L).map(k => (k, if (k % 3 == 0) 0L else 1L))
+    val df = rows.toDF("id", "stage").repartition(6)
+    val got = Sampling.curriculumOrder(df, "id", "stage")
+      .select("id", "stage", "pos").as[(Long, Long, Long)].collect()
+    assert(got.map(_._3).sorted.toSeq === (0L until 100L), "pos is a total 0-based rank")
+    val maxStage0 = got.filter(_._2 == 0L).map(_._3).max
+    val minStage1 = got.filter(_._2 == 1L).map(_._3).min
+    assert(maxStage0 < minStage1, "every stage-0 position precedes stage 1")
+    // within a stage: exactly the (coord, id) order
+    def coord(k: Long): Long =
+      (BigInt(k).mod(BigInt(2147483648L)) * BigInt(2654435761L))
+        .mod(BigInt(4294967296L)).toLong
+    val s0 = got.filter(_._2 == 0L).sortBy(_._3).map(_._1).toSeq
+    assert(s0 === rows.filter(_._2 == 0L).map(_._1).sortBy(k => (coord(k), k)))
+    // one constant stage degenerates to the global shuffle order
+    val one = Sampling.curriculumOrder(
+      rows.toDF("id", "stage").withColumn("stage", lit(0L)), "id", "stage")
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    val glob = Sampling.globalShuffleOrder(rows.toDF("id", "stage"), "id")
+      .select("id", "pos").as[(Long, Long)].collect().toMap
+    assert(one === glob)
+  }
+
+  test("repeatByEpochs: exact repeat counts, fractional epochs by coordinate") {
+    val rows = (1L to 120L).map(k => (k, Seq("en", "de", "fr", "zz")((k % 4).toInt)))
+    val eps = Map("en" -> 1.0, "de" -> 2.5, "fr" -> 0.5) // zz absent
+    val got = Sampling.repeatByEpochs(rows.toDF("id", "lang"), "lang", "id", eps)
+      .select("id", "lang", "epoch").as[(Long, String, Long)].collect()
+    def coord(k: Long): Long =
+      (BigInt(k).mod(BigInt(2147483648L)) * BigInt(2654435761L))
+        .mod(BigInt(4294967296L)).toLong
+    def reps(k: Long, lang: String): Long = eps.get(lang) match {
+      case None => 0L
+      case Some(e) =>
+        val full = math.floor(e).toLong
+        full + (if (coord(k) < ((e - full) * 4294967296.0).toLong) 1L else 0L)
+    }
+    val byId = got.groupBy(_._1)
+    rows.foreach { case (k, lang) =>
+      val n = reps(k, lang)
+      val eids = byId.get(k).map(_.map(_._3).sorted.toSeq).getOrElse(Seq.empty)
+      assert(eids === (0L until n), s"id $k ($lang): epochs $eids, want 0..${n - 1}")
+    }
+    // de doubles exactly; about half get the third epoch
+    val deThird = got.count(r => r._2 == "de" && r._3 == 2L)
+    val deTotal = rows.count(_._2 == "de")
+    assert(deThird > 0 && deThird < deTotal)
+    // deterministic under repartitioning
+    val again = Sampling.repeatByEpochs(rows.toDF("id", "lang").repartition(7),
+      "lang", "id", eps).select("id", "epoch").as[(Long, Long)].collect().toSet
+    assert(again === got.map(r => (r._1, r._3)).toSet)
+  }
+
+  test("repeatByEpochs guards reserved names and bad epoch counts") {
+    intercept[IllegalArgumentException] {
+      Sampling.repeatByEpochs(
+        Seq((1L, "en", 0L)).toDF("id", "lang", "_rbe_full"),
+        "lang", "id", Map("en" -> 1.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.repeatByEpochs(Seq((1L, "en")).toDF("id", "lang"),
+        "lang", "id", Map("en" -> -0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.repeatByEpochs(Seq((1L, "en")).toDF("id", "lang"),
+        "lang", "id", Map.empty)
+    }
+  }
+
   test("leakageSafeSplit keeps every dup cluster in one split") {
     val corpus = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
     // clusters {1,2,3} (via chain), {10,11}; everything else singleton
