@@ -513,6 +513,68 @@ object Main {
       println(s"dedup-cluster: $n clusters -> $out")
       spark.stop()
 
+    case "token-budget-select" :: docs :: out :: budgets :: rest =>
+      val stratumCol = rest.headOption.getOrElse("lang")
+      val keyCol = rest.drop(1).headOption.getOrElse("doc_id")
+      val tokensCol = rest.drop(2).headOption.getOrElse("n_tokens")
+      val map = budgets.split(",").filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v.toLong
+      }.toMap
+      val spark = session()
+      graft.pipeline.Sampling.tokenBudgetSelect(
+          spark.read.parquet(docs), stratumCol, keyCol, tokensCol, map)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"token-budget-select: $n rows within ${map.size} budgets -> $out")
+      spark.stop()
+
+    case "token-budget-cap" :: docs :: out :: budget :: rest =>
+      val stratumCol = rest.headOption.getOrElse("host")
+      val keyCol = rest.drop(1).headOption.getOrElse("doc_id")
+      val tokensCol = rest.drop(2).headOption.getOrElse("n_tokens")
+      val spark = session()
+      graft.pipeline.Sampling.tokenBudgetCap(
+          spark.read.parquet(docs), stratumCol, keyCol, tokensCol,
+          budget.toLong)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"token-budget-cap: $n rows at <= $budget tokens/$stratumCol -> $out")
+      spark.stop()
+
+    case "cluster-sample" :: vecs :: seeds :: out :: quota :: Nil =>
+      val spark = session()
+      graft.index.SimilarityIndex.clusterBalancedSample(
+          spark.read.parquet(vecs), spark.read.parquet(seeds), quota.toInt)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"cluster-sample: $n survivors at quota=$quota -> $out")
+      spark.stop()
+
+    case "curriculum-order" :: docs :: out :: rest =>
+      val keyCol = rest.headOption.getOrElse("doc_id")
+      val stageCol = rest.drop(1).headOption.getOrElse("stage")
+      val spark = session()
+      graft.pipeline.Sampling.curriculumOrder(
+          spark.read.parquet(docs), keyCol, stageCol)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"curriculum-order: $n positioned rows -> $out")
+      spark.stop()
+
+    case "epoch-repeat" :: docs :: out :: epochs :: rest =>
+      val stratumCol = rest.headOption.getOrElse("lang")
+      val keyCol = rest.drop(1).headOption.getOrElse("doc_id")
+      val map = epochs.split(",").filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v.toDouble
+      }.toMap
+      val spark = session()
+      graft.pipeline.Sampling.repeatByEpochs(
+          spark.read.parquet(docs), stratumCol, keyCol, map)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"epoch-repeat: $n (row, epoch) emissions -> $out")
+      spark.stop()
+
     case _ =>
       System.err.println(
         """usage: graft.cli.Main <command> [args]
@@ -561,7 +623,12 @@ object Main {
           |  span-index-build <docsParquet> <indexPath> [idCol] [textCol] [k]
           |  span-index-append <docsParquet> <indexPath> [idCol] [textCol]
           |  span-index-compact <indexPath>
-          |  span-index-probe <docsParquet> <indexPath> <outParquet> [idCol] [textCol]""".stripMargin)
+          |  span-index-probe <docsParquet> <indexPath> <outParquet> [idCol] [textCol]
+          |  token-budget-select <docsParquet> <outParquet> <stratum=budget,...> [stratumCol] [keyCol] [tokensCol]
+          |  token-budget-cap <docsParquet> <outParquet> <budget> [stratumCol] [keyCol] [tokensCol]
+          |  cluster-sample   <vecsParquet> <seedsParquet> <outParquet> <quota>
+          |  curriculum-order <docsParquet> <outParquet> [keyCol] [stageCol]
+          |  epoch-repeat     <docsParquet> <outParquet> <stratum=epochs,...> [stratumCol] [keyCol]""".stripMargin)
       sys.exit(2)
   }
 }
