@@ -1300,6 +1300,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // URL-LEVEL dedup through the canonicalizer — the consumer
+    // normalizeUrl exists for: distinct citations of one page (same path
+    // mod 50, differing tracking params / fragments / case) collapse to
+    // one canonical form; keep the smallest doc_id (first-crawled) per
+    // group. The ?ref= param survives canonicalization, so each path
+    // splits into 3 genuine variants — a regex that over-strips (the r8
+    // anchor bug) would merge them and break the hash.
+    "doc_url_dedup" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id")
+      val url = concat(lit("HTTPS://Example.COM:443/p/"),
+        (col("doc_id") % 50).cast("string"),
+        lit("?utm_campaign=c"), col("doc_id").cast("string"),
+        lit("&ref="), (col("doc_id") % 3).cast("string"),
+        lit("#f"), col("doc_id").cast("string"))
+      d.select(col("doc_id"),
+          graft.pipeline.UrlFilter.normalizeUrl(url).as("canon"))
+        .groupBy("canon")
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy("canon")
+    }),
+
+    // realized-mix audit: the manifest a pipeline ships with its
+    // training set — per language after epoch repetition: emissions,
+    // distinct docs, exact summed tokens. Verifies the realized token
+    // multiple against the spec (de ≈ 2.5× its base tokens, fr ≈ 0.5×).
+    "doc_mix_manifest" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextMetrics.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      graft.pipeline.Sampling.repeatByEpochs(d, "lang", "doc_id",
+          Map("en" -> 1.0, "de" -> 2.5, "fr" -> 0.5))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_emissions"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("n_tok")).as("sum_tokens"))
+        .orderBy("lang")
+    }),
+
     // temperature-balanced mix at α = 0.5 (sqrt — the one correctly-
     // rounded power): rare languages upsample relative to their share,
     // thresholds derived through exact DECIMAL(28,10) sqrt sums so the
@@ -4353,6 +4391,64 @@ object SparkEntry {
         |    THEN canon ELSE url END AS canon
         |FROM n
         |ORDER BY doc_id""".stripMargin,
+    // url dedup: the full canonicalization chain (as in q_url_normalize)
+    // + group-by-canonical with min-id representative
+    "doc_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    concat('HTTPS://Example.COM:443/p/', CAST(doc_id % 50 AS VARCHAR),
+        |      '?utm_campaign=c', CAST(doc_id AS VARCHAR),
+        |      '&ref=', CAST(doc_id % 3 AS VARCHAR),
+        |      '#f', CAST(doc_id AS VARCHAR)) AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+        |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS tail
+        |  FROM u),
+        |p2 AS (
+        |  SELECT doc_id, url, sch,
+        |    lower(regexp_extract(tail, '^([^/?#]*)', 1)) AS host,
+        |    regexp_replace(tail, '^[^/?#]*', '') AS rest
+        |  FROM p),
+        |n AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            regexp_replace(
+        |              regexp_replace(
+        |                regexp_replace(
+        |                  regexp_replace(concat(sch, '://', host, rest),
+        |                    '#.*$', '', 'g'),
+        |                  '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*', '\1', 'g'),
+        |                '&&+', '&', 'g'),
+        |              '\?&', '?', 'g'),
+        |            '[?&]$', '', 'g'),
+        |          '^(http://[^/:?#]+):80([/?]|$)', '\1\2', 'g'),
+        |        '^(https://[^/:?#]+):443([/?]|$)', '\1\2', 'g'),
+        |      '/$', '', 'g') AS canon
+        |  FROM p2)
+        |SELECT canon, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM n GROUP BY canon ORDER BY canon""".stripMargin,
+    // realized-mix manifest: reps replayed with the identical integer
+    // threshold, then exact integer aggregates per language
+    "doc_mix_manifest" ->
+      """WITH e(lang, nfull, thresh) AS (VALUES
+        |    ('en', 1, 0), ('de', 2, 2147483648), ('fr', 0, 2147483648)),
+        |d AS (
+        |  SELECT doc_id, documents.lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tok,
+        |    nfull + CASE WHEN ((doc_id % 2147483648) * 2654435761) % 4294967296
+        |      < thresh THEN 1 ELSE 0 END AS reps
+        |  FROM documents JOIN e ON documents.lang = e.lang)
+        |SELECT lang, CAST(sum(reps) AS BIGINT) AS n_emissions,
+        |  CAST(count(*) FILTER (WHERE reps > 0) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok * reps) AS BIGINT) AS sum_tokens
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     // temperature mix: identical threshold arithmetic — sqrt quantized
     // to DECIMAL(28,10) (exact order-free sum), double ops in the same
     // sequence (t * p / n), floor to BIGINT, Knuth-hash membership
