@@ -2062,6 +2062,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // score-percentile curation (the FineWeb-Edu shape): per language,
+    // keep the best 30% by score — here the LONGEST docs (score =
+    // negated ws-token count; ties by doc_id). Quotas derive from exact
+    // basis-point integer arithmetic; the rank is the shared-shuffle
+    // unit cumsum, never a per-language window.
+    "doc_quality_select" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("doc_id"), col("lang"),
+        TextMetrics.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      graft.pipeline.Sampling.topFractionPerStratum(
+          d.withColumn("neg_tok", negate(col("n_tok"))),
+          "lang", "doc_id", "neg_tok", fracBp = 3000)
+        .select(col("doc_id"), col("lang"), col("n_tok"))
+        .orderBy("doc_id")
+    }),
+
     // curriculum training order: long documents (>= 50 ws-tokens) form
     // stage 0, the rest stage 1; within each stage the order is the
     // deterministic hash-coordinate shuffle. One two-phase range rank on
@@ -3326,6 +3341,21 @@ object SparkEntry {
         |      ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM h WHERE host IS NOT NULL AND length(host) > 0)
         |SELECT host, doc_id, n_tok FROM s WHERE cum <= 1200
+        |ORDER BY doc_id""".stripMargin,
+    "doc_quality_select" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tok
+        |  FROM documents),
+        |c AS (SELECT lang, count(*) AS n FROM t GROUP BY lang),
+        |r AS (
+        |  SELECT t.doc_id, t.lang, t.n_tok, c.n,
+        |    row_number() OVER (PARTITION BY t.lang
+        |      ORDER BY -t.n_tok, t.doc_id) AS rnk
+        |  FROM t JOIN c USING (lang))
+        |SELECT doc_id, lang, n_tok FROM r WHERE rnk <= n * 3000 // 10000
         |ORDER BY doc_id""".stripMargin,
     "doc_curriculum_order" ->
       """WITH t AS (

@@ -561,6 +561,19 @@ object Main {
       println(s"curriculum-order: $n positioned rows -> $out")
       spark.stop()
 
+    case "quality-select" :: docs :: out :: fracBp :: rest =>
+      val stratumCol = rest.headOption.getOrElse("lang")
+      val keyCol = rest.drop(1).headOption.getOrElse("doc_id")
+      val scoreCol = rest.drop(2).headOption.getOrElse("score")
+      val spark = session()
+      graft.pipeline.Sampling.topFractionPerStratum(
+          spark.read.parquet(docs), stratumCol, keyCol, scoreCol,
+          fracBp.toInt)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"quality-select: $n rows (best $fracBp bp per $stratumCol) -> $out")
+      spark.stop()
+
     case "epoch-repeat" :: docs :: out :: epochs :: rest =>
       val stratumCol = rest.headOption.getOrElse("lang")
       val keyCol = rest.drop(1).headOption.getOrElse("doc_id")
@@ -628,7 +641,8 @@ object Main {
           |  token-budget-cap <docsParquet> <outParquet> <budget> [stratumCol] [keyCol] [tokensCol]
           |  cluster-sample   <vecsParquet> <seedsParquet> <outParquet> <quota>
           |  curriculum-order <docsParquet> <outParquet> [keyCol] [stageCol]
-          |  epoch-repeat     <docsParquet> <outParquet> <stratum=epochs,...> [stratumCol] [keyCol]""".stripMargin)
+          |  epoch-repeat     <docsParquet> <outParquet> <stratum=epochs,...> [stratumCol] [keyCol]
+          |  quality-select   <docsParquet> <outParquet> <fracBp> [stratumCol] [keyCol] [scoreCol]""".stripMargin)
       sys.exit(2)
   }
 }

@@ -386,6 +386,47 @@ object Sampling {
       .drop("_tbs_tok", "_tbs_coord", "_tbs_gcum", "_tbs_off")
   }
 
+  /**
+   * Score-percentile selection — "keep the best X % per stratum" (the
+   * FineWeb-Edu / classifier-score curation shape: a quality score ranks
+   * documents and only the top fraction of EACH language survives, so a
+   * high-resource language cannot crowd out the rest the way one global
+   * cutoff would). Per stratum, the `floor(n · fracBp / 10000)` rows with
+   * the SMALLEST `scoreCol` survive (pass a negated score to keep the
+   * largest; ties break by key asc). The fraction rides as integer basis
+   * points so the quota arithmetic is exact on every engine — never a
+   * double multiply that rounds differently across platforms.
+   *
+   * Scale shape: a strata-sized count aggregate derives the quotas
+   * (broadcast back), then the per-stratum rank is the shared-shuffle
+   * cumsum of UNIT weights ordered by (stratum, score, key) — the same
+   * core as [[tokenBudgetSelect]], so no per-stratum window and bounded
+   * task state regardless of how hot a stratum runs. Contrast
+   * [[graft.functions.TopK]]: its aggregation state is O(k) per group,
+   * right for small fixed k but not for "30 % of a billion-row stratum";
+   * here state per task is O(1) beyond the sort.
+   */
+  def topFractionPerStratum(df: DataFrame, stratumCol: String,
+                            keyCol: String, scoreCol: String,
+                            fracBp: Int): DataFrame = {
+    require(fracBp >= 0 && fracBp <= 10000,
+      s"fracBp must be basis points in [0, 10000], got $fracBp")
+    requireNoTbs(df)
+    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("_tbs_n"))
+    val quotas = counts
+      .withColumn("_tbs_budget", expr(s"_tbs_n * $fracBp div 10000"))
+      .drop("_tbs_n")
+    stratumLocalCumSum(
+        df.join(broadcast(quotas), Seq(stratumCol))
+          .withColumn("_tbs_one", lit(1L)),
+        stratumCol, keyCol, "_tbs_one", broadcastOffsets = true,
+        orderBy = Some(col(scoreCol)))
+      .filter(col("_tbs_gcum") - col("_tbs_off") + lit(1L) <=
+        col("_tbs_budget"))
+      .drop("_tbs_budget", "_tbs_tok", "_tbs_coord", "_tbs_gcum", "_tbs_off",
+        "_tbs_one")
+  }
+
   /** Shared budget-selection core: range-shuffle on (stratum, coord, key),
     * shared-shuffle global exclusive cumsum of the clamped token column,
     * stratum-localized by joining each stratum's first-row offset back
@@ -401,10 +442,11 @@ object Sampling {
 
   private def stratumLocalCumSum(df: DataFrame, stratumCol: String,
                                  keyCol: String, tokensCol: String,
-                                 broadcastOffsets: Boolean): DataFrame = {
+                                 broadcastOffsets: Boolean,
+                                 orderBy: Option[Column] = None): DataFrame = {
     val scored = df
       .withColumn("_tbs_tok", greatest(col(tokensCol).cast("long"), lit(0L)))
-      .withColumn("_tbs_coord", hashCoord(col(keyCol)))
+      .withColumn("_tbs_coord", orderBy.getOrElse(hashCoord(col(keyCol))))
     val parted = scored
       .repartitionByRange(col(stratumCol), col("_tbs_coord"), col(keyCol))
       .sortWithinPartitions(stratumCol, "_tbs_coord", keyCol)

@@ -482,6 +482,55 @@ class SamplingPackingSpec extends SparkTestBase {
       (0 until 9).map(i => s"h$i" -> 100L).toMap).sorted)
   }
 
+  test("topFractionPerStratum keeps exactly floor(n*frac) best per stratum") {
+    val rows = (1L to 200L).map { k =>
+      (k, Seq("a", "b", "c")((k % 3).toInt), (k * 37) % 101)
+    }
+    val df = rows.toDF("id", "lang", "score").repartition(6)
+    val got = Sampling.topFractionPerStratum(df, "lang", "id", "score", 2500)
+      .select("id", "lang", "score").as[(Long, String, Long)].collect()
+    val byLang = rows.groupBy(_._2)
+    byLang.foreach { case (lang, rs) =>
+      val quota = rs.length * 2500 / 10000
+      val expect = rs.sortBy(r => (r._3, r._1)).take(quota).map(_._1).toSet
+      val gotIds = got.filter(_._2 == lang).map(_._1).toSet
+      assert(gotIds === expect, s"stratum $lang: got $gotIds")
+    }
+    // negated score flips the selection to the largest values
+    val top = Sampling.topFractionPerStratum(
+        df.withColumn("neg", negate($"score")), "lang", "id", "neg", 2500)
+      .select("id", "lang").as[(Long, String)].collect()
+    byLang.foreach { case (lang, rs) =>
+      val quota = rs.length * 2500 / 10000
+      val expect = rs.sortBy(r => (-r._3, r._1)).take(quota).map(_._1).toSet
+      assert(top.filter(_._2 == lang).map(_._1).toSet === expect)
+    }
+  }
+
+  test("topFractionPerStratum: edge fractions, ties, and guards") {
+    val df = Seq((1L, "a", 5L), (2L, "a", 5L), (3L, "a", 5L), (4L, "b", 1L))
+      .toDF("id", "lang", "score")
+    // all-equal scores: ties break by id — quota 2 of 3 keeps ids 1, 2
+    val tied = Sampling.topFractionPerStratum(df, "lang", "id", "score", 6700)
+      .select("id").as[Long].collect().toSet
+    assert(tied === Set(1L, 2L)) // a: floor(3*0.67)=2 -> ids 1,2; b: floor(0.67)=0
+    // 0 bp keeps nothing; 10000 bp keeps everything
+    assert(Sampling.topFractionPerStratum(df, "lang", "id", "score", 0).count() === 0)
+    assert(Sampling.topFractionPerStratum(df, "lang", "id", "score", 10000)
+      .count() === 4)
+    intercept[IllegalArgumentException] {
+      Sampling.topFractionPerStratum(df, "lang", "id", "score", 10001)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.topFractionPerStratum(
+        df.withColumn("_tbs_n", lit(1L)), "lang", "id", "score", 100)
+    }
+    // plan: no window funnel
+    val plan = Sampling.topFractionPerStratum(df, "lang", "id", "score", 5000)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"must not window:\n$plan")
+  }
+
   test("tokenBudgetSelect guards reserved names and bad budgets") {
     intercept[IllegalArgumentException] {
       Sampling.tokenBudgetSelect(
