@@ -1322,6 +1322,19 @@ object SparkEntry {
         .orderBy("canon")
     }),
 
+    // mix planning: target token shares (en 50% / de 30% / fr 20% of a
+    // 20k-token budget) against the corpus's actual per-language totals
+    // → the epoch factor repeatByEpochs must apply, in exact basis-point
+    // integer arithmetic (de's target exceeds its supply → epoch_bp >
+    // 10000, the data-constrained repeat regime).
+    "doc_mix_plan" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select(col("lang"),
+        TextMetrics.tokenCountWs(col("text")).cast("long").as("n_tok"))
+      graft.pipeline.Sampling.planEpochs(d, "lang", "n_tok",
+          Map("en" -> 5000, "de" -> 3000, "fr" -> 2000), budget = 20000L)
+        .orderBy("lang")
+    }),
+
     // realized-mix audit: the manifest a pipeline ships with its
     // training set — per language after epoch repetition: emissions,
     // distinct docs, exact summed tokens. Verifies the realized token
@@ -4462,6 +4475,23 @@ object SparkEntry {
         |  FROM p2)
         |SELECT canon, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM n GROUP BY canon ORDER BY canon""".stripMargin,
+    // mix plan: identical integer share/epoch arithmetic per language
+    "doc_mix_plan" ->
+      """WITH sh(lang, share) AS (VALUES
+        |    ('en', 5000), ('de', 3000), ('fr', 2000)),
+        |t AS (
+        |  SELECT lang,
+        |    CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |      AS BIGINT) AS sum_tokens
+        |  FROM documents GROUP BY lang)
+        |SELECT t.lang AS lang, t.sum_tokens,
+        |  CAST(20000 * sh.share // 10000 AS BIGINT) AS target_tokens,
+        |  CAST(CASE WHEN t.sum_tokens > 0
+        |    THEN (20000 * sh.share // 10000) * 10000 // t.sum_tokens
+        |    ELSE 0 END AS BIGINT) AS epoch_bp
+        |FROM t JOIN sh ON t.lang = sh.lang
+        |ORDER BY t.lang""".stripMargin,
     // realized-mix manifest: reps replayed with the identical integer
     // threshold, then exact integer aggregates per language
     "doc_mix_manifest" ->

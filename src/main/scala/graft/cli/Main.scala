@@ -561,6 +561,21 @@ object Main {
       println(s"curriculum-order: $n positioned rows -> $out")
       spark.stop()
 
+    case "mix-plan" :: docs :: out :: shares :: budget :: rest =>
+      val stratumCol = rest.headOption.getOrElse("lang")
+      val tokensCol = rest.drop(1).headOption.getOrElse("n_tokens")
+      val map = shares.split(",").filter(_.nonEmpty).map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v.toInt
+      }.toMap
+      val spark = session()
+      graft.pipeline.Sampling.planEpochs(
+          spark.read.parquet(docs), stratumCol, tokensCol, map,
+          budget.toLong)
+        .write.mode("overwrite").parquet(out)
+      spark.read.parquet(out).orderBy(stratumCol).show(100, false)
+      println(s"mix-plan: ${map.size} strata planned against $budget tokens -> $out")
+      spark.stop()
+
     case "quality-select" :: docs :: out :: fracBp :: rest =>
       val stratumCol = rest.headOption.getOrElse("lang")
       val keyCol = rest.drop(1).headOption.getOrElse("doc_id")
@@ -642,7 +657,8 @@ object Main {
           |  cluster-sample   <vecsParquet> <seedsParquet> <outParquet> <quota>
           |  curriculum-order <docsParquet> <outParquet> [keyCol] [stageCol]
           |  epoch-repeat     <docsParquet> <outParquet> <stratum=epochs,...> [stratumCol] [keyCol]
-          |  quality-select   <docsParquet> <outParquet> <fracBp> [stratumCol] [keyCol] [scoreCol]""".stripMargin)
+          |  quality-select   <docsParquet> <outParquet> <fracBp> [stratumCol] [keyCol] [scoreCol]
+          |  mix-plan         <docsParquet> <outParquet> <stratum=shareBp,...> <tokenBudget> [stratumCol] [tokensCol]""".stripMargin)
       sys.exit(2)
   }
 }

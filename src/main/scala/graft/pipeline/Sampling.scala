@@ -530,6 +530,50 @@ object Sampling {
   }
 
   /**
+   * Mix planning — the arithmetic between a mix SPEC and its realization:
+   * given target token SHARES per stratum (basis points of a total token
+   * budget) and the corpus's actual per-stratum token totals, derive the
+   * per-stratum epoch factor (also in basis points, truncating integer
+   * division) that [[repeatByEpochs]] must apply for the realized mix to
+   * hit the spec: `epoch_bp = (budget·share÷10000)·10000 ÷ tokens`. An
+   * epoch factor over 10000 bp means that source REPEATS (data-
+   * constrained regime); under 10000 it downsamples. Everything is exact
+   * 64-bit integer arithmetic, so plan → repeat → [[repeatByEpochs]] →
+   * manifest closes bit-reproducibly on any engine. Output (one row per
+   * budgeted stratum present in the corpus): (stratum, sum_tokens,
+   * target_tokens, epoch_bp).
+   *
+   * Scale shape: ONE map-side-combined aggregation to the strata-sized
+   * totals table, then a broadcast share join — the corpus is scanned
+   * once and never shuffled beyond the tiny agg exchange. Overflow-free
+   * while budget·share < 2^63 (a 100 T-token budget is ~2^47) and
+   * target·10000 < 2^63.
+   */
+  def planEpochs(df: DataFrame, stratumCol: String, tokensCol: String,
+                 sharesBp: Map[String, Int], budget: Long): DataFrame = {
+    require(sharesBp.nonEmpty, "sharesBp must be non-empty")
+    require(budget >= 0L, s"budget must be non-negative, got $budget")
+    sharesBp.foreach { case (s, bp) =>
+      require(bp >= 0 && bp <= 10000,
+        s"share for stratum '$s' must be basis points in [0, 10000], got $bp")
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shares = sharesBp.toSeq.sortBy(_._1).toDF(stratumCol, "_mp_share")
+    df.select(col(stratumCol),
+        greatest(col(tokensCol).cast("long"), lit(0L)).as("_mp_tok"))
+      .groupBy(stratumCol).agg(sum(col("_mp_tok")).as("sum_tokens"))
+      .join(broadcast(shares), Seq(stratumCol))
+      .withColumn("target_tokens",
+        expr(s"${budget}L * _mp_share div 10000"))
+      .withColumn("epoch_bp",
+        when(col("sum_tokens") > 0,
+          expr("target_tokens * 10000 div sum_tokens")).otherwise(lit(0L)))
+      .select(col(stratumCol), col("sum_tokens"), col("target_tokens"),
+        col("epoch_bp"))
+  }
+
+  /**
    * Deterministic global shuffle for training order: rank rows by their
    * hash coordinate (tie-broken by the key itself, so the order is total
    * even where the 32-bit coordinate collides) and assign the 0-based

@@ -609,6 +609,51 @@ class SamplingPackingSpec extends SparkTestBase {
     assert(again === got.map(r => (r._1, r._3)).toSet)
   }
 
+  test("planEpochs: hand-computed repeat and downsample regimes") {
+    // en: 100 tokens, de: 10, fr: 0-token stratum via all-clamped rows
+    val rows = Seq((1L, "en", 60L), (2L, "en", 40L), (3L, "de", 10L),
+      (4L, "fr", -5L), (5L, "zz", 99L)) // zz unbudgeted -> absent
+    val got = Sampling.planEpochs(rows.toDF("id", "lang", "tok"),
+        "lang", "tok", Map("en" -> 5000, "de" -> 4000, "fr" -> 1000),
+        budget = 100L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // en: target 50 of 100 tokens -> 5000 bp (downsample)
+    assert(got("en") === ((100L, 50L, 5000L)))
+    // de: target 40 of 10 tokens -> 40000 bp (4 epochs, repeat regime)
+    assert(got("de") === ((10L, 40L, 40000L)))
+    // fr: clamped to 0 tokens -> epoch 0, no division by zero
+    assert(got("fr") === ((0L, 10L, 0L)))
+    assert(!got.contains("zz"))
+  }
+
+  test("planEpochs feeds repeatByEpochs: the loop closes on the spec") {
+    val rows = (1L to 300L).map(k =>
+      (k, if (k % 3 == 0) "de" else "en", 10L))
+    val df = rows.toDF("id", "lang", "tok")
+    val plan = Sampling.planEpochs(df, "lang", "tok",
+        Map("en" -> 5000, "de" -> 5000), budget = 3000L)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    val realized = Sampling.repeatByEpochs(df, "lang", "id",
+        plan.map { case (l, bp) => l -> bp / 10000.0 })
+      .groupBy("lang").agg(sum("tok").as("s"))
+      .as[(String, Long)].collect().toMap
+    // full epochs are exact; the fractional tail is a hash-selected
+    // subset, so realized lands within one fractional epoch of target
+    Seq("en", "de").foreach { lang =>
+      val supply = rows.filter(_._2 == lang).map(_._3).sum
+      val full = plan(lang) / 10000
+      val target = 1500L
+      assert(realized(lang) >= full * supply,
+        s"$lang realized ${realized(lang)} below the exact full epochs")
+      assert(realized(lang) <= (full + 1) * supply,
+        s"$lang realized ${realized(lang)} above full+1 epochs")
+      assert(math.abs(realized(lang) - target) <= supply / 2,
+        s"$lang realized ${realized(lang)} far from target $target")
+    }
+  }
+
   test("repeatByEpochs guards reserved names and bad epoch counts") {
     intercept[IllegalArgumentException] {
       Sampling.repeatByEpochs(
