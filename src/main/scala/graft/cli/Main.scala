@@ -37,6 +37,29 @@ object Main {
     s
   }
 
+  /** Parse a `k=v,k=v` CLI map argument, failing with a usage message that
+    * NAMES the bad token (a bare `val Array(k, v) = ...` MatchError names
+    * nothing) and rejecting duplicate strata instead of silently
+    * last-winning through toMap. */
+  private def parseKvMap[V](arg: String, what: String,
+                            parse: String => V): Map[String, V] = {
+    val entries = arg.split(",").filter(_.nonEmpty).map { kv =>
+      kv.split("=", 2) match {
+        case Array(k, v) if k.nonEmpty =>
+          k -> (try parse(v) catch {
+            case _: NumberFormatException =>
+              sys.error(s"malformed $what entry '$kv': '$v' is not a number")
+          })
+        case _ =>
+          sys.error(s"malformed $what entry '$kv': expected <stratum>=<$what>")
+      }
+    }
+    val dups = entries.groupBy(_._1).filter(_._2.length > 1).keys
+    if (dups.nonEmpty)
+      sys.error(s"duplicate $what strata: ${dups.toSeq.sorted.mkString(", ")}")
+    entries.toMap
+  }
+
   def main(args: Array[String]): Unit = args.toList match {
     case "lexicon" :: docs :: out :: rest =>
       val textCol = rest.headOption.getOrElse("text")
@@ -517,9 +540,7 @@ object Main {
       val stratumCol = rest.headOption.getOrElse("lang")
       val keyCol = rest.drop(1).headOption.getOrElse("doc_id")
       val tokensCol = rest.drop(2).headOption.getOrElse("n_tokens")
-      val map = budgets.split(",").filter(_.nonEmpty).map { kv =>
-        val Array(k, v) = kv.split("=", 2); k -> v.toLong
-      }.toMap
+      val map = parseKvMap(budgets, "budget", _.toLong)
       val spark = session()
       graft.pipeline.Sampling.tokenBudgetSelect(
           spark.read.parquet(docs), stratumCol, keyCol, tokensCol, map)
@@ -564,9 +585,7 @@ object Main {
     case "mix-plan" :: docs :: out :: shares :: budget :: rest =>
       val stratumCol = rest.headOption.getOrElse("lang")
       val tokensCol = rest.drop(1).headOption.getOrElse("n_tokens")
-      val map = shares.split(",").filter(_.nonEmpty).map { kv =>
-        val Array(k, v) = kv.split("=", 2); k -> v.toInt
-      }.toMap
+      val map = parseKvMap(shares, "share", _.toInt)
       val spark = session()
       graft.pipeline.Sampling.planEpochs(
           spark.read.parquet(docs), stratumCol, tokensCol, map,
@@ -592,9 +611,7 @@ object Main {
     case "epoch-repeat" :: docs :: out :: epochs :: rest =>
       val stratumCol = rest.headOption.getOrElse("lang")
       val keyCol = rest.drop(1).headOption.getOrElse("doc_id")
-      val map = epochs.split(",").filter(_.nonEmpty).map { kv =>
-        val Array(k, v) = kv.split("=", 2); k -> v.toDouble
-      }.toMap
+      val map = parseKvMap(epochs, "epoch", _.toDouble)
       val spark = session()
       graft.pipeline.Sampling.repeatByEpochs(
           spark.read.parquet(docs), stratumCol, keyCol, map)

@@ -138,8 +138,15 @@ object Sampling {
   def temperatureMixSqrt(df: DataFrame, stratumCol: String, keyCol: String,
                          targetRows: Long): DataFrame = {
     require(targetRows >= 0, "targetRows must be non-negative")
+    // strata are stringified (an int language id is as natural a stratum
+    // as a code string); the comparison side casts identically, so the
+    // match is exact for any atomic stratum type. NULL strata take no
+    // share of the target and are dropped — the mixThresholds null
+    // contract, decided here by excluding them from the count table.
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      .collect().flatMap { r =>
+        Option(r.get(0)).map(v => String.valueOf(v) -> r.getLong(1))
+      }.sortBy(_._1)
     val sds = counts.map { case (s, n) =>
       (s, n, BigDecimal(math.sqrt(n.toDouble))
         .setScale(10, BigDecimal.RoundingMode.HALF_UP))
@@ -173,19 +180,26 @@ object Sampling {
     * chain's otherwise(0). */
   private def mixThresholds(df: DataFrame, stratumCol: String, keyCol: String,
                             thresholds: Map[String, Long]): DataFrame = {
+    // match on the STRINGIFIED stratum (cast is a no-op on string columns)
+    // so int/date strata compare against their String.valueOf key exactly;
+    // a null stratum casts to null, matches nothing, and drops on both
+    // paths — the operator-level null contract
+    val stratum = col(stratumCol).cast("string")
     if (thresholds.size <= WhenChainMaxStrata) {
-      val threshold = thresholds.foldLeft(lit(0L)) { case (acc, (stratum, t)) =>
-        when(col(stratumCol) === stratum, lit(t)).otherwise(acc)
+      val threshold = thresholds.foldLeft(lit(0L)) { case (acc, (s, t)) =>
+        when(stratum === s, lit(t)).otherwise(acc)
       }
       df.filter(hashCoord(col(keyCol)) < threshold)
     } else {
-      require(!df.columns.contains("_mix_threshold"),
-        "mixThresholds reserves the internal column name _mix_threshold")
+      Seq("_mix_threshold", "_mix_stratum").foreach { r =>
+        require(!df.columns.contains(r),
+          s"mixThresholds reserves the internal column name $r")
+      }
       val spark = df.sparkSession
       import spark.implicits._
       val lookup = broadcast(
-        thresholds.toSeq.toDF(stratumCol, "_mix_threshold"))
-      df.join(lookup, stratumCol)
+        thresholds.toSeq.toDF("_mix_stratum", "_mix_threshold"))
+      df.join(lookup, stratum === col("_mix_stratum"))
         .filter(hashCoord(col(keyCol)) < col("_mix_threshold"))
         .select(df.columns.map(col).toSeq: _*)
     }
@@ -233,12 +247,18 @@ object Sampling {
     val keyed = df.select(col(keyCol))
     val ranked = graft.store.Ranks.withOrderedIndex(keyed, keyCol, "_np_rank")
     val n1 = broadcast(keyed.agg(count(lit(1)).as("_np_n")))
+    // fail fast at N < 2 instead of letting pmod(x, 0) null out and
+    // silently vanish every row (the modulus N−1 needs N ≥ 2); the guard
+    // rides the same broadcast 1-row aggregate — no extra driver action
+    val modulus = when(col("_np_n") >= 2, col("_np_n") - 1)
+      .otherwise(raise_error(
+        lit("negativePairs requires at least 2 rows (no valid negative exists)")))
     val drawn = ranked.crossJoin(n1)
       .select(col(keyCol), col("_np_rank"), col("_np_n"),
         explode(sequence(lit(1), lit(k))).as("_np_j"))
       .select(col(keyCol), col("_np_j"),
         pmod(col("_np_rank") + lit(1) +
-          pmod(hashCoordSalted(col(keyCol), col("_np_j")), col("_np_n") - 1),
+          pmod(hashCoordSalted(col(keyCol), col("_np_j")), modulus),
           col("_np_n")).as("_np_prank"))
     val partners = ranked.select(col("_np_rank").as("_np_prank"),
       col(keyCol).as("neg_id"))
@@ -395,7 +415,11 @@ object Sampling {
    * the SMALLEST `scoreCol` survive (pass a negated score to keep the
    * largest; ties break by key asc). The fraction rides as integer basis
    * points so the quota arithmetic is exact on every engine — never a
-   * double multiply that rounds differently across platforms.
+   * double multiply that rounds differently across platforms. Rows with
+   * a NULL score are dropped before counting (they take no quota and
+   * cannot survive): engines disagree on null sort order — Spark ranks
+   * nulls first, DuckDB last — so admitting them would silently break
+   * the cross-engine row-for-row contract.
    *
    * Scale shape: a strata-sized count aggregate derives the quotas
    * (broadcast back), then the per-stratum rank is the shared-shuffle
@@ -408,18 +432,29 @@ object Sampling {
    */
   def topFractionPerStratum(df: DataFrame, stratumCol: String,
                             keyCol: String, scoreCol: String,
-                            fracBp: Int): DataFrame = {
+                            fracBp: Int,
+                            broadcastOffsets: Boolean = true): DataFrame = {
     require(fracBp >= 0 && fracBp <= 10000,
       s"fracBp must be basis points in [0, 10000], got $fracBp")
     requireNoTbs(df)
-    val counts = df.groupBy(stratumCol).agg(count(lit(1)).as("_tbs_n"))
+    // null-score rows are EXCLUDED before anything is counted (the
+    // topKPerGroup isNotNull contract): Spark sorts nulls first and
+    // DuckDB's ORDER BY defaults nulls last, so a null score in the rank
+    // would silently diverge cross-engine — and an unscored document has
+    // no claim on a quality-percentile quota anyway
+    val scored = df.filter(col(scoreCol).isNotNull)
+    val counts = scored.groupBy(stratumCol).agg(count(lit(1)).as("_tbs_n"))
     val quotas = counts
       .withColumn("_tbs_budget", expr(s"_tbs_n * $fracBp div 10000"))
       .drop("_tbs_n")
+    // broadcastOffsets = false shifts BOTH strata-sized joins (quota and
+    // cumsum offset) to shuffled form for huge stratum cardinalities —
+    // the tokenBudgetCap parity flag
+    val quotaJoin = if (broadcastOffsets) broadcast(quotas) else quotas
     stratumLocalCumSum(
-        df.join(broadcast(quotas), Seq(stratumCol))
+        scored.join(quotaJoin, Seq(stratumCol))
           .withColumn("_tbs_one", lit(1L)),
-        stratumCol, keyCol, "_tbs_one", broadcastOffsets = true,
+        stratumCol, keyCol, "_tbs_one", broadcastOffsets,
         orderBy = Some(col(scoreCol)))
       .filter(col("_tbs_gcum") - col("_tbs_off") + lit(1L) <=
         col("_tbs_budget"))

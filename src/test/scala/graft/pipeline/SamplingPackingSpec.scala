@@ -268,6 +268,24 @@ class SamplingPackingSpec extends SparkTestBase {
     assert(again.sortBy(_._1).toSeq === mixed.sortBy(_._1).toSeq)
   }
 
+  test("temperatureMixSqrt: non-string strata mix, null strata drop") {
+    // an INT language id is as natural a stratum as a code string — the
+    // count collect must not ClassCastException on it (r9 VERDICT nit)
+    val docs = (1L to 300L).map { k =>
+      (k, if (k % 10 == 0) null else Integer.valueOf((k % 3).toInt))
+    }.toDF("doc_id", "lang_id")
+    val mixed = Sampling.temperatureMixSqrt(docs, "lang_id", "doc_id", 150L)
+    val rows = mixed.select("doc_id", "lang_id")
+      .as[(Long, Option[Int])].collect()
+    assert(rows.nonEmpty)
+    // null strata take no share of the target and are dropped
+    assert(rows.forall(_._2.isDefined), "null-stratum row survived the mix")
+    // determinism across partitionings holds for the int-stratum path too
+    val again = Sampling.temperatureMixSqrt(docs.repartition(5),
+      "lang_id", "doc_id", 150L).select("doc_id").as[Long].collect()
+    assert(again.sorted.toSeq === rows.map(_._1).sorted.toSeq)
+  }
+
   test("negativePairs: k non-self partners per row, deterministic") {
     val ids = (0L until 100L).toDF("id")
     val got = Sampling.negativePairs(ids, "id", k = 3)
@@ -302,6 +320,20 @@ class SamplingPackingSpec extends SparkTestBase {
     intercept[IllegalArgumentException](
       Sampling.negativePairs(ids.withColumn("_np_rank", lit(1)), "id", 2))
     intercept[IllegalArgumentException](Sampling.negativePairs(ids, "id", 0))
+  }
+
+  test("negativePairs fails fast on a 1-row corpus instead of emitting nothing") {
+    // N=1 has no valid negative; pmod(x, 0) would null the partner rank
+    // and rows would silently vanish — the guard must raise instead
+    val one = Seq(7L).toDF("id")
+    val e = intercept[Exception] {
+      Sampling.negativePairs(one, "id", k = 2).collect()
+    }
+    val messages = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(messages.contains("negativePairs requires at least 2 rows"),
+      s"expected the N>=2 guard, got: $messages")
   }
 
   test("negativePairs plan: two-phase rank, no global window") {
@@ -529,6 +561,26 @@ class SamplingPackingSpec extends SparkTestBase {
     val plan = Sampling.topFractionPerStratum(df, "lang", "id", "score", 5000)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"must not window:\n$plan")
+  }
+
+  test("topFractionPerStratum: null scores drop before counting; shuffled-offset parity") {
+    // 4 scored + 2 null-scored in 'a': the quota must derive from the 4
+    // SCORED rows (floor(4*0.5)=2), not 6 — and no null row may survive
+    // (Spark sorts nulls first, DuckDB last; admitting them would be a
+    // silent cross-engine divergence)
+    val df = Seq(
+      (1L, "a", Some(10L)), (2L, "a", Some(20L)), (3L, "a", Some(30L)),
+      (4L, "a", Some(40L)), (5L, "a", None), (6L, "a", None),
+      (7L, "b", Some(1L)), (8L, "b", Some(2L))
+    ).toDF("id", "lang", "score")
+    val got = Sampling.topFractionPerStratum(df, "lang", "id", "score", 5000)
+      .select("id").as[Long].collect().toSet
+    assert(got === Set(1L, 2L, 7L)) // a: best 2 of 4 scored; b: best 1 of 2
+    // broadcastOffsets = false must select the identical rows
+    val shuffled = Sampling.topFractionPerStratum(df, "lang", "id", "score",
+        5000, broadcastOffsets = false)
+      .select("id").as[Long].collect().toSet
+    assert(shuffled === got)
   }
 
   test("tokenBudgetSelect guards reserved names and bad budgets") {
