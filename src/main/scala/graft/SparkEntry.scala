@@ -1063,6 +1063,39 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // IVF-ROUTED ingest pruning (the r9-verdict headline gap): same batch
+    // and policy as emb_probe_prune, but the stored×batch candidate pass
+    // routes through the coarse centroids and scans only probed lists'
+    // packed codes — per-batch cost |probed lists|, not |corpus|. At
+    // nprobe = nlist every list is probed, so the result must equal the
+    // flat scan EXACTLY (the same oracle SQL); below that the recall
+    // contract takes over. The k-means centroids are engine-private, but
+    // at full probe coverage they cannot affect the answer — which is
+    // precisely what makes this oracle-checkable.
+    "emb_ivfsq8_probe_prune" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfsq8_prune_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.index.Quantize.ivfSq8Build(e, idxPath, nlist = 16,
+          fitSampleFraction = 0.5)
+      }
+      val batch = e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        .unionByName(e.filter(col("vec_id") % 30 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+        .unionByName(e.filter(col("vec_id") % 30 === 0)
+          .select((col("vec_id") + 3000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(-2.0f)).as("embedding")))
+      graft.index.Quantize.ivfSq8ProbePrune(s, idxPath, batch,
+          threshold = 0.98, nprobe = 16, broadcastDrop = true)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
     // IVF-SQ8 + REFINE (FAISS IndexRefineFlat composition): quantized
     // candidate generation over probed code lists, then an EXACT float
     // re-rank of the bounded pool against the raw sidecar the build
@@ -2393,6 +2426,85 @@ object SparkEntry {
         .stripMargin
     }.mkString(",\n")
   }
+
+  /** emb_probe_prune's full policy replay (exact int8 pairs over
+    * stored×batch ∪ batch-internal → recursive-CTE components →
+    * anchored-or-non-min drop) — shared VERBATIM by the flat prune and
+    * the nprobe = nlist IVF-routed prune: full probe coverage makes the
+    * routed answer equal the flat scan exactly, centroids and all. */
+  private val probePruneOracleSql: String =
+    """WITH RECURSIVE comp AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS ord
+        |  FROM embeddings),
+        |mx AS (SELECT max(abs(x)) / 127 AS scale FROM comp),
+        |codes AS (
+        |  SELECT vec_id, ord, CAST(floor(x / scale + 0.5) AS BIGINT) AS c
+        |  FROM comp, mx),
+        |batch AS (
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 20 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 2000000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(-x AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 30 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 3000000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x * -2 AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 30 = 0),
+        |bcomp AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS ord
+        |  FROM batch),
+        |bcodes AS (
+        |  SELECT vec_id, ord, CAST(floor(x / scale + 0.5) AS BIGINT) AS c
+        |  FROM bcomp, mx),
+        |norms AS (SELECT vec_id, sum(c*c) AS n2 FROM codes GROUP BY vec_id),
+        |bnorms AS (SELECT vec_id, sum(c*c) AS n2 FROM bcodes GROUP BY vec_id),
+        |sdots AS (
+        |  SELECT d.vec_id AS id_a, b.vec_id AS id_b, sum(d.c * b.c) AS dot
+        |  FROM codes d JOIN bcodes b ON d.ord = b.ord
+        |  GROUP BY d.vec_id, b.vec_id),
+        |sp AS (
+        |  SELECT id_a, id_b FROM sdots
+        |  JOIN norms nc ON nc.vec_id = sdots.id_a
+        |  JOIN bnorms nb ON nb.vec_id = sdots.id_b
+        |  WHERE nc.n2 > 0 AND nb.n2 > 0
+        |    AND CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(nc.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.98),
+        |bdots AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.c * b.c) AS dot
+        |  FROM bcodes a JOIN bcodes b ON a.ord = b.ord AND a.vec_id < b.vec_id
+        |  GROUP BY a.vec_id, b.vec_id),
+        |bp AS (
+        |  SELECT id_a, id_b FROM bdots
+        |  JOIN bnorms na ON na.vec_id = bdots.id_a
+        |  JOIN bnorms nb ON nb.vec_id = bdots.id_b
+        |  WHERE na.n2 > 0 AND nb.n2 > 0
+        |    AND CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.98),
+        |p AS (SELECT id_a, id_b FROM sp UNION SELECT id_a, id_b FROM bp),
+        |e AS (
+        |  SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e) n
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON reach.u = e.v
+        |), lab AS (
+        |  SELECT u AS id, min(r) AS rep FROM reach GROUP BY u
+        |), sids AS (SELECT DISTINCT id_a AS id FROM sp),
+        |anch AS (
+        |  SELECT DISTINCT l.rep FROM lab l JOIN sids s ON l.id = s.id),
+        |drp AS (
+        |  SELECT l.id FROM lab l
+        |  LEFT JOIN sids s ON l.id = s.id
+        |  LEFT JOIN anch a ON l.rep = a.rep
+        |  WHERE s.id IS NULL AND (a.rep IS NOT NULL OR l.id <> l.rep))
+        |SELECT b.vec_id FROM batch b
+        |LEFT JOIN drp d ON b.vec_id = d.id
+        |WHERE d.id IS NULL
+        |ORDER BY b.vec_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -4898,79 +5010,11 @@ object SparkEntry {
     // batch-internal) → recursive-CTE components → a batch row drops when
     // its component is anchored by a stored row or it is a non-minimal
     // batch-only member (the semanticDedup keep-min rule)
-    "emb_probe_prune" ->
-      """WITH RECURSIVE comp AS (
-        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |         generate_subscripts(embedding, 1) AS ord
-        |  FROM embeddings),
-        |mx AS (SELECT max(abs(x)) / 127 AS scale FROM comp),
-        |codes AS (
-        |  SELECT vec_id, ord, CAST(floor(x / scale + 0.5) AS BIGINT) AS c
-        |  FROM comp, mx),
-        |batch AS (
-        |  SELECT vec_id + 1000000 AS vec_id,
-        |    list_transform(embedding, x -> CAST(x * 2 AS FLOAT)) AS embedding
-        |  FROM embeddings WHERE vec_id % 20 = 0
-        |  UNION ALL
-        |  SELECT vec_id + 2000000 AS vec_id,
-        |    list_transform(embedding, x -> CAST(-x AS FLOAT)) AS embedding
-        |  FROM embeddings WHERE vec_id % 30 = 0
-        |  UNION ALL
-        |  SELECT vec_id + 3000000 AS vec_id,
-        |    list_transform(embedding, x -> CAST(x * -2 AS FLOAT)) AS embedding
-        |  FROM embeddings WHERE vec_id % 30 = 0),
-        |bcomp AS (
-        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
-        |         generate_subscripts(embedding, 1) AS ord
-        |  FROM batch),
-        |bcodes AS (
-        |  SELECT vec_id, ord, CAST(floor(x / scale + 0.5) AS BIGINT) AS c
-        |  FROM bcomp, mx),
-        |norms AS (SELECT vec_id, sum(c*c) AS n2 FROM codes GROUP BY vec_id),
-        |bnorms AS (SELECT vec_id, sum(c*c) AS n2 FROM bcodes GROUP BY vec_id),
-        |sdots AS (
-        |  SELECT d.vec_id AS id_a, b.vec_id AS id_b, sum(d.c * b.c) AS dot
-        |  FROM codes d JOIN bcodes b ON d.ord = b.ord
-        |  GROUP BY d.vec_id, b.vec_id),
-        |sp AS (
-        |  SELECT id_a, id_b FROM sdots
-        |  JOIN norms nc ON nc.vec_id = sdots.id_a
-        |  JOIN bnorms nb ON nb.vec_id = sdots.id_b
-        |  WHERE nc.n2 > 0 AND nb.n2 > 0
-        |    AND CAST(dot AS DOUBLE) /
-        |      (sqrt(CAST(nc.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.98),
-        |bdots AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(a.c * b.c) AS dot
-        |  FROM bcodes a JOIN bcodes b ON a.ord = b.ord AND a.vec_id < b.vec_id
-        |  GROUP BY a.vec_id, b.vec_id),
-        |bp AS (
-        |  SELECT id_a, id_b FROM bdots
-        |  JOIN bnorms na ON na.vec_id = bdots.id_a
-        |  JOIN bnorms nb ON nb.vec_id = bdots.id_b
-        |  WHERE na.n2 > 0 AND nb.n2 > 0
-        |    AND CAST(dot AS DOUBLE) /
-        |      (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.98),
-        |p AS (SELECT id_a, id_b FROM sp UNION SELECT id_a, id_b FROM bp),
-        |e AS (
-        |  SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p
-        |), reach AS (
-        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e) n
-        |  UNION
-        |  SELECT e.u, reach.r FROM e JOIN reach ON reach.u = e.v
-        |), lab AS (
-        |  SELECT u AS id, min(r) AS rep FROM reach GROUP BY u
-        |), sids AS (SELECT DISTINCT id_a AS id FROM sp),
-        |anch AS (
-        |  SELECT DISTINCT l.rep FROM lab l JOIN sids s ON l.id = s.id),
-        |drp AS (
-        |  SELECT l.id FROM lab l
-        |  LEFT JOIN sids s ON l.id = s.id
-        |  LEFT JOIN anch a ON l.rep = a.rep
-        |  WHERE s.id IS NULL AND (a.rep IS NOT NULL OR l.id <> l.rep))
-        |SELECT b.vec_id FROM batch b
-        |LEFT JOIN drp d ON b.vec_id = d.id
-        |WHERE d.id IS NULL
-        |ORDER BY b.vec_id""".stripMargin,
+    "emb_probe_prune" -> probePruneOracleSql,
+    // IVF-routed prune at nprobe = nlist: every list is probed, so the
+    // answer must equal the flat scan — the oracle is emb_probe_prune's
+    // SQL verbatim (same scale formula: maxAbs over the whole corpus)
+    "emb_ivfsq8_probe_prune" -> probePruneOracleSql,
     // append path: two installments + compaction must reproduce the
     // one-shot whole-corpus ranking bit-for-bit, so the oracle is
     // doc_bm25_topk's SQL verbatim

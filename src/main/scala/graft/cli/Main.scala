@@ -383,6 +383,30 @@ object Main {
       println(s"int8-prune: $n survivors at >= $threshold -> $out")
       spark.stop()
 
+    case "ivfsq8-probe" :: idx :: vecs :: out :: rest =>
+      val threshold = rest.headOption.map(_.toDouble).getOrElse(0.95)
+      val nprobe = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
+      val spark = session()
+      graft.index.Quantize.ivfSq8NearDupProbe(spark, idx,
+          spark.read.parquet(vecs), threshold, nprobe)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"ivfsq8-probe: $n near-dup pairs at >= $threshold " +
+        s"(nprobe=$nprobe) -> $out")
+      spark.stop()
+
+    case "ivfsq8-prune" :: idx :: vecs :: out :: rest =>
+      val threshold = rest.headOption.map(_.toDouble).getOrElse(0.95)
+      val nprobe = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
+      val spark = session()
+      val survivors = graft.index.Quantize.ivfSq8ProbePrune(spark, idx,
+        spark.read.parquet(vecs), threshold, nprobe)
+      survivors.write.mode("overwrite").parquet(out)
+      graft.dedup.Dedup.release(survivors)
+      val n = spark.read.parquet(out).count()
+      println(s"ivfsq8-prune: $n survivors at >= $threshold (nprobe=$nprobe) -> $out")
+      spark.stop()
+
     case "semantic-dedup" :: vecs :: out :: rest =>
       val idCol = rest.headOption.getOrElse("vec_id")
       val vecCol = rest.drop(1).headOption.getOrElse("embedding")
@@ -652,6 +676,8 @@ object Main {
           |  int8-append      <vecsParquet> <indexPath>
           |  int8-probe       <indexPath> <vecsParquet> <outParquet> [threshold]
           |  int8-prune       <indexPath> <vecsParquet> <outParquet> [threshold]
+          |  ivfsq8-probe     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
+          |  ivfsq8-prune     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
           |  ivf-compact      <indexPath>
           |  ivfsq8-compact   <indexPath>
           |  int8-compact     <indexPath>

@@ -536,22 +536,43 @@ object Quantize {
       corpusId, idCol, vecCol, asOfInstallment)
       .select(col("corpus_id").as("id_a"), col("new_id").as("id_b"))
       .localCheckpoint()
-    // batch-internal pairs at the same threshold: the batch quantizes with
-    // the stored scale (same code space as the probe), self-scored with
-    // one broadcast side — batch-sized, never corpus-sized
     val scale = spark.read.parquet(s"$path/meta").head().getDouble(0)
+    val internal = batchInternalPairs(newVecs, scale, threshold, idCol, vecCol)
+    probePrunePolicy(newVecs, stored, internal, idCol, broadcastDrop)
+  }
+
+  /** Batch-internal near-dup pairs at `threshold`: the batch quantizes
+    * with the STORED scale (same code space as the probe), self-scored
+    * with one broadcast side — batch-sized, never corpus-sized. Shared
+    * by the flat and IVF-routed prunes. */
+  private def batchInternalPairs(newVecs: DataFrame, scale: Double,
+                                 threshold: Double, idCol: String,
+                                 vecCol: String): DataFrame = {
     val q = newVecs
       .select(col(idCol).as("_ip_id"), codesUdf(scale)(col(vecCol)).as("_ip_c"))
       .withColumn("_ip_n", normSqUdf(col("_ip_c")))
       .filter(col("_ip_n") > 0)
     val qb = q.select(col("_ip_id").as("_ip_id2"), col("_ip_c").as("_ip_c2"),
       col("_ip_n").as("_ip_n2"))
-    val internal = q.join(broadcast(qb), col("_ip_id") < col("_ip_id2"))
+    q.join(broadcast(qb), col("_ip_id") < col("_ip_id2"))
       .withColumn("_ip_dot", dotUdf(col("_ip_c"), col("_ip_c2")))
       .filter(col("_ip_dot").cast("double") /
         (sqrt(col("_ip_n").cast("double")) * sqrt(col("_ip_n2").cast("double")))
         >= threshold)
       .select(col("_ip_id").as("id_a"), col("_ip_id2").as("id_b"))
+  }
+
+  /** The shared ingest-prune policy over candidate pair lists (`stored`
+    * carries (id_a = corpus, id_b = batch), `internal` batch-only pairs):
+    * transitive closure over both, then a batch row drops when its
+    * component is anchored by any stored row — the corpus already holds a
+    * representative — or it is a non-minimal member of a batch-only
+    * component (keep-min, the semanticDedup rule). Pairs are batch-
+    * bounded, so the star-contraction CC runs on probe-sized data; the
+    * drop list anti-joins back ids-only. */
+  private def probePrunePolicy(newVecs: DataFrame, stored: DataFrame,
+                               internal: DataFrame, idCol: String,
+                               broadcastDrop: Boolean): DataFrame = {
     val pairs = stored.unionByName(internal)
     val labels = graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
     val storedIds = stored.select(col("id_a").as("id")).distinct()
@@ -565,6 +586,95 @@ object Quantize {
       .select(col("id").as(idCol))
     newVecs.join(if (broadcastDrop) broadcast(drop) else drop,
       Seq(idCol), "left_anti")
+  }
+
+  /**
+   * IVF-ROUTED incremental near-dup probe — [[int8NearDupProbe]]'s scale
+   * path, and the engine's answer to its one remaining scale-linear scan:
+   * instead of scoring the batch against EVERY stored code, each batch
+   * vector routes through the stored coarse centroids and scores only the
+   * codes in its `nprobe` nearest lists (the [[ivfSq8Search]]
+   * partition-pruned read — the reference's seekable-search principle,
+   * ≙ SeekableGraphReader.cs:57–104: read the search path, not the
+   * index). Per-batch cost is |probed lists|, not |corpus|.
+   *
+   * Recall contract: a near-duplicate pair is found iff the stored twin
+   * lives in one of the batch vector's probed lists. True near-dups
+   * (cosine ≈ 1) land in the same or adjacent lists, so recall at small
+   * `nprobe` is high but NOT guaranteed — at `nprobe = nlist` every list
+   * is probed and the result equals [[int8NearDupProbe]] exactly (the
+   * configuration the oracle pins). Scores keep the integer-kernel
+   * bit-exactness either way; only candidate coverage is approximate.
+   *
+   * Scale shape: the quantized batch BROADCASTS into an equi-join on
+   * `list_id`; the stored side is a partition-pruned scan of the probed
+   * lists only and never shuffles (the probe-path invariant). Each stored
+   * row lives in exactly one list and probe lists are distinct per batch
+   * vector, so no pair can be emitted twice.
+   */
+  def ivfSq8NearDupProbe(spark: SparkSession, path: String, newVecs: DataFrame,
+                         threshold: Double, nprobe: Int = 8,
+                         corpusId: String = "vec_id",
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val centers = SimilarityIndex.readCentroids(spark, path)
+    val scale = spark.read.parquet(s"$path/meta").head().getDouble(0)
+    val qProbed = newVecs.select(col(idCol).as("new_id"), col(vecCol))
+      .withColumn("list_id",
+        explode(SimilarityIndex.probeUdf(centers, nprobe)(col(vecCol))))
+    val probedLists = qProbed.select("list_id").distinct().as[Int].collect()
+      .map(_.asInstanceOf[Any])
+    val q = qProbed
+      .select(col("new_id"), col("list_id"),
+        codesUdf(scale)(col(vecCol)).as("_qc"))
+      .withColumn("_qn", normSqUdf(col("_qc")))
+      .filter(col("_qn") > 0)
+    val c = spark.read.parquet(s"$path/codes")
+      .filter(col("list_id").isin(probedLists: _*))
+      .select(col(corpusId).as("corpus_id"), col("list_id"),
+        unpackCodesUdf(col("codes")).as("_cc"))
+      .withColumn("_cn", normSqUdf(col("_cc")))
+      .filter(col("_cn") > 0)
+    c.join(broadcast(q), Seq("list_id"))
+      .filter(col("corpus_id") =!= col("new_id"))
+      .withColumn("_dot", dotUdf(col("_cc"), col("_qc")))
+      .withColumn("cosine_q", col("_dot").cast("double") /
+        (sqrt(col("_cn").cast("double")) * sqrt(col("_qn").cast("double"))))
+      .filter(col("cosine_q") >= threshold)
+      .select(col("corpus_id"), col("new_id"), col("cosine_q"))
+  }
+
+  /**
+   * IVF-routed ingest-time pruning — [[int8ProbePrune]] with the
+   * [[ivfSq8NearDupProbe]] candidate pass: the batch routes through the
+   * stored centroids, stored×batch pairs come from the probed lists only,
+   * batch-internal pairs stay exact (the batch self-join is batch-sized
+   * regardless), and the drop decision is the shared policy — anchored
+   * components drop, batch-only components keep their min id. This is the
+   * daily-ingest dedup loop priced at |probed lists| per batch instead of
+   * |corpus|: survivors are what [[ivfSq8Append]] should fold in.
+   *
+   * Recall follows the probe contract above: at `nprobe = nlist` the
+   * result equals the flat [[int8ProbePrune]] over the same corpus and
+   * scale exactly; below that, a stored twin outside the probed lists is
+   * missed and its batch copy survives (tune `nprobe` to the dedup
+   * recall the pipeline needs).
+   */
+  def ivfSq8ProbePrune(spark: SparkSession, path: String, newVecs: DataFrame,
+                       threshold: Double, nprobe: Int = 8,
+                       corpusId: String = "vec_id",
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       broadcastDrop: Boolean = false): DataFrame = {
+    require(!newVecs.columns.exists(_.startsWith("_ip_")),
+      "ivfSq8ProbePrune reserves internal column names starting with _ip_")
+    val stored = ivfSq8NearDupProbe(spark, path, newVecs, threshold, nprobe,
+      corpusId, idCol, vecCol)
+      .select(col("corpus_id").as("id_a"), col("new_id").as("id_b"))
+      .localCheckpoint()
+    val scale = spark.read.parquet(s"$path/meta").head().getDouble(0)
+    val internal = batchInternalPairs(newVecs, scale, threshold, idCol, vecCol)
+    probePrunePolicy(newVecs, stored, internal, idCol, broadcastDrop)
   }
 
   /**

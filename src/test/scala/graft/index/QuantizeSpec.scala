@@ -494,6 +494,68 @@ class QuantizeSpec extends SparkTestBase {
     assert(e.getMessage.contains("_ip_"))
   }
 
+  test("ivfSq8NearDupProbe at nprobe=nlist equals the flat probe exactly") {
+    val base = java.nio.file.Files.createTempDirectory("ivfsq8-probe")
+    val flat = base.resolve("flat").toString
+    val ivf = base.resolve("ivf").toString
+    Quantize.int8Build(probeCorpus, flat)
+    Quantize.ivfSq8Build(probeCorpus, ivf, nlist = 2, fitSampleFraction = 1.0)
+    val flatPairs = Quantize.int8NearDupProbe(spark, flat, probeBatch, 0.9)
+      .select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+    val ivfPairs = Quantize.ivfSq8NearDupProbe(spark, ivf, probeBatch, 0.9,
+        nprobe = 2)
+      .select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+    assert(ivfPairs === flatPairs)
+    assert(ivfPairs === Set((1L, 101L), (2L, 104L)))
+    // an exact twin routes to its stored copy's own list, so even the
+    // narrowest probe finds it (identical vectors share an assignment)
+    val one = Quantize.ivfSq8NearDupProbe(spark, ivf, probeBatch, 0.9,
+        nprobe = 1)
+      .select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+    assert(one.contains((1L, 101L)))
+  }
+
+  test("ivfSq8ProbePrune at nprobe=nlist equals the flat prune; schema passthrough") {
+    val base = java.nio.file.Files.createTempDirectory("ivfsq8-prune")
+    val flat = base.resolve("flat").toString
+    val ivf = base.resolve("ivf").toString
+    Quantize.int8Build(probeCorpus, flat)
+    Quantize.ivfSq8Build(probeCorpus, ivf, nlist = 2, fitSampleFraction = 1.0)
+    val flatSurv = Quantize.int8ProbePrune(spark, flat, probeBatch, 0.9)
+      .select("vec_id").as[Long].collect().toSet
+    val ivfSurv = Quantize.ivfSq8ProbePrune(spark, ivf, probeBatch, 0.9,
+        nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ivfSurv === flatSurv)
+    assert(ivfSurv === Set(102L, 103L))
+    // dual drop path + schema passthrough
+    val viaBroadcast = Quantize.ivfSq8ProbePrune(spark, ivf, probeBatch, 0.9,
+      nprobe = 2, broadcastDrop = true)
+    assert(viaBroadcast.columns.toSeq === probeBatch.columns.toSeq)
+    assert(viaBroadcast.select("vec_id").as[Long].collect().toSet === ivfSurv)
+    // reserved-prefix guard
+    val e = intercept[IllegalArgumentException] {
+      Quantize.ivfSq8ProbePrune(spark, ivf,
+        probeBatch.withColumn("_ip_x", lit(1)), 0.9)
+    }
+    assert(e.getMessage.contains("_ip_"))
+  }
+
+  test("ivf probe plan prunes to probed lists and never shuffles the stored scan") {
+    val ivf = java.nio.file.Files.createTempDirectory("ivfsq8-probe-plan")
+      .resolve("ivf").toString
+    Quantize.ivfSq8Build(probeCorpus, ivf, nlist = 2, fitSampleFraction = 1.0)
+    val plan = Quantize.ivfSq8NearDupProbe(spark, ivf, probeBatch, 0.9,
+        nprobe = 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"expected list_id partition pruning in the probe plan:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"batch side must broadcast into the list equi-join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"the stored code scan must stream map-side, never shuffle:\n$plan")
+  }
+
   test("probe plan broadcasts the batch and never shuffles the stored scan") {
     val path = java.nio.file.Files.createTempDirectory("int8-probe-plan")
       .resolve("idx").toString
