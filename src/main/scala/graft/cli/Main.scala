@@ -383,6 +383,39 @@ object Main {
       println(s"int8-prune: $n survivors at >= $threshold -> $out")
       spark.stop()
 
+    case "index-delete" :: kind :: idx :: idsParquet :: rest =>
+      // takedown lifecycle: tombstone ids out of a persisted index
+      // (minhash | bm25 | int8 | ivfsq8); reads drop them immediately,
+      // the matching vacuum/compact folds them physically
+      val idCol = rest.headOption.getOrElse(
+        if (kind == "int8" || kind == "ivfsq8") "vec_id" else "doc_id")
+      val spark = session()
+      val ids = spark.read.parquet(idsParquet)
+      val n = ids.count()
+      kind match {
+        case "minhash" => graft.dedup.Dedup.minhashIndexDelete(spark, idx, ids, idCol)
+        case "bm25"    => graft.index.Bm25.bm25IndexDelete(spark, idx, ids, idCol)
+        case "int8"    => graft.index.Quantize.int8Delete(spark, idx, ids, idCol)
+        case "ivfsq8"  => graft.index.Quantize.ivfSq8Delete(spark, idx, ids, idCol)
+        case other => sys.error(s"unknown index kind '$other' " +
+          "(expected minhash | bm25 | int8 | ivfsq8)")
+      }
+      println(s"index-delete: $n ids tombstoned out of $kind index $idx")
+      spark.stop()
+
+    case "index-vacuum" :: kind :: idx :: Nil =>
+      val spark = session()
+      val rows = kind match {
+        case "minhash" => graft.dedup.Dedup.minhashIndexVacuum(spark, idx)
+        case "bm25"    => graft.index.Bm25.bm25IndexVacuum(spark, idx)
+        case "int8"    => graft.index.Quantize.int8Compact(spark, idx)
+        case "ivfsq8"  => graft.index.Quantize.ivfSq8Compact(spark, idx)
+        case other => sys.error(s"unknown index kind '$other' " +
+          "(expected minhash | bm25 | int8 | ivfsq8)")
+      }
+      println(s"index-vacuum: $kind index folded to $rows surviving rows in $idx")
+      spark.stop()
+
     case "ivfsq8-probe" :: idx :: vecs :: out :: rest =>
       val threshold = rest.headOption.map(_.toDouble).getOrElse(0.95)
       val nprobe = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
@@ -678,6 +711,8 @@ object Main {
           |  int8-prune       <indexPath> <vecsParquet> <outParquet> [threshold]
           |  ivfsq8-probe     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
           |  ivfsq8-prune     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
+          |  index-delete     <minhash|bm25|int8|ivfsq8> <indexPath> <idsParquet> [idCol]
+          |  index-vacuum     <minhash|bm25|int8|ivfsq8> <indexPath>
           |  ivf-compact      <indexPath>
           |  ivfsq8-compact   <indexPath>
           |  int8-compact     <indexPath>

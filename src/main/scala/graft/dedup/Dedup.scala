@@ -246,9 +246,25 @@ object Dedup {
    * verify with bit_count(a^b) — one shuffle, no cross join.
    */
   def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
-                            maxHamming: Int = 3): DataFrame = {
+                            maxHamming: Int = 3): DataFrame =
+    hammingNearDuplicates64(
+      df.select(col(idCol).as("id"), simhashCol(col(textCol)).as("sh")),
+      "id", "sh", maxHamming)
+
+  /**
+   * Hamming near-duplicate pairs over ANY 64-bit hash column — the
+   * banded candidate core shared by text SimHash and image
+   * perceptual-hash dedup ([[graft.multimodal.Multimodal
+   * .perceptualHashes]]): pairs within hamming ≤ 3 share at least one
+   * exact 16-bit chunk (pigeonhole over 4 chunks), so bucket-join on
+   * chunks and verify with bit_count(a^b) — one shuffle, no cross join,
+   * exact at the threshold (not probabilistic recall like minhash LSH).
+   */
+  def hammingNearDuplicates64(hashes: DataFrame, idCol: String,
+                              hashCol: String,
+                              maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "chunk trick is exact only for hamming <= 3 with 4 chunks")
-    val base = df.select(col(idCol).as("id"), simhashCol(col(textCol)).as("sh"))
+    val base = hashes.select(col(idCol).as("id"), col(hashCol).as("sh"))
     val chunks = array((0 until 4).map(i =>
       shiftrightunsigned(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL))): _*)
     val chunked = base.select(col("id"), col("sh"),
@@ -519,8 +535,78 @@ object Dedup {
     val meta = spark.read.parquet(s"$path/meta").head()
     val (shingleK, numHashes, bands) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-    val next = graft.store.Installments.next(spark, s"$path/sets")
+    // numbering keys off sizes/ — the ONE table every installment event
+    // writes (appends write sets+bands+sizes; deletes write only their
+    // negative sizes deltas), so appends and deletes can never claim the
+    // same number
+    val next = graft.store.Installments.next(spark, s"$path/sizes")
     writeInstallment(newDf, textCol, idCol, path, next, shingleK, numHashes, bands)
+  }
+
+  /**
+   * Tombstone documents out of a [[minhashIndexBuild]] index — the delete
+   * half of the installment lifecycle ([[graft.store.Tombstones]]): one
+   * id-list append plus NEGATIVE per-bucket size deltas written as the
+   * next `sizes/` installment, so probe-time bucket sums (and the
+   * hot-bucket guard) stay exact without rewriting anything. Probes drop
+   * tombstoned rows via a broadcast anti-join on the stored bands —
+   * takedown semantics: the set applies to asOf snapshot reads too, and
+   * a snapshot pinned BEFORE the delete's sizes installment sees
+   * post-delete membership with pre-delete sizes (out of contract, the
+   * same caveat as snapshots across a compaction).
+   *
+   * Contract: ids must be LIVE in the index — re-deleting an id would
+   * double-subtract its bucket sizes (the delete sibling of the append
+   * contract's new-ids-only rule). Deletes are sequential with appends
+   * (shared installment numbering). [[minhashIndexVacuum]] folds the
+   * deletion physically. Returns the deletes installment written.
+   */
+  def minhashIndexDelete(spark: org.apache.spark.sql.SparkSession, path: String,
+                         ids: DataFrame, idCol: String = "doc_id"): Int = {
+    val del = broadcast(ids.select(col(idCol).as("id")).distinct())
+    val next = graft.store.Installments.next(spark, s"$path/sizes")
+    spark.read.parquet(s"$path/bands")
+      .join(del, Seq("id"))
+      .groupBy("band", "bucket").agg((-count(lit(1))).as("cnt"))
+      .write.mode("overwrite").parquet(s"$path/sizes/installment=$next")
+    graft.store.Tombstones.append(spark, path, ids, idCol)
+  }
+
+  /**
+   * Physical fold of the tombstone set — the maintenance job
+   * [[minhashIndexDelete]] defers to: rewrite `sets/` and `bands/`
+   * without the tombstoned ids and recompute `sizes/` from the folded
+   * bands, each table folded to ONE `installment=0` partition behind the
+   * atomic side-dir swap; clear `deletes/` last. Crash-safe by ordering:
+   * until the final clear, probes still anti-join the tombstones, so a
+   * partially-folded index reads exactly like an unfolded one, and
+   * re-running the vacuum completes it. asOf snapshots are only
+   * meaningful between vacuums (the installment history folds away — the
+   * shared contract). Returns the surviving document count.
+   */
+  def minhashIndexVacuum(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    def swap(dir: String, folded: DataFrame): Long = {
+      val out = new Path(s"$path/$dir")
+      val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new Path(s"$path/$dir._compacting")
+      folded.write.mode("overwrite")
+        .parquet(new Path(tmp, "installment=0").toString)
+      val rows = spark.read.parquet(tmp.toString).count()
+      if (!fs.delete(out, true) || !fs.rename(tmp, out))
+        throw new java.io.IOException(s"vacuum swap failed for $path/$dir")
+      spark.catalog.refreshByPath(out.toString)
+      rows
+    }
+    val docs = swap("sets", graft.store.Tombstones.filter(spark, path,
+      spark.read.parquet(s"$path/sets").drop("installment"), "id"))
+    swap("bands", graft.store.Tombstones.filter(spark, path,
+      spark.read.parquet(s"$path/bands").drop("installment"), "id"))
+    swap("sizes", spark.read.parquet(s"$path/bands")
+      .groupBy("band", "bucket").agg(count(lit(1)).as("cnt")))
+    graft.store.Tombstones.clear(spark, path)
+    docs
   }
 
   /**
@@ -656,7 +742,12 @@ object Dedup {
       .select("band", "bucket")
     val keptBanded = newBanded.join(batchSide(hot), Seq("band", "bucket"), "left_anti")
 
-    val stored = snapshot(spark.read.parquet(s"$path/bands"))
+    // tombstoned docs can no longer pair (takedown semantics — applies to
+    // snapshots too); sets/ needs no filter: pairs gate the sets join on
+    // id, so a deleted doc's shingle row never matches. The sizes sums
+    // already carry the delete's negative deltas.
+    val stored = graft.store.Tombstones.filter(spark, path,
+      snapshot(spark.read.parquet(s"$path/bands")), "id")
     val pairs = stored
       .join(batchSide(keptBanded), Seq("band", "bucket"))
       .filter(col("id") =!= col("new_id"))

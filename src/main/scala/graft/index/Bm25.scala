@@ -121,6 +121,72 @@ object Bm25 {
     writeInstallment(newDocs, path, installment, idCol, textCol)
 
   /**
+   * Tombstone documents out of a [[bm25IndexBuild]] index — the delete
+   * half of the installment lifecycle ([[graft.store.Tombstones]]): one
+   * id-list append plus NEGATIVE df/stats deltas written as the next
+   * installment of `terms/` and `stats/`, derived from the deleted docs'
+   * OWN stored postings (a map-side filtered read — delete cost scales
+   * with the deleted docs, not the corpus). Because df, N, and Σdl are
+   * sums of integer deltas, a post-delete search computes EXACTLY the
+   * scores of a fresh build over corpus-minus-deleted — which is what
+   * the `doc_bm25_tombstone` oracle pins. Searches drop tombstoned
+   * postings via a broadcast anti-join; takedown semantics (the set
+   * applies to asOf snapshots too, and a snapshot pinned before the
+   * delete's delta installment sees post-delete membership with
+   * pre-delete statistics — out of contract, the compaction caveat).
+   *
+   * Contract: ids must be LIVE in the index — re-deleting an id would
+   * double-subtract its df/N/dl contributions (the delete sibling of
+   * the append contract's new-ids-only rule). Sequential with appends
+   * (shared `stats/` numbering). [[bm25IndexVacuum]] folds the deletion
+   * physically. Returns the deletes installment written.
+   */
+  def bm25IndexDelete(spark: org.apache.spark.sql.SparkSession, path: String,
+                      ids: DataFrame, idCol: String = "doc_id"): Int = {
+    val del = broadcast(ids.select(col(idCol).as("doc_id")).distinct())
+    val delPost = spark.read.parquet(s"$path/postings").join(del, Seq("doc_id"))
+    val next = graft.store.Installments.next(spark, s"$path/stats")
+    delPost.groupBy("term").agg((-count(lit(1))).as("df_t"))
+      .write.mode("overwrite").parquet(s"$path/terms/installment=$next")
+    delPost.groupBy("doc_id").agg(first(col("dl")).as("dl"))
+      .agg((-count(lit(1))).as("n"), (-sum("dl")).as("sdl"))
+      .write.mode("overwrite").parquet(s"$path/stats/installment=$next")
+    graft.store.Tombstones.append(spark, path, ids, idCol)
+  }
+
+  /**
+   * Physical fold of the tombstone set — [[bm25IndexDelete]]'s deferred
+   * maintenance: rewrite `postings/` without the tombstoned docs (folded
+   * to one `installment=0` partition behind the atomic side-dir swap),
+   * fold `terms/`/`stats/` with [[bm25IndexCompact]] (their sums already
+   * net out the delete's negative deltas), clear `deletes/` last.
+   * Crash-safe by ordering: until the final clear, searches still
+   * anti-join the tombstones, so a partially-folded index reads exactly
+   * like an unfolded one and a re-run completes the job. Returns the
+   * surviving document count.
+   */
+  def bm25IndexVacuum(spark: org.apache.spark.sql.SparkSession,
+                      path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val pPath = s"$path/postings"
+    val out = new Path(pPath)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(pPath + "._compacting")
+    graft.store.Tombstones.filter(spark, path,
+        spark.read.parquet(pPath).drop("installment"), "doc_id")
+      .write.mode("overwrite")
+      .parquet(new Path(tmp, "installment=0").toString)
+    val docs = spark.read.parquet(tmp.toString)
+      .select("doc_id").distinct().count()
+    if (!fs.delete(out, true) || !fs.rename(tmp, out))
+      throw new java.io.IOException(s"vacuum swap failed for $pPath")
+    spark.catalog.refreshByPath(pPath)
+    bm25IndexCompact(spark, path)
+    graft.store.Tombstones.clear(spark, path)
+    docs
+  }
+
+  /**
    * Index maintenance (the minhashIndexCompactSizes analog): fold the
    * per-installment `terms/` df deltas and `stats/` deltas into ONE
    * `installment=0` partition each, so a searched term resolves from one
@@ -202,7 +268,11 @@ object Bm25 {
     val dfq = snapshot(spark.read.parquet(s"$path/terms"))
       .join(broadcast(qTerms.select("term").distinct()), Seq("term"))
       .groupBy("term").agg(sum("df_t").as("df_t"))
-    val post = snapshot(spark.read.parquet(s"$path/postings"))
+    // tombstoned docs can no longer score (takedown semantics — applies
+    // to snapshots too); df/N/avgdl stay exact through the delete's
+    // negative deltas summed above
+    val post = graft.store.Tombstones.filter(spark, path,
+        snapshot(spark.read.parquet(s"$path/postings")), "doc_id")
       .select("term", "doc_id", "tf", "dl")
     score(post, qTerms, dfq, nDocs, sumDl, k)
   }

@@ -286,22 +286,29 @@ object Quantize {
    * Centroids and the stored scale are not touched. Returns the
    * compacted code row count.
    */
-  def ivfSq8Compact(spark: SparkSession, path: String): Long = {
-    val rows = compactListDir(spark, s"$path/codes")
+  def ivfSq8Compact(spark: SparkSession, path: String,
+                    corpusId: String = "vec_id"): Long = {
+    val rows = compactListDir(spark, path, s"$path/codes", corpusId)
     // keep the refine sidecar's file layout in step with the codes it
-    // shadows (same small-file accumulation per append)
-    if (dirExists(spark, s"$path/raw")) compactListDir(spark, s"$path/raw")
+    // shadows (same small-file accumulation per append — and the SAME
+    // tombstone fold, or refined re-ranks would resurrect deleted rows)
+    if (dirExists(spark, s"$path/raw"))
+      compactListDir(spark, path, s"$path/raw", corpusId)
+    graft.store.Tombstones.clear(spark, path)
     rows
   }
 
   /** Rewrite one `list_id=`-partitioned dir hash-clustered by list via the
-    * atomic side-dir swap (shared by codes/ and the raw/ refine sidecar). */
-  private def compactListDir(spark: SparkSession, dir: String): Long = {
+    * atomic side-dir swap (shared by codes/ and the raw/ refine sidecar),
+    * dropping tombstoned rows during the fold. */
+  private def compactListDir(spark: SparkSession, indexPath: String,
+                             dir: String, corpusId: String): Long = {
     import org.apache.hadoop.fs.Path
     val out = new Path(dir)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir + "._compacting")
-    spark.read.parquet(dir)
+    graft.store.Tombstones.filter(spark, indexPath,
+        spark.read.parquet(dir), corpusId)
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(tmp.toString)
@@ -331,8 +338,10 @@ object Quantize {
         codesUdf(scale)(col(queryVec)).as("_qc"))
       .withColumn("_qn", normSqUdf(col("_qc")))
       .filter(col("_qn") > 0)
-    val c = spark.read.parquet(s"$path/codes")
-      .filter(col("list_id").isin(probedLists.map(_.asInstanceOf[Any]): _*))
+    val c = graft.store.Tombstones.filter(spark, path,
+        spark.read.parquet(s"$path/codes")
+          .filter(col("list_id").isin(probedLists.map(_.asInstanceOf[Any]): _*)),
+        corpusId)
       .select(col(corpusId), col("list_id"),
         unpackCodesUdf(col("codes")).as("_cc"))
       .withColumn("_cn", normSqUdf(col("_cc")))
@@ -390,8 +399,10 @@ object Quantize {
         codesUdf(scale)(col(queryVec)).as("_qc"))
       .withColumn("_qn", normSqUdf(col("_qc")))
       .filter(col("_qn") > 0)
-    val c = spark.read.parquet(s"$path/codes")
-      .filter(col("list_id").isin(probedLists: _*))
+    val c = graft.store.Tombstones.filter(spark, path,
+        spark.read.parquet(s"$path/codes")
+          .filter(col("list_id").isin(probedLists: _*)),
+        corpusId)
       .select(col(corpusId), col("list_id"),
         unpackCodesUdf(col("codes")).as("_cc"))
       .withColumn("_cn", normSqUdf(col("_cc")))
@@ -482,8 +493,10 @@ object Quantize {
                        asOfInstallment: Int = Int.MaxValue): DataFrame = {
     val scale = spark.read.parquet(s"$path/meta").head().getDouble(0)
     val codes0 = spark.read.parquet(s"$path/codes")
-    val codes = if (asOfInstallment == Int.MaxValue) codes0
+    val codes1 = if (asOfInstallment == Int.MaxValue) codes0
       else codes0.filter(col("installment") <= asOfInstallment)
+    // tombstoned rows can no longer anchor or pair (takedown semantics)
+    val codes = graft.store.Tombstones.filter(spark, path, codes1, corpusId)
     val c = codes
       .select(col(corpusId).as("corpus_id"), unpackCodesUdf(col("codes")).as("_cc"))
       .withColumn("_cn", normSqUdf(col("_cc")))
@@ -630,8 +643,10 @@ object Quantize {
         codesUdf(scale)(col(vecCol)).as("_qc"))
       .withColumn("_qn", normSqUdf(col("_qc")))
       .filter(col("_qn") > 0)
-    val c = spark.read.parquet(s"$path/codes")
-      .filter(col("list_id").isin(probedLists: _*))
+    val c = graft.store.Tombstones.filter(spark, path,
+        spark.read.parquet(s"$path/codes")
+          .filter(col("list_id").isin(probedLists: _*)),
+        corpusId)
       .select(col(corpusId).as("corpus_id"), col("list_id"),
         unpackCodesUdf(col("codes")).as("_cc"))
       .withColumn("_cn", normSqUdf(col("_cc")))
@@ -678,28 +693,60 @@ object Quantize {
   }
 
   /**
+   * Tombstone a set of vector ids out of an [[int8Build]] index — the
+   * delete half of the installment lifecycle ([[graft.store.Tombstones]]):
+   * one id-list append, no data table touched. Every search/probe drops
+   * tombstoned rows via a broadcast anti-join (takedown semantics — the
+   * set applies to asOf snapshots too); [[int8Compact]] folds the
+   * deletion physically and clears the list. Returns the deletes
+   * installment written ([[int8DeleteAt]] is the replay-idempotent
+   * sibling for at-least-once writers).
+   */
+  def int8Delete(spark: SparkSession, path: String, ids: DataFrame,
+                 idCol: String = "vec_id"): Int =
+    graft.store.Tombstones.append(spark, path, ids, idCol)
+
+  /** [[int8Delete]] at an EXPLICIT deletes installment — replays
+    * overwrite their own partition (the `*AppendAt` contract). */
+  def int8DeleteAt(spark: SparkSession, path: String, ids: DataFrame,
+                   installment: Int, idCol: String = "vec_id"): Unit =
+    graft.store.Tombstones.appendAt(spark, path, ids, idCol, installment)
+
+  /** [[int8Delete]] for an [[ivfSq8Build]] index — same sidecar, same
+    * read/compact contract ([[ivfSq8Compact]] folds it). */
+  def ivfSq8Delete(spark: SparkSession, path: String, ids: DataFrame,
+                   idCol: String = "vec_id"): Int =
+    graft.store.Tombstones.append(spark, path, ids, idCol)
+
+  /**
    * Installment-index maintenance for [[int8Build]]/[[int8Append]] — the
    * bm25IndexCompact sibling: fold every `installment=` partition of
    * packed codes into ONE `installment=0` dir via the atomic side-dir
    * swap (a concurrent search sees the old or the new listing, never a
-   * mix). Code bytes and the stored scale are untouched, so search
-   * results are bit-identical; `asOfInstallment` snapshots are only
-   * meaningful between compactions (the append history folds away — the
-   * shared appendable-index contract). Returns the compacted row count.
+   * mix). Tombstoned rows are dropped during the fold and the deletes
+   * list is cleared after the swap — compaction is where logical deletes
+   * become physical. Surviving code bytes and the stored scale are
+   * untouched, so search results are bit-identical; `asOfInstallment`
+   * snapshots are only meaningful between compactions (the append
+   * history folds away — the shared appendable-index contract). Returns
+   * the compacted row count.
    */
-  def int8Compact(spark: SparkSession, path: String): Long = {
+  def int8Compact(spark: SparkSession, path: String,
+                  corpusId: String = "vec_id"): Long = {
     import org.apache.hadoop.fs.Path
     val cPath = s"$path/codes"
     val out = new Path(cPath)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(cPath + "._compacting")
-    spark.read.parquet(cPath).drop("installment")
+    graft.store.Tombstones.filter(spark, path,
+        spark.read.parquet(cPath).drop("installment"), corpusId)
       .write.mode("overwrite")
       .parquet(new Path(tmp, "installment=0").toString)
     val rows = spark.read.parquet(tmp.toString).count()
     if (!fs.delete(out, true) || !fs.rename(tmp, out))
       throw new java.io.IOException(s"compaction swap failed for $cPath")
     spark.catalog.refreshByPath(cPath)
+    graft.store.Tombstones.clear(spark, path)
     rows
   }
 
@@ -714,8 +761,11 @@ object Quantize {
                         asOfInstallment: Int = Int.MaxValue): DataFrame = {
     val scale = spark.read.parquet(s"$path/meta").head().getDouble(0)
     val codes0 = spark.read.parquet(s"$path/codes")
-    val codes = if (asOfInstallment == Int.MaxValue) codes0
+    val codes1 = if (asOfInstallment == Int.MaxValue) codes0
       else codes0.filter(col("installment") <= asOfInstallment)
+    // tombstones apply to every read, snapshots included (takedown
+    // semantics); a no-op on an index with no deletes dir
+    val codes = graft.store.Tombstones.filter(spark, path, codes1, corpusId)
     val c = codes
       .select(col(corpusId), unpackCodesUdf(col("codes")).as("_cc"))
       .withColumn("_cn", normSqUdf(col("_cc")))

@@ -437,6 +437,136 @@ object Multimodal {
     }.toDF("id", "resized")
   }
 
+  final case class PHashRow(id: Long, width: Int, height: Int,
+                            ahash: Long, dhash: Long)
+
+  /** First decoded frame WITH its dimensions (the phash kernels need
+    * geometry, which [[decodeFrames]] deliberately strips): P6 → frame 0
+    * of the stream, BMP → the image; audio/corrupt/unknown → None. */
+  def decodeFirstFrame(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload == null || payload.length < 2) None
+    else if (payload(0) == 'P' && payload(1) == '6')
+      decodePpm(payload, 0).map { case (w, h, px, _) => (w, h, px) }
+    else if (payload(0) == 'B' && payload(1) == 'M') decodeBmp(payload)
+    else None
+  }
+
+  /** Integer-exact Rec.601 grayscale of one RGB pixel:
+    * (299·r + 587·g + 114·b) div 1000 — every step exact integer
+    * arithmetic, so any engine recomputes the identical value (the
+    * float 0.299r+0.587g+0.114b would round engine-dependently). */
+  @inline private def gray(r: Int, g: Int, b: Int): Int =
+    (299 * r + 587 * g + 114 * b) / 1000
+
+  /**
+   * Perceptual image hashes — aHash and dHash (the classic public
+   * average/gradient hashes) over the REAL decoded pixels, defined in
+   * EXACT integer arithmetic end-to-end so an oracle recomputes the same
+   * 64 bits from raw fixture bytes:
+   *
+   *  - grayscale: Rec.601 integer luma per pixel,
+   *  - box downsample: pixel (x, y) belongs to block
+   *    (x·gridW div w, y·gridH div h) — every pixel in exactly one
+   *    block; block value = sum(gray) div count (floor),
+   *  - aHash (8×8): bit(by,bx) = 1 iff block > (Σ blocks) div 64,
+   *    bit index by·8+bx,
+   *  - dHash (9×8): bit(by,bx) = 1 iff block(by,bx) > block(by,bx+1)
+   *    (horizontal gradient over a 9-column grid), bit index by·8+bx.
+   *
+   * Both hashes are brightness-shift invariant (a constant luma offset
+   * moves every block and the mean together) and robust to re-encoding
+   * and mild rescaling — the container-swap/near-copy signature that
+   * byte-level dedup misses entirely. Rows whose payload is not a
+   * decodable image at least (gridW+1)×gridH pixels emit nothing
+   * (emit-less, the classifier rule — a 5×5 thumbnail has no meaningful
+   * 9-column gradient). Video rows hash their FIRST frame — the cheap
+   * keyframe proxy; hash sampled frames via [[sampleFrames]] when
+   * full-stream dedup matters.
+   *
+   * One `mapPartitions` pass, no shuffle; feed the hashes to
+   * [[graft.dedup.Dedup.hammingNearDuplicates64]] for banded candidate
+   * pairs and the CC/prune loop — the image sibling of text simhash.
+   */
+  def perceptualHashes(media: Dataset[MediaRow], grid: Int = 8): Dataset[PHashRow] = {
+    require(grid >= 2 && grid <= 8, s"grid must be in [2, 8] (8x8 = 64 bits), got $grid")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val sums = new Array[Long](grid * (grid + 1))
+      val cnts = new Array[Long](grid * (grid + 1))
+      rows.flatMap { m =>
+        decodeFirstFrame(m.payload) match {
+          case Some((w, h, px)) if w >= grid + 1 && h >= grid =>
+            // one pass fills BOTH grids: aHash uses columns 0..grid-1 of a
+            // grid×grid assignment, dHash needs grid×(grid+1); blocks are
+            // accumulated on the wider grid and re-aggregated for aHash
+            java.util.Arrays.fill(sums, 0L)
+            java.util.Arrays.fill(cnts, 0L)
+            var y = 0
+            while (y < h) {
+              val by = y * grid / h
+              var x = 0
+              while (x < w) {
+                val bx = x * (grid + 1) / w
+                val p = (y * w + x) * 3
+                val g = gray(px(p) & 0xFF, px(p + 1) & 0xFF, px(p + 2) & 0xFF)
+                val i = by * (grid + 1) + bx
+                sums(i) += g
+                cnts(i) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val wide = Array.tabulate(grid * (grid + 1))(i =>
+              if (cnts(i) == 0) 0L else sums(i) / cnts(i))
+            // dHash on the wide grid: horizontal gradient
+            var dh = 0L
+            var by = 0
+            while (by < grid) {
+              var bx = 0
+              while (bx < grid) {
+                if (wide(by * (grid + 1) + bx) > wide(by * (grid + 1) + bx + 1))
+                  dh |= 1L << (by * grid + bx)
+                bx += 1
+              }
+              by += 1
+            }
+            // aHash on its own grid×grid assignment (bx = x·grid div w) —
+            // recomputed from pixels, not from the wide blocks, so the
+            // definition stays the textbook one
+            val aSums = new Array[Long](grid * grid)
+            val aCnts = new Array[Long](grid * grid)
+            y = 0
+            while (y < h) {
+              val byA = y * grid / h
+              var x = 0
+              while (x < w) {
+                val bxA = x * grid / w
+                val p = (y * w + x) * 3
+                val g = gray(px(p) & 0xFF, px(p + 1) & 0xFF, px(p + 2) & 0xFF)
+                val i = byA * grid + bxA
+                aSums(i) += g
+                aCnts(i) += 1
+                x += 1
+              }
+              y += 1
+            }
+            val blocks = Array.tabulate(grid * grid)(i =>
+              if (aCnts(i) == 0) 0L else aSums(i) / aCnts(i))
+            val mean = blocks.sum / (grid * grid)
+            var ah = 0L
+            var i = 0
+            while (i < grid * grid) {
+              if (blocks(i) > mean) ah |= 1L << i
+              i += 1
+            }
+            Iterator.single(PHashRow(m.id, w, h, ah, dh))
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
   final case class AudioStats(id: Long, n_samples: Long, sum_sq_dev: Long,
                               peak_dev: Long, zero_crossings: Long)
 

@@ -215,20 +215,81 @@ class MinhashIndexSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
-  test("append into an empty sets listing fails with a corruption message") {
+  test("append into an empty sizes listing fails with a corruption message") {
+    // sizes/ is the numbering table (every installment event writes it —
+    // appends and deletes both), so THAT is the listing whose emptiness
+    // means corruption
     val path = tmpPath("mh-empty")
     Dedup.minhashIndexBuild(corpus, "text", "doc_id", path)
     def wipe(f: java.io.File): Unit = {
       Option(f.listFiles()).foreach(_.foreach(wipe)); f.delete()
     }
-    val setsDir = new java.io.File(s"$path/sets")
-    Option(setsDir.listFiles()).foreach(_.foreach(wipe))
-    assert(setsDir.exists() && setsDir.listFiles().isEmpty)
+    val sizesDir = new java.io.File(s"$path/sizes")
+    Option(sizesDir.listFiles()).foreach(_.foreach(wipe))
+    assert(sizesDir.exists() && sizesDir.listFiles().isEmpty)
     val e = intercept[IllegalStateException] {
       Dedup.minhashIndexAppend(spark, path,
         Seq((9L, "another doc")).toDF("doc_id", "text"), "text", "doc_id")
     }
     assert(e.getMessage.contains("no installment= partitions"))
+  }
+
+  test("tombstones: probe-after-delete equals a fresh index over the remainder") {
+    val path = tmpPath("mh-del")
+    Dedup.minhashIndexBuild(corpus, "text", "doc_id", path,
+      shingleK = 3, numHashes = 64, bands = 32)
+    Dedup.minhashIndexDelete(spark, path, Seq(1L).toDF("doc_id"))
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog today"), // ~dup of 1
+      (102L, "completely different content about spark engines and parquet data") // ~dup of 2
+    ).toDF("doc_id", "text")
+    val got = Dedup.minhashIndexProbe(spark, path, batch, "text", "doc_id",
+        threshold = 0.5)
+      .select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+    assert(got === Set((2L, 102L)), s"tombstoned doc still pairs: $got")
+    // equality with a one-shot index over corpus-minus-deleted
+    val fresh = tmpPath("mh-del-fresh")
+    Dedup.minhashIndexBuild(corpus.filter($"doc_id" =!= 1L), "text", "doc_id",
+      fresh, shingleK = 3, numHashes = 64, bands = 32)
+    val want = Dedup.minhashIndexProbe(spark, fresh, batch, "text", "doc_id",
+        threshold = 0.5)
+      .select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+    assert(got === want)
+    // the delete's negative size deltas keep bucket sums exact:
+    // 3 docs × 32 bands = 96 pre-delete, 64 after
+    val sizeSum = spark.read.parquet(s"$path/sizes")
+      .agg(sum("cnt")).head().getLong(0)
+    assert(sizeSum === 64L, s"size deltas off: $sizeSum")
+  }
+
+  test("vacuum folds tombstones physically; append keeps working after it") {
+    val path = tmpPath("mh-vac")
+    Dedup.minhashIndexBuild(corpus, "text", "doc_id", path,
+      shingleK = 3, numHashes = 64, bands = 32)
+    Dedup.minhashIndexDelete(spark, path, Seq(1L).toDF("doc_id"))
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog today")
+    ).toDF("doc_id", "text")
+    val before = Dedup.minhashIndexProbe(spark, path, batch, "text", "doc_id",
+      threshold = 0.5).count()
+    val survivors = Dedup.minhashIndexVacuum(spark, path)
+    assert(survivors === 2L)
+    assert(!graft.store.Tombstones.any(spark, path), "deletes dir not cleared")
+    // physically gone from every table, results unchanged
+    assert(spark.read.parquet(s"$path/sets").filter($"id" === 1L).isEmpty)
+    assert(spark.read.parquet(s"$path/bands").filter($"id" === 1L).isEmpty)
+    assert(spark.read.parquet(s"$path/sizes").agg(sum("cnt")).head()
+      .getLong(0) === 64L)
+    assert(Dedup.minhashIndexProbe(spark, path, batch, "text", "doc_id",
+      threshold = 0.5).count() === before)
+    // numbering survives the fold: the next append lands and probes
+    Dedup.minhashIndexAppend(spark, path,
+      Seq((9L, "the quick brown fox jumps over the lazy dog tonight"))
+        .toDF("doc_id", "text"), "text", "doc_id")
+    val after = Dedup.minhashIndexProbe(spark, path, batch, "text", "doc_id",
+        threshold = 0.5)
+      .select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+    assert(after === Set((9L, 101L)))
   }
 
   test("the stored index is never shuffled by a probe — batch side broadcasts") {

@@ -152,6 +152,45 @@ class Bm25Spec extends SparkTestBase {
     assert(e.getMessage.contains("no installment= partitions"))
   }
 
+  test("tombstones: search-after-delete equals a fresh build over the remainder, bit-exact") {
+    val path = java.nio.file.Files.createTempDirectory("bm25-del")
+      .resolve("idx").toString
+    Bm25.bm25IndexBuild(docs, path)
+    Bm25.bm25IndexDelete(spark, path, Seq(1L, 3L).toDF("doc_id"))
+    val q = Seq((100L, "quick brown fox"), (101L, "spark plans lazy"))
+      .toDF("query_id", "qtext")
+    val got = Bm25.bm25SearchIndexed(spark, path, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // the negative df/N/dl deltas make scores EXACTLY a fresh build's
+    // over corpus-minus-deleted — not merely the same id set
+    val fresh = java.nio.file.Files.createTempDirectory("bm25-del-fresh")
+      .resolve("idx").toString
+    Bm25.bm25IndexBuild(docs.filter(!$"doc_id".isin(1L, 3L)), fresh)
+    val want = Bm25.bm25SearchIndexed(spark, fresh, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === want)
+    assert(!got.exists(r => r._2 == 1L || r._2 == 3L))
+    // vacuum: postings fold physically, results unchanged, deletes clear
+    val survivors = Bm25.bm25IndexVacuum(spark, path)
+    assert(survivors === 2L) // docs 2 and 4 (doc 5 is empty, never indexed)
+    assert(!graft.store.Tombstones.any(spark, path), "deletes dir not cleared")
+    assert(spark.read.parquet(s"$path/postings")
+      .filter($"doc_id".isin(1L, 3L)).isEmpty)
+    val after = Bm25.bm25SearchIndexed(spark, path, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(after === got)
+    // the lifecycle composes: append after vacuum, still fresh-equivalent
+    Bm25.bm25IndexAppend(spark, path, docs.filter($"doc_id" === 1L))
+    val freshAll = java.nio.file.Files.createTempDirectory("bm25-del-f2")
+      .resolve("idx").toString
+    Bm25.bm25IndexBuild(docs.filter(!$"doc_id".isin(3L)), freshAll)
+    val got2 = Bm25.bm25SearchIndexed(spark, path, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val want2 = Bm25.bm25SearchIndexed(spark, freshAll, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got2 === want2)
+  }
+
   test("no window funnel and no corpus-side shuffle past the posting build") {
     val big = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")

@@ -556,6 +556,66 @@ class QuantizeSpec extends SparkTestBase {
       s"the stored code scan must stream map-side, never shuffle:\n$plan")
   }
 
+  test("int8 tombstones: deleted vectors vanish from search, probe, and snapshots; compact folds") {
+    val path = java.nio.file.Files.createTempDirectory("int8-del")
+      .resolve("idx").toString
+    Quantize.int8Build(probeCorpus.filter($"vec_id" <= 2), path)
+    Quantize.int8Append(spark, path, probeCorpus.filter($"vec_id" > 2))
+    Quantize.int8Delete(spark, path, Seq(1L).toDF("vec_id"))
+    // search: the deleted vector may never rank again
+    val q = Seq((201L, Seq(1f, 0f, 0f, 0f))).toDF("query_id", "query_vec")
+    val hits = Quantize.int8SearchIndexed(spark, path, q, k = 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!hits.contains(1L), s"tombstoned vector still ranked: $hits")
+    // probe: its batch twin no longer pairs; live twins still do
+    val pairs = Quantize.int8NearDupProbe(spark, path, probeBatch, 0.9)
+      .select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((2L, 104L)))
+    // takedown semantics: the asOf snapshot is filtered too
+    val snap = Quantize.int8NearDupProbe(spark, path, probeBatch, 0.9,
+        asOfInstallment = 0)
+      .select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+    assert(!snap.exists(_._1 == 1L), s"snapshot leaked a tombstone: $snap")
+    // compaction folds the delete physically and clears the list
+    val rows = Quantize.int8Compact(spark, path)
+    assert(rows === 3L)
+    assert(!graft.store.Tombstones.any(spark, path), "deletes dir not cleared")
+    val after = Quantize.int8NearDupProbe(spark, path, probeBatch, 0.9)
+      .select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+    assert(after === pairs)
+  }
+
+  test("ivfSq8 tombstones: search, probe, and the raw refine sidecar all drop deleted rows") {
+    val path = java.nio.file.Files.createTempDirectory("ivfsq8-del")
+      .resolve("idx").toString
+    Quantize.ivfSq8Build(probeCorpus, path, nlist = 2,
+      fitSampleFraction = 1.0, storeRaw = true)
+    Quantize.ivfSq8Delete(spark, path, Seq(2L).toDF("vec_id"))
+    val q = Seq((201L, Seq(0f, 1f, 0f, 0f))).toDF("query_id", "query_vec")
+    val hits = Quantize.ivfSq8Search(spark, path, q, k = 4, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!hits.contains(2L), s"tombstoned vector still ranked: $hits")
+    // the refined path must not resurrect it through the raw sidecar
+    val refined = Quantize.ivfSq8SearchRefined(spark, path, q, k = 4,
+        candidateK = 4, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!refined.contains(2L), s"refine resurrected a tombstone: $refined")
+    val pairs = Quantize.ivfSq8NearDupProbe(spark, path, probeBatch, 0.9,
+        nprobe = 2)
+      .select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 101L)))
+    // compact folds codes AND raw, then clears
+    val rows = Quantize.ivfSq8Compact(spark, path)
+    assert(rows === 3L)
+    assert(!graft.store.Tombstones.any(spark, path), "deletes dir not cleared")
+    assert(spark.read.parquet(s"$path/raw").filter($"vec_id" === 2L).isEmpty,
+      "raw sidecar kept a tombstoned row past compaction")
+    val refAfter = Quantize.ivfSq8SearchRefined(spark, path, q, k = 4,
+        candidateK = 4, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(refAfter === refined)
+  }
+
   test("probe plan broadcasts the batch and never shuffles the stored scan") {
     val path = java.nio.file.Files.createTempDirectory("int8-probe-plan")
       .resolve("idx").toString

@@ -212,4 +212,95 @@ class MultimodalSpec extends SparkTestBase {
       assert(s.peak_dev <= 128L)
     }
   }
+
+  // ------------------------------------------------ perceptual hashes
+
+  private def mediaRow(id: Long, payload: Array[Byte]): Multimodal.MediaRow =
+    Multimodal.MediaRow(id, payload, Multimodal.MediaMeta("image", 0, 0, 1, 0))
+
+  private def halfImage(left: Int, right: Int): Array[Byte] = {
+    // 16×16, left 8 columns at gray v=left, right at v=right (all three
+    // channels equal → Rec.601 luma == the channel value exactly)
+    val px = new Array[Byte](16 * 16 * 3)
+    for (y <- 0 until 16; x <- 0 until 16; c <- 0 until 3)
+      px((y * 16 + x) * 3 + c) = (if (x < 8) left else right).toByte
+    px
+  }
+
+  test("phash: hand-computed aHash/dHash on a half-and-half image") {
+    val px = halfImage(10, 200)
+    val rows = Seq(mediaRow(1L, Multimodal.encodePpm(16, 16, px))).toDS()
+    val h = Multimodal.perceptualHashes(rows).collect().head
+    // aHash: 8×8 blocks of 2×2 pixels — left 4 block-cols mean 10, right
+    // 200; global mean (32·10+32·200)/64 = 105 → right half bits set
+    assert(h.ahash === 0xF0F0F0F0F0F0F0F0L,
+      f"ahash ${h.ahash}%016x != f0f0f0f0f0f0f0f0")
+    // dHash: luma non-decreasing left→right → no block strictly exceeds
+    // its right neighbor → all gradient bits clear
+    assert(h.dhash === 0L, f"dhash ${h.dhash}%016x != 0")
+    // the mirrored image flips the gradient at the boundary column
+    val dec = Seq(mediaRow(2L, Multimodal.encodePpm(16, 16, halfImage(200, 10)))).toDS()
+    val h2 = Multimodal.perceptualHashes(dec).collect().head
+    assert(h2.dhash === 0x0808080808080808L,
+      f"dhash ${h2.dhash}%016x != 0808080808080808")
+    assert(h2.ahash === 0x0F0F0F0F0F0F0F0FL)
+  }
+
+  test("phash: container-swap and brightness-shift invariance") {
+    val px = halfImage(10, 200)
+    val asPpm = Seq(mediaRow(1L, Multimodal.encodePpm(16, 16, px))).toDS()
+    val asBmp = Seq(mediaRow(2L, Multimodal.encodeBmp(16, 16, px))).toDS()
+    val hp = Multimodal.perceptualHashes(asPpm).collect().head
+    val hb = Multimodal.perceptualHashes(asBmp).collect().head
+    assert((hp.ahash, hp.dhash) === ((hb.ahash, hb.dhash)),
+      "identical pixels must hash identically regardless of container")
+    // +16 on every channel (no clamping in this fixture) shifts every
+    // block mean and the global mean by exactly 16 → bits unchanged
+    val brighter = px.map(b => ((b & 0xFF) + 16).toByte)
+    val hv = Multimodal.perceptualHashes(
+      Seq(mediaRow(3L, Multimodal.encodePpm(16, 16, brighter))).toDS()).collect().head
+    assert((hv.ahash, hv.dhash) === ((hp.ahash, hp.dhash)),
+      "constant brightness shift must not change either hash")
+  }
+
+  test("phash: video hashes its first frame; tiny/corrupt/audio rows emit nothing") {
+    val px = halfImage(10, 200)
+    val single = Multimodal.encodePpm(16, 16, px)
+    // duplicate-frame stream: frame 0 = the fixture, frame 1 = its mirror
+    val stream = single ++ Multimodal.encodePpm(16, 16, halfImage(200, 10))
+    val hs = Multimodal.perceptualHashes(Seq(
+      mediaRow(1L, single), mediaRow(2L, stream)).toDS()).collect()
+      .map(h => h.id -> (h.ahash, h.dhash)).toMap
+    assert(hs(2L) === hs(1L), "a video must hash by its FIRST frame")
+    // emit-less rows: sub-grid image, corrupt payload, audio
+    val tiny = Multimodal.encodePpm(5, 5, Array.fill(75)(7.toByte))
+    val none = Multimodal.perceptualHashes(Seq(
+      mediaRow(10L, tiny),
+      mediaRow(11L, Array[Byte](1, 2, 3)),
+      mediaRow(12L, Multimodal.encodeWav(16000, Array.fill(32)(5.toShort)))
+    ).toDS()).count()
+    assert(none === 0L)
+  }
+
+  test("phash + hammingNearDuplicates64 close the image-dedup loop") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(90)
+      .filter($"doc_id" % 3 === 0)
+    val base = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    // container-swapped twins: decode, re-encode in the OTHER container —
+    // identical pixels, new ids
+    val twins = base.map { m =>
+      val Some((w, h, px)) = Multimodal.decodeFirstFrame(m.payload)
+      val other = if (m.payload(0) == 'B') Multimodal.encodePpm(w, h, px)
+                  else Multimodal.encodeBmp(w, h, px)
+      Multimodal.MediaRow(m.id + 1000L, other, m.meta)
+    }
+    val hashes = Multimodal.perceptualHashes(base.unionByName(twins)).toDF()
+    val pairs = graft.dedup.Dedup.hammingNearDuplicates64(
+        hashes, "id", "ahash", maxHamming = 0)
+      .as[(Long, Long, Int)].collect()
+    val twinPairs = pairs.filter(p => p._2 == p._1 + 1000L)
+    assert(twinPairs.length === docs.count(),
+      s"every container twin must pair at hamming 0: got ${twinPairs.length}")
+    assert(pairs.forall(_._3 === 0))
+  }
 }
