@@ -704,6 +704,29 @@ object SparkEntry {
         .orderBy("corpus_id", "new_id")
     }),
 
+    // the DELETE path (takedown lifecycle): build over the whole corpus,
+    // tombstone the doc_id % 7 == 0 docs (one id-list append + negative
+    // bucket-size deltas — nothing rewritten), probe. Probe-after-delete
+    // must equal a fresh index over corpus-minus-deleted, so the oracle
+    // is the doc_index_append scan with the corpus CTE filtered.
+    "doc_index_tombstone" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_mhidx_del_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        Dedup.minhashIndexBuild(d, "text", "doc_id", idxPath,
+          shingleK = 4, numHashes = 128, bands = 64)
+      }
+      Phases.timed("delete") {
+        Dedup.minhashIndexDelete(s, idxPath,
+          d.filter(col("doc_id") % 7 === 0).select("doc_id"))
+      }
+      Dedup.minhashIndexProbe(s, idxPath, mutatedDocs(s, dir),
+        "text", "doc_id", threshold = 0.3)
+        .orderBy("corpus_id", "new_id")
+    }),
+
     // transitive cluster resolution over the minhash pair list: connected
     // components (alternating large-star/small-star, O(log² n) rounds of
     // one reused exchange each) turn pairwise matches into dedup clusters
@@ -1001,6 +1024,34 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the INT8 DELETE path (takedown lifecycle): build over the whole
+    // corpus, tombstone the vec_id % 5 == 0 vectors (one id-list append —
+    // the stored SCALE is frozen by contract, deletes never re-fit it),
+    // then search. Queries include deleted ids as VECTORS (callers own
+    // their probes) — their cosine-1 self-hits must vanish from the
+    // top-5, so a tombstone leak is unmissable at rank 1. The oracle
+    // quantizes with the full-corpus scale and restricts candidates to
+    // vec_id % 5 <> 0.
+    "emb_int8_tombstone" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_int8_del_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.index.Quantize.int8Build(e, idxPath)
+      }
+      Phases.timed("delete") {
+        graft.index.Quantize.int8Delete(s, idxPath,
+          e.filter(col("vec_id") % 5 === 0).select("vec_id"))
+      }
+      graft.index.Quantize.int8SearchIndexed(s, idxPath, q, k = 5)
+        .select(col("query_id"), col("vec_id"), col("cosine_q"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // INCREMENTAL EMBEDDING DEDUP (the vector sibling of
     // doc_incremental_dedup): build+append the int8 index, then probe an
     // incoming batch — every stored row is scored, so unlike the LSH
@@ -1269,15 +1320,17 @@ object SparkEntry {
     }),
 
     // BPE merge learning (tokenizer training): corpus → word-frequency
-    // table (the one corpus-sized pass, materialized ONCE) → 16 weighted
-    // pair-count rounds with portable tie-breaks — enough rounds to
-    // exercise the mid-loop symbol re-checkpoint (CheckpointInterval=8)
-    // — → the merge table, hash-checked against a DuckDB oracle that
-    // unrolls the identical rounds and mirrors the cnt>=2 early-stop
+    // table (the one corpus-sized pass, materialized ONCE) → 64 merges
+    // learned in BATCHED counting rounds (maxBatch = 16: disjoint-prefix
+    // selection with the strict-count-dominance cut, provably equal to
+    // one-at-a-time BPE — the trick that turns 32k-merge training into
+    // hundreds of jobs) — → the merge table, hash-checked against a
+    // DuckDB oracle that unrolls 64 SEQUENTIAL rounds and mirrors the
+    // cnt>=2 early-stop: the oracle itself proves batched == sequential
     "doc_bpe_merges" -> ((s, dir) => {
       graft.analysis.Bpe.learnMergesDf(s,
         tbl(s, dir, "documents").select("text"), "text",
-        numMerges = BpeMergeRounds)
+        numMerges = BpeMergeRounds, maxBatch = 16)
         .orderBy("step")
     }),
 
@@ -1838,6 +1891,37 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // the BM25 DELETE path (takedown lifecycle): build over the whole
+    // corpus, tombstone the doc_id % 7 == 0 docs — one id-list append
+    // plus NEGATIVE df/N/dl deltas derived from the deleted docs' own
+    // stored postings — then search. Because every global statistic is a
+    // sum of integer deltas, scores must be BIT-identical to a fresh
+    // build over corpus-minus-deleted (the oracle restricts the indexed
+    // side to doc_id % 7 <> 0; queries still come from the full table —
+    // query 77's text queries on, but its self-hit must vanish, which
+    // makes a tombstone leak unmissable at rank 1).
+    "doc_bm25_tombstone" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val q = d.filter(col("doc_id").isin(3L, 77L, 201L))
+        .select(col("doc_id").as("query_id"),
+          array_join(slice(split(graft.dedup.Dedup.normalized(col("text")), " "),
+            1, 5), " ").as("qtext"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_bm25_del_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.index.Bm25.bm25IndexBuild(d, idxPath)
+      }
+      Phases.timed("delete") {
+        graft.index.Bm25.bm25IndexDelete(s, idxPath,
+          d.filter(col("doc_id") % 7 === 0).select("doc_id"))
+      }
+      graft.index.Bm25.bm25SearchIndexed(s, idxPath, q, k = 10)
+        .select(col("query_id"), col("doc_id"), col("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // hybrid retrieval: reciprocal-rank fusion of the BM25 ranking with a
     // static length prior (global top-10 by n_chars, attached to every
     // query via explode — no cross join). Ranks are integers and each
@@ -2263,6 +2347,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // SEGMENT-THEN-PACK (the whale fix): oversized documents split into
+    // ≤48-token segments — stable (doc_id, seg_idx) identity, seg_key =
+    // doc_id·2^20 + seg_idx preserving (doc, position) order — and the
+    // SEGMENTS pack into 512-token bins. Without this, packByTokenBudget
+    // isolates a 5000-token doc into its own 10×-over-budget bin; with
+    // it, no bin can exceed budget by more than one straddling segment.
+    // Segment text is md5'd, so the split is byte-exact, and the bin
+    // assignment replays the same window cumsum in SQL.
+    "doc_pack_segments" -> ((s, dir) => {
+      val segs = graft.pipeline.Chunking.segmentByTokens(
+        tbl(s, dir, "documents").select("doc_id", "lang", "text"),
+        "doc_id", "text", maxTokens = 48)
+      graft.pipeline.Packing.packByTokenBudget(segs, "seg_key",
+          "n_seg_tokens", "lang", tokenBudget = 512, nShards = 4)
+        .select(col("seg_key"), col("doc_id"), col("seg_idx"), col("lang"),
+          col("n_seg_tokens"), col("shard"), col("bin"),
+          md5(col("text")).as("seg_hash"))
+        .orderBy("seg_key")
+    }),
+
     // the packing LAST MILE: each (lang, shard, bin) materialized as one
     // training row — members concatenated in key order with the \n\n
     // document separator. The assembled text hash-checks byte-for-byte,
@@ -2392,14 +2496,45 @@ object SparkEntry {
           element_at(col("resized"), 1).as("r_first"),
           element_at(col("resized"), 16).as("r_last"))
         .orderBy("id")
+    }),
+
+    // PERCEPTUAL IMAGE NEAR-DUP (the image sibling of doc_simhash_dups):
+    // aHash — integer Rec.601 luma, 8×8 box means, bit = block > mean —
+    // over the REAL decoded pixels of the image rows PLUS container-
+    // swapped twins (each payload decoded and re-encoded BMP↔P6, new id):
+    // identical pixels through a DIFFERENT parser must land identical
+    // hashes, so every twin pairs at hamming 0 and a regression in either
+    // codec or the hash kernel breaks the pair set. Candidates come from
+    // the 4×16-bit chunk banding (exact at hamming ≤ 3); the oracle
+    // recomputes the hashes from the fixture definition in SQL and
+    // brute-forces all pairs.
+    "media_phash_dups" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = tbl(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 3 === 0)
+      val base = Multimodal.syntheticMedia(imgs, "doc_id", "text")
+      val twins = base.map { m =>
+        val (w, h, px) = Multimodal.decodeFirstFrame(m.payload).get
+        val other = if (m.payload(0) == 'B') Multimodal.encodePpm(w, h, px)
+                    else Multimodal.encodeBmp(w, h, px)
+        Multimodal.MediaRow(m.id + 1000000L, other, m.meta)
+      }
+      val hashes = Multimodal.perceptualHashes(base.unionByName(twins)).toDF()
+      graft.dedup.Dedup.hammingNearDuplicates64(hashes, "id", "ahash",
+          maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
     })
   )
 
   /** BPE merge rounds the doc_bpe_merges driver query learns — chosen
     * > [[graft.analysis.Bpe.CheckpointInterval]] so the driver gate
-    * exercises the mid-loop re-checkpoint path, not just the unrolled
-    * toy depth. */
-  val BpeMergeRounds = 16
+    * exercises the mid-loop re-checkpoint path, and deep enough (64)
+    * that the BATCHED selection (maxBatch = 16) is what makes the
+    * query's job count reasonable — the scale story for real 32k-merge
+    * tokenizer training, oracle-pinned to equal sequential BPE. */
+  val BpeMergeRounds = 64
 
   /** Unrolled DuckDB CTE chain for n BPE merge rounds: p_k (weighted
     * adjacent-pair counts), m_k (argmax with the portable cnt DESC /
@@ -3135,6 +3270,36 @@ object SparkEntry {
         |  FROM d JOIN m ON true) p
         |WHERE jaccard >= 0.3
         |ORDER BY corpus_id, new_id""".stripMargin,
+    // the tombstone probe: the doc_index_append scan with the corpus CTE
+    // excluding the deleted doc_id % 7 == 0 docs — probe-after-delete
+    // must equal a fresh index over the remainder
+    "doc_index_tombstone" ->
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-2),
+        |      i -> array_to_string(w[i:i+3], ' ')) END) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM documents WHERE doc_id % 7 <> 0) t
+        |), m AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-2),
+        |      i -> array_to_string(w[i:i+3], ' ')) END) AS sh
+        |  FROM (SELECT doc_id + 1000000 AS doc_id,
+        |    string_split(trim(regexp_replace(regexp_replace(
+        |      lower(substr(text, 1, CAST(floor(length(text)*0.7) AS INT))),
+        |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM documents WHERE doc_id % 50 = 0) t
+        |)
+        |SELECT corpus_id, new_id, jaccard FROM (
+        |  SELECT d.doc_id AS corpus_id, m.doc_id AS new_id,
+        |    CAST(len(list_intersect(d.sh, m.sh)) AS DOUBLE) /
+        |      (len(d.sh) + len(m.sh) - len(list_intersect(d.sh, m.sh))) AS jaccard
+        |  FROM d JOIN m ON true) p
+        |WHERE jaccard >= 0.3
+        |ORDER BY corpus_id, new_id""".stripMargin,
     // same brute-force pair set as doc_minhash_dups, closed transitively
     // with a recursive CTE — DuckDB's reachability fixpoint oracles the
     // Spark-side large-star/small-star fixpoint
@@ -3685,6 +3850,37 @@ object SparkEntry {
         |SELECT doc_id, lang, n_tokens, shard,
         |  CAST((cum - n_tokens) // 512 AS BIGINT) AS bin
         |FROM c ORDER BY doc_id""".stripMargin,
+    // segment-then-pack: byte-exact 96-token segmentation (the doc_chunks
+    // window arithmetic at stride == window), seg_key = doc_id*2^20 +
+    // seg_idx, then the doc_pack_bins cumsum over (lang, seg_key % 4)
+    "doc_pack_segments" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |      ELSE regexp_split_to_array(trim(text), '\s+') END AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, w,
+        |    CASE WHEN len(w) <= 48 THEN 1
+        |      ELSE (len(w) - 48 + 47) // 48 + 1 END AS n_segs
+        |  FROM t),
+        |e AS (SELECT doc_id, lang, w, unnest(range(n_segs)) AS seg_idx FROM c),
+        |s AS (
+        |  SELECT doc_id, lang, seg_idx,
+        |    doc_id * 1048576 + seg_idx AS seg_key,
+        |    CAST(len(list_slice(w, seg_idx*48+1, seg_idx*48+48)) AS BIGINT)
+        |      AS n_seg_tokens,
+        |    md5(array_to_string(list_slice(w, seg_idx*48+1, seg_idx*48+48), ' '))
+        |      AS seg_hash
+        |  FROM e),
+        |p AS (SELECT *, seg_key % 4 AS shard FROM s),
+        |cc AS (
+        |  SELECT *, sum(n_seg_tokens) OVER (PARTITION BY lang, shard
+        |    ORDER BY seg_key ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM p)
+        |SELECT seg_key, doc_id, seg_idx, lang, n_seg_tokens, shard,
+        |  CAST((cum - n_seg_tokens) // 512 AS BIGINT) AS bin, seg_hash
+        |FROM cc ORDER BY seg_key""".stripMargin,
     // assembly: the same binning CTE, materialized per bin with an
     // ordered string_agg — byte-for-byte equality pins concat order,
     // separator bytes, and membership in one hash
@@ -4266,6 +4462,52 @@ object SparkEntry {
         |  SELECT doc_id, string_split(nt, ' ') AS w FROM nrm
         |  WHERE length(nt) > 0),
         |idx AS (SELECT * FROM base WHERE doc_id % 2 = 0),
+        |post AS (
+        |  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+        |  FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM idx) t
+        |  GROUP BY doc_id, term),
+        |scal AS (
+        |  SELECT count(*) AS n, CAST(sum(len(w)) AS DOUBLE) / count(*) AS avgdl
+        |  FROM idx),
+        |q AS (
+        |  SELECT doc_id AS query_id, array_to_string(w[1:5], ' ') AS qt
+        |  FROM base WHERE doc_id IN (3, 77, 201)),
+        |qt AS (
+        |  SELECT DISTINCT query_id, unnest(string_split(qt, ' ')) AS term FROM q),
+        |dfq AS (
+        |  SELECT term, count(*) AS df_t FROM post
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY term),
+        |hits AS (
+        |  SELECT qt.query_id, p.doc_id,
+        |    (n - df_t + 0.5) / (df_t + 0.5) * (tf * 2.25) /
+        |      (tf + 1.25 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) AS ts
+        |  FROM post p JOIN qt ON p.term = qt.term
+        |    JOIN dfq ON p.term = dfq.term, scal),
+        |sc AS (
+        |  SELECT query_id, doc_id,
+        |    CAST(sum(CAST(ts AS DECIMAL(28,10))) AS DOUBLE) AS score
+        |  FROM hits GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, score, rank FROM (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS rank
+        |  FROM sc) r
+        |WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin,
+    // BM25 tombstone: the doc_bm25_asof shape with the INDEXED side
+    // excluding the deleted doc_id % 7 == 0 docs — delete-by-negative-
+    // deltas must score bit-identically to a fresh build over the
+    // remainder; queries still come from the full table (77 queries on,
+    // its self-hit must be gone)
+    "doc_bm25_tombstone" ->
+      """WITH nrm AS (
+        |  SELECT doc_id, trim(regexp_replace(regexp_replace(
+        |    lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nt
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id, string_split(nt, ' ') AS w FROM nrm
+        |  WHERE length(nt) > 0),
+        |idx AS (SELECT * FROM base WHERE doc_id % 7 <> 0),
         |post AS (
         |  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
         |  FROM (SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM idx) t
@@ -4927,6 +5169,41 @@ object SparkEntry {
         |  FROM sc) r
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // int8 tombstone: the emb_topk_int8 SQL with the FULL-corpus scale
+    // (the stored scale is frozen — deletes never re-fit it) and the
+    // candidate side excluding the deleted vec_id % 5 == 0 rows; deleted
+    // ids still query as vectors, their self-hits must be gone
+    "emb_int8_tombstone" ->
+      """WITH comp AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+        |         generate_subscripts(embedding, 1) AS ord
+        |  FROM embeddings),
+        |mx AS (SELECT max(abs(x)) / 127 AS scale FROM comp),
+        |codes AS (
+        |  SELECT vec_id, ord, CAST(floor(x / scale + 0.5) AS BIGINT) AS c
+        |  FROM comp, mx),
+        |norms AS (SELECT vec_id, sum(c*c) AS n2 FROM codes GROUP BY vec_id),
+        |q AS (SELECT vec_id AS query_id, ord, c FROM codes WHERE vec_id < 8),
+        |dots AS (
+        |  SELECT q.query_id, d.vec_id, sum(q.c * d.c) AS dot
+        |  FROM q JOIN codes d ON q.ord = d.ord AND d.vec_id % 5 <> 0
+        |  GROUP BY q.query_id, d.vec_id),
+        |sc AS (
+        |  SELECT dots.query_id, dots.vec_id,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(nq.n2 AS DOUBLE)) * sqrt(CAST(nd.n2 AS DOUBLE)))
+        |      AS cosine_q
+        |  FROM dots
+        |  JOIN norms nq ON nq.vec_id = dots.query_id
+        |  JOIN norms nd ON nd.vec_id = dots.vec_id
+        |  WHERE nq.n2 > 0 AND nd.n2 > 0)
+        |SELECT query_id, vec_id, cosine_q, rank FROM (
+        |  SELECT query_id, vec_id, cosine_q,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY cosine_q DESC, vec_id) AS rank
+        |  FROM sc) r
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // int8 as-of snapshot: the emb_topk_int8 SQL with the CANDIDATE
     // side pruned to even vec_ids (the scale already fits on the even
     // half — the stored-scale contract — so codes are unchanged)
@@ -5319,6 +5596,53 @@ object SparkEntry {
         |      / 255.0
         |  END AS r_last
         |FROM s ORDER BY id""".stripMargin,
+    // perceptual hash dedup: the aHash recomputed from the fixture
+    // definition — integer Rec.601 luma per pixel, 8×8 integer-floor box
+    // means, bit = block > global mean, HUGEINT bit accumulation folded
+    // to signed BIGINT (the doc_simhash_dups precedent) — twins share
+    // the hash by construction (identical pixels), pairs brute-forced
+    "media_phash_dups" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS l,
+        |    CAST(16 + doc_id % 16 AS BIGINT) AS w,
+        |    CAST(16 + doc_id % 8 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |pixk AS (
+        |  SELECT doc_id, text, l, w, h,
+        |    unnest(generate_series(0, w * h - 1)) AS p
+        |  FROM imgs),
+        |g AS (
+        |  SELECT doc_id, w, h, p // w AS y, p % w AS x,
+        |    (299 * (CASE WHEN l = 0 THEN (3*p) % 256
+        |       ELSE (unicode(substr(text, CAST((3*p) % l AS INT) + 1, 1)) + 3*p) % 256 END)
+        |   + 587 * (CASE WHEN l = 0 THEN (3*p + 1) % 256
+        |       ELSE (unicode(substr(text, CAST((3*p + 1) % l AS INT) + 1, 1)) + 3*p + 1) % 256 END)
+        |   + 114 * (CASE WHEN l = 0 THEN (3*p + 2) % 256
+        |       ELSE (unicode(substr(text, CAST((3*p + 2) % l AS INT) + 1, 1)) + 3*p + 2) % 256 END)
+        |    ) // 1000 AS gr
+        |  FROM pixk),
+        |blk AS (
+        |  SELECT doc_id, (y * 8) // h AS by, (x * 8) // w AS bx,
+        |    sum(gr) // count(*) AS bm
+        |  FROM g GROUP BY 1, 2, 3),
+        |gm AS (SELECT doc_id, sum(bm) // 64 AS m FROM blk GROUP BY doc_id),
+        |bits AS (
+        |  SELECT blk.doc_id,
+        |    sum(CASE WHEN bm > m THEN 1::HUGEINT << CAST(by * 8 + bx AS INT)
+        |        ELSE 0::HUGEINT END) AS s
+        |  FROM blk JOIN gm ON blk.doc_id = gm.doc_id GROUP BY blk.doc_id),
+        |ah AS (
+        |  SELECT doc_id, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |    THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS h64
+        |  FROM bits),
+        |allh AS (
+        |  SELECT doc_id, h64 FROM ah
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, h64 FROM ah)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.h64, b.h64)) AS BIGINT) AS hamming
+        |FROM allh a JOIN allh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h64, b.h64)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "emb_top1_brute" ->
       """SELECT query_id, vec_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

@@ -102,8 +102,35 @@ object Bpe {
     * states (current + the one being superseded) at any instant. */
   val CheckpointInterval = 8
 
-  def learnMerges(words: DataFrame, numMerges: Int): Seq[Merge] = {
+  /**
+   * Learn merges, optionally MANY per counting round (`maxBatch` > 1) —
+   * the batching that makes 32k-merge tokenizer training a few hundred
+   * Spark jobs instead of 32k. Per round, the top pairs are fetched once
+   * and a SAFE batch is selected driver-side; safety here means the
+   * batched merge sequence is PROVABLY identical to one-at-a-time BPE
+   * (spec-pinned batched == sequential), by two rules over the
+   * (cnt desc, pair asc)-sorted fetch:
+   *
+   *  1. select a PREFIX of pairwise symbol-DISJOINT pairs, stopping at
+   *     the first pair sharing a symbol with an earlier selection —
+   *     disjoint merges cannot change each other's counts, and any pair
+   *     that COULD interact sorts after the stop point (else it would
+   *     have stopped the prefix earlier);
+   *  2. keep only selections with cnt STRICTLY above the stop point's
+   *     count (`cStop`). Merging (a,b) only creates pairs bounded by an
+   *     existing neighbor pair's count — every (x,ab) occurrence was an
+   *     (x,a) adjacency — and every neighbor pair sorts at or after the
+   *     stop point, so created or decreased pairs are capped at cStop
+   *     and can never outrank a kept merge, tie-breaks included.
+   *
+   * When rule 2 empties the batch (the top pairs tie into the unknown
+   * region), the round falls back to the plain argmax — exactly the
+   * sequential step. `maxBatch = 1` IS the classic loop.
+   */
+  def learnMerges(words: DataFrame, numMerges: Int,
+                  maxBatch: Int = 1): Seq[Merge] = {
     require(numMerges >= 1, "numMerges must be at least 1")
+    require(maxBatch >= 1, "maxBatch must be at least 1")
     val sc = words.sparkSession.sparkContext
     val reliable = sc.getCheckpointDir.isDefined
     def materialize(df: DataFrame): DataFrame =
@@ -119,28 +146,53 @@ object Bpe {
     var step = 1
     var done = false
     while (step <= numMerges && !done) {
+      // fetch headroom beyond maxBatch so the stop point is usually
+      // observed inside the fetch (otherwise the last row's count is the
+      // conservative cStop) — still a driver-tiny routing-constant list
+      val fetchK = if (maxBatch == 1) 1 else maxBatch * 4
       val top = syms
         .select(col("freq"), explode(pairsUdf(col("sym"))).as("pair"))
         .groupBy("pair").agg(sum("freq").as("cnt"))
         .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(1)
+        .limit(fetchK)
         .collect()
       if (top.isEmpty || top.head.getLong(1) < 2L) done = true
       else {
-        val pair = top.head.getString(0)
-        val cnt = top.head.getLong(1)
-        val Array(a, b) = pair.split('\u0001')
-        out += Merge(step, a, b, a + b, cnt)
-        syms = syms.withColumn("sym",
-          replace(col("sym"), lit(pair), lit(a + b)))
-        sinceCheckpoint += 1
+        val blocked = scala.collection.mutable.Set.empty[String]
+        val selected = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        var cStop = -1L
+        var i = 0
+        while (i < top.length && cStop < 0L) {
+          val pair = top(i).getString(0)
+          val cnt = top(i).getLong(1)
+          val Array(a, b) = pair.split('\u0001')
+          if (cnt < 2L) cStop = 1L // below the merge floor: known region ends
+          else if (selected.length >= maxBatch || blocked(a) || blocked(b))
+            cStop = cnt
+          else {
+            selected += ((pair, cnt)); blocked += a; blocked += b; i += 1
+          }
+        }
+        if (cStop < 0L)
+          cStop = if (top.length < fetchK) 1L else top.last.getLong(1)
+        var batch = selected.takeWhile(_._2 > cStop).toSeq
+        if (batch.isEmpty)
+          batch = Seq((top.head.getString(0), top.head.getLong(1)))
+        batch = batch.take(numMerges - step + 1)
+        batch.foreach { case (pair, cnt) =>
+          val Array(a, b) = pair.split('\u0001')
+          out += Merge(step, a, b, a + b, cnt)
+          syms = syms.withColumn("sym",
+            replace(col("sym"), lit(pair), lit(a + b)))
+          step += 1
+        }
+        sinceCheckpoint += batch.length
         if (sinceCheckpoint >= CheckpointInterval) {
           val next = materialize(syms)
           Dedup.release(syms) // superseded round's blocks, eagerly
           syms = next
           sinceCheckpoint = 0
         }
-        step += 1
       }
     }
     Dedup.release(syms) // the result is driver-side; free the last round
@@ -149,9 +201,9 @@ object Bpe {
 
   /** The learned merge table as a DataFrame — the query-surface form. */
   def learnMergesDf(spark: SparkSession, docs: DataFrame, textCol: String,
-                    numMerges: Int): DataFrame = {
+                    numMerges: Int, maxBatch: Int = 1): DataFrame = {
     import spark.implicits._
-    learnMerges(wordFrequencies(docs, textCol), numMerges)
+    learnMerges(wordFrequencies(docs, textCol), numMerges, maxBatch)
       .toDF("step", "sym_a", "sym_b", "merged", "cnt")
   }
 

@@ -383,6 +383,32 @@ object Main {
       println(s"int8-prune: $n survivors at >= $threshold -> $out")
       spark.stop()
 
+    case "bpe-learn" :: docs :: out :: rest =>
+      val numMerges = rest.headOption.map(_.toInt).getOrElse(64)
+      val maxBatch = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
+      val textCol = rest.drop(2).headOption.getOrElse("text")
+      val spark = session()
+      val t0 = System.nanoTime()
+      graft.analysis.Bpe.learnMergesDf(spark,
+          spark.read.parquet(docs), textCol, numMerges, maxBatch)
+        .write.mode("overwrite").parquet(out)
+      val secs = (System.nanoTime() - t0) / 1e9
+      val n = spark.read.parquet(out).count()
+      println(f"bpe-learn: $n merges (maxBatch=$maxBatch) in $secs%.2f s -> $out")
+      spark.stop()
+
+    case "segment-docs" :: docs :: out :: maxTokens :: rest =>
+      val overlap = rest.headOption.map(_.toInt).getOrElse(0)
+      val idCol = rest.drop(1).headOption.getOrElse("doc_id")
+      val textCol = rest.drop(2).headOption.getOrElse("text")
+      val spark = session()
+      graft.pipeline.Chunking.segmentByTokens(
+          spark.read.parquet(docs), idCol, textCol, maxTokens.toInt, overlap)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"segment-docs: $n segments at <= $maxTokens tokens -> $out")
+      spark.stop()
+
     case "index-delete" :: kind :: idx :: idsParquet :: rest =>
       // takedown lifecycle: tombstone ids out of a persisted index
       // (minhash | bm25 | int8 | ivfsq8); reads drop them immediately,
@@ -713,6 +739,8 @@ object Main {
           |  ivfsq8-prune     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
           |  index-delete     <minhash|bm25|int8|ivfsq8> <indexPath> <idsParquet> [idCol]
           |  index-vacuum     <minhash|bm25|int8|ivfsq8> <indexPath>
+          |  segment-docs     <docsParquet> <outParquet> <maxTokens> [overlap] [idCol] [textCol]
+          |  bpe-learn        <docsParquet> <outParquet> [numMerges] [maxBatch] [textCol]
           |  ivf-compact      <indexPath>
           |  ivfsq8-compact   <indexPath>
           |  int8-compact     <indexPath>

@@ -106,6 +106,9 @@ class LexiconSpec extends SparkTestBase {
       // (the as-of/compact variants run the identical scorer over a
       // pruned/folded read)
       "emb_topk_int8", "emb_int8_asof", "emb_int8_compact",
+      // the tombstone search runs the same scorer with an anti-joined
+      // (broadcast-hash, not nested-loop) delete list in front
+      "emb_int8_tombstone",
       // hard-negative mining runs the same intentional brute scorer
       "emb_hard_negatives",
       // the incremental probe/prune pair scores every stored row against

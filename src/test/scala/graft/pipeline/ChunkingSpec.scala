@@ -63,4 +63,78 @@ class ChunkingSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSeq
     assert(got === Seq(1L))
   }
+
+  // ------------------------------------------- oversized-doc segmentation
+
+  test("segmentByTokens: whales split byte-exactly, short docs pass through with metadata") {
+    val df = Seq(
+      (1L, "en", "a b c d e f g h i j"), // 10 tokens — the whale
+      (2L, "de", "x y")                  // under the limit
+    ).toDF("doc_id", "lang", "text")
+    val got = Chunking.segmentByTokens(df, "doc_id", "text", maxTokens = 4)
+      .select("doc_id", "lang", "seg_idx", "seg_key", "n_seg_tokens", "text")
+      .as[(Long, String, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._3))
+    assert(got.filter(_._1 == 1L).map(r => (r._3, r._5, r._6)).toSeq === Seq(
+      (0L, 4L, "a b c d"), (1L, 4L, "e f g h"), (2L, 2L, "i j")))
+    // short doc: single segment, text unchanged, metadata travels
+    assert(got.filter(_._1 == 2L).toSeq ===
+      Seq((2L, "de", 0L, (2L << 20) + 0L, 2L, "x y")))
+    // seg_key packs (doc, position): key order == document order
+    assert(got.map(_._4).toSeq === got.map(_._4).sorted.toSeq)
+    assert(got.head._4 === (1L << 20))
+    // overlap: stride = max - overlap, last segment reaches the end
+    val ov = Chunking.segmentByTokens(df.filter($"doc_id" === 1L),
+        "doc_id", "text", maxTokens = 4, overlap = 1)
+      .select("seg_idx", "text").as[(Long, String)].collect().sortBy(_._1)
+    assert(ov.map(_._2).toSeq ===
+      Seq("a b c d", "d e f g", "g h i j"))
+  }
+
+  test("segmentByTokens guards: key overflow raises, reserved names reject") {
+    val bad = Seq((-1L, "a b c d e")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Chunking.segmentByTokens(bad, "doc_id", "text", 2).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("seg_key would overflow"), msgs)
+    intercept[IllegalArgumentException] {
+      Chunking.segmentByTokens(
+        Seq((1L, "a", 0L)).toDF("doc_id", "text", "seg_key"),
+        "doc_id", "text", 2)
+    }
+    intercept[IllegalArgumentException] {
+      Chunking.segmentByTokens(Seq((1L, "a")).toDF("doc_id", "text"),
+        "doc_id", "text", maxTokens = 4, overlap = 4)
+    }
+  }
+
+  test("segment-then-pack: no bin exceeds budget except by one straddling segment") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "text")
+    val budget = 64L
+    val segs = Chunking.segmentByTokens(docs, "doc_id", "text", maxTokens = 32)
+    // every segment is whale-free by construction
+    assert(segs.filter($"n_seg_tokens" > 32).isEmpty)
+    val packed = Packing.packByTokenBudget(segs, "seg_key", "n_seg_tokens",
+      "lang", budget, nShards = 4)
+    val bins = packed.groupBy("lang", "shard", "bin")
+      .agg(sum("n_seg_tokens").as("tot"), max("n_seg_tokens").as("mx"),
+        count(lit(1)).as("n"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(bins.nonEmpty)
+    bins.foreach { case (lang, shard, bin, tot, mx, n) =>
+      // a bin overshoots only by (part of) its straddling LAST segment,
+      // which is itself <= maxTokens — the whale-isolation failure mode
+      // (a single doc >> budget in its own bin) is structurally gone
+      assert(tot < budget + 32,
+        s"bin ($lang,$shard,$bin) holds $tot tokens over $n segments")
+      assert(mx <= 32)
+    }
+    // without segmentation the corpus DOES have whales that overflow bins
+    val raw = docs.select(col("doc_id"), col("lang"),
+      graft.analysis.TextMetrics.tokenCountWs(col("text")).cast("long").as("n_tokens"))
+    assert(raw.filter($"n_tokens" > budget).count() > 0,
+      "fixture must contain over-budget docs for this test to bite")
+  }
 }
