@@ -230,16 +230,21 @@ object Quantize {
     val assigned = corpus.select(col(corpusId),
       SimilarityIndex.assignUdf(centers)(col(corpusVec)).as("list_id"),
       col(corpusVec))
+    // two-level layout (the ivfBuild contract): list_id stays the top
+    // partition for probe pruning; the ingest level makes appends
+    // replay-idempotent and foldable
     assigned.select(col(corpusId), col("list_id"),
         packCodesUdf(codesUdf(scale)(col(corpusVec))).as("codes"))
-      .write.mode("overwrite").partitionBy("list_id")
+      .withColumn("ingest", lit(0))
+      .write.mode("overwrite").partitionBy("list_id", "ingest")
       .parquet(s"$path/codes")
     // refine sidecar: the ORIGINAL float vectors, partitioned by the SAME
     // list assignment, so an exact re-rank reads only probed lists (see
     // ivfSq8SearchRefined). Costs the full-precision bytes back at rest —
     // opt in only when the refine path is wanted.
     if (storeRaw)
-      assigned.write.mode("overwrite").partitionBy("list_id")
+      assigned.withColumn("ingest", lit(0))
+        .write.mode("overwrite").partitionBy("list_id", "ingest")
         .parquet(s"$path/raw")
   }
 
@@ -254,7 +259,21 @@ object Quantize {
     * re-fit with [[ivfSq8Build]] when the distribution drifts). */
   def ivfSq8Append(spark: SparkSession, path: String, newVecs: DataFrame,
                    corpusId: String = "vec_id",
-                   corpusVec: String = "embedding"): Unit = {
+                   corpusVec: String = "embedding"): Unit =
+    ivfSq8AppendAt(spark, path, newVecs,
+      graft.store.Installments.nextIngest(spark, s"$path/codes"),
+      corpusId, corpusVec)
+
+  /** [[ivfSq8Append]] at an EXPLICIT ingest number — the replay-
+    * idempotent form (the `*AppendAt` contract): the batch lands as
+    * `list_id=X/ingest=N/` dirs via DYNAMIC partition overwrite, so a
+    * retry replaces exactly its own dirs — codes can never duplicate,
+    * and the raw/ sidecar rides the identical numbering so it can never
+    * drift out of lockstep. Callers own the numbering discipline
+    * ([[graft.streaming.EventStreams.ivfSq8IngestStream]]). */
+  def ivfSq8AppendAt(spark: SparkSession, path: String, newVecs: DataFrame,
+                     ingest: Int, corpusId: String = "vec_id",
+                     corpusVec: String = "embedding"): Unit = {
     val centers = SimilarityIndex.readCentroids(spark, path)
     val scale = spark.read.parquet(s"$path/meta").head().getDouble(0)
     val assigned = newVecs.select(col(corpusId),
@@ -262,13 +281,19 @@ object Quantize {
       col(corpusVec))
     assigned.select(col(corpusId), col("list_id"),
         packCodesUdf(codesUdf(scale)(col(corpusVec))).as("codes"))
-      .write.mode("append").partitionBy("list_id")
+      .withColumn("ingest", lit(ingest))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("list_id", "ingest")
       .parquet(s"$path/codes")
     // the build decided whether this index carries the refine sidecar; an
     // append must keep raw/ in lockstep with codes/ or refined searches
     // would silently stop seeing appended vectors
     if (dirExists(spark, s"$path/raw"))
-      assigned.write.mode("append").partitionBy("list_id")
+      assigned.withColumn("ingest", lit(ingest))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("list_id", "ingest")
         .parquet(s"$path/raw")
   }
 
@@ -309,8 +334,9 @@ object Quantize {
     val tmp = new Path(dir + "._compacting")
     graft.store.Tombstones.filter(spark, indexPath,
         spark.read.parquet(dir), corpusId)
+      .withColumn("ingest", lit(0)) // the ingest history folds away
       .repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id")
+      .write.mode("overwrite").partitionBy("list_id", "ingest")
       .parquet(tmp.toString)
     val rows = spark.read.parquet(tmp.toString).count()
     if (!fs.delete(out, true) || !fs.rename(tmp, out))

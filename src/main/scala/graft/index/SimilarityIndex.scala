@@ -234,8 +234,14 @@ object SimilarityIndex {
       .toDF("list_id", "centroid")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
+    // two-level layout: list_id stays the TOP partition (probe pruning),
+    // the ingest level below it is what makes appends replay-idempotent
+    // (a streaming batch overwrites exactly its own ingest dirs) and
+    // gives the IVF family the same snapshot/maintenance story as the
+    // installment indexes
     corpus.withColumn("list_id", assignUdf(centers)(col(corpusVec)))
-      .write.mode("overwrite").partitionBy("list_id")
+      .withColumn("ingest", lit(0))
+      .write.mode("overwrite").partitionBy("list_id", "ingest")
       .parquet(s"$path/assignments")
   }
 
@@ -265,10 +271,26 @@ object SimilarityIndex {
    * cadence any IVF system needs).
    */
   def ivfAppend(spark: SparkSession, path: String, newVecs: DataFrame,
-                corpusVec: String = "embedding"): Unit = {
+                corpusVec: String = "embedding"): Unit =
+    ivfAppendAt(spark, path, newVecs,
+      graft.store.Installments.nextIngest(spark, s"$path/assignments"),
+      corpusVec)
+
+  /** [[ivfAppend]] at an EXPLICIT ingest number — the replay-idempotent
+    * form for at-least-once writers (the `*AppendAt` contract): the
+    * batch lands as `list_id=X/ingest=N/` dirs via DYNAMIC partition
+    * overwrite, so a retry replaces exactly its own dirs and can never
+    * duplicate assignments. Callers own the numbering discipline
+    * ([[graft.streaming.EventStreams.ivfIngestStream]] uses
+    * `StreamInstallmentBase + batchId`). */
+  def ivfAppendAt(spark: SparkSession, path: String, newVecs: DataFrame,
+                  ingest: Int, corpusVec: String = "embedding"): Unit = {
     val centers = readCentroids(spark, path)
     newVecs.withColumn("list_id", assignUdf(centers)(col(corpusVec)))
-      .write.mode("append").partitionBy("list_id")
+      .withColumn("ingest", lit(ingest))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("list_id", "ingest")
       .parquet(s"$path/assignments")
   }
 
@@ -292,8 +314,9 @@ object SimilarityIndex {
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(aPath + "._compacting")
     spark.read.parquet(aPath)
+      .withColumn("ingest", lit(0)) // the ingest history folds away
       .repartition(col("list_id"))
-      .write.mode("overwrite").partitionBy("list_id")
+      .write.mode("overwrite").partitionBy("list_id", "ingest")
       .parquet(tmp.toString)
     val rows = spark.read.parquet(tmp.toString).count()
     if (!fs.delete(out, true) || !fs.rename(tmp, out))

@@ -35,4 +35,27 @@ object Installments {
           "is corrupt or only partially written; rebuild it (or restore " +
           "installment=0 from backup) before appending"))
   }
+
+  /** Next `ingest=` number for the IVF family's TWO-LEVEL layout
+    * (`list_id=X/ingest=N/` — list pruning stays the top-level partition,
+    * the ingest level is what makes appends replay-idempotent): one past
+    * the max ingest found under ANY list dir. Same corruption contract as
+    * [[next]]: a listing with list dirs but no ingest level means a
+    * half-written index, never a silent restart at 0. */
+  def nextIngest(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listDirs = fs.listStatus(p)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("list_id="))
+    val ingests = listDirs.flatMap(ld =>
+      fs.listStatus(ld.getPath).map(_.getPath.getName)
+        .filter(_.startsWith("ingest="))
+        .map(_.stripPrefix("ingest=").toInt))
+    ingests.reduceOption(_ max _)
+      .map(_ + 1)
+      .getOrElse(throw new IllegalStateException(
+        s"$dir exists but contains no list_id=/ingest= partitions — the " +
+          "index is corrupt or only partially written; rebuild it before " +
+          "appending"))
+  }
 }

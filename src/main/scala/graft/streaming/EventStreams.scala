@@ -557,12 +557,10 @@ object EventStreams extends Serializable {
    * soon as its installment is down; `asOfInstallment` still pins
    * snapshots. The index must exist ([[graft.index.Quantize.int8Build]]).
    *
-   * IVF note: the IVF index has no streaming form BY DESIGN — its
-   * assignments partition by `list_id`, so an idempotent per-batch
-   * partition would need a second partition level that breaks the
-   * probe's pruning layout. Stream vectors through this int8 index (or
-   * a minhash/BM25-style installment index) and fold them into IVF on a
-   * periodic `ivfAppend` + `ivfCompact` cadence instead.
+   * For the IVF family, see [[ivfIngestStream]]/[[ivfSq8IngestStream]] —
+   * the two-level `list_id=X/ingest=N` layout keeps list pruning at the
+   * top partition while the ingest level gives streaming batches their
+   * own idempotently-overwritable dirs.
    */
   def int8IngestStream(spark: SparkSession, vecs: DataFrame, indexPath: String,
                        idCol: String = "vec_id", vecCol: String = "embedding")
@@ -571,6 +569,57 @@ object EventStreams extends Serializable {
     vecs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         graft.index.Quantize.int8AppendAt(spark, indexPath, batch.toDF(),
+          StreamInstallmentBase + batchId.toInt, idCol, vecCol)
+        sink(batchId)
+        ()
+    }
+
+  /**
+   * Continuous ingest into a float IVF index — the sixth ingest loop:
+   * every micro-batch assigns against the FROZEN stored centroids
+   * (map-side) and lands as `list_id=X/ingest=N` partition dirs with
+   * `N = StreamInstallmentBase + batchId` — a pure function of batchId,
+   * written via DYNAMIC partition overwrite, so foreachBatch's
+   * at-least-once replays overwrite exactly their own dirs and can never
+   * duplicate assignments (the same replay-idempotence contract as the
+   * five installment streams; same single-writer rule). List pruning is
+   * untouched: `list_id` stays the top-level partition. Run
+   * `ivfCompact` on a maintenance cadence to fold the per-batch
+   * small-file accumulation (it also folds the ingest history to 0,
+   * after which replays of pre-compaction batches are out of contract).
+   * The index must exist (`ivfBuild`; an empty-corpus build is valid).
+   */
+  def ivfIngestStream(spark: SparkSession, vecs: DataFrame, indexPath: String,
+                      vecCol: String = "embedding")
+                     (sink: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.index.SimilarityIndex.ivfAppendAt(spark, indexPath,
+          batch.toDF(), StreamInstallmentBase + batchId.toInt, vecCol)
+        sink(batchId)
+        ()
+    }
+
+  /**
+   * Continuous ingest into an IVF-SQ8 index — the seventh ingest loop,
+   * [[ivfIngestStream]]'s quantized sibling: each batch quantizes with
+   * the STORED scale, assigns against the FROZEN centroids, and lands as
+   * its own `list_id=X/ingest=N` dirs (N = StreamInstallmentBase +
+   * batchId, dynamic overwrite — replay-idempotent). The raw/ refine
+   * sidecar, when the build stored one, rides the IDENTICAL numbering
+   * inside `ivfSq8AppendAt`, so streaming can never drift it out of
+   * lockstep with the codes. Same single-writer and compaction contract
+   * as every ingest loop.
+   */
+  def ivfSq8IngestStream(spark: SparkSession, vecs: DataFrame,
+                         indexPath: String, idCol: String = "vec_id",
+                         vecCol: String = "embedding")
+                        (sink: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.index.Quantize.ivfSq8AppendAt(spark, indexPath, batch.toDF(),
           StreamInstallmentBase + batchId.toInt, idCol, vecCol)
         sink(batchId)
         ()
