@@ -109,7 +109,7 @@ object TextAnalyzer {
 
   private final val FnvOffset = -3750763034362895579L // 14695981039346656037 unsigned
   private final val FnvPrime = 1099511628211L
-  private final val KnuthSeed = -6148914691236517115L // 11400714819323198485 unsigned
+  private final val KnuthSeed = -6148914691236517115L // 12297829382473034501 unsigned
 
   /** FNV-1a over UTF-16 code units, reduced to a dimension by unsigned modulo. */
   private def fnv(cs: Array[Char], from: Int, len: Int): Long = {

@@ -78,11 +78,31 @@ def main():
             failures += 1
         else:
             print(f"PASS {name} ({len(got_rows)} rows)")
-    # rows-only checks for non-oracled queries
+    # full Python-oracle checks for the two queries whose angle keys come
+    # from the engine's 512-d feature hash (not SQL-expressible): a
+    # faithful Python port (tools/lexicon_oracle.py) recomputes every
+    # angle bit-for-bit and replays the validate aggregates
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import lexicon_oracle
+    py_checks = {
+        "lexicon_build": lexicon_oracle.check_lexicon_build,
+        "lexicon_validate": lexicon_oracle.check_lexicon_validate,
+    }
+    # rows-only checks for any remaining non-oracled queries
     for d in sorted(glob.glob(f"{OUT_DIR}/*/")):
         name = os.path.basename(d.rstrip("/"))
         if name in oracles: continue
         files = glob.glob(f"{d}/*.parquet")
+        if name in py_checks:
+            if not files:
+                print(f"FAIL {name}: no spark output"); failures += 1; continue
+            try:
+                ok, detail = py_checks[name](con, SF_DIR, files[0])
+            except Exception as e:
+                ok, detail = False, f"python oracle error: {e}"
+            print(f"{'PASS' if ok else 'FAIL'} {name} (python-oracle: {detail})")
+            if not ok: failures += 1
+            continue
         n = con.sql(f"SELECT count(*) FROM '{files[0]}'").fetchone()[0] if files else 0
         print(f"{'PASS' if n > 0 else 'FAIL'} {name} (rows-only: {n})")
         if n == 0: failures += 1
