@@ -1547,6 +1547,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the SPAN-INDEX DELETE path (content-addressed, the lm_tombstone
+    // sibling): build windows over the whole corpus, delete the
+    // doc_id % 7 == 0 docs via negated window-count deltas, probe the
+    // near-dup batch. Stored ownership resolves as netted count > 0, so
+    // the probe must equal one-shot removal over (corpus-minus-deleted ∪
+    // batch) restricted to the batch — a window whose only occurrences
+    // were deleted stops owning, one the corpus still holds keeps owning.
+    "doc_span_tombstone" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents").select("doc_id", "text")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_span_del_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.pipeline.SpanDedup.spanIndexBuild(d, idxPath, k = 8)
+      }
+      Phases.timed("delete") {
+        graft.pipeline.SpanDedup.spanIndexDelete(s, idxPath,
+          d.filter(col("doc_id") % 7 === 0))
+      }
+      graft.pipeline.SpanDedup.spanIndexProbe(s, idxPath, mutatedDocs(s, dir))
+        .orderBy("doc_id")
+    }),
+
     // deterministic negative sampling (contrastive-pair mining): 3
     // pseudo-random non-self partners per doc via the salted hash
     // coordinate over the range-partitioned global rank — RNG-free, so
@@ -1651,6 +1674,27 @@ object SparkEntry {
       }
       graft.analysis.NgramLm.lmScoreIndexed(s, idxPath, docs,
         asOfInstallment = 0).orderBy("doc_id")
+    }),
+
+    // the LM DELETE path (content-addressed takedown): build over the
+    // whole corpus, delete the doc_id % 7 == 0 docs by writing their
+    // counts NEGATED as the next installment — no per-doc rows exist to
+    // tombstone, so the delete is in the index's own currency. Scores
+    // must be BIT-identical to a fresh build over corpus-minus-deleted
+    // (the oracle trains on doc_id % 7 <> 0 while scoring everything).
+    "doc_lm_tombstone" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_lm_del_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.analysis.NgramLm.lmIndexBuild(docs, idxPath)
+      }
+      Phases.timed("delete") {
+        graft.analysis.NgramLm.lmIndexDelete(s, idxPath,
+          docs.filter(col("doc_id") % 7 === 0))
+      }
+      graft.analysis.NgramLm.lmScoreIndexed(s, idxPath, docs).orderBy("doc_id")
     }),
 
     // C4 line-level cleaning (Raffel et al. 2020 §2.2): the fixture is
@@ -4139,6 +4183,51 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // snapshot read: the model CTEs train on the even half only; the
     // scoring side still walks every document's pairs
+    // LM tombstone: the doc_lm_asof shape with the model CTEs trained on
+    // doc_id % 7 <> 0 (corpus minus deleted) while scoring everything —
+    // negative-delta deletion must be bit-identical to the fresh build
+    "doc_lm_tombstone" ->
+      """WITH tr AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE doc_id % 7 <> 0 AND length(trim(text)) > 0),
+        |uni AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(t) AS token FROM tr) u GROUP BY token),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+        |bi AS (
+        |  SELECT t[i] || ' ' || t[i+1] AS bigram, CAST(count(*) AS BIGINT) AS c
+        |  FROM tr, unnest(range(1, len(t))) AS r(i)
+        |  WHERE len(t) >= 2 GROUP BY 1),
+        |sc AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |prs AS (
+        |  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+        |  FROM sc, unnest(range(1, len(t))) AS r(i)
+        |  WHERE len(t) >= 2),
+        |scored AS (
+        |  SELECT p.doc_id,
+        |    CASE WHEN b.c IS NOT NULL AND u1.c IS NOT NULL
+        |      THEN CAST((1000000::HUGEINT * b.c) // u1.c AS BIGINT)
+        |      ELSE CAST((2000000::HUGEINT * COALESCE(u2.c, 0))
+        |                // (5::HUGEINT * t.n_total) AS BIGINT)
+        |    END AS s
+        |  FROM prs p
+        |  LEFT JOIN bi b ON b.bigram = p.w1 || ' ' || p.w2
+        |  LEFT JOIN uni u1 ON u1.token = p.w1
+        |  LEFT JOIN uni u2 ON u2.token = p.w2
+        |  CROSS JOIN tot t),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(s) AS BIGINT) AS lm_score_sum
+        |  FROM scored GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(a.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(COALESCE(a.lm_score_sum, 0) AS BIGINT) AS lm_score_sum,
+        |  CASE WHEN COALESCE(a.n_pairs, 0) = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(a.lm_score_sum // a.n_pairs AS BIGINT) END AS lm_avg
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "doc_lm_asof" ->
       """WITH tr AS (
         |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
@@ -5003,6 +5092,60 @@ object SparkEntry {
     // probe == one-shot over corpus ∪ batch restricted to batch rows
     // (stored-always-owns == min-(doc_id,pos)-owns when corpus ids are
     // all below the +1000000 batch ids) → the SAME span SQL, filtered
+    // span-index tombstone: the doc_span_index_probe scan with the
+    // corpus side of `base` excluding the deleted doc_id % 7 == 0 docs —
+    // netted-count ownership must equal a fresh index over the remainder
+    "doc_span_tombstone" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    substr(text, 1, CAST(floor(length(text)*0.7) AS INT)) AS text
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM base WHERE length(trim(text)) > 0),
+        |wins AS (
+        |  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS h
+        |  FROM toks, unnest(range(1, len(t) - 6)) AS r(i)
+        |  WHERE len(t) >= 8),
+        |mk AS (
+        |  SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      count(*) OVER (PARTITION BY h) AS cnt,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |    FROM wins) w
+        |  WHERE cnt >= 2 AND rn > 1),
+        |alltok AS (
+        |  SELECT doc_id, i, t[i] AS tok
+        |  FROM toks, unnest(range(1, len(t) + 1)) AS r(i)),
+        |kept AS (
+        |  SELECT a.doc_id, a.i, a.tok FROM alltok a
+        |  WHERE NOT EXISTS (SELECT 1 FROM mk m
+        |    WHERE m.doc_id = a.doc_id
+        |      AND a.i - 1 >= m.pos AND a.i - 1 < m.pos + 8)),
+        |cln AS (
+        |  SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+        |    CAST(count(*) AS BIGINT) AS n_kept
+        |  FROM kept GROUP BY doc_id),
+        |sp AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans FROM (
+        |    SELECT doc_id, pos,
+        |      lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS pp
+        |    FROM mk) s
+        |  WHERE pp IS NULL OR pos - pp >= 8
+        |  GROUP BY doc_id),
+        |nt AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM toks)
+        |SELECT b.doc_id,
+        |  COALESCE(c.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(nt.n, 0) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed,
+        |  CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans
+        |FROM base b
+        |LEFT JOIN nt ON nt.doc_id = b.doc_id
+        |LEFT JOIN cln c ON c.doc_id = b.doc_id
+        |LEFT JOIN sp ON sp.doc_id = b.doc_id
+        |WHERE b.doc_id >= 1000000
+        |ORDER BY b.doc_id""".stripMargin,
     "doc_span_index_probe" ->
       """WITH base AS (
         |  SELECT doc_id, text FROM documents

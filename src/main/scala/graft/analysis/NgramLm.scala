@@ -207,6 +207,39 @@ object NgramLm {
       .write.mode("overwrite").parquet(s"$path/tot/installment=$installment")
   }
 
+  /**
+   * Delete documents from the model — the delete half of the installment
+   * lifecycle, in the index's OWN currency: the count tables store no
+   * per-document rows, so a delete is content-addressed — it takes the
+   * deleted DOCUMENTS and writes their counts NEGATED as the next
+   * installment (the bm25IndexDelete negative-delta precedent, with no
+   * tombstone list needed: reads are delta sums, so the netted counts ARE
+   * the post-delete model). Because minCount pruning applies to the
+   * SUMMED totals at read time, score-after-delete is bit-identical to a
+   * fresh build over corpus-minus-deleted, pruning included.
+   *
+   * Contract: `deletedDocs` must be EXACTLY text previously folded in
+   * (build/append/ingest) — deleting unindexed or already-deleted text
+   * double-subtracts (the delete sibling of the new-docs-only append
+   * rule). Sequential with appends (shared `tot/` numbering);
+   * [[lmIndexCompact]] folds the negative deltas physically. Returns the
+   * installment written.
+   */
+  def lmIndexDelete(spark: org.apache.spark.sql.SparkSession, path: String,
+                    deletedDocs: DataFrame, textCol: String = "text"): Int = {
+    val next = graft.store.Installments.next(spark, s"$path/tot")
+    unigramCounts(deletedDocs, textCol)
+      .select(col("token"), (-col("c")).cast("long").as("c"))
+      .write.mode("overwrite").parquet(s"$path/uni/installment=$next")
+    bigramCounts(deletedDocs, textCol)
+      .select(col("bigram"), (-col("c")).cast("long").as("c"))
+      .write.mode("overwrite").parquet(s"$path/bi/installment=$next")
+    totalTokens(deletedDocs, textCol)
+      .select((-col("_lm_n_total")).cast("long").as("n_total"))
+      .write.mode("overwrite").parquet(s"$path/tot/installment=$next")
+    next
+  }
+
   /** Maintenance (the bm25IndexCompact analog): fold every table's delta
     * history into ONE `installment=0` partition via a fully-materialized
     * side dir + delete+rename swap — a concurrent read sees either the
@@ -228,9 +261,11 @@ object NgramLm {
       rows
     }
     val vocab = swap("uni", spark.read.parquet(s"$path/uni")
-      .groupBy("token").agg(sum("c").as("c")))
+      .groupBy("token").agg(sum("c").as("c"))
+      .filter(col("c") =!= 0)) // fully-deleted tokens fold away physically
     swap("bi", spark.read.parquet(s"$path/bi")
-      .groupBy("bigram").agg(sum("c").as("c")))
+      .groupBy("bigram").agg(sum("c").as("c"))
+      .filter(col("c") =!= 0))
     swap("tot", spark.read.parquet(s"$path/tot")
       .agg(sum("n_total").cast("long").as("n_total")))
     vocab

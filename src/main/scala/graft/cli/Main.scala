@@ -409,24 +409,31 @@ object Main {
       println(s"segment-docs: $n segments at <= $maxTokens tokens -> $out")
       spark.stop()
 
-    case "index-delete" :: kind :: idx :: idsParquet :: rest =>
-      // takedown lifecycle: tombstone ids out of a persisted index
-      // (minhash | bm25 | int8 | ivfsq8); reads drop them immediately,
-      // the matching vacuum/compact folds them physically
-      val idCol = rest.headOption.getOrElse(
-        if (kind == "int8" || kind == "ivfsq8") "vec_id" else "doc_id")
+    case "index-delete" :: kind :: idx :: delParquet :: rest =>
+      // takedown lifecycle: remove documents from a persisted index.
+      // minhash | bm25 | int8 | ivfsq8 take an ID list (tombstone
+      // sidecar); lm | span are content-addressed — they take the deleted
+      // DOCS and write negative count deltas. Reads reflect the delete
+      // immediately; the matching vacuum/compact folds it physically.
+      val col1 = rest.headOption.getOrElse(kind match {
+        case "int8" | "ivfsq8" => "vec_id"
+        case "lm" | "span"     => "text"
+        case _                 => "doc_id"
+      })
       val spark = session()
-      val ids = spark.read.parquet(idsParquet)
-      val n = ids.count()
+      val del = spark.read.parquet(delParquet)
+      val n = del.count()
       kind match {
-        case "minhash" => graft.dedup.Dedup.minhashIndexDelete(spark, idx, ids, idCol)
-        case "bm25"    => graft.index.Bm25.bm25IndexDelete(spark, idx, ids, idCol)
-        case "int8"    => graft.index.Quantize.int8Delete(spark, idx, ids, idCol)
-        case "ivfsq8"  => graft.index.Quantize.ivfSq8Delete(spark, idx, ids, idCol)
+        case "minhash" => graft.dedup.Dedup.minhashIndexDelete(spark, idx, del, col1)
+        case "bm25"    => graft.index.Bm25.bm25IndexDelete(spark, idx, del, col1)
+        case "int8"    => graft.index.Quantize.int8Delete(spark, idx, del, col1)
+        case "ivfsq8"  => graft.index.Quantize.ivfSq8Delete(spark, idx, del, col1)
+        case "lm"      => graft.analysis.NgramLm.lmIndexDelete(spark, idx, del, col1)
+        case "span"    => graft.pipeline.SpanDedup.spanIndexDelete(spark, idx, del, col1)
         case other => sys.error(s"unknown index kind '$other' " +
-          "(expected minhash | bm25 | int8 | ivfsq8)")
+          "(expected minhash | bm25 | int8 | ivfsq8 | lm | span)")
       }
-      println(s"index-delete: $n ids tombstoned out of $kind index $idx")
+      println(s"index-delete: $n rows deleted from $kind index $idx")
       spark.stop()
 
     case "index-vacuum" :: kind :: idx :: Nil =>
@@ -436,8 +443,10 @@ object Main {
         case "bm25"    => graft.index.Bm25.bm25IndexVacuum(spark, idx)
         case "int8"    => graft.index.Quantize.int8Compact(spark, idx)
         case "ivfsq8"  => graft.index.Quantize.ivfSq8Compact(spark, idx)
+        case "lm"      => graft.analysis.NgramLm.lmIndexCompact(spark, idx)
+        case "span"    => graft.pipeline.SpanDedup.spanIndexCompact(spark, idx)
         case other => sys.error(s"unknown index kind '$other' " +
-          "(expected minhash | bm25 | int8 | ivfsq8)")
+          "(expected minhash | bm25 | int8 | ivfsq8 | lm | span)")
       }
       println(s"index-vacuum: $kind index folded to $rows surviving rows in $idx")
       spark.stop()
@@ -737,8 +746,8 @@ object Main {
           |  int8-prune       <indexPath> <vecsParquet> <outParquet> [threshold]
           |  ivfsq8-probe     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
           |  ivfsq8-prune     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
-          |  index-delete     <minhash|bm25|int8|ivfsq8> <indexPath> <idsParquet> [idCol]
-          |  index-vacuum     <minhash|bm25|int8|ivfsq8> <indexPath>
+          |  index-delete     <minhash|bm25|int8|ivfsq8|lm|span> <indexPath> <idsOrDocsParquet> [idOrTextCol]
+          |  index-vacuum     <minhash|bm25|int8|ivfsq8|lm|span> <indexPath>
           |  segment-docs     <docsParquet> <outParquet> <maxTokens> [overlap] [idCol] [textCol]
           |  bpe-learn        <docsParquet> <outParquet> [numMerges] [maxBatch] [textCol]
           |  ivf-compact      <indexPath>

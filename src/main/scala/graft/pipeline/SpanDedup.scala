@@ -162,6 +162,35 @@ object SpanDedup {
       .groupBy("h").agg(count(lit(1)).as("c"))
       .write.mode("overwrite").parquet(s"$path/wins/installment=$installment")
 
+  /**
+   * Delete documents from the window index — content-addressed, like
+   * [[graft.analysis.NgramLm.lmIndexDelete]]: the index stores only
+   * (window-hash, count) deltas, so a delete takes the deleted DOCUMENTS
+   * and writes their window counts NEGATED as the next installment. The
+   * probe resolves existence as `sum(c) > 0` per touched hash, so a
+   * window whose every occurrence was deleted stops owning spans exactly
+   * as in a fresh index over corpus-minus-deleted; a window the corpus
+   * still holds elsewhere keeps owning (its netted count stays > 0).
+   *
+   * Contract: `deletedDocs` must be EXACTLY text previously folded in —
+   * double-deleting double-subtracts (the shared delete-sibling rule).
+   * Sequential with appends; [[spanIndexCompact]] folds the negatives
+   * physically. Returns the installment written.
+   */
+  def spanIndexDelete(spark: org.apache.spark.sql.SparkSession, path: String,
+                      deletedDocs: DataFrame,
+                      textCol: String = "text"): Int = {
+    guard(deletedDocs)
+    val k = spark.read.parquet(s"$path/meta").head().getInt(0)
+    val next = graft.store.Installments.next(spark, s"$path/wins")
+    deletedDocs
+      .select(posexplode(windowsUdf(k)(col(textCol))).as(Seq("_sd_pos", "_sd_w")))
+      .select(md5(col("_sd_w")).as("h"))
+      .groupBy("h").agg((-count(lit(1))).as("c"))
+      .write.mode("overwrite").parquet(s"$path/wins/installment=$next")
+    next
+  }
+
   /** Maintenance: fold the per-installment count deltas into ONE
     * `installment=0` partition via a side-dir materialization +
     * delete+rename swap (a concurrent probe sees old or new, identical
@@ -173,6 +202,7 @@ object SpanDedup {
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(s"$path/wins._compacting")
     spark.read.parquet(s"$path/wins").groupBy("h").agg(sum("c").as("c"))
+      .filter(col("c") =!= 0) // fully-deleted windows fold away physically
       .write.mode("overwrite").parquet(new Path(tmp, "installment=0").toString)
     val rows = spark.read.parquet(tmp.toString).count()
     if (!fs.delete(out, true) || !fs.rename(tmp, out))
@@ -216,12 +246,16 @@ object SpanDedup {
       .select(col(idCol), col("_sd_pos"), md5(col("_sd_w")).as("_sd_h"))
 
     // stored hashes the batch touches — the stored scan is filtered
-    // map-side against the broadcast batch-hash set and returns a result
-    // bounded by the batch's window count
+    // map-side against the broadcast batch-hash set, then each touched
+    // hash's delta rows NET (sum over installments — a deleted window's
+    // negatives cancel its original counts, so existence is sum > 0);
+    // the aggregate exchange is bounded by the batch's window count
     val storedHits = snapshot(spark.read.parquet(s"$path/wins"))
-      .select(col("h").as("_sd_h"))
+      .select(col("h").as("_sd_h"), col("c"))
       .join(bb(wins.select(col("_sd_h")).distinct()), Seq("_sd_h"), "left_semi")
-      .distinct()
+      .groupBy("_sd_h").agg(sum(col("c")).as("_sd_netc"))
+      .filter(col("_sd_netc") > 0)
+      .select(col("_sd_h"))
 
     val internal = wins.groupBy("_sd_h")
       .agg(count(lit(1)).as("_sd_cnt"),

@@ -31,6 +31,28 @@ class NgramLmIndexSpec extends SparkTestBase {
     assert(indexed === oneShot)
   }
 
+  test("delete: negative deltas score bit-identically to a fresh build over the remainder") {
+    val path = tmp("lm-del")
+    NgramLm.lmIndexBuild(docs, path)
+    NgramLm.lmIndexDelete(spark, path, odd)
+    val afterDelete = collected(NgramLm.lmScoreIndexed(spark, path, docs))
+    val freshPath = tmp("lm-del-fresh")
+    NgramLm.lmIndexBuild(even, freshPath)
+    val fresh = collected(NgramLm.lmScoreIndexed(spark, freshPath, docs))
+    assert(afterDelete === fresh)
+    // minCount pruning applies to NETTED counts — exercise a threshold
+    val prunedDel = collected(
+      NgramLm.lmScoreIndexed(spark, path, docs, minCount = 3L))
+    val prunedFresh = collected(
+      NgramLm.lmScoreIndexed(spark, freshPath, docs, minCount = 3L))
+    assert(prunedDel === prunedFresh)
+    // compaction folds the negatives physically: fully-deleted tokens
+    // leave the uni table, scores unchanged
+    NgramLm.lmIndexCompact(spark, path)
+    assert(spark.read.parquet(s"$path/uni").filter(col("c") <= 0).isEmpty)
+    assert(collected(NgramLm.lmScoreIndexed(spark, path, docs)) === fresh)
+  }
+
   test("asOfInstallment pins scoring to the snapshot model") {
     val path = tmp("lm-asof")
     NgramLm.lmIndexBuild(even, path)

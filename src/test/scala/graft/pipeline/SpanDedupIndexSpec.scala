@@ -38,6 +38,26 @@ class SpanDedupIndexSpec extends SparkTestBase {
     assert(probed.exists(_._3 > 0))
   }
 
+  test("delete: netted window counts probe like a fresh index over the remainder") {
+    val path = tmp("span-del")
+    val even = corpus.filter(col("doc_id") % 2 === 0)
+    val odd = corpus.filter(col("doc_id") % 2 === 1)
+    SpanDedup.spanIndexBuild(corpus, path, k = 8)
+    SpanDedup.spanIndexDelete(spark, path, odd)
+    val probed = collected(SpanDedup.spanIndexProbe(spark, path, batch))
+    val freshPath = tmp("span-del-fresh")
+    SpanDedup.spanIndexBuild(even, freshPath, k = 8)
+    val fresh = collected(SpanDedup.spanIndexProbe(spark, freshPath, batch))
+    assert(probed === fresh)
+    // a window the corpus still holds elsewhere keeps owning: the batch's
+    // even-sourced copies (doc_id % 10 == 0 is even) must still be marked
+    assert(probed.exists(_._3 > 0))
+    // compaction folds the negatives physically and preserves results
+    SpanDedup.spanIndexCompact(spark, path)
+    assert(spark.read.parquet(s"$path/wins").filter(col("c") <= 0).isEmpty)
+    assert(collected(SpanDedup.spanIndexProbe(spark, path, batch)) === fresh)
+  }
+
   test("asOfInstallment pins the probe to the snapshot hash set") {
     val path = tmp("span-asof")
     val even = corpus.filter(col("doc_id") % 2 === 0)
