@@ -2569,6 +2569,29 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // ONE-CALL image dedup (the minhashPrune shape for pixels): the same
+    // fixture pruned — hash, hamming-band pairs, transitive clusters,
+    // keep-min — so every container twin drops in favor of its original
+    // and natural hash-collision clusters keep exactly their min id. The
+    // oracle replays hash → brute pairs → recursive-CTE CC → keep-min.
+    "media_phash_prune" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = tbl(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 3 === 0)
+      val base = Multimodal.syntheticMedia(imgs, "doc_id", "text")
+      val twins = base.map { m =>
+        val (w, h, px) = Multimodal.decodeFirstFrame(m.payload).get
+        val other = if (m.payload(0) == 'B') Multimodal.encodePpm(w, h, px)
+                    else Multimodal.encodeBmp(w, h, px)
+        Multimodal.MediaRow(m.id + 1000000L, other, m.meta)
+      }
+      Multimodal.phashPrune(base.unionByName(twins), maxHamming = 3,
+          broadcastDrop = true)
+        .toDF()
+        .select(col("id"))
+        .orderBy("id")
     })
   )
 
@@ -5786,6 +5809,63 @@ object SparkEntry {
         |FROM allh a JOIN allh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h64, b.h64)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
+    // one-call prune: the phash pair set closed transitively with the
+    // recursive-CTE CC, keep-min per component — survivors are every id
+    // that is its own representative
+    "media_phash_prune" ->
+      """WITH RECURSIVE imgs AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS l,
+        |    CAST(16 + doc_id % 16 AS BIGINT) AS w,
+        |    CAST(16 + doc_id % 8 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |pixk AS (
+        |  SELECT doc_id, text, l, w, h,
+        |    unnest(generate_series(0, w * h - 1)) AS p
+        |  FROM imgs),
+        |g AS (
+        |  SELECT doc_id, w, h, p // w AS y, p % w AS x,
+        |    (299 * (CASE WHEN l = 0 THEN (3*p) % 256
+        |       ELSE (unicode(substr(text, CAST((3*p) % l AS INT) + 1, 1)) + 3*p) % 256 END)
+        |   + 587 * (CASE WHEN l = 0 THEN (3*p + 1) % 256
+        |       ELSE (unicode(substr(text, CAST((3*p + 1) % l AS INT) + 1, 1)) + 3*p + 1) % 256 END)
+        |   + 114 * (CASE WHEN l = 0 THEN (3*p + 2) % 256
+        |       ELSE (unicode(substr(text, CAST((3*p + 2) % l AS INT) + 1, 1)) + 3*p + 2) % 256 END)
+        |    ) // 1000 AS gr
+        |  FROM pixk),
+        |blk AS (
+        |  SELECT doc_id, (y * 8) // h AS by, (x * 8) // w AS bx,
+        |    sum(gr) // count(*) AS bm
+        |  FROM g GROUP BY 1, 2, 3),
+        |gm AS (SELECT doc_id, sum(bm) // 64 AS m FROM blk GROUP BY doc_id),
+        |bits AS (
+        |  SELECT blk.doc_id,
+        |    sum(CASE WHEN bm > m THEN 1::HUGEINT << CAST(by * 8 + bx AS INT)
+        |        ELSE 0::HUGEINT END) AS s
+        |  FROM blk JOIN gm ON blk.doc_id = gm.doc_id GROUP BY blk.doc_id),
+        |ah AS (
+        |  SELECT doc_id, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |    THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS h64
+        |  FROM bits),
+        |allh AS (
+        |  SELECT doc_id, h64 FROM ah
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, h64 FROM ah),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM allh a JOIN allh b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.h64, b.h64)) <= 3),
+        |e AS (
+        |  SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e) n
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON reach.u = e.v
+        |), lab AS (
+        |  SELECT u AS id, min(r) AS rep FROM reach GROUP BY u
+        |), drp AS (SELECT id FROM lab WHERE id <> rep)
+        |SELECT a.doc_id AS id FROM allh a
+        |LEFT JOIN drp d ON a.doc_id = d.id
+        |WHERE d.id IS NULL
+        |ORDER BY id""".stripMargin,
     "emb_top1_brute" ->
       """SELECT query_id, vec_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

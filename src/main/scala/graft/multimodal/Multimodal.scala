@@ -567,6 +567,38 @@ object Multimodal {
     }
   }
 
+  /**
+   * One-call perceptual image dedup — the [[graft.dedup.Dedup.minhashPrune]]
+   * shape for the image modality: hash every decodable image
+   * ([[perceptualHashes]]), find hamming near-dup pairs
+   * ([[graft.dedup.Dedup.hammingNearDuplicates64]] — banded, exact at the
+   * threshold), resolve transitive clusters, keep each cluster's min-id
+   * representative, return the surviving MEDIA rows with their original
+   * schema. Rows that don't hash (audio, corrupt, sub-grid) survive
+   * untouched — only demonstrated near-duplicates drop.
+   *
+   * Scale shape: hashing is one mapPartitions pass; the pair join is the
+   * 4×16-bit chunk bucket join (one shuffle, no cross join); CC runs on
+   * the pair list (≪ corpus); the ids-only drop list anti-joins back
+   * (`broadcastDrop = true` when the dup set is known small). Call
+   * [[graft.dedup.Dedup.release]] on the result to free the CC
+   * checkpoint blocks eagerly.
+   */
+  def phashPrune(media: Dataset[MediaRow], maxHamming: Int = 3,
+                 useDhash: Boolean = false,
+                 broadcastDrop: Boolean = false): Dataset[MediaRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = perceptualHashes(media).toDF()
+    val pairs = graft.dedup.Dedup.hammingNearDuplicates64(
+      hashes, "id", if (useDhash) "dhash" else "ahash", maxHamming)
+    val labels = graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    val drop = labels.filter(col("id") =!= col("rep"))
+      .select(col("id"))
+    val dropSide = if (broadcastDrop) broadcast(drop) else drop
+    media.toDF().join(dropSide, Seq("id"), "left_anti").as[MediaRow]
+  }
+
   final case class AudioStats(id: Long, n_samples: Long, sum_sq_dev: Long,
                               peak_dev: Long, zero_crossings: Long)
 

@@ -282,6 +282,25 @@ class MultimodalSpec extends SparkTestBase {
     assert(none === 0L)
   }
 
+  test("phashPrune keeps cluster minima; non-hashable rows survive untouched") {
+    val px = halfImage(10, 200)
+    val rows = Seq(
+      mediaRow(1L, Multimodal.encodePpm(16, 16, px)),
+      mediaRow(2L, Multimodal.encodeBmp(16, 16, px)),     // twin of 1 → drops
+      mediaRow(3L, Multimodal.encodePpm(16, 16, halfImage(200, 10))), // distinct
+      mediaRow(4L, Multimodal.encodeWav(16000, Array.fill(32)(5.toShort))), // audio
+      mediaRow(5L, Array[Byte](9, 9, 9))                  // corrupt
+    ).toDS()
+    val survivors = Multimodal.phashPrune(rows, maxHamming = 0)
+      .map(_.id).collect().toSet
+    assert(survivors === Set(1L, 3L, 4L, 5L),
+      s"twin must drop, audio/corrupt must survive: $survivors")
+    // broadcast dual path + schema round-trip
+    val viaBroadcast = Multimodal.phashPrune(rows, maxHamming = 0,
+      broadcastDrop = true).map(_.id).collect().toSet
+    assert(viaBroadcast === survivors)
+  }
+
   test("phash + hammingNearDuplicates64 close the image-dedup loop") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(90)
       .filter($"doc_id" % 3 === 0)
