@@ -575,6 +575,33 @@ object EventStreams extends Serializable {
     }
 
   /**
+   * Continuous TAKEDOWN ingest — the delete mirror of the ingest loops:
+   * each micro-batch of deleted ids lands as its own
+   * `deletes/installment = StreamInstallmentBase + batchId` partition of
+   * an int8/IVF-SQ8 index's tombstone sidecar
+   * ([[graft.index.Quantize.int8DeleteAt]] — a replay overwrites its own
+   * partition, so at-least-once delivery can never bloat the tombstone
+   * set). Searches and probes reflect each batch as soon as its
+   * partition is down (takedown semantics — snapshots included); the
+   * next compaction folds the deletions physically and clears the
+   * sidecar, after which replays of pre-compaction batches are out of
+   * contract (the standing single-writer rule, shared with every ingest
+   * loop). One delete stream OR one sequential deleter per index —
+   * concurrent writers would need disjoint numbering ranges.
+   */
+  def tombstoneIngestStream(spark: SparkSession, ids: DataFrame,
+                            indexPath: String, idCol: String = "vec_id")
+                           (sink: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    ids.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.index.Quantize.int8DeleteAt(spark, indexPath, batch.toDF(),
+          StreamInstallmentBase + batchId.toInt, idCol)
+        sink(batchId)
+        ()
+    }
+
+  /**
    * Continuous ingest into a float IVF index — the sixth ingest loop:
    * every micro-batch assigns against the FROZEN stored centroids
    * (map-side) and lands as `list_id=X/ingest=N` partition dirs with

@@ -118,6 +118,39 @@ class IvfIngestStreamSpec extends SparkTestBase {
     assert(all.filter($"vec_id" >= 70 && $"vec_id" < 75).count() === 5)
   }
 
+  test("tombstone ingest: streamed deletes take effect immediately; replay idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val idxPath = java.nio.file.Files.createTempDirectory("int8-del-stream")
+      .resolve("idx").toString
+    Quantize.int8Build(embs.filter($"vec_id" < 50), idxPath)
+    val input = MemoryStream[Long]
+    val q = EventStreams.tombstoneIngestStream(spark,
+      input.toDF().toDF("vec_id"), idxPath)().start()
+    input.addData(0L, 1L, 2L)
+    q.processAllAvailable()
+    input.addData(3L)
+    q.processAllAvailable()
+    q.stop()
+    val queries = embs.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val hits = Quantize.int8SearchIndexed(spark, idxPath, queries, k = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(hits.intersect(Set(0L, 1L, 2L, 3L)).isEmpty,
+      s"streamed tombstones leaked into search: $hits")
+    // replay idempotence: same batch id, same partition — no bloat
+    val inst = EventStreams.StreamInstallmentBase
+    Quantize.int8DeleteAt(spark, idxPath, Seq(10L).toDF("vec_id"), inst + 99)
+    val once = spark.read.parquet(s"$idxPath/deletes").count()
+    Quantize.int8DeleteAt(spark, idxPath, Seq(10L).toDF("vec_id"), inst + 99)
+    assert(spark.read.parquet(s"$idxPath/deletes").count() === once)
+    // compaction folds and clears; deleted rows stay gone
+    Quantize.int8Compact(spark, idxPath)
+    assert(!graft.store.Tombstones.any(spark, idxPath))
+    val after = Quantize.int8SearchIndexed(spark, idxPath, queries, k = 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(after.intersect(Set(0L, 1L, 2L, 3L, 10L)).isEmpty)
+  }
+
   test("list pruning survives the two-level layout") {
     val idxPath = java.nio.file.Files.createTempDirectory("ivfsq8-prune2")
       .resolve("idx").toString
