@@ -112,8 +112,10 @@ class LexiconSpec extends SparkTestBase {
       // hard-negative mining runs the same intentional brute scorer
       "emb_hard_negatives",
       // the incremental probe/prune pair scores every stored row against
-      // the broadcast batch by design (the exactness-over-LSH contract)
-      "emb_incremental_dedup", "emb_probe_prune",
+      // the broadcast batch by design (the exactness-over-LSH contract);
+      // the IVF-routed prune prunes the STORED side to probed lists but
+      // its batch-internal pair pass is the same bounded self-scorer
+      "emb_incremental_dedup", "emb_probe_prune", "emb_ivfsq8_probe_prune",
       // the refined flat search generates its candidate pool through the
       // same intentional brute scorer before the equi-join re-rank
       "emb_topk_int8_refined",
@@ -129,6 +131,7 @@ class LexiconSpec extends SparkTestBase {
       "doc_tfidf_vectors",
       // NgramLm broadcasts a ONE-ROW total-token aggregate (N)
       "doc_ngram_lm_score", "doc_lm_append", "doc_lm_asof",
+      "doc_lm_tombstone",
       // importance weighting broadcasts TWO one-row totals (target + raw)
       "doc_dsir_sample")
 
