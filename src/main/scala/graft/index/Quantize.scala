@@ -655,7 +655,8 @@ object Quantize {
                          threshold: Double, nprobe: Int = 8,
                          corpusId: String = "vec_id",
                          idCol: String = "vec_id",
-                         vecCol: String = "embedding"): DataFrame = {
+                         vecCol: String = "embedding",
+                         asOfIngest: Int = Int.MaxValue): DataFrame = {
     import spark.implicits._
     val centers = SimilarityIndex.readCentroids(spark, path)
     val scale = spark.read.parquet(s"$path/meta").head().getDouble(0)
@@ -669,10 +670,16 @@ object Quantize {
         codesUdf(scale)(col(vecCol)).as("_qc"))
       .withColumn("_qn", normSqUdf(col("_qc")))
       .filter(col("_qn") > 0)
-    val c = graft.store.Tombstones.filter(spark, path,
-        spark.read.parquet(s"$path/codes")
-          .filter(col("list_id").isin(probedLists: _*)),
-        corpusId)
+    // asOfIngest pins the stored side to a fixed ingest history (the
+    // second-level partition prunes alongside list_id) — what lets a
+    // replayed dedup-ingest batch probe exactly what its first attempt
+    // probed (see EventStreams.ivfSq8DedupIngestStream); tombstones
+    // still apply in full (takedown semantics)
+    val codes0 = spark.read.parquet(s"$path/codes")
+      .filter(col("list_id").isin(probedLists: _*))
+    val codes1 = if (asOfIngest == Int.MaxValue) codes0
+      else codes0.filter(col("ingest") <= asOfIngest)
+    val c = graft.store.Tombstones.filter(spark, path, codes1, corpusId)
       .select(col(corpusId).as("corpus_id"), col("list_id"),
         unpackCodesUdf(col("codes")).as("_cc"))
       .withColumn("_cn", normSqUdf(col("_cc")))
@@ -706,11 +713,12 @@ object Quantize {
                        threshold: Double, nprobe: Int = 8,
                        corpusId: String = "vec_id",
                        idCol: String = "vec_id", vecCol: String = "embedding",
-                       broadcastDrop: Boolean = false): DataFrame = {
+                       broadcastDrop: Boolean = false,
+                       asOfIngest: Int = Int.MaxValue): DataFrame = {
     require(!newVecs.columns.exists(_.startsWith("_ip_")),
       "ivfSq8ProbePrune reserves internal column names starting with _ip_")
     val stored = ivfSq8NearDupProbe(spark, path, newVecs, threshold, nprobe,
-      corpusId, idCol, vecCol)
+      corpusId, idCol, vecCol, asOfIngest)
       .select(col("corpus_id").as("id_a"), col("new_id").as("id_b"))
       .localCheckpoint()
     val scale = spark.read.parquet(s"$path/meta").head().getDouble(0)

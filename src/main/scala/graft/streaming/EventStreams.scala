@@ -653,6 +653,46 @@ object EventStreams extends Serializable {
     }
 
   /**
+   * The IVF-routed incremental-embedding-dedup loop as one stream —
+   * [[int8DedupIngestStream]] priced at |probed lists| per batch instead
+   * of |corpus|: each micro-batch prunes against the index through the
+   * partition-pruned [[graft.index.Quantize.ivfSq8ProbePrune]] (the IVF
+   * recall contract on candidate coverage; scores stay bit-exact) and
+   * the survivors fold in as that batch's `ingest` dirs.
+   *
+   * Replay idempotence is the int8 loop's argument transposed to the
+   * ingest level: the probe reads the index AS OF `ingest =
+   * StreamInstallmentBase + batchId − 1` — a pure function of batchId
+   * that excludes this batch's own (possibly landed) dirs and any later
+   * ones — so a replay probes exactly what the first attempt probed and
+   * the dynamic-partition overwrite reproduces the same survivors.
+   * Between-compactions caveat as everywhere (compaction folds ingest
+   * history to 0). The index must exist (`ivfSq8Build`; an empty-corpus
+   * build is valid and makes the stream self-bootstrapping).
+   */
+  def ivfSq8DedupIngestStream(spark: SparkSession, vecs: DataFrame,
+                              indexPath: String, threshold: Double,
+                              nprobe: Int = 8,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding")
+                             (sink: (Long, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val ingest = StreamInstallmentBase + batchId.toInt
+        val survivors = graft.index.Quantize.ivfSq8ProbePrune(spark,
+          indexPath, batch.toDF(), threshold, nprobe, idCol, idCol, vecCol,
+          asOfIngest = ingest - 1)
+        graft.index.Quantize.ivfSq8AppendAt(spark, indexPath, survivors,
+          ingest, idCol, vecCol)
+        graft.dedup.Dedup.release(survivors)
+        val kept = spark.read.parquet(s"$indexPath/codes")
+          .filter(col("ingest") === ingest).count()
+        sink(batchId, kept)
+        ()
+    }
+
+  /**
    * The COMPLETE incremental-embedding-dedup loop as one stream: each
    * micro-batch is pruned against the index
    * ([[graft.index.Quantize.int8ProbePrune]] — drop rows whose duplicate

@@ -151,6 +151,72 @@ class IvfIngestStreamSpec extends SparkTestBase {
     assert(after.intersect(Set(0L, 1L, 2L, 3L, 10L)).isEmpty)
   }
 
+  test("IVF-SQ8 dedup ingest: prunes per batch against the growing index") {
+    implicit val sqlCtx = spark.sqlContext
+    val idxPath = java.nio.file.Files.createTempDirectory("ivfsq8-dedup-stream")
+      .resolve("idx").toString
+    val seed = embs.filter($"vec_id" < 50)
+    Quantize.ivfSq8Build(seed, idxPath, nlist = 4, fitSampleFraction = 1.0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Array[Float])].collect().toSeq
+    // b1: 5 fresh + 2 exact twins of seed rows (must drop — an exact twin
+    // routes to its stored copy's own list, so even nprobe=1 finds it)
+    val fresh = rows(embs.filter($"vec_id" >= 50 && $"vec_id" < 55))
+    val twins = rows(embs.filter($"vec_id" < 2)
+      .select(($"vec_id" + 800L).as("vec_id"), $"embedding"))
+    // b2: a twin of a b1 SURVIVOR (must drop — the index grew)
+    val b2twin = rows(embs.filter($"vec_id" === 50L)
+      .select(lit(950L).as("vec_id"), $"embedding"))
+    val b2fresh = rows(embs.filter($"vec_id" === 70L))
+
+    val kept = scala.collection.mutable.Map.empty[Long, Long]
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = EventStreams.ivfSq8DedupIngestStream(spark,
+      input.toDF().toDF("vec_id", "embedding"), idxPath, threshold = 0.98,
+      nprobe = 4) { (batchId, n) => kept.synchronized { kept(batchId) = n } }
+      .start()
+    input.addData((fresh ++ twins): _*)
+    q.processAllAvailable()
+    input.addData((b2twin ++ b2fresh): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    assert(kept(0L) === 5L, s"b1: the 5 fresh rows expected, got $kept")
+    assert(kept(1L) === 1L, s"b2: only the fresh row expected, got $kept")
+    val inst0 = EventStreams.StreamInstallmentBase
+    val ids0 = spark.read.parquet(s"$idxPath/codes")
+      .filter($"ingest" === inst0).select("vec_id").as[Long].collect().toSet
+    assert(ids0 === Set(50L, 51L, 52L, 53L, 54L))
+    val ids1 = spark.read.parquet(s"$idxPath/codes")
+      .filter($"ingest" === inst0 + 1).select("vec_id").as[Long].collect().toSet
+    assert(ids1 === Set(70L))
+  }
+
+  test("IVF-SQ8 dedup ingest replay reproduces the same survivors (as-of probe)") {
+    val idxPath = java.nio.file.Files.createTempDirectory("ivfsq8-dedup-replay")
+      .resolve("idx").toString
+    Quantize.ivfSq8Build(embs.filter($"vec_id" < 50), idxPath, nlist = 4,
+      fitSampleFraction = 1.0)
+    val inst = EventStreams.StreamInstallmentBase
+    val batch = embs.filter($"vec_id" >= 50 && $"vec_id" < 55)
+      .unionByName(embs.filter($"vec_id" < 2)
+        .select(($"vec_id" + 800L).as("vec_id"), $"embedding"))
+    // simulate the foreachBatch body twice with the same batchId: the
+    // as-of probe must NOT see the first attempt's own ingest dirs
+    def attempt(): Set[Long] = {
+      val survivors = Quantize.ivfSq8ProbePrune(spark, idxPath, batch, 0.98,
+        nprobe = 4, asOfIngest = inst - 1)
+      Quantize.ivfSq8AppendAt(spark, idxPath, survivors, inst)
+      graft.dedup.Dedup.release(survivors)
+      spark.read.parquet(s"$idxPath/codes")
+        .filter($"ingest" === inst).select("vec_id").as[Long].collect().toSet
+    }
+    val first = attempt()
+    val replay = attempt()
+    assert(first === Set(50L, 51L, 52L, 53L, 54L))
+    assert(replay === first, "replay must reproduce, not self-match to empty")
+  }
+
   test("list pruning survives the two-level layout") {
     val idxPath = java.nio.file.Files.createTempDirectory("ivfsq8-prune2")
       .resolve("idx").toString
