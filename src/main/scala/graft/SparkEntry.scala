@@ -2592,6 +2592,33 @@ object SparkEntry {
         .toDF()
         .select(col("id"))
         .orderBy("id")
+    }),
+
+    // PERCEPTUAL AUDIO NEAR-DUP (closing the modality triangle: text
+    // simhash, image phash, audio energy-gradient hash all feed the same
+    // hamming banding): the 65-block integer energy-gradient fingerprint
+    // over REAL decoded PCM, with SAMPLE-RATE-CHANGED twins — each audio
+    // payload decoded and re-encoded at 8 kHz (identical samples, new
+    // header) — so every twin pairs at hamming 0 through a genuinely
+    // different WAV parse, and the oracle recomputes the bits from the
+    // fixture's sample definition in SQL.
+    "media_audio_dups" -> ((s, dir) => {
+      import s.implicits._
+      val auds = tbl(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 3 === 1)
+      val base = Multimodal.syntheticMedia(auds, "doc_id", "text")
+      val twins = base.map { m =>
+        val u8 = Multimodal.decodeWav(m.payload).get
+        val s16 = u8.map(b => (((b & 0xFF) - 128) << 8).toShort)
+        Multimodal.MediaRow(m.id + 1000000L,
+          Multimodal.encodeWav(8000, s16), m.meta)
+      }
+      val hashes = Multimodal.audioHash64(base.unionByName(twins)).toDF()
+      graft.dedup.Dedup.hammingNearDuplicates64(hashes, "id", "ahash64",
+          maxHamming = 3)
+        .select(col("id_a"), col("id_b"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -5866,6 +5893,46 @@ object SparkEntry {
         |LEFT JOIN drp d ON a.doc_id = d.id
         |WHERE d.id IS NULL
         |ORDER BY id""".stripMargin,
+    // audio fingerprint dedup: the 65-block energy-gradient hash
+    // recomputed from the fixture sample definition (audio sample k is
+    // the fixture stream value; dev = v - 128; block = k*65 // n; energy
+    // = exact integer sum of dev^2; bit i = e_i > e_{i+1}), HUGEINT bit
+    // fold to signed BIGINT; sample-rate twins share the hash exactly
+    "media_audio_dups" ->
+      """WITH auds AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS l,
+        |    CAST((16 + doc_id % 16) * (16 + doc_id % 8) * 3 AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |ks AS (
+        |  SELECT doc_id, text, l, n, unnest(generate_series(0, n - 1)) AS k
+        |  FROM auds),
+        |dv AS (
+        |  SELECT doc_id, n, (k * 65) // n AS b,
+        |    (CASE WHEN l = 0 THEN k % 256
+        |      ELSE (unicode(substr(text, CAST(k % l AS INT) + 1, 1)) + k) % 256
+        |     END) - 128 AS dev
+        |  FROM ks),
+        |en AS (
+        |  SELECT doc_id, b, CAST(sum(dev * dev) AS BIGINT) AS e
+        |  FROM dv GROUP BY doc_id, b),
+        |bits AS (
+        |  SELECT a.doc_id,
+        |    sum(CASE WHEN a.e > c.e THEN 1::HUGEINT << CAST(a.b AS INT)
+        |        ELSE 0::HUGEINT END) AS s
+        |  FROM en a JOIN en c ON c.doc_id = a.doc_id AND c.b = a.b + 1
+        |  GROUP BY a.doc_id),
+        |ah AS (
+        |  SELECT doc_id, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |    THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS h64
+        |  FROM bits),
+        |allh AS (
+        |  SELECT doc_id, h64 FROM ah
+        |  UNION ALL SELECT doc_id + 1000000 AS doc_id, h64 FROM ah)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.h64, b.h64)) AS BIGINT) AS hamming
+        |FROM allh a JOIN allh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h64, b.h64)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "emb_top1_brute" ->
       """SELECT query_id, vec_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

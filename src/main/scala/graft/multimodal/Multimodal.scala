@@ -599,6 +599,64 @@ object Multimodal {
     media.toDF().join(dropSide, Seq("id"), "left_anti").as[MediaRow]
   }
 
+  final case class AudioHashRow(id: Long, n_samples: Long, ahash64: Long)
+
+  /**
+   * Perceptual audio fingerprint — the audio sibling of
+   * [[perceptualHashes]], closing the modality triangle (text simhash /
+   * image phash / audio energy-gradient hash all feed the same
+   * [[graft.dedup.Dedup.hammingNearDuplicates64]] banding): the decoded
+   * sample stream splits into 65 time blocks (sample k belongs to block
+   * k·65 div n — every sample in exactly one block, the phash box rule),
+   * each block's ENERGY is the exact integer Σ dev² (dev = sample − 128,
+   * BIGINT — no float accumulates), and bit i of the hash is
+   * energy(block i) > energy(block i+1) — the temporal energy gradient,
+   * the dHash idea in the time domain (the same sign-of-difference
+   * principle as Haitsma–Kalker audio fingerprinting, reduced to one
+   * 64-bit word). Integer-exact end-to-end, so an oracle recomputes the
+   * identical bits from raw fixture samples.
+   *
+   * Robust to constant gain shifts in the ±dev sense only approximately
+   * (energy ratios survive, floor boundaries can flip near-equal
+   * neighbors — which is exactly what the hamming threshold absorbs);
+   * exact under container/metadata changes and resampling-free copies.
+   * Rows that don't decode to ≥ 65 samples (images, corrupt, tiny clips)
+   * emit nothing. One mapPartitions pass, no shuffle.
+   */
+  def audioHash64(media: Dataset[MediaRow]): Dataset[AudioHashRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val blocks = 65
+    media.mapPartitions { rows =>
+      val energy = new Array[Long](blocks)
+      rows.flatMap { m =>
+        val p = m.payload
+        val isRiff = p != null && p.length >= 4 &&
+          p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F'
+        if (!isRiff) Iterator.empty
+        else decodeWav(p) match {
+          case Some(s) if s.length >= blocks =>
+            java.util.Arrays.fill(energy, 0L)
+            val n = s.length
+            var k = 0
+            while (k < n) {
+              val dev = (s(k) & 0xFF) - 128
+              energy((k.toLong * blocks / n).toInt) += dev.toLong * dev
+              k += 1
+            }
+            var h = 0L
+            var i = 0
+            while (i < blocks - 1) {
+              if (energy(i) > energy(i + 1)) h |= 1L << i
+              i += 1
+            }
+            Iterator.single(AudioHashRow(m.id, n.toLong, h))
+          case _ => Iterator.empty
+        }
+      }
+    }
+  }
+
   final case class AudioStats(id: Long, n_samples: Long, sum_sq_dev: Long,
                               peak_dev: Long, zero_crossings: Long)
 

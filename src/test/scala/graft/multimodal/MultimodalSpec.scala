@@ -282,6 +282,44 @@ class MultimodalSpec extends SparkTestBase {
     assert(none === 0L)
   }
 
+  test("audioHash64: hand-computed gradient bits, rate invariance, emit-less guards") {
+    // 130 samples: first 65 at dev 0 (silence), last 65 at dev 100 —
+    // blocks 0..31 silent, 33..64 loud; only the energy STEP UP produces
+    // no bit (e_i > e_{i+1} is false on a rise), so the hash is 0
+    def wav(devs: Seq[Int], rate: Int = 16000) =
+      Multimodal.encodeWav(rate, devs.map(d => (d << 8).toShort).toArray)
+    val rising = Seq.fill(65)(0) ++ Seq.fill(65)(100)
+    val falling = Seq.fill(65)(100) ++ Seq.fill(65)(0)
+    val hs = Multimodal.audioHash64(Seq(
+      mediaRow(1L, wav(rising)),
+      mediaRow(2L, wav(falling)),
+      mediaRow(3L, wav(falling, rate = 8000)) // same samples, new header
+    ).toDS()).collect().map(h => h.id -> h.ahash64).toMap
+    assert(hs(1L) === 0L, f"rising energy must set no gradient bit: ${hs(1L)}%016x")
+    // falling: the step down lands where block boundaries cross sample 65
+    // (block = k*65 div 130 = k div 2): blocks 0..31 loud, 33.. silent,
+    // block 32 mixed — bits exactly at the descents
+    assert(java.lang.Long.bitCount(hs(2L)) >= 1 && hs(2L) != 0L)
+    assert(hs(3L) === hs(2L), "a sample-rate-only change must not move the hash")
+    // emit-less: image payloads, tiny clips, corrupt bytes
+    val none = Multimodal.audioHash64(Seq(
+      mediaRow(10L, Multimodal.encodePpm(16, 16, halfImage(10, 200))),
+      mediaRow(11L, wav(Seq.fill(10)(5))),
+      mediaRow(12L, Array[Byte](1, 2, 3, 4))
+    ).toDS()).count()
+    assert(none === 0L)
+    // the dedup loop closes: byte twins pair at hamming 0
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(90)
+      .filter($"doc_id" % 3 === 1)
+    val base = Multimodal.syntheticMedia(docs, "doc_id", "text")
+    val twins = base.map(m => Multimodal.MediaRow(m.id + 1000L, m.payload, m.meta))
+    val hashes = Multimodal.audioHash64(base.unionByName(twins)).toDF()
+    val pairs = graft.dedup.Dedup.hammingNearDuplicates64(
+        hashes, "id", "ahash64", maxHamming = 0)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.count(p => p._2 == p._1 + 1000L) === docs.count())
+  }
+
   test("phashPrune keeps cluster minima; non-hashable rows survive untouched") {
     val px = halfImage(10, 200)
     val rows = Seq(
