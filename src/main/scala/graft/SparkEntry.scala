@@ -2619,6 +2619,37 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"),
           col("hamming").cast("long").as("hamming"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // VIDEO NEAR-DUP by frame-set containment (the ngramContainmentJoin
+    // idea with per-frame aHashes as the shingles — clipped/trimmed
+    // copies score containment ≈ 1 where symmetric Jaccard under-scores):
+    // every video's P6 frames hash individually through the REAL parser,
+    // and CLIPPED twins (even-index frames re-encoded as a shorter
+    // stream, new id) must pair at containment 1. The oracle recomputes
+    // every frame hash from the fixture pixel definition and replays the
+    // inverted-index containment join in SQL.
+    "media_video_dups" -> ((s, dir) => {
+      import s.implicits._
+      val vids = tbl(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 3 === 2)
+      val base = Multimodal.syntheticMedia(vids, "doc_id", "text")
+      val twins = base.map { m =>
+        val frames = Multimodal.decodeFrames(m.payload)
+        val out = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < frames.length) {
+          if (f % 2 == 0)
+            out.write(Multimodal.encodePpm(m.meta.width, m.meta.height, frames(f)))
+          f += 1
+        }
+        Multimodal.MediaRow(m.id + 1000000L, out.toByteArray, m.meta)
+      }
+      Multimodal.videoContainmentDups(base.unionByName(twins),
+          threshold = 0.9)
+        .select(col("id_a"), col("id_b"), col("shared").cast("long").as("shared"),
+          col("containment"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -5932,6 +5963,69 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.h64, b.h64)) AS BIGINT) AS hamming
         |FROM allh a JOIN allh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.h64, b.h64)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    // video containment: per-frame aHashes recomputed from the fixture
+    // (frame f's pixels start at f*w*h*3), clipped twins = even frames,
+    // then the inverted-index containment join replayed in SQL (sizes
+    // from the unguarded distinct sets, the operator's exact shape)
+    "media_video_dups" ->
+      """WITH vids AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS l,
+        |    CAST(16 + doc_id % 16 AS BIGINT) AS w,
+        |    CAST(16 + doc_id % 8 AS BIGINT) AS h,
+        |    CAST(8 + doc_id % 8 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fp AS (
+        |  SELECT doc_id, text, l, w, h,
+        |    unnest(generate_series(0, nf - 1)) AS f
+        |  FROM vids),
+        |pixk AS (
+        |  SELECT doc_id, text, l, w, h, f, f * w * h * 3 AS base,
+        |    unnest(generate_series(0, w * h - 1)) AS p
+        |  FROM fp),
+        |g AS (
+        |  SELECT doc_id, f, w, h, p // w AS y, p % w AS x,
+        |    (299 * (CASE WHEN l = 0 THEN (base + 3*p) % 256
+        |       ELSE (unicode(substr(text, CAST((base + 3*p) % l AS INT) + 1, 1)) + base + 3*p) % 256 END)
+        |   + 587 * (CASE WHEN l = 0 THEN (base + 3*p + 1) % 256
+        |       ELSE (unicode(substr(text, CAST((base + 3*p + 1) % l AS INT) + 1, 1)) + base + 3*p + 1) % 256 END)
+        |   + 114 * (CASE WHEN l = 0 THEN (base + 3*p + 2) % 256
+        |       ELSE (unicode(substr(text, CAST((base + 3*p + 2) % l AS INT) + 1, 1)) + base + 3*p + 2) % 256 END)
+        |    ) // 1000 AS gr
+        |  FROM pixk),
+        |blk AS (
+        |  SELECT doc_id, f, (y * 8) // h AS by, (x * 8) // w AS bx,
+        |    sum(gr) // count(*) AS bm
+        |  FROM g GROUP BY 1, 2, 3, 4),
+        |gm AS (SELECT doc_id, f, sum(bm) // 64 AS m FROM blk GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT blk.doc_id, blk.f,
+        |    sum(CASE WHEN bm > m THEN 1::HUGEINT << CAST(by * 8 + bx AS INT)
+        |        ELSE 0::HUGEINT END) AS s
+        |  FROM blk JOIN gm ON blk.doc_id = gm.doc_id AND blk.f = gm.f
+        |  GROUP BY 1, 2),
+        |fh AS (
+        |  SELECT doc_id, f, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |    THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS h64
+        |  FROM bits),
+        |allh AS (
+        |  SELECT DISTINCT doc_id AS id, h64 FROM fh
+        |  UNION
+        |  SELECT DISTINCT doc_id + 1000000 AS id, h64 FROM fh WHERE f % 2 = 0),
+        |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM allh GROUP BY id),
+        |guard AS (SELECT h64 FROM allh GROUP BY h64 HAVING count(*) <= 1000),
+        |gset AS (SELECT id, h64 FROM allh
+        |         WHERE h64 IN (SELECT h64 FROM guard)),
+        |co AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS shared
+        |  FROM gset a JOIN gset b ON a.h64 = b.h64 AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, shared,
+        |  CAST(shared AS DOUBLE) / least(na.n, nb.n) AS containment
+        |FROM co
+        |JOIN sizes na ON na.id = co.id_a
+        |JOIN sizes nb ON nb.id = co.id_b
+        |WHERE CAST(shared AS DOUBLE) / least(na.n, nb.n) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
     "emb_top1_brute" ->
       """SELECT query_id, vec_id FROM (

@@ -458,6 +458,40 @@ object Multimodal {
   @inline private def gray(r: Int, g: Int, b: Int): Int =
     (299 * r + 587 * g + 114 * b) / 1000
 
+  /** The aHash kernel over one decoded RGB frame (the textbook grid×grid
+    * assignment bx = x·grid div w): integer block means, bit = block >
+    * global mean — shared by [[perceptualHashes]] (whole images) and
+    * [[videoFrameHashes]] (per frame). */
+  private def aHashOf(w: Int, h: Int, px: Array[Byte], grid: Int): Long = {
+    val aSums = new Array[Long](grid * grid)
+    val aCnts = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      val byA = y * grid / h
+      var x = 0
+      while (x < w) {
+        val bxA = x * grid / w
+        val p = (y * w + x) * 3
+        val g = gray(px(p) & 0xFF, px(p + 1) & 0xFF, px(p + 2) & 0xFF)
+        val i = byA * grid + bxA
+        aSums(i) += g
+        aCnts(i) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val blocks = Array.tabulate(grid * grid)(i =>
+      if (aCnts(i) == 0) 0L else aSums(i) / aCnts(i))
+    val mean = blocks.sum / (grid * grid)
+    var ah = 0L
+    var i = 0
+    while (i < grid * grid) {
+      if (blocks(i) > mean) ah |= 1L << i
+      i += 1
+    }
+    ah
+  }
+
   /**
    * Perceptual image hashes — aHash and dHash (the classic public
    * average/gradient hashes) over the REAL decoded pixels, defined in
@@ -531,36 +565,7 @@ object Multimodal {
               }
               by += 1
             }
-            // aHash on its own grid×grid assignment (bx = x·grid div w) —
-            // recomputed from pixels, not from the wide blocks, so the
-            // definition stays the textbook one
-            val aSums = new Array[Long](grid * grid)
-            val aCnts = new Array[Long](grid * grid)
-            y = 0
-            while (y < h) {
-              val byA = y * grid / h
-              var x = 0
-              while (x < w) {
-                val bxA = x * grid / w
-                val p = (y * w + x) * 3
-                val g = gray(px(p) & 0xFF, px(p + 1) & 0xFF, px(p + 2) & 0xFF)
-                val i = byA * grid + bxA
-                aSums(i) += g
-                aCnts(i) += 1
-                x += 1
-              }
-              y += 1
-            }
-            val blocks = Array.tabulate(grid * grid)(i =>
-              if (aCnts(i) == 0) 0L else aSums(i) / aCnts(i))
-            val mean = blocks.sum / (grid * grid)
-            var ah = 0L
-            var i = 0
-            while (i < grid * grid) {
-              if (blocks(i) > mean) ah |= 1L << i
-              i += 1
-            }
-            Iterator.single(PHashRow(m.id, w, h, ah, dh))
+            Iterator.single(PHashRow(m.id, w, h, aHashOf(w, h, px, grid), dh))
           case _ => Iterator.empty
         }
       }
@@ -597,6 +602,93 @@ object Multimodal {
       .select(col("id"))
     val dropSide = if (broadcastDrop) broadcast(drop) else drop
     media.toDF().join(dropSide, Seq("id"), "left_anti").as[MediaRow]
+  }
+
+  final case class FrameHashRow(id: Long, frame_idx: Int, width: Int,
+                                height: Int, ahash: Long)
+
+  /**
+   * Per-frame perceptual hashes of visual payloads — the video form of
+   * [[perceptualHashes]]: every decoded frame of a P6 stream (and the
+   * single frame of a BMP/P6 image) gets its own aHash, so a video
+   * becomes a SET of frame fingerprints. Frames below the hashable
+   * minimum ((grid+1)×grid, the perceptualHashes rule) and non-visual
+   * payloads emit nothing. One mapPartitions pass, frame boundaries from
+   * the real parser, no shuffle.
+   */
+  def videoFrameHashes(media: Dataset[MediaRow], grid: Int = 8): Dataset[FrameHashRow] = {
+    require(grid >= 2 && grid <= 8, s"grid must be in [2, 8], got $grid")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { m =>
+        val p = m.payload
+        if (p == null || p.length < 2) Iterator.empty
+        else if (p(0) == 'P' && p(1) == '6') {
+          val out = Vector.newBuilder[FrameHashRow]
+          var off = 0
+          var idx = 0
+          var ok = true
+          while (ok && off < p.length) {
+            decodePpm(p, off) match {
+              case Some((w, h, px, consumed)) =>
+                if (w >= grid + 1 && h >= grid)
+                  out += FrameHashRow(m.id, idx, w, h, aHashOf(w, h, px, grid))
+                idx += 1
+                off += consumed
+              case None => ok = false
+            }
+          }
+          if (ok) out.result().iterator else Iterator.empty
+        } else if (p(0) == 'B' && p(1) == 'M') {
+          decodeBmp(p) match {
+            case Some((w, h, px)) if w >= grid + 1 && h >= grid =>
+              Iterator.single(FrameHashRow(m.id, 0, w, h, aHashOf(w, h, px, grid)))
+            case _ => Iterator.empty
+          }
+        } else Iterator.empty
+      }
+    }
+  }
+
+  /**
+   * Video near-duplicate detection by frame-set CONTAINMENT — the
+   * [[graft.dedup.Dedup.ngramContainmentJoin]] idea with frame hashes as
+   * the shingles: two videos pair when the smaller one's distinct frame
+   * hashes are mostly a subset of the other's (clipped/trimmed/re-muxed
+   * copies have containment ≈ 1 where symmetric Jaccard under-scores —
+   * the truncation signature). Output: (id_a, id_b, shared, containment)
+   * for pairs at or above `threshold`, id_a < id_b.
+   *
+   * Scale shape: the inverted-index join on the hash value — one shuffle
+   * on frame-hash, one on the pair — with the [[graft.dedup.Dedup
+   * .ngramJaccardJoin]] df guard: a frame hash shared by more than
+   * `maxDocFreq` videos (black frames, test cards — boilerplate that
+   * cannot identify near-dups) is pruned before it can fan out
+   * quadratically. Exact at the threshold for surviving hashes.
+   */
+  def videoContainmentDups(media: Dataset[MediaRow], threshold: Double = 0.9,
+                           maxDocFreq: Int = 1000,
+                           grid: Int = 8): DataFrame = {
+    val fh = videoFrameHashes(media, grid).toDF()
+      .select(col("id"), col("ahash")).distinct()
+    val sizes = fh.groupBy("id").agg(count(lit(1)).as("_vc_n"))
+    val guarded = fh.join(
+      fh.groupBy("ahash").agg(count(lit(1)).as("_vc_df"))
+        .filter(col("_vc_df") <= maxDocFreq)
+        .select("ahash"),
+      Seq("ahash"), "left_semi")
+    val a = guarded.select(col("id").as("id_a"), col("ahash"))
+    val b = guarded.select(col("id").as("id_b"), col("ahash"))
+    a.join(b, Seq("ahash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("id").as("id_a"), col("_vc_n").as("_vc_na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("_vc_n").as("_vc_nb")), Seq("id_b"))
+      .withColumn("containment", col("shared").cast("double") /
+        least(col("_vc_na"), col("_vc_nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared"), col("containment"))
   }
 
   final case class AudioHashRow(id: Long, n_samples: Long, ahash64: Long)

@@ -320,6 +320,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs.count(p => p._2 == p._1 + 1000L) === docs.count())
   }
 
+  test("videoFrameHashes: per-frame hashes from the real parser; clipped subsets contain") {
+    val f0 = halfImage(10, 200)
+    val f1 = halfImage(200, 10)
+    val f2 = halfImage(30, 220)
+    def stream(frames: Seq[Array[Byte]]) = {
+      val out = new java.io.ByteArrayOutputStream()
+      frames.foreach(f => out.write(Multimodal.encodePpm(16, 16, f)))
+      out.toByteArray
+    }
+    val rows = Seq(
+      mediaRow(1L, stream(Seq(f0, f1, f2, f0))),      // 4 frames, 3 distinct
+      mediaRow(2L, stream(Seq(f0, f2))),              // clipped subset of 1
+      mediaRow(3L, stream(Seq({
+        // TOP-bright: a different aHash bit pattern than any left/right
+        // half split (aHash is mean-relative, so right-brighter images
+        // all share 0xF0F0…; a vertical split does not)
+        val px = new Array[Byte](16 * 16 * 3)
+        for (y <- 0 until 16; x <- 0 until 16; c <- 0 until 3)
+          px((y * 16 + x) * 3 + c) = (if (y < 8) 200 else 10).toByte
+        px
+      }))), // unrelated in hash space
+      mediaRow(4L, Multimodal.encodeWav(16000, Array.fill(80)(3.toShort)))
+    ).toDS()
+    val fh = Multimodal.videoFrameHashes(rows).collect()
+    assert(fh.count(_.id == 1L) === 4)
+    assert(fh.count(_.id == 2L) === 2)
+    assert(fh.count(_.id == 4L) === 0, "audio must not frame-hash")
+    // frame 0 of video 1 hashes identically to perceptualHashes' ahash
+    val whole = Multimodal.perceptualHashes(
+      Seq(mediaRow(9L, Multimodal.encodePpm(16, 16, f0))).toDS()).head()
+    assert(fh.find(r => r.id == 1L && r.frame_idx == 0).get.ahash === whole.ahash)
+    // containment: the clipped copy pairs with its source at 1.0;
+    // the unrelated video pairs with nothing
+    val pairs = Multimodal.videoContainmentDups(rows, threshold = 0.9)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+    assert(pairs.head._4 === 1.0)
+    // the df guard prunes boilerplate frames: with maxDocFreq = 1, the
+    // shared frames are boilerplate and the pair disappears
+    assert(Multimodal.videoContainmentDups(rows, threshold = 0.9,
+      maxDocFreq = 1).isEmpty)
+  }
+
   test("phashPrune keeps cluster minima; non-hashable rows survive untouched") {
     val px = halfImage(10, 200)
     val rows = Seq(
