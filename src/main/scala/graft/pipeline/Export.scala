@@ -44,6 +44,16 @@ object Export {
   /**
    * Write `shard=N` parquet dirs (one file per shard — the training-reader
    * contract) and the `manifest/` sidecar. Returns the shard count.
+   *
+   * The manifest derives from a RE-READ of the just-written data — by
+   * design, a write AUDIT: it manifests what actually landed, so a lost
+   * task file or a partial write can never ship a manifest that
+   * over-promises rows to the training reader. The audit is NOT a second
+   * full scan: the projection below is `shard` (a partition column —
+   * zero data bytes) plus the signal columns only, so parquet column
+   * pruning reads a few longs per row (with no signal columns, just the
+   * row-count metadata path) — a sliver of the corpus bytes, paid once,
+   * page-cache-warm right after the write.
    */
   def writeShards(df: DataFrame, keyCol: String, out: String,
                   rowsPerShard: Long,
@@ -58,6 +68,7 @@ object Export {
       signalCols.map(c => sum(col(c).cast("long")).as(s"sum_$c"))
     val spark = df.sparkSession
     val manifest = spark.read.parquet(s"$out/data")
+      .select((col("shard") +: signalCols.map(col)): _*) // structural prune
       .groupBy("shard").agg(aggs.head, aggs.tail: _*)
     manifest.repartition(1).write.mode("overwrite").parquet(s"$out/manifest")
     spark.read.parquet(s"$out/manifest").count()
