@@ -20,8 +20,18 @@ import graft.dedup.Dedup
  *    convention), picks the max with an engine-portable tie-break
  *    (count desc, pair ascii asc), and applies the merge as one literal
  *    string replace over the separator-joined symbol column —
- *    left-to-right non-overlapping in Java and SQL alike, which IS the
- *    BPE application rule.
+ *    left-to-right non-overlapping in Java and SQL alike.
+ *
+ * Application-rule nuance: the literal replace of "a\u0001b" also
+ * rewrites sites where `a` is the SUFFIX of a longer symbol (or `b` a
+ * prefix) — e.g. after ('a','b')→'ab', a later ('b','c') merge glues
+ * "…ab\u0001c…" into symbol 'abc'. Textbook BPE would match whole
+ * symbols only. This variant is deliberate: the codegen'd literal
+ * replace IS the scale win, counting stays symbol-true (pairsUdf splits
+ * on the separator), learn/encode/tokenizeWord all share the rule, and
+ * the DuckDB oracle replays the identical replace — so the contract is
+ * self-consistent and cross-engine exact, just not boundary-pure on
+ * corpora where merged strings straddle symbol edges.
  *
  * Symbols ride a `\u0001`-joined string (never arrays) so a merge is
  * `replace(sym, "a\u0001b", "ab")` — a codegen'd literal replace, no
@@ -108,24 +118,32 @@ object Bpe {
    * Spark jobs instead of 32k. Per round, the top pairs are fetched once
    * and a SAFE batch is selected driver-side; safety here means the
    * batched merge sequence is PROVABLY identical to one-at-a-time BPE
-   * (spec-pinned batched == sequential), by two rules over the
-   * (cnt desc, pair asc)-sorted fetch:
+   * (spec-pinned batched == sequential, incl. randomized corpora), by
+   * two rules over the (cnt desc, pair asc)-sorted fetch:
    *
-   *  1. select a PREFIX of pairwise symbol-DISJOINT pairs, stopping at
-   *     the first pair sharing a symbol with an earlier selection —
-   *     disjoint merges cannot change each other's counts, and any pair
-   *     that COULD interact sorts after the stop point (else it would
-   *     have stopped the prefix earlier);
-   *  2. keep only selections with cnt STRICTLY above the stop point's
-   *     count (`cStop`). Merging (a,b) only creates pairs bounded by an
-   *     existing neighbor pair's count — every (x,ab) occurrence was an
-   *     (x,a) adjacency — and every neighbor pair sorts at or after the
-   *     stop point, so created or decreased pairs are capped at cStop
-   *     and can never outrank a kept merge, tie-breaks included.
+   *  1. select a PREFIX of non-interacting pairs, stopping at the first
+   *     candidate whose symbols OR whose concatenation a+b touches the
+   *     blocked set — the symbols AND the concatenations of every
+   *     earlier selection. Symbol-disjointness keeps selected counts
+   *     unchanged by each other; blocking concatenations both ways
+   *     matters because a merge (a,b) can BOOST a pre-existing pair
+   *     whose member symbol IS the string ab (every (ab,y) adjacency it
+   *     creates adds to that pair's count) — and any such pair sorting
+   *     before the stop would either be selected (then a+b ∈ blocked
+   *     stops (a,b) itself) or stop the prefix, so every boostable pair
+   *     sorts AFTER the stop point;
+   *  2. keep only selections with cnt STRICTLY above 3 × the stop
+   *     point's count (`cStop`). A non-kept pair's post-batch count is
+   *     bounded by original (≤ cStop, rule 1) + one boost per side, and
+   *     each boost is capped by a neighbor pair's count — every created
+   *     (x,ab) occurrence was an (x,a) adjacency, and neighbor pairs
+   *     share a symbol with a selection so they too sort after the stop
+   *     (≤ cStop each) — hence ≤ 3·cStop < cnt(kept), ties impossible.
    *
-   * When rule 2 empties the batch (the top pairs tie into the unknown
-   * region), the round falls back to the plain argmax — exactly the
-   * sequential step. `maxBatch = 1` IS the classic loop.
+   * When rule 2 empties the batch (counts too flat to dominate the
+   * unknown region), the round falls back to the plain argmax — exactly
+   * the sequential step, so flat-count regions degrade to classic BPE
+   * instead of risking order drift. `maxBatch = 1` IS the classic loop.
    */
   def learnMerges(words: DataFrame, numMerges: Int,
                   maxBatch: Int = 1): Seq[Merge] = {
@@ -167,15 +185,18 @@ object Bpe {
           val cnt = top(i).getLong(1)
           val Array(a, b) = pair.split('\u0001')
           if (cnt < 2L) cStop = 1L // below the merge floor: known region ends
-          else if (selected.length >= maxBatch || blocked(a) || blocked(b))
+          else if (selected.length >= maxBatch ||
+              blocked(a) || blocked(b) || blocked(a + b))
             cStop = cnt
           else {
-            selected += ((pair, cnt)); blocked += a; blocked += b; i += 1
+            selected += ((pair, cnt))
+            blocked += a; blocked += b; blocked += (a + b)
+            i += 1
           }
         }
         if (cStop < 0L)
           cStop = if (top.length < fetchK) 1L else top.last.getLong(1)
-        var batch = selected.takeWhile(_._2 > cStop).toSeq
+        var batch = selected.takeWhile(_._2 > 3L * cStop).toSeq
         if (batch.isEmpty)
           batch = Seq((top.head.getString(0), top.head.getLong(1)))
         batch = batch.take(numMerges - step + 1)

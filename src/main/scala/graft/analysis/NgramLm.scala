@@ -226,18 +226,27 @@ object NgramLm {
    * installment written.
    */
   def lmIndexDelete(spark: org.apache.spark.sql.SparkSession, path: String,
-                    deletedDocs: DataFrame, textCol: String = "text"): Int = {
-    val next = graft.store.Installments.next(spark, s"$path/tot")
+                    deletedDocs: DataFrame, textCol: String = "text"): Int =
+    lmIndexDeleteAt(spark, path, deletedDocs,
+      graft.store.Installments.next(spark, s"$path/tot"), textCol)
+
+  /** [[lmIndexDelete]] at an EXPLICIT installment — the crash-safe retry
+    * form: the delete writes three tables; a crash between them leaves a
+    * transiently inconsistent model, and retrying at the SAME number
+    * overwrites all three instead of double-subtracting. */
+  def lmIndexDeleteAt(spark: org.apache.spark.sql.SparkSession, path: String,
+                      deletedDocs: DataFrame, installment: Int,
+                      textCol: String = "text"): Int = {
     unigramCounts(deletedDocs, textCol)
       .select(col("token"), (-col("c")).cast("long").as("c"))
-      .write.mode("overwrite").parquet(s"$path/uni/installment=$next")
+      .write.mode("overwrite").parquet(s"$path/uni/installment=$installment")
     bigramCounts(deletedDocs, textCol)
       .select(col("bigram"), (-col("c")).cast("long").as("c"))
-      .write.mode("overwrite").parquet(s"$path/bi/installment=$next")
+      .write.mode("overwrite").parquet(s"$path/bi/installment=$installment")
     totalTokens(deletedDocs, textCol)
       .select((-col("_lm_n_total")).cast("long").as("n_total"))
-      .write.mode("overwrite").parquet(s"$path/tot/installment=$next")
-    next
+      .write.mode("overwrite").parquet(s"$path/tot/installment=$installment")
+    installment
   }
 
   /** Maintenance (the bm25IndexCompact analog): fold every table's delta

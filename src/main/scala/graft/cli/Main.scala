@@ -436,13 +436,16 @@ object Main {
       println(s"index-delete: $n rows deleted from $kind index $idx")
       spark.stop()
 
-    case "index-vacuum" :: kind :: idx :: Nil =>
+    case "index-vacuum" :: kind :: idx :: rest =>
+      // int8/ivfsq8 tombstones anti-join on the index's id column — pass
+      // it when the index was built with a non-default one
+      val vecIdCol = rest.headOption.getOrElse("vec_id")
       val spark = session()
       val rows = kind match {
         case "minhash" => graft.dedup.Dedup.minhashIndexVacuum(spark, idx)
         case "bm25"    => graft.index.Bm25.bm25IndexVacuum(spark, idx)
-        case "int8"    => graft.index.Quantize.int8Compact(spark, idx)
-        case "ivfsq8"  => graft.index.Quantize.ivfSq8Compact(spark, idx)
+        case "int8"    => graft.index.Quantize.int8Compact(spark, idx, vecIdCol)
+        case "ivfsq8"  => graft.index.Quantize.ivfSq8Compact(spark, idx, vecIdCol)
         case "lm"      => graft.analysis.NgramLm.lmIndexCompact(spark, idx)
         case "span"    => graft.pipeline.SpanDedup.spanIndexCompact(spark, idx)
         case other => sys.error(s"unknown index kind '$other' " +
@@ -747,7 +750,7 @@ object Main {
           |  ivfsq8-probe     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
           |  ivfsq8-prune     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
           |  index-delete     <minhash|bm25|int8|ivfsq8|lm|span> <indexPath> <idsOrDocsParquet> [idOrTextCol]
-          |  index-vacuum     <minhash|bm25|int8|ivfsq8|lm|span> <indexPath>
+          |  index-vacuum     <minhash|bm25|int8|ivfsq8|lm|span> <indexPath> [vecIdCol]
           |  segment-docs     <docsParquet> <outParquet> <maxTokens> [overlap] [idCol] [textCol]
           |  bpe-learn        <docsParquet> <outParquet> [numMerges] [maxBatch] [textCol]
           |  ivf-compact      <indexPath>

@@ -535,13 +535,24 @@ object Dedup {
     val meta = spark.read.parquet(s"$path/meta").head()
     val (shingleK, numHashes, bands) =
       (meta.getInt(0), meta.getInt(1), meta.getInt(2))
-    // numbering keys off sizes/ — the ONE table every installment event
-    // writes (appends write sets+bands+sizes; deletes write only their
-    // negative sizes deltas), so appends and deletes can never claim the
-    // same number
-    val next = graft.store.Installments.next(spark, s"$path/sizes")
+    val next = nextMinhashInstallment(spark, path)
     writeInstallment(newDf, textCol, idCol, path, next, shingleK, numHashes, bands)
   }
+
+  /** Next installment for the minhash index: one past the max across
+    * BOTH `sizes/` (which every event writes — appends and deletes) and
+    * `sets/` (which only appends write). The max matters because
+    * [[minhashIndexCompactSizes]] folds sizes/ history to installment 0
+    * while leaving sets/bands untouched: numbering off sizes alone would
+    * then re-issue an existing sets/bands number and the next append's
+    * mode(overwrite) would silently replace those documents — data loss.
+    * Numbering off sets alone would let a delete (sizes-only) and the
+    * next append collide on a sizes number. The max is collision-free
+    * against both maintenance histories. */
+  private def nextMinhashInstallment(spark: org.apache.spark.sql.SparkSession,
+                                     path: String): Int =
+    math.max(graft.store.Installments.next(spark, s"$path/sizes"),
+      graft.store.Installments.next(spark, s"$path/sets"))
 
   /**
    * Tombstone documents out of a [[minhashIndexBuild]] index — the delete
@@ -562,14 +573,30 @@ object Dedup {
    * deletion physically. Returns the deletes installment written.
    */
   def minhashIndexDelete(spark: org.apache.spark.sql.SparkSession, path: String,
-                         ids: DataFrame, idCol: String = "doc_id"): Int = {
+                         ids: DataFrame, idCol: String = "doc_id"): Int =
+    minhashIndexDeleteAt(spark, path, ids, idCol,
+      nextMinhashInstallment(spark, path),
+      graft.store.Tombstones.nextInstallment(spark, path))
+
+  /** [[minhashIndexDelete]] at EXPLICIT installment numbers — the
+    * crash-safe retry form (the `*AppendAt` convention): a delete is TWO
+    * writes (negative sizes deltas + the tombstone list), and a crash
+    * between them leaves the index transiently inconsistent; retrying at
+    * the SAME numbers overwrites both partitions instead of
+    * double-subtracting the bucket sizes. Callers own the numbering
+    * ([[minhashIndexDelete]] computes both). */
+  def minhashIndexDeleteAt(spark: org.apache.spark.sql.SparkSession,
+                           path: String, ids: DataFrame, idCol: String,
+                           sizesInstallment: Int,
+                           deletesInstallment: Int): Int = {
     val del = broadcast(ids.select(col(idCol).as("id")).distinct())
-    val next = graft.store.Installments.next(spark, s"$path/sizes")
     spark.read.parquet(s"$path/bands")
       .join(del, Seq("id"))
       .groupBy("band", "bucket").agg((-count(lit(1))).as("cnt"))
-      .write.mode("overwrite").parquet(s"$path/sizes/installment=$next")
-    graft.store.Tombstones.append(spark, path, ids, idCol)
+      .write.mode("overwrite")
+      .parquet(s"$path/sizes/installment=$sizesInstallment")
+    graft.store.Tombstones.appendAt(spark, path, ids, idCol, deletesInstallment)
+    deletesInstallment
   }
 
   /**

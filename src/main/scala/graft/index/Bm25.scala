@@ -142,16 +142,33 @@ object Bm25 {
    * physically. Returns the deletes installment written.
    */
   def bm25IndexDelete(spark: org.apache.spark.sql.SparkSession, path: String,
-                      ids: DataFrame, idCol: String = "doc_id"): Int = {
+                      ids: DataFrame, idCol: String = "doc_id"): Int =
+    bm25IndexDeleteAt(spark, path, ids, idCol,
+      graft.store.Installments.next(spark, s"$path/stats"),
+      graft.store.Tombstones.nextInstallment(spark, path))
+
+  /** [[bm25IndexDelete]] at EXPLICIT installment numbers — the crash-safe
+    * retry form (the `*AppendAt` convention): a delete is THREE writes
+    * (negative df deltas, negative stats delta, tombstone list); a crash
+    * between them leaves the index transiently inconsistent, and a naive
+    * re-run would double-subtract df/N/dl. Retrying at the SAME numbers
+    * overwrites every partition instead — fully idempotent. Callers own
+    * the numbering ([[bm25IndexDelete]] computes both). */
+  def bm25IndexDeleteAt(spark: org.apache.spark.sql.SparkSession, path: String,
+                        ids: DataFrame, idCol: String,
+                        statsInstallment: Int,
+                        deletesInstallment: Int): Int = {
     val del = broadcast(ids.select(col(idCol).as("doc_id")).distinct())
     val delPost = spark.read.parquet(s"$path/postings").join(del, Seq("doc_id"))
-    val next = graft.store.Installments.next(spark, s"$path/stats")
     delPost.groupBy("term").agg((-count(lit(1))).as("df_t"))
-      .write.mode("overwrite").parquet(s"$path/terms/installment=$next")
+      .write.mode("overwrite")
+      .parquet(s"$path/terms/installment=$statsInstallment")
     delPost.groupBy("doc_id").agg(first(col("dl")).as("dl"))
       .agg((-count(lit(1))).as("n"), (-sum("dl")).as("sdl"))
-      .write.mode("overwrite").parquet(s"$path/stats/installment=$next")
-    graft.store.Tombstones.append(spark, path, ids, idCol)
+      .write.mode("overwrite")
+      .parquet(s"$path/stats/installment=$statsInstallment")
+    graft.store.Tombstones.appendAt(spark, path, ids, idCol, deletesInstallment)
+    deletesInstallment
   }
 
   /**

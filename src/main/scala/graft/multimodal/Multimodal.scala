@@ -531,9 +531,11 @@ object Multimodal {
       rows.flatMap { m =>
         decodeFirstFrame(m.payload) match {
           case Some((w, h, px)) if w >= grid + 1 && h >= grid =>
-            // one pass fills BOTH grids: aHash uses columns 0..grid-1 of a
-            // grid×grid assignment, dHash needs grid×(grid+1); blocks are
-            // accumulated on the wider grid and re-aggregated for aHash
+            // dHash accumulates on the grid×(grid+1) wide grid here;
+            // aHash runs its own grid×grid pixel pass inside aHashOf (the
+            // 8-column box boundaries are NOT derivable from the 9-column
+            // grid) — two passes over the decoded pixels, which the
+            // decode cost dominates
             java.util.Arrays.fill(sums, 0L)
             java.util.Arrays.fill(cnts, 0L)
             var y = 0

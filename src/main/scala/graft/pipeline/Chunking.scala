@@ -123,7 +123,11 @@ object Chunking {
         .when(col("seg_idx") >= segCap, raise_error(concat(
           lit(s"segmentByTokens: more than $segCap segments in one " +
             "document — seg_key would collide: "), col(idCol).cast("string"))))
-        .otherwise(shiftleft(col(idCol), SegIdxBits) + col("seg_idx")))
+        // cast BEFORE the shift: shiftleft on an IntegerType id is a
+        // 32-bit shift that wraps silently — exactly the collided-key
+        // corruption the guards above exist to prevent
+        .otherwise(shiftleft(col(idCol).cast("long"), SegIdxBits) +
+          col("seg_idx")))
       .drop("_seg")
   }
 }

@@ -179,16 +179,24 @@ object SpanDedup {
    */
   def spanIndexDelete(spark: org.apache.spark.sql.SparkSession, path: String,
                       deletedDocs: DataFrame,
-                      textCol: String = "text"): Int = {
+                      textCol: String = "text"): Int =
+    spanIndexDeleteAt(spark, path, deletedDocs,
+      graft.store.Installments.next(spark, s"$path/wins"), textCol)
+
+  /** [[spanIndexDelete]] at an EXPLICIT installment — the crash-safe
+    * retry form (one table, but retries must still overwrite rather than
+    * mint a second negative delta). */
+  def spanIndexDeleteAt(spark: org.apache.spark.sql.SparkSession,
+                        path: String, deletedDocs: DataFrame,
+                        installment: Int, textCol: String = "text"): Int = {
     guard(deletedDocs)
     val k = spark.read.parquet(s"$path/meta").head().getInt(0)
-    val next = graft.store.Installments.next(spark, s"$path/wins")
     deletedDocs
       .select(posexplode(windowsUdf(k)(col(textCol))).as(Seq("_sd_pos", "_sd_w")))
       .select(md5(col("_sd_w")).as("h"))
       .groupBy("h").agg((-count(lit(1))).as("c"))
-      .write.mode("overwrite").parquet(s"$path/wins/installment=$next")
-    next
+      .write.mode("overwrite").parquet(s"$path/wins/installment=$installment")
+    installment
   }
 
   /** Maintenance: fold the per-installment count deltas into ONE

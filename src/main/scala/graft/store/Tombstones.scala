@@ -52,10 +52,17 @@ object Tombstones {
     * broadcast for nothing. */
   def append(spark: SparkSession, path: String, ids: DataFrame,
              idCol: String): Int = {
-    val dir = deletesDir(path)
-    val n = if (dirExists(spark, dir)) Installments.next(spark, dir) else 0
+    val n = nextInstallment(spark, path)
     appendAt(spark, path, ids, idCol, n)
     n
+  }
+
+  /** The next deletes installment (0 when no delete has ever landed) —
+    * exposed so the crash-safe `*DeleteAt` forms can pre-compute their
+    * numbers before any write happens. */
+  def nextInstallment(spark: SparkSession, path: String): Int = {
+    val dir = deletesDir(path)
+    if (dirExists(spark, dir)) Installments.next(spark, dir) else 0
   }
 
   /** Append at an EXPLICIT installment — the idempotent form for

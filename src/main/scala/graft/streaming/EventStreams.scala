@@ -614,7 +614,10 @@ object EventStreams extends Serializable {
    * `ivfCompact` on a maintenance cadence to fold the per-batch
    * small-file accumulation (it also folds the ingest history to 0,
    * after which replays of pre-compaction batches are out of contract).
-   * The index must exist (`ivfBuild`; an empty-corpus build is valid).
+   * The index must exist, built from a NON-empty corpus (`ivfBuild`
+   * fits k-means centroids — unlike the minhash/BM25 installment
+   * builds, an empty build is not valid; seed the index with the first
+   * batch before starting the stream).
    */
   def ivfIngestStream(spark: SparkSession, vecs: DataFrame, indexPath: String,
                       vecCol: String = "embedding")
@@ -667,8 +670,9 @@ object EventStreams extends Serializable {
    * ones — so a replay probes exactly what the first attempt probed and
    * the dynamic-partition overwrite reproduces the same survivors.
    * Between-compactions caveat as everywhere (compaction folds ingest
-   * history to 0). The index must exist (`ivfSq8Build`; an empty-corpus
-   * build is valid and makes the stream self-bootstrapping).
+   * history to 0). The index must exist, built from a NON-empty corpus
+   * (`ivfSq8Build` fits centroids; seed with the first batch before
+   * starting the stream).
    */
   def ivfSq8DedupIngestStream(spark: SparkSession, vecs: DataFrame,
                               indexPath: String, threshold: Double,

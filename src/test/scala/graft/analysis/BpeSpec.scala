@@ -128,6 +128,34 @@ class BpeSpec extends SparkTestBase {
     assert(steps === (1 to got.length))
   }
 
+  test("batched == sequential on randomized corpora (interaction hunting)") {
+    // the r10 review found batching can diverge when a selected merge
+    // interacts with a pre-existing symbol equal to its concatenation
+    // (its pairs get boosted mid-batch); small alphabets + repetitive
+    // words maximize the odds of such collisions — and of the
+    // literal-replace boundary rewrites — so randomized corpora are the
+    // regression net. Ground truth is maxBatch = 1 (the engine's own
+    // sequential loop): THAT equality is the batching contract; the
+    // engine-vs-textbook application-rule question is pinned separately
+    // by the deterministic referenceMerges fixtures above.
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 8) {
+      val alpha = "ab" + ("cde".take(rnd.nextInt(3)))
+      val ws = (1 to 12).map { _ =>
+        val len = 2 + rnd.nextInt(6)
+        val w = Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
+        (w, 1L + rnd.nextInt(9))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      val n = 24
+      val want = Bpe.learnMerges(ws.toDF("word", "freq"), n, maxBatch = 1)
+      for (b <- Seq(4, 16)) {
+        val got = Bpe.learnMerges(ws.toDF("word", "freq"), n, maxBatch = b)
+        assert(got === want,
+          s"trial $trial maxBatch=$b diverged from sequential on $ws")
+      }
+    }
+  }
+
   test("learnMerges releases every checkpoint block it materializes") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Bpe.learnMerges(words, numMerges = Bpe.CheckpointInterval + 2)

@@ -234,6 +234,37 @@ class MinhashIndexSpec extends SparkTestBase {
     assert(e.getMessage.contains("no installment= partitions"))
   }
 
+  test("append after compactSizes never overwrites earlier installments (r10 review)") {
+    // compactSizes folds sizes/ to installment 0 while sets/bands keep
+    // their history; numbering off sizes alone would re-issue an existing
+    // sets/bands number and mode(overwrite) would silently replace those
+    // documents — the max(sizes, sets) rule must prevent that
+    val path = tmpPath("mh-compact-append")
+    Dedup.minhashIndexBuild(corpus.filter($"doc_id" === 1L), "text", "doc_id",
+      path, shingleK = 3, numHashes = 64, bands = 32)
+    Dedup.minhashIndexAppend(spark, path,
+      corpus.filter($"doc_id" === 2L), "text", "doc_id") // installment 1
+    Dedup.minhashIndexAppend(spark, path,
+      corpus.filter($"doc_id" === 3L), "text", "doc_id") // installment 2
+    Dedup.minhashIndexCompactSizes(spark, path) // sizes fold to 0
+    // this append must claim installment 3, NOT 1
+    Dedup.minhashIndexAppend(spark, path,
+      Seq((9L, "a freshly appended document about engines and parquet"))
+        .toDF("doc_id", "text"), "text", "doc_id")
+    val storedIds = spark.read.parquet(s"$path/sets")
+      .select("id").as[Long].collect().toSet
+    assert(storedIds === Set(1L, 2L, 3L, 9L),
+      s"an installment was overwritten: $storedIds")
+    // and the doc appended in old installment 1 still probes
+    val batch = Seq(
+      (101L, "completely different content about spark engines and parquet data"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.minhashIndexProbe(spark, path, batch, "text", "doc_id",
+        threshold = 0.5)
+      .select("corpus_id").as[Long].collect().toSet
+    assert(hits.contains(2L), s"pre-compaction append lost from probes: $hits")
+  }
+
   test("tombstones: probe-after-delete equals a fresh index over the remainder") {
     val path = tmpPath("mh-del")
     Dedup.minhashIndexBuild(corpus, "text", "doc_id", path,
