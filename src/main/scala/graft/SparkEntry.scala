@@ -2649,7 +2649,47 @@ object SparkEntry {
           threshold = 0.9)
         .select(col("id_a"), col("id_b"), col("shared").cast("long").as("shared"),
           col("containment"))
-        .orderBy("id_a", "id_b")
+        .orderBy("id_a", "id_b")    }),
+
+    // the PERSISTED hamming-index path (8th index family, the minhash-
+    // index shape for perceptual hashes): image aHashes installed in two
+    // installments (even ids at build, odd appended), then the container-
+    // swap twins probe WITHOUT re-hashing (or re-decoding) the stored
+    // corpus — stored side explodes its 16-bit chunks map-side, the
+    // batch broadcasts, pairs verify by bit_count. Probe-after-append
+    // must equal the brute-force stored x batch scan, which is what the
+    // oracle computes from the fixture pixels.
+    "media_phash_index_probe" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = tbl(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 3 === 0)
+      val base = Multimodal.syntheticMedia(imgs, "doc_id", "text")
+      val hashes = Multimodal.perceptualHashes(base).toDF()
+        .select(col("id"), col("ahash"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_hx_idx_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.dedup.Dedup.hammingIndexBuild(
+          hashes.filter(col("id") % 2 === 0), idxPath, "id", "ahash")
+      }
+      Phases.timed("append") {
+        graft.dedup.Dedup.hammingIndexAppend(s, idxPath,
+          hashes.filter(col("id") % 2 === 1), "id", "ahash")
+      }
+      val twins = base.map { m =>
+        val (w, h, px) = Multimodal.decodeFirstFrame(m.payload).get
+        val other = if (m.payload(0) == 'B') Multimodal.encodePpm(w, h, px)
+                    else Multimodal.encodeBmp(w, h, px)
+        Multimodal.MediaRow(m.id + 1000000L, other, m.meta)
+      }
+      val batchHashes = Multimodal.perceptualHashes(twins).toDF()
+        .select(col("id"), col("ahash"))
+      graft.dedup.Dedup.hammingIndexProbe(s, idxPath, batchHashes,
+          "id", "ahash", maxHamming = 3)
+        .select(col("corpus_id"), col("new_id"),
+          col("hamming").cast("long").as("hamming"))
+        .orderBy("corpus_id", "new_id")
     })
   )
 
@@ -6027,6 +6067,47 @@ object SparkEntry {
         |JOIN sizes nb ON nb.id = co.id_b
         |WHERE CAST(shared AS DOUBLE) / least(na.n, nb.n) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    // persisted hamming-index probe: the media_phash_dups hash CTEs,
+    // stored (all image ids) x batch (twins, same hashes) brute pairs
+    "media_phash_index_probe" ->
+      """WITH imgs AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS l,
+        |    CAST(16 + doc_id % 16 AS BIGINT) AS w,
+        |    CAST(16 + doc_id % 8 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |pixk AS (
+        |  SELECT doc_id, text, l, w, h,
+        |    unnest(generate_series(0, w * h - 1)) AS p
+        |  FROM imgs),
+        |g AS (
+        |  SELECT doc_id, w, h, p // w AS y, p % w AS x,
+        |    (299 * (CASE WHEN l = 0 THEN (3*p) % 256
+        |       ELSE (unicode(substr(text, CAST((3*p) % l AS INT) + 1, 1)) + 3*p) % 256 END)
+        |   + 587 * (CASE WHEN l = 0 THEN (3*p + 1) % 256
+        |       ELSE (unicode(substr(text, CAST((3*p + 1) % l AS INT) + 1, 1)) + 3*p + 1) % 256 END)
+        |   + 114 * (CASE WHEN l = 0 THEN (3*p + 2) % 256
+        |       ELSE (unicode(substr(text, CAST((3*p + 2) % l AS INT) + 1, 1)) + 3*p + 2) % 256 END)
+        |    ) // 1000 AS gr
+        |  FROM pixk),
+        |blk AS (
+        |  SELECT doc_id, (y * 8) // h AS by, (x * 8) // w AS bx,
+        |    sum(gr) // count(*) AS bm
+        |  FROM g GROUP BY 1, 2, 3),
+        |gm AS (SELECT doc_id, sum(bm) // 64 AS m FROM blk GROUP BY doc_id),
+        |bits AS (
+        |  SELECT blk.doc_id,
+        |    sum(CASE WHEN bm > m THEN 1::HUGEINT << CAST(by * 8 + bx AS INT)
+        |        ELSE 0::HUGEINT END) AS s
+        |  FROM blk JOIN gm ON blk.doc_id = gm.doc_id GROUP BY blk.doc_id),
+        |ah AS (
+        |  SELECT doc_id, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |    THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS h64
+        |  FROM bits)
+        |SELECT a.doc_id AS corpus_id, b.doc_id + 1000000 AS new_id,
+        |  CAST(bit_count(xor(a.h64, b.h64)) AS BIGINT) AS hamming
+        |FROM ah a JOIN ah b ON true
+        |WHERE bit_count(xor(a.h64, b.h64)) <= 3
+        |ORDER BY corpus_id, new_id""".stripMargin,
     "emb_top1_brute" ->
       """SELECT query_id, vec_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

@@ -409,6 +409,51 @@ object Main {
       println(s"segment-docs: $n segments at <= $maxTokens tokens -> $out")
       spark.stop()
 
+    case "hamming-build" :: hashesParquet :: idx :: rest =>
+      val idCol = rest.headOption.getOrElse("id")
+      val hashCol = rest.drop(1).headOption.getOrElse("h")
+      val spark = session()
+      graft.dedup.Dedup.hammingIndexBuild(
+        spark.read.parquet(hashesParquet), idx, idCol, hashCol)
+      val n = spark.read.parquet(s"$idx/hashes").count()
+      println(s"hamming-build: $n hash rows -> $idx")
+      spark.stop()
+
+    case "hamming-append" :: hashesParquet :: idx :: rest =>
+      val idCol = rest.headOption.getOrElse("id")
+      val hashCol = rest.drop(1).headOption.getOrElse("h")
+      val spark = session()
+      graft.dedup.Dedup.hammingIndexAppend(spark, idx,
+        spark.read.parquet(hashesParquet), idCol, hashCol)
+      val n = spark.read.parquet(s"$idx/hashes").count()
+      println(s"hamming-append: index now holds $n hash rows in $idx")
+      spark.stop()
+
+    case "hamming-probe" :: idx :: hashesParquet :: out :: rest =>
+      val maxHamming = rest.headOption.map(_.toInt).getOrElse(3)
+      val idCol = rest.drop(1).headOption.getOrElse("id")
+      val hashCol = rest.drop(2).headOption.getOrElse("h")
+      val spark = session()
+      graft.dedup.Dedup.hammingIndexProbe(spark, idx,
+          spark.read.parquet(hashesParquet), idCol, hashCol, maxHamming)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"hamming-probe: $n near-dup pairs at hamming <= $maxHamming -> $out")
+      spark.stop()
+
+    case "hamming-prune" :: idx :: hashesParquet :: out :: rest =>
+      val maxHamming = rest.headOption.map(_.toInt).getOrElse(3)
+      val idCol = rest.drop(1).headOption.getOrElse("id")
+      val hashCol = rest.drop(2).headOption.getOrElse("h")
+      val spark = session()
+      val survivors = graft.dedup.Dedup.hammingIndexPrune(spark, idx,
+        spark.read.parquet(hashesParquet), idCol, hashCol, maxHamming)
+      survivors.write.mode("overwrite").parquet(out)
+      graft.dedup.Dedup.release(survivors)
+      val n = spark.read.parquet(out).count()
+      println(s"hamming-prune: $n survivors at hamming <= $maxHamming -> $out")
+      spark.stop()
+
     case "index-delete" :: kind :: idx :: delParquet :: rest =>
       // takedown lifecycle: remove documents from a persisted index.
       // minhash | bm25 | int8 | ivfsq8 take an ID list (tombstone
@@ -430,8 +475,9 @@ object Main {
         case "ivfsq8"  => graft.index.Quantize.ivfSq8Delete(spark, idx, del, col1)
         case "lm"      => graft.analysis.NgramLm.lmIndexDelete(spark, idx, del, col1)
         case "span"    => graft.pipeline.SpanDedup.spanIndexDelete(spark, idx, del, col1)
+        case "hamming" => graft.dedup.Dedup.hammingIndexDelete(spark, idx, del, col1)
         case other => sys.error(s"unknown index kind '$other' " +
-          "(expected minhash | bm25 | int8 | ivfsq8 | lm | span)")
+          "(expected minhash | bm25 | int8 | ivfsq8 | lm | span | hamming)")
       }
       println(s"index-delete: $n rows deleted from $kind index $idx")
       spark.stop()
@@ -448,8 +494,9 @@ object Main {
         case "ivfsq8"  => graft.index.Quantize.ivfSq8Compact(spark, idx, vecIdCol)
         case "lm"      => graft.analysis.NgramLm.lmIndexCompact(spark, idx)
         case "span"    => graft.pipeline.SpanDedup.spanIndexCompact(spark, idx)
+        case "hamming" => graft.dedup.Dedup.hammingIndexCompact(spark, idx)
         case other => sys.error(s"unknown index kind '$other' " +
-          "(expected minhash | bm25 | int8 | ivfsq8 | lm | span)")
+          "(expected minhash | bm25 | int8 | ivfsq8 | lm | span | hamming)")
       }
       println(s"index-vacuum: $kind index folded to $rows surviving rows in $idx")
       spark.stop()
@@ -749,8 +796,12 @@ object Main {
           |  int8-prune       <indexPath> <vecsParquet> <outParquet> [threshold]
           |  ivfsq8-probe     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
           |  ivfsq8-prune     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
-          |  index-delete     <minhash|bm25|int8|ivfsq8|lm|span> <indexPath> <idsOrDocsParquet> [idOrTextCol]
-          |  index-vacuum     <minhash|bm25|int8|ivfsq8|lm|span> <indexPath> [vecIdCol]
+          |  index-delete     <minhash|bm25|int8|ivfsq8|lm|span|hamming> <indexPath> <idsOrDocsParquet> [idOrTextCol]
+          |  index-vacuum     <minhash|bm25|int8|ivfsq8|lm|span|hamming> <indexPath> [vecIdCol]
+          |  hamming-build    <hashesParquet> <indexPath> [idCol] [hashCol]
+          |  hamming-append   <hashesParquet> <indexPath> [idCol] [hashCol]
+          |  hamming-probe    <indexPath> <hashesParquet> <outParquet> [maxHamming] [idCol] [hashCol]
+          |  hamming-prune    <indexPath> <hashesParquet> <outParquet> [maxHamming] [idCol] [hashCol]
           |  segment-docs     <docsParquet> <outParquet> <maxTokens> [overlap] [idCol] [textCol]
           |  bpe-learn        <docsParquet> <outParquet> [numMerges] [maxBatch] [textCol]
           |  ivf-compact      <indexPath>

@@ -791,6 +791,165 @@ object Dedup {
       .select(col("id").as("corpus_id"), col("new_id"), col("jaccard"))
   }
 
+  // ------------------------------------------ persisted 64-bit hamming index
+
+  /**
+   * Persist 64-bit perceptual hashes as an append-only installment index —
+   * the EIGHTH index family, and deliberately modality-agnostic: the same
+   * index serves text SimHash ([[simhashCol]]), image aHash/dHash
+   * ([[graft.multimodal.Multimodal.perceptualHashes]]), and audio
+   * energy-gradient fingerprints ([[graft.multimodal.Multimodal
+   * .audioHash64]]) — anything that near-dups by hamming distance. This is
+   * the daily-ingest shape for image/audio corpora: hash the historical
+   * corpus once, then probe each incoming batch against the STORED hashes
+   * without re-hashing (or re-decoding!) the corpus.
+   *
+   * Layout under `path`, honoring all four appendable-index contracts
+   * (append-only installments, asOf snapshots, replay-idempotent streaming
+   * numbering, tombstone deletes):
+   *  - `hashes/installment=N/` — (id, h) rows, 16 bytes each: a BILLION
+   *    stored images index in ~16 GB of parquet before compression.
+   *  - `deletes/installment=M/` — the [[graft.store.Tombstones]] sidecar.
+   */
+  def hammingIndexBuild(df: DataFrame, path: String,
+                        idCol: String, hashCol: String): Unit = {
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(s"$path/hashes")
+    p.getFileSystem(conf).delete(p, true)
+    writeHashInstallment(df, path, 0, idCol, hashCol)
+  }
+
+  /** Fold a new batch of (id, hash) rows in as the next installment —
+    * batch ids must be new to the index (the shared append contract);
+    * appends are sequential ([[hammingIndexAppendAt]] for streams). */
+  def hammingIndexAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+                         newDf: DataFrame, idCol: String, hashCol: String): Unit =
+    writeHashInstallment(newDf, path,
+      graft.store.Installments.next(spark, s"$path/hashes"), idCol, hashCol)
+
+  /** Append at an EXPLICIT installment — the replay-idempotent form for
+    * at-least-once writers (the `*AppendAt` contract). */
+  def hammingIndexAppendAt(spark: org.apache.spark.sql.SparkSession,
+                           path: String, newDf: DataFrame, installment: Int,
+                           idCol: String, hashCol: String): Unit =
+    writeHashInstallment(newDf, path, installment, idCol, hashCol)
+
+  private def writeHashInstallment(df: DataFrame, path: String,
+                                   installment: Int, idCol: String,
+                                   hashCol: String): Unit =
+    df.select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
+      .write.mode("overwrite").parquet(s"$path/hashes/installment=$installment")
+
+  /** Tombstone ids out of the index ([[graft.store.Tombstones]] — takedown
+    * semantics, probes drop them immediately, compaction folds). */
+  def hammingIndexDelete(spark: org.apache.spark.sql.SparkSession,
+                         path: String, ids: DataFrame,
+                         idCol: String = "id"): Int =
+    graft.store.Tombstones.append(spark, path, ids, idCol)
+
+  /** Fold installments to one dir, drop tombstoned rows, clear deletes —
+    * the shared compaction contract (atomic side-dir swap; clear LAST).
+    * Returns the surviving hash-row count. */
+  def hammingIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val hPath = s"$path/hashes"
+    val out = new Path(hPath)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(hPath + "._compacting")
+    graft.store.Tombstones.filter(spark, path,
+        spark.read.parquet(hPath).drop("installment"), "id")
+      .write.mode("overwrite")
+      .parquet(new Path(tmp, "installment=0").toString)
+    val rows = spark.read.parquet(tmp.toString).count()
+    if (!fs.delete(out, true) || !fs.rename(tmp, out))
+      throw new java.io.IOException(s"compaction swap failed for $hPath")
+    spark.catalog.refreshByPath(hPath)
+    graft.store.Tombstones.clear(spark, path)
+    rows
+  }
+
+  /**
+   * Probe an incoming batch of (id, hash) rows against the stored index:
+   * (corpus_id, new_id, hamming) pairs at hamming ≤ `maxHamming` — the
+   * [[minhashIndexProbe]] shape for hamming space, EXACT at the threshold
+   * (the 4×16-bit chunk candidates are pigeonhole-complete for ≤ 3).
+   *
+   * Scale shape: the stored side explodes into its 4 chunk rows MAP-SIDE
+   * and joins the BROADCAST batch chunks on (chunk_idx, chunk) — the
+   * corpus-sized table is never shuffled by a probe (the probe-path
+   * invariant); the only exchange is the candidate-pair distinct,
+   * bounded by real chunk collisions. `broadcastBatch = false` degrades
+   * both sides to a hash join for corpus-sized batches (identical
+   * output). Tombstoned rows never pair (takedown semantics);
+   * `asOfInstallment` pins the stored side (valid between compactions).
+   */
+  def hammingIndexProbe(spark: org.apache.spark.sql.SparkSession, path: String,
+                        batch: DataFrame, idCol: String, hashCol: String,
+                        maxHamming: Int = 3,
+                        broadcastBatch: Boolean = true,
+                        asOfInstallment: Int = Int.MaxValue): DataFrame = {
+    require(maxHamming <= 3, "chunk trick is exact only for hamming <= 3 with 4 chunks")
+    def bb(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
+    def chunks(h: Column): Column = array((0 until 4).map(i =>
+      shiftrightunsigned(h, i * 16).bitwiseAND(lit(0xFFFFL))): _*)
+    val stored0 = spark.read.parquet(s"$path/hashes")
+    val stored1 = if (asOfInstallment == Int.MaxValue) stored0
+      else stored0.filter(col("installment") <= asOfInstallment)
+    val stored = graft.store.Tombstones.filter(spark, path, stored1, "id")
+      .select(col("id").as("corpus_id"), col("h").as("_hx_sh"),
+        posexplode(chunks(col("h"))).as(Seq("chunk_idx", "chunk")))
+    val bchunked = batch
+      .select(col(idCol).as("new_id"), col(hashCol).cast("long").as("_hx_bh"))
+      .select(col("new_id"), col("_hx_bh"),
+        posexplode(chunks(col("_hx_bh"))).as(Seq("chunk_idx", "chunk")))
+    stored.join(bb(bchunked), Seq("chunk_idx", "chunk"))
+      .filter(col("corpus_id") =!= col("new_id"))
+      .withColumn("hamming", bit_count(col("_hx_sh").bitwiseXOR(col("_hx_bh"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("corpus_id", "new_id", "hamming")
+      .distinct()
+  }
+
+  /**
+   * Prune an incoming batch against the index — the one-call ingest-dedup
+   * last mile (the [[graft.index.Quantize.int8ProbePrune]] policy in
+   * hamming space): a batch row drops when its duplicate component
+   * (stored×batch probe pairs ∪ batch-internal pairs at the same
+   * threshold) contains any stored row, or it is a non-minimal member of
+   * a batch-only component (keep-min). Survivors keep the caller's schema
+   * and are what [[hammingIndexAppend]] should fold in. Pairs are
+   * batch-bounded; CC runs on the pair list; `asOfInstallment` pins the
+   * probe (the dedup-ingest replay guard).
+   */
+  def hammingIndexPrune(spark: org.apache.spark.sql.SparkSession, path: String,
+                        batch: DataFrame, idCol: String, hashCol: String,
+                        maxHamming: Int = 3,
+                        broadcastDrop: Boolean = false,
+                        asOfInstallment: Int = Int.MaxValue): DataFrame = {
+    require(!batch.columns.exists(_.startsWith("_hx_")),
+      "hammingIndexPrune reserves internal column names starting with _hx_")
+    val stored = hammingIndexProbe(spark, path, batch, idCol, hashCol,
+      maxHamming, broadcastBatch = true, asOfInstallment)
+      .select(col("corpus_id").as("id_a"), col("new_id").as("id_b"))
+      .localCheckpoint()
+    val internal = hammingNearDuplicates64(
+      batch.select(col(idCol).as("id"), col(hashCol).cast("long").as("h")),
+      "id", "h", maxHamming)
+      .select(col("id_a"), col("id_b"))
+    val pairs = stored.unionByName(internal)
+    val labels = connectedComponents(pairs, "id_a", "id_b")
+    val storedIds = stored.select(col("id_a").as("id")).distinct()
+    val anchoredReps = labels.join(storedIds, Seq("id"))
+      .select(col("rep")).distinct().withColumn("_hx_anchored", lit(true))
+    val drop = labels.join(storedIds, Seq("id"), "left_anti")
+      .join(anchoredReps, Seq("rep"), "left")
+      .filter(col("_hx_anchored") || col("id") =!= col("rep"))
+      .select(col("id").as(idCol))
+    batch.join(if (broadcastDrop) broadcast(drop) else drop,
+      Seq(idCol), "left_anti")
+  }
+
   // ------------------------------------- duplicate-cluster resolution (CC)
 
   /**

@@ -602,6 +602,47 @@ object EventStreams extends Serializable {
     }
 
   /**
+   * Continuous perceptual-hash dedup ingest — the image/audio daily-
+   * ingest loop over the persisted hamming index
+   * ([[graft.dedup.Dedup.hammingIndexBuild]]), and the ninth ingest
+   * loop: each micro-batch of (id, 64-bit hash) rows — image aHashes,
+   * audio fingerprints, text simhashes, anything hamming-spaced — prunes
+   * against the STORED hashes (anchored components drop, batch-only
+   * components keep their min id) and the survivors fold in as that
+   * batch's installment. The historical corpus is never re-hashed (or
+   * re-decoded — at 100 TB of images THAT is the win: probing costs a
+   * 16-byte-per-row hash scan, not a pixel decode).
+   *
+   * Replay idempotence is the int8 dedup loop's argument: the probe pins
+   * `asOfInstallment = StreamInstallmentBase + batchId − 1`, excluding
+   * this batch's own possibly-landed installment, so a replay probes
+   * exactly what the first attempt probed and the overwrite reproduces
+   * the same survivors. Single writer; compaction folds history (after
+   * which pre-compaction replays are out of contract). The index must
+   * exist ([[graft.dedup.Dedup.hammingIndexBuild]] — an empty build IS
+   * valid here: hashes are caller-supplied rows, nothing is fitted).
+   */
+  def hammingDedupIngestStream(spark: SparkSession, rows: DataFrame,
+                               indexPath: String, idCol: String = "id",
+                               hashCol: String = "h", maxHamming: Int = 3)
+                              (sink: (Long, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    rows.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val inst = StreamInstallmentBase + batchId.toInt
+        val survivors = graft.dedup.Dedup.hammingIndexPrune(spark, indexPath,
+          batch.toDF(), idCol, hashCol, maxHamming,
+          asOfInstallment = inst - 1)
+        graft.dedup.Dedup.hammingIndexAppendAt(spark, indexPath, survivors,
+          inst, idCol, hashCol)
+        graft.dedup.Dedup.release(survivors)
+        val kept = spark.read
+          .parquet(s"$indexPath/hashes/installment=$inst").count()
+        sink(batchId, kept)
+        ()
+    }
+
+  /**
    * Continuous ingest into a float IVF index — the sixth ingest loop:
    * every micro-batch assigns against the FROZEN stored centroids
    * (map-side) and lands as `list_id=X/ingest=N` partition dirs with
