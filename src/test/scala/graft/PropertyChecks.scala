@@ -143,4 +143,37 @@ object PropertyChecks extends Properties("graft.kernels") {
         else 1 + ps.zip(ps.tail).count { case (a, b) => b - a >= k }
       got == ((keptText, removed, spans))
     }
+
+  // both image containers must round-trip ARBITRARY pixel content (the
+  // fixed-fixture spec round-trips can't rule out content-dependent
+  // parser bugs — BMP row padding and P6 header grammar both vary with
+  // dimensions), and both must hand perceptual hashing identical pixels
+  property("P6 and BMP round-trip arbitrary pixels identically") =
+    forAll { (wRaw: Int, hRaw: Int, seed: Long) =>
+      val w = 9 + math.abs(wRaw % 16)  // >= grid+1, exercises padding mod 4
+      val h = 8 + math.abs(hRaw % 12)
+      val rnd = new scala.util.Random(seed)
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val viaPpm = graft.multimodal.Multimodal
+        .decodeFirstFrame(graft.multimodal.Multimodal.encodePpm(w, h, rgb))
+      val viaBmp = graft.multimodal.Multimodal
+        .decodeFirstFrame(graft.multimodal.Multimodal.encodeBmp(w, h, rgb))
+      viaPpm.exists { case (pw, ph, px) =>
+        pw == w && ph == h && px.sameElements(rgb) } &&
+      viaBmp.exists { case (bw, bh, bx) =>
+        bw == w && bh == h && bx.sameElements(rgb) }
+    }
+
+  // WAV round-trips the engine's unsigned-8-bit sample projection for
+  // arbitrary content (the fingerprint and stats paths both ride it)
+  property("WAV round-trips the u8 sample projection") =
+    forAll { (nRaw: Int, seed: Long) =>
+      val n = 1 + math.abs(nRaw % 500)
+      val rnd = new scala.util.Random(seed)
+      val u8 = Array.fill(n)(rnd.nextInt(256).toByte)
+      val s16 = u8.map(b => (((b & 0xFF) - 128) << 8).toShort)
+      graft.multimodal.Multimodal
+        .decodeWav(graft.multimodal.Multimodal.encodeWav(16000, s16))
+        .exists(_.sameElements(u8))
+    }
 }
