@@ -2689,7 +2689,44 @@ object SparkEntry {
           "id", "ahash", maxHamming = 3)
         .select(col("corpus_id"), col("new_id"),
           col("hamming").cast("long").as("hamming"))
-        .orderBy("corpus_id", "new_id")
+        .orderBy("corpus_id", "new_id")    }),
+
+    // the hamming-index DELETE + PRUNE lifecycle through the gate: build
+    // over every image hash, tombstone the id % 7 == 0 images (takedown),
+    // then prune the container-twin batch — a twin whose original is LIVE
+    // drops (anchored), a twin of a TOMBSTONED original survives unless a
+    // natural hash collision anchors or out-ranks it (keep-min). The
+    // oracle replays hashes -> stored-minus-deleted x batch pairs ∪
+    // batch-internal pairs -> recursive-CTE CC -> anchored/keep-min.
+    "media_phash_index_prune" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = tbl(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 3 === 0)
+      val base = Multimodal.syntheticMedia(imgs, "doc_id", "text")
+      val hashes = Multimodal.perceptualHashes(base).toDF()
+        .select(col("id"), col("ahash"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_hx_prune_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.dedup.Dedup.hammingIndexBuild(hashes, idxPath, "id", "ahash")
+      }
+      Phases.timed("delete") {
+        graft.dedup.Dedup.hammingIndexDelete(s, idxPath,
+          hashes.filter(col("id") % 7 === 0).select("id"))
+      }
+      val twins = base.map { m =>
+        val (w, h, px) = Multimodal.decodeFirstFrame(m.payload).get
+        val other = if (m.payload(0) == 'B') Multimodal.encodePpm(w, h, px)
+                    else Multimodal.encodeBmp(w, h, px)
+        Multimodal.MediaRow(m.id + 1000000L, other, m.meta)
+      }
+      val batchHashes = Multimodal.perceptualHashes(twins).toDF()
+        .select(col("id"), col("ahash"))
+      graft.dedup.Dedup.hammingIndexPrune(s, idxPath, batchHashes,
+          "id", "ahash", maxHamming = 3, broadcastDrop = true)
+        .select(col("id"))
+        .orderBy("id")
     })
   )
 
@@ -6105,9 +6142,76 @@ object SparkEntry {
         |  FROM bits)
         |SELECT a.doc_id AS corpus_id, b.doc_id + 1000000 AS new_id,
         |  CAST(bit_count(xor(a.h64, b.h64)) AS BIGINT) AS hamming
-        |FROM ah a JOIN ah b ON true
+        |FROM ah a JOIN ah b ON a.doc_id <> b.doc_id + 1000000
         |WHERE bit_count(xor(a.h64, b.h64)) <= 3
         |ORDER BY corpus_id, new_id""".stripMargin,
+    // hamming-index delete+prune: hashes -> (stored minus deleted) x batch
+    // pairs ∪ batch-internal pairs -> recursive-CTE components ->
+    // anchored-or-non-min drop (the emb_probe_prune policy in hamming space)
+    "media_phash_index_prune" ->
+      """WITH RECURSIVE imgs AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS l,
+        |    CAST(16 + doc_id % 16 AS BIGINT) AS w,
+        |    CAST(16 + doc_id % 8 AS BIGINT) AS h
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |pixk AS (
+        |  SELECT doc_id, text, l, w, h,
+        |    unnest(generate_series(0, w * h - 1)) AS p
+        |  FROM imgs),
+        |g AS (
+        |  SELECT doc_id, w, h, p // w AS y, p % w AS x,
+        |    (299 * (CASE WHEN l = 0 THEN (3*p) % 256
+        |       ELSE (unicode(substr(text, CAST((3*p) % l AS INT) + 1, 1)) + 3*p) % 256 END)
+        |   + 587 * (CASE WHEN l = 0 THEN (3*p + 1) % 256
+        |       ELSE (unicode(substr(text, CAST((3*p + 1) % l AS INT) + 1, 1)) + 3*p + 1) % 256 END)
+        |   + 114 * (CASE WHEN l = 0 THEN (3*p + 2) % 256
+        |       ELSE (unicode(substr(text, CAST((3*p + 2) % l AS INT) + 1, 1)) + 3*p + 2) % 256 END)
+        |    ) // 1000 AS gr
+        |  FROM pixk),
+        |blk AS (
+        |  SELECT doc_id, (y * 8) // h AS by, (x * 8) // w AS bx,
+        |    sum(gr) // count(*) AS bm
+        |  FROM g GROUP BY 1, 2, 3),
+        |gm AS (SELECT doc_id, sum(bm) // 64 AS m FROM blk GROUP BY doc_id),
+        |bits AS (
+        |  SELECT blk.doc_id,
+        |    sum(CASE WHEN bm > m THEN 1::HUGEINT << CAST(by * 8 + bx AS INT)
+        |        ELSE 0::HUGEINT END) AS s
+        |  FROM blk JOIN gm ON blk.doc_id = gm.doc_id GROUP BY blk.doc_id),
+        |ah AS (
+        |  SELECT doc_id, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |    THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS h64
+        |  FROM bits),
+        |stored AS (SELECT doc_id AS id, h64 FROM ah WHERE doc_id % 7 <> 0),
+        |batch AS (SELECT doc_id + 1000000 AS id, h64 FROM ah),
+        |sp AS (
+        |  SELECT s.id AS id_a, b.id AS id_b
+        |  FROM stored s JOIN batch b ON bit_count(xor(s.h64, b.h64)) <= 3),
+        |bp AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM batch a JOIN batch b ON a.id < b.id
+        |  WHERE bit_count(xor(a.h64, b.h64)) <= 3),
+        |p AS (SELECT id_a, id_b FROM sp UNION SELECT id_a, id_b FROM bp),
+        |e AS (
+        |  SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e) n
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON reach.u = e.v
+        |), lab AS (
+        |  SELECT u AS id, min(r) AS rep FROM reach GROUP BY u
+        |), sids AS (SELECT DISTINCT id_a AS id FROM sp),
+        |anch AS (
+        |  SELECT DISTINCT l.rep FROM lab l JOIN sids s ON l.id = s.id),
+        |drp AS (
+        |  SELECT l.id FROM lab l
+        |  LEFT JOIN sids s ON l.id = s.id
+        |  LEFT JOIN anch a ON l.rep = a.rep
+        |  WHERE s.id IS NULL AND (a.rep IS NOT NULL OR l.id <> l.rep))
+        |SELECT b.id FROM batch b
+        |LEFT JOIN drp d ON b.id = d.id
+        |WHERE d.id IS NULL
+        |ORDER BY b.id""".stripMargin,
     "emb_top1_brute" ->
       """SELECT query_id, vec_id FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,

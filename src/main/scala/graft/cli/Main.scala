@@ -463,6 +463,7 @@ object Main {
       val col1 = rest.headOption.getOrElse(kind match {
         case "int8" | "ivfsq8" => "vec_id"
         case "lm" | "span"     => "text"
+        case "hamming"         => "id"
         case _                 => "doc_id"
       })
       val spark = session()

@@ -516,6 +516,9 @@ object Dedup {
     spark.createDataFrame(Seq((shingleK, numHashes, bands)))
       .toDF("shingle_k", "num_hashes", "bands")
       .write.mode("overwrite").parquet(s"$path/meta")
+    // a rebuild starts a new index generation — drop the previous
+    // generation's tombstones or they silently filter the new rows
+    graft.store.Tombstones.clear(spark, path)
   }
 
   /**
@@ -816,6 +819,9 @@ object Dedup {
     val conf = df.sparkSession.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(s"$path/hashes")
     p.getFileSystem(conf).delete(p, true)
+    // a REBUILD starts a new index generation: the previous generation's
+    // tombstones must not silently filter the new rows
+    graft.store.Tombstones.clear(df.sparkSession, path)
     writeHashInstallment(df, path, 0, idCol, hashCol)
   }
 
@@ -834,10 +840,20 @@ object Dedup {
                            idCol: String, hashCol: String): Unit =
     writeHashInstallment(newDf, path, installment, idCol, hashCol)
 
+  /** A hash value that is null or does not cast to long is an upstream
+    * bug (the fingerprint kernels emit longs; emit-less rows never reach
+    * here) — fail LOUD instead of landing inert null rows that can never
+    * match anything (the silent-null class the r9 ADVICE fixes closed). */
+  private def guardedHash(hashCol: String): Column =
+    when(col(hashCol).cast("long").isNotNull, col(hashCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit(s"hamming index: column '$hashCol' is null or not castable " +
+          "to a 64-bit hash: "), col(hashCol).cast("string"))))
+
   private def writeHashInstallment(df: DataFrame, path: String,
                                    installment: Int, idCol: String,
                                    hashCol: String): Unit =
-    df.select(col(idCol).as("id"), col(hashCol).cast("long").as("h"))
+    df.select(col(idCol).as("id"), guardedHash(hashCol).as("h"))
       .write.mode("overwrite").parquet(s"$path/hashes/installment=$installment")
 
   /** Tombstone ids out of the index ([[graft.store.Tombstones]] — takedown
@@ -900,7 +916,7 @@ object Dedup {
       .select(col("id").as("corpus_id"), col("h").as("_hx_sh"),
         posexplode(chunks(col("h"))).as(Seq("chunk_idx", "chunk")))
     val bchunked = batch
-      .select(col(idCol).as("new_id"), col(hashCol).cast("long").as("_hx_bh"))
+      .select(col(idCol).as("new_id"), guardedHash(hashCol).as("_hx_bh"))
       .select(col("new_id"), col("_hx_bh"),
         posexplode(chunks(col("_hx_bh"))).as(Seq("chunk_idx", "chunk")))
     stored.join(bb(bchunked), Seq("chunk_idx", "chunk"))
@@ -934,19 +950,36 @@ object Dedup {
       .select(col("corpus_id").as("id_a"), col("new_id").as("id_b"))
       .localCheckpoint()
     val internal = hammingNearDuplicates64(
-      batch.select(col(idCol).as("id"), col(hashCol).cast("long").as("h")),
+      batch.select(col(idCol).as("id"), guardedHash(hashCol).as("h")),
       "id", "h", maxHamming)
       .select(col("id_a"), col("id_b"))
+    ingestPrunePolicy(batch, stored, internal, idCol, broadcastDrop)
+  }
+
+  /**
+   * The shared ingest-prune policy over candidate pair lists (`stored`
+   * carries (id_a = corpus, id_b = batch), `internal` batch-only pairs):
+   * transitive closure over both, then a batch row drops when its
+   * component is anchored by any stored row — the corpus already holds a
+   * representative — or it is a non-minimal member of a batch-only
+   * component (keep-min, the semanticDedup rule). ONE implementation
+   * serves the int8, IVF-SQ8, and hamming dedup-ingest loops (the r10
+   * review's divergence warning): pairs are batch-bounded, CC runs on
+   * probe-sized data, the drop list anti-joins back ids-only.
+   */
+  private[graft] def ingestPrunePolicy(newRows: DataFrame, stored: DataFrame,
+                                       internal: DataFrame, idCol: String,
+                                       broadcastDrop: Boolean): DataFrame = {
     val pairs = stored.unionByName(internal)
     val labels = connectedComponents(pairs, "id_a", "id_b")
     val storedIds = stored.select(col("id_a").as("id")).distinct()
     val anchoredReps = labels.join(storedIds, Seq("id"))
-      .select(col("rep")).distinct().withColumn("_hx_anchored", lit(true))
+      .select(col("rep")).distinct().withColumn("_pp_anchored", lit(true))
     val drop = labels.join(storedIds, Seq("id"), "left_anti")
       .join(anchoredReps, Seq("rep"), "left")
-      .filter(col("_hx_anchored") || col("id") =!= col("rep"))
+      .filter(col("_pp_anchored") || col("id") =!= col("rep"))
       .select(col("id").as(idCol))
-    batch.join(if (broadcastDrop) broadcast(drop) else drop,
+    newRows.join(if (broadcastDrop) broadcast(drop) else drop,
       Seq(idCol), "left_anti")
   }
 

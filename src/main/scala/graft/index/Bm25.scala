@@ -80,6 +80,9 @@ object Bm25 {
       p.getFileSystem(conf).delete(p, true)
     }
     writeInstallment(docs, path, 0, idCol, textCol)
+    // a rebuild starts a new index generation — drop the previous
+    // generation's tombstones or they silently filter the new rows
+    graft.store.Tombstones.clear(docs.sparkSession, path)
   }
 
   /**

@@ -167,6 +167,9 @@ object Quantize {
       .write.mode("overwrite").parquet(s"$path/codes/installment=0")
     spark.createDataFrame(Seq(Tuple1(scale))).toDF("scale")
       .write.mode("overwrite").parquet(s"$path/meta")
+    // a rebuild starts a new index generation — drop the previous
+    // generation's tombstones or they silently filter the new rows
+    graft.store.Tombstones.clear(spark, path)
   }
 
   /** Quantize a new batch with the STORED scale and append it as the next
@@ -246,6 +249,8 @@ object Quantize {
       assigned.withColumn("ingest", lit(0))
         .write.mode("overwrite").partitionBy("list_id", "ingest")
         .parquet(s"$path/raw")
+    // rebuild = new generation: stale tombstones must not filter it
+    graft.store.Tombstones.clear(spark, path)
   }
 
   private def dirExists(spark: SparkSession, dir: String): Boolean = {
@@ -601,31 +606,14 @@ object Quantize {
       .select(col("_ip_id").as("id_a"), col("_ip_id2").as("id_b"))
   }
 
-  /** The shared ingest-prune policy over candidate pair lists (`stored`
-    * carries (id_a = corpus, id_b = batch), `internal` batch-only pairs):
-    * transitive closure over both, then a batch row drops when its
-    * component is anchored by any stored row — the corpus already holds a
-    * representative — or it is a non-minimal member of a batch-only
-    * component (keep-min, the semanticDedup rule). Pairs are batch-
-    * bounded, so the star-contraction CC runs on probe-sized data; the
-    * drop list anti-joins back ids-only. */
+  /** The anchored/keep-min ingest policy — ONE implementation shared with
+    * the hamming loop, hosted at [[graft.dedup.Dedup.ingestPrunePolicy]]
+    * (the r10 review's divergence warning). */
   private def probePrunePolicy(newVecs: DataFrame, stored: DataFrame,
                                internal: DataFrame, idCol: String,
-                               broadcastDrop: Boolean): DataFrame = {
-    val pairs = stored.unionByName(internal)
-    val labels = graft.dedup.Dedup.connectedComponents(pairs, "id_a", "id_b")
-    val storedIds = stored.select(col("id_a").as("id")).distinct()
-    // components anchored by a stored row: every batch member drops (the
-    // corpus already holds a representative)
-    val anchoredReps = labels.join(storedIds, Seq("id"))
-      .select(col("rep")).distinct().withColumn("_ip_anchored", lit(true))
-    val drop = labels.join(storedIds, Seq("id"), "left_anti")
-      .join(anchoredReps, Seq("rep"), "left")
-      .filter(col("_ip_anchored") || col("id") =!= col("rep"))
-      .select(col("id").as(idCol))
-    newVecs.join(if (broadcastDrop) broadcast(drop) else drop,
-      Seq(idCol), "left_anti")
-  }
+                               broadcastDrop: Boolean): DataFrame =
+    graft.dedup.Dedup.ingestPrunePolicy(newVecs, stored, internal, idCol,
+      broadcastDrop)
 
   /**
    * IVF-ROUTED incremental near-dup probe — [[int8NearDupProbe]]'s scale
