@@ -923,6 +923,36 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // the FLOAT-IVF DELETE path (takedown lifecycle — the one index
+    // family the r10 tombstone sweep missed): build over the whole
+    // corpus, tombstone the vec_id % 5 == 0 vectors (one id-list append;
+    // centroids stay FROZEN — a delete only shrinks lists, routing is
+    // untouched), then search at nprobe = nlist so every list is probed
+    // and the result is EXACTLY the float top-5 over corpus-minus-deleted
+    // regardless of where k-means put the centroids (the oracle-pinnable
+    // configuration, the emb_ivfsq8_probe_prune precedent). Queries
+    // include deleted ids as vectors — their cosine-1 self-hits must
+    // vanish from the top-5, so a tombstone leak is unmissable at rank 1.
+    "emb_ivf_tombstone" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_del_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        SimilarityIndex.ivfBuild(e, idxPath, nlist = 16, fitSampleFraction = 0.5)
+      }
+      Phases.timed("delete") {
+        SimilarityIndex.ivfDelete(s, idxPath,
+          e.filter(col("vec_id") % 5 === 0).select("vec_id"))
+      }
+      SimilarityIndex.ivfSearchIndexed(s, idxPath, q, k = 5, nprobe = 16)
+        .select(col("query_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF-SQ8 (the FAISS billion-scale default shape): float k-means
     // routing + partition-pruned probes over PACKED int8 codes (1 B/dim
     // — a probe reads a quarter of the float bytes of the lists it
@@ -6260,6 +6290,22 @@ object SparkEntry {
     "emb_ivf_append" ->
       """SELECT vec_id AS query_id, vec_id AS top1_id, true AS recall_pass
         |FROM embeddings WHERE vec_id < 8 ORDER BY query_id""".stripMargin,
+    // float-IVF tombstone: at nprobe = nlist every list is probed, so the
+    // post-delete search IS the exact float top-5 over the live rows —
+    // centroid-placement-independent, and equal to a fresh build over
+    // corpus-minus-deleted by construction (ids-only, the
+    // emb_topk_sq8_refined argmax-granularity contract)
+    "emb_ivf_tombstone" ->
+      """SELECT query_id, vec_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings c
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+        |  WHERE c.vec_id % 5 <> 0) t
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // IVF-SQ8: identical deterministic self-recall contract — the
     // member's own int8 code dots to its exact squared norm, cosine 1
     "emb_topk_ivfsq8" ->

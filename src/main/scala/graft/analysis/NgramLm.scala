@@ -173,6 +173,10 @@ object NgramLm {
       val p = new org.apache.hadoop.fs.Path(s"$path/$d")
       p.getFileSystem(conf).delete(p, true)
     }
+    // a rebuild starts a new generation — the previous generation's
+    // delete LEDGER (the lmIndexDeleteAt double-delete guard) must not
+    // block deleting the same text from the new corpus
+    graft.store.Tombstones.clear(docs.sparkSession, path)
     writeInstallment(docs, path, 0, textCol)
   }
 
@@ -218,10 +222,12 @@ object NgramLm {
    * SUMMED totals at read time, score-after-delete is bit-identical to a
    * fresh build over corpus-minus-deleted, pruning included.
    *
-   * Contract: `deletedDocs` must be EXACTLY text previously folded in
-   * (build/append/ingest) — deleting unindexed or already-deleted text
-   * double-subtracts (the delete sibling of the new-docs-only append
-   * rule). Sequential with appends (shared `tot/` numbering);
+   * Contract: `deletedDocs` must be text previously folded in
+   * (build/append/ingest) — deleting UNINDEXED text still
+   * double-subtracts (content addressing cannot see what was never
+   * counted), but re-deleting ALREADY-DELETED text is now self-enforced
+   * to a no-op via the md5 ledger (see [[lmIndexDeleteAt]]).
+   * Sequential with appends (shared `tot/` numbering);
    * [[lmIndexCompact]] folds the negative deltas physically. Returns the
    * installment written.
    */
@@ -233,19 +239,39 @@ object NgramLm {
   /** [[lmIndexDelete]] at an EXPLICIT installment — the crash-safe retry
     * form: the delete writes three tables; a crash between them leaves a
     * transiently inconsistent model, and retrying at the SAME number
-    * overwrites all three instead of double-subtracting. */
+    * overwrites all three instead of double-subtracting.
+    *
+    * SELF-ENFORCED delete contract: the index is content-addressed, so
+    * the delete keeps a content-hash ledger (md5 of the deleted text) in
+    * the [[graft.store.Tombstones]] sidecar — NOT consulted by reads
+    * (negative deltas already net the counts out), only by later deletes:
+    * a document whose fingerprint appears in a ledger installment BEFORE
+    * this one contributes nothing, so a re-delete nets zero instead of
+    * double-subtracting, while a crash retry at the same number (its own
+    * ledger partition excluded by the strict `<`) still recomputes its
+    * full deltas. Caveat of content addressing: a corpus holding N
+    * byte-identical copies must delete them in ONE batch (the batch's own
+    * internal duplicates all count); a second delete CALL for the same
+    * text is treated as the double-delete bug it almost always is.
+    * [[lmIndexCompact]] clears the ledger with the physical fold. */
   def lmIndexDeleteAt(spark: org.apache.spark.sql.SparkSession, path: String,
                       deletedDocs: DataFrame, installment: Int,
                       textCol: String = "text"): Int = {
-    unigramCounts(deletedDocs, textCol)
+    require(!deletedDocs.columns.contains("_lm_fp"),
+      "lmIndexDelete reserves the internal column name _lm_fp")
+    val live = graft.store.Tombstones.liveOnly(spark, path,
+        deletedDocs.withColumn("_lm_fp", md5(col(textCol))), "_lm_fp",
+        installment)
+    unigramCounts(live, textCol)
       .select(col("token"), (-col("c")).cast("long").as("c"))
       .write.mode("overwrite").parquet(s"$path/uni/installment=$installment")
-    bigramCounts(deletedDocs, textCol)
+    bigramCounts(live, textCol)
       .select(col("bigram"), (-col("c")).cast("long").as("c"))
       .write.mode("overwrite").parquet(s"$path/bi/installment=$installment")
-    totalTokens(deletedDocs, textCol)
+    totalTokens(live, textCol)
       .select((-col("_lm_n_total")).cast("long").as("n_total"))
       .write.mode("overwrite").parquet(s"$path/tot/installment=$installment")
+    graft.store.Tombstones.appendAt(spark, path, live, "_lm_fp", installment)
     installment
   }
 
@@ -277,6 +303,10 @@ object NgramLm {
       .filter(col("c") =!= 0))
     swap("tot", spark.read.parquet(s"$path/tot")
       .agg(sum("n_total").cast("long").as("n_total")))
+    // the negative deltas are now folded physically — clear the delete
+    // LEDGER last (the shared crash-safe ordering: a re-run of a crashed
+    // compaction completes it, and until then the ledger still guards)
+    graft.store.Tombstones.clear(spark, path)
     vocab
   }
 

@@ -461,7 +461,7 @@ object Main {
       // DOCS and write negative count deltas. Reads reflect the delete
       // immediately; the matching vacuum/compact folds it physically.
       val col1 = rest.headOption.getOrElse(kind match {
-        case "int8" | "ivfsq8" => "vec_id"
+        case "int8" | "ivfsq8" | "ivf" => "vec_id"
         case "lm" | "span"     => "text"
         case "hamming"         => "id"
         case _                 => "doc_id"
@@ -474,11 +474,12 @@ object Main {
         case "bm25"    => graft.index.Bm25.bm25IndexDelete(spark, idx, del, col1)
         case "int8"    => graft.index.Quantize.int8Delete(spark, idx, del, col1)
         case "ivfsq8"  => graft.index.Quantize.ivfSq8Delete(spark, idx, del, col1)
+        case "ivf"     => graft.index.SimilarityIndex.ivfDelete(spark, idx, del, col1)
         case "lm"      => graft.analysis.NgramLm.lmIndexDelete(spark, idx, del, col1)
         case "span"    => graft.pipeline.SpanDedup.spanIndexDelete(spark, idx, del, col1)
         case "hamming" => graft.dedup.Dedup.hammingIndexDelete(spark, idx, del, col1)
         case other => sys.error(s"unknown index kind '$other' " +
-          "(expected minhash | bm25 | int8 | ivfsq8 | lm | span | hamming)")
+          "(expected minhash | bm25 | int8 | ivfsq8 | ivf | lm | span | hamming)")
       }
       println(s"index-delete: $n rows deleted from $kind index $idx")
       spark.stop()
@@ -493,11 +494,12 @@ object Main {
         case "bm25"    => graft.index.Bm25.bm25IndexVacuum(spark, idx)
         case "int8"    => graft.index.Quantize.int8Compact(spark, idx, vecIdCol)
         case "ivfsq8"  => graft.index.Quantize.ivfSq8Compact(spark, idx, vecIdCol)
+        case "ivf"     => graft.index.SimilarityIndex.ivfCompact(spark, idx, vecIdCol)
         case "lm"      => graft.analysis.NgramLm.lmIndexCompact(spark, idx)
         case "span"    => graft.pipeline.SpanDedup.spanIndexCompact(spark, idx)
         case "hamming" => graft.dedup.Dedup.hammingIndexCompact(spark, idx)
         case other => sys.error(s"unknown index kind '$other' " +
-          "(expected minhash | bm25 | int8 | ivfsq8 | lm | span | hamming)")
+          "(expected minhash | bm25 | int8 | ivfsq8 | ivf | lm | span | hamming)")
       }
       println(s"index-vacuum: $kind index folded to $rows surviving rows in $idx")
       spark.stop()

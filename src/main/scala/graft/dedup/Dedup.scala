@@ -569,11 +569,12 @@ object Dedup {
    * post-delete membership with pre-delete sizes (out of contract, the
    * same caveat as snapshots across a compaction).
    *
-   * Contract: ids must be LIVE in the index — re-deleting an id would
-   * double-subtract its bucket sizes (the delete sibling of the append
-   * contract's new-ids-only rule). Deletes are sequential with appends
-   * (shared installment numbering). [[minhashIndexVacuum]] folds the
-   * deletion physically. Returns the deletes installment written.
+   * The LIVE-ids contract is SELF-ENFORCED (r11): ids already tombstoned
+   * in an earlier installment are anti-joined away before the deltas are
+   * derived, so a double-delete nets zero size deltas instead of
+   * double-subtracting. Deletes are sequential with appends (shared
+   * installment numbering). [[minhashIndexVacuum]] folds the deletion
+   * physically. Returns the deletes installment written.
    */
   def minhashIndexDelete(spark: org.apache.spark.sql.SparkSession, path: String,
                          ids: DataFrame, idCol: String = "doc_id"): Int =
@@ -592,13 +593,20 @@ object Dedup {
                            path: String, ids: DataFrame, idCol: String,
                            sizesInstallment: Int,
                            deletesInstallment: Int): Int = {
-    val del = broadcast(ids.select(col(idCol).as("id")).distinct())
+    // SELF-ENFORCED live-ids contract (the bm25IndexDeleteAt guard): ids
+    // tombstoned BEFORE this installment contribute no size deltas — a
+    // double-delete nets zero; a crash retry at the same numbers (its own
+    // partition excluded by the strict `<`) recomputes its full deltas
+    val live = graft.store.Tombstones.liveOnly(spark, path,
+      ids.select(col(idCol).as("id")).distinct(), "id", deletesInstallment)
+    val del = broadcast(live)
     spark.read.parquet(s"$path/bands")
       .join(del, Seq("id"))
       .groupBy("band", "bucket").agg((-count(lit(1))).as("cnt"))
       .write.mode("overwrite")
       .parquet(s"$path/sizes/installment=$sizesInstallment")
-    graft.store.Tombstones.appendAt(spark, path, ids, idCol, deletesInstallment)
+    graft.store.Tombstones.appendAt(spark, path, live, "id",
+      deletesInstallment)
     deletesInstallment
   }
 
@@ -981,6 +989,232 @@ object Dedup {
       .select(col("id").as(idCol))
     newRows.join(if (broadcastDrop) broadcast(drop) else drop,
       Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------- persisted video frame-hash index
+
+  /**
+   * Persist per-frame perceptual hashes as an append-only installment
+   * index — the NINTH index family, lifting the one-shot
+   * [[graft.multimodal.Multimodal.videoContainmentDups]] kernel to the
+   * daily-ingest shape: hash the historical video corpus ONCE
+   * ([[graft.multimodal.Multimodal.videoFrameHashes]]), then probe each
+   * incoming batch's frame SETS against the stored sets for containment
+   * without re-decoding (or re-hashing) a single stored frame. Where the
+   * hamming index stores one hash per id, this family stores a hash per
+   * (id, frame_idx) — the frame-SET structure containment needs.
+   *
+   * Layout under `path`, honoring the four appendable-index contracts:
+   *  - `frames/installment=N/` — (id, frame_idx, h) rows; 20 B/row means
+   *    a billion stored frames index in ~20 GB before compression.
+   *  - `sizes/installment=N/`  — (id, n) DISTINCT-hash count per video,
+   *    precomputed at write time so a probe never aggregates the corpus
+   *    (id-addressed: the tombstone anti-join covers it, no deltas).
+   *  - `dfs/installment=N/`    — (h, c) distinct-video count DELTAS per
+   *    hash — the [[graft.multimodal.Multimodal.videoContainmentDups]]
+   *    df guard resolved from summed deltas for only the hashes a batch
+   *    touches (content-addressed: deletes write NEGATIVE deltas, the
+   *    minhash sizes precedent).
+   *  - `deletes/installment=M/` — the [[graft.store.Tombstones]] sidecar.
+   *
+   * The per-installment sizes/dfs are exact because appends carry NEW ids
+   * only (the shared append contract): a video's frames live in exactly
+   * one installment, so per-installment distinct counts sum to the global
+   * ones.
+   */
+  def videoIndexBuild(frames: DataFrame, path: String,
+                      idCol: String = "id", frameIdxCol: String = "frame_idx",
+                      hashCol: String = "ahash"): Unit = {
+    val spark = frames.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("frames", "sizes", "dfs").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$path/$d")
+      p.getFileSystem(conf).delete(p, true)
+    }
+    // rebuild = new generation: stale tombstones must not filter new rows
+    graft.store.Tombstones.clear(spark, path)
+    writeVideoInstallment(frames, path, 0, idCol, frameIdxCol, hashCol)
+  }
+
+  /** Fold a new batch of per-frame hashes in as the next installment —
+    * batch ids must be NEW to the index (the shared append contract);
+    * appends are sequential ([[videoIndexAppendAt]] for streams). */
+  def videoIndexAppend(spark: org.apache.spark.sql.SparkSession, path: String,
+                       newFrames: DataFrame, idCol: String = "id",
+                       frameIdxCol: String = "frame_idx",
+                       hashCol: String = "ahash"): Unit =
+    writeVideoInstallment(newFrames, path,
+      graft.store.Installments.next(spark, s"$path/frames"),
+      idCol, frameIdxCol, hashCol)
+
+  /** Append at an EXPLICIT installment — the replay-idempotent form for
+    * at-least-once writers (the `*AppendAt` contract): all three tables
+    * land at the same number, so a retry overwrites its own partitions. */
+  def videoIndexAppendAt(spark: org.apache.spark.sql.SparkSession,
+                         path: String, newFrames: DataFrame, installment: Int,
+                         idCol: String = "id",
+                         frameIdxCol: String = "frame_idx",
+                         hashCol: String = "ahash"): Unit =
+    writeVideoInstallment(newFrames, path, installment, idCol, frameIdxCol,
+      hashCol)
+
+  /** One installment's three tables — frames verbatim, per-video distinct
+    * sizes, per-hash distinct-video dfs. Each stage reads the just-written
+    * frames partition back (disk materialization, the minhash
+    * writeInstallment shape — no memory persist, any batch size). */
+  private def writeVideoInstallment(frames: DataFrame, path: String,
+                                    installment: Int, idCol: String,
+                                    frameIdxCol: String,
+                                    hashCol: String): Unit = {
+    val spark = frames.sparkSession
+    frames.select(col(idCol).as("id"),
+        col(frameIdxCol).cast("int").as("frame_idx"),
+        guardedHash(hashCol).as("h"))
+      .write.mode("overwrite").parquet(s"$path/frames/installment=$installment")
+    val distinctIdHash = spark.read
+      .parquet(s"$path/frames/installment=$installment")
+      .select("id", "h").distinct()
+    distinctIdHash.groupBy("id").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$path/sizes/installment=$installment")
+    distinctIdHash.groupBy("h").agg(count(lit(1)).as("c"))
+      .write.mode("overwrite").parquet(s"$path/dfs/installment=$installment")
+  }
+
+  /** Tombstone videos out of the index — the delete half of the lifecycle:
+    * one id-list append plus NEGATIVE per-hash df deltas derived from the
+    * deleted videos' OWN stored frames (a map-side filtered read — delete
+    * cost scales with the deleted videos, not the corpus), so the probe's
+    * df guard stays exact without rewriting anything. The LIVE-ids
+    * contract is SELF-ENFORCED (the bm25IndexDeleteAt guard): already-
+    * tombstoned ids contribute nothing. Takedown semantics — probes drop
+    * the ids immediately, snapshots included; [[videoIndexCompact]] folds
+    * physically. Returns the deletes installment written. */
+  def videoIndexDelete(spark: org.apache.spark.sql.SparkSession, path: String,
+                       ids: DataFrame, idCol: String = "id"): Int =
+    videoIndexDeleteAt(spark, path, ids, idCol,
+      graft.store.Installments.next(spark, s"$path/dfs"),
+      graft.store.Tombstones.nextInstallment(spark, path))
+
+  /** [[videoIndexDelete]] at EXPLICIT installment numbers — the crash-safe
+    * retry form (the `*DeleteAt` convention): a delete is TWO writes
+    * (negative df deltas + the tombstone list); retrying at the SAME
+    * numbers overwrites both partitions instead of double-subtracting. */
+  def videoIndexDeleteAt(spark: org.apache.spark.sql.SparkSession,
+                         path: String, ids: DataFrame, idCol: String,
+                         dfsInstallment: Int, deletesInstallment: Int): Int = {
+    val live = graft.store.Tombstones.liveOnly(spark, path,
+      ids.select(col(idCol).as("id")).distinct(), "id", deletesInstallment)
+    spark.read.parquet(s"$path/frames")
+      .join(broadcast(live), Seq("id"))
+      .select("id", "h").distinct()
+      .groupBy("h").agg((-count(lit(1))).as("c"))
+      .write.mode("overwrite")
+      .parquet(s"$path/dfs/installment=$dfsInstallment")
+    graft.store.Tombstones.appendAt(spark, path, live, "id",
+      deletesInstallment)
+    deletesInstallment
+  }
+
+  /** Physical fold — frames/sizes/dfs rewritten without the tombstoned
+    * videos to one `installment=0` partition each behind the atomic
+    * side-dir swap; `deletes/` cleared LAST (crash-safe ordering: until
+    * then probes still anti-join, and a re-run completes the job).
+    * Returns the surviving video count. */
+  def videoIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Long = {
+    import org.apache.hadoop.fs.Path
+    def swap(dir: String, folded: DataFrame): Long = {
+      val out = new Path(s"$path/$dir")
+      val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val tmp = new Path(s"$path/$dir._compacting")
+      folded.write.mode("overwrite")
+        .parquet(new Path(tmp, "installment=0").toString)
+      val rows = spark.read.parquet(tmp.toString).count()
+      if (!fs.delete(out, true) || !fs.rename(tmp, out))
+        throw new java.io.IOException(s"compaction swap failed for $path/$dir")
+      spark.catalog.refreshByPath(out.toString)
+      rows
+    }
+    swap("frames", graft.store.Tombstones.filter(spark, path,
+      spark.read.parquet(s"$path/frames").drop("installment"), "id"))
+    val live = spark.read.parquet(s"$path/frames")
+      .select("id", "h").distinct()
+    val videos = swap("sizes", live.groupBy("id").agg(count(lit(1)).as("n")))
+    swap("dfs", live.groupBy("h").agg(count(lit(1)).as("c")))
+    graft.store.Tombstones.clear(spark, path)
+    videos
+  }
+
+  /**
+   * Probe an incoming batch of per-frame hashes against the stored index:
+   * (corpus_id, new_id, shared, containment) for every stored×batch video
+   * pair whose frame-set containment |A ∩ B| / min(|A|, |B|) clears
+   * `threshold` — the [[graft.multimodal.Multimodal.videoContainmentDups]]
+   * clipped-copy detector, incremental: probing a daily batch costs the
+   * batch's joins, never a corpus re-scan.
+   *
+   * Scale shape (the minhashIndexProbe discipline): the BATCH side
+   * broadcasts — its distinct hashes into the stored frame scan (filtered
+   * MAP-SIDE; the corpus-sized frames table is never shuffled by a
+   * probe), the touched-hash list into the dfs delta sum, and the matched
+   * pair ids into the sizes lookup. Hot hashes (stored df above
+   * `maxDocFreq`, resolved by summing the stored per-installment deltas
+   * for ONLY the touched hashes — black frames, test cards) are removed
+   * from the BATCH side before the main join, so they can never fan out;
+   * the guard uses the STORED df (the one-shot operator guards on the
+   * combined corpus df — at probe time the stored corpus is the
+   * boilerplate population that matters). `broadcastBatch = false`
+   * degrades every probe join to a hash-partitioned shuffle for
+   * corpus-sized batches — identical output. Tombstoned videos never pair
+   * (takedown semantics); `asOfInstallment` pins the stored side
+   * (partition-pruned, valid between compactions). Exact at the threshold
+   * for surviving hashes.
+   */
+  def videoContainmentProbe(spark: org.apache.spark.sql.SparkSession,
+                            path: String, batch: DataFrame,
+                            idCol: String = "id", hashCol: String = "ahash",
+                            threshold: Double = 0.9,
+                            maxDocFreq: Int = 1000,
+                            broadcastBatch: Boolean = true,
+                            asOfInstallment: Int = Int.MaxValue): DataFrame = {
+    def bb(df: DataFrame): DataFrame = if (broadcastBatch) broadcast(df) else df
+    def snapshot(df: DataFrame): DataFrame =
+      if (asOfInstallment == Int.MaxValue) df
+      else df.filter(col("installment") <= asOfInstallment)
+    val bSet = batch
+      .select(col(idCol).as("new_id"), guardedHash(hashCol).as("h"))
+      .distinct()
+    val bSizes = bSet.groupBy("new_id").agg(count(lit(1)).as("_vp_nb"))
+    // stored df of each touched hash = sum of its installment deltas
+    // (appends positive, deletes negative) — map-side against the tiny
+    // touched list, the minhash hot-bucket shape
+    val touched = bSet.select("h").distinct()
+    val hot = snapshot(spark.read.parquet(s"$path/dfs"))
+      .join(bb(touched), Seq("h"))
+      .groupBy("h").agg(sum("c").as("_vp_df"))
+      .filter(col("_vp_df") > maxDocFreq)
+      .select("h")
+    val keptB = bSet.join(bb(hot), Seq("h"), "left_anti")
+    val stored = graft.store.Tombstones.filter(spark, path,
+      snapshot(spark.read.parquet(s"$path/frames")), "id")
+    // matched rows are batch-bounded; the distinct collapses repeated
+    // frames (a hash can recur across frame_idx) to set semantics
+    val shared = stored
+      .join(bb(keptB), Seq("h"))
+      .select(col("id").as("corpus_id"), col("new_id"), col("h"))
+      .distinct()
+      .groupBy("corpus_id", "new_id").agg(count(lit(1)).as("shared"))
+    // the pair aggregate (batch-bounded) broadcasts INTO the stored sizes
+    // scan — sizes streams map-side like frames, never shuffles
+    val sizes = snapshot(spark.read.parquet(s"$path/sizes"))
+    sizes.select(col("id").as("corpus_id"), col("n").as("_vp_na"))
+      .join(bb(shared), Seq("corpus_id"))
+      .join(bb(bSizes), Seq("new_id"))
+      .withColumn("containment", col("shared").cast("double") /
+        least(col("_vp_na"), col("_vp_nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("corpus_id"), col("new_id"), col("shared"),
+        col("containment"))
   }
 
   // ------------------------------------- duplicate-cluster resolution (CC)

@@ -138,11 +138,12 @@ object Bm25 {
    * delete's delta installment sees post-delete membership with
    * pre-delete statistics — out of contract, the compaction caveat).
    *
-   * Contract: ids must be LIVE in the index — re-deleting an id would
-   * double-subtract its df/N/dl contributions (the delete sibling of
-   * the append contract's new-ids-only rule). Sequential with appends
-   * (shared `stats/` numbering). [[bm25IndexVacuum]] folds the deletion
-   * physically. Returns the deletes installment written.
+   * The LIVE-ids contract is SELF-ENFORCED (r11): ids already tombstoned
+   * in an earlier installment are anti-joined away before the deltas are
+   * derived, so a double-delete nets zero df/N/dl deltas instead of
+   * double-subtracting. Sequential with appends (shared `stats/`
+   * numbering). [[bm25IndexVacuum]] folds the deletion physically.
+   * Returns the deletes installment written.
    */
   def bm25IndexDelete(spark: org.apache.spark.sql.SparkSession, path: String,
                       ids: DataFrame, idCol: String = "doc_id"): Int =
@@ -161,7 +162,15 @@ object Bm25 {
                         ids: DataFrame, idCol: String,
                         statsInstallment: Int,
                         deletesInstallment: Int): Int = {
-    val del = broadcast(ids.select(col(idCol).as("doc_id")).distinct())
+    // SELF-ENFORCED live-ids contract: ids already tombstoned BEFORE this
+    // delete's installment contribute nothing — a double-delete subtracts
+    // zero instead of silently double-subtracting df/N/dl, while a crash
+    // retry at the same numbers (its own partition excluded by the strict
+    // `<`) still recomputes its full deltas
+    val live = graft.store.Tombstones.liveOnly(spark, path,
+      ids.select(col(idCol).as("doc_id")).distinct(), "doc_id",
+      deletesInstallment)
+    val del = broadcast(live)
     val delPost = spark.read.parquet(s"$path/postings").join(del, Seq("doc_id"))
     delPost.groupBy("term").agg((-count(lit(1))).as("df_t"))
       .write.mode("overwrite")
@@ -170,7 +179,10 @@ object Bm25 {
       .agg((-count(lit(1))).as("n"), (-sum("dl")).as("sdl"))
       .write.mode("overwrite")
       .parquet(s"$path/stats/installment=$statsInstallment")
-    graft.store.Tombstones.appendAt(spark, path, ids, idCol, deletesInstallment)
+    // tombstone only the live ids — re-deleted ids are already in an
+    // earlier installment and would only bloat the broadcast set
+    graft.store.Tombstones.appendAt(spark, path, live, "doc_id",
+      deletesInstallment)
     deletesInstallment
   }
 

@@ -243,6 +243,9 @@ object SimilarityIndex {
       .withColumn("ingest", lit(0))
       .write.mode("overwrite").partitionBy("list_id", "ingest")
       .parquet(s"$path/assignments")
+    // a rebuild starts a new index generation — drop the previous
+    // generation's tombstones or they silently filter the new rows
+    graft.store.Tombstones.clear(spark, path)
   }
 
   /** The stored centroid matrix, list_id-ordered — nlist rows, driver-side
@@ -307,13 +310,17 @@ object SimilarityIndex {
    * bit-identical. Centroids are not touched. Returns the compacted
    * assignment row count.
    */
-  def ivfCompact(spark: SparkSession, path: String): Long = {
+  def ivfCompact(spark: SparkSession, path: String,
+                 corpusId: String = "vec_id"): Long = {
     import org.apache.hadoop.fs.Path
     val aPath = s"$path/assignments"
     val out = new Path(aPath)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(aPath + "._compacting")
-    spark.read.parquet(aPath)
+    // tombstoned rows are dropped during the fold — compaction is where
+    // logical deletes become physical (the ivfSq8Compact contract)
+    graft.store.Tombstones.filter(spark, path,
+        spark.read.parquet(aPath), corpusId)
       .withColumn("ingest", lit(0)) // the ingest history folds away
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id", "ingest")
@@ -322,8 +329,35 @@ object SimilarityIndex {
     if (!fs.delete(out, true) || !fs.rename(tmp, out))
       throw new java.io.IOException(s"assignments swap failed for $aPath")
     spark.catalog.refreshByPath(aPath)
+    // clear deletes LAST (the Bm25 vacuum ordering): until this point a
+    // crashed compaction still reads correctly through the anti-join, and
+    // re-running the compaction completes it
+    graft.store.Tombstones.clear(spark, path)
     rows
   }
+
+  /**
+   * Tombstone vector ids out of a persisted [[ivfBuild]] index — the
+   * delete half of the installment lifecycle ([[graft.store.Tombstones]]),
+   * closing the one family the index-wide tombstone sweep had missed: one
+   * id-list append, no assignment partition touched. [[ivfSearchIndexed]]
+   * drops tombstoned rows via a broadcast anti-join (takedown semantics —
+   * the set applies to every read); [[ivfCompact]] folds the deletion
+   * physically and clears the list. The centroids are intentionally
+   * untouched: probe routing must stay consistent with every stored
+   * assignment (the frozen-centroid append contract), and a delete only
+   * shrinks lists. Returns the deletes installment written.
+   */
+  def ivfDelete(spark: SparkSession, path: String, ids: DataFrame,
+                idCol: String = "vec_id"): Int =
+    graft.store.Tombstones.append(spark, path, ids, idCol)
+
+  /** [[ivfDelete]] at an EXPLICIT deletes installment — the replay-
+    * idempotent form for at-least-once writers (the `*AppendAt`
+    * contract): a retry overwrites its own partition dir. */
+  def ivfDeleteAt(spark: SparkSession, path: String, ids: DataFrame,
+                  installment: Int, idCol: String = "vec_id"): Unit =
+    graft.store.Tombstones.appendAt(spark, path, ids, idCol, installment)
 
   /**
    * Search a persisted IVF index: probe lists are resolved driver-side from
@@ -347,8 +381,14 @@ object SimilarityIndex {
     // the probed list union is ≤ |queries| · nprobe values — collect it so
     // the scan gets a literal IN filter the partition index can prune on
     val probedLists = qProbed.select("list_id").distinct().as[Int].collect()
-    val assignments = spark.read.parquet(s"$path/assignments")
-      .filter(col("list_id").isin(probedLists.map(_.asInstanceOf[Any]): _*))
+    // tombstones apply to every read (takedown semantics); a no-op with
+    // the byte-identical pre-delete plan when no delete has ever landed
+    // (Tombstones.filter short-circuits), keeping the partition-pruned
+    // map-side scan shape either way
+    val assignments = graft.store.Tombstones.filter(spark, path,
+      spark.read.parquet(s"$path/assignments")
+        .filter(col("list_id").isin(probedLists.map(_.asInstanceOf[Any]): _*)),
+      corpusId)
     val scored = assignments.join(broadcast(qProbed), Seq("list_id"))
       .withColumn("cosine", cosine(col(corpusVec), col(queryVec)))
       .select(col(queryId), col(corpusId), col("cosine"))

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
  * decode / feature-extract / resize / frame-sample run as partition-local
  * batch transforms.
  *
- * The decode step is REAL, dependency-free JVM parsing of three public
+ * The decode step is REAL, dependency-free JVM parsing of four public
  * formats (no image/audio libraries exist in this container, and none are
  * needed for these):
  *
@@ -23,6 +23,12 @@ import org.apache.spark.sql.functions._
  *    rows with 4-byte stride padding, normalized on decode to the same
  *    top-down RGB stream P6 yields, so downstream features are
  *    container-blind.
+ *  - **PNG (8-bit grayscale/truecolor, non-interlaced)** for image rows —
+ *    the container real crawls are actually full of: signature + chunk
+ *    grammar with CRC-32 verification, concatenated IDAT inflate via the
+ *    JDK's `java.util.zip.Inflater`, and all five scanline filters
+ *    (None/Sub/Up/Average/Paeth) reconstructed per the spec; grayscale
+ *    expands to R=G=B so downstream features stay container-blind.
  *  - **WAV (RIFF/PCM)** for audio rows — canonical RIFF container walked
  *    chunk-by-chunk (unknown chunks skipped by their declared size, the
  *    rule real files demand — LIST/INFO chunks abound), `fmt ` parsed for
@@ -182,6 +188,194 @@ object Multimodal {
     Some((w, h, out))
   }
 
+  // PNG (ISO/IEC 15948) — the container real image crawls actually carry.
+  // Dependency-free: DEFLATE via the JDK's java.util.zip, leaving only the
+  // chunk grammar, CRC-32 framing, and scanline filters 0-4 to implement.
+
+  private val PngSig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    .map(_.toByte)
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream, tag: String,
+                       body: Array[Byte]): Unit = {
+    val len = java.nio.ByteBuffer.allocate(4).putInt(body.length).array()
+    out.write(len)
+    val tagB = tag.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    out.write(tagB)
+    out.write(body)
+    val crc = new java.util.zip.CRC32()
+    crc.update(tagB)
+    crc.update(body)
+    out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+  }
+
+  /** Encode an 8-bit PNG from a top-down pixel stream — truecolor (the
+    * default) or grayscale (`gray = true`, 1 byte/px input). Each row's
+    * filter type is `y % 5`, so a round-trip exercises every filter
+    * decoder (None/Sub/Up/Average/Paeth), not just the trivial one. */
+  def encodePng(w: Int, h: Int, px: Array[Byte], gray: Boolean = false): Array[Byte] = {
+    val bpp = if (gray) 1 else 3
+    require(px.length == w * h * bpp,
+      s"PNG needs w*h*$bpp = ${w * h * bpp} bytes, got ${px.length}")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(PngSig)
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte)                              // bit depth
+      .put((if (gray) 0 else 2).toByte)           // color type
+      .put(0.toByte).put(0.toByte).put(0.toByte)  // compression/filter/interlace
+      .array()
+    pngChunk(out, "IHDR", ihdr)
+    // filtered scanlines: raw byte minus the per-filter prediction, mod 256
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (1 + stride))
+    var y = 0
+    while (y < h) {
+      val ft = y % 5
+      raw(y * (1 + stride)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = px(y * stride + i) & 0xFF
+        val left = if (i >= bpp) px(y * stride + i - bpp) & 0xFF else 0
+        val up = if (y > 0) px((y - 1) * stride + i) & 0xFF else 0
+        val ul = if (y > 0 && i >= bpp) px((y - 1) * stride + i - bpp) & 0xFF else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(y * (1 + stride) + 1 + i) = (cur - pred).toByte
+        i += 1
+      }
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val zBuf = new java.io.ByteArrayOutputStream()
+    val chunk = new Array[Byte](8192)
+    while (!deflater.finished())
+      zBuf.write(chunk, 0, deflater.deflate(chunk))
+    deflater.end()
+    pngChunk(out, "IDAT", zBuf.toByteArray)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** The Paeth predictor (PNG spec §9.4) — exact integer arithmetic. */
+  @inline private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /**
+   * Parse an 8-bit non-interlaced grayscale/truecolor PNG into
+   * (width, height, top-down RGB) — grayscale expands to R=G=B so
+   * downstream features are container-blind (the BMP normalization
+   * precedent). Real chunk walk: IHDR validated (CRC included), multiple
+   * IDAT chunks concatenated in order (the spec allows any split),
+   * ancillary chunks (tEXt, pHYs, gAMA, …) skipped by declared size,
+   * IEND terminates. Unsupported shapes (palette, 16-bit, alpha,
+   * interlace), bad CRCs, inflate errors, and short rasters all yield
+   * None — never a task failure.
+   */
+  def decodePng(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (bytes == null || bytes.length < PngSig.length + 12 ||
+      !PngSig.indices.forall(i => bytes(i) == PngSig(i))) return None
+    val buf = java.nio.ByteBuffer.wrap(bytes) // network byte order (default)
+    var pos = PngSig.length
+    var w = 0; var h = 0; var bpp = 0
+    var seenIhdr = false; var done = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (!done && pos + 12 <= bytes.length) {
+      val len = buf.getInt(pos)
+      if (len < 0 || pos + 12 + len.toLong > bytes.length) return None
+      val tag = new String(bytes, pos + 4, 4,
+        java.nio.charset.StandardCharsets.US_ASCII)
+      // CRC covers tag + body (spec §5.3); a corrupt critical chunk must
+      // reject, not decode garbage
+      val crc = new java.util.zip.CRC32()
+      crc.update(bytes, pos + 4, 4 + len)
+      if (crc.getValue.toInt != buf.getInt(pos + 8 + len)) return None
+      tag match {
+        case "IHDR" =>
+          if (len != 13 || seenIhdr) return None
+          w = buf.getInt(pos + 8)
+          h = buf.getInt(pos + 12)
+          val bitDepth = bytes(pos + 16) & 0xFF
+          val colorType = bytes(pos + 17) & 0xFF
+          val interlace = bytes(pos + 20) & 0xFF
+          if (bitDepth != 8 || (colorType != 0 && colorType != 2) ||
+            (bytes(pos + 18) & 0xFF) != 0 || (bytes(pos + 19) & 0xFF) != 0 ||
+            interlace != 0) return None
+          if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) return None
+          bpp = if (colorType == 0) 1 else 3
+          seenIhdr = true
+        case "IDAT" =>
+          if (!seenIhdr) return None
+          idat.write(bytes, pos + 8, len)
+        case "IEND" => done = true
+        case _ => () // tEXt, pHYs, gAMA … — skip by declared size
+      }
+      pos += 12 + len
+    }
+    if (!done || !seenIhdr) return None
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (1 + stride))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    val got =
+      try {
+        var at = 0
+        var stalled = false // truncated IDAT: inflate yields 0 and wants more
+        while (at < raw.length && !inflater.finished() && !stalled) {
+          val n = inflater.inflate(raw, at, raw.length - at)
+          if (n == 0 && inflater.needsInput()) stalled = true
+          else at += n
+        }
+        if (stalled) -1 else at
+      } catch { case _: java.util.zip.DataFormatException => -1 }
+      finally inflater.end()
+    if (got != raw.length) return None
+    // unfilter in place row by row (spec §9): each byte's prediction uses
+    // the RECONSTRUCTED left/up/up-left bytes
+    val px = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * (1 + stride)) & 0xFF
+      if (ft > 4) return None
+      var i = 0
+      while (i < stride) {
+        val x = raw(y * (1 + stride) + 1 + i) & 0xFF
+        val left = if (i >= bpp) px(y * stride + i - bpp) & 0xFF else 0
+        val up = if (y > 0) px((y - 1) * stride + i) & 0xFF else 0
+        val ul = if (y > 0 && i >= bpp) px((y - 1) * stride + i - bpp) & 0xFF else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        px(y * stride + i) = (x + pred).toByte
+        i += 1
+      }
+      y += 1
+    }
+    if (bpp == 3) Some((w, h, px))
+    else { // grayscale → R=G=B, the container-blind projection
+      val rgb = new Array[Byte](w * h * 3)
+      var k = 0
+      while (k < w * h) {
+        rgb(3 * k) = px(k); rgb(3 * k + 1) = px(k); rgb(3 * k + 2) = px(k)
+        k += 1
+      }
+      Some((w, h, rgb))
+    }
+  }
+
   /** Encode a canonical 16-bit mono PCM WAV. */
   def encodeWav(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
     val dataLen = samples.length * 2
@@ -268,6 +462,9 @@ object Multimodal {
     } else if (payload(0) == 'B' && payload(1) == 'M') {
       decodeBmp(payload).map { case (_, _, px) => Vector(px) }
         .getOrElse(Vector.empty)
+    } else if (payload(0) == PngSig(0) && payload(1) == PngSig(1)) {
+      decodePng(payload).map { case (_, _, px) => Vector(px) }
+        .getOrElse(Vector.empty)
     } else if (payload.length >= 4 && payload(0) == 'R' && payload(1) == 'I'
                && payload(2) == 'F' && payload(3) == 'F') {
       decodeWav(payload).map(Vector(_)).getOrElse(Vector.empty)
@@ -313,10 +510,11 @@ object Multimodal {
    * Attach a binary payload + metadata struct to any table, derived
    * deterministically from an id + text column so the fixture reproduces
    * at every scale factor (stands in for `spark.read.format("binaryFile")`).
-   * Payloads are REAL format bytes: P6 PPM and 24-bit BMP alternating
-   * for images, concatenated P6 frames for video, RIFF/PCM WAV for
-   * audio — so the decode side exercises genuine parsers, and any
-   * external P6/BMP/WAV tool reads them.
+   * Payloads are REAL format bytes: 24-bit BMP, 8-bit PNG, and P6 PPM
+   * rotating for images, concatenated P6 frames for video, RIFF/PCM WAV
+   * for audio — so the decode side exercises genuine parsers (including
+   * DEFLATE and all five PNG scanline filters), and any external
+   * P6/BMP/PNG/WAV tool reads them.
    */
   def syntheticMedia(df: DataFrame, idCol: String, textCol: String): Dataset[MediaRow] = {
     val spark = df.sparkSession
@@ -330,13 +528,19 @@ object Multimodal {
       val perFrame = w * h * 3
       (id % 3) match {
         case 0 =>
-          // alternate the image container: even image rows carry BMP,
-          // odd carry P6 — both decode to the SAME pixel stream, so the
-          // oracles (which recompute from (id, text)) are container-blind
-          // and a regression in either real parser breaks the hash
+          // rotate the image container three ways: image ids (multiples
+          // of 3) split by id % 9 into BMP / PNG / P6 — all three decode
+          // to the SAME pixel stream, so the oracles (which recompute
+          // from (id, text)) are container-blind and a regression in ANY
+          // of the three real parsers breaks the hash. The PNG rows go
+          // through DEFLATE and all five scanline filters (encodePng
+          // cycles filter type by row).
           val px = fixtureStream(tb, perFrame)
-          val payload = if (id % 6 == 0) encodeBmp(w, h, px)
-                        else encodePpm(w, h, px)
+          val payload = (id % 9) match {
+            case 0 => encodeBmp(w, h, px)
+            case 3 => encodePng(w, h, px)
+            case _ => encodePpm(w, h, px)
+          }
           MediaRow(id, payload, MediaMeta("image", w, h, 1, 0))
         case 1 =>
           val u8 = fixtureStream(tb, perFrame)
@@ -442,12 +646,14 @@ object Multimodal {
 
   /** First decoded frame WITH its dimensions (the phash kernels need
     * geometry, which [[decodeFrames]] deliberately strips): P6 → frame 0
-    * of the stream, BMP → the image; audio/corrupt/unknown → None. */
+    * of the stream, BMP/PNG → the image; audio/corrupt/unknown → None. */
   def decodeFirstFrame(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (payload == null || payload.length < 2) None
     else if (payload(0) == 'P' && payload(1) == '6')
       decodePpm(payload, 0).map { case (w, h, px, _) => (w, h, px) }
     else if (payload(0) == 'B' && payload(1) == 'M') decodeBmp(payload)
+    else if (payload(0) == PngSig(0) && payload(1) == PngSig(1))
+      decodePng(payload)
     else None
   }
 
@@ -642,8 +848,9 @@ object Multimodal {
             }
           }
           if (ok) out.result().iterator else Iterator.empty
-        } else if (p(0) == 'B' && p(1) == 'M') {
-          decodeBmp(p) match {
+        } else if ((p(0) == 'B' && p(1) == 'M') ||
+                   (p(0) == PngSig(0) && p(1) == PngSig(1))) {
+          decodeFirstFrame(p) match {
             case Some((w, h, px)) if w >= grid + 1 && h >= grid =>
               Iterator.single(FrameHashRow(m.id, 0, w, h, aHashOf(w, h, px, grid)))
             case _ => Iterator.empty

@@ -126,6 +126,9 @@ object SpanDedup {
       val p = new org.apache.hadoop.fs.Path(s"$path/$d")
       p.getFileSystem(conf).delete(p, true)
     }
+    // rebuild = new generation: the previous delete LEDGER must not block
+    // deleting the same text from the new corpus
+    graft.store.Tombstones.clear(spark, path)
     writeWinsInstallment(docs, path, 0, textCol, idCol, k)
     spark.createDataFrame(Seq(Tuple1(k))).toDF("k")
       .write.mode("overwrite").parquet(s"$path/meta")
@@ -172,8 +175,10 @@ object SpanDedup {
    * as in a fresh index over corpus-minus-deleted; a window the corpus
    * still holds elsewhere keeps owning (its netted count stays > 0).
    *
-   * Contract: `deletedDocs` must be EXACTLY text previously folded in —
-   * double-deleting double-subtracts (the shared delete-sibling rule).
+   * Contract: `deletedDocs` must be text previously folded in — deleting
+   * UNINDEXED text still double-subtracts (content addressing cannot see
+   * what was never counted), but re-deleting already-deleted text is
+   * self-enforced to a no-op via the md5 ledger ([[spanIndexDeleteAt]]).
    * Sequential with appends; [[spanIndexCompact]] folds the negatives
    * physically. Returns the installment written.
    */
@@ -185,17 +190,32 @@ object SpanDedup {
 
   /** [[spanIndexDelete]] at an EXPLICIT installment — the crash-safe
     * retry form (one table, but retries must still overwrite rather than
-    * mint a second negative delta). */
+    * mint a second negative delta).
+    *
+    * SELF-ENFORCED delete contract (the lmIndexDeleteAt ledger): deleted
+    * text is fingerprinted (md5) into the [[graft.store.Tombstones]]
+    * sidecar — consulted only by LATER deletes, never by probes (the
+    * netted counts are the post-delete index): a re-deleted document
+    * contributes nothing, a crash retry at the same number (its own
+    * ledger partition excluded by the strict `<`) recomputes its full
+    * deltas. Byte-identical copies must be deleted in ONE batch;
+    * [[spanIndexCompact]] clears the ledger with the physical fold. */
   def spanIndexDeleteAt(spark: org.apache.spark.sql.SparkSession,
                         path: String, deletedDocs: DataFrame,
                         installment: Int, textCol: String = "text"): Int = {
     guard(deletedDocs)
+    require(!deletedDocs.columns.contains("_sd_fp"),
+      "spanIndexDelete reserves the internal column name _sd_fp")
     val k = spark.read.parquet(s"$path/meta").head().getInt(0)
-    deletedDocs
+    val live = graft.store.Tombstones.liveOnly(spark, path,
+      deletedDocs.withColumn("_sd_fp", md5(col(textCol))), "_sd_fp",
+      installment)
+    live
       .select(posexplode(windowsUdf(k)(col(textCol))).as(Seq("_sd_pos", "_sd_w")))
       .select(md5(col("_sd_w")).as("h"))
       .groupBy("h").agg((-count(lit(1))).as("c"))
       .write.mode("overwrite").parquet(s"$path/wins/installment=$installment")
+    graft.store.Tombstones.appendAt(spark, path, live, "_sd_fp", installment)
     installment
   }
 
@@ -216,6 +236,9 @@ object SpanDedup {
     if (!fs.delete(out, true) || !fs.rename(tmp, out))
       throw new java.io.IOException(s"compaction swap failed for $path/wins")
     spark.catalog.refreshByPath(out.toString)
+    // deltas folded physically — clear the delete ledger LAST (the shared
+    // crash-safe ordering)
+    graft.store.Tombstones.clear(spark, path)
     rows
   }
 

@@ -75,16 +75,60 @@ object Tombstones {
       .parquet(s"${deletesDir(path)}/installment=$installment")
 
   /** The full tombstone set as a distinct one-column (`id`) frame; empty
-    * (with the right schema) when no delete has ever landed. Distinct
-    * across installments — the same id deleted twice anti-joins once. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+    * (with the caller-hinted id type — every index family keys by its own
+    * id column, and a hardcoded LongType would silently type-mismatch a
+    * string-keyed index's first delete-free read) when no delete has ever
+    * landed. Distinct across installments — the same id deleted twice
+    * anti-joins once. */
+  def read(spark: SparkSession, path: String,
+           idType: org.apache.spark.sql.types.DataType =
+             org.apache.spark.sql.types.LongType): DataFrame = {
     val dir = deletesDir(path)
     if (!dirExists(spark, dir))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("id",
-            org.apache.spark.sql.types.LongType))))
+          org.apache.spark.sql.types.StructField("id", idType))))
     else spark.read.parquet(dir).select("id").distinct()
+  }
+
+  /** The tombstone set from installments STRICTLY BEFORE `installment` —
+    * what the self-enforcing `*DeleteAt` forms anti-join their incoming
+    * ids against: a replay at the SAME numbers excludes its own (possibly
+    * already-landed) partition and recomputes identical deltas, while a
+    * true double-delete at a LATER number sees the id already tombstoned
+    * and contributes nothing — so negative df/size deltas can never
+    * double-subtract. Partition-pruned read; empty frame (caller-hinted
+    * id type) when nothing earlier exists. */
+  def readBefore(spark: SparkSession, path: String, installment: Int,
+                 idType: org.apache.spark.sql.types.DataType =
+                   org.apache.spark.sql.types.LongType): DataFrame = {
+    val dir = deletesDir(path)
+    if (!dirExists(spark, dir) || installment <= 0)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id", idType))))
+    else spark.read.parquet(dir)
+      .filter(col("installment") < installment)
+      .select("id").distinct()
+  }
+
+  /** Restrict a delete batch to ids NOT already tombstoned before
+    * `deletesInstallment` — the shared guard making the "ids must be
+    * LIVE" delete contract self-enforcing for the delta-writing index
+    * families (BM25 df/N, minhash sizes, LM counts, span windows): the
+    * returned frame is what the delta derivation AND the tombstone append
+    * should consume, so a double-delete subtracts nothing and lands no
+    * duplicate tombstone rows, while a crash-retry at the same numbers
+    * (whose own partition is excluded by the strict `<`) still recomputes
+    * its full deltas. Broadcast anti-join — delete batches are id-only
+    * and takedown-sized by contract. */
+  def liveOnly(spark: SparkSession, path: String, ids: DataFrame,
+               idCol: String, deletesInstallment: Int): DataFrame = {
+    val idType = ids.schema(idCol).dataType
+    ids.join(
+      broadcast(readBefore(spark, path, deletesInstallment, idType)
+        .select(col("id").as(idCol))),
+      Seq(idCol), "left_anti")
   }
 
   /** True when at least one tombstone exists — readers use this to skip
@@ -101,7 +145,8 @@ object Tombstones {
              joinCol: String): DataFrame =
     if (!any(spark, path)) stored
     else stored.join(
-      broadcast(read(spark, path).select(col("id").as(joinCol))),
+      broadcast(read(spark, path, stored.schema(joinCol).dataType)
+        .select(col("id").as(joinCol))),
       Seq(joinCol), "left_anti")
 
   /** Remove the deletes dir — the compaction epilogue, after the

@@ -53,6 +53,28 @@ class NgramLmIndexSpec extends SparkTestBase {
     assert(collected(NgramLm.lmScoreIndexed(spark, path, docs)) === fresh)
   }
 
+  test("double-delete is a self-enforced no-op via the content-hash ledger") {
+    val path = tmp("lm-ddel")
+    NgramLm.lmIndexBuild(docs, path)
+    NgramLm.lmIndexDelete(spark, path, odd)
+    val once = collected(NgramLm.lmScoreIndexed(spark, path, docs))
+    // re-deleting the SAME documents must subtract nothing more — the md5
+    // ledger anti-joins them away (the r10 review's contract gap)
+    NgramLm.lmIndexDelete(spark, path, odd)
+    assert(collected(NgramLm.lmScoreIndexed(spark, path, docs)) === once,
+      "re-delete double-subtracted the count model")
+    // the totals really didn't move: n_total equals the even-docs total
+    val nTotal = spark.read.parquet(s"$path/tot")
+      .agg(sum("n_total")).head().getLong(0)
+    val evenTotal = NgramLm.totalTokens(even).head().getLong(0)
+    assert(nTotal === evenTotal, s"n_total drifted: $nTotal vs $evenTotal")
+    // compaction clears the ledger: the text becomes deletable again
+    // after a fold re-indexes it (rebuild precedent)
+    NgramLm.lmIndexCompact(spark, path)
+    assert(!graft.store.Tombstones.any(spark, path),
+      "compaction must clear the delete ledger")
+  }
+
   test("asOfInstallment pins scoring to the snapshot model") {
     val path = tmp("lm-asof")
     NgramLm.lmIndexBuild(even, path)

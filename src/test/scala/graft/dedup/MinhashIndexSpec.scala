@@ -293,6 +293,24 @@ class MinhashIndexSpec extends SparkTestBase {
     assert(sizeSum === 64L, s"size deltas off: $sizeSum")
   }
 
+  test("double-delete is a self-enforced no-op: size deltas never double-subtract") {
+    val path = tmpPath("mh-ddel")
+    Dedup.minhashIndexBuild(corpus, "text", "doc_id", path,
+      shingleK = 3, numHashes = 64, bands = 32)
+    Dedup.minhashIndexDelete(spark, path, Seq(1L).toDF("doc_id"))
+    // re-deleting 1 (already dead) alongside the live 3: only 3's bands
+    // subtract — 3 docs × 32 bands = 96, minus 32 (doc 1) minus 32 (doc 3)
+    Dedup.minhashIndexDelete(spark, path, Seq(1L, 3L).toDF("doc_id"))
+    val sizeSum = spark.read.parquet(s"$path/sizes")
+      .agg(sum("cnt")).head().getLong(0)
+    assert(sizeSum === 32L,
+      s"double-delete corrupted the bucket sums: $sizeSum (want 32)")
+    // a pure re-delete changes nothing
+    Dedup.minhashIndexDelete(spark, path, Seq(1L, 3L).toDF("doc_id"))
+    assert(spark.read.parquet(s"$path/sizes")
+      .agg(sum("cnt")).head().getLong(0) === 32L)
+  }
+
   test("vacuum folds tombstones physically; append keeps working after it") {
     val path = tmpPath("mh-vac")
     Dedup.minhashIndexBuild(corpus, "text", "doc_id", path,

@@ -191,6 +191,34 @@ class Bm25Spec extends SparkTestBase {
     assert(got2 === want2)
   }
 
+  test("double-delete is a self-enforced no-op: re-deleting nets zero deltas") {
+    val path = java.nio.file.Files.createTempDirectory("bm25-ddel")
+      .resolve("idx").toString
+    Bm25.bm25IndexBuild(docs, path)
+    Bm25.bm25IndexDelete(spark, path, Seq(1L).toDF("doc_id"))
+    val q = Seq((100L, "quick brown fox")).toDF("query_id", "qtext")
+    val once = Bm25.bm25SearchIndexed(spark, path, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // the r10 review's contract gap: a second delete of the same id used
+    // to double-subtract df/N/dl silently — now it must change nothing
+    Bm25.bm25IndexDelete(spark, path, Seq(1L, 2L).toDF("doc_id"))
+    // id 1 contributes nothing (already tombstoned); id 2 deletes normally
+    val twice = Bm25.bm25SearchIndexed(spark, path, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val fresh = java.nio.file.Files.createTempDirectory("bm25-ddel-f")
+      .resolve("idx").toString
+    Bm25.bm25IndexBuild(docs.filter(!$"doc_id".isin(1L, 2L)), fresh)
+    val want = Bm25.bm25SearchIndexed(spark, fresh, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(twice === want,
+      s"double-delete corrupted the statistics: $twice vs $want")
+    assert(once !== twice, "the live id 2 must still delete")
+    // a pure re-delete (every id already dead) changes nothing at all
+    Bm25.bm25IndexDelete(spark, path, Seq(1L, 2L).toDF("doc_id"))
+    assert(Bm25.bm25SearchIndexed(spark, path, q, k = 5)
+      .as[(Long, Long, Double, Int)].collect().toSet === want)
+  }
+
   test("no window funnel and no corpus-side shuffle past the posting build") {
     val big = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")

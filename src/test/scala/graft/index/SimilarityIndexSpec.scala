@@ -419,6 +419,80 @@ class SimilarityIndexSpec extends SparkTestBase {
       s"compaction must shrink the file count (was $filesBefore)")
   }
 
+  test("ivfDelete: search equals a fresh build over corpus-minus-deleted; " +
+       "compact folds physically; plan stays anti-join-free without deletes") {
+    val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
+      case (v, i) => if (i == 0) v + eps else v }
+    val c1 = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val c2 = Array(0.0f, 0.0f, 0.0f, -1.0f)
+    val corpus = (1 to 10).map(i => (i.toLong, mk(c1, i * 0.01f))) ++
+      (11 to 20).map(i => (i.toLong, mk(c2, i * 0.01f)))
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val queries = Seq((1L, c1), (15L, c2)).toDF("query_id", "query_vec")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+    SimilarityIndex.ivfBuild(corpusDf, dir, nlist = 2, fitSampleFraction = 1.0)
+
+    // a delete-free index must keep the byte-identical pre-tombstone plan
+    // (Tombstones.filter short-circuits) — no anti-join anywhere
+    val cleanPlan = SimilarityIndex.ivfSearchIndexed(spark, dir, queries,
+      k = 20, nprobe = 2).queryExecution.executedPlan.toString
+    assert(!cleanPlan.contains("LeftAnti"),
+      s"delete-free search must not plan an anti-join:\n$cleanPlan")
+
+    val deleted = Set(2L, 3L, 15L)
+    SimilarityIndex.ivfDelete(spark, dir,
+      deleted.toSeq.toDF("vec_id"))
+    val afterDelete = SimilarityIndex.ivfSearchIndexed(spark, dir, queries,
+      k = 20, nprobe = 2)
+    val hitIds = afterDelete.select("vec_id").as[Long].collect().toSet
+    assert(hitIds.intersect(deleted).isEmpty,
+      s"tombstoned vectors still ranked: $hitIds")
+    // at nprobe = nlist this equals a fresh build over the live rows —
+    // identical floats, centroid placement cannot matter
+    val freshDir = java.nio.file.Files.createTempDirectory("graft_ivf_fr").toString
+    SimilarityIndex.ivfBuild(
+      corpusDf.filter(!$"vec_id".isin(deleted.toSeq: _*)), freshDir,
+      nlist = 2, fitSampleFraction = 1.0)
+    val fresh = SimilarityIndex.ivfSearchIndexed(spark, freshDir, queries,
+      k = 20, nprobe = 2)
+      .select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(afterDelete.select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet === fresh)
+
+    // physical fold: compact drops the tombstoned rows, clears deletes/,
+    // search results unchanged, plan back to the anti-join-free shape
+    val rows = SimilarityIndex.ivfCompact(spark, dir)
+    assert(rows === 17L, s"compaction must fold the deletion, kept $rows")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(dir, "deletes")),
+      "compaction must clear the deletes dir LAST")
+    val afterCompact = SimilarityIndex.ivfSearchIndexed(spark, dir, queries,
+      k = 20, nprobe = 2)
+    assert(afterCompact.select("query_id", "vec_id", "cosine")
+      .as[(Long, Long, Double)].collect().toSet === fresh)
+    val foldedPlan = afterCompact.queryExecution.executedPlan.toString
+    assert(!foldedPlan.contains("LeftAnti"),
+      s"post-compaction search must shed the anti-join:\n$foldedPlan")
+    // the map-side probe shape survives the tombstone era end-to-end
+    assert(foldedPlan.contains("PartitionFilters") && foldedPlan.contains("list_id"),
+      s"expected list_id partition pruning in:\n$foldedPlan")
+  }
+
+  test("ivfBuild rebuild clears a previous generation's tombstones") {
+    val corpus = (1 to 8).map(i => (i.toLong,
+      Array(1.0f + i * 0.01f, i * 0.1f))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_gen").toString
+    SimilarityIndex.ivfBuild(corpus, dir, nlist = 2, fitSampleFraction = 1.0)
+    SimilarityIndex.ivfDelete(spark, dir, Seq(1L).toDF("vec_id"))
+    // rebuild = new generation; id 1 must be visible again
+    SimilarityIndex.ivfBuild(corpus, dir, nlist = 2, fitSampleFraction = 1.0)
+    val q = Seq((1L, Array(1.0f, 0.1f))).toDF("query_id", "query_vec")
+    val ids = SimilarityIndex.ivfSearchIndexed(spark, dir, q, k = 8, nprobe = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids.contains(1L), "stale tombstones filtered the rebuilt index")
+  }
+
   test("IVF with nprobe=1 only scores vectors in the probed list") {
     val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
       case (v, i) => if (i == 0) v + eps else v }

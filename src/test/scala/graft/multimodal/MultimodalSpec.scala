@@ -132,6 +132,84 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeFrames(enc).head.toSeq === rgb.toSeq)
   }
 
+  test("PNG round-trips through every filter type, truecolor and grayscale") {
+    // height 10 → filter types 0,1,2,3,4 each used twice (encodePng
+    // cycles y % 5); width 5 makes Sub/Paeth predictions non-trivial
+    val rgb = Array.tabulate(5 * 10 * 3)(i => (i * 37 % 256).toByte)
+    val enc = Multimodal.encodePng(5, 10, rgb)
+    assert((enc(1) & 0xFF) === 'P'.toInt && (enc(0) & 0xFF) === 0x89)
+    val Some((w, h, px)) = Multimodal.decodePng(enc)
+    assert((w, h) === (5, 10))
+    assert(px.toSeq === rgb.toSeq,
+      "all five scanline filters must reconstruct exactly")
+    // grayscale (color type 0) expands to R=G=B
+    val gray = Array.tabulate(4 * 10)(i => (i * 11 % 256).toByte)
+    val encG = Multimodal.encodePng(4, 10, gray, gray = true)
+    val Some((wg, hg, pxg)) = Multimodal.decodePng(encG)
+    assert((wg, hg) === (4, 10))
+    (0 until 40).foreach { k =>
+      assert(pxg(3 * k) === gray(k) && pxg(3 * k + 1) === gray(k) &&
+        pxg(3 * k + 2) === gray(k))
+    }
+    // the frame dispatcher routes PNG payloads through the real parser
+    assert(Multimodal.decodeFrames(enc).head.toSeq === rgb.toSeq)
+    assert(Multimodal.decodeFirstFrame(enc).get._3.toSeq === rgb.toSeq)
+  }
+
+  test("PNG rejects corrupt CRCs, truncation, and unsupported shapes") {
+    val rgb = Array.tabulate(6 * 6 * 3)(i => (i * 7 % 256).toByte)
+    val enc = Multimodal.encodePng(6, 6, rgb)
+    // flip one IDAT byte: the chunk CRC must catch it (reject, not garbage)
+    val bad = enc.clone()
+    val idatAt = {
+      var p = 8
+      while (!(bad(p + 4) == 'I' && bad(p + 5) == 'D' && bad(p + 6) == 'A'))
+        p += 12 + java.nio.ByteBuffer.wrap(bad).getInt(p)
+      p
+    }
+    bad(idatAt + 10) = (bad(idatAt + 10) ^ 0x55).toByte
+    assert(Multimodal.decodePng(bad).isEmpty, "bad CRC must reject")
+    // truncation rejects
+    assert(Multimodal.decodePng(enc.dropRight(13)).isEmpty)
+    // interlaced and 16-bit reject (flip IHDR fields + refresh the CRC)
+    def withIhdr(mod: Array[Byte] => Unit): Array[Byte] = {
+      val c = enc.clone(); mod(c)
+      val crc = new java.util.zip.CRC32()
+      crc.update(c, 12, 17) // tag + 13-byte IHDR body
+      java.nio.ByteBuffer.wrap(c).putInt(29, crc.getValue.toInt)
+      c
+    }
+    assert(Multimodal.decodePng(withIhdr(_(28) = 1)).isEmpty, "interlace")
+    assert(Multimodal.decodePng(withIhdr(_(24) = 16)).isEmpty, "16-bit")
+    assert(Multimodal.decodePng(withIhdr(_(25) = 3)).isEmpty, "palette")
+    // ancillary chunks are skipped: splice a tEXt chunk before IDAT
+    val text = "comment".getBytes
+    val tChunk = {
+      val o = new java.io.ByteArrayOutputStream()
+      o.write(java.nio.ByteBuffer.allocate(4).putInt(text.length).array())
+      o.write("tEXt".getBytes)
+      o.write(text)
+      val crc = new java.util.zip.CRC32()
+      crc.update("tEXt".getBytes); crc.update(text)
+      o.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      o.toByteArray
+    }
+    val spliced = enc.take(idatAt) ++ tChunk ++ enc.drop(idatAt)
+    assert(Multimodal.decodePng(spliced).get._3.toSeq === rgb.toSeq,
+      "unknown ancillary chunks must be skipped by declared size")
+  }
+
+  test("the three image containers decode to identical pixel streams") {
+    val rgb = Array.tabulate(9 * 7 * 3)(i => (i * 23 % 256).toByte)
+    val viaP6 = Multimodal.decodeFirstFrame(Multimodal.encodePpm(9, 7, rgb)).get
+    val viaBmp = Multimodal.decodeFirstFrame(Multimodal.encodeBmp(9, 7, rgb)).get
+    val viaPng = Multimodal.decodeFirstFrame(Multimodal.encodePng(9, 7, rgb)).get
+    assert(viaP6._3.toSeq === rgb.toSeq)
+    assert(viaBmp._3.toSeq === viaP6._3.toSeq)
+    assert(viaPng._3.toSeq === viaP6._3.toSeq,
+      "container-blind contract: PNG must yield the same stream as P6/BMP")
+  }
+
   test("concatenated P6 frames decode to the frame list; truncation rejects") {
     val f0 = Array.tabulate(2 * 2 * 3)(i => i.toByte)
     val f1 = Array.tabulate(2 * 2 * 3)(i => (100 + i).toByte)
@@ -149,9 +227,13 @@ class MultimodalSpec extends SparkTestBase {
       m.meta.media_type match {
         case "audio" => assert(head === "RIFF", s"id ${m.id}")
         case "image" =>
-          // image containers alternate: BMP on even rows, P6 on odd
-          if (m.id % 6 == 0) assert(head.startsWith("BM"), s"id ${m.id}")
-          else assert(head.startsWith("P6"), s"id ${m.id}")
+          // image containers rotate three ways by id % 9: BMP / PNG / P6
+          (m.id % 9) match {
+            case 0 => assert(head.startsWith("BM"), s"id ${m.id}")
+            case 3 => assert((m.payload(0) & 0xFF) == 0x89 &&
+              m.payload(1) == 'P'.toByte, s"id ${m.id}")
+            case _ => assert(head.startsWith("P6"), s"id ${m.id}")
+          }
         case _ => assert(head.startsWith("P6"), s"id ${m.id}")
       }
     }

@@ -58,6 +58,27 @@ class SpanDedupIndexSpec extends SparkTestBase {
     assert(collected(SpanDedup.spanIndexProbe(spark, path, batch)) === fresh)
   }
 
+  test("double-delete is a self-enforced no-op via the content-hash ledger") {
+    val path = tmp("span-ddel")
+    val even = corpus.filter(col("doc_id") % 2 === 0)
+    val odd = corpus.filter(col("doc_id") % 2 === 1)
+    SpanDedup.spanIndexBuild(corpus, path, k = 8)
+    SpanDedup.spanIndexDelete(spark, path, odd)
+    val once = collected(SpanDedup.spanIndexProbe(spark, path, batch))
+    // re-deleting the same documents must net zero — without the ledger
+    // the second negation would drive even-doc window counts negative and
+    // stop them owning spans they still hold
+    SpanDedup.spanIndexDelete(spark, path, odd)
+    assert(collected(SpanDedup.spanIndexProbe(spark, path, batch)) === once,
+      "re-delete double-subtracted the window counts")
+    val netted = spark.read.parquet(s"$path/wins")
+      .groupBy("h").agg(sum("c").as("c")).filter(col("c") < 0)
+    assert(netted.isEmpty, "negative netted counts after a re-delete")
+    SpanDedup.spanIndexCompact(spark, path)
+    assert(!graft.store.Tombstones.any(spark, path),
+      "compaction must clear the delete ledger")
+  }
+
   test("asOfInstallment pins the probe to the snapshot hash set") {
     val path = tmp("span-asof")
     val even = corpus.filter(col("doc_id") % 2 === 0)
