@@ -95,7 +95,17 @@ object Bench {
     val loadavg = scala.util.Try(
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")
         .take(3).mkString("[", ",", "]")).getOrElse("[]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phasesJson,"errors":$errJson,"loadavg":$loadavg,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phasesJson,"errors":$errJson,"loadavg":$loadavg,"sf":"$sfDir"}"""
+    println(json)
+    // the driver's stdout capture has truncated this line before (the
+    // BENCH_r10 tail) — persist it to a file too so every round's
+    // per-query record stays parseable. Path overridable for local runs.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -2757,6 +2757,59 @@ object SparkEntry {
           "id", "ahash", maxHamming = 3, broadcastDrop = true)
         .select(col("id"))
         .orderBy("id")
+    }),
+
+    // the PERSISTED video frame-hash index (9th family — the hamming-index
+    // lifecycle lifted to frame SETS): per-frame aHashes installed in two
+    // installments (even ids at build, odd appended), the doc_id % 7 == 0
+    // videos tombstoned (takedown — one id-list append + negative df
+    // deltas), then clipped twins (even frames only, the truncation
+    // signature) probe for frame-set CONTAINMENT without re-decoding a
+    // stored byte: batch hashes broadcast into the map-side stored scan,
+    // the df guard resolves from summed stored deltas, sizes are
+    // precomputed per video. Probe-after-append-after-delete must equal
+    // the one-shot containment join over live-corpus x batch, which the
+    // oracle recomputes from the fixture pixels.
+    "media_video_index_probe" -> ((s, dir) => {
+      import s.implicits._
+      val vids = tbl(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 3 === 2)
+      val base = Multimodal.syntheticMedia(vids, "doc_id", "text")
+      val frames = Multimodal.videoFrameHashes(base).toDF()
+        .select(col("id"), col("frame_idx"), col("ahash"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_vx_idx_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.dedup.Dedup.videoIndexBuild(
+          frames.filter(col("id") % 2 === 0), idxPath)
+      }
+      Phases.timed("append") {
+        graft.dedup.Dedup.videoIndexAppend(s, idxPath,
+          frames.filter(col("id") % 2 === 1))
+      }
+      Phases.timed("delete") {
+        graft.dedup.Dedup.videoIndexDelete(s, idxPath,
+          frames.filter(col("id") % 7 === 0).select("id").distinct())
+      }
+      val twins = base.map { m =>
+        val fs = Multimodal.decodeFrames(m.payload)
+        val out = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < fs.length) {
+          if (f % 2 == 0)
+            out.write(Multimodal.encodePpm(m.meta.width, m.meta.height, fs(f)))
+          f += 1
+        }
+        Multimodal.MediaRow(m.id + 1000000L, out.toByteArray, m.meta)
+      }
+      val batchFrames = Multimodal.videoFrameHashes(twins).toDF()
+        .select(col("id"), col("frame_idx"), col("ahash"))
+      graft.dedup.Dedup.videoContainmentProbe(s, idxPath, batchFrames,
+          threshold = 0.9)
+        .select(col("corpus_id"), col("new_id"),
+          col("shared").cast("long").as("shared"), col("containment"))
+        .orderBy("corpus_id", "new_id")
     })
   )
 
@@ -6134,6 +6187,71 @@ object SparkEntry {
         |JOIN sizes nb ON nb.id = co.id_b
         |WHERE CAST(shared AS DOUBLE) / least(na.n, nb.n) >= 0.9
         |ORDER BY id_a, id_b""".stripMargin,
+    // persisted video-index probe: the media_video_dups frame-hash CTEs,
+    // stored = live videos (doc_id % 7 <> 0 after the tombstone), batch =
+    // clipped twins (even frames); df guard on STORED sets only (the
+    // probe contract), containment over full distinct-set sizes
+    "media_video_index_probe" ->
+      """WITH vids AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS l,
+        |    CAST(16 + doc_id % 16 AS BIGINT) AS w,
+        |    CAST(16 + doc_id % 8 AS BIGINT) AS h,
+        |    CAST(8 + doc_id % 8 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fp AS (
+        |  SELECT doc_id, text, l, w, h,
+        |    unnest(generate_series(0, nf - 1)) AS f
+        |  FROM vids),
+        |pixk AS (
+        |  SELECT doc_id, text, l, w, h, f, f * w * h * 3 AS base,
+        |    unnest(generate_series(0, w * h - 1)) AS p
+        |  FROM fp),
+        |g AS (
+        |  SELECT doc_id, f, w, h, p // w AS y, p % w AS x,
+        |    (299 * (CASE WHEN l = 0 THEN (base + 3*p) % 256
+        |       ELSE (unicode(substr(text, CAST((base + 3*p) % l AS INT) + 1, 1)) + base + 3*p) % 256 END)
+        |   + 587 * (CASE WHEN l = 0 THEN (base + 3*p + 1) % 256
+        |       ELSE (unicode(substr(text, CAST((base + 3*p + 1) % l AS INT) + 1, 1)) + base + 3*p + 1) % 256 END)
+        |   + 114 * (CASE WHEN l = 0 THEN (base + 3*p + 2) % 256
+        |       ELSE (unicode(substr(text, CAST((base + 3*p + 2) % l AS INT) + 1, 1)) + base + 3*p + 2) % 256 END)
+        |    ) // 1000 AS gr
+        |  FROM pixk),
+        |blk AS (
+        |  SELECT doc_id, f, (y * 8) // h AS by, (x * 8) // w AS bx,
+        |    sum(gr) // count(*) AS bm
+        |  FROM g GROUP BY 1, 2, 3, 4),
+        |gm AS (SELECT doc_id, f, sum(bm) // 64 AS m FROM blk GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT blk.doc_id, blk.f,
+        |    sum(CASE WHEN bm > m THEN 1::HUGEINT << CAST(by * 8 + bx AS INT)
+        |        ELSE 0::HUGEINT END) AS s
+        |  FROM blk JOIN gm ON blk.doc_id = gm.doc_id AND blk.f = gm.f
+        |  GROUP BY 1, 2),
+        |fh AS (
+        |  SELECT doc_id, f, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |    THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS h64
+        |  FROM bits),
+        |stored AS (
+        |  SELECT DISTINCT doc_id AS id, h64 FROM fh WHERE doc_id % 7 <> 0),
+        |batch AS (
+        |  SELECT DISTINCT doc_id + 1000000 AS id, h64 FROM fh WHERE f % 2 = 0),
+        |ssz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM stored GROUP BY id),
+        |bsz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM batch GROUP BY id),
+        |guard AS (SELECT h64 FROM stored GROUP BY h64 HAVING count(*) <= 1000),
+        |co AS (
+        |  SELECT s.id AS corpus_id, b.id AS new_id,
+        |    CAST(count(*) AS BIGINT) AS shared
+        |  FROM stored s
+        |  JOIN batch b ON s.h64 = b.h64
+        |  WHERE s.h64 IN (SELECT h64 FROM guard)
+        |  GROUP BY 1, 2)
+        |SELECT corpus_id, new_id, shared,
+        |  CAST(shared AS DOUBLE) / least(sa.n, sb.n) AS containment
+        |FROM co
+        |JOIN ssz sa ON sa.id = co.corpus_id
+        |JOIN bsz sb ON sb.id = co.new_id
+        |WHERE CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.9
+        |ORDER BY corpus_id, new_id""".stripMargin,
     // persisted hamming-index probe: the media_phash_dups hash CTEs,
     // stored (all image ids) x batch (twins, same hashes) brute pairs
     "media_phash_index_probe" ->

@@ -454,6 +454,38 @@ object Main {
       println(s"hamming-prune: $n survivors at hamming <= $maxHamming -> $out")
       spark.stop()
 
+    case "video-build" :: framesParquet :: idx :: rest =>
+      val idCol = rest.headOption.getOrElse("id")
+      val hashCol = rest.drop(1).headOption.getOrElse("ahash")
+      val spark = session()
+      graft.dedup.Dedup.videoIndexBuild(
+        spark.read.parquet(framesParquet), idx, idCol, hashCol = hashCol)
+      val n = spark.read.parquet(s"$idx/frames").count()
+      println(s"video-build: $n frame-hash rows -> $idx")
+      spark.stop()
+
+    case "video-append" :: framesParquet :: idx :: rest =>
+      val idCol = rest.headOption.getOrElse("id")
+      val hashCol = rest.drop(1).headOption.getOrElse("ahash")
+      val spark = session()
+      graft.dedup.Dedup.videoIndexAppend(spark, idx,
+        spark.read.parquet(framesParquet), idCol, hashCol = hashCol)
+      val n = spark.read.parquet(s"$idx/frames").count()
+      println(s"video-append: index now holds $n frame-hash rows in $idx")
+      spark.stop()
+
+    case "video-probe" :: idx :: framesParquet :: out :: rest =>
+      val threshold = rest.headOption.map(_.toDouble).getOrElse(0.9)
+      val idCol = rest.drop(1).headOption.getOrElse("id")
+      val hashCol = rest.drop(2).headOption.getOrElse("ahash")
+      val spark = session()
+      graft.dedup.Dedup.videoContainmentProbe(spark, idx,
+          spark.read.parquet(framesParquet), idCol, hashCol, threshold)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"video-probe: $n containment pairs at >= $threshold -> $out")
+      spark.stop()
+
     case "index-delete" :: kind :: idx :: delParquet :: rest =>
       // takedown lifecycle: remove documents from a persisted index.
       // minhash | bm25 | int8 | ivfsq8 take an ID list (tombstone
@@ -463,7 +495,7 @@ object Main {
       val col1 = rest.headOption.getOrElse(kind match {
         case "int8" | "ivfsq8" | "ivf" => "vec_id"
         case "lm" | "span"     => "text"
-        case "hamming"         => "id"
+        case "hamming" | "video" => "id"
         case _                 => "doc_id"
       })
       val spark = session()
@@ -478,8 +510,9 @@ object Main {
         case "lm"      => graft.analysis.NgramLm.lmIndexDelete(spark, idx, del, col1)
         case "span"    => graft.pipeline.SpanDedup.spanIndexDelete(spark, idx, del, col1)
         case "hamming" => graft.dedup.Dedup.hammingIndexDelete(spark, idx, del, col1)
+        case "video"   => graft.dedup.Dedup.videoIndexDelete(spark, idx, del, col1)
         case other => sys.error(s"unknown index kind '$other' " +
-          "(expected minhash | bm25 | int8 | ivfsq8 | ivf | lm | span | hamming)")
+          "(expected minhash | bm25 | int8 | ivfsq8 | ivf | lm | span | hamming | video)")
       }
       println(s"index-delete: $n rows deleted from $kind index $idx")
       spark.stop()
@@ -498,8 +531,9 @@ object Main {
         case "lm"      => graft.analysis.NgramLm.lmIndexCompact(spark, idx)
         case "span"    => graft.pipeline.SpanDedup.spanIndexCompact(spark, idx)
         case "hamming" => graft.dedup.Dedup.hammingIndexCompact(spark, idx)
+        case "video"   => graft.dedup.Dedup.videoIndexCompact(spark, idx)
         case other => sys.error(s"unknown index kind '$other' " +
-          "(expected minhash | bm25 | int8 | ivfsq8 | ivf | lm | span | hamming)")
+          "(expected minhash | bm25 | int8 | ivfsq8 | ivf | lm | span | hamming | video)")
       }
       println(s"index-vacuum: $kind index folded to $rows surviving rows in $idx")
       spark.stop()
@@ -799,8 +833,11 @@ object Main {
           |  int8-prune       <indexPath> <vecsParquet> <outParquet> [threshold]
           |  ivfsq8-probe     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
           |  ivfsq8-prune     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
-          |  index-delete     <minhash|bm25|int8|ivfsq8|lm|span|hamming> <indexPath> <idsOrDocsParquet> [idOrTextCol]
-          |  index-vacuum     <minhash|bm25|int8|ivfsq8|lm|span|hamming> <indexPath> [vecIdCol]
+          |  index-delete     <minhash|bm25|int8|ivfsq8|ivf|lm|span|hamming|video> <indexPath> <idsOrDocsParquet> [idOrTextCol]
+          |  index-vacuum     <minhash|bm25|int8|ivfsq8|ivf|lm|span|hamming|video> <indexPath> [vecIdCol]
+          |  video-build      <framesParquet> <indexPath> [idCol] [hashCol]
+          |  video-append     <framesParquet> <indexPath> [idCol] [hashCol]
+          |  video-probe      <indexPath> <framesParquet> <outParquet> [threshold] [idCol] [hashCol]
           |  hamming-build    <hashesParquet> <indexPath> [idCol] [hashCol]
           |  hamming-append   <hashesParquet> <indexPath> [idCol] [hashCol]
           |  hamming-probe    <indexPath> <hashesParquet> <outParquet> [maxHamming] [idCol] [hashCol]

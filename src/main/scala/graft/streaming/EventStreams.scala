@@ -643,6 +643,32 @@ object EventStreams extends Serializable {
     }
 
   /**
+   * Continuous ingest into the persisted video frame-hash index
+   * ([[graft.dedup.Dedup.videoIndexBuild]]) — each micro-batch of
+   * (id, frame_idx, hash) rows lands as its own `installment =
+   * StreamInstallmentBase + batchId` partition of frames/sizes/dfs via
+   * [[graft.dedup.Dedup.videoIndexAppendAt]], which overwrites ALL THREE
+   * partitions at that number — a replay reproduces them exactly, so
+   * at-least-once delivery can never double-count a frame set (the
+   * shared `*AppendAt` contract; single writer; compaction folds the
+   * history). Containment probes reflect each batch as soon as its
+   * partitions are down.
+   */
+  def videoIngestStream(spark: SparkSession, frames: DataFrame,
+                        indexPath: String, idCol: String = "id",
+                        frameIdxCol: String = "frame_idx",
+                        hashCol: String = "ahash")
+                       (sink: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    frames.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.dedup.Dedup.videoIndexAppendAt(spark, indexPath, batch.toDF(),
+          StreamInstallmentBase + batchId.toInt, idCol, frameIdxCol, hashCol)
+        sink(batchId)
+        ()
+    }
+
+  /**
    * Continuous ingest into a float IVF index — the sixth ingest loop:
    * every micro-batch assigns against the FROZEN stored centroids
    * (map-side) and lands as `list_id=X/ingest=N` partition dirs with

@@ -156,6 +156,35 @@ class VideoIndexSpec extends SparkTestBase {
     assert(twice === once, "replayed append must overwrite, not duplicate")
   }
 
+  test("streamed ingest equals batch appends; replays overwrite their partitions") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp("vx-stream")
+    Dedup.videoIndexBuild(frames.filter($"id" % 2 === 0), path)
+    val oddRows = frames.filter($"id" % 2 === 1)
+      .as[(Long, Int, Long)].collect().toSeq
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Int, Long)]
+    val q = graft.streaming.EventStreams.videoIngestStream(spark,
+      input.toDF().toDF("id", "frame_idx", "ahash"), path)().start()
+    input.addData(oddRows: _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = Dedup.videoContainmentProbe(spark, path, clippedTwins,
+      threshold = 0.9).as[(Long, Long, Long, Double)].collect().toSet
+    val batchPath = tmp("vx-stream-b")
+    Dedup.videoIndexBuild(frames.filter($"id" % 2 === 0), batchPath)
+    Dedup.videoIndexAppend(spark, batchPath, frames.filter($"id" % 2 === 1))
+    val batched = Dedup.videoContainmentProbe(spark, batchPath, clippedTwins,
+      threshold = 0.9).as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed === batched, "stream ingest must equal batch appends")
+    // replay: AppendAt at the streamed installment reproduces all three
+    // partitions (sizes/dfs included), so results cannot drift
+    val inst = graft.streaming.EventStreams.StreamInstallmentBase + 0
+    Dedup.videoIndexAppendAt(spark, path, frames.filter($"id" % 2 === 1), inst)
+    assert(Dedup.videoContainmentProbe(spark, path, clippedTwins,
+      threshold = 0.9).as[(Long, Long, Long, Double)].collect().toSet === streamed)
+  }
+
   test("the stored index is never shuffled by a probe — batch side broadcasts") {
     val path = tmp("vx-plan")
     Dedup.videoIndexBuild(frames, path)
