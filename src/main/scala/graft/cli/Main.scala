@@ -550,6 +550,16 @@ object Main {
         s"(nprobe=$nprobe) -> $out")
       spark.stop()
 
+    case "ivfsq8-build" :: vecs :: idx :: rest =>
+      val nlist = rest.headOption.map(_.toInt).getOrElse(64)
+      val storeRaw = rest.drop(1).headOption.exists(_.toBoolean)
+      val spark = session()
+      graft.index.Quantize.ivfSq8Build(spark.read.parquet(vecs), idx,
+        nlist, storeRaw = storeRaw)
+      val n = spark.read.parquet(s"$idx/codes").count()
+      println(s"ivfsq8-build: $n packed code rows in $nlist lists -> $idx")
+      spark.stop()
+
     case "ivfsq8-prune" :: idx :: vecs :: out :: rest =>
       val threshold = rest.headOption.map(_.toDouble).getOrElse(0.95)
       val nprobe = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
@@ -831,6 +841,7 @@ object Main {
           |  int8-append      <vecsParquet> <indexPath>
           |  int8-probe       <indexPath> <vecsParquet> <outParquet> [threshold]
           |  int8-prune       <indexPath> <vecsParquet> <outParquet> [threshold]
+          |  ivfsq8-build     <vecsParquet> <indexPath> [nlist] [storeRaw]
           |  ivfsq8-probe     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
           |  ivfsq8-prune     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
           |  index-delete     <minhash|bm25|int8|ivfsq8|ivf|lm|span|hamming|video> <indexPath> <idsOrDocsParquet> [idOrTextCol]
