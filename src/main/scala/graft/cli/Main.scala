@@ -486,6 +486,19 @@ object Main {
       println(s"video-probe: $n containment pairs at >= $threshold -> $out")
       spark.stop()
 
+    case "video-prune" :: idx :: framesParquet :: out :: rest =>
+      val threshold = rest.headOption.map(_.toDouble).getOrElse(0.9)
+      val idCol = rest.drop(1).headOption.getOrElse("id")
+      val hashCol = rest.drop(2).headOption.getOrElse("ahash")
+      val spark = session()
+      val survivors = graft.dedup.Dedup.videoIndexPrune(spark, idx,
+        spark.read.parquet(framesParquet), idCol, hashCol, threshold)
+      survivors.write.mode("overwrite").parquet(out)
+      graft.dedup.Dedup.release(survivors)
+      val n = spark.read.parquet(out).select(idCol).distinct().count()
+      println(s"video-prune: $n surviving videos at containment < $threshold -> $out")
+      spark.stop()
+
     case "index-delete" :: kind :: idx :: delParquet :: rest =>
       // takedown lifecycle: remove documents from a persisted index.
       // minhash | bm25 | int8 | ivfsq8 take an ID list (tombstone
@@ -849,6 +862,7 @@ object Main {
           |  video-build      <framesParquet> <indexPath> [idCol] [hashCol]
           |  video-append     <framesParquet> <indexPath> [idCol] [hashCol]
           |  video-probe      <indexPath> <framesParquet> <outParquet> [threshold] [idCol] [hashCol]
+          |  video-prune      <indexPath> <framesParquet> <outParquet> [threshold] [idCol] [hashCol]
           |  hamming-build    <hashesParquet> <indexPath> [idCol] [hashCol]
           |  hamming-append   <hashesParquet> <indexPath> [idCol] [hashCol]
           |  hamming-probe    <indexPath> <hashesParquet> <outParquet> [maxHamming] [idCol] [hashCol]

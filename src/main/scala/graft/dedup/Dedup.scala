@@ -1217,6 +1217,70 @@ object Dedup {
         col("containment"))
   }
 
+  /**
+   * Frame-set containment pairs over an in-memory (id, hash) set table —
+   * the kernel [[graft.multimodal.Multimodal.videoContainmentDups]] and
+   * the batch-internal half of [[videoIndexPrune]] share: distinct sets,
+   * df guard (a hash in more than `maxDocFreq` ids prunes before it fans
+   * out), inverted equi-join on the hash, containment = shared /
+   * min(|A|, |B|) at or above `threshold`, id_a < id_b. Exact at the
+   * threshold for surviving hashes.
+   */
+  private[graft] def containmentPairsFromSets(sets: DataFrame,
+                                              threshold: Double,
+                                              maxDocFreq: Int): DataFrame = {
+    val fh = sets.select(col("id"), col("h")).distinct()
+    val sizes = fh.groupBy("id").agg(count(lit(1)).as("_vc_n"))
+    val guarded = fh.join(
+      fh.groupBy("h").agg(count(lit(1)).as("_vc_df"))
+        .filter(col("_vc_df") <= maxDocFreq)
+        .select("h"),
+      Seq("h"), "left_semi")
+    val a = guarded.select(col("id").as("id_a"), col("h"))
+    val b = guarded.select(col("id").as("id_b"), col("h"))
+    a.join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      .join(sizes.select(col("id").as("id_a"), col("_vc_n").as("_vc_na")), Seq("id_a"))
+      .join(sizes.select(col("id").as("id_b"), col("_vc_n").as("_vc_nb")), Seq("id_b"))
+      .withColumn("containment", col("shared").cast("double") /
+        least(col("_vc_na"), col("_vc_nb")))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("shared"), col("containment"))
+  }
+
+  /**
+   * Prune an incoming batch of per-frame hashes against the video index —
+   * the one-call ingest-dedup last mile ([[hammingIndexPrune]] in
+   * containment space): a batch VIDEO drops when its duplicate component
+   * (stored×batch containment pairs from [[videoContainmentProbe]] ∪
+   * batch-internal containment pairs at the same threshold) contains any
+   * stored video, or it is a non-minimal member of a batch-only component
+   * (keep-min — the shared [[ingestPrunePolicy]]). Survivors are the
+   * batch's FRAME rows for the surviving video ids, schema preserved —
+   * exactly what [[videoIndexAppend]] should fold in. Pairs are
+   * batch-bounded; CC runs on the pair list; `asOfInstallment` pins the
+   * probe (the dedup-ingest replay guard).
+   */
+  def videoIndexPrune(spark: org.apache.spark.sql.SparkSession, path: String,
+                      batch: DataFrame, idCol: String = "id",
+                      hashCol: String = "ahash",
+                      threshold: Double = 0.9, maxDocFreq: Int = 1000,
+                      broadcastDrop: Boolean = false,
+                      asOfInstallment: Int = Int.MaxValue): DataFrame = {
+    require(!batch.columns.exists(_.startsWith("_vc_")),
+      "videoIndexPrune reserves internal column names starting with _vc_")
+    val stored = videoContainmentProbe(spark, path, batch, idCol, hashCol,
+      threshold, maxDocFreq, broadcastBatch = true, asOfInstallment)
+      .select(col("corpus_id").as("id_a"), col("new_id").as("id_b"))
+      .localCheckpoint()
+    val internal = containmentPairsFromSets(
+      batch.select(col(idCol).as("id"), guardedHash(hashCol).as("h")),
+      threshold, maxDocFreq)
+      .select(col("id_a"), col("id_b"))
+    ingestPrunePolicy(batch, stored, internal, idCol, broadcastDrop)
+  }
+
   // ------------------------------------- duplicate-cluster resolution (CC)
 
   /**

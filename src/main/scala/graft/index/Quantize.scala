@@ -587,8 +587,8 @@ object Quantize {
 
   /** Batch-internal near-dup pairs at `threshold`: the batch quantizes
     * with the STORED scale (same code space as the probe), self-scored
-    * with one broadcast side — batch-sized, never corpus-sized. Shared
-    * by the flat and IVF-routed prunes. */
+    * with one broadcast side — batch-sized, never corpus-sized. The
+    * EXACT form (every pair scored), used by the flat prune. */
   private def batchInternalPairs(newVecs: DataFrame, scale: Double,
                                  threshold: Double, idCol: String,
                                  vecCol: String): DataFrame = {
@@ -599,6 +599,49 @@ object Quantize {
     val qb = q.select(col("_ip_id").as("_ip_id2"), col("_ip_c").as("_ip_c2"),
       col("_ip_n").as("_ip_n2"))
     q.join(broadcast(qb), col("_ip_id") < col("_ip_id2"))
+      .withColumn("_ip_dot", dotUdf(col("_ip_c"), col("_ip_c2")))
+      .filter(col("_ip_dot").cast("double") /
+        (sqrt(col("_ip_n").cast("double")) * sqrt(col("_ip_n2").cast("double")))
+        >= threshold)
+      .select(col("_ip_id").as("id_a"), col("_ip_id2").as("id_b"))
+  }
+
+  /** IVF-ROUTED batch-internal pairs — the scale form used by
+    * [[ivfSq8ProbePrune]]: two batch vectors are candidates iff their
+    * `nprobe` probe-list sets INTERSECT (an equi-join on probed list_id —
+    * candidate volume is per-list collisions, not |batch|²; the sf1 scale
+    * run showed the exact n² self-join becoming the routed prune's floor
+    * once the stored side was pruned). Candidates dedup ids-only, then
+    * re-score EXACTLY with the integer kernel — the prune gates which
+    * pairs compete, never what a pair scores (the closestMatchHashedIds
+    * guard principle). Recall matches the stored probe's contract: true
+    * near-dups (cosine ≈ 1) route to the same nearest centroids, and at
+    * `nprobe = nlist` every pair shares every list, so the result equals
+    * [[batchInternalPairs]] exactly — the configuration the oracle pins. */
+  private def batchInternalPairsRouted(newVecs: DataFrame,
+                                       centers: Array[Array[Double]],
+                                       scale: Double, threshold: Double,
+                                       nprobe: Int, idCol: String,
+                                       vecCol: String): DataFrame = {
+    val q = newVecs
+      .select(col(idCol).as("_ip_id"), col(vecCol).as("_ip_v"))
+      .withColumn("_ip_c", codesUdf(scale)(col("_ip_v")))
+      .withColumn("_ip_n", normSqUdf(col("_ip_c")))
+      .filter(col("_ip_n") > 0)
+    val probed = q.select(col("_ip_id"),
+      explode(SimilarityIndex.probeUdf(centers, nprobe)(col("_ip_v")))
+        .as("_ip_list"))
+    val candidates = probed
+      .join(probed.select(col("_ip_id").as("_ip_id2"), col("_ip_list")),
+        Seq("_ip_list"))
+      .filter(col("_ip_id") < col("_ip_id2"))
+      .select("_ip_id", "_ip_id2")
+      .distinct()
+    val codes = q.select(col("_ip_id"), col("_ip_c"), col("_ip_n"))
+    candidates
+      .join(broadcast(codes), Seq("_ip_id"))
+      .join(broadcast(codes.select(col("_ip_id").as("_ip_id2"),
+        col("_ip_c").as("_ip_c2"), col("_ip_n").as("_ip_n2"))), Seq("_ip_id2"))
       .withColumn("_ip_dot", dotUdf(col("_ip_c"), col("_ip_c2")))
       .filter(col("_ip_dot").cast("double") /
         (sqrt(col("_ip_n").cast("double")) * sqrt(col("_ip_n2").cast("double")))
@@ -710,7 +753,21 @@ object Quantize {
       .select(col("corpus_id").as("id_a"), col("new_id").as("id_b"))
       .localCheckpoint()
     val scale = spark.read.parquet(s"$path/meta").head().getDouble(0)
-    val internal = batchInternalPairs(newVecs, scale, threshold, idCol, vecCol)
+    // batch-internal pairs route through the SAME probe lists (r11): the
+    // exact n² self-join was the routed prune's residual floor at scale —
+    // with the stored side pruned to probed lists, the batch² term
+    // dominated (sf1: 1667² comparisons constant in nprobe). Routed,
+    // candidate volume is per-list collisions; recall follows the probe
+    // contract. At nprobe ≥ nlist every pair shares every list, so the
+    // routed join devolves to all-pairs WITH an nlist-way dedup on top —
+    // strictly worse than the exact broadcast form; take the exact path
+    // there (identical output, the oracle-pinned configuration).
+    val centers = SimilarityIndex.readCentroids(spark, path)
+    val internal =
+      if (nprobe >= centers.length)
+        batchInternalPairs(newVecs, scale, threshold, idCol, vecCol)
+      else batchInternalPairsRouted(newVecs, centers, scale,
+        threshold, nprobe, idCol, vecCol)
     probePrunePolicy(newVecs, stored, internal, idCol, broadcastDrop)
   }
 

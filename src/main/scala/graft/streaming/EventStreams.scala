@@ -669,6 +669,41 @@ object EventStreams extends Serializable {
     }
 
   /**
+   * The video dedup-ingest loop — [[hammingDedupIngestStream]] in
+   * containment space: each micro-batch of (id, frame_idx, hash) rows is
+   * pruned against the stored frame sets
+   * ([[graft.dedup.Dedup.videoIndexPrune]] — a batch video drops when a
+   * stored video contains it at `threshold`, batch-only near-dup groups
+   * keep their min id) and the SURVIVING videos' frames fold in as that
+   * batch's installment. Replay idempotence is the shared argument: the
+   * prune probes AS OF `StreamInstallmentBase + batchId − 1` (excluding
+   * this batch's own possibly-landed partitions) and the append
+   * overwrites all three partitions at the same number. Single writer;
+   * compaction folds history.
+   */
+  def videoDedupIngestStream(spark: SparkSession, frames: DataFrame,
+                             indexPath: String, threshold: Double = 0.9,
+                             idCol: String = "id",
+                             frameIdxCol: String = "frame_idx",
+                             hashCol: String = "ahash")
+                            (sink: (Long, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    frames.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val inst = StreamInstallmentBase + batchId.toInt
+        val survivors = graft.dedup.Dedup.videoIndexPrune(spark, indexPath,
+          batch.toDF(), idCol, hashCol, threshold,
+          asOfInstallment = inst - 1)
+        graft.dedup.Dedup.videoIndexAppendAt(spark, indexPath, survivors,
+          inst, idCol, frameIdxCol, hashCol)
+        graft.dedup.Dedup.release(survivors)
+        val kept = spark.read
+          .parquet(s"$indexPath/sizes/installment=$inst").count()
+        sink(batchId, kept)
+        ()
+    }
+
+  /**
    * Continuous ingest into a float IVF index — the sixth ingest loop:
    * every micro-batch assigns against the FROZEN stored centroids
    * (map-side) and lands as `list_id=X/ingest=N` partition dirs with

@@ -156,6 +156,79 @@ class VideoIndexSpec extends SparkTestBase {
     assert(twice === once, "replayed append must overwrite, not duplicate")
   }
 
+  test("prune: contained batch videos drop, batch-only groups keep-min, rest survive") {
+    val path = tmp("vx-prune")
+    // stored: videos 1..3 with distinct frame sets
+    val stored = Seq(
+      (1L, 0, 10L), (1L, 1, 11L), (1L, 2, 12L),
+      (2L, 0, 20L), (2L, 1, 21L),
+      (3L, 0, 30L), (3L, 1, 31L), (3L, 2, 32L), (3L, 3, 33L)
+    ).toDF("id", "frame_idx", "ahash")
+    Dedup.videoIndexBuild(stored, path)
+    val batch = Seq(
+      // 101: clipped copy of stored 1 (subset) → anchored, drops
+      (101L, 0, 10L), (101L, 1, 12L),
+      // 102/103: batch-only near-dup pair (103 ⊂ 102) → keep-min 102
+      (102L, 0, 40L), (102L, 1, 41L), (102L, 2, 42L),
+      (103L, 0, 40L), (103L, 1, 41L),
+      // 104: nothing like it → survives
+      (104L, 0, 50L), (104L, 1, 51L)
+    ).toDF("id", "frame_idx", "ahash")
+    val surv = Dedup.videoIndexPrune(spark, path, batch, threshold = 0.9)
+    assert(surv.columns.toSeq === batch.columns.toSeq)
+    assert(surv.select("id").distinct().as[Long].collect().toSet
+      === Set(102L, 104L))
+    // survivors carry ALL their frames, ready for videoIndexAppend
+    assert(surv.filter($"id" === 102L).count() === 3)
+    val viaBroadcast = Dedup.videoIndexPrune(spark, path, batch,
+      threshold = 0.9, broadcastDrop = true)
+    assert(viaBroadcast.select("id").distinct().as[Long].collect().toSet
+      === Set(102L, 104L))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.videoIndexPrune(spark, path, batch.withColumn("_vc_x", lit(1)))
+    }
+    assert(e.getMessage.contains("_vc_"))
+  }
+
+  test("dedup-ingest stream prunes per batch and replays idempotently") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = tmp("vx-dstream")
+    Dedup.videoIndexBuild(Seq((1L, 0, 10L), (1L, 1, 11L))
+      .toDF("id", "frame_idx", "ahash"), path)
+    val kept = scala.collection.mutable.Map.empty[Long, Long]
+    val input =
+      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Int, Long)]
+    val q = graft.streaming.EventStreams.videoDedupIngestStream(spark,
+      input.toDF().toDF("id", "frame_idx", "ahash"), path) {
+      (b, n) => kept.synchronized { kept(b) = n }
+    }.start()
+    // b1: 101 is a clipped copy of stored 1 → drops; 102 survives
+    input.addData((101L, 0, 10L), (102L, 0, 40L), (102L, 1, 41L))
+    q.processAllAvailable()
+    // b2: 202 is a clipped copy of the b1 SURVIVOR 102 → the index grew
+    input.addData((202L, 0, 40L), (203L, 0, 50L))
+    q.processAllAvailable()
+    q.stop()
+    assert(kept(0L) === 1L, s"b1: only 102 should survive, got $kept")
+    assert(kept(1L) === 1L, s"b2: only 203 should survive, got $kept")
+    // replay the foreachBatch body at a fixed installment: the as-of probe
+    // excludes its own partition, so a retry cannot self-match to empty
+    val inst = graft.streaming.EventStreams.StreamInstallmentBase + 50
+    val b = Seq((301L, 0, 10L), (301L, 1, 11L), (302L, 0, 60L))
+      .toDF("id", "frame_idx", "ahash")
+    def attempt(): Set[Long] = {
+      val s = Dedup.videoIndexPrune(spark, path, b,
+        asOfInstallment = inst - 1)
+      Dedup.videoIndexAppendAt(spark, path, s, inst)
+      Dedup.release(s)
+      spark.read.parquet(s"$path/frames/installment=$inst")
+        .select("id").distinct().as[Long].collect().toSet
+    }
+    val first = attempt()
+    assert(first === Set(302L)) // 301 is stored 1's frame set verbatim
+    assert(attempt() === first, "replay must reproduce, not self-match to empty")
+  }
+
   test("streamed ingest equals batch appends; replays overwrite their partitions") {
     implicit val sqlCtx = spark.sqlContext
     val path = tmp("vx-stream")

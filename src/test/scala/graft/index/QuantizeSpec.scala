@@ -541,6 +541,26 @@ class QuantizeSpec extends SparkTestBase {
     assert(e.getMessage.contains("_ip_"))
   }
 
+  test("routed batch-internal pairs collapse exact twins at the narrowest probe") {
+    // r11: the routed prune's batch-self pass routes through the SAME
+    // probe lists as the stored pass (the exact n² self-join was the
+    // residual floor at sf1). Exact twins route identically, so even
+    // nprobe=1 must find the batch-only pair and keep-min it.
+    val ivf = java.nio.file.Files.createTempDirectory("ivfsq8-bi-routed")
+      .resolve("ivf").toString
+    Quantize.ivfSq8Build(probeCorpus, ivf, nlist = 2, fitSampleFraction = 1.0)
+    val twinBatch = Seq(
+      (201L, Seq(0f, 0f, 0.7f, 0.7f)),
+      (202L, Seq(0f, 0f, 0.7f, 0.7f)),  // exact twin of 201 — batch-only pair
+      (203L, Seq(0f, 0f, -1f, 1f))      // near-orthogonal to both, survives
+    ).toDF("vec_id", "embedding")
+    val surv = Quantize.ivfSq8ProbePrune(spark, ivf, twinBatch, 0.99,
+        nprobe = 1)
+      .select("vec_id").as[Long].collect().toSet
+    assert(surv === Set(201L, 203L),
+      s"keep-min must drop the twin 202 even at nprobe=1, got $surv")
+  }
+
   test("ivf probe plan prunes to probed lists and never shuffles the stored scan") {
     val ivf = java.nio.file.Files.createTempDirectory("ivfsq8-probe-plan")
       .resolve("ivf").toString
