@@ -2540,6 +2540,39 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // GIF features through the REAL LZW + block-grammar decode path:
+    // genuine GIF89a payloads (gray palette, single-frame images and
+    // multi-frame animations, half of them INTERLACED) — the oracle
+    // recomputes mean luma, the first/last histogram bins, and the frame
+    // count from the fixture formula, so an LZW, deinterlace, palette, or
+    // frame-boundary regression hash-mismatches immediately
+    "media_gif_features" -> ((s, dir) => {
+      val media = Multimodal.syntheticGifMedia(
+        tbl(s, dir, "documents"), "doc_id", "text")
+      val feats = Multimodal.extractFeatures(media).toDF()
+      val nf = Multimodal.sampleFrames(media, stride = 1).toDF()
+        .groupBy("id").agg(count(lit(1)).as("n_frames"))
+      feats.join(nf, Seq("id"))
+        .select(col("id"), col("media_type"), col("byte_len"),
+          col("mean_luma"),
+          element_at(col("histogram"), 1).as("h_first"),
+          element_at(col("histogram"), 16).as("h_last"),
+          col("n_frames"))
+        .orderBy("id")
+    }),
+
+    // JPEG through the REAL baseline decoder (marker grammar, Huffman,
+    // IDCT, restart-marker resync): lossy, so the oracle pins
+    // decodability + exact dimensions — a decoder that fails any arm
+    // (color 4:4:4, grayscale, RST every 2 MCUs) emits (-1, -1, false)
+    // and hash-mismatches. Pixel-level agreement is spec-pinned against
+    // the JDK's ImageIO decoder (JpegSpec).
+    "media_jpeg_meta" -> ((s, dir) => {
+      Multimodal.jpegMeta(
+        Multimodal.syntheticJpegMedia(tbl(s, dir, "documents"), "doc_id", "text"))
+        .orderBy("id")
+    }),
+
     "media_frames" -> ((s, dir) => {
       Multimodal.sampleFrames(
         Multimodal.syntheticMedia(tbl(s, dir, "documents"), "doc_id", "text"),
@@ -2810,6 +2843,52 @@ object SparkEntry {
         .select(col("corpus_id"), col("new_id"),
           col("shared").cast("long").as("shared"), col("containment"))
         .orderBy("corpus_id", "new_id")
+    }),
+
+    // the video-index DELETE + PRUNE lifecycle through the gate (the
+    // media_phash_index_prune shape in containment space): build over
+    // every video's frames, tombstone the id % 7 == 0 videos, then prune
+    // the clipped-twin batch — a twin whose original is LIVE drops
+    // (anchored, containment 1.0), a twin of a TOMBSTONED original
+    // survives unless a cross-video frame collision anchors or out-ranks
+    // it (keep-min). The oracle replays frame hashes -> stored-minus-
+    // deleted x batch containment pairs ∪ batch-internal pairs ->
+    // recursive-CTE CC -> anchored/keep-min. Output: surviving batch
+    // video ids.
+    "media_video_index_prune" -> ((s, dir) => {
+      import s.implicits._
+      val vids = tbl(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 3 === 2)
+      val base = Multimodal.syntheticMedia(vids, "doc_id", "text")
+      val frames = Multimodal.videoFrameHashes(base).toDF()
+        .select(col("id"), col("frame_idx"), col("ahash"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_vx_prune_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.dedup.Dedup.videoIndexBuild(frames, idxPath)
+      }
+      Phases.timed("delete") {
+        graft.dedup.Dedup.videoIndexDelete(s, idxPath,
+          frames.filter(col("id") % 7 === 0).select("id").distinct())
+      }
+      val twins = base.map { m =>
+        val fs = Multimodal.decodeFrames(m.payload)
+        val out = new java.io.ByteArrayOutputStream()
+        var f = 0
+        while (f < fs.length) {
+          if (f % 2 == 0)
+            out.write(Multimodal.encodePpm(m.meta.width, m.meta.height, fs(f)))
+          f += 1
+        }
+        Multimodal.MediaRow(m.id + 1000000L, out.toByteArray, m.meta)
+      }
+      val batchFrames = Multimodal.videoFrameHashes(twins).toDF()
+        .select(col("id"), col("frame_idx"), col("ahash"))
+      graft.dedup.Dedup.videoIndexPrune(s, idxPath, batchFrames,
+          threshold = 0.9, broadcastDrop = true)
+        .select(col("id")).distinct()
+        .orderBy("id")
     })
   )
 
@@ -5959,6 +6038,37 @@ object SparkEntry {
         |  COALESCE(zc.zero_crossings, 0) AS zero_crossings
         |FROM base b LEFT JOIN zc ON zc.doc_id = b.doc_id
         |ORDER BY id""".stripMargin,
+    // GIF: gray-palette payloads decode index v to RGB (v,v,v), so every
+    // fixture byte appears 3x in the decoded stream — mean/fraction
+    // features equal the per-pixel values, byte_len = 3 * pixels. Even
+    // ids: 1 frame; odd ids: 2 + id % 4 frames of w*h pixels each.
+    "media_gif_features" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS l,
+        |    16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h,
+        |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS mt,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 + doc_id % 4 END AS nf
+        |  FROM documents),
+        |n AS (SELECT doc_id, text, l, mt, nf,
+        |        CAST(nf * w * h AS BIGINT) AS np FROM m),
+        |ks AS (SELECT doc_id, text, l, mt, nf, np,
+        |         unnest(generate_series(0, np - 1)) AS k FROM n),
+        |d AS (SELECT doc_id, mt, nf, np,
+        |        CASE WHEN l = 0 THEN k % 256
+        |          ELSE (unicode(substr(text, CAST(k % l AS INT) + 1, 1)) + k) % 256
+        |        END AS val
+        |      FROM ks)
+        |SELECT doc_id AS id, mt AS media_type, CAST(3 * np AS INT) AS byte_len,
+        |  CAST(sum(val) AS DOUBLE) / np AS mean_luma,
+        |  CAST(sum(CASE WHEN val < 16 THEN 1 ELSE 0 END) AS DOUBLE) / np AS h_first,
+        |  CAST(sum(CASE WHEN val >= 240 THEN 1 ELSE 0 END) AS DOUBLE) / np AS h_last,
+        |  CAST(nf AS BIGINT) AS n_frames
+        |FROM d GROUP BY doc_id, mt, nf, np ORDER BY id""".stripMargin,
+    // JPEG: every payload must fully entropy-decode to its fixture dims
+    "media_jpeg_meta" ->
+      """SELECT doc_id AS id, CAST(16 + doc_id % 16 AS INT) AS width,
+        |  CAST(16 + doc_id % 8 AS INT) AS height, TRUE AS ok
+        |FROM documents ORDER BY id""".stripMargin,
     "media_frames" ->
       """SELECT doc_id AS id,
         |  CAST(CASE WHEN doc_id % 3 = 2 THEN (8 + doc_id % 8 + 1) // 2
@@ -6252,6 +6362,95 @@ object SparkEntry {
         |JOIN bsz sb ON sb.id = co.new_id
         |WHERE CAST(shared AS DOUBLE) / least(sa.n, sb.n) >= 0.9
         |ORDER BY corpus_id, new_id""".stripMargin,
+    // video-index delete+prune: frame hashes -> stored-minus-deleted x
+    // batch containment pairs ∪ batch-internal containment pairs ->
+    // recursive-CTE components -> anchored-or-non-min drop (the
+    // media_phash_index_prune policy in containment space)
+    "media_video_index_prune" ->
+      """WITH RECURSIVE vids AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS l,
+        |    CAST(16 + doc_id % 16 AS BIGINT) AS w,
+        |    CAST(16 + doc_id % 8 AS BIGINT) AS h,
+        |    CAST(8 + doc_id % 8 AS BIGINT) AS nf
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fp AS (
+        |  SELECT doc_id, text, l, w, h,
+        |    unnest(generate_series(0, nf - 1)) AS f
+        |  FROM vids),
+        |pixk AS (
+        |  SELECT doc_id, text, l, w, h, f, f * w * h * 3 AS base,
+        |    unnest(generate_series(0, w * h - 1)) AS p
+        |  FROM fp),
+        |g AS (
+        |  SELECT doc_id, f, w, h, p // w AS y, p % w AS x,
+        |    (299 * (CASE WHEN l = 0 THEN (base + 3*p) % 256
+        |       ELSE (unicode(substr(text, CAST((base + 3*p) % l AS INT) + 1, 1)) + base + 3*p) % 256 END)
+        |   + 587 * (CASE WHEN l = 0 THEN (base + 3*p + 1) % 256
+        |       ELSE (unicode(substr(text, CAST((base + 3*p + 1) % l AS INT) + 1, 1)) + base + 3*p + 1) % 256 END)
+        |   + 114 * (CASE WHEN l = 0 THEN (base + 3*p + 2) % 256
+        |       ELSE (unicode(substr(text, CAST((base + 3*p + 2) % l AS INT) + 1, 1)) + base + 3*p + 2) % 256 END)
+        |    ) // 1000 AS gr
+        |  FROM pixk),
+        |blk AS (
+        |  SELECT doc_id, f, (y * 8) // h AS by, (x * 8) // w AS bx,
+        |    sum(gr) // count(*) AS bm
+        |  FROM g GROUP BY 1, 2, 3, 4),
+        |gm AS (SELECT doc_id, f, sum(bm) // 64 AS m FROM blk GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT blk.doc_id, blk.f,
+        |    sum(CASE WHEN bm > m THEN 1::HUGEINT << CAST(by * 8 + bx AS INT)
+        |        ELSE 0::HUGEINT END) AS s
+        |  FROM blk JOIN gm ON blk.doc_id = gm.doc_id AND blk.f = gm.f
+        |  GROUP BY 1, 2),
+        |fh AS (
+        |  SELECT doc_id, f, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |    THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS h64
+        |  FROM bits),
+        |stored AS (
+        |  SELECT DISTINCT doc_id AS id, h64 FROM fh WHERE doc_id % 7 <> 0),
+        |batch AS (
+        |  SELECT DISTINCT doc_id + 1000000 AS id, h64 FROM fh WHERE f % 2 = 0),
+        |ssz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM stored GROUP BY id),
+        |bsz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM batch GROUP BY id),
+        |sguard AS (SELECT h64 FROM stored GROUP BY h64 HAVING count(*) <= 1000),
+        |bguard AS (SELECT h64 FROM batch GROUP BY h64 HAVING count(*) <= 1000),
+        |sp AS (
+        |  SELECT s.id AS id_a, b.id AS id_b
+        |  FROM stored s JOIN batch b ON s.h64 = b.h64
+        |  JOIN ssz sa ON sa.id = s.id
+        |  JOIN bsz sb ON sb.id = b.id
+        |  WHERE s.h64 IN (SELECT h64 FROM sguard)
+        |  GROUP BY s.id, b.id, sa.n, sb.n
+        |  HAVING CAST(count(*) AS DOUBLE) / least(sa.n, sb.n) >= 0.9),
+        |bp AS (
+        |  SELECT a.id AS id_a, b.id AS id_b
+        |  FROM batch a JOIN batch b ON a.h64 = b.h64 AND a.id < b.id
+        |  JOIN bsz na ON na.id = a.id
+        |  JOIN bsz nb ON nb.id = b.id
+        |  WHERE a.h64 IN (SELECT h64 FROM bguard)
+        |  GROUP BY a.id, b.id, na.n, nb.n
+        |  HAVING CAST(count(*) AS DOUBLE) / least(na.n, nb.n) >= 0.9),
+        |p AS (SELECT id_a, id_b FROM sp UNION SELECT id_a, id_b FROM bp),
+        |e AS (
+        |  SELECT id_a AS u, id_b AS v FROM p UNION SELECT id_b, id_a FROM p
+        |), reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e) n
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON reach.u = e.v
+        |), lab AS (
+        |  SELECT u AS id, min(r) AS rep FROM reach GROUP BY u
+        |), sids AS (SELECT DISTINCT id_a AS id FROM sp),
+        |anch AS (
+        |  SELECT DISTINCT l.rep FROM lab l JOIN sids s ON l.id = s.id),
+        |drp AS (
+        |  SELECT l.id FROM lab l
+        |  LEFT JOIN sids s ON l.id = s.id
+        |  LEFT JOIN anch a ON l.rep = a.rep
+        |  WHERE s.id IS NULL AND (a.rep IS NOT NULL OR l.id <> l.rep))
+        |SELECT DISTINCT b.id FROM batch b
+        |LEFT JOIN drp d ON b.id = d.id
+        |WHERE d.id IS NULL
+        |ORDER BY b.id""".stripMargin,
     // persisted hamming-index probe: the media_phash_dups hash CTEs,
     // stored (all image ids) x batch (twins, same hashes) brute pairs
     "media_phash_index_probe" ->

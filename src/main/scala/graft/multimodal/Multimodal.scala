@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
  * decode / feature-extract / resize / frame-sample run as partition-local
  * batch transforms.
  *
- * The decode step is REAL, dependency-free JVM parsing of four public
+ * The decode step is REAL, dependency-free JVM parsing of six public
  * formats (no image/audio libraries exist in this container, and none are
  * needed for these):
  *
@@ -23,23 +23,34 @@ import org.apache.spark.sql.functions._
  *    rows with 4-byte stride padding, normalized on decode to the same
  *    top-down RGB stream P6 yields, so downstream features are
  *    container-blind.
- *  - **PNG (8-bit grayscale/truecolor, non-interlaced)** for image rows —
+ *  - **PNG (8-bit, all five color types, non-interlaced)** for image rows —
  *    the container real crawls are actually full of: signature + chunk
  *    grammar with CRC-32 verification, concatenated IDAT inflate via the
  *    JDK's `java.util.zip.Inflater`, and all five scanline filters
  *    (None/Sub/Up/Average/Paeth) reconstructed per the spec; grayscale
  *    expands to R=G=B so downstream features stay container-blind.
+ *  - **GIF (87a/89a)** for image AND animation rows — the palette
+ *    container with a real variable-width LZW codec, global/local color
+ *    tables, four-pass interlace, and animated multi-frame compositing
+ *    (placed sub-rect frames, Graphic Control Extension transparency) —
+ *    the smallest genuinely multi-frame format crawls deliver.
+ *  - **JPEG (baseline, [[Jpeg]])** for image rows — the dominant crawl
+ *    image format: full marker grammar, Huffman entropy decode with
+ *    byte de-stuffing and restart markers, dequantization, 8x8 IDCT,
+ *    4:4:4/4:2:2/4:2:0 chroma upsampling, YCbCr→RGB. Lossy, so its
+ *    correctness pin is the ImageIO cross-check spec + the
+ *    metadata-exact oracle rather than pixel replay.
  *  - **WAV (RIFF/PCM)** for audio rows — canonical RIFF container walked
  *    chunk-by-chunk (unknown chunks skipped by their declared size, the
  *    rule real files demand — LIST/INFO chunks abound), `fmt ` parsed for
  *    PCM/mono/16-bit, `data` samples decoded s16le → unsigned 8-bit.
  *
- * The decoders accept ANY valid P6/BMP/WAV payload, not just the synthetic
- * fixture; corrupt or truncated payloads yield empty output instead of
- * failing the task. A real pipeline swaps [[decodeFrames]]'s dispatch for
- * JPEG/H.264 via JNI — everything around it (schema contract,
- * mapPartitions batching with one decoder state per partition, partition
- * sizing, null/corrupt handling) is the shape that decoder drops into.
+ * The decoders accept ANY valid payload of their format, not just the
+ * synthetic fixture; corrupt or truncated payloads yield empty output
+ * instead of failing the task. A real pipeline adds H.264/VP9 via JNI to
+ * the same [[decodeFrames]] dispatch — everything around it (schema
+ * contract, mapPartitions batching with one decoder state per partition,
+ * partition sizing, null/corrupt handling) is the shape those drop into.
  */
 object Multimodal {
 
@@ -208,23 +219,49 @@ object Multimodal {
     out.write(java.nio.ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
   }
 
+  /** Samples per pixel for the 8-bit PNG color types this codec covers:
+    * 0 grayscale, 2 truecolor, 3 palette-indexed, 4 gray+alpha, 6 RGBA
+    * (everything but interlace and sub-byte depths — the shapes real
+    * crawls actually carry). */
+  private def pngBpp(colorType: Int): Int = colorType match {
+    case 0 | 3 => 1
+    case 2 => 3
+    case 4 => 2
+    case 6 => 4
+    case _ => -1
+  }
+
   /** Encode an 8-bit PNG from a top-down pixel stream — truecolor (the
     * default) or grayscale (`gray = true`, 1 byte/px input). Each row's
     * filter type is `y % 5`, so a round-trip exercises every filter
     * decoder (None/Sub/Up/Average/Paeth), not just the trivial one. */
-  def encodePng(w: Int, h: Int, px: Array[Byte], gray: Boolean = false): Array[Byte] = {
-    val bpp = if (gray) 1 else 3
-    require(px.length == w * h * bpp,
-      s"PNG needs w*h*$bpp = ${w * h * bpp} bytes, got ${px.length}")
+  def encodePng(w: Int, h: Int, px: Array[Byte], gray: Boolean = false): Array[Byte] =
+    encodePngOfType(w, h, if (gray) 0 else 2, px)
+
+  /** [[encodePng]] for ANY supported color type: `samples` holds bpp
+    * bytes per pixel top-down (palette indices for type 3, which also
+    * needs the RGB `palette` triplets). Same per-row filter cycling. */
+  def encodePngOfType(w: Int, h: Int, colorType: Int, samples: Array[Byte],
+                      palette: Array[Byte] = null): Array[Byte] = {
+    val bpp = pngBpp(colorType)
+    require(bpp > 0, s"unsupported PNG color type $colorType")
+    require(samples.length == w * h * bpp,
+      s"PNG type $colorType needs w*h*$bpp = ${w * h * bpp} bytes, " +
+        s"got ${samples.length}")
+    require(colorType != 3 || (palette != null && palette.length % 3 == 0 &&
+      palette.length >= 3 && palette.length <= 768),
+      "palette PNG needs 1-256 RGB triplets")
+    val px = samples
     val out = new java.io.ByteArrayOutputStream()
     out.write(PngSig)
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(w).putInt(h)
       .put(8.toByte)                              // bit depth
-      .put((if (gray) 0 else 2).toByte)           // color type
+      .put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte)  // compression/filter/interlace
       .array()
     pngChunk(out, "IHDR", ihdr)
+    if (colorType == 3) pngChunk(out, "PLTE", palette)
     // filtered scanlines: raw byte minus the per-filter prediction, mod 256
     val stride = w * bpp
     val raw = new Array[Byte](h * (1 + stride))
@@ -271,22 +308,26 @@ object Multimodal {
   }
 
   /**
-   * Parse an 8-bit non-interlaced grayscale/truecolor PNG into
-   * (width, height, top-down RGB) — grayscale expands to R=G=B so
-   * downstream features are container-blind (the BMP normalization
-   * precedent). Real chunk walk: IHDR validated (CRC included), multiple
-   * IDAT chunks concatenated in order (the spec allows any split),
-   * ancillary chunks (tEXt, pHYs, gAMA, …) skipped by declared size,
-   * IEND terminates. Unsupported shapes (palette, 16-bit, alpha,
-   * interlace), bad CRCs, inflate errors, and short rasters all yield
-   * None — never a task failure.
+   * Parse an 8-bit non-interlaced PNG of ANY of the five color types
+   * (grayscale, truecolor, palette-indexed, gray+alpha, RGBA) into
+   * (width, height, top-down RGB) — grayscale expands to R=G=B, palette
+   * indices resolve through PLTE, alpha channels drop (features run over
+   * the color data; alpha is carrier metadata), so downstream features
+   * are container-blind (the BMP normalization precedent). Real chunk
+   * walk: IHDR validated (CRC included), PLTE captured (required before
+   * IDAT for type 3), multiple IDAT chunks concatenated in order (the
+   * spec allows any split), ancillary chunks (tEXt, pHYs, gAMA, tRNS, …)
+   * skipped by declared size, IEND terminates. Unsupported shapes
+   * (16-bit, interlace), bad CRCs, out-of-palette indices, inflate
+   * errors, and short rasters all yield None — never a task failure.
    */
   def decodePng(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (bytes == null || bytes.length < PngSig.length + 12 ||
       !PngSig.indices.forall(i => bytes(i) == PngSig(i))) return None
     val buf = java.nio.ByteBuffer.wrap(bytes) // network byte order (default)
     var pos = PngSig.length
-    var w = 0; var h = 0; var bpp = 0
+    var w = 0; var h = 0; var bpp = 0; var colorType = -1
+    var palette: Array[Byte] = null
     var seenIhdr = false; var done = false
     val idat = new java.io.ByteArrayOutputStream()
     while (!done && pos + 12 <= bytes.length) {
@@ -305,23 +346,28 @@ object Multimodal {
           w = buf.getInt(pos + 8)
           h = buf.getInt(pos + 12)
           val bitDepth = bytes(pos + 16) & 0xFF
-          val colorType = bytes(pos + 17) & 0xFF
+          colorType = bytes(pos + 17) & 0xFF
           val interlace = bytes(pos + 20) & 0xFF
-          if (bitDepth != 8 || (colorType != 0 && colorType != 2) ||
+          bpp = pngBpp(colorType)
+          if (bitDepth != 8 || bpp <= 0 ||
             (bytes(pos + 18) & 0xFF) != 0 || (bytes(pos + 19) & 0xFF) != 0 ||
             interlace != 0) return None
-          if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) return None
-          bpp = if (colorType == 0) 1 else 3
+          if (w <= 0 || h <= 0 || w.toLong * h * 4 > Int.MaxValue) return None
           seenIhdr = true
+        case "PLTE" =>
+          if (!seenIhdr || len % 3 != 0 || len < 3 || len > 768) return None
+          palette = java.util.Arrays.copyOfRange(bytes, pos + 8, pos + 8 + len)
         case "IDAT" =>
           if (!seenIhdr) return None
+          if (colorType == 3 && palette == null) return None // PLTE before IDAT
           idat.write(bytes, pos + 8, len)
         case "IEND" => done = true
-        case _ => () // tEXt, pHYs, gAMA … — skip by declared size
+        case _ => () // tEXt, pHYs, gAMA, tRNS … — skip by declared size
       }
       pos += 12 + len
     }
     if (!done || !seenIhdr) return None
+    if (colorType == 3 && palette == null) return None
     val stride = w * bpp
     val raw = new Array[Byte](h * (1 + stride))
     val inflater = new java.util.zip.Inflater()
@@ -364,15 +410,52 @@ object Multimodal {
       }
       y += 1
     }
-    if (bpp == 3) Some((w, h, px))
-    else { // grayscale → R=G=B, the container-blind projection
-      val rgb = new Array[Byte](w * h * 3)
-      var k = 0
-      while (k < w * h) {
-        rgb(3 * k) = px(k); rgb(3 * k + 1) = px(k); rgb(3 * k + 2) = px(k)
-        k += 1
-      }
-      Some((w, h, rgb))
+    // normalize every color type to the container-blind top-down RGB
+    // stream (grayscale → R=G=B; palette → PLTE lookup; alpha dropped —
+    // features run over the color channels, alpha is carrier metadata)
+    colorType match {
+      case 2 => Some((w, h, px))
+      case 0 =>
+        val rgb = new Array[Byte](w * h * 3)
+        var k = 0
+        while (k < w * h) {
+          rgb(3 * k) = px(k); rgb(3 * k + 1) = px(k); rgb(3 * k + 2) = px(k)
+          k += 1
+        }
+        Some((w, h, rgb))
+      case 3 =>
+        val entries = palette.length / 3
+        val rgb = new Array[Byte](w * h * 3)
+        var k = 0
+        while (k < w * h) {
+          val i = px(k) & 0xFF
+          if (i >= entries) return None // index past the palette: corrupt
+          rgb(3 * k) = palette(3 * i)
+          rgb(3 * k + 1) = palette(3 * i + 1)
+          rgb(3 * k + 2) = palette(3 * i + 2)
+          k += 1
+        }
+        Some((w, h, rgb))
+      case 4 =>
+        val rgb = new Array[Byte](w * h * 3)
+        var k = 0
+        while (k < w * h) {
+          val g = px(2 * k)
+          rgb(3 * k) = g; rgb(3 * k + 1) = g; rgb(3 * k + 2) = g
+          k += 1
+        }
+        Some((w, h, rgb))
+      case 6 =>
+        val rgb = new Array[Byte](w * h * 3)
+        var k = 0
+        while (k < w * h) {
+          rgb(3 * k) = px(4 * k)
+          rgb(3 * k + 1) = px(4 * k + 1)
+          rgb(3 * k + 2) = px(4 * k + 2)
+          k += 1
+        }
+        Some((w, h, rgb))
+      case _ => None
     }
   }
 
@@ -437,6 +520,362 @@ object Multimodal {
     Some(out)
   }
 
+  // GIF (87a/89a) — the other palette container real crawls carry, and the
+  // one multi-frame IMAGE container in wide use (animated GIF = the
+  // smallest real "video" a crawl yields). Dependency-free: the variable-
+  // width LZW codec is ~80 lines; the rest is the block grammar
+  // (logical screen descriptor, global/local color tables, interlace,
+  // graphic-control extensions, frame compositing with transparency).
+
+  /** The 256-entry grayscale palette (i, i, i) the synthetic GIF fixture
+    * uses — decoded RGB of index v is exactly (v, v, v), so the DuckDB
+    * oracle recomputes features from the fixture byte directly. */
+  def grayPalette256: Array[Byte] = {
+    val p = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      p(3 * i) = i.toByte; p(3 * i + 1) = i.toByte; p(3 * i + 2) = i.toByte
+      i += 1
+    }
+    p
+  }
+
+  /** Display-row order of interlaced GIF data: the four passes store rows
+    * 0,8,16…, then 4,12…, then 2,6…, then 1,3,5… — `result(k)` is the
+    * display row of the k-th STORED row (shared by encoder and decoder,
+    * so a round-trip that forgets interlace scrambles rows and fails). */
+  private def gifInterlaceOrder(h: Int): Array[Int] = {
+    val out = new Array[Int](h)
+    var k = 0
+    var pass = 0
+    val starts = Array(0, 4, 2, 1)
+    val steps = Array(8, 8, 4, 2)
+    while (pass < 4) {
+      var y = starts(pass)
+      while (y < h) { out(k) = y; k += 1; y += steps(pass) }
+      pass += 1
+    }
+    out
+  }
+
+  /** GIF variable-width LZW compression (minCodeSize 8): clear code first,
+    * code width grows at `next == (1 << width) + 1` (the encoder runs one
+    * dictionary entry AHEAD of the decoder — the classic off-by-one), a
+    * clear-and-reset when the 12-bit table fills. Bits pack LSB-first. */
+  private def gifLzwEncode(data: Array[Byte], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nbits = 0
+    var width = minCode + 1
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nbits
+      nbits += width
+      while (nbits >= 8) {
+        out.write((acc & 0xFF).toInt)
+        acc >>= 8
+        nbits -= 8
+      }
+    }
+    val dict = new java.util.HashMap[Integer, Integer](8192)
+    var next = eoi + 1
+    emit(clear)
+    var prefix = data(0) & 0xFF
+    var i = 1
+    while (i < data.length) {
+      val b = data(i) & 0xFF
+      val key = Integer.valueOf((prefix << 8) | b)
+      val hit = dict.get(key)
+      if (hit != null) prefix = hit.intValue()
+      else {
+        emit(prefix)
+        if (next < 4096) {
+          dict.put(key, Integer.valueOf(next))
+          next += 1
+          if (next == (1 << width) + 1 && width < 12) width += 1
+        } else { // table full: reset both sides
+          emit(clear)
+          dict.clear()
+          next = eoi + 1
+          width = minCode + 1
+        }
+        prefix = b
+      }
+      i += 1
+    }
+    emit(prefix)
+    emit(eoi)
+    if (nbits > 0) out.write((acc & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  /** GIF LZW decompression: mirrors [[gifLzwEncode]] — dictionary as
+    * prefix/suffix arrays, the `code == next` self-referential case
+    * (KwKwK), width growth at `next == 1 << width`, adds stop at the
+    * 12-bit ceiling until a clear code resets. Strict: the stream must
+    * produce exactly `expected` pixels or the frame is corrupt (None). */
+  private def gifLzwDecode(data: Array[Byte], minCode: Int,
+                           expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val out = new Array[Byte](expected)
+    var outAt = 0
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    var next = eoi + 1
+    var width = minCode + 1
+    var prev = -1
+    var bitPos = 0L
+    val totalBits = data.length.toLong * 8
+    def readCode(): Int = {
+      if (bitPos + width > totalBits) return -1
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val bp = bitPos + i
+        v |= (((data((bp >> 3).toInt) & 0xFF) >> (bp & 7).toInt) & 1) << i
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    def firstOf(code0: Int): Byte = {
+      var c = code0
+      while (c >= clear + 2) c = prefix(c)
+      c.toByte
+    }
+    while (outAt < expected) {
+      val c = readCode()
+      if (c < 0 || c == eoi) return None // raster short: corrupt
+      if (c == clear) {
+        next = eoi + 1; width = minCode + 1; prev = -1
+      } else if (prev < 0) {
+        if (c >= clear) return None // first code must be a root
+        out(outAt) = c.toByte
+        outAt += 1
+        prev = c
+      } else {
+        if (c > next || c == next && next >= 4096) return None
+        var code = c
+        var sp = 0
+        if (code == next) { // KwKwK: string = prev's string + its first char
+          stack(sp) = firstOf(prev); sp += 1
+          code = prev
+        }
+        while (code >= clear + 2) {
+          stack(sp) = suffix(code); sp += 1
+          code = prefix(code)
+        }
+        if (code >= clear) return None
+        stack(sp) = code.toByte
+        sp += 1
+        if (outAt + sp > expected) return None // raster overflow: corrupt
+        var i = sp - 1
+        while (i >= 0) {
+          out(outAt) = stack(i); outAt += 1; i -= 1
+        }
+        if (next < 4096) {
+          prefix(next) = prev
+          suffix(next) = stack(sp - 1) // first char of the emitted string
+          next += 1
+          if (next == (1 << width) && width < 12) width += 1
+        }
+        prev = c
+      }
+    }
+    Some(out)
+  }
+
+  /** Encode a GIF89a animation from full-frame palette-index rasters
+    * (1 byte/px top-down) over a 256-entry global color table. */
+  def encodeGif(w: Int, h: Int, frames: Seq[Array[Byte]],
+                palette: Array[Byte],
+                interlace: Boolean = false): Array[Byte] =
+    encodeGifFrames(w, h,
+      frames.map(f => (0, 0, w, h, f, -1)), palette, interlace)
+
+  /** Full-control GIF89a encoder: each frame is (left, top, fw, fh,
+    * indices, transparentIdx) — placed sub-rect frames with a Graphic
+    * Control Extension when `transparentIdx >= 0`, so the decoder's
+    * compositing path (offsets + transparency holes) is exercisable. */
+  def encodeGifFrames(w: Int, h: Int,
+                      frames: Seq[(Int, Int, Int, Int, Array[Byte], Int)],
+                      palette: Array[Byte],
+                      interlace: Boolean = false): Array[Byte] = {
+    require(palette.length == 768, "encoder writes a 256-entry GCT")
+    require(frames.nonEmpty, "a GIF needs at least one image block")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def u16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    u16(w); u16(h)
+    out.write(0xF7) // GCT present, 2^(7+1) = 256 entries
+    out.write(0)    // background color index
+    out.write(0)    // pixel aspect ratio
+    out.write(palette, 0, 768)
+    frames.foreach { case (left, top, fw, fh, idx, transparent) =>
+      require(idx.length == fw * fh,
+        s"frame raster needs $fw*$fh = ${fw * fh} bytes, got ${idx.length}")
+      require(left >= 0 && top >= 0 && left + fw <= w && top + fh <= h,
+        "frame rect must sit inside the logical screen")
+      if (transparent >= 0) { // Graphic Control Extension
+        out.write(0x21); out.write(0xF9); out.write(4)
+        out.write(1) // transparent-color flag
+        u16(0)       // delay
+        out.write(transparent)
+        out.write(0) // block terminator
+      }
+      out.write(0x2C)
+      u16(left); u16(top); u16(fw); u16(fh)
+      out.write(if (interlace) 0x40 else 0x00) // no LCT
+      val ordered =
+        if (!interlace) idx
+        else {
+          val order = gifInterlaceOrder(fh)
+          val o = new Array[Byte](idx.length)
+          var k = 0
+          while (k < fh) {
+            System.arraycopy(idx, order(k) * fw, o, k * fw, fw)
+            k += 1
+          }
+          o
+        }
+      out.write(8) // LZW minimum code size
+      val lzw = gifLzwEncode(ordered, 8)
+      var at = 0
+      while (at < lzw.length) {
+        val n = math.min(255, lzw.length - at)
+        out.write(n)
+        out.write(lzw, at, n)
+        at += n
+      }
+      out.write(0) // data sub-block terminator
+    }
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /**
+   * Parse a GIF87a/89a payload into (width, height, top-down RGB frames).
+   * Real block walk: logical screen descriptor + global color table,
+   * extensions skipped by sub-block lengths (Graphic Control Extensions
+   * read for the transparent index), image descriptors with optional
+   * local color tables and interlace, variable-width LZW decompression,
+   * trailer terminates. Animation semantics: each image block composites
+   * onto the running canvas at its (left, top) rect — transparent pixels
+   * leave the previous content visible (disposal "do not dispose", the
+   * delta-frame shape real animated GIFs use) — and the canvas snapshot
+   * after each block is that frame. Corrupt signatures, truncated
+   * sub-blocks, out-of-palette indices, over/under-full rasters, and
+   * unknown block types all yield None — never a task failure.
+   */
+  def decodeGif(bytes: Array[Byte])
+      : Option[(Int, Int, IndexedSeq[Array[Byte]])] = {
+    if (bytes == null || bytes.length < 13) return None
+    val sig = new String(bytes, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+    if (sig != "GIF87a" && sig != "GIF89a") return None
+    def u16(at: Int): Int = (bytes(at) & 0xFF) | ((bytes(at + 1) & 0xFF) << 8)
+    val w = u16(6)
+    val h = u16(8)
+    if (w <= 0 || h <= 0 || w.toLong * h * 3 > Int.MaxValue) return None
+    val packed = bytes(10) & 0xFF
+    var pos = 13
+    var gct: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 2 << (packed & 7)
+      if (pos + 3 * n > bytes.length) return None
+      gct = java.util.Arrays.copyOfRange(bytes, pos, pos + 3 * n)
+      pos += 3 * n
+    }
+    val frames = Vector.newBuilder[Array[Byte]]
+    var sawFrame = false
+    val canvas = new Array[Byte](w * h * 3) // starts black
+    var transparent = -1
+    var done = false
+    while (!done) {
+      if (pos >= bytes.length) return None // ran out before the trailer
+      (bytes(pos) & 0xFF) match {
+        case 0x3B => done = true
+        case 0x21 => // extension: label, then length-prefixed sub-blocks
+          if (pos + 2 > bytes.length) return None
+          val label = bytes(pos + 1) & 0xFF
+          var p = pos + 2
+          if (label == 0xF9) { // GCE: [size=4][packed][delay x2][index]
+            if (p + 6 > bytes.length || (bytes(p) & 0xFF) != 4) return None
+            transparent =
+              if ((bytes(p + 1) & 1) != 0) bytes(p + 4) & 0xFF else -1
+          }
+          var blk = 0
+          while (p < bytes.length && { blk = bytes(p) & 0xFF; blk != 0 }) {
+            p += 1 + blk
+          }
+          if (p >= bytes.length) return None // missing terminator
+          pos = p + 1
+        case 0x2C => // image descriptor
+          if (pos + 10 > bytes.length) return None
+          val left = u16(pos + 1)
+          val top = u16(pos + 3)
+          val fw = u16(pos + 5)
+          val fh = u16(pos + 7)
+          val ip = bytes(pos + 9) & 0xFF
+          var p = pos + 10
+          var pal = gct
+          if ((ip & 0x80) != 0) { // local color table overrides
+            val n = 2 << (ip & 7)
+            if (p + 3 * n > bytes.length) return None
+            pal = java.util.Arrays.copyOfRange(bytes, p, p + 3 * n)
+            p += 3 * n
+          }
+          if (pal == null) return None
+          if (fw <= 0 || fh <= 0 || left + fw > w || top + fh > h) return None
+          if (p >= bytes.length) return None
+          val minCode = bytes(p) & 0xFF
+          p += 1
+          if (minCode < 2 || minCode > 8) return None
+          val data = new java.io.ByteArrayOutputStream()
+          var blk = 0
+          while (p < bytes.length && { blk = bytes(p) & 0xFF; blk != 0 }) {
+            if (p + 1 + blk > bytes.length) return None
+            data.write(bytes, p + 1, blk)
+            p += 1 + blk
+          }
+          if (p >= bytes.length) return None // missing terminator
+          pos = p + 1
+          val idx = gifLzwDecode(data.toByteArray, minCode, fw * fh) match {
+            case Some(a) => a
+            case None => return None
+          }
+          val rowOf =
+            if ((ip & 0x40) != 0) gifInterlaceOrder(fh)
+            else Array.tabulate(fh)(identity)
+          val entries = pal.length / 3
+          var r = 0
+          while (r < fh) {
+            val y = top + rowOf(r)
+            var x = 0
+            while (x < fw) {
+              val ci = idx(r * fw + x) & 0xFF
+              if (ci != transparent) {
+                if (ci >= entries) return None // index past the palette
+                val o = (y * w + left + x) * 3
+                canvas(o) = pal(3 * ci)
+                canvas(o + 1) = pal(3 * ci + 1)
+                canvas(o + 2) = pal(3 * ci + 2)
+              }
+              x += 1
+            }
+            r += 1
+          }
+          frames += canvas.clone()
+          sawFrame = true
+          transparent = -1 // a GCE governs only the next rendering block
+        case _ => return None // unknown block type: corrupt
+      }
+    }
+    if (!sawFrame) None else Some((w, h, frames.result()))
+  }
+
   /**
    * Decode a payload into its frame list by sniffing the container magic
    * (the way real demuxers dispatch — the metadata is advisory):
@@ -464,6 +903,13 @@ object Multimodal {
         .getOrElse(Vector.empty)
     } else if (payload(0) == PngSig(0) && payload(1) == PngSig(1)) {
       decodePng(payload).map { case (_, _, px) => Vector(px) }
+        .getOrElse(Vector.empty)
+    } else if (payload.length >= 3 && payload(0) == 'G' && payload(1) == 'I'
+               && payload(2) == 'F') {
+      decodeGif(payload).map { case (_, _, fs) => fs.toVector }
+        .getOrElse(Vector.empty)
+    } else if ((payload(0) & 0xFF) == 0xFF && (payload(1) & 0xFF) == 0xD8) {
+      Jpeg.decode(payload).map { case (_, _, px) => Vector(px) }
         .getOrElse(Vector.empty)
     } else if (payload.length >= 4 && payload(0) == 'R' && payload(1) == 'I'
                && payload(2) == 'F' && payload(3) == 'F') {
@@ -538,7 +984,23 @@ object Multimodal {
           val px = fixtureStream(tb, perFrame)
           val payload = (id % 9) match {
             case 0 => encodeBmp(w, h, px)
-            case 3 => encodePng(w, h, px)
+            case 3 =>
+              // the PNG arm itself alternates truecolor and RGBA (alpha
+              // 255 — the decode drops it), so the type-6 path is also
+              // oracle-exercised: identical pixels, different raster
+              if (id % 18 == 3) encodePng(w, h, px)
+              else {
+                val rgba = new Array[Byte](px.length / 3 * 4)
+                var k = 0
+                while (k < px.length / 3) {
+                  rgba(4 * k) = px(3 * k)
+                  rgba(4 * k + 1) = px(3 * k + 1)
+                  rgba(4 * k + 2) = px(3 * k + 2)
+                  rgba(4 * k + 3) = 255.toByte
+                  k += 1
+                }
+                encodePngOfType(w, h, 6, rgba)
+              }
             case _ => encodePpm(w, h, px)
           }
           MediaRow(id, payload, MediaMeta("image", w, h, 1, 0))
@@ -565,6 +1027,82 @@ object Multimodal {
           MediaRow(id, out.toByteArray, MediaMeta("video", w, h, nf, 0))
       }
     }
+  }
+
+  /**
+   * The GIF sibling of [[syntheticMedia]]: every row is a genuine GIF89a
+   * payload over the 256-entry grayscale palette (decoded RGB of fixture
+   * byte v is exactly (v, v, v), so the oracle recomputes features from
+   * the fixture formula directly). Even ids are single-frame images, odd
+   * ids are 2–5-frame animations (the multi-frame container real crawls
+   * actually deliver); ids with `id % 4 >= 2` are INTERLACED, so the
+   * four-pass deinterlacer sits on the oracle-checked path — a row-order
+   * or LZW regression breaks the feature hash immediately.
+   */
+  def syntheticGifMedia(df: DataFrame, idCol: String,
+                        textCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string")).map { row =>
+      val id = row.getLong(0)
+      val text = row.getString(1)
+      val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val w = 16 + (id % 16).toInt
+      val h = 16 + (id % 8).toInt
+      val nf = if (id % 2 == 0) 1 else 2 + (id % 4).toInt
+      val all = fixtureStream(tb, nf * w * h)
+      val frames = (0 until nf).map(f =>
+        java.util.Arrays.copyOfRange(all, f * w * h, (f + 1) * w * h))
+      val payload = encodeGif(w, h, frames, grayPalette256,
+        interlace = id % 4 >= 2)
+      MediaRow(id, payload,
+        MediaMeta(if (nf == 1) "image" else "video", w, h, nf, 0))
+    }
+  }
+
+  /**
+   * The JPEG sibling of [[syntheticMedia]]: every row is a genuine
+   * baseline JPEG of the fixture pixel stream — color 4:4:4 normally,
+   * grayscale for `id % 5 == 0`, restart markers every 2 MCUs for
+   * `id % 3 == 0` — so the oracled `media_jpeg_meta` query drives the
+   * full marker grammar, Huffman decode, IDCT, and RST resync on real
+   * bytes. JPEG is lossy, so the oracle checks decodability + exact
+   * dimensions; pixel-level agreement is pinned by the ImageIO
+   * cross-check specs.
+   */
+  def syntheticJpegMedia(df: DataFrame, idCol: String,
+                         textCol: String): Dataset[MediaRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string")).map { row =>
+      val id = row.getLong(0)
+      val text = row.getString(1)
+      val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val w = 16 + (id % 16).toInt
+      val h = 16 + (id % 8).toInt
+      val gray = id % 5 == 0
+      val px = fixtureStream(tb, w * h * (if (gray) 1 else 3))
+      val payload = Jpeg.encode(w, h, px, quality = 85, gray = gray,
+        restartInterval = if (id % 3 == 0) 2 else 0)
+      MediaRow(id, payload, MediaMeta("image", w, h, 1, 0))
+    }
+  }
+
+  /** Decode JPEG payloads to their dimensions — the metadata-exact slice
+    * of the decode (dimensions parse from SOF0 but are only emitted when
+    * the WHOLE scan entropy-decodes, so `ok` certifies the full path). */
+  def jpegMeta(media: Dataset[MediaRow]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        Jpeg.decode(m.payload) match {
+          case Some((w, h, px)) =>
+            (m.id, w, h, px.length == w * h * 3)
+          case None => (m.id, -1, -1, false)
+        }
+      }
+    }.toDF("id", "width", "height", "ok")
   }
 
   /**
@@ -654,6 +1192,11 @@ object Multimodal {
     else if (payload(0) == 'B' && payload(1) == 'M') decodeBmp(payload)
     else if (payload(0) == PngSig(0) && payload(1) == PngSig(1))
       decodePng(payload)
+    else if (payload.length >= 3 && payload(0) == 'G' && payload(1) == 'I'
+             && payload(2) == 'F')
+      decodeGif(payload).map { case (w, h, fs) => (w, h, fs.head) }
+    else if ((payload(0) & 0xFF) == 0xFF && (payload(1) & 0xFF) == 0xD8)
+      Jpeg.decode(payload)
     else None
   }
 
@@ -878,27 +1421,13 @@ object Multimodal {
    */
   def videoContainmentDups(media: Dataset[MediaRow], threshold: Double = 0.9,
                            maxDocFreq: Int = 1000,
-                           grid: Int = 8): DataFrame = {
-    val fh = videoFrameHashes(media, grid).toDF()
-      .select(col("id"), col("ahash")).distinct()
-    val sizes = fh.groupBy("id").agg(count(lit(1)).as("_vc_n"))
-    val guarded = fh.join(
-      fh.groupBy("ahash").agg(count(lit(1)).as("_vc_df"))
-        .filter(col("_vc_df") <= maxDocFreq)
-        .select("ahash"),
-      Seq("ahash"), "left_semi")
-    val a = guarded.select(col("id").as("id_a"), col("ahash"))
-    val b = guarded.select(col("id").as("id_b"), col("ahash"))
-    a.join(b, Seq("ahash"))
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
-      .join(sizes.select(col("id").as("id_a"), col("_vc_n").as("_vc_na")), Seq("id_a"))
-      .join(sizes.select(col("id").as("id_b"), col("_vc_n").as("_vc_nb")), Seq("id_b"))
-      .withColumn("containment", col("shared").cast("double") /
-        least(col("_vc_na"), col("_vc_nb")))
-      .filter(col("containment") >= threshold)
-      .select(col("id_a"), col("id_b"), col("shared"), col("containment"))
-  }
+                           grid: Int = 8): DataFrame =
+    // the kernel is shared with the persisted video index's batch-internal
+    // prune pass (graft.dedup.Dedup.containmentPairsFromSets)
+    graft.dedup.Dedup.containmentPairsFromSets(
+      videoFrameHashes(media, grid).toDF()
+        .select(col("id"), col("ahash").as("h")),
+      threshold, maxDocFreq)
 
   final case class AudioHashRow(id: Long, n_samples: Long, ahash64: Long)
 

@@ -156,6 +156,54 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeFirstFrame(enc).get._3.toSeq === rgb.toSeq)
   }
 
+  test("PNG palette/gray+alpha/RGBA all normalize to the same RGB stream") {
+    val w = 6; val h = 5
+    // a 4-entry palette and an index raster covering all entries
+    val palette = Array[Byte](
+      10, 20, 30,  40, 50, 60,  70, 80, 90,  100, 110, 120)
+    val idx = Array.tabulate(w * h)(k => (k % 4).toByte)
+    val encP = Multimodal.encodePngOfType(w, h, 3, idx, palette)
+    val Some((wp, hp, rgbP)) = Multimodal.decodePng(encP)
+    assert((wp, hp) === (w, h))
+    (0 until w * h).foreach { k =>
+      val e = (k % 4) * 3
+      assert(rgbP(3 * k) === palette(e) && rgbP(3 * k + 1) === palette(e + 1)
+        && rgbP(3 * k + 2) === palette(e + 2), s"palette pixel $k")
+    }
+    // gray+alpha (type 4): alpha drops, gray expands
+    val ga = Array.tabulate(w * h * 2)(k =>
+      (if (k % 2 == 0) k * 3 % 256 else 200) .toByte)
+    val Some((_, _, rgbGa)) = Multimodal.decodePng(
+      Multimodal.encodePngOfType(w, h, 4, ga))
+    (0 until w * h).foreach { k =>
+      val g = ga(2 * k)
+      assert(rgbGa(3 * k) === g && rgbGa(3 * k + 1) === g &&
+        rgbGa(3 * k + 2) === g, s"gray+alpha pixel $k")
+    }
+    // RGBA (type 6): alpha drops, colors survive exactly
+    val rgba = Array.tabulate(w * h * 4)(k => (k * 7 % 256).toByte)
+    val Some((_, _, rgbA)) = Multimodal.decodePng(
+      Multimodal.encodePngOfType(w, h, 6, rgba))
+    (0 until w * h).foreach { k =>
+      assert(rgbA(3 * k) === rgba(4 * k) && rgbA(3 * k + 1) === rgba(4 * k + 1)
+        && rgbA(3 * k + 2) === rgba(4 * k + 2), s"rgba pixel $k")
+    }
+    // an index past the palette rejects (corrupt, not garbage pixels)
+    val badIdx = idx.clone(); badIdx(3) = 9
+    assert(Multimodal.decodePng(
+      Multimodal.encodePngOfType(w, h, 3, badIdx, palette)).isEmpty)
+    // and the hash kernels see identical pixels regardless of container:
+    // an RGBA re-encode of a truecolor image must hash identically
+    val rgb = Array.tabulate(9 * 8 * 3)(k => (k * 11 % 256).toByte)
+    val asRgba = new Array[Byte](9 * 8 * 4)
+    (0 until 9 * 8).foreach { k =>
+      asRgba(4 * k) = rgb(3 * k); asRgba(4 * k + 1) = rgb(3 * k + 1)
+      asRgba(4 * k + 2) = rgb(3 * k + 2); asRgba(4 * k + 3) = 255.toByte
+    }
+    assert(Multimodal.decodeFirstFrame(
+      Multimodal.encodePngOfType(9, 8, 6, asRgba)).get._3.toSeq === rgb.toSeq)
+  }
+
   test("PNG rejects corrupt CRCs, truncation, and unsupported shapes") {
     val rgb = Array.tabulate(6 * 6 * 3)(i => (i * 7 % 256).toByte)
     val enc = Multimodal.encodePng(6, 6, rgb)
@@ -484,5 +532,123 @@ class MultimodalSpec extends SparkTestBase {
     assert(twinPairs.length === docs.count(),
       s"every container twin must pair at hamming 0: got ${twinPairs.length}")
     assert(pairs.forall(_._3 === 0))
+  }
+
+  test("GIF round-trips arbitrary palettes, interlaced and not") {
+    val w = 19; val h = 13 // odd dims: interlace passes hit ragged rows
+    val palette = Array.tabulate(768)(i => (i * 37 + 11).toByte)
+    val idx = Array.tabulate(w * h)(k => (k * 31 % 256).toByte)
+    for (interlace <- Seq(false, true)) {
+      val enc = Multimodal.encodeGif(w, h, Seq(idx), palette, interlace)
+      val Some((dw, dh, frames)) = Multimodal.decodeGif(enc)
+      assert((dw, dh, frames.length) === (w, h, 1), s"interlace=$interlace")
+      val rgb = frames.head
+      (0 until w * h).foreach { k =>
+        val e = (idx(k) & 0xFF) * 3
+        assert(rgb(3 * k) === palette(e) && rgb(3 * k + 1) === palette(e + 1)
+          && rgb(3 * k + 2) === palette(e + 2),
+          s"pixel $k interlace=$interlace")
+      }
+    }
+  }
+
+  test("GIF LZW survives dictionary growth to 12 bits and table reset") {
+    // a 128x128 noise raster forces the code table through every width
+    // 9..12 and past 4096 entries (encoder emits clear + reset; decoder
+    // must follow) — a width-sync or reset bug scrambles pixels
+    val w = 128; val h = 128
+    val rnd = new scala.util.Random(42)
+    val idx = Array.fill(w * h)(rnd.nextInt(256).toByte)
+    val enc = Multimodal.encodeGif(w, h, Seq(idx), Multimodal.grayPalette256)
+    val Some((_, _, frames)) = Multimodal.decodeGif(enc)
+    val rgb = frames.head
+    (0 until w * h).foreach { k =>
+      val v = idx(k)
+      assert(rgb(3 * k) === v && rgb(3 * k + 1) === v && rgb(3 * k + 2) === v,
+        s"pixel $k after table reset")
+    }
+    // and the run-heavy opposite: long runs exercise KwKwK self-reference
+    val runs = Array.tabulate(w * h)(k => (k / 97 % 256).toByte)
+    val encR = Multimodal.encodeGif(w, h, Seq(runs), Multimodal.grayPalette256)
+    assert(encR.length < w * h / 2, "runs must actually compress")
+    val Some((_, _, framesR)) = Multimodal.decodeGif(encR)
+    (0 until w * h).foreach { k =>
+      assert(framesR.head(3 * k) === runs(k), s"run pixel $k")
+    }
+  }
+
+  test("animated GIF composites placed frames with transparency") {
+    val w = 8; val h = 6
+    val pal = Multimodal.grayPalette256
+    // frame 1: full screen of 10s; frame 2: a 3x2 patch at (2,1) of 200s
+    // with one TRANSPARENT pixel (index 7) that must show frame 1 through
+    val f1 = Array.fill(w * h)(10.toByte)
+    val patch = Array[Byte](200.toByte, 7, 200.toByte,
+                            200.toByte, 200.toByte, 200.toByte)
+    val enc = Multimodal.encodeGifFrames(w, h, Seq(
+      (0, 0, w, h, f1, -1),
+      (2, 1, 3, 2, patch, 7)), pal)
+    val Some((_, _, frames)) = Multimodal.decodeGif(enc)
+    assert(frames.length === 2)
+    assert(frames(0).forall(_ === 10.toByte))
+    val c = frames(1)
+    def px(x: Int, y: Int): Byte = c(3 * (y * w + x))
+    assert(px(2, 1) === 200.toByte && px(4, 1) === 200.toByte)
+    assert(px(3, 1) === 10.toByte, "transparent pixel shows the canvas")
+    assert(px(0, 0) === 10.toByte && px(7, 5) === 10.toByte,
+      "pixels outside the patch rect keep frame 1")
+    // dispatch: decodeFrames sees both frames, decodeFirstFrame the first
+    assert(Multimodal.decodeFrames(enc).length === 2)
+    assert(Multimodal.decodeFirstFrame(enc).get._3.toSeq === frames(0).toSeq)
+  }
+
+  test("GIF rejects corrupt signatures, truncation, and bad indices") {
+    val idx = Array.tabulate(6 * 6)(k => (k % 4).toByte)
+    val enc = Multimodal.encodeGif(6, 6, Seq(idx), Multimodal.grayPalette256)
+    assert(Multimodal.decodeGif(enc).isDefined)
+    val badSig = enc.clone(); badSig(3) = 'X'
+    assert(Multimodal.decodeGif(badSig).isEmpty)
+    // truncation anywhere: no exceptions, just None
+    Seq(5, 12, 700, 790, enc.length - 2).foreach { cut =>
+      assert(Multimodal.decodeGif(java.util.Arrays.copyOf(enc, cut)).isEmpty,
+        s"truncated at $cut")
+    }
+    // an unknown block type where an image descriptor belongs
+    val badBlock = enc.clone(); badBlock(6 + 7 + 768) = 0x55
+    assert(Multimodal.decodeGif(badBlock).isEmpty)
+    // shrink the declared GCT to 2 entries: the remaining palette bytes
+    // misparse as blocks — corrupt, None, no exception
+    val shrunk = enc.clone(); shrunk(10) = 0xF0.toByte
+    assert(Multimodal.decodeGif(shrunk).isEmpty)
+    // corrupt one LZW data byte: either decodes-short (None) or garbles —
+    // must never throw
+    val flip = enc.clone(); flip(6 + 7 + 768 + 11) = 0x33
+    Multimodal.decodeGif(flip) // any Option is fine; no exception
+  }
+
+  test("GIF fixture: frames and features match the fixture formula") {
+    val gifs = Multimodal.syntheticGifMedia(docs, "doc_id", "text").cache()
+    // every payload is a decodable real GIF
+    val metas = gifs.collect()
+    metas.foreach { m =>
+      val Some((w, h, frames)) = Multimodal.decodeGif(m.payload)
+      assert((w, h) === (m.meta.width, m.meta.height))
+      assert(frames.length === m.meta.n_frames, s"id ${m.id}")
+    }
+    // pixel-exact vs the fixture formula for an interlaced doc with text
+    val docId = docs.filter($"doc_id" % 4 >= 2 && length($"text") > 0)
+      .select("doc_id").as[Long].head()
+    val sample = metas.find(_.id == docId).get
+    val doc = docs.filter($"doc_id" === sample.id)
+      .select("text").as[String].head()
+    val tb = doc.getBytes("UTF-8")
+    val Some((w, h, frames)) = Multimodal.decodeGif(sample.payload)
+    val np = w * h * frames.length
+    (0 until np).foreach { k =>
+      val expected = (((tb(k % tb.length) & 0xFF) + k) % 256).toByte
+      val f = k / (w * h); val p = k % (w * h)
+      assert(frames(f)(3 * p) === expected, s"frame $f pixel $p")
+    }
+    gifs.unpersist()
   }
 }
