@@ -2561,6 +2561,75 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // WET-style HTML->text extraction through the REAL state-machine
+    // kernel: every document wraps in a deterministic HTML template
+    // (title/h1/p/div blocks, a script with "</div>" and "1 < 2" traps,
+    // a style block, a comment with fake tags, escaped text, numeric
+    // entities), then extracts back. The expected text rebuilds in SQL —
+    // escape+decode cancel and HTML whitespace collapse is \s+ -> ' ' —
+    // so md5/line/char counts are byte-exact across engines.
+    "html_extract" -> ((s, dir) => {
+      import s.implicits._
+      val html = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val esc = text.replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          (id,
+            s"""<!DOCTYPE html><html><head><title>Doc $id</title>
+               |<style>body { color: #fff; } /* <p>not text</p> */</style>
+               |<script type="text/javascript">if (1 < 2) { var s = "</div>"; }</script>
+               |</head><body>
+               |<!-- comment <p>fake</p> -->
+               |<h1>&#68;oc $id</h1>
+               |<p>$esc</p>
+               |<div>footer &#169; 2026</div>
+               |</body></html>""".stripMargin)
+        }.toDF("doc_id", "html")
+      html.select(col("doc_id"),
+          graft.pipeline.HtmlText.htmlToTextCol(col("html")).as("extracted"))
+        .select(col("doc_id"),
+          md5(col("extracted")).as("text_md5"),
+          size(split(col("extracted"), "\n", -1)).cast("long").as("n_lines"),
+          length(col("extracted")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // WARC ingestion through the REAL ISO 28500 parser: documents pack
+    // into multi-record WARC files (one warcinfo + N HTTP responses,
+    // half the files gzipped ONE MEMBER PER RECORD — the Common Crawl
+    // packaging), then explode back through Warc.warcRecords. The oracle
+    // recomputes status/length/md5 from the documents table directly, so
+    // a header-walk, Content-Length, HTTP-split, or gzip-member
+    // regression breaks the hash. Lossless end-to-end: byte-exact check.
+    "warc_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val files = docs
+        .withColumn("g", floor(col("doc_id") / 25))
+        .groupBy("g")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+          .as("rs"))
+        .as[(Long, Seq[(Long, String)])]
+        .map { case (g, rs) =>
+          val recs = rs.map { case (id, text) =>
+            val status = if (id % 10 == 7) 404 else 200
+            (s"https://graft.test/doc/$id", status,
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          (g, graft.sources.Warc.encodeWarc(recs, gzipPerRecord = g % 2 == 1))
+        }.toDF("g", "payload")
+      graft.sources.Warc.warcRecords(files).toDF()
+        .filter(col("warc_type") === "response")
+        .select(
+          substring(col("target_uri"), 24, 32).cast("long").as("doc_id"),
+          col("http_status"),
+          col("http_content_type").as("content_type"),
+          length(col("body")).cast("long").as("body_len"),
+          md5(col("body")).as("body_md5"))
+        .orderBy("doc_id")
+    }),
+
     // JPEG through the REAL baseline decoder (marker grammar, Huffman,
     // IDCT, restart-marker resync): lossy, so the oracle pins
     // decodability + exact dimensions — a decoder that fails any arm
@@ -6064,6 +6133,32 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN val >= 240 THEN 1 ELSE 0 END) AS DOUBLE) / np AS h_last,
         |  CAST(nf AS BIGINT) AS n_frames
         |FROM d GROUP BY doc_id, mt, nf, np ORDER BY id""".stripMargin,
+    // HTML extraction: expected text = title line + h1 line +
+    // ws-collapsed body text (escape+decode cancel) + footer line
+    "html_extract" ->
+      """WITH n AS (
+        |  SELECT doc_id, trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id, norm,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |    CASE WHEN norm = '' THEN '' ELSE norm || chr(10) END ||
+        |    'footer © 2026' AS expected
+        |  FROM n)
+        |SELECT doc_id, md5(expected) AS text_md5,
+        |  CAST(3 + CASE WHEN norm = '' THEN 0 ELSE 1 END AS BIGINT) AS n_lines,
+        |  CAST(length(expected) AS BIGINT) AS n_chars
+        |FROM e ORDER BY doc_id""".stripMargin,
+    // WARC: the packed files are a pure re-serialization of documents,
+    // so every response record replays from the table
+    "warc_ingest" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END AS http_status,
+        |  'text/plain; charset=utf-8' AS content_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+        |  md5(text) AS body_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // JPEG: every payload must fully entropy-decode to its fixture dims
     "media_jpeg_meta" ->
       """SELECT doc_id AS id, CAST(16 + doc_id % 16 AS INT) AS width,

@@ -499,6 +499,17 @@ object Main {
       println(s"video-prune: $n surviving videos at containment < $threshold -> $out")
       spark.stop()
 
+    case "warc-extract" :: filesParquet :: out :: rest =>
+      // crawl ingestion: explode WARC file bytes into typed records
+      // (map-side; parallelism = file count, the dump's native shape)
+      val payloadCol = rest.headOption.getOrElse("payload")
+      val spark = session()
+      graft.sources.Warc.warcRecords(spark.read.parquet(filesParquet), payloadCol)
+        .toDF().write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"warc-extract: $n records -> $out")
+      spark.stop()
+
     case "index-delete" :: kind :: idx :: delParquet :: rest =>
       // takedown lifecycle: remove documents from a persisted index.
       // minhash | bm25 | int8 | ivfsq8 take an ID list (tombstone
@@ -863,6 +874,7 @@ object Main {
           |  video-append     <framesParquet> <indexPath> [idCol] [hashCol]
           |  video-probe      <indexPath> <framesParquet> <outParquet> [threshold] [idCol] [hashCol]
           |  video-prune      <indexPath> <framesParquet> <outParquet> [threshold] [idCol] [hashCol]
+          |  warc-extract     <filesParquet> <outParquet> [payloadCol]
           |  hamming-build    <hashesParquet> <indexPath> [idCol] [hashCol]
           |  hamming-append   <hashesParquet> <indexPath> [idCol] [hashCol]
           |  hamming-probe    <indexPath> <hashesParquet> <outParquet> [maxHamming] [idCol] [hashCol]

@@ -1,0 +1,246 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/**
+ * WARC (ISO 28500) ingestion — the container web-crawl training corpora
+ * actually arrive in (Common Crawl ships ~100 TB/month of exactly this).
+ * Dependency-free: the format is CRLF header lines + a counted payload,
+ * and the standard "one gzip member per record" packaging streams through
+ * the JDK's GZIPInputStream (which concatenates members transparently).
+ *
+ * The production path is [[warcRecords]]: a binary column holding WARC
+ * file (or chunk) bytes explodes into typed records — WARC headers
+ * parsed, HTTP response payloads split into status/headers/body — inside
+ * one `mapPartitions` pass (the [[graft.multimodal.Multimodal]] decoder
+ * batching shape). Corrupt or truncated files yield the records parsed
+ * so far and never fail the task.
+ *
+ * Scale notes: a WARC file is one row here, so parallelism = file count —
+ * the shape crawl dumps already have (CC segments are ~1 GB gzip * ~64k
+ * files/crawl). Per-record gzip members mean a SPLIT file is still
+ * parseable from any member boundary; a production reader adds a custom
+ * FileFormat that seeks member boundaries inside large files, which drops
+ * into the same record parser. Nothing here shuffles: parse is map-side,
+ * and downstream dedup/filtering receives (url, body) rows directly.
+ */
+object Warc {
+
+  /** One parsed WARC record: the standard headers, plus the HTTP layer
+    * (status/content-type/body) when the record is an HTTP response —
+    * -1/null/empty otherwise. */
+  final case class WarcRecord(warc_type: String, target_uri: String,
+                              warc_date: String, record_id: String,
+                              http_status: Int, http_content_type: String,
+                              body: Array[Byte])
+
+  private val Crlf = "\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+
+  // ------------------------------------------------------------------
+  // Encoder (fixtures, specs, round-trip tooling)
+  // ------------------------------------------------------------------
+
+  /** Serialize one record: version line, headers, Content-Length, blank
+    * line, payload, blank separator. */
+  private def encodeRecord(out: java.io.OutputStream, warcType: String,
+                           uri: String, date: String, recordId: String,
+                           contentType: String,
+                           payload: Array[Byte]): Unit = {
+    val sb = new StringBuilder()
+    sb.append("WARC/1.0\r\n")
+    sb.append(s"WARC-Type: $warcType\r\n")
+    if (uri != null) sb.append(s"WARC-Target-URI: $uri\r\n")
+    sb.append(s"WARC-Date: $date\r\n")
+    sb.append(s"WARC-Record-ID: <$recordId>\r\n")
+    sb.append(s"Content-Type: $contentType\r\n")
+    sb.append(s"Content-Length: ${payload.length}\r\n")
+    sb.append("\r\n")
+    out.write(sb.toString.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(payload)
+    out.write(Crlf)
+    out.write(Crlf)
+  }
+
+  /** Build an HTTP response payload (status line + headers + body). */
+  def httpResponsePayload(status: Int, reason: String, contentType: String,
+                          body: Array[Byte]): Array[Byte] = {
+    val head = s"HTTP/1.1 $status $reason\r\n" +
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n"
+    val hb = head.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](hb.length + body.length)
+    System.arraycopy(hb, 0, out, 0, hb.length)
+    System.arraycopy(body, 0, out, hb.length, body.length)
+    out
+  }
+
+  /** Encode a complete WARC file: a `warcinfo` record followed by one
+    * `response` record per (uri, status, body). `gzipPerRecord` wraps
+    * EACH record in its own gzip member — the Common Crawl packaging the
+    * decoder must stream through. */
+  def encodeWarc(records: Seq[(String, Int, Array[Byte])],
+                 date: String = "2026-01-01T00:00:00Z",
+                 gzipPerRecord: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def member(write: java.io.OutputStream => Unit): Unit =
+      if (!gzipPerRecord) write(out)
+      else {
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        write(gz)
+        gz.finish()
+      }
+    member(o => encodeRecord(o, "warcinfo", null, date,
+      "urn:uuid:00000000-0000-0000-0000-000000000000",
+      "application/warc-fields",
+      "software: graft\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+    records.foreach { case (uri, status, body) =>
+      val reason = if (status == 200) "OK" else "Not Found"
+      member(o => encodeRecord(o, "response", uri, date,
+        s"urn:uuid:${uri.hashCode}", "application/http;msgtype=response",
+        httpResponsePayload(status, reason, "text/plain; charset=utf-8", body)))
+    }
+    out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // Decoder
+  // ------------------------------------------------------------------
+
+  /** Inflate all gzip members of `bytes` (GZIPInputStream consumes
+    * concatenated members — the per-record packaging — in one stream);
+    * pass non-gzip input through untouched. None on corrupt gzip. */
+  private def gunzipAll(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes.length < 2 || (bytes(0) & 0xFF) != 0x1F ||
+      (bytes(1) & 0xFF) != 0x8B) return Some(bytes)
+    try {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(bytes), 65536)
+      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) {
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      Some(out.toByteArray)
+    } catch { case _: java.io.IOException => None }
+  }
+
+  /** Find the end of the header block (first blank line); returns the
+    * offset just past it, or -1. Accepts CRLF and bare-LF line ends (both
+    * occur in the wild). */
+  private def headerEnd(b: Array[Byte], from: Int): Int = {
+    var i = from
+    while (i < b.length) {
+      if (b(i) == '\n') {
+        // blank line = \n immediately followed by \r?\n
+        if (i + 1 < b.length && b(i + 1) == '\n') return i + 2
+        if (i + 2 < b.length && b(i + 1) == '\r' && b(i + 2) == '\n') return i + 3
+      }
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse `name: value` header lines (case-insensitive names) from a
+    * header block. Malformed lines are skipped, not fatal. */
+  private def parseHeaders(b: Array[Byte], from: Int,
+                           until: Int): Map[String, String] = {
+    val text = new String(b, from, until - from,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    text.split("\n").iterator
+      .map(_.stripSuffix("\r"))
+      .filter(_.contains(":"))
+      .map { line =>
+        val i = line.indexOf(':')
+        line.substring(0, i).trim.toLowerCase -> line.substring(i + 1).trim
+      }
+      .toMap
+  }
+
+  /** Parse all records of one (possibly gzipped) WARC file. Tolerant:
+    * returns the records parsed before the first malformed/truncated
+    * region; never throws on crawl garbage. */
+  def parseWarc(fileBytes: Array[Byte]): Seq[WarcRecord] = {
+    if (fileBytes == null) return Seq.empty
+    val bytes = gunzipAll(fileBytes).getOrElse(return Seq.empty)
+    val out = Seq.newBuilder[WarcRecord]
+    var pos = 0
+    var ok = true
+    while (ok && pos < bytes.length) {
+      // skip inter-record blank lines
+      while (pos < bytes.length && (bytes(pos) == '\r' || bytes(pos) == '\n'))
+        pos += 1
+      if (pos >= bytes.length) ok = false
+      else {
+        // version line must open the record
+        val he = headerEnd(bytes, pos)
+        if (he < 0) ok = false
+        else {
+          val firstLineEnd = bytes.indexOf('\n'.toByte, pos) match {
+            case -1 => -1
+            case i => i
+          }
+          val version = new String(bytes, pos, firstLineEnd - pos,
+            java.nio.charset.StandardCharsets.ISO_8859_1).trim
+          if (!version.startsWith("WARC/")) ok = false
+          else {
+            val hdrs = parseHeaders(bytes, firstLineEnd + 1, he)
+            hdrs.get("content-length").flatMap(s =>
+              scala.util.Try(s.toLong).toOption) match {
+              case Some(len) if len >= 0 && he + len <= bytes.length =>
+                val payload =
+                  java.util.Arrays.copyOfRange(bytes, he, he + (len.toInt))
+                out += toRecord(hdrs, payload)
+                pos = he + len.toInt
+              case _ => ok = false // missing/bad length or truncated payload
+            }
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Lift one raw record into [[WarcRecord]], splitting the HTTP layer
+    * out of response payloads. */
+  private def toRecord(hdrs: Map[String, String],
+                       payload: Array[Byte]): WarcRecord = {
+    val wtype = hdrs.getOrElse("warc-type", "")
+    val isHttp = hdrs.getOrElse("content-type", "")
+      .toLowerCase.startsWith("application/http")
+    var status = -1
+    var httpCt: String = null
+    var body = payload
+    if (isHttp) {
+      val he = headerEnd(payload, 0)
+      val statusLineEnd = payload.indexOf('\n'.toByte)
+      if (he > 0 && statusLineEnd > 0) {
+        val statusLine = new String(payload, 0, statusLineEnd,
+          java.nio.charset.StandardCharsets.ISO_8859_1).trim
+        val parts = statusLine.split(" ")
+        if (parts.length >= 2 && parts(0).startsWith("HTTP/"))
+          status = scala.util.Try(parts(1).toInt).getOrElse(-1)
+        val hh = parseHeaders(payload, statusLineEnd + 1, he)
+        httpCt = hh.getOrElse("content-type", null)
+        body = java.util.Arrays.copyOfRange(payload, he, payload.length)
+      }
+    }
+    WarcRecord(wtype, hdrs.getOrElse("warc-target-uri", null),
+      hdrs.getOrElse("warc-date", null),
+      hdrs.getOrElse("warc-record-id", null), status, httpCt, body)
+  }
+
+  /**
+   * The Spark operator: explode a binary column of WARC file bytes into
+   * typed records — one `mapPartitions`-shaped `flatMap`, no shuffle;
+   * downstream filters/dedup receive (uri, body) rows directly.
+   */
+  def warcRecords(files: DataFrame, payloadCol: String = "payload"): Dataset[WarcRecord] = {
+    val spark = files.sparkSession
+    import spark.implicits._
+    files.select(col(payloadCol)).as[Array[Byte]]
+      .flatMap(bytes => parseWarc(bytes))
+  }
+}

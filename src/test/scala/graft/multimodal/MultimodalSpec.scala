@@ -534,6 +534,29 @@ class MultimodalSpec extends SparkTestBase {
     assert(pairs.forall(_._3 === 0))
   }
 
+  test("JPEG re-encode of a PNG image pairs as a phash near-dup") {
+    // the real-world case: the SAME image crawled twice, once as PNG and
+    // once re-saved as JPEG — lossy, so pixels differ, but aHash block
+    // means stay on their side of the global mean and the hamming index
+    // must pair them. High-contrast halves keep every bit decision far
+    // from the mean (JPEG quantization noise is single digits).
+    val w = 32; val h = 32
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      (if ((i / 3) / w < h / 2) 30 else 220).toByte
+    }
+    val rows = Seq(
+      Multimodal.MediaRow(1L, Multimodal.encodePng(w, h, rgb),
+        Multimodal.MediaMeta("image", w, h, 1, 0)),
+      Multimodal.MediaRow(2L, Jpeg.encode(w, h, rgb, quality = 90),
+        Multimodal.MediaMeta("image", w, h, 1, 0))).toDS()
+    val hashes = Multimodal.perceptualHashes(rows).toDF()
+    val pairs = graft.dedup.Dedup.hammingNearDuplicates64(
+        hashes, "id", "ahash", maxHamming = 3)
+      .as[(Long, Long, Int)].collect()
+    assert(pairs.length === 1 && pairs.head._3 <= 3,
+      s"PNG + JPEG encodes of one image must near-dup: ${pairs.toSeq}")
+  }
+
   test("GIF round-trips arbitrary palettes, interlaced and not") {
     val w = 19; val h = 13 // odd dims: interlace passes hit ragged rows
     val palette = Array.tabulate(768)(i => (i * 37 + 11).toByte)

@@ -1,0 +1,92 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class WarcSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  private def fileOf(gzip: Boolean): Array[Byte] =
+    Warc.encodeWarc(Seq(
+      ("https://a.test/1", 200, "hello world".getBytes(utf8)),
+      ("https://a.test/2", 404, "gone".getBytes(utf8)),
+      ("https://a.test/3", 200, Array.tabulate[Byte](1000)(i => (i % 251).toByte))
+    ), gzipPerRecord = gzip)
+
+  test("round-trips records, plain and gzip-per-member") {
+    for (gz <- Seq(false, true)) {
+      val recs = Warc.parseWarc(fileOf(gz))
+      assert(recs.length === 4, s"warcinfo + 3 responses (gz=$gz)")
+      assert(recs.head.warc_type === "warcinfo")
+      assert(recs.head.http_status === -1, "warcinfo has no HTTP layer")
+      val rs = recs.tail
+      assert(rs.map(_.warc_type).toSet === Set("response"))
+      assert(rs.map(_.target_uri) ===
+        Seq("https://a.test/1", "https://a.test/2", "https://a.test/3"))
+      assert(rs.map(_.http_status) === Seq(200, 404, 200))
+      assert(new String(rs(0).body, utf8) === "hello world")
+      assert(new String(rs(1).body, utf8) === "gone")
+      assert(rs(2).body.length === 1000)
+      assert(rs(2).body.toSeq === Array.tabulate[Byte](1000)(i => (i % 251).toByte).toSeq)
+      assert(rs.forall(_.http_content_type == "text/plain; charset=utf-8"))
+      assert(rs.forall(_.warc_date == "2026-01-01T00:00:00Z"))
+    }
+  }
+
+  test("binary-safe: bodies containing CRLF runs and fake headers parse by length") {
+    // a body that CONTAINS a blank line and a WARC version line — only
+    // Content-Length-driven parsing survives this (the reason WARC is
+    // counted, not delimited)
+    val trap = "x\r\n\r\nWARC/1.0\r\nContent-Length: 999\r\n\r\ny".getBytes(utf8)
+    val recs = Warc.parseWarc(Warc.encodeWarc(Seq(("https://t/x", 200, trap))))
+    assert(recs.length === 2)
+    assert(recs(1).body.toSeq === trap.toSeq)
+  }
+
+  test("tolerates truncation and garbage: parses the prefix, never throws") {
+    val full = fileOf(false)
+    val cut = java.util.Arrays.copyOf(full, full.length - 20)
+    val recs = Warc.parseWarc(cut) // last record truncated -> dropped
+    assert(recs.length === 3)
+    assert(Warc.parseWarc(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Warc.parseWarc(Array.emptyByteArray).isEmpty)
+    assert(Warc.parseWarc(null).isEmpty)
+    assert(Warc.parseWarc("HTTP/1.1 200 OK\r\n\r\n".getBytes(utf8)).isEmpty)
+    // corrupt gzip: None from the inflater -> no records, no throw
+    val gzFull = fileOf(true)
+    gzFull(gzFull.length / 2) = 0x55
+    Warc.parseWarc(gzFull) // any prefix is fine; must not throw
+    // record with a bad Content-Length stops the walk cleanly
+    val bad = new String(full, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replaceFirst("Content-Length: ", "Content-Length: nope")
+    assert(Warc.parseWarc(bad.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)).isEmpty)
+  }
+
+  test("accepts bare-LF header lines (crawl reality)") {
+    val body = "b".getBytes(utf8)
+    val rec = ("WARC/1.0\nWARC-Type: response\nWARC-Target-URI: https://l/1\n" +
+      "Content-Type: application/http;msgtype=response\n" +
+      s"Content-Length: ${17 + body.length}\n\n" + // "HTTP/1.1 200 OK\n\n" = 17
+      "HTTP/1.1 200 OK\n\n").getBytes(utf8) ++ body
+    val recs = Warc.parseWarc(rec)
+    assert(recs.length === 1)
+    assert(recs.head.target_uri === "https://l/1")
+    assert(recs.head.http_status === 200)
+    assert(recs.head.body.toSeq === body.toSeq)
+  }
+
+  test("warcRecords explodes files map-side through the Spark path") {
+    val files = Seq((0L, fileOf(false)), (1L, fileOf(true)))
+      .toDF("g", "payload")
+    val recs = Warc.warcRecords(files).toDF().cache()
+    assert(recs.count() === 8)
+    assert(recs.filter($"warc_type" === "response").count() === 6)
+    assert(recs.filter($"http_status" === 404).count() === 2)
+    // no shuffle: the plan is scan -> deserialize -> flatMap only
+    val plan = recs.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"parse must not shuffle:\n$plan")
+    recs.unpersist()
+  }
+}
