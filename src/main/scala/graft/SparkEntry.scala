@@ -2630,6 +2630,53 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // the DSv2 `warc` format end-to-end: the same packed files land on
+    // disk as real .warc/.warc.gz files (written from EXECUTORS — the
+    // distributed-write shape; no driver collect), then read back with
+    // spark.read.format("warc") — file listing, gzip sniffing, member
+    // parsing, and InternalRow production all on the oracle-checked
+    // path. Same oracle as warc_ingest: the source must be lossless.
+    "warc_source_scan" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val files = docs
+        .withColumn("g", floor(col("doc_id") / 25))
+        .groupBy("g")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+          .as("rs"))
+        .as[(Long, Seq[(Long, String)])]
+        .map { case (g, rs) =>
+          val recs = rs.map { case (id, text) =>
+            val status = if (id % 10 == 7) 404 else 200
+            (s"https://graft.test/doc/$id", status,
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          (g, graft.sources.Warc.encodeWarc(recs, gzipPerRecord = g % 2 == 1))
+        }.toDF("g", "payload")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_warc_src_")
+      deleteRecursivelyOnExit(tmp)
+      val out = tmp.toFile.getAbsolutePath
+      files.foreachPartition {
+        (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { row =>
+            val g = row.getLong(0)
+            val ext = if (g % 2 == 1) "warc.gz" else "warc"
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, s"part-$g.$ext"),
+              row.getAs[Array[Byte]](1))
+          }
+      }
+      s.read.format("warc").load(out)
+        .filter(col("warc_type") === "response")
+        .select(
+          substring(col("target_uri"), 24, 32).cast("long").as("doc_id"),
+          col("http_status"),
+          col("http_content_type").as("content_type"),
+          length(col("body")).cast("long").as("body_len"),
+          md5(col("body")).as("body_md5"))
+        .orderBy("doc_id")
+    }),
+
     // JPEG through the REAL baseline decoder (marker grammar, Huffman,
     // IDCT, restart-marker resync): lossy, so the oracle pins
     // decodability + exact dimensions — a decoder that fails any arm
@@ -6153,6 +6200,14 @@ object SparkEntry {
     // WARC: the packed files are a pure re-serialization of documents,
     // so every response record replays from the table
     "warc_ingest" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END AS http_status,
+        |  'text/plain; charset=utf-8' AS content_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+        |  md5(text) AS body_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // DSv2 warc source: identical contract to warc_ingest (lossless)
+    "warc_source_scan" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END AS http_status,
         |  'text/plain; charset=utf-8' AS content_type,
