@@ -542,6 +542,21 @@ object Dedup {
     writeInstallment(newDf, textCol, idCol, path, next, shingleK, numHashes, bands)
   }
 
+  /** [[minhashIndexAppend]] at a CALLER-CHOSEN installment — the
+    * replay-idempotent form every streaming loop uses (`installment =
+    * StreamInstallmentBase + batchId`): all three partition dirs
+    * (sets/bands/sizes) are mode(overwrite) at that number, so an
+    * at-least-once retry reproduces them instead of duplicating (the
+    * shared `*AppendAt` contract, finally extended to the minhash
+    * family). Same stored-meta parameters as every append. */
+  def minhashIndexAppendAt(spark: org.apache.spark.sql.SparkSession,
+                           path: String, newDf: DataFrame, installment: Int,
+                           textCol: String, idCol: String): Unit = {
+    val meta = spark.read.parquet(s"$path/meta").head()
+    writeInstallment(newDf, textCol, idCol, path, installment,
+      meta.getInt(0), meta.getInt(1), meta.getInt(2))
+  }
+
   /** Next installment for the minhash index: one past the max across
     * BOTH `sizes/` (which every event writes — appends and deletes) and
     * `sets/` (which only appends write). The max matters because

@@ -704,6 +704,60 @@ object EventStreams extends Serializable {
     }
 
   /**
+   * The crawl-to-corpus loop — the engine's pieces composed end-to-end
+   * on a STREAM of raw crawl files: each micro-batch of WARC file bytes
+   * (the shape a crawl delivery drops into object storage) parses via
+   * [[graft.sources.Warc.warcRecords]], keeps 200-status HTTP responses,
+   * extracts visible text ([[graft.pipeline.HtmlText]]), prunes
+   * near-duplicates against the PERSISTED minhash corpus index (probe AS
+   * OF `inst - 1` — this batch's own possibly-landed installment is
+   * excluded, the shared dedup-ingest replay guard), and folds the
+   * surviving (url, text) documents in as the batch's installment via
+   * the replay-idempotent [[graft.dedup.Dedup.minhashIndexAppendAt]].
+   * `sink` receives the surviving documents per batch (the corpus
+   * writer's hook — land them as parquet, feed BM25 ingest, etc.).
+   *
+   * Like [[dedupIngestStream]], batch-INTERNAL duplicates ride along
+   * (both copies survive against the stored corpus and pair only in the
+   * NEXT batch's probe); a corpus writer that needs intra-batch
+   * uniqueness runs [[graft.dedup.Dedup.minhashNearDuplicates]] on the
+   * survivors. URLs are the document ids — the minhash family is
+   * id-type-agnostic end-to-end.
+   */
+  def crawlIngestStream(spark: SparkSession, warcFiles: DataFrame,
+                        indexPath: String, threshold: Double = 0.8,
+                        maxBucketSize: Int = 1000,
+                        payloadCol: String = "payload")
+                       (sink: (DataFrame, Long) => Unit = (_, _) => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    warcFiles.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val inst = StreamInstallmentBase + batchId.toInt
+        val docs = graft.pipeline.HtmlText.extractFromBodies(
+            graft.sources.Warc.warcRecords(batch.toDF(), payloadCol).toDF()
+              .filter(col("warc_type") === "response" &&
+                col("http_status") === 200),
+            "body", "text")
+          .select(col("target_uri").as("url"), col("text"))
+          .filter(length(col("text")) > 0)
+          .localCheckpoint() // parse+extract once: feeds probe AND append
+        try {
+          val dupIds = graft.dedup.Dedup.minhashIndexProbe(spark, indexPath,
+              docs, "text", "url", threshold, maxBucketSize,
+              asOfInstallment = inst - 1)
+            .select(col("new_id").as("url")).distinct()
+          val fresh = docs.join(dupIds, Seq("url"), "left_anti")
+            .localCheckpoint()
+          try {
+            graft.dedup.Dedup.minhashIndexAppendAt(spark, indexPath, fresh,
+              inst, "text", "url")
+            sink(fresh, batchId)
+          } finally graft.dedup.Dedup.release(fresh)
+        } finally graft.dedup.Dedup.release(docs)
+        ()
+    }
+
+  /**
    * Continuous ingest into a float IVF index — the sixth ingest loop:
    * every micro-batch assigns against the FROZEN stored centroids
    * (map-side) and lands as `list_id=X/ingest=N` partition dirs with
