@@ -499,6 +499,20 @@ object Main {
       println(s"video-prune: $n surviving videos at containment < $threshold -> $out")
       spark.stop()
 
+    case "warc-scan" :: path :: rest =>
+      // read WARC files through the splittable DSv2 source; reports
+      // partition count + wall so split-vs-whole reads are comparable
+      val spark = session()
+      rest.headOption.foreach(b =>
+        spark.conf.set("spark.sql.files.maxPartitionBytes", b))
+      val df = spark.read.format("warc").load(path)
+      val parts = df.rdd.getNumPartitions
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"warc-scan: $n records in $parts partitions, $dt%.2f s")
+      spark.stop()
+
     case "warc-extract" :: filesParquet :: out :: rest =>
       // crawl ingestion: explode WARC file bytes into typed records
       // (map-side; parallelism = file count, the dump's native shape)
@@ -874,6 +888,7 @@ object Main {
           |  video-append     <framesParquet> <indexPath> [idCol] [hashCol]
           |  video-probe      <indexPath> <framesParquet> <outParquet> [threshold] [idCol] [hashCol]
           |  video-prune      <indexPath> <framesParquet> <outParquet> [threshold] [idCol] [hashCol]
+          |  warc-scan        <pathOrGlob> [maxSplitBytes]
           |  warc-extract     <filesParquet> <outParquet> [payloadCol]
           |  hamming-build    <hashesParquet> <indexPath> [idCol] [hashCol]
           |  hamming-append   <hashesParquet> <indexPath> [idCol] [hashCol]
