@@ -2561,6 +2561,58 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // WebDataset TAR shards through the REAL ustar parser: documents
+    // pack into tar shards (txt + json members per sample, a genuine
+    // PNG member for every third doc; odd shards whole-file gzip), then
+    // explode back into samples via the contiguous-key grouping. The
+    // oracle recomputes member count, text md5, and the PNG's exact
+    // dimensions and mean luma from the fixture formula — a header,
+    // checksum, padding, grouping, or codec regression hash-mismatches.
+    "webdataset_ingest" -> ((s, dir) => {
+      import s.implicits._
+      val shards = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .withColumn("g", floor(col("doc_id") / 25))
+        .groupBy("g")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+          .as("rs"))
+        .as[(Long, Seq[(Long, String)])]
+        .map { case (g, rs) =>
+          val entries = rs.flatMap { case (id, text) =>
+            val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val base = Seq(
+              (s"$id.txt", tb),
+              (s"$id.json",
+                s"""{"id":$id}""".getBytes(
+                  java.nio.charset.StandardCharsets.US_ASCII)))
+            if (id % 3 == 0) {
+              val w = 16 + (id % 16).toInt
+              val h = 16 + (id % 8).toInt
+              base :+ ((s"$id.png", Multimodal.encodePng(w, h,
+                Multimodal.fixtureStream(tb, w * h * 3))))
+            } else base
+          }
+          (g, graft.sources.WebDataset.encodeTar(entries, gzip = g % 2 == 1))
+        }.toDF("g", "payload")
+      graft.sources.WebDataset.webdatasetSamples(shards).map { smp =>
+        val id = smp.key.toLong
+        val (iw, luma) = smp.parts.get("png") match {
+          case Some(b) => Multimodal.decodeFirstFrame(b) match {
+            case Some((w, _, px)) =>
+              var sum = 0L
+              var i = 0
+              while (i < px.length) { sum += px(i) & 0xFF; i += 1 }
+              (w, sum.toDouble / px.length)
+            case None => (-1, -1.0)
+          }
+          case None => (-1, -1.0)
+        }
+        (id, smp.parts.size, smp.parts("txt"), iw, luma)
+      }.toDF("doc_id", "n_parts", "txt", "img_w", "img_luma")
+        .select(col("doc_id"), col("n_parts"),
+          md5(col("txt")).as("txt_md5"), col("img_w"), col("img_luma"))
+        .orderBy("doc_id")
+    }),
+
     // WET-style HTML->text extraction through the REAL state-machine
     // kernel: every document wraps in a deterministic HTML template
     // (title/h1/p/div blocks, a script with "</div>" and "1 < 2" traps,
@@ -6180,6 +6232,33 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN val >= 240 THEN 1 ELSE 0 END) AS DOUBLE) / np AS h_last,
         |  CAST(nf AS BIGINT) AS n_frames
         |FROM d GROUP BY doc_id, mt, nf, np ORDER BY id""".stripMargin,
+    // WebDataset: member counts + text md5 replay directly; the PNG
+    // member's decoded pixels ARE the fixture stream (lossless), so its
+    // mean luma is the exact integer-sum formula
+    "webdataset_ingest" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS l,
+        |    16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, CAST(w * h * 3 AS BIGINT) AS nb
+        |       FROM m WHERE doc_id % 3 = 0),
+        |ks AS (SELECT doc_id, w, nb,
+        |         unnest(generate_series(0, nb - 1)) AS k FROM px),
+        |d AS (SELECT ks.doc_id, ks.w, ks.nb,
+        |        CASE WHEN m.l = 0 THEN k % 256
+        |          ELSE (unicode(substr(m.text, CAST(k % m.l AS INT) + 1, 1)) + k) % 256
+        |        END AS val
+        |      FROM ks JOIN m ON m.doc_id = ks.doc_id),
+        |img AS (SELECT doc_id, CAST(max(w) AS INT) AS img_w,
+        |          CAST(sum(val) AS DOUBLE) / max(nb) AS img_luma
+        |        FROM d GROUP BY doc_id)
+        |SELECT m.doc_id,
+        |  CAST(2 + CASE WHEN m.doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_parts,
+        |  md5(m.text) AS txt_md5,
+        |  COALESCE(img.img_w, -1) AS img_w,
+        |  COALESCE(img.img_luma, -1.0) AS img_luma
+        |FROM m LEFT JOIN img ON img.doc_id = m.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
     // HTML extraction: expected text = title line + h1 line +
     // ws-collapsed body text (escape+decode cancel) + footer line
     "html_extract" ->

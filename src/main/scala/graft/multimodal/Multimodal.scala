@@ -941,7 +941,7 @@ object Multimodal {
     * `(textByte[k mod L] + k) mod 256` (`k mod 256` for empty text) —
     * recomputable in SQL, so the oracle can check features produced by
     * the REAL decode path end-to-end. */
-  private def fixtureStream(text: Array[Byte], n: Int): Array[Byte] = {
+  private[graft] def fixtureStream(text: Array[Byte], n: Int): Array[Byte] = {
     val out = new Array[Byte](n)
     val l = text.length
     var k = 0
@@ -1391,8 +1391,20 @@ object Multimodal {
             }
           }
           if (ok) out.result().iterator else Iterator.empty
+        } else if (p.length >= 3 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F') {
+          // animated GIF: every composited frame hashes (the smallest
+          // real multi-frame container — clipped-copy detection works
+          // on GIF animations exactly like on P6 streams)
+          decodeGif(p) match {
+            case Some((w, h, frames)) if w >= grid + 1 && h >= grid =>
+              frames.iterator.zipWithIndex.map { case (px, idx) =>
+                FrameHashRow(m.id, idx, w, h, aHashOf(w, h, px, grid))
+              }
+            case _ => Iterator.empty
+          }
         } else if ((p(0) == 'B' && p(1) == 'M') ||
-                   (p(0) == PngSig(0) && p(1) == PngSig(1))) {
+                   (p(0) == PngSig(0) && p(1) == PngSig(1)) ||
+                   ((p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8)) {
           decodeFirstFrame(p) match {
             case Some((w, h, px)) if w >= grid + 1 && h >= grid =>
               Iterator.single(FrameHashRow(m.id, 0, w, h, aHashOf(w, h, px, grid)))

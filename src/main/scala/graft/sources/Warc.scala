@@ -110,7 +110,7 @@ object Warc {
   /** Inflate all gzip members of `bytes` (GZIPInputStream consumes
     * concatenated members — the per-record packaging — in one stream);
     * pass non-gzip input through untouched. None on corrupt gzip. */
-  private def gunzipAll(bytes: Array[Byte]): Option[Array[Byte]] = {
+  private[sources] def gunzipAll(bytes: Array[Byte]): Option[Array[Byte]] = {
     if (bytes.length < 2 || (bytes(0) & 0xFF) != 0x1F ||
       (bytes(1) & 0xFF) != 0x8B) return Some(bytes)
     try {

@@ -649,6 +649,37 @@ class MultimodalSpec extends SparkTestBase {
     Multimodal.decodeGif(flip) // any Option is fine; no exception
   }
 
+  test("animated GIFs flow through the video containment pipeline") {
+    // a GIF animation and its every-other-frame clipped twin must pair
+    // by frame-set containment — the P6-stream path, now on the real
+    // multi-frame container
+    val w = 16; val h = 16
+    val pal = Multimodal.grayPalette256
+    val frames = (0 until 6).map(f =>
+      Array.tabulate(w * h)(k => ((k * 7 + f * 41) % 256).toByte))
+    val full = Multimodal.encodeGif(w, h, frames, pal)
+    val clipped = Multimodal.encodeGif(w, h,
+      frames.zipWithIndex.collect { case (fr, i) if i % 2 == 0 => fr }, pal)
+    val rows = Seq(
+      Multimodal.MediaRow(1L, full, Multimodal.MediaMeta("video", w, h, 6, 0)),
+      Multimodal.MediaRow(2L, clipped, Multimodal.MediaMeta("video", w, h, 3, 0))
+    ).toDS()
+    val fh = Multimodal.videoFrameHashes(rows).toDF()
+    assert(fh.filter($"id" === 1L).count() === 6)
+    assert(fh.filter($"id" === 2L).count() === 3)
+    val dups = Multimodal.videoContainmentDups(rows, threshold = 0.9)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(dups.length === 1 && dups.head._1 === 1L && dups.head._2 === 2L,
+      s"clipped GIF twin must contain: ${dups.toSeq}")
+    assert(dups.head._4 === 1.0)
+    // JPEG rows hash their (single) frame through the same kernel
+    val jrgb = Array.tabulate(32 * 16 * 3)(i =>
+      (if ((i / 3) % 32 < 16) 20 else 230).toByte)
+    val jrow = Seq(Multimodal.MediaRow(3L, Jpeg.encode(32, 16, jrgb),
+      Multimodal.MediaMeta("image", 32, 16, 1, 0))).toDS()
+    assert(Multimodal.videoFrameHashes(jrow).toDF().count() === 1)
+  }
+
   test("GIF fixture: frames and features match the fixture formula") {
     val gifs = Multimodal.syntheticGifMedia(docs, "doc_id", "text").cache()
     // every payload is a decodable real GIF

@@ -1,0 +1,68 @@
+package graft.sources
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+class WebDatasetSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val utf8 = java.nio.charset.StandardCharsets.UTF_8
+
+  test("tar round-trips members, plain and gzip, incl. GNU long names") {
+    val longDir = "deep/" + ("x" * 120)
+    val entries = Seq(
+      ("d/000001.txt", "hello tar".getBytes(utf8)),
+      ("d/000001.json", """{"id":1}""".getBytes(utf8)),
+      (s"$longDir/000002.txt", "long-name member".getBytes(utf8)),
+      ("blob", Array.tabulate[Byte](1500)(i => (i * 13 % 251).toByte)))
+    for (gz <- Seq(false, true)) {
+      val got = WebDataset.parseTar(WebDataset.encodeTar(entries, gz))
+      assert(got.map(_.name) === entries.map(_._1), s"gz=$gz")
+      got.zip(entries).foreach { case (e, (_, b)) =>
+        assert(e.bytes.toSeq === b.toSeq, s"${e.name} gz=$gz")
+      }
+    }
+  }
+
+  test("tolerates corruption: checksum flip, truncation, garbage") {
+    val tar = WebDataset.encodeTar(Seq(
+      ("a.txt", "aaa".getBytes(utf8)),
+      ("b.txt", "bbb".getBytes(utf8))))
+    assert(WebDataset.parseTar(tar).length === 2)
+    // flip a byte in the SECOND header: first member survives, walk stops
+    val bad = tar.clone()
+    bad(1024 + 50) = 0x7F // second header starts at 1024 (3-byte a.txt pads to 512)
+    assert(WebDataset.parseTar(bad).map(_.name) === Seq("a.txt"))
+    assert(WebDataset.parseTar(java.util.Arrays.copyOf(tar, 700))
+      .map(_.name) === Seq("a.txt"), "truncated mid-second-header")
+    assert(WebDataset.parseTar(java.util.Arrays.copyOf(tar, 300)).isEmpty,
+      "truncated mid-first-data")
+    assert(WebDataset.parseTar(Array.fill[Byte](1024)(0x55)).isEmpty)
+    assert(WebDataset.parseTar(Array.emptyByteArray).isEmpty)
+    assert(WebDataset.parseTar(null).isEmpty)
+  }
+
+  test("samples group by contiguous key; dirs and pax entries skip") {
+    val png = graft.multimodal.Multimodal.encodePng(9, 8,
+      Array.tabulate(9 * 8 * 3)(i => (i * 5 % 256).toByte))
+    val tar = WebDataset.encodeTar(Seq(
+      ("s/000.json", """{"k":0}""".getBytes(utf8)),
+      ("s/000.png", png),
+      ("s/000.cls.txt", "label".getBytes(utf8)), // multi-dot ext
+      ("s/001.json", """{"k":1}""".getBytes(utf8)),
+      ("s/001.png", png)))
+    val samples = WebDataset.webdatasetSamples(
+      Seq((0L, tar)).toDF("g", "payload")).collect()
+    assert(samples.map(_.key).toSeq === Seq("s/000", "s/001"))
+    assert(samples(0).parts.keySet === Set("json", "png", "cls.txt"))
+    assert(samples(1).parts.keySet === Set("json", "png"))
+    // the image member decodes through the real codec chain
+    val Some((w, h, _)) =
+      graft.multimodal.Multimodal.decodeFirstFrame(samples(0).parts("png"))
+    assert((w, h) === (9, 8))
+    // no shuffle in the plan: contiguity makes grouping map-side
+    val plan = WebDataset.webdatasetSamples(Seq((0L, tar)).toDF("g", "payload"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sample grouping must not shuffle:\n$plan")
+  }
+}
