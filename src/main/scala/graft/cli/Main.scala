@@ -513,6 +513,32 @@ object Main {
       println(f"warc-scan: $n records in $parts partitions, $dt%.2f s")
       spark.stop()
 
+    case "warc-export" :: docsParquet :: outDir :: rest =>
+      // corpus -> crawl-standard per-record-gzip WARC shards, written
+      // from executors; immediately re-readable via format("warc")
+      val rps = rest.headOption.map(_.toInt).getOrElse(10000)
+      val uriCol = rest.drop(1).headOption.getOrElse("url")
+      val bodyCol = rest.drop(2).headOption.getOrElse("body")
+      val spark = session()
+      graft.sources.Warc.writeShards(spark.read.parquet(docsParquet),
+        outDir, uriCol, bodyCol, rps)
+      val n = spark.read.format("warc").load(outDir)
+        .filter(org.apache.spark.sql.functions.col("warc_type") === "response")
+        .count()
+      println(s"warc-export: $n records -> $outDir")
+      spark.stop()
+
+    case "wds-extract" :: pathGlob :: out :: Nil =>
+      // WebDataset tar shards (via binaryFile) -> samples parquet
+      val spark = session()
+      val files = spark.read.format("binaryFile").load(pathGlob)
+        .select(org.apache.spark.sql.functions.col("content").as("payload"))
+      graft.sources.WebDataset.webdatasetSamples(files).toDF()
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"wds-extract: $n samples -> $out")
+      spark.stop()
+
     case "warc-extract" :: filesParquet :: out :: rest =>
       // crawl ingestion: explode WARC file bytes into typed records
       // (map-side; parallelism = file count, the dump's native shape)
@@ -889,6 +915,8 @@ object Main {
           |  video-probe      <indexPath> <framesParquet> <outParquet> [threshold] [idCol] [hashCol]
           |  video-prune      <indexPath> <framesParquet> <outParquet> [threshold] [idCol] [hashCol]
           |  warc-scan        <pathOrGlob> [maxSplitBytes]
+          |  warc-export      <docsParquet> <outDir> [recordsPerShard] [uriCol] [bodyCol]
+          |  wds-extract      <pathOrGlob> <outParquet>
           |  warc-extract     <filesParquet> <outParquet> [payloadCol]
           |  hamming-build    <hashesParquet> <indexPath> [idCol] [hashCol]
           |  hamming-append   <hashesParquet> <indexPath> [idCol] [hashCol]

@@ -243,4 +243,44 @@ object Warc {
     files.select(col(payloadCol)).as[Array[Byte]]
       .flatMap(bytes => parseWarc(bytes))
   }
+
+  /**
+   * The WRITE side — export a corpus back into crawl-standard form: each
+   * input partition becomes one (or more) `part-<partition>-<n>.warc.gz`
+   * shard of per-record-gzip response records, written FROM THE
+   * EXECUTORS into `dir` (a shared filesystem path — exactly how shard
+   * writers run on a cluster; no driver collect, no shuffle). Shards
+   * roll at `recordsPerShard`, so output sizes stay bounded regardless
+   * of partition skew. The per-record-member packaging means the output
+   * is immediately splittable by this package's own `format("warc")`
+   * source — write/read symmetry. Returns nothing; list the directory
+   * for the shard files.
+   */
+  def writeShards(docs: DataFrame, dir: String, uriCol: String = "url",
+                  bodyCol: String = "body",
+                  recordsPerShard: Int = 10000,
+                  date: String = "2026-01-01T00:00:00Z"): Unit = {
+    require(recordsPerShard > 0, "recordsPerShard must be positive")
+    docs.select(col(uriCol).cast("string"), col(bodyCol).cast("binary"))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        // default Hadoop conf on the executor (the WarcDataSource
+        // convention): local/HDFS defaults; production threads the
+        // serialized job conf through instead
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        var shard = 0
+        rows.grouped(recordsPerShard).foreach { chunk =>
+          val batch = chunk.map { r =>
+            (r.getString(0), 200,
+              Option(r.getAs[Array[Byte]](1)).getOrElse(Array.emptyByteArray))
+          }
+          val out = fs.create(new org.apache.hadoop.fs.Path(dir,
+            f"part-$pid%05d-$shard%04d.warc.gz"), true)
+          try out.write(encodeWarc(batch, date, gzipPerRecord = true))
+          finally out.close()
+          shard += 1
+        }
+      }
+  }
 }

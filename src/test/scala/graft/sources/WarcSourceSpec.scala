@@ -92,6 +92,26 @@ class WarcSourceSpec extends SparkTestBase {
     }
   }
 
+  test("writeShards exports from executors and round-trips through the source") {
+    val dir = java.nio.file.Files.createTempDirectory("warc-export").toString
+    val docs = (0 until 95).map(i =>
+      (s"https://e/$i", s"body number $i".getBytes(utf8)))
+    Warc.writeShards(docs.toDF("url", "body").repartition(4), dir,
+      recordsPerShard = 10)
+    val back = spark.read.format("warc").load(dir)
+      .filter($"warc_type" === "response")
+      .select($"target_uri", $"body").as[(String, Array[Byte])].collect()
+    assert(back.length === 95)
+    assert(back.map { case (u, b) => (u, new String(b, utf8)) }.toSet ===
+      docs.map { case (u, b) => (u, new String(b, utf8)) }.toSet,
+      "every (url, body) must survive the export round-trip")
+    // shards rolled at recordsPerShard across the 4 writing partitions
+    val shards = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".warc.gz"))
+    assert(shards.length >= 10 && shards.forall(_.length > 0),
+      s"expected rolled shards, got ${shards.length}")
+  }
+
   test("directory and glob loads list files; schema is the record schema") {
     val dir = java.nio.file.Files.createTempDirectory("warc-src3")
     Seq("x", "y").zipWithIndex.foreach { case (s, i) =>
