@@ -107,15 +107,29 @@ object Warc {
   // Decoder
   // ------------------------------------------------------------------
 
-  /** Inflate all gzip members of `bytes` (GZIPInputStream consumes
-    * concatenated members — the per-record packaging — in one stream);
-    * pass non-gzip input through untouched. None on corrupt gzip. */
+  /** Decompress a whole payload by magic sniff: gzip (concatenated
+    * members — the per-record packaging — stream through one
+    * GZIPInputStream) or zstd (multi-frame via the zstd-jni already on
+    * Spark's classpath — Spark ships it for shuffle/parquet codecs, so
+    * this adds no dependency); anything else passes through untouched.
+    * None on corrupt compressed input. */
   private[sources] def gunzipAll(bytes: Array[Byte]): Option[Array[Byte]] = {
-    if (bytes.length < 2 || (bytes(0) & 0xFF) != 0x1F ||
-      (bytes(1) & 0xFF) != 0x8B) return Some(bytes)
+    val isGzip = bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F &&
+      (bytes(1) & 0xFF) == 0x8B
+    val isZstd = bytes.length >= 4 && (bytes(0) & 0xFF) == 0x28 &&
+      (bytes(1) & 0xFF) == 0xB5 && (bytes(2) & 0xFF) == 0x2F &&
+      (bytes(3) & 0xFF) == 0xFD
+    if (!isGzip && !isZstd) return Some(bytes)
     try {
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes), 65536)
+      val in: java.io.InputStream =
+        if (isGzip) new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(bytes), 65536)
+        else {
+          val z = new com.github.luben.zstd.ZstdInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          z.setContinuous(true) // read across concatenated frames
+          z
+        }
       val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
       val buf = new Array[Byte](65536)
       var n = in.read(buf)

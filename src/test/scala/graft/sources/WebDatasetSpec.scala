@@ -24,6 +24,24 @@ class WebDatasetSpec extends SparkTestBase {
     }
   }
 
+  test("zstd shards parse like gzip ones (.tar.zst, the modern packaging)") {
+    val entries = Seq(
+      ("z/000.txt", "zstd payload".getBytes(utf8)),
+      ("z/000.json", """{"z":true}""".getBytes(utf8)))
+    val plain = WebDataset.encodeTar(entries)
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+    z.write(plain)
+    z.close()
+    val got = WebDataset.parseTar(bos.toByteArray)
+    assert(got.map(_.name) === entries.map(_._1))
+    assert(new String(got.head.bytes, utf8) === "zstd payload")
+    // corrupt zstd: None path, no throw
+    val bad = bos.toByteArray
+    bad(bad.length / 2) = 0x11
+    WebDataset.parseTar(bad)
+  }
+
   test("tolerates corruption: checksum flip, truncation, garbage") {
     val tar = WebDataset.encodeTar(Seq(
       ("a.txt", "aaa".getBytes(utf8)),
