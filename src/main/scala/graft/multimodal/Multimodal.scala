@@ -790,6 +790,7 @@ object Multimodal {
     }
     val frames = Vector.newBuilder[Array[Byte]]
     var sawFrame = false
+    var nFrames = 0
     val canvas = new Array[Byte](w * h * 3) // starts black
     var transparent = -1
     var done = false
@@ -867,6 +868,11 @@ object Multimodal {
             }
             r += 1
           }
+          // frame-bomb guard: a crawl GIF claiming thousands of frames
+          // on a big canvas would materialize frames × w × h × 3 bytes —
+          // cap the decoded total at 1 GiB and call the rest corrupt
+          nFrames += 1
+          if (nFrames.toLong * w * h * 3 > (1L << 30)) return None
           frames += canvas.clone()
           sawFrame = true
           transparent = -1 // a GCE governs only the next rendering block

@@ -122,9 +122,10 @@ private[sources] class WarcScan(props: Map[String, String])
   override def description(): String = "warc"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val maxSplit = math.max(1L
-      * 1024 * 64, // floor: 64 KiB — absurdly small splits help nobody
-      org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes)
+    // floor 64 KiB (absurdly small splits help nobody); cap 512 MiB so a
+    // range plus straddle read-ahead always fits a JVM byte array
+    val maxSplit = math.min(1L << 29, math.max(1L * 1024 * 64,
+      org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes))
     WarcDataSource.listFiles(props).flatMap { case (path, len) =>
       if (WarcDataSource.isGzip(path) && len > maxSplit)
         (0L until len by maxSplit).map(s =>
@@ -151,9 +152,14 @@ private[sources] class WarcPartitionReader(part: WarcPartition)
     val in = fs.open(hp)
     try {
       if (!part.splittable) {
-        val all = new Array[Byte](fileLen.toInt)
-        in.readFully(0, all)
-        Warc.parseWarc(all).iterator
+        // whole-file reads (plain or small-gzip) must fit one array; a
+        // >1.5 GiB unsplittable file costs its own records, not the task
+        if (fileLen > (3L << 29)) Iterator.empty
+        else {
+          val all = new Array[Byte](fileLen.toInt)
+          in.readFully(0, all)
+          Warc.parseWarc(all).iterator
+        }
       } else readSplit(in, fileLen)
     } finally in.close()
   }
@@ -167,10 +173,15 @@ private[sources] class WarcPartitionReader(part: WarcPartition)
     in.readFully(part.start, buf)
     var bufEnd = rangeLen // bytes of `buf` that are valid
     def ensure(upTo: Int): Boolean = { // grow buffer to `upTo` valid bytes
+      if (upTo < 0) return false // int overflow upstream: treat as truncated
       if (upTo <= bufEnd) return true
       val avail = fileLen - part.start
       if (upTo > avail) return false
-      val need = math.min(avail, math.max(upTo.toLong, bufEnd.toLong * 2)).toInt
+      // growth cap: range (≤512 MiB) + straddle can reach ~1.5 GiB; a
+      // member still growing past that is pathological — skip it
+      val need = math.min(3L << 29,
+        math.min(avail, math.max(upTo.toLong, bufEnd.toLong * 2))).toInt
+      if (need < upTo) return false
       if (need > buf.length) buf = java.util.Arrays.copyOf(buf, need)
       in.readFully(part.start + bufEnd, buf, bufEnd, need - bufEnd)
       bufEnd = need
