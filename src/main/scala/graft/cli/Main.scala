@@ -513,6 +513,34 @@ object Main {
       println(f"warc-scan: $n records in $parts partitions, $dt%.2f s")
       spark.stop()
 
+    case "crawl-ingest" :: warcPath :: idxPath :: corpusOut :: rest =>
+      // the batch crawl-to-corpus pipeline in one command: WARC files
+      // (splittable source) -> 200-status responses -> visible text ->
+      // near-dup prune against the minhash corpus index -> append the
+      // survivors + land them as parquet (the crawlIngestStream body,
+      // batch form)
+      val threshold = rest.headOption.map(_.toDouble).getOrElse(0.8)
+      val spark = session()
+      import org.apache.spark.sql.functions.{col, length}
+      val recs = spark.read.format("warc").load(warcPath)
+        .filter(col("warc_type") === "response" && col("http_status") === 200)
+      val docs = graft.pipeline.HtmlText.extractFromBodies(recs)
+        .select(col("target_uri").as("url"), col("text"))
+        .filter(length(col("text")) > 0)
+        .localCheckpoint()
+      val dupIds = graft.dedup.Dedup.minhashIndexProbe(spark, idxPath,
+          docs, "text", "url", threshold)
+        .select(col("new_id").as("url")).distinct()
+      val fresh = docs.join(dupIds, Seq("url"), "left_anti").localCheckpoint()
+      graft.dedup.Dedup.minhashIndexAppend(spark, idxPath, fresh, "text", "url")
+      fresh.write.mode("overwrite").parquet(corpusOut)
+      val kept = spark.read.parquet(corpusOut).count()
+      println(s"crawl-ingest: $kept new docs (of ${docs.count()} extracted) " +
+        s"-> $corpusOut; index appended")
+      graft.dedup.Dedup.release(docs)
+      graft.dedup.Dedup.release(fresh)
+      spark.stop()
+
     case "warc-export" :: docsParquet :: outDir :: rest =>
       // corpus -> crawl-standard per-record-gzip WARC shards, written
       // from executors; immediately re-readable via format("warc")
@@ -916,6 +944,7 @@ object Main {
           |  video-prune      <indexPath> <framesParquet> <outParquet> [threshold] [idCol] [hashCol]
           |  warc-scan        <pathOrGlob> [maxSplitBytes]
           |  warc-export      <docsParquet> <outDir> [recordsPerShard] [uriCol] [bodyCol]
+          |  crawl-ingest     <warcPathOrGlob> <minhashIndex> <corpusOutParquet> [threshold]
           |  wds-extract      <pathOrGlob> <outParquet>
           |  warc-extract     <filesParquet> <outParquet> [payloadCol]
           |  hamming-build    <hashesParquet> <indexPath> [idCol] [hashCol]

@@ -803,7 +803,10 @@ object Dedup {
       snapshot(spark.read.parquet(s"$path/bands")), "id")
     val pairs = stored
       .join(batchSide(keptBanded), Seq("band", "bucket"))
-      .filter(col("id") =!= col("new_id"))
+      // string-compare: stored and batch id TYPES may differ (a
+      // long-keyed corpus probed by URL-keyed batches); Spark's implicit
+      // long<->string coercion would throw on non-numeric ids
+      .filter(col("id").cast("string") =!= col("new_id").cast("string"))
       .select(col("id"), col("new_id"))
       .distinct()
 
