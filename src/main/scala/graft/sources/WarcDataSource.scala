@@ -126,8 +126,11 @@ private[sources] class WarcScan(props: Map[String, String])
     // range plus straddle read-ahead always fits a JVM byte array
     val maxSplit = math.min(1L << 29, math.max(1L * 1024 * 64,
       org.apache.spark.sql.internal.SQLConf.get.filesMaxPartitionBytes))
+    // len-first short-circuit: only files large enough to split pay the
+    // driver-side magic sniff — a 64k-shard crawl listing must not open
+    // 64k small files during planning
     WarcDataSource.listFiles(props).flatMap { case (path, len) =>
-      if (WarcDataSource.isGzip(path) && len > maxSplit)
+      if (len > maxSplit && WarcDataSource.isGzip(path))
         (0L until len by maxSplit).map(s =>
           WarcPartition(path, s, math.min(s + maxSplit, len), splittable = true))
       else Seq(WarcPartition(path, 0, len, splittable = false))
