@@ -176,4 +176,120 @@ object PropertyChecks extends Properties("graft.kernels") {
         .decodeWav(graft.multimodal.Multimodal.encodeWav(16000, s16))
         .exists(_.sameElements(u8))
     }
+
+  // GIF: arbitrary rasters/palettes/interlace round-trip to the exact
+  // palette lookup — the LZW codec, filter walk, and deinterlacer under
+  // volume randomness, not just the spec's hand cases
+  property("GIF round-trips arbitrary rasters, palettes, interlace") =
+    forAll { (wRaw: Int, hRaw: Int, seed: Long, interlace: Boolean) =>
+      val w = 1 + math.abs(wRaw % 24)
+      val h = 1 + math.abs(hRaw % 20)
+      val rnd = new scala.util.Random(seed)
+      val palette = Array.fill(768)(rnd.nextInt(256).toByte)
+      val nf = 1 + rnd.nextInt(3)
+      val frames = Seq.fill(nf)(Array.fill(w * h)(rnd.nextInt(256).toByte))
+      val m = graft.multimodal.Multimodal
+      m.decodeGif(m.encodeGif(w, h, frames, palette, interlace)).exists {
+        case (dw, dh, decoded) =>
+          dw == w && dh == h && decoded.length == nf &&
+            decoded.zip(frames).forall { case (rgb, idx) =>
+              (0 until w * h).forall { k =>
+                val e = (idx(k) & 0xFF) * 3
+                rgb(3 * k) == palette(e) &&
+                  rgb(3 * k + 1) == palette(e + 1) &&
+                  rgb(3 * k + 2) == palette(e + 2)
+              }
+            }
+      }
+    }
+
+  // JPEG: our decoder and the JDK's independent ImageIO implementation
+  // must agree on OUR encoder's bytes for arbitrary content, quality,
+  // grayscale, and restart intervals. Tolerance 4: T.81 permits IDCT
+  // implementations to differ by a few LSBs (libjpeg runs a scaled
+  // integer IDCT, ours is exact double) and random-noise blocks maximize
+  // that divergence — empirically worst 3 over 300 random images; smooth
+  // content stays within 2 (JpegSpec pins that tighter bound)
+  property("JPEG cross-decodes against ImageIO within rounding") =
+    forAll { (wRaw: Int, hRaw: Int, seed: Long, gray: Boolean) =>
+      val w = 8 + math.abs(wRaw % 17)
+      val h = 8 + math.abs(hRaw % 13)
+      val rnd = new scala.util.Random(seed)
+      val quality = 70 + rnd.nextInt(26)
+      val ri = rnd.nextInt(3)
+      val px = Array.fill(w * h * (if (gray) 1 else 3))(
+        rnd.nextInt(256).toByte)
+      val enc = graft.multimodal.Jpeg.encode(w, h, px, quality, gray, ri)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(enc))
+      graft.multimodal.Jpeg.decode(enc).exists { case (dw, dh, mine) =>
+        dw == w && dh == h && img != null &&
+          img.getWidth == w && img.getHeight == h && {
+            val raster = img.getRaster
+            val grayBands = raster.getNumBands == 1
+            (0 until w * h).forall { k =>
+              val x = k % w
+              val y = k / w
+              val (r, g, b) =
+                if (grayBands) {
+                  val v = raster.getSample(x, y, 0)
+                  (v, v, v)
+                } else {
+                  val argb = img.getRGB(x, y)
+                  ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
+                }
+              math.abs((mine(3 * k) & 0xFF) - r) <= 4 &&
+                math.abs((mine(3 * k + 1) & 0xFF) - g) <= 4 &&
+                math.abs((mine(3 * k + 2) & 0xFF) - b) <= 4
+            }
+          }
+      }
+    }
+
+  // WARC: arbitrary binary bodies survive the counted-payload framing
+  property("WARC round-trips arbitrary binary bodies") =
+    forAll { (seed: Long, gz: Boolean) =>
+      val rnd = new scala.util.Random(seed)
+      val recs = Seq.fill(1 + rnd.nextInt(4)) {
+        val body = Array.fill(rnd.nextInt(2000))(rnd.nextInt(256).toByte)
+        (s"https://p/${rnd.nextInt(1000)}", 200, body)
+      }
+      val got = graft.sources.Warc.parseWarc(
+        graft.sources.Warc.encodeWarc(recs, gzipPerRecord = gz))
+        .filter(_.warc_type == "response")
+      got.length == recs.length &&
+        got.zip(recs).forall { case (r, (u, _, b)) =>
+          r.target_uri == u && r.body.sameElements(b)
+        }
+    }
+
+  // TAR: arbitrary member names (incl. >100-byte GNU 'L' paths) and
+  // binary payloads round-trip through the checksummed header walk
+  property("TAR round-trips arbitrary members") =
+    forAll { (seed: Long, gz: Boolean) =>
+      val rnd = new scala.util.Random(seed)
+      val entries = Seq.tabulate(1 + rnd.nextInt(4)) { i =>
+        val depth = rnd.nextInt(3)
+        val longPart = if (rnd.nextBoolean()) "d" * 110 else "d"
+        val name = (Seq.fill(depth)(longPart) :+ s"f$i.bin").mkString("/")
+        (name, Array.fill(rnd.nextInt(1500))(rnd.nextInt(256).toByte))
+      }
+      val got = graft.sources.WebDataset.parseTar(
+        graft.sources.WebDataset.encodeTar(entries, gz))
+      got.length == entries.length &&
+        got.zip(entries).forall { case (e, (n, b)) =>
+          e.name == n && e.bytes.sameElements(b)
+        }
+    }
+
+  // HtmlText totality: any input yields trimmed single-space lines with
+  // no control residue — the crawl-garbage contract as a law
+  property("htmlToText is total with normalized line structure") =
+    forAll { (s: String) =>
+      val t = graft.pipeline.HtmlText.htmlToText(s)
+      t.isEmpty || t.split("\n", -1).forall { l =>
+        l.nonEmpty && !l.startsWith(" ") && !l.endsWith(" ") &&
+          !l.contains('\t') && !l.contains('\u0000') && !l.contains("  ")
+      }
+    }
 }
