@@ -23,7 +23,8 @@ import org.apache.spark.sql.functions._
  *    rows with 4-byte stride padding, normalized on decode to the same
  *    top-down RGB stream P6 yields, so downstream features are
  *    container-blind.
- *  - **PNG (8-bit, all five color types, non-interlaced)** for image rows —
+ *  - **PNG (8-bit, all five color types, sequential AND Adam7
+ *    interlaced)** for image rows —
  *    the container real crawls are actually full of: signature + chunk
  *    grammar with CRC-32 verification, concatenated IDAT inflate via the
  *    JDK's `java.util.zip.Inflater`, and all five scanline filters
@@ -221,7 +222,7 @@ object Multimodal {
 
   /** Samples per pixel for the 8-bit PNG color types this codec covers:
     * 0 grayscale, 2 truecolor, 3 palette-indexed, 4 gray+alpha, 6 RGBA
-    * (everything but interlace and sub-byte depths — the shapes real
+    * (everything but sub-byte and 16-bit depths — the shapes real
     * crawls actually carry). */
   private def pngBpp(colorType: Int): Int = colorType match {
     case 0 | 3 => 1
@@ -229,6 +230,80 @@ object Multimodal {
     case 4 => 2
     case 6 => 4
     case _ => -1
+  }
+
+  /** Adam7 pass geometry: (xStart, yStart, xStep, yStep) per pass. */
+  private val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** Filter `ph` scanlines of a `pw`-wide sub-image (top-down samples in
+    * `sub`) into `raw` at `off`, cycling the filter type by row — the
+    * encoder half shared by the sequential and Adam7 layouts. */
+  private def pngFilterInto(sub: Array[Byte], pw: Int, ph: Int, bpp: Int,
+                            raw: Array[Byte], off: Int): Unit = {
+    val stride = pw * bpp
+    var y = 0
+    while (y < ph) {
+      val ft = y % 5
+      raw(off + y * (1 + stride)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = sub(y * stride + i) & 0xFF
+        val left = if (i >= bpp) sub(y * stride + i - bpp) & 0xFF else 0
+        val up = if (y > 0) sub((y - 1) * stride + i) & 0xFF else 0
+        val ul = if (y > 0 && i >= bpp) sub((y - 1) * stride + i - bpp) & 0xFF else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(off + y * (1 + stride) + 1 + i) = (cur - pred).toByte
+        i += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Reconstruct `ph` filtered scanlines from `raw` at `off` into `out`
+    * (ph*pw*bpp samples) — the decoder half shared by the sequential and
+    * Adam7 layouts (each Adam7 pass unfilters independently). False on a
+    * bad filter byte. */
+  private def pngUnfilterInto(raw: Array[Byte], off: Int, pw: Int, ph: Int,
+                              bpp: Int, out: Array[Byte]): Boolean = {
+    val stride = pw * bpp
+    var y = 0
+    while (y < ph) {
+      val ft = raw(off + y * (1 + stride)) & 0xFF
+      if (ft > 4) return false
+      var i = 0
+      while (i < stride) {
+        val x = raw(off + y * (1 + stride) + 1 + i) & 0xFF
+        val left = if (i >= bpp) out(y * stride + i - bpp) & 0xFF else 0
+        val up = if (y > 0) out((y - 1) * stride + i) & 0xFF else 0
+        val ul = if (y > 0 && i >= bpp) out((y - 1) * stride + i - bpp) & 0xFF else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        out(y * stride + i) = (x + pred).toByte
+        i += 1
+      }
+      y += 1
+    }
+    true
+  }
+
+  /** Dimensions of one Adam7 pass for a w×h image (0 = empty pass). */
+  @inline private def adam7Dims(w: Int, h: Int, p: Int): (Int, Int) = {
+    val (xs, ys, xStep, yStep) = Adam7(p)
+    (if (w > xs) (w - xs + xStep - 1) / xStep else 0,
+      if (h > ys) (h - ys + yStep - 1) / yStep else 0)
   }
 
   /** Encode an 8-bit PNG from a top-down pixel stream — truecolor (the
@@ -242,7 +317,8 @@ object Multimodal {
     * bytes per pixel top-down (palette indices for type 3, which also
     * needs the RGB `palette` triplets). Same per-row filter cycling. */
   def encodePngOfType(w: Int, h: Int, colorType: Int, samples: Array[Byte],
-                      palette: Array[Byte] = null): Array[Byte] = {
+                      palette: Array[Byte] = null,
+                      interlace: Boolean = false): Array[Byte] = {
     val bpp = pngBpp(colorType)
     require(bpp > 0, s"unsupported PNG color type $colorType")
     require(samples.length == w * h * bpp,
@@ -258,35 +334,53 @@ object Multimodal {
       .putInt(w).putInt(h)
       .put(8.toByte)                              // bit depth
       .put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte)  // compression/filter/interlace
+      .put(0.toByte).put(0.toByte)                // compression/filter
+      .put((if (interlace) 1 else 0).toByte)      // Adam7 flag
       .array()
     pngChunk(out, "IHDR", ihdr)
     if (colorType == 3) pngChunk(out, "PLTE", palette)
-    // filtered scanlines: raw byte minus the per-filter prediction, mod 256
-    val stride = w * bpp
-    val raw = new Array[Byte](h * (1 + stride))
-    var y = 0
-    while (y < h) {
-      val ft = y % 5
-      raw(y * (1 + stride)) = ft.toByte
-      var i = 0
-      while (i < stride) {
-        val cur = px(y * stride + i) & 0xFF
-        val left = if (i >= bpp) px(y * stride + i - bpp) & 0xFF else 0
-        val up = if (y > 0) px((y - 1) * stride + i) & 0xFF else 0
-        val ul = if (y > 0 && i >= bpp) px((y - 1) * stride + i - bpp) & 0xFF else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case 4 => paeth(left, up, ul)
+    // filtered scanlines: raw byte minus the per-filter prediction, mod
+    // 256 — sequential layout, or the seven Adam7 pass sub-images each
+    // filtered independently
+    val raw =
+      if (!interlace) {
+        val r = new Array[Byte](h * (1 + w * bpp))
+        pngFilterInto(px, w, h, bpp, r, 0)
+        r
+      } else {
+        val total = (0 until 7).map { p =>
+          val (pw, ph) = adam7Dims(w, h, p)
+          if (pw > 0 && ph > 0) ph * (1 + pw * bpp) else 0
+        }.sum
+        val r = new Array[Byte](total)
+        var off = 0
+        var p = 0
+        while (p < 7) {
+          val (xs, ys, xStep, yStep) = Adam7(p)
+          val (pw, ph) = adam7Dims(w, h, p)
+          if (pw > 0 && ph > 0) {
+            val sub = new Array[Byte](ph * pw * bpp)
+            var r2 = 0
+            while (r2 < ph) {
+              var c = 0
+              while (c < pw) {
+                var b = 0
+                while (b < bpp) {
+                  sub((r2 * pw + c) * bpp + b) =
+                    px(((ys + r2 * yStep) * w + xs + c * xStep) * bpp + b)
+                  b += 1
+                }
+                c += 1
+              }
+              r2 += 1
+            }
+            pngFilterInto(sub, pw, ph, bpp, r, off)
+            off += ph * (1 + pw * bpp)
+          }
+          p += 1
         }
-        raw(y * (1 + stride) + 1 + i) = (cur - pred).toByte
-        i += 1
+        r
       }
-      y += 1
-    }
     val deflater = new java.util.zip.Deflater()
     deflater.setInput(raw)
     deflater.finish()
@@ -308,7 +402,8 @@ object Multimodal {
   }
 
   /**
-   * Parse an 8-bit non-interlaced PNG of ANY of the five color types
+   * Parse an 8-bit PNG — sequential or Adam7-interlaced — of ANY of the
+   * five color types
    * (grayscale, truecolor, palette-indexed, gray+alpha, RGBA) into
    * (width, height, top-down RGB) — grayscale expands to R=G=B, palette
    * indices resolve through PLTE, alpha channels drop (features run over
@@ -317,9 +412,11 @@ object Multimodal {
    * walk: IHDR validated (CRC included), PLTE captured (required before
    * IDAT for type 3), multiple IDAT chunks concatenated in order (the
    * spec allows any split), ancillary chunks (tEXt, pHYs, gAMA, tRNS, …)
-   * skipped by declared size, IEND terminates. Unsupported shapes
-   * (16-bit, interlace), bad CRCs, out-of-palette indices, inflate
-   * errors, and short rasters all yield None — never a task failure.
+   * skipped by declared size, IEND terminates; Adam7 streams unfilter
+   * each of the seven pass sub-images independently and scatter them to
+   * their interleaved positions. Unsupported shapes (16-bit, sub-byte),
+   * bad CRCs, out-of-palette indices, inflate errors, and short/layout-
+   * mismatched rasters all yield None — never a task failure.
    */
   def decodePng(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (bytes == null || bytes.length < PngSig.length + 12 ||
@@ -327,6 +424,7 @@ object Multimodal {
     val buf = java.nio.ByteBuffer.wrap(bytes) // network byte order (default)
     var pos = PngSig.length
     var w = 0; var h = 0; var bpp = 0; var colorType = -1
+    var interlaced = false
     var palette: Array[Byte] = null
     var seenIhdr = false; var done = false
     val idat = new java.io.ByteArrayOutputStream()
@@ -351,7 +449,8 @@ object Multimodal {
           bpp = pngBpp(colorType)
           if (bitDepth != 8 || bpp <= 0 ||
             (bytes(pos + 18) & 0xFF) != 0 || (bytes(pos + 19) & 0xFF) != 0 ||
-            interlace != 0) return None
+            interlace > 1) return None
+          interlaced = interlace == 1
           if (w <= 0 || h <= 0 || w.toLong * h * 4 > Int.MaxValue) return None
           seenIhdr = true
         case "PLTE" =>
@@ -369,7 +468,13 @@ object Multimodal {
     if (!done || !seenIhdr) return None
     if (colorType == 3 && palette == null) return None
     val stride = w * bpp
-    val raw = new Array[Byte](h * (1 + stride))
+    val rawLen =
+      if (!interlaced) h * (1 + stride)
+      else (0 until 7).map { p =>
+        val (pw, ph) = adam7Dims(w, h, p)
+        if (pw > 0 && ph > 0) ph * (1 + pw * bpp) else 0
+      }.sum
+    val raw = new Array[Byte](rawLen)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
     val got =
@@ -385,30 +490,39 @@ object Multimodal {
       } catch { case _: java.util.zip.DataFormatException => -1 }
       finally inflater.end()
     if (got != raw.length) return None
-    // unfilter in place row by row (spec §9): each byte's prediction uses
-    // the RECONSTRUCTED left/up/up-left bytes
+    // unfilter (spec §9): each byte's prediction uses the RECONSTRUCTED
+    // left/up/up-left bytes — sequentially, or per Adam7 pass with the
+    // pass's pixels scattered to their interleaved positions
     val px = new Array[Byte](h * stride)
-    var y = 0
-    while (y < h) {
-      val ft = raw(y * (1 + stride)) & 0xFF
-      if (ft > 4) return None
-      var i = 0
-      while (i < stride) {
-        val x = raw(y * (1 + stride) + 1 + i) & 0xFF
-        val left = if (i >= bpp) px(y * stride + i - bpp) & 0xFF else 0
-        val up = if (y > 0) px((y - 1) * stride + i) & 0xFF else 0
-        val ul = if (y > 0 && i >= bpp) px((y - 1) * stride + i - bpp) & 0xFF else 0
-        val pred = ft match {
-          case 0 => 0
-          case 1 => left
-          case 2 => up
-          case 3 => (left + up) / 2
-          case 4 => paeth(left, up, ul)
+    if (!interlaced) {
+      if (!pngUnfilterInto(raw, 0, w, h, bpp, px)) return None
+    } else {
+      var off = 0
+      var p = 0
+      while (p < 7) {
+        val (xs, ys, xStep, yStep) = Adam7(p)
+        val (pw, ph) = adam7Dims(w, h, p)
+        if (pw > 0 && ph > 0) {
+          val sub = new Array[Byte](ph * pw * bpp)
+          if (!pngUnfilterInto(raw, off, pw, ph, bpp, sub)) return None
+          var r = 0
+          while (r < ph) {
+            var c = 0
+            while (c < pw) {
+              var b = 0
+              while (b < bpp) {
+                px(((ys + r * yStep) * w + xs + c * xStep) * bpp + b) =
+                  sub((r * pw + c) * bpp + b)
+                b += 1
+              }
+              c += 1
+            }
+            r += 1
+          }
+          off += ph * (1 + pw * bpp)
         }
-        px(y * stride + i) = (x + pred).toByte
-        i += 1
+        p += 1
       }
-      y += 1
     }
     // normalize every color type to the container-blind top-down RGB
     // stream (grayscale → R=G=B; palette → PLTE lookup; alpha dropped —
@@ -991,9 +1105,10 @@ object Multimodal {
           val payload = (id % 9) match {
             case 0 => encodeBmp(w, h, px)
             case 3 =>
-              // the PNG arm itself alternates truecolor and RGBA (alpha
-              // 255 — the decode drops it), so the type-6 path is also
-              // oracle-exercised: identical pixels, different raster
+              // the PNG arm itself alternates truecolor-sequential and
+              // RGBA-Adam7 (alpha 255 — the decode drops it), so the
+              // type-6 path AND the seven-pass deinterlacer are both
+              // oracle-exercised: identical pixels, different rasters
               if (id % 18 == 3) encodePng(w, h, px)
               else {
                 val rgba = new Array[Byte](px.length / 3 * 4)
@@ -1005,7 +1120,7 @@ object Multimodal {
                   rgba(4 * k + 3) = 255.toByte
                   k += 1
                 }
-                encodePngOfType(w, h, 6, rgba)
+                encodePngOfType(w, h, 6, rgba, interlace = true)
               }
             case _ => encodePpm(w, h, px)
           }

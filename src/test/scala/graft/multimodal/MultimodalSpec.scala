@@ -156,6 +156,30 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodeFirstFrame(enc).get._3.toSeq === rgb.toSeq)
   }
 
+  test("Adam7-interlaced PNGs round-trip every color type exactly") {
+    // odd dims: every pass hits ragged sub-image edges; each pass
+    // unfilters independently (its own first row has no 'up' neighbor)
+    for ((w, h) <- Seq((19, 13), (7, 5), (1, 1), (8, 8), (2, 9))) {
+      val rgb = Array.tabulate(w * h * 3)(i => (i * 37 + 11).toByte)
+      val enc = Multimodal.encodePngOfType(w, h, 2, rgb, interlace = true)
+      val Some((dw, dh, dec)) = Multimodal.decodePng(enc)
+      assert((dw, dh) === (w, h), s"dims ${w}x$h")
+      assert(dec.toSeq === rgb.toSeq, s"pixels ${w}x$h")
+    }
+    // gray and RGBA arms through the interlaced path too
+    val g = Array.tabulate(11 * 6)(k => (k * 13 % 256).toByte)
+    val Some((_, _, gDec)) = Multimodal.decodePng(
+      Multimodal.encodePngOfType(11, 6, 0, g, interlace = true))
+    (0 until 11 * 6).foreach(k => assert(gDec(3 * k) === g(k), s"gray $k"))
+    val rgba = Array.tabulate(9 * 8 * 4)(k => (k * 7 % 256).toByte)
+    val Some((_, _, aDec)) = Multimodal.decodePng(
+      Multimodal.encodePngOfType(9, 8, 6, rgba, interlace = true))
+    (0 until 9 * 8).foreach { k =>
+      assert(aDec(3 * k) === rgba(4 * k) && aDec(3 * k + 1) === rgba(4 * k + 1)
+        && aDec(3 * k + 2) === rgba(4 * k + 2), s"rgba $k")
+    }
+  }
+
   test("PNG palette/gray+alpha/RGBA all normalize to the same RGB stream") {
     val w = 6; val h = 5
     // a 4-entry palette and an index raster covering all entries
@@ -219,7 +243,8 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodePng(bad).isEmpty, "bad CRC must reject")
     // truncation rejects
     assert(Multimodal.decodePng(enc.dropRight(13)).isEmpty)
-    // interlaced and 16-bit reject (flip IHDR fields + refresh the CRC)
+    // a flipped interlace FLAG over sequential data is a layout mismatch
+    // (raster length differs) — corrupt; 16-bit depth is unsupported
     def withIhdr(mod: Array[Byte] => Unit): Array[Byte] = {
       val c = enc.clone(); mod(c)
       val crc = new java.util.zip.CRC32()
@@ -227,7 +252,8 @@ class MultimodalSpec extends SparkTestBase {
       java.nio.ByteBuffer.wrap(c).putInt(29, crc.getValue.toInt)
       c
     }
-    assert(Multimodal.decodePng(withIhdr(_(28) = 1)).isEmpty, "interlace")
+    assert(Multimodal.decodePng(withIhdr(_(28) = 1)).isEmpty,
+      "interlace flag over sequential layout")
     assert(Multimodal.decodePng(withIhdr(_(24) = 16)).isEmpty, "16-bit")
     assert(Multimodal.decodePng(withIhdr(_(25) = 3)).isEmpty, "palette")
     // ancillary chunks are skipped: splice a tEXt chunk before IDAT
