@@ -318,21 +318,38 @@ object Multimodal {
     * needs the RGB `palette` triplets). Same per-row filter cycling. */
   def encodePngOfType(w: Int, h: Int, colorType: Int, samples: Array[Byte],
                       palette: Array[Byte] = null,
-                      interlace: Boolean = false): Array[Byte] = {
+                      interlace: Boolean = false,
+                      bitDepth: Int = 8): Array[Byte] = {
     val bpp = pngBpp(colorType)
     require(bpp > 0, s"unsupported PNG color type $colorType")
+    require(bitDepth == 8 || (bitDepth == 16 && colorType != 3),
+      "encoder writes depth 8, or 16 for non-palette types")
     require(samples.length == w * h * bpp,
       s"PNG type $colorType needs w*h*$bpp = ${w * h * bpp} bytes, " +
         s"got ${samples.length}")
     require(colorType != 3 || (palette != null && palette.length % 3 == 0 &&
       palette.length >= 3 && palette.length <= 768),
       "palette PNG needs 1-256 RGB triplets")
-    val px = samples
+    // depth 16 writes each 8-bit input sample as (hi = sample, lo =
+    // sample) — the high-byte projection on decode recovers it exactly
+    val sb = if (bitDepth == 16) bpp * 2 else bpp
+    val px =
+      if (bitDepth == 8) samples
+      else {
+        val wide = new Array[Byte](samples.length * 2)
+        var k = 0
+        while (k < samples.length) {
+          wide(2 * k) = samples(k)
+          wide(2 * k + 1) = samples(k)
+          k += 1
+        }
+        wide
+      }
     val out = new java.io.ByteArrayOutputStream()
     out.write(PngSig)
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(w).putInt(h)
-      .put(8.toByte)                              // bit depth
+      .put(bitDepth.toByte)
       .put(colorType.toByte)
       .put(0.toByte).put(0.toByte)                // compression/filter
       .put((if (interlace) 1 else 0).toByte)      // Adam7 flag
@@ -344,13 +361,13 @@ object Multimodal {
     // filtered independently
     val raw =
       if (!interlace) {
-        val r = new Array[Byte](h * (1 + w * bpp))
-        pngFilterInto(px, w, h, bpp, r, 0)
+        val r = new Array[Byte](h * (1 + w * sb))
+        pngFilterInto(px, w, h, sb, r, 0)
         r
       } else {
         val total = (0 until 7).map { p =>
           val (pw, ph) = adam7Dims(w, h, p)
-          if (pw > 0 && ph > 0) ph * (1 + pw * bpp) else 0
+          if (pw > 0 && ph > 0) ph * (1 + pw * sb) else 0
         }.sum
         val r = new Array[Byte](total)
         var off = 0
@@ -359,23 +376,23 @@ object Multimodal {
           val (xs, ys, xStep, yStep) = Adam7(p)
           val (pw, ph) = adam7Dims(w, h, p)
           if (pw > 0 && ph > 0) {
-            val sub = new Array[Byte](ph * pw * bpp)
+            val sub = new Array[Byte](ph * pw * sb)
             var r2 = 0
             while (r2 < ph) {
               var c = 0
               while (c < pw) {
                 var b = 0
-                while (b < bpp) {
-                  sub((r2 * pw + c) * bpp + b) =
-                    px(((ys + r2 * yStep) * w + xs + c * xStep) * bpp + b)
+                while (b < sb) {
+                  sub((r2 * pw + c) * sb + b) =
+                    px(((ys + r2 * yStep) * w + xs + c * xStep) * sb + b)
                   b += 1
                 }
                 c += 1
               }
               r2 += 1
             }
-            pngFilterInto(sub, pw, ph, bpp, r, off)
-            off += ph * (1 + pw * bpp)
+            pngFilterInto(sub, pw, ph, sb, r, off)
+            off += ph * (1 + pw * sb)
           }
           p += 1
         }
@@ -414,9 +431,11 @@ object Multimodal {
    * spec allows any split), ancillary chunks (tEXt, pHYs, gAMA, tRNS, …)
    * skipped by declared size, IEND terminates; Adam7 streams unfilter
    * each of the seven pass sub-images independently and scatter them to
-   * their interleaved positions. Unsupported shapes (16-bit, sub-byte),
-   * bad CRCs, out-of-palette indices, inflate errors, and short/layout-
-   * mismatched rasters all yield None — never a task failure.
+   * their interleaved positions; 16-bit samples reduce by high-byte
+   * projection (non-palette types). Unsupported shapes (sub-byte
+   * depths), bad CRCs, out-of-palette indices, inflate errors, and
+   * short/layout-mismatched rasters all yield None — never a task
+   * failure.
    */
   def decodePng(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (bytes == null || bytes.length < PngSig.length + 12 ||
@@ -425,6 +444,7 @@ object Multimodal {
     var pos = PngSig.length
     var w = 0; var h = 0; var bpp = 0; var colorType = -1
     var interlaced = false
+    var depth16 = false
     var palette: Array[Byte] = null
     var seenIhdr = false; var done = false
     val idat = new java.io.ByteArrayOutputStream()
@@ -447,11 +467,13 @@ object Multimodal {
           colorType = bytes(pos + 17) & 0xFF
           val interlace = bytes(pos + 20) & 0xFF
           bpp = pngBpp(colorType)
-          if (bitDepth != 8 || bpp <= 0 ||
+          if ((bitDepth != 8 && bitDepth != 16) || bpp <= 0 ||
+            (bitDepth == 16 && colorType == 3) || // palette is 8-bit max
             (bytes(pos + 18) & 0xFF) != 0 || (bytes(pos + 19) & 0xFF) != 0 ||
             interlace > 1) return None
           interlaced = interlace == 1
-          if (w <= 0 || h <= 0 || w.toLong * h * 4 > Int.MaxValue) return None
+          depth16 = bitDepth == 16
+          if (w <= 0 || h <= 0 || w.toLong * h * 8 > Int.MaxValue) return None
           seenIhdr = true
         case "PLTE" =>
           if (!seenIhdr || len % 3 != 0 || len < 3 || len > 768) return None
@@ -467,12 +489,13 @@ object Multimodal {
     }
     if (!done || !seenIhdr) return None
     if (colorType == 3 && palette == null) return None
-    val stride = w * bpp
+    val sb = if (depth16) bpp * 2 else bpp // raster bytes per pixel
+    val stride = w * sb
     val rawLen =
       if (!interlaced) h * (1 + stride)
       else (0 until 7).map { p =>
         val (pw, ph) = adam7Dims(w, h, p)
-        if (pw > 0 && ph > 0) ph * (1 + pw * bpp) else 0
+        if (pw > 0 && ph > 0) ph * (1 + pw * sb) else 0
       }.sum
     val raw = new Array[Byte](rawLen)
     val inflater = new java.util.zip.Inflater()
@@ -493,9 +516,9 @@ object Multimodal {
     // unfilter (spec §9): each byte's prediction uses the RECONSTRUCTED
     // left/up/up-left bytes — sequentially, or per Adam7 pass with the
     // pass's pixels scattered to their interleaved positions
-    val px = new Array[Byte](h * stride)
+    val pxWide = new Array[Byte](h * stride)
     if (!interlaced) {
-      if (!pngUnfilterInto(raw, 0, w, h, bpp, px)) return None
+      if (!pngUnfilterInto(raw, 0, w, h, sb, pxWide)) return None
     } else {
       var off = 0
       var p = 0
@@ -503,27 +526,40 @@ object Multimodal {
         val (xs, ys, xStep, yStep) = Adam7(p)
         val (pw, ph) = adam7Dims(w, h, p)
         if (pw > 0 && ph > 0) {
-          val sub = new Array[Byte](ph * pw * bpp)
-          if (!pngUnfilterInto(raw, off, pw, ph, bpp, sub)) return None
+          val sub = new Array[Byte](ph * pw * sb)
+          if (!pngUnfilterInto(raw, off, pw, ph, sb, sub)) return None
           var r = 0
           while (r < ph) {
             var c = 0
             while (c < pw) {
               var b = 0
-              while (b < bpp) {
-                px(((ys + r * yStep) * w + xs + c * xStep) * bpp + b) =
-                  sub((r * pw + c) * bpp + b)
+              while (b < sb) {
+                pxWide(((ys + r * yStep) * w + xs + c * xStep) * sb + b) =
+                  sub((r * pw + c) * sb + b)
                 b += 1
               }
               c += 1
             }
             r += 1
           }
-          off += ph * (1 + pw * bpp)
+          off += ph * (1 + pw * sb)
         }
         p += 1
       }
     }
+    // depth 16 → 8: keep each sample's HIGH byte (network order puts it
+    // first) — the standard bit-depth reduction
+    val px =
+      if (!depth16) pxWide
+      else {
+        val p8 = new Array[Byte](h * w * bpp)
+        var k = 0
+        while (k < p8.length) {
+          p8(k) = pxWide(2 * k)
+          k += 1
+        }
+        p8
+      }
     // normalize every color type to the container-blind top-down RGB
     // stream (grayscale → R=G=B; palette → PLTE lookup; alpha dropped —
     // features run over the color channels, alpha is carrier metadata)

@@ -180,6 +180,31 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("16-bit PNGs reduce by high-byte projection, sequential and Adam7") {
+    val w = 10; val h = 7
+    val rgb = Array.tabulate(w * h * 3)(i => (i * 29 + 3).toByte)
+    for (interlace <- Seq(false, true)) {
+      val enc = Multimodal.encodePngOfType(w, h, 2, rgb,
+        interlace = interlace, bitDepth = 16)
+      // the file really declares depth 16
+      assert((enc(24 + 0) & 0xFF) === 16, "IHDR bit depth")
+      val Some((dw, dh, dec)) = Multimodal.decodePng(enc)
+      assert((dw, dh) === (w, h), s"interlace=$interlace")
+      assert(dec.toSeq === rgb.toSeq, s"interlace=$interlace")
+    }
+    // gray16 expands to R=G=B like gray8
+    val g = Array.tabulate(w * h)(k => (k * 11).toByte)
+    val Some((_, _, gDec)) = Multimodal.decodePng(
+      Multimodal.encodePngOfType(w, h, 0, g, bitDepth = 16))
+    (0 until w * h).foreach(k => assert(gDec(3 * k) === g(k), s"gray16 $k"))
+    // palette cannot be 16-bit: encoder refuses, decoder rejects
+    intercept[IllegalArgumentException] {
+      Multimodal.encodePngOfType(4, 4, 3,
+        Array.fill(16)(0.toByte), Multimodal.grayPalette256.take(48),
+        bitDepth = 16)
+    }
+  }
+
   test("PNG palette/gray+alpha/RGBA all normalize to the same RGB stream") {
     val w = 6; val h = 5
     // a 4-entry palette and an index raster covering all entries
@@ -254,7 +279,11 @@ class MultimodalSpec extends SparkTestBase {
     }
     assert(Multimodal.decodePng(withIhdr(_(28) = 1)).isEmpty,
       "interlace flag over sequential layout")
-    assert(Multimodal.decodePng(withIhdr(_(24) = 16)).isEmpty, "16-bit")
+    // depth flipped to 16 over an 8-bit layout: raster mismatch, corrupt
+    assert(Multimodal.decodePng(withIhdr(_(24) = 16)).isEmpty,
+      "16-bit flag over 8-bit layout")
+    // sub-byte depths are genuinely unsupported
+    assert(Multimodal.decodePng(withIhdr(_(24) = 4)).isEmpty, "4-bit")
     assert(Multimodal.decodePng(withIhdr(_(25) = 3)).isEmpty, "palette")
     // ancillary chunks are skipped: splice a tEXt chunk before IDAT
     val text = "comment".getBytes
