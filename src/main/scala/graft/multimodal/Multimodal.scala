@@ -237,12 +237,13 @@ object Multimodal {
     (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
     (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
-  /** Filter `ph` scanlines of a `pw`-wide sub-image (top-down samples in
-    * `sub`) into `raw` at `off`, cycling the filter type by row — the
-    * encoder half shared by the sequential and Adam7 layouts. */
-  private def pngFilterInto(sub: Array[Byte], pw: Int, ph: Int, bpp: Int,
+  /** Filter `ph` scanlines of `stride` bytes each (top-down in `sub`)
+    * into `raw` at `off`, cycling the filter type by row — the encoder
+    * half shared by the sequential and Adam7 layouts. `bpp` is the
+    * filter unit: bytes per pixel, or 1 for sub-byte depths (spec §9:
+    * "rounded up to one"). */
+  private def pngFilterInto(sub: Array[Byte], stride: Int, ph: Int, bpp: Int,
                             raw: Array[Byte], off: Int): Unit = {
-    val stride = pw * bpp
     var y = 0
     while (y < ph) {
       val ft = y % 5
@@ -267,13 +268,13 @@ object Multimodal {
     }
   }
 
-  /** Reconstruct `ph` filtered scanlines from `raw` at `off` into `out`
-    * (ph*pw*bpp samples) — the decoder half shared by the sequential and
-    * Adam7 layouts (each Adam7 pass unfilters independently). False on a
-    * bad filter byte. */
-  private def pngUnfilterInto(raw: Array[Byte], off: Int, pw: Int, ph: Int,
-                              bpp: Int, out: Array[Byte]): Boolean = {
-    val stride = pw * bpp
+  /** Reconstruct `ph` filtered scanlines of `stride` bytes each from
+    * `raw` at `off` into `out` (ph*stride bytes) — the decoder half
+    * shared by the sequential and Adam7 layouts (each Adam7 pass
+    * unfilters independently). `bpp` is the filter unit (1 for sub-byte
+    * depths). False on a bad filter byte. */
+  private def pngUnfilterInto(raw: Array[Byte], off: Int, stride: Int,
+                              ph: Int, bpp: Int, out: Array[Byte]): Boolean = {
     var y = 0
     while (y < ph) {
       val ft = raw(off + y * (1 + stride)) & 0xFF
@@ -322,19 +323,25 @@ object Multimodal {
                       bitDepth: Int = 8): Array[Byte] = {
     val bpp = pngBpp(colorType)
     require(bpp > 0, s"unsupported PNG color type $colorType")
-    require(bitDepth == 8 || (bitDepth == 16 && colorType != 3),
-      "encoder writes depth 8, or 16 for non-palette types")
+    require(bitDepth == 8 || (bitDepth == 16 && colorType != 3) ||
+      ((bitDepth == 1 || bitDepth == 2 || bitDepth == 4) &&
+        (colorType == 0 || colorType == 3)),
+      "depth 8 any type; 16 non-palette; 1/2/4 gray or palette only")
     require(samples.length == w * h * bpp,
       s"PNG type $colorType needs w*h*$bpp = ${w * h * bpp} bytes, " +
         s"got ${samples.length}")
     require(colorType != 3 || (palette != null && palette.length % 3 == 0 &&
       palette.length >= 3 && palette.length <= 768),
       "palette PNG needs 1-256 RGB triplets")
+    val subD = if (bitDepth < 8) bitDepth else 0
+    require(subD == 0 ||
+      samples.forall(s => (s & 0xFF) < (1 << subD)),
+      s"depth-$bitDepth samples must fit $bitDepth bits")
     // depth 16 writes each 8-bit input sample as (hi = sample, lo =
     // sample) — the high-byte projection on decode recovers it exactly
     val sb = if (bitDepth == 16) bpp * 2 else bpp
     val px =
-      if (bitDepth == 8) samples
+      if (bitDepth != 16) samples
       else {
         val wide = new Array[Byte](samples.length * 2)
         var k = 0
@@ -345,6 +352,27 @@ object Multimodal {
         }
         wide
       }
+    val encUnit = if (subD > 0) 1 else sb // filter unit
+    def encRowBytes(pw: Int): Int =
+      if (subD > 0) (pw * subD + 7) / 8 else pw * sb
+    // pack 1-byte-per-pixel sub-byte samples into MSB-first row bits
+    def packRows(s: Array[Byte], pw: Int, ph: Int): Array[Byte] = {
+      val rb = encRowBytes(pw)
+      val out = new Array[Byte](ph * rb)
+      var y = 0
+      while (y < ph) {
+        var c = 0
+        while (c < pw) {
+          val bitPos = c * subD
+          val at = y * rb + (bitPos >> 3)
+          out(at) = (out(at) |
+            ((s(y * pw + c) & 0xFF) << (8 - subD - (bitPos & 7)))).toByte
+          c += 1
+        }
+        y += 1
+      }
+      out
+    }
     val out = new java.io.ByteArrayOutputStream()
     out.write(PngSig)
     val ihdr = java.nio.ByteBuffer.allocate(13)
@@ -359,15 +387,20 @@ object Multimodal {
     // filtered scanlines: raw byte minus the per-filter prediction, mod
     // 256 — sequential layout, or the seven Adam7 pass sub-images each
     // filtered independently
+    // sub-byte pixel extraction reads 1 byte/px from `px`; whole-byte
+    // paths read sb bytes/px — the same loop with pxUnit bytes
+    val pxUnit = if (subD > 0) 1 else sb
     val raw =
       if (!interlace) {
-        val r = new Array[Byte](h * (1 + w * sb))
-        pngFilterInto(px, w, h, sb, r, 0)
+        val body = if (subD > 0) packRows(px, w, h) else px
+        val rb = encRowBytes(w)
+        val r = new Array[Byte](h * (1 + rb))
+        pngFilterInto(body, rb, h, encUnit, r, 0)
         r
       } else {
         val total = (0 until 7).map { p =>
           val (pw, ph) = adam7Dims(w, h, p)
-          if (pw > 0 && ph > 0) ph * (1 + pw * sb) else 0
+          if (pw > 0 && ph > 0) ph * (1 + encRowBytes(pw)) else 0
         }.sum
         val r = new Array[Byte](total)
         var off = 0
@@ -376,23 +409,25 @@ object Multimodal {
           val (xs, ys, xStep, yStep) = Adam7(p)
           val (pw, ph) = adam7Dims(w, h, p)
           if (pw > 0 && ph > 0) {
-            val sub = new Array[Byte](ph * pw * sb)
+            val sub = new Array[Byte](ph * pw * pxUnit)
             var r2 = 0
             while (r2 < ph) {
               var c = 0
               while (c < pw) {
                 var b = 0
-                while (b < sb) {
-                  sub((r2 * pw + c) * sb + b) =
-                    px(((ys + r2 * yStep) * w + xs + c * xStep) * sb + b)
+                while (b < pxUnit) {
+                  sub((r2 * pw + c) * pxUnit + b) =
+                    px(((ys + r2 * yStep) * w + xs + c * xStep) * pxUnit + b)
                   b += 1
                 }
                 c += 1
               }
               r2 += 1
             }
-            pngFilterInto(sub, pw, ph, sb, r, off)
-            off += ph * (1 + pw * sb)
+            val body = if (subD > 0) packRows(sub, pw, ph) else sub
+            val rb = encRowBytes(pw)
+            pngFilterInto(body, rb, ph, encUnit, r, off)
+            off += ph * (1 + rb)
           }
           p += 1
         }
@@ -432,10 +467,12 @@ object Multimodal {
    * skipped by declared size, IEND terminates; Adam7 streams unfilter
    * each of the seven pass sub-images independently and scatter them to
    * their interleaved positions; 16-bit samples reduce by high-byte
-   * projection (non-palette types). Unsupported shapes (sub-byte
-   * depths), bad CRCs, out-of-palette indices, inflate errors, and
-   * short/layout-mismatched rasters all yield None — never a task
-   * failure.
+   * projection (non-palette types); 1/2/4-bit packed rows (gray or
+   * palette) unpack MSB-first after unfiltering, gray scaling to 8-bit.
+   * EVERY depth/type/interlace combination the spec defines now
+   * decodes. Invalid combinations (16-bit palette, sub-byte color), bad
+   * CRCs, out-of-palette indices, inflate errors, and short/layout-
+   * mismatched rasters all yield None — never a task failure.
    */
   def decodePng(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (bytes == null || bytes.length < PngSig.length + 12 ||
@@ -445,6 +482,7 @@ object Multimodal {
     var w = 0; var h = 0; var bpp = 0; var colorType = -1
     var interlaced = false
     var depth16 = false
+    var subDepth = 0 // 1/2/4-bit packed depths; 0 = whole-byte samples
     var palette: Array[Byte] = null
     var seenIhdr = false; var done = false
     val idat = new java.io.ByteArrayOutputStream()
@@ -467,12 +505,18 @@ object Multimodal {
           colorType = bytes(pos + 17) & 0xFF
           val interlace = bytes(pos + 20) & 0xFF
           bpp = pngBpp(colorType)
-          if ((bitDepth != 8 && bitDepth != 16) || bpp <= 0 ||
-            (bitDepth == 16 && colorType == 3) || // palette is 8-bit max
+          val okDepth = bitDepth match {
+            case 8 => true
+            case 16 => colorType != 3 // palette is 8-bit max
+            case 1 | 2 | 4 => colorType == 0 || colorType == 3 // packed
+            case _ => false
+          }
+          if (!okDepth || bpp <= 0 ||
             (bytes(pos + 18) & 0xFF) != 0 || (bytes(pos + 19) & 0xFF) != 0 ||
             interlace > 1) return None
           interlaced = interlace == 1
           depth16 = bitDepth == 16
+          subDepth = if (bitDepth < 8) bitDepth else 0
           if (w <= 0 || h <= 0 || w.toLong * h * 8 > Int.MaxValue) return None
           seenIhdr = true
         case "PLTE" =>
@@ -489,13 +533,17 @@ object Multimodal {
     }
     if (!done || !seenIhdr) return None
     if (colorType == 3 && palette == null) return None
-    val sb = if (depth16) bpp * 2 else bpp // raster bytes per pixel
-    val stride = w * sb
+    val sb = if (depth16) bpp * 2 else bpp // raster bytes per pixel (≥8-bit)
+    // sub-byte depths (1/2/4-bit gray or palette) pack pixels into row
+    // bytes; each scanline starts a fresh byte and filters at unit 1
+    def rowBytesFor(pw: Int): Int =
+      if (subDepth > 0) (pw * subDepth + 7) / 8 else pw * sb
+    val filterUnit = if (subDepth > 0) 1 else sb
     val rawLen =
-      if (!interlaced) h * (1 + stride)
+      if (!interlaced) h * (1 + rowBytesFor(w))
       else (0 until 7).map { p =>
         val (pw, ph) = adam7Dims(w, h, p)
-        if (pw > 0 && ph > 0) ph * (1 + pw * sb) else 0
+        if (pw > 0 && ph > 0) ph * (1 + rowBytesFor(pw)) else 0
       }.sum
     val raw = new Array[Byte](rawLen)
     val inflater = new java.util.zip.Inflater()
@@ -515,10 +563,38 @@ object Multimodal {
     if (got != raw.length) return None
     // unfilter (spec §9): each byte's prediction uses the RECONSTRUCTED
     // left/up/up-left bytes — sequentially, or per Adam7 pass with the
-    // pass's pixels scattered to their interleaved positions
-    val pxWide = new Array[Byte](h * stride)
+    // pass's pixels scattered to their interleaved positions. Sub-byte
+    // rows unpack MSB-first AFTER unfiltering (gray values scale to
+    // 8-bit: ×255/85/17 for depths 1/2/4; palette indices stay raw).
+    val grayScale = subDepth match {
+      case 1 => 255; case 2 => 85; case 4 => 17; case _ => 1
+    }
+    def unpackRow(packed: Array[Byte], rowOff: Int, pw: Int,
+                  out: Array[Byte], outOff: Int): Unit = {
+      var c = 0
+      while (c < pw) {
+        val bitPos = c * subDepth
+        val v = ((packed(rowOff + (bitPos >> 3)) & 0xFF) >>
+          (8 - subDepth - (bitPos & 7))) & ((1 << subDepth) - 1)
+        out(outOff + c) =
+          (if (colorType == 0) v * grayScale else v).toByte
+        c += 1
+      }
+    }
+    val pxWide = new Array[Byte](h * w * sb) // 1 byte/sample for sub-byte
     if (!interlaced) {
-      if (!pngUnfilterInto(raw, 0, w, h, sb, pxWide)) return None
+      val rb = rowBytesFor(w)
+      if (subDepth == 0) {
+        if (!pngUnfilterInto(raw, 0, rb, h, filterUnit, pxWide)) return None
+      } else {
+        val packed = new Array[Byte](h * rb)
+        if (!pngUnfilterInto(raw, 0, rb, h, filterUnit, packed)) return None
+        var y = 0
+        while (y < h) {
+          unpackRow(packed, y * rb, w, pxWide, y * w)
+          y += 1
+        }
+      }
     } else {
       var off = 0
       var p = 0
@@ -526,8 +602,20 @@ object Multimodal {
         val (xs, ys, xStep, yStep) = Adam7(p)
         val (pw, ph) = adam7Dims(w, h, p)
         if (pw > 0 && ph > 0) {
-          val sub = new Array[Byte](ph * pw * sb)
-          if (!pngUnfilterInto(raw, off, pw, ph, sb, sub)) return None
+          val rb = rowBytesFor(pw)
+          val sub = new Array[Byte](ph * rb)
+          if (!pngUnfilterInto(raw, off, rb, ph, filterUnit, sub)) return None
+          val samples =
+            if (subDepth == 0) sub
+            else {
+              val s = new Array[Byte](ph * pw)
+              var r = 0
+              while (r < ph) {
+                unpackRow(sub, r * rb, pw, s, r * pw)
+                r += 1
+              }
+              s
+            }
           var r = 0
           while (r < ph) {
             var c = 0
@@ -535,14 +623,14 @@ object Multimodal {
               var b = 0
               while (b < sb) {
                 pxWide(((ys + r * yStep) * w + xs + c * xStep) * sb + b) =
-                  sub((r * pw + c) * sb + b)
+                  samples((r * pw + c) * sb + b)
                 b += 1
               }
               c += 1
             }
             r += 1
           }
-          off += ph * (1 + pw * sb)
+          off += ph * (1 + rb)
         }
         p += 1
       }

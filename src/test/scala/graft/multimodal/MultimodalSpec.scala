@@ -180,6 +180,39 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("1/2/4-bit packed PNGs round-trip, sequential and Adam7") {
+    val w = 13; val h = 6 // odd width: last row byte is partially used
+    for (d <- Seq(1, 2, 4); interlace <- Seq(false, true)) {
+      // gray: values scale to 8-bit by 255/85/17
+      val g = Array.tabulate(w * h)(k => (k % (1 << d)).toByte)
+      val scale = 255 / ((1 << d) - 1)
+      val Some((dw, dh, gDec)) = Multimodal.decodePng(
+        Multimodal.encodePngOfType(w, h, 0, g, interlace = interlace,
+          bitDepth = d))
+      assert((dw, dh) === (w, h), s"gray d=$d i=$interlace")
+      (0 until w * h).foreach { k =>
+        assert((gDec(3 * k) & 0xFF) === (g(k) & 0xFF) * scale,
+          s"gray d=$d i=$interlace px $k")
+      }
+      // palette: packed indices resolve through PLTE
+      val pal = Array.tabulate[Byte](3 << d)(i => (i * 31 + 5).toByte)
+      val idx = Array.tabulate(w * h)(k => ((k * 7) % (1 << d)).toByte)
+      val Some((_, _, pDec)) = Multimodal.decodePng(
+        Multimodal.encodePngOfType(w, h, 3, idx, pal,
+          interlace = interlace, bitDepth = d))
+      (0 until w * h).foreach { k =>
+        val e = (idx(k) & 0xFF) * 3
+        assert(pDec(3 * k) === pal(e) && pDec(3 * k + 1) === pal(e + 1) &&
+          pDec(3 * k + 2) === pal(e + 2), s"palette d=$d i=$interlace px $k")
+      }
+    }
+    // out-of-range input samples refuse at encode
+    intercept[IllegalArgumentException] {
+      Multimodal.encodePngOfType(4, 4, 0,
+        Array.fill(16)(9.toByte), bitDepth = 2)
+    }
+  }
+
   test("16-bit PNGs reduce by high-byte projection, sequential and Adam7") {
     val w = 10; val h = 7
     val rgb = Array.tabulate(w * h * 3)(i => (i * 29 + 3).toByte)
@@ -282,8 +315,9 @@ class MultimodalSpec extends SparkTestBase {
     // depth flipped to 16 over an 8-bit layout: raster mismatch, corrupt
     assert(Multimodal.decodePng(withIhdr(_(24) = 16)).isEmpty,
       "16-bit flag over 8-bit layout")
-    // sub-byte depths are genuinely unsupported
-    assert(Multimodal.decodePng(withIhdr(_(24) = 4)).isEmpty, "4-bit")
+    // depth flipped to 4 over an 8-bit layout: raster mismatch, corrupt
+    assert(Multimodal.decodePng(withIhdr(_(24) = 4)).isEmpty,
+      "4-bit flag over 8-bit layout")
     assert(Multimodal.decodePng(withIhdr(_(25) = 3)).isEmpty, "palette")
     // ancillary chunks are skipped: splice a tEXt chunk before IDAT
     val text = "comment".getBytes
