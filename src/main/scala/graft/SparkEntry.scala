@@ -152,12 +152,15 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
+    // customer scales with SF — no broadcast hint; AQE decides at runtime
+    // (a pinned hint OOMs the broadcast at sf100). Fixed-size nation/region
+    // keep their hints in q5 below.
     "q3_top_revenue_orders" -> ((s, dir) => {
       val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = tbl(s, dir, "orders")
       val l = tbl(s, dir, "lineitem")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(18,4)")).cast("double").as("revenue"))
@@ -172,7 +175,7 @@ object SparkEntry {
       val l = tbl(s, dir, "lineitem"); val su = tbl(s, dir, "supplier")
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(su, l("l_suppkey") === su("s_suppkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("n_name"))

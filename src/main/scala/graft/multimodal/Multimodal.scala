@@ -536,15 +536,21 @@ object Multimodal {
     val sb = if (depth16) bpp * 2 else bpp // raster bytes per pixel (≥8-bit)
     // sub-byte depths (1/2/4-bit gray or palette) pack pixels into row
     // bytes; each scanline starts a fresh byte and filters at unit 1
-    def rowBytesFor(pw: Int): Int =
-      if (subDepth > 0) (pw * subDepth + 7) / 8 else pw * sb
+    def rowBytesFor(pw: Int): Long =
+      if (subDepth > 0) (pw.toLong * subDepth + 7) / 8 else pw.toLong * sb
     val filterUnit = if (subDepth > 0) 1 else sb
-    val rawLen =
-      if (!interlaced) h * (1 + rowBytesFor(w))
+    // filter bytes (1/row) can overflow Int for near-cap headers — size in
+    // Long and cap the decode buffer at 1 GiB (the GIF frame-bomb guard)
+    // so a crafted header yields None, never NegativeArraySizeException
+    // or a multi-GiB allocation before any IDAT plausibility check.
+    val rawLenL: Long =
+      if (!interlaced) h.toLong * (1L + rowBytesFor(w))
       else (0 until 7).map { p =>
         val (pw, ph) = adam7Dims(w, h, p)
-        if (pw > 0 && ph > 0) ph * (1 + rowBytesFor(pw)) else 0
+        if (pw > 0 && ph > 0) ph.toLong * (1L + rowBytesFor(pw)) else 0L
       }.sum
+    if (rawLenL <= 0 || rawLenL > (1L << 30)) return None
+    val rawLen = rawLenL.toInt
     val raw = new Array[Byte](rawLen)
     val inflater = new java.util.zip.Inflater()
     inflater.setInput(idat.toByteArray)
@@ -583,7 +589,7 @@ object Multimodal {
     }
     val pxWide = new Array[Byte](h * w * sb) // 1 byte/sample for sub-byte
     if (!interlaced) {
-      val rb = rowBytesFor(w)
+      val rb = rowBytesFor(w).toInt // ≤ rawLen/h, Int-safe post-cap
       if (subDepth == 0) {
         if (!pngUnfilterInto(raw, 0, rb, h, filterUnit, pxWide)) return None
       } else {
@@ -602,7 +608,7 @@ object Multimodal {
         val (xs, ys, xStep, yStep) = Adam7(p)
         val (pw, ph) = adam7Dims(w, h, p)
         if (pw > 0 && ph > 0) {
-          val rb = rowBytesFor(pw)
+          val rb = rowBytesFor(pw).toInt // ≤ rawLen/ph, Int-safe post-cap
           val sub = new Array[Byte](ph * rb)
           if (!pngUnfilterInto(raw, off, rb, ph, filterUnit, sub)) return None
           val samples =

@@ -43,9 +43,9 @@ object HtmlText {
     "header", "footer", "blockquote", "pre", "hr", "form", "nav", "aside",
     "main", "figure", "figcaption", "title")
 
-  // block boundaries travel through the pre-collapse buffer as NUL (input
-  // NULs are laundered to spaces first, so crawl garbage cannot mint one)
-  private final val Break = '\u0000'
+  // block boundaries are tracked as OFFSETS into the pre-collapse buffer
+  // (not an in-band sentinel char), so no input byte -- NUL included -- can
+  // mint or mask one; crawl bytes pass through as content verbatim
 
   /** Decode one entity starting at `i` (the `&`); returns (decoded code
     * point or -1 when not an entity, next index). */
@@ -105,6 +105,13 @@ object HtmlText {
     if (html == null) return ""
     val n = html.length
     val out = new java.lang.StringBuilder(math.min(n, 1 << 20))
+    var breaks = new Array[Int](16) // block-break offsets into `out`
+    var nBreaks = 0
+    def addBreak(): Unit = {
+      if (nBreaks == breaks.length)
+        breaks = java.util.Arrays.copyOf(breaks, breaks.length * 2)
+      breaks(nBreaks) = out.length(); nBreaks += 1
+    }
     var i = 0
     while (i < n) {
       val c = html.charAt(i)
@@ -124,7 +131,7 @@ object HtmlText {
               case -1 => n
               case e => e + 1
             }
-          out.append(Break)
+          addBreak()
         } else {
           // generic tag: read the name, skip to '>'
           var j = i + 1
@@ -134,37 +141,36 @@ object HtmlText {
           val name = html.substring(nameStart, j).toLowerCase
           val close = html.indexOf('>', j)
           i = if (close < 0) n else close + 1
-          if (BlockTags.contains(name)) out.append(Break)
+          if (BlockTags.contains(name)) addBreak()
         }
       } else if (c == '&') {
         val (cp, next) = entity(html, i)
         if (cp >= 0) { out.appendCodePoint(cp); i = next }
         else { out.append('&'); i += 1 }
-      } else if (c == Break) {
-        out.append(' ') // crawl NULs must not fake line breaks
-        i += 1
       } else {
         out.append(c)
         i += 1
       }
     }
-    // per-line whitespace collapse + trim, drop empties, join with \n
+    // per-line whitespace collapse + trim, drop empties, join with \n.
+    // the collapsible set is EXACTLY RE2's \s ([\t\n\f\r ]) so the
+    // SQL-rebuilt oracle (DuckDB regexp_replace '\s+') holds for
+    // arbitrary corpus text -- \u000B and NUL are content, not
+    // whitespace (the documented Java-vs-RE2 parity trap class)
     val text = out.toString
     val sb = new java.lang.StringBuilder(text.length)
     var first = true
     var seg = 0
-    while (seg <= text.length) {
-      val brk = text.indexOf(Break.toInt, seg) match {
-        case -1 => text.length
-        case b => b
-      }
+    var bi = 0
+    while (bi <= nBreaks) {
+      val brk = if (bi < nBreaks) breaks(bi) else text.length
       var k = seg
       val line = new java.lang.StringBuilder(brk - seg)
       var pendingSpace = false
       while (k < brk) {
         val ch = text.charAt(k)
         if (ch == ' ' || ch == '\t' || ch == '\n' || ch == '\r' ||
-          ch == '\f' || ch == '\u000B') pendingSpace = line.length() > 0
+          ch == '\f') pendingSpace = line.length() > 0
         else {
           if (pendingSpace) { line.append(' '); pendingSpace = false }
           line.append(ch)
@@ -176,7 +182,8 @@ object HtmlText {
         sb.append(line)
         first = false
       }
-      seg = brk + 1
+      seg = brk
+      bi += 1
     }
     sb.toString
   }

@@ -130,11 +130,16 @@ object Warc {
           z.setContinuous(true) // read across concatenated frames
           z
         }
-      val out = new java.io.ByteArrayOutputStream(bytes.length * 4)
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(math.max(bytes.length, 16) * 4L, 1L << 20).toInt)
       val buf = new Array[Byte](65536)
       var n = in.read(buf)
       while (n >= 0) {
         out.write(buf, 0, n)
+        // decompression-bomb guard: past ~1.9 GB the backing array can no
+        // longer double (JVM array cap) and the next grow throws OOM
+        // inside the task — treat such a payload as corrupt instead
+        if (out.size() > 1900000000) return None
         n = in.read(buf)
       }
       Some(out.toByteArray)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -106,8 +106,15 @@ private[sources] class WarcTable(props: Map[String, String])
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new WarcScan(props)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // column pruning: a count(*) or metadata-only scan must not carry
+      // record bodies through the row batches (bodies dominate a crawl
+      // row's bytes ~1000:1) — the member walk still inflates each member
+      // to find its extent, but pruned rows drop the payload immediately
+      private var required: StructType = WarcDataSource.Schema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new WarcScan(props, required)
     }
 }
 
@@ -115,9 +122,10 @@ private[sources] case class WarcPartition(path: String, start: Long,
                                           end: Long, splittable: Boolean)
     extends InputPartition
 
-private[sources] class WarcScan(props: Map[String, String])
+private[sources] class WarcScan(props: Map[String, String],
+                                required: StructType)
     extends Scan with Batch {
-  override def readSchema(): StructType = WarcDataSource.Schema
+  override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = "warc"
 
@@ -137,37 +145,58 @@ private[sources] class WarcScan(props: Map[String, String])
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val fields = required.fieldNames
     new PartitionReaderFactory {
       override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-        new WarcPartitionReader(p.asInstanceOf[WarcPartition])
+        new WarcPartitionReader(p.asInstanceOf[WarcPartition], fields)
     }
+  }
 }
 
-private[sources] class WarcPartitionReader(part: WarcPartition)
+private[sources] class WarcPartitionReader(part: WarcPartition,
+                                           fields: Array[String])
     extends PartitionReader[InternalRow] {
+
+  import WarcPartitionReader.log
+
+  // open stream for the lazy split walk; closed in close(), not eagerly —
+  // the iterator pulls straddle bytes on demand as members are consumed
+  private var stream: org.apache.hadoop.fs.FSDataInputStream = null
 
   private val records: Iterator[Warc.WarcRecord] = {
     val conf = new org.apache.hadoop.conf.Configuration()
     val hp = new org.apache.hadoop.fs.Path(part.path)
     val fs = hp.getFileSystem(conf)
     val fileLen = fs.getFileStatus(hp).getLen
-    val in = fs.open(hp)
-    try {
-      if (!part.splittable) {
-        // whole-file reads (plain or small-gzip) must fit one array; a
-        // >1.5 GiB unsplittable file costs its own records, not the task
-        if (fileLen > (3L << 29)) Iterator.empty
-        else {
+    if (!part.splittable) {
+      // whole-file reads (plain or small-gzip) must fit one array; a
+      // >1.5 GiB unsplittable file costs its own records, not the task —
+      // but a silent Iterator.empty reads as an empty file downstream, so
+      // the drop must at least be observable in the executor log
+      if (fileLen > (3L << 29)) {
+        log.warn(s"warc: skipping unsplittable file over the 1.5 GiB " +
+          s"whole-file cap (whole-file data loss): ${part.path} ($fileLen bytes)")
+        Iterator.empty
+      } else {
+        val in = fs.open(hp)
+        try {
           val all = new Array[Byte](fileLen.toInt)
           in.readFully(0, all)
           Warc.parseWarc(all).iterator
-        }
-      } else readSplit(in, fileLen)
-    } finally in.close()
+        } finally in.close()
+      }
+    } else {
+      stream = fs.open(hp)
+      readSplit(stream, fileLen)
+    }
   }
 
-  /** Parse every gzip member that STARTS in [part.start, part.end). */
+  /** Parse every gzip member that STARTS in [part.start, part.end) —
+    * LAZILY, one member at a time: per-task live memory is the raw range
+    * buffer plus ONE decompressed member, never the whole split's
+    * decompressed bodies (a 512 MiB range of 5:1 HTML would otherwise
+    * hold ~2.5 GiB of bodies before the first row is emitted). */
   private def readSplit(in: org.apache.hadoop.fs.FSDataInputStream,
                         fileLen: Long): Iterator[Warc.WarcRecord] = {
     // the range itself, plus read-ahead past end for a straddling member
@@ -190,22 +219,27 @@ private[sources] class WarcPartitionReader(part: WarcPartition)
       bufEnd = need
       true
     }
-    val out = Seq.newBuilder[Warc.WarcRecord]
-    var o = 0
-    while (o < rangeLen) {
-      // a member may START at the last bytes of the range: read ahead so
-      // the 3-byte magic check never misses a boundary at the seam
-      if ((buf(o) & 0xFF) == 0x1F && ensure(o + 3) &&
-        (buf(o + 1) & 0xFF) == 0x8B && (buf(o + 2) & 0xFF) == 0x08) {
-        inflateMember(o, ensure, () => buf, () => bufEnd) match {
-          case Some((payload, consumed)) =>
-            out ++= Warc.parseWarc(payload)
-            o += consumed // true member: resume after it
-          case None => o += 1 // magic inside compressed data: false alarm
+    new Iterator[Warc.WarcRecord] {
+      private var o = 0
+      private var pending: Iterator[Warc.WarcRecord] = Iterator.empty
+      private def advance(): Unit = {
+        while (!pending.hasNext && o < rangeLen) {
+          // a member may START at the last bytes of the range: read ahead
+          // so the 3-byte magic check never misses a boundary at the seam
+          if ((buf(o) & 0xFF) == 0x1F && ensure(o + 3) &&
+            (buf(o + 1) & 0xFF) == 0x8B && (buf(o + 2) & 0xFF) == 0x08) {
+            inflateMember(o, ensure, () => buf, () => bufEnd) match {
+              case Some((payload, consumed)) =>
+                pending = Warc.parseWarc(payload).iterator
+                o += consumed // true member: resume after it
+              case None => o += 1 // magic inside compressed data: false alarm
+            }
+          } else o += 1
         }
-      } else o += 1
+      }
+      override def hasNext: Boolean = { advance(); pending.hasNext }
+      override def next(): Warc.WarcRecord = { advance(); pending.next() }
     }
-    out.result().iterator
   }
 
   /** Inflate ONE gzip member at `at`: manual header walk (FLG extras),
@@ -258,7 +292,17 @@ private[sources] class WarcPartitionReader(part: WarcPartition)
           fed += give
         }
         val n = inflater.inflate(chunk)
-        if (n > 0) outBuf.write(chunk, 0, n)
+        if (n > 0) {
+          outBuf.write(chunk, 0, n)
+          // gzip-bomb guard: a member inflating past 1 GiB is treated as
+          // corrupt (costs itself; the magic scan resumes) — no WARC
+          // packaging puts a 1 GiB record in one member, and an unbounded
+          // outBuf is an executor OOM an adversarial crawl can trigger
+          if (outBuf.size() > WarcPartitionReader.MaxMemberInflated) {
+            inflater.end()
+            return None
+          }
+        }
         if (inflater.finished()) done = true
         else if (n == 0 && !inflater.needsInput()) { // stuck: corrupt
           inflater.end()
@@ -285,6 +329,10 @@ private[sources] class WarcPartitionReader(part: WarcPartition)
 
   private var current: Warc.WarcRecord = _
 
+  // pruned projection: ordinal of each required field in the full schema
+  private val fieldIdx: Array[Int] =
+    fields.map(WarcDataSource.Schema.fieldIndex)
+
   override def next(): Boolean =
     if (records.hasNext) { current = records.next(); true } else false
 
@@ -292,10 +340,30 @@ private[sources] class WarcPartitionReader(part: WarcPartition)
     val r = current
     def s(v: String): UTF8String =
       if (v == null) null else UTF8String.fromString(v)
-    new GenericInternalRow(Array[Any](
-      s(r.warc_type), s(r.target_uri), s(r.warc_date), s(r.record_id),
-      r.http_status, s(r.http_content_type), r.body))
+    val vals = new Array[Any](fieldIdx.length)
+    var i = 0
+    while (i < vals.length) {
+      vals(i) = fieldIdx(i) match {
+        case 0 => s(r.warc_type)
+        case 1 => s(r.target_uri)
+        case 2 => s(r.warc_date)
+        case 3 => s(r.record_id)
+        case 4 => r.http_status
+        case 5 => s(r.http_content_type)
+        case _ => r.body
+      }
+      i += 1
+    }
+    new GenericInternalRow(vals)
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = {
+    if (stream != null) { stream.close(); stream = null }
+  }
+}
+
+private[sources] object WarcPartitionReader {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[WarcPartitionReader])
+  // per-member decompressed cap — see the gzip-bomb guard in inflateMember
+  val MaxMemberInflated: Int = 1 << 30
 }

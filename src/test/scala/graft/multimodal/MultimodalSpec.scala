@@ -319,6 +319,14 @@ class MultimodalSpec extends SparkTestBase {
     assert(Multimodal.decodePng(withIhdr(_(24) = 4)).isEmpty,
       "4-bit flag over 8-bit layout")
     assert(Multimodal.decodePng(withIhdr(_(25) = 3)).isEmpty, "palette")
+    // a crafted near-cap header (w=2, h=134217727, 16-bit RGBA) passes the
+    // w*h*8 pixel guard but wraps rawLen in Int arithmetic — must yield
+    // None via the Long-sized 1 GiB decode cap, never throw or allocate
+    assert(Multimodal.decodePng(withIhdr { c =>
+      java.nio.ByteBuffer.wrap(c).putInt(16, 2)          // width
+      java.nio.ByteBuffer.wrap(c).putInt(20, 134217727)  // height
+      c(24) = 16; c(25) = 6                              // 16-bit RGBA
+    }).isEmpty, "rawLen Int-wrap header must reject, not throw")
     // ancillary chunks are skipped: splice a tEXt chunk before IDAT
     val text = "comment".getBytes
     val tChunk = {

@@ -19,7 +19,8 @@ class HtmlTextSpec extends SparkTestBase {
     assert(x("<p>one</p><p>two</p>") === "one\ntwo")
     assert(x("line1<br>line2") === "line1\nline2")
     // intra-block newlines/tabs collapse to single spaces (HTML ws rules)
-    assert(x("<p>a\n\t b\fc</p>") === "a b c")
+    assert(x("<p>a\n\t b\u000B\fc</p>") === "a b\u000B c")
+    assert(x("<p>a\n\t b\f\rc</p>") === "a b c")
   }
 
   test("drops script/style/comments wholesale, surviving embedded traps") {
@@ -42,8 +43,13 @@ class HtmlTextSpec extends SparkTestBase {
     // "<<<>" parses as one malformed tag; the stray ">>" is text
     assert(x("<<<>>><p>&</p>&#zz; &#999999999999;")
       === ">>\n&\n&#zz; &#999999999999;")
-    // input NULs launder to spaces and cannot fake line breaks
-    assert(x("<p>a\u0000b</p>") === "a b")
+    // input NUL and \u000B are CONTENT (RE2 \s parity with the DuckDB
+    // oracle): preserved verbatim, never a line break, never collapsed
+    assert(x("<p>a\u0000b</p>") === "a\u0000b")
+    assert(x("<p>a\u000Bb</p>") === "a\u000Bb")
+    assert(x("<p>a \u000B b</p>") === "a \u000B b")
+    // and a NUL still cannot fake a block boundary
+    assert(x("<p>a\u0000b</p>").count(_ == '\n') === 0)
   }
 
   test("WARC -> HTML body -> text chain matches the direct kernel") {

@@ -125,4 +125,104 @@ class WarcSourceSpec extends SparkTestBase {
     val glob = spark.read.format("warc").load(s"$dir/f*.warc")
     assert(glob.count() === 4)
   }
+
+  test("column pruning reaches the scan; count(*) carries no body column") {
+    val (warc, recs) = bigWarc()
+    val dir = java.nio.file.Files.createTempDirectory("warc-src4")
+    val f = dir.resolve("big.warc.gz")
+    java.nio.file.Files.write(f, warc)
+    withMaxSplit(65536) {
+      val df = spark.read.format("warc").load(f.toString)
+      val pruned = df.select($"target_uri").filter($"target_uri".isNotNull)
+      // the BatchScan itself must output only the required column — body
+      // bytes never enter the row batches for a metadata-only query
+      val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+      assert(scan.output.map(_.name) === Seq("target_uri"),
+        s"scan must be pruned to target_uri, got ${scan.output.map(_.name)}")
+      assert(pruned.as[String].collect().toSet === recs.map(_._1).toSet,
+        "pruned values intact (warcinfo's null uri filtered)")
+      assert(df.count() === 61, "zero-column count(*) still exact")
+      val countScan = df.groupBy().count()
+        .queryExecution.executedPlan.collectLeaves().head
+      assert(countScan.output.isEmpty || countScan.output.map(_.name)
+        .forall(_ != "body"), "count(*) scan must not carry body")
+    }
+  }
+
+  test("split reader is lazy: consumed bodies are collectable mid-scan") {
+    // 40 members x 512 KiB incompressible bodies = ~20 MB decompressed in
+    // one 64 KiB-split file; the old reader materialized every record's
+    // body before emitting row 1 — the lazy reader must let body i be
+    // GC'd while body i+k is still being produced
+    val recs = (0 until 40).map { i =>
+      val body = new Array[Byte](512 * 1024)
+      new scala.util.Random(1000 + i).nextBytes(body)
+      (s"https://lazy.test/$i", 200, body)
+    }
+    val warc = Warc.encodeWarc(recs, gzipPerRecord = true)
+    val dir = java.nio.file.Files.createTempDirectory("warc-src5")
+    val f = dir.resolve("lazy.warc.gz")
+    java.nio.file.Files.write(f, warc)
+    val reader = new WarcPartitionReader(
+      WarcPartition(f.toString, 0, warc.length, splittable = true),
+      WarcDataSource.Schema.fieldNames)
+    try {
+      var early: java.lang.ref.WeakReference[Array[Byte]] = null
+      var n = 0
+      var collected = false
+      while (reader.next()) {
+        val row = reader.get()
+        val body = row.getBinary(6)
+        if (n == 1 && body != null) // first response record's body
+          early = new java.lang.ref.WeakReference(body)
+        if (n >= 10 && early != null && !collected) {
+          var tries = 0
+          while (early.get() != null && tries < 5) {
+            System.gc(); Thread.sleep(20); tries += 1
+          }
+          collected = early.get() == null
+        }
+        n += 1
+      }
+      assert(n === 41, s"all records still delivered, got $n")
+      assert(collected,
+        "an early record's body must be GC-collectable while later " +
+          "members are still being decoded (lazy per-member iteration)")
+    } finally reader.close()
+  }
+
+  test("a gzip-bomb member costs itself; neighbors still decode") {
+    // member 2 inflates to >1 GiB of zeros (compressed ~1 MB): the
+    // per-member cap must skip it as corrupt and resume the magic scan,
+    // delivering the surrounding legitimate records
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Warc.encodeWarc(
+      Seq(("https://ok.test/a", 200, "alpha".getBytes(utf8))),
+      gzipPerRecord = true))
+    val gz = new java.util.zip.GZIPOutputStream(out, 65536)
+    val zeros = new Array[Byte](1 << 20)
+    var written = 0L
+    while (written <= (1L << 30)) { gz.write(zeros); written += zeros.length }
+    gz.finish()
+    out.write(Warc.encodeWarc(
+      Seq(("https://ok.test/b", 200, "beta".getBytes(utf8))),
+      gzipPerRecord = true))
+    val bytes = out.toByteArray
+    val dir = java.nio.file.Files.createTempDirectory("warc-src6")
+    val f = dir.resolve("bomb.warc.gz")
+    java.nio.file.Files.write(f, bytes)
+    val reader = new WarcPartitionReader(
+      WarcPartition(f.toString, 0, bytes.length, splittable = true),
+      Array("target_uri", "warc_type"))
+    try {
+      val uris = scala.collection.mutable.Buffer[String]()
+      while (reader.next()) {
+        val row = reader.get()
+        if (row.getUTF8String(1).toString == "response")
+          uris += row.getUTF8String(0).toString
+      }
+      assert(uris.toSet === Set("https://ok.test/a", "https://ok.test/b"),
+        s"bomb member must cost itself only, got $uris")
+    } finally reader.close()
+  }
 }
