@@ -2650,6 +2650,56 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Charset-aware extraction: each document encodes into one of four
+    // real crawl charsets (UTF-8 via <meta>, windows-1252 via the HTTP
+    // header, Shift_JIS via <meta>, UTF-16LE via BOM -- the resolution
+    // ladder's first three rungs), with a charset-specific non-ASCII
+    // marker prepended so a wrong decode cannot hash-collide with the
+    // right one. The document text is ASCII-projected ([^ -~] stripped,
+    // same expression both engines) so every arm round-trips its charset
+    // exactly; the oracle rebuilds marker + collapsed text in SQL.
+    "html_extract_charsets" -> ((s, dir) => {
+      import s.implicits._
+      val rows = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val win1252 = java.nio.charset.Charset.forName("windows-1252")
+          val ascii = text.replaceAll("[^ -~]", "")
+          val esc = ascii.replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          val arm = (id % 4).toInt
+          val (ct, bytes) = arm match {
+            case 0 =>
+              val h = "<html><head><meta charset=\"utf-8\"></head><body>" +
+                s"<p>\u2713 UTF $esc</p></body></html>"
+              ("text/html", h.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            case 1 =>
+              val h = "<html><head></head><body>" +
+                s"<p>\u20ACuro r\u00E9sum\u00E9 $esc</p></body></html>"
+              ("text/html; charset=windows-1252", h.getBytes(win1252))
+            case 2 =>
+              val h = "<html><head><meta http-equiv=\"Content-Type\" " +
+                "content=\"text/html; charset=shift_jis\"></head><body>" +
+                s"<p>\u65E5\u672C\u8A9E $esc</p></body></html>"
+              ("text/html", h.getBytes("Shift_JIS"))
+            case _ =>
+              val h = "<html><head></head><body>" +
+                s"<p>\u0431\u0443\u043A\u0432\u03BB $esc</p></body></html>"
+              ("text/html",
+                Array[Byte](0xFF.toByte, 0xFE.toByte) ++ h.getBytes("UTF-16LE"))
+          }
+          (id, ct, bytes)
+        }.toDF("doc_id", "http_content_type", "body")
+      graft.pipeline.HtmlText
+        .extractFromBodies(rows, "body", "text", "http_content_type", "cs")
+        .select(col("doc_id"),
+          md5(col("text")).as("text_md5"),
+          length(col("text")).cast("long").as("n_chars"),
+          col("cs").as("charset"),
+          col("cs_fallback").as("charset_fallback"))
+        .orderBy("doc_id")
+    }),
+
     // WARC ingestion through the REAL ISO 28500 parser: documents pack
     // into multi-record WARC files (one warcinfo + N HTTP responses,
     // half the files gzipped ONE MEMBER PER RECORD — the Common Crawl
@@ -2683,6 +2733,76 @@ object SparkEntry {
           length(col("body")).cast("long").as("body_len"),
           md5(col("body")).as("body_md5"))
         .orderBy("doc_id")
+    }),
+
+    // The END-TO-END crawl flagship: WARC bytes -> records -> charset-
+    // aware HTML extraction -> minhash near-dup prune against the
+    // persisted corpus index -> fold-in (graft.pipeline.Crawl.ingestBatch,
+    // the same body the streaming loop and the CLI run). Batch 1
+    // bootstraps the index from every document (html_extract's template);
+    // batch 2 replays the truncated near-dup fixture (mutatedDocs) and
+    // must prune exactly the docs whose EXTRACTED text is >= 0.3 Jaccard
+    // to some stored original -- the oracle rebuilds extraction AND the
+    // shingle-Jaccard decision in SQL (the html_extract +
+    // doc_incremental_dedup oracles composed).
+    "crawl_corpus" -> ((s, dir) => {
+      import s.implicits._
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_crawl_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      def warcFiles(docs: DataFrame): DataFrame =
+        docs.withColumn("g", floor((col("doc_id") % 1000000L) / 25))
+          .groupBy("g")
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+            .as("rs"))
+          .as[(Long, Seq[(Long, String)])]
+          .map { case (g, rs) =>
+            val recs = rs.map { case (id, text) =>
+              val esc = text.replace("&", "&amp;")
+                .replace("<", "&lt;").replace(">", "&gt;")
+              val html =
+                s"""<!DOCTYPE html><html><head><title>Doc $id</title>
+                   |<style>body { color: #fff; } /* <p>not text</p> */</style>
+                   |<script type="text/javascript">if (1 < 2) { var s = "</div>"; }</script>
+                   |</head><body>
+                   |<!-- comment <p>fake</p> -->
+                   |<h1>&#68;oc $id</h1>
+                   |<p>$esc</p>
+                   |<div>footer &#169; 2026</div>
+                   |</body></html>""".stripMargin
+              (s"https://graft.test/doc/$id", 200,
+                html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+            (g, graft.sources.Warc.encodeWarc(recs, gzipPerRecord = g % 2 == 1))
+          }.toDF("g", "payload")
+      val recs1 = graft.sources.Warc.warcRecords(
+        warcFiles(tbl(s, dir, "documents").select("doc_id", "text"))).toDF()
+      graft.pipeline.Crawl.ingestBatch(s, recs1, idxPath, 0,
+        threshold = 0.3, shingleK = 4, numHashes = 128, bands = 64)(_ => ())
+      // batch 2 carries BOTH polarity classes: near-dups that must be
+      // pruned (truncated copies) and genuinely-fresh docs that must
+      // survive (md5-derived text -- shares no shingle with any original,
+      // and the same expression rebuilds in DuckDB)
+      val freshDocs = tbl(s, dir, "documents").select("doc_id", "text")
+        .filter(col("doc_id") % 50 === 7)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("fresh corpus item "), md5(col("text").cast("binary")),
+            lit(" "), md5(md5(col("text").cast("binary")).cast("binary")))
+            .as("text"))
+      val batch2 = mutatedDocs(s, dir).unionByName(freshDocs)
+      val recs2 = graft.sources.Warc.warcRecords(warcFiles(batch2)).toDF()
+      val (survivors, _) = graft.pipeline.Crawl.ingestBatch(s, recs2,
+        idxPath, 1, threshold = 0.3, shingleK = 4, numHashes = 128,
+        bands = 64) { fresh =>
+        // batch-2 is |documents|/25 rows -- a driver-sized constant
+        fresh.select("url").as[String].collect().toSet
+      }
+      val mutIds = batch2.select("doc_id").as[Long]
+        .collect().sorted.toSeq
+      s.createDataFrame(mutIds.map { id =>
+        val url = s"https://graft.test/doc/$id"
+        (id, url, survivors.contains(url))
+      }).toDF("doc_id", "url", "survived").orderBy("doc_id")
     }),
 
     // the DSv2 `warc` format end-to-end: the same packed files land on
@@ -6278,6 +6398,91 @@ object SparkEntry {
         |SELECT doc_id, md5(expected) AS text_md5,
         |  CAST(3 + CASE WHEN norm = '' THEN 0 ELSE 1 END AS BIGINT) AS n_lines,
         |  CAST(length(expected) AS BIGINT) AS n_chars
+        |FROM e ORDER BY doc_id""".stripMargin,
+    // the crawl flagship's decision rebuilt in SQL: extraction (the
+    // html_extract rebuild) composed with the exact shingle-Jaccard
+    // near-dup test (the doc_incremental_dedup CTE) -- a mutated doc
+    // survives iff no stored original's extracted text reaches 0.3
+    "crawl_corpus" ->
+      """WITH oe AS (
+        |  SELECT doc_id,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |    CASE WHEN norm = '' THEN '' ELSE norm || chr(10) END ||
+        |    'footer © 2026' AS etext
+        |  FROM (SELECT doc_id,
+        |      trim(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+        |    FROM documents)),
+        |me AS (
+        |  SELECT doc_id,
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |    'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |    CASE WHEN norm = '' THEN '' ELSE norm || chr(10) END ||
+        |    'footer © 2026' AS etext
+        |  FROM (
+        |    SELECT doc_id + 1000000 AS doc_id,
+        |      trim(regexp_replace(
+        |        substr(text, 1, CAST(floor(length(text)*0.7) AS INT)),
+        |        '\s+', ' ', 'g')) AS norm
+        |    FROM documents WHERE doc_id % 50 = 0
+        |    UNION ALL
+        |    SELECT doc_id + 2000000 AS doc_id,
+        |      'fresh corpus item ' || md5(text) || ' ' || md5(md5(text)) AS norm
+        |    FROM documents WHERE doc_id % 50 = 7)),
+        |d AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-2),
+        |      i -> array_to_string(w[i:i+3], ' ')) END) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+        |    lower(etext), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM oe) t),
+        |m AS (
+        |  SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) < 4 THEN [array_to_string(w, ' ')]
+        |    ELSE list_transform(range(1, len(w)-2),
+        |      i -> array_to_string(w[i:i+3], ' ')) END) AS sh
+        |  FROM (SELECT doc_id, string_split(trim(regexp_replace(regexp_replace(
+        |    lower(etext), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        |    FROM me) t),
+        |mx AS (
+        |  SELECT m.doc_id AS mid,
+        |    max(CAST(len(list_intersect(d.sh, m.sh)) AS DOUBLE) /
+        |      (len(d.sh) + len(m.sh) - len(list_intersect(d.sh, m.sh)))) AS j
+        |  FROM d JOIN m ON true GROUP BY m.doc_id)
+        |SELECT me.doc_id AS doc_id,
+        |  'https://graft.test/doc/' || CAST(me.doc_id AS VARCHAR) AS url,
+        |  COALESCE(mx.j, 0) < 0.3 AS survived
+        |FROM me LEFT JOIN mx ON mx.mid = me.doc_id
+        |ORDER BY doc_id""".stripMargin,
+    // charset arms: expected text = per-arm unicode marker + ' ' +
+    // ASCII-projected ws-collapsed doc text; markers built with chr() so
+    // the SQL stays pure ASCII
+    "html_extract_charsets" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    regexp_replace(text, '[^ -~]', '', 'g') AS ascii,
+        |    CAST(doc_id % 4 AS INT) AS arm
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, arm,
+        |    CASE arm
+        |      WHEN 0 THEN chr(10003) || ' UTF'
+        |      WHEN 1 THEN chr(8364) || 'uro r' || chr(233) || 'sum' || chr(233)
+        |      WHEN 2 THEN chr(26085) || chr(26412) || chr(35486)
+        |      ELSE chr(1073) || chr(1091) || chr(1082) || chr(1074) || chr(955)
+        |    END AS marker,
+        |    trim(regexp_replace(ascii, '\s+', ' ', 'g')) AS norm
+        |  FROM a),
+        |e AS (
+        |  SELECT doc_id, arm,
+        |    marker || CASE WHEN norm = '' THEN '' ELSE ' ' || norm END AS expected
+        |  FROM m)
+        |SELECT doc_id, md5(expected) AS text_md5,
+        |  CAST(length(expected) AS BIGINT) AS n_chars,
+        |  CASE arm WHEN 0 THEN 'UTF-8' WHEN 1 THEN 'windows-1252'
+        |    WHEN 2 THEN 'Shift_JIS' ELSE 'UTF-16LE' END AS charset,
+        |  FALSE AS charset_fallback
         |FROM e ORDER BY doc_id""".stripMargin,
     // WARC: the packed files are a pure re-serialization of documents,
     // so every response record replays from the table

@@ -521,24 +521,27 @@ object Main {
       // batch form)
       val threshold = rest.headOption.map(_.toDouble).getOrElse(0.8)
       val spark = session()
-      import org.apache.spark.sql.functions.{col, length}
       val recs = spark.read.format("warc").load(warcPath)
-        .filter(col("warc_type") === "response" && col("http_status") === 200)
-      val docs = graft.pipeline.HtmlText.extractFromBodies(recs)
-        .select(col("target_uri").as("url"), col("text"))
-        .filter(length(col("text")) > 0)
-        .localCheckpoint()
-      val dupIds = graft.dedup.Dedup.minhashIndexProbe(spark, idxPath,
-          docs, "text", "url", threshold)
-        .select(col("new_id").as("url")).distinct()
-      val fresh = docs.join(dupIds, Seq("url"), "left_anti").localCheckpoint()
-      graft.dedup.Dedup.minhashIndexAppend(spark, idxPath, fresh, "text", "url")
-      fresh.write.mode("overwrite").parquet(corpusOut)
-      val kept = spark.read.parquet(corpusOut).count()
-      println(s"crawl-ingest: $kept new docs (of ${docs.count()} extracted) " +
-        s"-> $corpusOut; index appended")
-      graft.dedup.Dedup.release(docs)
-      graft.dedup.Dedup.release(fresh)
+      // installment: the next free number for this index (bootstraps at 0
+      // when the index does not exist yet); replays of the same CLI run
+      // should pass through the stream form instead
+      val conf = spark.sparkContext.hadoopConfiguration
+      val metaP = new org.apache.hadoop.fs.Path(s"$idxPath/meta")
+      val inst =
+        if (!metaP.getFileSystem(conf).exists(metaP)) 0
+        else math.max(
+          graft.store.Installments.next(spark, s"$idxPath/sizes"),
+          graft.store.Installments.next(spark, s"$idxPath/sets"))
+      val (_, stats) = graft.pipeline.Crawl.ingestBatch(spark, recs,
+        idxPath, inst, threshold) { fresh =>
+        fresh.write.mode("overwrite").parquet(corpusOut)
+      }
+      // the decode/prune telemetry line: silent-drop rates (mojibake
+      // fallbacks, empty extractions) must be visible per ingest run
+      println(s"crawl-ingest: responses=${stats.responses} " +
+        s"charset_fallbacks=${stats.charsetFallbacks} " +
+        s"empty_text=${stats.emptyText} near_dups=${stats.duplicates} " +
+        s"appended=${stats.appended} -> $corpusOut; index installment $inst")
       spark.stop()
 
     case "warc-export" :: docsParquet :: outDir :: rest =>

@@ -1,0 +1,98 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * The crawl-to-corpus batch component — the shared body of the streaming
+ * ingest loop ([[graft.streaming.EventStreams.crawlIngestStream]]), the
+ * `crawl-ingest` CLI, and the `crawl_corpus` declared query: WARC
+ * records → 200-status responses → charset-aware visible-text extraction
+ * ([[HtmlText.extractFromBodies]]) → MinHash near-dup prune against the
+ * persisted corpus index (as-of the previous installment) → fold the
+ * survivors in at this installment.
+ *
+ * Telemetry is first-class: every batch reports how many responses it
+ * saw, how many decoded through a charset fallback (the possible-mojibake
+ * signal — silently dropped/garbled pages are invisible downstream, so
+ * the rate must be observable AT INGEST), how many extracted empty, how
+ * many were pruned as near-dups, and how many were appended.
+ *
+ * Scale: the stored index never re-bands or shuffles (probe broadcasts
+ * the batch); extraction is map-side; the only shuffles are the batch's
+ * own shingle/band group-bys — ingesting 1 GB into a 100 TB corpus costs
+ * the 1 GB batch's work.
+ */
+object Crawl {
+
+  /** Per-batch ingest counters (see object doc). `responses` counts
+    * 200-status response records; `charsetFallbacks` of those decoded via
+    * the windows-1252/REPLACE fallback (declared charset failed strict
+    * decode); `emptyText` extracted to nothing (dropped); `duplicates`
+    * were pruned against the stored corpus; `appended` survived. */
+  final case class BatchStats(responses: Long, charsetFallbacks: Long,
+                              emptyText: Long, duplicates: Long,
+                              appended: Long)
+
+  /** Run one crawl batch against the MinHash corpus index at `indexPath`.
+    *
+    * `records` is any DataFrame in the [[graft.sources.Warc.WarcRecord]]
+    * shape (the `format("warc")` source or `Warc.warcRecords`). If the
+    * index does not exist yet, the batch BOOTSTRAPS it
+    * (`minhashIndexBuild` at installment 0 — every doc is fresh);
+    * otherwise the batch probes as-of `installment - 1` and folds
+    * survivors in at `installment` via the replay-idempotent
+    * `minhashIndexAppendAt` (same-number retries overwrite themselves).
+    *
+    * `use` runs over the survivors WHILE they are materialized (write
+    * them, count them, collect a small projection); they are released
+    * before return, so `use` must not return a lazy plan over them. */
+  def ingestBatch[A](spark: SparkSession, records: DataFrame,
+                     indexPath: String, installment: Int,
+                     threshold: Double = 0.8, maxBucketSize: Int = 1000,
+                     shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16)
+                    (use: DataFrame => A): (A, BatchStats) = {
+    val resp = records.filter(col("warc_type") === "response" &&
+      col("http_status") === 200)
+    val ext = HtmlText
+      .extractFromBodies(resp, "body", "text", "http_content_type", "cs")
+      .select(col("target_uri").as("url"), col("text"), col("cs_fallback"))
+      .localCheckpoint() // parse+extract once: feeds stats, probe, append
+    try {
+      val a = ext.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("cs_fallback"), 1L).otherwise(0L)).as("fb"),
+        sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("empty"))
+        .head()
+      val responses = a.getLong(0)
+      val fallbacks = if (a.isNullAt(1)) 0L else a.getLong(1)
+      val empties = if (a.isNullAt(2)) 0L else a.getLong(2)
+      val docs = ext.filter(length(col("text")) > 0).select("url", "text")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+      val bootstrap = !metaPath.getFileSystem(conf).exists(metaPath)
+      if (bootstrap) {
+        graft.dedup.Dedup.minhashIndexBuild(docs, "text", "url", indexPath,
+          shingleK, numHashes, bands)
+        val result = use(docs)
+        (result, BatchStats(responses, fallbacks, empties, 0L,
+          responses - empties))
+      } else {
+        val dupIds = graft.dedup.Dedup.minhashIndexProbe(spark, indexPath,
+            docs, "text", "url", threshold, maxBucketSize,
+            asOfInstallment = installment - 1)
+          .select(col("new_id").as("url")).distinct()
+        val fresh = docs.join(dupIds, Seq("url"), "left_anti")
+          .localCheckpoint()
+        try {
+          graft.dedup.Dedup.minhashIndexAppendAt(spark, indexPath, fresh,
+            installment, "text", "url")
+          val appended = fresh.count()
+          val result = use(fresh)
+          (result, BatchStats(responses, fallbacks, empties,
+            responses - empties - appended, appended))
+        } finally graft.dedup.Dedup.release(fresh)
+      }
+    } finally graft.dedup.Dedup.release(ext)
+  }
+}

@@ -194,11 +194,168 @@ object HtmlText {
     u(html)
   }
 
+  // ---------------------------------------------------------------------
+  // Charset-aware body decoding. Real crawl HTML is ~10% non-UTF-8
+  // (windows-1252, Shift_JIS, GBK, ...); a UTF-8-only decode turns those
+  // pages into silent mojibake that flows into dedup, LM scoring and the
+  // corpus. Resolution ladder (the browser order, WHATWG-style):
+  //   1. BOM (UTF-8 / UTF-16LE / UTF-16BE)
+  //   2. HTTP Content-Type charset= parameter
+  //   3. <meta charset=> / <meta http-equiv Content-Type> in the first
+  //      1024 bytes (ASCII-compatible prefix scan)
+  //   4. strict-UTF-8 validity probe (unlabeled modern pages)
+  //   5. windows-1252 (the HTML5 default; total -- every byte maps)
+  // A labeled charset whose STRICT decode fails falls back to
+  // windows-1252 with `fallback = true` -- wrong labels are real crawl
+  // data, and the flag makes the silent-mojibake rate observable.
+  // ---------------------------------------------------------------------
+
+  private val Win1252 = java.nio.charset.Charset.forName("windows-1252")
+
+  /** WHATWG-ish label mapping: browsers treat the latin1/ascii family as
+    * windows-1252 and gb2312 as GBK; unknown labels yield None (the
+    * ladder continues rather than throwing on crawl garbage). */
+  private[pipeline] def charsetForLabel(label: String)
+      : Option[java.nio.charset.Charset] = {
+    if (label == null) return None
+    val l = label.trim.toLowerCase.stripPrefix("\"").stripPrefix("'")
+      .stripSuffix("\"").stripSuffix("'")
+    if (l.isEmpty) return None
+    val canonical = l match {
+      case "utf-8" | "utf8" | "unicode-1-1-utf-8" => "UTF-8"
+      case "iso-8859-1" | "iso8859-1" | "latin1" | "latin-1" | "l1" |
+           "us-ascii" | "ascii" | "windows-1252" | "cp1252" | "x-cp1252" =>
+        "windows-1252"
+      case "shift_jis" | "shift-jis" | "sjis" | "x-sjis" | "ms_kanji" =>
+        "Shift_JIS"
+      case "gb2312" | "gbk" | "x-gbk" | "gb_2312-80" | "csgb2312" => "GBK"
+      case "big5" | "big5-hkscs" | "cn-big5" | "x-x-big5" => "Big5"
+      case "euc-jp" | "x-euc-jp" => "EUC-JP"
+      case "euc-kr" | "ks_c_5601-1987" | "korean" => "EUC-KR"
+      case "utf-16" | "utf16" => "UTF-16"
+      case "utf-16le" => "UTF-16LE"
+      case "utf-16be" => "UTF-16BE"
+      case other => other
+    }
+    try Some(java.nio.charset.Charset.forName(canonical))
+    catch { case _: Exception => None }
+  }
+
+  private val HeaderCharsetRe =
+    java.util.regex.Pattern.compile(
+      "(?i)charset\\s*=\\s*['\"]?\\s*([A-Za-z0-9._:\\-]+)")
+  private val MetaCharsetRe =
+    java.util.regex.Pattern.compile(
+      "(?i)<meta[^>]+charset\\s*=\\s*['\"]?\\s*([A-Za-z0-9._:\\-]+)")
+
+  private def labelFromHeader(contentType: String): Option[String] = {
+    if (contentType == null) return None
+    val m = HeaderCharsetRe.matcher(contentType)
+    if (m.find()) Some(m.group(1)) else None
+  }
+
+  /** Sniff `<meta charset=...>` from the (ASCII-compatible) first 1024
+    * bytes -- covers both the HTML5 form and the http-equiv form. */
+  private def labelFromMeta(body: Array[Byte]): Option[String] = {
+    val n = math.min(body.length, 1024)
+    val prefix = new String(body, 0, n,
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val m = MetaCharsetRe.matcher(prefix)
+    if (m.find()) Some(m.group(1)) else None
+  }
+
+  private def strictDecode(cs: java.nio.charset.Charset, b: Array[Byte],
+                           off: Int): Option[String] = {
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try Some(dec.decode(java.nio.ByteBuffer.wrap(b, off, b.length - off))
+      .toString)
+    catch { case _: java.nio.charset.CharacterCodingException => None }
+  }
+
+  private def replaceDecode(cs: java.nio.charset.Charset, b: Array[Byte],
+                            off: Int): String = {
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(b, off, b.length - off)).toString
+  }
+
+  /** Decode one crawl body via the ladder. Returns (text, resolved
+    * charset name, fallback?) where fallback means the declared/implied
+    * charset did not cleanly decode and bytes were reinterpreted
+    * (windows-1252, or REPLACE for BOM-implied UTF-16) -- the
+    * possible-mojibake telemetry signal. Total: never throws. */
+  def decodeBody(contentType: String, body: Array[Byte])
+      : (String, String, Boolean) = {
+    if (body == null || body.isEmpty) return ("", "UTF-8", false)
+    // 1. BOM wins over every label (a BOM is a byte-level fact)
+    if (body.length >= 3 && (body(0) & 0xFF) == 0xEF &&
+        (body(1) & 0xFF) == 0xBB && (body(2) & 0xFF) == 0xBF) {
+      return strictDecode(java.nio.charset.StandardCharsets.UTF_8, body, 3)
+        .map((_, "UTF-8", false))
+        .getOrElse((replaceDecode(
+          java.nio.charset.StandardCharsets.UTF_8, body, 3), "UTF-8", true))
+    }
+    if (body.length >= 2 && (body(0) & 0xFF) == 0xFF && (body(1) & 0xFF) == 0xFE) {
+      val cs = java.nio.charset.StandardCharsets.UTF_16LE
+      return strictDecode(cs, body, 2).map((_, "UTF-16LE", false))
+        .getOrElse((replaceDecode(cs, body, 2), "UTF-16LE", true))
+    }
+    if (body.length >= 2 && (body(0) & 0xFF) == 0xFE && (body(1) & 0xFF) == 0xFF) {
+      val cs = java.nio.charset.StandardCharsets.UTF_16BE
+      return strictDecode(cs, body, 2).map((_, "UTF-16BE", false))
+        .getOrElse((replaceDecode(cs, body, 2), "UTF-16BE", true))
+    }
+    // 2/3. transport header, then meta sniff
+    val labeled = labelFromHeader(contentType).flatMap(charsetForLabel)
+      .orElse(labelFromMeta(body).flatMap(charsetForLabel))
+    labeled match {
+      case Some(cs) =>
+        strictDecode(cs, body, 0) match {
+          case Some(t) => (t, cs.name(), false)
+          case None => // wrong label: total windows-1252 reinterpretation
+            (replaceDecode(Win1252, body, 0), Win1252.name(), true)
+        }
+      case None =>
+        // 4. unlabeled: strict UTF-8 probe; 5. the HTML5 1252 default
+        strictDecode(java.nio.charset.StandardCharsets.UTF_8, body, 0)
+          .map((_, "UTF-8", false))
+          .getOrElse((replaceDecode(Win1252, body, 0), Win1252.name(), false))
+    }
+  }
+
   /** Extract text from a binary HTML body column (the
-    * [[graft.sources.Warc.warcRecords]] output shape): UTF-8 decode then
-    * the kernel, one map-side pass. */
+    * [[graft.sources.Warc.warcRecords]] output shape): charset-aware
+    * decode (see [[decodeBody]] -- BOM > HTTP header > meta sniff >
+    * UTF-8 probe > windows-1252) then the kernel, one map-side pass per
+    * row; the decoded full HTML never materializes as a column.
+    *
+    * `contentTypeCol` is consulted when present (the warcRecords schema
+    * carries `http_content_type`); absent, the ladder starts at the
+    * byte-level steps. Pass `charsetCol` to also emit the resolved
+    * charset name plus a `<charsetCol>_fallback` boolean -- the
+    * wrong-label/mojibake telemetry columns. */
   def extractFromBodies(records: DataFrame, bodyCol: String = "body",
-                        outCol: String = "text"): DataFrame =
-    records.withColumn(outCol,
-      htmlToTextCol(col(bodyCol).cast("string")))
+                        outCol: String = "text",
+                        contentTypeCol: String = "http_content_type",
+                        charsetCol: String = null): DataFrame = {
+    require(!records.columns.contains("_charset_dec"),
+      "column name _charset_dec is reserved by extractFromBodies")
+    val ct =
+      if (records.columns.contains(contentTypeCol)) col(contentTypeCol)
+      else lit(null).cast("string")
+    val dec = udf { (contentType: String, body: Array[Byte]) =>
+      val (html, charset, fellBack) = decodeBody(contentType, body)
+      (htmlToText(html), charset, fellBack)
+    }
+    val withDec = records.withColumn("_charset_dec", dec(ct, col(bodyCol)))
+      .withColumn(outCol, col("_charset_dec._1"))
+    val out =
+      if (charsetCol == null) withDec
+      else withDec.withColumn(charsetCol, col("_charset_dec._2"))
+        .withColumn(s"${charsetCol}_fallback", col("_charset_dec._3"))
+    out.drop("_charset_dec")
+  }
 }

@@ -81,7 +81,17 @@ object Warc {
     * decoder must stream through. */
   def encodeWarc(records: Seq[(String, Int, Array[Byte])],
                  date: String = "2026-01-01T00:00:00Z",
-                 gzipPerRecord: Boolean = false): Array[Byte] = {
+                 gzipPerRecord: Boolean = false): Array[Byte] =
+    encodeWarcTyped(records.map { case (u, st, b) =>
+      (u, st, "text/plain; charset=utf-8", b)
+    }, date, gzipPerRecord)
+
+  /** [[encodeWarc]] with a per-record HTTP Content-Type — the shape the
+    * charset-aware extraction fixtures need (crawl responses declare
+    * their charset in this header ~60% of the time). */
+  def encodeWarcTyped(records: Seq[(String, Int, String, Array[Byte])],
+                      date: String = "2026-01-01T00:00:00Z",
+                      gzipPerRecord: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def member(write: java.io.OutputStream => Unit): Unit =
       if (!gzipPerRecord) write(out)
@@ -94,11 +104,11 @@ object Warc {
       "urn:uuid:00000000-0000-0000-0000-000000000000",
       "application/warc-fields",
       "software: graft\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
-    records.foreach { case (uri, status, body) =>
+    records.foreach { case (uri, status, contentType, body) =>
       val reason = if (status == 200) "OK" else "Not Found"
       member(o => encodeRecord(o, "response", uri, date,
         s"urn:uuid:${uri.hashCode}", "application/http;msgtype=response",
-        httpResponsePayload(status, reason, "text/plain; charset=utf-8", body)))
+        httpResponsePayload(status, reason, contentType, body)))
     }
     out.toByteArray
   }

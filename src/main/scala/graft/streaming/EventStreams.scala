@@ -19,6 +19,9 @@ import java.sql.Timestamp
  */
 object EventStreams extends Serializable {
 
+  @transient private lazy val log =
+    org.slf4j.LoggerFactory.getLogger(getClass)
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
 
@@ -733,27 +736,20 @@ object EventStreams extends Serializable {
     warcFiles.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val inst = StreamInstallmentBase + batchId.toInt
-        val docs = graft.pipeline.HtmlText.extractFromBodies(
-            graft.sources.Warc.warcRecords(batch.toDF(), payloadCol).toDF()
-              .filter(col("warc_type") === "response" &&
-                col("http_status") === 200),
-            "body", "text")
-          .select(col("target_uri").as("url"), col("text"))
-          .filter(length(col("text")) > 0)
-          .localCheckpoint() // parse+extract once: feeds probe AND append
-        try {
-          val dupIds = graft.dedup.Dedup.minhashIndexProbe(spark, indexPath,
-              docs, "text", "url", threshold, maxBucketSize,
-              asOfInstallment = inst - 1)
-            .select(col("new_id").as("url")).distinct()
-          val fresh = docs.join(dupIds, Seq("url"), "left_anti")
-            .localCheckpoint()
-          try {
-            graft.dedup.Dedup.minhashIndexAppendAt(spark, indexPath, fresh,
-              inst, "text", "url")
-            sink(fresh, batchId)
-          } finally graft.dedup.Dedup.release(fresh)
-        } finally graft.dedup.Dedup.release(docs)
+        // the shared batch body: charset-aware extract -> probe asOf
+        // inst-1 -> replay-idempotent fold-in at inst; per-batch decode/
+        // prune telemetry goes to the executor log so silent-drop rates
+        // are observable on a live crawl
+        val (_, stats) = graft.pipeline.Crawl.ingestBatch(spark,
+          graft.sources.Warc.warcRecords(batch.toDF(), payloadCol).toDF(),
+          indexPath, inst, threshold, maxBucketSize) { fresh =>
+          sink(fresh, batchId)
+        }
+        log.info(s"crawlIngestStream batch $batchId: " +
+          s"responses=${stats.responses} " +
+          s"charset_fallbacks=${stats.charsetFallbacks} " +
+          s"empty=${stats.emptyText} dups=${stats.duplicates} " +
+          s"appended=${stats.appended}")
         ()
     }
 

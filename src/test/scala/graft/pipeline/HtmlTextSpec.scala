@@ -69,4 +69,84 @@ class HtmlTextSpec extends SparkTestBase {
     assert(extracted("https://t/1") === "alpha & beta")
     assert(extracted("https://t/2") === "two\nlines")
   }
+
+  private def dec(ct: String, bytes: Array[Byte]) = HtmlText.decodeBody(ct, bytes)
+  private def enc(t: String, cs: String) =
+    t.getBytes(java.nio.charset.Charset.forName(cs))
+
+  test("charset ladder: header label, meta sniff, BOM, UTF-8 probe, 1252 default") {
+    // HTTP header label wins for a correctly-labeled windows-1252 page
+    val euro = "<p>\u20ACuro r\u00E9sum\u00E9</p>"
+    val (t1, c1, f1) = dec("text/html; charset=windows-1252", enc(euro, "windows-1252"))
+    assert((t1, c1, f1) === (euro, "windows-1252", false))
+    // latin1/ascii family labels are windows-1252 (browser behavior)
+    assert(dec("text/html;charset=ISO-8859-1", enc(euro, "windows-1252"))._2
+      === "windows-1252")
+    // meta charset sniff (no header param), Shift_JIS
+    val sjHtml = "<html><head><meta charset=shift_jis></head>" +
+      "<body><p>\u65E5\u672C\u8A9E</p></body></html>"
+    val (t3, c3, f3) = dec("text/html", enc(sjHtml, "Shift_JIS"))
+    assert((c3, f3) === ("Shift_JIS", false))
+    assert(t3.contains("\u65E5\u672C\u8A9E"))
+    // http-equiv form sniffs too
+    val eqHtml = "<html><head><meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=windows-1252\"></head><body>\u20AC</body></html>"
+    assert(dec(null, enc(eqHtml, "windows-1252"))._2 === "windows-1252")
+    // UTF-16LE BOM, unlabeled: BOM wins, BOM bytes not in the text
+    val u16 = Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+      enc("<p>\u0431\u0443\u043A\u0432\u03BB</p>", "UTF-16LE")
+    val (t4, c4, f4) = dec(null, u16)
+    assert((t4, c4, f4) === ("<p>\u0431\u0443\u043A\u0432\u03BB</p>", "UTF-16LE", false))
+    // BOM beats a contradicting header label
+    assert(dec("text/html; charset=shift_jis", u16)._2 === "UTF-16LE")
+    // unlabeled valid UTF-8: the strict probe finds it
+    val (t5, c5, f5) = dec("text/html", "caf\u00E9 \u65E5\u672C".getBytes("UTF-8"))
+    assert((t5, c5, f5) === ("caf\u00E9 \u65E5\u672C", "UTF-8", false))
+    // unlabeled NON-UTF-8: the HTML5 windows-1252 default (not a fallback)
+    val (t6, c6, f6) = dec(null, Array[Byte]('a', 0xE9.toByte, 'b'))
+    assert((t6, c6, f6) === ("a\u00E9b", "windows-1252", false))
+  }
+
+  test("charset ladder: wrong labels fall back observably; garbage is total") {
+    // labeled utf-8 but the bytes are windows-1252: strict decode fails,
+    // total 1252 reinterpretation, fallback flag raised
+    val bytes1252 = enc("r\u00E9sum\u00E9", "windows-1252")
+    val (t, c, f) = dec("text/html; charset=utf-8", bytes1252)
+    assert((t, c, f) === ("r\u00E9sum\u00E9", "windows-1252", true))
+    // unknown charset label: ladder continues to the UTF-8 probe
+    assert(dec("text/html; charset=x-no-such-charset", "ok".getBytes("UTF-8"))
+      === (("ok", "UTF-8", false)))
+    // truncated UTF-16 (odd byte count) after a BOM: REPLACE, flagged
+    val odd = Array[Byte](0xFF.toByte, 0xFE.toByte, 'a', 0, 'x')
+    val (tOdd, cOdd, fOdd) = dec(null, odd)
+    assert(cOdd === "UTF-16LE" && fOdd === true && tOdd.startsWith("a"))
+    // null/empty bodies are total
+    assert(dec(null, null) === (("", "UTF-8", false)))
+    assert(dec("text/html", Array.empty[Byte]) === (("", "UTF-8", false)))
+  }
+
+  test("extractFromBodies decodes per-record charsets through the WARC chain") {
+    val docs = Seq(
+      (1L, "text/html; charset=windows-1252",
+        enc("<p>\u20AC 100</p>", "windows-1252")),
+      (2L, "text/html",
+        enc("<html><head><meta charset=\"shift_jis\"></head>" +
+          "<body><p>\u65E5\u672C</p></body></html>", "Shift_JIS")),
+      (3L, "text/html",
+        Array[Byte](0xFF.toByte, 0xFE.toByte) ++ enc("<p>b\u00F6m</p>", "UTF-16LE")),
+      (4L, "text/html; charset=utf-8", enc("<p>caf\u00E9</p>", "windows-1252")))
+    val warc = graft.sources.Warc.encodeWarcTyped(
+      docs.map { case (id, ct, b) => (s"https://t/$id", 200, ct, b) })
+    val files = Seq((0L, warc)).toDF("g", "payload")
+    val recs = graft.sources.Warc.warcRecords(files).toDF()
+      .filter($"warc_type" === "response")
+    val got = HtmlText.extractFromBodies(recs, charsetCol = "cs")
+      .select($"target_uri", $"text", $"cs", $"cs_fallback")
+      .as[(String, String, String, Boolean)].collect()
+      .map { case (u, t, c, f) => (u, (t, c, f)) }.toMap
+    assert(got("https://t/1") === (("\u20AC 100", "windows-1252", false)))
+    assert(got("https://t/2") === (("\u65E5\u672C", "Shift_JIS", false)))
+    assert(got("https://t/3") === (("b\u00F6m", "UTF-16LE", false)))
+    assert(got("https://t/4") === (("caf\u00E9", "windows-1252", true)))
+  }
 }
