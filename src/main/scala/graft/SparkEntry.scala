@@ -1180,6 +1180,41 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // THE PRODUCTION CONFIGURATION of ingest pruning -- nprobe << nlist,
+    // the shape that runs at 100 TB (per-batch cost |probed lists|, ~4/16
+    // of the corpus instead of all of it; measured 24-33 s vs 50+ s at
+    // sf1). Exactness still holds on THIS fixture deterministically:
+    // every planted >= 0.98 pair is a scalar multiple (x2, -1x, -2x), so
+    // batch vector and stored twin have IDENTICAL direction and route to
+    // IDENTICAL top-nprobe centroid lists -- the stored twin's own list
+    // is always probed at any nprobe >= 1, and no non-parallel pair
+    // reaches the 0.98 threshold in random high-dim data. Same oracle as
+    // the flat scan; the flat form stays declared as the
+    // exactness-contract sibling.
+    "emb_probe_prune_routed" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfsq8_prune_r_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.index.Quantize.ivfSq8Build(e, idxPath, nlist = 16,
+          fitSampleFraction = 0.5)
+      }
+      val batch = e.filter(col("vec_id") % 20 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
+        .unionByName(e.filter(col("vec_id") % 30 === 0)
+          .select((col("vec_id") + 2000000L).as("vec_id"),
+            transform(col("embedding"), x => -x).as("embedding")))
+        .unionByName(e.filter(col("vec_id") % 30 === 0)
+          .select((col("vec_id") + 3000000L).as("vec_id"),
+            transform(col("embedding"), x => x * lit(-2.0f)).as("embedding")))
+      graft.index.Quantize.ivfSq8ProbePrune(s, idxPath, batch,
+          threshold = 0.98, nprobe = 4, broadcastDrop = true)
+        .select("vec_id")
+        .orderBy("vec_id")
+    }),
+
     // IVF-SQ8 + REFINE (FAISS IndexRefineFlat composition): quantized
     // candidate generation over probed code lists, then an EXACT float
     // re-rank of the bounded pool against the raw sidecar the build
@@ -6046,6 +6081,9 @@ object SparkEntry {
     // answer must equal the flat scan — the oracle is emb_probe_prune's
     // SQL verbatim (same scale formula: maxAbs over the whole corpus)
     "emb_ivfsq8_probe_prune" -> probePruneOracleSql,
+    // routed production shape: deterministic-exact on this fixture (all
+    // true pairs are scalar multiples -> identical routing; see query doc)
+    "emb_probe_prune_routed" -> probePruneOracleSql,
     // append path: two installments + compaction must reproduce the
     // one-shot whole-corpus ranking bit-for-bit, so the oracle is
     // doc_bm25_topk's SQL verbatim

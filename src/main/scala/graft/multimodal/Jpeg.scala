@@ -1,13 +1,15 @@
 package graft.multimodal
 
 /**
- * Baseline JPEG (ITU T.81) codec, dependency-free — the image container
- * crawl data actually arrives in. The DECODER is the production artifact:
- * baseline/extended sequential (SOF0/SOF1), grayscale or YCbCr with any
- * 1–2 sampling factors (4:4:4, 4:2:2, 4:2:0), multiple DQT/DHT segments,
- * restart markers (DRI/RSTn), APPn/COM skipping, entropy-stream byte
- * de-stuffing, and a double-precision separable IDCT. Corrupt, truncated,
- * progressive (SOF2), arithmetic-coded, and 12-bit inputs all yield None —
+ * JPEG (ITU T.81) codec, dependency-free — the image container crawl
+ * data actually arrives in. The DECODER is the production artifact:
+ * baseline/extended sequential (SOF0/SOF1) AND progressive (SOF2 — all
+ * four Annex G scan kinds, including successive-approximation
+ * refinement), grayscale or YCbCr with any 1–2 sampling factors (4:4:4,
+ * 4:2:2, 4:2:0), multiple DQT/DHT segments, restart markers (DRI/RSTn),
+ * APPn/COM skipping, entropy-stream byte de-stuffing, and a
+ * double-precision separable IDCT. Corrupt, truncated,
+ * arithmetic-coded, lossless, and 12-bit inputs all yield None —
  * never a task failure (the [[Multimodal.decodeFrames]] contract).
  *
  * The ENCODER exists for fixtures and specs: 4:4:4 (or grayscale),
@@ -480,6 +482,235 @@ object Jpeg {
     out.toByteArray
   }
 
+  /**
+   * Progressive (SOF2) encoder: the spectral-selection script -- one
+   * interleaved DC scan (Ss=0, Se=0) followed by one full-band AC scan
+   * per component (Ss=1, Se=63), EOB-per-block, no successive
+   * approximation. 4:4:4 (or grayscale) like [[encode]], same
+   * quality-scaled tables and Annex K Huffman tables, optional restart
+   * interval applied per scan. Every conformant progressive decoder
+   * (ImageIO cross-checked in spec) reads the output; successive-
+   * approximation DECODE coverage comes from ImageIO-written fixtures.
+   */
+  def encodeProgressive(w: Int, h: Int, px: Array[Byte], quality: Int = 90,
+                        gray: Boolean = false,
+                        restartInterval: Int = 0): Array[Byte] = {
+    val ncomp = if (gray) 1 else 3
+    require(px.length == w * h * (if (gray) 1 else 3),
+      s"JPEG needs w*h*${if (gray) 1 else 3} bytes, got ${px.length}")
+    require(w > 0 && h > 0 && w <= 65535 && h <= 65535, "bad dimensions")
+    val qLuma = scaledQ(BaseQLuma, quality)
+    val qChroma = scaledQ(BaseQChroma, quality)
+    val out = new java.io.ByteArrayOutputStream()
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xFF); out.write(v & 0xFF) }
+    def marker(m: Int): Unit = { out.write(0xFF); out.write(m) }
+    marker(0xD8)
+    marker(0xE0); u16(16)
+    out.write("JFIF".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    out.write(0); out.write(1); out.write(1)
+    out.write(0); u16(1); u16(1)
+    out.write(0); out.write(0)
+    def dqt(id: Int, tbl: Array[Int]): Unit = {
+      marker(0xDB); u16(67); out.write(id)
+      var i = 0
+      while (i < 64) { out.write(tbl(Zigzag(i))); i += 1 }
+    }
+    dqt(0, qLuma)
+    if (!gray) dqt(1, qChroma)
+    marker(0xC2) // SOF2: progressive
+    u16(8 + 3 * ncomp)
+    out.write(8)
+    u16(h); u16(w)
+    out.write(ncomp)
+    var c = 0
+    while (c < ncomp) {
+      out.write(c + 1)
+      out.write(0x11)
+      out.write(if (c == 0) 0 else 1)
+      c += 1
+    }
+    def dht(clazz: Int, id: Int, bits: Array[Int], vals: Array[Byte]): Unit = {
+      marker(0xC4); u16(19 + vals.length)
+      out.write((clazz << 4) | id)
+      bits.foreach(out.write)
+      out.write(vals, 0, vals.length)
+    }
+    dht(0, 0, StdDcLumaBits, StdDcLumaVals)
+    dht(1, 0, StdAcLumaBits, StdAcLumaVals)
+    if (!gray) {
+      dht(0, 1, StdDcChromaBits, StdDcChromaVals)
+      dht(1, 1, StdAcChromaBits, StdAcChromaVals)
+    }
+    if (restartInterval > 0) { marker(0xDD); u16(4); u16(restartInterval) }
+    // ---- quantize every block of every component up front
+    val mcusX = (w + 7) / 8
+    val mcusY = (h + 7) / 8
+    val nMcus = mcusX * mcusY
+    val pw = mcusX * 8
+    val ph = mcusY * 8
+    val planes = Array.ofDim[Byte](ncomp, pw * ph)
+    var y = 0
+    while (y < ph) {
+      val sy = math.min(y, h - 1)
+      var x = 0
+      while (x < pw) {
+        val sx = math.min(x, w - 1)
+        if (gray) planes(0)(y * pw + x) = px(sy * w + sx)
+        else {
+          val p = (sy * w + sx) * 3
+          val r = px(p) & 0xFF
+          val g = px(p + 1) & 0xFF
+          val b = px(p + 2) & 0xFF
+          val yy = (19595 * r + 38470 * g + 7471 * b + 32768) >> 16
+          val cb = ((-11059 * r - 21709 * g + 32768 * b + 32768) >> 16) + 128
+          val cr = ((32768 * r - 27439 * g - 5329 * b + 32768) >> 16) + 128
+          planes(0)(y * pw + x) = math.max(0, math.min(255, yy)).toByte
+          planes(1)(y * pw + x) = math.max(0, math.min(255, cb)).toByte
+          planes(2)(y * pw + x) = math.max(0, math.min(255, cr)).toByte
+        }
+        x += 1
+      }
+      y += 1
+    }
+    val block = new Array[Double](64)
+    val freq = new Array[Double](64)
+    // quant(c)(mcu * 64 + k): zig-zag order, AC clamped to table range
+    val quant = Array.ofDim[Int](ncomp, nMcus * 64)
+    var mcu = 0
+    while (mcu < nMcus) {
+      val bx = (mcu % mcusX) * 8
+      val by = (mcu / mcusX) * 8
+      c = 0
+      while (c < ncomp) {
+        val qt = if (c == 0) qLuma else qChroma
+        var i = 0
+        while (i < 64) {
+          block(i) = (planes(c)((by + i / 8) * pw + bx + i % 8) & 0xFF) - 128.0
+          i += 1
+        }
+        fdct8x8(block, freq)
+        i = 0
+        while (i < 64) {
+          val q = math.round(freq(Zigzag(i)) / qt(Zigzag(i))).toInt
+          quant(c)(mcu * 64 + i) =
+            if (i == 0) q else math.max(-1023, math.min(1023, q))
+          i += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    // ---- per-scan bit writer
+    var acc = 0L
+    var nbits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      if (len == 0) return
+      acc = (acc << len) | (code & ((1L << len) - 1))
+      nbits += len
+      while (nbits >= 8) {
+        nbits -= 8
+        val b = ((acc >> nbits) & 0xFF).toInt
+        out.write(b)
+        if (b == 0xFF) out.write(0x00)
+      }
+      acc &= (1L << nbits) - 1
+    }
+    def flushBits(): Unit =
+      if (nbits > 0) putBits((1 << (8 - nbits)) - 1, 8 - nbits)
+    def category(v: Int): Int = {
+      var m = math.abs(v)
+      var s = 0
+      while (m != 0) { m >>= 1; s += 1 }
+      s
+    }
+    val dcEnc = Array.tabulate(ncomp)(i =>
+      if (i == 0) new HuffEncoder(StdDcLumaBits, StdDcLumaVals)
+      else new HuffEncoder(StdDcChromaBits, StdDcChromaVals))
+    val acEnc = Array.tabulate(ncomp)(i =>
+      if (i == 0) new HuffEncoder(StdAcLumaBits, StdAcLumaVals)
+      else new HuffEncoder(StdAcChromaBits, StdAcChromaVals))
+    def sos(compIds: Seq[Int], ss: Int, se: Int): Unit = {
+      marker(0xDA)
+      u16(6 + 2 * compIds.length)
+      out.write(compIds.length)
+      compIds.foreach { ci =>
+        out.write(ci + 1)
+        out.write(if (ci == 0) 0x00 else 0x11)
+      }
+      out.write(ss); out.write(se); out.write(0) // Ah=Al=0
+    }
+    // ---- scan 1: interleaved DC
+    sos(0 until ncomp, 0, 0)
+    val dcPrev = new Array[Int](ncomp)
+    var sinceRestart = 0
+    var restartId = 0
+    mcu = 0
+    while (mcu < nMcus) {
+      if (restartInterval > 0 && sinceRestart == restartInterval) {
+        flushBits()
+        marker(0xD0 + restartId)
+        restartId = (restartId + 1) % 8
+        java.util.Arrays.fill(dcPrev, 0)
+        sinceRestart = 0
+      }
+      c = 0
+      while (c < ncomp) {
+        val dc = quant(c)(mcu * 64)
+        val diff = dc - dcPrev(c)
+        dcPrev(c) = dc
+        val s = category(diff)
+        putBits(dcEnc(c).codeOf(s), dcEnc(c).lenOf(s))
+        if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+        c += 1
+      }
+      sinceRestart += 1
+      mcu += 1
+    }
+    flushBits()
+    // ---- one AC scan per component
+    c = 0
+    while (c < ncomp) {
+      sos(Seq(c), 1, 63)
+      sinceRestart = 0
+      restartId = 0
+      mcu = 0
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && sinceRestart == restartInterval) {
+          flushBits()
+          marker(0xD0 + restartId)
+          restartId = (restartId + 1) % 8
+          sinceRestart = 0
+        }
+        var k = 1
+        var run = 0
+        while (k < 64) {
+          val v = quant(c)(mcu * 64 + k)
+          if (v == 0) run += 1
+          else {
+            while (run >= 16) {
+              putBits(acEnc(c).codeOf(0xF0), acEnc(c).lenOf(0xF0))
+              run -= 16
+            }
+            val sz = category(v)
+            val sym = (run << 4) | sz
+            putBits(acEnc(c).codeOf(sym), acEnc(c).lenOf(sym))
+            putBits(if (v >= 0) v else v + (1 << sz) - 1, sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (run > 0) // EOB: an EOB-run of exactly one block
+          putBits(acEnc(c).codeOf(0x00), acEnc(c).lenOf(0x00))
+        sinceRestart += 1
+        mcu += 1
+      }
+      flushBits()
+      c += 1
+    }
+    marker(0xD9)
+    out.toByteArray
+  }
+
   // ------------------------------------------------------------------
   // Decoder
   // ------------------------------------------------------------------
@@ -537,9 +768,13 @@ object Jpeg {
             }
             if (comps.exists(c => c.hs < 1 || c.hs > 2 || c.vs < 1 ||
               c.vs > 2 || c.qId > 3)) return None
-          case 0xC2 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
+          case 0xC2 =>
+            // progressive: multi-scan coefficient accumulation over the
+            // same Huffman/dequant/IDCT pieces -- its own walk
+            return decodeProgressive(bytes)
+          case 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA | 0xCB |
                0xCD | 0xCE | 0xCF =>
-            return None // progressive / arithmetic / hierarchical
+            return None // lossless / arithmetic / hierarchical
           case 0xDB => // DQT: one or more tables
             var p = body
             while (p < body + bodyLen) {
@@ -736,7 +971,455 @@ object Jpeg {
       sinceRestart += 1
       mcu += 1
     }
-    // ---- upsample + color-convert to top-down RGB
+    Some((w, h, planesToRgb(w, h, comps, planes, planeW, hmax, vmax)))
+  }
+
+  /**
+   * Progressive JPEG (SOF2) decoder: coefficients accumulate across
+   * scans in per-component Int arrays (zig-zag order per block), then
+   * dequantize + IDCT once at EOI. All four scan kinds of T.81 Annex G:
+   * DC first (interleaved or not, `<< Al`), DC refinement (one bit per
+   * block), AC first with EOB runs (spectral selection, single
+   * component), and AC successive-approximation refinement (correction
+   * bits). Restart markers reset DC predictors AND the EOB run per
+   * interval, in any scan. Corrupt/truncated input yields None.
+   *
+   * Memory: coefficient storage is 4 bytes/sample, capped at 1 GiB
+   * total (a 268-megasample image) -- beyond that a progressive file
+   * reads as undecodable rather than an executor OOM.
+   */
+  private def decodeProgressive(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    def u16(at: Int): Int =
+      ((bytes(at) & 0xFF) << 8) | (bytes(at + 1) & 0xFF)
+    val qTables = new Array[Array[Int]](4)
+    val dcTables = new Array[HuffTable](4)
+    val acTables = new Array[HuffTable](4)
+    var comps: Array[Component] = null
+    var w = 0
+    var h = 0
+    var restartInterval = 0
+    var hmax = 1
+    var vmax = 1
+    var mcusX = 0
+    var mcusY = 0
+    var blocksWFull: Array[Int] = null // MCU-padded block dims (storage)
+    var blocksHFull: Array[Int] = null
+    var blocksW: Array[Int] = null     // true component block dims (T.81)
+    var blocksH: Array[Int] = null
+    var coefs: Array[Array[Int]] = null // per comp: block-major, zigzag idx
+    var eoiSeen = false
+    var pos = 2
+
+    // ---- one scan's entropy decode; returns the position after the scan
+    // data (at the next marker) or -1 on corrupt input
+    def decodeScan(sosBody: Int, sosBodyLen: Int, scanStart: Int): Int = {
+      val ns = bytes(sosBody) & 0xFF
+      if (ns < 1 || ns > comps.length || sosBodyLen < 1 + 2 * ns + 3) return -1
+      val scanComps = new Array[Int](ns)
+      var i = 0
+      while (i < ns) {
+        val cid = bytes(sosBody + 1 + 2 * i) & 0xFF
+        val tt = bytes(sosBody + 2 + 2 * i) & 0xFF
+        val ci = comps.indexWhere(_.id == cid)
+        if (ci < 0) return -1
+        comps(ci).dcTable = (tt >> 4) & 0xF
+        comps(ci).acTable = tt & 0xF
+        scanComps(i) = ci
+        i += 1
+      }
+      val ss = bytes(sosBody + 1 + 2 * ns) & 0xFF
+      val se = bytes(sosBody + 2 + 2 * ns) & 0xFF
+      val ahal = bytes(sosBody + 3 + 2 * ns) & 0xFF
+      val ah = (ahal >> 4) & 0xF
+      val al = ahal & 0xF
+      if (ss > 63 || se > 63 || se < ss || al > 13) return -1
+      if (ss == 0 && se != 0) return -1  // progressive DC scans are DC-only
+      if (ss > 0 && ns != 1) return -1   // AC scans are non-interleaved
+      // bit reader (identical shape to the sequential path)
+      var bitBuf = 0L
+      var bitCnt = 0
+      var p = scanStart
+      var hitMarker = false
+      def fillTo(n: Int): Unit = {
+        while (bitCnt < n) {
+          if (hitMarker || p >= bytes.length) {
+            bitBuf = (bitBuf << 8) | 0xFF
+            bitCnt += 8
+          } else {
+            val b = bytes(p) & 0xFF
+            if (b == 0xFF) {
+              val nxt = if (p + 1 < bytes.length) bytes(p + 1) & 0xFF else -1
+              if (nxt == 0x00) {
+                bitBuf = (bitBuf << 8) | 0xFF
+                bitCnt += 8
+                p += 2
+              } else hitMarker = true
+            } else {
+              bitBuf = (bitBuf << 8) | b
+              bitCnt += 8
+              p += 1
+            }
+          }
+        }
+      }
+      def getBits(n: Int): Int = {
+        if (n == 0) return 0
+        fillTo(n)
+        val v = ((bitBuf >> (bitCnt - n)) & ((1L << n) - 1)).toInt
+        bitCnt -= n
+        v
+      }
+      def decodeHuff(t: HuffTable): Int = {
+        var code = 0
+        var len = 0
+        while (len < 16) {
+          code = (code << 1) | getBits(1)
+          len += 1
+          val sym = t.symbol(len, code)
+          if (sym >= 0) return sym
+        }
+        -1
+      }
+      def extend(v: Int, sz: Int): Int =
+        if (sz == 0) 0 else if (v < (1 << (sz - 1))) v - (1 << sz) + 1 else v
+      val dcPrev = new Array[Int](comps.length)
+      var eobrun = 0
+      var sinceRestart = 0
+      def expectRestart(): Boolean = {
+        bitCnt = 0
+        bitBuf = 0
+        if (!hitMarker) {
+          while (p + 1 < bytes.length && !((bytes(p) & 0xFF) == 0xFF &&
+            (bytes(p + 1) & 0xFF) != 0x00)) p += 1
+        }
+        if (p + 1 >= bytes.length) return false
+        val m = bytes(p + 1) & 0xFF
+        if (m < 0xD0 || m > 0xD7) return false
+        p += 2
+        hitMarker = false
+        java.util.Arrays.fill(dcPrev, 0)
+        eobrun = 0
+        sinceRestart = 0
+        true
+      }
+      val p1 = 1 << al  // refinement magnitudes
+      val m1 = -1 << al
+      // refine one nonzero coefficient in place (correction bit)
+      def refineBit(arr: Array[Int], at: Int): Unit = {
+        if (getBits(1) == 1 && (arr(at) & p1) == 0)
+          arr(at) += (if (arr(at) >= 0) p1 else m1)
+      }
+      // ---- decode one block's worth of one scan kind
+      def dcFirst(ci: Int, idx: Int): Boolean = {
+        val t = dcTables(comps(ci).dcTable)
+        if (t == null) return false
+        val sz = decodeHuff(t)
+        if (sz < 0 || sz > 15) return false
+        val diff = extend(getBits(sz), sz)
+        dcPrev(ci) += diff
+        coefs(ci)(idx) = dcPrev(ci) << al
+        true
+      }
+      def dcRefine(ci: Int, idx: Int): Boolean = {
+        if (getBits(1) == 1) coefs(ci)(idx) |= p1
+        true
+      }
+      def acFirst(ci: Int, idx: Int): Boolean = {
+        if (eobrun > 0) { eobrun -= 1; return true }
+        val t = acTables(comps(ci).acTable)
+        if (t == null) return false
+        val arr = coefs(ci)
+        var k = ss
+        while (k <= se) {
+          val rs = decodeHuff(t)
+          if (rs < 0) return false
+          val r = (rs >> 4) & 0xF
+          val sz = rs & 0xF
+          if (sz == 0) {
+            if (r < 15) {
+              eobrun = (1 << r) - 1
+              if (r > 0) eobrun += getBits(r)
+              k = se + 1
+            } else k += 16 // ZRL
+          } else {
+            k += r
+            if (k > se) return false
+            arr(idx + k) = extend(getBits(sz), sz) << al
+            k += 1
+          }
+        }
+        true
+      }
+      def acRefine(ci: Int, idx: Int): Boolean = {
+        val arr = coefs(ci)
+        var k = ss
+        if (eobrun == 0) {
+          val t = acTables(comps(ci).acTable)
+          if (t == null) return false
+          var broke = false
+          while (k <= se && !broke) {
+            val rs = decodeHuff(t)
+            if (rs < 0) return false
+            var r = (rs >> 4) & 0xF
+            val sz = rs & 0xF
+            var newVal = 0
+            if (sz == 0) {
+              if (r < 15) {
+                eobrun = (1 << r)
+                if (r > 0) eobrun += getBits(r)
+                broke = true // this block's tail refines in the EOB branch
+              }
+              // r == 15: ZRL -- skip 16 zero-history coefs below
+            } else {
+              if (sz != 1) return false
+              newVal = if (getBits(1) != 0) p1 else m1
+            }
+            if (!broke) {
+              // advance over r zero-history coefs, correcting nonzero ones
+              var placed = false
+              while (k <= se && !placed) {
+                if (arr(idx + k) != 0) refineBit(arr, idx + k)
+                else {
+                  if (r == 0) {
+                    if (newVal != 0) arr(idx + k) = newVal
+                    placed = true
+                  } else r -= 1
+                }
+                k += 1
+              }
+              if (!placed && newVal != 0) return false // ran off the band
+            }
+          }
+        }
+        if (eobrun > 0) {
+          while (k <= se) {
+            if (arr(idx + k) != 0) refineBit(arr, idx + k)
+            k += 1
+          }
+          eobrun -= 1
+        }
+        true
+      }
+      def blockAt(ci: Int, bx: Int, by: Int): Int =
+        (by * blocksWFull(ci) + bx) * 64
+      // ---- drive the units
+      if (ss == 0) { // DC scan: MCU-interleaved when ns > 1
+        if (ns > 1) {
+          val nMcus = mcusX * mcusY
+          var mcu = 0
+          while (mcu < nMcus) {
+            if (restartInterval > 0 && sinceRestart == restartInterval &&
+              !expectRestart()) return -1
+            val mx = mcu % mcusX
+            val my = mcu / mcusX
+            var si = 0
+            while (si < ns) {
+              val ci = scanComps(si)
+              val c = comps(ci)
+              var blk = 0
+              while (blk < c.hs * c.vs) {
+                val idx = blockAt(ci, mx * c.hs + blk % c.hs,
+                  my * c.vs + blk / c.hs)
+                val okB = if (ah == 0) dcFirst(ci, idx) else dcRefine(ci, idx)
+                if (!okB) return -1
+                blk += 1
+              }
+              si += 1
+            }
+            sinceRestart += 1
+            mcu += 1
+          }
+        } else {
+          val ci = scanComps(0)
+          val bw = blocksW(ci)
+          val nBlocks = bw * blocksH(ci)
+          var b = 0
+          while (b < nBlocks) {
+            if (restartInterval > 0 && sinceRestart == restartInterval &&
+              !expectRestart()) return -1
+            val idx = blockAt(ci, b % bw, b / bw)
+            val okB = if (ah == 0) dcFirst(ci, idx) else dcRefine(ci, idx)
+            if (!okB) return -1
+            sinceRestart += 1
+            b += 1
+          }
+        }
+      } else { // AC scan: single component, raster block order
+        val ci = scanComps(0)
+        val bw = blocksW(ci)
+        val nBlocks = bw * blocksH(ci)
+        var b = 0
+        while (b < nBlocks) {
+          if (restartInterval > 0 && sinceRestart == restartInterval &&
+            !expectRestart()) return -1
+          val idx = blockAt(ci, b % bw, b / bw)
+          val okB = if (ah == 0) acFirst(ci, idx) else acRefine(ci, idx)
+          if (!okB) return -1
+          sinceRestart += 1
+          b += 1
+        }
+      }
+      // resync to the next marker for the outer walk
+      if (!hitMarker) {
+        while (p + 1 < bytes.length && !((bytes(p) & 0xFF) == 0xFF &&
+          (bytes(p + 1) & 0xFF) != 0x00)) p += 1
+      }
+      p
+    }
+
+    // ---- marker walk across ALL scans, up to EOI
+    while (!eoiSeen) {
+      if (pos + 2 > bytes.length) return None
+      if ((bytes(pos) & 0xFF) != 0xFF) return None
+      var m = bytes(pos + 1) & 0xFF
+      while (m == 0xFF) {
+        pos += 1
+        if (pos + 2 > bytes.length) return None
+        m = bytes(pos + 1) & 0xFF
+      }
+      if (m == 0xD9) eoiSeen = true
+      else if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) pos += 2
+      else {
+        if (pos + 4 > bytes.length) return None
+        val len = u16(pos + 2)
+        if (len < 2 || pos + 2 + len > bytes.length) return None
+        val body = pos + 4
+        val bodyLen = len - 2
+        var posAdvanced = false
+        m match {
+          case 0xC2 =>
+            if (comps != null) return None // one frame only
+            if (bodyLen < 6) return None
+            if ((bytes(body) & 0xFF) != 8) return None
+            h = u16(body + 1)
+            w = u16(body + 3)
+            val nc = bytes(body + 5) & 0xFF
+            if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
+            if (w.toLong * h * 3 > Int.MaxValue) return None
+            if (bodyLen < 6 + 3 * nc) return None
+            comps = Array.tabulate(nc) { i =>
+              val o = body + 6 + 3 * i
+              val hv = bytes(o + 1) & 0xFF
+              Component(bytes(o) & 0xFF, (hv >> 4) & 0xF, hv & 0xF,
+                bytes(o + 2) & 0xFF)
+            }
+            if (comps.exists(c => c.hs < 1 || c.hs > 2 || c.vs < 1 ||
+              c.vs > 2 || c.qId > 3)) return None
+            hmax = comps.map(_.hs).max
+            vmax = comps.map(_.vs).max
+            mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+            mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+            blocksWFull = comps.map(c => mcusX * c.hs)
+            blocksHFull = comps.map(c => mcusY * c.vs)
+            blocksW = comps.map(c => ((w * c.hs + hmax - 1) / hmax + 7) / 8)
+            blocksH = comps.map(c => ((h * c.vs + vmax - 1) / vmax + 7) / 8)
+            // 1 GiB coefficient-storage cap (4 B/sample)
+            val totalSamples = comps.indices.map(i =>
+              blocksWFull(i).toLong * blocksHFull(i) * 64).sum
+            if (totalSamples * 4 > (1L << 30)) return None
+            coefs = comps.indices.map(i =>
+              new Array[Int]((blocksWFull(i) * blocksHFull(i) * 64))).toArray
+          case 0xC0 | 0xC1 | 0xC3 | 0xC5 | 0xC6 | 0xC7 | 0xC9 | 0xCA |
+               0xCB | 0xCD | 0xCE | 0xCF =>
+            return None // a second/other frame type inside the stream
+          case 0xDB =>
+            var p2 = body
+            while (p2 < body + bodyLen) {
+              val pq = (bytes(p2) >> 4) & 0xF
+              val tq = bytes(p2) & 0xF
+              if (tq > 3) return None
+              if (pq == 0) {
+                if (p2 + 65 > body + bodyLen) return None
+                val t = new Array[Int](64)
+                var i = 0
+                while (i < 64) { t(Zigzag(i)) = bytes(p2 + 1 + i) & 0xFF; i += 1 }
+                qTables(tq) = t
+                p2 += 65
+              } else if (pq == 1) {
+                if (p2 + 129 > body + bodyLen) return None
+                val t = new Array[Int](64)
+                var i = 0
+                while (i < 64) { t(Zigzag(i)) = u16(p2 + 1 + 2 * i); i += 1 }
+                qTables(tq) = t
+                p2 += 129
+              } else return None
+            }
+          case 0xC4 =>
+            var p2 = body
+            while (p2 < body + bodyLen) {
+              if (p2 + 17 > body + bodyLen) return None
+              val clazz = (bytes(p2) >> 4) & 0xF
+              val id = bytes(p2) & 0xF
+              if (clazz > 1 || id > 3) return None
+              val bits = Array.tabulate(16)(i => bytes(p2 + 1 + i) & 0xFF)
+              val n = bits.sum
+              if (n == 0 || n > 256 || p2 + 17 + n > body + bodyLen) return None
+              val vals = java.util.Arrays.copyOfRange(bytes, p2 + 17, p2 + 17 + n)
+              val t = new HuffTable(bits, vals)
+              if (!t.ok) return None
+              if (clazz == 0) dcTables(id) = t else acTables(id) = t
+              p2 += 17 + n
+            }
+          case 0xDD =>
+            if (bodyLen < 2) return None
+            restartInterval = u16(body)
+          case 0xDA =>
+            if (comps == null) return None
+            val next = decodeScan(body, bodyLen, pos + 2 + len)
+            if (next < 0) return None
+            pos = next
+            posAdvanced = true
+          case _ => () // APPn / COM / DNL: skip by length
+        }
+        if (!posAdvanced) pos += 2 + len
+      }
+    }
+    if (comps == null) return None
+    // ---- dequantize + IDCT every stored block into the planes
+    for (c <- comps) if (qTables(c.qId) == null) return None
+    val planes = comps.indices.map(i =>
+      new Array[Byte](blocksWFull(i) * 8 * blocksHFull(i) * 8)).toArray
+    val planeW = comps.indices.map(i => blocksWFull(i) * 8).toArray
+    val coeffs = new Array[Double](64)
+    val spatial = new Array[Double](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val qt = qTables(comps(ci).qId)
+      val arr = coefs(ci)
+      val bw = blocksWFull(ci)
+      val nBlocks = bw * blocksHFull(ci)
+      val pw = planeW(ci)
+      var b = 0
+      while (b < nBlocks) {
+        val idx = b * 64
+        var k = 0
+        while (k < 64) {
+          val rz = Zigzag(k)
+          coeffs(rz) = arr(idx + k).toDouble * qt(rz)
+          k += 1
+        }
+        idct8x8(coeffs, spatial)
+        val bx = (b % bw) * 8
+        val by = (b / bw) * 8
+        var i = 0
+        while (i < 64) {
+          val v = math.round(spatial(i) + 128.0).toInt
+          planes(ci)((by + i / 8) * pw + bx + i % 8) =
+            math.max(0, math.min(255, v)).toByte
+          i += 1
+        }
+        b += 1
+      }
+      ci += 1
+    }
+    Some((w, h, planesToRgb(w, h, comps, planes, planeW, hmax, vmax)))
+  }
+
+  /** Shared decode tail: nearest-neighbor upsample + YCbCr→RGB (or gray
+    * replication) from the component planes to top-down RGB. */
+  private def planesToRgb(w: Int, h: Int, comps: Array[Component],
+                          planes: Array[Array[Byte]], planeW: Array[Int],
+                          hmax: Int, vmax: Int): Array[Byte] = {
     val rgb = new Array[Byte](w * h * 3)
     if (comps.length == 1) {
       val pw = planeW(0)
@@ -774,6 +1457,6 @@ object Jpeg {
         y += 1
       }
     }
-    Some((w, h, rgb))
+    rgb
   }
 }

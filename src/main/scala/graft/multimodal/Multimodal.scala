@@ -1333,8 +1333,17 @@ object Multimodal {
       val h = 16 + (id % 8).toInt
       val gray = id % 5 == 0
       val px = fixtureStream(tb, w * h * (if (gray) 1 else 3))
-      val payload = Jpeg.encode(w, h, px, quality = 85, gray = gray,
-        restartInterval = if (id % 3 == 0) 2 else 0)
+      // odd ids encode PROGRESSIVE (SOF2, DC scan + per-component AC
+      // scans) -- a large share of real web JPEGs; the oracle pins the
+      // same dims + ok, so a decoder that drops progressive arms
+      // hash-mismatches
+      val ri = if (id % 3 == 0) 2 else 0
+      val payload =
+        if (id % 2 == 1)
+          Jpeg.encodeProgressive(w, h, px, quality = 85, gray = gray,
+            restartInterval = ri)
+        else Jpeg.encode(w, h, px, quality = 85, gray = gray,
+          restartInterval = ri)
       MediaRow(id, payload, MediaMeta("image", w, h, 1, 0))
     }
   }

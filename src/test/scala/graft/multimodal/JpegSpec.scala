@@ -135,11 +135,12 @@ class JpegSpec extends SparkTestBase {
     assert(mean <= 2.0, s"mean cross-decode divergence $mean")
   }
 
-  test("rejects progressive, truncated, and corrupt payloads without throwing") {
+  test("rejects mislabeled, truncated, and corrupt payloads without throwing") {
     val w = 24; val h = 16
     val enc = Jpeg.encode(w, h, smoothRgb(w, h))
     assert(Jpeg.decode(enc).isDefined)
-    // flip SOF0 (FFC0) to SOF2 (FFC2): progressive — unsupported, None
+    // flip SOF0 (FFC0) to SOF2 (FFC2): a baseline-shaped scan (Ss=0,
+    // Se=63) is illegal inside a progressive frame - still None
     val prog = enc.clone()
     val sofAt = (0 until enc.length - 1).find(i =>
       (enc(i) & 0xFF) == 0xFF && (enc(i + 1) & 0xFF) == 0xC0).get
@@ -153,6 +154,93 @@ class JpegSpec extends SparkTestBase {
     assert(Jpeg.decode(null).isEmpty)
     // corrupt a Huffman table byte: must not throw
     Jpeg.decode { val c = enc.clone(); c(enc.length / 3) = 0x7F; c }
+  }
+
+  private def imageIoEncodeProgressive(w: Int, h: Int,
+                                       rgb: Array[Byte]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val o = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(o) & 0xFF) << 16) | ((rgb(o + 1) & 0xFF) << 8)
+          | (rgb(o + 2) & 0xFF))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = writer.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    writer.dispose(); ios.close()
+    val bytes = bos.toByteArray
+    // sanity: the writer really emitted SOF2
+    assert((0 until bytes.length - 1).exists(i =>
+      (bytes(i) & 0xFF) == 0xFF && (bytes(i + 1) & 0xFF) == 0xC2),
+      "ImageIO progressive fixture must contain SOF2")
+    bytes
+  }
+
+  test("progressive encode->decode round-trips; ImageIO agrees both directions") {
+    val w = 41; val h = 23 // partial MCUs on both axes
+    val rgb = smoothRgb(w, h)
+    for (ri <- Seq(0, 3)) {
+      val enc = Jpeg.encodeProgressive(w, h, rgb, quality = 92,
+        restartInterval = ri)
+      // our own decoder
+      val Some((dw, dh, mine)) = Jpeg.decode(enc)
+      assert((dw, dh) === (w, h), s"ri=$ri")
+      assert(maxAbsDiff(rgb, mine) <= 14,
+        s"q92 smooth progressive round-trip (ri=$ri): ${maxAbsDiff(rgb, mine)}")
+      // an independent decoder reads our progressive stream identically
+      val (iw, ih, theirs) = imageIoDecode(enc)
+      assert((iw, ih) === (w, h))
+      assert(maxAbsDiff(mine, theirs) <= 2,
+        s"cross-decoder progressive divergence (ri=$ri): " +
+          s"${maxAbsDiff(mine, theirs)}")
+    }
+    // grayscale progressive: DC scan + single AC scan
+    val g = Array.tabulate(w * h)(k => (k * 255 / (w * h - 1)).toByte)
+    val encG = Jpeg.encodeProgressive(w, h, g, quality = 92, gray = true)
+    val Some((_, _, mineG)) = Jpeg.decode(encG)
+    val (_, _, theirsG) = imageIoDecode(encG)
+    assert(maxAbsDiff(mineG, theirsG) <= 2,
+      s"gray progressive: ${maxAbsDiff(mineG, theirsG)}")
+  }
+
+  test("ImageIO-written progressive (successive approximation) decodes") {
+    // the JDK writer emits a libjpeg-style multi-scan script with DC/AC
+    // successive approximation AND 4:2:0 subsampling - the refinement
+    // scan kinds our own encoder does not produce
+    val w = 48; val h = 32
+    val rgb = smoothRgb(w, h)
+    val enc = imageIoEncodeProgressive(w, h, rgb)
+    val Some((dw, dh, mine)) = Jpeg.decode(enc)
+    assert((dw, dh) === (w, h))
+    val (_, _, theirs) = imageIoDecode(enc)
+    assert(maxAbsDiff(mine, theirs) <= 16,
+      s"progressive 4:2:0 cross-decode diverged ${maxAbsDiff(mine, theirs)}")
+    val mean = mine.indices.map(i =>
+      math.abs((mine(i) & 0xFF) - (theirs(i) & 0xFF))).sum.toDouble / mine.length
+    assert(mean <= 2.0, s"mean progressive cross-decode divergence $mean")
+  }
+
+  test("progressive corrupt/truncated payloads are total") {
+    val w = 32; val h = 24
+    val enc = Jpeg.encodeProgressive(w, h, smoothRgb(w, h), quality = 90)
+    assert(Jpeg.decode(enc).isDefined)
+    Seq(1, 3, 30, 200, enc.length / 2, enc.length - 3).foreach { cut =>
+      Jpeg.decode(java.util.Arrays.copyOf(enc, cut)) // None or garbage, no throw
+    }
+    // corrupt entropy bytes mid-stream: must not throw
+    Jpeg.decode { val c = enc.clone(); c(enc.length / 2) = 0x55; c }
+    Jpeg.decode { val c = enc.clone(); c(2 * enc.length / 3) = 0xFF.toByte; c }
   }
 
   test("fixture rows all decode with exact dimensions through the Spark path") {
