@@ -2685,6 +2685,80 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Crawl frontier: anchor-href extraction (the HtmlText.LinkPattern
+    // kernel -- O(n) scan, regex-equivalent semantics) -> absolute
+    // http(s) filter -> fragment strip -> anti-join against the
+    // already-crawled url set -> per-target reference counts. Fixture
+    // pages embed two deterministic NEW targets (one shared within an id
+    // decade -> n_refs aggregation), a comment-wrapped link (regex
+    // semantics: extracted), a self-link (anti-joined away), and a
+    // relative link, a mailto and a single-quoted href (all dropped by
+    // contract). The oracle rebuilds the surviving link multiset from
+    // the same doc_id arithmetic -- any extraction or filtering defect
+    // hash-mismatches.
+    "crawl_frontier" -> ((s, dir) => {
+      import s.implicits._
+      val pages = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val esc = text.replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          val own = s"https://h${id % 7}.example/page/$id"
+          val html =
+            s"""<html><body>
+               |<a href="https://h${(id * 3) % 7}.example/page/${id + 100000}#frag">next</a>
+               |<A HREF="https://h${(id * 5) % 7}.example/page/${id - (id % 10) + 200000}">decade hub</A>
+               |<!-- <a href="https://hc.example/c/${id % 13}">from comment</a> -->
+               |<a href="$own">self</a>
+               |<a href="/about">relative</a>
+               |<a href='https://dropme.example/sq'>single quoted</a>
+               |<a href="mailto:x@y">mail</a>
+               |<p>$esc</p>
+               |</body></html>""".stripMargin
+          (own, html)
+        }.toDF("page_url", "html")
+      val links = pages.select(
+          explode(graft.pipeline.HtmlText.htmlLinksCol(col("html"))).as("link"))
+        .filter(col("link").rlike("^https?://"))
+        .select(regexp_replace(col("link"), "#.*", "").as("url"))
+      links.join(pages.select(col("page_url").as("url")), Seq("url"), "left_anti")
+        .groupBy("url")
+        .agg(count(lit(1)).as("n_refs"))
+        .select(col("url"),
+          regexp_extract(col("url"), "^https?://([^/]*)", 1).as("host"),
+          col("n_refs"))
+        .orderBy("url")
+    }),
+
+    // RFC 9309 robots gate (pipeline.Robots): per-host robots.txt bodies
+    // parse into (agent, allow, path) rules; candidate urls keep only
+    // what the agent may fetch (winning group = longest named prefix
+    // else '*'; longest-match wins, allow wins ties, silent hosts allow).
+    // EVEN hosts carry a graftbot group (Disallow /page/1, Allow
+    // /page/12 -- the longest-match override) plus a Disallow-all '*'
+    // group that must NOT apply to us; ODD hosts restrict only otherbot.
+    // Literal prefixes only here so DuckDB rebuilds the decision with
+    // starts_with; wildcard/$ semantics are RobotsSpec's regex
+    // cross-check territory.
+    "crawl_robots_filter" -> ((s, dir) => {
+      import s.implicits._
+      val robots = (0 until 7).map { k =>
+        val body =
+          if (k % 2 == 0)
+            "User-agent: graftbot\nDisallow: /page/1\nAllow: /page/12\n" +
+              "User-agent: *\nDisallow: /"
+          else
+            "User-agent: otherbot\nDisallow: /"
+        (s"h$k.example", body)
+      }.toDF("host", "body")
+      val rules = graft.pipeline.Robots.rulesDf(robots)
+      val pages = tbl(s, dir, "documents")
+        .select(concat(lit("https://h"), col("doc_id") % 7,
+          lit(".example/page/"), col("doc_id")).as("url"))
+      graft.pipeline.Robots.filterAllowed(pages, rules, "GraftBot/2.1")
+        .orderBy("url")
+    }),
+
     // Charset-aware extraction: each document encodes into one of four
     // real crawl charsets (UTF-8 via <meta>, windows-1252 via the HTTP
     // header, Shift_JIS via <meta>, UTF-16LE via BOM -- the resolution
@@ -6437,6 +6511,52 @@ object SparkEntry {
         |  CAST(3 + CASE WHEN norm = '' THEN 0 ELSE 1 END AS BIGINT) AS n_lines,
         |  CAST(length(expected) AS BIGINT) AS n_chars
         |FROM e ORDER BY doc_id""".stripMargin,
+    // the robots decision rebuilt with literal prefix matching: even
+    // hosts drop /page/1* unless /page/12* (the allow override), odd
+    // hosts never restrict graftbot
+    "crawl_robots_filter" ->
+      """WITH pages AS (
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/page/' || CAST(doc_id AS VARCHAR) AS url,
+        |    doc_id % 7 AS k,
+        |    '/page/' || CAST(doc_id AS VARCHAR) AS path
+        |  FROM documents)
+        |SELECT url FROM pages
+        |WHERE (k % 2 = 1)
+        |   OR (NOT starts_with(path, '/page/1'))
+        |   OR starts_with(path, '/page/12')
+        |ORDER BY url""".stripMargin,
+    // the frontier's surviving link multiset rebuilt from the same
+    // doc_id arithmetic the fixture pages embed: two NEW targets, the
+    // comment-wrapped link (regex semantics: extracted), self links
+    // anti-joined away; relative/mailto/single-quoted never enter
+    "crawl_frontier" ->
+      """WITH crawled AS (
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/page/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |links AS (
+        |  SELECT 'https://h' || CAST((doc_id * 3) % 7 AS VARCHAR) ||
+        |         '.example/page/' || CAST(doc_id + 100000 AS VARCHAR) AS url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://h' || CAST((doc_id * 5) % 7 AS VARCHAR) ||
+        |         '.example/page/' ||
+        |         CAST(doc_id - (doc_id % 10) + 200000 AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://hc.example/c/' || CAST(doc_id % 13 AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT url FROM crawled),
+        |fresh AS (
+        |  SELECT l.url FROM links l
+        |  LEFT JOIN crawled c ON l.url = c.url
+        |  WHERE c.url IS NULL)
+        |SELECT url,
+        |  regexp_extract(url, '^https?://([^/]*)', 1) AS host,
+        |  CAST(count(*) AS BIGINT) AS n_refs
+        |FROM fresh GROUP BY url ORDER BY url""".stripMargin,
     // the crawl flagship's decision rebuilt in SQL: extraction (the
     // html_extract rebuild) composed with the exact shingle-Jaccard
     // near-dup test (the doc_incremental_dedup CTE) -- a mutated doc

@@ -207,7 +207,8 @@ object Main {
       val spark = session()
       graft.dedup.Dedup.minhashIndexBuild(spark.read.parquet(docs),
         textCol, idCol, idx)
-      println(s"index-build: ${spark.read.parquet(s"$idx/sets").count()} docs -> $idx")
+      println(s"index-build: ${spark.read.parquet(s"$idx/sets")
+        .select("id").distinct().count()} docs -> $idx")
       spark.stop()
 
     case "index-append" :: docs :: idx :: rest =>
@@ -216,7 +217,8 @@ object Main {
       val spark = session()
       graft.dedup.Dedup.minhashIndexAppend(spark, idx,
         spark.read.parquet(docs), textCol, idCol)
-      println(s"index-append: ${spark.read.parquet(s"$idx/sets").count()} docs total -> $idx")
+      println(s"index-append: ${spark.read.parquet(s"$idx/sets")
+        .select("id").distinct().count()} docs total -> $idx")
       spark.stop()
 
     case "index-probe" :: docs :: idx :: rest =>
@@ -542,6 +544,21 @@ object Main {
         s"charset_fallbacks=${stats.charsetFallbacks} " +
         s"empty_text=${stats.emptyText} near_dups=${stats.duplicates} " +
         s"appended=${stats.appended} -> $corpusOut; index installment $inst")
+      spark.stop()
+
+    case "robots-filter" :: urlsParquet :: robotsParquet :: agent :: out :: rest =>
+      // RFC 9309 gate: robotsParquet carries (host, body) robots.txt
+      // rows; urls keep only what `agent` may fetch (silent hosts allow)
+      val urlCol = rest.headOption.getOrElse("url")
+      val spark = session()
+      val urls = spark.read.parquet(urlsParquet)
+      val rules = graft.pipeline.Robots.rulesDf(
+        spark.read.parquet(robotsParquet))
+      val kept = graft.pipeline.Robots.filterAllowed(urls, rules, agent,
+        urlCol)
+      kept.write.mode("overwrite").parquet(out)
+      println(s"robots-filter: ${spark.read.parquet(out).count()} of " +
+        s"${urls.count()} urls allowed for $agent -> $out")
       spark.stop()
 
     case "warc-export" :: docsParquet :: outDir :: rest =>
@@ -948,6 +965,7 @@ object Main {
           |  warc-scan        <pathOrGlob> [maxSplitBytes]
           |  warc-export      <docsParquet> <outDir> [recordsPerShard] [uriCol] [bodyCol]
           |  crawl-ingest     <warcPathOrGlob> <minhashIndex> <corpusOutParquet> [threshold]
+          |  robots-filter    <urlsParquet> <robotsParquet> <agentToken> <outParquet> [urlCol]
           |  wds-extract      <pathOrGlob> <outParquet>
           |  warc-extract     <filesParquet> <outParquet> [payloadCol]
           |  hamming-build    <hashesParquet> <indexPath> [idCol] [hashCol]

@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
+  /** Max distinct candidate ids a [[minhashIndexProbe]] collects to the
+    * driver to push into the stored-sets scan as a filter (the
+    * row-group-skipping fast path); above this the verify step falls
+    * back to the plain join. 16k string ids ≈ a few MB on the driver. */
+  val ProbePushdownMaxCandidates: Int = 1 << 14
+
   // ------------------------------------------------------------- exact dedup
 
   /** Exact duplicate groups by content hash (md5 — portable to any engine). */
@@ -493,8 +499,17 @@ object Dedup {
    *    touches. Computed with a groupBy (map-side partial aggregation,
    *    AQE-splittable) — NOT a window over (band, bucket), which would
    *    funnel a degenerate boilerplate bucket through one task at build.
-   *  - `sets/installment=N/`: (id, sh) shingle sets for exact-Jaccard
-   *    verification.
+   *  - `sets/installment=N/`: (id, sh) shingle rows for exact-Jaccard
+   *    verification — EXPLODED, one row per (doc, shingle), NOT a
+   *    per-doc array column. Row width is therefore bounded by one
+   *    shingle (~tens of bytes) regardless of document length: a per-doc
+   *    `array<string>` column makes every later scan allocate
+   *    rows-per-batch × set-size contiguous buffers in the vectorized
+   *    parquet reader, which OOMs at crawl-scale documents (measured: a
+   *    1.2 GB batch of ~20 KB docs → ~60 KB sets → 32 threads × ~250 MB
+   *    batch buffers blew the heap at the first read-back). A doc whose
+   *    text yields no shingles keeps a single (id, null) presence row
+   *    (`explode_outer`), so stored-membership reads see every doc.
    *  - `meta/`: the banding parameters — part of the index contract, read
    *    back by append and probe so installments can never disagree.
    *
@@ -652,8 +667,11 @@ object Dedup {
       spark.catalog.refreshByPath(out.toString)
       rows
     }
-    val docs = swap("sets", graft.store.Tombstones.filter(spark, path,
+    swap("sets", graft.store.Tombstones.filter(spark, path,
       spark.read.parquet(s"$path/sets").drop("installment"), "id"))
+    // sets/ is exploded — the surviving DOC count is distinct ids
+    val docs = spark.read.parquet(s"$path/sets")
+      .select("id").distinct().count()
     swap("bands", graft.store.Tombstones.filter(spark, path,
       spark.read.parquet(s"$path/bands").drop("installment"), "id"))
     swap("sizes", spark.read.parquet(s"$path/bands")
@@ -707,9 +725,23 @@ object Dedup {
                                numHashes: Int, bands: Int): Unit = {
     val spark = df.sparkSession
     val rowsPerBand = numHashes / bands
+    // exploded rows (see the layout doc): bounded row width at any doc
+    // length; explode_outer keeps a (id, null) presence row for docs too
+    // short to shingle, so membership reads see every ingested doc.
+    // Range-clustered by id so every file/row-group carries a tight id
+    // min/max — the probe's candidate-id pushdown then skips everything
+    // outside the candidates' id range instead of scanning the whole
+    // stored shingle table (the table ∝ corpus; candidates ∝ batch).
     df.select(col(idCol).as("id"), shinglesUdf(shingleK)(col(textCol)).as("sh"))
+      .select(col("id"), explode_outer(col("sh")).as("sh"))
+      .repartitionByRange(col("id"))
       .write.mode("overwrite").parquet(s"$path/sets/installment=$installment")
+    // regroup for the signature: collect_list drops the null presence
+    // rows, reproducing the original (possibly empty) shingle set; the
+    // minhash signature is order-invariant, so exploded order is fine.
+    // This is the batch's own shuffle — appending 1 GB still costs 1 GB.
     spark.read.parquet(s"$path/sets/installment=$installment")
+      .groupBy("id").agg(collect_list(col("sh")).as("sh"))
       .withColumn("sig", minhashSigUdf(numHashes)(col("sh")))
       .select(col("id"), posexplode(bandHashes(col("sig"), bands, rowsPerBand))
         .as(Seq("band", "bucket")))
@@ -725,8 +757,9 @@ object Dedup {
    *
    * Scale shape: the BATCH side broadcasts (bands, then candidate pairs,
    * then batch shingle sets) — the stored index is only ever read
-   * map-side, never shuffled; the single exchange is the candidate-pair
-   * distinct. Degenerate buckets (boilerplate shingles shared by more
+   * map-side, never shuffled; the only exchanges are the candidate-pair
+   * distinct and the candidate-bounded regroup of the (exploded) stored
+   * shingle rows that survive the pair join. Degenerate buckets (boilerplate shingles shared by more
    * than `maxBucketSize` stored docs — they cannot identify near-dups
    * and would fan the probe out quadratically) are skipped by summing
    * the stored per-installment size deltas for ONLY the buckets the
@@ -809,9 +842,33 @@ object Dedup {
       .filter(col("id").cast("string") =!= col("new_id").cast("string"))
       .select(col("id"), col("new_id"))
       .distinct()
+      .localCheckpoint() // candidate-bounded; feeds the id collect + join
 
-    snapshot(spark.read.parquet(s"$path/sets"))
+    // Candidate-id pushdown: the stored shingle table grows with the
+    // CORPUS while candidates are bounded by the batch, so a full sets/
+    // scan per probe is the one stored-side cost that scales the wrong
+    // way (a billion-doc corpus is ~10^12 shingle rows; candidates are
+    // ~batch-sized). When the candidate set is driver-sized, push the
+    // ids into the scan as a filter — sets/ files are range-clustered by
+    // id at write, so parquet row-group min/max skip everything outside
+    // the candidates' id range (Spark pushes the In's [min,max] range
+    // once it exceeds the parquet in-filter threshold). Above the cap,
+    // fall back to the plain join — identical output.
+    val candIds = pairs.select("id").distinct()
+      .limit(ProbePushdownMaxCandidates + 1).collect().map(_.get(0))
+    val storedSetsAll = snapshot(spark.read.parquet(s"$path/sets"))
+    val storedSets =
+      if (candIds.length <= ProbePushdownMaxCandidates)
+        storedSetsAll.filter(col("id").isin(candIds.toIndexedSeq: _*))
+      else storedSetsAll
+
+    // sets/ is exploded (one row per stored shingle — see the layout
+    // doc); the broadcast pair join keeps it map-side and candidate-only,
+    // then collect_list regroups ONLY the candidate docs' shingles (a
+    // candidate-bounded exchange, never the stored corpus)
+    storedSets
       .join(batchSide(pairs), "id")
+      .groupBy("id", "new_id").agg(collect_list(col("sh")).as("sh"))
       .join(batchSide(newShingled), "new_id")
       .withColumn("jaccard",
         size(array_intersect(col("sh"), col("new_sh"))).cast("double") /

@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
  * the rate must be observable AT INGEST), how many extracted empty, how
  * many were pruned as near-dups, and how many were appended.
  *
- * Scale: the stored index never re-bands or shuffles (probe broadcasts
- * the batch); extraction is map-side; the only shuffles are the batch's
- * own shingle/band group-bys — ingesting 1 GB into a 100 TB corpus costs
- * the 1 GB batch's work.
+ * Scale: the stored index never re-bands (probe broadcasts the batch
+ * when it fits `broadcastMaxBytes` of extracted text; a bulk backfill
+ * batch above it takes the probe's hash-shuffled dual path instead of a
+ * multi-GB shingle-set broadcast); extraction is map-side; the dominant
+ * cost is the batch's own shingle/band work — ingesting 1 GB into a
+ * 100 TB corpus costs the 1 GB batch's work.
  */
 object Crawl {
 
@@ -50,7 +52,8 @@ object Crawl {
   def ingestBatch[A](spark: SparkSession, records: DataFrame,
                      indexPath: String, installment: Int,
                      threshold: Double = 0.8, maxBucketSize: Int = 1000,
-                     shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16)
+                     shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                     broadcastMaxBytes: Long = 64L << 20)
                     (use: DataFrame => A): (A, BatchStats) = {
     val resp = records.filter(col("warc_type") === "response" &&
       col("http_status") === 200)
@@ -62,11 +65,22 @@ object Crawl {
       val a = ext.agg(
         count(lit(1)).as("n"),
         sum(when(col("cs_fallback"), 1L).otherwise(0L)).as("fb"),
-        sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("empty"))
+        sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("empty"),
+        sum(length(col("text")).cast("long")).as("bytes"))
         .head()
       val responses = a.getLong(0)
       val fallbacks = if (a.isNullAt(1)) 0L else a.getLong(1)
       val empties = if (a.isNullAt(2)) 0L else a.getLong(2)
+      val textBytes = if (a.isNullAt(3)) 0L else a.getLong(3)
+      // broadcast the batch through the probe only when it is actually
+      // broadcastable: the probe ships the batch's SHINGLE SETS (several
+      // times the text bytes) to every executor, so a bulk backfill batch
+      // (GB-scale) must take the probe's hash-shuffled dual path instead —
+      // identical output, no broadcast OOM (measured: a 240 MB-of-text
+      // batch is a ~700 MB shingle-set broadcast). Streaming micro-batches
+      // stay comfortably under the default 64 MB and keep the
+      // stored-side-never-shuffles fast path.
+      val broadcastBatch = textBytes <= broadcastMaxBytes
       val docs = ext.filter(length(col("text")) > 0).select("url", "text")
       val conf = spark.sparkContext.hadoopConfiguration
       val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
@@ -80,6 +94,7 @@ object Crawl {
       } else {
         val dupIds = graft.dedup.Dedup.minhashIndexProbe(spark, indexPath,
             docs, "text", "url", threshold, maxBucketSize,
+            broadcastBatch = broadcastBatch,
             asOfInstallment = installment - 1)
           .select(col("new_id").as("url")).distinct()
         val fresh = docs.join(dupIds, Seq("url"), "left_anti")

@@ -194,6 +194,82 @@ object HtmlText {
     u(html)
   }
 
+  /** The exact pattern [[htmlLinks]] implements, in the Java∩RE2 subset
+    * (explicit `[\t\n\f\r ]`, no `\s` — the documented divergence class):
+    * DuckDB `regexp_extract_all(html, pattern, 1)` over the same string
+    * rebuilds the kernel's output verbatim, and HtmlTextSpec cross-checks
+    * the kernel against `java.util.regex` on every fixture. */
+  val LinkPattern: String = "(?i)<a[\\t\\n\\f\\r ][^>]*?href=\"([^\"]*)\""
+
+  /** Anchor hrefs in document order — the crawl-frontier feeder. The
+    * semantics are EXACTLY leftmost non-overlapping matches of
+    * [[LinkPattern]] (group 1), so the same pattern string is the
+    * portable oracle; but the implementation is an O(n) scan, because
+    * running the regex itself backtracks quadratically on real crawl
+    * pathologies (a megabyte of `<a ` starts with no closing `>` makes
+    * every attempt rescan to end-of-input). Mirrored regex behaviors the
+    * spec pins: case-insensitive `<a`/`href`, one mandatory RE2-`\s`
+    * char after the `a`, the lazy `[^>]*?` taking the FIRST `href="`
+    * before the tag's `>` (and, on an unclosed quote, falling forward to
+    * the next `href="` exactly as the lazy loop would), a capture that
+    * may cross `>` (`[^"]*`), and the scan resuming AFTER a match's
+    * closing quote. Double-quoted hrefs only — the single-quote form is
+    * out of contract (spec-pinned). Total: any input, never throws. */
+  def htmlLinks(html: String): Array[String] = {
+    if (html == null) return Array.empty
+    val n = html.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    def isWs(c: Char): Boolean =
+      c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == ' '
+    def lower(c: Char): Char = Character.toLowerCase(c)
+    var i = 0
+    while (i < n - 2) {
+      if (html.charAt(i) == '<' && lower(html.charAt(i + 1)) == 'a' &&
+        isWs(html.charAt(i + 2))) {
+        // inside `[^>]*?`: find the first `href="` before '>' (on an
+        // unclosed capture quote, continue from the next candidate —
+        // the lazy loop's backtrack order)
+        var j = i + 3
+        var matched = false
+        var done = false
+        while (!done && j < n && html.charAt(j) != '>') {
+          if (j + 5 < n && lower(html.charAt(j)) == 'h' &&
+            lower(html.charAt(j + 1)) == 'r' &&
+            lower(html.charAt(j + 2)) == 'e' &&
+            lower(html.charAt(j + 3)) == 'f' &&
+            html.charAt(j + 4) == '=' && html.charAt(j + 5) == '"') {
+            val capStart = j + 6
+            val capEnd = html.indexOf('"', capStart) // [^"]* may cross '>'
+            if (capEnd >= 0) {
+              out += html.substring(capStart, capEnd)
+              i = capEnd // resume after the closing quote (non-overlapping)
+              matched = true
+              done = true
+            } else j += 1 // no closing quote anywhere: this href can
+            // never complete; the lazy loop moves on
+          } else j += 1
+        }
+        if (!matched) {
+          // the scan proved no completable `href="` exists in
+          // (i+3, j] — j is the first '>' (or EOF). Any later `<a `
+          // start inside that region scans a SUBSET of it and fails
+          // identically, and no start fits between j-2 and the '>'
+          // itself, so jumping past j is regex-equivalent and keeps
+          // the kernel linear where the regex engine goes quadratic
+          // (the `<a <a <a …` no-'>' pathology).
+          i = j + 1
+        } else i += 1
+      } else i += 1
+    }
+    out.toArray
+  }
+
+  /** Column form: array of hrefs per page. */
+  def htmlLinksCol(html: Column): Column = {
+    val u = udf((s: String) => htmlLinks(s))
+    u(html)
+  }
+
   // ---------------------------------------------------------------------
   // Charset-aware body decoding. Real crawl HTML is ~10% non-UTF-8
   // (windows-1252, Shift_JIS, GBK, ...); a UTF-8-only decode turns those

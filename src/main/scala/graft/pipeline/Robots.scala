@@ -1,0 +1,206 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * RFC 9309 robots.txt evaluation — the crawl-politeness gate between a
+ * frontier and the fetcher. A crawl's robots bodies arrive in the same
+ * WARC stream as the pages (one `/robots.txt` response per host), so the
+ * natural shape is: parse each host's body ONCE into flat
+ * (agent, allow, path) rule rows, then gate candidate URLs host-by-host
+ * with longest-match evaluation.
+ *
+ * Semantics implemented (RFC 9309 §2):
+ *  - groups: one or more `user-agent:` lines followed by `allow:` /
+ *    `disallow:` rules; a later `user-agent` line after rules starts a
+ *    NEW group. Line comments (`#`) and unknown directives are ignored;
+ *    keys are case-insensitive; values trim surrounding blanks.
+ *  - agent selection: the group whose user-agent token is the LONGEST
+ *    case-insensitive prefix of the product token wins; `*` groups are
+ *    the fallback. All groups matching that winning token merge.
+ *  - rule evaluation: longest-match-wins over the url PATH; on equal
+ *    length `allow` wins; no matching rule (or no group) → allowed.
+ *    An empty `disallow:` value matches nothing (allows all).
+ *  - wildcards: `*` matches any char run, `$` anchors end-of-path —
+ *    matched in O(path·rule) by a two-pointer scan (no regex — crawl
+ *    inputs are adversarial; see HtmlText.htmlLinks for the precedent).
+ *
+ * Scale: rule tables are host-count-sized (tiny next to a corpus);
+ * [[filterAllowed]] joins candidates to per-host rule lists and
+ * evaluates map-side — broadcast the rules side when host cardinality
+ * is small, or let AQE pick on the host-keyed shuffle otherwise. The
+ * URL side is never collected or re-shuffled beyond that single join.
+ */
+object Robots {
+
+  /** One parsed rule: `allow=false` is a `disallow` line. `path` keeps
+    * the raw pattern (`*`/`$` intact). */
+  final case class Rule(agent: String, allow: Boolean, path: String)
+
+  /** Parse one robots.txt body into flat rules. Total: garbage lines are
+    * skipped; a body with no user-agent line yields no rules (RFC: rules
+    * outside a group are ignored). */
+  def parse(body: String): Seq[Rule] = {
+    if (body == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Rule]
+    var agents = List.empty[String] // current group's user-agent tokens
+    var inRules = false             // saw allow/disallow since last UA line
+    body.linesIterator.foreach { raw =>
+      val line = {
+        val h = raw.indexOf('#')
+        (if (h >= 0) raw.substring(0, h) else raw).trim
+      }
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val key = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(c + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) { agents = Nil; inRules = false } // new group
+            if (value.nonEmpty)
+              agents ::= value.toLowerCase(java.util.Locale.ROOT)
+          case "allow" | "disallow" if agents.nonEmpty =>
+            inRules = true
+            // an empty disallow allows everything = no rule; an empty
+            // allow is meaningless the same way
+            if (value.nonEmpty)
+              agents.foreach(a => out += Rule(a, key == "allow", value))
+          case _ => () // crawl-delay/sitemap/unknown: not access rules
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** RFC 9309 path-pattern match: literal chars, `*` any run, `$` end
+    * anchor (only meaningful as the last char; elsewhere literal —
+    * the de-facto interpretation). Two-pointer with single backtrack
+    * point per `*`: O(path·pattern) worst case, no regex. */
+  def pathMatches(pattern: String, path: String): Boolean = {
+    val p = pattern
+    val endAnchor = p.nonEmpty && p.charAt(p.length - 1) == '$'
+    val pat = if (endAnchor) p.substring(0, p.length - 1) else p
+    val m = pat.length
+    val n = path.length
+    var pi = 0; var si = 0
+    var starPi = -1; var starSi = -1
+    while (si < n) {
+      if (pi < m && (pat.charAt(pi) == path.charAt(si)) &&
+        pat.charAt(pi) != '*') { pi += 1; si += 1 }
+      else if (pi < m && pat.charAt(pi) == '*') {
+        starPi = pi; starSi = si; pi += 1
+      } else if (starPi >= 0) {
+        starSi += 1; si = starSi; pi = starPi + 1
+      } else {
+        // prefix semantics: pattern consumed = match (unless anchored)
+        return pi == m && !endAnchor
+      }
+      if (pi == m && !endAnchor) return true // prefix matched
+    }
+    // path exhausted: remaining pattern must be all '*'
+    var k = pi
+    while (k < m && pat.charAt(k) == '*') k += 1
+    k == m
+  }
+
+  /** Match LENGTH for longest-match ranking: RFC ranks by octet length
+    * of the matched pattern (wildcards count as written). */
+  private def ruleLen(pattern: String): Int = pattern.length
+
+  /** Evaluate one url path against one agent's merged rules:
+    * longest-match wins, allow wins ties, no match → allowed. */
+  def isAllowed(rules: Seq[(Boolean, String)], path: String): Boolean = {
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { case (allow, pattern) =>
+      if (pathMatches(pattern, path)) {
+        val l = ruleLen(pattern)
+        if (l > bestLen || (l == bestLen && allow && !bestAllow)) {
+          bestLen = l; bestAllow = allow
+        }
+      }
+    }
+    bestAllow
+  }
+
+  /** The group that governs `agentToken`: rules of the longest matching
+    * user-agent prefix, falling back to `*`. Token comparison is
+    * case-insensitive on the product token (RFC 9309 §2.2.1). */
+  def rulesForAgent(all: Seq[Rule], agentToken: String): Seq[(Boolean, String)] = {
+    val tok = agentToken.toLowerCase(java.util.Locale.ROOT)
+    val named = all.filter(r => r.agent != "*" && tok.startsWith(r.agent))
+    val pick =
+      if (named.nonEmpty) {
+        val best = named.map(_.agent.length).max
+        named.filter(_.agent.length == best)
+      } else all.filter(_.agent == "*")
+    pick.map(r => (r.allow, r.path))
+  }
+
+  /** Flat per-host rule rows from (host, robots body) pairs — parse once,
+    * persist/replay like any other corpus-side table. Output:
+    * (host, agent, allow, path). */
+  def rulesDf(robots: DataFrame, hostCol: String = "host",
+              bodyCol: String = "body"): DataFrame = {
+    val parseUdf = udf { (b: String) =>
+      parse(b).map(r => (r.agent, r.allow, r.path))
+    }
+    robots.select(col(hostCol).as("host"), explode(parseUdf(col(bodyCol)))
+        .as("r"))
+      .select(col("host"), col("r._1").as("agent"),
+        col("r._2").as("allow"), col("r._3").as("path"))
+  }
+
+  /** Column expression: url → path component ("" scheme-relative rest
+    * after the authority; no match → "/"). Portable: the same regexp
+    * runs in any RE2 engine. */
+  def pathOf(url: Column): Column = {
+    val p = regexp_extract(url, "^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$", 1)
+    when(p === "", lit("/")).otherwise(p)
+  }
+
+  /** Gate candidate urls through per-host rules for one agent token:
+    * keeps the urls the agent may fetch. `urls` needs a url column;
+    * hosts are derived with the same regexp as the frontier. Hosts with
+    * no robots rows allow everything (left join + null-rules = allowed).
+    *
+    * Shape: rules collapse to one row per host (collect_list of the
+    * winning agent group's rules — host-count-sized), then ONE join
+    * against the candidates; the verdict is a map-side UDF. Broadcast
+    * when the host universe is small. */
+  def filterAllowed(urls: DataFrame, rules: DataFrame, agentToken: String,
+                    urlCol: String = "url",
+                    broadcastRules: Boolean = true): DataFrame = {
+    require(!urls.columns.contains("_robots_host"),
+      "column name _robots_host is reserved by filterAllowed")
+    require(!urls.columns.contains("host") && !urls.columns.contains("rules"),
+      "url side must not carry host/rules columns (the join would be ambiguous)")
+    val tok = agentToken.toLowerCase(java.util.Locale.ROOT)
+    // winning agent group per host, resolved ONCE on the rules side:
+    // longest named prefix of the token, else '*'
+    val scored = rules
+      .withColumn("named", col("agent") =!= "*" &&
+        startswith(lit(tok), col("agent")))
+      .withColumn("alen", when(col("named"), length(col("agent")))
+        .otherwise(lit(-1)))
+    val winners = scored.groupBy("host")
+      .agg(max(col("alen")).as("best"))
+    val groupRules = scored.join(winners, Seq("host"))
+      .filter((col("best") >= 0 && col("alen") === col("best")) ||
+        (col("best") < 0 && col("agent") === "*"))
+      .groupBy("host")
+      .agg(collect_list(struct(col("allow"), col("path"))).as("rules"))
+    val rulesSide = if (broadcastRules) broadcast(groupRules) else groupRules
+    val verdict = udf { (rules: Seq[org.apache.spark.sql.Row], path: String) =>
+      rules == null ||
+        isAllowed(rules.map(r => (r.getBoolean(0), r.getString(1))), path)
+    }
+    urls
+      .withColumn("_robots_host",
+        regexp_extract(col(urlCol), "^https?://([^/]*)", 1))
+      .join(rulesSide, col("_robots_host") === col("host"), "left")
+      .filter(verdict(col("rules"), pathOf(col(urlCol))))
+      .drop("_robots_host", "host", "rules")
+  }
+}

@@ -348,10 +348,67 @@ class MinhashIndexSpec extends SparkTestBase {
     Dedup.minhashIndexAppend(spark, path,
       Seq((4L, "a fourth document appended later")).toDF("doc_id", "text"),
       "text", "doc_id")
-    val batch = Seq((101L, "the quick brown fox")).toDF("doc_id", "text")
+    // the batch must generate candidates: with zero candidate ids the
+    // pushdown filter constant-folds the verify join away entirely
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
     val plan = Dedup.minhashIndexProbe(spark, path, batch, "text", "doc_id")
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"stored side must not shuffle:\n$plan")
+    // the candidate-id pushdown must reach the stored-sets parquet scan:
+    // the verify step's cost is then ∝ candidates, not corpus
+    assert(plan.contains("In(id") || plan.contains("EqualTo(id"),
+      s"candidate ids must push into the sets/ scan:\n$plan")
+  }
+
+  test("sets/ stores EXPLODED shingle rows — row width bounded at any doc size") {
+    // regression: a per-doc array<string> column makes every sets/ scan
+    // allocate rows-per-batch × set-size contiguous vectorized-reader
+    // buffers; ~20 KB crawl docs (≈2500 shingles ≈ 60 KB arrays) OOMed a
+    // 1.2 GB ingest at the build's own read-back. The exploded layout
+    // keeps row width at one shingle regardless of doc length.
+    val words = (0 until 2500).map(i => s"w${i % 907}x$i")
+    val bigDoc = words.mkString(" ")
+    val nearDup = words.mkString(" ") + " tail banner words appended"
+    val path = tmpPath("mh-idx-exploded")
+    Dedup.minhashIndexBuild(
+      Seq((1L, bigDoc), (2L, "short unrelated filler document text here"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", path)
+
+    val sets = spark.read.parquet(s"$path/sets")
+    assert(sets.schema("sh").dataType ===
+      org.apache.spark.sql.types.StringType,
+      s"sets/ must be exploded rows, got ${sets.schema("sh").dataType}")
+    // one row per (doc, shingle); the big doc contributes ~2500 rows
+    assert(sets.filter($"id" === 1L).count() > 2000L)
+
+    val hits = Dedup.minhashIndexProbe(spark, path,
+      Seq((101L, nearDup)).toDF("doc_id", "text"), "text", "doc_id",
+      threshold = 0.8)
+      .select("corpus_id", "new_id").as[(Long, Long)].collect().toSet
+    assert(hits === Set((1L, 101L)))
+  }
+
+  test("short docs keep their single whole-text shingle through the exploded layout") {
+    // shinglesUdf gives a doc below k words ONE whole-text shingle; the
+    // exploded sets/ layout must preserve that row (and the jaccard-1.0
+    // self-match it implies), not drop the doc
+    val path = tmpPath("mh-idx-short")
+    Dedup.minhashIndexBuild(
+      Seq((1L, "ab"), (2L, "a normal document with enough words to shingle"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", path, shingleK = 3)
+    val stored = spark.read.parquet(s"$path/sets")
+      .select("id").distinct().as[Long].collect().toSet
+    assert(stored === Set(1L, 2L), "short doc must stay indexed")
+    val hits = Dedup.minhashIndexProbe(spark, path,
+      Seq((101L, "ab")).toDF("doc_id", "text"), "text", "doc_id",
+      threshold = 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(hits.map(h => (h._1, h._2)) === Seq((1L, 101L)))
+    assert(hits.head._3 === 1.0)
   }
 }

@@ -149,4 +149,59 @@ class HtmlTextSpec extends SparkTestBase {
     assert(got("https://t/3") === (("b\u00F6m", "UTF-16LE", false)))
     assert(got("https://t/4") === (("caf\u00E9", "windows-1252", true)))
   }
+
+  // ------------------------------------------------------------ htmlLinks
+
+  /** The independent implementation the kernel claims equivalence with. */
+  private def regexLinks(html: String): Seq[String] = {
+    val m = java.util.regex.Pattern.compile(HtmlText.LinkPattern).matcher(html)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group(1)
+    out.toSeq
+  }
+
+  test("htmlLinks equals the declared regex on contract and trap cases") {
+    val cases = Seq(
+      """<a href="https://x/1">one</a> <a href="https://x/2">two</a>""",
+      "<A\nHREF=\"https://upper/\">caps + newline ws</A>",
+      """<a class=btn href="https://attr/after">attrs before href</a>""",
+      """<a href='https://single/quote'>out of contract</a>""",
+      """<!-- <a href="https://in/comment">regex semantics</a> -->""",
+      """<a href="https://first" href="https://second">first wins</a>""",
+      """<a data-x="y" href="https://cross>gt">capture crosses ></a>""",
+      """<a href="https://unclosed then <a href="https://next/done">""",
+      """<ab href="https://not/anchor"> <a>no ws no href</a>""",
+      """<a href="https://no/closing-quote-ever""",
+      """<a  href="https://two/spaces">double ws</a>""",
+      "<a\thref=\"https://tab/ws\">tab</a>",
+      """text href="https://bare/">no tag<a>""",
+      """<a href="">empty</a><a href="#frag-only">f</a>""",
+      "")
+    for (c <- cases)
+      assert(HtmlText.htmlLinks(c).toSeq === regexLinks(c), s"case: $c")
+    // random tag soup: same answer as the regex on every sample
+    val rnd = new scala.util.Random(42)
+    val atoms = Seq("<a ", "href=\"", "\"", ">", "<", "a", " ", "x=", "'",
+      "https://r/", "HREF=\"", "<A\t", "</a>", "&", "\n")
+    for (_ <- 0 until 300) {
+      val s = Seq.fill(rnd.nextInt(40))(atoms(rnd.nextInt(atoms.length)))
+        .mkString
+      assert(HtmlText.htmlLinks(s).toSeq === regexLinks(s), s"soup: $s")
+    }
+  }
+
+  test("htmlLinks stays linear on the quadratic-regex pathology") {
+    // a megabyte of `<a ` starts with no '>' makes the regex engine
+    // rescan to EOF per attempt (~10^11 steps); the kernel must finish
+    // in linear time. 100 ms is ~100x the measured wall \u2014 generous
+    // enough for CI noise while still catching any quadratic regression.
+    val evil = "<a " * 350000 // ~1 MB
+    val t0 = System.nanoTime()
+    assert(HtmlText.htmlLinks(evil).isEmpty)
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(ms < 1000.0, s"adversarial scan took $ms ms \u2014 quadratic?")
+    // and the same input WITH one completable link at the end still finds it
+    val tail = evil + "<a href=\"https://survivor/\">"
+    assert(HtmlText.htmlLinks(tail).toSeq === Seq("https://survivor/"))
+  }
 }

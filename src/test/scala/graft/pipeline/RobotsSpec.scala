@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+
+/** RFC 9309 semantics: grouping, agent selection, longest-match with
+  * allow-tie, `*`/`$` patterns (cross-checked against an independent
+  * regex evaluator), and the DataFrame gate end-to-end. */
+class RobotsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("parse: groups, stacked agents, comments, unknown keys, empty disallow") {
+    val body =
+      """# a comment line
+        |User-Agent: GraftBot
+        |User-agent: OtherBot
+        |Disallow: /private/   # trailing comment
+        |Allow: /private/ok
+        |Crawl-delay: 10
+        |Sitemap: https://h/x.xml
+        |
+        |user-agent: *
+        |Disallow:
+        |disallow: /tmp/
+        |Allow : /tmp/keep
+        |noise line without colon
+        |Disallow: /after-blank-still-in-group
+        |""".stripMargin
+    val rules = Robots.parse(body)
+    // stacked agents both receive the group's two rules
+    assert(rules.count(_.agent == "graftbot") === 2)
+    assert(rules.count(_.agent == "otherbot") === 2)
+    assert(rules.filter(_.agent == "graftbot").map(r => (r.allow, r.path))
+      === Seq((false, "/private/"), (true, "/private/ok")))
+    // empty disallow adds no rule; the '*' group still gets the other two
+    assert(rules.filter(_.agent == "*").map(r => (r.allow, r.path))
+      === Seq((false, "/tmp/"), (true, "/tmp/keep"),
+        (false, "/after-blank-still-in-group")))
+    // rules before any user-agent line are dropped
+    assert(Robots.parse("Disallow: /x\nAllow: /y") === Seq.empty)
+    assert(Robots.parse(null) === Seq.empty)
+  }
+
+  /** Independent evaluator: the RFC pattern as an anchored regex. */
+  private def regexMatches(pattern: String, path: String): Boolean = {
+    val endAnchor = pattern.nonEmpty && pattern.last == '$'
+    val pat = if (endAnchor) pattern.dropRight(1) else pattern
+    val rx = pat.split("\\*", -1).map(java.util.regex.Pattern.quote)
+      .mkString(".*")
+    val full = "^" + rx + (if (endAnchor) "$" else ".*")
+    java.util.regex.Pattern.matches(full, path)
+  }
+
+  test("pathMatches equals the regex evaluator on curated and random cases") {
+    val cases = Seq(
+      ("/a", "/abc"), ("/a$", "/abc"), ("/a$", "/a"), ("/*c", "/abc"),
+      ("/a*", "/a"), ("/a*$", "/ab"), ("/x", "/a"), ("/*", "/"),
+      ("/p", "/"), ("/fish*.php", "/fishheads/catfish.php?x=2"),
+      ("/*.php$", "/index.php"), ("/*.php$", "/index.php?x=1"),
+      ("/a*b*c", "/aXbYbZc"), ("/a*b*c$", "/aXbYbZcd"),
+      ("/**/x", "/q/x"), ("/$", "/"), ("/$", "/a"), ("/", "/anything"))
+    for ((p, s) <- cases)
+      assert(Robots.pathMatches(p, s) === regexMatches(p, s), s"($p, $s)")
+    val rnd = new scala.util.Random(7)
+    val chars = "ab/*$."
+    def randStr(maxLen: Int): String =
+      Seq.fill(rnd.nextInt(maxLen))(chars(rnd.nextInt(chars.length))).mkString
+    for (_ <- 0 until 2000) {
+      val p = randStr(8)
+      val s = randStr(10).replace("$", "d") // paths rarely contain '$'
+      assert(Robots.pathMatches(p, s) === regexMatches(p, s),
+        s"pattern=$p path=$s")
+    }
+  }
+
+  test("isAllowed: longest match wins, allow wins ties, no match allows") {
+    val rules = Seq(
+      (false, "/p"), (true, "/page"), (false, "/page/private"))
+    assert(Robots.isAllowed(rules, "/page/1"))          // /page beats /p
+    assert(!Robots.isAllowed(rules, "/plain"))          // only /p matches
+    assert(!Robots.isAllowed(rules, "/page/private/x")) // longest disallow
+    assert(Robots.isAllowed(rules, "/other"))           // no match
+    // exact tie: allow wins
+    assert(Robots.isAllowed(Seq((false, "/t/"), (true, "/t/")), "/t/x"))
+    assert(Robots.isAllowed(Seq.empty, "/x"))
+  }
+
+  test("rulesForAgent: longest named prefix, '*' fallback") {
+    val all = Seq(
+      Robots.Rule("*", false, "/all"),
+      Robots.Rule("graft", false, "/g"),
+      Robots.Rule("graftbot", false, "/gb"))
+    assert(Robots.rulesForAgent(all, "GraftBot/1.0")
+      === Seq((false, "/gb")))
+    assert(Robots.rulesForAgent(all, "graft-x") === Seq((false, "/g")))
+    assert(Robots.rulesForAgent(all, "unrelated") === Seq((false, "/all")))
+    assert(Robots.rulesForAgent(Seq.empty, "x") === Seq.empty)
+  }
+
+  test("filterAllowed gates urls per host; hosts without robots allow all") {
+    val robots = Seq(
+      ("a.example",
+        "User-agent: graftbot\nDisallow: /private/\nAllow: /private/pub\n" +
+          "User-agent: *\nDisallow: /"),
+      ("b.example", "User-agent: *\nDisallow: /*.zip$"),
+      ("c.example", "User-agent: otherbot\nDisallow: /"))
+      .toDF("host", "body")
+    val rules = Robots.rulesDf(robots)
+    assert(rules.count() === 5)
+
+    val urls = Seq(
+      "https://a.example/private/x",    // named group: disallowed
+      "https://a.example/private/pub1", // allow overrides (longer match)
+      "https://a.example/open",         // named group silent -> allowed
+      "https://b.example/data.zip",     // '*' group, $-anchored: dropped
+      "https://b.example/data.zipx",    // anchor must not match
+      "https://c.example/anything",     // otherbot group not ours -> allowed
+      "https://d.example/no-robots")    // no rows for host -> allowed
+      .toDF("url")
+    val kept = Robots.filterAllowed(urls, rules, "GraftBot/2.1")
+      .as[String].collect().toSet
+    assert(kept === Set(
+      "https://a.example/private/pub1",
+      "https://a.example/open",
+      "https://b.example/data.zipx",
+      "https://c.example/anything",
+      "https://d.example/no-robots"))
+    // output schema is the input's (no leaked join columns)
+    assert(Robots.filterAllowed(urls, rules, "GraftBot/2.1").columns
+      === urls.columns)
+  }
+}
