@@ -2717,16 +2717,47 @@ object SparkEntry {
                |</body></html>""".stripMargin
           (own, html)
         }.toDF("page_url", "html")
-      val links = pages.select(
-          explode(graft.pipeline.HtmlText.htmlLinksCol(col("html"))).as("link"))
-        .filter(col("link").rlike("^https?://"))
-        .select(regexp_replace(col("link"), "#.*", "").as("url"))
-      links.join(pages.select(col("page_url").as("url")), Seq("url"), "left_anti")
-        .groupBy("url")
-        .agg(count(lit(1)).as("n_refs"))
+      graft.pipeline.Crawl.frontier(
+          pages.select(col("page_url").as("url"),
+            graft.pipeline.HtmlText.htmlLinksCol(col("html")).as("links")),
+          pages.select(col("page_url").as("url")))
         .select(col("url"),
           regexp_extract(col("url"), "^https?://([^/]*)", 1).as("host"),
           col("n_refs"))
+        .orderBy("url")
+    }),
+
+    // Politeness scheduling over the same frontier: per-host fetch
+    // rounds (ref-count priority, url-asc ties) through the bounded
+    // TopK-label aggregator -- round r fetches at most one url per host,
+    // urls beyond maxRounds=3 defer to the next crawl cycle. The oracle
+    // replays the frontier CTEs + row_number per host.
+    "crawl_schedule" -> ((s, dir) => {
+      import s.implicits._
+      val pages = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val esc = text.replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          val own = s"https://h${id % 7}.example/page/$id"
+          val html =
+            s"""<html><body>
+               |<a href="https://h${(id * 3) % 7}.example/page/${id + 100000}#frag">next</a>
+               |<A HREF="https://h${(id * 5) % 7}.example/page/${id - (id % 10) + 200000}">decade hub</A>
+               |<!-- <a href="https://hc.example/c/${id % 13}">from comment</a> -->
+               |<a href="$own">self</a>
+               |<a href="/about">relative</a>
+               |<a href='https://dropme.example/sq'>single quoted</a>
+               |<a href="mailto:x@y">mail</a>
+               |<p>$esc</p>
+               |</body></html>""".stripMargin
+          (own, html)
+        }.toDF("page_url", "html")
+      val frontier = graft.pipeline.Crawl.frontier(
+        pages.select(col("page_url").as("url"),
+          graft.pipeline.HtmlText.htmlLinksCol(col("html")).as("links")),
+        pages.select(col("page_url").as("url")))
+      graft.pipeline.Crawl.schedule(frontier, maxRounds = 3)
         .orderBy("url")
     }),
 
@@ -6511,6 +6542,43 @@ object SparkEntry {
         |  CAST(3 + CASE WHEN norm = '' THEN 0 ELSE 1 END AS BIGINT) AS n_lines,
         |  CAST(length(expected) AS BIGINT) AS n_chars
         |FROM e ORDER BY doc_id""".stripMargin,
+    // the frontier CTEs + per-host row_number: round = rank by (n_refs
+    // desc, url asc) within host, rounds beyond 3 defer
+    "crawl_schedule" ->
+      """WITH crawled AS (
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/page/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |links AS (
+        |  SELECT 'https://h' || CAST((doc_id * 3) % 7 AS VARCHAR) ||
+        |         '.example/page/' || CAST(doc_id + 100000 AS VARCHAR) AS url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://h' || CAST((doc_id * 5) % 7 AS VARCHAR) ||
+        |         '.example/page/' ||
+        |         CAST(doc_id - (doc_id % 10) + 200000 AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://hc.example/c/' || CAST(doc_id % 13 AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT url FROM crawled),
+        |fresh AS (
+        |  SELECT l.url FROM links l
+        |  LEFT JOIN crawled c ON l.url = c.url
+        |  WHERE c.url IS NULL),
+        |frontier AS (
+        |  SELECT url,
+        |    regexp_extract(url, '^https?://([^/]*)', 1) AS host,
+        |    CAST(count(*) AS BIGINT) AS n_refs
+        |  FROM fresh GROUP BY url),
+        |ranked AS (
+        |  SELECT host, url, n_refs,
+        |    CAST(row_number() OVER (PARTITION BY host
+        |      ORDER BY n_refs DESC, url) AS BIGINT) AS round
+        |  FROM frontier)
+        |SELECT host, url, n_refs, round FROM ranked
+        |WHERE round <= 3 ORDER BY url""".stripMargin,
     // the robots decision rebuilt with literal prefix matching: even
     // hosts drop /page/1* unless /page/12* (the allow override), odd
     // hosts never restrict graftbot

@@ -522,6 +522,9 @@ object Main {
       // survivors + land them as parquet (the crawlIngestStream body,
       // batch form)
       val threshold = rest.headOption.map(_.toDouble).getOrElse(0.8)
+      val frontierOut = rest.drop(1).headOption
+      val robotsParquet = rest.drop(2).headOption
+      val agent = rest.drop(3).headOption.getOrElse("graftbot")
       val spark = session()
       val recs = spark.read.format("warc").load(warcPath)
       // installment: the next free number for this index (bootstraps at 0
@@ -529,13 +532,38 @@ object Main {
       // should pass through the stream form instead
       val conf = spark.sparkContext.hadoopConfiguration
       val metaP = new org.apache.hadoop.fs.Path(s"$idxPath/meta")
+      val exists = metaP.getFileSystem(conf).exists(metaP)
       val inst =
-        if (!metaP.getFileSystem(conf).exists(metaP)) 0
+        if (!exists) 0
         else math.max(
           graft.store.Installments.next(spark, s"$idxPath/sizes"),
           graft.store.Installments.next(spark, s"$idxPath/sets"))
+      // when a frontier output is requested, links ride the same decode
+      // pass and the next fetch round lands beside the corpus — robots
+      // rules (optional (host, body) parquet) gate it for `agent`
+      var frontierN = -1L
+      val onLinks: org.apache.spark.sql.DataFrame => Unit =
+        frontierOut match {
+          case None => null
+          case Some(fOut) => pages => {
+            val crawled = pages.select(org.apache.spark.sql.functions
+              .col("url"))
+              .unionByName(
+                if (exists) graft.pipeline.Crawl.crawledUrls(spark, idxPath)
+                else spark.emptyDataFrame.select(
+                  org.apache.spark.sql.functions.lit("").as("url")).limit(0))
+            val fr = graft.pipeline.Crawl.frontier(pages, crawled)
+            val gated = robotsParquet match {
+              case Some(rp) => graft.pipeline.Robots.filterAllowed(fr,
+                graft.pipeline.Robots.rulesDf(spark.read.parquet(rp)), agent)
+              case None => fr
+            }
+            gated.write.mode("overwrite").parquet(fOut)
+            frontierN = spark.read.parquet(fOut).count()
+          }
+        }
       val (_, stats) = graft.pipeline.Crawl.ingestBatch(spark, recs,
-        idxPath, inst, threshold) { fresh =>
+        idxPath, inst, threshold, onPageLinks = onLinks) { fresh =>
         fresh.write.mode("overwrite").parquet(corpusOut)
       }
       // the decode/prune telemetry line: silent-drop rates (mojibake
@@ -543,7 +571,9 @@ object Main {
       println(s"crawl-ingest: responses=${stats.responses} " +
         s"charset_fallbacks=${stats.charsetFallbacks} " +
         s"empty_text=${stats.emptyText} near_dups=${stats.duplicates} " +
-        s"appended=${stats.appended} -> $corpusOut; index installment $inst")
+        s"appended=${stats.appended} -> $corpusOut; index installment $inst" +
+        frontierOut.map(f => s"; frontier $frontierN urls -> $f")
+          .getOrElse(""))
       spark.stop()
 
     case "robots-filter" :: urlsParquet :: robotsParquet :: agent :: out :: rest =>
@@ -964,7 +994,7 @@ object Main {
           |  video-prune      <indexPath> <framesParquet> <outParquet> [threshold] [idCol] [hashCol]
           |  warc-scan        <pathOrGlob> [maxSplitBytes]
           |  warc-export      <docsParquet> <outDir> [recordsPerShard] [uriCol] [bodyCol]
-          |  crawl-ingest     <warcPathOrGlob> <minhashIndex> <corpusOutParquet> [threshold]
+          |  crawl-ingest     <warcPathOrGlob> <minhashIndex> <corpusOutParquet> [threshold] [frontierOutParquet] [robotsParquet] [agentToken]
           |  robots-filter    <urlsParquet> <robotsParquet> <agentToken> <outParquet> [urlCol]
           |  wds-extract      <pathOrGlob> <outParquet>
           |  warc-extract     <filesParquet> <outParquet> [payloadCol]

@@ -728,13 +728,18 @@ object Dedup {
     // exploded rows (see the layout doc): bounded row width at any doc
     // length; explode_outer keeps a (id, null) presence row for docs too
     // short to shingle, so membership reads see every ingested doc.
-    // Range-clustered by id so every file/row-group carries a tight id
-    // min/max — the probe's candidate-id pushdown then skips everything
-    // outside the candidates' id range instead of scanning the whole
-    // stored shingle table (the table ∝ corpus; candidates ∝ batch).
+    // Sorted by id WITHIN partitions so every parquet ROW GROUP carries
+    // a tight id min/max — the probe's candidate-id pushdown then skips
+    // row groups outside the candidates' ids instead of scanning the
+    // whole stored shingle table (the table ∝ corpus; candidates ∝
+    // batch). sortWithinPartitions, NOT repartitionByRange: global range
+    // clustering would only tighten per-FILE ranges (row-group stats are
+    // what the reader prunes on) while costing a sampling pass that
+    // re-evaluates the shingle UDF over the whole batch plus a full
+    // extra shuffle.
     df.select(col(idCol).as("id"), shinglesUdf(shingleK)(col(textCol)).as("sh"))
       .select(col("id"), explode_outer(col("sh")).as("sh"))
-      .repartitionByRange(col("id"))
+      .sortWithinPartitions("id")
       .write.mode("overwrite").parquet(s"$path/sets/installment=$installment")
     // regroup for the signature: collect_list drops the null presence
     // rows, reproducing the original (possibly empty) shingle set; the

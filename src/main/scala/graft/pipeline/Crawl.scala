@@ -48,19 +48,35 @@ object Crawl {
     *
     * `use` runs over the survivors WHILE they are materialized (write
     * them, count them, collect a small projection); they are released
-    * before return, so `use` must not return a lazy plan over them. */
+    * before return, so `use` must not return a lazy plan over them.
+    *
+    * `onPageLinks`, when set, receives (url, links) for EVERY response
+    * page (near-dups included -- their outlinks are still valid
+    * discoveries) extracted in the same fused decode pass; like `use` it
+    * must consume eagerly (the backing checkpoint is released on
+    * return). Compose with [[frontier]] for the next fetch round. */
   def ingestBatch[A](spark: SparkSession, records: DataFrame,
                      indexPath: String, installment: Int,
                      threshold: Double = 0.8, maxBucketSize: Int = 1000,
                      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                     broadcastMaxBytes: Long = 64L << 20)
+                     broadcastMaxBytes: Long = 64L << 20,
+                     onPageLinks: DataFrame => Unit = null)
                     (use: DataFrame => A): (A, BatchStats) = {
     val resp = records.filter(col("warc_type") === "response" &&
       col("http_status") === 200)
-    val ext = HtmlText
-      .extractFromBodies(resp, "body", "text", "http_content_type", "cs")
-      .select(col("target_uri").as("url"), col("text"), col("cs_fallback"))
+    // links ride the SAME fused decode pass when the caller wants them
+    // (the frontier feeder) -- decoding every body twice would double
+    // the dominant per-row cost of the batch
+    val wantLinks = onPageLinks != null
+    val extAll = HtmlText.extractFromBodies(resp, "body", "text",
+      "http_content_type", "cs", linksCol = if (wantLinks) "links" else null)
+    val ext = (if (wantLinks)
+        extAll.select(col("target_uri").as("url"), col("text"),
+          col("cs_fallback"), col("links"))
+      else extAll.select(col("target_uri").as("url"), col("text"),
+        col("cs_fallback")))
       .localCheckpoint() // parse+extract once: feeds stats, probe, append
+    if (wantLinks) onPageLinks(ext.select(col("url"), col("links")))
     try {
       val a = ext.agg(
         count(lit(1)).as("n"),
@@ -110,4 +126,54 @@ object Crawl {
       }
     } finally graft.dedup.Dedup.release(ext)
   }
+
+  /** The next fetch round from this batch's outlinks: absolute http(s)
+    * links, fragments stripped, minus everything in `crawled`, with
+    * per-target reference counts (the fetch-priority signal). This is
+    * the `crawl_frontier` query's kernel — one explode + one anti-join +
+    * one count aggregate; nothing scales with anything but the inputs.
+    *
+    * `pages` is the (url, links) shape `ingestBatch`'s `onPageLinks`
+    * hands out; `crawled` is whatever url universe must not re-enter
+    * (the batch's own urls + [[crawledUrls]], or at real corpus scale a
+    * fetched-URL Bloom filter — the decontaminateStream pattern — since
+    * an exact anti-join against a billion-url set shuffles it per
+    * batch). */
+  def frontier(pages: DataFrame, crawled: DataFrame,
+               linksCol: String = "links", urlCol: String = "url"): DataFrame =
+    pages.select(explode(col(linksCol)).as("link"))
+      .filter(col("link").rlike("^https?://"))
+      .select(regexp_replace(col("link"), "#.*", "").as("url"))
+      .join(crawled.select(col(urlCol).cast("string").as("url")).distinct(),
+        Seq("url"), "left_anti")
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_refs"))
+
+  /** Politeness scheduling: assign each frontier url a per-host fetch
+    * ROUND — round r across all hosts can fetch concurrently while no
+    * host sees more than one request per round (ref-count priority,
+    * url-asc ties — the engine-portable ASCII ordering). Ranked through
+    * the bounded [[graft.functions.TopK.topLabelsPerGroup]] aggregator
+    * (≤ maxRounds rows per host per task — no window funnel over a
+    * mega-host), which also IS the policy cap: urls beyond `maxRounds`
+    * wait for the next crawl cycle, exactly what a real fetcher does
+    * with a million-page host. Output: (host, url, n_refs, round). */
+  def schedule(frontier: DataFrame, maxRounds: Int,
+               urlCol: String = "url", refsCol: String = "n_refs"): DataFrame =
+    graft.functions.TopK.topLabelsPerGroup(
+        frontier.withColumn("host",
+          regexp_extract(col(urlCol), "^https?://([^/]*)", 1)),
+        "host", urlCol, refsCol, maxRounds)
+      .select(col("host"), col(urlCol),
+        col(refsCol).cast("long").as(refsCol),
+        col("rank").cast("long").as("round"))
+
+  /** Every url the minhash corpus index has folded in — read from the
+    * `bands/` table ((id, band, bucket) — the narrowest per-doc rows the
+    * index stores). A corpus-sized scan: fine for a maintenance job or a
+    * bounded backfill, wrong per-batch at 100 TB (keep a fetched-URL
+    * Bloom there — see [[frontier]]). */
+  def crawledUrls(spark: SparkSession, indexPath: String): DataFrame =
+    spark.read.parquet(s"$indexPath/bands")
+      .select(col("id").cast("string").as("url")).distinct()
 }

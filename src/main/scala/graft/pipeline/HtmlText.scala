@@ -412,26 +412,35 @@ object HtmlText {
     * carries `http_content_type`); absent, the ladder starts at the
     * byte-level steps. Pass `charsetCol` to also emit the resolved
     * charset name plus a `<charsetCol>_fallback` boolean -- the
-    * wrong-label/mojibake telemetry columns. */
+    * wrong-label/mojibake telemetry columns. Pass `linksCol` to also
+    * emit the page's anchor hrefs ([[htmlLinks]]) from the SAME decode
+    * pass -- the crawl loop needs text AND outlinks per page, and
+    * decoding the body twice would double the dominant per-row cost. */
   def extractFromBodies(records: DataFrame, bodyCol: String = "body",
                         outCol: String = "text",
                         contentTypeCol: String = "http_content_type",
-                        charsetCol: String = null): DataFrame = {
+                        charsetCol: String = null,
+                        linksCol: String = null): DataFrame = {
     require(!records.columns.contains("_charset_dec"),
       "column name _charset_dec is reserved by extractFromBodies")
     val ct =
       if (records.columns.contains(contentTypeCol)) col(contentTypeCol)
       else lit(null).cast("string")
+    val wantLinks = linksCol != null
     val dec = udf { (contentType: String, body: Array[Byte]) =>
       val (html, charset, fellBack) = decodeBody(contentType, body)
-      (htmlToText(html), charset, fellBack)
+      (htmlToText(html), charset, fellBack,
+        if (wantLinks) htmlLinks(html) else Array.empty[String])
     }
     val withDec = records.withColumn("_charset_dec", dec(ct, col(bodyCol)))
       .withColumn(outCol, col("_charset_dec._1"))
-    val out =
+    val withCs =
       if (charsetCol == null) withDec
       else withDec.withColumn(charsetCol, col("_charset_dec._2"))
         .withColumn(s"${charsetCol}_fallback", col("_charset_dec._3"))
+    val out =
+      if (!wantLinks) withCs
+      else withCs.withColumn(linksCol, col("_charset_dec._4"))
     out.drop("_charset_dec")
   }
 }

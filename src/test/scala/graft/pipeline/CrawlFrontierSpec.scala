@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** The crawl loop's closing edge: outlinks ride the fused decode pass,
+  * and `frontier` turns them into the next fetch round (absolute-only,
+  * fragments stripped, crawled urls excluded, ref-counted). */
+class CrawlFrontierSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(name)
+    d.toFile.deleteOnExit()
+    d.resolve("x").toString
+  }
+
+  private def warcOf(pages: Seq[(String, String)]): Array[Byte] =
+    graft.sources.Warc.encodeWarc(
+      pages.map { case (u, html) =>
+        (u, 200, html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      })
+
+  test("ingestBatch hands every page's links to onPageLinks; frontier composes") {
+    val idx = tmp("crawl-frontier-idx")
+    val pages = Seq(
+      ("https://s/1",
+        """<html><body>words one for doc A repeated enough to shingle
+          |<a href="https://s/2">known</a>
+          |<a href="https://n/1#frag">new</a>
+          |<a href="/rel">rel</a></body></html>""".stripMargin),
+      ("https://s/2",
+        """<html><body>other words entirely for doc B distinct tokens
+          |<a href="https://n/1">new too</a>
+          |<a href="mailto:a@b">mail</a></body></html>""".stripMargin))
+    val files = Seq((0L, warcOf(pages))).toDF("g", "payload")
+    val recs = graft.sources.Warc.warcRecords(files).toDF()
+
+    var captured: Seq[(String, Seq[String])] = null
+    var frontierRows: Seq[(String, Long)] = null
+    val (_, stats) = Crawl.ingestBatch(spark, recs, idx, 0,
+      onPageLinks = pagesDf => {
+        captured = pagesDf.as[(String, Seq[String])].collect().toSeq
+        val crawled = pagesDf.select($"url")
+        frontierRows = Crawl.frontier(pagesDf, crawled)
+          .as[(String, Long)].collect().toSeq.sorted
+      }) { _.count() }
+    assert(stats.responses === 2L && stats.appended === 2L)
+    // raw links per page, in document order, relative/mailto included
+    val byUrl = captured.toMap
+    assert(byUrl("https://s/1") ===
+      Seq("https://s/2", "https://n/1#frag", "/rel"))
+    assert(byUrl("https://s/2") === Seq("https://n/1", "mailto:a@b"))
+    // frontier: absolute-only, fragment stripped, crawled excluded,
+    // both pages' refs to https://n/1 merged
+    assert(frontierRows === Seq(("https://n/1", 2L)))
+
+    // crawledUrls reads the folded corpus back from the index
+    assert(Crawl.crawledUrls(spark, idx).as[String].collect().toSet ===
+      Set("https://s/1", "https://s/2"))
+
+    // second batch: the frontier against batch + stored urls drops a
+    // re-discovered stored page
+    val pages2 = Seq(
+      ("https://n/1",
+        """<html><body>the newly fetched page now links back
+          |<a href="https://s/1">stored</a>
+          |<a href="https://n/2">fresh</a></body></html>""".stripMargin))
+    val recs2 = graft.sources.Warc.warcRecords(
+      Seq((0L, warcOf(pages2))).toDF("g", "payload")).toDF()
+    var frontier2: Seq[(String, Long)] = null
+    Crawl.ingestBatch(spark, recs2, idx, 1,
+      onPageLinks = pagesDf => {
+        val crawled = pagesDf.select($"url")
+          .unionByName(Crawl.crawledUrls(spark, idx))
+        frontier2 = Crawl.frontier(pagesDf, crawled)
+          .as[(String, Long)].collect().toSeq.sorted
+      }) { _.count() }
+    assert(frontier2 === Seq(("https://n/2", 1L)))
+  }
+
+  test("schedule assigns per-host rounds by refs desc, url asc; excess defers") {
+    val frontier = Seq(
+      ("https://a.example/p1", 5L), ("https://a.example/p2", 5L),
+      ("https://a.example/p3", 9L), ("https://a.example/p4", 1L),
+      ("https://b.example/q1", 2L))
+      .toDF("url", "n_refs")
+    val got = Crawl.schedule(frontier, maxRounds = 3)
+      .select("host", "url", "round")
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(
+      ("a.example", "https://a.example/p3", 1L), // highest refs
+      ("a.example", "https://a.example/p1", 2L), // 5-refs tie: url asc
+      ("a.example", "https://a.example/p2", 3L),
+      // p4 (rank 4) defers to the next cycle
+      ("b.example", "https://b.example/q1", 1L)))
+  }
+
+  test("frontier gated by robots keeps only fetchable urls") {
+    val pages = Seq(
+      ("https://s/1", Seq("https://a.example/ok/1",
+        "https://a.example/private/1", "https://b.example/x")))
+      .toDF("url", "links")
+    val crawled = Seq("https://s/1").toDF("url")
+    val rules = Robots.rulesDf(Seq(
+      ("a.example", "User-agent: *\nDisallow: /private/"))
+      .toDF("host", "body"))
+    val gated = Robots.filterAllowed(
+      Crawl.frontier(pages, crawled), rules, "graftbot")
+      .select("url").as[String].collect().toSet
+    assert(gated === Set("https://a.example/ok/1", "https://b.example/x"))
+  }
+}
