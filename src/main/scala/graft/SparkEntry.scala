@@ -2727,6 +2727,46 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // The 100 TB frontier shape: a Bloom filter over the crawled set
+    // routes definitely-fresh links past the anti-join and broadcasts
+    // only the maybe-trickle against the crawled side (map-side, never
+    // shuffled) -- EXACTLY the frontier's output (a Bloom has no false
+    // negatives; false positives are rescued by the exact join), so the
+    // oracle is crawl_frontier's SQL verbatim. fpp 0.2 on purpose: a
+    // 500-row fixture at 1% would exercise zero false positives.
+    "crawl_frontier_bloom" -> ((s, dir) => {
+      import s.implicits._
+      val pages = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val esc = text.replace("&", "&amp;")
+            .replace("<", "&lt;").replace(">", "&gt;")
+          val own = s"https://h${id % 7}.example/page/$id"
+          val html =
+            s"""<html><body>
+               |<a href="https://h${(id * 3) % 7}.example/page/${id + 100000}#frag">next</a>
+               |<A HREF="https://h${(id * 5) % 7}.example/page/${id - (id % 10) + 200000}">decade hub</A>
+               |<!-- <a href="https://hc.example/c/${id % 13}">from comment</a> -->
+               |<a href="$own">self</a>
+               |<a href="/about">relative</a>
+               |<a href='https://dropme.example/sq'>single quoted</a>
+               |<a href="mailto:x@y">mail</a>
+               |<p>$esc</p>
+               |</body></html>""".stripMargin
+          (own, html)
+        }.toDF("page_url", "html")
+      val crawled = pages.select(col("page_url").as("url"))
+      val bloom = crawled.stat.bloomFilter("url", 100000L, 0.2)
+      graft.pipeline.Crawl.frontierBloom(
+          pages.select(col("page_url").as("url"),
+            graft.pipeline.HtmlText.htmlLinksCol(col("html")).as("links")),
+          crawled, bloom)
+        .select(col("url"),
+          regexp_extract(col("url"), "^https?://([^/]*)", 1).as("host"),
+          col("n_refs"))
+        .orderBy("url")
+    }),
+
     // Politeness scheduling over the same frontier: per-host fetch
     // rounds (ref-count priority, url-asc ties) through the bounded
     // TopK-label aggregator -- round r fetches at most one url per host,
@@ -3362,6 +3402,34 @@ object SparkEntry {
     * anchored-or-non-min drop) — shared VERBATIM by the flat prune and
     * the nprobe = nlist IVF-routed prune: full probe coverage makes the
     * routed answer equal the flat scan exactly, centroids and all. */
+  private val crawlFrontierOracleSql: String =
+    """WITH crawled AS (
+      |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+      |         '.example/page/' || CAST(doc_id AS VARCHAR) AS url
+      |  FROM documents),
+      |links AS (
+      |  SELECT 'https://h' || CAST((doc_id * 3) % 7 AS VARCHAR) ||
+      |         '.example/page/' || CAST(doc_id + 100000 AS VARCHAR) AS url
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'https://h' || CAST((doc_id * 5) % 7 AS VARCHAR) ||
+      |         '.example/page/' ||
+      |         CAST(doc_id - (doc_id % 10) + 200000 AS VARCHAR)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'https://hc.example/c/' || CAST(doc_id % 13 AS VARCHAR)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT url FROM crawled),
+      |fresh AS (
+      |  SELECT l.url FROM links l
+      |  LEFT JOIN crawled c ON l.url = c.url
+      |  WHERE c.url IS NULL)
+      |SELECT url,
+      |  regexp_extract(url, '^https?://([^/]*)', 1) AS host,
+      |  CAST(count(*) AS BIGINT) AS n_refs
+      |FROM fresh GROUP BY url ORDER BY url""".stripMargin
+
   private val probePruneOracleSql: String =
     """WITH RECURSIVE comp AS (
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
@@ -6598,33 +6666,11 @@ object SparkEntry {
     // doc_id arithmetic the fixture pages embed: two NEW targets, the
     // comment-wrapped link (regex semantics: extracted), self links
     // anti-joined away; relative/mailto/single-quoted never enter
-    "crawl_frontier" ->
-      """WITH crawled AS (
-        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
-        |         '.example/page/' || CAST(doc_id AS VARCHAR) AS url
-        |  FROM documents),
-        |links AS (
-        |  SELECT 'https://h' || CAST((doc_id * 3) % 7 AS VARCHAR) ||
-        |         '.example/page/' || CAST(doc_id + 100000 AS VARCHAR) AS url
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT 'https://h' || CAST((doc_id * 5) % 7 AS VARCHAR) ||
-        |         '.example/page/' ||
-        |         CAST(doc_id - (doc_id % 10) + 200000 AS VARCHAR)
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT 'https://hc.example/c/' || CAST(doc_id % 13 AS VARCHAR)
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT url FROM crawled),
-        |fresh AS (
-        |  SELECT l.url FROM links l
-        |  LEFT JOIN crawled c ON l.url = c.url
-        |  WHERE c.url IS NULL)
-        |SELECT url,
-        |  regexp_extract(url, '^https?://([^/]*)', 1) AS host,
-        |  CAST(count(*) AS BIGINT) AS n_refs
-        |FROM fresh GROUP BY url ORDER BY url""".stripMargin,
+    "crawl_frontier" -> crawlFrontierOracleSql,
+    // the Bloom-routed frontier is output-identical by contract (no
+    // false negatives; false positives rescued by the exact join), so
+    // the oracle is crawl_frontier's SQL verbatim
+    "crawl_frontier_bloom" -> crawlFrontierOracleSql,
     // the crawl flagship's decision rebuilt in SQL: extraction (the
     // html_extract rebuild) composed with the exact shingle-Jaccard
     // near-dup test (the doc_incremental_dedup CTE) -- a mutated doc

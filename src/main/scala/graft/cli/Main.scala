@@ -576,6 +576,17 @@ object Main {
           .getOrElse(""))
       spark.stop()
 
+    case "crawl-bloom" :: idxPath :: bloomOut :: expected :: rest =>
+      // maintenance job: Bloom over every url the index has folded in,
+      // for frontierBloom's shuffle-free crawled-set checks
+      val fpp = rest.headOption.map(_.toDouble).getOrElse(0.01)
+      val spark = session()
+      val bloom = graft.pipeline.Crawl.buildCrawledBloom(spark, idxPath,
+        expected.toLong, fpp)
+      graft.pipeline.Crawl.saveBloom(spark, bloom, bloomOut)
+      println(s"crawl-bloom: ${bloom.bitSize()} bits at fpp<=$fpp -> $bloomOut")
+      spark.stop()
+
     case "robots-filter" :: urlsParquet :: robotsParquet :: agent :: out :: rest =>
       // RFC 9309 gate: robotsParquet carries (host, body) robots.txt
       // rows; urls keep only what `agent` may fetch (silent hosts allow)
@@ -996,6 +1007,7 @@ object Main {
           |  warc-export      <docsParquet> <outDir> [recordsPerShard] [uriCol] [bodyCol]
           |  crawl-ingest     <warcPathOrGlob> <minhashIndex> <corpusOutParquet> [threshold] [frontierOutParquet] [robotsParquet] [agentToken]
           |  robots-filter    <urlsParquet> <robotsParquet> <agentToken> <outParquet> [urlCol]
+          |  crawl-bloom      <minhashIndex> <bloomOut> <expectedItems> [fpp]
           |  wds-extract      <pathOrGlob> <outParquet>
           |  warc-extract     <filesParquet> <outParquet> [payloadCol]
           |  hamming-build    <hashesParquet> <indexPath> [idCol] [hashCol]

@@ -149,6 +149,76 @@ object Crawl {
       .groupBy("url")
       .agg(count(lit(1)).as("n_refs"))
 
+  /** [[frontier]] with a crawled-URL Bloom filter — EXACTLY the same
+    * output, with the corpus-sized `crawled` side never shuffling (the
+    * decontaminateBloom pattern made URL-shaped):
+    *  - `mightContain == false` links are DEFINITELY fresh (a Bloom has
+    *    no false negatives) — they skip the join entirely;
+    *  - the `maybe` trickle (true dups + fpp·fresh) broadcasts into an
+    *    inner join against `crawled` (map-side stream over the big
+    *    side), and the confirmed hits broadcast back into the anti-join.
+    * Per-batch cost at 100 TB: one map-side scan of the crawled set and
+    * two broadcast joins of batch-bounded sets — no billion-url
+    * shuffle. Build/maintain the filter with [[buildCrawledBloom]] /
+    * [[saveBloom]] / [[loadBloom]]. */
+  def frontierBloom(pages: DataFrame, crawled: DataFrame,
+                    bloom: org.apache.spark.util.sketch.BloomFilter,
+                    linksCol: String = "links",
+                    urlCol: String = "url"): DataFrame = {
+    val spark = pages.sparkSession
+    val bc = spark.sparkContext.broadcast(bloom)
+    val might = udf { (u: String) => u != null && bc.value.mightContain(u) }
+    val links = pages.select(explode(col(linksCol)).as("link"))
+      .filter(col("link").rlike("^https?://"))
+      .select(regexp_replace(col("link"), "#.*", "").as("url"))
+    val definiteFresh = links.filter(!might(col("url")))
+    val maybes = links.filter(might(col("url")))
+    val confirmed = crawled
+      .select(col(urlCol).cast("string").as("url")).distinct()
+      .join(broadcast(maybes.select("url").distinct()), Seq("url"))
+    val maybeFresh = maybes.join(broadcast(confirmed), Seq("url"), "left_anti")
+    definiteFresh.unionByName(maybeFresh)
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_refs"))
+  }
+
+  /** A Bloom filter over every url the index has folded in (the
+    * [[crawledUrls]] universe) — build at maintenance cadence, then
+    * every batch's frontier runs through [[frontierBloom]] without
+    * shuffling the crawled set. Size it for the TARGET corpus: 1 B urls
+    * at 1% fpp is ~1.2 GB — an executor-broadcastable maintenance
+    * artifact, vs re-shuffling 50+ GB of url strings per batch. */
+  def buildCrawledBloom(spark: SparkSession, indexPath: String,
+                        expectedItems: Long, fpp: Double = 0.01)
+      : org.apache.spark.util.sketch.BloomFilter =
+    crawledUrls(spark, indexPath).stat.bloomFilter("url", expectedItems, fpp)
+
+  /** Persist a Bloom beside the index (atomic temp+rename — the
+    * maintenance-swap convention). */
+  def saveBloom(spark: SparkSession, bloom: org.apache.spark.util.sketch.BloomFilter,
+                path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + "._writing")
+    val out = fs.create(tmp, true)
+    try bloom.writeTo(out) finally out.close()
+    if (fs.exists(p) && !fs.delete(p, false))
+      throw new java.io.IOException(s"bloom swap failed for $path")
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"bloom rename failed for $path")
+  }
+
+  /** Load a [[saveBloom]] artifact. */
+  def loadBloom(spark: SparkSession, path: String)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val in = p.getFileSystem(spark.sparkContext.hadoopConfiguration).open(p)
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+    finally in.close()
+  }
+
   /** Politeness scheduling: assign each frontier url a per-host fetch
     * ROUND — round r across all hosts can fetch concurrently while no
     * host sees more than one request per round (ref-count priority,

@@ -96,6 +96,50 @@ class CrawlFrontierSpec extends SparkTestBase {
       ("b.example", "https://b.example/q1", 1L)))
   }
 
+  test("frontierBloom equals the exact frontier, false positives rescued") {
+    val pages = Seq(
+      ("https://s/1", Seq("https://n/1", "https://n/2", "https://s/2",
+        "https://n/1#frag", "/rel")),
+      ("https://s/2", Seq("https://n/2", "https://s/1")))
+      .toDF("url", "links")
+    val crawled = Seq("https://s/1", "https://s/2").toDF("url")
+    val exact = Crawl.frontier(pages, crawled)
+      .as[(String, Long)].collect().toSet
+    assert(exact === Set(("https://n/1", 2L), ("https://n/2", 2L)))
+
+    val bloom = crawled.stat.bloomFilter("url", 1000L, 0.01)
+    // FORCE a false positive on a genuinely fresh url: the exact join
+    // must rescue it into the frontier, not silently drop it
+    bloom.putString("https://n/1")
+    assert(bloom.mightContain("https://n/1"))
+    val viaBloom = Crawl.frontierBloom(pages, crawled, bloom)
+      .as[(String, Long)].collect().toSet
+    assert(viaBloom === exact)
+
+    // save/load round-trip preserves the filter
+    val d = java.nio.file.Files.createTempDirectory("bloom")
+    d.toFile.deleteOnExit()
+    val bp = d.resolve("url_bloom.bin").toString
+    Crawl.saveBloom(spark, bloom, bp)
+    val loaded = Crawl.loadBloom(spark, bp)
+    assert(loaded.mightContain("https://s/1") &&
+      loaded.mightContain("https://n/1"))
+    assert(Crawl.frontierBloom(pages, crawled, loaded)
+      .as[(String, Long)].collect().toSet === exact)
+  }
+
+  test("buildCrawledBloom covers the index's folded urls") {
+    val idx = tmp("crawl-bloom-idx")
+    graft.dedup.Dedup.minhashIndexBuild(
+      Seq(("https://c/1", "enough words to shingle this document body"),
+        ("https://c/2", "another documents body with different words"))
+        .toDF("url", "text"),
+      "text", "url", idx)
+    val bloom = Crawl.buildCrawledBloom(spark, idx, expectedItems = 100L)
+    assert(bloom.mightContain("https://c/1") &&
+      bloom.mightContain("https://c/2"))
+  }
+
   test("frontier gated by robots keeps only fetchable urls") {
     val pages = Seq(
       ("https://s/1", Seq("https://a.example/ok/1",
