@@ -2957,8 +2957,10 @@ object SparkEntry {
           }.toDF("g", "payload")
       val recs1 = graft.sources.Warc.warcRecords(
         warcFiles(tbl(s, dir, "documents").select("doc_id", "text"))).toDF()
-      graft.pipeline.Crawl.ingestBatch(s, recs1, idxPath, 0,
-        threshold = 0.3, shingleK = 4, numHashes = 128, bands = 64)(_ => ())
+      Phases.timed("bootstrap") {
+        graft.pipeline.Crawl.ingestBatch(s, recs1, idxPath, 0,
+          threshold = 0.3, shingleK = 4, numHashes = 128, bands = 64)(_ => ())
+      }
       // batch 2 carries BOTH polarity classes: near-dups that must be
       // pruned (truncated copies) and genuinely-fresh docs that must
       // survive (md5-derived text -- shares no shingle with any original,
@@ -2971,11 +2973,13 @@ object SparkEntry {
             .as("text"))
       val batch2 = mutatedDocs(s, dir).unionByName(freshDocs)
       val recs2 = graft.sources.Warc.warcRecords(warcFiles(batch2)).toDF()
-      val (survivors, _) = graft.pipeline.Crawl.ingestBatch(s, recs2,
-        idxPath, 1, threshold = 0.3, shingleK = 4, numHashes = 128,
-        bands = 64) { fresh =>
-        // batch-2 is |documents|/25 rows -- a driver-sized constant
-        fresh.select("url").as[String].collect().toSet
+      val (survivors, _) = Phases.timed("probe_ingest") {
+        graft.pipeline.Crawl.ingestBatch(s, recs2,
+          idxPath, 1, threshold = 0.3, shingleK = 4, numHashes = 128,
+          bands = 64) { fresh =>
+          // batch-2 is |documents|/25 rows -- a driver-sized constant
+          fresh.select("url").as[String].collect().toSet
+        }
       }
       val mutIds = batch2.select("doc_id").as[Long]
         .collect().sorted.toSeq

@@ -726,11 +726,20 @@ object EventStreams extends Serializable {
    * uniqueness runs [[graft.dedup.Dedup.minhashNearDuplicates]] on the
    * survivors. URLs are the document ids — the minhash family is
    * id-type-agnostic end-to-end.
+   *
+   * `frontierDir`, when set, lands each batch's NEXT-FETCH frontier
+   * ([[graft.pipeline.Crawl.frontier]]: this batch's outlinks minus
+   * batch + stored urls) as `$frontierDir/batch=$batchId` — a pure
+   * function of batchId written mode(overwrite), so at-least-once
+   * replays reproduce their own partition (the shared
+   * replay-idempotence contract). Links ride the same fused decode
+   * pass as the text — the frontier costs no second body decode.
    */
   def crawlIngestStream(spark: SparkSession, warcFiles: DataFrame,
                         indexPath: String, threshold: Double = 0.8,
                         maxBucketSize: Int = 1000,
-                        payloadCol: String = "payload")
+                        payloadCol: String = "payload",
+                        frontierDir: String = null)
                        (sink: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     warcFiles.writeStream.foreachBatch {
@@ -740,9 +749,27 @@ object EventStreams extends Serializable {
         // inst-1 -> replay-idempotent fold-in at inst; per-batch decode/
         // prune telemetry goes to the executor log so silent-drop rates
         // are observable on a live crawl
+        val conf = spark.sparkContext.hadoopConfiguration
+        val metaP = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
+        val indexExists = metaP.getFileSystem(conf).exists(metaP)
+        val onLinks: org.apache.spark.sql.DataFrame => Unit =
+          if (frontierDir == null) null
+          else pages => {
+            val crawled = pages.select(org.apache.spark.sql.functions
+                .col("url"))
+              .unionByName(
+                if (indexExists)
+                  graft.pipeline.Crawl.crawledUrls(spark, indexPath)
+                else pages.select(org.apache.spark.sql.functions
+                  .col("url")).limit(0))
+            graft.pipeline.Crawl.frontier(pages, crawled)
+              .write.mode("overwrite")
+              .parquet(s"$frontierDir/batch=$batchId")
+          }
         val (_, stats) = graft.pipeline.Crawl.ingestBatch(spark,
           graft.sources.Warc.warcRecords(batch.toDF(), payloadCol).toDF(),
-          indexPath, inst, threshold, maxBucketSize) { fresh =>
+          indexPath, inst, threshold, maxBucketSize,
+          onPageLinks = onLinks) { fresh =>
           sink(fresh, batchId)
         }
         log.info(s"crawlIngestStream batch $batchId: " +

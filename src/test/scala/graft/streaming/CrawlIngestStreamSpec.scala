@@ -92,4 +92,49 @@ class CrawlIngestStreamSpec extends SparkTestBase {
     assert(self.count() > 0, "unpinned probe should see the landed copy")
     Dedup.release(self)
   }
+
+  test("stream lands a per-batch frontier: outlinks minus batch + stored urls") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("crawl-frontier-stream")
+    base.toFile.deleteOnExit()
+    val idx = base.resolve("idx").toString
+    val fDir = base.resolve("frontier").toString
+    Dedup.minhashIndexBuild(Seq(
+      ("https://c/1", "the stored corpus document about foxes and dogs here")
+    ).toDF("url", "text"), "text", "url", idx,
+      shingleK = 3, numHashes = 64, bands = 32)
+
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = EventStreams.crawlIngestStream(spark,
+      input.toDF().toDF("g", "payload"), idx, threshold = 0.5,
+      frontierDir = fDir)().start()
+
+    // page links: one stored url (dropped), one batch-internal url
+    // (dropped), one genuinely new target + a relative (filtered)
+    input.addData((0L, warcOf(
+      ("https://b0/a", 200,
+        """<p>first page body words</p><a href="https://c/1">stored</a>
+          |<a href="https://b0/b">sibling</a>
+          |<a href="https://next/1#f">fresh</a><a href="/rel">r</a>""".stripMargin),
+      ("https://b0/b", 200,
+        """<p>second page body other words</p>
+          |<a href="https://next/1">fresh again</a>""".stripMargin))))
+    q.processAllAvailable()
+    val f0 = spark.read.parquet(s"$fDir/batch=0")
+      .as[(String, Long)].collect().toSet
+    assert(f0 === Set(("https://next/1", 2L)), s"frontier batch 0: $f0")
+
+    // batch 1 links back to a batch-0 url: the STORED set now contains
+    // it (fold-in visible), so only the new target survives
+    input.addData((1L, warcOf(
+      ("https://b1/a", 200,
+        """<p>third page distinct body tokens entirely</p>
+          |<a href="https://b0/a">older</a>
+          |<a href="https://next/2">newer</a>""".stripMargin))))
+    q.processAllAvailable()
+    q.stop()
+    val f1 = spark.read.parquet(s"$fDir/batch=1")
+      .as[(String, Long)].collect().toSet
+    assert(f1 === Set(("https://next/2", 1L)), s"frontier batch 1: $f1")
+  }
 }
