@@ -2801,6 +2801,36 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Sitemap seeding (pipeline.Sitemaps): the site-declared frontier
+    // feeder -- <loc> extraction with regex-equivalent semantics
+    // (LocPattern, the LinkPattern convention), absolute-http(s) filter,
+    // crawled set anti-joined, ref counts across sitemaps. Odd ids use
+    // <LOC> arms so case-insensitivity is oracle-gated; one relative loc
+    // per sitemap pins the filter.
+    "crawl_sitemap_seed" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val site = docs.as[Long].map { id =>
+        val own = s"https://h${id % 7}.example/page/$id"
+        val nw = s"https://h${(id * 11) % 7}.example/page/${id + 300000}"
+        val shared = s"https://hs.example/s/${id % 13}"
+        val (o, c) =
+          if (id % 2 == 1) ("<LOC>", "</LOC>") else ("<loc>", "</loc>")
+        (id,
+          s"""<?xml version="1.0" encoding="UTF-8"?>
+             |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+             |<url>$o$own$c<lastmod>2026-01-01</lastmod></url>
+             |<url>$o$nw$c</url>
+             |<url>$o$shared$c</url>
+             |<url>$o/relative-ignored$c</url>
+             |</urlset>""".stripMargin)
+      }.toDF("doc_id", "body")
+      val crawled = docs.select(concat(lit("https://h"), col("doc_id") % 7,
+        lit(".example/page/"), col("doc_id")).as("url"))
+      graft.pipeline.Sitemaps.seeds(site, crawled)
+        .orderBy("url")
+    }),
+
     // RFC 9309 robots gate (pipeline.Robots): per-host robots.txt bodies
     // parse into (agent, allow, path) rules; candidate urls keep only
     // what the agent may fetch (winning group = longest named prefix
@@ -6651,6 +6681,29 @@ object SparkEntry {
         |  FROM frontier)
         |SELECT host, url, n_refs, round FROM ranked
         |WHERE round <= 3 ORDER BY url""".stripMargin,
+    // the sitemap seed multiset rebuilt from the fixture arithmetic:
+    // own-page locs fall to the crawled set, the relative loc to the
+    // absolute filter; new + shared locs aggregate refs
+    "crawl_sitemap_seed" ->
+      """WITH crawled AS (
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/page/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |locs AS (
+        |  SELECT 'https://h' || CAST((doc_id * 11) % 7 AS VARCHAR) ||
+        |         '.example/page/' || CAST(doc_id + 300000 AS VARCHAR) AS url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://hs.example/s/' || CAST(doc_id % 13 AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT url FROM crawled),
+        |fresh AS (
+        |  SELECT l.url FROM locs l
+        |  LEFT JOIN crawled c ON l.url = c.url
+        |  WHERE c.url IS NULL)
+        |SELECT url, CAST(count(*) AS BIGINT) AS n_refs
+        |FROM fresh GROUP BY url ORDER BY url""".stripMargin,
     // the robots decision rebuilt with literal prefix matching: even
     // hosts drop /page/1* unless /page/12* (the allow override), odd
     // hosts never restrict graftbot

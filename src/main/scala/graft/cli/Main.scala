@@ -576,6 +576,18 @@ object Main {
           .getOrElse(""))
       spark.stop()
 
+    case "crawl-schedule" :: frontierParquet :: out :: rest =>
+      // politeness rounds over a landed frontier: round r fetches at
+      // most one url per host; beyond maxRounds defers to the next cycle
+      val maxRounds = rest.headOption.map(_.toInt).getOrElse(10)
+      val spark = session()
+      val sched = graft.pipeline.Crawl.schedule(
+        spark.read.parquet(frontierParquet), maxRounds)
+      sched.write.mode("overwrite").parquet(out)
+      println(s"crawl-schedule: ${spark.read.parquet(out).count()} urls " +
+        s"in <=$maxRounds rounds -> $out")
+      spark.stop()
+
     case "crawl-bloom" :: idxPath :: bloomOut :: expected :: rest =>
       // maintenance job: Bloom over every url the index has folded in,
       // for frontierBloom's shuffle-free crawled-set checks
@@ -1008,6 +1020,7 @@ object Main {
           |  crawl-ingest     <warcPathOrGlob> <minhashIndex> <corpusOutParquet> [threshold] [frontierOutParquet] [robotsParquet] [agentToken]
           |  robots-filter    <urlsParquet> <robotsParquet> <agentToken> <outParquet> [urlCol]
           |  crawl-bloom      <minhashIndex> <bloomOut> <expectedItems> [fpp]
+          |  crawl-schedule   <frontierParquet> <outParquet> [maxRounds]
           |  wds-extract      <pathOrGlob> <outParquet>
           |  warc-extract     <filesParquet> <outParquet> [payloadCol]
           |  hamming-build    <hashesParquet> <indexPath> [idCol] [hashCol]

@@ -73,6 +73,29 @@ object Robots {
     out.toSeq
   }
 
+  /** `Sitemap:` lines from a robots.txt body — group-INDEPENDENT per
+    * RFC 9309 §2.3 / sitemaps.org (they may appear anywhere, before any
+    * user-agent line included), so this is a separate extraction from
+    * [[parse]]'s rule groups. Values are absolute URLs, kept verbatim. */
+  def sitemapUrls(body: String): Seq[String] = {
+    if (body == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    body.linesIterator.foreach { raw =>
+      val line = {
+        val h = raw.indexOf('#')
+        (if (h >= 0) raw.substring(0, h) else raw).trim
+      }
+      val c = line.indexOf(':')
+      if (c > 0 &&
+        line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+          == "sitemap") {
+        val v = line.substring(c + 1).trim
+        if (v.nonEmpty) out += v
+      }
+    }
+    out.toSeq
+  }
+
   /** RFC 9309 path-pattern match: literal chars, `*` any run, `$` end
     * anchor (only meaningful as the last char; elsewhere literal —
     * the de-facto interpretation). Two-pointer with single backtrack

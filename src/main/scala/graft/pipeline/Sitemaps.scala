@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Sitemap ingestion (sitemaps.org protocol) — the OTHER frontier feeder:
+ * where [[HtmlText.htmlLinks]] discovers urls by crawling, sitemaps are
+ * the site-declared seed list (robots.txt `Sitemap:` lines →
+ * [[Robots.sitemapUrls]] → fetch → this parser). Both `<urlset>` page
+ * entries and `<sitemapindex>` child-sitemap entries surface as `<loc>`
+ * values — one extraction serves both levels of the hierarchy.
+ */
+object Sitemaps {
+
+  /** The exact pattern [[locs]] implements, in the Java∩RE2 subset —
+    * DuckDB `regexp_extract_all(xml, pattern, 1)` rebuilds the kernel's
+    * output verbatim (the [[HtmlText.LinkPattern]] convention; the spec
+    * cross-checks against `java.util.regex`). */
+  val LocPattern: String = "(?i)<loc>([^<]*)</loc>"
+
+  /** `<loc>` values in document order. Semantics are EXACTLY leftmost
+    * non-overlapping [[LocPattern]] matches (group 1) — values are kept
+    * verbatim (the protocol XML-escapes `&`/`<` inside loc; decoding is
+    * the caller's concern, and the fixture/oracle pair stays raw). O(n)
+    * scan, total on garbage, never throws. */
+  def locs(xml: String): Array[String] = {
+    if (xml == null) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val n = xml.length
+    def lower(c: Char): Char = Character.toLowerCase(c)
+    def tagAt(i: Int, t: String): Boolean = {
+      if (i + t.length > n) return false
+      var k = 0
+      while (k < t.length) {
+        if (lower(xml.charAt(i + k)) != t.charAt(k)) return false
+        k += 1
+      }
+      true
+    }
+    var i = 0
+    while (i < n) {
+      if (xml.charAt(i) == '<' && tagAt(i, "<loc>")) {
+        val capStart = i + 5
+        var j = capStart
+        while (j < n && xml.charAt(j) != '<') j += 1
+        if (j < n && tagAt(j, "</loc>")) {
+          out += xml.substring(capStart, j)
+          i = j + 6 // resume after the closing tag (non-overlapping)
+        } else i = j // '<' that is not </loc>: the [^<]* capture can
+        // never complete here; the next match can only start at this '<'
+      } else i += 1
+    }
+    out.toArray
+  }
+
+  /** Column form: array of locs per sitemap body. */
+  def locsCol(xml: Column): Column = {
+    val u = udf((s: String) => locs(s))
+    u(xml)
+  }
+
+  /** Seed candidates from fetched sitemap bodies: every `<loc>` not in
+    * `crawled`, ref-counted across sitemaps (a url listed by several
+    * sitemaps is a stronger seed). Same shape as [[Crawl.frontier]] —
+    * the two feeders union naturally. */
+  def seeds(sitemaps: DataFrame, crawled: DataFrame,
+            xmlCol: String = "body", urlCol: String = "url"): DataFrame =
+    sitemaps.select(explode(locsCol(col(xmlCol))).as("url"))
+      .filter(col("url").rlike("^https?://"))
+      .join(crawled.select(col(urlCol).cast("string").as("url")).distinct(),
+        Seq("url"), "left_anti")
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_refs"))
+}

@@ -96,6 +96,62 @@ class RobotsSpec extends SparkTestBase {
     assert(Robots.rulesForAgent(Seq.empty, "x") === Seq.empty)
   }
 
+  test("sitemapUrls: group-independent, comments stripped, case-insensitive key") {
+    val body =
+      """Sitemap: https://h/a.xml   # before any group
+        |User-agent: *
+        |Disallow: /x
+        |sitemap: https://h/b.xml
+        |SITEMAP:
+        |""".stripMargin
+    assert(Robots.sitemapUrls(body)
+      === Seq("https://h/a.xml", "https://h/b.xml"))
+    assert(Robots.sitemapUrls(null) === Seq.empty)
+  }
+
+  /** Independent evaluator for the loc kernel. */
+  private def regexLocs(xml: String): Seq[String] = {
+    val m = java.util.regex.Pattern.compile(Sitemaps.LocPattern).matcher(xml)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (m.find()) out += m.group(1)
+    out.toSeq
+  }
+
+  test("Sitemaps.locs equals the declared regex on contract and soup cases") {
+    val cases = Seq(
+      "<urlset><url><loc>https://a/1</loc></url></urlset>",
+      "<LOC>https://upper/</LOC> and <Loc>https://mixed/</lOc>",
+      "<loc>unterminated forever",
+      "<loc>stops<at-first-lt</loc>",
+      "<loc><loc>https://nested/</loc></loc>",
+      "<loc></loc><loc>x</loc>",
+      "plain text no tags", "")
+    for (c <- cases)
+      assert(Sitemaps.locs(c).toSeq === regexLocs(c), s"case: $c")
+    val rnd = new scala.util.Random(11)
+    val atoms = Seq("<loc>", "</loc>", "<LOC>", "</LOC>", "<", ">", "x",
+      "https://r/", "lo", "c>")
+    for (_ <- 0 until 300) {
+      val s = Seq.fill(rnd.nextInt(30))(atoms(rnd.nextInt(atoms.length)))
+        .mkString
+      assert(Sitemaps.locs(s).toSeq === regexLocs(s), s"soup: $s")
+    }
+  }
+
+  test("Sitemaps.seeds: absolute locs minus crawled, ref-counted") {
+    val maps = Seq(
+      (1L, "<urlset><url><loc>https://n/1</loc></url>" +
+        "<url><loc>https://s/1</loc></url>" +
+        "<url><loc>/rel</loc></url></urlset>"),
+      (2L, "<sitemapindex><sitemap><loc>https://n/1</loc></sitemap>" +
+        "<sitemap><loc>https://n/2</loc></sitemap></sitemapindex>"))
+      .toDF("id", "body")
+    val crawled = Seq("https://s/1").toDF("url")
+    val got = Sitemaps.seeds(maps, crawled)
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(("https://n/1", 2L), ("https://n/2", 1L)))
+  }
+
   test("filterAllowed gates urls per host; hosts without robots allow all") {
     val robots = Seq(
       ("a.example",
