@@ -60,6 +60,35 @@ object SparkEntry {
     tbl(s, dir, "documents").select("doc_id", "text")
       .unionByName(mutatedDocs(s, dir))
 
+  /** The crawl-frontier fixture: one page per document whose anchors are
+    * pure doc_id arithmetic (two NEW targets — one decade-shared — a
+    * comment-wrapped link, a self-link, and relative/mailto/single-quote
+    * arms the kernel must drop), SHARED by crawl_frontier,
+    * crawl_frontier_bloom and crawl_schedule so their oracles all gate
+    * the same page population. Output: (page_url, html). */
+  private def crawlFixturePages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        val esc = text.replace("&", "&amp;")
+          .replace("<", "&lt;").replace(">", "&gt;")
+        val own = s"https://h${id % 7}.example/page/$id"
+        val html =
+          s"""<html><body>
+             |<a href="https://h${(id * 3) % 7}.example/page/${id + 100000}#frag">next</a>
+             |<A HREF="https://h${(id * 5) % 7}.example/page/${id - (id % 10) + 200000}">decade hub</A>
+             |<!-- <a href="https://hc.example/c/${id % 13}">from comment</a> -->
+             |<a href="$own">self</a>
+             |<a href="/about">relative</a>
+             |<a href='https://dropme.example/sq'>single quoted</a>
+             |<a href="mailto:x@y">mail</a>
+             |<p>$esc</p>
+             |</body></html>""".stripMargin
+        (own, html)
+      }.toDF("page_url", "html")
+  }
+
   /** Dirs queued for recursive deletion at JVM exit, drained by ONE static
     * shutdown hook — a hook per call would accumulate Thread objects (and
     * retained paths) unboundedly in a long-lived JVM. */
@@ -2697,26 +2726,7 @@ object SparkEntry {
     // the same doc_id arithmetic -- any extraction or filtering defect
     // hash-mismatches.
     "crawl_frontier" -> ((s, dir) => {
-      import s.implicits._
-      val pages = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) =>
-          val esc = text.replace("&", "&amp;")
-            .replace("<", "&lt;").replace(">", "&gt;")
-          val own = s"https://h${id % 7}.example/page/$id"
-          val html =
-            s"""<html><body>
-               |<a href="https://h${(id * 3) % 7}.example/page/${id + 100000}#frag">next</a>
-               |<A HREF="https://h${(id * 5) % 7}.example/page/${id - (id % 10) + 200000}">decade hub</A>
-               |<!-- <a href="https://hc.example/c/${id % 13}">from comment</a> -->
-               |<a href="$own">self</a>
-               |<a href="/about">relative</a>
-               |<a href='https://dropme.example/sq'>single quoted</a>
-               |<a href="mailto:x@y">mail</a>
-               |<p>$esc</p>
-               |</body></html>""".stripMargin
-          (own, html)
-        }.toDF("page_url", "html")
+      val pages = crawlFixturePages(s, dir)
       graft.pipeline.Crawl.frontier(
           pages.select(col("page_url").as("url"),
             graft.pipeline.HtmlText.htmlLinksCol(col("html")).as("links")),
@@ -2735,26 +2745,7 @@ object SparkEntry {
     // oracle is crawl_frontier's SQL verbatim. fpp 0.2 on purpose: a
     // 500-row fixture at 1% would exercise zero false positives.
     "crawl_frontier_bloom" -> ((s, dir) => {
-      import s.implicits._
-      val pages = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) =>
-          val esc = text.replace("&", "&amp;")
-            .replace("<", "&lt;").replace(">", "&gt;")
-          val own = s"https://h${id % 7}.example/page/$id"
-          val html =
-            s"""<html><body>
-               |<a href="https://h${(id * 3) % 7}.example/page/${id + 100000}#frag">next</a>
-               |<A HREF="https://h${(id * 5) % 7}.example/page/${id - (id % 10) + 200000}">decade hub</A>
-               |<!-- <a href="https://hc.example/c/${id % 13}">from comment</a> -->
-               |<a href="$own">self</a>
-               |<a href="/about">relative</a>
-               |<a href='https://dropme.example/sq'>single quoted</a>
-               |<a href="mailto:x@y">mail</a>
-               |<p>$esc</p>
-               |</body></html>""".stripMargin
-          (own, html)
-        }.toDF("page_url", "html")
+      val pages = crawlFixturePages(s, dir)
       val crawled = pages.select(col("page_url").as("url"))
       val bloom = crawled.stat.bloomFilter("url", 100000L, 0.2)
       graft.pipeline.Crawl.frontierBloom(
@@ -2773,26 +2764,7 @@ object SparkEntry {
     // urls beyond maxRounds=3 defer to the next crawl cycle. The oracle
     // replays the frontier CTEs + row_number per host.
     "crawl_schedule" -> ((s, dir) => {
-      import s.implicits._
-      val pages = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .map { case (id, text) =>
-          val esc = text.replace("&", "&amp;")
-            .replace("<", "&lt;").replace(">", "&gt;")
-          val own = s"https://h${id % 7}.example/page/$id"
-          val html =
-            s"""<html><body>
-               |<a href="https://h${(id * 3) % 7}.example/page/${id + 100000}#frag">next</a>
-               |<A HREF="https://h${(id * 5) % 7}.example/page/${id - (id % 10) + 200000}">decade hub</A>
-               |<!-- <a href="https://hc.example/c/${id % 13}">from comment</a> -->
-               |<a href="$own">self</a>
-               |<a href="/about">relative</a>
-               |<a href='https://dropme.example/sq'>single quoted</a>
-               |<a href="mailto:x@y">mail</a>
-               |<p>$esc</p>
-               |</body></html>""".stripMargin
-          (own, html)
-        }.toDF("page_url", "html")
+      val pages = crawlFixturePages(s, dir)
       val frontier = graft.pipeline.Crawl.frontier(
         pages.select(col("page_url").as("url"),
           graft.pipeline.HtmlText.htmlLinksCol(col("html")).as("links")),

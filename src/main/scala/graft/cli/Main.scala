@@ -533,11 +533,11 @@ object Main {
       val conf = spark.sparkContext.hadoopConfiguration
       val metaP = new org.apache.hadoop.fs.Path(s"$idxPath/meta")
       val exists = metaP.getFileSystem(conf).exists(metaP)
+      // the collision-free numbering rule lives in ONE place (it changed
+      // once for a data-loss reason -- never re-derive it here)
       val inst =
         if (!exists) 0
-        else math.max(
-          graft.store.Installments.next(spark, s"$idxPath/sizes"),
-          graft.store.Installments.next(spark, s"$idxPath/sets"))
+        else graft.dedup.Dedup.nextMinhashInstallment(spark, idxPath)
       // when a frontier output is requested, links ride the same decode
       // pass and the next fetch round lands beside the corpus — robots
       // rules (optional (host, body) parquet) gate it for `agent`

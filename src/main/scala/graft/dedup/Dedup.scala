@@ -519,7 +519,7 @@ object Dedup {
    */
   def minhashIndexBuild(df: DataFrame, textCol: String, idCol: String,
                         path: String, shingleK: Int = 3, numHashes: Int = 64,
-                        bands: Int = 16): Unit = {
+                        bands: Int = 16, installment: Int = 0): Unit = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
@@ -527,7 +527,13 @@ object Dedup {
       val p = new org.apache.hadoop.fs.Path(s"$path/$d")
       p.getFileSystem(conf).delete(p, true)
     }
-    writeInstallment(df, textCol, idCol, path, 0, shingleK, numHashes, bands)
+    // `installment` defaults to 0; a STREAMING bootstrap passes its own
+    // batch number so a replay of the bootstrap batch (meta exists by
+    // then, so it runs as a probe+AppendAt) overwrites this very
+    // partition instead of landing the same docs at a second number —
+    // the replay-idempotence contract extended to the first batch
+    writeInstallment(df, textCol, idCol, path, installment, shingleK,
+      numHashes, bands)
     spark.createDataFrame(Seq((shingleK, numHashes, bands)))
       .toDF("shingle_k", "num_hashes", "bands")
       .write.mode("overwrite").parquet(s"$path/meta")
@@ -582,8 +588,8 @@ object Dedup {
     * Numbering off sets alone would let a delete (sizes-only) and the
     * next append collide on a sizes number. The max is collision-free
     * against both maintenance histories. */
-  private def nextMinhashInstallment(spark: org.apache.spark.sql.SparkSession,
-                                     path: String): Int =
+  def nextMinhashInstallment(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Int =
     math.max(graft.store.Installments.next(spark, s"$path/sizes"),
       graft.store.Installments.next(spark, s"$path/sets"))
 

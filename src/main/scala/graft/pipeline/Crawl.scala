@@ -76,8 +76,11 @@ object Crawl {
       else extAll.select(col("target_uri").as("url"), col("text"),
         col("cs_fallback")))
       .localCheckpoint() // parse+extract once: feeds stats, probe, append
-    if (wantLinks) onPageLinks(ext.select(col("url"), col("links")))
     try {
+      // inside the try: a failing frontier write must still release the
+      // checkpoint blocks (a streaming retry loop would otherwise
+      // accumulate leaked storage on every failed attempt)
+      if (wantLinks) onPageLinks(ext.select(col("url"), col("links")))
       val a = ext.agg(
         count(lit(1)).as("n"),
         sum(when(col("cs_fallback"), 1L).otherwise(0L)).as("fb"),
@@ -102,8 +105,14 @@ object Crawl {
       val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
       val bootstrap = !metaPath.getFileSystem(conf).exists(metaPath)
       if (bootstrap) {
+        // bootstrap AT the caller's installment: an at-least-once replay
+        // of the bootstrap batch finds meta present, probes asOf
+        // installment-1 (its own landed partition excluded -> empty
+        // index -> nothing flagged) and AppendAt-OVERWRITES this same
+        // partition -- idempotent, where a fixed installment 0 would
+        // leave the replay appending the same docs at a second number
         graft.dedup.Dedup.minhashIndexBuild(docs, "text", "url", indexPath,
-          shingleK, numHashes, bands)
+          shingleK, numHashes, bands, installment = installment)
         val result = use(docs)
         (result, BatchStats(responses, fallbacks, empties, 0L,
           responses - empties))
@@ -144,7 +153,10 @@ object Crawl {
     pages.select(explode(col(linksCol)).as("link"))
       .filter(col("link").rlike("^https?://"))
       .select(regexp_replace(col("link"), "#.*", "").as("url"))
-      .join(crawled.select(col(urlCol).cast("string").as("url")).distinct(),
+      // no distinct on the crawled side: left_anti is insensitive to
+      // right-side duplicates, and a dedup pass over a corpus-sized url
+      // set per batch buys nothing
+      .join(crawled.select(col(urlCol).cast("string").as("url")),
         Seq("url"), "left_anti")
       .groupBy("url")
       .agg(count(lit(1)).as("n_refs"))

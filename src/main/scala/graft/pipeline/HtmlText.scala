@@ -320,24 +320,87 @@ object HtmlText {
   private val HeaderCharsetRe =
     java.util.regex.Pattern.compile(
       "(?i)charset\\s*=\\s*['\"]?\\s*([A-Za-z0-9._:\\-]+)")
-  private val MetaCharsetRe =
-    java.util.regex.Pattern.compile(
-      "(?i)<meta[^>]+charset\\s*=\\s*['\"]?\\s*([A-Za-z0-9._:\\-]+)")
-
   private def labelFromHeader(contentType: String): Option[String] = {
     if (contentType == null) return None
     val m = HeaderCharsetRe.matcher(contentType)
     if (m.find()) Some(m.group(1)) else None
   }
 
-  /** Sniff `<meta charset=...>` from the (ASCII-compatible) first 1024
-    * bytes -- covers both the HTML5 form and the http-equiv form. */
+  /** Sniff the charset from `<meta>` tags in the (ASCII-compatible)
+    * first 1024 bytes — a WHATWG-style prescan that parses each tag's
+    * ATTRIBUTES: the `charset` attribute wins, else an
+    * `http-equiv=Content-Type` tag's `content` value goes through the
+    * header rule. A regex over the raw tag text (the previous form)
+    * matches `charset=` inside an unrelated attribute VALUE — e.g. a
+    * content= description that mentions charsets — and mislabels the
+    * page: a wrong label whose strict decode happens to succeed is
+    * silent mojibake with `fallback = false`, invisible to the
+    * telemetry this ladder exists to feed. */
   private def labelFromMeta(body: Array[Byte]): Option[String] = {
     val n = math.min(body.length, 1024)
-    val prefix = new String(body, 0, n,
+    val s = new String(body, 0, n,
       java.nio.charset.StandardCharsets.ISO_8859_1)
-    val m = MetaCharsetRe.matcher(prefix)
-    if (m.find()) Some(m.group(1)) else None
+    val len = s.length
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+    var i = 0
+    while (i < len) {
+      val at = indexOfIgnoreCase(s, "<meta", i)
+      if (at < 0) return None
+      var p = at + 5
+      // must be a real <meta> tag start, not <metadata...>
+      if (p < len && (isWs(s.charAt(p)) || s.charAt(p) == '/')) {
+        var charsetAttr: String = null
+        var httpEquiv: String = null
+        var contentAttr: String = null
+        var done = false
+        while (!done && p < len) {
+          while (p < len && (isWs(s.charAt(p)) || s.charAt(p) == '/')) p += 1
+          if (p >= len || s.charAt(p) == '>') done = true
+          else {
+            val nameStart = p
+            while (p < len && !isWs(s.charAt(p)) && s.charAt(p) != '=' &&
+              s.charAt(p) != '/' && s.charAt(p) != '>') p += 1
+            val name = s.substring(nameStart, p)
+              .toLowerCase(java.util.Locale.ROOT)
+            while (p < len && isWs(s.charAt(p))) p += 1
+            var value = ""
+            if (p < len && s.charAt(p) == '=') {
+              p += 1
+              while (p < len && isWs(s.charAt(p))) p += 1
+              if (p < len && (s.charAt(p) == '"' || s.charAt(p) == '\'')) {
+                val q = s.charAt(p); p += 1
+                val vStart = p
+                while (p < len && s.charAt(p) != q) p += 1
+                value = s.substring(vStart, p)
+                if (p < len) p += 1
+              } else {
+                val vStart = p
+                while (p < len && !isWs(s.charAt(p)) &&
+                  s.charAt(p) != '>') p += 1
+                value = s.substring(vStart, p)
+              }
+            }
+            name match {
+              case "charset" => if (charsetAttr == null) charsetAttr = value
+              case "http-equiv" => if (httpEquiv == null) httpEquiv = value
+              case "content" => if (contentAttr == null) contentAttr = value
+              case _ => ()
+            }
+          }
+        }
+        val label =
+          if (charsetAttr != null && charsetAttr.trim.nonEmpty)
+            Some(charsetAttr.trim)
+          else if (httpEquiv != null &&
+            httpEquiv.trim.equalsIgnoreCase("content-type") &&
+            contentAttr != null) labelFromHeader(contentAttr)
+          else None
+        if (label.isDefined) return label
+      }
+      i = at + 5
+    }
+    None
   }
 
   private def strictDecode(cs: java.nio.charset.Charset, b: Array[Byte],

@@ -68,7 +68,8 @@ object Sitemaps {
             xmlCol: String = "body", urlCol: String = "url"): DataFrame =
     sitemaps.select(explode(locsCol(col(xmlCol))).as("url"))
       .filter(col("url").rlike("^https?://"))
-      .join(crawled.select(col(urlCol).cast("string").as("url")).distinct(),
+      // left_anti is insensitive to right-side duplicates — no distinct
+      .join(crawled.select(col(urlCol).cast("string").as("url")),
         Seq("url"), "left_anti")
       .groupBy("url")
       .agg(count(lit(1)).as("n_refs"))

@@ -727,13 +727,20 @@ object EventStreams extends Serializable {
    * survivors. URLs are the document ids — the minhash family is
    * id-type-agnostic end-to-end.
    *
-   * `frontierDir`, when set, lands each batch's NEXT-FETCH frontier
-   * ([[graft.pipeline.Crawl.frontier]]: this batch's outlinks minus
-   * batch + stored urls) as `$frontierDir/batch=$batchId` — a pure
-   * function of batchId written mode(overwrite), so at-least-once
-   * replays reproduce their own partition (the shared
-   * replay-idempotence contract). Links ride the same fused decode
-   * pass as the text — the frontier costs no second body decode.
+   * `frontierDir`, when set, lands two tables per batch, both
+   * `batch=$batchId` partitions written mode(overwrite) — pure
+   * functions of batchId, so at-least-once replays reproduce their own
+   * partitions (the shared replay-idempotence contract):
+   *  - `$frontierDir/fetched/` — every response url this batch FETCHED
+   *    (near-dup-pruned and empty-text pages included). This ledger is
+   *    what gates frontier re-entry: the corpus index only remembers
+   *    APPENDED docs, so without it a mirror page that prunes every
+   *    time would be refetched every cycle.
+   *  - `$frontierDir/next/` — the batch's next-fetch frontier
+   *    ([[graft.pipeline.Crawl.frontier]]: outlinks minus batch urls,
+   *    the fetched ledger, and the corpus urls).
+   * Links ride the same fused decode pass as the text — the frontier
+   * costs no second body decode.
    */
   def crawlIngestStream(spark: SparkSession, warcFiles: DataFrame,
                         indexPath: String, threshold: Double = 0.8,
@@ -755,16 +762,28 @@ object EventStreams extends Serializable {
         val onLinks: org.apache.spark.sql.DataFrame => Unit =
           if (frontierDir == null) null
           else pages => {
-            val crawled = pages.select(org.apache.spark.sql.functions
-                .col("url"))
+            import org.apache.spark.sql.functions.col
+            val urls = pages.select(col("url"))
+            // the fetched LEDGER first (before its read below, and
+            // before the frontier write, so a crash between the two
+            // re-runs with the ledger already covering this batch —
+            // harmless, batch urls are excluded explicitly anyway)
+            urls.write.mode("overwrite")
+              .parquet(s"$frontierDir/fetched/batch=$batchId")
+            val fetchedPath =
+              new org.apache.hadoop.fs.Path(s"$frontierDir/fetched")
+            val priorFetched = // prior batches incl. pruned/empty pages
+              spark.read.parquet(fetchedPath.toString)
+                .filter(col("batch") < batchId).select(col("url"))
+            val crawled = urls
+              .unionByName(priorFetched)
               .unionByName(
                 if (indexExists)
                   graft.pipeline.Crawl.crawledUrls(spark, indexPath)
-                else pages.select(org.apache.spark.sql.functions
-                  .col("url")).limit(0))
+                else urls.limit(0))
             graft.pipeline.Crawl.frontier(pages, crawled)
               .write.mode("overwrite")
-              .parquet(s"$frontierDir/batch=$batchId")
+              .parquet(s"$frontierDir/next/batch=$batchId")
           }
         val (_, stats) = graft.pipeline.Crawl.ingestBatch(spark,
           graft.sources.Warc.warcRecords(batch.toDF(), payloadCol).toDF(),

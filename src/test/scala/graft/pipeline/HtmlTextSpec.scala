@@ -150,6 +150,33 @@ class HtmlTextSpec extends SparkTestBase {
     assert(got("https://t/4") === (("caf\u00E9", "windows-1252", true)))
   }
 
+  test("meta prescan reads ATTRIBUTES, not charset= strings inside values") {
+    def dec(b: String): (String, Boolean) = {
+      val (_, cs, fb) = HtmlText.decodeBody(null,
+        b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (cs, fb)
+    }
+    // 'charset=' inside a content VALUE of an unrelated meta tag must
+    // NOT label the page (the WHATWG prescan honors only the charset
+    // attribute or an http-equiv Content-Type content) — a café byte
+    // pair decodes as strict UTF-8, which a shift_jis mislabel would
+    // silently garble with fallback=false
+    assert(dec("<meta name=\"description\" content=\"how to set " +
+      "charset=shift_jis in HTML\"><p>café</p>") === (("UTF-8", false)))
+    // the real charset attribute still wins, any attribute order
+    assert(dec("<meta id=x charset='windows-1252'><p>a</p>")._1
+      === "windows-1252")
+    // the http-equiv form still parses charset= from ITS content value
+    assert(dec("<meta http-equiv=\"Content-Type\" " +
+      "content=\"text/html; charset=windows-1252\"><p>a</p>")._1
+      === "windows-1252")
+    // unquoted attribute values
+    assert(dec("<meta charset=windows-1252><p>a</p>")._1 === "windows-1252")
+    // <metadata> is not <meta>
+    assert(dec("<metadata charset=shift_jis></metadata><p>café</p>")
+      === (("UTF-8", false)))
+  }
+
   // ------------------------------------------------------------ htmlLinks
 
   /** The independent implementation the kernel claims equivalence with. */

@@ -110,7 +110,9 @@ class CrawlIngestStreamSpec extends SparkTestBase {
       frontierDir = fDir)().start()
 
     // page links: one stored url (dropped), one batch-internal url
-    // (dropped), one genuinely new target + a relative (filtered)
+    // (dropped), one genuinely new target + a relative (filtered);
+    // b0/pruned is a near-dup of the stored corpus — fetched but NOT
+    // appended, the fetched-ledger case
     input.addData((0L, warcOf(
       ("https://b0/a", 200,
         """<p>first page body words</p><a href="https://c/1">stored</a>
@@ -118,23 +120,59 @@ class CrawlIngestStreamSpec extends SparkTestBase {
           |<a href="https://next/1#f">fresh</a><a href="/rel">r</a>""".stripMargin),
       ("https://b0/b", 200,
         """<p>second page body other words</p>
-          |<a href="https://next/1">fresh again</a>""".stripMargin))))
+          |<a href="https://next/1">fresh again</a>""".stripMargin),
+      ("https://b0/pruned", 200,
+        "<p>the stored corpus document about foxes and dogs here</p>"))))
     q.processAllAvailable()
-    val f0 = spark.read.parquet(s"$fDir/batch=0")
+    val f0 = spark.read.parquet(s"$fDir/next/batch=0")
       .as[(String, Long)].collect().toSet
     assert(f0 === Set(("https://next/1", 2L)), s"frontier batch 0: $f0")
 
-    // batch 1 links back to a batch-0 url: the STORED set now contains
-    // it (fold-in visible), so only the new target survives
+    // batch 1 links back to an APPENDED batch-0 url (excluded via the
+    // corpus) AND to the PRUNED batch-0 url — which never entered the
+    // index, so only the fetched ledger can keep it from re-entering
+    // the frontier (the refetch-forever hole)
     input.addData((1L, warcOf(
       ("https://b1/a", 200,
         """<p>third page distinct body tokens entirely</p>
           |<a href="https://b0/a">older</a>
+          |<a href="https://b0/pruned">mirror</a>
           |<a href="https://next/2">newer</a>""".stripMargin))))
     q.processAllAvailable()
     q.stop()
-    val f1 = spark.read.parquet(s"$fDir/batch=1")
+    assert(spark.read.parquet(s"$idx/sets").select("id").as[String]
+      .collect().toSet.contains("https://b0/pruned") === false,
+      "precondition: the pruned page must not be in the index")
+    val f1 = spark.read.parquet(s"$fDir/next/batch=1")
       .as[(String, Long)].collect().toSet
     assert(f1 === Set(("https://next/2", 1L)), s"frontier batch 1: $f1")
+    // the ledger holds every FETCHED url, pruned included
+    val fetched = spark.read.parquet(s"$fDir/fetched")
+      .select("url").as[String].collect().toSet
+    assert(fetched === Set("https://b0/a", "https://b0/b",
+      "https://b0/pruned", "https://b1/a"))
+  }
+
+  test("bootstrap batch is replay-idempotent at its own installment") {
+    val base = java.nio.file.Files.createTempDirectory("crawl-bootstrap")
+    base.toFile.deleteOnExit()
+    val idx = base.resolve("idx").toString
+    val inst = EventStreams.StreamInstallmentBase // batchId 0
+    def runOnce(): graft.pipeline.Crawl.BatchStats = {
+      val files = Seq((0L, warcOf(
+        ("https://s/1", 200, "<p>bootstrap document one with words</p>"),
+        ("https://s/2", 200, "<p>bootstrap document two other words</p>"))))
+        .toDF("g", "payload")
+      val recs = graft.sources.Warc.warcRecords(files).toDF()
+      graft.pipeline.Crawl.ingestBatch(spark, recs, idx, inst)(_ => ())._2
+    }
+    val first = runOnce()  // bootstrap path (no meta yet)
+    val replay = runOnce() // meta exists: probe asOf inst-1 + AppendAt
+    assert(first.appended === 2L && replay.appended === 2L)
+    val stored = spark.read.parquet(s"$idx/sets")
+      .select("id", "installment").distinct()
+      .as[(String, Int)].collect().toSet
+    assert(stored === Set(("https://s/1", inst), ("https://s/2", inst)),
+      s"replay must overwrite the bootstrap partition, got $stored")
   }
 }
