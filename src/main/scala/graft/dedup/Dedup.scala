@@ -550,9 +550,13 @@ object Dedup {
    * 1 GB batch to a 100 TB index costs exactly the 1 GB batch's work
    * (≙ append-oriented writes, ColumnWriter.cs:29-70; StreamFactory.cs:29-90).
    *
-   * Contract: batch ids must be new to the index (the probe's pair set
-   * and Jaccard verification key on id). Appends are sequential — two
-   * concurrent appends could claim the same installment number.
+   * Contract: re-appending an EXISTING id (a revision) is permitted —
+   * each version's shingles live in their own installment and the
+   * probe's verify step regroups per (id, installment), scoring every
+   * version separately and keeping the best match (pooling them into
+   * one union would dilute the Jaccard below threshold). Appends are
+   * sequential — two concurrent appends could claim the same
+   * installment number.
    */
   def minhashIndexAppend(spark: org.apache.spark.sql.SparkSession, path: String,
                          newDf: DataFrame, textCol: String, idCol: String): Unit = {
@@ -876,14 +880,21 @@ object Dedup {
     // sets/ is exploded (one row per stored shingle — see the layout
     // doc); the broadcast pair join keeps it map-side and candidate-only,
     // then collect_list regroups ONLY the candidate docs' shingles (a
-    // candidate-bounded exchange, never the stored corpus)
+    // candidate-bounded exchange, never the stored corpus). Regroup keys
+    // include the installment: an id re-appended with DIFFERENT content
+    // legitimately exists in several installments, and pooling the
+    // versions' shingles into one union dilutes the Jaccard below
+    // threshold where each version alone would verify — each version
+    // scores separately and the best match decides.
     storedSets
       .join(batchSide(pairs), "id")
-      .groupBy("id", "new_id").agg(collect_list(col("sh")).as("sh"))
+      .groupBy("id", "installment", "new_id")
+      .agg(collect_list(col("sh")).as("sh"))
       .join(batchSide(newShingled), "new_id")
       .withColumn("jaccard",
         size(array_intersect(col("sh"), col("new_sh"))).cast("double") /
           size(array_union(col("sh"), col("new_sh"))))
+      .groupBy("id", "new_id").agg(max(col("jaccard")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("id").as("corpus_id"), col("new_id"), col("jaccard"))
   }

@@ -136,23 +136,49 @@ object Crawl {
     } finally graft.dedup.Dedup.release(ext)
   }
 
-  /** The next fetch round from this batch's outlinks: absolute http(s)
-    * links, fragments stripped, minus everything in `crawled`, with
-    * per-target reference counts (the fetch-priority signal). This is
-    * the `crawl_frontier` query's kernel — one explode + one anti-join +
-    * one count aggregate; nothing scales with anything but the inputs.
+  /** The shared frontier head: explode outlinks, resolve each against
+    * its page's url (RFC 3986 — the MAJORITY of real-world hrefs are
+    * relative; dropping them starves the crawl of most of the web
+    * graph), keep only fetchable http(s) results, and canonicalize with
+    * [[UrlFilter.normalizeUrl]] so URL variants of one page (tracking
+    * params, default ports, fragments, trailing slash, host case)
+    * collapse BEFORE the crawled-set check — without it a `?utm_...`
+    * variant of a crawled page refetches forever. Map-side per link. */
+  private def resolvedLinks(pages: DataFrame, linksCol: String,
+                            urlCol: String): DataFrame =
+    pages.select(col(urlCol).cast("string").as("_frontier_base"),
+        explode(col(linksCol)).as("_frontier_link"))
+      .select(UrlResolve.resolveCol(col("_frontier_base"),
+        col("_frontier_link")).as("url"))
+      .filter(col("url").isNotNull)
+      .select(UrlFilter.normalizeUrl(col("url")).as("url"))
+
+  private def guardFrontierCols(pages: DataFrame): Unit =
+    require(!pages.columns.contains("_frontier_base") &&
+      !pages.columns.contains("_frontier_link"),
+      "column names _frontier_base/_frontier_link are reserved by frontier")
+
+  /** The next fetch round from this batch's outlinks: hrefs RESOLVED
+    * against their page url (absolute, scheme-relative `//host/x`,
+    * root-relative `/x`, path-relative with `../` dot segments — see
+    * [[UrlResolve]]), normalized ([[UrlFilter.normalizeUrl]]), minus
+    * everything in `crawled`, with per-target reference counts (the
+    * fetch-priority signal). This is the `crawl_frontier` query's
+    * kernel — one explode + one anti-join + one count aggregate;
+    * nothing scales with anything but the inputs.
     *
     * `pages` is the (url, links) shape `ingestBatch`'s `onPageLinks`
-    * hands out; `crawled` is whatever url universe must not re-enter
-    * (the batch's own urls + [[crawledUrls]], or at real corpus scale a
-    * fetched-URL Bloom filter — the decontaminateStream pattern — since
-    * an exact anti-join against a billion-url set shuffles it per
-    * batch). */
+    * hands out (page url = the resolution base); `crawled` is whatever
+    * url universe must not re-enter (the batch's own urls +
+    * [[crawledUrls]], or at real corpus scale a fetched-URL Bloom
+    * filter — [[frontierBloom]] — since an exact anti-join against a
+    * billion-url set shuffles it per batch). The crawled universe holds
+    * frontier-normalized urls BY CONSTRUCTION (fetch urls come from
+    * frontier output), so only the link side pays the normalize. */
   def frontier(pages: DataFrame, crawled: DataFrame,
-               linksCol: String = "links", urlCol: String = "url"): DataFrame =
-    pages.select(explode(col(linksCol)).as("link"))
-      .filter(col("link").rlike("^https?://"))
-      .select(regexp_replace(col("link"), "#.*", "").as("url"))
+               linksCol: String = "links", urlCol: String = "url"): DataFrame = {
+    guardFrontierCols(pages)
+    resolvedLinks(pages, linksCol, urlCol)
       // no distinct on the crawled side: left_anti is insensitive to
       // right-side duplicates, and a dedup pass over a corpus-sized url
       // set per batch buys nothing
@@ -160,6 +186,7 @@ object Crawl {
         Seq("url"), "left_anti")
       .groupBy("url")
       .agg(count(lit(1)).as("n_refs"))
+  }
 
   /** [[frontier]] with a crawled-URL Bloom filter — EXACTLY the same
     * output, with the corpus-sized `crawled` side never shuffling (the
@@ -177,17 +204,24 @@ object Crawl {
                     bloom: org.apache.spark.util.sketch.BloomFilter,
                     linksCol: String = "links",
                     urlCol: String = "url"): DataFrame = {
+    guardFrontierCols(pages)
     val spark = pages.sparkSession
     val bc = spark.sparkContext.broadcast(bloom)
     val might = udf { (u: String) => u != null && bc.value.mightContain(u) }
-    val links = pages.select(explode(col(linksCol)).as("link"))
-      .filter(col("link").rlike("^https?://"))
-      .select(regexp_replace(col("link"), "#.*", "").as("url"))
+    val links = resolvedLinks(pages, linksCol, urlCol)
     val definiteFresh = links.filter(!might(col("url")))
     val maybes = links.filter(might(col("url")))
+    // NO distinct on the crawled side: it would shuffle/aggregate the
+    // corpus-sized set per batch — the exact cost this function exists
+    // to remove — and the downstream left_anti is insensitive to
+    // duplicate confirmed rows anyway. The crawled set only ever
+    // STREAMS map-side through the broadcast inner join; `confirmed`
+    // dedups AFTER it, where the set is maybe-bounded, to keep the
+    // broadcast-back small.
     val confirmed = crawled
-      .select(col(urlCol).cast("string").as("url")).distinct()
+      .select(col(urlCol).cast("string").as("url"))
       .join(broadcast(maybes.select("url").distinct()), Seq("url"))
+      .distinct()
     val maybeFresh = maybes.join(broadcast(confirmed), Seq("url"), "left_anti")
     definiteFresh.unionByName(maybeFresh)
       .groupBy("url")
@@ -239,16 +273,56 @@ object Crawl {
     * (≤ maxRounds rows per host per task — no window funnel over a
     * mega-host), which also IS the policy cap: urls beyond `maxRounds`
     * wait for the next crawl cycle, exactly what a real fetcher does
-    * with a million-page host. Output: (host, url, n_refs, round). */
+    * with a million-page host.
+    *
+    * The politeness key is the CANONICAL host ([[UrlFilter.hostOf]]:
+    * lowercased, userinfo skipped, port elided) — a raw-authority key
+    * would give `Example.com`, `example.com` and `example.com:8443`
+    * three separate queues and hit one physical host concurrently.
+    * Hostless rows (null [[UrlFilter.hostOf]]) are excluded — nothing
+    * fetchable lacks a host.
+    *
+    * `delays`, when set, is a (host, delay_s) table (canonical lowercase
+    * hosts — [[Robots.crawlDelayDf]] emits exactly this) broadcast onto
+    * the schedule: hosts without a row pace at 0. The output gains
+    * `delay_s` plus `not_before_s` = (round−1)·delay_s — the stacked
+    * earliest-start offset a fetcher owes that host.
+    *
+    * Output: (host, url, n_refs, round[, delay_s, not_before_s]). */
   def schedule(frontier: DataFrame, maxRounds: Int,
-               urlCol: String = "url", refsCol: String = "n_refs"): DataFrame =
-    graft.functions.TopK.topLabelsPerGroup(
-        frontier.withColumn("host",
-          regexp_extract(col(urlCol), "^https?://([^/]*)", 1)),
+               urlCol: String = "url", refsCol: String = "n_refs",
+               delays: DataFrame = null): DataFrame = {
+    val base = graft.functions.TopK.topLabelsPerGroup(
+        frontier.withColumn("host", UrlFilter.hostOf(col(urlCol)))
+          .filter(col("host").isNotNull),
         "host", urlCol, refsCol, maxRounds)
       .select(col("host"), col(urlCol),
         col(refsCol).cast("long").as(refsCol),
         col("rank").cast("long").as("round"))
+    if (delays == null) base
+    else base
+      .join(broadcast(delays.select(col("host"),
+        col("delay_s").cast("double").as("delay_s"))), Seq("host"), "left")
+      .na.fill(0.0, Seq("delay_s"))
+      .withColumn("not_before_s",
+        (col("round") - 1).cast("double") * col("delay_s"))
+  }
+
+  /** 3xx responses as (url, links = [Location]) pages — a redirect IS a
+    * page with one outlink: composed with [[frontier]], the `Location`
+    * value resolves against the redirect source like any relative href
+    * (relative Locations are everywhere in the wild), crawled targets
+    * anti-join away, and the source url rides the fetched ledger so it
+    * is not refetched. Without this, every http→https / www→apex
+    * migration (a huge slice of any real crawl) is silently lost.
+    * `records` must carry the [[graft.sources.Warc.WarcRecord]] shape's
+    * `http_location` column. */
+  def redirectLinks(records: DataFrame): DataFrame =
+    records.filter(col("warc_type") === "response" &&
+        col("http_status").isin(301, 302, 303, 307, 308) &&
+        col("http_location").isNotNull)
+      .select(col("target_uri").as("url"),
+        array(col("http_location")).as("links"))
 
   /** Every url the minhash corpus index has folded in — read from the
     * `bands/` table ((id, band, bucket) — the narrowest per-doc rows the
@@ -256,6 +330,131 @@ object Crawl {
     * bounded backfill, wrong per-batch at 100 TB (keep a fetched-URL
     * Bloom there — see [[frontier]]). */
   def crawledUrls(spark: SparkSession, indexPath: String): DataFrame =
+    crawledUrlsRaw(spark, indexPath).distinct()
+
+  /** [[crawledUrls]] WITHOUT the distinct — one url row per stored band
+    * row. For consumers that are duplicate-insensitive (left_anti's
+    * right side, [[frontierBloom]]'s rescue join, Bloom builds) the
+    * distinct is a pure corpus-sized shuffle tax; they take this form
+    * and stay map-side. */
+  def crawledUrlsRaw(spark: SparkSession, indexPath: String): DataFrame =
     spark.read.parquet(s"$indexPath/bands")
-      .select(col("id").cast("string").as("url")).distinct()
+      .select(col("id").cast("string").as("url"))
+
+  // ------------------------------------------------------------------
+  // Fetched-URL ledger maintenance. The streaming loop lands one
+  // `fetched/batch=N` partition per micro-batch (the replay-idempotent
+  // re-entry gate); left alone, a long crawl accumulates thousands of
+  // small partitions AND the per-batch frontier read unions all of
+  // them. Maintenance = (1) compact the partitions, (2) fold everything
+  // fetched so far into a Bloom with a recorded coverage cutoff, so
+  // per-batch frontiers route through [[frontierBloom]] and only the
+  // post-cutoff trickle is checked exactly.
+  // ------------------------------------------------------------------
+
+  /** Fold every `fetched/batch=N` partition into ONE partition keyed by
+    * the highest batch id seen (urls distinct — the ledger is a set).
+    * Atomic delete+rename swap (the maintenance convention); replays of
+    * PRE-compaction batches are out of contract afterwards, like every
+    * index compaction here. Returns the retained batch id, or -1 when
+    * the ledger is empty/absent. */
+  def compactFetched(spark: SparkSession, frontierDir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val fetched = new Path(s"$frontierDir/fetched")
+    val fs = fetched.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(fetched)) return -1L
+    val df = spark.read.parquet(fetched.toString)
+    val maxBatch = df.agg(max(col("batch"))).head() match {
+      case r if r.isNullAt(0) => return -1L
+      case r => r.getAs[Number](0).longValue()
+    }
+    val tmp = new Path(s"$frontierDir/fetched._compacting")
+    fs.delete(tmp, true)
+    df.select("url").distinct()
+      .write.parquet(s"$tmp/batch=$maxBatch")
+    val old = new Path(s"$frontierDir/fetched._old")
+    fs.delete(old, true)
+    if (!fs.rename(fetched, old))
+      throw new java.io.IOException(s"fetched compact swap-out failed: $fetched")
+    if (!fs.rename(tmp, fetched))
+      throw new java.io.IOException(s"fetched compact swap-in failed: $fetched")
+    fs.delete(old, true)
+    maxBatch
+  }
+
+  /** Maintenance build of the streaming frontier's Bloom: every url the
+    * corpus index has folded in (when `indexPath` is set — covers a
+    * bootstrap that predates the ledger) plus every fetched-ledger url,
+    * saved to `bloomPath` with a `.meta` sidecar recording the coverage
+    * cutoff (`coversBelow` = max fetched batch + 1). A batch at id ≥
+    * cutoff checks the bloom for everything older and only the
+    * [cutoff, batch) trickle exactly — per-batch cost stops growing
+    * with crawl age. The meta lands AFTER the bloom (a crash between
+    * the two leaves the previous coherent pair in place — both writes
+    * are atomic temp+rename swaps). */
+  def buildFetchedBloom(spark: SparkSession, frontierDir: String,
+                        indexPath: String, expectedItems: Long,
+                        fpp: Double = 0.01, bloomPath: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fetched = new Path(s"$frontierDir/fetched")
+    val haveFetched = fetched.getFileSystem(conf).exists(fetched)
+    val fetchedDf =
+      if (haveFetched) spark.read.parquet(fetched.toString)
+      else null
+    val coversBelow: Long =
+      if (!haveFetched) 0L
+      else fetchedDf.agg(max(col("batch"))).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getAs[Number](0).longValue() + 1L
+      }
+    val corpus =
+      if (indexPath != null &&
+        new Path(s"$indexPath/meta").getFileSystem(conf)
+          .exists(new Path(s"$indexPath/meta")))
+        crawledUrlsRaw(spark, indexPath)
+      else null
+    val urls = (Option(fetchedDf).map(_.select("url")).toSeq ++
+      Option(corpus).toSeq).reduce(_ unionByName _)
+    val bloom = urls.stat.bloomFilter("url", expectedItems, fpp)
+    saveBloom(spark, bloom, bloomPath)
+    // meta sidecar: one decimal long, same atomic-swap write
+    val metaP = new Path(bloomPath + ".meta")
+    val fs = metaP.getFileSystem(conf)
+    val tmp = new Path(bloomPath + ".meta._writing")
+    val out = fs.create(tmp, true)
+    try out.write(coversBelow.toString
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    finally out.close()
+    if (fs.exists(metaP) && !fs.delete(metaP, false))
+      throw new java.io.IOException(s"bloom meta swap failed for $metaP")
+    if (!fs.rename(tmp, metaP))
+      throw new java.io.IOException(s"bloom meta rename failed for $metaP")
+    coversBelow
+  }
+
+  /** Load a [[buildFetchedBloom]] artifact pair: (bloom, coversBelow).
+    * None when either half is absent — callers fall back to the exact
+    * path (a missing/in-progress maintenance artifact must never wedge
+    * the stream). */
+  def loadFetchedBloom(spark: SparkSession, bloomPath: String)
+      : Option[(org.apache.spark.util.sketch.BloomFilter, Long)] = {
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val bp = new Path(bloomPath)
+    val mp = new Path(bloomPath + ".meta")
+    val fs = bp.getFileSystem(conf)
+    if (!fs.exists(bp) || !fs.exists(mp)) return None
+    val in = fs.open(mp)
+    val coversBelow =
+      try {
+        val buf = new java.io.ByteArrayOutputStream(32)
+        val tmp = new Array[Byte](256)
+        var n = in.read(tmp)
+        while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+        new String(buf.toByteArray,
+          java.nio.charset.StandardCharsets.US_ASCII).trim.toLong
+      } finally in.close()
+    Some((loadBloom(spark, bloomPath), coversBelow))
+  }
 }

@@ -196,10 +196,14 @@ object HtmlText {
 
   /** The exact pattern [[htmlLinks]] implements, in the Java∩RE2 subset
     * (explicit `[\t\n\f\r ]`, no `\s` — the documented divergence class):
-    * DuckDB `regexp_extract_all(html, pattern, 1)` over the same string
-    * rebuilds the kernel's output verbatim, and HtmlTextSpec cross-checks
-    * the kernel against `java.util.regex` on every fixture. */
-  val LinkPattern: String = "(?i)<a[\\t\\n\\f\\r ][^>]*?href=\"([^\"]*)\""
+    * the href value is group 1 (double-quoted) or group 2 (single-quoted)
+    * — exactly one is non-null per match — and HtmlTextSpec cross-checks
+    * the kernel against `java.util.regex` on every fixture. Real markup
+    * single-quotes hrefs constantly, so both quote forms are in
+    * contract; bare unquoted `href=x` stays out (the alternation's
+    * documented boundary). */
+  val LinkPattern: String =
+    "(?i)<a[\\t\\n\\f\\r ][^>]*?href=(?:\"([^\"]*)\"|'([^']*)')"
 
   /** Anchor hrefs in document order — the crawl-frontier feeder. The
     * semantics are EXACTLY leftmost non-overlapping matches of
@@ -212,9 +216,12 @@ object HtmlText {
     * char after the `a`, the lazy `[^>]*?` taking the FIRST `href="`
     * before the tag's `>` (and, on an unclosed quote, falling forward to
     * the next `href="` exactly as the lazy loop would), a capture that
-    * may cross `>` (`[^"]*`), and the scan resuming AFTER a match's
-    * closing quote. Double-quoted hrefs only — the single-quote form is
-    * out of contract (spec-pinned). Total: any input, never throws. */
+    * may cross `>` (`[^"]*` / `[^']*`), and the scan resuming AFTER a
+    * match's closing quote. Both quote forms are in contract (the
+    * alternation tries the double-quoted arm first — visible only in
+    * that an unclosed `href="` cannot fall back to a later `'`, which
+    * the kernel mirrors); bare unquoted `href=x` stays out. Total: any
+    * input, never throws. */
   def htmlLinks(html: String): Array[String] = {
     if (html == null) return Array.empty
     val n = html.length
@@ -237,9 +244,11 @@ object HtmlText {
             lower(html.charAt(j + 1)) == 'r' &&
             lower(html.charAt(j + 2)) == 'e' &&
             lower(html.charAt(j + 3)) == 'f' &&
-            html.charAt(j + 4) == '=' && html.charAt(j + 5) == '"') {
+            html.charAt(j + 4) == '=' &&
+            (html.charAt(j + 5) == '"' || html.charAt(j + 5) == '\'')) {
+            val q = html.charAt(j + 5) // the opening quote picks the arm
             val capStart = j + 6
-            val capEnd = html.indexOf('"', capStart) // [^"]* may cross '>'
+            val capEnd = html.indexOf(q, capStart) // capture may cross '>'
             if (capEnd >= 0) {
               out += html.substring(capStart, capEnd)
               i = capEnd // resume after the closing quote (non-overlapping)

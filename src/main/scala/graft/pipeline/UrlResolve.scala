@@ -1,0 +1,178 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/**
+ * RFC 3986 §5 reference resolution, specialized to the crawl loop: turn
+ * an anchor href (absolute, scheme-relative, root-relative, or
+ * path-relative — the MAJORITY of real-world links are relative) into
+ * the absolute http(s) URL a fetcher would request, or null when the
+ * reference is not fetchable (mailto:/javascript:/data: schemes,
+ * malformed bases, fragment-only refs resolve to the base itself).
+ *
+ * Semantics (RFC 3986 §5.2, with the crawl-specific deltas):
+ *  - fragments strip FIRST (a fragment never reaches the server);
+ *  - a ref with its own scheme is kept only for http/https (lowercased;
+ *    scheme comparison is case-insensitive per §3.1) — every other
+ *    scheme yields null rather than a non-fetchable URL;
+ *  - `//host/x` (network-path) takes the base's scheme;
+ *  - `/x` (absolute-path) takes the base's authority;
+ *  - `x`, `./x`, `../x` merge against the base path (§5.2.3) and pass
+ *    through remove_dot_segments (§5.2.4) — INCLUDING the abnormal
+ *    excess-`..` cases (§5.4.2: extra `..` segments are consumed at the
+ *    root, where `java.net.URI` leaves them in place — the spec pins
+ *    this divergence explicitly);
+ *  - `?q` (query-only) keeps the base path; an empty ref (or `#frag`)
+ *    resolves to the base minus its fragment (§5.4.1 same-document).
+ *
+ * Total: any (base, href) pair yields a string or null; never throws —
+ * crawl hrefs are adversarial garbage. The kernel is a single
+ * cursor-based pass (no regex, no per-iteration substring churn), so a
+ * megabyte of `./././…` costs O(n), not O(n²).
+ *
+ * Oracle strategy: general resolution is not regex-replayable, so
+ * declared queries pin it the fixture-arithmetic way (the oracle
+ * rebuilds each arm's RESOLVED url from doc_id arithmetic — any merge /
+ * dot-segment / scheme-relative defect hash-mismatches), and
+ * UrlResolveSpec cross-checks `java.net.URI.resolve` on the normal
+ * cases plus RFC 3986 §5.4's own example battery.
+ */
+object UrlResolve {
+
+  /** Split an ABSOLUTE http(s) URL. Null when the input is not one
+    * (wrong/missing scheme, no `//`, empty authority). `query` is null
+    * when absent; any fragment is dropped. */
+  private[pipeline] final case class Parts(scheme: String, authority: String,
+                                           path: String, query: String)
+
+  private def isAlpha(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+  private def isSchemeChar(c: Char): Boolean =
+    isAlpha(c) || (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.'
+
+  /** Lowercased scheme of `s` when it syntactically starts with one
+    * (`ALPHA *(ALPHA/DIGIT/+/-/.) ":"`), else null. A relative path
+    * containing `:` in a later segment (`a/b:c`) has no scheme — the
+    * colon must come before any `/`, `?` or `#`. */
+  private[pipeline] def schemeOf(s: String): String = {
+    if (s == null || s.isEmpty || !isAlpha(s.charAt(0))) return null
+    var i = 1
+    val n = s.length
+    while (i < n && isSchemeChar(s.charAt(i))) i += 1
+    if (i < n && s.charAt(i) == ':') s.substring(0, i)
+      .toLowerCase(java.util.Locale.ROOT)
+    else null
+  }
+
+  private[pipeline] def parseAbs(url: String): Parts = {
+    val scheme = schemeOf(url)
+    if (scheme == null || (scheme != "http" && scheme != "https")) return null
+    val n = url.length
+    var p = scheme.length + 1
+    if (p + 1 >= n || url.charAt(p) != '/' || url.charAt(p + 1) != '/')
+      return null
+    p += 2
+    val authStart = p
+    while (p < n && url.charAt(p) != '/' && url.charAt(p) != '?' &&
+      url.charAt(p) != '#') p += 1
+    if (p == authStart) return null // empty authority: not fetchable
+    val authority = url.substring(authStart, p)
+    val pathStart = p
+    while (p < n && url.charAt(p) != '?' && url.charAt(p) != '#') p += 1
+    val path = url.substring(pathStart, p)
+    var query: String = null
+    if (p < n && url.charAt(p) == '?') {
+      val qs = p + 1
+      p += 1
+      while (p < n && url.charAt(p) != '#') p += 1
+      query = url.substring(qs, p)
+    }
+    Parts(scheme, authority, path, query)
+  }
+
+  /** RFC 3986 §5.2.4 remove_dot_segments — cursor-based (each case
+    * advances an index; nothing re-substrings the remaining input), so
+    * adversarial `./././…` runs stay linear. */
+  private[pipeline] def removeDotSegments(path: String): String = {
+    val n = path.length
+    val out = new java.lang.StringBuilder(n)
+    var i = 0
+    def at(s: String): Boolean = path.startsWith(s, i)
+    while (i < n) {
+      if (at("../")) i += 3 // case A
+      else if (at("./")) i += 2 // case A
+      else if (at("/./")) i += 2 // case B: "/./" -> "/" (keep the slash)
+      else if (i + 2 == n && at("/.")) { i += 2; out.append('/') } // case B end
+      else if (at("/../") || (i + 3 == n && at("/.."))) { // case C
+        val cut = out.lastIndexOf("/")
+        out.setLength(if (cut >= 0) cut else 0)
+        if (i + 3 == n) { i += 3; out.append('/') } // final "/.." -> dir end
+        else i += 3 // keep the trailing '/' for the next round
+      } else if ((i + 1 == n && path.charAt(i) == '.') ||
+        (i + 2 == n && at(".."))) i = n // case D
+      else { // case E: move one segment (with its leading '/', if any)
+        var k = if (path.charAt(i) == '/') i + 1 else i
+        while (k < n && path.charAt(k) != '/') k += 1
+        out.append(path, i, k)
+        i = k
+      }
+    }
+    out.toString
+  }
+
+  private def assemble(scheme: String, authority: String, path: String,
+                       query: String): String = {
+    val sb = new java.lang.StringBuilder(
+      scheme.length + 3 + authority.length + path.length +
+        (if (query == null) 0 else query.length + 1))
+    sb.append(scheme).append("://").append(authority).append(path)
+    if (query != null) sb.append('?').append(query)
+    sb.toString
+  }
+
+  /** Resolve `ref` against the absolute http(s) `base` (see object doc).
+    * Null when the base is malformed or the ref is not fetchable. */
+  def resolve(base: String, ref: String): String = {
+    val b = parseAbs(base)
+    if (b == null || ref == null) return null
+    val hash = ref.indexOf('#')
+    val r = if (hash >= 0) ref.substring(0, hash) else ref
+    val scheme = schemeOf(r)
+    if (scheme != null) {
+      if (scheme != "http" && scheme != "https") return null
+      val p = parseAbs(r)
+      if (p == null) return null
+      return assemble(p.scheme, p.authority, removeDotSegments(p.path),
+        p.query)
+    }
+    if (r.startsWith("//")) { // network-path: scheme from base
+      val p = parseAbs(b.scheme + ":" + r)
+      if (p == null) return null
+      return assemble(b.scheme, p.authority, removeDotSegments(p.path),
+        p.query)
+    }
+    if (r.isEmpty) // same-document: base minus fragment
+      return assemble(b.scheme, b.authority, b.path, b.query)
+    val qi = r.indexOf('?')
+    val rp = if (qi >= 0) r.substring(0, qi) else r
+    val rq = if (qi >= 0) r.substring(qi + 1) else null
+    if (rp.isEmpty) // query-only ref keeps the base path
+      return assemble(b.scheme, b.authority, b.path, rq)
+    val merged =
+      if (rp.charAt(0) == '/') rp
+      else if (b.path.isEmpty) "/" + rp // authority with empty path (§5.2.3)
+      else {
+        val cut = b.path.lastIndexOf('/')
+        if (cut < 0) rp else b.path.substring(0, cut + 1) + rp
+      }
+    assemble(b.scheme, b.authority, removeDotSegments(merged), rq)
+  }
+
+  /** Column form: resolve a link column against a base-url column.
+    * Null result rows are the not-fetchable refs — filter them. */
+  def resolveCol(base: Column, href: Column): Column = {
+    val u = udf((b: String, h: String) => resolve(b, h))
+    u(base, href)
+  }
+}

@@ -140,19 +140,25 @@ object Warc {
           z.setContinuous(true) // read across concatenated frames
           z
         }
-      val out = new java.io.ByteArrayOutputStream(
-        math.min(math.max(bytes.length, 16) * 4L, 1L << 20).toInt)
-      val buf = new Array[Byte](65536)
-      var n = in.read(buf)
-      while (n >= 0) {
-        out.write(buf, 0, n)
-        // decompression-bomb guard: past ~1.9 GB the backing array can no
-        // longer double (JVM array cap) and the next grow throws OOM
-        // inside the task — treat such a payload as corrupt instead
-        if (out.size() > 1900000000) return None
-        n = in.read(buf)
-      }
-      Some(out.toByteArray)
+      // close on EVERY exit path (bomb guard included): the gzip/zstd
+      // streams hold NATIVE Inflater/ZSTD contexts that otherwise wait
+      // for finalization — a WARC full of bombs would accumulate native
+      // memory inside the task with no GC pressure to trigger cleanup
+      try {
+        val out = new java.io.ByteArrayOutputStream(
+          math.min(math.max(bytes.length, 16) * 4L, 1L << 20).toInt)
+        val buf = new Array[Byte](65536)
+        var n = in.read(buf)
+        while (n >= 0) {
+          out.write(buf, 0, n)
+          // decompression-bomb guard: past ~1.9 GB the backing array can no
+          // longer double (JVM array cap) and the next grow throws OOM
+          // inside the task — treat such a payload as corrupt instead
+          if (out.size() > 1900000000) return None
+          n = in.read(buf)
+        }
+        Some(out.toByteArray)
+      } finally in.close()
     } catch { case _: java.io.IOException => None }
   }
 

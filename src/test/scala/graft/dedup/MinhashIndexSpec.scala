@@ -43,6 +43,27 @@ class MinhashIndexSpec extends SparkTestBase {
       threshold = 0.5).isEmpty)
   }
 
+  test("re-appended id with different content: each version verifies alone") {
+    // id 1 exists in installment 0 AND (re-appended with UNRELATED
+    // content) in installment 1. A probe near-dup of the ORIGINAL must
+    // still verify: pooling both versions' shingles into one union would
+    // dilute the Jaccard below threshold (the per-installment regroup).
+    val path = tmpPath("mh-idx-reappend")
+    Dedup.minhashIndexBuild(corpus, "text", "doc_id", path,
+      shingleK = 3, numHashes = 64, bands = 32)
+    Dedup.minhashIndexAppend(spark, path, Seq(
+      (1L, "totally new revision text sharing zero shingles with before"))
+      .toDF("doc_id", "text"), "text", "doc_id")
+
+    val batch = Seq(
+      (301L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.minhashIndexProbe(spark, path, batch, "text", "doc_id",
+      threshold = 0.5).as[(Long, Long, Double)].collect().toSeq
+    assert(hits.map(h => (h._1, h._2)) === Seq((1L, 301L)))
+    assert(hits.head._3 >= 0.5) // the v0 score, not a pooled-union dilution
+  }
+
   test("probe matches the one-shot join restricted to cross pairs") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select("doc_id", "text")

@@ -183,7 +183,8 @@ class HtmlTextSpec extends SparkTestBase {
   private def regexLinks(html: String): Seq[String] = {
     val m = java.util.regex.Pattern.compile(HtmlText.LinkPattern).matcher(html)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (m.find()) out += m.group(1)
+    while (m.find()) // exactly one of the two quote-arm groups matches
+      out += (if (m.group(1) != null) m.group(1) else m.group(2))
     out.toSeq
   }
 
@@ -192,13 +193,21 @@ class HtmlTextSpec extends SparkTestBase {
       """<a href="https://x/1">one</a> <a href="https://x/2">two</a>""",
       "<A\nHREF=\"https://upper/\">caps + newline ws</A>",
       """<a class=btn href="https://attr/after">attrs before href</a>""",
-      """<a href='https://single/quote'>out of contract</a>""",
+      """<a href='https://single/quote'>in contract since r13</a>""",
+      """<a HREF='https://single/CAPS'>x</a><a href="https://then/double">y</a>""",
+      """<a href='https://sq/with"dquote'>quotes cross</a>""",
+      """<a href="https://dq/with'squote">and back</a>""",
+      """<a href='https://sq/unclosed then <a href='https://sq/next'>""",
+      """<a href="unclosed-dq <a x href='https://rescued/by-single'>""",
+      """<a href=bare-unquoted-stays-out><a href='https://after/bare'>""",
       """<!-- <a href="https://in/comment">regex semantics</a> -->""",
       """<a href="https://first" href="https://second">first wins</a>""",
+      """<a href='https://first-sq' href="https://second">first wins</a>""",
       """<a data-x="y" href="https://cross>gt">capture crosses ></a>""",
       """<a href="https://unclosed then <a href="https://next/done">""",
       """<ab href="https://not/anchor"> <a>no ws no href</a>""",
       """<a href="https://no/closing-quote-ever""",
+      """<a href='https://no/closing-squote-ever""",
       """<a  href="https://two/spaces">double ws</a>""",
       "<a\thref=\"https://tab/ws\">tab</a>",
       """text href="https://bare/">no tag<a>""",
@@ -209,7 +218,8 @@ class HtmlTextSpec extends SparkTestBase {
     // random tag soup: same answer as the regex on every sample
     val rnd = new scala.util.Random(42)
     val atoms = Seq("<a ", "href=\"", "\"", ">", "<", "a", " ", "x=", "'",
-      "https://r/", "HREF=\"", "<A\t", "</a>", "&", "\n")
+      "https://r/", "HREF=\"", "<A\t", "</a>", "&", "\n", "href='",
+      "HREF='")
     for (_ <- 0 until 300) {
       val s = Seq.fill(rnd.nextInt(40))(atoms(rnd.nextInt(atoms.length)))
         .mkString
