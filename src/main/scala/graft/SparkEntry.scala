@@ -61,11 +61,21 @@ object SparkEntry {
       .unionByName(mutatedDocs(s, dir))
 
   /** The crawl-frontier fixture: one page per document whose anchors are
-    * pure doc_id arithmetic (two NEW targets — one decade-shared — a
-    * comment-wrapped link, a self-link, and relative/mailto/single-quote
-    * arms the kernel must drop), SHARED by crawl_frontier,
-    * crawl_frontier_bloom and crawl_schedule so their oracles all gate
-    * the same page population. Output: (page_url, html). */
+    * pure doc_id arithmetic, SHARED by crawl_frontier,
+    * crawl_frontier_bloom, crawl_schedule and crawl_schedule_delay so
+    * their oracles all gate the same page population. The arms cover
+    * every frontier transform: two absolute NEW targets (one
+    * decade-shared; one behind a `#frag` the normalize strips), a
+    * comment-wrapped link (regex extraction semantics), a self-link and
+    * a tracking-param variant of it (both normalize INTO the crawled
+    * set), root-relative / path-relative / `../` dot-segment /
+    * scheme-relative refs (RFC 3986 resolution against the page url),
+    * an uppercase-scheme-and-host `:443` absolute (case + default-port
+    * normalization, path case preserved), a single-quoted href (in
+    * contract since r13), an explicit `:8443` port (survives normalize;
+    * collapses into the canonical host queue in scheduling), and
+    * mailto/javascript refs the resolver must drop. Output:
+    * (page_url, html). */
   private def crawlFixturePages(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     tbl(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -80,9 +90,16 @@ object SparkEntry {
              |<A HREF="https://h${(id * 5) % 7}.example/page/${id - (id % 10) + 200000}">decade hub</A>
              |<!-- <a href="https://hc.example/c/${id % 13}">from comment</a> -->
              |<a href="$own">self</a>
-             |<a href="/about">relative</a>
-             |<a href='https://dropme.example/sq'>single quoted</a>
+             |<a href="$own?utm_source=x&gclid=g$id">tracked self</a>
+             |<a href="/about">root relative</a>
+             |<a href="sub/item${id % 5}">path relative</a>
+             |<a href="../up/${id % 3}">dot segments</a>
+             |<a href="//h${(id * 2) % 7}.example/proto/${id % 11}">scheme relative</a>
+             |<a href="HTTPS://H${id % 7}.EXAMPLE:443/Upper/${id % 9}">shouty</a>
+             |<a href='https://sq.example/q/${id % 4}'>single quoted</a>
+             |<a href="https://h${(id + 3) % 7}.example:8443/alt/${id % 5}">alt port</a>
              |<a href="mailto:x@y">mail</a>
+             |<a href="javascript:void(0)">js</a>
              |<p>$esc</p>
              |</body></html>""".stripMargin
         (own, html)
@@ -1146,38 +1163,20 @@ object SparkEntry {
         .orderBy("corpus_id", "new_id")
     }),
 
-    // INGEST-TIME PRUNING over the same probe (the semanticDedup policy
-    // applied incrementally): ×2 twins drop (their component is anchored
-    // by a stored row), the planted batch-only pair (−v, −2v — cosine 1
-    // with each other, −1 with the stored twin) keeps its min id and
-    // drops the other, untouched batch rows survive. The oracle replays
-    // the full policy: exact int8 pairs (stored×batch ∪ batch-internal)
-    // → recursive-CTE components → anchored-or-non-min drop.
-    "emb_probe_prune" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_int8_prune_")
-      deleteRecursivelyOnExit(idxDir)
-      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
-      Phases.timed("build") {
-        graft.index.Quantize.int8Build(e, idxPath)
-      }
-      val batch = e.filter(col("vec_id") % 20 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
-        .unionByName(e.filter(col("vec_id") % 30 === 0)
-          .select((col("vec_id") + 2000000L).as("vec_id"),
-            transform(col("embedding"), x => -x).as("embedding")))
-        .unionByName(e.filter(col("vec_id") % 30 === 0)
-          .select((col("vec_id") + 3000000L).as("vec_id"),
-            transform(col("embedding"), x => x * lit(-2.0f)).as("embedding")))
-      graft.index.Quantize.int8ProbePrune(s, idxPath, batch, threshold = 0.98,
-          broadcastDrop = true)
-        .select("vec_id")
-        .orderBy("vec_id")
-    }),
+    // NOTE (r13): the FLAT int8 probe-prune (`emb_probe_prune`,
+    // |batch|×|stored| integer scoring — measured 56× at sf1, never the
+    // 100 TB path) was a declared query through r12 as the exactness
+    // control for the routed forms below. With two rounds of green
+    // history on `emb_probe_prune_routed` (the production nprobe=4
+    // shape) it is demoted to spec coverage only — QuantizeSpec pins
+    // `int8ProbePrune`'s policy, zero-norm, reserved-column and
+    // flat-vs-routed-equality arms; the engine path is unchanged.
 
-    // IVF-ROUTED ingest pruning (the r9-verdict headline gap): same batch
-    // and policy as emb_probe_prune, but the stored×batch candidate pass
+    // IVF-ROUTED ingest pruning (the r9-verdict headline gap): the
+    // semanticDedup policy applied incrementally — ×2 twins drop (their
+    // component is anchored by a stored row), the planted batch-only
+    // pair (−v, −2v) keeps its min id, untouched batch rows survive —
+    // with the stored×batch candidate pass
     // routes through the coarse centroids and scans only probed lists'
     // packed codes — per-batch cost |probed lists|, not |corpus|. At
     // nprobe = nlist every list is probed, so the result must equal the
@@ -2773,6 +2772,76 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Scheduling with per-host pacing: robots Crawl-delay values (host
+    // hk declares k + 0.5 s for graftbot, 99 for everyone else — the
+    // winning-group selection is oracle-gated) join onto the schedule;
+    // not_before_s stacks (round-1)*delay_s, hosts without a robots row
+    // pace at 0. Round indices alone can't drive a fetcher — this is
+    // the seconds-per-host signal it actually needs.
+    "crawl_schedule_delay" -> ((s, dir) => {
+      import s.implicits._
+      val pages = crawlFixturePages(s, dir)
+      val frontier = graft.pipeline.Crawl.frontier(
+        pages.select(col("page_url").as("url"),
+          graft.pipeline.HtmlText.htmlLinksCol(col("html")).as("links")),
+        pages.select(col("page_url").as("url")))
+      val robots = (0 until 7).map { k =>
+        (s"h$k.example",
+          s"User-agent: graftbot\nCrawl-delay: $k.5\n" +
+            "User-agent: *\nCrawl-delay: 99")
+      }.toDF("host", "body")
+      val delays = graft.pipeline.Robots.crawlDelayDf(robots, "graftbot")
+      graft.pipeline.Crawl.schedule(frontier, maxRounds = 3, delays = delays)
+        .orderBy("url")
+    }),
+
+    // Redirect handling end-to-end: real 3xx WARC records (Location
+    // surviving the HTTP split) become one-outlink pages
+    // (Crawl.redirectLinks), their targets resolve against the redirect
+    // SOURCE (the relative `../hub/k` Location exercises dot-segment
+    // merge), and redirect-to-crawled targets anti-join away — exactly
+    // the composition ingestBatch feeds the streaming frontier. The
+    // oracle rebuilds the surviving target multiset from the same
+    // doc_id arithmetic.
+    "crawl_redirects" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val files = docs
+        .withColumn("g", floor(col("doc_id") / 25))
+        .groupBy("g")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .as[(Long, Seq[Long])]
+        .map { case (g, ids) =>
+          val recs = ids.flatMap { id =>
+            val own = s"https://h${id % 7}.example/page/$id"
+            val page = Seq((own, 200, "text/html", null: String,
+              s"<html><body>doc $id</body></html>"
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+            val redirect = (id % 10) match {
+              case 3 => Seq((s"https://h${id % 7}.example/old/$id", 301,
+                "text/html",
+                s"https://h${(id * 3) % 7}.example/target/${id + 600000}",
+                Array.emptyByteArray))
+              case 7 => Seq((s"https://h${id % 7}.example/moved/$id", 302,
+                "text/html", s"../hub/${id % 13}", Array.emptyByteArray))
+              case 1 => Seq((s"https://h${id % 7}.example/gone/$id", 301,
+                "text/html", own, Array.emptyByteArray))
+              case _ => Seq.empty
+            }
+            page ++ redirect
+          }
+          (g, graft.sources.Warc.encodeWarcResponses(recs,
+            gzipPerRecord = g % 2 == 1))
+        }.toDF("g", "payload")
+      val records = graft.sources.Warc.warcRecords(files).toDF()
+      val crawled = docs.select(concat(lit("https://h"), col("doc_id") % 7,
+        lit(".example/page/"), col("doc_id")).as("url"))
+      graft.pipeline.Crawl.frontier(
+          graft.pipeline.Crawl.redirectLinks(records), crawled)
+        .select(col("url"), col("n_refs"))
+        .orderBy("url")
+    }),
+
     // Sitemap seeding (pipeline.Sitemaps): the site-declared frontier
     // feeder -- <loc> extraction with regex-equivalent semantics
     // (LocPattern, the LinkPattern convention), absolute-http(s) filter,
@@ -3408,8 +3477,16 @@ object SparkEntry {
     * anchored-or-non-min drop) — shared VERBATIM by the flat prune and
     * the nprobe = nlist IVF-routed prune: full probe coverage makes the
     * routed answer equal the flat scan exactly, centroids and all. */
-  private val crawlFrontierOracleSql: String =
-    """WITH crawled AS (
+  /** The frontier's surviving link multiset rebuilt from the fixture's
+    * doc_id arithmetic, each arm in its RESOLVED+NORMALIZED form (the
+    * oracle-side statement of what RFC 3986 resolution + normalizeUrl
+    * must produce): any extraction, resolution, dot-segment,
+    * normalization or anti-join defect hash-mismatches. The self link
+    * AND its tracking-param variant both land on the crawled url (two
+    * `SELECT url FROM crawled` arms) — anti-joined away; mailto/
+    * javascript refs never enter. */
+  private val crawlFixtureCte: String =
+    """crawled AS (
       |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
       |         '.example/page/' || CAST(doc_id AS VARCHAR) AS url
       |  FROM documents),
@@ -3426,15 +3503,86 @@ object SparkEntry {
       |  SELECT 'https://hc.example/c/' || CAST(doc_id % 13 AS VARCHAR)
       |  FROM documents
       |  UNION ALL
-      |  SELECT url FROM crawled),
+      |  SELECT url FROM crawled
+      |  UNION ALL
+      |  SELECT url FROM crawled
+      |  UNION ALL
+      |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+      |         '.example/about'
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+      |         '.example/page/sub/item' || CAST(doc_id % 5 AS VARCHAR)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+      |         '.example/up/' || CAST(doc_id % 3 AS VARCHAR)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'https://h' || CAST((doc_id * 2) % 7 AS VARCHAR) ||
+      |         '.example/proto/' || CAST(doc_id % 11 AS VARCHAR)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+      |         '.example/Upper/' || CAST(doc_id % 9 AS VARCHAR)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'https://sq.example/q/' || CAST(doc_id % 4 AS VARCHAR)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'https://h' || CAST((doc_id + 3) % 7 AS VARCHAR) ||
+      |         '.example:8443/alt/' || CAST(doc_id % 5 AS VARCHAR)
+      |  FROM documents),
       |fresh AS (
       |  SELECT l.url FROM links l
       |  LEFT JOIN crawled c ON l.url = c.url
-      |  WHERE c.url IS NULL)
-      |SELECT url,
-      |  regexp_extract(url, '^https?://([^/]*)', 1) AS host,
-      |  CAST(count(*) AS BIGINT) AS n_refs
-      |FROM fresh GROUP BY url ORDER BY url""".stripMargin
+      |  WHERE c.url IS NULL)""".stripMargin
+
+  private val crawlFrontierOracleSql: String =
+    s"""WITH $crawlFixtureCte
+       |SELECT url,
+       |  regexp_extract(url, '^https?://([^/]*)', 1) AS host,
+       |  CAST(count(*) AS BIGINT) AS n_refs
+       |FROM fresh GROUP BY url ORDER BY url""".stripMargin
+
+  /** The schedule oracle: frontier counts over [[crawlFixtureCte]],
+    * canonical host (the [[graft.pipeline.UrlFilter.HostRe]] capture,
+    * lowercased — the engine's exact pattern string runs in DuckDB),
+    * row_number per host by (n_refs desc, url asc), rounds beyond 3
+    * deferred; optionally the per-host crawl-delay join (delay k + 0.5
+    * for host hk — the graftbot group's value in the fixture robots). */
+  private def crawlScheduleOracleSql(withDelays: Boolean): String = {
+    val hostExpr =
+      s"lower(regexp_extract(url, '${graft.pipeline.UrlFilter.HostRe}', 1))"
+    val head =
+      s"""WITH $crawlFixtureCte,
+         |frontier AS (
+         |  SELECT url, CAST(count(*) AS BIGINT) AS n_refs
+         |  FROM fresh GROUP BY url),
+         |hosted AS (
+         |  SELECT $hostExpr AS host, url, n_refs FROM frontier),
+         |ranked AS (
+         |  SELECT host, url, n_refs,
+         |    CAST(row_number() OVER (PARTITION BY host
+         |      ORDER BY n_refs DESC, url) AS BIGINT) AS round
+         |  FROM hosted)""".stripMargin
+    if (!withDelays)
+      head + "\nSELECT host, url, n_refs, round FROM ranked" +
+        "\nWHERE round <= 3 ORDER BY url"
+    else
+      head +
+        """,
+          |delays AS (
+          |  SELECT 'h' || CAST(k AS VARCHAR) || '.example' AS host,
+          |    CAST(k AS DOUBLE) + 0.5 AS delay_s
+          |  FROM range(7) t(k))
+          |SELECT r.host, r.url, r.n_refs, r.round,
+          |  COALESCE(d.delay_s, 0.0) AS delay_s,
+          |  CAST(r.round - 1 AS DOUBLE) * COALESCE(d.delay_s, 0.0)
+          |    AS not_before_s
+          |FROM ranked r LEFT JOIN delays d ON d.host = r.host
+          |WHERE r.round <= 3 ORDER BY r.url""".stripMargin
+  }
 
   private val probePruneOracleSql: String =
     """WITH RECURSIVE comp AS (
@@ -6251,14 +6399,12 @@ object SparkEntry {
         |  AND CAST(dot AS DOUBLE) /
         |    (sqrt(CAST(nc.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.98
         |ORDER BY corpus_id, new_id""".stripMargin,
-    // ingest-time pruning: exact int8 pairs (stored×batch ∪
-    // batch-internal) → recursive-CTE components → a batch row drops when
-    // its component is anchored by a stored row or it is a non-minimal
-    // batch-only member (the semanticDedup keep-min rule)
-    "emb_probe_prune" -> probePruneOracleSql,
-    // IVF-routed prune at nprobe = nlist: every list is probed, so the
-    // answer must equal the flat scan — the oracle is emb_probe_prune's
-    // SQL verbatim (same scale formula: maxAbs over the whole corpus)
+    // ingest-time pruning policy oracle (exact int8 pairs, stored×batch
+    // ∪ batch-internal → recursive-CTE components → anchored-or-non-min
+    // drop): at nprobe = nlist every list is probed, so the routed
+    // answer must equal the flat scan — the flat `emb_probe_prune`
+    // query itself was demoted to spec-only in r13 (see the queries-map
+    // note); the policy stays fully oracle-gated through these two
     "emb_ivfsq8_probe_prune" -> probePruneOracleSql,
     // routed production shape: deterministic-exact on this fixture (all
     // true pairs are scalar multiples -> identical routing; see query doc)
@@ -6617,42 +6763,15 @@ object SparkEntry {
         |  CAST(length(expected) AS BIGINT) AS n_chars
         |FROM e ORDER BY doc_id""".stripMargin,
     // the frontier CTEs + per-host row_number: round = rank by (n_refs
-    // desc, url asc) within host, rounds beyond 3 defer
-    "crawl_schedule" ->
-      """WITH crawled AS (
-        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
-        |         '.example/page/' || CAST(doc_id AS VARCHAR) AS url
-        |  FROM documents),
-        |links AS (
-        |  SELECT 'https://h' || CAST((doc_id * 3) % 7 AS VARCHAR) ||
-        |         '.example/page/' || CAST(doc_id + 100000 AS VARCHAR) AS url
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT 'https://h' || CAST((doc_id * 5) % 7 AS VARCHAR) ||
-        |         '.example/page/' ||
-        |         CAST(doc_id - (doc_id % 10) + 200000 AS VARCHAR)
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT 'https://hc.example/c/' || CAST(doc_id % 13 AS VARCHAR)
-        |  FROM documents
-        |  UNION ALL
-        |  SELECT url FROM crawled),
-        |fresh AS (
-        |  SELECT l.url FROM links l
-        |  LEFT JOIN crawled c ON l.url = c.url
-        |  WHERE c.url IS NULL),
-        |frontier AS (
-        |  SELECT url,
-        |    regexp_extract(url, '^https?://([^/]*)', 1) AS host,
-        |    CAST(count(*) AS BIGINT) AS n_refs
-        |  FROM fresh GROUP BY url),
-        |ranked AS (
-        |  SELECT host, url, n_refs,
-        |    CAST(row_number() OVER (PARTITION BY host
-        |      ORDER BY n_refs DESC, url) AS BIGINT) AS round
-        |  FROM frontier)
-        |SELECT host, url, n_refs, round FROM ranked
-        |WHERE round <= 3 ORDER BY url""".stripMargin,
+    // desc, url asc) within the CANONICAL host (the HostRe capture,
+    // lowercased — userinfo skipped, port elided, so the :8443 arm
+    // shares its apex host's politeness queue), rounds beyond 3 defer
+    "crawl_schedule" -> crawlScheduleOracleSql(withDelays = false),
+    // the same schedule with per-host crawl-delays joined on: delay_s
+    // from the graftbot group's Crawl-delay (k + 0.5 for host hk),
+    // not_before_s stacks (round-1)*delay_s; hosts without a robots
+    // row pace at 0
+    "crawl_schedule_delay" -> crawlScheduleOracleSql(withDelays = true),
     // the sitemap seed multiset rebuilt from the fixture arithmetic:
     // own-page locs fall to the crawled set, the relative loc to the
     // absolute filter; new + shared locs aggregate refs
@@ -6700,6 +6819,33 @@ object SparkEntry {
     // false negatives; false positives rescued by the exact join), so
     // the oracle is crawl_frontier's SQL verbatim
     "crawl_frontier_bloom" -> crawlFrontierOracleSql,
+    // redirect targets rebuilt from the fixture arithmetic: the
+    // absolute-Location arm lands on /target/, the relative ../hub/k
+    // arm dot-segment-merges onto the source host, and the
+    // redirect-to-crawled arm (own page url) anti-joins away
+    "crawl_redirects" ->
+      """WITH crawled AS (
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/page/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |links AS (
+        |  SELECT 'https://h' || CAST((doc_id * 3) % 7 AS VARCHAR) ||
+        |         '.example/target/' || CAST(doc_id + 600000 AS VARCHAR) AS url
+        |  FROM documents WHERE doc_id % 10 = 3
+        |  UNION ALL
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/hub/' || CAST(doc_id % 13 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 10 = 7
+        |  UNION ALL
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/page/' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 10 = 1),
+        |fresh AS (
+        |  SELECT l.url FROM links l
+        |  LEFT JOIN crawled c ON l.url = c.url
+        |  WHERE c.url IS NULL)
+        |SELECT url, CAST(count(*) AS BIGINT) AS n_refs
+        |FROM fresh GROUP BY url ORDER BY url""".stripMargin,
     // the crawl flagship's decision rebuilt in SQL: extraction (the
     // html_extract rebuild) composed with the exact shingle-Jaccard
     // near-dup test (the doc_incremental_dedup CTE) -- a mutated doc

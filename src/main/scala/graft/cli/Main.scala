@@ -571,7 +571,8 @@ object Main {
       println(s"crawl-ingest: responses=${stats.responses} " +
         s"charset_fallbacks=${stats.charsetFallbacks} " +
         s"empty_text=${stats.emptyText} near_dups=${stats.duplicates} " +
-        s"appended=${stats.appended} -> $corpusOut; index installment $inst" +
+        s"appended=${stats.appended} redirects=${stats.redirects} " +
+        s"-> $corpusOut; index installment $inst" +
         frontierOut.map(f => s"; frontier $frontierN urls -> $f")
           .getOrElse(""))
       spark.stop()
@@ -597,6 +598,29 @@ object Main {
         expected.toLong, fpp)
       graft.pipeline.Crawl.saveBloom(spark, bloom, bloomOut)
       println(s"crawl-bloom: ${bloom.bitSize()} bits at fpp<=$fpp -> $bloomOut")
+      spark.stop()
+
+    case "crawl-fetched-bloom" :: frontierDir :: idxPath :: bloomOut ::
+        expected :: rest =>
+      // the STREAMING frontier's maintenance artifact: Bloom over the
+      // fetched ledger + corpus urls with a recorded coverage cutoff;
+      // crawlIngestStream(bloomPath=...) picks it up next batch and
+      // stops paying the per-batch corpus-sized exact join. Pass '-'
+      // for idxPath when the ledger alone covers the corpus.
+      val fpp = rest.headOption.map(_.toDouble).getOrElse(0.01)
+      val spark = session()
+      val covers = graft.pipeline.Crawl.buildFetchedBloom(spark,
+        frontierDir, if (idxPath == "-") null else idxPath,
+        expected.toLong, fpp, bloomOut)
+      println(s"crawl-fetched-bloom: covers batches < $covers -> $bloomOut")
+      spark.stop()
+
+    case "crawl-compact-fetched" :: frontierDir :: Nil =>
+      // fold the per-batch fetched/batch=N ledger partitions into one
+      // (atomic swap; pre-compaction batch replays out of contract)
+      val spark = session()
+      val kept = graft.pipeline.Crawl.compactFetched(spark, frontierDir)
+      println(s"crawl-compact-fetched: folded into batch=$kept")
       spark.stop()
 
     case "robots-filter" :: urlsParquet :: robotsParquet :: agent :: out :: rest =>

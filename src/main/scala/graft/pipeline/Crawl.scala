@@ -31,10 +31,13 @@ object Crawl {
     * 200-status response records; `charsetFallbacks` of those decoded via
     * the windows-1252/REPLACE fallback (declared charset failed strict
     * decode); `emptyText` extracted to nothing (dropped); `duplicates`
-    * were pruned against the stored corpus; `appended` survived. */
+    * were pruned against the stored corpus; `appended` survived;
+    * `redirects` counts the 3xx-with-Location records whose targets were
+    * handed to the frontier (0 when the frontier feed is off or the
+    * records lack the `http_location` column). */
   final case class BatchStats(responses: Long, charsetFallbacks: Long,
                               emptyText: Long, duplicates: Long,
-                              appended: Long)
+                              appended: Long, redirects: Long = 0L)
 
   /** Run one crawl batch against the MinHash corpus index at `indexPath`.
     *
@@ -62,12 +65,30 @@ object Crawl {
                      broadcastMaxBytes: Long = 64L << 20,
                      onPageLinks: DataFrame => Unit = null)
                     (use: DataFrame => A): (A, BatchStats) = {
-    val resp = records.filter(col("warc_type") === "response" &&
-      col("http_status") === 200)
     // links ride the SAME fused decode pass when the caller wants them
     // (the frontier feeder) -- decoding every body twice would double
     // the dominant per-row cost of the batch
     val wantLinks = onPageLinks != null
+    // redirect targets feed the frontier too (http→https and www→apex
+    // migrations are a huge slice of real crawls) — but only when the
+    // records carry the http_location column (pre-r13 record shapes
+    // don't) and a frontier consumer exists
+    val wantRedirects = wantLinks && records.columns.contains("http_location")
+    // when redirects are live, checkpoint ONE narrow projection of both
+    // status classes so the raw WARC bytes parse exactly once (a second
+    // records scan would re-run the member walk over the whole batch);
+    // without them, the 200-filter feeds extraction directly as before
+    val respBase = records.filter(col("warc_type") === "response")
+    val resp0 =
+      if (!wantRedirects) respBase.filter(col("http_status") === 200)
+      else respBase.filter(col("http_status") === 200 ||
+          (col("http_status").isin(301, 302, 303, 307, 308) &&
+            col("http_location").isNotNull))
+        .select(col("warc_type"), col("target_uri"), col("http_status"),
+          col("http_content_type"), col("http_location"), col("body"))
+        .localCheckpoint()
+    val resp = if (wantRedirects) resp0.filter(col("http_status") === 200)
+               else resp0
     val extAll = HtmlText.extractFromBodies(resp, "body", "text",
       "http_content_type", "cs", linksCol = if (wantLinks) "links" else null)
     val ext = (if (wantLinks)
@@ -80,7 +101,21 @@ object Crawl {
       // inside the try: a failing frontier write must still release the
       // checkpoint blocks (a streaming retry loop would otherwise
       // accumulate leaked storage on every failed attempt)
-      if (wantLinks) onPageLinks(ext.select(col("url"), col("links")))
+      var redirectCount = 0L
+      if (wantLinks) {
+        val pagesForLinks =
+          if (!wantRedirects) ext.select(col("url"), col("links"))
+          else {
+            val redir = redirectLinks(resp0)
+            redirectCount = redir.count()
+            ext.select(col("url"), col("links")).unionByName(redir)
+          }
+        onPageLinks(pagesForLinks)
+        // the redirect rows live in resp0's checkpoint; once the
+        // frontier consumer has run (eagerly, per contract) only ext is
+        // needed — release the raw-body blocks before the probe
+        if (wantRedirects) graft.dedup.Dedup.release(resp0)
+      }
       val a = ext.agg(
         count(lit(1)).as("n"),
         sum(when(col("cs_fallback"), 1L).otherwise(0L)).as("fb"),
@@ -115,7 +150,7 @@ object Crawl {
           shingleK, numHashes, bands, installment = installment)
         val result = use(docs)
         (result, BatchStats(responses, fallbacks, empties, 0L,
-          responses - empties))
+          responses - empties, redirectCount))
       } else {
         val dupIds = graft.dedup.Dedup.minhashIndexProbe(spark, indexPath,
             docs, "text", "url", threshold, maxBucketSize,
@@ -130,10 +165,16 @@ object Crawl {
           val appended = fresh.count()
           val result = use(fresh)
           (result, BatchStats(responses, fallbacks, empties,
-            responses - empties - appended, appended))
+            responses - empties - appended, appended, redirectCount))
         } finally graft.dedup.Dedup.release(fresh)
       }
-    } finally graft.dedup.Dedup.release(ext)
+    } finally {
+      graft.dedup.Dedup.release(ext)
+      // resp0 is normally released right after the frontier consumer;
+      // this double-release is an idempotent no-op, but an exception
+      // BEFORE that point must not leak the raw-body checkpoint blocks
+      if (wantRedirects) graft.dedup.Dedup.release(resp0)
+    }
   }
 
   /** The shared frontier head: explode outlinks, resolve each against

@@ -66,11 +66,82 @@ object Robots {
             // allow is meaningless the same way
             if (value.nonEmpty)
               agents.foreach(a => out += Rule(a, key == "allow", value))
-          case _ => () // crawl-delay/sitemap/unknown: not access rules
+          case "crawl-delay" if agents.nonEmpty =>
+            // not an access rule (ignored here — see [[parseDelays]]),
+            // but it BELONGS to the current group: a user-agent line
+            // after it starts a new group, same as after allow/disallow
+            inRules = true
+          case _ => () // sitemap/unknown: not access rules
         }
       }
     }
     out.toSeq
+  }
+
+  /** Per-group `crawl-delay` values as (agent, delay_s) pairs — NOT an
+    * RFC 9309 access rule (major crawlers differ: Google ignores it,
+    * Bing/Yandex honor it) but universal in the wild, and a fetcher
+    * needs seconds-per-host, not just round indices. Group tracking
+    * mirrors [[parse]] exactly (a `crawl-delay` line counts as a rule
+    * line for group-boundary purposes in both). Non-numeric / negative
+    * values are skipped — crawl robots bodies are garbage-rich. */
+  def parseDelays(body: String): Seq[(String, Double)] = {
+    if (body == null) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var agents = List.empty[String]
+    var inRules = false
+    body.linesIterator.foreach { raw =>
+      val line = {
+        val h = raw.indexOf('#')
+        (if (h >= 0) raw.substring(0, h) else raw).trim
+      }
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val key = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(c + 1).trim
+        key match {
+          case "user-agent" =>
+            if (inRules) { agents = Nil; inRules = false }
+            if (value.nonEmpty)
+              agents ::= value.toLowerCase(java.util.Locale.ROOT)
+          case "allow" | "disallow" if agents.nonEmpty =>
+            inRules = true
+          case "crawl-delay" if agents.nonEmpty =>
+            inRules = true
+            scala.util.Try(value.toDouble).toOption
+              .filter(d => d >= 0 && !d.isNaN && !d.isInfinite)
+              .foreach(d => agents.foreach(a => out += ((a, d))))
+          case _ => ()
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  /** The crawl-delay table [[graft.pipeline.Crawl.schedule]] consumes:
+    * (host, delay_s) for one agent token, hosts lowercased to the
+    * canonical politeness key. Winning-group selection matches
+    * [[rulesForAgent]] (longest named prefix of the token, else `*`);
+    * when the winning agent's groups carry several delays the MAX wins
+    * (the conservative politeness read). Hosts with no applicable
+    * delay emit no row — schedule paces them at 0. */
+  def crawlDelayDf(robots: DataFrame, agentToken: String,
+                   hostCol: String = "host",
+                   bodyCol: String = "body"): DataFrame = {
+    val tok = agentToken.toLowerCase(java.util.Locale.ROOT)
+    val delayOf = udf { (b: String) =>
+      val ds = parseDelays(b)
+      val named = ds.filter(d => d._1 != "*" && tok.startsWith(d._1))
+      val pick =
+        if (named.nonEmpty) {
+          val best = named.map(_._1.length).max
+          named.filter(_._1.length == best)
+        } else ds.filter(_._1 == "*")
+      if (pick.isEmpty) None else Some(pick.map(_._2).max)
+    }
+    robots.select(lower(col(hostCol)).as("host"),
+        delayOf(col(bodyCol)).as("delay_s"))
+      .filter(col("delay_s").isNotNull)
   }
 
   /** `Sitemap:` lines from a robots.txt body — group-INDEPENDENT per
@@ -185,7 +256,11 @@ object Robots {
 
   /** Gate candidate urls through per-host rules for one agent token:
     * keeps the urls the agent may fetch. `urls` needs a url column;
-    * hosts are derived with the same regexp as the frontier. Hosts with
+    * hosts are keyed CANONICALLY on both sides ([[UrlFilter.hostOf]] on
+    * the url side — lowercased, userinfo skipped, port elided — and
+    * `lower()` on the rules side), so `https://u@A.EXAMPLE/x` cannot
+    * slip past a.example's rules through a host-string mismatch (the
+    * silent-host-allows default would otherwise admit it). Hosts with
     * no robots rows allow everything (left join + null-rules = allowed).
     *
     * Shape: rules collapse to one row per host (collect_list of the
@@ -203,6 +278,7 @@ object Robots {
     // winning agent group per host, resolved ONCE on the rules side:
     // longest named prefix of the token, else '*'
     val scored = rules
+      .withColumn("host", lower(col("host")))
       .withColumn("named", col("agent") =!= "*" &&
         startswith(lit(tok), col("agent")))
       .withColumn("alen", when(col("named"), length(col("agent")))
@@ -220,8 +296,7 @@ object Robots {
         isAllowed(rules.map(r => (r.getBoolean(0), r.getString(1))), path)
     }
     urls
-      .withColumn("_robots_host",
-        regexp_extract(col(urlCol), "^https?://([^/]*)", 1))
+      .withColumn("_robots_host", UrlFilter.hostOf(col(urlCol)))
       .join(rulesSide, col("_robots_host") === col("host"), "left")
       .filter(verdict(col("rules"), pathOf(col(urlCol))))
       .drop("_robots_host", "host", "rules")

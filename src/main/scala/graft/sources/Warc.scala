@@ -28,12 +28,13 @@ import org.apache.spark.sql.functions._
 object Warc {
 
   /** One parsed WARC record: the standard headers, plus the HTTP layer
-    * (status/content-type/body) when the record is an HTTP response —
-    * -1/null/empty otherwise. */
+    * (status/content-type/body, and the `Location` header — the 3xx
+    * redirect target the crawl loop must follow) when the record is an
+    * HTTP response — -1/null/empty otherwise. */
   final case class WarcRecord(warc_type: String, target_uri: String,
                               warc_date: String, record_id: String,
                               http_status: Int, http_content_type: String,
-                              body: Array[Byte])
+                              body: Array[Byte], http_location: String)
 
   private val Crlf = "\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
@@ -62,11 +63,15 @@ object Warc {
     out.write(Crlf)
   }
 
-  /** Build an HTTP response payload (status line + headers + body). */
+  /** Build an HTTP response payload (status line + headers + body).
+    * `location`, when set, emits the `Location:` header — the 3xx
+    * redirect fixture shape. */
   def httpResponsePayload(status: Int, reason: String, contentType: String,
-                          body: Array[Byte]): Array[Byte] = {
+                          body: Array[Byte],
+                          location: String = null): Array[Byte] = {
     val head = s"HTTP/1.1 $status $reason\r\n" +
       s"Content-Type: $contentType\r\n" +
+      (if (location == null) "" else s"Location: $location\r\n") +
       s"Content-Length: ${body.length}\r\n\r\n"
     val hb = head.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val out = new Array[Byte](hb.length + body.length)
@@ -91,7 +96,18 @@ object Warc {
     * their charset in this header ~60% of the time). */
   def encodeWarcTyped(records: Seq[(String, Int, String, Array[Byte])],
                       date: String = "2026-01-01T00:00:00Z",
-                      gzipPerRecord: Boolean = false): Array[Byte] = {
+                      gzipPerRecord: Boolean = false): Array[Byte] =
+    encodeWarcResponses(records.map { case (u, st, ct, b) =>
+      (u, st, ct, null: String, b)
+    }, date, gzipPerRecord)
+
+  /** The full fixture encoder: per-record Content-Type AND an optional
+    * `Location` header — (uri, status, contentType, location|null,
+    * body). The redirect-handling fixtures need real 3xx records whose
+    * Location survives the HTTP split. */
+  def encodeWarcResponses(records: Seq[(String, Int, String, String, Array[Byte])],
+                          date: String = "2026-01-01T00:00:00Z",
+                          gzipPerRecord: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def member(write: java.io.OutputStream => Unit): Unit =
       if (!gzipPerRecord) write(out)
@@ -104,11 +120,19 @@ object Warc {
       "urn:uuid:00000000-0000-0000-0000-000000000000",
       "application/warc-fields",
       "software: graft\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
-    records.foreach { case (uri, status, contentType, body) =>
-      val reason = if (status == 200) "OK" else "Not Found"
+    records.foreach { case (uri, status, contentType, location, body) =>
+      val reason = status match {
+        case 200 => "OK"
+        case 301 => "Moved Permanently"
+        case 302 => "Found"
+        case 303 => "See Other"
+        case 307 => "Temporary Redirect"
+        case 308 => "Permanent Redirect"
+        case _ => "Not Found"
+      }
       member(o => encodeRecord(o, "response", uri, date,
         s"urn:uuid:${uri.hashCode}", "application/http;msgtype=response",
-        httpResponsePayload(status, reason, contentType, body)))
+        httpResponsePayload(status, reason, contentType, body, location)))
     }
     out.toByteArray
   }
@@ -247,6 +271,7 @@ object Warc {
       .toLowerCase.startsWith("application/http")
     var status = -1
     var httpCt: String = null
+    var httpLoc: String = null
     var body = payload
     if (isHttp) {
       val he = headerEnd(payload, 0)
@@ -259,12 +284,13 @@ object Warc {
           status = scala.util.Try(parts(1).toInt).getOrElse(-1)
         val hh = parseHeaders(payload, statusLineEnd + 1, he)
         httpCt = hh.getOrElse("content-type", null)
+        httpLoc = hh.getOrElse("location", null)
         body = java.util.Arrays.copyOfRange(payload, he, payload.length)
       }
     }
     WarcRecord(wtype, hdrs.getOrElse("warc-target-uri", null),
       hdrs.getOrElse("warc-date", null),
-      hdrs.getOrElse("warc-record-id", null), status, httpCt, body)
+      hdrs.getOrElse("warc-record-id", null), status, httpCt, body, httpLoc)
   }
 
   /**

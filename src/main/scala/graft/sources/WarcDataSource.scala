@@ -60,7 +60,8 @@ object WarcDataSource {
     StructField("record_id", StringType),
     StructField("http_status", IntegerType, nullable = false),
     StructField("http_content_type", StringType),
-    StructField("body", BinaryType)))
+    StructField("body", BinaryType),
+    StructField("http_location", StringType)))
 
   /** Resolve the `path`/`paths` load options to concrete file statuses. */
   private[sources] def listFiles(props: Map[String, String])
@@ -350,7 +351,8 @@ private[sources] class WarcPartitionReader(part: WarcPartition,
         case 3 => s(r.record_id)
         case 4 => r.http_status
         case 5 => s(r.http_content_type)
-        case _ => r.body
+        case 6 => r.body
+        case _ => s(r.http_location)
       }
       i += 1
     }

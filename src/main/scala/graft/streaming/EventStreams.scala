@@ -732,21 +732,44 @@ object EventStreams extends Serializable {
    * functions of batchId, so at-least-once replays reproduce their own
    * partitions (the shared replay-idempotence contract):
    *  - `$frontierDir/fetched/` — every response url this batch FETCHED
-   *    (near-dup-pruned and empty-text pages included). This ledger is
-   *    what gates frontier re-entry: the corpus index only remembers
-   *    APPENDED docs, so without it a mirror page that prunes every
-   *    time would be refetched every cycle.
+   *    (near-dup-pruned and empty-text pages included, and 3xx redirect
+   *    sources — none of them may re-enter). This ledger is what gates
+   *    frontier re-entry: the corpus index only remembers APPENDED
+   *    docs, so without it a mirror page that prunes every time would
+   *    be refetched every cycle.
    *  - `$frontierDir/next/` — the batch's next-fetch frontier
-   *    ([[graft.pipeline.Crawl.frontier]]: outlinks minus batch urls,
+   *    ([[graft.pipeline.Crawl.frontier]]: outlinks AND redirect
+   *    targets, RFC 3986-resolved and normalized, minus batch urls,
    *    the fetched ledger, and the corpus urls).
    * Links ride the same fused decode pass as the text — the frontier
    * costs no second body decode.
+   *
+   * `bloomPath`, when set, names a [[graft.pipeline.Crawl
+   * .buildFetchedBloom]] maintenance artifact; while it exists, each
+   * batch's frontier routes through [[graft.pipeline.Crawl
+   * .frontierBloom]] — the crawled universe up to the bloom's recorded
+   * cutoff is checked via the broadcast filter (the corpus-sized
+   * `fetched/` union + distinct the exact path pays per batch
+   * disappears), and only the [cutoff, batch) trickle plus the batch's
+   * own urls are checked exactly (broadcast — bounded by maintenance
+   * cadence). Absent/in-progress artifacts fall back to the exact
+   * path; output is IDENTICAL either way (no false negatives, false
+   * positives rescued). Rebuild the bloom and [[graft.pipeline.Crawl
+   * .compactFetched]] at maintenance cadence.
+   *
+   * `robotsRules`, when set ([[graft.pipeline.Robots.rulesDf]] shape),
+   * gates every emitted frontier through `Robots.filterAllowed` for
+   * `agentToken` — the stream then never schedules a url the site
+   * forbids, matching the CLI `crawl-ingest` behavior.
    */
   def crawlIngestStream(spark: SparkSession, warcFiles: DataFrame,
                         indexPath: String, threshold: Double = 0.8,
                         maxBucketSize: Int = 1000,
                         payloadCol: String = "payload",
-                        frontierDir: String = null)
+                        frontierDir: String = null,
+                        bloomPath: String = null,
+                        robotsRules: DataFrame = null,
+                        agentToken: String = "graftbot")
                        (sink: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     warcFiles.writeStream.foreachBatch {
@@ -762,7 +785,7 @@ object EventStreams extends Serializable {
         val onLinks: org.apache.spark.sql.DataFrame => Unit =
           if (frontierDir == null) null
           else pages => {
-            import org.apache.spark.sql.functions.col
+            import org.apache.spark.sql.functions.{broadcast, col}
             val urls = pages.select(col("url"))
             // the fetched LEDGER first (before its read below, and
             // before the frontier write, so a crash between the two
@@ -772,17 +795,48 @@ object EventStreams extends Serializable {
               .parquet(s"$frontierDir/fetched/batch=$batchId")
             val fetchedPath =
               new org.apache.hadoop.fs.Path(s"$frontierDir/fetched")
-            val priorFetched = // prior batches incl. pruned/empty pages
+            def fetchedIn(from: Long, until: Long) =
               spark.read.parquet(fetchedPath.toString)
-                .filter(col("batch") < batchId).select(col("url"))
-            val crawled = urls
-              .unionByName(priorFetched)
-              .unionByName(
-                if (indexExists)
-                  graft.pipeline.Crawl.crawledUrls(spark, indexPath)
-                else urls.limit(0))
-            graft.pipeline.Crawl.frontier(pages, crawled)
-              .write.mode("overwrite")
+                .filter(col("batch") >= from && col("batch") < until)
+                .select(col("url"))
+            val maintained =
+              if (bloomPath == null) None
+              else graft.pipeline.Crawl.loadFetchedBloom(spark, bloomPath)
+            val fr = maintained match {
+              case Some((bloom, coversBelow)) =>
+                // bloom path: the pre-cutoff universe (corpus + fetched
+                // batches < coversBelow) never shuffles — it only
+                // streams map-side through frontierBloom's rescue join.
+                // Corpus urls appended AFTER the bloom build were
+                // fetched at some batch >= coversBelow, so the exact
+                // `recent` anti-join covers them (out-of-band index
+                // writes require a bloom rebuild — the maintenance
+                // contract). The trickle + this batch's urls stay
+                // broadcast-sized, bounded by maintenance cadence.
+                val covered = fetchedIn(Long.MinValue,
+                    math.min(coversBelow, batchId))
+                  .unionByName(
+                    if (indexExists)
+                      graft.pipeline.Crawl.crawledUrlsRaw(spark, indexPath)
+                    else urls.limit(0))
+                val recent = urls
+                  .unionByName(fetchedIn(coversBelow, batchId))
+                graft.pipeline.Crawl.frontierBloom(pages, covered, bloom)
+                  .join(broadcast(recent.distinct()), Seq("url"), "left_anti")
+              case None =>
+                val crawled = urls
+                  .unionByName(fetchedIn(Long.MinValue, batchId))
+                  .unionByName(
+                    if (indexExists)
+                      graft.pipeline.Crawl.crawledUrls(spark, indexPath)
+                    else urls.limit(0))
+                graft.pipeline.Crawl.frontier(pages, crawled)
+            }
+            val gated =
+              if (robotsRules == null) fr
+              else graft.pipeline.Robots.filterAllowed(fr, robotsRules,
+                agentToken)
+            gated.write.mode("overwrite")
               .parquet(s"$frontierDir/next/batch=$batchId")
           }
         val (_, stats) = graft.pipeline.Crawl.ingestBatch(spark,
@@ -795,7 +849,7 @@ object EventStreams extends Serializable {
           s"responses=${stats.responses} " +
           s"charset_fallbacks=${stats.charsetFallbacks} " +
           s"empty=${stats.emptyText} dups=${stats.duplicates} " +
-          s"appended=${stats.appended}")
+          s"appended=${stats.appended} redirects=${stats.redirects}")
         ()
     }
 

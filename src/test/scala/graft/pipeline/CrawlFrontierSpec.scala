@@ -51,9 +51,10 @@ class CrawlFrontierSpec extends SparkTestBase {
     assert(byUrl("https://s/1") ===
       Seq("https://s/2", "https://n/1#frag", "/rel"))
     assert(byUrl("https://s/2") === Seq("https://n/1", "mailto:a@b"))
-    // frontier: absolute-only, fragment stripped, crawled excluded,
+    // frontier: RFC 3986-resolved (the relative /rel resolves against
+    // its page), fragment stripped, mailto dropped, crawled excluded,
     // both pages' refs to https://n/1 merged
-    assert(frontierRows === Seq(("https://n/1", 2L)))
+    assert(frontierRows === Seq(("https://n/1", 2L), ("https://s/rel", 1L)))
 
     // crawledUrls reads the folded corpus back from the index
     assert(Crawl.crawledUrls(spark, idx).as[String].collect().toSet ===
@@ -105,7 +106,8 @@ class CrawlFrontierSpec extends SparkTestBase {
     val crawled = Seq("https://s/1", "https://s/2").toDF("url")
     val exact = Crawl.frontier(pages, crawled)
       .as[(String, Long)].collect().toSet
-    assert(exact === Set(("https://n/1", 2L), ("https://n/2", 2L)))
+    assert(exact === Set(("https://n/1", 2L), ("https://n/2", 2L),
+      ("https://s/rel", 1L)))
 
     val bloom = crawled.stat.bloomFilter("url", 1000L, 0.01)
     // FORCE a false positive on a genuinely fresh url: the exact join
@@ -138,6 +140,138 @@ class CrawlFrontierSpec extends SparkTestBase {
     val bloom = Crawl.buildCrawledBloom(spark, idx, expectedItems = 100L)
     assert(bloom.mightContain("https://c/1") &&
       bloom.mightContain("https://c/2"))
+  }
+
+  test("frontier resolves relative links and normalizes variants") {
+    val pages = Seq(
+      ("https://a.ex/dir/page", Seq(
+        "sub/x",                       // path-relative merge
+        "../up",                       // dot segments
+        "//b.ex/net",                  // scheme-relative
+        "HTTPS://C.EX:443/Mixed",      // case + default port normalize
+        "https://a.ex/dir/page?utm_source=t&gclid=1", // tracked self-variant
+        "?q=1",                        // query-only
+        "javascript:void(0)", "mailto:x@y")))
+      .toDF("url", "links")
+    val crawled = Seq("https://a.ex/dir/page").toDF("url")
+    val got = Crawl.frontier(pages, crawled)
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(
+      ("https://a.ex/dir/sub/x", 1L),
+      ("https://a.ex/up", 1L),
+      ("https://b.ex/net", 1L),
+      ("https://c.ex/Mixed", 1L), // host lowercased, :443 elided, path case kept
+      // the utm/gclid variant normalized INTO the crawled url — not re-emitted
+      ("https://a.ex/dir/page?q=1", 1L)))
+  }
+
+  test("schedule keys politeness on the canonical host; delays stack") {
+    val frontier = Seq(
+      ("https://a.example/p1", 5L),
+      ("https://a.example:8443/p2", 4L), // explicit port: SAME queue
+      ("https://u@A.EXAMPLE/p3", 3L),    // userinfo + case: SAME queue
+      ("https://b.example/q1", 2L))
+      .toDF("url", "n_refs")
+    val got = Crawl.schedule(frontier, maxRounds = 5)
+      .select("host", "url", "round")
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(
+      ("a.example", "https://a.example/p1", 1L),
+      ("a.example", "https://a.example:8443/p2", 2L),
+      ("a.example", "https://u@A.EXAMPLE/p3", 3L),
+      ("b.example", "https://b.example/q1", 1L)))
+
+    val delays = Robots.crawlDelayDf(Seq(
+      ("A.EXAMPLE", "User-agent: graftbot\nCrawl-delay: 1.5\n" +
+        "User-agent: *\nCrawl-delay: 99"),
+      ("c.example", "User-agent: *\nCrawl-delay: 2"))
+      .toDF("host", "body"), "graftbot")
+    val paced = Crawl.schedule(frontier, maxRounds = 5, delays = delays)
+      .select("url", "round", "delay_s", "not_before_s")
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(paced === Set(
+      ("https://a.example/p1", 1L, 1.5, 0.0),
+      ("https://a.example:8443/p2", 2L, 1.5, 1.5),
+      ("https://u@A.EXAMPLE/p3", 3L, 1.5, 3.0),
+      ("https://b.example/q1", 1L, 0.0, 0.0))) // no robots row -> no pacing
+  }
+
+  test("redirect records feed the frontier; Location resolves; crawled targets drop") {
+    val files = Seq((0L, graft.sources.Warc.encodeWarcResponses(Seq(
+      ("https://s/1", 200, "text/html", null,
+        "<a href=\"https://n/1\">x</a>".getBytes("UTF-8")),
+      ("https://s/old", 301, "text/html", "https://n/2",
+        Array.emptyByteArray),                       // absolute Location
+      ("https://s/moved/deep", 302, "text/html", "../hub",
+        Array.emptyByteArray),                       // relative Location
+      ("https://s/gone", 301, "text/html", "https://s/1",
+        Array.emptyByteArray)))))                    // redirect-to-crawled
+      .toDF("g", "payload")
+    val recs = graft.sources.Warc.warcRecords(files).toDF()
+    // Location survives the HTTP split
+    assert(recs.filter($"http_status" === 301 && $"target_uri" === "https://s/old")
+      .select("http_location").as[String].head() === "https://n/2")
+    val pages = Crawl.redirectLinks(recs)
+      .as[(String, Seq[String])].collect().toMap
+    assert(pages === Map(
+      "https://s/old" -> Seq("https://n/2"),
+      "https://s/moved/deep" -> Seq("../hub"),
+      "https://s/gone" -> Seq("https://s/1")))
+    val crawled = Seq("https://s/1", "https://s/old", "https://s/moved/deep",
+      "https://s/gone").toDF("url")
+    val fr = Crawl.frontier(Crawl.redirectLinks(recs), crawled)
+      .as[(String, Long)].collect().toSet
+    assert(fr === Set(("https://n/2", 1L), ("https://s/hub", 1L)))
+  }
+
+  test("ingestBatch unions redirect targets into the frontier feed") {
+    val idx = tmp("crawl-redir-idx")
+    val files = Seq((0L, graft.sources.Warc.encodeWarcResponses(Seq(
+      ("https://s/1", 200, "text/html", null,
+        "<html><body>enough words to make a document here <a href=\"https://n/1\">x</a></body></html>"
+          .getBytes("UTF-8")),
+      ("https://s/old", 301, "text/html", "/fresh-target",
+        Array.emptyByteArray)))))
+      .toDF("g", "payload")
+    val recs = graft.sources.Warc.warcRecords(files).toDF()
+    var frontierRows: Set[(String, Long)] = null
+    var fetched: Set[String] = null
+    val (_, stats) = Crawl.ingestBatch(spark, recs, idx, 0,
+      onPageLinks = pagesDf => {
+        fetched = pagesDf.select("url").as[String].collect().toSet
+        frontierRows = Crawl.frontier(pagesDf, pagesDf.select($"url"))
+          .as[(String, Long)].collect().toSet
+      }) { _.count() }
+    assert(stats.redirects === 1L && stats.responses === 1L)
+    // the redirect SOURCE is a fetched page (ledger row), its target a link
+    assert(fetched === Set("https://s/1", "https://s/old"))
+    assert(frontierRows === Set(("https://n/1", 1L), ("https://s/fresh-target", 1L)))
+  }
+
+  test("fetched-ledger compaction + bloom maintenance artifacts round-trip") {
+    val d = java.nio.file.Files.createTempDirectory("crawl-fetched")
+    d.toFile.deleteOnExit()
+    val fDir = d.resolve("frontier").toString
+    Seq("https://f/1", "https://f/2").toDF("url")
+      .write.parquet(s"$fDir/fetched/batch=0")
+    Seq("https://f/2", "https://f/3").toDF("url")
+      .write.parquet(s"$fDir/fetched/batch=1")
+    val bp = d.resolve("fetched.bloom").toString
+    val covers = Crawl.buildFetchedBloom(spark, fDir, null, 1000L, 0.01, bp)
+    assert(covers === 2L)
+    val (bloom, cb) = Crawl.loadFetchedBloom(spark, bp).get
+    assert(cb === 2L)
+    assert(Seq("https://f/1", "https://f/2", "https://f/3")
+      .forall(bloom.mightContain))
+    // compaction folds to ONE partition keyed by the max batch id
+    assert(Crawl.compactFetched(spark, fDir) === 1L)
+    val after = spark.read.parquet(s"$fDir/fetched")
+      .select("batch", "url").as[(Long, String)].collect().toSet
+    assert(after === Set((1L, "https://f/1"), (1L, "https://f/2"),
+      (1L, "https://f/3")))
+    // missing artifacts -> None (stream falls back to the exact path)
+    assert(Crawl.loadFetchedBloom(spark, d.resolve("nope.bloom").toString)
+      .isEmpty)
   }
 
   test("frontier gated by robots keeps only fetchable urls") {

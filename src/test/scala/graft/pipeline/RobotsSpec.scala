@@ -184,4 +184,62 @@ class RobotsSpec extends SparkTestBase {
     assert(Robots.filterAllowed(urls, rules, "GraftBot/2.1").columns
       === urls.columns)
   }
+
+  test("filterAllowed keys hosts canonically: case, userinfo, port variants") {
+    val rules = Robots.rulesDf(Seq(
+      ("A.Example", "User-agent: *\nDisallow: /private/")) // mixed-case row
+      .toDF("host", "body"))
+    val urls = Seq(
+      "https://a.example/private/x",        // plain: disallowed
+      "https://u@a.example/private/y",      // userinfo must not evade
+      "https://A.EXAMPLE/private/z",        // host case must not evade
+      "https://a.example:8443/private/w",   // explicit port must not evade
+      "https://a.example/open")
+      .toDF("url")
+    val kept = Robots.filterAllowed(urls, rules, "graftbot")
+      .as[String].collect().toSet
+    assert(kept === Set("https://a.example/open"))
+  }
+
+  test("parseDelays: group membership, winning agent, garbage tolerance") {
+    val body =
+      """User-agent: graftbot
+        |Crawl-delay: 1.5
+        |Disallow: /x
+        |
+        |User-agent: *
+        |Crawl-delay: 10
+        |
+        |User-agent: slowbot
+        |Crawl-delay: nonsense
+        |Crawl-delay: -3
+        |Crawl-delay: 7
+        |""".stripMargin
+    assert(Robots.parseDelays(body).toSet ===
+      Set(("graftbot", 1.5), ("*", 10.0), ("slowbot", 7.0)))
+    // a crawl-delay line closes a group like a rule line does (parse
+    // and parseDelays share the boundary model)
+    val boundary = "User-agent: a\nCrawl-delay: 2\nUser-agent: b\nDisallow: /q"
+    assert(Robots.parseDelays(boundary) === Seq(("a", 2.0)))
+    assert(Robots.parse(boundary).map(_.agent) === Seq("b"))
+    assert(Robots.parseDelays(null) === Seq.empty)
+    assert(Robots.parseDelays("Crawl-delay: 5") === Seq.empty) // no group
+  }
+
+  test("crawlDelayDf picks the winning group per host, max on conflict") {
+    val robots = Seq(
+      ("a.example", "User-agent: graftbot\nCrawl-delay: 2\n" +
+        "User-agent: *\nCrawl-delay: 50"),       // named group wins
+      ("B.EXAMPLE", "User-agent: *\nCrawl-delay: 3"), // host lowercased
+      ("c.example", "User-agent: otherbot\nCrawl-delay: 9"), // not ours: none
+      ("d.example", "User-agent: graft\nCrawl-delay: 1\n" +
+        "User-agent: graftbot\nCrawl-delay: 4"), // longest prefix wins
+      ("e.example", "User-agent: graftbot\nCrawl-delay: 2\n" +
+        "User-agent: graftbot\nCrawl-delay: 6")) // same agent twice: max
+      .toDF("host", "body")
+    val got = Robots.crawlDelayDf(robots, "GraftBot/2.1")
+      .as[(String, Double)].collect().toSet
+    assert(got === Set(("a.example", 2.0), ("b.example", 3.0),
+      ("d.example", 4.0), ("e.example", 6.0)))
+  }
 }

@@ -110,9 +110,9 @@ class CrawlIngestStreamSpec extends SparkTestBase {
       frontierDir = fDir)().start()
 
     // page links: one stored url (dropped), one batch-internal url
-    // (dropped), one genuinely new target + a relative (filtered);
-    // b0/pruned is a near-dup of the stored corpus — fetched but NOT
-    // appended, the fetched-ledger case
+    // (dropped), one genuinely new target + a relative (RESOLVED against
+    // its page since r13); b0/pruned is a near-dup of the stored corpus
+    // — fetched but NOT appended, the fetched-ledger case
     input.addData((0L, warcOf(
       ("https://b0/a", 200,
         """<p>first page body words</p><a href="https://c/1">stored</a>
@@ -126,7 +126,8 @@ class CrawlIngestStreamSpec extends SparkTestBase {
     q.processAllAvailable()
     val f0 = spark.read.parquet(s"$fDir/next/batch=0")
       .as[(String, Long)].collect().toSet
-    assert(f0 === Set(("https://next/1", 2L)), s"frontier batch 0: $f0")
+    assert(f0 === Set(("https://next/1", 2L), ("https://b0/rel", 1L)),
+      s"frontier batch 0: $f0")
 
     // batch 1 links back to an APPENDED batch-0 url (excluded via the
     // corpus) AND to the PRUNED batch-0 url — which never entered the
@@ -174,5 +175,63 @@ class CrawlIngestStreamSpec extends SparkTestBase {
       .as[(String, Int)].collect().toSet
     assert(stored === Set(("https://s/1", inst), ("https://s/2", inst)),
       s"replay must overwrite the bootstrap partition, got $stored")
+  }
+
+  test("bloom-routed stream frontier equals the exact path; robots gate applies") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("crawl-bloom-stream")
+    base.toFile.deleteOnExit()
+
+    // one crawl replayed three ways over separate dirs: exact frontier,
+    // bloom-routed frontier (maintenance artifact built between batches),
+    // and robots-gated. Bloom output must be IDENTICAL to exact; robots
+    // must drop exactly the disallowed host's urls.
+    def run(bloom: Boolean, robots: Boolean, tag: String): Set[(String, Long)] = {
+      val idx = base.resolve(s"idx-$tag").toString
+      val fDir = base.resolve(s"frontier-$tag").toString
+      val bp = base.resolve(s"bloom-$tag.bin").toString
+      val rules =
+        if (!robots) null
+        else graft.pipeline.Robots.rulesDf(Seq(
+          ("next", "User-agent: *\nDisallow: /blocked"))
+          .toDF("host", "body"))
+      val input = MemoryStream[(Long, Array[Byte])]
+      val q = EventStreams.crawlIngestStream(spark,
+        input.toDF().toDF("g", "payload"), idx, threshold = 0.5,
+        frontierDir = fDir, bloomPath = if (bloom) bp else null,
+        robotsRules = rules)().start()
+      input.addData((0L, warcOf(
+        ("https://seed/1", 200,
+          "<p>seed document one body words</p><a href=\"https://mid/1\">m</a>"),
+        ("https://seed/2", 200,
+          "<p>seed document two body other words</p>"))))
+      q.processAllAvailable()
+      if (bloom) // maintenance between batches: bloom covers batch 0
+        graft.pipeline.Crawl.buildFetchedBloom(spark, fDir, idx,
+          1000L, 0.01, bp)
+      input.addData((1L, warcOf(
+        ("https://mid/1", 200,
+          """<p>mid page body totally different tokens</p>
+            |<a href="https://seed/1">back to crawled</a>
+            |<a href="https://next/1">fresh</a>
+            |<a href="/blocked/x">same-host relative</a>
+            |<a href="https://next/blocked/y">blocked on next</a>"""
+            .stripMargin))))
+      q.processAllAvailable()
+      q.stop()
+      spark.read.parquet(s"$fDir/next/batch=1")
+        .as[(String, Long)].collect().toSet
+    }
+
+    val exact = run(bloom = false, robots = false, "exact")
+    assert(exact === Set(("https://next/1", 1L),
+      ("https://mid/blocked/x", 1L), ("https://next/blocked/y", 1L)),
+      s"exact frontier: $exact")
+    val viaBloom = run(bloom = true, robots = false, "bloom")
+    assert(viaBloom === exact, s"bloom-routed frontier diverged: $viaBloom")
+    val gated = run(bloom = false, robots = true, "robots")
+    assert(gated === Set(("https://next/1", 1L),
+      ("https://mid/blocked/x", 1L)), // mid has no robots row: allowed
+      s"robots-gated frontier: $gated")
   }
 }
