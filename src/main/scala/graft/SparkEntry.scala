@@ -106,6 +106,20 @@ object SparkEntry {
       }.toDF("page_url", "html")
   }
 
+  /** The fixture pages with links EXTRACTED, cached: the frontier-family
+    * queries branch over this frame several times (bloom routing alone
+    * reads it four ways), and in production the (url, links) pages
+    * arrive MATERIALIZED from the fused decode checkpoint — re-running
+    * the fixture synthesis + extraction per plan branch would measure
+    * fixture construction, not the operator. Bench/Verify call
+    * `spark.catalog.clearCache()` after every query (the standing
+    * helper-cache convention), so nothing outlives the measurement. */
+  private def crawlFixtureLinkPages(s: SparkSession, dir: String): DataFrame =
+    crawlFixturePages(s, dir)
+      .select(col("page_url").as("url"),
+        graft.pipeline.HtmlText.htmlLinksCol(col("html")).as("links"))
+      .persist()
+
   /** Dirs queued for recursive deletion at JVM exit, drained by ONE static
     * shutdown hook — a hook per call would accumulate Thread objects (and
     * retained paths) unboundedly in a long-lived JVM. */
@@ -2714,22 +2728,17 @@ object SparkEntry {
     }),
 
     // Crawl frontier: anchor-href extraction (the HtmlText.LinkPattern
-    // kernel -- O(n) scan, regex-equivalent semantics) -> absolute
-    // http(s) filter -> fragment strip -> anti-join against the
-    // already-crawled url set -> per-target reference counts. Fixture
-    // pages embed two deterministic NEW targets (one shared within an id
-    // decade -> n_refs aggregation), a comment-wrapped link (regex
-    // semantics: extracted), a self-link (anti-joined away), and a
-    // relative link, a mailto and a single-quoted href (all dropped by
-    // contract). The oracle rebuilds the surviving link multiset from
-    // the same doc_id arithmetic -- any extraction or filtering defect
-    // hash-mismatches.
+    // kernel -- O(n) scan, regex-equivalent semantics, both quote
+    // forms) -> RFC 3986 resolution against the page url -> normalize
+    // -> anti-join against the already-crawled url set -> per-target
+    // reference counts. The fixture arms cover every transform (see
+    // crawlFixturePages); the oracle rebuilds each arm's
+    // RESOLVED+NORMALIZED url from the same doc_id arithmetic -- any
+    // extraction, resolution, dot-segment, normalization or anti-join
+    // defect hash-mismatches.
     "crawl_frontier" -> ((s, dir) => {
-      val pages = crawlFixturePages(s, dir)
-      graft.pipeline.Crawl.frontier(
-          pages.select(col("page_url").as("url"),
-            graft.pipeline.HtmlText.htmlLinksCol(col("html")).as("links")),
-          pages.select(col("page_url").as("url")))
+      val pages = crawlFixtureLinkPages(s, dir)
+      graft.pipeline.Crawl.frontier(pages, pages.select(col("url")))
         .select(col("url"),
           regexp_extract(col("url"), "^https?://([^/]*)", 1).as("host"),
           col("n_refs"))
@@ -2744,13 +2753,10 @@ object SparkEntry {
     // oracle is crawl_frontier's SQL verbatim. fpp 0.2 on purpose: a
     // 500-row fixture at 1% would exercise zero false positives.
     "crawl_frontier_bloom" -> ((s, dir) => {
-      val pages = crawlFixturePages(s, dir)
-      val crawled = pages.select(col("page_url").as("url"))
+      val pages = crawlFixtureLinkPages(s, dir)
+      val crawled = pages.select(col("url"))
       val bloom = crawled.stat.bloomFilter("url", 100000L, 0.2)
-      graft.pipeline.Crawl.frontierBloom(
-          pages.select(col("page_url").as("url"),
-            graft.pipeline.HtmlText.htmlLinksCol(col("html")).as("links")),
-          crawled, bloom)
+      graft.pipeline.Crawl.frontierBloom(pages, crawled, bloom)
         .select(col("url"),
           regexp_extract(col("url"), "^https?://([^/]*)", 1).as("host"),
           col("n_refs"))
@@ -2763,11 +2769,9 @@ object SparkEntry {
     // urls beyond maxRounds=3 defer to the next crawl cycle. The oracle
     // replays the frontier CTEs + row_number per host.
     "crawl_schedule" -> ((s, dir) => {
-      val pages = crawlFixturePages(s, dir)
-      val frontier = graft.pipeline.Crawl.frontier(
-        pages.select(col("page_url").as("url"),
-          graft.pipeline.HtmlText.htmlLinksCol(col("html")).as("links")),
-        pages.select(col("page_url").as("url")))
+      val pages = crawlFixtureLinkPages(s, dir)
+      val frontier = graft.pipeline.Crawl.frontier(pages,
+        pages.select(col("url")))
       graft.pipeline.Crawl.schedule(frontier, maxRounds = 3)
         .orderBy("url")
     }),
@@ -2780,11 +2784,9 @@ object SparkEntry {
     // the seconds-per-host signal it actually needs.
     "crawl_schedule_delay" -> ((s, dir) => {
       import s.implicits._
-      val pages = crawlFixturePages(s, dir)
-      val frontier = graft.pipeline.Crawl.frontier(
-        pages.select(col("page_url").as("url"),
-          graft.pipeline.HtmlText.htmlLinksCol(col("html")).as("links")),
-        pages.select(col("page_url").as("url")))
+      val pages = crawlFixtureLinkPages(s, dir)
+      val frontier = graft.pipeline.Crawl.frontier(pages,
+        pages.select(col("url")))
       val robots = (0 until 7).map { k =>
         (s"h$k.example",
           s"User-agent: graftbot\nCrawl-delay: $k.5\n" +

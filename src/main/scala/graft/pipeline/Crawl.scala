@@ -53,11 +53,16 @@ object Crawl {
     * them, count them, collect a small projection); they are released
     * before return, so `use` must not return a lazy plan over them.
     *
-    * `onPageLinks`, when set, receives (url, links) for EVERY response
-    * page (near-dups included -- their outlinks are still valid
-    * discoveries) extracted in the same fused decode pass; like `use` it
-    * must consume eagerly (the backing checkpoint is released on
-    * return). Compose with [[frontier]] for the next fetch round. */
+    * `onPageLinks`, when set, receives (url, links) for EVERY page the
+    * batch FETCHED — 200s (near-dups included: their outlinks are still
+    * valid discoveries) extracted in the same fused decode pass, 3xx
+    * redirects as one-outlink pages (their `Location`, when the records
+    * carry `http_location`), and PERMANENT-4xx dead pages with empty
+    * links (400–499 except 408/429, which are transient and should
+    * retry) — so a fetched-URL ledger built from these urls gates every
+    * url class against refetching, not just successful pages. Like
+    * `use` it must consume eagerly (the backing checkpoint is released
+    * on return). Compose with [[frontier]] for the next fetch round. */
   def ingestBatch[A](spark: SparkSession, records: DataFrame,
                      indexPath: String, installment: Int,
                      threshold: Double = 0.8, maxBucketSize: Int = 1000,
@@ -73,21 +78,33 @@ object Crawl {
     // migrations are a huge slice of real crawls) — but only when the
     // records carry the http_location column (pre-r13 record shapes
     // don't) and a frontier consumer exists
-    val wantRedirects = wantLinks && records.columns.contains("http_location")
-    // when redirects are live, checkpoint ONE narrow projection of both
-    // status classes so the raw WARC bytes parse exactly once (a second
-    // records scan would re-run the member walk over the whole batch);
-    // without them, the 200-filter feeds extraction directly as before
+    val hasLocation = records.columns.contains("http_location")
+    val wantRedirects = wantLinks && hasLocation
+    val deadCond = col("http_status") >= 400 && col("http_status") < 500 &&
+      col("http_status") =!= 408 && col("http_status") =!= 429
+    // when a frontier consumer exists, checkpoint ONE narrow projection
+    // of every status class it needs (200 + redirect + dead) so the raw
+    // WARC bytes parse exactly once (a second records scan would re-run
+    // the member walk over the whole batch); without one, the
+    // 200-filter feeds extraction directly as before
     val respBase = records.filter(col("warc_type") === "response")
     val resp0 =
-      if (!wantRedirects) respBase.filter(col("http_status") === 200)
-      else respBase.filter(col("http_status") === 200 ||
-          (col("http_status").isin(301, 302, 303, 307, 308) &&
-            col("http_location").isNotNull))
-        .select(col("warc_type"), col("target_uri"), col("http_status"),
-          col("http_content_type"), col("http_location"), col("body"))
-        .localCheckpoint()
-    val resp = if (wantRedirects) resp0.filter(col("http_status") === 200)
+      if (!wantLinks) respBase.filter(col("http_status") === 200)
+      else {
+        val redirectCond =
+          if (hasLocation)
+            col("http_status").isin(301, 302, 303, 307, 308) &&
+              col("http_location").isNotNull
+          else lit(false)
+        val cols = Seq(col("warc_type"), col("target_uri"),
+          col("http_status"), col("http_content_type")) ++
+          (if (hasLocation) Seq(col("http_location")) else Nil) :+ col("body")
+        respBase
+          .filter(col("http_status") === 200 || redirectCond || deadCond)
+          .select(cols: _*)
+          .localCheckpoint()
+      }
+    val resp = if (wantLinks) resp0.filter(col("http_status") === 200)
                else resp0
     val extAll = HtmlText.extractFromBodies(resp, "body", "text",
       "http_content_type", "cs", linksCol = if (wantLinks) "links" else null)
@@ -103,18 +120,21 @@ object Crawl {
       // accumulate leaked storage on every failed attempt)
       var redirectCount = 0L
       if (wantLinks) {
+        val dead = resp0.filter(deadCond)
+          .select(col("target_uri").as("url"),
+            array().cast("array<string>").as("links"))
         val pagesForLinks =
-          if (!wantRedirects) ext.select(col("url"), col("links"))
-          else {
-            val redir = redirectLinks(resp0)
-            redirectCount = redir.count()
-            ext.select(col("url"), col("links")).unionByName(redir)
-          }
+          (if (!wantRedirects) ext.select(col("url"), col("links"))
+           else {
+             val redir = redirectLinks(resp0)
+             redirectCount = redir.count()
+             ext.select(col("url"), col("links")).unionByName(redir)
+           }).unionByName(dead)
         onPageLinks(pagesForLinks)
-        // the redirect rows live in resp0's checkpoint; once the
+        // the redirect/dead rows live in resp0's checkpoint; once the
         // frontier consumer has run (eagerly, per contract) only ext is
         // needed — release the raw-body blocks before the probe
-        if (wantRedirects) graft.dedup.Dedup.release(resp0)
+        graft.dedup.Dedup.release(resp0)
       }
       val a = ext.agg(
         count(lit(1)).as("n"),
@@ -173,7 +193,7 @@ object Crawl {
       // resp0 is normally released right after the frontier consumer;
       // this double-release is an idempotent no-op, but an exception
       // BEFORE that point must not leak the raw-body checkpoint blocks
-      if (wantRedirects) graft.dedup.Dedup.release(resp0)
+      if (wantLinks) graft.dedup.Dedup.release(resp0)
     }
   }
 
@@ -189,10 +209,14 @@ object Crawl {
                             urlCol: String): DataFrame =
     pages.select(col(urlCol).cast("string").as("_frontier_base"),
         explode(col(linksCol)).as("_frontier_link"))
-      .select(UrlResolve.resolveCol(col("_frontier_base"),
+      // ONE fused kernel call per link (resolve + canonicalize): the
+      // equivalent normalizeUrl Column chain measured ~35 µs/link —
+      // ~10 core-hours per billion links of pure canonicalization;
+      // the kernel's no-work fast path proves most links need none
+      // (UrlResolveSpec pins kernel == chain)
+      .select(UrlResolve.resolveAndNormalizeCol(col("_frontier_base"),
         col("_frontier_link")).as("url"))
       .filter(col("url").isNotNull)
-      .select(UrlFilter.normalizeUrl(col("url")).as("url"))
 
   private def guardFrontierCols(pages: DataFrame): Unit =
     require(!pages.columns.contains("_frontier_base") &&
@@ -244,10 +268,22 @@ object Crawl {
   def frontierBloom(pages: DataFrame, crawled: DataFrame,
                     bloom: org.apache.spark.util.sketch.BloomFilter,
                     linksCol: String = "links",
-                    urlCol: String = "url"): DataFrame = {
+                    urlCol: String = "url"): DataFrame =
+    frontierBloomBc(pages, crawled,
+      pages.sparkSession.sparkContext.broadcast(bloom), linksCol, urlCol)
+
+  /** [[frontierBloom]] with a CALLER-OWNED broadcast — the streaming
+    * loop's form: a corpus-scale filter (1 B urls ≈ 1.2 GB) must ship
+    * to the executors once per MAINTENANCE CYCLE, not once per
+    * micro-batch, so the caller caches the broadcast across batches
+    * (EventStreams keys it by artifact mtime) and this overload never
+    * re-broadcasts. */
+  def frontierBloomBc(pages: DataFrame, crawled: DataFrame,
+                      bc: org.apache.spark.broadcast.Broadcast[
+                        org.apache.spark.util.sketch.BloomFilter],
+                      linksCol: String = "links",
+                      urlCol: String = "url"): DataFrame = {
     guardFrontierCols(pages)
-    val spark = pages.sparkSession
-    val bc = spark.sparkContext.broadcast(bloom)
     val might = udf { (u: String) => u != null && bc.value.mightContain(u) }
     val links = resolvedLinks(pages, linksCol, urlCol)
     val definiteFresh = links.filter(!might(col("url")))
@@ -455,8 +491,11 @@ object Crawl {
           .exists(new Path(s"$indexPath/meta")))
         crawledUrlsRaw(spark, indexPath)
       else null
-    val urls = (Option(fetchedDf).map(_.select("url")).toSeq ++
-      Option(corpus).toSeq).reduce(_ unionByName _)
+    val sources = Option(fetchedDf).map(_.select("url")).toSeq ++
+      Option(corpus).toSeq
+    require(sources.nonEmpty, s"buildFetchedBloom: nothing to cover — no " +
+      s"fetched ledger under $frontierDir and no index at $indexPath")
+    val urls = sources.reduce(_ unionByName _)
     val bloom = urls.stat.bloomFilter("url", expectedItems, fpp)
     saveBloom(spark, bloom, bloomPath)
     // meta sidecar: one decimal long, same atomic-swap write

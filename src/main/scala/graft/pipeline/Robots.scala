@@ -247,10 +247,16 @@ object Robots {
   }
 
   /** Column expression: url → path component ("" scheme-relative rest
-    * after the authority; no match → "/"). Portable: the same regexp
-    * runs in any RE2 engine. */
+    * after the authority; no match → "/"). Scheme matches
+    * case-insensitively via char classes (RE2-portable — no inline
+    * flag): an `HTTPS://host/private/x` candidate must evaluate its
+    * REAL path, not fall to "/" and slip a Disallow through the
+    * silent-allow default (the same evasion class as the host-key
+    * canonicalization). Portable: the same regexp runs in any RE2
+    * engine. */
   def pathOf(url: Column): Column = {
-    val p = regexp_extract(url, "^[a-z][a-z0-9+.-]*://[^/]*(/.*)?$", 1)
+    val p = regexp_extract(url,
+      "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(/.*)?$", 1)
     when(p === "", lit("/")).otherwise(p)
   }
 

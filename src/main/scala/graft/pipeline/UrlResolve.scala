@@ -175,4 +175,100 @@ object UrlResolve {
     val u = udf((b: String, h: String) => resolve(b, h))
     u(base, href)
   }
+
+  // ---------------------------------------------------------------------
+  // Fused canonicalization for RESOLVE OUTPUTS. The frontier runs
+  // [[UrlFilter.normalizeUrl]]'s ~12-regex Column chain per link; that
+  // measured ~35 µs/link at sf0.1 — ~10 core-hours per BILLION links,
+  // pure canonicalization. A [[resolve]] output already has a lowercase
+  // http(s) scheme, a non-empty authority, and no fragment, so most
+  // links need NO normalization work at all: one O(n) scan proves it
+  // (no uppercase/':' in the authority, no '?'/'&' anywhere, no
+  // trailing '/') and returns the string untouched. Links that do need
+  // work run the chain's EXACT regexes, precompiled once per JVM —
+  // same java.util.regex engine Spark's regexp_replace uses, same
+  // patterns, same order, so equivalence is structural;
+  // UrlResolveSpec additionally cross-checks kernel vs Column chain on
+  // the fixture arms and randomized URLs.
+  // ---------------------------------------------------------------------
+
+  private val FragRe = java.util.regex.Pattern.compile("#.*$")
+  private val UtmRe =
+    java.util.regex.Pattern.compile("([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*")
+  private val AmpRunRe = java.util.regex.Pattern.compile("&&+")
+  private val QAmpRe = java.util.regex.Pattern.compile("\\?&")
+  private val DanglingRe = java.util.regex.Pattern.compile("[?&]$")
+  private val Port80Re =
+    java.util.regex.Pattern.compile("^(http://[^/:?#]+):80([/?]|$)")
+  private val Port443Re =
+    java.util.regex.Pattern.compile("^(https://[^/:?#]+):443([/?]|$)")
+  private val SlashRe = java.util.regex.Pattern.compile("/$")
+
+  /** [[UrlFilter.normalizeUrl]]'s exact semantics on a [[resolve]]
+    * output (see the block comment): fast-path identity when one scan
+    * proves no rule applies, else the chain's own regexes. Input MUST
+    * be a resolve output — arbitrary strings keep using the Column
+    * chain. */
+  private[pipeline] def normalizeResolved(u: String): String = {
+    val n = u.length
+    val authStart = u.indexOf("://") + 3 // resolve guarantees presence
+    var authEnd = authStart
+    while (authEnd < n && u.charAt(authEnd) != '/' &&
+      u.charAt(authEnd) != '?' && u.charAt(authEnd) != '#') authEnd += 1
+    var work = false
+    // authority span: any non-lowercase-ASCII byte (uppercase needs
+    // lowering; non-ASCII may case-fold) or ':' (maybe a default port)
+    var i = authStart
+    while (!work && i < authEnd) {
+      val c = u.charAt(i)
+      if ((c >= 'A' && c <= 'Z') || c == ':' || c > 0x7E) work = true
+      i += 1
+    }
+    // rest of string: query/fragment markers (utm strip, dangling
+    // repair) — '&' in a PATH also routes slow, the chain's regex is
+    // not query-scoped. Path case is preserved, so uppercase there is
+    // fine.
+    i = authEnd
+    while (!work && i < n) {
+      val c = u.charAt(i)
+      if (c == '?' || c == '&' || c == '#') work = true
+      i += 1
+    }
+    if (!work && n > authStart && u.charAt(n - 1) == '/') work = true
+    if (!work) return u
+    // slow path: the Column chain's steps verbatim
+    val tail = u.substring(authStart)
+    var hostEnd = 0
+    val tn = tail.length
+    while (hostEnd < tn && tail.charAt(hostEnd) != '/' &&
+      tail.charAt(hostEnd) != '?' && tail.charAt(hostEnd) != '#') hostEnd += 1
+    val scheme = u.substring(0, authStart - 3)
+      .toLowerCase(java.util.Locale.ROOT) // already lowercase from resolve
+    val host = tail.substring(0, hostEnd).toLowerCase(java.util.Locale.ROOT)
+    val joined = scheme + "://" + host + tail.substring(hostEnd)
+    val noFrag = FragRe.matcher(joined).replaceAll("")
+    val noUtm = UtmRe.matcher(noFrag).replaceAll("$1")
+    val noDangle = DanglingRe.matcher(
+      QAmpRe.matcher(
+        AmpRunRe.matcher(noUtm).replaceAll("&")).replaceAll("?"))
+      .replaceAll("")
+    val noPort = Port443Re.matcher(
+      Port80Re.matcher(noDangle).replaceAll("$1$2")).replaceAll("$1$2")
+    SlashRe.matcher(noPort).replaceAll("")
+  }
+
+  /** Resolve + canonicalize in ONE kernel call — the frontier's
+    * per-link hot path ([[graft.pipeline.Crawl.frontier]]): null for
+    * not-fetchable refs, else `normalizeResolved(resolve(base, href))`.
+    * Output-identical to `normalizeUrl(resolveCol(...))`. */
+  def resolveAndNormalize(base: String, href: String): String = {
+    val r = resolve(base, href)
+    if (r == null) null else normalizeResolved(r)
+  }
+
+  /** Column form of [[resolveAndNormalize]]. */
+  def resolveAndNormalizeCol(base: Column, href: Column): Column = {
+    val u = udf((b: String, h: String) => resolveAndNormalize(b, h))
+    u(base, href)
+  }
 }

@@ -22,6 +22,37 @@ object EventStreams extends Serializable {
   @transient private lazy val log =
     org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Per-JVM cache of the crawl stream's maintenance bloom, keyed by
+    * (path, file modification time): a 1 B-url filter at 1% fpp is
+    * ~1.2 GB — re-reading AND re-broadcasting it every micro-batch
+    * would swamp the very cost the bloom removes. The artifact only
+    * changes when maintenance swaps it (atomic rename = new mtime), so
+    * mtime is a sound cache key; the superseded broadcast is released
+    * when a new one loads. Driver-side only. */
+  @transient private lazy val bloomCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      (Long, Long, org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter])]()
+
+  private def cachedFetchedBloom(spark: SparkSession, bloomPath: String)
+      : Option[(org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter], Long)] = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(bloomPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val mtime = fs.getFileStatus(p).getModificationTime
+    val hit = bloomCache.get(bloomPath)
+    if (hit != null && hit._1 == mtime) return Some((hit._3, hit._2))
+    graft.pipeline.Crawl.loadFetchedBloom(spark, bloomPath).map {
+      case (bloom, coversBelow) =>
+        val bc = spark.sparkContext.broadcast(bloom)
+        val old = bloomCache.put(bloomPath, (mtime, coversBelow, bc))
+        if (old != null) old._3.unpersist(blocking = false)
+        (bc, coversBelow)
+    }
+  }
+
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
                          event_type: String, value: Double)
 
@@ -731,12 +762,14 @@ object EventStreams extends Serializable {
    * `batch=$batchId` partitions written mode(overwrite) — pure
    * functions of batchId, so at-least-once replays reproduce their own
    * partitions (the shared replay-idempotence contract):
-   *  - `$frontierDir/fetched/` — every response url this batch FETCHED
-   *    (near-dup-pruned and empty-text pages included, and 3xx redirect
-   *    sources — none of them may re-enter). This ledger is what gates
-   *    frontier re-entry: the corpus index only remembers APPENDED
-   *    docs, so without it a mirror page that prunes every time would
-   *    be refetched every cycle.
+   *  - `$frontierDir/fetched/` — every url this batch FETCHED:
+   *    200-status pages (near-dup-pruned and empty-text included), 3xx
+   *    redirect sources, and permanent-4xx dead pages (400–499 except
+   *    the transient 408/429, which stay retryable) — none of them may
+   *    re-enter. This ledger is what gates frontier re-entry: the
+   *    corpus index only remembers APPENDED docs, so without it a
+   *    mirror page that prunes every time — or a 404 that a thousand
+   *    pages link to — would be refetched every cycle.
    *  - `$frontierDir/next/` — the batch's next-fetch frontier
    *    ([[graft.pipeline.Crawl.frontier]]: outlinks AND redirect
    *    targets, RFC 3986-resolved and normalized, minus batch urls,
@@ -752,10 +785,12 @@ object EventStreams extends Serializable {
    * `fetched/` union + distinct the exact path pays per batch
    * disappears), and only the [cutoff, batch) trickle plus the batch's
    * own urls are checked exactly (broadcast — bounded by maintenance
-   * cadence). Absent/in-progress artifacts fall back to the exact
-   * path; output is IDENTICAL either way (no false negatives, false
-   * positives rescued). Rebuild the bloom and [[graft.pipeline.Crawl
-   * .compactFetched]] at maintenance cadence.
+   * cadence). The filter itself loads and broadcasts ONCE PER
+   * MAINTENANCE CYCLE, not per batch (mtime-keyed driver cache — a
+   * corpus-scale bloom is ~GB). Absent/in-progress artifacts fall back
+   * to the exact path; output is IDENTICAL either way (no false
+   * negatives, false positives rescued). Rebuild the bloom and
+   * [[graft.pipeline.Crawl.compactFetched]] at maintenance cadence.
    *
    * `robotsRules`, when set ([[graft.pipeline.Robots.rulesDf]] shape),
    * gates every emitted frontier through `Robots.filterAllowed` for
@@ -801,9 +836,9 @@ object EventStreams extends Serializable {
                 .select(col("url"))
             val maintained =
               if (bloomPath == null) None
-              else graft.pipeline.Crawl.loadFetchedBloom(spark, bloomPath)
+              else cachedFetchedBloom(spark, bloomPath)
             val fr = maintained match {
-              case Some((bloom, coversBelow)) =>
+              case Some((bloomBc, coversBelow)) =>
                 // bloom path: the pre-cutoff universe (corpus + fetched
                 // batches < coversBelow) never shuffles — it only
                 // streams map-side through frontierBloom's rescue join.
@@ -821,7 +856,7 @@ object EventStreams extends Serializable {
                     else urls.limit(0))
                 val recent = urls
                   .unionByName(fetchedIn(coversBelow, batchId))
-                graft.pipeline.Crawl.frontierBloom(pages, covered, bloom)
+                graft.pipeline.Crawl.frontierBloomBc(pages, covered, bloomBc)
                   .join(broadcast(recent.distinct()), Seq("url"), "left_anti")
               case None =>
                 val crawled = urls

@@ -199,6 +199,11 @@ class RobotsSpec extends SparkTestBase {
     val kept = Robots.filterAllowed(urls, rules, "graftbot")
       .as[String].collect().toSet
     assert(kept === Set("https://a.example/open"))
+
+    // uppercase SCHEME must not collapse the path to "/" (pathOf would
+    // then never match the Disallow — the same silent-allow evasion)
+    val shouty = Seq("HTTPS://a.example/private/s").toDF("url")
+    assert(Robots.filterAllowed(shouty, rules, "graftbot").count() === 0)
   }
 
   test("parseDelays: group membership, winning agent, garbage tolerance") {

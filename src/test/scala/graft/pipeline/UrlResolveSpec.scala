@@ -1,11 +1,11 @@
 package graft.pipeline
 
-import org.scalatest.funsuite.AnyFunSuite
-
 /** RFC 3986 resolution: the §5.4 example battery (normal AND abnormal),
-  * a `java.net.URI.resolve` cross-check on the normal cases, and the
-  * crawl-specific deltas (fragment strip, non-http schemes → null). */
-class UrlResolveSpec extends AnyFunSuite {
+  * a `java.net.URI.resolve` cross-check on the normal cases, the
+  * crawl-specific deltas (fragment strip, non-http schemes → null), and
+  * the fused-normalization kernel pinned against the normalizeUrl
+  * Column chain. */
+class UrlResolveSpec extends graft.SparkTestBase {
 
   private val base = "http://a.ex/b/c/d;p?q"
 
@@ -120,6 +120,60 @@ class UrlResolveSpec extends AnyFunSuite {
     assert(UrlResolve.resolve(base, "http://") === null)
     assert(UrlResolve.resolve(base, "http:no-slashes") === null)
     assert(UrlResolve.resolve(base, "#") === "http://a.ex/b/c/d;p?q")
+  }
+
+  test("normalizeResolved equals the normalizeUrl Column chain") {
+    // resolve outputs covering every normalization rule + no-op fast
+    // paths, plus randomized composites
+    val seeds = Seq(
+      "https://a.ex/page/1",                      // fast path: untouched
+      "https://a.ex",                             // empty path
+      "https://A.EX/Path/Kept",                   // authority lower, path kept
+      "https://u@B.EX:8443/x",                    // userinfo+port lowercase
+      "http://a.ex:80/x", "https://a.ex:443/x",   // default ports elide
+      "http://a.ex:80", "https://a.ex:443?q=1",   // port at end / before query
+      "http://a.ex:8080/x",                       // non-default port kept
+      "https://a.ex/x/",                          // trailing slash
+      "https://a.ex/x?utm_source=a",              // lone tracking param
+      "https://a.ex/x?utm_a=1&utm_b=2&keep=3",    // adjacent tracking params
+      "https://a.ex/x?keep=1&gclid=g",            // trailing tracking param
+      "https://a.ex/x?gclid=",                    // empty value
+      "https://a.ex/x?xgclid=v&my_fbclid=a",      // suffix look-alikes kept
+      "https://a.ex/x?fbclid=f&",                 // dangling &
+      "https://a.ex/x?",                          // dangling ?
+      "https://a.ex/a&gclid=in-path",             // '&' in PATH (chain strips!)
+      "https://a.ex/x?a=1&b=2",                   // clean query untouched
+      "https://résumé.ex/p",            // non-ASCII authority
+      "https://a.ex/UPPER/path")                  // path case preserved
+    val rnd = new scala.util.Random(7)
+    val hosts = Seq("a.ex", "B.Ex:443", "u@C.EX", "d.ex:9090")
+    val paths = Seq("", "/p", "/p/", "/P&gclid=x", "/a/b")
+    val queries = Seq("", "?utm_x=1", "?k=1&gclid=2", "?&", "?k=1&utm_a=&z=3")
+    val randoms = for (_ <- 0 until 200) yield
+      s"${if (rnd.nextBoolean()) "http" else "https"}://${hosts(rnd.nextInt(hosts.length))}" +
+        s"${paths(rnd.nextInt(paths.length))}${queries(rnd.nextInt(queries.length))}"
+    val all = (seeds ++ randoms).distinct
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def viaChain(urls: Seq[String]): Map[String, String] =
+      urls.toDF("u")
+        .select(col("u"), UrlFilter.normalizeUrl(col("u")).as("n"))
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val chain = viaChain(all)
+    all.foreach { u =>
+      assert(UrlResolve.normalizeResolved(u) === chain(u), s"url=$u")
+    }
+    // and the fused form == the unfused composition through resolve
+    val base = "https://base.ex/dir/page"
+    val hrefs = Seq("sub/x?utm_source=t", "../Up/", "//H.EX:443/q?gclid=1&k=2",
+      "HTTP://A.EX:80/p/", "?utm_a=1", "x")
+    val resolved = hrefs.map(h => h -> UrlResolve.resolve(base, h)).toMap
+    val chain2 = viaChain(resolved.values.filter(_ != null).toSeq)
+    hrefs.foreach { href =>
+      val unfused = Option(resolved(href)).map(chain2)
+      assert(Option(UrlResolve.resolveAndNormalize(base, href)) === unfused,
+        s"href=$href")
+    }
   }
 
   test("adversarial dot-runs stay linear and resolve") {

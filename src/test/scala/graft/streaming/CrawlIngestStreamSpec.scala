@@ -154,6 +154,46 @@ class CrawlIngestStreamSpec extends SparkTestBase {
       "https://b0/pruned", "https://b1/a"))
   }
 
+  test("permanent-4xx pages enter the fetched ledger; transient ones do not") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("crawl-dead")
+    base.toFile.deleteOnExit()
+    val idx = base.resolve("idx").toString
+    val fDir = base.resolve("frontier").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = EventStreams.crawlIngestStream(spark,
+      input.toDF().toDF("g", "payload"), idx, threshold = 0.5,
+      frontierDir = fDir)().start()
+    input.addData((0L, warcOf(
+      ("https://s/ok", 200,
+        "<p>a live page body with words</p><a href=\"https://s/dead\">d</a>"),
+      ("https://s/dead", 404, "<p>gone</p>"),
+      ("https://s/busy", 429, "<p>rate limited</p>"),
+      ("https://s/err", 500, "<p>server error</p>"))))
+    q.processAllAvailable()
+    // batch 1: links to the dead page (ledger-gated), the busy page
+    // (NOT gated — transient, must stay fetchable) and a fresh one
+    input.addData((1L, warcOf(
+      ("https://s/next", 200,
+        """<p>second page other words entirely</p>
+          |<a href="https://s/dead">dead again</a>
+          |<a href="https://s/busy">retry me</a>
+          |<a href="https://s/new">fresh</a>""".stripMargin))))
+    q.processAllAvailable()
+    q.stop()
+    val fetched = spark.read.parquet(s"$fDir/fetched")
+      .select("url").as[String].collect().toSet
+    assert(fetched === Set("https://s/ok", "https://s/dead",
+      "https://s/next"), s"ledger: $fetched") // 429/500 stay retryable
+    val f0 = spark.read.parquet(s"$fDir/next/batch=0")
+      .as[(String, Long)].collect().toSet
+    assert(f0 === Set.empty, s"batch-0 frontier: $f0") // only link is dead->fetched
+    val f1 = spark.read.parquet(s"$fDir/next/batch=1")
+      .as[(String, Long)].collect().toSet
+    assert(f1 === Set(("https://s/busy", 1L), ("https://s/new", 1L)),
+      s"batch-1 frontier: $f1")
+  }
+
   test("bootstrap batch is replay-idempotent at its own installment") {
     val base = java.nio.file.Files.createTempDirectory("crawl-bootstrap")
     base.toFile.deleteOnExit()
