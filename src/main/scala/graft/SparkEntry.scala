@@ -2763,6 +2763,45 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // <base href> resolution: pages declaring a base element resolve
+    // their relative links against IT, not the page url (site templates
+    // emit <base> constantly -- resolving against the page instead
+    // silently mis-addresses every relative link on such pages). Three
+    // arms by id%3: an absolute base (path-relative AND root-relative
+    // links land on the BASE's host), a RELATIVE base (itself resolved
+    // against the page url first -- the RFC 3986 two-step), and no base
+    // (page-url fallback). htmlBase rides the LinkPattern kernel
+    // contract (both quote forms, first match wins, spec-pinned); the
+    // oracle rebuilds every arm's resolved url from doc_id arithmetic.
+    "crawl_frontier_base" -> ((s, dir) => {
+      import s.implicits._
+      val pages = tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val own = s"https://h${id % 7}.example/page/$id"
+          val html = (id % 3) match {
+            case 0 =>
+              s"""<base href="https://b${id % 7}.example/dir/">
+                 |<a href="rel/${id % 5}">r</a>
+                 |<a href="/abs/${id % 4}">a</a>
+                 |<a href="$own">self</a>""".stripMargin
+            case 1 =>
+              s"""<base href='sub/'>
+                 |<a href="x${id % 5}">r</a>
+                 |<a href="$own">self</a>""".stripMargin
+            case _ =>
+              s"""<a href="plain/${id % 5}">r</a>
+                 |<a href="$own">self</a>""".stripMargin
+          }
+          (own, html)
+        }.toDF("url", "html")
+        .select(col("url"),
+          graft.pipeline.HtmlText.htmlLinksCol(col("html")).as("links"),
+          graft.pipeline.HtmlText.htmlBaseCol(col("html")).as("base"))
+      graft.pipeline.Crawl.frontier(pages, pages.select(col("url")))
+        .select(col("url"), col("n_refs"))
+        .orderBy("url")
+    }),
+
     // Politeness scheduling over the same frontier: per-host fetch
     // rounds (ref-count priority, url-asc ties) through the bounded
     // TopK-label aggregator -- round r fetches at most one url per host,
@@ -6817,6 +6856,37 @@ object SparkEntry {
     // comment-wrapped link (regex semantics: extracted), self links
     // anti-joined away; relative/mailto/single-quoted never enter
     "crawl_frontier" -> crawlFrontierOracleSql,
+    // base-element resolution rebuilt per arm: absolute base -> links
+    // land on the BASE host (rel/ under its /dir/, /abs/ at its root);
+    // relative base 'sub/' -> page-url merge first (/page/sub/); no
+    // base -> page-url merge (/page/plain/); self links anti-join away
+    "crawl_frontier_base" ->
+      """WITH crawled AS (
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/page/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |links AS (
+        |  SELECT 'https://b' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/dir/rel/' || CAST(doc_id % 5 AS VARCHAR) AS url
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'https://b' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/abs/' || CAST(doc_id % 4 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/page/sub/x' || CAST(doc_id % 5 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/page/plain/' || CAST(doc_id % 5 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |fresh AS (
+        |  SELECT l.url FROM links l
+        |  LEFT JOIN crawled c ON l.url = c.url
+        |  WHERE c.url IS NULL)
+        |SELECT url, CAST(count(*) AS BIGINT) AS n_refs
+        |FROM fresh GROUP BY url ORDER BY url""".stripMargin,
     // the Bloom-routed frontier is output-identical by contract (no
     // false negatives; false positives rescued by the exact join), so
     // the oracle is crawl_frontier's SQL verbatim

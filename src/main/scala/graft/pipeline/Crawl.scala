@@ -34,10 +34,25 @@ object Crawl {
     * were pruned against the stored corpus; `appended` survived;
     * `redirects` counts the 3xx-with-Location records whose targets were
     * handed to the frontier (0 when the frontier feed is off or the
-    * records lack the `http_location` column). */
+    * records lack the `http_location` column); `nonText` counts the
+    * 200-responses skipped by the [[textish]] Content-Type gate
+    * (ledger-fed, never extracted — counted only when the frontier feed
+    * is on; the batch-only form filters them without the extra scan). */
   final case class BatchStats(responses: Long, charsetFallbacks: Long,
                               emptyText: Long, duplicates: Long,
-                              appended: Long, redirects: Long = 0L)
+                              appended: Long, redirects: Long = 0L,
+                              nonText: Long = 0L)
+
+  /** 200-responses this TEXT pipeline extracts: `text/…` and XHTML (a
+    * missing Content-Type gets the benefit of the doubt — unlabeled
+    * HTML is common crawl reality). Everything else (image/, video/,
+    * application/pdf, octet-stream …) must NOT flow through the
+    * charset ladder — a JPEG "decoded" via the windows-1252 fallback
+    * becomes mojibake "text" that pollutes dedup, LM scoring and the
+    * corpus itself. Non-text pages still count as FETCHED (ledger). */
+  private val textish: org.apache.spark.sql.Column =
+    col("http_content_type").isNull ||
+      col("http_content_type").rlike("(?i)^\\s*(text/|application/xhtml)")
 
   /** Run one crawl batch against the MinHash corpus index at `indexPath`.
     *
@@ -53,16 +68,18 @@ object Crawl {
     * them, count them, collect a small projection); they are released
     * before return, so `use` must not return a lazy plan over them.
     *
-    * `onPageLinks`, when set, receives (url, links) for EVERY page the
-    * batch FETCHED — 200s (near-dups included: their outlinks are still
-    * valid discoveries) extracted in the same fused decode pass, 3xx
-    * redirects as one-outlink pages (their `Location`, when the records
-    * carry `http_location`), and PERMANENT-4xx dead pages with empty
-    * links (400–499 except 408/429, which are transient and should
-    * retry) — so a fetched-URL ledger built from these urls gates every
-    * url class against refetching, not just successful pages. Like
-    * `use` it must consume eagerly (the backing checkpoint is released
-    * on return). Compose with [[frontier]] for the next fetch round. */
+    * `onPageLinks`, when set, receives (url, links, base) for EVERY
+    * page the batch FETCHED — text 200s (near-dups included: their
+    * outlinks are still valid discoveries) extracted in the same fused
+    * decode pass with their declared `<base href>` (null when absent),
+    * 3xx redirects as one-outlink pages (their `Location`, when the
+    * records carry `http_location`; base null — a Location resolves
+    * against the redirect source), non-text 200s and PERMANENT-4xx
+    * dead pages with empty links — so a fetched-URL ledger built from
+    * these urls gates every url class against refetching, not just
+    * successful pages. Like `use` it must consume eagerly (the backing
+    * checkpoint is released on return). Compose with [[frontier]] for
+    * the next fetch round. */
   def ingestBatch[A](spark: SparkSession, records: DataFrame,
                      indexPath: String, installment: Int,
                      threshold: Double = 0.8, maxBucketSize: Int = 1000,
@@ -89,7 +106,7 @@ object Crawl {
     // 200-filter feeds extraction directly as before
     val respBase = records.filter(col("warc_type") === "response")
     val resp0 =
-      if (!wantLinks) respBase.filter(col("http_status") === 200)
+      if (!wantLinks) respBase.filter(col("http_status") === 200 && textish)
       else {
         val redirectCond =
           if (hasLocation)
@@ -104,13 +121,14 @@ object Crawl {
           .select(cols: _*)
           .localCheckpoint()
       }
-    val resp = if (wantLinks) resp0.filter(col("http_status") === 200)
+    val resp = if (wantLinks) resp0.filter(col("http_status") === 200 && textish)
                else resp0
     val extAll = HtmlText.extractFromBodies(resp, "body", "text",
-      "http_content_type", "cs", linksCol = if (wantLinks) "links" else null)
+      "http_content_type", "cs", linksCol = if (wantLinks) "links" else null,
+      baseCol = if (wantLinks) "base" else null)
     val ext = (if (wantLinks)
         extAll.select(col("target_uri").as("url"), col("text"),
-          col("cs_fallback"), col("links"))
+          col("cs_fallback"), col("links"), col("base"))
       else extAll.select(col("target_uri").as("url"), col("text"),
         col("cs_fallback")))
       .localCheckpoint() // parse+extract once: feeds stats, probe, append
@@ -119,17 +137,30 @@ object Crawl {
       // checkpoint blocks (a streaming retry loop would otherwise
       // accumulate leaked storage on every failed attempt)
       var redirectCount = 0L
+      var nonTextCount = 0L
       if (wantLinks) {
+        // fetched-but-not-extracted classes still feed the ledger with
+        // empty links: permanent-4xx dead pages AND non-text 200s (a
+        // crawl refetching every image forever is as broken as one
+        // refetching every 404)
+        val noBase = lit(null).cast("string").as("base")
         val dead = resp0.filter(deadCond)
           .select(col("target_uri").as("url"),
-            array().cast("array<string>").as("links"))
+            array().cast("array<string>").as("links"), noBase)
+        val nonText = resp0.filter(col("http_status") === 200 && !textish)
+          .select(col("target_uri").as("url"),
+            array().cast("array<string>").as("links"), noBase)
+        nonTextCount = nonText.count()
         val pagesForLinks =
-          (if (!wantRedirects) ext.select(col("url"), col("links"))
+          (if (!wantRedirects) ext.select(col("url"), col("links"), col("base"))
            else {
-             val redir = redirectLinks(resp0)
+             val redir = redirectLinks(resp0).withColumn("base",
+               lit(null).cast("string")) // a Location resolves against
+             // the redirect SOURCE — <base> is a document concept
              redirectCount = redir.count()
-             ext.select(col("url"), col("links")).unionByName(redir)
-           }).unionByName(dead)
+             ext.select(col("url"), col("links"), col("base"))
+               .unionByName(redir)
+           }).unionByName(dead).unionByName(nonText)
         onPageLinks(pagesForLinks)
         // the redirect/dead rows live in resp0's checkpoint; once the
         // frontier consumer has run (eagerly, per contract) only ext is
@@ -170,7 +201,7 @@ object Crawl {
           shingleK, numHashes, bands, installment = installment)
         val result = use(docs)
         (result, BatchStats(responses, fallbacks, empties, 0L,
-          responses - empties, redirectCount))
+          responses - empties, redirectCount, nonTextCount))
       } else {
         val dupIds = graft.dedup.Dedup.minhashIndexProbe(spark, indexPath,
             docs, "text", "url", threshold, maxBucketSize,
@@ -185,7 +216,8 @@ object Crawl {
           val appended = fresh.count()
           val result = use(fresh)
           (result, BatchStats(responses, fallbacks, empties,
-            responses - empties - appended, appended, redirectCount))
+            responses - empties - appended, appended, redirectCount,
+            nonTextCount))
         } finally graft.dedup.Dedup.release(fresh)
       }
     } finally {
@@ -206,8 +238,18 @@ object Crawl {
     * collapse BEFORE the crawled-set check — without it a `?utm_...`
     * variant of a crawled page refetches forever. Map-side per link. */
   private def resolvedLinks(pages: DataFrame, linksCol: String,
-                            urlCol: String): DataFrame =
-    pages.select(col(urlCol).cast("string").as("_frontier_base"),
+                            urlCol: String, baseCol: String): DataFrame = {
+    // a page that declares <base href> resolves its links against THAT
+    // (itself resolved against the page url — base may be relative);
+    // pages without the column, or with a null/unresolvable value,
+    // fall back to the page url
+    val hasBase = baseCol != null && pages.columns.contains(baseCol)
+    val effBase =
+      if (!hasBase) col(urlCol).cast("string")
+      else coalesce(
+        UrlResolve.resolveCol(col(urlCol).cast("string"), col(baseCol)),
+        col(urlCol).cast("string"))
+    pages.select(effBase.as("_frontier_base"),
         explode(col(linksCol)).as("_frontier_link"))
       // ONE fused kernel call per link (resolve + canonicalize): the
       // equivalent normalizeUrl Column chain measured ~35 µs/link —
@@ -217,6 +259,7 @@ object Crawl {
       .select(UrlResolve.resolveAndNormalizeCol(col("_frontier_base"),
         col("_frontier_link")).as("url"))
       .filter(col("url").isNotNull)
+  }
 
   private def guardFrontierCols(pages: DataFrame): Unit =
     require(!pages.columns.contains("_frontier_base") &&
@@ -233,7 +276,9 @@ object Crawl {
     * nothing scales with anything but the inputs.
     *
     * `pages` is the (url, links) shape `ingestBatch`'s `onPageLinks`
-    * hands out (page url = the resolution base); `crawled` is whatever
+    * hands out (page url = the resolution base; a `baseCol` column,
+    * when present, overrides it per page — the `<base href>` element,
+    * itself resolved against the page url); `crawled` is whatever
     * url universe must not re-enter (the batch's own urls +
     * [[crawledUrls]], or at real corpus scale a fetched-URL Bloom
     * filter — [[frontierBloom]] — since an exact anti-join against a
@@ -241,9 +286,10 @@ object Crawl {
     * frontier-normalized urls BY CONSTRUCTION (fetch urls come from
     * frontier output), so only the link side pays the normalize. */
   def frontier(pages: DataFrame, crawled: DataFrame,
-               linksCol: String = "links", urlCol: String = "url"): DataFrame = {
+               linksCol: String = "links", urlCol: String = "url",
+               baseCol: String = "base"): DataFrame = {
     guardFrontierCols(pages)
-    resolvedLinks(pages, linksCol, urlCol)
+    resolvedLinks(pages, linksCol, urlCol, baseCol)
       // no distinct on the crawled side: left_anti is insensitive to
       // right-side duplicates, and a dedup pass over a corpus-sized url
       // set per batch buys nothing
@@ -268,9 +314,11 @@ object Crawl {
   def frontierBloom(pages: DataFrame, crawled: DataFrame,
                     bloom: org.apache.spark.util.sketch.BloomFilter,
                     linksCol: String = "links",
-                    urlCol: String = "url"): DataFrame =
+                    urlCol: String = "url",
+                    baseCol: String = "base"): DataFrame =
     frontierBloomBc(pages, crawled,
-      pages.sparkSession.sparkContext.broadcast(bloom), linksCol, urlCol)
+      pages.sparkSession.sparkContext.broadcast(bloom), linksCol, urlCol,
+      baseCol)
 
   /** [[frontierBloom]] with a CALLER-OWNED broadcast — the streaming
     * loop's form: a corpus-scale filter (1 B urls ≈ 1.2 GB) must ship
@@ -282,10 +330,11 @@ object Crawl {
                       bc: org.apache.spark.broadcast.Broadcast[
                         org.apache.spark.util.sketch.BloomFilter],
                       linksCol: String = "links",
-                      urlCol: String = "url"): DataFrame = {
+                      urlCol: String = "url",
+                      baseCol: String = "base"): DataFrame = {
     guardFrontierCols(pages)
     val might = udf { (u: String) => u != null && bc.value.mightContain(u) }
-    val links = resolvedLinks(pages, linksCol, urlCol)
+    val links = resolvedLinks(pages, linksCol, urlCol, baseCol)
     val definiteFresh = links.filter(!might(col("url")))
     val maybes = links.filter(might(col("url")))
     // NO distinct on the crawled side: it would shuffle/aggregate the

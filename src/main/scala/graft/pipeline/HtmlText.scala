@@ -279,6 +279,62 @@ object HtmlText {
     u(html)
   }
 
+  /** The exact pattern [[htmlBase]] implements — [[LinkPattern]]'s
+    * contract applied to the `<base>` element (both quote forms, group
+    * 1 or 2). Only the FIRST match counts (HTML: the first base element
+    * wins; later ones are ignored). */
+  val BasePattern: String =
+    "(?i)<base[\\t\\n\\f\\r ][^>]*?href=(?:\"([^\"]*)\"|'([^']*)')"
+
+  /** The document's declared base href — the FIRST [[BasePattern]]
+    * match's capture, or null. Real pages use `<base href="…">`
+    * constantly (site templates emit it), and resolving their relative
+    * links against the page URL instead silently mis-addresses every
+    * one. Same O(n) scan disciplines as [[htmlLinks]]; total, never
+    * throws. The value may itself be relative — resolution against the
+    * page url is the caller's step ([[Crawl.frontier]]'s baseCol). */
+  def htmlBase(html: String): String = {
+    if (html == null) return null
+    val n = html.length
+    def isWs(c: Char): Boolean =
+      c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == ' '
+    def lower(c: Char): Char = Character.toLowerCase(c)
+    var i = 0
+    while (i < n - 5) {
+      if (html.charAt(i) == '<' && lower(html.charAt(i + 1)) == 'b' &&
+        lower(html.charAt(i + 2)) == 'a' && lower(html.charAt(i + 3)) == 's' &&
+        lower(html.charAt(i + 4)) == 'e' && isWs(html.charAt(i + 5))) {
+        var j = i + 6
+        var done = false
+        while (!done && j < n && html.charAt(j) != '>') {
+          if (j + 5 < n && lower(html.charAt(j)) == 'h' &&
+            lower(html.charAt(j + 1)) == 'r' &&
+            lower(html.charAt(j + 2)) == 'e' &&
+            lower(html.charAt(j + 3)) == 'f' &&
+            html.charAt(j + 4) == '=' &&
+            (html.charAt(j + 5) == '"' || html.charAt(j + 5) == '\'')) {
+            val q = html.charAt(j + 5)
+            val capStart = j + 6
+            val capEnd = html.indexOf(q, capStart)
+            if (capEnd >= 0) return html.substring(capStart, capEnd)
+            else j += 1 // unclosed quote: the lazy loop moves on
+          } else j += 1
+        }
+        // no completable href in this tag: jump past its '>' (the
+        // htmlLinks equivalence argument — no later <base start inside
+        // the scanned region can succeed where this one failed)
+        i = j + 1
+      } else i += 1
+    }
+    null
+  }
+
+  /** Column form: the page's declared base href, or null. */
+  def htmlBaseCol(html: Column): Column = {
+    val u = udf((s: String) => htmlBase(s))
+    u(html)
+  }
+
   // ---------------------------------------------------------------------
   // Charset-aware body decoding. Real crawl HTML is ~10% non-UTF-8
   // (windows-1252, Shift_JIS, GBK, ...); a UTF-8-only decode turns those
@@ -492,17 +548,20 @@ object HtmlText {
                         outCol: String = "text",
                         contentTypeCol: String = "http_content_type",
                         charsetCol: String = null,
-                        linksCol: String = null): DataFrame = {
+                        linksCol: String = null,
+                        baseCol: String = null): DataFrame = {
     require(!records.columns.contains("_charset_dec"),
       "column name _charset_dec is reserved by extractFromBodies")
     val ct =
       if (records.columns.contains(contentTypeCol)) col(contentTypeCol)
       else lit(null).cast("string")
     val wantLinks = linksCol != null
+    val wantBase = baseCol != null
     val dec = udf { (contentType: String, body: Array[Byte]) =>
       val (html, charset, fellBack) = decodeBody(contentType, body)
       (htmlToText(html), charset, fellBack,
-        if (wantLinks) htmlLinks(html) else Array.empty[String])
+        if (wantLinks) htmlLinks(html) else Array.empty[String],
+        if (wantBase) htmlBase(html) else null)
     }
     val withDec = records.withColumn("_charset_dec", dec(ct, col(bodyCol)))
       .withColumn(outCol, col("_charset_dec._1"))
@@ -510,9 +569,12 @@ object HtmlText {
       if (charsetCol == null) withDec
       else withDec.withColumn(charsetCol, col("_charset_dec._2"))
         .withColumn(s"${charsetCol}_fallback", col("_charset_dec._3"))
-    val out =
+    val withLinks =
       if (!wantLinks) withCs
       else withCs.withColumn(linksCol, col("_charset_dec._4"))
+    val out =
+      if (!wantBase) withLinks
+      else withLinks.withColumn(baseCol, col("_charset_dec._5"))
     out.drop("_charset_dec")
   }
 }

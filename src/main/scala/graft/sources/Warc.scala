@@ -70,7 +70,8 @@ object Warc {
                           body: Array[Byte],
                           location: String = null): Array[Byte] = {
     val head = s"HTTP/1.1 $status $reason\r\n" +
-      s"Content-Type: $contentType\r\n" +
+      (if (contentType == null) "" // unlabeled responses are crawl reality
+       else s"Content-Type: $contentType\r\n") +
       (if (location == null) "" else s"Location: $location\r\n") +
       s"Content-Length: ${body.length}\r\n\r\n"
     val hb = head.getBytes(java.nio.charset.StandardCharsets.US_ASCII)

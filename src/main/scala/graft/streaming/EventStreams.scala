@@ -884,7 +884,8 @@ object EventStreams extends Serializable {
           s"responses=${stats.responses} " +
           s"charset_fallbacks=${stats.charsetFallbacks} " +
           s"empty=${stats.emptyText} dups=${stats.duplicates} " +
-          s"appended=${stats.appended} redirects=${stats.redirects}")
+          s"appended=${stats.appended} redirects=${stats.redirects} " +
+          s"non_text=${stats.nonText}")
         ()
     }
 

@@ -40,7 +40,8 @@ class CrawlFrontierSpec extends SparkTestBase {
     var frontierRows: Seq[(String, Long)] = null
     val (_, stats) = Crawl.ingestBatch(spark, recs, idx, 0,
       onPageLinks = pagesDf => {
-        captured = pagesDf.as[(String, Seq[String])].collect().toSeq
+        captured = pagesDf.select("url", "links")
+          .as[(String, Seq[String])].collect().toSeq
         val crawled = pagesDf.select($"url")
         frontierRows = Crawl.frontier(pagesDf, crawled)
           .as[(String, Long)].collect().toSeq.sorted
@@ -246,6 +247,62 @@ class CrawlFrontierSpec extends SparkTestBase {
     // the redirect SOURCE is a fetched page (ledger row), its target a link
     assert(fetched === Set("https://s/1", "https://s/old"))
     assert(frontierRows === Set(("https://n/1", 1L), ("https://s/fresh-target", 1L)))
+  }
+
+  test("<base href> overrides the resolution base for relative links") {
+    val idx = tmp("crawl-base-idx")
+    val files = Seq((0L, graft.sources.Warc.encodeWarcResponses(Seq(
+      ("https://s/dir/page", 200, "text/html", null,
+        ("""<p>page one body words</p><base href="https://cdn.ex/assets/sub/">""" +
+          """<a href="img/x">rel</a><a href="/root">abs-path</a>""" +
+          """<a href="https://abs.ex/y">abs</a>""").getBytes("UTF-8")),
+      ("https://s/nobase", 200, "text/html", null,
+        """<p>page two other words</p><a href="rel2">r</a>""".getBytes("UTF-8")),
+      ("https://s/relbase/deep/page", 200, "text/html", null,
+        ("""<p>page three more words</p><base href='../up/'>""" +
+          """<a href="z">r</a>""").getBytes("UTF-8"))))))
+      .toDF("g", "payload")
+    val recs = graft.sources.Warc.warcRecords(files).toDF()
+    var frontierRows: Set[(String, Long)] = null
+    Crawl.ingestBatch(spark, recs, idx, 0,
+      onPageLinks = pagesDf => {
+        frontierRows = Crawl.frontier(pagesDf, pagesDf.select($"url"))
+          .as[(String, Long)].collect().toSet
+      }) { _.count() }
+    assert(frontierRows === Set(
+      ("https://cdn.ex/assets/sub/img/x", 1L), // path-relative vs BASE
+      ("https://cdn.ex/root", 1L),             // root-relative vs BASE host
+      ("https://abs.ex/y", 1L),                // absolute: base irrelevant
+      ("https://s/rel2", 1L),                  // no base: page url
+      ("https://s/relbase/up/z", 1L)))         // RELATIVE base resolves first
+  }
+
+  test("non-text 200s are ledger-fed but never extracted into the corpus") {
+    val idx = tmp("crawl-nontext-idx")
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A,
+      0x00, 0xFF.toByte, 0xFE.toByte, 0x80.toByte) // binary garbage body
+    val files = Seq((0L, graft.sources.Warc.encodeWarcResponses(Seq(
+      ("https://s/1", 200, "text/html", null,
+        "<p>a real html page body with words</p>".getBytes("UTF-8")),
+      ("https://s/pic.png", 200, "image/png", null, png),
+      ("https://s/blob", 200, "application/octet-stream", null, png),
+      ("https://s/unlabeled", 200, null, null,
+        "<p>no content type still extracts</p>".getBytes("UTF-8"))))))
+      .toDF("g", "payload")
+    val recs = graft.sources.Warc.warcRecords(files).toDF()
+    var fetched: Set[String] = null
+    val (_, stats) = Crawl.ingestBatch(spark, recs, idx, 0,
+      onPageLinks = pagesDf => {
+        fetched = pagesDf.select("url").as[String].collect().toSet
+      }) { _.count() }
+    // image/octet-stream never reach extraction (no mojibake corpus rows)
+    assert(stats.responses === 2L && stats.appended === 2L &&
+      stats.nonText === 2L, s"stats: $stats")
+    assert(Crawl.crawledUrls(spark, idx).as[String].collect().toSet ===
+      Set("https://s/1", "https://s/unlabeled"))
+    // but they ARE fetched — the ledger must gate their re-entry
+    assert(fetched === Set("https://s/1", "https://s/pic.png",
+      "https://s/blob", "https://s/unlabeled"))
   }
 
   test("fetched-ledger compaction + bloom maintenance artifacts round-trip") {

@@ -227,6 +227,27 @@ class HtmlTextSpec extends SparkTestBase {
     }
   }
 
+  test("htmlBase equals the declared regex's FIRST match") {
+    def regexBase(html: String): String = {
+      val m = java.util.regex.Pattern.compile(HtmlText.BasePattern)
+        .matcher(html)
+      if (!m.find()) null
+      else if (m.group(1) != null) m.group(1) else m.group(2)
+    }
+    val cases = Seq(
+      """<base href="https://b.ex/dir/">""",
+      """<BASE HREF='../up/'>""",
+      """<base target="_top" href="https://attrs.ex/">""",
+      """<base href="https://first/"><base href="https://second/">""",
+      """<a href="https://not-base/">x</a>""",
+      """<basefont href="https://not-a-base/"> <base href="https://real/">""",
+      """<base href="unclosed then <base href='https://rescued/'>""",
+      """<base href=bare-stays-out><base href='https://after/'>""",
+      "", "<base ", "<base href=\"")
+    for (c <- cases)
+      assert(HtmlText.htmlBase(c) === regexBase(c), s"case: $c")
+  }
+
   test("htmlLinks stays linear on the quadratic-regex pathology") {
     // a megabyte of `<a ` starts with no '>' makes the regex engine
     // rescan to EOF per attempt (~10^11 steps); the kernel must finish
