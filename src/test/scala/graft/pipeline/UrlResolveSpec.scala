@@ -122,6 +122,38 @@ class UrlResolveSpec extends graft.SparkTestBase {
     assert(UrlResolve.resolve(base, "#") === "http://a.ex/b/c/d;p?q")
   }
 
+  test("randomized relative refs agree with java.net.URI (normal cases)") {
+    val rnd = new scala.util.Random(31)
+    val segs = Seq("a", "bb", "c.d", ".", "..", "x1")
+    val bases = Seq("http://h.ex/p/q/r", "https://h.ex/p/", "http://h.ex/",
+      "https://h.ex/a/b/c/d/e")
+    var checked = 0
+    for (_ <- 0 until 1000) {
+      val b = bases(rnd.nextInt(bases.length))
+      val depth = 1 + rnd.nextInt(4)
+      val lead = if (rnd.nextInt(4) == 0) "/" else ""
+      val trail = if (rnd.nextInt(4) == 0) "/" else ""
+      val q = if (rnd.nextInt(4) == 0) "?k=v" else ""
+      val ref = lead + Seq.fill(depth)(segs(rnd.nextInt(segs.length)))
+        .mkString("/") + trail + q
+      val viaUri =
+        try {
+          val u = java.net.URI.create(b)
+            .resolve(java.net.URI.create(ref)).normalize()
+          new java.net.URI(u.getScheme, u.getAuthority, u.getPath,
+            u.getQuery, null).toString
+        } catch { case _: Exception => null }
+      // skip java's known excess-.. divergence (it keeps leading ..
+      // where RFC 3986 consumes them at the root)
+      if (viaUri != null && !viaUri.contains("..")) {
+        assert(UrlResolve.resolve(b, ref) === viaUri,
+          s"base=$b ref=$ref")
+        checked += 1
+      }
+    }
+    assert(checked > 600, s"only $checked comparable samples — generator broken?")
+  }
+
   test("normalizeResolved equals the normalizeUrl Column chain") {
     // resolve outputs covering every normalization rule + no-op fast
     // paths, plus randomized composites
