@@ -60,13 +60,50 @@ object Sitemaps {
     u(xml)
   }
 
+  /** [[locs]] over a RAW fetched body: sitemaps ship gzipped
+    * (`sitemap.xml.gz` — the protocol's own 50 MB/50k-url limits assume
+    * it) at least as often as plain, so the binary form sniffs the gzip
+    * magic and inflates (multi-member, bomb-guarded — the shared
+    * [[graft.sources.Warc.gunzipAll]] kernel) before the UTF-8 decode
+    * (REPLACE — the protocol mandates UTF-8; garbage bytes must not
+    * kill a task) and the `<loc>` scan. Corrupt gzip yields no locs.
+    * Total, never throws. */
+  def locsFromBytes(body: Array[Byte]): Array[String] = {
+    if (body == null) return Array.empty
+    graft.sources.Warc.gunzipAll(body) match {
+      case None => Array.empty // corrupt compressed body: costs itself
+      case Some(bytes) =>
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+        locs(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+    }
+  }
+
+  /** Column form of [[locsFromBytes]]. */
+  def locsFromBytesCol(body: Column): Column = {
+    val u = udf((b: Array[Byte]) => locsFromBytes(b))
+    u(body)
+  }
+
   /** Seed candidates from fetched sitemap bodies: every `<loc>` not in
     * `crawled`, ref-counted across sitemaps (a url listed by several
     * sitemaps is a stronger seed). Same shape as [[Crawl.frontier]] —
     * the two feeders union naturally. */
   def seeds(sitemaps: DataFrame, crawled: DataFrame,
             xmlCol: String = "body", urlCol: String = "url"): DataFrame =
-    sitemaps.select(explode(locsCol(col(xmlCol))).as("url"))
+    seedsOf(sitemaps, crawled, locsCol(col(xmlCol)), urlCol)
+
+  /** [[seeds]] over RAW (possibly gzipped) fetched bodies — the shape a
+    * crawl actually lands sitemaps in ([[locsFromBytes]]). */
+  def seedsFromBytes(sitemaps: DataFrame, crawled: DataFrame,
+                     bodyCol: String = "body",
+                     urlCol: String = "url"): DataFrame =
+    seedsOf(sitemaps, crawled, locsFromBytesCol(col(bodyCol)), urlCol)
+
+  private def seedsOf(sitemaps: DataFrame, crawled: DataFrame,
+                      locsExpr: Column, urlCol: String): DataFrame =
+    sitemaps.select(explode(locsExpr).as("url"))
       .filter(col("url").rlike("^https?://"))
       // left_anti is insensitive to right-side duplicates — no distinct
       .join(crawled.select(col(urlCol).cast("string").as("url")),

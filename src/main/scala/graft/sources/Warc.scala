@@ -148,7 +148,7 @@ object Warc {
     * Spark's classpath — Spark ships it for shuffle/parquet codecs, so
     * this adds no dependency); anything else passes through untouched.
     * None on corrupt compressed input. */
-  private[sources] def gunzipAll(bytes: Array[Byte]): Option[Array[Byte]] = {
+  private[graft] def gunzipAll(bytes: Array[Byte]): Option[Array[Byte]] = {
     val isGzip = bytes.length >= 2 && (bytes(0) & 0xFF) == 0x1F &&
       (bytes(1) & 0xFF) == 0x8B
     val isZstd = bytes.length >= 4 && (bytes(0) & 0xFF) == 0x28 &&

@@ -152,6 +152,32 @@ class RobotsSpec extends SparkTestBase {
     assert(got === Set(("https://n/1", 2L), ("https://n/2", 1L)))
   }
 
+  test("seedsFromBytes: gzipped and plain sitemap bodies, corrupt costs itself") {
+    def gz(s: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(s.getBytes("UTF-8")); g.finish()
+      out.toByteArray
+    }
+    val xml1 = "<urlset><url><loc>https://n/1</loc></url>" +
+      "<url><loc>https://n/2</loc></url></urlset>"
+    val xml2 = "<urlset><url><LOC>https://n/1</LOC></url>" +
+      "<url><loc>/relative</loc></url></urlset>"
+    val corrupt = Array[Byte](0x1F, 0x8B.toByte, 8, 0, 1, 2, 3) // bad gzip
+    val maps = Seq(gz(xml1), xml2.getBytes("UTF-8"), corrupt, null)
+      .toDF("body")
+    val crawled = Seq("https://n/2").toDF("url")
+    val got = Sitemaps.seedsFromBytes(maps, crawled)
+      .as[(String, Long)].collect().toSet
+    // gz + plain both parse (n/1 twice), crawled n/2 drops, relative
+    // filtered, corrupt/null bodies yield nothing
+    assert(got === Set(("https://n/1", 2L)))
+    // parity: the string form over the same decoded xml agrees
+    val viaStrings = Sitemaps.seeds(Seq(xml1, xml2).toDF("body"), crawled)
+      .as[(String, Long)].collect().toSet
+    assert(viaStrings === got)
+  }
+
   test("filterAllowed gates urls per host; hosts without robots allow all") {
     val robots = Seq(
       ("a.example",
