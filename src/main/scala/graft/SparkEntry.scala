@@ -73,8 +73,10 @@ object SparkEntry {
     * an uppercase-scheme-and-host `:443` absolute (case + default-port
     * normalization, path case preserved), a single-quoted href (in
     * contract since r13), an explicit `:8443` port (survives normalize;
-    * collapses into the canonical host queue in scheduling), and
-    * mailto/javascript refs the resolver must drop. Output:
+    * collapses into the canonical host queue in scheduling), a
+    * whitespace-WRAPPED absolute (leading newline + trailing tab — the
+    * WHATWG pre-clean; unstripped it would merge as a junk relative
+    * path), and mailto/javascript refs the resolver must drop. Output:
     * (page_url, html). */
   private def crawlFixturePages(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -98,6 +100,7 @@ object SparkEntry {
              |<a href="HTTPS://H${id % 7}.EXAMPLE:443/Upper/${id % 9}">shouty</a>
              |<a href='https://sq.example/q/${id % 4}'>single quoted</a>
              |<a href="https://h${(id + 3) % 7}.example:8443/alt/${id % 5}">alt port</a>
+             |<a href="${"\n"}  https://h${(id + 1) % 7}.example/ws/${id % 6}${"\t"}">ws wrapped</a>
              |<a href="mailto:x@y">mail</a>
              |<a href="javascript:void(0)">js</a>
              |<p>$esc</p>
@@ -3573,6 +3576,10 @@ object SparkEntry {
       |  UNION ALL
       |  SELECT 'https://h' || CAST((doc_id + 3) % 7 AS VARCHAR) ||
       |         '.example:8443/alt/' || CAST(doc_id % 5 AS VARCHAR)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'https://h' || CAST((doc_id + 1) % 7 AS VARCHAR) ||
+      |         '.example/ws/' || CAST(doc_id % 6 AS VARCHAR)
       |  FROM documents),
       |fresh AS (
       |  SELECT l.url FROM links l

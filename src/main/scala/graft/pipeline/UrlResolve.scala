@@ -131,13 +131,48 @@ object UrlResolve {
     sb.toString
   }
 
+  /** WHATWG-style href pre-clean: markup wraps href values in
+    * whitespace constantly (`href="\n  https://x  "` across an
+    * attribute line break), and browsers strip leading/trailing
+    * C0-control-or-space and remove EVERY internal tab/LF/CR before
+    * parsing — without this, a wrapped absolute link merges as a junk
+    * relative path (" https://x" has no scheme) and garbage urls enter
+    * the frontier. Internal SPACES pass through (a fetcher
+    * percent-encodes at request time — this kernel is resolution, not
+    * full WHATWG serialization). */
+  private[pipeline] def cleanRef(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) <= ' ') a += 1
+    while (b > a && s.charAt(b - 1) <= ' ') b -= 1
+    var i = a
+    var hasInner = false
+    while (i < b && !hasInner) {
+      val c = s.charAt(i)
+      if (c == '\t' || c == '\n' || c == '\r') hasInner = true
+      i += 1
+    }
+    if (!hasInner) s.substring(a, b)
+    else {
+      val sb = new java.lang.StringBuilder(b - a)
+      var k = a
+      while (k < b) {
+        val c = s.charAt(k)
+        if (c != '\t' && c != '\n' && c != '\r') sb.append(c)
+        k += 1
+      }
+      sb.toString
+    }
+  }
+
   /** Resolve `ref` against the absolute http(s) `base` (see object doc).
     * Null when the base is malformed or the ref is not fetchable. */
   def resolve(base: String, ref: String): String = {
     val b = parseAbs(base)
     if (b == null || ref == null) return null
-    val hash = ref.indexOf('#')
-    val r = if (hash >= 0) ref.substring(0, hash) else ref
+    val cleaned = cleanRef(ref)
+    val hash = cleaned.indexOf('#')
+    val r = if (hash >= 0) cleaned.substring(0, hash) else cleaned
     val scheme = schemeOf(r)
     if (scheme != null) {
       if (scheme != "http" && scheme != "https") return null

@@ -110,6 +110,18 @@ class UrlResolveSpec extends graft.SparkTestBase {
     assert(UrlResolve.resolve(base, "x:y") === null)
   }
 
+  test("WHATWG href pre-clean: wrapped whitespace strips, inner tabs vanish") {
+    assert(UrlResolve.resolve(base, "\n  https://x.ex/p  \t") ===
+      "https://x.ex/p")
+    assert(UrlResolve.resolve(base, "  g  ") === "http://a.ex/b/c/g")
+    assert(UrlResolve.resolve(base, "\t/abs\r\n") === "http://a.ex/abs")
+    // internal tab/LF/CR removed ANYWHERE — even splitting the scheme
+    assert(UrlResolve.resolve(base, "ht\ttps://y.ex/q") === "https://y.ex/q")
+    assert(UrlResolve.resolve(base, "g/h\n i") === "http://a.ex/b/c/g/h i")
+    // whitespace-only ref == empty ref (same-document)
+    assert(UrlResolve.resolve(base, "   ") === "http://a.ex/b/c/d;p?q")
+  }
+
   test("total on garbage: malformed bases and refs never throw") {
     assert(UrlResolve.resolve(null, "g") === null)
     assert(UrlResolve.resolve(base, null) === null)
