@@ -194,10 +194,43 @@ object HtmlText {
     u(html)
   }
 
+  /** HTML attribute-value entity decode — the WHATWG tokenizer hands the
+    * DOM an attribute value with character references already decoded,
+    * so an extractor that emits the RAW capture feeds the frontier
+    * literal `&amp;` bytes: every multi-param link (`href="p?a=1&amp;
+    * b=2"` — conforming HTML MUST escape `&` inside attribute values)
+    * would be fetched at a wrong URL and its dedup key would never match
+    * the real page. Decodes the [[entity]] core set (`&amp; &lt; &gt;
+    * &quot; &apos; &nbsp;` + numeric `&#NNN;`/`&#xHH;`); unknown
+    * entities pass through literally (crawl reality). Fast path: no
+    * `&` → the input returns untouched. Total, never throws. */
+  private[pipeline] def decodeAttr(s: String): String = {
+    if (s == null) return null
+    var amp = s.indexOf('&')
+    if (amp < 0) return s
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    sb.append(s, 0, amp)
+    var i = amp
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val (cp, next) = entity(s, i)
+        if (cp >= 0) { sb.appendCodePoint(cp); i = next }
+        else { sb.append('&'); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** The exact pattern [[htmlLinks]] implements, in the Java∩RE2 subset
     * (explicit `[\t\n\f\r ]`, no `\s` — the documented divergence class):
     * the href value is group 1 (double-quoted) or group 2 (single-quoted)
-    * — exactly one is non-null per match — and HtmlTextSpec cross-checks
+    * — exactly one is non-null per match, then passes through
+    * [[decodeAttr]] (since r14: the emitted href is the regex capture
+    * ENTITY-DECODED — the DuckDB oracle side mirrors fixture arms with
+    * `replace(href, '&amp;', '&')`-style rewrites) — and HtmlTextSpec
+    * cross-checks
     * the kernel against `java.util.regex` on every fixture. Real markup
     * single-quotes hrefs constantly, so both quote forms are in
     * contract; bare unquoted `href=x` stays out (the alternation's
@@ -250,7 +283,7 @@ object HtmlText {
             val capStart = j + 6
             val capEnd = html.indexOf(q, capStart) // capture may cross '>'
             if (capEnd >= 0) {
-              out += html.substring(capStart, capEnd)
+              out += decodeAttr(html.substring(capStart, capEnd))
               i = capEnd // resume after the closing quote (non-overlapping)
               matched = true
               done = true
@@ -287,7 +320,7 @@ object HtmlText {
     "(?i)<base[\\t\\n\\f\\r ][^>]*?href=(?:\"([^\"]*)\"|'([^']*)')"
 
   /** The document's declared base href — the FIRST [[BasePattern]]
-    * match's capture, or null. Real pages use `<base href="…">`
+    * match's capture, [[decodeAttr]]-decoded, or null. Real pages use `<base href="…">`
     * constantly (site templates emit it), and resolving their relative
     * links against the page URL instead silently mis-addresses every
     * one. Same O(n) scan disciplines as [[htmlLinks]]; total, never
@@ -316,7 +349,7 @@ object HtmlText {
             val q = html.charAt(j + 5)
             val capStart = j + 6
             val capEnd = html.indexOf(q, capStart)
-            if (capEnd >= 0) return html.substring(capStart, capEnd)
+            if (capEnd >= 0) return decodeAttr(html.substring(capStart, capEnd))
             else j += 1 // unclosed quote: the lazy loop moves on
           } else j += 1
         }

@@ -21,9 +21,10 @@ object Sitemaps {
 
   /** `<loc>` values in document order. Semantics are EXACTLY leftmost
     * non-overlapping [[LocPattern]] matches (group 1) — values are kept
-    * verbatim (the protocol XML-escapes `&`/`<` inside loc; decoding is
-    * the caller's concern, and the fixture/oracle pair stays raw). O(n)
-    * scan, total on garbage, never throws. */
+    * verbatim at THIS layer so the pattern string remains the portable
+    * oracle (the protocol XML-escapes `&`/`<` inside loc; [[seeds]]
+    * decodes + canonicalizes before the crawled check). O(n) scan,
+    * total on garbage, never throws. */
   def locs(xml: String): Array[String] = {
     if (xml == null) return Array.empty
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -86,10 +87,19 @@ object Sitemaps {
     u(body)
   }
 
-  /** Seed candidates from fetched sitemap bodies: every `<loc>` not in
-    * `crawled`, ref-counted across sitemaps (a url listed by several
-    * sitemaps is a stronger seed). Same shape as [[Crawl.frontier]] —
-    * the two feeders union naturally. */
+  /** Seed candidates from fetched sitemap bodies: every `<loc>` value
+    * XML-entity-decoded (the protocol MANDATES escaping `&` as `&amp;`
+    * inside loc — a raw capture fetches multi-param urls at a wrong
+    * address), CANONICALIZED exactly like the frontier
+    * ([[UrlResolve.selfNormalize]] — since r14; a non-canonical loc
+    * fetched raw lands a ledger row that never matches the
+    * frontier-normalized form of the same page, one duplicate fetch per
+    * seed), then anti-joined against `crawled` and ref-counted across
+    * sitemaps (a url listed by several sitemaps is a stronger seed).
+    * Relative and non-http(s) locs null out at the canonicalize. Same
+    * output shape as [[Crawl.frontier]] — the two feeders union
+    * naturally, and the 'crawled side is frontier-normalized BY
+    * CONSTRUCTION' invariant now covers both. */
   def seeds(sitemaps: DataFrame, crawled: DataFrame,
             xmlCol: String = "body", urlCol: String = "url"): DataFrame =
     seedsOf(sitemaps, crawled, locsCol(col(xmlCol)), urlCol)
@@ -102,12 +112,15 @@ object Sitemaps {
     seedsOf(sitemaps, crawled, locsFromBytesCol(col(bodyCol)), urlCol)
 
   private def seedsOf(sitemaps: DataFrame, crawled: DataFrame,
-                      locsExpr: Column, urlCol: String): DataFrame =
-    sitemaps.select(explode(locsExpr).as("url"))
-      .filter(col("url").rlike("^https?://"))
+                      locsExpr: Column, urlCol: String): DataFrame = {
+    val decode = udf((s: String) => HtmlText.decodeAttr(s))
+    sitemaps.select(explode(locsExpr).as("_loc"))
+      .select(UrlResolve.selfNormalizeCol(decode(col("_loc"))).as("url"))
+      .filter(col("url").isNotNull)
       // left_anti is insensitive to right-side duplicates — no distinct
       .join(crawled.select(col(urlCol).cast("string").as("url")),
         Seq("url"), "left_anti")
       .groupBy("url")
       .agg(count(lit(1)).as("n_refs"))
+  }
 }

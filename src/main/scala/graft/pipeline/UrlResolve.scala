@@ -252,11 +252,17 @@ object UrlResolve {
       u.charAt(authEnd) != '?' && u.charAt(authEnd) != '#') authEnd += 1
     var work = false
     // authority span: any non-lowercase-ASCII byte (uppercase needs
-    // lowering; non-ASCII may case-fold) or ':' (maybe a default port)
+    // lowering; non-ASCII may case-fold), ':' (maybe a default port),
+    // or '&' — the chain's UtmRe/DanglingRe are NOT query-scoped, so an
+    // '&' inside userinfo ('https://u&gclid=x@h.ex/p') or a trailing
+    // authority '&' ('https://a.ex&') makes them fire; without this arm
+    // the fast path would return such urls untouched while the Column
+    // chain rewrites them, breaking the output-identical pin
     var i = authStart
     while (!work && i < authEnd) {
       val c = u.charAt(i)
-      if ((c >= 'A' && c <= 'Z') || c == ':' || c > 0x7E) work = true
+      if ((c >= 'A' && c <= 'Z') || c == ':' || c == '&' || c > 0x7E)
+        work = true
       i += 1
     }
     // rest of string: query/fragment markers (utm strip, dangling
@@ -305,5 +311,26 @@ object UrlResolve {
   def resolveAndNormalizeCol(base: Column, href: Column): Column = {
     val u = udf((b: String, h: String) => resolveAndNormalize(b, h))
     u(base, href)
+  }
+
+  /** Canonicalize a STANDALONE url candidate (no base — sitemap `<loc>`
+    * values, seed lists): WHATWG pre-clean, then [[resolve]] against
+    * itself (an absolute http(s) url is its own base; anything relative
+    * or non-http(s) nulls — exactly the fetchability contract), then
+    * the fused normalize. Frontier urls are normalized BY CONSTRUCTION;
+    * a seed feeder that skips this hands the fetcher raw `<loc>` forms
+    * whose fetched-ledger rows never match the frontier-normalized form
+    * of the same page — one duplicate fetch per non-canonical seed. */
+  def selfNormalize(u: String): String = {
+    if (u == null) return null
+    val c = cleanRef(u)
+    val r = resolve(c, c)
+    if (r == null) null else normalizeResolved(r)
+  }
+
+  /** Column form of [[selfNormalize]]. */
+  def selfNormalizeCol(u: Column): Column = {
+    val f = udf((s: String) => selfNormalize(s))
+    f(u)
   }
 }

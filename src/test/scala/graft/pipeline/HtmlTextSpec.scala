@@ -183,12 +183,47 @@ class HtmlTextSpec extends SparkTestBase {
 
   // ------------------------------------------------------------ htmlLinks
 
-  /** The independent implementation the kernel claims equivalence with. */
+  /** The independent implementation the kernel claims equivalence with:
+    * the regex capture, then the attribute-value entity decode (r14 —
+    * the WHATWG tokenizer hands the DOM decoded attribute values, so
+    * the kernel's contract is capture-then-decode). The decode here is
+    * an independent rebuild via the java HTML-ish core set, NOT a call
+    * into the kernel's own decodeAttr. */
+  private def specDecode(v: String): String = {
+    // core named set + numeric forms, longest-match-first on the names
+    val m = java.util.regex.Pattern
+      .compile("&(amp|lt|gt|quot|apos|nbsp|#[xX]?[0-9a-fA-F]+);").matcher(v)
+    val sb = new java.lang.StringBuilder
+    var last = 0
+    while (m.find()) {
+      sb.append(v, last, m.start())
+      m.group(1) match {
+        case "amp" => sb.append('&')
+        case "lt" => sb.append('<')
+        case "gt" => sb.append('>')
+        case "quot" => sb.append('"')
+        case "apos" => sb.append('\'')
+        case "nbsp" => sb.append(' ')
+        case num =>
+          val cp =
+            if (num.charAt(1) == 'x' || num.charAt(1) == 'X')
+              try Integer.parseInt(num.substring(2), 16) catch { case _: Exception => -1 }
+            else
+              try Integer.parseInt(num.substring(1)) catch { case _: Exception => -1 }
+          if (cp > 0 && Character.isValidCodePoint(cp)) sb.appendCodePoint(cp)
+          else sb.append(v, m.start(), m.end()) // invalid numeric: literal
+      }
+      last = m.end()
+    }
+    sb.append(v, last, v.length)
+    sb.toString
+  }
+
   private def regexLinks(html: String): Seq[String] = {
     val m = java.util.regex.Pattern.compile(HtmlText.LinkPattern).matcher(html)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     while (m.find()) // exactly one of the two quote-arm groups matches
-      out += (if (m.group(1) != null) m.group(1) else m.group(2))
+      out += specDecode(if (m.group(1) != null) m.group(1) else m.group(2))
     out.toSeq
   }
 
@@ -216,6 +251,11 @@ class HtmlTextSpec extends SparkTestBase {
       "<a\thref=\"https://tab/ws\">tab</a>",
       """text href="https://bare/">no tag<a>""",
       """<a href="">empty</a><a href="#frag-only">f</a>""",
+      """<a href="p?a=1&amp;b=2">the ubiquitous escaped-& form</a>""",
+      """<a href='x&amp;y&lt;z&gt;w'>named set, single-quoted</a>""",
+      """<a href="slash&#47;and&#x2F;hex">numeric + hex</a>""",
+      """<a href="keep&unknown;lit &notanentity &#zz; &#0; &; &amp">edge</a>""",
+      """<a href="double&amp;amp;stays-once-decoded">no re-decode</a>""",
       "")
     for (c <- cases)
       assert(HtmlText.htmlLinks(c).toSeq === regexLinks(c), s"case: $c")
@@ -236,7 +276,7 @@ class HtmlTextSpec extends SparkTestBase {
       val m = java.util.regex.Pattern.compile(HtmlText.BasePattern)
         .matcher(html)
       if (!m.find()) null
-      else if (m.group(1) != null) m.group(1) else m.group(2)
+      else specDecode(if (m.group(1) != null) m.group(1) else m.group(2))
     }
     val cases = Seq(
       """<base href="https://b.ex/dir/">""",
@@ -247,6 +287,7 @@ class HtmlTextSpec extends SparkTestBase {
       """<basefont href="https://not-a-base/"> <base href="https://real/">""",
       """<base href="unclosed then <base href='https://rescued/'>""",
       """<base href=bare-stays-out><base href='https://after/'>""",
+      """<base href="https://b.ex/d?x=1&amp;y=2">entity-decoded</base>""",
       "", "<base ", "<base href=\"")
     for (c <- cases)
       assert(HtmlText.htmlBase(c) === regexBase(c), s"case: $c")

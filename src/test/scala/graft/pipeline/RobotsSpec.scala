@@ -152,6 +152,27 @@ class RobotsSpec extends SparkTestBase {
     assert(got === Set(("https://n/1", 2L), ("https://n/2", 1L)))
   }
 
+  test("seeds decode XML entities and canonicalize like the frontier (r14)") {
+    val maps = Seq(
+      // &amp;-escaped multi-param loc (the protocol MANDATES escaping),
+      // an uppercase-host :443 variant of a CRAWLED page (must
+      // normalize INTO the crawled set, not seed a duplicate fetch),
+      // a whitespace-padded loc, a tracking-param loc, a mailto
+      (1L, "<urlset><url><loc>https://q.ex/p?a=1&amp;b=2</loc></url>" +
+        "<url><loc>HTTPS://S.EX:443/1</loc></url>" +
+        "<url><loc>\n  https://pad.ex/x \n</loc></url>" +
+        "<url><loc>https://t.ex/y?gclid=g&amp;keep=1</loc></url>" +
+        "<url><loc>mailto:x@y.ex</loc></url></urlset>"))
+      .toDF("id", "body")
+    val crawled = Seq("https://s.ex/1").toDF("url")
+    val got = Sitemaps.seeds(maps, crawled)
+      .as[(String, Long)].collect().toSet
+    assert(got === Set(
+      ("https://q.ex/p?a=1&b=2", 1L),
+      ("https://pad.ex/x", 1L),
+      ("https://t.ex/y?keep=1", 1L)), s"seeds: $got")
+  }
+
   test("seedsFromBytes: gzipped and plain sitemap bodies, corrupt costs itself") {
     def gz(s: String): Array[Byte] = {
       val out = new java.io.ByteArrayOutputStream()

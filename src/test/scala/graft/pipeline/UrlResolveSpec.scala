@@ -186,6 +186,11 @@ class UrlResolveSpec extends graft.SparkTestBase {
       "https://a.ex/x?fbclid=f&",                 // dangling &
       "https://a.ex/x?",                          // dangling ?
       "https://a.ex/a&gclid=in-path",             // '&' in PATH (chain strips!)
+      "https://a.ex&",                            // '&' ends AUTHORITY (r14:
+                                                  // DanglingRe strips it)
+      "https://u&gclid=x@h.ex/p",                 // '&' in userinfo (UtmRe
+                                                  // fires unanchored)
+      "https://a&b.ex/p",                         // benign '&' in authority
       "https://a.ex/x?a=1&b=2",                   // clean query untouched
       "https://résumé.ex/p",            // non-ASCII authority
       "https://a.ex/UPPER/path")                  // path case preserved
