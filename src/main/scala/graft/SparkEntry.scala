@@ -72,7 +72,10 @@ object SparkEntry {
     * scheme-relative refs (RFC 3986 resolution against the page url),
     * an uppercase-scheme-and-host `:443` absolute (case + default-port
     * normalization, path case preserved), a single-quoted href (in
-    * contract since r13), an explicit `:8443` port (survives normalize;
+    * contract since r13), an `&amp;`-escaped multi-param query (the
+    * attribute-value entity decode, r14 — conforming HTML escapes `&`
+    * in attributes; the resolved url carries a REAL `&`), an explicit
+    * `:8443` port (survives normalize;
     * collapses into the canonical host queue in scheduling), a
     * whitespace-WRAPPED absolute (leading newline + trailing tab — the
     * WHATWG pre-clean; unstripped it would merge as a junk relative
@@ -99,6 +102,7 @@ object SparkEntry {
              |<a href="//h${(id * 2) % 7}.example/proto/${id % 11}">scheme relative</a>
              |<a href="HTTPS://H${id % 7}.EXAMPLE:443/Upper/${id % 9}">shouty</a>
              |<a href='https://sq.example/q/${id % 4}'>single quoted</a>
+             |<a href="https://amp.example/q/${id % 5}?a=1&amp;b=${id % 3}">escaped amp</a>
              |<a href="https://h${(id + 3) % 7}.example:8443/alt/${id % 5}">alt port</a>
              |<a href="${"\n"}  https://h${(id + 1) % 7}.example/ws/${id % 6}${"\t"}">ws wrapped</a>
              |<a href="mailto:x@y">mail</a>
@@ -1189,41 +1193,13 @@ object SparkEntry {
     // `int8ProbePrune`'s policy, zero-norm, reserved-column and
     // flat-vs-routed-equality arms; the engine path is unchanged.
 
-    // IVF-ROUTED ingest pruning (the r9-verdict headline gap): the
-    // semanticDedup policy applied incrementally — ×2 twins drop (their
-    // component is anchored by a stored row), the planted batch-only
-    // pair (−v, −2v) keeps its min id, untouched batch rows survive —
-    // with the stored×batch candidate pass
-    // routes through the coarse centroids and scans only probed lists'
-    // packed codes — per-batch cost |probed lists|, not |corpus|. At
-    // nprobe = nlist every list is probed, so the result must equal the
-    // flat scan EXACTLY (the same oracle SQL); below that the recall
-    // contract takes over. The k-means centroids are engine-private, but
-    // at full probe coverage they cannot affect the answer — which is
-    // precisely what makes this oracle-checkable.
-    "emb_ivfsq8_probe_prune" -> ((s, dir) => {
-      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
-      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfsq8_prune_")
-      deleteRecursivelyOnExit(idxDir)
-      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
-      Phases.timed("build") {
-        graft.index.Quantize.ivfSq8Build(e, idxPath, nlist = 16,
-          fitSampleFraction = 0.5)
-      }
-      val batch = e.filter(col("vec_id") % 20 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"),
-          transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
-        .unionByName(e.filter(col("vec_id") % 30 === 0)
-          .select((col("vec_id") + 2000000L).as("vec_id"),
-            transform(col("embedding"), x => -x).as("embedding")))
-        .unionByName(e.filter(col("vec_id") % 30 === 0)
-          .select((col("vec_id") + 3000000L).as("vec_id"),
-            transform(col("embedding"), x => x * lit(-2.0f)).as("embedding")))
-      graft.index.Quantize.ivfSq8ProbePrune(s, idxPath, batch,
-          threshold = 0.98, nprobe = 16, broadcastDrop = true)
-        .select("vec_id")
-        .orderBy("vec_id")
-    }),
+    // NOTE (r14): the EXHAUSTIVE IVF-SQ8 probe-prune
+    // (`emb_ivfsq8_probe_prune`, nprobe = nlist = 16 — every list
+    // scanned, work = |batch|×|stored|, measured 7.8× at sf1, never the
+    // 100 TB shape) followed the flat probe into spec-only coverage (the
+    // r13 demotion precedent): QuantizeSpec's "ivfSq8ProbePrune at
+    // nprobe=nlist equals the flat prune" arm pins the exactness
+    // contract, and the routed production form below keeps the oracle.
 
     // THE PRODUCTION CONFIGURATION of ingest pruning -- nprobe << nlist,
     // the shape that runs at 100 TB (per-batch cost |probed lists|, ~4/16
@@ -1234,8 +1210,8 @@ object SparkEntry {
     // IDENTICAL top-nprobe centroid lists -- the stored twin's own list
     // is always probed at any nprobe >= 1, and no non-parallel pair
     // reaches the 0.98 threshold in random high-dim data. Same oracle as
-    // the flat scan; the flat form stays declared as the
-    // exactness-contract sibling.
+    // the flat scan; the exhaustive nprobe=nlist sibling is spec-only
+    // since r14 (QuantizeSpec pins it == flat).
     "emb_probe_prune_routed" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
       val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfsq8_prune_r_")
@@ -2888,10 +2864,14 @@ object SparkEntry {
 
     // Sitemap seeding (pipeline.Sitemaps): the site-declared frontier
     // feeder -- <loc> extraction with regex-equivalent semantics
-    // (LocPattern, the LinkPattern convention), absolute-http(s) filter,
-    // crawled set anti-joined, ref counts across sitemaps. Odd ids use
-    // <LOC> arms so case-insensitivity is oracle-gated; one relative loc
-    // per sitemap pins the filter.
+    // (LocPattern, the LinkPattern convention), then (r14) XML-entity
+    // decode + the frontier's OWN canonicalization before the crawled
+    // anti-join: an uppercase-host `:443` loc collapses to canonical
+    // form, an `&amp;`-escaped multi-param loc seeds with a REAL `&`, a
+    // whitespace-padded loc pre-cleans, a tracking-param variant of the
+    // crawled page normalizes INTO the crawled set (dropped — the
+    // duplicate-fetch-per-seed hole), and relative locs null out. Odd
+    // ids use <LOC> arms so case-insensitivity is oracle-gated.
     "crawl_sitemap_seed" -> ((s, dir) => {
       import s.implicits._
       val docs = tbl(s, dir, "documents").select(col("doc_id"))
@@ -2899,6 +2879,8 @@ object SparkEntry {
         val own = s"https://h${id % 7}.example/page/$id"
         val nw = s"https://h${(id * 11) % 7}.example/page/${id + 300000}"
         val shared = s"https://hs.example/s/${id % 13}"
+        val shouty = s"HTTPS://H${(id + 2) % 7}.EXAMPLE:443/SM/${id % 9}"
+        val amp = s"https://smq.example/q/${id % 5}?a=1&amp;b=${id % 3}"
         val (o, c) =
           if (id % 2 == 1) ("<LOC>", "</LOC>") else ("<loc>", "</loc>")
         (id,
@@ -2906,7 +2888,12 @@ object SparkEntry {
              |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
              |<url>$o$own$c<lastmod>2026-01-01</lastmod></url>
              |<url>$o$nw$c</url>
-             |<url>$o$shared$c</url>
+             |<url>$o
+             |  $shared
+             |$c</url>
+             |<url>$o$shouty$c</url>
+             |<url>$o$amp$c</url>
+             |<url>$o$own?utm_source=sm$c</url>
              |<url>$o/relative-ignored$c</url>
              |</urlset>""".stripMargin)
       }.toDF("doc_id", "body")
@@ -3572,6 +3559,10 @@ object SparkEntry {
       |  FROM documents
       |  UNION ALL
       |  SELECT 'https://sq.example/q/' || CAST(doc_id % 4 AS VARCHAR)
+      |  FROM documents
+      |  UNION ALL
+      |  SELECT 'https://amp.example/q/' || CAST(doc_id % 5 AS VARCHAR) ||
+      |         '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR)
       |  FROM documents
       |  UNION ALL
       |  SELECT 'https://h' || CAST((doc_id + 3) % 7 AS VARCHAR) ||
@@ -6449,13 +6440,11 @@ object SparkEntry {
         |ORDER BY corpus_id, new_id""".stripMargin,
     // ingest-time pruning policy oracle (exact int8 pairs, stored×batch
     // ∪ batch-internal → recursive-CTE components → anchored-or-non-min
-    // drop): at nprobe = nlist every list is probed, so the routed
-    // answer must equal the flat scan — the flat `emb_probe_prune`
-    // query itself was demoted to spec-only in r13 (see the queries-map
-    // note); the policy stays fully oracle-gated through these two
-    "emb_ivfsq8_probe_prune" -> probePruneOracleSql,
-    // routed production shape: deterministic-exact on this fixture (all
-    // true pairs are scalar multiples -> identical routing; see query doc)
+    // drop). The flat `emb_probe_prune` (r13) and exhaustive
+    // nprobe=nlist `emb_ivfsq8_probe_prune` (r14) are spec-only; the
+    // routed production shape keeps the policy fully oracle-gated —
+    // deterministic-exact on this fixture (all true pairs are scalar
+    // multiples -> identical routing; see query doc)
     "emb_probe_prune_routed" -> probePruneOracleSql,
     // append path: two installments + compaction must reproduce the
     // one-shot whole-corpus ranking bit-for-bit, so the oracle is
@@ -6835,6 +6824,16 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'https://hs.example/s/' || CAST(doc_id % 13 AS VARCHAR)
         |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://h' || CAST((doc_id + 2) % 7 AS VARCHAR) ||
+        |         '.example/SM/' || CAST(doc_id % 9 AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://smq.example/q/' || CAST(doc_id % 5 AS VARCHAR) ||
+        |         '?a=1&b=' || CAST(doc_id % 3 AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT url FROM crawled
         |  UNION ALL
         |  SELECT url FROM crawled),
         |fresh AS (

@@ -43,16 +43,19 @@ object Crawl {
                               appended: Long, redirects: Long = 0L,
                               nonText: Long = 0L)
 
-  /** 200-responses this TEXT pipeline extracts: `text/…` and XHTML (a
-    * missing Content-Type gets the benefit of the doubt — unlabeled
-    * HTML is common crawl reality). Everything else (image/, video/,
-    * application/pdf, octet-stream …) must NOT flow through the
-    * charset ladder — a JPEG "decoded" via the windows-1252 fallback
-    * becomes mojibake "text" that pollutes dedup, LM scoring and the
-    * corpus itself. Non-text pages still count as FETCHED (ledger). */
+  /** 200-responses this TEXT pipeline extracts: HTML/XHTML and plain
+    * text (a missing Content-Type gets the benefit of the doubt —
+    * unlabeled HTML is common crawl reality). Everything else must NOT
+    * flow through the charset ladder: a JPEG "decoded" via the
+    * windows-1252 fallback becomes mojibake "text", and (r14 — the gate
+    * narrowed from every text subtype) text/css / text/javascript 200s
+    * are real crawl traffic whose "visible text" is boilerplate code
+    * that pollutes dedup, LM scoring and the corpus itself.
+    * Non-extracted pages still count as FETCHED (ledger). */
   private val textish: org.apache.spark.sql.Column =
     col("http_content_type").isNull ||
-      col("http_content_type").rlike("(?i)^\\s*(text/|application/xhtml)")
+      col("http_content_type")
+        .rlike("(?i)^\\s*(text/(html|plain)|application/xhtml)")
 
   /** Run one crawl batch against the MinHash corpus index at `indexPath`.
     *
@@ -105,19 +108,25 @@ object Crawl {
     // the member walk over the whole batch); without one, the
     // 200-filter feeds extraction directly as before
     val respBase = records.filter(col("warc_type") === "response")
+    val redirect3xx = col("http_status").isin(301, 302, 303, 307, 308)
+    // a 3xx WITHOUT a Location header can't be followed — but it was
+    // FETCHED, so it must enter the ledger like a permanent 4xx (empty
+    // links) or any page that keeps linking it refetches it every batch
+    val ledgerDeadCond =
+      if (hasLocation) deadCond || (redirect3xx && col("http_location").isNull)
+      else deadCond
     val resp0 =
       if (!wantLinks) respBase.filter(col("http_status") === 200 && textish)
       else {
         val redirectCond =
-          if (hasLocation)
-            col("http_status").isin(301, 302, 303, 307, 308) &&
-              col("http_location").isNotNull
+          if (hasLocation) redirect3xx && col("http_location").isNotNull
           else lit(false)
         val cols = Seq(col("warc_type"), col("target_uri"),
           col("http_status"), col("http_content_type")) ++
           (if (hasLocation) Seq(col("http_location")) else Nil) :+ col("body")
         respBase
-          .filter(col("http_status") === 200 || redirectCond || deadCond)
+          .filter(col("http_status") === 200 || redirectCond ||
+            ledgerDeadCond)
           .select(cols: _*)
           .localCheckpoint()
       }
@@ -144,7 +153,7 @@ object Crawl {
         // crawl refetching every image forever is as broken as one
         // refetching every 404)
         val noBase = lit(null).cast("string").as("base")
-        val dead = resp0.filter(deadCond)
+        val dead = resp0.filter(ledgerDeadCond)
           .select(col("target_uri").as("url"),
             array().cast("array<string>").as("links"), noBase)
         val nonText = resp0.filter(col("http_status") === 200 && !textish)
@@ -508,12 +517,83 @@ object Crawl {
     maxBatch
   }
 
+  /** Fold every `next/batch=N` frontier partition into ONE partition
+    * keyed by the highest batch id seen: ref counts SUM per url (the
+    * fetch-priority signal accumulates across discoveries), and urls
+    * that have since been FETCHED drop (their ledger row gates them —
+    * a frontier row for a fetched url is a guaranteed double-fetch).
+    * The [[compactFetched]] sibling: same atomic delete+rename swap,
+    * same replays-out-of-contract-afterwards convention. Run it before
+    * handing `next/` to a fetcher that consumes across batches.
+    * Returns the retained batch id, or -1 when the dir is empty/absent.
+    *
+    * Scale: the fetched side never shuffles here — the frontier side
+    * (bounded by maintenance cadence × emit rate) aggregates once and
+    * anti-joins; at a 1 B-url fetched ledger pass `fetchedBloom` from
+    * [[loadFetchedBloom]] so the drop is a map-side bloom check plus an
+    * exact rescue join, the [[frontierBloom]] shape. */
+  def compactNext(spark: SparkSession, frontierDir: String,
+                  fetchedBloom: org.apache.spark.util.sketch.BloomFilter =
+                    null): Long = {
+    import org.apache.hadoop.fs.Path
+    val next = new Path(s"$frontierDir/next")
+    val fs = next.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(next)) return -1L
+    val df = spark.read.parquet(next.toString)
+    val maxBatch = df.agg(max(col("batch"))).head() match {
+      case r if r.isNullAt(0) => return -1L
+      case r => r.getAs[Number](0).longValue()
+    }
+    val folded0 = df.groupBy("url")
+      .agg(sum(col("n_refs")).cast("long").as("n_refs"))
+    val fetched = new Path(s"$frontierDir/fetched")
+    val folded =
+      if (!fs.exists(fetched)) folded0
+      else {
+        val fetchedDf = spark.read.parquet(fetched.toString).select("url")
+        if (fetchedBloom == null)
+          folded0.join(fetchedDf, Seq("url"), "left_anti")
+        else {
+          // bloom routing: misses are DEFINITELY unfetched; the maybe
+          // trickle rescues exactly with the fetched side streaming
+          // map-side through a broadcast join (never shuffled)
+          val bc = spark.sparkContext.broadcast(fetchedBloom)
+          val might =
+            udf { (u: String) => u != null && bc.value.mightContain(u) }
+          val miss = folded0.filter(!might(col("url")))
+          val maybe = folded0.filter(might(col("url")))
+          val confirmed = fetchedDf
+            .join(broadcast(maybe.select("url").distinct()), Seq("url"))
+            .distinct()
+          miss.unionByName(
+            maybe.join(broadcast(confirmed), Seq("url"), "left_anti"))
+        }
+      }
+    val tmp = new Path(s"$frontierDir/next._compacting")
+    fs.delete(tmp, true)
+    folded.write.parquet(s"$tmp/batch=$maxBatch")
+    val old = new Path(s"$frontierDir/next._old")
+    fs.delete(old, true)
+    if (!fs.rename(next, old))
+      throw new java.io.IOException(s"next compact swap-out failed: $next")
+    if (!fs.rename(tmp, next))
+      throw new java.io.IOException(s"next compact swap-in failed: $next")
+    fs.delete(old, true)
+    maxBatch
+  }
+
   /** Maintenance build of the streaming frontier's Bloom: every url the
     * corpus index has folded in (when `indexPath` is set — covers a
-    * bootstrap that predates the ledger) plus every fetched-ledger url,
-    * saved to `bloomPath` with a `.meta` sidecar recording the coverage
-    * cutoff (`coversBelow` = max fetched batch + 1). A batch at id ≥
-    * cutoff checks the bloom for everything older and only the
+    * bootstrap that predates the ledger) plus every fetched-ledger url
+    * plus (since r14) every EMITTED url in the `next/` frontier ledger —
+    * a url emitted at batch N and linked again at batch N+k must not
+    * re-emit while it waits to be fetched, or a fetcher consuming
+    * `next/` across batches double-fetches everything popular. Saved to
+    * `bloomPath` with a `.meta` sidecar recording the coverage cutoff
+    * (`coversBelow` = min over the two ledgers' max batch + 1 — both
+    * land per batch, `fetched` first, so `next` can trail by one across
+    * a crash; min is the batch below which BOTH are covered). A batch
+    * at id ≥ cutoff checks the bloom for everything older and only the
     * [cutoff, batch) trickle exactly — per-batch cost stops growing
     * with crawl age. The meta lands AFTER the bloom (a crash between
     * the two leaves the previous coherent pair in place — both writes
@@ -523,16 +603,27 @@ object Crawl {
                         fpp: Double = 0.01, bloomPath: String): Long = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
+    def maxBatchOf(df: DataFrame): Long =
+      df.agg(max(col("batch"))).head() match {
+        case r if r.isNullAt(0) => -1L
+        case r => r.getAs[Number](0).longValue()
+      }
     val fetched = new Path(s"$frontierDir/fetched")
     val haveFetched = fetched.getFileSystem(conf).exists(fetched)
     val fetchedDf =
       if (haveFetched) spark.read.parquet(fetched.toString)
       else null
+    val next = new Path(s"$frontierDir/next")
+    val haveNext = next.getFileSystem(conf).exists(next)
+    val nextDf =
+      if (haveNext) spark.read.parquet(next.toString)
+      else null
     val coversBelow: Long =
       if (!haveFetched) 0L
-      else fetchedDf.agg(max(col("batch"))).head() match {
-        case r if r.isNullAt(0) => 0L
-        case r => r.getAs[Number](0).longValue() + 1L
+      else {
+        val f = maxBatchOf(fetchedDf)
+        val n = if (haveNext) maxBatchOf(nextDf) else f
+        math.max(0L, math.min(f, n) + 1L)
       }
     val corpus =
       if (indexPath != null &&
@@ -541,6 +632,7 @@ object Crawl {
         crawledUrlsRaw(spark, indexPath)
       else null
     val sources = Option(fetchedDf).map(_.select("url")).toSeq ++
+      Option(nextDf).map(_.select("url")).toSeq ++
       Option(corpus).toSeq
     require(sources.nonEmpty, s"buildFetchedBloom: nothing to cover — no " +
       s"fetched ledger under $frontierDir and no index at $indexPath")

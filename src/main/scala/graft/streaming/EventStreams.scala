@@ -773,19 +773,26 @@ object EventStreams extends Serializable {
    *  - `$frontierDir/next/` — the batch's next-fetch frontier
    *    ([[graft.pipeline.Crawl.frontier]]: outlinks AND redirect
    *    targets, RFC 3986-resolved and normalized, minus batch urls,
-   *    the fetched ledger, and the corpus urls).
+   *    the fetched ledger, the corpus urls, AND everything earlier
+   *    `next/` partitions already emitted (r14) — a url discovered at
+   *    batch N and again at batch N+k emits ONCE, so a fetcher
+   *    consuming `next/` across batches never double-fetches a
+   *    popular not-yet-crawled url. Fold the partitions with
+   *    [[graft.pipeline.Crawl.compactNext]] at maintenance cadence
+   *    (ref counts sum; since-fetched rows drop).
    * Links ride the same fused decode pass as the text — the frontier
    * costs no second body decode.
    *
    * `bloomPath`, when set, names a [[graft.pipeline.Crawl
    * .buildFetchedBloom]] maintenance artifact; while it exists, each
    * batch's frontier routes through [[graft.pipeline.Crawl
-   * .frontierBloom]] — the crawled universe up to the bloom's recorded
-   * cutoff is checked via the broadcast filter (the corpus-sized
-   * `fetched/` union + distinct the exact path pays per batch
-   * disappears), and only the [cutoff, batch) trickle plus the batch's
-   * own urls are checked exactly (broadcast — bounded by maintenance
-   * cadence). The filter itself loads and broadcasts ONCE PER
+   * .frontierBloom]] — the crawled-or-emitted universe (fetched ledger
+   * + corpus + `next/` emitted urls, all folded into the bloom) up to
+   * the bloom's recorded cutoff is checked via the broadcast filter
+   * (the corpus-sized `fetched/` union + distinct the exact path pays
+   * per batch disappears), and only the [cutoff, batch) trickle of
+   * BOTH ledgers plus the batch's own urls are checked exactly
+   * (broadcast — bounded by maintenance cadence). The filter itself loads and broadcasts ONCE PER
    * MAINTENANCE CYCLE, not per batch (mtime-keyed driver cache — a
    * corpus-scale bloom is ~GB). Absent/in-progress artifacts fall back
    * to the exact path; output is IDENTICAL either way (no false
@@ -834,6 +841,22 @@ object EventStreams extends Serializable {
               spark.read.parquet(fetchedPath.toString)
                 .filter(col("batch") >= from && col("batch") < until)
                 .select(col("url"))
+            // the EMITTED ledger gates too (r14): a url emitted at
+            // batch N and linked again at batch N+k must not re-emit
+            // while it waits to be fetched — a fetcher consuming
+            // `next/` across batches would double-fetch everything
+            // popular. Unlike fetched/ (written above), next/ does not
+            // exist before the first frontier write — hence the probe.
+            val nextPath =
+              new org.apache.hadoop.fs.Path(s"$frontierDir/next")
+            val haveNext = nextPath
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(nextPath)
+            def nextIn(from: Long, until: Long) =
+              if (!haveNext) urls.limit(0)
+              else spark.read.parquet(nextPath.toString)
+                .filter(col("batch") >= from && col("batch") < until)
+                .select(col("url"))
             val maintained =
               if (bloomPath == null) None
               else cachedFetchedBloom(spark, bloomPath)
@@ -850,17 +873,21 @@ object EventStreams extends Serializable {
                 // broadcast-sized, bounded by maintenance cadence.
                 val covered = fetchedIn(Long.MinValue,
                     math.min(coversBelow, batchId))
+                  .unionByName(nextIn(Long.MinValue,
+                    math.min(coversBelow, batchId)))
                   .unionByName(
                     if (indexExists)
                       graft.pipeline.Crawl.crawledUrlsRaw(spark, indexPath)
                     else urls.limit(0))
                 val recent = urls
                   .unionByName(fetchedIn(coversBelow, batchId))
+                  .unionByName(nextIn(coversBelow, batchId))
                 graft.pipeline.Crawl.frontierBloomBc(pages, covered, bloomBc)
                   .join(broadcast(recent.distinct()), Seq("url"), "left_anti")
               case None =>
                 val crawled = urls
                   .unionByName(fetchedIn(Long.MinValue, batchId))
+                  .unionByName(nextIn(Long.MinValue, batchId))
                   .unionByName(
                     if (indexExists)
                       graft.pipeline.Crawl.crawledUrls(spark, indexPath)

@@ -286,6 +286,13 @@ class CrawlFrontierSpec extends SparkTestBase {
         "<p>a real html page body with words</p>".getBytes("UTF-8")),
       ("https://s/pic.png", 200, "image/png", null, png),
       ("https://s/blob", 200, "application/octet-stream", null, png),
+      ("https://s/style.css", 200, "text/css", null,
+        "body { color: red } /* boilerplate code is not a corpus doc */"
+          .getBytes("UTF-8")),
+      ("https://s/app.js", 200, "text/javascript; charset=utf-8", null,
+        "function f() { return 42; }".getBytes("UTF-8")),
+      ("https://s/readme", 200, "text/plain", null,
+        "plain text is a real corpus document".getBytes("UTF-8")),
       ("https://s/unlabeled", 200, null, null,
         "<p>no content type still extracts</p>".getBytes("UTF-8"))))))
       .toDF("g", "payload")
@@ -295,14 +302,17 @@ class CrawlFrontierSpec extends SparkTestBase {
       onPageLinks = pagesDf => {
         fetched = pagesDf.select("url").as[String].collect().toSet
       }) { _.count() }
-    // image/octet-stream never reach extraction (no mojibake corpus rows)
-    assert(stats.responses === 2L && stats.appended === 2L &&
-      stats.nonText === 2L, s"stats: $stats")
+    // image/octet-stream AND code-bearing text/* subtypes (css, js —
+    // the r14 gate narrowing) never reach extraction; html/plain/
+    // unlabeled do
+    assert(stats.responses === 3L && stats.appended === 3L &&
+      stats.nonText === 4L, s"stats: $stats")
     assert(Crawl.crawledUrls(spark, idx).as[String].collect().toSet ===
-      Set("https://s/1", "https://s/unlabeled"))
+      Set("https://s/1", "https://s/readme", "https://s/unlabeled"))
     // but they ARE fetched — the ledger must gate their re-entry
     assert(fetched === Set("https://s/1", "https://s/pic.png",
-      "https://s/blob", "https://s/unlabeled"))
+      "https://s/blob", "https://s/style.css", "https://s/app.js",
+      "https://s/readme", "https://s/unlabeled"))
   }
 
   test("fetched-ledger compaction + bloom maintenance artifacts round-trip") {
@@ -313,13 +323,23 @@ class CrawlFrontierSpec extends SparkTestBase {
       .write.parquet(s"$fDir/fetched/batch=0")
     Seq("https://f/2", "https://f/3").toDF("url")
       .write.parquet(s"$fDir/fetched/batch=1")
+    // the EMITTED ledger folds in too (r14), and the cutoff is the MIN
+    // over the two ledgers: next/ trails at batch 0 here (the
+    // crash-between-writes shape), so only batch 0 is fully covered
+    Seq(("https://emitted/1", 2L)).toDF("url", "n_refs")
+      .write.parquet(s"$fDir/next/batch=0")
     val bp = d.resolve("fetched.bloom").toString
     val covers = Crawl.buildFetchedBloom(spark, fDir, null, 1000L, 0.01, bp)
-    assert(covers === 2L)
+    assert(covers === 1L)
     val (bloom, cb) = Crawl.loadFetchedBloom(spark, bp).get
-    assert(cb === 2L)
-    assert(Seq("https://f/1", "https://f/2", "https://f/3")
-      .forall(bloom.mightContain))
+    assert(cb === 1L)
+    assert(Seq("https://f/1", "https://f/2", "https://f/3",
+      "https://emitted/1").forall(bloom.mightContain))
+    // with next/ caught up the cutoff covers both ledgers in full
+    Seq(("https://emitted/2", 1L)).toDF("url", "n_refs")
+      .write.parquet(s"$fDir/next/batch=1")
+    assert(Crawl.buildFetchedBloom(spark, fDir, null, 1000L, 0.01, bp)
+      === 2L)
     // compaction folds to ONE partition keyed by the max batch id
     assert(Crawl.compactFetched(spark, fDir) === 1L)
     val after = spark.read.parquet(s"$fDir/fetched")
@@ -329,6 +349,51 @@ class CrawlFrontierSpec extends SparkTestBase {
     // missing artifacts -> None (stream falls back to the exact path)
     assert(Crawl.loadFetchedBloom(spark, d.resolve("nope.bloom").toString)
       .isEmpty)
+  }
+
+  test("compactNext folds ref counts and drops since-fetched urls") {
+    val d = java.nio.file.Files.createTempDirectory("crawl-next")
+    d.toFile.deleteOnExit()
+    val fDir = d.resolve("frontier").toString
+    // url 'a' emitted in two batches (counts must SUM), 'b' emitted then
+    // fetched (must DROP), 'c' emitted once
+    Seq(("https://n/a", 3L), ("https://n/b", 1L)).toDF("url", "n_refs")
+      .write.parquet(s"$fDir/next/batch=0")
+    Seq(("https://n/a", 2L), ("https://n/c", 5L)).toDF("url", "n_refs")
+      .write.parquet(s"$fDir/next/batch=1")
+    Seq("https://n/b", "https://seed/0").toDF("url")
+      .write.parquet(s"$fDir/fetched/batch=1")
+    val expected = Set((1L, "https://n/a", 5L), (1L, "https://n/c", 5L))
+    // the bloom-routed drop must equal the exact anti-join (false
+    // positives rescued) — fold a COPY through each
+    val d2 = java.nio.file.Files.createTempDirectory("crawl-next-bloom")
+    d2.toFile.deleteOnExit()
+    val fDir2 = d2.resolve("frontier").toString
+    for (b <- 0 to 1)
+      spark.read.parquet(s"$fDir/next/batch=$b")
+        .write.parquet(s"$fDir2/next/batch=$b")
+    spark.read.parquet(s"$fDir/fetched/batch=1")
+      .write.parquet(s"$fDir2/fetched/batch=1")
+    assert(Crawl.compactNext(spark, fDir) === 1L)
+    val after = spark.read.parquet(s"$fDir/next")
+      .select("batch", "url", "n_refs").as[(Long, String, Long)]
+      .collect().toSet
+    assert(after === expected, s"exact fold: $after")
+    val fetchedBloom = spark.read.parquet(s"$fDir2/fetched")
+      .stat.bloomFilter("url", 1000L, 0.5) // high fpp: exercise rescue
+    assert(Crawl.compactNext(spark, fDir2, fetchedBloom) === 1L)
+    val afterBloom = spark.read.parquet(s"$fDir2/next")
+      .select("batch", "url", "n_refs").as[(Long, String, Long)]
+      .collect().toSet
+    assert(afterBloom === expected, s"bloom fold diverged: $afterBloom")
+    // re-fold is a no-op fold (idempotent maintenance)
+    assert(Crawl.compactNext(spark, fDir) === 1L)
+    assert(spark.read.parquet(s"$fDir/next")
+      .select("batch", "url", "n_refs").as[(Long, String, Long)]
+      .collect().toSet === expected)
+    // absent dir -> -1
+    assert(Crawl.compactNext(spark,
+      d.resolve("nothing").toString) === -1L)
   }
 
   test("frontier gated by robots keeps only fetchable urls") {

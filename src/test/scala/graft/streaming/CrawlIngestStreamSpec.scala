@@ -194,6 +194,92 @@ class CrawlIngestStreamSpec extends SparkTestBase {
       s"batch-1 frontier: $f1")
   }
 
+  test("a url emitted at batch N and linked again at batch N+k does not re-emit") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("crawl-next-gate")
+    base.toFile.deleteOnExit()
+    // same crawl through the exact path and the bloom-routed path: a
+    // popular not-yet-fetched url discovered in batch 0 AND batch 1
+    // must emit exactly once, or a fetcher consuming next/ across
+    // batches double-fetches it
+    def run(bloom: Boolean, tag: String): (Set[(String, Long)], Set[(String, Long)]) = {
+      val idx = base.resolve(s"idx-$tag").toString
+      val fDir = base.resolve(s"frontier-$tag").toString
+      val bp = base.resolve(s"bloom-$tag.bin").toString
+      val input = MemoryStream[(Long, Array[Byte])]
+      val q = EventStreams.crawlIngestStream(spark,
+        input.toDF().toDF("g", "payload"), idx, threshold = 0.5,
+        frontierDir = fDir, bloomPath = if (bloom) bp else null)().start()
+      input.addData((0L, warcOf(
+        ("https://s/1", 200,
+          """<p>first page body words</p>
+            |<a href="https://popular/1">p</a>""".stripMargin))))
+      q.processAllAvailable()
+      if (bloom) // maintenance: the bloom folds fetched AND emitted
+        graft.pipeline.Crawl.buildFetchedBloom(spark, fDir, idx,
+          1000L, 0.01, bp)
+      input.addData((1L, warcOf(
+        ("https://s/2", 200,
+          """<p>second page other body tokens</p>
+            |<a href="https://popular/1">p again</a>
+            |<a href="https://fresh/1">f</a>""".stripMargin))))
+      q.processAllAvailable()
+      q.stop()
+      (spark.read.parquet(s"$fDir/next/batch=0")
+        .as[(String, Long)].collect().toSet,
+        spark.read.parquet(s"$fDir/next/batch=1")
+          .as[(String, Long)].collect().toSet)
+    }
+    val (e0, e1) = run(bloom = false, "exact")
+    assert(e0 === Set(("https://popular/1", 1L)), s"batch 0: $e0")
+    assert(e1 === Set(("https://fresh/1", 1L)),
+      s"batch 1 must not re-emit the emitted-but-unfetched url: $e1")
+    val (b0, b1) = run(bloom = true, "bloom")
+    assert(b0 === e0 && b1 === e1,
+      s"bloom-routed emitted gate diverged: $b0 / $b1")
+  }
+
+  test("a 3xx without a Location header is ledger-gated like a dead page") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("crawl-3xx-noloc")
+    base.toFile.deleteOnExit()
+    val idx = base.resolve("idx").toString
+    val fDir = base.resolve("frontier").toString
+    def warcResp(recs: (String, Int, String, String)*): Array[Byte] =
+      graft.sources.Warc.encodeWarcResponses(
+        recs.map { case (u, st, loc, html) =>
+          (u, st, "text/html", loc,
+            html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }, gzipPerRecord = true)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = EventStreams.crawlIngestStream(spark,
+      input.toDF().toDF("g", "payload"), idx, threshold = 0.5,
+      frontierDir = fDir)().start()
+    input.addData((0L, warcResp(
+      ("https://s/ok", 200,
+        null, "<p>live page body</p><a href=\"https://s/broken\">b</a>"),
+      ("https://s/broken", 301, null, ""), // Location-less redirect
+      ("https://s/moved", 301, "https://t/new", ""))))
+    q.processAllAvailable()
+    // batch 1 links the broken redirect again: the ledger must gate it
+    input.addData((1L, warcResp(
+      ("https://s/next", 200, null,
+        """<p>second page entirely other words</p>
+          |<a href="https://s/broken">still broken</a>
+          |<a href="https://s/new">fresh</a>""".stripMargin))))
+    q.processAllAvailable()
+    q.stop()
+    val fetched = spark.read.parquet(s"$fDir/fetched")
+      .select("url").as[String].collect().toSet
+    assert(fetched === Set("https://s/ok", "https://s/broken",
+      "https://s/moved", "https://s/next"),
+      s"locationless 3xx must enter the ledger: $fetched")
+    val f1 = spark.read.parquet(s"$fDir/next/batch=1")
+      .as[(String, Long)].collect().toSet
+    assert(f1 === Set(("https://s/new", 1L)),
+      s"batch 1 must not re-emit the ledger-gated broken redirect: $f1")
+  }
+
   test("bootstrap batch is replay-idempotent at its own installment") {
     val base = java.nio.file.Files.createTempDirectory("crawl-bootstrap")
     base.toFile.deleteOnExit()
