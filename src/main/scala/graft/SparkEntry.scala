@@ -2781,6 +2781,48 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Markup politeness signals (r14): rel=nofollow anchors drop (the
+    // attribute before OR after the href, token lists, any case), a
+    // robots-meta nofollow page contributes NO anchors, and
+    // <meta http-equiv=refresh> targets — de-facto redirects the 3xx
+    // chain never sees — enter the frontier (absolute on id%3==0 arms,
+    // RELATIVE resolved against the page url on id%3==1, riding
+    // THROUGH the robots-nofollow meta page like a real redirect). The
+    // oracle rebuilds every surviving arm from doc_id arithmetic; a
+    // nofollow'd arm leaking in or a refresh arm missing
+    // hash-mismatches.
+    "crawl_frontier_meta" -> ((s, dir) => {
+      import s.implicits._
+      val pages = tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val own = s"https://h${id % 7}.example/page/$id"
+          val meta = s"https://h${id % 7}.example/meta/$id"
+          val refresh = (id % 3) match {
+            case 0 =>
+              s"""<meta http-equiv="refresh" content="0;url=https://r.example/abs/${id % 6}">"""
+            case 1 =>
+              s"""<META HTTP-EQUIV='Refresh' content="5; URL='../rel/${id % 4}'">"""
+            case _ => ""
+          }
+          val pageHtml =
+            s"""$refresh
+               |<a href="https://keep.example/k/${id % 5}" rel="noopener">kept</a>
+               |<a href="https://no.example/n/${id % 4}" rel="nofollow">dropped</a>
+               |<a rel="a,NoFollow" href="https://no2.example/m/${id % 3}">dropped</a>
+               |<a href="$own">self</a>""".stripMargin
+          val metaHtml =
+            s"""<meta name="robots" content="noindex, NOFOLLOW">
+               |<meta http-equiv="refresh" content="2; url=https://rr.example/rr/${id % 7}">
+               |<a href="https://x.example/x/${id % 5}">dropped by page meta</a>""".stripMargin
+          Seq((own, pageHtml), (meta, metaHtml))
+        }.flatMap(identity).toDF("url", "html")
+        .select(col("url"),
+          graft.pipeline.HtmlText.htmlOutlinksCol(col("html")).as("links"))
+      graft.pipeline.Crawl.frontier(pages, pages.select(col("url")))
+        .select(col("url"), col("n_refs"))
+        .orderBy("url")
+    }),
+
     // Politeness scheduling over the same frontier: per-host fetch
     // rounds (ref-count priority, url-asc ties) through the bounded
     // TopK-label aggregator -- round r fetches at most one url per host,
@@ -6887,6 +6929,44 @@ object SparkEntry {
         |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
         |         '.example/page/plain/' || CAST(doc_id % 5 AS VARCHAR)
         |  FROM documents WHERE doc_id % 3 = 2),
+        |fresh AS (
+        |  SELECT l.url FROM links l
+        |  LEFT JOIN crawled c ON l.url = c.url
+        |  WHERE c.url IS NULL)
+        |SELECT url, CAST(count(*) AS BIGINT) AS n_refs
+        |FROM fresh GROUP BY url ORDER BY url""".stripMargin,
+    // markup politeness arms rebuilt from the fixture arithmetic: the
+    // kept anchor, the absolute (id%3=0) and page-resolved relative
+    // (id%3=1) refresh targets, and the robots-nofollow meta page's
+    // refresh (rides THROUGH the nofollow); both nofollow'd anchors and
+    // the meta page's anchor never enter; self links anti-join away
+    "crawl_frontier_meta" ->
+      """WITH crawled AS (
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/page/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/meta/' || CAST(doc_id AS VARCHAR)
+        |  FROM documents),
+        |links AS (
+        |  SELECT 'https://keep.example/k/' || CAST(doc_id % 5 AS VARCHAR)
+        |         AS url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://r.example/abs/' || CAST(doc_id % 6 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/rel/' || CAST(doc_id % 4 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT 'https://rr.example/rr/' || CAST(doc_id % 7 AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/page/' || CAST(doc_id AS VARCHAR)
+        |  FROM documents),
         |fresh AS (
         |  SELECT l.url FROM links l
         |  LEFT JOIN crawled c ON l.url = c.url

@@ -572,7 +572,8 @@ object Main {
         s"charset_fallbacks=${stats.charsetFallbacks} " +
         s"empty_text=${stats.emptyText} near_dups=${stats.duplicates} " +
         s"appended=${stats.appended} redirects=${stats.redirects} " +
-        s"non_text=${stats.nonText} -> $corpusOut; index installment $inst" +
+        s"non_text=${stats.nonText} noindexed=${stats.noindexed}" +
+        s" -> $corpusOut; index installment $inst" +
         frontierOut.map(f => s"; frontier $frontierN urls -> $f")
           .getOrElse(""))
       spark.stop()

@@ -37,11 +37,14 @@ object Crawl {
     * records lack the `http_location` column); `nonText` counts the
     * 200-responses skipped by the [[textish]] Content-Type gate
     * (ledger-fed, never extracted — counted only when the frontier feed
-    * is on; the batch-only form filters them without the extra scan). */
+    * is on; the batch-only form filters them without the extra scan);
+    * `noindexed` (r14) counts non-empty text pages excluded from the
+    * corpus by a robots-meta `noindex`/`none` directive (still
+    * ledger-fed; their links still feed the frontier unless nofollow'd). */
   final case class BatchStats(responses: Long, charsetFallbacks: Long,
                               emptyText: Long, duplicates: Long,
                               appended: Long, redirects: Long = 0L,
-                              nonText: Long = 0L)
+                              nonText: Long = 0L, noindexed: Long = 0L)
 
   /** 200-responses this TEXT pipeline extracts: HTML/XHTML and plain
     * text (a missing Content-Type gets the benefit of the doubt —
@@ -74,7 +77,12 @@ object Crawl {
     * `onPageLinks`, when set, receives (url, links, base) for EVERY
     * page the batch FETCHED — text 200s (near-dups included: their
     * outlinks are still valid discoveries) extracted in the same fused
-    * decode pass with their declared `<base href>` (null when absent),
+    * decode pass with their declared `<base href>` (null when absent);
+    * since r14 the links honor the markup's politeness signals
+    * ([[HtmlText.htmlOutlinks]]: rel=nofollow anchors dropped,
+    * robots-meta nofollow drops all anchors, the meta-refresh redirect
+    * target appended) and robots-meta `noindex` pages stay OUT of the
+    * corpus while still feeding ledger + frontier;
     * 3xx redirects as one-outlink pages (their `Location`, when the
     * records carry `http_location`; base null — a Location resolves
     * against the redirect source), non-text 200s and PERMANENT-4xx
@@ -134,12 +142,13 @@ object Crawl {
                else resp0
     val extAll = HtmlText.extractFromBodies(resp, "body", "text",
       "http_content_type", "cs", linksCol = if (wantLinks) "links" else null,
-      baseCol = if (wantLinks) "base" else null)
+      baseCol = if (wantLinks) "base" else null,
+      honorRobotsMeta = true, noindexCol = "noindex")
     val ext = (if (wantLinks)
         extAll.select(col("target_uri").as("url"), col("text"),
-          col("cs_fallback"), col("links"), col("base"))
+          col("cs_fallback"), col("noindex"), col("links"), col("base"))
       else extAll.select(col("target_uri").as("url"), col("text"),
-        col("cs_fallback")))
+        col("cs_fallback"), col("noindex")))
       .localCheckpoint() // parse+extract once: feeds stats, probe, append
     try {
       // inside the try: a failing frontier write must still release the
@@ -180,12 +189,17 @@ object Crawl {
         count(lit(1)).as("n"),
         sum(when(col("cs_fallback"), 1L).otherwise(0L)).as("fb"),
         sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("empty"),
-        sum(length(col("text")).cast("long")).as("bytes"))
+        sum(length(col("text")).cast("long")).as("bytes"),
+        // noindex counts only where it EXCLUDES a would-be corpus doc
+        // (empty-text noindex pages are already in `empty`)
+        sum(when(col("noindex") && length(col("text")) > 0, 1L)
+          .otherwise(0L)).as("noidx"))
         .head()
       val responses = a.getLong(0)
       val fallbacks = if (a.isNullAt(1)) 0L else a.getLong(1)
       val empties = if (a.isNullAt(2)) 0L else a.getLong(2)
       val textBytes = if (a.isNullAt(3)) 0L else a.getLong(3)
+      val noindexed = if (a.isNullAt(4)) 0L else a.getLong(4)
       // broadcast the batch through the probe only when it is actually
       // broadcastable: the probe ships the batch's SHINGLE SETS (several
       // times the text bytes) to every executor, so a bulk backfill batch
@@ -195,7 +209,10 @@ object Crawl {
       // stay comfortably under the default 64 MB and keep the
       // stored-side-never-shuffles fast path.
       val broadcastBatch = textBytes <= broadcastMaxBytes
-      val docs = ext.filter(length(col("text")) > 0).select("url", "text")
+      // robots-meta noindex pages are fetched (ledger) and their links
+      // may feed the frontier, but they must not become corpus documents
+      val docs = ext.filter(length(col("text")) > 0 && !col("noindex"))
+        .select("url", "text")
       val conf = spark.sparkContext.hadoopConfiguration
       val metaPath = new org.apache.hadoop.fs.Path(s"$indexPath/meta")
       val bootstrap = !metaPath.getFileSystem(conf).exists(metaPath)
@@ -210,7 +227,8 @@ object Crawl {
           shingleK, numHashes, bands, installment = installment)
         val result = use(docs)
         (result, BatchStats(responses, fallbacks, empties, 0L,
-          responses - empties, redirectCount, nonTextCount))
+          responses - empties - noindexed, redirectCount, nonTextCount,
+          noindexed))
       } else {
         val dupIds = graft.dedup.Dedup.minhashIndexProbe(spark, indexPath,
             docs, "text", "url", threshold, maxBucketSize,
@@ -225,8 +243,8 @@ object Crawl {
           val appended = fresh.count()
           val result = use(fresh)
           (result, BatchStats(responses, fallbacks, empties,
-            responses - empties - appended, appended, redirectCount,
-            nonTextCount))
+            responses - empties - noindexed - appended, appended,
+            redirectCount, nonTextCount, noindexed))
         } finally graft.dedup.Dedup.release(fresh)
       }
     } finally {

@@ -369,6 +369,261 @@ object HtmlText {
   }
 
   // ---------------------------------------------------------------------
+  // Robots-meta + meta-refresh politeness signals (r14). These are the
+  // signals real crawlers honor that ride the markup itself rather than
+  // robots.txt: `rel="nofollow"` on an anchor, `<meta name="robots"
+  // content="nofollow,noindex">` page-wide, and `<meta
+  // http-equiv="refresh" content="N;url=…">` — a de-facto redirect that
+  // the 3xx chain never sees. None are regex-replayable (attribute
+  // walking with quote discipline), so like UrlResolve they are the
+  // fixture-arithmetic-oracle kind of kernel: the declared query
+  // rebuilds each arm's expected url from doc_id math and the specs pin
+  // the parsing edges. All total, O(n), never throw.
+  // ---------------------------------------------------------------------
+
+  private def isWsCh(c: Char): Boolean =
+    c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == ' '
+
+  /** Walk one tag's attribute region `[from, until)` as name[=value]
+    * pairs (quoted or unquoted values, the labelFromMeta discipline) and
+    * hand each pair to `take`; stops at the region end or a '>'. */
+  private def eachAttr(s: String, from: Int, until0: Int)
+                      (take: (String, String) => Boolean): Unit = {
+    val until = math.min(until0, s.length)
+    var p = from
+    var done = false
+    while (!done && p < until) {
+      while (p < until && (isWsCh(s.charAt(p)) || s.charAt(p) == '/')) p += 1
+      if (p >= until || s.charAt(p) == '>') done = true
+      else {
+        val nameStart = p
+        while (p < until && !isWsCh(s.charAt(p)) && s.charAt(p) != '=' &&
+          s.charAt(p) != '/' && s.charAt(p) != '>') p += 1
+        val name = s.substring(nameStart, p).toLowerCase(java.util.Locale.ROOT)
+        while (p < until && isWsCh(s.charAt(p))) p += 1
+        var value = ""
+        if (p < until && s.charAt(p) == '=') {
+          p += 1
+          while (p < until && isWsCh(s.charAt(p))) p += 1
+          if (p < until && (s.charAt(p) == '"' || s.charAt(p) == '\'')) {
+            val q = s.charAt(p); p += 1
+            val vStart = p
+            while (p < until && s.charAt(p) != q) p += 1
+            value = s.substring(vStart, p)
+            if (p < until) p += 1
+          } else {
+            val vStart = p
+            while (p < until && !isWsCh(s.charAt(p)) &&
+              s.charAt(p) != '>') p += 1
+            value = s.substring(vStart, p)
+          }
+        }
+        if (name.nonEmpty && take(name, value)) done = true
+      }
+    }
+  }
+
+  /** Find the FIRST `<meta …>` tag whose attributes satisfy `select`
+    * (given the tag's parsed attribute map), returning the selected
+    * string or null. Whole-document scan — robots/refresh metas are
+    * head elements by spec but crawl reality scatters them. */
+  private def firstMeta(html: String)
+                       (select: (String, String, String) => String): String = {
+    if (html == null) return null
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val at = indexOfIgnoreCase(html, "<meta", i)
+      if (at < 0) return null
+      var p = at + 5
+      if (p < n && (isWsCh(html.charAt(p)) || html.charAt(p) == '/')) {
+        var nameAttr: String = null
+        var httpEquiv: String = null
+        var contentAttr: String = null
+        val end = {
+          val gt = html.indexOf('>', p)
+          if (gt < 0) n else gt
+        }
+        eachAttr(html, p, end + 1) { (name, value) =>
+          name match {
+            case "name" => if (nameAttr == null) nameAttr = value
+            case "http-equiv" => if (httpEquiv == null) httpEquiv = value
+            case "content" => if (contentAttr == null) contentAttr = value
+            case _ => ()
+          }
+          false
+        }
+        val got = select(nameAttr, httpEquiv, contentAttr)
+        if (got != null) return got
+      }
+      i = at + 5
+    }
+    null
+  }
+
+  /** The content value of the FIRST `<meta name="robots">`, entity-
+    * decoded, or null. Directive parsing is [[robotsTokens]]. */
+  private[pipeline] def htmlMetaRobots(html: String): String =
+    firstMeta(html) { (name, _, content) =>
+      if (name != null && name.trim.equalsIgnoreCase("robots") &&
+        content != null) decodeAttr(content)
+      else null
+    }
+
+  private def robotsTokens(content: String): Set[String] =
+    if (content == null) Set.empty
+    else content.toLowerCase(java.util.Locale.ROOT)
+      .split("[\\t\\n\\f\\r ,]+").iterator.map(_.trim).filter(_.nonEmpty)
+      .toSet
+
+  /** Page-level "do not follow this page's links" — `<meta
+    * name="robots">` carrying `nofollow` or `none` (= noindex,nofollow). */
+  def htmlNofollowAll(html: String): Boolean = {
+    val t = robotsTokens(htmlMetaRobots(html))
+    t.contains("nofollow") || t.contains("none")
+  }
+
+  /** Page-level "do not index this page's content" — `noindex`/`none`.
+    * A noindex page is still FETCHED (ledger) and its links may still
+    * be followed; it just must not become a corpus document. */
+  def htmlNoindex(html: String): Boolean = {
+    val t = robotsTokens(htmlMetaRobots(html))
+    t.contains("noindex") || t.contains("none")
+  }
+
+  /** The FIRST `<meta http-equiv="refresh">` target url (raw — caller
+    * resolves against the page base like any href), or null. Content
+    * grammar per WHATWG's tolerant parse: optional seconds number, a
+    * `;`/`,` separator, optional `url` `=`, optionally quoted target.
+    * A bare-number content (refresh-to-self) yields null. */
+  def htmlRefresh(html: String): String = {
+    val content = firstMeta(html) { (_, equiv, c) =>
+      if (equiv != null && equiv.trim.equalsIgnoreCase("refresh") &&
+        c != null) decodeAttr(c)
+      else null
+    }
+    if (content == null) return null
+    val n = content.length
+    var i = 0
+    while (i < n && isWsCh(content.charAt(i))) i += 1
+    while (i < n && (content.charAt(i).isDigit || content.charAt(i) == '.'))
+      i += 1
+    while (i < n && isWsCh(content.charAt(i))) i += 1
+    if (i >= n || (content.charAt(i) != ';' && content.charAt(i) != ','))
+      return null // bare number (or garbage): refresh-to-self, no target
+    i += 1
+    while (i < n && isWsCh(content.charAt(i))) i += 1
+    // optional url= prefix, case-insensitive, ws-tolerant around '='
+    if (i + 3 <= n &&
+      content.substring(i, i + 3).equalsIgnoreCase("url")) {
+      var j = i + 3
+      while (j < n && isWsCh(content.charAt(j))) j += 1
+      if (j < n && content.charAt(j) == '=') {
+        j += 1
+        while (j < n && isWsCh(content.charAt(j))) j += 1
+        i = j
+      }
+    }
+    if (i >= n) return null
+    val target =
+      if (content.charAt(i) == '"' || content.charAt(i) == '\'') {
+        val q = content.charAt(i)
+        val vStart = i + 1
+        val vEnd = content.indexOf(q, vStart)
+        content.substring(vStart, if (vEnd < 0) n else vEnd)
+      } else {
+        var e = n
+        while (e > i && isWsCh(content.charAt(e - 1))) e -= 1
+        content.substring(i, e)
+      }
+    if (target.isEmpty) null else target
+  }
+
+  /** Does the attribute region `[from, until)` declare
+    * `rel="…nofollow…"` (token list, case-insensitive)? */
+  private def relNofollowIn(s: String, from: Int, until: Int): Boolean = {
+    var found = false
+    eachAttr(s, from, math.min(until, s.length)) { (name, value) =>
+      if (name == "rel" && robotsTokens(value).contains("nofollow"))
+        found = true
+      found
+    }
+    found
+  }
+
+  /** PRODUCTION outlink extraction — [[htmlLinks]]'s capture semantics
+    * with the politeness signals applied: anchors whose tag declares
+    * `rel=nofollow` drop (the attribute may sit before OR after the
+    * href), a page-level robots-meta `nofollow` drops every anchor, and
+    * the [[htmlRefresh]] target (a de-facto redirect) appends as one
+    * more outlink — it rides THROUGH a robots nofollow, the way real
+    * crawlers treat refresh as a redirect rather than a link. The
+    * declared frontier queries pin each arm by fixture arithmetic (the
+    * UrlResolve oracle convention — rel parsing is not
+    * regex-replayable). Total, O(n), never throws. */
+  def htmlOutlinks(html: String): Array[String] = {
+    if (html == null) return Array.empty
+    val refresh = htmlRefresh(html)
+    val anchors =
+      if (htmlNofollowAll(html)) Array.empty[String]
+      else {
+        val n = html.length
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        def lower(c: Char): Char = Character.toLowerCase(c)
+        var i = 0
+        while (i < n - 2) {
+          if (html.charAt(i) == '<' && lower(html.charAt(i + 1)) == 'a' &&
+            isWsCh(html.charAt(i + 2))) {
+            var j = i + 3
+            var matched = false
+            var done = false
+            while (!done && j < n && html.charAt(j) != '>') {
+              if (j + 5 < n && lower(html.charAt(j)) == 'h' &&
+                lower(html.charAt(j + 1)) == 'r' &&
+                lower(html.charAt(j + 2)) == 'e' &&
+                lower(html.charAt(j + 3)) == 'f' &&
+                html.charAt(j + 4) == '=' &&
+                (html.charAt(j + 5) == '"' || html.charAt(j + 5) == '\'')) {
+                val q = html.charAt(j + 5)
+                val capStart = j + 6
+                val capEnd = html.indexOf(q, capStart)
+                if (capEnd >= 0) {
+                  // rel may precede the href or follow the capture
+                  // within the tag — bounded by the tag's '>' AND by
+                  // any '<' (a capture that crossed '>' must not scan
+                  // a FOLLOWING tag's rel onto this anchor)
+                  val tagEnd = {
+                    val gt = html.indexOf('>', capEnd + 1)
+                    val lt = html.indexOf('<', capEnd + 1)
+                    val g = if (gt < 0) n else gt
+                    val l = if (lt < 0) n else lt
+                    math.min(g, l)
+                  }
+                  val noF = relNofollowIn(html, i + 3, j) ||
+                    relNofollowIn(html, capEnd + 1, tagEnd)
+                  if (!noF)
+                    out += decodeAttr(html.substring(capStart, capEnd))
+                  i = capEnd
+                  matched = true
+                  done = true
+                } else j += 1
+              } else j += 1
+            }
+            if (!matched) i = j + 1 else i += 1
+          } else i += 1
+        }
+        out.toArray
+      }
+    if (refresh == null) anchors else anchors :+ refresh
+  }
+
+  /** Column form of [[htmlOutlinks]]. */
+  def htmlOutlinksCol(html: Column): Column = {
+    val u = udf((s: String) => htmlOutlinks(s))
+    u(html)
+  }
+
+  // ---------------------------------------------------------------------
   // Charset-aware body decoding. Real crawl HTML is ~10% non-UTF-8
   // (windows-1252, Shift_JIS, GBK, ...); a UTF-8-only decode turns those
   // pages into silent mojibake that flows into dedup, LM scoring and the
@@ -576,13 +831,22 @@ object HtmlText {
     * wrong-label/mojibake telemetry columns. Pass `linksCol` to also
     * emit the page's anchor hrefs ([[htmlLinks]]) from the SAME decode
     * pass -- the crawl loop needs text AND outlinks per page, and
-    * decoding the body twice would double the dominant per-row cost. */
+    * decoding the body twice would double the dominant per-row cost.
+    *
+    * `honorRobotsMeta` (r14) switches the links column to
+    * [[htmlOutlinks]] -- rel=nofollow anchors dropped, robots-meta
+    * `nofollow` drops every anchor, the [[htmlRefresh]] redirect target
+    * appended -- and `noindexCol`, when set, emits [[htmlNoindex]] per
+    * page (same pass): the crawl loop excludes those from the corpus
+    * while still feeding ledger and frontier. */
   def extractFromBodies(records: DataFrame, bodyCol: String = "body",
                         outCol: String = "text",
                         contentTypeCol: String = "http_content_type",
                         charsetCol: String = null,
                         linksCol: String = null,
-                        baseCol: String = null): DataFrame = {
+                        baseCol: String = null,
+                        honorRobotsMeta: Boolean = false,
+                        noindexCol: String = null): DataFrame = {
     require(!records.columns.contains("_charset_dec"),
       "column name _charset_dec is reserved by extractFromBodies")
     val ct =
@@ -590,11 +854,15 @@ object HtmlText {
       else lit(null).cast("string")
     val wantLinks = linksCol != null
     val wantBase = baseCol != null
+    val wantNoindex = noindexCol != null
     val dec = udf { (contentType: String, body: Array[Byte]) =>
       val (html, charset, fellBack) = decodeBody(contentType, body)
       (htmlToText(html), charset, fellBack,
-        if (wantLinks) htmlLinks(html) else Array.empty[String],
-        if (wantBase) htmlBase(html) else null)
+        if (!wantLinks) Array.empty[String]
+        else if (honorRobotsMeta) htmlOutlinks(html)
+        else htmlLinks(html),
+        if (wantBase) htmlBase(html) else null,
+        if (wantNoindex) htmlNoindex(html) else false)
     }
     val withDec = records.withColumn("_charset_dec", dec(ct, col(bodyCol)))
       .withColumn(outCol, col("_charset_dec._1"))
@@ -605,9 +873,12 @@ object HtmlText {
     val withLinks =
       if (!wantLinks) withCs
       else withCs.withColumn(linksCol, col("_charset_dec._4"))
-    val out =
+    val withBase =
       if (!wantBase) withLinks
       else withLinks.withColumn(baseCol, col("_charset_dec._5"))
+    val out =
+      if (!wantNoindex) withBase
+      else withBase.withColumn(noindexCol, col("_charset_dec._6"))
     out.drop("_charset_dec")
   }
 }

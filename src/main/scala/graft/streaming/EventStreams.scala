@@ -912,7 +912,7 @@ object EventStreams extends Serializable {
           s"charset_fallbacks=${stats.charsetFallbacks} " +
           s"empty=${stats.emptyText} dups=${stats.duplicates} " +
           s"appended=${stats.appended} redirects=${stats.redirects} " +
-          s"non_text=${stats.nonText}")
+          s"non_text=${stats.nonText} noindexed=${stats.noindexed}")
         ()
     }
 

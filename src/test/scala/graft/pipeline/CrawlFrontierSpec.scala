@@ -315,6 +315,41 @@ class CrawlFrontierSpec extends SparkTestBase {
       "https://s/readme", "https://s/unlabeled"))
   }
 
+  test("robots-meta noindex pages: ledger + frontier yes, corpus no") {
+    val idx = tmp("crawl-noindex-idx")
+    val files = Seq((0L, graft.sources.Warc.encodeWarcResponses(Seq(
+      ("https://s/indexed", 200, "text/html", null,
+        "<p>a normal page body with words</p>".getBytes("UTF-8")),
+      ("https://s/hidden", 200, "text/html", null,
+        ("""<meta name="robots" content="noindex">""" +
+          """<p>substantial text that must not become a corpus doc</p>""" +
+          """<a href="https://s/found-via-hidden">link still follows</a>""")
+          .getBytes("UTF-8")),
+      ("https://s/gone", 200, "text/html", null,
+        ("""<meta name="robots" content="none">""" +
+          """<p>none means noindex AND nofollow</p>""" +
+          """<a href="https://s/never">dropped</a>""").getBytes("UTF-8"))))))
+      .toDF("g", "payload")
+    val recs = graft.sources.Warc.warcRecords(files).toDF()
+    var pages: Map[String, Seq[String]] = null
+    val (_, stats) = Crawl.ingestBatch(spark, recs, idx, 0,
+      onPageLinks = pagesDf => {
+        pages = pagesDf.select("url", "links")
+          .as[(String, Seq[String])].collect().toMap
+      }) { _.count() }
+    // only the plain page becomes a corpus document
+    assert(Crawl.crawledUrls(spark, idx).as[String].collect().toSet ===
+      Set("https://s/indexed"), "noindex pages must not enter the corpus")
+    assert(stats.noindexed === 2L && stats.appended === 1L &&
+      stats.responses === 3L, s"stats: $stats")
+    // all three are FETCHED; the noindex page's links still flow, the
+    // none page's do not (nofollow), the refreshless pages have no extras
+    assert(pages.keySet === Set("https://s/indexed", "https://s/hidden",
+      "https://s/gone"))
+    assert(pages("https://s/hidden") === Seq("https://s/found-via-hidden"))
+    assert(pages("https://s/gone") === Seq.empty)
+  }
+
   test("fetched-ledger compaction + bloom maintenance artifacts round-trip") {
     val d = java.nio.file.Files.createTempDirectory("crawl-fetched")
     d.toFile.deleteOnExit()

@@ -293,6 +293,98 @@ class HtmlTextSpec extends SparkTestBase {
       assert(HtmlText.htmlBase(c) === regexBase(c), s"case: $c")
   }
 
+  test("htmlRefresh parses the WHATWG-tolerant content grammar") {
+    def r(content: String): String =
+      HtmlText.htmlRefresh(s"""<meta http-equiv="refresh" content="$content">""")
+    assert(r("0;url=https://t/x") === "https://t/x")
+    assert(r("5; url=https://t/x") === "https://t/x")
+    assert(r("5 ; URL = https://t/x") === "https://t/x")
+    assert(r("0,url=https://t/x") === "https://t/x") // comma separator
+    assert(r("0;URL='https://t/q'") === "https://t/q") // quoted target
+    assert(r("3; url='../rel/p'") === "../rel/p") // relative stays raw
+    // a DOUBLE-quoted target inside a double-quoted content attribute
+    // truncates the attribute at the inner quote (HTML quoting rules) —
+    // the single-quoted content form carries it whole
+    assert(HtmlText.htmlRefresh(
+      """<meta http-equiv="refresh" content='3; url="../rel/q"'>""")
+      === "../rel/q")
+    assert(r("2;https://t/bare") === "https://t/bare") // no url= prefix
+    assert(r("1.5;url= spaced ") === "spaced")
+    assert(r("30") === null) // bare number: refresh-to-self
+    assert(r("") === null)
+    assert(r(";url=") === null) // empty target
+    // header name is case-insensitive; first refresh meta wins
+    assert(HtmlText.htmlRefresh(
+      "<META HTTP-EQUIV='Refresh' CONTENT='0;url=https://a/'>" +
+        "<meta http-equiv=refresh content='0;url=https://b/'>")
+      === "https://a/")
+    // entity-decoded like any attribute value
+    assert(HtmlText.htmlRefresh(
+      """<meta http-equiv="refresh" content="0;url=https://t/p?a=1&amp;b=2">""")
+      === "https://t/p?a=1&b=2")
+    // unrelated metas don't match; total on garbage
+    assert(HtmlText.htmlRefresh("""<meta name="x" content="0;url=y">""") === null)
+    assert(HtmlText.htmlRefresh("<meta http-equiv=refresh") === null)
+    assert(HtmlText.htmlRefresh(null) === null)
+  }
+
+  test("robots meta directives: nofollow/noindex/none, first meta wins") {
+    assert(HtmlText.htmlNofollowAll(
+      """<meta name="robots" content="noindex, nofollow">"""))
+    assert(HtmlText.htmlNoindex(
+      """<meta name="robots" content="noindex, nofollow">"""))
+    assert(HtmlText.htmlNofollowAll(
+      """<meta NAME="ROBOTS" content="NONE">""")) // none = both, any case
+    assert(HtmlText.htmlNoindex("""<meta name=robots content=none>"""))
+    assert(!HtmlText.htmlNofollowAll(
+      """<meta name="robots" content="noindex">""")) // noindex alone
+    assert(HtmlText.htmlNoindex(
+      """<meta name="robots" content="noindex">"""))
+    assert(!HtmlText.htmlNoindex(
+      """<meta name="robots" content="index, follow">"""))
+    // the FIRST robots meta wins; a name=description meta is ignored
+    assert(!HtmlText.htmlNoindex(
+      """<meta name="robots" content="all"><meta name="robots" content="noindex">"""))
+    assert(!HtmlText.htmlNoindex(
+      """<meta name="description" content="noindex pages are fun">"""))
+    assert(!HtmlText.htmlNoindex(null) && !HtmlText.htmlNofollowAll(""))
+  }
+
+  test("htmlOutlinks: rel=nofollow drops, robots meta drops all, refresh rides") {
+    // rel BEFORE and AFTER the href, token lists, any case
+    assert(HtmlText.htmlOutlinks(
+      """<a href="https://k/1">k</a>
+        |<a rel="nofollow" href="https://n/1">n</a>
+        |<a href="https://n/2" rel="NoFollow">n</a>
+        |<a href="https://k/2" rel="noopener external">k</a>
+        |<a href="https://n/3" rel="a,nofollow,b">n</a>""".stripMargin)
+      .toSeq === Seq("https://k/1", "https://k/2"))
+    // page-level robots nofollow: anchors gone, refresh target rides
+    assert(HtmlText.htmlOutlinks(
+      """<meta name="robots" content="nofollow">
+        |<meta http-equiv="refresh" content="0;url=https://r/1">
+        |<a href="https://n/1">dropped</a>""".stripMargin)
+      .toSeq === Seq("https://r/1"))
+    // refresh appends after anchors on a normal page
+    assert(HtmlText.htmlOutlinks(
+      """<a href="https://k/1">k</a>
+        |<meta http-equiv="refresh" content="1;url=https://r/2">""".stripMargin)
+      .toSeq === Seq("https://k/1", "https://r/2"))
+    // entity decode applies to kept hrefs; plain pages equal htmlLinks
+    assert(HtmlText.htmlOutlinks("""<a href="p?a=1&amp;b=2">x</a>""")
+      .toSeq === Seq("p?a=1&b=2"))
+    val plain = """<a href="https://a/1">1</a><a href='https://a/2'>2</a>"""
+    assert(HtmlText.htmlOutlinks(plain).toSeq ===
+      HtmlText.htmlLinks(plain).toSeq)
+    // a rel=nofollow inside ANOTHER tag's region does not leak onto the
+    // anchor; total on garbage
+    assert(HtmlText.htmlOutlinks(
+      """<span rel="nofollow"></span><a href="https://k/1">k</a>""")
+      .toSeq === Seq("https://k/1"))
+    assert(HtmlText.htmlOutlinks(null).isEmpty)
+    assert(HtmlText.htmlOutlinks("<a href=\"https://no-close").isEmpty)
+  }
+
   test("htmlLinks stays linear on the quadratic-regex pathology") {
     // a megabyte of `<a ` starts with no '>' makes the regex engine
     // rescan to EOF per attempt (~10^11 steps); the kernel must finish
