@@ -1466,10 +1466,17 @@ object SparkEntry {
     // via the same RE2∩Java replace chain in both engines
     "q_url_normalize" -> ((s, dir) => {
       val d = tbl(s, dir, "documents").select("doc_id")
+      // percent arms (r14): %7e / %7E / ~ variants of the same key must
+      // collapse to ONE canonical form; the %3f%61 arm pins
+      // reserved-escape hex uppercasing next to unreserved decoding
+      val pctTail = when(col("doc_id") % 4 === 0, "&k=%7etilde")
+        .when(col("doc_id") % 4 === 1, "&k=%7Etilde")
+        .when(col("doc_id") % 4 === 2, "&k=~tilde")
+        .otherwise("&k=%3f%61")
       val url = concat(lit("HTTPS://Example.COM:443/Path/"),
         col("doc_id").cast("string"),
         lit("/?utm_source=news&id="), col("doc_id").cast("string"),
-        lit("&utm_medium=email#section"))
+        lit("&utm_medium=email"), pctTail, lit("#section"))
       d.select(col("doc_id"),
           graft.pipeline.UrlFilter.normalizeUrl(url).as("canon"))
         .orderBy("doc_id")
@@ -5890,47 +5897,64 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     // url normalize: same extraction-reassembly; DuckDB backrefs are \1
     // where Spark writes $1 — the one notational difference
-    "q_url_normalize" ->
-      """WITH u AS (
-        |  SELECT doc_id,
-        |    concat('HTTPS://Example.COM:443/Path/', CAST(doc_id AS VARCHAR),
-        |      '/?utm_source=news&id=', CAST(doc_id AS VARCHAR),
-        |      '&utm_medium=email#section') AS url
-        |  FROM documents),
-        |p AS (
-        |  SELECT doc_id, url,
-        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
-        |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS tail
-        |  FROM u),
-        |p2 AS (
-        |  SELECT doc_id, url, sch,
-        |    lower(regexp_extract(tail, '^([^/?#]*)', 1)) AS host,
-        |    regexp_replace(tail, '^[^/?#]*', '') AS rest
-        |  FROM p),
-        |n AS (
-        |  SELECT doc_id, url,
-        |    regexp_replace(
-        |      regexp_replace(
-        |        regexp_replace(
-        |          regexp_replace(
-        |            regexp_replace(
-        |              regexp_replace(
-        |                regexp_replace(
-        |                  regexp_replace(concat(sch, '://', host, rest),
-        |                    '#.*$', '', 'g'),
-        |                  '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*', '\1', 'g'),
-        |                '&&+', '&', 'g'),
-        |              '\?&', '?', 'g'),
-        |            '[?&]$', '', 'g'),
-        |          '^(http://[^/:?#]+):80([/?]|$)', '\1\2', 'g'),
-        |        '^(https://[^/:?#]+):443([/?]|$)', '\1\2', 'g'),
-        |      '/$', '', 'g') AS canon
-        |  FROM p2)
-        |SELECT doc_id,
-        |  CASE WHEN regexp_matches(url, '^([A-Za-z][A-Za-z0-9+.-]*)://')
-        |    THEN canon ELSE url END AS canon
-        |FROM n
-        |ORDER BY doc_id""".stripMargin,
+    "q_url_normalize" -> {
+      // the chain steps 1-5 as before; steps 6 (percent-normalization,
+      // r14) are GENERATED from UrlFilter.PctSteps so the oracle replays
+      // the engine's exact pattern list (replacement syntax translated
+      // $1 -> \1, the DuckDB convention)
+      val base =
+        """regexp_replace(
+          |      regexp_replace(
+          |        regexp_replace(
+          |          regexp_replace(
+          |            regexp_replace(
+          |              regexp_replace(
+          |                regexp_replace(
+          |                  regexp_replace(concat(sch, '://', host, rest),
+          |                    '#.*$', '', 'g'),
+          |                  '([?&])(utm_[a-z]+|gclid|fbclid)=[^&#]*', '\1', 'g'),
+          |                '&&+', '&', 'g'),
+          |              '\?&', '?', 'g'),
+          |            '[?&]$', '', 'g'),
+          |          '^(http://[^/:?#]+):80([/?]|$)', '\1\2', 'g'),
+          |        '^(https://[^/:?#]+):443([/?]|$)', '\1\2', 'g'),
+          |      '/$', '', 'g')""".stripMargin
+      val chain = graft.pipeline.UrlFilter.PctSteps
+        .foldLeft(base) { case (e, (p, r)) =>
+          s"regexp_replace($e, '$p', '${r.replace("$1", "\\1")}', 'g')"
+        }
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    concat('HTTPS://Example.COM:443/Path/', CAST(doc_id AS VARCHAR),
+         |      '/?utm_source=news&id=', CAST(doc_id AS VARCHAR),
+         |      '&utm_medium=email',
+         |      CASE CAST(doc_id % 4 AS INTEGER)
+         |        WHEN 0 THEN '&k=%7etilde'
+         |        WHEN 1 THEN '&k=%7Etilde'
+         |        WHEN 2 THEN '&k=~tilde'
+         |        ELSE '&k=%3f%61' END,
+         |      '#section') AS url
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, url,
+         |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS sch,
+         |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS tail
+         |  FROM u),
+         |p2 AS (
+         |  SELECT doc_id, url, sch,
+         |    lower(regexp_extract(tail, '^([^/?#]*)', 1)) AS host,
+         |    regexp_replace(tail, '^[^/?#]*', '') AS rest
+         |  FROM p),
+         |n AS (
+         |  SELECT doc_id, url,
+         |    $chain AS canon
+         |  FROM p2)
+         |SELECT doc_id,
+         |  CASE WHEN regexp_matches(url, '^([A-Za-z][A-Za-z0-9+.-]*)://')
+         |    THEN canon ELSE url END AS canon
+         |FROM n
+         |ORDER BY doc_id""".stripMargin
+    },
     // url dedup: the full canonicalization chain (as in q_url_normalize)
     // + group-by-canonical with min-id representative
     "doc_url_dedup" ->

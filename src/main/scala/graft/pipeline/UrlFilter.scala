@@ -38,6 +38,32 @@ object UrlFilter {
     array_distinct(transform(
       regexp_extract_all(text, lit(HostRe), lit(1)), h => lower(h)))
 
+  /** RFC 3986 §6.2.2 percent-encoding normalization as an ENGINE-
+    * PORTABLE regex step list: first decode every escape of an
+    * UNRESERVED character (`%41`→`A` … `%7E`→`~`, hex case-insensitive
+    * — 66 single-pattern steps; `%7e`, `%7E` and `~` must be ONE dedup
+    * key), then uppercase the hex of every REMAINING (reserved) escape
+    * via 12 capture steps (`%3f`→`%3F`: second nibble `a`–`f` first,
+    * then first nibble — by then the second is already upper, hence its
+    * `[0-9A-F]` class). Replacements use Spark's `$1`; the DuckDB
+    * oracle rewrites to `\1` (the established replay convention).
+    * Decoded characters are never `%` and never delimiters, so steps
+    * cannot cascade and cannot retro-trigger the earlier chain rules. */
+  val PctSteps: Seq[(String, String)] = {
+    val unreserved =
+      (('A' to 'Z') ++ ('a' to 'z') ++ ('0' to '9') ++
+        Seq('-', '.', '_', '~')).map { c =>
+        (f"(?i)%%${c.toInt}%02X", c.toString)
+      }
+    val upperSecond = ('a' to 'f').map { h =>
+      (s"%([0-9A-Fa-f])$h", s"%$$1${h.toUpper}")
+    }
+    val upperFirst = ('a' to 'f').map { h =>
+      (s"%$h([0-9A-F])", s"%${h.toUpper}$$1")
+    }
+    unreserved ++ upperSecond ++ upperFirst
+  }
+
   /**
    * Canonicalize an http(s) URL for URL-level dedup — the same page must
    * hash identically however it was cited. Rules (each a Java∩RE2
@@ -52,7 +78,12 @@ object UrlFilter {
    *      and `?my_fbclid=b` stay distinct) — with `&&`/dangling-`?`/`&`
    *      repair,
    *   4. default ports elided (`:80` on http, `:443` on https),
-   *   5. one trailing slash dropped.
+   *   5. one trailing slash dropped,
+   *   6. percent-encoding normalized ([[PctSteps]], r14): unreserved
+   *      escapes decode, remaining escapes uppercase their hex. An
+   *      encoded tracking-param name (`%75tm_source`) survives rule 3
+   *      by design — the chain IS the definition, and rule 6 runs last
+   *      so it cannot mint delimiters for the earlier rules.
    *
    * Non-URL input (no `scheme://`) passes through untouched.
    */
@@ -79,7 +110,10 @@ object UrlFilter {
         "^(http://[^/:?#]+):80([/?]|$)", "$1$2"),
       "^(https://[^/:?#]+):443([/?]|$)", "$1$2")
     val noSlash = regexp_replace(noPort, "/$", "")
-    when(url.rlike(schemeRe), noSlash).otherwise(url)
+    val pct = PctSteps.foldLeft(noSlash) { case (c, (p, r)) =>
+      regexp_replace(c, p, r)
+    }
+    when(url.rlike(schemeRe), pct).otherwise(url)
   }
 
   /** All dot-suffixes of a host: a.b.c → [a.b.c, b.c, c]. */

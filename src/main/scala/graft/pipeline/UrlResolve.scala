@@ -238,6 +238,75 @@ object UrlResolve {
   private val Port443Re =
     java.util.regex.Pattern.compile("^(https://[^/:?#]+):443([/?]|$)")
   private val SlashRe = java.util.regex.Pattern.compile("/$")
+  // the chain's percent-normalization steps, precompiled once per JVM —
+  // the MALFORMED-escape fallback path only (see pctNormalize)
+  private lazy val PctPatterns: Array[(java.util.regex.Pattern, String)] =
+    UrlFilter.PctSteps.map { case (p, r) =>
+      // the step replacements are already java.util.regex syntax ($1) —
+      // the same engine Spark's regexp_replace runs on
+      (java.util.regex.Pattern.compile(p), r)
+    }.toArray
+
+  private def hexVal(c: Char): Int =
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+
+  private def isUnreserved(b: Int): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+      (b >= '0' && b <= '9') || b == '-' || b == '.' || b == '_' || b == '~'
+
+  /** [[UrlFilter.PctSteps]]'s exact semantics in one linear scan. When
+    * EVERY `%` starts a valid two-hex escape (the overwhelming case),
+    * the scan is provably step-equivalent: decode steps consume whole
+    * valid escapes, decoded characters are never `%`, and the uppercase
+    * steps' three-char match regions lie entirely inside remaining
+    * escapes — so per-escape local rewriting equals the global chain. A
+    * MALFORMED escape breaks that locality (a decoded char landing
+    * after a dangling `%h` can complete a pattern the scan never sees:
+    * `"%6%61"` → chain `"%6A"`… decode→`"%6a"`→upper→`"%6A"`), so such
+    * inputs take the chain's exact precompiled patterns instead.
+    * UrlResolveSpec cross-checks both paths against the Column chain. */
+  private[pipeline] def pctNormalize(s: String): String = {
+    val first = s.indexOf('%')
+    if (first < 0) return s
+    val n = s.length
+    // one pass: detect malformation; valid escapes advance by 3
+    var j = first
+    while (j >= 0) {
+      if (j + 2 >= n || hexVal(s.charAt(j + 1)) < 0 ||
+        hexVal(s.charAt(j + 2)) < 0) {
+        // malformed escape: replay the chain's own regexes
+        var out = s
+        var k = 0
+        while (k < PctPatterns.length) {
+          out = PctPatterns(k)._1.matcher(out).replaceAll(PctPatterns(k)._2)
+          k += 1
+        }
+        return out
+      }
+      j = s.indexOf('%', j + 3)
+    }
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '%') {
+        val h1 = s.charAt(i + 1)
+        val h2 = s.charAt(i + 2)
+        val b = hexVal(h1) * 16 + hexVal(h2)
+        if (isUnreserved(b)) sb.append(b.toChar)
+        else sb.append('%').append(Character.toUpperCase(h1))
+          .append(Character.toUpperCase(h2))
+        i += 3
+      } else {
+        sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
 
   /** [[UrlFilter.normalizeUrl]]'s exact semantics on a [[resolve]]
     * output (see the block comment): fast-path identity when one scan
@@ -253,26 +322,27 @@ object UrlResolve {
     var work = false
     // authority span: any non-lowercase-ASCII byte (uppercase needs
     // lowering; non-ASCII may case-fold), ':' (maybe a default port),
-    // or '&' — the chain's UtmRe/DanglingRe are NOT query-scoped, so an
+    // '&' — the chain's UtmRe/DanglingRe are NOT query-scoped, so an
     // '&' inside userinfo ('https://u&gclid=x@h.ex/p') or a trailing
     // authority '&' ('https://a.ex&') makes them fire; without this arm
     // the fast path would return such urls untouched while the Column
-    // chain rewrites them, breaking the output-identical pin
+    // chain rewrites them, breaking the output-identical pin — or '%'
+    // (r14: an escape may need percent-normalization)
     var i = authStart
     while (!work && i < authEnd) {
       val c = u.charAt(i)
-      if ((c >= 'A' && c <= 'Z') || c == ':' || c == '&' || c > 0x7E)
-        work = true
+      if ((c >= 'A' && c <= 'Z') || c == ':' || c == '&' || c == '%' ||
+        c > 0x7E) work = true
       i += 1
     }
     // rest of string: query/fragment markers (utm strip, dangling
     // repair) — '&' in a PATH also routes slow, the chain's regex is
-    // not query-scoped. Path case is preserved, so uppercase there is
-    // fine.
+    // not query-scoped — and '%' (percent-normalization). Path case is
+    // preserved, so uppercase there is fine.
     i = authEnd
     while (!work && i < n) {
       val c = u.charAt(i)
-      if (c == '?' || c == '&' || c == '#') work = true
+      if (c == '?' || c == '&' || c == '#' || c == '%') work = true
       i += 1
     }
     if (!work && n > authStart && u.charAt(n - 1) == '/') work = true
@@ -295,7 +365,7 @@ object UrlResolve {
       .replaceAll("")
     val noPort = Port443Re.matcher(
       Port80Re.matcher(noDangle).replaceAll("$1$2")).replaceAll("$1$2")
-    SlashRe.matcher(noPort).replaceAll("")
+    pctNormalize(SlashRe.matcher(noPort).replaceAll(""))
   }
 
   /** Resolve + canonicalize in ONE kernel call — the frontier's

@@ -193,11 +193,27 @@ class UrlResolveSpec extends graft.SparkTestBase {
       "https://a&b.ex/p",                         // benign '&' in authority
       "https://a.ex/x?a=1&b=2",                   // clean query untouched
       "https://résumé.ex/p",            // non-ASCII authority
-      "https://a.ex/UPPER/path")                  // path case preserved
+      "https://a.ex/UPPER/path",                  // path case preserved
+      // percent-normalization (r14): unreserved escapes decode in any
+      // hex case, reserved escapes uppercase their hex, and the
+      // malformed-escape fallback replays the chain's exact patterns
+      "https://a.ex/%7etilde", "https://a.ex/%7Etilde",
+      "https://a.ex/p?k=%41%6223",                // %41%62 -> Ab
+      "https://a.ex/a%2fb",                       // reserved: %2f -> %2F
+      "https://a.ex/%3f%3d",                      // %3F%3D stays encoded
+      "https://a.ex/%2d%2e%5f%7e",                // all unreserved marks
+      "https://a.ex/p?x=%zz",                     // malformed: not hex
+      "https://a.ex/p%4",                         // dangling single nibble
+      "https://a.ex/%6%61",                       // THE adjacency trap: a
+      // decoded 'a' completes %6a for the chain; kernel must match it
+      "https://a.ex/%4%41", "https://a.ex/%%41",  // more malformed soup
+      "https://a.ex/%")                           // lone percent
     val rnd = new scala.util.Random(7)
     val hosts = Seq("a.ex", "B.Ex:443", "u@C.EX", "d.ex:9090")
-    val paths = Seq("", "/p", "/p/", "/P&gclid=x", "/a/b")
-    val queries = Seq("", "?utm_x=1", "?k=1&gclid=2", "?&", "?k=1&utm_a=&z=3")
+    val paths = Seq("", "/p", "/p/", "/P&gclid=x", "/a/b",
+      "/%7e", "/%2F%61", "/%6%62", "/x%")
+    val queries = Seq("", "?utm_x=1", "?k=1&gclid=2", "?&", "?k=1&utm_a=&z=3",
+      "?e=%7E&f=%4a", "?g=%5%35")
     val randoms = for (_ <- 0 until 200) yield
       s"${if (rnd.nextBoolean()) "http" else "https"}://${hosts(rnd.nextInt(hosts.length))}" +
         s"${paths(rnd.nextInt(paths.length))}${queries(rnd.nextInt(queries.length))}"
