@@ -263,6 +263,55 @@ object Warc {
     out.result()
   }
 
+  /** RFC 7230 §4.1 chunked transfer decoding: `hex-size[;ext]\r\n data
+    * \r\n` frames until a zero-size frame (trailers ignored). Common
+    * Crawl ships de-chunked WARCs, but raw-proxy self-recordings carry
+    * the wire framing — without this, chunk-size lines are embedded in
+    * every extracted text. Returns None on ANY framing violation
+    * (non-hex size, size past end-of-payload, missing frame LF) — the
+    * caller keeps the raw bytes; a total parse must never turn a
+    * mislabeled body into garbage. Bare-LF line ends tolerated (the
+    * header-parse convention). */
+  private[sources] def dechunk(b: Array[Byte]): Option[Array[Byte]] = {
+    val n = b.length
+    val out = new java.io.ByteArrayOutputStream(math.min(n, 1 << 20))
+    var i = 0
+    while (true) {
+      var le = i
+      while (le < n && b(le) != '\n') le += 1
+      if (le >= n) return None // no size line terminator
+      var size = 0L
+      var k = i
+      var any = false
+      var stop = false
+      while (!stop && k < le) {
+        val c = (b(k) & 0xFF).toChar
+        val h =
+          if (c >= '0' && c <= '9') c - '0'
+          else if (c >= 'a' && c <= 'f') c - 'a' + 10
+          else if (c >= 'A' && c <= 'F') c - 'A' + 10
+          else -1
+        if (h >= 0) {
+          size = size * 16 + h
+          if (size > Int.MaxValue.toLong) return None
+          any = true
+          k += 1
+        } else if (c == ';' || c == '\r') stop = true // extensions/EOL
+        else return None // garbage in the size line
+      }
+      if (!any) return None
+      i = le + 1
+      if (size == 0L) return Some(out.toByteArray) // trailers ignored
+      if (i + size > n) return None
+      out.write(b, i, size.toInt)
+      i += size.toInt
+      if (i < n && b(i) == '\r') i += 1
+      if (i >= n || b(i) != '\n') return None // missing frame terminator
+      i += 1
+    }
+    None // unreachable
+  }
+
   /** Lift one raw record into [[WarcRecord]], splitting the HTTP layer
     * out of response payloads. */
   private def toRecord(hdrs: Map[String, String],
@@ -287,6 +336,13 @@ object Warc {
         httpCt = hh.getOrElse("content-type", null)
         httpLoc = hh.getOrElse("location", null)
         body = java.util.Arrays.copyOfRange(payload, he, payload.length)
+        // de-chunk when the wire framing is present (r14): chunked is
+        // the FINAL transfer coding by RFC 7230 §3.3.1, so a token-list
+        // value ("gzip, chunked") still means the outer framing is
+        // chunked frames. Framing violations keep the raw bytes.
+        val te = hh.getOrElse("transfer-encoding", "")
+        if (te.toLowerCase(java.util.Locale.ROOT).contains("chunked"))
+          body = dechunk(body).getOrElse(body)
       }
     }
     WarcRecord(wtype, hdrs.getOrElse("warc-target-uri", null),

@@ -45,6 +45,51 @@ class WarcSpec extends SparkTestBase {
     assert(recs(1).body.toSeq === trap.toSeq)
   }
 
+  test("chunked Transfer-Encoding bodies de-chunk; framing violations keep raw") {
+    // hand-built wire framing (RFC 7230 §4.1): sizes in hex, an
+    // extension on the first frame, a trailer header after the 0 frame
+    def warcOf(httpPayload: Array[Byte]): Array[Byte] = {
+      val head = ("WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        "WARC-Target-URI: https://c.test/chunked\r\n" +
+        "WARC-Date: 2026-01-01T00:00:00Z\r\n" +
+        "WARC-Record-ID: <urn:uuid:1>\r\n" +
+        "Content-Type: application/http;msgtype=response\r\n" +
+        s"Content-Length: ${httpPayload.length}\r\n\r\n")
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      head ++ httpPayload ++ "\r\n\r\n".getBytes(utf8)
+    }
+    def http(te: String, body: String): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        s"Transfer-Encoding: $te\r\n\r\n$body").getBytes(utf8)
+
+    val chunked = "B;ext=1\r\n<p>hello, w\r\n6\r\norld</\r\n2\r\np>\r\n" +
+      "0\r\nX-Trailer: t\r\n\r\n"
+    val got = Warc.parseWarc(warcOf(http("chunked", chunked)))
+    assert(got.length === 1)
+    assert(new String(got(0).body, utf8) === "<p>hello, world</p>",
+      s"dechunked: ${new String(got(0).body, utf8)}")
+    // token-list value: chunked is the final coding by spec
+    val got2 = Warc.parseWarc(warcOf(http("gzip, chunked", chunked)))
+    assert(new String(got2(0).body, utf8) === "<p>hello, world</p>")
+    // bare-LF framing (crawl reality) decodes too
+    val lfChunked = "B\n<p>hello, w\n6\norld</\n2\np>\n0\n\n"
+    val got3 = Warc.parseWarc(warcOf(http("chunked", lfChunked)))
+    assert(new String(got3(0).body, utf8) === "<p>hello, world</p>")
+    // framing violations: mislabeled plain body, size past end, garbage
+    // size line — all keep the RAW bytes (total, never garbled)
+    for (bad <- Seq("<p>not actually chunked</p>",
+      "FFFF\r\nshort\r\n0\r\n\r\n", "zz\r\nx\r\n0\r\n\r\n", "")) {
+      val r = Warc.parseWarc(warcOf(http("chunked", bad)))
+      assert(new String(r(0).body, utf8) === bad, s"raw kept for: $bad")
+    }
+    // a Content-Length body without the header is untouched
+    val plain = Warc.parseWarc(warcOf(
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+        "5\r\nx").getBytes(utf8)))
+    assert(new String(plain(0).body, utf8) === "5\r\nx")
+  }
+
   test("tolerates truncation and garbage: parses the prefix, never throws") {
     val full = fileOf(false)
     val cut = java.util.Arrays.copyOf(full, full.length - 20)
