@@ -2788,6 +2788,27 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Refresh policy (r14): the fetched ledger gates re-DISCOVERY
+    // forever by design, so page refresh is a separate feed —
+    // recrawlSeeds returns urls whose LAST fetch predates the cutoff.
+    // Every page fetched at batch doc_id%10; every third REFETCHED at
+    // doc_id%10+5 — the refetch must advance that url's age out of the
+    // due set (the oracle rebuilds last_batch per arm and filters).
+    "crawl_recrawl_due" -> ((s, dir) => {
+      val fd = java.nio.file.Files.createTempDirectory("graft_recrawl_")
+      deleteRecursivelyOnExit(fd)
+      val fDir = fd.resolve("frontier").toString
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val url = concat(lit("https://h"), col("doc_id") % 7,
+        lit(".example/page/"), col("doc_id"))
+      docs.select(url.as("url"), (col("doc_id") % 10).as("batch"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select(url.as("url"), (col("doc_id") % 10 + 5).as("batch")))
+        .write.partitionBy("batch").parquet(s"$fDir/fetched")
+      graft.pipeline.Crawl.recrawlSeeds(s, fDir, beforeBatch = 7)
+        .orderBy("url")
+    }),
+
     // Markup politeness signals (r14): rel=nofollow anchors drop (the
     // attribute before OR after the href, token lists, any case), a
     // robots-meta nofollow page contributes NO anchors, and
@@ -6959,6 +6980,17 @@ object SparkEntry {
         |  WHERE c.url IS NULL)
         |SELECT url, CAST(count(*) AS BIGINT) AS n_refs
         |FROM fresh GROUP BY url ORDER BY url""".stripMargin,
+    // refresh-due urls rebuilt per arm: last fetch = doc_id%10, +5 when
+    // refetched (doc_id%3=0); due = last < 7
+    "crawl_recrawl_due" ->
+      """WITH f AS (
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/page/' || CAST(doc_id AS VARCHAR) AS url,
+        |    CASE WHEN doc_id % 3 = 0 THEN doc_id % 10 + 5
+        |         ELSE doc_id % 10 END AS last_batch
+        |  FROM documents)
+        |SELECT url, CAST(last_batch AS BIGINT) AS last_batch
+        |FROM f WHERE last_batch < 7 ORDER BY url""".stripMargin,
     // markup politeness arms rebuilt from the fixture arithmetic: the
     // kept anchor, the absolute (id%3=0) and page-resolved relative
     // (id%3=1) refresh targets, and the robots-nofollow meta page's

@@ -505,11 +505,15 @@ object Crawl {
   // post-cutoff trickle is checked exactly.
   // ------------------------------------------------------------------
 
-  /** Fold every `fetched/batch=N` partition into ONE partition keyed by
-    * the highest batch id seen (urls distinct — the ledger is a set).
-    * Atomic delete+rename swap (the maintenance convention); replays of
+  /** Fold the `fetched/batch=N` partitions to ONE ROW PER URL at its
+    * LAST fetch batch (since r14 — a flat distinct collapsed every
+    * url's age to the compaction batch, which destroyed the
+    * [[recrawlSeeds]] refresh signal), re-partitioned by that batch so
+    * the small-file accumulation still folds (≤ one file per distinct
+    * last-batch value) and batch-ranged reads keep pruning. Atomic
+    * delete+rename swap (the maintenance convention); replays of
     * PRE-compaction batches are out of contract afterwards, like every
-    * index compaction here. Returns the retained batch id, or -1 when
+    * index compaction here. Returns the max batch id seen, or -1 when
     * the ledger is empty/absent. */
   def compactFetched(spark: SparkSession, frontierDir: String): Long = {
     import org.apache.hadoop.fs.Path
@@ -523,8 +527,8 @@ object Crawl {
     }
     val tmp = new Path(s"$frontierDir/fetched._compacting")
     fs.delete(tmp, true)
-    df.select("url").distinct()
-      .write.parquet(s"$tmp/batch=$maxBatch")
+    df.groupBy("url").agg(max(col("batch")).cast("long").as("batch"))
+      .write.partitionBy("batch").parquet(tmp.toString)
     val old = new Path(s"$frontierDir/fetched._old")
     fs.delete(old, true)
     if (!fs.rename(fetched, old))
@@ -534,6 +538,24 @@ object Crawl {
     fs.delete(old, true)
     maxBatch
   }
+
+  /** Refresh policy (r14): urls whose LAST fetch is older than
+    * `beforeBatch` — the fetched ledger gates re-DISCOVERY forever (by
+    * design: a frontier that re-emits crawled pages double-fetches),
+    * so page refresh is a separate maintenance-cadence feed a fetcher
+    * consumes directly, bypassing the discovery gate. Returns
+    * (url, last_batch) with the OLDEST first being the natural fetch
+    * priority; refetched pages land a new `fetched/batch=N` row, which
+    * advances their max(batch) out of the due set automatically.
+    * Scale: one groupBy over the ledger — corpus-sized, maintenance
+    * cadence only (never per batch); run after [[compactFetched]] for
+    * a single-partition scan. */
+  def recrawlSeeds(spark: SparkSession, frontierDir: String,
+                   beforeBatch: Long): DataFrame =
+    spark.read.parquet(s"$frontierDir/fetched")
+      .groupBy("url")
+      .agg(max(col("batch")).cast("long").as("last_batch"))
+      .filter(col("last_batch") < beforeBatch)
 
   /** Fold every `next/batch=N` frontier partition into ONE partition
     * keyed by the highest batch id seen: ref counts SUM per url (the

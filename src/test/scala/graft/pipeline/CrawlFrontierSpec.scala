@@ -375,15 +375,43 @@ class CrawlFrontierSpec extends SparkTestBase {
       .write.parquet(s"$fDir/next/batch=1")
     assert(Crawl.buildFetchedBloom(spark, fDir, null, 1000L, 0.01, bp)
       === 2L)
-    // compaction folds to ONE partition keyed by the max batch id
+    // compaction folds to one row per url AT ITS LAST FETCH BATCH
+    // (r14 — the age is the recrawlSeeds refresh signal)
     assert(Crawl.compactFetched(spark, fDir) === 1L)
     val after = spark.read.parquet(s"$fDir/fetched")
       .select("batch", "url").as[(Long, String)].collect().toSet
-    assert(after === Set((1L, "https://f/1"), (1L, "https://f/2"),
+    assert(after === Set((0L, "https://f/1"), (1L, "https://f/2"),
       (1L, "https://f/3")))
     // missing artifacts -> None (stream falls back to the exact path)
     assert(Crawl.loadFetchedBloom(spark, d.resolve("nope.bloom").toString)
       .isEmpty)
+  }
+
+  test("recrawlSeeds: last-fetch age survives compaction; refetch clears due") {
+    val d = java.nio.file.Files.createTempDirectory("crawl-recrawl")
+    d.toFile.deleteOnExit()
+    val fDir = d.resolve("frontier").toString
+    Seq("https://r/old", "https://r/refetched").toDF("url")
+      .write.parquet(s"$fDir/fetched/batch=0")
+    Seq("https://r/mid").toDF("url")
+      .write.parquet(s"$fDir/fetched/batch=3")
+    Seq("https://r/refetched", "https://r/new").toDF("url")
+      .write.parquet(s"$fDir/fetched/batch=8")
+    def due(before: Long): Set[(String, Long)] =
+      Crawl.recrawlSeeds(spark, fDir, before)
+        .as[(String, Long)].collect().toSet
+    // the refetch at batch 8 advanced that url's age out of the due set
+    assert(due(5L) === Set(("https://r/old", 0L), ("https://r/mid", 3L)))
+    assert(due(1L) === Set(("https://r/old", 0L)))
+    assert(due(9L).map(_._1) === Set("https://r/old", "https://r/mid",
+      "https://r/refetched", "https://r/new"))
+    // compaction preserves every url's last-fetch batch
+    assert(Crawl.compactFetched(spark, fDir) === 8L)
+    assert(due(5L) === Set(("https://r/old", 0L), ("https://r/mid", 3L)))
+    val folded = spark.read.parquet(s"$fDir/fetched")
+      .select("url", "batch").as[(String, Long)].collect().toSet
+    assert(folded === Set(("https://r/old", 0L), ("https://r/mid", 3L),
+      ("https://r/refetched", 8L), ("https://r/new", 8L)))
   }
 
   test("compactNext folds ref counts and drops since-fetched urls") {
