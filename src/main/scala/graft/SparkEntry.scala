@@ -2788,6 +2788,42 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // rel=canonical dedup (r14): the site-declared "one true URL" is
+    // the URL-level dedup key real pipelines use — tracking-param
+    // variants and mirror hosts declare the SAME canonical and collapse
+    // to one corpus row where their fetched urls never would. Arms:
+    // absolute canonical (id%3=0), entity-escaped single-quoted
+    // canonical with a tracking param the normalize strips — SAME key
+    // as arm 0 (id%3=1), and no canonical -> the page url itself,
+    // normalized, is the key (id%3=2). htmlCanonical walks <link>
+    // attributes in either order; the canonical resolves against the
+    // page like any href.
+    "crawl_canonical_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val pages = tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val own = s"HTTPS://H${id % 7}.EXAMPLE:443/self/$id"
+          val canon = s"https://c.example/page/${id % 40}"
+          val html = (id % 3) match {
+            case 0 =>
+              s"""<link rel="canonical" href="$canon"><p>v$id</p>"""
+            case 1 =>
+              s"""<link href='$canon?utm_source=v$id&amp;gclid=g$id' rel='canonical'>
+                 |<p>variant $id</p>""".stripMargin
+            case _ => s"<p>no canonical $id</p>"
+          }
+          (id, own, html)
+        }.toDF("doc_id", "url", "html")
+      val canonical = graft.pipeline.HtmlText.htmlCanonicalCol(col("html"))
+      pages.select(col("doc_id"),
+          graft.pipeline.UrlResolve.resolveAndNormalizeCol(col("url"),
+            coalesce(canonical, col("url"))).as("canonical"))
+        .groupBy("canonical")
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_copies"))
+        .orderBy("canonical")
+    }),
+
     // Refresh policy (r14): the fetched ledger gates re-DISCOVERY
     // forever by design, so page refresh is a separate feed —
     // recrawlSeeds returns urls whose LAST fetch predates the cutoff.
@@ -6980,6 +7016,22 @@ object SparkEntry {
         |  WHERE c.url IS NULL)
         |SELECT url, CAST(count(*) AS BIGINT) AS n_refs
         |FROM fresh GROUP BY url ORDER BY url""".stripMargin,
+    // canonical keys rebuilt per arm: ids with a declared canonical
+    // (id%3 in 0,1 — the escaped tracking-param variant normalizes to
+    // the SAME key) collapse per id%40 group; no-canonical pages key on
+    // their own normalized url (unique)
+    "crawl_canonical_dedup" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 IN (0, 1)
+        |      THEN 'https://c.example/page/' || CAST(doc_id % 40 AS VARCHAR)
+        |      ELSE 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |           '.example/self/' || CAST(doc_id AS VARCHAR) END
+        |      AS canonical
+        |  FROM documents)
+        |SELECT canonical, min(doc_id) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies
+        |FROM k GROUP BY canonical ORDER BY canonical""".stripMargin,
     // refresh-due urls rebuilt per arm: last fetch = doc_id%10, +5 when
     // refetched (doc_id%3=0); due = last < 7
     "crawl_recrawl_due" ->

@@ -539,6 +539,56 @@ object HtmlText {
     if (target.isEmpty) null else target
   }
 
+  /** The FIRST `<link rel="canonical" href="…">` target, entity-
+    * decoded, or null — the site-declared "this content's one true
+    * URL". Training pipelines key URL-level dedup on it: mirrors,
+    * tracking-param variants and m.-subdomain mobile pages all declare
+    * the same canonical, collapsing to one corpus row where the
+    * fetched urls never would. Attribute ORDER is free (`href` before
+    * or after `rel`) so this walks the tag's attributes (the
+    * robots-meta discipline) rather than extending the LinkPattern
+    * regex contract; the value may be RELATIVE — resolution against
+    * the page base is the caller's step, like every href. Total, O(n),
+    * never throws. */
+  def htmlCanonical(html: String): String = {
+    if (html == null) return null
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val at = indexOfIgnoreCase(html, "<link", i)
+      if (at < 0) return null
+      var p = at + 5
+      if (p < n && (isWsCh(html.charAt(p)) || html.charAt(p) == '/')) {
+        var relAttr: String = null
+        var hrefAttr: String = null
+        val end = {
+          val gt = html.indexOf('>', p)
+          if (gt < 0) n else gt
+        }
+        eachAttr(html, p, end + 1) { (name, value) =>
+          name match {
+            case "rel" => if (relAttr == null) relAttr = value
+            case "href" => if (hrefAttr == null) hrefAttr = value
+            case _ => ()
+          }
+          false
+        }
+        if (relAttr != null &&
+          robotsTokens(relAttr).contains("canonical") &&
+          hrefAttr != null && hrefAttr.nonEmpty)
+          return decodeAttr(hrefAttr)
+      }
+      i = at + 5
+    }
+    null
+  }
+
+  /** Column form of [[htmlCanonical]]. */
+  def htmlCanonicalCol(html: Column): Column = {
+    val u = udf((s: String) => htmlCanonical(s))
+    u(html)
+  }
+
   /** Does the attribute region `[from, until)` declare
     * `rel="…nofollow…"` (token list, case-insensitive)? */
   private def relNofollowIn(s: String, from: Int, until: Int): Boolean = {

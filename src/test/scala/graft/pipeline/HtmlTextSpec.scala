@@ -385,6 +385,27 @@ class HtmlTextSpec extends SparkTestBase {
     assert(HtmlText.htmlOutlinks("<a href=\"https://no-close").isEmpty)
   }
 
+  test("htmlCanonical: attribute order free, first wins, entity-decoded") {
+    val c = HtmlText.htmlCanonical _
+    assert(c("""<link rel="canonical" href="https://c/1">""") === "https://c/1")
+    assert(c("""<link href='https://c/2' rel='canonical'>""") === "https://c/2")
+    assert(c("""<LINK REL="Canonical" HREF="https://c/3">""") === "https://c/3")
+    assert(c("""<link rel="alternate canonical" href="https://c/4">""")
+      === "https://c/4") // token list
+    assert(c("""<link rel="stylesheet" href="x.css">
+        |<link rel="canonical" href="https://c/5">
+        |<link rel="canonical" href="https://c/6">""".stripMargin)
+      === "https://c/5") // first canonical wins; non-canonical links skip
+    assert(c("""<link rel="canonical" href="p?a=1&amp;b=2">""") === "p?a=1&b=2")
+    assert(c("""<link rel="canonical" href=/bare/ok>""") === "/bare/ok")
+    assert(c("""<link rel="canonical">""") === null) // no href
+    assert(c("""<a rel="canonical" href="https://not-link/">""") === null)
+    assert(c("""<linkrel="canonical" href="https://no-ws/">""") === null)
+    assert(c("<link rel=\"canonical\" href=\"https://unclosed")
+      === "https://unclosed") // unclosed tag: attrs to EOF, total
+    assert(c("") === null && c(null) === null)
+  }
+
   test("htmlLinks stays linear on the quadratic-regex pathology") {
     // a megabyte of `<a ` starts with no '>' makes the regex engine
     // rescan to EOF per attempt (~10^11 steps); the kernel must finish
