@@ -461,14 +461,56 @@ object HtmlText {
     null
   }
 
+  /** BOTH politeness meta signals in ONE document scan: the FIRST
+    * `<meta name="robots">` content and the FIRST
+    * `<meta http-equiv="refresh">` content (each entity-decoded, null
+    * when absent). The fused decode UDF needs robots tokens AND the
+    * refresh target per page — separate firstMeta walks would scan the
+    * document once per signal, a real per-page tax at corpus scale.
+    * Stops early once both are found. */
+  private[pipeline] def metaSignals(html: String): (String, String) = {
+    if (html == null) return (null, null)
+    val n = html.length
+    var robots: String = null
+    var refresh: String = null
+    var i = 0
+    while (i < n && (robots == null || refresh == null)) {
+      val at = indexOfIgnoreCase(html, "<meta", i)
+      if (at < 0) return (robots, refresh)
+      var p = at + 5
+      if (p < n && (isWsCh(html.charAt(p)) || html.charAt(p) == '/')) {
+        var nameAttr: String = null
+        var httpEquiv: String = null
+        var contentAttr: String = null
+        val end = {
+          val gt = html.indexOf('>', p)
+          if (gt < 0) n else gt
+        }
+        eachAttr(html, p, end + 1) { (name, value) =>
+          name match {
+            case "name" => if (nameAttr == null) nameAttr = value
+            case "http-equiv" => if (httpEquiv == null) httpEquiv = value
+            case "content" => if (contentAttr == null) contentAttr = value
+            case _ => ()
+          }
+          false
+        }
+        if (robots == null && nameAttr != null &&
+          nameAttr.trim.equalsIgnoreCase("robots") && contentAttr != null)
+          robots = decodeAttr(contentAttr)
+        if (refresh == null && httpEquiv != null &&
+          httpEquiv.trim.equalsIgnoreCase("refresh") && contentAttr != null)
+          refresh = decodeAttr(contentAttr)
+      }
+      i = at + 5
+    }
+    (robots, refresh)
+  }
+
   /** The content value of the FIRST `<meta name="robots">`, entity-
     * decoded, or null. Directive parsing is [[robotsTokens]]. */
   private[pipeline] def htmlMetaRobots(html: String): String =
-    firstMeta(html) { (name, _, content) =>
-      if (name != null && name.trim.equalsIgnoreCase("robots") &&
-        content != null) decodeAttr(content)
-      else null
-    }
+    metaSignals(html)._1
 
   private def robotsTokens(content: String): Set[String] =
     if (content == null) Set.empty
@@ -476,32 +518,33 @@ object HtmlText {
       .split("[\\t\\n\\f\\r ,]+").iterator.map(_.trim).filter(_.nonEmpty)
       .toSet
 
+  private def nofollowTokens(t: Set[String]): Boolean =
+    t.contains("nofollow") || t.contains("none")
+  private def noindexTokens(t: Set[String]): Boolean =
+    t.contains("noindex") || t.contains("none")
+
   /** Page-level "do not follow this page's links" — `<meta
     * name="robots">` carrying `nofollow` or `none` (= noindex,nofollow). */
-  def htmlNofollowAll(html: String): Boolean = {
-    val t = robotsTokens(htmlMetaRobots(html))
-    t.contains("nofollow") || t.contains("none")
-  }
+  def htmlNofollowAll(html: String): Boolean =
+    nofollowTokens(robotsTokens(htmlMetaRobots(html)))
 
   /** Page-level "do not index this page's content" — `noindex`/`none`.
     * A noindex page is still FETCHED (ledger) and its links may still
     * be followed; it just must not become a corpus document. */
-  def htmlNoindex(html: String): Boolean = {
-    val t = robotsTokens(htmlMetaRobots(html))
-    t.contains("noindex") || t.contains("none")
-  }
+  def htmlNoindex(html: String): Boolean =
+    noindexTokens(robotsTokens(htmlMetaRobots(html)))
 
   /** The FIRST `<meta http-equiv="refresh">` target url (raw — caller
     * resolves against the page base like any href), or null. Content
     * grammar per WHATWG's tolerant parse: optional seconds number, a
     * `;`/`,` separator, optional `url` `=`, optionally quoted target.
     * A bare-number content (refresh-to-self) yields null. */
-  def htmlRefresh(html: String): String = {
-    val content = firstMeta(html) { (_, equiv, c) =>
-      if (equiv != null && equiv.trim.equalsIgnoreCase("refresh") &&
-        c != null) decodeAttr(c)
-      else null
-    }
+  def htmlRefresh(html: String): String =
+    parseRefreshContent(metaSignals(html)._2)
+
+  /** The content-grammar half of [[htmlRefresh]], over an already-
+    * extracted (entity-decoded) content value. */
+  private def parseRefreshContent(content: String): String = {
     if (content == null) return null
     val n = content.length
     var i = 0
@@ -613,9 +656,18 @@ object HtmlText {
     * regex-replayable). Total, O(n), never throws. */
   def htmlOutlinks(html: String): Array[String] = {
     if (html == null) return Array.empty
-    val refresh = htmlRefresh(html)
+    val (robots, refreshContent) = metaSignals(html)
+    outlinksImpl(html, nofollowTokens(robotsTokens(robots)),
+      parseRefreshContent(refreshContent))
+  }
+
+  /** [[htmlOutlinks]] with the meta signals PRE-COMPUTED — the fused
+    * decode UDF scans the document for `<meta>` once and feeds both
+    * this and the noindex column. */
+  private def outlinksImpl(html: String, nofollowAll: Boolean,
+                           refresh: String): Array[String] = {
     val anchors =
-      if (htmlNofollowAll(html)) Array.empty[String]
+      if (nofollowAll) Array.empty[String]
       else {
         val n = html.length
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -907,12 +959,20 @@ object HtmlText {
     val wantNoindex = noindexCol != null
     val dec = udf { (contentType: String, body: Array[Byte]) =>
       val (html, charset, fellBack) = decodeBody(contentType, body)
+      // ONE <meta> scan feeds links-gating AND the noindex column
+      val needSignals = (wantLinks && honorRobotsMeta) || wantNoindex
+      val (robots, refreshC) =
+        if (needSignals) metaSignals(html) else (null, null)
+      val toks =
+        if (needSignals) robotsTokens(robots) else Set.empty[String]
       (htmlToText(html), charset, fellBack,
         if (!wantLinks) Array.empty[String]
-        else if (honorRobotsMeta) htmlOutlinks(html)
+        else if (honorRobotsMeta)
+          outlinksImpl(html, nofollowTokens(toks),
+            parseRefreshContent(refreshC))
         else htmlLinks(html),
         if (wantBase) htmlBase(html) else null,
-        if (wantNoindex) htmlNoindex(html) else false)
+        wantNoindex && noindexTokens(toks))
     }
     val withDec = records.withColumn("_charset_dec", dec(ct, col(bodyCol)))
       .withColumn(outCol, col("_charset_dec._1"))
