@@ -2788,6 +2788,25 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Frontier domain blocklist (r14): a crawl must not even SCHEDULE a
+    // blocklisted host — dropBlockedUrls gates the frontier by host
+    // dot-suffix (exact or subdomain) against a broadcast blocklist,
+    // the frontier-side sibling of the text-scanning
+    // doc_blocked_domains. Blocks the single-quote fixture host
+    // (sq.example) and one of the rotating hosts (h1.example, incl.
+    // its :8443 port variants — hostOf strips ports).
+    "crawl_frontier_blocked" -> ((s, dir) => {
+      import s.implicits._
+      val pages = crawlFixtureLinkPages(s, dir)
+      val frontier = graft.pipeline.Crawl.frontier(pages,
+        pages.select(col("url")))
+      val blocklist = Seq("sq.example", "h1.example").toDF("domain")
+      graft.pipeline.UrlFilter.dropBlockedUrls(frontier, "url",
+          blocklist, "domain")
+        .select(col("url"), col("n_refs"))
+        .orderBy("url")
+    }),
+
     // rel=canonical dedup (r14): the site-declared "one true URL" is
     // the URL-level dedup key real pipelines use — tracking-param
     // variants and mirror hosts declare the SAME canonical and collapse
@@ -7016,6 +7035,22 @@ object SparkEntry {
         |  WHERE c.url IS NULL)
         |SELECT url, CAST(count(*) AS BIGINT) AS n_refs
         |FROM fresh GROUP BY url ORDER BY url""".stripMargin,
+    // the frontier minus blocklisted hosts: suffix semantics rebuilt
+    // with exact-or-dot-suffix host matching on the HostRe capture
+    "crawl_frontier_blocked" ->
+      s"""WITH $crawlFixtureCte,
+         |fr AS (
+         |  SELECT url, CAST(count(*) AS BIGINT) AS n_refs
+         |  FROM fresh GROUP BY url),
+         |hosted AS (
+         |  SELECT url, n_refs,
+         |    lower(regexp_extract(url,
+         |      '${graft.pipeline.UrlFilter.HostRe}', 1)) AS host
+         |  FROM fr)
+         |SELECT url, n_refs FROM hosted
+         |WHERE NOT (host = 'sq.example' OR ends_with(host, '.sq.example')
+         |        OR host = 'h1.example' OR ends_with(host, '.h1.example'))
+         |ORDER BY url""".stripMargin,
     // canonical keys rebuilt per arm: ids with a declared canonical
     // (id%3 in 0,1 — the escaped tracking-param variant normalizes to
     // the SAME key) collapse per id%40 group; no-canonical pages key on

@@ -147,6 +147,28 @@ object UrlFilter {
     flagBlockedDomains(df, idCol, textCol, blocklist, domainCol)
       .filter(!col("blocked")).drop("blocked")
 
+  /** Drop rows whose URL column's host is a blocklisted domain, exactly
+    * or as a subdomain — the frontier-side sibling of
+    * [[dropBlockedDomains]] (which scans TEXT): a crawl must not even
+    * SCHEDULE a blocklisted host, not just drop its documents after
+    * fetching. Same scale shape: bounded dot-suffix expansion
+    * (≤ label count per url) equi-joined against the BROADCAST
+    * blocklist — never a `LIKE '%.' || domain` nested loop; the hit set
+    * anti-joins back on the url. Hostless rows pass (nothing to match).
+    */
+  def dropBlockedUrls(df: DataFrame, urlCol: String,
+                      blocklist: DataFrame, domainCol: String): DataFrame = {
+    val hits = df.select(col(urlCol))
+      .withColumn("_ufb_host", hostOf(col(urlCol)))
+      .filter(col("_ufb_host").isNotNull)
+      .select(col(urlCol), explode(hostSuffixes(col("_ufb_host")))
+        .as("_ufb_suffix"))
+      .join(broadcast(blocklist
+        .select(lower(col(domainCol)).as("_ufb_suffix"))), Seq("_ufb_suffix"))
+      .select(col(urlCol)).distinct()
+    df.join(hits, Seq(urlCol), "left_anti")
+  }
+
   /** Lowercased host of ONE url column ([[HostRe]] semantics: scheme
     * required, optional userinfo skipped, port excluded). Non-URL input
     * yields null — callers decide whether hostless rows count. */

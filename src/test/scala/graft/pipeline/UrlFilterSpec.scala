@@ -67,6 +67,22 @@ class UrlFilterSpec extends SparkTestBase {
     assert(kept.as[(Long, String)].collect().toSeq === Seq((2L, "clean")))
   }
 
+  test("dropBlockedUrls gates by host suffix: subdomain/port/case/userinfo") {
+    val rows = Seq(
+      ("https://badsite.com/x", 1L),          // exact
+      ("https://a.badsite.com/y", 2L),        // subdomain
+      ("HTTPS://BADSITE.COM:8443/z", 3L),     // case + port variant
+      ("https://u@badsite.com/w", 4L),        // userinfo
+      ("https://notbadsite.com/ok", 5L),      // suffix lookalike survives
+      ("https://badsite.community/ok", 6L),   // label-boundary lookalike
+      ("not a url", 7L))                      // hostless passes
+      .toDF("url", "n_refs")
+    val kept = UrlFilter.dropBlockedUrls(rows, "url", blocklist, "domain")
+    assert(kept.columns.toSeq === Seq("url", "n_refs"))
+    assert(kept.select("n_refs").as[Long].collect().toSet ===
+      Set(5L, 6L, 7L))
+  }
+
   test("normalizeUrl canonicalizes scheme, host, ports, tracking, fragments") {
     val cases = Seq(
       // scheme+host lowercase, path case preserved
