@@ -2788,6 +2788,45 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // X-Robots-Tag header politeness (r14): the HTTP-level twin of
+    // <meta name=robots> — how sites mark non-HTML resources and CDNs
+    // mark whole paths. Header tokens MERGE with the markup's through
+    // the same fused decode: arms by id%4 — no tag (links flow,
+    // indexed), `noindex` (links flow, excluded from corpus), `none`
+    // (= noindex,nofollow — links gone too), and an agent-scoped
+    // `googlebot: nofollow` which conservatively applies (ignoring a
+    // scoped directive is the unsafe direction). The records ride the
+    // REAL WARC parser so the header must survive the HTTP split.
+    "crawl_xrobots_gate" -> ((s, dir) => {
+      import s.implicits._
+      val files = tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].groupByKey(_ % 8).mapGroups { (g, ids) =>
+          val recs = ids.map { id =>
+            val tag = (id % 4) match {
+              case 0 => null
+              case 1 => "noindex"
+              case 2 => "NONE"
+              case _ => "googlebot: nofollow"
+            }
+            (s"https://h${id % 7}.example/xr/$id", 200, "text/html", null,
+              tag,
+              (s"""<a href="https://t.example/${id % 5}">t</a>""" +
+                s"<p>body $id</p>").getBytes("UTF-8"))
+          }.toSeq
+          (g, graft.sources.Warc.encodeWarcResponsesTagged(recs,
+            gzipPerRecord = g % 2 == 1))
+        }.toDF("g", "payload")
+      val records = graft.sources.Warc.warcRecords(files).toDF()
+      graft.pipeline.HtmlText.extractFromBodies(records, "body", "text",
+          "http_content_type", linksCol = "links",
+          honorRobotsMeta = true, noindexCol = "noindex",
+          xRobotsCol = "http_x_robots")
+        .filter(col("warc_type") === "response")
+        .select(col("target_uri").as("url"), col("noindex"),
+          size(col("links")).cast("long").as("n_links"))
+        .orderBy("url")
+    }),
+
     // Frontier domain blocklist (r14): a crawl must not even SCHEDULE a
     // blocklisted host — dropBlockedUrls gates the frontier by host
     // dot-suffix (exact or subdomain) against a broadcast blocklist,
@@ -7035,6 +7074,17 @@ object SparkEntry {
         |  WHERE c.url IS NULL)
         |SELECT url, CAST(count(*) AS BIGINT) AS n_refs
         |FROM fresh GROUP BY url ORDER BY url""".stripMargin,
+    // header-politeness arms rebuilt per id%4: noindex on 1 and 2
+    // (none = both), links emptied on 2 and 3 (nofollow incl. the
+    // agent-scoped form), one anchor otherwise
+    "crawl_xrobots_gate" ->
+      """SELECT
+        |  'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example/xr/' || CAST(doc_id AS VARCHAR) AS url,
+        |  (doc_id % 4) IN (1, 2) AS noindex,
+        |  CAST(CASE WHEN (doc_id % 4) IN (2, 3) THEN 0 ELSE 1 END
+        |    AS BIGINT) AS n_links
+        |FROM documents ORDER BY url""".stripMargin,
     // the frontier minus blocklisted hosts: suffix semantics rebuilt
     // with exact-or-dot-suffix host matching on the HostRe capture
     "crawl_frontier_blocked" ->

@@ -107,6 +107,7 @@ object Crawl {
     // records carry the http_location column (pre-r13 record shapes
     // don't) and a frontier consumer exists
     val hasLocation = records.columns.contains("http_location")
+    val hasXRobots = records.columns.contains("http_x_robots")
     val wantRedirects = wantLinks && hasLocation
     val deadCond = col("http_status") >= 400 && col("http_status") < 500 &&
       col("http_status") =!= 408 && col("http_status") =!= 429
@@ -131,7 +132,8 @@ object Crawl {
           else lit(false)
         val cols = Seq(col("warc_type"), col("target_uri"),
           col("http_status"), col("http_content_type")) ++
-          (if (hasLocation) Seq(col("http_location")) else Nil) :+ col("body")
+          (if (hasLocation) Seq(col("http_location")) else Nil) ++
+          (if (hasXRobots) Seq(col("http_x_robots")) else Nil) :+ col("body")
         respBase
           .filter(col("http_status") === 200 || redirectCond ||
             ledgerDeadCond)
@@ -143,7 +145,8 @@ object Crawl {
     val extAll = HtmlText.extractFromBodies(resp, "body", "text",
       "http_content_type", "cs", linksCol = if (wantLinks) "links" else null,
       baseCol = if (wantLinks) "base" else null,
-      honorRobotsMeta = true, noindexCol = "noindex")
+      honorRobotsMeta = true, noindexCol = "noindex",
+      xRobotsCol = if (hasXRobots) "http_x_robots" else null)
     val ext = (if (wantLinks)
         extAll.select(col("target_uri").as("url"), col("text"),
           col("cs_fallback"), col("noindex"), col("links"), col("base"))

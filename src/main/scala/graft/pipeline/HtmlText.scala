@@ -940,7 +940,14 @@ object HtmlText {
     * `nofollow` drops every anchor, the [[htmlRefresh]] redirect target
     * appended -- and `noindexCol`, when set, emits [[htmlNoindex]] per
     * page (same pass): the crawl loop excludes those from the corpus
-    * while still feeding ledger and frontier. */
+    * while still feeding ledger and frontier. `xRobotsCol` names an
+    * `X-Robots-Tag` HTTP-header column (the warcRecords schema carries
+    * `http_x_robots`) whose directive tokens MERGE with the meta's --
+    * header and markup are equal-rank politeness channels (an
+    * agent-scoped form like `googlebot: noindex` conservatively
+    * applies: over-respecting a directive is safe, ignoring one is
+    * not); the refresh target still rides through a header nofollow,
+    * the redirect-not-a-link rule. */
   def extractFromBodies(records: DataFrame, bodyCol: String = "body",
                         outCol: String = "text",
                         contentTypeCol: String = "http_content_type",
@@ -948,23 +955,31 @@ object HtmlText {
                         linksCol: String = null,
                         baseCol: String = null,
                         honorRobotsMeta: Boolean = false,
-                        noindexCol: String = null): DataFrame = {
+                        noindexCol: String = null,
+                        xRobotsCol: String = null): DataFrame = {
     require(!records.columns.contains("_charset_dec"),
       "column name _charset_dec is reserved by extractFromBodies")
     val ct =
       if (records.columns.contains(contentTypeCol)) col(contentTypeCol)
       else lit(null).cast("string")
+    val xr =
+      if (xRobotsCol != null && records.columns.contains(xRobotsCol))
+        col(xRobotsCol)
+      else lit(null).cast("string")
     val wantLinks = linksCol != null
     val wantBase = baseCol != null
     val wantNoindex = noindexCol != null
-    val dec = udf { (contentType: String, body: Array[Byte]) =>
+    val dec = udf { (contentType: String, body: Array[Byte],
+                     xRobots: String) =>
       val (html, charset, fellBack) = decodeBody(contentType, body)
-      // ONE <meta> scan feeds links-gating AND the noindex column
+      // ONE <meta> scan feeds links-gating AND the noindex column;
+      // X-Robots-Tag tokens merge in (header ∪ markup)
       val needSignals = (wantLinks && honorRobotsMeta) || wantNoindex
       val (robots, refreshC) =
         if (needSignals) metaSignals(html) else (null, null)
       val toks =
-        if (needSignals) robotsTokens(robots) else Set.empty[String]
+        if (!needSignals) Set.empty[String]
+        else robotsTokens(robots) ++ robotsTokens(xRobots)
       (htmlToText(html), charset, fellBack,
         if (!wantLinks) Array.empty[String]
         else if (honorRobotsMeta)
@@ -974,7 +989,8 @@ object HtmlText {
         if (wantBase) htmlBase(html) else null,
         wantNoindex && noindexTokens(toks))
     }
-    val withDec = records.withColumn("_charset_dec", dec(ct, col(bodyCol)))
+    val withDec = records.withColumn("_charset_dec",
+      dec(ct, col(bodyCol), xr))
       .withColumn(outCol, col("_charset_dec._1"))
     val withCs =
       if (charsetCol == null) withDec

@@ -28,13 +28,17 @@ import org.apache.spark.sql.functions._
 object Warc {
 
   /** One parsed WARC record: the standard headers, plus the HTTP layer
-    * (status/content-type/body, and the `Location` header — the 3xx
-    * redirect target the crawl loop must follow) when the record is an
+    * (status/content-type/body, the `Location` header — the 3xx
+    * redirect target the crawl loop must follow — and the
+    * `X-Robots-Tag` header (r14): the HTTP-level twin of
+    * `<meta name=robots>`, how sites mark non-HTML resources and how
+    * CDNs mark whole paths noindex/nofollow) when the record is an
     * HTTP response — -1/null/empty otherwise. */
   final case class WarcRecord(warc_type: String, target_uri: String,
                               warc_date: String, record_id: String,
                               http_status: Int, http_content_type: String,
-                              body: Array[Byte], http_location: String)
+                              body: Array[Byte], http_location: String,
+                              http_x_robots: String)
 
   private val Crlf = "\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
@@ -65,14 +69,17 @@ object Warc {
 
   /** Build an HTTP response payload (status line + headers + body).
     * `location`, when set, emits the `Location:` header — the 3xx
-    * redirect fixture shape. */
+    * redirect fixture shape; `xRobots` emits `X-Robots-Tag:` (the
+    * header-politeness fixture shape, r14). */
   def httpResponsePayload(status: Int, reason: String, contentType: String,
                           body: Array[Byte],
-                          location: String = null): Array[Byte] = {
+                          location: String = null,
+                          xRobots: String = null): Array[Byte] = {
     val head = s"HTTP/1.1 $status $reason\r\n" +
       (if (contentType == null) "" // unlabeled responses are crawl reality
        else s"Content-Type: $contentType\r\n") +
       (if (location == null) "" else s"Location: $location\r\n") +
+      (if (xRobots == null) "" else s"X-Robots-Tag: $xRobots\r\n") +
       s"Content-Length: ${body.length}\r\n\r\n"
     val hb = head.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val out = new Array[Byte](hb.length + body.length)
@@ -108,7 +115,19 @@ object Warc {
     * Location survives the HTTP split. */
   def encodeWarcResponses(records: Seq[(String, Int, String, String, Array[Byte])],
                           date: String = "2026-01-01T00:00:00Z",
-                          gzipPerRecord: Boolean = false): Array[Byte] = {
+                          gzipPerRecord: Boolean = false): Array[Byte] =
+    encodeWarcResponsesTagged(records.map { case (u, st, ct, loc, b) =>
+      (u, st, ct, loc, null: String, b)
+    }, date, gzipPerRecord)
+
+  /** [[encodeWarcResponses]] plus an optional per-record `X-Robots-Tag`
+    * value — (uri, status, contentType, location|null, xRobots|null,
+    * body). The header-politeness fixtures need the tag to survive the
+    * HTTP split. */
+  def encodeWarcResponsesTagged(
+      records: Seq[(String, Int, String, String, String, Array[Byte])],
+      date: String = "2026-01-01T00:00:00Z",
+      gzipPerRecord: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def member(write: java.io.OutputStream => Unit): Unit =
       if (!gzipPerRecord) write(out)
@@ -121,7 +140,8 @@ object Warc {
       "urn:uuid:00000000-0000-0000-0000-000000000000",
       "application/warc-fields",
       "software: graft\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
-    records.foreach { case (uri, status, contentType, location, body) =>
+    records.foreach { case (uri, status, contentType, location, xRobots,
+        body) =>
       val reason = status match {
         case 200 => "OK"
         case 301 => "Moved Permanently"
@@ -133,7 +153,8 @@ object Warc {
       }
       member(o => encodeRecord(o, "response", uri, date,
         s"urn:uuid:${uri.hashCode}", "application/http;msgtype=response",
-        httpResponsePayload(status, reason, contentType, body, location)))
+        httpResponsePayload(status, reason, contentType, body, location,
+          xRobots)))
     }
     out.toByteArray
   }
@@ -322,6 +343,7 @@ object Warc {
     var status = -1
     var httpCt: String = null
     var httpLoc: String = null
+    var httpXRobots: String = null
     var body = payload
     if (isHttp) {
       val he = headerEnd(payload, 0)
@@ -335,6 +357,7 @@ object Warc {
         val hh = parseHeaders(payload, statusLineEnd + 1, he)
         httpCt = hh.getOrElse("content-type", null)
         httpLoc = hh.getOrElse("location", null)
+        httpXRobots = hh.getOrElse("x-robots-tag", null)
         body = java.util.Arrays.copyOfRange(payload, he, payload.length)
         // de-chunk when the wire framing is present (r14): chunked is
         // the FINAL transfer coding by RFC 7230 §3.3.1, so a token-list
@@ -347,7 +370,8 @@ object Warc {
     }
     WarcRecord(wtype, hdrs.getOrElse("warc-target-uri", null),
       hdrs.getOrElse("warc-date", null),
-      hdrs.getOrElse("warc-record-id", null), status, httpCt, body, httpLoc)
+      hdrs.getOrElse("warc-record-id", null), status, httpCt, body, httpLoc,
+      httpXRobots)
   }
 
   /**

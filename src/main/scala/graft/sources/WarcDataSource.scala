@@ -61,7 +61,8 @@ object WarcDataSource {
     StructField("http_status", IntegerType, nullable = false),
     StructField("http_content_type", StringType),
     StructField("body", BinaryType),
-    StructField("http_location", StringType)))
+    StructField("http_location", StringType),
+    StructField("http_x_robots", StringType)))
 
   /** Resolve the `path`/`paths` load options to concrete file statuses. */
   private[sources] def listFiles(props: Map[String, String])
@@ -352,7 +353,8 @@ private[sources] class WarcPartitionReader(part: WarcPartition,
         case 4 => r.http_status
         case 5 => s(r.http_content_type)
         case 6 => r.body
-        case _ => s(r.http_location)
+        case 7 => s(r.http_location)
+        case _ => s(r.http_x_robots)
       }
       i += 1
     }

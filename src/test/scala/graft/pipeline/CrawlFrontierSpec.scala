@@ -350,6 +350,35 @@ class CrawlFrontierSpec extends SparkTestBase {
     assert(pages("https://s/gone") === Seq.empty)
   }
 
+  test("X-Robots-Tag header gates like robots meta through ingestBatch") {
+    val idx = tmp("crawl-xrobots-idx")
+    val files = Seq((0L, graft.sources.Warc.encodeWarcResponsesTagged(Seq(
+      ("https://x/plain", 200, "text/html", null, null,
+        "<p>plain page words</p><a href=\"https://x/l1\">l</a>"
+          .getBytes("UTF-8")),
+      ("https://x/hidden", 200, "text/html", null, "noindex",
+        "<p>header noindex page body</p><a href=\"https://x/l2\">l</a>"
+          .getBytes("UTF-8")),
+      ("https://x/gone", 200, "text/html", null, "none",
+        "<p>header none page body</p><a href=\"https://x/l3\">l</a>"
+          .getBytes("UTF-8"))))))
+      .toDF("g", "payload")
+    val recs = graft.sources.Warc.warcRecords(files).toDF()
+    var pages: Map[String, Seq[String]] = null
+    val (_, stats) = Crawl.ingestBatch(spark, recs, idx, 0,
+      onPageLinks = pagesDf => {
+        pages = pagesDf.select("url", "links")
+          .as[(String, Seq[String])].collect().toMap
+      }) { _.count() }
+    assert(Crawl.crawledUrls(spark, idx).as[String].collect().toSet ===
+      Set("https://x/plain"), "header noindex must not enter the corpus")
+    assert(stats.noindexed === 2L && stats.appended === 1L, s"stats: $stats")
+    assert(pages("https://x/hidden") === Seq("https://x/l2"),
+      "header noindex alone must not drop links")
+    assert(pages("https://x/gone") === Seq.empty,
+      "header none must drop links too")
+  }
+
   test("fetched-ledger compaction + bloom maintenance artifacts round-trip") {
     val d = java.nio.file.Files.createTempDirectory("crawl-fetched")
     d.toFile.deleteOnExit()
