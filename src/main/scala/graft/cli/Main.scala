@@ -617,11 +617,48 @@ object Main {
       spark.stop()
 
     case "crawl-compact-fetched" :: frontierDir :: Nil =>
-      // fold the per-batch fetched/batch=N ledger partitions into one
-      // (atomic swap; pre-compaction batch replays out of contract)
+      // fold the fetched/batch=N ledger to one row per url at its LAST
+      // fetch batch (atomic swap; pre-compaction replays out of contract)
       val spark = session()
       val kept = graft.pipeline.Crawl.compactFetched(spark, frontierDir)
-      println(s"crawl-compact-fetched: folded into batch=$kept")
+      println(s"crawl-compact-fetched: folded, max batch=$kept")
+      spark.stop()
+
+    case "crawl-compact-next" :: frontierDir :: rest =>
+      // fold the next/batch=N frontier partitions: ref counts SUM per
+      // url, since-fetched rows drop (optionally bloom-routed via a
+      // crawl-fetched-bloom artifact so the fetched side stays map-side)
+      val spark = session()
+      val bloom = rest.headOption.map(bp =>
+        graft.pipeline.Crawl.loadFetchedBloom(spark, bp)
+          .getOrElse(sys.error(s"no bloom artifact at $bp"))._1).orNull
+      val kept = graft.pipeline.Crawl.compactNext(spark, frontierDir, bloom)
+      println(s"crawl-compact-next: folded into batch=$kept")
+      spark.stop()
+
+    case "crawl-recrawl" :: frontierDir :: beforeBatch :: out :: Nil =>
+      // refresh feed: urls whose LAST fetch predates the cutoff batch —
+      // a fetcher consumes this directly (the discovery gate stays shut)
+      val spark = session()
+      graft.pipeline.Crawl.recrawlSeeds(spark, frontierDir,
+          beforeBatch.toLong)
+        .write.mode("overwrite").parquet(out)
+      println(s"crawl-recrawl: ${spark.read.parquet(out).count()} urls " +
+        s"due (last fetch < batch $beforeBatch) -> $out")
+      spark.stop()
+
+    case "frontier-blocklist" :: frontierParquet :: blocklistParquet ::
+        out :: rest =>
+      // operator-policy gate: drop frontier urls on blocklisted hosts
+      // (exact or dot-suffix; blocklistParquet carries a `domain` column)
+      val urlCol = rest.headOption.getOrElse("url")
+      val spark = session()
+      val kept = graft.pipeline.UrlFilter.dropBlockedUrls(
+        spark.read.parquet(frontierParquet), urlCol,
+        spark.read.parquet(blocklistParquet), "domain")
+      kept.write.mode("overwrite").parquet(out)
+      println(s"frontier-blocklist: ${spark.read.parquet(out).count()} " +
+        s"urls kept -> $out")
       spark.stop()
 
     case "robots-filter" :: urlsParquet :: robotsParquet :: agent :: out :: rest =>
@@ -1046,6 +1083,11 @@ object Main {
           |  robots-filter    <urlsParquet> <robotsParquet> <agentToken> <outParquet> [urlCol]
           |  crawl-bloom      <minhashIndex> <bloomOut> <expectedItems> [fpp]
           |  crawl-schedule   <frontierParquet> <outParquet> [maxRounds]
+          |  crawl-fetched-bloom <frontierDir> <minhashIndex|-> <bloomOut> <expectedItems> [fpp]
+          |  crawl-compact-fetched <frontierDir>
+          |  crawl-compact-next <frontierDir> [fetchedBloomPath]
+          |  crawl-recrawl    <frontierDir> <beforeBatch> <outParquet>
+          |  frontier-blocklist <frontierParquet> <blocklistParquet> <outParquet> [urlCol]
           |  wds-extract      <pathOrGlob> <outParquet>
           |  warc-extract     <filesParquet> <outParquet> [payloadCol]
           |  hamming-build    <hashesParquet> <indexPath> [idCol] [hashCol]

@@ -803,6 +803,11 @@ object EventStreams extends Serializable {
    * gates every emitted frontier through `Robots.filterAllowed` for
    * `agentToken` — the stream then never schedules a url the site
    * forbids, matching the CLI `crawl-ingest` behavior.
+   *
+   * `blockedDomains`, when set (a `domain` column — exact hosts or
+   * suffixes), additionally drops every frontier url on a blocklisted
+   * host ([[graft.pipeline.UrlFilter.dropBlockedUrls]], r14): the
+   * operator-policy twin of the site-policy robots gate.
    */
   def crawlIngestStream(spark: SparkSession, warcFiles: DataFrame,
                         indexPath: String, threshold: Double = 0.8,
@@ -811,7 +816,8 @@ object EventStreams extends Serializable {
                         frontierDir: String = null,
                         bloomPath: String = null,
                         robotsRules: DataFrame = null,
-                        agentToken: String = "graftbot")
+                        agentToken: String = "graftbot",
+                        blockedDomains: DataFrame = null)
                        (sink: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     warcFiles.writeStream.foreachBatch {
@@ -894,10 +900,17 @@ object EventStreams extends Serializable {
                     else urls.limit(0))
                 graft.pipeline.Crawl.frontier(pages, crawled)
             }
-            val gated =
+            val robotsGated =
               if (robotsRules == null) fr
               else graft.pipeline.Robots.filterAllowed(fr, robotsRules,
                 agentToken)
+            // the domain blocklist gates last (r14): a crawl must not
+            // even SCHEDULE a blocklisted host — broadcast host-suffix
+            // equi-join, the dropBlockedUrls shape
+            val gated =
+              if (blockedDomains == null) robotsGated
+              else graft.pipeline.UrlFilter.dropBlockedUrls(robotsGated,
+                "url", blockedDomains, "domain")
             gated.write.mode("overwrite")
               .parquet(s"$frontierDir/next/batch=$batchId")
           }

@@ -312,7 +312,8 @@ class CrawlIngestStreamSpec extends SparkTestBase {
     // bloom-routed frontier (maintenance artifact built between batches),
     // and robots-gated. Bloom output must be IDENTICAL to exact; robots
     // must drop exactly the disallowed host's urls.
-    def run(bloom: Boolean, robots: Boolean, tag: String): Set[(String, Long)] = {
+    def run(bloom: Boolean, robots: Boolean, tag: String,
+            blocked: Boolean = false): Set[(String, Long)] = {
       val idx = base.resolve(s"idx-$tag").toString
       val fDir = base.resolve(s"frontier-$tag").toString
       val bp = base.resolve(s"bloom-$tag.bin").toString
@@ -321,11 +322,13 @@ class CrawlIngestStreamSpec extends SparkTestBase {
         else graft.pipeline.Robots.rulesDf(Seq(
           ("next", "User-agent: *\nDisallow: /blocked"))
           .toDF("host", "body"))
+      val blocklist =
+        if (!blocked) null else Seq("next").toDF("domain")
       val input = MemoryStream[(Long, Array[Byte])]
       val q = EventStreams.crawlIngestStream(spark,
         input.toDF().toDF("g", "payload"), idx, threshold = 0.5,
         frontierDir = fDir, bloomPath = if (bloom) bp else null,
-        robotsRules = rules)().start()
+        robotsRules = rules, blockedDomains = blocklist)().start()
       input.addData((0L, warcOf(
         ("https://seed/1", 200,
           "<p>seed document one body words</p><a href=\"https://mid/1\">m</a>"),
@@ -359,5 +362,11 @@ class CrawlIngestStreamSpec extends SparkTestBase {
     assert(gated === Set(("https://next/1", 1L),
       ("https://mid/blocked/x", 1L)), // mid has no robots row: allowed
       s"robots-gated frontier: $gated")
+    // the operator blocklist drops every url on the blocked host —
+    // including the path robots allowed
+    val blockedOut = run(bloom = false, robots = false, "blocklist",
+      blocked = true)
+    assert(blockedOut === Set(("https://mid/blocked/x", 1L)),
+      s"blocklist-gated frontier: $blockedOut")
   }
 }
