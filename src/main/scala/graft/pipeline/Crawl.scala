@@ -570,11 +570,16 @@ object Crawl {
     * handing `next/` to a fetcher that consumes across batches.
     * Returns the retained batch id, or -1 when the dir is empty/absent.
     *
-    * Scale: the fetched side never shuffles here — the frontier side
-    * (bounded by maintenance cadence × emit rate) aggregates once and
-    * anti-joins; at a 1 B-url fetched ledger pass `fetchedBloom` from
-    * [[loadFetchedBloom]] so the drop is a map-side bloom check plus an
-    * exact rescue join, the [[frontierBloom]] shape. */
+    * Scale: the default exact anti-join is the SAFE general form — the
+    * frontier side already shuffles for its ref-count fold, and the
+    * fetched side joins sort-merge (a maintenance-cadence cost, never
+    * per batch). `fetchedBloom` (from [[loadFetchedBloom]]) routes the
+    * drop map-side with an exact rescue, but NOTE the rescue broadcasts
+    * the bloom-POSITIVE frontier urls — that set is sized by how much
+    * of the frontier was fetched since the last compaction, not by one
+    * batch, so take the bloom form only when compactions are frequent
+    * relative to fetch throughput (positives stay broadcast-sized);
+    * otherwise the exact join is both safe and cheaper. */
   def compactNext(spark: SparkSession, frontierDir: String,
                   fetchedBloom: org.apache.spark.util.sketch.BloomFilter =
                     null): Long = {

@@ -423,50 +423,12 @@ object HtmlText {
     }
   }
 
-  /** Find the FIRST `<meta …>` tag whose attributes satisfy `select`
-    * (given the tag's parsed attribute map), returning the selected
-    * string or null. Whole-document scan — robots/refresh metas are
-    * head elements by spec but crawl reality scatters them. */
-  private def firstMeta(html: String)
-                       (select: (String, String, String) => String): String = {
-    if (html == null) return null
-    val n = html.length
-    var i = 0
-    while (i < n) {
-      val at = indexOfIgnoreCase(html, "<meta", i)
-      if (at < 0) return null
-      var p = at + 5
-      if (p < n && (isWsCh(html.charAt(p)) || html.charAt(p) == '/')) {
-        var nameAttr: String = null
-        var httpEquiv: String = null
-        var contentAttr: String = null
-        val end = {
-          val gt = html.indexOf('>', p)
-          if (gt < 0) n else gt
-        }
-        eachAttr(html, p, end + 1) { (name, value) =>
-          name match {
-            case "name" => if (nameAttr == null) nameAttr = value
-            case "http-equiv" => if (httpEquiv == null) httpEquiv = value
-            case "content" => if (contentAttr == null) contentAttr = value
-            case _ => ()
-          }
-          false
-        }
-        val got = select(nameAttr, httpEquiv, contentAttr)
-        if (got != null) return got
-      }
-      i = at + 5
-    }
-    null
-  }
-
   /** BOTH politeness meta signals in ONE document scan: the FIRST
     * `<meta name="robots">` content and the FIRST
     * `<meta http-equiv="refresh">` content (each entity-decoded, null
     * when absent). The fused decode UDF needs robots tokens AND the
-    * refresh target per page — separate firstMeta walks would scan the
-    * document once per signal, a real per-page tax at corpus scale.
+    * refresh target per page — separate per-signal walks would scan
+    * the document once per signal, a real per-page tax at corpus scale.
     * Stops early once both are found. */
   private[pipeline] def metaSignals(html: String): (String, String) = {
     if (html == null) return (null, null)

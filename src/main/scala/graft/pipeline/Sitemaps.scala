@@ -113,9 +113,12 @@ object Sitemaps {
 
   private def seedsOf(sitemaps: DataFrame, crawled: DataFrame,
                       locsExpr: Column, urlCol: String): DataFrame = {
-    val decode = udf((s: String) => HtmlText.decodeAttr(s))
+    // decode + canonicalize in ONE kernel call per loc (the explode must
+    // sit in its own projection — generators cannot nest in expressions)
+    val canon =
+      udf((s: String) => UrlResolve.selfNormalize(HtmlText.decodeAttr(s)))
     sitemaps.select(explode(locsExpr).as("_loc"))
-      .select(UrlResolve.selfNormalizeCol(decode(col("_loc"))).as("url"))
+      .select(canon(col("_loc")).as("url"))
       .filter(col("url").isNotNull)
       // left_anti is insensitive to right-side duplicates — no distinct
       .join(crawled.select(col(urlCol).cast("string").as("url")),
