@@ -2788,6 +2788,36 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Crawl-trap filtering (r14): the infinite-URL-space defenses every
+    // production crawler ships — six arms per page: a clean link and a
+    // 3-consecutive-repeat boundary link SURVIVE; an over-length link,
+    // a 41-segment path, a 4-consecutive-segment loop, and a 40-param
+    // faceted query are dropped by isUrlTrap. The oracle rebuilds only
+    // the surviving arms from doc_id arithmetic — a trap leaking
+    // through (or a boundary arm over-dropped) hash-mismatches.
+    "crawl_frontier_traps" -> ((s, dir) => {
+      import s.implicits._
+      val pages = tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val own = s"https://h${id % 7}.example/page/$id"
+          val links = Seq(
+            s"https://h${id % 7}.example/ok/${id % 9}",
+            own + "/long?x=" + "a" * 2100,
+            "https://deep.example/" +
+              (0 until 40).map(i => s"s$i").mkString("/") + s"/${id % 5}",
+            s"https://loop.example/p/loop/loop/loop/loop/${id % 4}",
+            "https://facet.example/f?" +
+              (0 until 40).map(i => s"a$i=${id % 3}").mkString("&"),
+            s"https://edge.example/r/r/r/${id % 6}")
+          (own, links)
+        }.toDF("url", "links")
+      val frontier = graft.pipeline.Crawl.frontier(pages,
+        pages.select(col("url")))
+      graft.pipeline.UrlFilter.dropUrlTraps(frontier, "url")
+        .select(col("url"), col("n_refs"))
+        .orderBy("url")
+    }),
+
     // X-Robots-Tag header politeness (r14): the HTTP-level twin of
     // <meta name=robots> — how sites mark non-HTML resources and CDNs
     // mark whole paths. Header tokens MERGE with the markup's through
@@ -7074,6 +7104,18 @@ object SparkEntry {
         |  WHERE c.url IS NULL)
         |SELECT url, CAST(count(*) AS BIGINT) AS n_refs
         |FROM fresh GROUP BY url ORDER BY url""".stripMargin,
+    // only the surviving trap-filter arms: the clean link and the
+    // 3-repeat boundary link, ref-counted per shared target
+    "crawl_frontier_traps" ->
+      """WITH links AS (
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/ok/' || CAST(doc_id % 9 AS VARCHAR) AS url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://edge.example/r/r/r/' || CAST(doc_id % 6 AS VARCHAR)
+        |  FROM documents)
+        |SELECT url, CAST(count(*) AS BIGINT) AS n_refs
+        |FROM links GROUP BY url ORDER BY url""".stripMargin,
     // header-politeness arms rebuilt per id%4: noindex on 1 and 2
     // (none = both), links emptied on 2 and 3 (nofollow incl. the
     // agent-scoped form), one anchor otherwise

@@ -169,6 +169,87 @@ object UrlFilter {
     df.join(hits, Seq(urlCol), "left_anti")
   }
 
+  /** Crawl-trap heuristic over ONE url — the classic infinite-URL-space
+    * defenses every production crawler ships (a calendar that links
+    * "next month" forever, a loop path `/a/b/a/b/…`, a session-id
+    * cartesian query) will otherwise eat the whole fetch budget:
+    *  - total length > `maxLen` (generated-link explosions),
+    *  - more than `maxSegments` path segments (unbounded nesting),
+    *  - one path segment repeated more than `maxSegmentRepeat` times
+    *    CONSECUTIVELY (the self-referencing relative-link loop: each
+    *    round appends the same segment again),
+    *  - more than `maxQueryParams` `&`-separated query params
+    *    (faceted-search cartesian blowups).
+    * One linear scan, total, never throws; null is not a trap (nothing
+    * to fetch). Thresholds are deliberately loose — this drops only
+    * the shapes that are virtually never real content. */
+  def isUrlTrap(url: String, maxLen: Int = 2048, maxSegments: Int = 32,
+                maxSegmentRepeat: Int = 3, maxQueryParams: Int = 32)
+      : Boolean = {
+    if (url == null) return false
+    val n = url.length
+    if (n > maxLen) return true
+    // path span: after scheme://authority, before ?/#
+    var i = url.indexOf("://")
+    i = if (i < 0) 0 else i + 3
+    while (i < n && url.charAt(i) != '/' && url.charAt(i) != '?' &&
+      url.charAt(i) != '#') i += 1
+    var segments = 0
+    var prevStart = -1
+    var prevLen = -1
+    var runLen = 1
+    while (i < n && url.charAt(i) != '?' && url.charAt(i) != '#') {
+      if (url.charAt(i) == '/') {
+        val segStart = i + 1
+        var j = segStart
+        while (j < n && url.charAt(j) != '/' && url.charAt(j) != '?' &&
+          url.charAt(j) != '#') j += 1
+        val segLen = j - segStart
+        if (segLen > 0) {
+          segments += 1
+          if (segments > maxSegments) return true
+          val same = segLen == prevLen && {
+            var k = 0
+            var eq = true
+            while (eq && k < segLen) {
+              if (url.charAt(prevStart + k) != url.charAt(segStart + k))
+                eq = false
+              k += 1
+            }
+            eq
+          }
+          runLen = if (same) runLen + 1 else 1
+          if (runLen > maxSegmentRepeat) return true
+          prevStart = segStart
+          prevLen = segLen
+        }
+        i = j
+      } else i += 1
+    }
+    // query span: count params as 1 + separators ('&' and ';' — both
+    // live in the wild)
+    if (i < n && url.charAt(i) == '?') {
+      var params = if (i + 1 < n && url.charAt(i + 1) != '#') 1 else 0
+      i += 1
+      while (i < n && url.charAt(i) != '#') {
+        if (url.charAt(i) == '&' || url.charAt(i) == ';') params += 1
+        if (params > maxQueryParams) return true
+        i += 1
+      }
+    }
+    false
+  }
+
+  /** Drop rows whose URL column trips [[isUrlTrap]] — compose after the
+    * frontier's blocklist/robots gates. Map-side per row. */
+  def dropUrlTraps(df: DataFrame, urlCol: String, maxLen: Int = 2048,
+                   maxSegments: Int = 32, maxSegmentRepeat: Int = 3,
+                   maxQueryParams: Int = 32): DataFrame = {
+    val trap = udf((u: String) =>
+      isUrlTrap(u, maxLen, maxSegments, maxSegmentRepeat, maxQueryParams))
+    df.filter(!trap(col(urlCol)))
+  }
+
   /** Lowercased host of ONE url column ([[HostRe]] semantics: scheme
     * required, optional userinfo skipped, port excluded). Non-URL input
     * yields null — callers decide whether hostless rows count. */

@@ -83,6 +83,41 @@ class UrlFilterSpec extends SparkTestBase {
       Set(5L, 6L, 7L))
   }
 
+  test("isUrlTrap: length, depth, consecutive-segment loops, param blowups") {
+    val t = (u: String) => UrlFilter.isUrlTrap(u)
+    assert(!t("https://ok.example/a/b/c?x=1&y=2"))
+    assert(!t(null) && !t("") && !t("not a url"))
+    // length
+    assert(t("https://x.example/p?q=" + "a" * 2048))
+    assert(!t("https://x.example/" + "a" * 2000))
+    // depth: 33 segments trap, 32 pass
+    assert(t("https://x.example" + (0 until 33).map(i => s"/s$i").mkString))
+    assert(!t("https://x.example" + (0 until 32).map(i => s"/s$i").mkString))
+    // consecutive repeats: 4 of one segment trap, 3 pass, alternation
+    // passes (no run), non-adjacent repeats pass, trailing slash benign
+    assert(t("https://x.example/p/loop/loop/loop/loop/q"))
+    assert(!t("https://x.example/p/loop/loop/loop/q"))
+    assert(!t("https://x.example/a/b/a/b/a/b/a/b"))
+    assert(!t("https://x.example/a/z/a/z/a/"))
+    assert(t("https://x.example/aa/aa/aa/aa"))
+    assert(!t("https://x.example/aa/ab/aa/ab")) // same length, different
+    // query params: 33 trap, 32 pass; ';' separators count; fragment
+    // does not extend the query span
+    assert(t("https://x.example/f?" +
+      (0 until 33).map(i => s"a$i=1").mkString("&")))
+    assert(!t("https://x.example/f?" +
+      (0 until 32).map(i => s"a$i=1").mkString("&")))
+    assert(t("https://x.example/f?" +
+      (0 until 33).map(i => s"a$i=1").mkString(";")))
+    assert(!t("https://x.example/f?a=1&b=2#" + "&" * 100))
+    // dropUrlTraps column form keeps clean rows with original columns
+    val rows = Seq(("https://ok.example/x", 1L),
+      ("https://x.example/p/loop/loop/loop/loop/q", 2L)).toDF("url", "n")
+    val kept = UrlFilter.dropUrlTraps(rows, "url")
+    assert(kept.columns.toSeq === Seq("url", "n"))
+    assert(kept.select("n").as[Long].collect().toSeq === Seq(1L))
+  }
+
   test("normalizeUrl canonicalizes scheme, host, ports, tracking, fragments") {
     val cases = Seq(
       // scheme+host lowercase, path case preserved
