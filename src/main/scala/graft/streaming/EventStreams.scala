@@ -807,7 +807,11 @@ object EventStreams extends Serializable {
    * `blockedDomains`, when set (a `domain` column — exact hosts or
    * suffixes), additionally drops every frontier url on a blocklisted
    * host ([[graft.pipeline.UrlFilter.dropBlockedUrls]], r14): the
-   * operator-policy twin of the site-policy robots gate.
+   * operator-policy twin of the site-policy robots gate. `dropTraps`
+   * (default ON) filters crawl-trap urls
+   * ([[graft.pipeline.UrlFilter.isUrlTrap]] — loop paths, unbounded
+   * nesting, faceted-query blowups, over-length links) so an infinite
+   * URL space cannot eat the fetch budget.
    */
   def crawlIngestStream(spark: SparkSession, warcFiles: DataFrame,
                         indexPath: String, threshold: Double = 0.8,
@@ -817,7 +821,8 @@ object EventStreams extends Serializable {
                         bloomPath: String = null,
                         robotsRules: DataFrame = null,
                         agentToken: String = "graftbot",
-                        blockedDomains: DataFrame = null)
+                        blockedDomains: DataFrame = null,
+                        dropTraps: Boolean = true)
                        (sink: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     warcFiles.writeStream.foreachBatch {
@@ -907,10 +912,16 @@ object EventStreams extends Serializable {
             // the domain blocklist gates last (r14): a crawl must not
             // even SCHEDULE a blocklisted host — broadcast host-suffix
             // equi-join, the dropBlockedUrls shape
-            val gated =
+            val blockGated =
               if (blockedDomains == null) robotsGated
               else graft.pipeline.UrlFilter.dropBlockedUrls(robotsGated,
                 "url", blockedDomains, "domain")
+            // crawl-trap urls (loop paths, faceted blowups, over-length
+            // — UrlFilter.isUrlTrap) never enter the fetch queue; ON by
+            // default, a real crawler always wants it
+            val gated =
+              if (!dropTraps) blockGated
+              else graft.pipeline.UrlFilter.dropUrlTraps(blockGated, "url")
             gated.write.mode("overwrite")
               .parquet(s"$frontierDir/next/batch=$batchId")
           }

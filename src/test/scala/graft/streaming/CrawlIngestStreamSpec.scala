@@ -344,7 +344,8 @@ class CrawlIngestStreamSpec extends SparkTestBase {
             |<a href="https://seed/1">back to crawled</a>
             |<a href="https://next/1">fresh</a>
             |<a href="/blocked/x">same-host relative</a>
-            |<a href="https://next/blocked/y">blocked on next</a>"""
+            |<a href="https://next/blocked/y">blocked on next</a>
+            |<a href="https://trap/p/l/l/l/l/x">loop trap</a>"""
             .stripMargin))))
       q.processAllAvailable()
       q.stop()
