@@ -241,6 +241,29 @@ class UrlResolveSpec extends graft.SparkTestBase {
     }
   }
 
+  test("pctNormalize scan equals the PctSteps replay on 5000 %-soups") {
+    // independent reference: the chain's own pattern list replayed via
+    // java.util.regex (the engine Spark's regexp_replace runs on) —
+    // the kernel's malformed-escape FALLBACK is this replay, so the
+    // property exercises the valid-escape SCAN path against it under
+    // randomness far beyond the fixture arms (dangling nibbles, %%,
+    // decoded-char adjacency, every hex case)
+    val patterns = UrlFilter.PctSteps.map { case (p, r) =>
+      (java.util.regex.Pattern.compile(p), r)
+    }
+    def replay(s: String): String =
+      patterns.foldLeft(s) { case (acc, (p, r)) =>
+        p.matcher(acc).replaceAll(r)
+      }
+    val rnd = new scala.util.Random(17)
+    val atoms = "0123456789abcdefABCDEF%%%~._-xyzXYZ/?&"
+    for (_ <- 0 until 5000) {
+      val s = Seq.fill(2 + rnd.nextInt(24))(
+        atoms(rnd.nextInt(atoms.length))).mkString
+      assert(UrlResolve.pctNormalize(s) === replay(s), s"soup: $s")
+    }
+  }
+
   test("adversarial dot-runs stay linear and resolve") {
     val mega = "./" * 200000 + "x"
     val t0 = System.nanoTime()
