@@ -74,15 +74,18 @@ object Crawl {
     * them, count them, collect a small projection); they are released
     * before return, so `use` must not return a lazy plan over them.
     *
-    * `onPageLinks`, when set, receives (url, links, base) for EVERY
-    * page the batch FETCHED — text 200s (near-dups included: their
+    * `onPageLinks`, when set, receives (url, links, base, canonical)
+    * for EVERY page the batch FETCHED — text 200s (near-dups included: their
     * outlinks are still valid discoveries) extracted in the same fused
     * decode pass with their declared `<base href>` (null when absent);
     * since r14 the links honor the markup's politeness signals
     * ([[HtmlText.htmlOutlinks]]: rel=nofollow anchors dropped,
     * robots-meta nofollow drops all anchors, the meta-refresh redirect
     * target appended) and robots-meta `noindex` pages stay OUT of the
-    * corpus while still feeding ledger + frontier;
+    * corpus while still feeding ledger + frontier; `canonical` carries
+    * the page's `<link rel=canonical>` target (raw; null for
+    * redirect/dead/non-text rows) — the URL-level dedup key a crawl DB
+    * wants beside the outlinks;
     * 3xx redirects as one-outlink pages (their `Location`, when the
     * records carry `http_location`; base null — a Location resolves
     * against the redirect source), non-text 200s and PERMANENT-4xx
@@ -146,10 +149,12 @@ object Crawl {
       "http_content_type", "cs", linksCol = if (wantLinks) "links" else null,
       baseCol = if (wantLinks) "base" else null,
       honorRobotsMeta = true, noindexCol = "noindex",
-      xRobotsCol = if (hasXRobots) "http_x_robots" else null)
+      xRobotsCol = if (hasXRobots) "http_x_robots" else null,
+      canonicalCol = if (wantLinks) "canonical" else null)
     val ext = (if (wantLinks)
         extAll.select(col("target_uri").as("url"), col("text"),
-          col("cs_fallback"), col("noindex"), col("links"), col("base"))
+          col("cs_fallback"), col("noindex"), col("links"), col("base"),
+          col("canonical"))
       else extAll.select(col("target_uri").as("url"), col("text"),
         col("cs_fallback"), col("noindex")))
       .localCheckpoint() // parse+extract once: feeds stats, probe, append
@@ -165,22 +170,27 @@ object Crawl {
         // crawl refetching every image forever is as broken as one
         // refetching every 404)
         val noBase = lit(null).cast("string").as("base")
+        val noCanon = lit(null).cast("string").as("canonical")
         val dead = resp0.filter(ledgerDeadCond)
           .select(col("target_uri").as("url"),
-            array().cast("array<string>").as("links"), noBase)
+            array().cast("array<string>").as("links"), noBase, noCanon)
         val nonText = resp0.filter(col("http_status") === 200 && !textish)
           .select(col("target_uri").as("url"),
-            array().cast("array<string>").as("links"), noBase)
+            array().cast("array<string>").as("links"), noBase, noCanon)
         nonTextCount = nonText.count()
+        val extPages =
+          ext.select(col("url"), col("links"), col("base"), col("canonical"))
         val pagesForLinks =
-          (if (!wantRedirects) ext.select(col("url"), col("links"), col("base"))
+          (if (!wantRedirects) extPages
            else {
-             val redir = redirectLinks(resp0).withColumn("base",
-               lit(null).cast("string")) // a Location resolves against
-             // the redirect SOURCE — <base> is a document concept
+             val redir = redirectLinks(resp0)
+               .withColumn("base", lit(null).cast("string"))
+               // a Location resolves against the redirect SOURCE —
+               // <base> is a document concept; a redirect has no markup
+               // canonical either
+               .withColumn("canonical", lit(null).cast("string"))
              redirectCount = redir.count()
-             ext.select(col("url"), col("links"), col("base"))
-               .unionByName(redir)
+             extPages.unionByName(redir)
            }).unionByName(dead).unionByName(nonText)
         onPageLinks(pagesForLinks)
         // the redirect/dead rows live in resp0's checkpoint; once the

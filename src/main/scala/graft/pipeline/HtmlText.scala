@@ -909,7 +909,9 @@ object HtmlText {
     * agent-scoped form like `googlebot: noindex` conservatively
     * applies: over-respecting a directive is safe, ignoring one is
     * not); the refresh target still rides through a header nofollow,
-    * the redirect-not-a-link rule. */
+    * the redirect-not-a-link rule. `canonicalCol` emits the page's
+    * [[htmlCanonical]] target (raw — resolution is the caller's step)
+    * from the same pass — the URL-level dedup key. */
   def extractFromBodies(records: DataFrame, bodyCol: String = "body",
                         outCol: String = "text",
                         contentTypeCol: String = "http_content_type",
@@ -918,7 +920,8 @@ object HtmlText {
                         baseCol: String = null,
                         honorRobotsMeta: Boolean = false,
                         noindexCol: String = null,
-                        xRobotsCol: String = null): DataFrame = {
+                        xRobotsCol: String = null,
+                        canonicalCol: String = null): DataFrame = {
     require(!records.columns.contains("_charset_dec"),
       "column name _charset_dec is reserved by extractFromBodies")
     val ct =
@@ -931,6 +934,7 @@ object HtmlText {
     val wantLinks = linksCol != null
     val wantBase = baseCol != null
     val wantNoindex = noindexCol != null
+    val wantCanonical = canonicalCol != null
     val dec = udf { (contentType: String, body: Array[Byte],
                      xRobots: String) =>
       val (html, charset, fellBack) = decodeBody(contentType, body)
@@ -949,7 +953,8 @@ object HtmlText {
             parseRefreshContent(refreshC))
         else htmlLinks(html),
         if (wantBase) htmlBase(html) else null,
-        wantNoindex && noindexTokens(toks))
+        wantNoindex && noindexTokens(toks),
+        if (wantCanonical) htmlCanonical(html) else null)
     }
     val withDec = records.withColumn("_charset_dec",
       dec(ct, col(bodyCol), xr))
@@ -964,9 +969,12 @@ object HtmlText {
     val withBase =
       if (!wantBase) withLinks
       else withLinks.withColumn(baseCol, col("_charset_dec._5"))
-    val out =
+    val withNoindex =
       if (!wantNoindex) withBase
       else withBase.withColumn(noindexCol, col("_charset_dec._6"))
+    val out =
+      if (!wantCanonical) withNoindex
+      else withNoindex.withColumn(canonicalCol, col("_charset_dec._7"))
     out.drop("_charset_dec")
   }
 }

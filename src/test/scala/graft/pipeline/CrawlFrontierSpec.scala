@@ -30,18 +30,22 @@ class CrawlFrontierSpec extends SparkTestBase {
           |<a href="https://n/1#frag">new</a>
           |<a href="/rel">rel</a></body></html>""".stripMargin),
       ("https://s/2",
-        """<html><body>other words entirely for doc B distinct tokens
+        """<html><head><link rel="canonical" href="https://c/2"></head>
+          |<body>other words entirely for doc B distinct tokens
           |<a href="https://n/1">new too</a>
           |<a href="mailto:a@b">mail</a></body></html>""".stripMargin))
     val files = Seq((0L, warcOf(pages))).toDF("g", "payload")
     val recs = graft.sources.Warc.warcRecords(files).toDF()
 
     var captured: Seq[(String, Seq[String])] = null
+    var canonicals: Map[String, String] = null
     var frontierRows: Seq[(String, Long)] = null
     val (_, stats) = Crawl.ingestBatch(spark, recs, idx, 0,
       onPageLinks = pagesDf => {
         captured = pagesDf.select("url", "links")
           .as[(String, Seq[String])].collect().toSeq
+        canonicals = pagesDf.select("url", "canonical")
+          .as[(String, String)].collect().toMap
         val crawled = pagesDf.select($"url")
         frontierRows = Crawl.frontier(pagesDf, crawled)
           .as[(String, Long)].collect().toSeq.sorted
@@ -52,6 +56,9 @@ class CrawlFrontierSpec extends SparkTestBase {
     assert(byUrl("https://s/1") ===
       Seq("https://s/2", "https://n/1#frag", "/rel"))
     assert(byUrl("https://s/2") === Seq("https://n/1", "mailto:a@b"))
+    // the pages feed carries the canonical key from the same pass
+    assert(canonicals === Map("https://s/1" -> null,
+      "https://s/2" -> "https://c/2"))
     // frontier: RFC 3986-resolved (the relative /rel resolves against
     // its page), fragment stripped, mailto dropped, crawled excluded,
     // both pages' refs to https://n/1 merged
