@@ -2933,16 +2933,21 @@ object SparkEntry {
         .orderBy("url")
     }),
 
-    // Markup politeness signals (r14): rel=nofollow anchors drop (the
-    // attribute before OR after the href, token lists, any case), a
-    // robots-meta nofollow page contributes NO anchors, and
-    // <meta http-equiv=refresh> targets — de-facto redirects the 3xx
-    // chain never sees — enter the frontier (absolute on id%3==0 arms,
-    // RELATIVE resolved against the page url on id%3==1, riding
-    // THROUGH the robots-nofollow meta page like a real redirect). The
-    // oracle rebuilds every surviving arm from doc_id arithmetic; a
-    // nofollow'd arm leaking in or a refresh arm missing
-    // hash-mismatches.
+    // Markup politeness signals (r14, hardened r15): rel=nofollow
+    // anchors drop (the attribute before OR after the href, token
+    // lists, any case), a robots-meta nofollow page contributes NO
+    // anchors, and <meta http-equiv=refresh> targets — de-facto
+    // redirects the 3xx chain never sees — enter the frontier
+    // (absolute on id%3==0 arms, RELATIVE resolved against the page
+    // url on id%3==1, the WHATWG bare-WHITESPACE separator form on
+    // id%3==2 (r15), riding THROUGH the robots-nofollow meta page like
+    // a real redirect). The meta page's restriction is SPLIT ACROSS
+    // TWO robots metas (r15 — first `noindex` only, second carrying
+    // `nofollow` inside a quoted value WITH a '>': most-restrictive
+    // union across tags AND the quote-aware tag end must both hold or
+    // the x.example anchor leaks). The oracle rebuilds every surviving
+    // arm from doc_id arithmetic; a nofollow'd arm leaking in or a
+    // refresh arm missing hash-mismatches.
     "crawl_frontier_meta" -> ((s, dir) => {
       import s.implicits._
       val pages = tbl(s, dir, "documents").select(col("doc_id"))
@@ -2954,7 +2959,8 @@ object SparkEntry {
               s"""<meta http-equiv="refresh" content="0;url=https://r.example/abs/${id % 6}">"""
             case 1 =>
               s"""<META HTTP-EQUIV='Refresh' content="5; URL='../rel/${id % 4}'">"""
-            case _ => ""
+            case _ =>
+              s"""<meta http-equiv="refresh" content="0 url=https://ws.example/w/${id % 5}">"""
           }
           val pageHtml =
             s"""$refresh
@@ -2963,7 +2969,8 @@ object SparkEntry {
                |<a rel="a,NoFollow" href="https://no2.example/m/${id % 3}">dropped</a>
                |<a href="$own">self</a>""".stripMargin
           val metaHtml =
-            s"""<meta name="robots" content="noindex, NOFOLLOW">
+            s"""<meta name="robots" content="noindex">
+               |<meta name="robots" content="x > y, NOFOLLOW">
                |<meta http-equiv="refresh" content="2; url=https://rr.example/rr/${id % 7}">
                |<a href="https://x.example/x/${id % 5}">dropped by page meta</a>""".stripMargin
           Seq((own, pageHtml), (meta, metaHtml))
@@ -7171,10 +7178,12 @@ object SparkEntry {
         |SELECT url, CAST(last_batch AS BIGINT) AS last_batch
         |FROM f WHERE last_batch < 7 ORDER BY url""".stripMargin,
     // markup politeness arms rebuilt from the fixture arithmetic: the
-    // kept anchor, the absolute (id%3=0) and page-resolved relative
-    // (id%3=1) refresh targets, and the robots-nofollow meta page's
-    // refresh (rides THROUGH the nofollow); both nofollow'd anchors and
-    // the meta page's anchor never enter; self links anti-join away
+    // kept anchor, the absolute (id%3=0), page-resolved relative
+    // (id%3=1) and whitespace-separator (id%3=2, r15) refresh targets,
+    // and the robots-nofollow meta page's refresh (rides THROUGH the
+    // nofollow — declared by the SECOND robots meta, inside a
+    // '>'-carrying quoted value); both nofollow'd anchors and the meta
+    // page's anchor never enter; self links anti-join away
     "crawl_frontier_meta" ->
       """WITH crawled AS (
         |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
@@ -7195,6 +7204,9 @@ object SparkEntry {
         |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
         |         '.example/rel/' || CAST(doc_id % 4 AS VARCHAR)
         |  FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT 'https://ws.example/w/' || CAST(doc_id % 5 AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 = 2
         |  UNION ALL
         |  SELECT 'https://rr.example/rr/' || CAST(doc_id % 7 AS VARCHAR)
         |  FROM documents

@@ -583,11 +583,17 @@ object Crawl {
     * Scale: the default exact anti-join is the SAFE general form — the
     * frontier side already shuffles for its ref-count fold, and the
     * fetched side joins sort-merge (a maintenance-cadence cost, never
-    * per batch). `fetchedBloom` (from [[loadFetchedBloom]]) routes the
-    * drop map-side with an exact rescue, but NOTE the rescue broadcasts
-    * the bloom-POSITIVE frontier urls — that set is sized by how much
+    * per batch). `fetchedBloom` routes the drop map-side with an exact
+    * rescue, but it must be a FETCHED-ONLY filter
+    * ([[buildFetchedBloom]] with `includeNext = false`, checked via
+    * [[fetchedOnlyBloom]]): the streaming frontier's artifact folds
+    * the `next/` (emitted) ledger in, which makes EVERY url this
+    * function folds bloom-positive by construction — the rescue then
+    * broadcasts essentially the whole frontier, an OOM risk at scale
+    * (r15, the ADVICE finding). Even with the right filter the rescue
+    * broadcasts the bloom-POSITIVE frontier urls — sized by how much
     * of the frontier was fetched since the last compaction, not by one
-    * batch, so take the bloom form only when compactions are frequent
+    * batch — so take the bloom form only when compactions are frequent
     * relative to fetch throughput (positives stay broadcast-sized);
     * otherwise the exact join is both safe and cheaper. */
   def compactNext(spark: SparkSession, frontierDir: String,

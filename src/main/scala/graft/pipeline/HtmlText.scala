@@ -384,6 +384,34 @@ object HtmlText {
   private def isWsCh(c: Char): Boolean =
     c == '\t' || c == '\n' || c == '\f' || c == '\r' || c == ' '
 
+  /** The tag-closing `>` at/after `from`, QUOTE-AWARE (r15): a `>`
+    * inside a quoted attribute value does not end the tag — `<meta
+    * name=robots content="noindex > x, nofollow">` must keep its
+    * `nofollow` token, where the old first-`>` bound truncated the
+    * walk (htmlLinks deliberately lets captures cross `>`; the
+    * attribute walkers now agree). An UNTERMINATED quote falls back to
+    * the first `>` after it (the old bound — out-of-contract markup
+    * must not make one tag swallow the document); a quote whose pair
+    * sits far ahead can only OVERSHOOT, which is safe: [[eachAttr]]
+    * stops at its own structural `>` regardless of `until`. */
+  private def tagEnd(s: String, from: Int): Int = {
+    val n = s.length
+    var p = from
+    while (p < n) {
+      val c = s.charAt(p)
+      if (c == '>') return p
+      if (c == '"' || c == '\'') {
+        val close = s.indexOf(c, p + 1)
+        if (close < 0) {
+          val gt = s.indexOf('>', p + 1)
+          return if (gt < 0) n else gt
+        }
+        p = close + 1
+      } else p += 1
+    }
+    n
+  }
+
   /** Walk one tag's attribute region `[from, until)` as name[=value]
     * pairs (quoted or unquoted values, the labelFromMeta discipline) and
     * hand each pair to `take`; stops at the region end or a '>'. */
@@ -423,31 +451,36 @@ object HtmlText {
     }
   }
 
-  /** BOTH politeness meta signals in ONE document scan: the FIRST
-    * `<meta name="robots">` content and the FIRST
+  /** BOTH politeness meta signals in ONE document scan: the robots
+    * directive content UNIONED across EVERY `<meta name="robots">` tag
+    * (r15 — real pages carry several, one per CMS plugin, and the
+    * standard semantics is most-restrictive-wins across ALL of them:
+    * a second tag's `nofollow` must apply even when the first is
+    * indexable, exactly how the X-Robots-Tag header already merges
+    * with the markup; contents join on `,`, the [[robotsTokens]]
+    * separator, so parsing unions the token sets) and the FIRST
     * `<meta http-equiv="refresh">` content (each entity-decoded, null
     * when absent). The fused decode UDF needs robots tokens AND the
     * refresh target per page — separate per-signal walks would scan
-    * the document once per signal, a real per-page tax at corpus scale.
-    * Stops early once both are found. */
+    * the document once per signal, a real per-page tax at corpus
+    * scale. The scan always walks every `<meta>` (the no-robots page —
+    * the common case — always did). */
   private[pipeline] def metaSignals(html: String): (String, String) = {
     if (html == null) return (null, null)
     val n = html.length
-    var robots: String = null
+    var robots: StringBuilder = null
     var refresh: String = null
     var i = 0
-    while (i < n && (robots == null || refresh == null)) {
+    while (i < n) {
       val at = indexOfIgnoreCase(html, "<meta", i)
-      if (at < 0) return (robots, refresh)
+      if (at < 0)
+        return (if (robots == null) null else robots.toString, refresh)
       var p = at + 5
       if (p < n && (isWsCh(html.charAt(p)) || html.charAt(p) == '/')) {
         var nameAttr: String = null
         var httpEquiv: String = null
         var contentAttr: String = null
-        val end = {
-          val gt = html.indexOf('>', p)
-          if (gt < 0) n else gt
-        }
+        val end = tagEnd(html, p)
         eachAttr(html, p, end + 1) { (name, value) =>
           name match {
             case "name" => if (nameAttr == null) nameAttr = value
@@ -457,20 +490,24 @@ object HtmlText {
           }
           false
         }
-        if (robots == null && nameAttr != null &&
-          nameAttr.trim.equalsIgnoreCase("robots") && contentAttr != null)
-          robots = decodeAttr(contentAttr)
+        if (nameAttr != null &&
+          nameAttr.trim.equalsIgnoreCase("robots") && contentAttr != null) {
+          if (robots == null)
+            robots = new StringBuilder(decodeAttr(contentAttr))
+          else robots.append(',').append(decodeAttr(contentAttr))
+        }
         if (refresh == null && httpEquiv != null &&
           httpEquiv.trim.equalsIgnoreCase("refresh") && contentAttr != null)
           refresh = decodeAttr(contentAttr)
       }
       i = at + 5
     }
-    (robots, refresh)
+    (if (robots == null) null else robots.toString, refresh)
   }
 
-  /** The content value of the FIRST `<meta name="robots">`, entity-
-    * decoded, or null. Directive parsing is [[robotsTokens]]. */
+  /** The MERGED content of every `<meta name="robots">` (`,`-joined,
+    * entity-decoded), or null when the page declares none. Directive
+    * parsing is [[robotsTokens]]. */
   private[pipeline] def htmlMetaRobots(html: String): String =
     metaSignals(html)._1
 
@@ -499,8 +536,11 @@ object HtmlText {
   /** The FIRST `<meta http-equiv="refresh">` target url (raw — caller
     * resolves against the page base like any href), or null. Content
     * grammar per WHATWG's tolerant parse: optional seconds number, a
-    * `;`/`,` separator, optional `url` `=`, optionally quoted target.
-    * A bare-number content (refresh-to-self) yields null. */
+    * `;`/`,` separator — or (r15, the WHATWG algorithm's third arm)
+    * BARE WHITESPACE after at least one time character
+    * (`content="0 url=/next"` is a live redirect in every browser) —
+    * optional `url` `=`, optionally quoted target. A bare-number
+    * content (refresh-to-self) yields null. */
   def htmlRefresh(html: String): String =
     parseRefreshContent(metaSignals(html)._2)
 
@@ -511,13 +551,20 @@ object HtmlText {
     val n = content.length
     var i = 0
     while (i < n && isWsCh(content.charAt(i))) i += 1
+    val timeStart = i
     while (i < n && (content.charAt(i).isDigit || content.charAt(i) == '.'))
       i += 1
+    val timeEnd = i
     while (i < n && isWsCh(content.charAt(i))) i += 1
-    if (i >= n || (content.charAt(i) != ';' && content.charAt(i) != ','))
-      return null // bare number (or garbage): refresh-to-self, no target
-    i += 1
-    while (i < n && isWsCh(content.charAt(i))) i += 1
+    if (i >= n) return null // bare number: refresh-to-self, no target
+    if (content.charAt(i) == ';' || content.charAt(i) == ',') {
+      i += 1
+      while (i < n && isWsCh(content.charAt(i))) i += 1
+    } else if (i == timeEnd || timeEnd == timeStart) {
+      // no `;`/`,`: only whitespace separates per WHATWG, and only
+      // after a real time prefix — `5x` and a bare `url=/x` stay null
+      return null
+    }
     // optional url= prefix, case-insensitive, ws-tolerant around '='
     if (i + 3 <= n &&
       content.substring(i, i + 3).equalsIgnoreCase("url")) {
@@ -566,10 +613,7 @@ object HtmlText {
       if (p < n && (isWsCh(html.charAt(p)) || html.charAt(p) == '/')) {
         var relAttr: String = null
         var hrefAttr: String = null
-        val end = {
-          val gt = html.indexOf('>', p)
-          if (gt < 0) n else gt
-        }
+        val end = tagEnd(html, p)
         eachAttr(html, p, end + 1) { (name, value) =>
           name match {
             case "rel" => if (relAttr == null) relAttr = value

@@ -310,7 +310,16 @@ class HtmlTextSpec extends SparkTestBase {
       === "../rel/q")
     assert(r("2;https://t/bare") === "https://t/bare") // no url= prefix
     assert(r("1.5;url= spaced ") === "spaced")
+    // r15: WHATWG's bare-WHITESPACE separator — `content="0 url=/next"`
+    // is a live redirect in every browser; needs a real time prefix
+    assert(r("0 url=https://t/ws") === "https://t/ws")
+    assert(r("5 https://t/ws2") === "https://t/ws2")
+    assert(r("2.5 URL = 'https://t/q2'") === "https://t/q2")
+    assert(r("5x") === null) // garbage after the number, no separator
+    assert(r("url=https://t/no-time") === null) // ws arm needs a time
+    assert(r(" url=https://t/no-time") === null)
     assert(r("30") === null) // bare number: refresh-to-self
+    assert(r("30 ") === null) // trailing ws only: still no target
     assert(r("") === null)
     assert(r(";url=") === null) // empty target
     // header name is case-insensitive; first refresh meta wins
@@ -328,7 +337,7 @@ class HtmlTextSpec extends SparkTestBase {
     assert(HtmlText.htmlRefresh(null) === null)
   }
 
-  test("robots meta directives: nofollow/noindex/none, first meta wins") {
+  test("robots meta directives: nofollow/noindex/none, union across tags") {
     assert(HtmlText.htmlNofollowAll(
       """<meta name="robots" content="noindex, nofollow">"""))
     assert(HtmlText.htmlNoindex(
@@ -342,11 +351,29 @@ class HtmlTextSpec extends SparkTestBase {
       """<meta name="robots" content="noindex">"""))
     assert(!HtmlText.htmlNoindex(
       """<meta name="robots" content="index, follow">"""))
-    // the FIRST robots meta wins; a name=description meta is ignored
-    assert(!HtmlText.htmlNoindex(
+    // r15: directives UNION across EVERY robots meta (most-restrictive
+    // wins — CMS + plugin each inject one; the X-Robots merge is the
+    // precedent): a later tag's noindex/nofollow applies even when the
+    // first is permissive, in either order
+    assert(HtmlText.htmlNoindex(
       """<meta name="robots" content="all"><meta name="robots" content="noindex">"""))
+    assert(HtmlText.htmlNofollowAll(
+      """<meta name="robots" content="noindex">""" +
+        """<meta name="robots" content="nofollow">"""))
+    assert(HtmlText.htmlNoindex(
+      """<meta name="robots" content="noindex">""" +
+        """<meta name="robots" content="nofollow">"""))
+    assert(!HtmlText.htmlNofollowAll(
+      """<meta name="robots" content="index"><meta name="robots" content="follow">"""))
+    // a name=description meta is ignored
     assert(!HtmlText.htmlNoindex(
       """<meta name="description" content="noindex pages are fun">"""))
+    // quote-aware tag end (r15): a '>' inside a quoted content value
+    // does not truncate the walk — the nofollow after it still parses
+    assert(HtmlText.htmlNofollowAll(
+      """<meta name="robots" content="x > y, nofollow">"""))
+    assert(!HtmlText.htmlNoindex(
+      """<meta name="robots" content="x > y, nofollow">"""))
     assert(!HtmlText.htmlNoindex(null) && !HtmlText.htmlNofollowAll(""))
   }
 
@@ -398,6 +425,12 @@ class HtmlTextSpec extends SparkTestBase {
       === "https://c/5") // first canonical wins; non-canonical links skip
     assert(c("""<link rel="canonical" href="p?a=1&amp;b=2">""") === "p?a=1&b=2")
     assert(c("""<link rel="canonical" href=/bare/ok>""") === "/bare/ok")
+    // quote-aware tag end (r15): a '>' inside a quoted value must not
+    // cut the walk before the href
+    assert(c("""<link title="a > b" rel="canonical" href="https://c/7">""")
+      === "https://c/7")
+    assert(c("""<link rel="canonical" title='x > y' href="https://c/8">""")
+      === "https://c/8")
     assert(c("""<link rel="canonical">""") === null) // no href
     assert(c("""<a rel="canonical" href="https://not-link/">""") === null)
     assert(c("""<linkrel="canonical" href="https://no-ws/">""") === null)
