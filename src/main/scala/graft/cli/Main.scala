@@ -604,16 +604,23 @@ object Main {
     case "crawl-fetched-bloom" :: frontierDir :: idxPath :: bloomOut ::
         expected :: rest =>
       // the STREAMING frontier's maintenance artifact: Bloom over the
-      // fetched ledger + corpus urls with a recorded coverage cutoff;
-      // crawlIngestStream(bloomPath=...) picks it up next batch and
-      // stops paying the per-batch corpus-sized exact join. Pass '-'
-      // for idxPath when the ledger alone covers the corpus.
-      val fpp = rest.headOption.map(_.toDouble).getOrElse(0.01)
+      // fetched ledger + corpus urls + emitted next/ urls with a
+      // recorded coverage cutoff; crawlIngestStream(bloomPath=...)
+      // picks it up next batch and stops paying the per-batch
+      // corpus-sized exact join. Pass '-' for idxPath when the ledger
+      // alone covers the corpus. A trailing `fetched-only` builds the
+      // compact-next variant instead (next/ NOT folded in — the only
+      // filter crawl-compact-next will route through; the stream
+      // refuses it symmetrically).
+      val fpp = rest.headOption.filter(_ != "fetched-only")
+        .map(_.toDouble).getOrElse(0.01)
+      val fetchedOnly = rest.contains("fetched-only")
       val spark = session()
       val covers = graft.pipeline.Crawl.buildFetchedBloom(spark,
         frontierDir, if (idxPath == "-") null else idxPath,
-        expected.toLong, fpp, bloomOut)
-      println(s"crawl-fetched-bloom: covers batches < $covers -> $bloomOut")
+        expected.toLong, fpp, bloomOut, includeNext = !fetchedOnly)
+      println(s"crawl-fetched-bloom: covers batches < $covers" +
+        (if (fetchedOnly) " (fetched-only)" else "") + s" -> $bloomOut")
       spark.stop()
 
     case "crawl-compact-fetched" :: frontierDir :: Nil =>
@@ -627,21 +634,35 @@ object Main {
     case "crawl-compact-next" :: frontierDir :: rest =>
       // fold the next/batch=N frontier partitions: ref counts SUM per
       // url, since-fetched rows drop (optionally bloom-routed via a
-      // crawl-fetched-bloom artifact so the fetched side stays map-side)
+      // FETCHED-ONLY crawl-fetched-bloom artifact so the fetched side
+      // stays map-side; the stream's next-covering artifact makes every
+      // folded url bloom-positive — against one the exact join is
+      // strictly better, so it is skipped with a notice, r15)
       val spark = session()
-      val bloom = rest.headOption.map(bp =>
-        graft.pipeline.Crawl.loadFetchedBloom(spark, bp)
-          .getOrElse(sys.error(s"no bloom artifact at $bp"))._1).orNull
+      val bloom = rest.headOption.map { bp =>
+        val a = graft.pipeline.Crawl.loadFetchedBloomArtifact(spark, bp)
+          .getOrElse(sys.error(s"no bloom artifact at $bp"))
+        if (a.coversNext) {
+          println(s"crawl-compact-next: artifact at $bp covers next/ — " +
+            "every folded url is positive by construction; using the " +
+            "exact join (build one with `fetched-only` to bloom-route)")
+          null
+        } else a.bloom
+      }.orNull
       val kept = graft.pipeline.Crawl.compactNext(spark, frontierDir, bloom)
       println(s"crawl-compact-next: folded into batch=$kept")
       spark.stop()
 
     case "crawl-recrawl" :: frontierDir :: beforeBatch :: out :: Nil =>
       // refresh feed: urls whose LAST fetch predates the cutoff batch —
-      // a fetcher consumes this directly (the discovery gate stays shut)
+      // a fetcher consumes this directly (the discovery gate stays
+      // shut), written OLDEST-FIRST (last_batch asc, url asc — the
+      // documented fetch priority; recrawlSeeds itself is unordered)
       val spark = session()
       graft.pipeline.Crawl.recrawlSeeds(spark, frontierDir,
           beforeBatch.toLong)
+        .orderBy(org.apache.spark.sql.functions.col("last_batch"),
+          org.apache.spark.sql.functions.col("url"))
         .write.mode("overwrite").parquet(out)
       println(s"crawl-recrawl: ${spark.read.parquet(out).count()} urls " +
         s"due (last fetch < batch $beforeBatch) -> $out")
@@ -1083,7 +1104,7 @@ object Main {
           |  robots-filter    <urlsParquet> <robotsParquet> <agentToken> <outParquet> [urlCol]
           |  crawl-bloom      <minhashIndex> <bloomOut> <expectedItems> [fpp]
           |  crawl-schedule   <frontierParquet> <outParquet> [maxRounds]
-          |  crawl-fetched-bloom <frontierDir> <minhashIndex|-> <bloomOut> <expectedItems> [fpp]
+          |  crawl-fetched-bloom <frontierDir> <minhashIndex|-> <bloomOut> <expectedItems> [fpp] [fetched-only]
           |  crawl-compact-fetched <frontierDir>
           |  crawl-compact-next <frontierDir> [fetchedBloomPath]
           |  crawl-recrawl    <frontierDir> <beforeBatch> <outParquet>

@@ -532,7 +532,7 @@ object Crawl {
     import org.apache.hadoop.fs.Path
     val fetched = new Path(s"$frontierDir/fetched")
     val fs = fetched.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(fetched)) return -1L
+    if (!hasCommittedData(spark, fetched.toString)) return -1L
     val df = spark.read.parquet(fetched.toString)
     val maxBatch = df.agg(max(col("batch"))).head() match {
       case r if r.isNullAt(0) => return -1L
@@ -557,9 +557,13 @@ object Crawl {
     * design: a frontier that re-emits crawled pages double-fetches),
     * so page refresh is a separate maintenance-cadence feed a fetcher
     * consumes directly, bypassing the discovery gate. Returns
-    * (url, last_batch) with the OLDEST first being the natural fetch
-    * priority; refetched pages land a new `fetched/batch=N` row, which
-    * advances their max(batch) out of the due set automatically.
+    * UNORDERED (url, last_batch) rows — oldest-first is the natural
+    * fetch priority, so a consumer sorts by (last_batch, url) at its
+    * end (the `crawl-recrawl` CLI writes exactly that order; an
+    * orderBy here would be a wasted range shuffle for consumers that
+    * re-partition anyway). Refetched pages land a new
+    * `fetched/batch=N` row, which advances their max(batch) out of
+    * the due set automatically.
     * Scale: one groupBy over the ledger — corpus-sized, maintenance
     * cadence only (never per batch); run after [[compactFetched]] for
     * a single-partition scan. */
@@ -602,7 +606,9 @@ object Crawl {
     import org.apache.hadoop.fs.Path
     val next = new Path(s"$frontierDir/next")
     val fs = next.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(next)) return -1L
+    // committed-data probe, not bare existence: a crash-created empty
+    // dir must fold like absence, not fail schema inference (r15)
+    if (!hasCommittedData(spark, next.toString)) return -1L
     val df = spark.read.parquet(next.toString)
     val maxBatch = df.agg(max(col("batch"))).head() match {
       case r if r.isNullAt(0) => return -1L
@@ -612,7 +618,7 @@ object Crawl {
       .agg(sum(col("n_refs")).cast("long").as("n_refs"))
     val fetched = new Path(s"$frontierDir/fetched")
     val folded =
-      if (!fs.exists(fetched)) folded0
+      if (!hasCommittedData(spark, fetched.toString)) folded0
       else {
         val fetchedDf = spark.read.parquet(fetched.toString).select("url")
         if (fetchedBloom == null)
@@ -649,22 +655,31 @@ object Crawl {
   /** Maintenance build of the streaming frontier's Bloom: every url the
     * corpus index has folded in (when `indexPath` is set — covers a
     * bootstrap that predates the ledger) plus every fetched-ledger url
-    * plus (since r14) every EMITTED url in the `next/` frontier ledger —
-    * a url emitted at batch N and linked again at batch N+k must not
-    * re-emit while it waits to be fetched, or a fetcher consuming
-    * `next/` across batches double-fetches everything popular. Saved to
-    * `bloomPath` with a `.meta` sidecar recording the coverage cutoff
-    * (`coversBelow` = min over the two ledgers' max batch + 1 — both
-    * land per batch, `fetched` first, so `next` can trail by one across
-    * a crash; min is the batch below which BOTH are covered). A batch
-    * at id ≥ cutoff checks the bloom for everything older and only the
+    * plus (since r14, when `includeNext`) every EMITTED url in the
+    * `next/` frontier ledger — a url emitted at batch N and linked
+    * again at batch N+k must not re-emit while it waits to be fetched,
+    * or a fetcher consuming `next/` across batches double-fetches
+    * everything popular. Saved to `bloomPath` with a `.meta` sidecar
+    * recording the coverage cutoff (`coversBelow` = min over the
+    * covered ledgers' max batch + 1 — both land per batch, `fetched`
+    * first, so `next` can trail by one across a crash; min is the
+    * batch below which BOTH are covered) and (r15) WHICH ledgers the
+    * filter covers: a next-covering artifact is the STREAM's (the
+    * emitted-ledger gate needs it), while [[compactNext]] needs a
+    * FETCHED-ONLY one (`includeNext = false` — against a next-covering
+    * filter every url it folds is positive by construction and the
+    * exact rescue broadcasts the whole frontier). Consumers route on
+    * the recorded flag ([[fetchedOnlyBloom]]; the stream refuses
+    * fetched-only artifacts symmetrically). A batch at id ≥ cutoff
+    * checks the bloom for everything older and only the
     * [cutoff, batch) trickle exactly — per-batch cost stops growing
     * with crawl age. The meta lands AFTER the bloom (a crash between
     * the two leaves the previous coherent pair in place — both writes
     * are atomic temp+rename swaps). */
   def buildFetchedBloom(spark: SparkSession, frontierDir: String,
                         indexPath: String, expectedItems: Long,
-                        fpp: Double = 0.01, bloomPath: String): Long = {
+                        fpp: Double = 0.01, bloomPath: String,
+                        includeNext: Boolean = true): Long = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     def maxBatchOf(df: DataFrame): Long =
@@ -673,12 +688,12 @@ object Crawl {
         case r => r.getAs[Number](0).longValue()
       }
     val fetched = new Path(s"$frontierDir/fetched")
-    val haveFetched = fetched.getFileSystem(conf).exists(fetched)
+    val haveFetched = hasCommittedData(spark, fetched.toString)
     val fetchedDf =
       if (haveFetched) spark.read.parquet(fetched.toString)
       else null
     val next = new Path(s"$frontierDir/next")
-    val haveNext = next.getFileSystem(conf).exists(next)
+    val haveNext = includeNext && hasCommittedData(spark, next.toString)
     val nextDf =
       if (haveNext) spark.read.parquet(next.toString)
       else null
@@ -703,12 +718,14 @@ object Crawl {
     val urls = sources.reduce(_ unionByName _)
     val bloom = urls.stat.bloomFilter("url", expectedItems, fpp)
     saveBloom(spark, bloom, bloomPath)
-    // meta sidecar: one decimal long, same atomic-swap write
+    // meta sidecar: `coversBelow,next=<0|1>` (r15 — pre-r15 artifacts
+    // hold the bare long and parse as next=1, which is what they were),
+    // same atomic-swap write
     val metaP = new Path(bloomPath + ".meta")
     val fs = metaP.getFileSystem(conf)
     val tmp = new Path(bloomPath + ".meta._writing")
     val out = fs.create(tmp, true)
-    try out.write(coversBelow.toString
+    try out.write(s"$coversBelow,next=${if (includeNext) 1 else 0}"
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
     finally out.close()
     if (fs.exists(metaP) && !fs.delete(metaP, false))
@@ -718,12 +735,21 @@ object Crawl {
     coversBelow
   }
 
-  /** Load a [[buildFetchedBloom]] artifact pair: (bloom, coversBelow).
+  /** A [[buildFetchedBloom]] artifact with its recorded coverage:
+    * `coversNext` says whether the filter folded the `next/` (emitted)
+    * ledger in — the flag [[compactNext]] and the stream route on. */
+  final case class FetchedBloomArtifact(
+      bloom: org.apache.spark.util.sketch.BloomFilter,
+      coversBelow: Long, coversNext: Boolean)
+
+  /** Load a [[buildFetchedBloom]] artifact with its coverage meta.
     * None when either half is absent — callers fall back to the exact
     * path (a missing/in-progress maintenance artifact must never wedge
-    * the stream). */
-  def loadFetchedBloom(spark: SparkSession, bloomPath: String)
-      : Option[(org.apache.spark.util.sketch.BloomFilter, Long)] = {
+    * the stream). Pre-r15 metas (a bare decimal long) parse as
+    * `coversNext = true` — that is what the r14 builder wrote into
+    * those filters. */
+  def loadFetchedBloomArtifact(spark: SparkSession, bloomPath: String)
+      : Option[FetchedBloomArtifact] = {
     import org.apache.hadoop.fs.Path
     val conf = spark.sparkContext.hadoopConfiguration
     val bp = new Path(bloomPath)
@@ -731,15 +757,62 @@ object Crawl {
     val fs = bp.getFileSystem(conf)
     if (!fs.exists(bp) || !fs.exists(mp)) return None
     val in = fs.open(mp)
-    val coversBelow =
+    val meta =
       try {
         val buf = new java.io.ByteArrayOutputStream(32)
         val tmp = new Array[Byte](256)
         var n = in.read(tmp)
         while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
         new String(buf.toByteArray,
-          java.nio.charset.StandardCharsets.US_ASCII).trim.toLong
+          java.nio.charset.StandardCharsets.US_ASCII).trim
       } finally in.close()
-    Some((loadBloom(spark, bloomPath), coversBelow))
+    val parts = meta.split(",", -1)
+    val coversBelow = parts(0).trim.toLong
+    val coversNext = !parts.exists(_.trim == "next=0")
+    Some(FetchedBloomArtifact(loadBloom(spark, bloomPath), coversBelow,
+      coversNext))
+  }
+
+  /** Load a [[buildFetchedBloom]] artifact pair: (bloom, coversBelow).
+    * The compatibility form of [[loadFetchedBloomArtifact]] — callers
+    * that must distinguish fetched-only filters use that one. */
+  def loadFetchedBloom(spark: SparkSession, bloomPath: String)
+      : Option[(org.apache.spark.util.sketch.BloomFilter, Long)] =
+    loadFetchedBloomArtifact(spark, bloomPath)
+      .map(a => (a.bloom, a.coversBelow))
+
+  /** The bloom a [[compactNext]] caller may route through: Some only
+    * when an artifact exists at `bloomPath` AND its meta records a
+    * FETCHED-ONLY filter. A next-covering artifact (the stream's)
+    * yields None — against it every folded url is positive by
+    * construction and the rescue broadcasts the whole frontier, so the
+    * exact join is strictly better (r15, the ADVICE finding). */
+  def fetchedOnlyBloom(spark: SparkSession, bloomPath: String)
+      : Option[org.apache.spark.util.sketch.BloomFilter] =
+    loadFetchedBloomArtifact(spark, bloomPath)
+      .filter(!_.coversNext).map(_.bloom)
+
+  /** Does `path` hold at least one COMMITTED data file (non-underscore,
+    * non-hidden, recursively)? A partition dir that exists but holds no
+    * readable parquet footer — the crash window between creating
+    * `next/` and committing its first file — must behave like absence:
+    * `spark.read.parquet` on it fails schema inference and would wedge
+    * the stream permanently (r15, the ADVICE finding). One recursive
+    * listing, maintenance-ledger-sized (compaction bounds the partition
+    * count). */
+  private[graft] def hasCommittedData(spark: SparkSession,
+                                      path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      val name = f.getPath.getName
+      if (f.isFile && !name.startsWith("_") && !name.startsWith("."))
+        return true
+    }
+    false
   }
 }

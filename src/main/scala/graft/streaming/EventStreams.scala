@@ -28,7 +28,12 @@ object EventStreams extends Serializable {
     * would swamp the very cost the bloom removes. The artifact only
     * changes when maintenance swaps it (atomic rename = new mtime), so
     * mtime is a sound cache key; the superseded broadcast is released
-    * when a new one loads. Driver-side only. */
+    * when a new one loads. A FETCHED-ONLY artifact (r15 — built for
+    * [[graft.pipeline.Crawl.compactNext]], its meta records
+    * `next=0`) is REFUSED (cached as such, broadcast-free): the
+    * stream's pre-cutoff routing assumes the filter covers the emitted
+    * `next/` ledger, and a filter that doesn't would false-negative
+    * every pending url into a re-emission leak. Driver-side only. */
   @transient private lazy val bloomCache =
     new java.util.concurrent.ConcurrentHashMap[String,
       (Long, Long, org.apache.spark.broadcast.Broadcast[
@@ -43,14 +48,21 @@ object EventStreams extends Serializable {
     if (!fs.exists(p)) return None
     val mtime = fs.getFileStatus(p).getModificationTime
     val hit = bloomCache.get(bloomPath)
-    if (hit != null && hit._1 == mtime) return Some((hit._3, hit._2))
-    graft.pipeline.Crawl.loadFetchedBloom(spark, bloomPath).map {
-      case (bloom, coversBelow) =>
-        val bc = spark.sparkContext.broadcast(bloom)
-        val old = bloomCache.put(bloomPath, (mtime, coversBelow, bc))
-        if (old != null) old._3.unpersist(blocking = false)
-        (bc, coversBelow)
-    }
+    if (hit != null && hit._1 == mtime)
+      return if (hit._3 == null) None else Some((hit._3, hit._2))
+    graft.pipeline.Crawl.loadFetchedBloomArtifact(spark, bloomPath)
+      .flatMap { a =>
+        val bc = if (a.coversNext) spark.sparkContext.broadcast(a.bloom)
+                 else null // refused: fetched-only filter (see doc)
+        val old = bloomCache.put(bloomPath, (mtime, a.coversBelow, bc))
+        if (old != null && old._3 != null) old._3.unpersist(blocking = false)
+        if (bc == null) {
+          log.warn(s"crawl bloom at $bloomPath is fetched-only " +
+            "(next=0) — the stream needs a next-covering artifact; " +
+            "falling back to the exact frontier path")
+          None
+        } else Some((bc, a.coversBelow))
+      }
   }
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
@@ -857,15 +869,16 @@ object EventStreams extends Serializable {
             // while it waits to be fetched — a fetcher consuming
             // `next/` across batches would double-fetch everything
             // popular. Unlike fetched/ (written above), next/ does not
-            // exist before the first frontier write — hence the probe.
-            val nextPath =
-              new org.apache.hadoop.fs.Path(s"$frontierDir/next")
-            val haveNext = nextPath
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .exists(nextPath)
+            // exist before the first frontier write — hence the probe,
+            // which (r15) checks for COMMITTED data files, not the bare
+            // dir: a crash between mkdir and the first parquet commit
+            // leaves a dir whose read fails schema inference, wedging
+            // every replay until manual cleanup.
+            val haveNext = graft.pipeline.Crawl.hasCommittedData(spark,
+              s"$frontierDir/next")
             def nextIn(from: Long, until: Long) =
               if (!haveNext) urls.limit(0)
-              else spark.read.parquet(nextPath.toString)
+              else spark.read.parquet(s"$frontierDir/next")
                 .filter(col("batch") >= from && col("batch") < until)
                 .select(col("url"))
             val maintained =

@@ -423,6 +423,73 @@ class CrawlFrontierSpec extends SparkTestBase {
       .isEmpty)
   }
 
+  test("fetched-only bloom artifacts: coverage meta routes the consumers") {
+    val d = java.nio.file.Files.createTempDirectory("crawl-bloom-meta")
+    d.toFile.deleteOnExit()
+    val fDir = d.resolve("frontier").toString
+    Seq("https://f/1", "https://f/2").toDF("url")
+      .write.parquet(s"$fDir/fetched/batch=0")
+    Seq(("https://emitted/1", 2L)).toDF("url", "n_refs")
+      .write.parquet(s"$fDir/next/batch=0")
+    // the stream's artifact (default): covers next/, compactNext must
+    // refuse it — against it every folded url is positive by
+    // construction and the rescue broadcasts the whole frontier
+    val bpStream = d.resolve("stream.bloom").toString
+    Crawl.buildFetchedBloom(spark, fDir, null, 1000L, 0.01, bpStream)
+    val aStream = Crawl.loadFetchedBloomArtifact(spark, bpStream).get
+    assert(aStream.coversNext && aStream.coversBelow === 1L)
+    assert(aStream.bloom.mightContain("https://emitted/1"))
+    assert(Crawl.fetchedOnlyBloom(spark, bpStream).isEmpty,
+      "compactNext must refuse a next-covering artifact")
+    // the compactNext artifact: fetched-only; its cutoff ignores next/
+    val bpFetched = d.resolve("fetched-only.bloom").toString
+    assert(Crawl.buildFetchedBloom(spark, fDir, null, 1000L, 0.01,
+      bpFetched, includeNext = false) === 1L)
+    val aFetched = Crawl.loadFetchedBloomArtifact(spark, bpFetched).get
+    assert(!aFetched.coversNext)
+    assert(Crawl.fetchedOnlyBloom(spark, bpFetched).isDefined)
+    assert(Seq("https://f/1", "https://f/2")
+      .forall(aFetched.bloom.mightContain))
+    // pre-r15 metas (bare decimal long) parse as next-covering — that
+    // is what the r14 builder wrote into those filters. Fresh file
+    // names: overwriting a Hadoop-written file via nio would break its
+    // .crc sidecar
+    val bpLegacy = d.resolve("legacy.bloom")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(bpStream), bpLegacy)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(bpLegacy.toString + ".meta"),
+      "1".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    val legacy = Crawl.loadFetchedBloomArtifact(spark,
+      bpLegacy.toString).get
+    assert(legacy.coversNext && legacy.coversBelow === 1L)
+    assert(Crawl.fetchedOnlyBloom(spark, bpLegacy.toString).isEmpty)
+  }
+
+  test("crash-created empty ledger dirs behave like absence") {
+    val d = java.nio.file.Files.createTempDirectory("crawl-empty-dirs")
+    d.toFile.deleteOnExit()
+    val fDir = d.resolve("frontier").toString
+    // the crash window: dir (even a batch= subdir) exists, but no
+    // parquet file was ever committed — reads must not be attempted
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$fDir/next/batch=0"))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$fDir/fetched"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$fDir/fetched/_SUCCESS"), Array[Byte]())
+    assert(!Crawl.hasCommittedData(spark, s"$fDir/next"))
+    assert(!Crawl.hasCommittedData(spark, s"$fDir/fetched"),
+      "marker files alone are not committed data")
+    assert(!Crawl.hasCommittedData(spark, s"$fDir/never-created"))
+    assert(Crawl.compactNext(spark, fDir) === -1L)
+    assert(Crawl.compactFetched(spark, fDir) === -1L)
+    // a committed file flips the probe
+    Seq(("https://n/a", 1L)).toDF("url", "n_refs")
+      .write.mode("overwrite").parquet(s"$fDir/next/batch=0")
+    assert(Crawl.hasCommittedData(spark, s"$fDir/next"))
+    assert(Crawl.compactNext(spark, fDir) === 0L)
+  }
+
   test("recrawlSeeds: last-fetch age survives compaction; refetch clears due") {
     val d = java.nio.file.Files.createTempDirectory("crawl-recrawl")
     d.toFile.deleteOnExit()

@@ -99,6 +99,12 @@ class CrawlIngestStreamSpec extends SparkTestBase {
     base.toFile.deleteOnExit()
     val idx = base.resolve("idx").toString
     val fDir = base.resolve("frontier").toString
+    // the crash shape (r15): next/ exists with an EMPTY partition dir
+    // (mkdir committed, first parquet never landed) — the stream's
+    // committed-data probe must treat it like absence, not wedge on
+    // schema inference
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(s"$fDir/next/batch=0"))
     Dedup.minhashIndexBuild(Seq(
       ("https://c/1", "the stored corpus document about foxes and dogs here")
     ).toDF("url", "text"), "text", "url", idx,
@@ -313,7 +319,8 @@ class CrawlIngestStreamSpec extends SparkTestBase {
     // and robots-gated. Bloom output must be IDENTICAL to exact; robots
     // must drop exactly the disallowed host's urls.
     def run(bloom: Boolean, robots: Boolean, tag: String,
-            blocked: Boolean = false): Set[(String, Long)] = {
+            blocked: Boolean = false,
+            fetchedOnly: Boolean = false): Set[(String, Long)] = {
       val idx = base.resolve(s"idx-$tag").toString
       val fDir = base.resolve(s"frontier-$tag").toString
       val bp = base.resolve(s"bloom-$tag.bin").toString
@@ -337,7 +344,7 @@ class CrawlIngestStreamSpec extends SparkTestBase {
       q.processAllAvailable()
       if (bloom) // maintenance between batches: bloom covers batch 0
         graft.pipeline.Crawl.buildFetchedBloom(spark, fDir, idx,
-          1000L, 0.01, bp)
+          1000L, 0.01, bp, includeNext = !fetchedOnly)
       input.addData((1L, warcOf(
         ("https://mid/1", 200,
           """<p>mid page body totally different tokens</p>
@@ -359,6 +366,13 @@ class CrawlIngestStreamSpec extends SparkTestBase {
       s"exact frontier: $exact")
     val viaBloom = run(bloom = true, robots = false, "bloom")
     assert(viaBloom === exact, s"bloom-routed frontier diverged: $viaBloom")
+    // a FETCHED-ONLY artifact (compactNext's) is REFUSED by the stream
+    // (its routing assumes next/ coverage) — exact-path fallback,
+    // identical output
+    val viaRefused = run(bloom = true, robots = false, "fetched-only",
+      fetchedOnly = true)
+    assert(viaRefused === exact,
+      s"fetched-only refusal fallback diverged: $viaRefused")
     val gated = run(bloom = false, robots = true, "robots")
     assert(gated === Set(("https://next/1", 1L),
       ("https://mid/blocked/x", 1L)), // mid has no robots row: allowed
