@@ -3016,6 +3016,56 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Retry-After politeness (r15): throttling hosts say WHEN they may
+    // be hit again; the header survives the REAL WARC HTTP split (the
+    // http_location/http_x_robots pattern), folds to a per-host MAX
+    // over 429/503 responses (retryAfterDelays — delta-seconds form
+    // only; the HTTP-date arm and a 200-status arm are planted and
+    // must be IGNORED), and shifts every round's start:
+    // not_before_s = retry_after_s + (round-1)*delay_s.
+    "crawl_schedule_retry" -> ((s, dir) => {
+      import s.implicits._
+      val pages = crawlFixtureLinkPages(s, dir)
+      val frontier = graft.pipeline.Crawl.frontier(pages,
+        pages.select(col("url")))
+      val robots = (0 until 7).map { k =>
+        (s"h$k.example",
+          s"User-agent: graftbot\nCrawl-delay: $k.5\n" +
+            "User-agent: *\nCrawl-delay: 99")
+      }.toDF("host", "body")
+      val delays = graft.pipeline.Robots.crawlDelayDf(robots, "graftbot")
+      val files = tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].groupByKey(_ % 8).mapGroups { (g, ids) =>
+          val recs = ids.flatMap { id =>
+            val host = s"h${id % 7}.example"
+            (id % 3) match {
+              case 0 => Seq((s"https://$host/th/$id", 429, null: String,
+                null: String, null: String, s"${30 + id % 11}",
+                Array.emptyByteArray))
+              case 1 => Seq((s"https://$host/busy/$id", 503, null: String,
+                null: String, null: String, s"${30 + id % 11}",
+                Array.emptyByteArray))
+              case _ => Seq(
+                // HTTP-date form: ignored (needs the fetch wall clock)
+                (s"https://$host/date/$id", 429, null: String,
+                  null: String, null: String,
+                  "Fri, 01 Jan 2027 00:00:00 GMT", Array.emptyByteArray),
+                // non-throttling status: ignored even with a numeric value
+                (s"https://$host/ok/$id", 200, "text/html", null: String,
+                  null: String, "999", s"<p>fine $id</p>".getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8)))
+            }
+          }.toSeq
+          (g, graft.sources.Warc.encodeWarcResponsesFull(recs,
+            gzipPerRecord = g % 2 == 1))
+        }.toDF("g", "payload")
+      val retry = graft.pipeline.Crawl.retryAfterDelays(
+        graft.sources.Warc.warcRecords(files).toDF())
+      graft.pipeline.Crawl.schedule(frontier, maxRounds = 3,
+          delays = delays, retryAfter = retry)
+        .orderBy("url")
+    }),
+
     // Redirect handling end-to-end: real 3xx WARC records (Location
     // surviving the HTTP split) become one-outlink pages
     // (Crawl.redirectLinks), their targets resolve against the redirect
@@ -3790,8 +3840,12 @@ object SparkEntry {
     * lowercased — the engine's exact pattern string runs in DuckDB),
     * row_number per host by (n_refs desc, url asc), rounds beyond 3
     * deferred; optionally the per-host crawl-delay join (delay k + 0.5
-    * for host hk — the graftbot group's value in the fixture robots). */
-  private def crawlScheduleOracleSql(withDelays: Boolean): String = {
+    * for host hk — the graftbot group's value in the fixture robots);
+    * optionally (r15) the per-host Retry-After join — max(30 + id%11)
+    * over host hk's 429/503 fixture arms (the date-form and 200-status
+    * arms never count), shifting not_before_s by it. */
+  private def crawlScheduleOracleSql(withDelays: Boolean,
+                                     withRetry: Boolean = false): String = {
     val hostExpr =
       s"lower(regexp_extract(url, '${graft.pipeline.UrlFilter.HostRe}', 1))"
     val head =
@@ -3809,7 +3863,7 @@ object SparkEntry {
     if (!withDelays)
       head + "\nSELECT host, url, n_refs, round FROM ranked" +
         "\nWHERE round <= 3 ORDER BY url"
-    else
+    else if (!withRetry)
       head +
         """,
           |delays AS (
@@ -3821,6 +3875,26 @@ object SparkEntry {
           |  CAST(r.round - 1 AS DOUBLE) * COALESCE(d.delay_s, 0.0)
           |    AS not_before_s
           |FROM ranked r LEFT JOIN delays d ON d.host = r.host
+          |WHERE r.round <= 3 ORDER BY r.url""".stripMargin
+    else
+      head +
+        """,
+          |delays AS (
+          |  SELECT 'h' || CAST(k AS VARCHAR) || '.example' AS host,
+          |    CAST(k AS DOUBLE) + 0.5 AS delay_s
+          |  FROM range(7) t(k)),
+          |retry AS (
+          |  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
+          |    CAST(max(30 + doc_id % 11) AS DOUBLE) AS retry_after_s
+          |  FROM documents WHERE doc_id % 3 < 2 GROUP BY 1)
+          |SELECT r.host, r.url, r.n_refs, r.round,
+          |  COALESCE(d.delay_s, 0.0) AS delay_s,
+          |  COALESCE(t.retry_after_s, 0.0) AS retry_after_s,
+          |  COALESCE(t.retry_after_s, 0.0) +
+          |    CAST(r.round - 1 AS DOUBLE) * COALESCE(d.delay_s, 0.0)
+          |    AS not_before_s
+          |FROM ranked r LEFT JOIN delays d ON d.host = r.host
+          |LEFT JOIN retry t ON t.host = r.host
           |WHERE r.round <= 3 ORDER BY r.url""".stripMargin
   }
 
@@ -7027,6 +7101,11 @@ object SparkEntry {
     // not_before_s stacks (round-1)*delay_s; hosts without a robots
     // row pace at 0
     "crawl_schedule_delay" -> crawlScheduleOracleSql(withDelays = true),
+    // the same schedule with Retry-After pacing joined on: hk's
+    // retry_after_s = max(30 + id%11) over its 429/503 fixture arms
+    // (date-form and 200-status arms ignored); not_before_s shifts by it
+    "crawl_schedule_retry" ->
+      crawlScheduleOracleSql(withDelays = true, withRetry = true),
     // the sitemap seed multiset rebuilt from the fixture arithmetic:
     // own-page locs fall to the crawled set, the relative loc to the
     // absolute filter; new + shared locs aggregate refs

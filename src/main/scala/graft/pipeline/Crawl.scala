@@ -454,10 +454,21 @@ object Crawl {
     * `delay_s` plus `not_before_s` = (round−1)·delay_s — the stacked
     * earliest-start offset a fetcher owes that host.
     *
-    * Output: (host, url, n_refs, round[, delay_s, not_before_s]). */
+    * `retryAfter`, when set (r15), is a (host, retry_after_s) table —
+    * [[retryAfterDelays]] over the batch that discovered this frontier
+    * emits exactly this — broadcast the same way: the output gains
+    * `retry_after_s` (0 for hosts that are not throttling) and
+    * `not_before_s` becomes retry_after_s + (round−1)·delay_s — the
+    * host said WHEN it may be hit again, so every round's start shifts
+    * by it. A fetcher honoring crawl-delay but not Retry-After still
+    * hammers a 429/503 host.
+    *
+    * Output: (host, url, n_refs, round[, delay_s[, retry_after_s],
+    * not_before_s]). */
   def schedule(frontier: DataFrame, maxRounds: Int,
                urlCol: String = "url", refsCol: String = "n_refs",
-               delays: DataFrame = null): DataFrame = {
+               delays: DataFrame = null,
+               retryAfter: DataFrame = null): DataFrame = {
     val base = graft.functions.TopK.topLabelsPerGroup(
         frontier.withColumn("host", UrlFilter.hostOf(col(urlCol)))
           .filter(col("host").isNotNull),
@@ -465,14 +476,48 @@ object Crawl {
       .select(col("host"), col(urlCol),
         col(refsCol).cast("long").as(refsCol),
         col("rank").cast("long").as("round"))
-    if (delays == null) base
-    else base
-      .join(broadcast(delays.select(col("host"),
-        col("delay_s").cast("double").as("delay_s"))), Seq("host"), "left")
-      .na.fill(0.0, Seq("delay_s"))
-      .withColumn("not_before_s",
-        (col("round") - 1).cast("double") * col("delay_s"))
+    if (delays == null && retryAfter == null) return base
+    val paced =
+      if (delays == null) base.withColumn("delay_s", lit(0.0))
+      else base
+        .join(broadcast(delays.select(col("host"),
+          col("delay_s").cast("double").as("delay_s"))), Seq("host"), "left")
+        .na.fill(0.0, Seq("delay_s"))
+    val withRetry =
+      if (retryAfter == null) paced
+      else paced
+        .join(broadcast(retryAfter.select(col("host"),
+          col("retry_after_s").cast("double").as("retry_after_s"))),
+          Seq("host"), "left")
+        .na.fill(0.0, Seq("retry_after_s"))
+    val offset =
+      if (retryAfter == null) lit(0.0) else col("retry_after_s")
+    withRetry.withColumn("not_before_s",
+      offset + (col("round") - 1).cast("double") * col("delay_s"))
   }
+
+  /** Per-host `Retry-After` pacing from a batch's WARC records (r15):
+    * the 429/503 responses whose `Retry-After` header carries the
+    * delta-seconds form (RFC 9110 §10.2.3 — all digits) fold to
+    * (host, retry_after_s = MAX over the host's throttling responses),
+    * the table [[schedule]]'s `retryAfter` consumes. The HTTP-date
+    * form is deliberately ignored: interpreting it needs the fetch
+    * wall clock, which a replayed WARC batch does not have — and a
+    * date-form host still gets crawl-delay pacing. Statuses other
+    * than 429/503 never count (some servers attach Retry-After to
+    * redirects; honoring those would stall healthy hosts). Hosts are
+    * canonical ([[UrlFilter.hostOf]] — the politeness key). Map-side
+    * scan + a hosts-sized aggregate. */
+  def retryAfterDelays(records: DataFrame): DataFrame =
+    records.filter(col("warc_type") === "response" &&
+        col("http_status").isin(429, 503) &&
+        col("http_retry_after").isNotNull &&
+        col("http_retry_after").rlike("^[0-9]+$"))
+      .select(UrlFilter.hostOf(col("target_uri")).as("host"),
+        col("http_retry_after").cast("double").as("retry_after_s"))
+      .filter(col("host").isNotNull)
+      .groupBy("host")
+      .agg(max(col("retry_after_s")).as("retry_after_s"))
 
   /** 3xx responses as (url, links = [Location]) pages — a redirect IS a
     * page with one outlink: composed with [[frontier]], the `Location`

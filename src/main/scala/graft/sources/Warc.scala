@@ -29,16 +29,21 @@ object Warc {
 
   /** One parsed WARC record: the standard headers, plus the HTTP layer
     * (status/content-type/body, the `Location` header — the 3xx
-    * redirect target the crawl loop must follow — and the
+    * redirect target the crawl loop must follow — the
     * `X-Robots-Tag` header (r14): the HTTP-level twin of
     * `<meta name=robots>`, how sites mark non-HTML resources and how
-    * CDNs mark whole paths noindex/nofollow) when the record is an
+    * CDNs mark whole paths noindex/nofollow — and the `Retry-After`
+    * header (r15): how a throttling host says WHEN it may be hit
+    * again; a fetcher honoring crawl-delay but not Retry-After still
+    * hammers a 429/503 host, so it must survive the split into
+    * [[graft.pipeline.Crawl.retryAfterDelays]]) when the record is an
     * HTTP response — -1/null/empty otherwise. */
   final case class WarcRecord(warc_type: String, target_uri: String,
                               warc_date: String, record_id: String,
                               http_status: Int, http_content_type: String,
                               body: Array[Byte], http_location: String,
-                              http_x_robots: String)
+                              http_x_robots: String,
+                              http_retry_after: String)
 
   private val Crlf = "\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
@@ -70,16 +75,19 @@ object Warc {
   /** Build an HTTP response payload (status line + headers + body).
     * `location`, when set, emits the `Location:` header — the 3xx
     * redirect fixture shape; `xRobots` emits `X-Robots-Tag:` (the
-    * header-politeness fixture shape, r14). */
+    * header-politeness fixture shape, r14); `retryAfter` emits
+    * `Retry-After:` (the throttling-politeness fixture shape, r15). */
   def httpResponsePayload(status: Int, reason: String, contentType: String,
                           body: Array[Byte],
                           location: String = null,
-                          xRobots: String = null): Array[Byte] = {
+                          xRobots: String = null,
+                          retryAfter: String = null): Array[Byte] = {
     val head = s"HTTP/1.1 $status $reason\r\n" +
       (if (contentType == null) "" // unlabeled responses are crawl reality
        else s"Content-Type: $contentType\r\n") +
       (if (location == null) "" else s"Location: $location\r\n") +
       (if (xRobots == null) "" else s"X-Robots-Tag: $xRobots\r\n") +
+      (if (retryAfter == null) "" else s"Retry-After: $retryAfter\r\n") +
       s"Content-Length: ${body.length}\r\n\r\n"
     val hb = head.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val out = new Array[Byte](hb.length + body.length)
@@ -127,6 +135,20 @@ object Warc {
   def encodeWarcResponsesTagged(
       records: Seq[(String, Int, String, String, String, Array[Byte])],
       date: String = "2026-01-01T00:00:00Z",
+      gzipPerRecord: Boolean = false): Array[Byte] =
+    encodeWarcResponsesFull(records.map { case (u, st, ct, loc, xr, b) =>
+      (u, st, ct, loc, xr, null: String, b)
+    }, date, gzipPerRecord)
+
+  /** The widest fixture encoder (r15): per-record Content-Type,
+    * `Location`, `X-Robots-Tag` AND `Retry-After` — (uri, status,
+    * contentType, location|null, xRobots|null, retryAfter|null, body).
+    * The throttling-politeness fixtures need `Retry-After` to survive
+    * the HTTP split into [[graft.pipeline.Crawl.retryAfterDelays]]. */
+  def encodeWarcResponsesFull(
+      records: Seq[(String, Int, String, String, String, String,
+        Array[Byte])],
+      date: String = "2026-01-01T00:00:00Z",
       gzipPerRecord: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def member(write: java.io.OutputStream => Unit): Unit =
@@ -141,7 +163,7 @@ object Warc {
       "application/warc-fields",
       "software: graft\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
     records.foreach { case (uri, status, contentType, location, xRobots,
-        body) =>
+        retryAfter, body) =>
       val reason = status match {
         case 200 => "OK"
         case 301 => "Moved Permanently"
@@ -149,12 +171,14 @@ object Warc {
         case 303 => "See Other"
         case 307 => "Temporary Redirect"
         case 308 => "Permanent Redirect"
+        case 429 => "Too Many Requests"
+        case 503 => "Service Unavailable"
         case _ => "Not Found"
       }
       member(o => encodeRecord(o, "response", uri, date,
         s"urn:uuid:${uri.hashCode}", "application/http;msgtype=response",
         httpResponsePayload(status, reason, contentType, body, location,
-          xRobots)))
+          xRobots, retryAfter)))
     }
     out.toByteArray
   }
@@ -344,6 +368,7 @@ object Warc {
     var httpCt: String = null
     var httpLoc: String = null
     var httpXRobots: String = null
+    var httpRetryAfter: String = null
     var body = payload
     if (isHttp) {
       val he = headerEnd(payload, 0)
@@ -358,6 +383,7 @@ object Warc {
         httpCt = hh.getOrElse("content-type", null)
         httpLoc = hh.getOrElse("location", null)
         httpXRobots = hh.getOrElse("x-robots-tag", null)
+        httpRetryAfter = hh.getOrElse("retry-after", null)
         body = java.util.Arrays.copyOfRange(payload, he, payload.length)
         // de-chunk when the wire framing is present (r14): chunked is
         // the FINAL transfer coding by RFC 7230 §3.3.1, so a token-list
@@ -371,7 +397,7 @@ object Warc {
     WarcRecord(wtype, hdrs.getOrElse("warc-target-uri", null),
       hdrs.getOrElse("warc-date", null),
       hdrs.getOrElse("warc-record-id", null), status, httpCt, body, httpLoc,
-      httpXRobots)
+      httpXRobots, httpRetryAfter)
   }
 
   /**

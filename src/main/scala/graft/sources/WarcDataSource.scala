@@ -62,7 +62,8 @@ object WarcDataSource {
     StructField("http_content_type", StringType),
     StructField("body", BinaryType),
     StructField("http_location", StringType),
-    StructField("http_x_robots", StringType)))
+    StructField("http_x_robots", StringType),
+    StructField("http_retry_after", StringType)))
 
   /** Resolve the `path`/`paths` load options to concrete file statuses. */
   private[sources] def listFiles(props: Map[String, String])
@@ -354,7 +355,8 @@ private[sources] class WarcPartitionReader(part: WarcPartition,
         case 5 => s(r.http_content_type)
         case 6 => r.body
         case 7 => s(r.http_location)
-        case _ => s(r.http_x_robots)
+        case 8 => s(r.http_x_robots)
+        case _ => s(r.http_retry_after)
       }
       i += 1
     }

@@ -386,6 +386,49 @@ class CrawlFrontierSpec extends SparkTestBase {
       "header none must drop links too")
   }
 
+  test("retryAfterDelays: 429/503 delta-seconds fold per host; schedule shifts") {
+    val records = Seq(
+      // two throttling responses on one host: MAX wins; hostOf
+      // canonicalizes the shouty/port/userinfo variants onto one key
+      ("response", "https://a.example/x", 429, "60"),
+      ("response", "HTTPS://A.EXAMPLE:443/y", 503, "240"),
+      ("response", "https://u@a.example/z", 429, "90"),
+      // date form: ignored (needs the fetch wall clock)
+      ("response", "https://b.example/d", 429,
+        "Fri, 01 Jan 2027 00:00:00 GMT"),
+      // non-throttling statuses never count, numeric or not
+      ("response", "https://c.example/ok", 200, "999"),
+      ("response", "https://c.example/moved", 301, "30"),
+      // no header at all
+      ("response", "https://d.example/none", 429, null),
+      // non-response records are out of scope
+      ("warcinfo", "https://e.example/w", 429, "15"))
+      .toDF("warc_type", "target_uri", "http_status", "http_retry_after")
+    val delays = Crawl.retryAfterDelays(records)
+      .as[(String, Double)].collect().toMap
+    assert(delays === Map("a.example" -> 240.0))
+    // schedule with retryAfter only (no crawl-delay table): every round
+    // of a throttling host starts at its retry_after_s; others at 0
+    val frontier = Seq(
+      ("https://a.example/1", 5L), ("https://a.example/2", 3L),
+      ("https://f.example/1", 1L)).toDF("url", "n_refs")
+    val sched = Crawl.schedule(frontier, maxRounds = 3,
+        retryAfter = Crawl.retryAfterDelays(records))
+      .select("url", "round", "delay_s", "retry_after_s", "not_before_s")
+      .as[(String, Long, Double, Double, Double)].collect().toSet
+    assert(sched === Set(
+      ("https://a.example/1", 1L, 0.0, 240.0, 240.0),
+      ("https://a.example/2", 2L, 0.0, 240.0, 240.0),
+      ("https://f.example/1", 1L, 0.0, 0.0, 0.0)))
+    // with BOTH tables the offsets stack: retry + (round-1)*delay
+    val both = Crawl.schedule(frontier, maxRounds = 3,
+        delays = Seq(("a.example", 7.0)).toDF("host", "delay_s"),
+        retryAfter = Crawl.retryAfterDelays(records))
+      .select("url", "not_before_s").as[(String, Double)].collect().toMap
+    assert(both === Map("https://a.example/1" -> 240.0,
+      "https://a.example/2" -> 247.0, "https://f.example/1" -> 0.0))
+  }
+
   test("fetched-ledger compaction + bloom maintenance artifacts round-trip") {
     val d = java.nio.file.Files.createTempDirectory("crawl-fetched")
     d.toFile.deleteOnExit()

@@ -35,6 +35,22 @@ class WarcSpec extends SparkTestBase {
     }
   }
 
+  test("Retry-After survives the HTTP split (r15), alongside its siblings") {
+    val bytes = Warc.encodeWarcResponsesFull(Seq(
+      ("https://t/429", 429, null, null, null, "120", Array.emptyByteArray),
+      ("https://t/503", 503, "text/html", null, null,
+        "Fri, 01 Jan 2027 00:00:00 GMT", "<p>x</p>".getBytes(utf8)),
+      ("https://t/ok", 200, "text/html", null, "noindex", null,
+        "<p>y</p>".getBytes(utf8))),
+      gzipPerRecord = true)
+    val rs = Warc.parseWarc(bytes).filter(_.warc_type == "response")
+    assert(rs.map(_.http_retry_after) ===
+      Seq("120", "Fri, 01 Jan 2027 00:00:00 GMT", null))
+    assert(rs.map(_.http_status) === Seq(429, 503, 200))
+    assert(rs(2).http_x_robots === "noindex",
+      "the wider encoder must not disturb the r14 headers")
+  }
+
   test("binary-safe: bodies containing CRLF runs and fake headers parse by length") {
     // a body that CONTAINS a blank line and a WARC version line — only
     // Content-Length-driven parsing survives this (the reason WARC is
