@@ -2933,6 +2933,52 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Change-aware recrawl (r15): the hashed fetched ledger counts how
+    // often each url's content ACTUALLY changed across fetches, so a
+    // news front page and a static TOS page stop sharing a refresh
+    // cadence. Arms: same-content refetch (id%3=0 — no change), a
+    // twice-refetched page whose first refetch changes only when
+    // id%4>=2 and whose second always does (id%3=1), and a dead
+    // refetch (null hash, id%3=2 — advances the age, observes
+    // nothing). compactFetched runs BETWEEN the phases: the folded
+    // accumulators must make the final counts equal the uncompacted
+    // math, or this hash-mismatches.
+    "crawl_recrawl_churn" -> ((s, dir) => {
+      val fd = java.nio.file.Files.createTempDirectory("graft_churn_")
+      deleteRecursivelyOnExit(fd)
+      val fDir = fd.resolve("frontier").toString
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val url = concat(lit("https://h"), col("doc_id") % 7,
+        lit(".example/page/"), col("doc_id"))
+      def rowOf(d: org.apache.spark.sql.DataFrame, batch: Column,
+                content: Column) =
+        d.select(url.as("url"),
+          md5(content).as("content_md5"),
+          when(content.isNotNull, 1L).otherwise(0L).as("n_obs"),
+          lit(0L).as("n_changes"),
+          batch.cast("long").as("batch"))
+      // phase 1: every url's initial fetch at batch id%5
+      rowOf(docs, col("doc_id") % 5, concat(lit("a"), col("doc_id") % 4))
+        .write.partitionBy("batch").parquet(s"$fDir/fetched")
+      // maintenance fold between the phases — preservation under test
+      graft.pipeline.Crawl.compactFetched(s, fDir)
+      // phase 2: the refetch arms
+      val armA = docs.filter(col("doc_id") % 3 === 0)
+      val armB = docs.filter(col("doc_id") % 3 === 1)
+      val armC = docs.filter(col("doc_id") % 3 === 2)
+      rowOf(armA, col("doc_id") % 5 + 3,
+          concat(lit("a"), col("doc_id") % 4))
+        .unionByName(rowOf(armB, col("doc_id") % 5 + 3,
+          concat(lit("a"), col("doc_id") % 2)))
+        .unionByName(rowOf(armB, col("doc_id") % 5 + 6,
+          concat(lit("c"), col("doc_id"))))
+        .unionByName(rowOf(armC, col("doc_id") % 5 + 4,
+          lit(null).cast("string")))
+        .write.mode("append").partitionBy("batch")
+        .parquet(s"$fDir/fetched")
+      graft.pipeline.Crawl.recrawlChurn(s, fDir).orderBy("url")
+    }),
+
     // Markup politeness signals (r14, hardened r15): rel=nofollow
     // anchors drop (the attribute before OR after the href, token
     // lists, any case), a robots-meta nofollow page contributes NO
@@ -7256,6 +7302,26 @@ object SparkEntry {
         |  FROM documents)
         |SELECT url, CAST(last_batch AS BIGINT) AS last_batch
         |FROM f WHERE last_batch < 7 ORDER BY url""".stripMargin,
+    // churn counts rebuilt per arm: same-content refetch observes but
+    // never changes (id%3=0); the twice-refetched arm changes on the
+    // first refetch only when id%4>=2 ('a'||id%4 vs 'a'||id%2) and
+    // always on the second (id%3=1); the dead refetch advances the age
+    // without observing (id%3=2). The mid-run compactFetched must be
+    // invisible here — the fold preserves the accumulators.
+    "crawl_recrawl_churn" ->
+      """SELECT
+        |  'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example/page/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN doc_id % 5 + 3
+        |    WHEN 1 THEN doc_id % 5 + 6
+        |    ELSE doc_id % 5 + 4 END AS BIGINT) AS last_batch,
+        |  CAST(CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 2 WHEN 1 THEN 3 ELSE 1 END AS BIGINT) AS n_obs,
+        |  CAST(CASE WHEN doc_id % 3 = 1
+        |    THEN CASE WHEN doc_id % 4 >= 2 THEN 2 ELSE 1 END
+        |    ELSE 0 END AS BIGINT) AS n_changes
+        |FROM documents ORDER BY url""".stripMargin,
     // markup politeness arms rebuilt from the fixture arithmetic: the
     // kept anchor, the absolute (id%3=0), page-resolved relative
     // (id%3=1) and whitespace-separator (id%3=2, r15) refresh targets,

@@ -74,8 +74,8 @@ object Crawl {
     * them, count them, collect a small projection); they are released
     * before return, so `use` must not return a lazy plan over them.
     *
-    * `onPageLinks`, when set, receives (url, links, base, canonical)
-    * for EVERY page the batch FETCHED — text 200s (near-dups included: their
+    * `onPageLinks`, when set, receives (url, links, base, canonical,
+    * content_md5) for EVERY page the batch FETCHED — text 200s (near-dups included: their
     * outlinks are still valid discoveries) extracted in the same fused
     * decode pass with their declared `<base href>` (null when absent);
     * since r14 the links honor the markup's politeness signals
@@ -85,7 +85,10 @@ object Crawl {
     * corpus while still feeding ledger + frontier; `canonical` carries
     * the page's `<link rel=canonical>` target (raw; null for
     * redirect/dead/non-text rows) — the URL-level dedup key a crawl DB
-    * wants beside the outlinks;
+    * wants beside the outlinks; `content_md5` (r15) carries md5 of the
+    * page's extracted text (null for empty-text, redirect, dead and
+    * non-text rows) — persisted into the fetched ledger it is the
+    * change-observation the [[recrawlChurn]] refresh policy weighs;
     * 3xx redirects as one-outlink pages (their `Location`, when the
     * records carry `http_location`; base null — a Location resolves
     * against the redirect source), non-text 200s and PERMANENT-4xx
@@ -171,15 +174,22 @@ object Crawl {
         // refetching every 404)
         val noBase = lit(null).cast("string").as("base")
         val noCanon = lit(null).cast("string").as("canonical")
+        val noMd5 = lit(null).cast("string").as("content_md5")
         val dead = resp0.filter(ledgerDeadCond)
           .select(col("target_uri").as("url"),
-            array().cast("array<string>").as("links"), noBase, noCanon)
+            array().cast("array<string>").as("links"), noBase, noCanon,
+            noMd5)
         val nonText = resp0.filter(col("http_status") === 200 && !textish)
           .select(col("target_uri").as("url"),
-            array().cast("array<string>").as("links"), noBase, noCanon)
+            array().cast("array<string>").as("links"), noBase, noCanon,
+            noMd5)
         nonTextCount = nonText.count()
         val extPages =
-          ext.select(col("url"), col("links"), col("base"), col("canonical"))
+          ext.select(col("url"), col("links"), col("base"), col("canonical"),
+            // the change observation: hash of the extracted text (the
+            // recrawlChurn signal); empty extractions observe nothing
+            when(length(col("text")) > 0, md5(col("text")))
+              .as("content_md5"))
         val pagesForLinks =
           (if (!wantRedirects) extPages
            else {
@@ -189,6 +199,7 @@ object Crawl {
                // <base> is a document concept; a redirect has no markup
                // canonical either
                .withColumn("canonical", lit(null).cast("string"))
+               .withColumn("content_md5", lit(null).cast("string"))
              redirectCount = redir.count()
              extPages.unionByName(redir)
            }).unionByName(dead).unionByName(nonText)
@@ -563,12 +574,71 @@ object Crawl {
   // post-cutoff trickle is checked exactly.
   // ------------------------------------------------------------------
 
+  /** Per-url churn fold over a fetched-ledger frame (r15) — the shared
+    * body of [[compactFetched]] and [[recrawlChurn]]. An OBSERVATION is
+    * one (url, batch) with a non-null `content_md5` (the min hash when
+    * raw duplicates share the batch — deterministic on any engine; a
+    * folded row's accumulated counts ride the same group). Output per
+    * url: `last_batch` = max batch over ALL rows (null-hash fetches
+    * advance the age too), `content_md5` = the LAST observation's hash
+    * (null if never observed), `n_obs` = total observations,
+    * `n_changes` = accumulated + count of CONSECUTIVE-observation
+    * pairs (batch order) whose hashes differ — nulls never pair, so a
+    * page that 404s between two identical snapshots counts no change.
+    * The per-url window is fetch-count-bounded (never a global
+    * window); rows missing the accumulator columns (the stream's raw
+    * shape pre-normalization) default to obs = hash-non-null, 0. */
+  private def churnStats(df0: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val df = {
+      val withMd5 =
+        if (df0.columns.contains("content_md5")) df0
+        else df0.withColumn("content_md5", lit(null).cast("string"))
+      val withObs =
+        if (withMd5.columns.contains("n_obs")) withMd5
+        else withMd5.withColumn("n_obs",
+          when(col("content_md5").isNotNull, 1L).otherwise(0L))
+      if (withObs.columns.contains("n_changes")) withObs
+      else withObs.withColumn("n_changes", lit(0L))
+    }
+    // one group per (url, batch): the observation hash + carried counts
+    val groups = df.groupBy(col("url"), col("batch").cast("long").as("batch"))
+      .agg(min(col("content_md5")).as("_ch_h"),
+        sum(coalesce(col("n_obs"),
+          when(col("content_md5").isNotNull, 1L).otherwise(0L)))
+          .cast("long").as("_ch_o"),
+        sum(coalesce(col("n_changes"), lit(0L))).cast("long").as("_ch_c"))
+    val w = Window.partitionBy("url").orderBy("batch")
+    // transitions between consecutive OBSERVATIONS (non-null hashes)
+    val trans = groups.filter(col("_ch_h").isNotNull)
+      .withColumn("_ch_prev", lag(col("_ch_h"), 1).over(w))
+      .groupBy("url")
+      .agg(sum(when(col("_ch_prev").isNotNull &&
+          col("_ch_prev") =!= col("_ch_h"), 1L).otherwise(0L))
+        .cast("long").as("_ch_t"),
+        max(struct(col("batch"), col("_ch_h"))).as("_ch_last"))
+    groups.groupBy("url")
+      .agg(max(col("batch")).as("last_batch"),
+        sum(col("_ch_o")).cast("long").as("n_obs"),
+        sum(col("_ch_c")).cast("long").as("_ch_acc"))
+      .join(trans, Seq("url"), "left")
+      .select(col("url"), col("last_batch"),
+        col("_ch_last._ch_h").as("content_md5"),
+        col("n_obs"),
+        (col("_ch_acc") + coalesce(col("_ch_t"), lit(0L))).as("n_changes"))
+  }
+
   /** Fold the `fetched/batch=N` partitions to ONE ROW PER URL at its
     * LAST fetch batch (since r14 — a flat distinct collapsed every
     * url's age to the compaction batch, which destroyed the
     * [[recrawlSeeds]] refresh signal), re-partitioned by that batch so
     * the small-file accumulation still folds (≤ one file per distinct
-    * last-batch value) and batch-ranged reads keep pruning. Atomic
+    * last-batch value) and batch-ranged reads keep pruning. When the
+    * ledger carries `content_md5` (r15 — every stream ledger does now)
+    * the fold also PRESERVES the churn signal: the folded row keeps
+    * the url's LAST observed hash plus accumulated (n_obs, n_changes)
+    * — [[recrawlChurn]] over a compacted-then-extended ledger equals
+    * the uncompacted math (spec- and oracle-pinned). Atomic
     * delete+rename swap (the maintenance convention); replays of
     * PRE-compaction batches are out of contract afterwards, like every
     * index compaction here. Returns the max batch id seen, or -1 when
@@ -583,10 +653,16 @@ object Crawl {
       case r if r.isNullAt(0) => return -1L
       case r => r.getAs[Number](0).longValue()
     }
+    val folded =
+      if (!df.columns.contains("content_md5"))
+        // legacy (pre-r15) ledgers: age-only fold, unchanged
+        df.groupBy("url").agg(max(col("batch")).cast("long").as("batch"))
+      else churnStats(df)
+        .select(col("url"), col("content_md5"), col("n_obs"),
+          col("n_changes"), col("last_batch").as("batch"))
     val tmp = new Path(s"$frontierDir/fetched._compacting")
     fs.delete(tmp, true)
-    df.groupBy("url").agg(max(col("batch")).cast("long").as("batch"))
-      .write.partitionBy("batch").parquet(tmp.toString)
+    folded.write.partitionBy("batch").parquet(tmp.toString)
     val old = new Path(s"$frontierDir/fetched._old")
     fs.delete(old, true)
     if (!fs.rename(fetched, old))
@@ -595,6 +671,26 @@ object Crawl {
       throw new java.io.IOException(s"fetched compact swap-in failed: $fetched")
     fs.delete(old, true)
     maxBatch
+  }
+
+  /** Change-aware refresh signal (r15): per url, the last-fetch age
+    * PLUS how often its content actually changed across fetches —
+    * (url, last_batch, n_obs, n_changes), integer-exact (a consumer
+    * derives changed_ratio = n_changes / (n_obs − 1) at its end). A
+    * news front page (changes every fetch) and a static TOS page
+    * (never) stop sharing a cadence: a fetcher orders its refresh
+    * budget by (n_changes desc, last_batch asc) or any policy on the
+    * two signals. Needs the hashed ledger (`content_md5` — every
+    * stream ledger since r15); counts survive [[compactFetched]] by
+    * construction. Scale: one fetch-count-bounded window + two
+    * url-keyed aggregates, maintenance cadence only. */
+  def recrawlChurn(spark: SparkSession, frontierDir: String): DataFrame = {
+    val df = spark.read.parquet(s"$frontierDir/fetched")
+    require(df.columns.contains("content_md5"),
+      "recrawlChurn needs a hashed ledger (content_md5 column) — " +
+        "pre-r15 ledgers carry no change observations")
+    churnStats(df).select(col("url"), col("last_batch"), col("n_obs"),
+      col("n_changes"))
   }
 
   /** Refresh policy (r14): urls whose LAST fetch is older than

@@ -850,13 +850,20 @@ object EventStreams extends Serializable {
         val onLinks: org.apache.spark.sql.DataFrame => Unit =
           if (frontierDir == null) null
           else pages => {
-            import org.apache.spark.sql.functions.{broadcast, col}
+            import org.apache.spark.sql.functions.{broadcast, col, lit, when}
             val urls = pages.select(col("url"))
             // the fetched LEDGER first (before its read below, and
             // before the frontier write, so a crash between the two
             // re-runs with the ledger already covering this batch —
-            // harmless, batch urls are excluded explicitly anyway)
-            urls.write.mode("overwrite")
+            // harmless, batch urls are excluded explicitly anyway).
+            // Rows carry the change observation (content_md5, r15) plus
+            // explicit churn accumulators so raw and compacted
+            // partitions share ONE schema (no mergeSchema reads).
+            pages.select(col("url"), col("content_md5"),
+                when(col("content_md5").isNotNull, 1L).otherwise(0L)
+                  .as("n_obs"),
+                lit(0L).as("n_changes"))
+              .write.mode("overwrite")
               .parquet(s"$frontierDir/fetched/batch=$batchId")
             val fetchedPath =
               new org.apache.hadoop.fs.Path(s"$frontierDir/fetched")

@@ -560,6 +560,66 @@ class CrawlFrontierSpec extends SparkTestBase {
       ("https://r/refetched", 8L), ("https://r/new", 8L)))
   }
 
+  test("recrawlChurn: observation counts, null gaps, compaction invariance") {
+    def ledger(tag: String): String = {
+      val d = java.nio.file.Files.createTempDirectory(s"crawl-churn-$tag")
+      d.toFile.deleteOnExit()
+      d.resolve("frontier").toString
+    }
+    def rows(fDir: String, batch: Long,
+             rs: Seq[(String, String)]): Unit =
+      rs.toDF("url", "content")
+        .select(col("url"),
+          when(col("content").isNotNull, md5(col("content")))
+            .as("content_md5"),
+          when(col("content").isNotNull, 1L).otherwise(0L).as("n_obs"),
+          lit(0L).as("n_changes"))
+        .write.parquet(s"$fDir/fetched/batch=$batch")
+    def history(fDir: String): Unit = {
+      rows(fDir, 0L, Seq(("https://c/stable", "v1"),
+        ("https://c/churny", "v1"), ("https://c/gappy", "v1")))
+      rows(fDir, 1L, Seq(("https://c/stable", "v1"),
+        ("https://c/churny", "v2"),
+        ("https://c/gappy", null))) // 404 snapshot: observes nothing
+      rows(fDir, 2L, Seq(("https://c/churny", "v3"),
+        ("https://c/gappy", "v1"))) // identical around the gap: no change
+    }
+    val expected = Set(
+      ("https://c/stable", 1L, 2L, 0L),
+      ("https://c/churny", 2L, 3L, 2L),
+      ("https://c/gappy", 2L, 2L, 0L))
+    val plain = ledger("plain")
+    history(plain)
+    def churn(fDir: String): Set[(String, Long, Long, Long)] =
+      Crawl.recrawlChurn(spark, fDir)
+        .as[(String, Long, Long, Long)].collect().toSet
+    assert(churn(plain) === expected)
+    // compacting mid-history (after batch 1) must not change the math:
+    // the folded row carries the last hash + accumulated counts
+    val compacted = ledger("compacted")
+    rows(compacted, 0L, Seq(("https://c/stable", "v1"),
+      ("https://c/churny", "v1"), ("https://c/gappy", "v1")))
+    rows(compacted, 1L, Seq(("https://c/stable", "v1"),
+      ("https://c/churny", "v2"), ("https://c/gappy", null)))
+    assert(Crawl.compactFetched(spark, compacted) === 1L)
+    rows(compacted, 2L, Seq(("https://c/churny", "v3"),
+      ("https://c/gappy", "v1")))
+    assert(churn(compacted) === expected,
+      "compaction must preserve the churn accumulators")
+    // and compacting the FULL history folds to the same stats rows
+    assert(Crawl.compactFetched(spark, compacted) === 2L)
+    assert(churn(compacted) === expected)
+    // recrawlSeeds still reads the hashed ledger (age-only view)
+    assert(Crawl.recrawlSeeds(spark, compacted, 2L)
+      .as[(String, Long)].collect().toSet === Set(("https://c/stable", 1L)))
+    // legacy (unhashed) ledgers are refused with a clear error
+    val legacy = ledger("legacy")
+    Seq("https://c/x").toDF("url").write.parquet(s"$legacy/fetched/batch=0")
+    val e = intercept[IllegalArgumentException](
+      Crawl.recrawlChurn(spark, legacy))
+    assert(e.getMessage.contains("content_md5"))
+  }
+
   test("compactNext folds ref counts and drops since-fetched urls") {
     val d = java.nio.file.Files.createTempDirectory("crawl-next")
     d.toFile.deleteOnExit()

@@ -158,6 +158,17 @@ class CrawlIngestStreamSpec extends SparkTestBase {
       .select("url").as[String].collect().toSet
     assert(fetched === Set("https://b0/a", "https://b0/b",
       "https://b0/pruned", "https://b1/a"))
+    // every text page lands its change observation (r15): one md5 +
+    // one accumulator pair per row, ready for recrawlChurn
+    val obs = spark.read.parquet(s"$fDir/fetched")
+      .select("url", "content_md5", "n_obs", "n_changes")
+      .as[(String, String, Long, Long)].collect()
+    assert(obs.length === 4 && obs.forall { case (_, h, o, c) =>
+      h != null && o === 1L && c === 0L }, s"ledger observations: ${obs.toSeq}")
+    val churn = graft.pipeline.Crawl.recrawlChurn(spark, fDir)
+      .select("url", "n_obs", "n_changes")
+      .as[(String, Long, Long)].collect().toSet
+    assert(churn === fetched.map(u => (u, 1L, 0L)))
   }
 
   test("permanent-4xx pages enter the fetched ledger; transient ones do not") {
