@@ -3112,6 +3112,26 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Authority-prioritized fetch ordering (r15, the r14 verdict's #1):
+    // within-host rounds alone leave the CROSS-host order unspecified,
+    // so a fetcher burns budget on link-farm hosts before
+    // authoritative ones. The host graph the fixture crawl itself
+    // discovers (page host -> resolved-link host, the SAME resolve
+    // kernel as the frontier) ranks through the integer-exact PageRank
+    // (3 rounds, BIGINT trillionths), and the priority is the global
+    // 0-based rank by (round, host_rank_fp desc, n_refs desc, url) via
+    // the two-phase range rank — never a global window. The oracle
+    // unrolls the identical integer rounds over the arm-rebuilt edge
+    // set and replays the ordering with a row_number.
+    "crawl_schedule_rank" -> ((s, dir) => {
+      val pages = crawlFixtureLinkPages(s, dir)
+      val frontier = graft.pipeline.Crawl.frontier(pages,
+        pages.select(col("url")))
+      val edges = graft.pipeline.Crawl.hostEdges(pages)
+      graft.pipeline.Crawl.scheduleRanked(frontier, edges, maxRounds = 3)
+        .orderBy("url")
+    }),
+
     // Redirect handling end-to-end: real 3xx WARC records (Location
     // surviving the HTTP split) become one-outlink pages
     // (Crawl.redirectLinks), their targets resolve against the redirect
@@ -3942,6 +3962,85 @@ object SparkEntry {
           |FROM ranked r LEFT JOIN delays d ON d.host = r.host
           |LEFT JOIN retry t ON t.host = r.host
           |WHERE r.round <= 3 ORDER BY r.url""".stripMargin
+  }
+
+  /** The crawl_schedule_rank oracle: the schedule CTEs + the
+    * q_host_pagerank integer rounds (BIGINT trillionths, truncating
+    * `//`, dangling via LEFT JOIN + COALESCE) over the host edge set
+    * the fixture pages discover, + the global priority as
+    * row_number()-1 by (round, rank desc, refs desc, url). */
+  private val crawlScheduleRankOracleSql: String = {
+    val hostExpr =
+      s"lower(regexp_extract(url, '${graft.pipeline.UrlFilter.HostRe}', 1))"
+    s"""WITH $crawlFixtureCte,
+       |frontier AS (
+       |  SELECT url, CAST(count(*) AS BIGINT) AS n_refs
+       |  FROM fresh GROUP BY url),
+       |hosted AS (
+       |  SELECT $hostExpr AS host, url, n_refs FROM frontier),
+       |ranked AS (
+       |  SELECT host, url, n_refs,
+       |    CAST(row_number() OVER (PARTITION BY host
+       |      ORDER BY n_refs DESC, url) AS BIGINT) AS round
+       |  FROM hosted),
+       |sched AS (SELECT * FROM ranked WHERE round <= 3),
+       |e AS (
+       |  SELECT DISTINCT 'h' || (doc_id % 7) || '.example' AS src, dst
+       |  FROM (
+       |    SELECT doc_id, 'h' || ((doc_id * 3) % 7) || '.example' AS dst
+       |    FROM documents
+       |    UNION ALL
+       |    SELECT doc_id, 'h' || ((doc_id * 5) % 7) || '.example'
+       |    FROM documents
+       |    UNION ALL SELECT doc_id, 'hc.example' FROM documents
+       |    UNION ALL
+       |    SELECT doc_id, 'h' || (doc_id % 7) || '.example' FROM documents
+       |    UNION ALL
+       |    SELECT doc_id, 'h' || ((doc_id * 2) % 7) || '.example'
+       |    FROM documents
+       |    UNION ALL SELECT doc_id, 'sq.example' FROM documents
+       |    UNION ALL SELECT doc_id, 'amp.example' FROM documents
+       |    UNION ALL
+       |    SELECT doc_id, 'h' || ((doc_id + 3) % 7) || '.example'
+       |    FROM documents
+       |    UNION ALL
+       |    SELECT doc_id, 'h' || ((doc_id + 1) % 7) || '.example'
+       |    FROM documents) t),
+       |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+       |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY src),
+       |r0 AS (SELECT id, 1000000000000 // n AS r FROM nodes, nn),
+       |s1 AS (
+       |  SELECT e.dst AS id, sum(r0.r // deg.d) AS s
+       |  FROM e JOIN r0 ON r0.id = e.src JOIN deg ON deg.src = e.src
+       |  GROUP BY e.dst),
+       |r1 AS (
+       |  SELECT nodes.id,
+       |    (3 * 1000000000000) // (20 * n) + (17 * COALESCE(s1.s, 0)) // 20 AS r
+       |  FROM nodes CROSS JOIN nn LEFT JOIN s1 ON s1.id = nodes.id),
+       |s2 AS (
+       |  SELECT e.dst AS id, sum(r1.r // deg.d) AS s
+       |  FROM e JOIN r1 ON r1.id = e.src JOIN deg ON deg.src = e.src
+       |  GROUP BY e.dst),
+       |r2 AS (
+       |  SELECT nodes.id,
+       |    (3 * 1000000000000) // (20 * n) + (17 * COALESCE(s2.s, 0)) // 20 AS r
+       |  FROM nodes CROSS JOIN nn LEFT JOIN s2 ON s2.id = nodes.id),
+       |s3 AS (
+       |  SELECT e.dst AS id, sum(r2.r // deg.d) AS s
+       |  FROM e JOIN r2 ON r2.id = e.src JOIN deg ON deg.src = e.src
+       |  GROUP BY e.dst),
+       |r3 AS (
+       |  SELECT nodes.id,
+       |    (3 * 1000000000000) // (20 * n) + (17 * COALESCE(s3.s, 0)) // 20 AS r
+       |  FROM nodes CROSS JOIN nn LEFT JOIN s3 ON s3.id = nodes.id)
+       |SELECT s.host, s.url, s.n_refs, s.round,
+       |  CAST(COALESCE(r3.r, 0) AS BIGINT) AS host_rank_fp,
+       |  CAST(row_number() OVER (ORDER BY s.round,
+       |    COALESCE(r3.r, 0) DESC, s.n_refs DESC, s.url) - 1 AS BIGINT)
+       |    AS priority
+       |FROM sched s LEFT JOIN r3 ON r3.id = s.host
+       |ORDER BY s.url""".stripMargin
   }
 
   private val probePruneOracleSql: String =
@@ -7152,6 +7251,13 @@ object SparkEntry {
     // (date-form and 200-status arms ignored); not_before_s shifts by it
     "crawl_schedule_retry" ->
       crawlScheduleOracleSql(withDelays = true, withRetry = true),
+    // the schedule + the q_host_pagerank integer rounds over the
+    // arm-rebuilt host edge set (src = the page's host h(id%7), dst =
+    // each link arm's host — hc/sq/amp and the rotating h-hosts; the
+    // port/shouty/self arms all collapse onto canonical hosts), then
+    // the global priority replayed as row_number()-1 by (round,
+    // rank desc, refs desc, url)
+    "crawl_schedule_rank" -> crawlScheduleRankOracleSql,
     // the sitemap seed multiset rebuilt from the fixture arithmetic:
     // own-page locs fall to the crawled set, the relative loc to the
     // absolute filter; new + shared locs aggregate refs

@@ -507,6 +507,76 @@ object Crawl {
       offset + (col("round") - 1).cast("double") * col("delay_s"))
   }
 
+  /** The host graph a crawl DISCOVERS (r15): one (src_host, dst_host)
+    * row per resolved outlink — src is the page's canonical host, dst
+    * the link target's, each link resolved against the page's
+    * effective base exactly like [[frontier]] does (the same fused
+    * resolve kernel; a host edge derived from a differently-resolved
+    * url would disagree with the frontier it prioritizes). Hostless
+    * ends drop. Multi-edges ride through — [[graft.operators.PageRank]]
+    * dedups internally. Map-side per link; feed the output (or an
+    * accumulated union of batches) to [[scheduleRanked]]. */
+  def hostEdges(pages: DataFrame, linksCol: String = "links",
+                urlCol: String = "url", baseCol: String = "base")
+      : DataFrame = {
+    guardFrontierCols(pages)
+    val hasBase = baseCol != null && pages.columns.contains(baseCol)
+    val effBase =
+      if (!hasBase) col(urlCol).cast("string")
+      else coalesce(
+        UrlResolve.resolveCol(col(urlCol).cast("string"), col(baseCol)),
+        col(urlCol).cast("string"))
+    pages.select(UrlFilter.hostOf(col(urlCol)).as("src_host"),
+        effBase.as("_frontier_base"),
+        explode(col(linksCol)).as("_frontier_link"))
+      .select(col("src_host"),
+        UrlFilter.hostOf(UrlResolve.resolveAndNormalizeCol(
+          col("_frontier_base"), col("_frontier_link"))).as("dst_host"))
+      .filter(col("src_host").isNotNull && col("dst_host").isNotNull)
+  }
+
+  /** Authority-prioritized fetch ordering (r15): [[schedule]] plus a
+    * CROSS-HOST priority — within-host politeness rounds say when a
+    * host may be hit again, but say nothing about which host to spend
+    * fetch budget on FIRST; at scale a fetcher without this burns its
+    * budget on link-farm hosts before authoritative ones. The host
+    * authority is the integer-exact [[graft.operators.PageRank]] over
+    * `hostEdges` (the graph the crawl itself discovered — see
+    * [[hostEdges]]); the priority is the 0-based GLOBAL rank by
+    * (round asc, host_rank_fp desc, n_refs desc, url asc) — politeness
+    * first, authority inside each round — through the two-phase
+    * range-partitioned rank ([[graft.store.Ranks]]), never a global
+    * window. Hosts outside the graph rank 0 (no evidence, lowest
+    * authority). Output: schedule's columns + `host_rank_fp` +
+    * `priority`; a fetcher consumes in priority order.
+    *
+    * Scale: the rank table is hosts-sized (broadcast — millions of
+    * hosts ≈ tens of MB; `broadcastRanks = false` degrades PageRank's
+    * internal joins for node sets past broadcast size); the schedule
+    * itself is ≤ maxRounds·hosts rows, so the final range rank is
+    * frontier-bounded. */
+  def scheduleRanked(frontier: DataFrame, hostEdges: DataFrame,
+                     maxRounds: Int, iters: Int = 3,
+                     urlCol: String = "url", refsCol: String = "n_refs",
+                     delays: DataFrame = null,
+                     retryAfter: DataFrame = null,
+                     broadcastRanks: Boolean = true): DataFrame = {
+    require(!frontier.columns.exists(Seq("_sr_nr", "_sr_nn").contains),
+      "column names _sr_nr/_sr_nn are reserved by scheduleRanked")
+    val ranks = graft.operators.PageRank.pageRank(hostEdges,
+        "src_host", "dst_host", iters, broadcastRanks = broadcastRanks)
+      .select(col("id").as("host"), col("rank_fp").as("host_rank_fp"))
+    val base = schedule(frontier, maxRounds, urlCol, refsCol, delays,
+      retryAfter)
+    val joined = base.join(broadcast(ranks), Seq("host"), "left")
+      .na.fill(0L, Seq("host_rank_fp"))
+      .withColumn("_sr_nr", negate(col("host_rank_fp")))
+      .withColumn("_sr_nn", negate(col(refsCol)))
+    graft.store.Ranks.withOrderedIndexBy(joined,
+        Seq("round", "_sr_nr", "_sr_nn", urlCol), "priority")
+      .drop("_sr_nr", "_sr_nn")
+  }
+
   /** Per-host `Retry-After` pacing from a batch's WARC records (r15):
     * the 429/503 responses whose `Retry-After` header carries the
     * delta-seconds form (RFC 9110 §10.2.3 — all digits) fold to

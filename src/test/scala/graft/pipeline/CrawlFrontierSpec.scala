@@ -386,6 +386,50 @@ class CrawlFrontierSpec extends SparkTestBase {
       "header none must drop links too")
   }
 
+  test("scheduleRanked: authority orders hosts inside a round, rounds first") {
+    // host graph: everyone links big.example; big links little once —
+    // big's rank dominates every other host's
+    val pages = Seq(
+      ("https://a.example/p", Seq("https://big.example/x", "/local")),
+      ("https://b.example/p", Seq("https://big.example/y")),
+      ("https://big.example/p", Seq("rel/z"))) // relative: base = page url
+      .toDF("url", "links")
+    val edges = Crawl.hostEdges(pages)
+      .as[(String, String)].collect().toSet
+    assert(edges === Set(
+      ("a.example", "big.example"), ("a.example", "a.example"),
+      ("b.example", "big.example"), ("big.example", "big.example")))
+    // frontier: the LOW-authority host has the higher ref count — the
+    // priority must still put the authoritative host first inside
+    // round 1, and every round-1 url before any round-2 url
+    val frontier = Seq(
+      ("https://a.example/1", 9L), ("https://a.example/2", 8L),
+      ("https://big.example/1", 2L), ("https://big.example/2", 1L))
+      .toDF("url", "n_refs")
+    val out = Crawl.scheduleRanked(frontier, Crawl.hostEdges(pages),
+        maxRounds = 3)
+      .select("url", "round", "priority")
+      .as[(String, Long, Long)].collect().sortBy(_._3)
+    assert(out.map(_._1).toSeq === Seq(
+      "https://big.example/1", // round 1, top authority
+      "https://a.example/1",   // round 1, lower authority
+      "https://big.example/2", // round 2 starts after EVERY round 1
+      "https://a.example/2"))
+    assert(out.map(_._3).toSeq === Seq(0L, 1L, 2L, 3L))
+    // unranked hosts (outside the discovered graph) sort last in round
+    val frontier2 = frontier.unionByName(
+      Seq(("https://ghost.example/1", 99L)).toDF("url", "n_refs"))
+    val out2 = Crawl.scheduleRanked(frontier2, Crawl.hostEdges(pages),
+        maxRounds = 3)
+      .select("url", "round", "priority", "host_rank_fp")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._3)
+    assert(out2.head._1 === "https://big.example/1")
+    val ghost = out2.find(_._1 === "https://ghost.example/1").get
+    assert(ghost._4 === 0L, "a host outside the graph ranks 0")
+    assert(ghost._3 === 2L,
+      "rank 0 sorts after every ranked round-1 host despite 99 refs")
+  }
+
   test("retryAfterDelays: 429/503 delta-seconds fold per host; schedule shifts") {
     val records = Seq(
       // two throttling responses on one host: MAX wins; hostOf
