@@ -116,8 +116,38 @@ object UrlFilter {
     when(url.rlike(schemeRe), pct).otherwise(url)
   }
 
-  /** All dot-suffixes of a host: a.b.c → [a.b.c, b.c, c]. */
+  /** All dot-suffixes of a host: a.b.c → [a.b.c, b.c, c]. Since r15 a
+    * per-row kernel UDF — the former `transform(sequence(...))` Column
+    * chain evaluates INTERPRETED per element (the house anti-pattern;
+    * bounded here by label count, but free to remove while touching
+    * blocklist code). [[hostSuffixesChain]] keeps the chain for the
+    * kernel==chain spec pin; the blocklist oracles rebuild suffix
+    * semantics independently (`ends_with`), so the declared queries
+    * never depended on the chain form. */
   def hostSuffixes(host: Column): Column = {
+    val u = udf { (h: String) =>
+      if (h == null) null
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        out += h
+        while (i < h.length) {
+          // every '.' opens one suffix — a trailing dot's EMPTY suffix
+          // included, exactly like the chain (split keeps trailing
+          // empties at limit -1)
+          if (h.charAt(i) == '.') out += h.substring(i + 1)
+          i += 1
+        }
+        out.toArray
+      }
+    }
+    u(host)
+  }
+
+  /** The pre-r15 Column-chain form of [[hostSuffixes]] — kept ONLY as
+    * the spec's equivalence pin (UrlFilterSpec: kernel == chain on
+    * generated hosts, empty-label edges included). */
+  private[pipeline] def hostSuffixesChain(host: Column): Column = {
     val parts = split(host, "\\.")
     transform(sequence(lit(1), size(parts)),
       i => array_join(slice(parts, i, size(parts)), "."))

@@ -816,6 +816,18 @@ object EventStreams extends Serializable {
    * `agentToken` — the stream then never schedules a url the site
    * forbids, matching the CLI `crawl-ingest` behavior.
    *
+   * `robotsPath`, when set (r15), names a PARQUET DIR of raw
+   * (host, body) robots.txt snapshots that is RE-READ every batch —
+   * a long-running stream must pick up a site's changed robots.txt
+   * without a restart, where the `robotsRules` DataFrame freezes the
+   * rules at stream start. Maintenance lands new snapshots with a
+   * normal parquet overwrite; the next batch parses them
+   * ([[graft.pipeline.Robots.rulesDf]] — the table is hosts-sized, so
+   * the per-batch re-parse is noise). An absent/in-progress dir falls
+   * back to `robotsRules` (or no gate) — a maintenance artifact must
+   * never wedge the stream, the bloomPath convention. When both are
+   * set, `robotsPath` wins while it exists.
+   *
    * `blockedDomains`, when set (a `domain` column — exact hosts or
    * suffixes), additionally drops every frontier url on a blocklisted
    * host ([[graft.pipeline.UrlFilter.dropBlockedUrls]], r14): the
@@ -834,7 +846,8 @@ object EventStreams extends Serializable {
                         robotsRules: DataFrame = null,
                         agentToken: String = "graftbot",
                         blockedDomains: DataFrame = null,
-                        dropTraps: Boolean = true)
+                        dropTraps: Boolean = true,
+                        robotsPath: String = null)
                        (sink: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     warcFiles.writeStream.foreachBatch {
@@ -925,9 +938,19 @@ object EventStreams extends Serializable {
                     else urls.limit(0))
                 graft.pipeline.Crawl.frontier(pages, crawled)
             }
+            // live-reload rules (r15): the robots dir re-reads every
+            // batch — hosts-sized, so the re-parse is noise next to
+            // the batch itself — falling back to the frozen
+            // `robotsRules` (then to no gate) while absent/in-progress
+            val effRules =
+              if (robotsPath != null &&
+                graft.pipeline.Crawl.hasCommittedData(spark, robotsPath))
+                graft.pipeline.Robots.rulesDf(
+                  spark.read.parquet(robotsPath))
+              else robotsRules
             val robotsGated =
-              if (robotsRules == null) fr
-              else graft.pipeline.Robots.filterAllowed(fr, robotsRules,
+              if (effRules == null) fr
+              else graft.pipeline.Robots.filterAllowed(fr, effRules,
                 agentToken)
             // the domain blocklist gates last (r14): a crawl must not
             // even SCHEDULE a blocklisted host — broadcast host-suffix

@@ -20,6 +20,23 @@ class UrlFilterSpec extends SparkTestBase {
     assert(got === Seq("a.b.example.com", "b.example.com", "example.com", "com"))
   }
 
+  test("hostSuffixes kernel == the former transform(sequence) chain") {
+    // the r15 kernel replaced the interpreted per-element HOF; the
+    // chain stays as this pin. Edge cases deliberately ugly: leading/
+    // trailing/doubled dots (split keeps trailing empties at limit -1),
+    // single label, empty string, null
+    val hosts = Seq("a.b.example.com", "example.com", "com", "",
+      "a.", ".b", "a..b", "x.y.", "..", "localhost")
+    val df = hosts.toDF("h")
+    val kernel = df.select($"h", UrlFilter.hostSuffixes($"h").as("s"))
+      .as[(String, Seq[String])].collect().toMap
+    val chain = df.select($"h", UrlFilter.hostSuffixesChain($"h").as("s"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(kernel === chain)
+    assert(Seq((null: String)).toDF("h")
+      .select(UrlFilter.hostSuffixes($"h")).as[Seq[String]].head() === null)
+  }
+
   test("exact domains and subdomains are blocked; lookalikes are not") {
     val docs = Seq(
       (1L, "x https://badsite.com/page y"),        // exact

@@ -320,6 +320,47 @@ class CrawlIngestStreamSpec extends SparkTestBase {
       s"replay must overwrite the bootstrap partition, got $stored")
   }
 
+  test("robotsPath rules live-reload between batches without a restart") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("crawl-robots-reload")
+    base.toFile.deleteOnExit()
+    val idx = base.resolve("idx").toString
+    val fDir = base.resolve("frontier").toString
+    val rp = base.resolve("robots").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = EventStreams.crawlIngestStream(spark,
+      input.toDF().toDF("g", "payload"), idx, threshold = 0.5,
+      frontierDir = fDir, robotsPath = rp)().start()
+    def page(g: Long, tag: String): Unit = {
+      input.addData((g, warcOf(
+        (s"https://s$g/$tag", 200,
+          s"""<p>source page $tag body tokens $g entirely distinct</p>
+             |<a href="https://t.example/a/$tag">a</a>
+             |<a href="https://t.example/b/$tag">b</a>""".stripMargin))))
+      q.processAllAvailable()
+    }
+    def frontierOf(b: Long): Set[String] =
+      spark.read.parquet(s"$fDir/next/batch=$b")
+        .select("url").as[String].collect().toSet
+    // batch 0: robots dir absent -> no gate (fallback, never a wedge)
+    page(0L, "first")
+    assert(frontierOf(0L) === Set("https://t.example/a/first",
+      "https://t.example/b/first"))
+    // rules land: /a is forbidden — the RUNNING stream applies them
+    Seq(("t.example", "User-agent: *\nDisallow: /a"))
+      .toDF("host", "body").write.parquet(rp)
+    page(1L, "second")
+    assert(frontierOf(1L) === Set("https://t.example/b/second"),
+      "the landed rules must gate the very next batch")
+    // rules CHANGE: now /b is the forbidden path — reload, no restart
+    Seq(("t.example", "User-agent: *\nDisallow: /b"))
+      .toDF("host", "body").write.mode("overwrite").parquet(rp)
+    page(2L, "third")
+    assert(frontierOf(2L) === Set("https://t.example/a/third"),
+      "a rule change must take effect without a stream restart")
+    q.stop()
+  }
+
   test("bloom-routed stream frontier equals the exact path; robots gate applies") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("crawl-bloom-stream")
