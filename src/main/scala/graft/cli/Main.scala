@@ -588,6 +588,36 @@ object Main {
       sched.write.mode("overwrite").parquet(out)
       println(s"crawl-schedule: ${spark.read.parquet(out).count()} urls " +
         s"in <=$maxRounds rounds -> $out")
+
+    case "crawl-schedule-rank" :: frontierParquet :: pagesParquet :: out ::
+        rest =>
+      // authority-prioritized schedule (r15): host PageRank over the
+      // crawl-discovered link graph (a landed (url, links[, base])
+      // pages feed) orders hosts INSIDE each politeness round —
+      // priority is the global fetch order a fetcher consumes
+      val maxRounds = rest.headOption.map(_.toInt).getOrElse(10)
+      val iters = rest.drop(1).headOption.map(_.toInt).getOrElse(3)
+      val spark = session()
+      val edges = graft.pipeline.Crawl.hostEdges(
+        spark.read.parquet(pagesParquet))
+      graft.pipeline.Crawl.scheduleRanked(
+          spark.read.parquet(frontierParquet), edges, maxRounds, iters)
+        .write.mode("overwrite").parquet(out)
+      println(s"crawl-schedule-rank: ${spark.read.parquet(out).count()} " +
+        s"urls in <=$maxRounds rounds, $iters PageRank rounds -> $out")
+
+    case "crawl-recrawl-churn" :: frontierDir :: out :: Nil =>
+      // change-aware refresh feed (r15): per-url last-fetch age + how
+      // often the content actually changed — written churniest-first
+      // (n_changes desc, last_batch asc, url asc)
+      val spark = session()
+      graft.pipeline.Crawl.recrawlChurn(spark, frontierDir)
+        .orderBy(org.apache.spark.sql.functions.col("n_changes").desc,
+          org.apache.spark.sql.functions.col("last_batch"),
+          org.apache.spark.sql.functions.col("url"))
+        .write.mode("overwrite").parquet(out)
+      println(s"crawl-recrawl-churn: ${spark.read.parquet(out).count()} " +
+        s"urls with change stats -> $out")
       spark.stop()
 
     case "crawl-bloom" :: idxPath :: bloomOut :: expected :: rest =>
@@ -643,7 +673,7 @@ object Main {
         val a = graft.pipeline.Crawl.loadFetchedBloomArtifact(spark, bp)
           .getOrElse(sys.error(s"no bloom artifact at $bp"))
         if (a.coversNext) {
-          println(s"crawl-compact-next: artifact at $bp covers next/ — " +
+          println(s"crawl-compact-next: artifact at $bp covers next/ -- " +
             "every folded url is positive by construction; using the " +
             "exact join (build one with `fetched-only` to bloom-route)")
           null
@@ -1108,6 +1138,8 @@ object Main {
           |  crawl-compact-fetched <frontierDir>
           |  crawl-compact-next <frontierDir> [fetchedBloomPath]
           |  crawl-recrawl    <frontierDir> <beforeBatch> <outParquet>
+          |  crawl-recrawl-churn <frontierDir> <outParquet>
+          |  crawl-schedule-rank <frontierParquet> <pagesParquet> <outParquet> [maxRounds] [prIters]
           |  frontier-blocklist <frontierParquet> <blocklistParquet> <outParquet> [urlCol]
           |  wds-extract      <pathOrGlob> <outParquet>
           |  warc-extract     <filesParquet> <outParquet> [payloadCol]
