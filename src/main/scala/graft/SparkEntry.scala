@@ -3065,9 +3065,12 @@ object SparkEntry {
     // Retry-After politeness (r15): throttling hosts say WHEN they may
     // be hit again; the header survives the REAL WARC HTTP split (the
     // http_location/http_x_robots pattern), folds to a per-host MAX
-    // over 429/503 responses (retryAfterDelays — delta-seconds form
-    // only; the HTTP-date arm and a 200-status arm are planted and
-    // must be IGNORED), and shifts every round's start:
+    // over 429/503 responses (retryAfterDelays — BOTH RFC 9110 forms:
+    // delta-seconds on the id%3<2 arms, and the HTTP-date form on
+    // id%3=2 measured against the record's own warc_date, id%90
+    // seconds ahead of the fixture date; a PAST date clamps to 0, an
+    // unparseable value and a 200-status numeric are IGNORED), and
+    // shifts every round's start:
     // not_before_s = retry_after_s + (round-1)*delay_s.
     "crawl_schedule_retry" -> ((s, dir) => {
       import s.implicits._
@@ -3091,11 +3094,21 @@ object SparkEntry {
               case 1 => Seq((s"https://$host/busy/$id", 503, null: String,
                 null: String, null: String, s"${30 + id % 11}",
                 Array.emptyByteArray))
-              case _ => Seq(
-                // HTTP-date form: ignored (needs the fetch wall clock)
+              case _ =>
+                // HTTP-date form: id%90 seconds past the fixture
+                // warc_date (2026-01-01T00:00:00Z)
+                val future = f"Thu, 01 Jan 2026 00:${(id % 90) / 60}%02d:${(id % 90) % 60}%02d GMT"
+                Seq(
                 (s"https://$host/date/$id", 429, null: String,
+                  null: String, null: String, future, Array.emptyByteArray),
+                // a date in the PAST clamps to 0 (never negative)
+                (s"https://$host/past/$id", 503, null: String,
                   null: String, null: String,
-                  "Fri, 01 Jan 2027 00:00:00 GMT", Array.emptyByteArray),
+                  "Wed, 31 Dec 2025 23:00:00 GMT", Array.emptyByteArray),
+                // unparseable: dropped, must not stall the host
+                (s"https://$host/junk/$id", 429, null: String,
+                  null: String, null: String, "tomorrow-ish",
+                  Array.emptyByteArray),
                 // non-throttling status: ignored even with a numeric value
                 (s"https://$host/ok/$id", 200, "text/html", null: String,
                   null: String, "999", s"<p>fine $id</p>".getBytes(
@@ -3950,9 +3963,18 @@ object SparkEntry {
           |    CAST(k AS DOUBLE) + 0.5 AS delay_s
           |  FROM range(7) t(k)),
           |retry AS (
-          |  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example' AS host,
-          |    CAST(max(30 + doc_id % 11) AS DOUBLE) AS retry_after_s
-          |  FROM documents WHERE doc_id % 3 < 2 GROUP BY 1)
+          |  SELECT host, CAST(max(v) AS DOUBLE) AS retry_after_s FROM (
+          |    SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+          |        AS host,
+          |      30 + doc_id % 11 AS v
+          |    FROM documents WHERE doc_id % 3 < 2
+          |    UNION ALL
+          |    -- the HTTP-date arm: id%90 s past the record's warc_date
+          |    -- (the past-date arm contributes 0; junk/200 arms drop)
+          |    SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example',
+          |      doc_id % 90
+          |    FROM documents WHERE doc_id % 3 = 2) t
+          |  GROUP BY host)
           |SELECT r.host, r.url, r.n_refs, r.round,
           |  COALESCE(d.delay_s, 0.0) AS delay_s,
           |  COALESCE(t.retry_after_s, 0.0) AS retry_after_s,
@@ -7247,8 +7269,9 @@ object SparkEntry {
     // row pace at 0
     "crawl_schedule_delay" -> crawlScheduleOracleSql(withDelays = true),
     // the same schedule with Retry-After pacing joined on: hk's
-    // retry_after_s = max(30 + id%11) over its 429/503 fixture arms
-    // (date-form and 200-status arms ignored); not_before_s shifts by it
+    // retry_after_s = max over BOTH RFC 9110 forms — delta-seconds
+    // (30 + id%11) and HTTP-date (id%90 s past the record's own
+    // warc_date); past dates clamp to 0, junk and 200-status arms drop
     "crawl_schedule_retry" ->
       crawlScheduleOracleSql(withDelays = true, withRetry = true),
     // the schedule + the q_host_pagerank integer rounds over the

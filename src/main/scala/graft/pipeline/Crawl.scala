@@ -578,27 +578,50 @@ object Crawl {
   }
 
   /** Per-host `Retry-After` pacing from a batch's WARC records (r15):
-    * the 429/503 responses whose `Retry-After` header carries the
-    * delta-seconds form (RFC 9110 §10.2.3 — all digits) fold to
+    * the 429/503 responses' `Retry-After` values fold to
     * (host, retry_after_s = MAX over the host's throttling responses),
-    * the table [[schedule]]'s `retryAfter` consumes. The HTTP-date
-    * form is deliberately ignored: interpreting it needs the fetch
-    * wall clock, which a replayed WARC batch does not have — and a
-    * date-form host still gets crawl-delay pacing. Statuses other
-    * than 429/503 never count (some servers attach Retry-After to
-    * redirects; honoring those would stall healthy hosts). Hosts are
-    * canonical ([[UrlFilter.hostOf]] — the politeness key). Map-side
-    * scan + a hosts-sized aggregate. */
-  def retryAfterDelays(records: DataFrame): DataFrame =
-    records.filter(col("warc_type") === "response" &&
-        col("http_status").isin(429, 503) &&
-        col("http_retry_after").isNotNull &&
-        col("http_retry_after").rlike("^[0-9]+$"))
-      .select(UrlFilter.hostOf(col("target_uri")).as("host"),
-        col("http_retry_after").cast("double").as("retry_after_s"))
-      .filter(col("host").isNotNull)
+    * the table [[schedule]]'s `retryAfter` consumes. BOTH RFC 9110
+    * §10.2.3 forms parse: delta-seconds (all digits), and the
+    * HTTP-date form measured against the record's OWN `warc_date` —
+    * the fetch wall clock a WARC carries by construction, so a
+    * replayed batch needs no external clock (dates in the past clamp
+    * to 0; unparseable values and records without a `warc_date`
+    * column drop — a malformed header must not stall a host).
+    * Statuses other than 429/503 never count (some servers attach
+    * Retry-After to redirects; honoring those would stall healthy
+    * hosts). Hosts are canonical ([[UrlFilter.hostOf]] — the
+    * politeness key). Map-side scan + a hosts-sized aggregate. */
+  def retryAfterDelays(records: DataFrame): DataFrame = {
+    val base = records.filter(col("warc_type") === "response" &&
+      col("http_status").isin(429, 503) &&
+      col("http_retry_after").isNotNull)
+    val deltaSeconds =
+      when(col("http_retry_after").rlike("^[0-9]+$"),
+        col("http_retry_after").cast("double"))
+    val retrySec =
+      if (!records.columns.contains("warc_date")) deltaSeconds
+      else {
+        // IMF-fixdate ("Sun, 06 Nov 1994 08:49:37 GMT" — the form RFC
+        // 9110 requires senders to emit; the legacy RFC 850/asctime
+        // forms are out of contract). The weekday prefix strips before
+        // the parse — Spark 3+ refuses 'EEE' in PARSING patterns; the
+        // try_ forms stay total under ANSI mode.
+        val httpTs = try_to_timestamp(
+          regexp_replace(col("http_retry_after"), "^[A-Za-z]{3}, ", ""),
+          lit("dd MMM yyyy HH:mm:ss 'GMT'"))
+        val fetchTs = try_to_timestamp(col("warc_date"))
+        coalesce(deltaSeconds,
+          when(httpTs.isNotNull && fetchTs.isNotNull,
+            greatest(lit(0L),
+              unix_timestamp(httpTs) - unix_timestamp(fetchTs))
+              .cast("double")))
+      }
+    base.select(UrlFilter.hostOf(col("target_uri")).as("host"),
+        retrySec.as("retry_after_s"))
+      .filter(col("host").isNotNull && col("retry_after_s").isNotNull)
       .groupBy("host")
       .agg(max(col("retry_after_s")).as("retry_after_s"))
+  }
 
   /** 3xx responses as (url, links = [Location]) pages — a redirect IS a
     * page with one outlink: composed with [[frontier]], the `Location`

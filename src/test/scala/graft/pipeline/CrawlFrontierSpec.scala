@@ -437,7 +437,9 @@ class CrawlFrontierSpec extends SparkTestBase {
       ("response", "https://a.example/x", 429, "60"),
       ("response", "HTTPS://A.EXAMPLE:443/y", 503, "240"),
       ("response", "https://u@a.example/z", 429, "90"),
-      // date form: ignored (needs the fetch wall clock)
+      // date form: IGNORED here — this frame has no warc_date column,
+      // so there is no fetch clock to measure against (the
+      // with-warc_date arms below pin the date math)
       ("response", "https://b.example/d", 429,
         "Fri, 01 Jan 2027 00:00:00 GMT"),
       // non-throttling statuses never count, numeric or not
@@ -471,6 +473,23 @@ class CrawlFrontierSpec extends SparkTestBase {
       .select("url", "not_before_s").as[(String, Double)].collect().toMap
     assert(both === Map("https://a.example/1" -> 240.0,
       "https://a.example/2" -> 247.0, "https://f.example/1" -> 0.0))
+    // the HTTP-date form measured against the record's OWN warc_date
+    // (r15): future date = the delta, past date clamps to 0, junk
+    // drops, and the per-host max mixes both forms
+    val dated = Seq(
+      ("response", "https://d.example/a", 429,
+        "Thu, 01 Jan 2026 00:02:00 GMT", "2026-01-01T00:00:30Z"), // 90 s
+      ("response", "https://d.example/b", 503, "45",
+        "2026-01-01T00:00:00Z"), // delta form alongside: max picks 90
+      ("response", "https://e.example/past", 429,
+        "Wed, 31 Dec 2025 23:59:00 GMT", "2026-01-01T00:00:00Z"), // 0
+      ("response", "https://g.example/junk", 429, "tomorrow-ish",
+        "2026-01-01T00:00:00Z"))
+      .toDF("warc_type", "target_uri", "http_status", "http_retry_after",
+        "warc_date")
+    val datedOut = Crawl.retryAfterDelays(dated)
+      .as[(String, Double)].collect().toMap
+    assert(datedOut === Map("d.example" -> 90.0, "e.example" -> 0.0))
   }
 
   test("fetched-ledger compaction + bloom maintenance artifacts round-trip") {
