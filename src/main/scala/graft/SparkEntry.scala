@@ -3233,6 +3233,44 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Sitemap <lastmod> (r15): the site-declared change signal — per
+    // seed, the MAX verbatim lastmod across listings (url a/{id%50} is
+    // listed by many sitemaps with different days — max replays as
+    // string max; url b/{id} declares none — null). A stray <lastmod>
+    // BEFORE any <loc> must drop, the crawled own-page entry (with its
+    // own lastmod) anti-joins away, and odd ids ship GZIPPED (the
+    // locsWithLastmodFromBytes path).
+    "crawl_sitemap_lastmod" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val site = docs.as[Long].map { id =>
+        val own = s"https://h${id % 7}.example/page/$id"
+        val day = f"${1 + id % 28}%02d"
+        val xml =
+          s"""<?xml version="1.0" encoding="UTF-8"?>
+             |<lastmod>2027-12-31</lastmod>
+             |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+             |<url><loc>https://sm.example/a/${id % 50}</loc><lastmod>2026-01-$day</lastmod></url>
+             |<url><loc>https://sm.example/b/$id</loc></url>
+             |<url><LOC>$own</LOC><LASTMOD>2025-05-05</LASTMOD></url>
+             |</urlset>""".stripMargin
+        val bytes = xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val body =
+          if (id % 2 == 0) bytes
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            g.write(bytes); g.finish()
+            bos.toByteArray
+          }
+        (id, body)
+      }.toDF("doc_id", "body")
+      val crawled = docs.select(concat(lit("https://h"), col("doc_id") % 7,
+        lit(".example/page/"), col("doc_id")).as("url"))
+      graft.pipeline.Sitemaps.seedsWithLastmod(site, crawled)
+        .orderBy("url")
+    }),
+
     // RFC 9309 robots gate (pipeline.Robots): per-host robots.txt bodies
     // parse into (agent, allow, path) rules; candidate urls keep only
     // what the agent may fetch (winning group = longest named prefix
@@ -7314,6 +7352,25 @@ object SparkEntry {
         |  WHERE c.url IS NULL)
         |SELECT url, CAST(count(*) AS BIGINT) AS n_refs
         |FROM fresh GROUP BY url ORDER BY url""".stripMargin,
+    // seeds + the site-declared change signal: a/{id%50} aggregates
+    // refs and MAXES its listed days; b/{id} has no lastmod (null);
+    // the stray leading lastmod and the crawled own-page entry never
+    // contribute
+    "crawl_sitemap_lastmod" ->
+      """WITH a AS (
+        |  SELECT 'https://sm.example/a/' || CAST(doc_id % 50 AS VARCHAR)
+        |      AS url,
+        |    '2026-01-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+        |      AS lastmod
+        |  FROM documents),
+        |b AS (
+        |  SELECT 'https://sm.example/b/' || CAST(doc_id AS VARCHAR) AS url,
+        |    CAST(NULL AS VARCHAR) AS lastmod
+        |  FROM documents),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT url, CAST(count(*) AS BIGINT) AS n_refs,
+        |  max(lastmod) AS lastmod
+        |FROM u GROUP BY url ORDER BY url""".stripMargin,
     // the robots decision rebuilt with literal prefix matching: even
     // hosts drop /page/1* unless /page/12* (the allow override), odd
     // hosts never restrict graftbot

@@ -61,6 +61,81 @@ object Sitemaps {
     u(xml)
   }
 
+  /** (loc, lastmod|null) pairs in document order (r15): the protocol's
+    * OPTIONAL `<lastmod>` is the site-declared change signal — the
+    * complement of the crawl's own observed churn
+    * ([[Crawl.recrawlChurn]]): a sitemap lastmod NEWER than a url's
+    * last fetch is a refresh hint the fetcher gets for free. Pairing is
+    * positional, matching the protocol's entry shape without an XML
+    * parser: a `<lastmod>` value attaches to the MOST RECENT preceding
+    * `<loc>` that has none yet (entries never nest and put loc first;
+    * an entry without lastmod pairs with null; a stray lastmod before
+    * any loc drops). Loc extraction is byte-identical to [[locs]]
+    * (spec-pinned). Values stay verbatim — W3C datetime normalization
+    * is the consumer's step. Total, O(n), never throws. */
+  def locsWithLastmod(xml: String): Array[(String, String)] = {
+    if (xml == null) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val n = xml.length
+    def lower(c: Char): Char = Character.toLowerCase(c)
+    def tagAt(i: Int, t: String): Boolean = {
+      if (i + t.length > n) return false
+      var k = 0
+      while (k < t.length) {
+        if (lower(xml.charAt(i + k)) != t.charAt(k)) return false
+        k += 1
+      }
+      true
+    }
+    var pendingLoc: String = null
+    var pendingMod: String = null
+    var havePending = false
+    def flush(): Unit = {
+      if (havePending) out += ((pendingLoc, pendingMod))
+      pendingLoc = null; pendingMod = null; havePending = false
+    }
+    var i = 0
+    while (i < n) {
+      if (xml.charAt(i) == '<' && tagAt(i, "<loc>")) {
+        val capStart = i + 5
+        var j = capStart
+        while (j < n && xml.charAt(j) != '<') j += 1
+        if (j < n && tagAt(j, "</loc>")) {
+          flush()
+          pendingLoc = xml.substring(capStart, j)
+          havePending = true
+          i = j + 6
+        } else i = j
+      } else if (xml.charAt(i) == '<' && tagAt(i, "<lastmod>")) {
+        val capStart = i + 9
+        var j = capStart
+        while (j < n && xml.charAt(j) != '<') j += 1
+        if (j < n && tagAt(j, "</lastmod>")) {
+          if (havePending && pendingMod == null)
+            pendingMod = xml.substring(capStart, j)
+          i = j + 10
+        } else i = j
+      } else i += 1
+    }
+    flush()
+    out.toArray
+  }
+
+  /** [[locsWithLastmod]] over a RAW (possibly gzipped) body — the
+    * [[locsFromBytes]] sibling. */
+  def locsWithLastmodFromBytes(body: Array[Byte])
+      : Array[(String, String)] = {
+    if (body == null) return Array.empty
+    graft.sources.Warc.gunzipAll(body) match {
+      case None => Array.empty
+      case Some(bytes) =>
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+        locsWithLastmod(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
+    }
+  }
+
   /** [[locs]] over a RAW fetched body: sitemaps ship gzipped
     * (`sitemap.xml.gz` — the protocol's own 50 MB/50k-url limits assume
     * it) at least as often as plain, so the binary form sniffs the gzip
@@ -110,6 +185,30 @@ object Sitemaps {
                      bodyCol: String = "body",
                      urlCol: String = "url"): DataFrame =
     seedsOf(sitemaps, crawled, locsFromBytesCol(col(bodyCol)), urlCol)
+
+  /** [[seeds]] carrying the site-declared change signal (r15): per
+    * seed url, `n_refs` plus `lastmod` = the MAX verbatim `<lastmod>`
+    * across its listings (W3C datetime strings order lexicographically
+    * within one format; null when no listing declares one — max
+    * ignores nulls). A fetcher joins this against the fetched ledger
+    * ([[Crawl.recrawlChurn]] / last-fetch ages) to refresh exactly the
+    * urls the site SAYS changed — free change detection where the
+    * churn signal needs a refetch to observe. Same crawled-side
+    * semantics as [[seeds]]. */
+  def seedsWithLastmod(sitemaps: DataFrame, crawled: DataFrame,
+                       bodyCol: String = "body",
+                       urlCol: String = "url"): DataFrame = {
+    val pairs = udf((b: Array[Byte]) => locsWithLastmodFromBytes(b))
+    val canon =
+      udf((s: String) => UrlResolve.selfNormalize(HtmlText.decodeAttr(s)))
+    sitemaps.select(explode(pairs(col(bodyCol))).as("_lm"))
+      .select(canon(col("_lm._1")).as("url"), col("_lm._2").as("lastmod"))
+      .filter(col("url").isNotNull)
+      .join(crawled.select(col(urlCol).cast("string").as("url")),
+        Seq("url"), "left_anti")
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_refs"), max(col("lastmod")).as("lastmod"))
+  }
 
   private def seedsOf(sitemaps: DataFrame, crawled: DataFrame,
                       locsExpr: Column, urlCol: String): DataFrame = {

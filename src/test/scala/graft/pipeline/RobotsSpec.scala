@@ -199,6 +199,50 @@ class RobotsSpec extends SparkTestBase {
     assert(viaStrings === got)
   }
 
+  test("locsWithLastmod: positional pairing, stray/extra lastmods, loc parity") {
+    val xml =
+      "<lastmod>2027-01-01</lastmod>" + // stray before any loc: drops
+        "<urlset>" +
+        "<url><loc>https://a/1</loc><lastmod>2026-01-02</lastmod></url>" +
+        "<url><loc>https://a/2</loc></url>" + // no lastmod: null
+        // a second lastmod inside one entry: FIRST wins
+        "<url><LOC>https://a/3</LOC><LASTMOD>2026-03-03</LASTMOD>" +
+        "<lastmod>2026-04-04</lastmod></url>" +
+        "<url><loc>https://a/4</loc><lastmod>2026-05-05" // unterminated
+    assert(Sitemaps.locsWithLastmod(xml).toSeq === Seq(
+      ("https://a/1", "2026-01-02"), ("https://a/2", null),
+      ("https://a/3", "2026-03-03"), ("https://a/4", null)))
+    // loc extraction identical to the declared-pattern kernel, pinned
+    // on the contract/soup battery the locs test uses
+    val cases = Seq(xml, "", "<loc>", "<loc></loc>", "<loc>x</loc>",
+      "<loc>a<loc>b</loc>", "<LOC>u</loc><lastmod>m</lastmod>")
+    for (c <- cases)
+      assert(Sitemaps.locsWithLastmod(c).map(_._1).toSeq ===
+        Sitemaps.locs(c).toSeq, s"case: $c")
+    assert(Sitemaps.locsWithLastmod(null).isEmpty)
+    // the seeds composition: refs aggregate, lastmod = string MAX over
+    // listings, nulls ignored; gzip + plain bodies both parse
+    def gz(s: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(s.getBytes("UTF-8")); g.finish()
+      out.toByteArray
+    }
+    val m1 = "<urlset><url><loc>https://n/1</loc>" +
+      "<lastmod>2026-02-01</lastmod></url>" +
+      "<url><loc>https://n/2</loc></url></urlset>"
+    val m2 = "<urlset><url><loc>https://n/1</loc>" +
+      "<lastmod>2026-03-01</lastmod></url>" +
+      "<url><loc>https://crawled/x</loc><lastmod>2026-09-09</lastmod>" +
+      "</url></urlset>"
+    val maps = Seq(gz(m1), m2.getBytes("UTF-8")).toDF("body")
+    val crawled = Seq("https://crawled/x").toDF("url")
+    val got = Sitemaps.seedsWithLastmod(maps, crawled)
+      .as[(String, Long, String)].collect().toSet
+    assert(got === Set(("https://n/1", 2L, "2026-03-01"),
+      ("https://n/2", 1L, null)))
+  }
+
   test("filterAllowed gates urls per host; hosts without robots allow all") {
     val robots = Seq(
       ("a.example",
