@@ -3192,6 +3192,50 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Redirect CHAIN resolution (r15): multi-hop migrations fold to
+    // their final destination — every a/{id} 301s to b/{id} (relative
+    // Location, resolved+normalized through redirectEdges), id%3==0
+    // continue to d-host c/{id}, id%9==0 a third hop to the e-host
+    // final. id%5==0 adds a TWO-CYCLE (x↔y) that must terminate at
+    // hops=maxHops with resolved=false on BOTH members. A 200
+    // carrying a Location and a Location-less 301 contribute no
+    // edges. The oracle replays the bounded unroll as 3 chained LEFT
+    // JOINs + the final still-a-source probe.
+    "crawl_redirect_chains" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      def arm(cond: Column, src: Column, st: Int,
+              loc: Column): DataFrame =
+        docs.filter(cond).select(lit("response").as("warc_type"),
+          src.as("target_uri"), lit(st).as("http_status"),
+          loc.cast("string").as("http_location"))
+      val id = col("doc_id")
+      val records = arm(lit(true),
+          concat(lit("https://c.example/a/"), id), 301,
+          concat(lit("/b/"), id)) // relative Location
+        .unionByName(arm(id % 3 === 0,
+          concat(lit("https://c.example/b/"), id), 302,
+          concat(lit("https://d.example/c/"), id)))
+        .unionByName(arm(id % 9 === 0,
+          concat(lit("https://d.example/c/"), id), 308,
+          concat(lit("https://e.example/final/"), id)))
+        .unionByName(arm(id % 5 === 0,
+          concat(lit("https://cy.example/x/"), id), 301,
+          concat(lit("https://cy.example/y/"), id)))
+        .unionByName(arm(id % 5 === 0,
+          concat(lit("https://cy.example/y/"), id), 302,
+          concat(lit("https://cy.example/x/"), id)))
+        // junk: a 200 with a Location, a 301 without one — no edges
+        .unionByName(arm(id % 4 === 0,
+          concat(lit("https://c.example/ok/"), id), 200,
+          lit("/zzz")))
+        .unionByName(arm(id % 4 === 1,
+          concat(lit("https://c.example/lost/"), id), 301,
+          lit(null)))
+      val edges = graft.pipeline.Crawl.redirectEdges(records)
+      graft.pipeline.Crawl.resolveRedirects(edges, maxHops = 4)
+        .orderBy("url")
+    }),
+
     // Sitemap seeding (pipeline.Sitemaps): the site-declared frontier
     // feeder -- <loc> extraction with regex-equivalent semantics
     // (LocPattern, the LinkPattern convention), then (r14) XML-entity
@@ -3269,6 +3313,204 @@ object SparkEntry {
         lit(".example/page/"), col("doc_id")).as("url"))
       graft.pipeline.Sitemaps.seedsWithLastmod(site, crawled)
         .orderBy("url")
+    }),
+
+    // Sitemap-index routing (r15): a <sitemapindex> body's locs are
+    // child SITEMAPS to fetch and re-parse, never page seeds — id%3==0
+    // bodies are two-child indexes (a shared maps/{id%20} child whose
+    // per-listing <lastmod> days must MAX, a solo child without one,
+    // and an already-fetched child that anti-joins away); the rest are
+    // urlsets (one shared + one unique page) carrying a
+    // '<sitemapindex>' WORD in a comment AFTER the <urlset> root — the
+    // first-root-tag-wins contract under test. An index loc leaking
+    // into kind=page (the pre-r15 behavior) or a page loc into
+    // kind=sitemap hash-mismatches. Odd ids ship gzipped.
+    "crawl_sitemap_index" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val site = docs.as[Long].map { id =>
+        val day = f"${1 + id % 28}%02d"
+        val xml =
+          if (id % 3 == 0)
+            s"""<?xml version="1.0" encoding="UTF-8"?>
+               |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+               |<sitemap><loc>https://sm.example/maps/${id % 20}.xml.gz</loc><lastmod>2026-02-$day</lastmod></sitemap>
+               |<sitemap><loc>https://sm.example/solo/$id.xml</loc></sitemap>
+               |<sitemap><loc>https://sm.example/maps/fetched.xml</loc></sitemap>
+               |</sitemapindex>""".stripMargin
+          else
+            s"""<?xml version="1.0" encoding="UTF-8"?>
+               |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+               |<!-- generated; not a <sitemapindex> -->
+               |<url><loc>https://sm.example/p/${id % 40}</loc></url>
+               |<url><loc>https://sm.example/q/$id</loc></url>
+               |</urlset>""".stripMargin
+        val bytes = xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val body =
+          if (id % 2 == 0) bytes
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            g.write(bytes); g.finish()
+            bos.toByteArray
+          }
+        (id, body)
+      }.toDF("doc_id", "body")
+      val fetchedMaps = s.createDataFrame(
+        Seq(Tuple1("https://sm.example/maps/fetched.xml"))).toDF("url")
+      val children = graft.pipeline.Sitemaps.childSitemaps(site, fetchedMaps)
+        .select(lit("sitemap").as("kind"), col("url"), col("n_refs"),
+          col("lastmod"))
+      val pages = graft.pipeline.Sitemaps.seedsFromBytes(site, fetchedMaps)
+        .select(lit("page").as("kind"), col("url"), col("n_refs"),
+          lit(null).cast("string").as("lastmod"))
+      children.unionByName(pages).orderBy("kind", "url")
+    }),
+
+    // Conditional-fetch validators (r15): ETag / Last-Modified survive
+    // the WARC HTTP split BYTE-EXACT (If-None-Match comparison is
+    // opaque per RFC 9110 — strong quotes and weak W/"…" prefixes must
+    // ride through) into Crawl.revalidators — per 200-url, the pair a
+    // refresh fetcher sends back as If-None-Match/If-Modified-Since.
+    // Arms: etag-only, last-modified-only, BOTH (weak etag), neither
+    // (dropped — nothing to revalidate with); a 404 carrying an ETag
+    // must not leak (the status gate). Odd groups ship gzipped.
+    "crawl_revalidators" -> ((s, dir) => {
+      import s.implicits._
+      val files = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("g", floor(col("doc_id") / 25))
+        .groupBy("g")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .as[(Long, Seq[Long])]
+        .map { case (g, ids) =>
+          val recs = ids.flatMap { id =>
+            val own = s"https://h${id % 7}.example/page/$id"
+            val body = s"doc $id"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val page = (id % 4) match {
+              case 0 => graft.sources.Warc.ResponseFixture(own, 200,
+                contentType = "text/html", body = body,
+                etag = s""""e${id % 9}"""")
+              case 1 => graft.sources.Warc.ResponseFixture(own, 200,
+                contentType = "text/html", body = body,
+                lastModified = s"Thu, 0${1 + id % 7} Jan 2026 12:00:00 GMT")
+              case 2 => graft.sources.Warc.ResponseFixture(own, 200,
+                contentType = "text/html", body = body,
+                etag = s"""W/"w${id % 5}"""",
+                lastModified = s"Sat, 15 Aug 2026 0${id % 10}:00:00 GMT")
+              case _ => graft.sources.Warc.ResponseFixture(own, 200,
+                contentType = "text/html", body = body)
+            }
+            val dead = graft.sources.Warc.ResponseFixture(
+              s"https://h${id % 7}.example/gone/$id", 404,
+              contentType = "text/html", etag = "\"dead\"")
+            Seq(page, dead)
+          }
+          (g, graft.sources.Warc.encodeWarcFixtures(recs,
+            gzipPerRecord = g % 2 == 1))
+        }.toDF("g", "payload")
+      val records = graft.sources.Warc.warcRecords(files).toDF()
+      graft.pipeline.Crawl.revalidators(records).orderBy("url")
+    }),
+
+    // Unchanged-content recaptures as churn observations (r15): 304
+    // Not Modified responses (what a conditional fetch sending the
+    // revalidators gets back) and WARC `revisit` records (the Common
+    // Crawl dedup form) flow through ingestBatch into the fetched
+    // ledger as NULL-HASH observations — n_obs counts, no transition
+    // pairs, and a LATER genuine change pairs against the PRE-revisit
+    // hash. Three batches over a 1-in-5 documents subset; a
+    // compactFetched runs MID-HISTORY so the fold preserves revisit
+    // accumulators. Arms (id%4): 0 = 304 then changed (n_obs 3,
+    // n_changes 1 — the change detected ACROSS the 304), 1 = revisit
+    // twice (3 obs, 0 changes), 2 = changed 200 (2, 1), 3 = same 200
+    // (2, 0).
+    "crawl_revisit_churn" -> ((s, dir) => {
+      import s.implicits._
+      val fd = java.nio.file.Files.createTempDirectory("graft_revisit_")
+      deleteRecursivelyOnExit(fd)
+      val fDir = fd.resolve("frontier").toString
+      val idxPath = fd.resolve("idx").toFile.getAbsolutePath
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 5 === 0)
+      def warcOf(batch: Int): DataFrame =
+        docs.withColumn("g", floor(col("doc_id") / 25))
+          .groupBy("g")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .as[(Long, Seq[Long])]
+          .map { case (g, ids) =>
+            val recs = ids.flatMap { id =>
+              val url = s"https://rv.example/p/$id"
+              def r200(text: String) = Some(
+                graft.sources.Warc.ResponseFixture(url, 200,
+                  contentType = "text/plain; charset=utf-8",
+                  body = text.getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8)))
+              val a = s"content a${id % 4} of $id"
+              val c = s"content c$id changed"
+              (batch, (id % 4).toInt) match {
+                case (0, _) => r200(a)
+                case (1, 0) => Some(graft.sources.Warc.ResponseFixture(
+                  url, 304, contentType = null))
+                case (1, 1) => Some(graft.sources.Warc.ResponseFixture(
+                  url, 200, contentType = "text/plain",
+                  warcType = "revisit"))
+                case (1, 2) => r200(c)
+                case (1, _) => r200(a)
+                case (2, 0) => r200(c)
+                case (2, 1) => Some(graft.sources.Warc.ResponseFixture(
+                  url, 200, contentType = "text/plain",
+                  warcType = "revisit"))
+                case _ => None
+              }
+            }
+            (g, graft.sources.Warc.encodeWarcFixtures(recs,
+              gzipPerRecord = g % 2 == 1))
+          }.toDF("g", "payload")
+      (0 to 2).foreach { b =>
+        val recs = graft.sources.Warc.warcRecords(warcOf(b)).toDF()
+        graft.pipeline.Crawl.ingestBatch(s, recs, idxPath, b,
+          threshold = 0.9, shingleK = 3, numHashes = 16, bands = 8,
+          onPageLinks = pages => {
+            // the stream's ledger write shape (EventStreams): revisit
+            // rows are null-hash observations with n_obs = 1
+            pages.select(col("url"), col("content_md5"),
+                when(col("content_md5").isNotNull || col("revisit"), 1L)
+                  .otherwise(0L).as("n_obs"),
+                lit(0L).as("n_changes"))
+              .write.mode("overwrite")
+              .parquet(s"$fDir/fetched/batch=$b")
+          })(_ => ())
+        // fold mid-history: the compaction must preserve the revisit
+        // observation counts for the batch-2 math to come out right
+        if (b == 1) graft.pipeline.Crawl.compactFetched(s, fDir)
+      }
+      graft.pipeline.Crawl.recrawlChurn(s, fDir).orderBy("url")
+    }),
+
+    // Mirror-host detection (r15): id%3==0 pages exist on BOTH their
+    // m{id%5} host and a mm{id%2} mirror with identical content —
+    // those 10 host pairs must surface with exact shared counts and
+    // per-host distinct-hash totals; a 'boiler' page replicated on all
+    // five m-hosts exceeds maxHostsPerHash=4 and must NOT pair (the
+    // boilerplate df-guard under test).
+    "crawl_mirror_hosts" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val id = col("doc_id")
+      val primary = docs.select(
+        concat(lit("https://m"), id % 5, lit(".example/p/"), id).as("url"),
+        md5(concat(lit("c"), id)).as("content_md5"))
+      val mirror = docs.filter(id % 3 === 0).select(
+        concat(lit("https://mm"), id % 2, lit(".example/p/"), id).as("url"),
+        md5(concat(lit("c"), id)).as("content_md5"))
+      val boiler = docs.select(
+        concat(lit("https://m"), id % 5, lit(".example/boiler"))
+          .as("url"),
+        md5(lit("boiler")).as("content_md5"))
+      val pages = primary.unionByName(mirror).unionByName(boiler)
+      graft.pipeline.Crawl.mirrorHosts(pages, minShared = 2,
+          maxHostsPerHash = 4)
+        .orderBy("host_a", "host_b")
     }),
 
     // RFC 9309 robots gate (pipeline.Robots): per-host robots.txt bodies
@@ -7371,6 +7613,100 @@ object SparkEntry {
         |SELECT url, CAST(count(*) AS BIGINT) AS n_refs,
         |  max(lastmod) AS lastmod
         |FROM u GROUP BY url ORDER BY url""".stripMargin,
+    // both hierarchy levels rebuilt from the fixture arithmetic: index
+    // locs (shared child maxing its listed days, solo child null, the
+    // fetched child anti-joined) under kind=sitemap; urlset locs under
+    // kind=page; neither side leaks into the other
+    "crawl_sitemap_index" ->
+      """WITH child AS (
+        |  SELECT 'https://sm.example/maps/' || CAST(doc_id % 20 AS VARCHAR)
+        |      || '.xml.gz' AS url,
+        |    '2026-02-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+        |      AS lastmod
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'https://sm.example/solo/' || CAST(doc_id AS VARCHAR)
+        |      || '.xml', CAST(NULL AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |page AS (
+        |  SELECT 'https://sm.example/p/' || CAST(doc_id % 40 AS VARCHAR)
+        |      AS url
+        |  FROM documents WHERE doc_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT 'https://sm.example/q/' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 <> 0)
+        |SELECT * FROM (
+        |  SELECT 'sitemap' AS kind, url, CAST(count(*) AS BIGINT)
+        |      AS n_refs, max(lastmod) AS lastmod
+        |  FROM child GROUP BY url
+        |  UNION ALL
+        |  SELECT 'page', url, CAST(count(*) AS BIGINT),
+        |    CAST(NULL AS VARCHAR)
+        |  FROM page GROUP BY url)
+        |ORDER BY kind, url""".stripMargin,
+    // the validator pairs rebuilt from the fixture arithmetic: etag
+    // arms keep their exact quoting (strong "e{k}", weak W/"w{k}"),
+    // the HTTP-date strings ride verbatim, the neither-arm and the
+    // ETag-carrying 404 never appear
+    "crawl_revalidators" ->
+      """SELECT
+        |  'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example/page/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN '"e' || CAST(doc_id % 9 AS VARCHAR) || '"'
+        |    WHEN 2 THEN 'W/"w' || CAST(doc_id % 5 AS VARCHAR) || '"'
+        |    END AS etag,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 1 THEN 'Thu, 0' || CAST(1 + doc_id % 7 AS VARCHAR) ||
+        |      ' Jan 2026 12:00:00 GMT'
+        |    WHEN 2 THEN 'Sat, 15 Aug 2026 0' ||
+        |      CAST(doc_id % 10 AS VARCHAR) || ':00:00 GMT'
+        |    END AS last_modified
+        |FROM documents WHERE doc_id % 4 <> 3 ORDER BY url""".stripMargin,
+    // the revisit arms' churn math rebuilt per url: arm 0 (304 between
+    // two differing fetches) observes 3 times and counts ONE change
+    // across the null-hash revisit; arm 1 (two revisits) observes 3,
+    // changes 0; arm 2 changed (2, 1); arm 3 unchanged (2, 0);
+    // last_batch = 2 for the revisit arms, 1 otherwise
+    "crawl_revisit_churn" ->
+      """SELECT
+        |  'https://rv.example/p/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CAST(CASE WHEN doc_id % 4 < 2 THEN 2 ELSE 1 END AS BIGINT)
+        |    AS last_batch,
+        |  CAST(CASE WHEN doc_id % 4 < 2 THEN 3 ELSE 2 END AS BIGINT)
+        |    AS n_obs,
+        |  CAST(CASE WHEN doc_id % 4 = 0 OR doc_id % 4 = 2 THEN 1 ELSE 0
+        |    END AS BIGINT) AS n_changes
+        |FROM documents WHERE doc_id % 5 = 0 ORDER BY url""".stripMargin,
+    // the mirror pairs rebuilt from the arithmetic: shared counts per
+    // (m{a}, mm{b}) from the id%3/id%5/id%2 lattice; m-host totals
+    // carry +1 for the boiler page (it counts as content, it just
+    // can't PAIR); the boiler never contributes a pair row
+    "crawl_mirror_hosts" ->
+      """WITH shared AS (
+        |  SELECT 'm' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+        |      AS host_a,
+        |    'mm' || CAST(doc_id % 2 AS VARCHAR) || '.example' AS host_b
+        |  FROM documents WHERE doc_id % 3 = 0),
+        |agg AS (
+        |  SELECT host_a, host_b, CAST(count(*) AS BIGINT) AS n_shared
+        |  FROM shared GROUP BY host_a, host_b
+        |  HAVING count(*) >= 2),
+        |na AS (
+        |  SELECT 'm' || CAST(doc_id % 5 AS VARCHAR) || '.example'
+        |      AS host,
+        |    CAST(count(*) + 1 AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |nb AS (
+        |  SELECT 'mm' || CAST(doc_id % 2 AS VARCHAR) || '.example'
+        |      AS host,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 3 = 0 GROUP BY 1)
+        |SELECT a.host_a, a.host_b, a.n_shared, na.n AS n_a, nb.n AS n_b
+        |FROM agg a
+        |JOIN na ON a.host_a = na.host
+        |JOIN nb ON a.host_b = nb.host
+        |ORDER BY a.host_a, a.host_b""".stripMargin,
     // the robots decision rebuilt with literal prefix matching: even
     // hosts drop /page/1* unless /page/12* (the allow override), odd
     // hosts never restrict graftbot
@@ -7582,6 +7918,49 @@ object SparkEntry {
         |  WHERE c.url IS NULL)
         |SELECT url, CAST(count(*) AS BIGINT) AS n_refs
         |FROM fresh GROUP BY url ORDER BY url""".stripMargin,
+    // the bounded chain unroll replayed: the edge set from the fixture
+    // arithmetic (junk arms contribute none), then maxHops-1 = 3
+    // chained LEFT JOINs advancing (final, hops), and the final
+    // still-a-source probe deciding `resolved`
+    "crawl_redirect_chains" ->
+      """WITH edges AS (
+        |  SELECT 'https://c.example/a/' || CAST(doc_id AS VARCHAR) AS url,
+        |    'https://c.example/b/' || CAST(doc_id AS VARCHAR) AS target
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://c.example/b/' || CAST(doc_id AS VARCHAR),
+        |    'https://d.example/c/' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'https://d.example/c/' || CAST(doc_id AS VARCHAR),
+        |    'https://e.example/final/' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 9 = 0
+        |  UNION ALL
+        |  SELECT 'https://cy.example/x/' || CAST(doc_id AS VARCHAR),
+        |    'https://cy.example/y/' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT 'https://cy.example/y/' || CAST(doc_id AS VARCHAR),
+        |    'https://cy.example/x/' || CAST(doc_id AS VARCHAR)
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |r1 AS (SELECT url, target AS f, CAST(1 AS BIGINT) AS hops
+        |  FROM edges),
+        |r2 AS (SELECT r.url, coalesce(e.target, r.f) AS f,
+        |    CAST(CASE WHEN e.target IS NOT NULL THEN r.hops + 1
+        |      ELSE r.hops END AS BIGINT) AS hops
+        |  FROM r1 r LEFT JOIN edges e ON r.f = e.url),
+        |r3 AS (SELECT r.url, coalesce(e.target, r.f) AS f,
+        |    CAST(CASE WHEN e.target IS NOT NULL THEN r.hops + 1
+        |      ELSE r.hops END AS BIGINT) AS hops
+        |  FROM r2 r LEFT JOIN edges e ON r.f = e.url),
+        |r4 AS (SELECT r.url, coalesce(e.target, r.f) AS f,
+        |    CAST(CASE WHEN e.target IS NOT NULL THEN r.hops + 1
+        |      ELSE r.hops END AS BIGINT) AS hops
+        |  FROM r3 r LEFT JOIN edges e ON r.f = e.url)
+        |SELECT r.url, r.f AS final_url, r.hops,
+        |  (e.url IS NULL) AS resolved
+        |FROM r4 r LEFT JOIN edges e ON r.f = e.url
+        |ORDER BY r.url""".stripMargin,
     // the crawl flagship's decision rebuilt in SQL: extraction (the
     // html_extract rebuild) composed with the exact shingle-Jaccard
     // near-dup test (the doc_incremental_dedup CTE) -- a mutated doc

@@ -698,6 +698,72 @@ object Main {
         s"due (last fetch < batch $beforeBatch) -> $out")
       spark.stop()
 
+    case "crawl-revalidators" :: warcPath :: out :: Nil =>
+      // conditional-fetch table (r15): per 200-url, the ETag /
+      // Last-Modified validators a refresh fetcher sends back as
+      // If-None-Match / If-Modified-Since
+      val spark = session()
+      graft.pipeline.Crawl.revalidators(
+          spark.read.format("warc").load(warcPath))
+        .orderBy("url")
+        .write.mode("overwrite").parquet(out)
+      println(s"crawl-revalidators: ${spark.read.parquet(out).count()} " +
+        s"urls with validators -> $out")
+      spark.stop()
+
+    case "crawl-redirect-chains" :: warcPath :: out :: rest =>
+      // fold multi-hop redirect chains to their final destination —
+      // the URL-level dedup key for every intermediate; cycles and
+      // over-long chains surface as resolved=false
+      val maxHops = rest.headOption.map(_.toInt).getOrElse(4)
+      val spark = session()
+      val edges = graft.pipeline.Crawl.redirectEdges(
+        spark.read.format("warc").load(warcPath))
+      val resolved = graft.pipeline.Crawl.resolveRedirects(edges, maxHops)
+      resolved.write.mode("overwrite").parquet(out)
+      val done = spark.read.parquet(out)
+      println(s"crawl-redirect-chains: ${done.count()} sources, " +
+        s"${done.filter(!org.apache.spark.sql.functions.col("resolved"))
+          .count()} unresolved at maxHops=$maxHops -> $out")
+      spark.stop()
+
+    case "crawl-mirror-hosts" :: frontierDir :: out :: rest =>
+      // host pairs serving identical content (shared distinct hashes
+      // from the hashed fetched ledger; boilerplate hashes df-guarded)
+      val minShared = rest.headOption.map(_.toLong).getOrElse(2L)
+      val maxHosts = rest.drop(1).headOption.map(_.toInt).getOrElse(16)
+      val spark = session()
+      graft.pipeline.Crawl.mirrorHosts(
+          spark.read.parquet(s"$frontierDir/fetched"), minShared, maxHosts)
+        .orderBy(org.apache.spark.sql.functions.col("n_shared").desc,
+          org.apache.spark.sql.functions.col("host_a"),
+          org.apache.spark.sql.functions.col("host_b"))
+        .write.mode("overwrite").parquet(out)
+      println(s"crawl-mirror-hosts: ${spark.read.parquet(out).count()} " +
+        s"pairs sharing >=$minShared hashes -> $out")
+      spark.stop()
+
+    case "crawl-sitemap-children" :: sitemapsParquet :: fetchedParquet ::
+        out :: Nil =>
+      // sitemapindex bodies -> the child-sitemap fetch list (url,
+      // n_refs, lastmod); pass '-' for fetchedParquet on a first pass
+      val spark = session()
+      val fetched =
+        if (fetchedParquet == "-")
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("url",
+                org.apache.spark.sql.types.StringType))))
+        else spark.read.parquet(fetchedParquet)
+      graft.pipeline.Sitemaps.childSitemaps(
+          spark.read.parquet(sitemapsParquet), fetched)
+        .orderBy("url")
+        .write.mode("overwrite").parquet(out)
+      println(s"crawl-sitemap-children: ${spark.read.parquet(out).count()} " +
+        s"child sitemaps -> $out")
+      spark.stop()
+
     case "frontier-blocklist" :: frontierParquet :: blocklistParquet ::
         out :: rest =>
       // operator-policy gate: drop frontier urls on blocklisted hosts
@@ -1140,6 +1206,10 @@ object Main {
           |  crawl-recrawl    <frontierDir> <beforeBatch> <outParquet>
           |  crawl-recrawl-churn <frontierDir> <outParquet>
           |  crawl-schedule-rank <frontierParquet> <pagesParquet> <outParquet> [maxRounds] [prIters]
+          |  crawl-revalidators <warcPathOrGlob> <outParquet>
+          |  crawl-redirect-chains <warcPathOrGlob> <outParquet> [maxHops]
+          |  crawl-mirror-hosts <frontierDir> <outParquet> [minShared] [maxHostsPerHash]
+          |  crawl-sitemap-children <sitemapsParquet> <fetchedParquet|-> <outParquet>
           |  frontier-blocklist <frontierParquet> <blocklistParquet> <outParquet> [urlCol]
           |  wds-extract      <pathOrGlob> <outParquet>
           |  warc-extract     <filesParquet> <outParquet> [payloadCol]

@@ -40,11 +40,15 @@ object Crawl {
     * is on; the batch-only form filters them without the extra scan);
     * `noindexed` (r14) counts non-empty text pages excluded from the
     * corpus by a robots-meta `noindex`/`none` directive (still
-    * ledger-fed; their links still feed the frontier unless nofollow'd). */
+    * ledger-fed; their links still feed the frontier unless nofollow'd);
+    * `revisits` (r15) counts unchanged-content recaptures — WARC
+    * `revisit` records and 304 Not Modified responses — that fed the
+    * churn ledger as observations without entering the corpus. */
   final case class BatchStats(responses: Long, charsetFallbacks: Long,
                               emptyText: Long, duplicates: Long,
                               appended: Long, redirects: Long = 0L,
-                              nonText: Long = 0L, noindexed: Long = 0L)
+                              nonText: Long = 0L, noindexed: Long = 0L,
+                              revisits: Long = 0L)
 
   /** 200-responses this TEXT pipeline extracts: HTML/XHTML and plain
     * text (a missing Content-Type gets the benefit of the doubt —
@@ -75,7 +79,7 @@ object Crawl {
     * before return, so `use` must not return a lazy plan over them.
     *
     * `onPageLinks`, when set, receives (url, links, base, canonical,
-    * content_md5) for EVERY page the batch FETCHED — text 200s (near-dups included: their
+    * content_md5, revisit) for EVERY page the batch FETCHED — text 200s (near-dups included: their
     * outlinks are still valid discoveries) extracted in the same fused
     * decode pass with their declared `<base href>` (null when absent);
     * since r14 the links honor the markup's politeness signals
@@ -89,6 +93,9 @@ object Crawl {
     * page's extracted text (null for empty-text, redirect, dead and
     * non-text rows) — persisted into the fetched ledger it is the
     * change-observation the [[recrawlChurn]] refresh policy weighs;
+    * `revisit` (r15) marks unchanged-content recapture rows (WARC
+    * `revisit` records, 304 responses): null-hash observations whose
+    * n_obs must still count (the stream writes n_obs = 1 for them);
     * 3xx redirects as one-outlink pages (their `Location`, when the
     * records carry `http_location`; base null — a Location resolves
     * against the redirect source), non-text 200s and PERMANENT-4xx
@@ -122,7 +129,21 @@ object Crawl {
     // WARC bytes parse exactly once (a second records scan would re-run
     // the member walk over the whole batch); without one, the
     // 200-filter feeds extraction directly as before
-    val respBase = records.filter(col("warc_type") === "response")
+    // unchanged-content recaptures are OBSERVATIONS for the churn
+    // ledger (r15): WARC `revisit` records (ISO 28500 §6.7.2 — the
+    // form Common Crawl writes for deduplicated recaptures) and 304
+    // Not Modified responses (what a conditional fetch sending the
+    // ledger's validators gets back). Both mean "fetched again, same
+    // content": the url's age advances AND its n_obs counts — with a
+    // NULL hash, so churn never pairs them into a false transition
+    // (and the later genuinely-changed fetch pairs against the
+    // PRE-revisit hash, which is exactly the content it changed from).
+    val revisitCond = col("warc_type") === "revisit" ||
+      (col("warc_type") === "response" && col("http_status") === 304)
+    val respBase =
+      if (wantLinks)
+        records.filter(col("warc_type").isin("response", "revisit"))
+      else records.filter(col("warc_type") === "response")
     val redirect3xx = col("http_status").isin(301, 302, 303, 307, 308)
     // a 3xx WITHOUT a Location header can't be followed — but it was
     // FETCHED, so it must enter the ledger like a permanent 4xx (empty
@@ -142,12 +163,17 @@ object Crawl {
           (if (hasXRobots) Seq(col("http_x_robots")) else Nil) :+ col("body")
         respBase
           .filter(col("http_status") === 200 || redirectCond ||
-            ledgerDeadCond)
+            ledgerDeadCond || revisitCond)
           .select(cols: _*)
           .localCheckpoint()
       }
-    val resp = if (wantLinks) resp0.filter(col("http_status") === 200 && textish)
-               else resp0
+    // only RESPONSE 200s extract: a revisit record's stored status line
+    // commonly says 200, but its payload is the recapture's header
+    // block with no body
+    val resp =
+      if (wantLinks) resp0.filter(col("warc_type") === "response" &&
+        col("http_status") === 200 && textish)
+      else resp0
     val extAll = HtmlText.extractFromBodies(resp, "body", "text",
       "http_content_type", "cs", linksCol = if (wantLinks) "links" else null,
       baseCol = if (wantLinks) "base" else null,
@@ -167,6 +193,7 @@ object Crawl {
       // accumulate leaked storage on every failed attempt)
       var redirectCount = 0L
       var nonTextCount = 0L
+      var revisitCount = 0L
       if (wantLinks) {
         // fetched-but-not-extracted classes still feed the ledger with
         // empty links: permanent-4xx dead pages AND non-text 200s (a
@@ -175,21 +202,34 @@ object Crawl {
         val noBase = lit(null).cast("string").as("base")
         val noCanon = lit(null).cast("string").as("canonical")
         val noMd5 = lit(null).cast("string").as("content_md5")
-        val dead = resp0.filter(ledgerDeadCond)
+        val noRevisit = lit(false).as("revisit")
+        // the dead/non-text classes are RESPONSE-only: a revisit
+        // record's stored status line may repeat the recapture's 200
+        // or 4xx, but the revisit row below is its one ledger entry
+        val isResponse = col("warc_type") === "response"
+        val dead = resp0.filter(isResponse && ledgerDeadCond)
           .select(col("target_uri").as("url"),
             array().cast("array<string>").as("links"), noBase, noCanon,
-            noMd5)
-        val nonText = resp0.filter(col("http_status") === 200 && !textish)
+            noMd5, noRevisit)
+        val nonText = resp0.filter(isResponse &&
+            col("http_status") === 200 && !textish)
           .select(col("target_uri").as("url"),
             array().cast("array<string>").as("links"), noBase, noCanon,
-            noMd5)
+            noMd5, noRevisit)
         nonTextCount = nonText.count()
+        // unchanged-content recaptures: one observation row, no links
+        // (the capture they duplicate already fed its links), null hash
+        val revisitRows = resp0.filter(revisitCond)
+          .select(col("target_uri").as("url"),
+            array().cast("array<string>").as("links"), noBase, noCanon,
+            noMd5, lit(true).as("revisit"))
+        revisitCount = revisitRows.count()
         val extPages =
           ext.select(col("url"), col("links"), col("base"), col("canonical"),
             // the change observation: hash of the extracted text (the
             // recrawlChurn signal); empty extractions observe nothing
             when(length(col("text")) > 0, md5(col("text")))
-              .as("content_md5"))
+              .as("content_md5"), noRevisit)
         val pagesForLinks =
           (if (!wantRedirects) extPages
            else {
@@ -200,9 +240,11 @@ object Crawl {
                // canonical either
                .withColumn("canonical", lit(null).cast("string"))
                .withColumn("content_md5", lit(null).cast("string"))
+               .withColumn("revisit", lit(false))
              redirectCount = redir.count()
              extPages.unionByName(redir)
            }).unionByName(dead).unionByName(nonText)
+            .unionByName(revisitRows)
         onPageLinks(pagesForLinks)
         // the redirect/dead rows live in resp0's checkpoint; once the
         // frontier consumer has run (eagerly, per contract) only ext is
@@ -252,7 +294,7 @@ object Crawl {
         val result = use(docs)
         (result, BatchStats(responses, fallbacks, empties, 0L,
           responses - empties - noindexed, redirectCount, nonTextCount,
-          noindexed))
+          noindexed, revisitCount))
       } else {
         val dupIds = graft.dedup.Dedup.minhashIndexProbe(spark, indexPath,
             docs, "text", "url", threshold, maxBucketSize,
@@ -268,7 +310,7 @@ object Crawl {
           val result = use(fresh)
           (result, BatchStats(responses, fallbacks, empties,
             responses - empties - noindexed - appended, appended,
-            redirectCount, nonTextCount, noindexed))
+            redirectCount, nonTextCount, noindexed, revisitCount))
         } finally graft.dedup.Dedup.release(fresh)
       }
     } finally {
@@ -623,6 +665,30 @@ object Crawl {
       .agg(max(col("retry_after_s")).as("retry_after_s"))
   }
 
+  /** Conditional-fetch validators from a batch's WARC records (r15):
+    * per fetched url, the RFC 9110 §8.8 cache validators its 200
+    * response carried — (url, etag, last_modified), both VERBATIM
+    * (`If-None-Match` comparison is opaque per the RFC; weak `W/"…"`
+    * tags and the quotes ride through byte-exact). A refresh fetcher
+    * joins this against [[recrawlSeeds]]/[[recrawlChurn]] output and
+    * sends `If-None-Match`/`If-Modified-Since` — an unchanged page
+    * then costs a bodiless 304 (which [[ingestBatch]] folds back into
+    * the churn ledger as a revisit observation) instead of a full
+    * transfer; at recrawl scale that is most of the bandwidth.
+    * Responses without either header drop (nothing to revalidate
+    * with). Map-side scan + one batch-sized url aggregate (a batch can
+    * carry one url twice; MAX keeps the fold deterministic on any
+    * engine). */
+  def revalidators(records: DataFrame): DataFrame =
+    records.filter(col("warc_type") === "response" &&
+        col("http_status") === 200 &&
+        (col("http_etag").isNotNull || col("http_last_modified").isNotNull))
+      .select(col("target_uri").as("url"), col("http_etag").as("etag"),
+        col("http_last_modified").as("last_modified"))
+      .groupBy("url")
+      .agg(max(col("etag")).as("etag"),
+        max(col("last_modified")).as("last_modified"))
+
   /** 3xx responses as (url, links = [Location]) pages — a redirect IS a
     * page with one outlink: composed with [[frontier]], the `Location`
     * value resolves against the redirect source like any relative href
@@ -638,6 +704,65 @@ object Crawl {
         col("http_location").isNotNull)
       .select(col("target_uri").as("url"),
         array(col("http_location")).as("links"))
+
+  /** Redirect EDGES from a batch's (or a ledger's) WARC records (r15):
+    * one (url, target) row per 3xx source, the `Location` resolved
+    * against the source and frontier-normalized (the SAME fused kernel
+    * as [[frontier]] — an edge set in any other url form would never
+    * join against fetch urls). A refetched source that moved its
+    * target folds to ONE row (MAX target — deterministic on any
+    * engine; real recrawl policy would key on batch recency, which the
+    * caller can do upstream by pre-filtering records). Map-side scan +
+    * one redirect-sized aggregate. */
+  def redirectEdges(records: DataFrame): DataFrame =
+    records.filter(col("warc_type") === "response" &&
+        col("http_status").isin(301, 302, 303, 307, 308) &&
+        col("http_location").isNotNull)
+      .select(col("target_uri").as("url"),
+        UrlResolve.resolveAndNormalizeCol(col("target_uri"),
+          col("http_location")).as("target"))
+      .filter(col("target").isNotNull)
+      .groupBy("url")
+      .agg(max(col("target")).as("target"))
+
+  /** Resolve redirect CHAINS to their final destination (r15):
+    * http→https→www→canonical-path migrations routinely stack 2-4
+    * hops, and URL-level dedup keyed on the FIRST hop treats every
+    * intermediate as a distinct page. Input is [[redirectEdges]]'
+    * (url, target) shape (unique per url); output is (url, final_url,
+    * hops, resolved) for every SOURCE: `final_url` after following at
+    * most `maxHops` edges, `resolved` = false when the walk still
+    * sits on a redirect source (a longer chain, or a loop — redirect
+    * cycles are live web reality and must terminate deterministically,
+    * which the bounded unroll guarantees).
+    *
+    * Scale: `maxHops` self-joins of the redirect set — sized by the
+    * CHAIN bound (the protocol reality: browsers cap around 20; 4
+    * covers the migrations that matter), never by corpus size, and the
+    * set itself is the 3xx fraction of the crawl. A maintenance-cadence
+    * op like the compactions. Chains longer than `maxHops` surface as
+    * resolved = false rather than silently half-resolving into a wrong
+    * dedup key. */
+  def resolveRedirects(edges: DataFrame, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
+    val e = edges.select(col("url"), col("target"))
+    var cur = e.select(col("url"), col("target").as("final_url"),
+      lit(1L).as("hops"))
+    for (_ <- 2 to maxHops) {
+      val step = e.select(col("url").as("final_url"),
+        col("target").as("_next"))
+      cur = cur.join(step, Seq("final_url"), "left")
+        .select(col("url"),
+          coalesce(col("_next"), col("final_url")).as("final_url"),
+          when(col("_next").isNotNull, col("hops") + 1L)
+            .otherwise(col("hops")).as("hops"))
+    }
+    val still = e.select(col("url").as("final_url"),
+      lit(true).as("_still_redirect"))
+    cur.join(still, Seq("final_url"), "left")
+      .select(col("url"), col("final_url"), col("hops"),
+        col("_still_redirect").isNull.as("resolved"))
+  }
 
   /** Every url the minhash corpus index has folded in — read from the
     * `bands/` table ((id, band, bucket) — the narrowest per-doc rows the
@@ -784,6 +909,49 @@ object Crawl {
         "pre-r15 ledgers carry no change observations")
     churnStats(df).select(col("url"), col("last_batch"), col("n_obs"),
       col("n_changes"))
+  }
+
+  /** Mirror-host detection (r15): host PAIRS serving identical content
+    * — www/apex splits the canonicalizer can't see, CDN clones,
+    * wholesale site scrapes. Input is any (url, content_md5) frame
+    * (the hashed fetched ledger raw or compacted; refetch duplicates
+    * collapse on the internal distinct). Per pair of canonical hosts
+    * ([[UrlFilter.hostOf]]): `n_shared` = distinct content hashes seen
+    * on BOTH, plus each side's distinct-hash total (`n_a`, `n_b`) so a
+    * consumer derives overlap ratios (n_shared/least(n_a,n_b) ≈ 1 is a
+    * mirror) at its end. Hashes spread across more than
+    * `maxHostsPerHash` hosts are BOILERPLATE (empty pages, error
+    * templates, shared footers) and drop before pairing — the same
+    * df-guard reasoning as the dedup family, and what bounds the
+    * self-join: fan-out per hash ≤ C(maxHostsPerHash, 2), so the
+    * shuffle is ∝ distinct (host, hash) rows, never pairs-of-urls.
+    * Maintenance cadence, like the compactions. */
+  def mirrorHosts(pages: DataFrame, minShared: Long = 2,
+                  maxHostsPerHash: Int = 16): DataFrame = {
+    val hp = pages.filter(col("content_md5").isNotNull)
+      .select(UrlFilter.hostOf(col("url")).as("host"),
+        col("content_md5").as("h"))
+      .filter(col("host").isNotNull)
+      .distinct()
+    val sizes = hp.groupBy("host").agg(count(lit(1)).as("n"))
+    val keep = hp.join(
+      hp.groupBy("h").agg(count(lit(1)).as("_mh_n"))
+        .filter(col("_mh_n") <= maxHostsPerHash)
+        .select("h"),
+      Seq("h"))
+    val pairs = keep.as("l")
+      .join(keep.as("r"),
+        col("l.h") === col("r.h") && col("l.host") < col("r.host"))
+      .groupBy(col("l.host").as("host_a"), col("r.host").as("host_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+    pairs
+      .join(sizes.select(col("host").as("host_a"), col("n").as("n_a")),
+        Seq("host_a"))
+      .join(sizes.select(col("host").as("host_b"), col("n").as("n_b")),
+        Seq("host_b"))
+      .select(col("host_a"), col("host_b"), col("n_shared"), col("n_a"),
+        col("n_b"))
   }
 
   /** Refresh policy (r14): urls whose LAST fetch is older than

@@ -9,9 +9,43 @@ import org.apache.spark.sql.functions._
  * the site-declared seed list (robots.txt `Sitemap:` lines →
  * [[Robots.sitemapUrls]] → fetch → this parser). Both `<urlset>` page
  * entries and `<sitemapindex>` child-sitemap entries surface as `<loc>`
- * values — one extraction serves both levels of the hierarchy.
+ * values — one `<loc>` extraction serves both levels, but the two MUST
+ * route differently (r15): an index's locs are sitemap FILES to fetch
+ * and re-parse ([[childSitemaps]]), never page seeds — a large site's
+ * index lists thousands of child sitemaps, and seeding those urls into
+ * the page frontier fetches XML into the corpus pipeline. [[seeds]]/
+ * [[seedsFromBytes]]/[[seedsWithLastmod]] therefore skip index bodies.
  */
 object Sitemaps {
+
+  /** Is this body a `<sitemapindex>` (child-sitemap listing) rather
+    * than a `<urlset>` (page listing)? The protocol makes a file
+    * exactly one of the two, so classification is by whichever ROOT
+    * tag opens first (case-insensitive). Bodies with neither tag
+    * (bare loc soup — out-of-spec but crawl reality) classify as page
+    * listings, preserving the permissive pre-r15 seeding. */
+  def isIndex(xml: String): Boolean = {
+    if (xml == null) return false
+    val lower = xml.toLowerCase(java.util.Locale.ROOT)
+    val idx = lower.indexOf("<sitemapindex")
+    if (idx < 0) return false
+    val us = lower.indexOf("<urlset")
+    us < 0 || idx < us
+  }
+
+  /** [[isIndex]] over a RAW (possibly gzipped) body. */
+  def isIndexFromBytes(body: Array[Byte]): Boolean =
+    decodeBody(body).exists(isIndex)
+
+  private def decodeBody(body: Array[Byte]): Option[String] = {
+    if (body == null) return None
+    graft.sources.Warc.gunzipAll(body).map { bytes =>
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+      dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+    }
+  }
 
   /** The exact pattern [[locs]] implements, in the Java∩RE2 subset —
     * DuckDB `regexp_extract_all(xml, pattern, 1)` rebuilds the kernel's
@@ -124,17 +158,8 @@ object Sitemaps {
   /** [[locsWithLastmod]] over a RAW (possibly gzipped) body — the
     * [[locsFromBytes]] sibling. */
   def locsWithLastmodFromBytes(body: Array[Byte])
-      : Array[(String, String)] = {
-    if (body == null) return Array.empty
-    graft.sources.Warc.gunzipAll(body) match {
-      case None => Array.empty
-      case Some(bytes) =>
-        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-          .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
-          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-        locsWithLastmod(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
-    }
-  }
+      : Array[(String, String)] =
+    decodeBody(body).map(locsWithLastmod).getOrElse(Array.empty)
 
   /** [[locs]] over a RAW fetched body: sitemaps ship gzipped
     * (`sitemap.xml.gz` — the protocol's own 50 MB/50k-url limits assume
@@ -144,17 +169,9 @@ object Sitemaps {
     * (REPLACE — the protocol mandates UTF-8; garbage bytes must not
     * kill a task) and the `<loc>` scan. Corrupt gzip yields no locs.
     * Total, never throws. */
-  def locsFromBytes(body: Array[Byte]): Array[String] = {
-    if (body == null) return Array.empty
-    graft.sources.Warc.gunzipAll(body) match {
-      case None => Array.empty // corrupt compressed body: costs itself
-      case Some(bytes) =>
-        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-          .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
-          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
-        locs(dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString)
-    }
-  }
+  def locsFromBytes(body: Array[Byte]): Array[String] =
+    // corrupt compressed bodies cost themselves (no locs)
+    decodeBody(body).map(locs).getOrElse(Array.empty)
 
   /** Column form of [[locsFromBytes]]. */
   def locsFromBytesCol(body: Column): Column = {
@@ -176,15 +193,56 @@ object Sitemaps {
     * naturally, and the 'crawled side is frontier-normalized BY
     * CONSTRUCTION' invariant now covers both. */
   def seeds(sitemaps: DataFrame, crawled: DataFrame,
-            xmlCol: String = "body", urlCol: String = "url"): DataFrame =
-    seedsOf(sitemaps, crawled, locsCol(col(xmlCol)), urlCol)
+            xmlCol: String = "body", urlCol: String = "url"): DataFrame = {
+    // index bodies route to childSitemaps, never into page seeds; the
+    // classify+extract pair stays ONE udf call (one scan of the body)
+    val u = udf((s: String) =>
+      if (isIndex(s)) Array.empty[String] else locs(s))
+    seedsOf(sitemaps, crawled, u(col(xmlCol)), urlCol)
+  }
 
   /** [[seeds]] over RAW (possibly gzipped) fetched bodies — the shape a
     * crawl actually lands sitemaps in ([[locsFromBytes]]). */
   def seedsFromBytes(sitemaps: DataFrame, crawled: DataFrame,
                      bodyCol: String = "body",
-                     urlCol: String = "url"): DataFrame =
-    seedsOf(sitemaps, crawled, locsFromBytesCol(col(bodyCol)), urlCol)
+                     urlCol: String = "url"): DataFrame = {
+    // one decode per body: classify + extract inside the same udf
+    val u = udf((b: Array[Byte]) =>
+      decodeBody(b) match {
+        case Some(xml) if !isIndex(xml) => locs(xml)
+        case _ => Array.empty[String]
+      })
+    seedsOf(sitemaps, crawled, u(col(bodyCol)), urlCol)
+  }
+
+  /** The OTHER level of the hierarchy (r15): child-sitemap urls from
+    * `<sitemapindex>` bodies — (url, n_refs, lastmod), the fetch list
+    * a sitemap-ingestion loop feeds back into itself (fetch → classify
+    * → pages to [[seedsFromBytes]], children back here) until the tree
+    * is exhausted; real trees are 2 levels by the protocol's own
+    * limits. `lastmod` = MAX verbatim value across listings — the
+    * index-declared change signal, so a refresh loop refetches only
+    * child sitemaps the site says changed. `fetched` (same convention
+    * as the page side's `crawled`) holds already-fetched sitemap urls;
+    * non-index bodies contribute nothing. */
+  def childSitemaps(sitemaps: DataFrame, fetched: DataFrame,
+                    bodyCol: String = "body",
+                    urlCol: String = "url"): DataFrame = {
+    val pairs = udf((b: Array[Byte]) =>
+      decodeBody(b) match {
+        case Some(xml) if isIndex(xml) => locsWithLastmod(xml)
+        case _ => Array.empty[(String, String)]
+      })
+    val canon =
+      udf((s: String) => UrlResolve.selfNormalize(HtmlText.decodeAttr(s)))
+    sitemaps.select(explode(pairs(col(bodyCol))).as("_lm"))
+      .select(canon(col("_lm._1")).as("url"), col("_lm._2").as("lastmod"))
+      .filter(col("url").isNotNull)
+      .join(fetched.select(col(urlCol).cast("string").as("url")),
+        Seq("url"), "left_anti")
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_refs"), max(col("lastmod")).as("lastmod"))
+  }
 
   /** [[seeds]] carrying the site-declared change signal (r15): per
     * seed url, `n_refs` plus `lastmod` = the MAX verbatim `<lastmod>`
@@ -198,7 +256,12 @@ object Sitemaps {
   def seedsWithLastmod(sitemaps: DataFrame, crawled: DataFrame,
                        bodyCol: String = "body",
                        urlCol: String = "url"): DataFrame = {
-    val pairs = udf((b: Array[Byte]) => locsWithLastmodFromBytes(b))
+    // like seedsFromBytes, index bodies contribute no PAGE seeds
+    val pairs = udf((b: Array[Byte]) =>
+      decodeBody(b) match {
+        case Some(xml) if !isIndex(xml) => locsWithLastmod(xml)
+        case _ => Array.empty[(String, String)]
+      })
     val canon =
       udf((s: String) => UrlResolve.selfNormalize(HtmlText.decodeAttr(s)))
     sitemaps.select(explode(pairs(col(bodyCol))).as("_lm"))

@@ -37,13 +37,24 @@ object Warc {
     * again; a fetcher honoring crawl-delay but not Retry-After still
     * hammers a 429/503 host, so it must survive the split into
     * [[graft.pipeline.Crawl.retryAfterDelays]]) when the record is an
-    * HTTP response — -1/null/empty otherwise. */
+    * HTTP response — -1/null/empty otherwise. `http_etag` and
+    * `http_last_modified` (r15) carry the RFC 9110 §8.8 cache
+    * validators VERBATIM (a strong or weak `ETag` including its
+    * quotes, an HTTP-date `Last-Modified`): a refresh fetcher sends
+    * them back as `If-None-Match`/`If-Modified-Since` so an unchanged
+    * page costs a bodiless 304 instead of a full transfer — at
+    * recrawl scale that is most of the bandwidth. They must survive
+    * the split byte-exact because `If-None-Match` comparison is
+    * OPAQUE per the RFC (normalizing the quotes or case breaks
+    * revalidation against the origin). */
   final case class WarcRecord(warc_type: String, target_uri: String,
                               warc_date: String, record_id: String,
                               http_status: Int, http_content_type: String,
                               body: Array[Byte], http_location: String,
                               http_x_robots: String,
-                              http_retry_after: String)
+                              http_retry_after: String,
+                              http_etag: String,
+                              http_last_modified: String)
 
   private val Crlf = "\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
 
@@ -81,13 +92,17 @@ object Warc {
                           body: Array[Byte],
                           location: String = null,
                           xRobots: String = null,
-                          retryAfter: String = null): Array[Byte] = {
+                          retryAfter: String = null,
+                          etag: String = null,
+                          lastModified: String = null): Array[Byte] = {
     val head = s"HTTP/1.1 $status $reason\r\n" +
       (if (contentType == null) "" // unlabeled responses are crawl reality
        else s"Content-Type: $contentType\r\n") +
       (if (location == null) "" else s"Location: $location\r\n") +
       (if (xRobots == null) "" else s"X-Robots-Tag: $xRobots\r\n") +
       (if (retryAfter == null) "" else s"Retry-After: $retryAfter\r\n") +
+      (if (etag == null) "" else s"ETag: $etag\r\n") +
+      (if (lastModified == null) "" else s"Last-Modified: $lastModified\r\n") +
       s"Content-Length: ${body.length}\r\n\r\n"
     val hb = head.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     val out = new Array[Byte](hb.length + body.length)
@@ -149,7 +164,36 @@ object Warc {
       records: Seq[(String, Int, String, String, String, String,
         Array[Byte])],
       date: String = "2026-01-01T00:00:00Z",
-      gzipPerRecord: Boolean = false): Array[Byte] = {
+      gzipPerRecord: Boolean = false): Array[Byte] =
+    encodeWarcFixtures(records.map { case (u, st, ct, loc, xr, ra, b) =>
+      ResponseFixture(u, st, contentType = ct, location = loc,
+        xRobots = xr, retryAfter = ra, body = b)
+    }, date, gzipPerRecord)
+
+  /** One fixture record for [[encodeWarcFixtures]] — the named-field
+    * form that ended the positional-tuple treadmill (r15): every
+    * header the HTTP split surfaces is a defaulted field, and
+    * `warcType` admits the NON-response record kinds a real crawl
+    * dump carries (`revisit` — the ISO 28500 §6.7.2 "fetched again,
+    * content unchanged" record Common Crawl writes for deduplicated
+    * recaptures; its payload is the revisit's HTTP header block with
+    * no body). */
+  final case class ResponseFixture(uri: String, status: Int,
+                                   contentType: String = null,
+                                   location: String = null,
+                                   xRobots: String = null,
+                                   retryAfter: String = null,
+                                   etag: String = null,
+                                   lastModified: String = null,
+                                   body: Array[Byte] = Array.emptyByteArray,
+                                   warcType: String = "response")
+
+  /** The r15 fixture encoder: a `warcinfo` record followed by one
+    * record per [[ResponseFixture]] (every earlier `encodeWarc*` form
+    * delegates here). */
+  def encodeWarcFixtures(records: Seq[ResponseFixture],
+                         date: String = "2026-01-01T00:00:00Z",
+                         gzipPerRecord: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def member(write: java.io.OutputStream => Unit): Unit =
       if (!gzipPerRecord) write(out)
@@ -162,23 +206,23 @@ object Warc {
       "urn:uuid:00000000-0000-0000-0000-000000000000",
       "application/warc-fields",
       "software: graft\r\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
-    records.foreach { case (uri, status, contentType, location, xRobots,
-        retryAfter, body) =>
-      val reason = status match {
+    records.foreach { r =>
+      val reason = r.status match {
         case 200 => "OK"
         case 301 => "Moved Permanently"
         case 302 => "Found"
         case 303 => "See Other"
+        case 304 => "Not Modified"
         case 307 => "Temporary Redirect"
         case 308 => "Permanent Redirect"
         case 429 => "Too Many Requests"
         case 503 => "Service Unavailable"
         case _ => "Not Found"
       }
-      member(o => encodeRecord(o, "response", uri, date,
-        s"urn:uuid:${uri.hashCode}", "application/http;msgtype=response",
-        httpResponsePayload(status, reason, contentType, body, location,
-          xRobots, retryAfter)))
+      member(o => encodeRecord(o, r.warcType, r.uri, date,
+        s"urn:uuid:${r.uri.hashCode}", "application/http;msgtype=response",
+        httpResponsePayload(r.status, reason, r.contentType, r.body,
+          r.location, r.xRobots, r.retryAfter, r.etag, r.lastModified)))
     }
     out.toByteArray
   }
@@ -369,6 +413,8 @@ object Warc {
     var httpLoc: String = null
     var httpXRobots: String = null
     var httpRetryAfter: String = null
+    var httpEtag: String = null
+    var httpLastModified: String = null
     var body = payload
     if (isHttp) {
       val he = headerEnd(payload, 0)
@@ -384,6 +430,8 @@ object Warc {
         httpLoc = hh.getOrElse("location", null)
         httpXRobots = hh.getOrElse("x-robots-tag", null)
         httpRetryAfter = hh.getOrElse("retry-after", null)
+        httpEtag = hh.getOrElse("etag", null)
+        httpLastModified = hh.getOrElse("last-modified", null)
         body = java.util.Arrays.copyOfRange(payload, he, payload.length)
         // de-chunk when the wire framing is present (r14): chunked is
         // the FINAL transfer coding by RFC 7230 §3.3.1, so a token-list
@@ -397,7 +445,7 @@ object Warc {
     WarcRecord(wtype, hdrs.getOrElse("warc-target-uri", null),
       hdrs.getOrElse("warc-date", null),
       hdrs.getOrElse("warc-record-id", null), status, httpCt, body, httpLoc,
-      httpXRobots, httpRetryAfter)
+      httpXRobots, httpRetryAfter, httpEtag, httpLastModified)
   }
 
   /**

@@ -63,7 +63,9 @@ object WarcDataSource {
     StructField("body", BinaryType),
     StructField("http_location", StringType),
     StructField("http_x_robots", StringType),
-    StructField("http_retry_after", StringType)))
+    StructField("http_retry_after", StringType),
+    StructField("http_etag", StringType),
+    StructField("http_last_modified", StringType)))
 
   /** Resolve the `path`/`paths` load options to concrete file statuses. */
   private[sources] def listFiles(props: Map[String, String])
@@ -356,7 +358,9 @@ private[sources] class WarcPartitionReader(part: WarcPartition,
         case 6 => r.body
         case 7 => s(r.http_location)
         case 8 => s(r.http_x_robots)
-        case _ => s(r.http_retry_after)
+        case 9 => s(r.http_retry_after)
+        case 10 => s(r.http_etag)
+        case _ => s(r.http_last_modified)
       }
       i += 1
     }

@@ -872,9 +872,16 @@ object EventStreams extends Serializable {
             // Rows carry the change observation (content_md5, r15) plus
             // explicit churn accumulators so raw and compacted
             // partitions share ONE schema (no mergeSchema reads).
+            // Revisit rows (WARC revisit records / 304s — unchanged
+            // recaptures) are null-hash OBSERVATIONS: n_obs counts,
+            // transitions never pair (the revisit column is always
+            // present on ingestBatch pages; the guard keeps older
+            // custom feeds working).
+            val isObs = col("content_md5").isNotNull ||
+              (if (pages.columns.contains("revisit")) col("revisit")
+               else lit(false))
             pages.select(col("url"), col("content_md5"),
-                when(col("content_md5").isNotNull, 1L).otherwise(0L)
-                  .as("n_obs"),
+                when(isObs, 1L).otherwise(0L).as("n_obs"),
                 lit(0L).as("n_changes"))
               .write.mode("overwrite")
               .parquet(s"$frontierDir/fetched/batch=$batchId")

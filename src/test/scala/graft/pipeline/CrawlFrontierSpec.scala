@@ -232,6 +232,43 @@ class CrawlFrontierSpec extends SparkTestBase {
     assert(fr === Set(("https://n/2", 1L), ("https://s/hub", 1L)))
   }
 
+  test("resolveRedirects: chains fold, cycles and long chains terminate unresolved") {
+    val edges = Seq(
+      ("https://s/a", "https://s/b"), ("https://s/b", "https://s/c"),
+      ("https://s/c", "https://s/d"), // 3-hop chain: a→b→c→d
+      ("https://s/x", "https://s/y"), ("https://s/y", "https://s/x"), // cycle
+      ("https://s/self", "https://s/self"), // self-loop
+      ("https://s/one", "https://s/done")).toDF("url", "target")
+    val got = Crawl.resolveRedirects(edges, maxHops = 4)
+      .as[(String, String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("https://s/a") === (("https://s/d", 3L, true)))
+    assert(got("https://s/b") === (("https://s/d", 2L, true)))
+    assert(got("https://s/c") === (("https://s/d", 1L, true)))
+    assert(got("https://s/one") === (("https://s/done", 1L, true)))
+    // cycle members walk maxHops and stay unresolved, deterministically
+    assert(got("https://s/x")._2 === 4L && !got("https://s/x")._3)
+    assert(got("https://s/y")._2 === 4L && !got("https://s/y")._3)
+    assert(got("https://s/self") === (("https://s/self", 4L, false)))
+    // a chain LONGER than maxHops surfaces unresolved instead of
+    // half-resolving silently
+    val short = Crawl.resolveRedirects(edges, maxHops = 2)
+      .as[(String, String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(short("https://s/a") === (("https://s/c", 2L, false)))
+    // redirectEdges: resolve + normalize + dedup-by-source feeds this
+    val recs = Seq(
+      ("response", "https://e.test/old", 301, "/new?utm_source=x&a=1"),
+      ("response", "https://e.test/old", 301, "/new?a=1"), // refetch dup
+      ("response", "https://e.test/ok", 200, "/ignored"),
+      ("response", "https://e.test/lost", 301, null),
+      ("request", "https://e.test/req", 301, "/ignored"))
+      .toDF("warc_type", "target_uri", "http_status", "http_location")
+    val e2 = Crawl.redirectEdges(recs).as[(String, String)].collect().toSet
+    // tracking param normalizes away; both fetches fold to one edge
+    assert(e2 === Set(("https://e.test/old", "https://e.test/new?a=1")))
+  }
+
   test("ingestBatch unions redirect targets into the frontier feed") {
     val idx = tmp("crawl-redir-idx")
     val files = Seq((0L, graft.sources.Warc.encodeWarcResponses(Seq(
@@ -320,6 +357,66 @@ class CrawlFrontierSpec extends SparkTestBase {
     assert(fetched === Set("https://s/1", "https://s/pic.png",
       "https://s/blob", "https://s/style.css", "https://s/app.js",
       "https://s/readme", "https://s/unlabeled"))
+  }
+
+  test("304s and revisit records are ledger observations, never corpus docs (r15)") {
+    val idx = tmp("crawl-revisit-idx")
+    val files = Seq((0L, graft.sources.Warc.encodeWarcFixtures(Seq(
+      graft.sources.Warc.ResponseFixture("https://s/page", 200,
+        contentType = "text/html",
+        body = "<p>a real html page body</p>".getBytes("UTF-8")),
+      graft.sources.Warc.ResponseFixture("https://s/unchanged", 304),
+      graft.sources.Warc.ResponseFixture("https://s/recapture", 200,
+        contentType = "text/html", warcType = "revisit"),
+      graft.sources.Warc.ResponseFixture("https://s/dead", 404,
+        contentType = "text/html")))))
+      .toDF("g", "payload")
+    val recs = graft.sources.Warc.warcRecords(files).toDF()
+    var rows: Map[String, (Boolean, Option[String])] = null
+    val (_, stats) = Crawl.ingestBatch(spark, recs, idx, 0,
+      onPageLinks = pagesDf => {
+        rows = pagesDf.select("url", "revisit", "content_md5")
+          .as[(String, Boolean, Option[String])].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+      }) { _.count() }
+    // only the real 200 extracts; both recapture forms count as revisits
+    assert(stats.responses === 1L && stats.appended === 1L &&
+      stats.revisits === 2L, s"stats: $stats")
+    assert(Crawl.crawledUrls(spark, idx).as[String].collect().toSet ===
+      Set("https://s/page"))
+    // all four are ledger-fed; revisit rows are flagged, null-hash
+    assert(rows.keySet === Set("https://s/page", "https://s/unchanged",
+      "https://s/recapture", "https://s/dead"))
+    assert(rows("https://s/unchanged") === ((true, None)))
+    assert(rows("https://s/recapture") === ((true, None)))
+    assert(rows("https://s/page")._1 === false)
+    assert(rows("https://s/page")._2.isDefined,
+      "a real 200 observes its content hash")
+    assert(rows("https://s/dead") === ((false, None)))
+  }
+
+  test("revalidators: 200 validators survive verbatim; dead and bare drop") {
+    val files = Seq((0L, graft.sources.Warc.encodeWarcFixtures(Seq(
+      graft.sources.Warc.ResponseFixture("https://v/strong", 200,
+        contentType = "text/html", etag = "\"abc\"",
+        body = "x".getBytes("UTF-8")),
+      graft.sources.Warc.ResponseFixture("https://v/both", 200,
+        contentType = "text/html", etag = "W/\"v7\"",
+        lastModified = "Tue, 04 Mar 2025 09:30:00 GMT",
+        body = "y".getBytes("UTF-8")),
+      graft.sources.Warc.ResponseFixture("https://v/bare", 200,
+        contentType = "text/html", body = "z".getBytes("UTF-8")),
+      graft.sources.Warc.ResponseFixture("https://v/dead", 404,
+        contentType = "text/html", etag = "\"nope\"")))))
+      .toDF("g", "payload")
+    val recs = graft.sources.Warc.warcRecords(files).toDF()
+    val got = Crawl.revalidators(recs)
+      .as[(String, Option[String], Option[String])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      "https://v/strong" -> ((Some("\"abc\""), None)),
+      "https://v/both" -> ((Some("W/\"v7\""),
+        Some("Tue, 04 Mar 2025 09:30:00 GMT")))))
   }
 
   test("robots-meta noindex pages: ledger + frontier yes, corpus no") {
@@ -621,6 +718,29 @@ class CrawlFrontierSpec extends SparkTestBase {
       .select("url", "batch").as[(String, Long)].collect().toSet
     assert(folded === Set(("https://r/old", 0L), ("https://r/mid", 3L),
       ("https://r/refetched", 8L), ("https://r/new", 8L)))
+  }
+
+  test("mirrorHosts: shared-content pairs, boilerplate guard, host canon") {
+    val pages = Seq(
+      // a.test and b.test mirror two pages; b.test url is a CASED
+      // variant with a default port — the canonical-host key must fold
+      ("https://a.test/1", "h1"), ("https://A.TEST:443/1b", "h2"),
+      ("https://b.test/1", "h1"), ("https://b.test/2", "h2"),
+      ("https://b.test/2dup", "h2"), // same hash twice on one host: 1 row
+      ("https://c.test/solo", "h3"), // unshared
+      ("https://a.test/null", null), // no observation
+      // boilerplate on 4 hosts > maxHostsPerHash=3: never pairs
+      ("https://a.test/b", "bp"), ("https://b.test/b", "bp"),
+      ("https://c.test/b", "bp"), ("https://d.test/b", "bp"))
+      .toDF("url", "content_md5")
+    val got = Crawl.mirrorHosts(pages, minShared = 2, maxHostsPerHash = 3)
+      .as[(String, String, Long, Long, Long)].collect().toSeq
+    // a.test: h1,h2,bp = 3 distinct; b.test: h1,h2,bp = 3; shared 2
+    assert(got === Seq(("a.test", "b.test", 2L, 3L, 3L)))
+    // drop the guard: boilerplate inflates every pair — 6 pairs appear
+    val loose = Crawl.mirrorHosts(pages, minShared = 1,
+      maxHostsPerHash = 16)
+    assert(loose.count() === 6L)
   }
 
   test("recrawlChurn: observation counts, null gaps, compaction invariance") {

@@ -149,7 +149,13 @@ class RobotsSpec extends SparkTestBase {
     val crawled = Seq("https://s/1").toDF("url")
     val got = Sitemaps.seeds(maps, crawled)
       .as[(String, Long)].collect().toSet
-    assert(got === Set(("https://n/1", 2L), ("https://n/2", 1L)))
+    // the sitemapindex body routes to childSitemaps (r15), so only the
+    // urlset's locs seed pages: n/1 once, s/1 crawled, /rel relative
+    assert(got === Set(("https://n/1", 1L)))
+    assert(Sitemaps.childSitemaps(
+        maps.select(maps("body").cast("binary").as("body")), crawled)
+      .as[(String, Long, Option[String])].collect().toSet ===
+      Set(("https://n/1", 1L, None), ("https://n/2", 1L, None)))
   }
 
   test("seeds decode XML entities and canonicalize like the frontier (r14)") {
@@ -241,6 +247,48 @@ class RobotsSpec extends SparkTestBase {
       .as[(String, Long, String)].collect().toSet
     assert(got === Set(("https://n/1", 2L, "2026-03-01"),
       ("https://n/2", 1L, null)))
+  }
+
+  test("sitemapindex routing: children never seed pages, pages never list as children (r15)") {
+    def gz(s: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(s.getBytes("UTF-8")); g.finish()
+      out.toByteArray
+    }
+    // classification is by FIRST root tag, case-insensitive, and
+    // survives a decoy mention of the other root in a comment
+    assert(Sitemaps.isIndex("<?xml?><SiteMapIndex><loc>x</loc>"))
+    assert(!Sitemaps.isIndex(
+      "<urlset><!-- not a <sitemapindex> --><loc>x</loc></urlset>"))
+    assert(!Sitemaps.isIndex("<loc>bare soup stays a page listing</loc>"))
+    assert(!Sitemaps.isIndex(null))
+    val index =
+      "<sitemapindex>" +
+        "<sitemap><loc>https://s/child1.xml</loc>" +
+        "<lastmod>2026-02-02</lastmod></sitemap>" +
+        "<sitemap><loc>https://s/child2.xml.gz</loc></sitemap>" +
+        "<sitemap><loc>https://s/fetched.xml</loc></sitemap>" +
+        "</sitemapindex>"
+    val urlset = "<urlset><url><loc>https://s/page1</loc>" +
+      "<lastmod>2026-07-07</lastmod></url></urlset>"
+    val maps = Seq(gz(index), urlset.getBytes("UTF-8")).toDF("body")
+    val fetched = Seq("https://s/fetched.xml").toDF("url")
+    // children: index locs only, lastmod carried, fetched anti-joined
+    val children = Sitemaps.childSitemaps(maps, fetched)
+      .as[(String, Long, String)].collect().toSet
+    assert(children === Set(("https://s/child1.xml", 1L, "2026-02-02"),
+      ("https://s/child2.xml.gz", 1L, null)))
+    // page seeds: urlset locs only — the index's children must NOT leak
+    val pages = Sitemaps.seedsFromBytes(maps, fetched)
+      .as[(String, Long)].collect().toSet
+    assert(pages === Set(("https://s/page1", 1L)))
+    val pagesLm = Sitemaps.seedsWithLastmod(maps, fetched)
+      .as[(String, Long, String)].collect().toSet
+    assert(pagesLm === Set(("https://s/page1", 1L, "2026-07-07")))
+    // the string form gates identically
+    assert(Sitemaps.seeds(Seq(index, urlset).toDF("body"), fetched)
+      .as[(String, Long)].collect().toSet === Set(("https://s/page1", 1L)))
   }
 
   test("filterAllowed gates urls per host; hosts without robots allow all") {

@@ -121,7 +121,8 @@ class WarcSourceSpec extends SparkTestBase {
     val df = spark.read.format("warc").load(dir.toString)
     assert(df.schema.fieldNames.toSeq === Seq("warc_type", "target_uri",
       "warc_date", "record_id", "http_status", "http_content_type", "body",
-      "http_location", "http_x_robots", "http_retry_after"))
+      "http_location", "http_x_robots", "http_retry_after", "http_etag",
+      "http_last_modified"))
     assert(df.filter($"warc_type" === "response").count() === 2)
     val glob = spark.read.format("warc").load(s"$dir/f*.warc")
     assert(glob.count() === 4)

@@ -51,6 +51,32 @@ class WarcSpec extends SparkTestBase {
       "the wider encoder must not disturb the r14 headers")
   }
 
+  test("ETag / Last-Modified survive the split byte-exact; revisit records parse (r15)") {
+    val bytes = Warc.encodeWarcFixtures(Seq(
+      Warc.ResponseFixture("https://t/strong", 200, contentType = "text/html",
+        etag = "\"abc123\"", body = "<p>a</p>".getBytes(utf8)),
+      Warc.ResponseFixture("https://t/weak", 200, contentType = "text/html",
+        etag = "W/\"v2\"", lastModified = "Tue, 04 Mar 2025 09:30:00 GMT",
+        body = "<p>b</p>".getBytes(utf8)),
+      Warc.ResponseFixture("https://t/304", 304),
+      Warc.ResponseFixture("https://t/revisit", 200,
+        contentType = "text/plain", warcType = "revisit")),
+      gzipPerRecord = true)
+    val rs = Warc.parseWarc(bytes).filter(_.warc_type != "warcinfo")
+    // If-None-Match comparison is opaque per RFC 9110: the quotes and
+    // the weak prefix must ride through unnormalized
+    assert(rs(0).http_etag === "\"abc123\"")
+    assert(rs(0).http_last_modified === null)
+    assert(rs(1).http_etag === "W/\"v2\"")
+    assert(rs(1).http_last_modified === "Tue, 04 Mar 2025 09:30:00 GMT")
+    assert(rs(2).http_status === 304)
+    assert(rs(2).http_etag === null)
+    assert(rs(2).body.isEmpty)
+    assert(rs(3).warc_type === "revisit")
+    assert(rs(3).http_status === 200, "a revisit's stored status line parses")
+    assert(rs(3).body.isEmpty)
+  }
+
   test("binary-safe: bodies containing CRLF runs and fake headers parse by length") {
     // a body that CONTAINS a blank line and a WARC version line — only
     // Content-Length-driven parsing survives this (the reason WARC is

@@ -211,6 +211,47 @@ class CrawlIngestStreamSpec extends SparkTestBase {
       s"batch-1 frontier: $f1")
   }
 
+  test("304s and revisit records land n_obs=1 null-hash ledger rows (r15)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("crawl-revisit")
+    base.toFile.deleteOnExit()
+    val idx = base.resolve("idx").toString
+    val fDir = base.resolve("frontier").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = EventStreams.crawlIngestStream(spark,
+      input.toDF().toDF("g", "payload"), idx, threshold = 0.5,
+      frontierDir = fDir)().start()
+    input.addData((0L, warcOf(
+      ("https://s/a", 200, "<p>first body words here</p>"),
+      ("https://s/b", 200, "<p>second body other tokens</p>"))))
+    q.processAllAvailable()
+    // batch 1: a is revalidated (304), b arrives as a WARC revisit
+    input.addData((1L, graft.sources.Warc.encodeWarcFixtures(Seq(
+      graft.sources.Warc.ResponseFixture("https://s/a", 304),
+      graft.sources.Warc.ResponseFixture("https://s/b", 200,
+        contentType = "text/html", warcType = "revisit"),
+      graft.sources.Warc.ResponseFixture("https://s/c", 200,
+        contentType = "text/html",
+        body = "<p>third body fresh material</p>".getBytes("UTF-8"))))))
+    q.processAllAvailable()
+    q.stop()
+    val b1 = spark.read.parquet(s"$fDir/fetched/batch=1")
+      .select("url", "content_md5", "n_obs")
+      .as[(String, Option[String], Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // both recapture forms: observation counted, no hash
+    assert(b1("https://s/a") === ((None, 1L)))
+    assert(b1("https://s/b") === ((None, 1L)))
+    assert(b1("https://s/c")._1.isDefined && b1("https://s/c")._2 === 1L)
+    // churn over the stream's own ledger: 2 observations each, 0 changes
+    val churn = graft.pipeline.Crawl.recrawlChurn(spark, fDir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(churn("https://s/a") === ((1L, 2L, 0L)))
+    assert(churn("https://s/b") === ((1L, 2L, 0L)))
+    assert(churn("https://s/c") === ((1L, 1L, 0L)))
+  }
+
   test("a url emitted at batch N and linked again at batch N+k does not re-emit") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("crawl-next-gate")
