@@ -3419,12 +3419,16 @@ object SparkEntry {
     // Crawl dedup form) flow through ingestBatch into the fetched
     // ledger as NULL-HASH observations — n_obs counts, no transition
     // pairs, and a LATER genuine change pairs against the PRE-revisit
-    // hash. Three batches over a 1-in-5 documents subset; a
-    // compactFetched runs MID-HISTORY so the fold preserves revisit
-    // accumulators. Arms (id%4): 0 = 304 then changed (n_obs 3,
-    // n_changes 1 — the change detected ACROSS the 304), 1 = revisit
-    // twice (3 obs, 0 changes), 2 = changed 200 (2, 1), 3 = same 200
-    // (2, 0).
+    // hash. Two ingestBatch lifecycles over a 1-in-5 documents subset
+    // (batch 1 carries the 304/revisit/changed/same arms — the
+    // plumbing under test), then a compactFetched runs MID-HISTORY so
+    // the fold preserves revisit accumulators, and batch 2 lands as a
+    // direct ledger write (plain-200 ledger rows are crawl_corpus /
+    // crawl_recrawl_churn territory; a third minhash lifecycle here
+    // bought no coverage at ~3.5 s). Arms (id%4): 0 = 304 then
+    // changed (n_obs 3, n_changes 1 — the change detected ACROSS the
+    // 304), 1 = revisit twice (3 obs, 0 changes), 2 = changed 200
+    // (2, 1), 3 = same 200 (2, 0).
     "crawl_revisit_churn" -> ((s, dir) => {
       import s.implicits._
       val fd = java.nio.file.Files.createTempDirectory("graft_revisit_")
@@ -3457,34 +3461,45 @@ object SparkEntry {
                   warcType = "revisit"))
                 case (1, 2) => r200(c)
                 case (1, _) => r200(a)
-                case (2, 0) => r200(c)
-                case (2, 1) => Some(graft.sources.Warc.ResponseFixture(
-                  url, 200, contentType = "text/plain",
-                  warcType = "revisit"))
                 case _ => None
               }
             }
             (g, graft.sources.Warc.encodeWarcFixtures(recs,
               gzipPerRecord = g % 2 == 1))
           }.toDF("g", "payload")
-      (0 to 2).foreach { b =>
+      (0 to 1).foreach { b =>
         val recs = graft.sources.Warc.warcRecords(warcOf(b)).toDF()
-        graft.pipeline.Crawl.ingestBatch(s, recs, idxPath, b,
-          threshold = 0.9, shingleK = 3, numHashes = 16, bands = 8,
-          onPageLinks = pages => {
-            // the stream's ledger write shape (EventStreams): revisit
-            // rows are null-hash observations with n_obs = 1
-            pages.select(col("url"), col("content_md5"),
-                when(col("content_md5").isNotNull || col("revisit"), 1L)
-                  .otherwise(0L).as("n_obs"),
-                lit(0L).as("n_changes"))
-              .write.mode("overwrite")
-              .parquet(s"$fDir/fetched/batch=$b")
-          })(_ => ())
-        // fold mid-history: the compaction must preserve the revisit
-        // observation counts for the batch-2 math to come out right
-        if (b == 1) graft.pipeline.Crawl.compactFetched(s, fDir)
+        Phases.timed(if (b == 0) "bootstrap" else "revisit_ingest") {
+          graft.pipeline.Crawl.ingestBatch(s, recs, idxPath, b,
+            threshold = 0.9, shingleK = 3, numHashes = 8, bands = 4,
+            onPageLinks = pages => {
+              // the stream's ledger write shape (EventStreams): revisit
+              // rows are null-hash observations with n_obs = 1
+              pages.select(col("url"), col("content_md5"),
+                  when(col("content_md5").isNotNull || col("revisit"), 1L)
+                    .otherwise(0L).as("n_obs"),
+                  lit(0L).as("n_changes"))
+                .write.mode("overwrite")
+                .parquet(s"$fDir/fetched/batch=$b")
+            })(_ => ())
+        }
       }
+      // fold mid-history: the compaction must preserve the revisit
+      // observation counts for the batch-2 math to come out right
+      graft.pipeline.Crawl.compactFetched(s, fDir)
+      // batch 2, direct ledger rows: arm 0 refetches CHANGED (pairs
+      // against the pre-304 hash), arm 1 revisits again
+      docs.filter(col("doc_id") % 4 === 0)
+        .select(concat(lit("https://rv.example/p/"), col("doc_id"))
+            .as("url"),
+          md5(concat(lit("c"), col("doc_id"))).as("content_md5"),
+          lit(1L).as("n_obs"), lit(0L).as("n_changes"))
+        .unionByName(docs.filter(col("doc_id") % 4 === 1)
+          .select(concat(lit("https://rv.example/p/"), col("doc_id"))
+              .as("url"),
+            lit(null).cast("string").as("content_md5"),
+            lit(1L).as("n_obs"), lit(0L).as("n_changes")))
+        .write.mode("overwrite").parquet(s"$fDir/fetched/batch=2")
       graft.pipeline.Crawl.recrawlChurn(s, fDir).orderBy("url")
     }),
 
