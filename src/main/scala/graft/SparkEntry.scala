@@ -3528,6 +3528,39 @@ object SparkEntry {
         .orderBy("host_a", "host_b")
     }),
 
+    // Within-host error templates / soft-404s (r15): each host h{k}
+    // serves a "not found" template at every id%5==0 url (over the
+    // minUrls=10 threshold at sf0.01 — flagged) and a small recurring
+    // widget at id%5!=0 && id%100<3 urls (under it at sf0.01, OVER it
+    // at sf0.1 — the threshold arithmetic itself is oracle-gated
+    // because both sides replay the same HAVING); unique pages fill
+    // the rest. Output per host: flagged template count, the urls
+    // they cover, and the pages dropTemplatePages keeps (null-hash
+    // rows pass through — one per host here).
+    "crawl_soft404_templates" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val id = col("doc_id")
+      val pages = docs.select(
+        concat(lit("https://h"), id % 7, lit(".example/p/"), id).as("url"),
+        when(id % 5 === 0, md5(concat(lit("nf"), id % 7)))
+          .when(id % 100 < 3, md5(concat(lit("sm"), id % 7)))
+          .otherwise(md5(concat(lit("u"), id))).as("content_md5"))
+        .unionByName(docs.filter(id % 97 === 0).select(
+          concat(lit("https://h"), id % 7, lit(".example/r/"), id)
+            .as("url"),
+          lit(null).cast("string").as("content_md5")))
+      val templates = graft.pipeline.Crawl.hostTemplates(pages,
+        minUrls = 10)
+      val kept = graft.pipeline.Crawl.dropTemplatePages(pages, templates)
+        .select(graft.pipeline.UrlFilter.hostOf(col("url")).as("host"))
+        .groupBy("host").agg(count(lit(1)).as("kept_urls"))
+      templates.groupBy("host")
+        .agg(count(lit(1)).as("n_templates"),
+          sum(col("n_urls")).cast("long").as("flagged_urls"))
+        .join(kept, Seq("host"))
+        .orderBy("host")
+    }),
+
     // RFC 9309 robots gate (pipeline.Robots): per-host robots.txt bodies
     // parse into (agent, allow, path) rules; candidate urls keep only
     // what the agent may fetch (winning group = longest named prefix
@@ -7722,6 +7755,36 @@ object SparkEntry {
         |JOIN na ON a.host_a = na.host
         |JOIN nb ON a.host_b = nb.host
         |ORDER BY a.host_a, a.host_b""".stripMargin,
+    // the template decision replayed: group urls per (host, template
+    // class), HAVING >= 10 flags, kept = everything else + the
+    // null-hash /r/ rows that pass the gate untouched
+    "crawl_soft404_templates" ->
+      """WITH rows AS (
+        |  SELECT doc_id, CAST(doc_id % 7 AS INT) AS k,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'nf'
+        |         WHEN doc_id % 100 < 3 THEN 'sm'
+        |         ELSE 'u' || CAST(doc_id AS VARCHAR) END AS grp
+        |  FROM documents),
+        |counts AS (
+        |  SELECT k, grp, CAST(count(*) AS BIGINT) AS n
+        |  FROM rows GROUP BY k, grp),
+        |flagged AS (SELECT k, grp, n FROM counts WHERE n >= 10),
+        |kept AS (
+        |  SELECT r.k, CAST(count(*) AS BIGINT) AS kept
+        |  FROM rows r LEFT JOIN flagged f ON r.k = f.k AND r.grp = f.grp
+        |  WHERE f.grp IS NULL GROUP BY r.k),
+        |nullrows AS (
+        |  SELECT CAST(doc_id % 7 AS INT) AS k,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents WHERE doc_id % 97 = 0 GROUP BY 1)
+        |SELECT 'h' || CAST(f.k AS VARCHAR) || '.example' AS host,
+        |  CAST(count(*) AS BIGINT) AS n_templates,
+        |  CAST(sum(f.n) AS BIGINT) AS flagged_urls,
+        |  max(kept.kept) + coalesce(max(nullrows.n), 0) AS kept_urls
+        |FROM flagged f
+        |JOIN kept ON f.k = kept.k
+        |LEFT JOIN nullrows ON f.k = nullrows.k
+        |GROUP BY f.k ORDER BY host""".stripMargin,
     // the robots decision rebuilt with literal prefix matching: even
     // hosts drop /page/1* unless /page/12* (the allow override), odd
     // hosts never restrict graftbot

@@ -743,6 +743,22 @@ object Main {
         s"pairs sharing >=$minShared hashes -> $out")
       spark.stop()
 
+    case "crawl-soft404" :: frontierDir :: out :: rest =>
+      // within-host error templates from the hashed fetched ledger:
+      // (host, content_md5, n_urls) per body served at minUrls+ urls
+      // of one host — the artifact dropTemplatePages gates with
+      val minUrls = rest.headOption.map(_.toLong).getOrElse(100L)
+      val spark = session()
+      graft.pipeline.Crawl.hostTemplates(
+          spark.read.parquet(s"$frontierDir/fetched"), minUrls)
+        .orderBy(org.apache.spark.sql.functions.col("n_urls").desc,
+          org.apache.spark.sql.functions.col("host"),
+          org.apache.spark.sql.functions.col("content_md5"))
+        .write.mode("overwrite").parquet(out)
+      println(s"crawl-soft404: ${spark.read.parquet(out).count()} " +
+        s"templates at >=$minUrls urls -> $out")
+      spark.stop()
+
     case "crawl-sitemap-children" :: sitemapsParquet :: fetchedParquet ::
         out :: Nil =>
       // sitemapindex bodies -> the child-sitemap fetch list (url,
@@ -1209,6 +1225,7 @@ object Main {
           |  crawl-revalidators <warcPathOrGlob> <outParquet>
           |  crawl-redirect-chains <warcPathOrGlob> <outParquet> [maxHops]
           |  crawl-mirror-hosts <frontierDir> <outParquet> [minShared] [maxHostsPerHash]
+          |  crawl-soft404    <frontierDir> <outParquet> [minUrls]
           |  crawl-sitemap-children <sitemapsParquet> <fetchedParquet|-> <outParquet>
           |  frontier-blocklist <frontierParquet> <blocklistParquet> <outParquet> [urlCol]
           |  wds-extract      <pathOrGlob> <outParquet>

@@ -954,6 +954,45 @@ object Crawl {
         col("n_b"))
   }
 
+  /** Within-host error-template detection (r15) — the soft-404
+    * problem: sites that answer missing pages with a 200 "not found"
+    * page put the SAME body at unboundedly many urls, polluting the
+    * corpus (dedup catches the bodies, but every soft-404 url still
+    * costs a fetch + a ledger row + a churn history) and hiding real
+    * deletions from the refresh policy. The content-hash signature is
+    * exact and engine-portable where error-word heuristics are
+    * neither: a (host, content_md5) group spanning `minUrls`+ DISTINCT
+    * urls of ONE host is a serving template, not a page. Output:
+    * (host, content_md5, n_urls) per flagged template — the
+    * maintenance artifact [[dropTemplatePages]] gates with. The
+    * within-host twin of [[mirrorHosts]] (cross-host same-content).
+    * One (host, hash)-keyed aggregate over the hashed ledger;
+    * maintenance cadence. */
+  def hostTemplates(pages: DataFrame, minUrls: Long = 100): DataFrame =
+    pages.filter(col("content_md5").isNotNull)
+      .select(UrlFilter.hostOf(col("url")).as("host"),
+        col("content_md5"), col("url"))
+      .filter(col("host").isNotNull)
+      .groupBy("host", "content_md5")
+      .agg(countDistinct(col("url")).as("n_urls"))
+      .filter(col("n_urls") >= minUrls)
+
+  /** Drop pages matching a [[hostTemplates]] artifact — one broadcast
+    * anti-join on (host, content_md5); the artifact is
+    * over-threshold-groups-sized (tiny by construction). Null-hash
+    * rows (redirects, dead pages, revisits) pass through: they carry
+    * no body to match a template. */
+  def dropTemplatePages(pages: DataFrame, templates: DataFrame): DataFrame = {
+    require(!pages.columns.contains("_tpl_host") &&
+      !pages.columns.contains("_tpl_h"),
+      "column names _tpl_host/_tpl_h are reserved by dropTemplatePages")
+    val tpl = broadcast(templates.select(col("host").as("_tpl_host"),
+      col("content_md5").as("_tpl_h")))
+    pages.join(tpl,
+      UrlFilter.hostOf(col("url")) === col("_tpl_host") &&
+        col("content_md5") === col("_tpl_h"), "left_anti")
+  }
+
   /** Refresh policy (r14): urls whose LAST fetch is older than
     * `beforeBatch` — the fetched ledger gates re-DISCOVERY forever (by
     * design: a frontier that re-emits crawled pages double-fetches),

@@ -743,6 +743,27 @@ class CrawlFrontierSpec extends SparkTestBase {
     assert(loose.count() === 6L)
   }
 
+  test("hostTemplates flags within-host repeated bodies; the gate drops them") {
+    val pages = Seq(
+      // h1 serves a soft-404 template at 3 urls (threshold 3: flagged)
+      ("https://h1.test/a", "nf"), ("https://h1.test/b", "nf"),
+      ("https://h1.test/c", "nf"),
+      // the SAME hash on h2 at 2 urls: under threshold, per-host key
+      ("https://h2.test/a", "nf"), ("https://h2.test/b", "nf"),
+      // a real page + a duplicate URL row (countDistinct: one url)
+      ("https://h1.test/real", "p1"), ("https://h1.test/real", "p1"),
+      // null-hash rows pass the gate untouched
+      ("https://h1.test/redir", null))
+      .toDF("url", "content_md5")
+    val tpl = Crawl.hostTemplates(pages, minUrls = 3)
+      .as[(String, String, Long)].collect().toSeq
+    assert(tpl === Seq(("h1.test", "nf", 3L)))
+    val kept = Crawl.dropTemplatePages(pages, Crawl.hostTemplates(pages, 3))
+      .select("url").as[String].collect().toSet
+    assert(kept === Set("https://h2.test/a", "https://h2.test/b",
+      "https://h1.test/real", "https://h1.test/redir"))
+  }
+
   test("recrawlChurn: observation counts, null gaps, compaction invariance") {
     def ledger(tag: String): String = {
       val d = java.nio.file.Files.createTempDirectory(s"crawl-churn-$tag")
