@@ -411,14 +411,22 @@ object EventStreams extends Serializable {
    *
    * Near-dup semantics are batch-vs-STORED: rows inside one micro-batch
    * that duplicate each other both survive (then coexist in the index,
-   * exactly as minhashIndexAppend's new-ids contract allows). Compose an
+   * exactly as the append's new-ids contract allows). Compose an
    * intra-batch pass (Dedup.dropExactDuplicates / minhashNearDuplicates)
-   * upstream when that matters. Under foreachBatch's retry contract a
-   * replayed batch re-probes BEFORE its own append is visible only if
-   * the append did not complete — otherwise its rows self-match and the
-   * replay emits nothing: duplicate EMISSION is suppressed, duplicate
-   * installments of identical rows are possible (same last-writer-wins
-   * tolerance as the changelog sink).
+   * upstream when that matters.
+   *
+   * REPLAY-IDEMPOTENT since late r15 (the last auto-numbering ingest
+   * loop closed): the installment is a pure function of batchId
+   * (`StreamInstallmentBase + batchId` — the shared numbering contract)
+   * and the probe pins `asOf` the PREVIOUS installment, so a replayed
+   * batch never sees its own completed append: it recomputes the same
+   * survivor set, re-emits it (deterministic re-emission, not
+   * suppression-by-self-match), and `minhashIndexAppendAt` OVERWRITES
+   * its own partitions instead of minting a duplicate installment —
+   * the pre-r15 'duplicate installments of identical rows are
+   * possible' tolerance is gone. Contract: ONE ingest stream per index
+   * (the bm25IngestStream wording); pre-stream installments all sit
+   * below `StreamInstallmentBase`, so the asOf includes them.
    *
    * The index at `indexPath` must exist ([[graft.dedup.Dedup
    * .minhashIndexBuild]] — an empty corpus build is valid and makes the
@@ -431,14 +439,16 @@ object EventStreams extends Serializable {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val inst = StreamInstallmentBase + batchId.toInt
         val dupIds = graft.dedup.Dedup.minhashIndexProbe(spark, indexPath,
-          batch.toDF(), textCol, idCol, threshold, maxBucketSize)
+          batch.toDF(), textCol, idCol, threshold, maxBucketSize,
+          asOfInstallment = inst - 1)
           .select(col("new_id").as(idCol)).distinct()
         val fresh = batch.toDF().join(dupIds, Seq(idCol), "left_anti")
           .localCheckpoint()
         try {
-          graft.dedup.Dedup.minhashIndexAppend(spark, indexPath, fresh,
-            textCol, idCol)
+          graft.dedup.Dedup.minhashIndexAppendAt(spark, indexPath, fresh,
+            inst, textCol, idCol)
           sink(fresh, batchId)
         } finally fresh.unpersist()
         ()

@@ -51,4 +51,43 @@ class DedupIngestStreamSpec extends SparkTestBase {
       .select("id").as[Long].collect().toSet
     assert(stored === Set(1L, 2L, 102L, 202L))
   }
+
+  test("a replayed batch overwrites its own installment and re-emits (r15)") {
+    implicit val sqlCtx = spark.sqlContext
+    val idxPath = java.nio.file.Files.createTempDirectory("ingest-replay")
+      .resolve("idx").toString
+    Dedup.minhashIndexBuild(Seq(
+        (1L, "the quick brown fox jumps over the lazy dog tonight"))
+        .toDF("doc_id", "text"),
+      "text", "doc_id", idxPath, shingleK = 3, numHashes = 64, bands = 32)
+    def runBatch0(): Set[Long] = {
+      var got: Set[Long] = null
+      val input = MemoryStream[(Long, String)]
+      val q = EventStreams.dedupIngestStream(spark,
+        input.toDF().toDF("doc_id", "text"), idxPath,
+        "text", "doc_id", threshold = 0.5) { (fresh, _) =>
+        got = fresh.select("doc_id").as[Long].collect().toSet
+      }.start()
+      input.addData(
+        (101L, "the quick brown fox jumps over the lazy dog today"),
+        (102L, "a totally new take on distributed columnar indexes"))
+      q.processAllAvailable()
+      q.stop()
+      got
+    }
+    val first = runBatch0()
+    val rowsAfterFirst = spark.read.parquet(s"$idxPath/sets").count()
+    // a fresh checkpointless stream re-delivers batchId 0 — the
+    // at-least-once replay. The probe pins asOf inst-1 (its own
+    // completed append excluded, no self-match suppression), so the
+    // SAME survivor set re-emits, and AppendAt overwrites its own
+    // installment instead of minting a duplicate one.
+    val replay = runBatch0()
+    assert(first === Set(102L) && replay === Set(102L),
+      s"first=$first replay=$replay")
+    assert(spark.read.parquet(s"$idxPath/sets").count() === rowsAfterFirst,
+      "the replay must not grow the index")
+    assert(spark.read.parquet(s"$idxPath/sets")
+      .select("id").as[Long].collect().toSet === Set(1L, 102L))
+  }
 }
