@@ -3528,6 +3528,44 @@ object SparkEntry {
         .orderBy("host_a", "host_b")
     }),
 
+    // Host-edge ledger (late r15): the authority loop's persisted
+    // graph — two page batches fold to per-batch (src_host, dst_host,
+    // n) partitions via the SAME hostEdgeCounts the stream lands, a
+    // compactEdges folds them (counts SUM, one partition at the max
+    // batch — the compactNext convention), and hostEdgesLedger reads
+    // the accumulated graph back. Batch 0: every page links its
+    // rotate-host twin and a hub; batch 1: odd pages link the hub
+    // again (counts must accumulate ACROSS the compaction boundary).
+    // Self-edges (h{k}→h{k} when id%7 == (id*3)%7, i.e. id%7==0)
+    // ride through like hostEdges emits them.
+    "crawl_edges_ledger" -> ((s, dir) => {
+      val fd = java.nio.file.Files.createTempDirectory("graft_edges_")
+      deleteRecursivelyOnExit(fd)
+      val fDir = fd.resolve("frontier").toString
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val id = col("doc_id")
+      def pagesOf(linkHost: Column, path: Column): DataFrame =
+        docs.select(
+          concat(lit("https://h"), id % 7, lit(".example/p/"), id)
+            .as("url"),
+          array(concat(lit("https://"), linkHost, lit(".example/"), path))
+            .as("links"),
+          lit(null).cast("string").as("base"))
+      val b0 = pagesOf(concat(lit("h"), (id * 3) % 7), concat(lit("t/"), id))
+        .unionByName(pagesOf(lit("hub"), lit("home")))
+      graft.pipeline.Crawl.hostEdgeCounts(b0)
+        .write.mode("overwrite").parquet(s"$fDir/edges/batch=0")
+      graft.pipeline.Crawl.compactEdges(s, fDir)
+      val b1 = docs.filter(id % 2 === 1).select(
+        concat(lit("https://h"), id % 7, lit(".example/q/"), id).as("url"),
+        array(lit("https://hub.example/home")).as("links"),
+        lit(null).cast("string").as("base"))
+      graft.pipeline.Crawl.hostEdgeCounts(b1)
+        .write.mode("overwrite").parquet(s"$fDir/edges/batch=1")
+      graft.pipeline.Crawl.hostEdgesLedger(s, fDir)
+        .orderBy("src_host", "dst_host")
+    }),
+
     // Within-host error templates / soft-404s (r15): each host h{k}
     // serves a "not found" template at every id%5==0 url (over the
     // minUrls=10 threshold at sf0.01 — flagged) and a small recurring
@@ -7755,6 +7793,27 @@ object SparkEntry {
         |JOIN na ON a.host_a = na.host
         |JOIN nb ON a.host_b = nb.host
         |ORDER BY a.host_a, a.host_b""".stripMargin,
+    // the accumulated graph replayed: twin edges (a -> 3a mod 7, one
+    // per id), hub edges from both batches summed across the
+    // mid-history compaction
+    "crawl_edges_ledger" ->
+      """WITH e AS (
+        |  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example'
+        |      AS src_host,
+        |    'h' || CAST((doc_id * 3) % 7 AS VARCHAR) || '.example'
+        |      AS dst_host
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example',
+        |    'hub.example'
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) || '.example',
+        |    'hub.example'
+        |  FROM documents WHERE doc_id % 2 = 1)
+        |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n
+        |FROM e GROUP BY src_host, dst_host
+        |ORDER BY src_host, dst_host""".stripMargin,
     // the template decision replayed: group urls per (host, template
     // class), HAVING >= 10 flags, kept = everything else + the
     // null-hash /r/ rows that pass the gate untouched

@@ -743,6 +743,24 @@ object Main {
         s"pairs sharing >=$minShared hashes -> $out")
       spark.stop()
 
+    case "crawl-host-edges" :: frontierDir :: out :: Nil =>
+      // the accumulated host graph from the stream's edges/batch=N
+      // ledger — the scheduleRanked input a fetcher feeds back
+      val spark = session()
+      graft.pipeline.Crawl.hostEdgesLedger(spark, frontierDir)
+        .orderBy("src_host", "dst_host")
+        .write.mode("overwrite").parquet(out)
+      println(s"crawl-host-edges: ${spark.read.parquet(out).count()} " +
+        s"host pairs -> $out")
+      spark.stop()
+
+    case "crawl-compact-edges" :: frontierDir :: Nil =>
+      // fold the edges/batch=N ledger (counts SUM; atomic swap)
+      val spark = session()
+      val kept = graft.pipeline.Crawl.compactEdges(spark, frontierDir)
+      println(s"crawl-compact-edges: folded into batch=$kept")
+      spark.stop()
+
     case "crawl-soft404" :: frontierDir :: out :: rest =>
       // within-host error templates from the hashed fetched ledger:
       // (host, content_md5, n_urls) per body served at minUrls+ urls
@@ -1226,6 +1244,8 @@ object Main {
           |  crawl-redirect-chains <warcPathOrGlob> <outParquet> [maxHops]
           |  crawl-mirror-hosts <frontierDir> <outParquet> [minShared] [maxHostsPerHash]
           |  crawl-soft404    <frontierDir> <outParquet> [minUrls]
+          |  crawl-host-edges <frontierDir> <outParquet>
+          |  crawl-compact-edges <frontierDir>
           |  crawl-sitemap-children <sitemapsParquet> <fetchedParquet|-> <outParquet>
           |  frontier-blocklist <frontierParquet> <blocklistParquet> <outParquet> [urlCol]
           |  wds-extract      <pathOrGlob> <outParquet>

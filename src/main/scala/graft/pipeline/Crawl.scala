@@ -577,6 +577,75 @@ object Crawl {
       .filter(col("src_host").isNotNull && col("dst_host").isNotNull)
   }
 
+  /** [[hostEdges]] folded to one row per (src_host, dst_host) with a
+    * multiplicity count — the compact per-batch form the host-edge
+    * LEDGER stores (late r15): a stream's pages exist only for their
+    * batch (WARC bytes parse once and are gone), so without a landed
+    * edge artifact the authority loop ([[scheduleRanked]]) has no
+    * graph to rank unless the caller retains pages itself. Host-pair
+    * counts are tiny next to any link set (hosts², bounded in practice
+    * by per-batch distinct pairs). */
+  def hostEdgeCounts(pages: DataFrame, linksCol: String = "links",
+                     urlCol: String = "url", baseCol: String = "base")
+      : DataFrame =
+    hostEdges(pages, linksCol, urlCol, baseCol)
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n"))
+
+  /** The accumulated host graph from a frontier dir's `edges/batch=N`
+    * ledger (written by `crawlIngestStream(landHostEdges = true)`) —
+    * (src_host, dst_host, n) summed across batches, the
+    * [[scheduleRanked]] input. Returns an empty frame when the ledger
+    * is absent/uncommitted (a crawl that never landed edges ranks
+    * everything 0, it does not crash). */
+  def hostEdgesLedger(spark: SparkSession, frontierDir: String)
+      : DataFrame = {
+    val path = s"$frontierDir/edges"
+    if (!hasCommittedData(spark, path))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("src_host",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("dst_host",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))))
+    spark.read.parquet(path)
+      .groupBy("src_host", "dst_host")
+      .agg(sum(col("n")).cast("long").as("n"))
+  }
+
+  /** Fold the `edges/batch=N` partitions into ONE keyed by the highest
+    * batch id seen (counts SUM per host pair) — the [[compactNext]]
+    * sibling: same atomic delete+rename swap, same
+    * replays-out-of-contract-afterwards convention. Returns the
+    * retained batch id, or -1 when the ledger is empty/absent. */
+  def compactEdges(spark: SparkSession, frontierDir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val edges = new Path(s"$frontierDir/edges")
+    val fs = edges.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hasCommittedData(spark, edges.toString)) return -1L
+    val df = spark.read.parquet(edges.toString)
+    val maxBatch = df.agg(max(col("batch"))).head() match {
+      case r if r.isNullAt(0) => return -1L
+      case r => r.getAs[Number](0).longValue()
+    }
+    val folded = df.groupBy("src_host", "dst_host")
+      .agg(sum(col("n")).cast("long").as("n"))
+    val tmp = new Path(s"$frontierDir/edges._compacting")
+    fs.delete(tmp, true)
+    folded.write.parquet(s"$tmp/batch=$maxBatch")
+    val old = new Path(s"$frontierDir/edges._old")
+    fs.delete(old, true)
+    if (!fs.rename(edges, old))
+      throw new java.io.IOException(s"edges compact swap-out failed: $edges")
+    if (!fs.rename(tmp, edges))
+      throw new java.io.IOException(s"edges compact swap-in failed: $edges")
+    fs.delete(old, true)
+    maxBatch
+  }
+
   /** Authority-prioritized fetch ordering (r15): [[schedule]] plus a
     * CROSS-HOST priority — within-host politeness rounds say when a
     * host may be hit again, but say nothing about which host to spend

@@ -846,6 +846,16 @@ object EventStreams extends Serializable {
    * ([[graft.pipeline.UrlFilter.isUrlTrap]] — loop paths, unbounded
    * nesting, faceted-query blowups, over-length links) so an infinite
    * URL space cannot eat the fetch budget.
+   *
+   * `landHostEdges` (late r15) additionally lands the batch's compact
+   * host graph as `edges/batch=N` ([[graft.pipeline.Crawl
+   * .hostEdgeCounts]] — (src_host, dst_host, n), replay-idempotent
+   * overwrite like its sibling ledgers): pages exist only for their
+   * batch, so without this artifact the authority loop
+   * ([[graft.pipeline.Crawl.hostEdgesLedger]] →
+   * [[graft.pipeline.Crawl.scheduleRanked]]) has no graph to rank.
+   * Fold the partitions with [[graft.pipeline.Crawl.compactEdges]] at
+   * maintenance cadence.
    */
   def crawlIngestStream(spark: SparkSession, warcFiles: DataFrame,
                         indexPath: String, threshold: Double = 0.8,
@@ -857,7 +867,8 @@ object EventStreams extends Serializable {
                         agentToken: String = "graftbot",
                         blockedDomains: DataFrame = null,
                         dropTraps: Boolean = true,
-                        robotsPath: String = null)
+                        robotsPath: String = null,
+                        landHostEdges: Boolean = false)
                        (sink: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     warcFiles.writeStream.foreachBatch {
@@ -895,6 +906,15 @@ object EventStreams extends Serializable {
                 lit(0L).as("n_changes"))
               .write.mode("overwrite")
               .parquet(s"$frontierDir/fetched/batch=$batchId")
+            // the host-edge ledger (late r15, opt-in): the compact
+            // (src_host, dst_host, n) graph this batch discovered —
+            // pages exist only for their batch, so without this
+            // artifact scheduleRanked has no graph to rank. Same
+            // replay-idempotent batch=N overwrite as its siblings.
+            if (landHostEdges)
+              graft.pipeline.Crawl.hostEdgeCounts(pages)
+                .write.mode("overwrite")
+                .parquet(s"$frontierDir/edges/batch=$batchId")
             val fetchedPath =
               new org.apache.hadoop.fs.Path(s"$frontierDir/fetched")
             def fetchedIn(from: Long, until: Long) =

@@ -252,6 +252,49 @@ class CrawlIngestStreamSpec extends SparkTestBase {
     assert(churn("https://s/c") === ((1L, 1L, 0L)))
   }
 
+  test("landHostEdges lands the per-batch host graph; compact folds it (r15)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("crawl-edges")
+    base.toFile.deleteOnExit()
+    val idx = base.resolve("idx").toString
+    val fDir = base.resolve("frontier").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = EventStreams.crawlIngestStream(spark,
+      input.toDF().toDF("g", "payload"), idx, threshold = 0.5,
+      frontierDir = fDir, landHostEdges = true)().start()
+    input.addData((0L, warcOf(
+      ("https://a.test/1", 200,
+        """<p>first page body words</p>
+          |<a href="https://b.test/x">b</a>
+          |<a href="https://b.test/y">b2</a>
+          |<a href="/local">self</a>""".stripMargin))))
+    q.processAllAvailable()
+    input.addData((1L, warcOf(
+      ("https://a.test/2", 200,
+        """<p>second page other tokens</p>
+          |<a href="https://b.test/z">b3</a>""".stripMargin))))
+    q.processAllAvailable()
+    q.stop()
+    def ledger(): Set[(String, String, Long)] =
+      graft.pipeline.Crawl.hostEdgesLedger(spark, fDir)
+        .as[(String, String, Long)].collect().toSet
+    assert(ledger() === Set(("a.test", "b.test", 3L),
+      ("a.test", "a.test", 1L)))
+    val b0 = spark.read.parquet(s"$fDir/edges/batch=0")
+      .as[(String, String, Long)].collect().toSet
+    assert(b0 === Set(("a.test", "b.test", 2L), ("a.test", "a.test", 1L)))
+    // compaction folds to one partition at the max batch; the
+    // accumulated graph is unchanged
+    assert(graft.pipeline.Crawl.compactEdges(spark, fDir) === 1L)
+    assert(ledger() === Set(("a.test", "b.test", 3L),
+      ("a.test", "a.test", 1L)))
+    assert(new java.io.File(s"$fDir/edges").listFiles()
+      .count(_.getName.startsWith("batch=")) === 1)
+    // absent ledger: empty frame, never a crash
+    assert(graft.pipeline.Crawl.hostEdgesLedger(spark,
+      base.resolve("nowhere").toString).count() === 0L)
+  }
+
   test("a url emitted at batch N and linked again at batch N+k does not re-emit") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("crawl-next-gate")
