@@ -3628,6 +3628,57 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Robots fetch OUTCOMES (late r15, RFC 9309 §2.3.1): the rules a
+    // crawl derives from its own robots.txt fetch records — a 200
+    // parses (r200 disallows /private), a 3xx FOLLOWS to the final 200
+    // and applies it to the ORIGINATING host (r301's rules live at
+    // rhub.example/robots-master.txt, disallowing /blocked), a 5xx is
+    // complete disallow (r500 loses every url), a 404 allows all, a
+    // redirect LOOP exhausts into allow-all, and a host with both a
+    // 503 and a successful retry honors the 200 (r500ok). Candidates
+    // from doc_id arithmetic; the oracle replays the outcome decision
+    // per class.
+    "crawl_robots_outcomes" -> ((s, dir) => {
+      import s.implicits._
+      val disallowPrivate = "User-agent: *\nDisallow: /private"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val disallowBlocked = "User-agent: *\nDisallow: /blocked"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      def rf(uri: String, status: Int, location: String = null,
+             body: Array[Byte] = Array.emptyByteArray) =
+        graft.sources.Warc.ResponseFixture(uri, status,
+          contentType = "text/plain", location = location, body = body)
+      val warc = graft.sources.Warc.encodeWarcFixtures(Seq(
+        rf("https://r200.example/robots.txt", 200,
+          body = disallowPrivate),
+        rf("https://r301.example/robots.txt", 301,
+          location = "https://rhub.example/robots-master.txt"),
+        rf("https://rhub.example/robots-master.txt", 200,
+          body = disallowBlocked),
+        rf("https://r500.example/robots.txt", 503),
+        rf("https://r404.example/robots.txt", 404),
+        rf("https://rloop.example/robots.txt", 302,
+          location = "https://rloop.example/robots.txt"),
+        rf("https://r500ok.example/robots.txt", 503),
+        rf("https://r500ok.example/robots.txt", 200,
+          body = disallowPrivate)))
+      val records = graft.sources.Warc.warcRecords(
+        Seq(Tuple1(warc)).toDF("payload")).toDF()
+      val rules = graft.pipeline.Robots.rulesFromRecords(records)
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val id = col("doc_id")
+      val hosts = Seq("r200", "r301", "r500", "r404", "rloop", "r500ok")
+      val pages = hosts.map { h =>
+        val special = if (h == "r301") "blocked" else "private"
+        docs.select(concat(lit(s"https://$h.example/page/"), id)
+            .as("url"))
+          .unionByName(docs.select(
+            concat(lit(s"https://$h.example/$special/"), id).as("url")))
+      }.reduce(_ unionByName _)
+      graft.pipeline.Robots.filterAllowed(pages, rules, "graftbot")
+        .orderBy("url")
+    }),
+
     // Charset-aware extraction: each document encodes into one of four
     // real crawl charsets (UTF-8 via <meta>, windows-1252 via the HTTP
     // header, Shift_JIS via <meta>, UTF-16LE via BOM -- the resolution
@@ -7793,6 +7844,33 @@ object SparkEntry {
         |JOIN na ON a.host_a = na.host
         |JOIN nb ON a.host_b = nb.host
         |ORDER BY a.host_a, a.host_b""".stripMargin,
+    // the outcome decision replayed per host class: r200/r500ok keep
+    // /page only, r301 keeps /page (loses /blocked via the followed
+    // redirect's rules), r500 keeps nothing, r404 and the loop keep
+    // both url classes
+    "crawl_robots_outcomes" ->
+      """WITH kept AS (
+        |  SELECT 'https://r200.example/page/' || CAST(doc_id AS VARCHAR)
+        |      AS url FROM documents
+        |  UNION ALL
+        |  SELECT 'https://r500ok.example/page/' || CAST(doc_id AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://r301.example/page/' || CAST(doc_id AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://r404.example/page/' || CAST(doc_id AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://r404.example/private/' || CAST(doc_id AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://rloop.example/page/' || CAST(doc_id AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://rloop.example/private/' || CAST(doc_id AS VARCHAR)
+        |  FROM documents)
+        |SELECT url FROM kept ORDER BY url""".stripMargin,
     // the accumulated graph replayed: twin edges (a -> 3a mod 7, one
     // per id), hub edges from both batches summed across the
     // mid-history compaction

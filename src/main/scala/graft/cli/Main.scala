@@ -717,10 +717,14 @@ object Main {
       // over-long chains surface as resolved=false
       val maxHops = rest.headOption.map(_.toInt).getOrElse(4)
       val spark = session()
+      // the chain unroll scans edges maxHops+1 times — materialize the
+      // (small) edge set once instead of re-parsing the WARCs per hop
       val edges = graft.pipeline.Crawl.redirectEdges(
-        spark.read.format("warc").load(warcPath))
-      val resolved = graft.pipeline.Crawl.resolveRedirects(edges, maxHops)
-      resolved.write.mode("overwrite").parquet(out)
+        spark.read.format("warc").load(warcPath)).localCheckpoint()
+      try {
+        graft.pipeline.Crawl.resolveRedirects(edges, maxHops)
+          .write.mode("overwrite").parquet(out)
+      } finally graft.dedup.Dedup.release(edges)
       val done = spark.read.parquet(out)
       println(s"crawl-redirect-chains: ${done.count()} sources, " +
         s"${done.filter(!org.apache.spark.sql.functions.col("resolved"))

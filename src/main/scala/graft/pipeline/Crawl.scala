@@ -811,7 +811,14 @@ object Crawl {
     * set itself is the 3xx fraction of the crawl. A maintenance-cadence
     * op like the compactions. Chains longer than `maxHops` surface as
     * resolved = false rather than silently half-resolving into a wrong
-    * dedup key. */
+    * dedup key.
+    *
+    * The lazy plan scans `edges` maxHops+1 times: when it derives from
+    * an expensive source ([[redirectEdges]] over a raw WARC scan —
+    * each re-scan re-parses every member), `localCheckpoint()` it
+    * first and release after consuming (the `crawl-redirect-chains`
+    * CLI does exactly this); an edges set already landed as parquet
+    * re-scans cheaply and needs nothing. */
   def resolveRedirects(edges: DataFrame, maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
     val e = edges.select(col("url"), col("target"))

@@ -246,6 +246,78 @@ object Robots {
         col("r._2").as("allow"), col("r._3").as("path"))
   }
 
+  /** Per-host rules from a crawl's OWN robots.txt fetch records (late
+    * r15) — the RFC 9309 §2.3.1 outcome semantics the (host, body)
+    * input of [[rulesDf]] cannot express:
+    *
+    *  - a 200 robots.txt parses normally (refetched hosts fold by MAX
+    *    body — deterministic on any engine);
+    *  - a 3xx chain FOLLOWS (≤ `maxRedirects` hops, RFC: "MUST follow
+    *    at least five consecutive redirects" — via
+    *    [[Crawl.resolveRedirects]] over ALL the batch's 3xx records,
+    *    since intermediate hops need not sit at /robots.txt) and the
+    *    final 200 body applies to the ORIGINATING authority;
+    *  - "unreachable" (5xx, §2.3.1.4) is COMPLETE DISALLOW — a host
+    *    whose robots.txt errors must not be crawled as if it allowed
+    *    everything — synthesized as a `('*', disallow, "/")` row;
+    *  - "unavailable" (4xx) and exhausted/looping redirect chains mean
+    *    NO RULES (allow all): the host simply gets no row, which is
+    *    [[filterAllowed]]'s silent-host default.
+    *
+    * Precedence per host when the batch carries several outcomes (a
+    * 503 then a successful retry): usable body first — direct 200,
+    * else chain-resolved 200, else the 5xx disallow. Final-url lookups
+    * key on frontier-normalized urls (fetch urls are normalized BY
+    * CONSTRUCTION in this chain — [[Crawl.frontier]]). Output is the
+    * [[rulesDf]] shape (host, agent, allow, path); feed straight into
+    * [[filterAllowed]]. Everything is robots-fetch-sized: map-side
+    * scans + host-keyed aggregates + the bounded chain unroll. */
+  def rulesFromRecords(records: DataFrame, maxRedirects: Int = 5)
+      : DataFrame = {
+    val decode = udf { (b: Array[Byte]) =>
+      if (b == null) null
+      else {
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+        dec.decode(java.nio.ByteBuffer.wrap(b)).toString
+      }
+    }
+    val resp = records.filter(col("warc_type") === "response")
+    val robots = resp.filter(pathOf(col("target_uri")) === "/robots.txt")
+      .select(UrlFilter.hostOf(col("target_uri")).as("host"),
+        col("target_uri").cast("string").as("url"),
+        col("http_status").as("status"), col("body"))
+      .filter(col("host").isNotNull)
+    val direct = robots.filter(col("status") === 200)
+      .groupBy("host").agg(max(decode(col("body"))).as("_direct"))
+    // the whole batch's redirect graph: a robots chain may hop through
+    // urls that are not themselves /robots.txt
+    val chains = graft.pipeline.Crawl.resolveRedirects(
+      graft.pipeline.Crawl.redirectEdges(resp), maxRedirects)
+    val finals = resp.filter(col("http_status") === 200)
+      .groupBy(col("target_uri").cast("string").as("final_url"))
+      .agg(max(decode(col("body"))).as("_chain"))
+    val viaChain = robots
+      .filter(col("status").isin(301, 302, 303, 307, 308))
+      .select(col("host"), col("url"))
+      .join(chains.filter(col("resolved")).select(col("url"),
+        col("final_url")), Seq("url"))
+      .join(finals, Seq("final_url"))
+      .groupBy("host").agg(max(col("_chain")).as("_chain"))
+    val bodies = direct.join(viaChain, Seq("host"), "full")
+      .select(col("host"),
+        coalesce(col("_direct"), col("_chain")).as("body"))
+      .filter(col("body").isNotNull)
+    val unreachable = robots
+      .filter(col("status") >= 500 && col("status") <= 599)
+      .select("host").distinct()
+      .join(bodies.select("host"), Seq("host"), "left_anti")
+      .select(col("host"), lit("*").as("agent"), lit(false).as("allow"),
+        lit("/").as("path"))
+    rulesDf(bodies).unionByName(unreachable)
+  }
+
   /** Column expression: url → path component ("" scheme-relative rest
     * after the authority; no match → "/"). Scheme matches
     * case-insensitively via char classes (RE2-portable — no inline

@@ -345,6 +345,52 @@ class RobotsSpec extends SparkTestBase {
     assert(Robots.filterAllowed(shouty, rules, "graftbot").count() === 0)
   }
 
+  test("rulesFromRecords: RFC 9309 fetch outcomes — 200/3xx-chain/5xx/4xx/loop") {
+    def rf(uri: String, status: Int, location: String = null,
+           body: String = "") =
+      graft.sources.Warc.ResponseFixture(uri, status,
+        contentType = "text/plain", location = location,
+        body = body.getBytes("UTF-8"))
+    val warc = graft.sources.Warc.encodeWarcFixtures(Seq(
+      rf("https://ok.test/robots.txt", 200,
+        body = "User-agent: *\nDisallow: /private"),
+      // a TWO-hop chain through a non-robots url; the final 200's
+      // rules apply to the ORIGINATING host
+      rf("https://moved.test/robots.txt", 301,
+        location = "https://moved.test/hop"),
+      rf("https://moved.test/hop", 302,
+        location = "https://cdn.test/master-robots"),
+      rf("https://cdn.test/master-robots", 200,
+        body = "User-agent: *\nDisallow: /x"),
+      rf("https://err.test/robots.txt", 500),
+      rf("https://gone.test/robots.txt", 404),
+      rf("https://loop.test/robots.txt", 301,
+        location = "https://loop.test/robots.txt"),
+      // 503 then a successful retry: the 200 wins
+      rf("https://retry.test/robots.txt", 503),
+      rf("https://retry.test/robots.txt", 200,
+        body = "User-agent: *\nDisallow: /p")))
+    val records = graft.sources.Warc.warcRecords(
+      Seq(Tuple1(warc)).toDF("payload")).toDF()
+    val rules = Robots.rulesFromRecords(records)
+      .as[(String, String, Boolean, String)].collect().toSet
+    assert(rules === Set(
+      ("ok.test", "*", false, "/private"),
+      ("moved.test", "*", false, "/x"),
+      ("retry.test", "*", false, "/p"),
+      // unreachable (5xx) synthesizes complete disallow
+      ("err.test", "*", false, "/")))
+    // 404 and the exhausted loop produce NO rows = allow-all default
+    val urls = Seq("https://err.test/a", "https://gone.test/a",
+      "https://loop.test/a", "https://ok.test/private/1",
+      "https://ok.test/pub", "https://moved.test/x/1",
+      "https://moved.test/y").toDF("url")
+    val kept = Robots.filterAllowed(urls, Robots.rulesFromRecords(records),
+      "graftbot").as[String].collect().toSet
+    assert(kept === Set("https://gone.test/a", "https://loop.test/a",
+      "https://ok.test/pub", "https://moved.test/y"))
+  }
+
   test("parseDelays: group membership, winning agent, garbage tolerance") {
     val body =
       """User-agent: graftbot
