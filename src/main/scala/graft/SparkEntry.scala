@@ -3885,6 +3885,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // WET-style export round-trip (late r15): the corpus written as
+    // WARC `conversion` shards (the form extracted text actually
+    // ships in — no HTTP layer, text/plain payload) from the
+    // EXECUTORS, then read back through the DSv2 source. Lossless by
+    // the oracle: every doc's text bytes survive md5-exact, the
+    // record type is pinned `conversion`, and the absent HTTP layer
+    // reads as status -1.
+    "wet_export_scan" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select(
+        concat(lit("https://graft.test/doc/"), col("doc_id")).as("url"),
+        col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wet_")
+      deleteRecursivelyOnExit(tmp)
+      val out = tmp.toFile.getAbsolutePath
+      graft.sources.Warc.writeWetShards(docs, out, recordsPerShard = 500)
+      s.read.format("warc").load(out)
+        .filter(col("warc_type") === "conversion")
+        .select(
+          substring(col("target_uri"), 24, 32).cast("long").as("doc_id"),
+          col("warc_type"), col("http_status"),
+          length(col("body")).cast("long").as("body_len"),
+          md5(col("body")).as("body_md5"))
+        .orderBy("doc_id")
+    }),
+
     // JPEG through the REAL baseline decoder (marker grammar, Huffman,
     // IDCT, restart-marker resync): lossy, so the oracle pins
     // decodability + exact dimensions — a decoder that fails any arm
@@ -8275,6 +8300,14 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE WHEN doc_id % 10 = 7 THEN 404 ELSE 200 END AS http_status,
         |  'text/plain; charset=utf-8' AS content_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+        |  md5(text) AS body_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // WET conversion records: text bytes md5-exact, no HTTP layer
+    "wet_export_scan" ->
+      """SELECT doc_id,
+        |  'conversion' AS warc_type,
+        |  -1 AS http_status,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
         |  md5(text) AS body_md5
         |FROM documents ORDER BY doc_id""".stripMargin,

@@ -698,6 +698,18 @@ object Main {
         s"due (last fetch < batch $beforeBatch) -> $out")
       spark.stop()
 
+    case "wet-export" :: docsParquet :: outDir :: rest =>
+      // corpus text -> WET-style conversion shards (per-record gzip,
+      // executor-written, re-readable by format("warc"))
+      val per = rest.headOption.map(_.toInt).getOrElse(10000)
+      val uriCol = rest.drop(1).headOption.getOrElse("url")
+      val textCol = rest.drop(2).headOption.getOrElse("text")
+      val spark = session()
+      graft.sources.Warc.writeWetShards(
+        spark.read.parquet(docsParquet), outDir, uriCol, textCol, per)
+      println(s"wet-export: conversion shards -> $outDir")
+      spark.stop()
+
     case "crawl-revalidators" :: warcPath :: out :: Nil =>
       // conditional-fetch table (r15): per 200-url, the ETag /
       // Last-Modified validators a refresh fetcher sends back as
@@ -1234,6 +1246,7 @@ object Main {
           |  video-prune      <indexPath> <framesParquet> <outParquet> [threshold] [idCol] [hashCol]
           |  warc-scan        <pathOrGlob> [maxSplitBytes]
           |  warc-export      <docsParquet> <outDir> [recordsPerShard] [uriCol] [bodyCol]
+          |  wet-export       <docsParquet> <outDir> [recordsPerShard] [uriCol] [textCol]
           |  crawl-ingest     <warcPathOrGlob> <minhashIndex> <corpusOutParquet> [threshold] [frontierOutParquet] [robotsParquet] [agentToken]
           |  robots-filter    <urlsParquet> <robotsParquet> <agentToken> <outParquet> [urlCol]
           |  crawl-bloom      <minhashIndex> <bloomOut> <expectedItems> [fpp]

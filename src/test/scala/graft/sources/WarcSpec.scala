@@ -77,6 +77,19 @@ class WarcSpec extends SparkTestBase {
     assert(rs(3).body.isEmpty)
   }
 
+  test("WET conversion records round-trip: no HTTP layer, text verbatim (r15)") {
+    val text = "extracted text with unicode é中 and\nnewlines"
+    val bytes = Warc.encodeWet(Seq(
+      ("https://w/1", text.getBytes(utf8)),
+      ("https://w/2", Array.emptyByteArray)), gzipPerRecord = true)
+    val rs = Warc.parseWarc(bytes).filter(_.warc_type == "conversion")
+    assert(rs.length === 2)
+    assert(rs(0).http_status === -1, "conversion records have no HTTP layer")
+    assert(rs(0).http_content_type === null)
+    assert(new String(rs(0).body, utf8) === text)
+    assert(rs(1).body.isEmpty)
+  }
+
   test("binary-safe: bodies containing CRLF runs and fake headers parse by length") {
     // a body that CONTAINS a blank line and a WARC version line — only
     // Content-Length-driven parsing survives this (the reason WARC is
