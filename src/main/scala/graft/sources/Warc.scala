@@ -477,14 +477,12 @@ object Warc {
                   recordsPerShard: Int = 10000,
                   date: String = "2026-01-01T00:00:00Z"): Unit = {
     require(recordsPerShard > 0, "recordsPerShard must be positive")
+    val confEntries = hadoopConfEntries(docs)
     docs.select(col(uriCol).cast("string"), col(bodyCol).cast("binary"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
-        // default Hadoop conf on the executor (the WarcDataSource
-        // convention): local/HDFS defaults; production threads the
-        // serialized job conf through instead
         val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .getFileSystem(rebuildConf(confEntries))
         var shard = 0
         rows.grouped(recordsPerShard).foreach { chunk =>
           val batch = chunk.map { r =>
@@ -498,6 +496,32 @@ object Warc {
           shard += 1
         }
       }
+  }
+
+  /** The session's Hadoop configuration as serializable entries (late
+    * r15): executor-side shard writers previously built a DEFAULT
+    * `Configuration()`, which drops the session's filesystem settings
+    * — object-store credentials, endpoints, HDFS nameservices — so
+    * shard export to anything but the local FS/defaults failed.
+    * Hadoop's `Configuration` is not serializable; the entry map is
+    * (a few hundred strings), and [[rebuildConf]] replays it once per
+    * partition. */
+  private def hadoopConfEntries(df: DataFrame): Map[String, String] = {
+    val c = df.sparkSession.sparkContext.hadoopConfiguration
+    val it = c.iterator()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) {
+      val e = it.next()
+      b += e.getKey -> e.getValue
+    }
+    b.result()
+  }
+
+  private def rebuildConf(entries: Map[String, String])
+      : org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    entries.foreach { case (k, v) => c.set(k, v) }
+    c
   }
 
   /** Encode EXTRACTED-TEXT records as WARC `conversion` records — the
@@ -539,11 +563,12 @@ object Warc {
                      recordsPerShard: Int = 10000,
                      date: String = "2026-01-01T00:00:00Z"): Unit = {
     require(recordsPerShard > 0, "recordsPerShard must be positive")
+    val confEntries = hadoopConfEntries(docs)
     docs.select(col(uriCol).cast("string"), col(textCol).cast("string"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
         val pid = org.apache.spark.TaskContext.getPartitionId()
         val fs = new org.apache.hadoop.fs.Path(dir)
-          .getFileSystem(new org.apache.hadoop.conf.Configuration())
+          .getFileSystem(rebuildConf(confEntries))
         var shard = 0
         rows.grouped(recordsPerShard).foreach { chunk =>
           val batch = chunk.map { r =>
