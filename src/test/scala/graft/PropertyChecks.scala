@@ -298,4 +298,46 @@ object PropertyChecks extends Properties("graft.kernels") {
           !l.contains("  ")
       }
     }
+
+  // WET conversion records (late r15): arbitrary BYTE payloads — CRLF
+  // runs, WARC-lookalike text, empty bodies — round-trip through the
+  // counted parser in both packagings; uris, order, and bytes exact.
+  property("encodeWet round-trips arbitrary payloads, plain and gzip") =
+    forAll { (seeds: List[Long], gzip: Boolean) =>
+      val recs = seeds.take(8).zipWithIndex.map { case (seed, i) =>
+        val rnd = new scala.util.Random(seed)
+        val body = new Array[Byte](rnd.nextInt(400))
+        rnd.nextBytes(body)
+        (s"https://w.test/$i", body)
+      }
+      val parsed = graft.sources.Warc
+        .parseWarc(graft.sources.Warc.encodeWet(recs, gzipPerRecord = gzip))
+        .filter(_.warc_type == "conversion")
+      parsed.length == recs.length &&
+        parsed.zip(recs).forall { case (r, (uri, body)) =>
+          r.target_uri == uri && r.http_status == -1 &&
+            java.util.Arrays.equals(r.body, body)
+        }
+    }
+
+  // validator headers (late r15): If-None-Match comparison is OPAQUE
+  // per RFC 9110, so any header-safe ETag/Last-Modified value must
+  // survive the HTTP split byte-exact — quotes, weak prefixes, case.
+  property("ETag / Last-Modified survive the HTTP split verbatim") =
+    forAll { (core: String, weak: Boolean, gzip: Boolean) =>
+      // header-safe: strip CTL and exotic whitespace; parseHeaders
+      // trims edge spaces by contract, so the generated value has none
+      val safe = core.filter(c => c > ' ' && c < 127 && c != ',').take(40)
+      val etag = (if (weak) "W/" else "") + "\"" + safe + "\""
+      val lm = s"Sat, 15 Aug 2026 0${math.abs(safe.length % 10)}:00:00 GMT"
+      val recs = Seq(graft.sources.Warc.ResponseFixture(
+        "https://v.test/p", 200, contentType = "text/html",
+        etag = etag, lastModified = lm,
+        body = "x".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      val r = graft.sources.Warc
+        .parseWarc(graft.sources.Warc.encodeWarcFixtures(recs,
+          gzipPerRecord = gzip))
+        .find(_.warc_type == "response").get
+      r.http_etag == etag && r.http_last_modified == lm
+    }
 }
