@@ -295,14 +295,21 @@ object Robots {
     // urls that are not themselves /robots.txt
     val chains = graft.pipeline.Crawl.resolveRedirects(
       graft.pipeline.Crawl.redirectEdges(resp), maxRedirects)
-    val finals = resp.filter(col("http_status") === 200)
-      .groupBy(col("target_uri").cast("string").as("final_url"))
-      .agg(max(decode(col("body"))).as("_chain"))
-    val viaChain = robots
+    val wanted = robots
       .filter(col("status").isin(301, 302, 303, 307, 308))
       .select(col("host"), col("url"))
       .join(chains.filter(col("resolved")).select(col("url"),
         col("final_url")), Seq("url"))
+    // decode ONLY the chain-final bodies: (host, final_url) is
+    // robots-chain-sized, so the broadcast semi-join keeps the batch's
+    // 200 bodies — the whole corpus — from being decoded and shuffled
+    // for a handful of lookups
+    val finals = resp.filter(col("http_status") === 200)
+      .join(broadcast(wanted.select(col("final_url")).distinct()),
+        col("target_uri").cast("string") === col("final_url"))
+      .groupBy("final_url")
+      .agg(max(decode(col("body"))).as("_chain"))
+    val viaChain = wanted
       .join(finals, Seq("final_url"))
       .groupBy("host").agg(max(col("_chain")).as("_chain"))
     val bodies = direct.join(viaChain, Seq("host"), "full")

@@ -70,4 +70,24 @@ class PersistHygieneSpec extends SparkTestBase {
       SparkEntry.queries("lexicon_validate")(spark, sfDir).count()
     }
   }
+
+  test("late-r15 crawl operators hold no cache beyond the operator") {
+    import graft.pipeline.Crawl
+    val urls = docs.select(
+      concat(lit("https://h"), col("doc_id") % 7,
+        lit(".example/p/"), col("doc_id")).as("url"),
+      md5(col("text").cast("binary")).as("content_md5"))
+    assertNoNewPersists("mirrorHosts") {
+      Crawl.mirrorHosts(urls, minShared = 1).count()
+    }
+    assertNoNewPersists("hostTemplates + dropTemplatePages") {
+      Crawl.dropTemplatePages(urls, Crawl.hostTemplates(urls, 2)).count()
+    }
+    assertNoNewPersists("resolveRedirects") {
+      val edges = docs.select(
+        concat(lit("https://c/a/"), col("doc_id")).as("url"),
+        concat(lit("https://c/b/"), col("doc_id")).as("target"))
+      Crawl.resolveRedirects(edges, maxHops = 3).count()
+    }
+  }
 }
