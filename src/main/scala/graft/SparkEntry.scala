@@ -3679,6 +3679,50 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Robots-cache ledger (late r15): per-batch outcome rows with
+    // LATEST-PER-HOST-WINS reads — rb0's batch-0 disallow is
+    // superseded by its batch-1 404 (the site DELETED robots.txt; the
+    // explicit allow sentinel must beat the stale rule), rb1 gains
+    // rules in batch 1, rb2's batch-0 rules persist unrefetched.
+    "crawl_robots_ledger" -> ((s, dir) => {
+      import s.implicits._
+      val fd = java.nio.file.Files.createTempDirectory("graft_robledger_")
+      deleteRecursivelyOnExit(fd)
+      val ledger = fd.resolve("robots").toString
+      def rf(uri: String, status: Int, body: String = "") =
+        graft.sources.Warc.ResponseFixture(uri, status,
+          contentType = "text/plain",
+          body = body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val batches = Seq(
+        Seq(rf("https://rb0.example/robots.txt", 200,
+            "User-agent: *\nDisallow: /private"),
+          rf("https://rb1.example/robots.txt", 404),
+          rf("https://rb2.example/robots.txt", 200,
+            "User-agent: *\nDisallow: /secret")),
+        Seq(rf("https://rb0.example/robots.txt", 404),
+          rf("https://rb1.example/robots.txt", 200,
+            "User-agent: *\nDisallow: /p2")))
+      batches.zipWithIndex.foreach { case (recs, b) =>
+        val records = graft.sources.Warc.warcRecords(
+          Seq(Tuple1(graft.sources.Warc.encodeWarcFixtures(recs)))
+            .toDF("payload")).toDF()
+        graft.pipeline.Robots.outcomesFromRecords(records)
+          .write.mode("overwrite").parquet(s"$ledger/batch=$b")
+      }
+      val rules = graft.pipeline.Robots.rulesFromLedger(s, ledger)
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val id = col("doc_id")
+      val pages = Seq(("rb0", "private"), ("rb1", "p2"), ("rb2", "secret"))
+        .map { case (h, special) =>
+          docs.select(concat(lit(s"https://$h.example/page/"), id)
+              .as("url"))
+            .unionByName(docs.select(
+              concat(lit(s"https://$h.example/$special/"), id).as("url")))
+        }.reduce(_ unionByName _)
+      graft.pipeline.Robots.filterAllowed(pages, rules, "graftbot")
+        .orderBy("url")
+    }),
+
     // Charset-aware extraction: each document encodes into one of four
     // real crawl charsets (UTF-8 via <meta>, windows-1252 via the HTTP
     // header, Shift_JIS via <meta>, UTF-16LE via BOM -- the resolution
@@ -7869,6 +7913,22 @@ object SparkEntry {
         |JOIN na ON a.host_a = na.host
         |JOIN nb ON a.host_b = nb.host
         |ORDER BY a.host_a, a.host_b""".stripMargin,
+    // the latest-wins cache replayed: rb0 keeps BOTH classes (deleted
+    // robots), rb1 and rb2 keep /page only
+    "crawl_robots_ledger" ->
+      """WITH kept AS (
+        |  SELECT 'https://rb0.example/page/' || CAST(doc_id AS VARCHAR)
+        |      AS url FROM documents
+        |  UNION ALL
+        |  SELECT 'https://rb0.example/private/' || CAST(doc_id AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://rb1.example/page/' || CAST(doc_id AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://rb2.example/page/' || CAST(doc_id AS VARCHAR)
+        |  FROM documents)
+        |SELECT url FROM kept ORDER BY url""".stripMargin,
     // the outcome decision replayed per host class: r200/r500ok keep
     // /page only, r301 keeps /page (loses /blocked via the followed
     // redirect's rules), r500 keeps nothing, r404 and the loop keep

@@ -759,6 +759,17 @@ object Main {
         s"pairs sharing >=$minShared hashes -> $out")
       spark.stop()
 
+    case "crawl-robots-cache" :: frontierDir :: out :: Nil =>
+      // the self-fed robots cache: latest outcome per host from the
+      // stream's robots/batch=N ledger, in the rulesDf shape
+      val spark = session()
+      graft.pipeline.Robots.rulesFromLedger(spark, s"$frontierDir/robots")
+        .orderBy("host", "agent", "path")
+        .write.mode("overwrite").parquet(out)
+      println(s"crawl-robots-cache: ${spark.read.parquet(out).count()} " +
+        s"rule rows -> $out")
+      spark.stop()
+
     case "crawl-host-edges" :: frontierDir :: out :: Nil =>
       // the accumulated host graph from the stream's edges/batch=N
       // ledger — the scheduleRanked input a fetcher feeds back
@@ -1261,6 +1272,7 @@ object Main {
           |  crawl-redirect-chains <warcPathOrGlob> <outParquet> [maxHops]
           |  crawl-mirror-hosts <frontierDir> <outParquet> [minShared] [maxHostsPerHash]
           |  crawl-soft404    <frontierDir> <outParquet> [minUrls]
+          |  crawl-robots-cache <frontierDir> <outParquet>
           |  crawl-host-edges <frontierDir> <outParquet>
           |  crawl-compact-edges <frontierDir>
           |  crawl-sitemap-children <sitemapsParquet> <fetchedParquet|-> <outParquet>

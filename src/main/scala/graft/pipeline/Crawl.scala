@@ -109,12 +109,25 @@ object Crawl {
                      threshold: Double = 0.8, maxBucketSize: Int = 1000,
                      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
                      broadcastMaxBytes: Long = 64L << 20,
-                     onPageLinks: DataFrame => Unit = null)
+                     onPageLinks: DataFrame => Unit = null,
+                     onRobots: DataFrame => Unit = null)
                     (use: DataFrame => A): (A, BatchStats) = {
     // links ride the SAME fused decode pass when the caller wants them
     // (the frontier feeder) -- decoding every body twice would double
     // the dominant per-row cost of the batch
     val wantLinks = onPageLinks != null
+    // `onRobots` (late r15) receives the batch's checkpointed response
+    // projection WITH robots.txt fetch records of EVERY status folded
+    // in (5xx robots — the RFC 9309 complete-disallow signal — match
+    // no other checkpoint class; a second records scan would re-run
+    // the WARC member walk); feed it to
+    // [[Robots.outcomesFromRecords]] for the robots-cache ledger.
+    // It runs BEFORE onPageLinks so a landed outcome can gate the
+    // same batch's frontier. Only supported alongside a frontier
+    // consumer (the checkpoint exists only then).
+    val wantRobots = onRobots != null
+    require(!wantRobots || wantLinks,
+      "onRobots requires onPageLinks (the shared records checkpoint)")
     // redirect targets feed the frontier too (http→https and www→apex
     // migrations are a huge slice of real crawls) — but only when the
     // records carry the http_location column (pre-r13 record shapes
@@ -161,12 +174,25 @@ object Crawl {
           col("http_status"), col("http_content_type")) ++
           (if (hasLocation) Seq(col("http_location")) else Nil) ++
           (if (hasXRobots) Seq(col("http_x_robots")) else Nil) :+ col("body")
+        // robots.txt records of ANY status join the checkpoint when a
+        // robots consumer exists (5xx robots — the RFC 9309
+        // complete-disallow signal — match no other class; they ride
+        // harmlessly past the ledger/extraction filters below)
+        val robotsCond =
+          if (wantRobots)
+            Robots.pathOf(col("target_uri")) === "/robots.txt"
+          else lit(false)
         respBase
           .filter(col("http_status") === 200 || redirectCond ||
-            ledgerDeadCond || revisitCond)
+            ledgerDeadCond || revisitCond || robotsCond)
           .select(cols: _*)
           .localCheckpoint()
       }
+    // the WHOLE projection, not just robots-path rows: outcome
+    // derivation follows 3xx chains through arbitrary-path hops and
+    // looks up final 200 bodies ([[Robots.outcomesFromRecords]]
+    // filters internally)
+    if (wantRobots) onRobots(resp0)
     // only RESPONSE 200s extract: a revisit record's stored status line
     // commonly says 200, but its payload is the recapture's header
     // block with no body

@@ -292,9 +292,14 @@ object Robots {
     val direct = robots.filter(col("status") === 200)
       .groupBy("host").agg(max(decode(col("body"))).as("_direct"))
     // the whole batch's redirect graph: a robots chain may hop through
-    // urls that are not themselves /robots.txt
-    val chains = graft.pipeline.Crawl.resolveRedirects(
-      graft.pipeline.Crawl.redirectEdges(resp), maxRedirects)
+    // urls that are not themselves /robots.txt (record shapes without
+    // the http_location column carry no followable chains)
+    val chains =
+      if (!records.columns.contains("http_location"))
+        robots.limit(0).select(col("url"),
+          col("url").as("final_url"), lit(true).as("resolved"))
+      else graft.pipeline.Crawl.resolveRedirects(
+        graft.pipeline.Crawl.redirectEdges(resp), maxRedirects)
     val wanted = robots
       .filter(col("status").isin(301, 302, 303, 307, 308))
       .select(col("host"), col("url"))
@@ -323,6 +328,59 @@ object Robots {
       .select(col("host"), lit("*").as("agent"), lit(false).as("allow"),
         lit("/").as("path"))
     rulesDf(bodies).unionByName(unreachable)
+  }
+
+  /** [[rulesFromRecords]] for the robots-cache LEDGER (late r15): the
+    * same outcome rows PLUS an explicit allow-all rule
+    * `('*', allow, "")` for every robots-fetched host the outcome
+    * semantics left ruleless (a 404, an exhausted chain, a ruleless or
+    * empty 200). Under [[rulesFromLedger]]'s latest-outcome-wins read,
+    * "no row" must mean "never fetched robots", NOT "fetched and
+    * allowed" — otherwise a site that DELETED its robots.txt keeps its
+    * stale disallows forever. The sentinel is a real RFC rule (an
+    * empty-prefix allow matches every path at length 0), so no
+    * consumer needs to special-case it. */
+  def outcomesFromRecords(records: DataFrame, maxRedirects: Int = 5)
+      : DataFrame = {
+    val rules = rulesFromRecords(records, maxRedirects)
+    val fetched = records.filter(col("warc_type") === "response" &&
+        pathOf(col("target_uri")) === "/robots.txt")
+      .select(UrlFilter.hostOf(col("target_uri")).as("host"))
+      .filter(col("host").isNotNull).distinct()
+    val ruleless = fetched
+      .join(rules.select("host").distinct(), Seq("host"), "left_anti")
+      .select(col("host"), lit("*").as("agent"), lit(true).as("allow"),
+        lit("").as("path"))
+    rules.unionByName(ruleless)
+  }
+
+  /** The accumulated robots cache from a `robots/batch=N` ledger of
+    * [[outcomesFromRecords]] rows (late r15): per host, the rules of
+    * its LATEST outcome batch — a refetched robots.txt fully replaces
+    * the host's older rules, matching cache semantics (recency by
+    * batch id, the ledger convention). Returns an empty rulesDf-shaped
+    * frame when the ledger is absent/uncommitted. Host-keyed
+    * aggregates over a robots-fetch-sized table. */
+  def rulesFromLedger(spark: org.apache.spark.sql.SparkSession,
+                      dir: String): DataFrame = {
+    if (!graft.pipeline.Crawl.hasCommittedData(spark, dir))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("host",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("agent",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("allow",
+            org.apache.spark.sql.types.BooleanType),
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType))))
+    val df = spark.read.parquet(dir)
+    val latest = df.groupBy(col("host").as("_rb_host"))
+      .agg(max(col("batch")).as("_rb_max"))
+    df.join(latest, col("host") === col("_rb_host") &&
+        col("batch") === col("_rb_max"))
+      .select("host", "agent", "allow", "path")
   }
 
   /** Column expression: url → path component ("" scheme-relative rest

@@ -856,6 +856,15 @@ object EventStreams extends Serializable {
    * [[graft.pipeline.Crawl.scheduleRanked]]) has no graph to rank.
    * Fold the partitions with [[graft.pipeline.Crawl.compactEdges]] at
    * maintenance cadence.
+   *
+   * `landRobots` (late r15) makes the crawl SELF-FEEDING on robots:
+   * each batch's robots.txt fetch outcomes ([[graft.pipeline.Robots
+   * .outcomesFromRecords]] — RFC 9309 semantics incl. 5xx disallow and
+   * explicit allow sentinels so deleted robots.txt supersede stale
+   * rules) land as `robots/batch=N`, and the frontier gates through
+   * the accumulated cache ([[graft.pipeline.Robots.rulesFromLedger]] —
+   * latest outcome per host wins). Precedence: `robotsPath` >
+   * the ledger > `robotsRules`. Needs `frontierDir`.
    */
   def crawlIngestStream(spark: SparkSession, warcFiles: DataFrame,
                         indexPath: String, threshold: Double = 0.8,
@@ -868,7 +877,8 @@ object EventStreams extends Serializable {
                         blockedDomains: DataFrame = null,
                         dropTraps: Boolean = true,
                         robotsPath: String = null,
-                        landHostEdges: Boolean = false)
+                        landHostEdges: Boolean = false,
+                        landRobots: Boolean = false)
                        (sink: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     warcFiles.writeStream.foreachBatch {
@@ -977,13 +987,20 @@ object EventStreams extends Serializable {
             }
             // live-reload rules (r15): the robots dir re-reads every
             // batch — hosts-sized, so the re-parse is noise next to
-            // the batch itself — falling back to the frozen
-            // `robotsRules` (then to no gate) while absent/in-progress
+            // the batch itself — falling back to the SELF-FED cache
+            // ledger (landRobots, late r15 — outcomes this crawl
+            // derived from its own robots fetches, latest per host),
+            // then the frozen `robotsRules`, then no gate
             val effRules =
               if (robotsPath != null &&
                 graft.pipeline.Crawl.hasCommittedData(spark, robotsPath))
                 graft.pipeline.Robots.rulesDf(
                   spark.read.parquet(robotsPath))
+              else if (landRobots &&
+                graft.pipeline.Crawl.hasCommittedData(
+                  spark, s"$frontierDir/robots"))
+                graft.pipeline.Robots.rulesFromLedger(spark,
+                  s"$frontierDir/robots")
               else robotsRules
             val robotsGated =
               if (effRules == null) fr
@@ -1005,10 +1022,28 @@ object EventStreams extends Serializable {
             gated.write.mode("overwrite")
               .parquet(s"$frontierDir/next/batch=$batchId")
           }
+        // the robots-cache ledger (late r15): outcomes derived from
+        // the batch's OWN robots fetches land as robots/batch=N
+        // (replay-idempotent overwrite) BEFORE the frontier gate reads
+        // the accumulated cache — a robots.txt fetched in this batch
+        // gates this batch's frontier. Batches without robots fetches
+        // land nothing.
+        val onRobotsCb: org.apache.spark.sql.DataFrame => Unit =
+          if (!landRobots || frontierDir == null) null
+          else recs => {
+            val outcomes =
+              graft.pipeline.Robots.outcomesFromRecords(recs)
+                .localCheckpoint()
+            try {
+              if (outcomes.limit(1).count() > 0)
+                outcomes.write.mode("overwrite")
+                  .parquet(s"$frontierDir/robots/batch=$batchId")
+            } finally graft.dedup.Dedup.release(outcomes)
+          }
         val (_, stats) = graft.pipeline.Crawl.ingestBatch(spark,
           graft.sources.Warc.warcRecords(batch.toDF(), payloadCol).toDF(),
           indexPath, inst, threshold, maxBucketSize,
-          onPageLinks = onLinks) { fresh =>
+          onPageLinks = onLinks, onRobots = onRobotsCb) { fresh =>
           sink(fresh, batchId)
         }
         log.info(s"crawlIngestStream batch $batchId: " +

@@ -252,6 +252,55 @@ class CrawlIngestStreamSpec extends SparkTestBase {
     assert(churn("https://s/c") === ((1L, 1L, 0L)))
   }
 
+  test("landRobots: the crawl self-feeds its robots cache; deletions supersede (r15)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("crawl-selfrobots")
+    base.toFile.deleteOnExit()
+    val idx = base.resolve("idx").toString
+    val fDir = base.resolve("frontier").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = EventStreams.crawlIngestStream(spark,
+      input.toDF().toDF("g", "payload"), idx, threshold = 0.5,
+      frontierDir = fDir, landRobots = true)().start()
+    def warcFx(recs: graft.sources.Warc.ResponseFixture*): Array[Byte] =
+      graft.sources.Warc.encodeWarcFixtures(recs)
+    def page(url: String, text: String, links: String*): graft.sources.Warc.ResponseFixture =
+      graft.sources.Warc.ResponseFixture(url, 200,
+        contentType = "text/html",
+        body = (s"<p>$text</p>" + links.map(l =>
+          s"""<a href="$l">l</a>""").mkString).getBytes("UTF-8"))
+    // batch 0: the site's robots disallows /no — the SAME batch's
+    // frontier must already honor it
+    input.addData((0L, warcFx(
+      graft.sources.Warc.ResponseFixture("https://s.test/robots.txt", 200,
+        contentType = "text/plain",
+        body = "User-agent: *\nDisallow: /no".getBytes("UTF-8")),
+      page("https://s.test/a", "first page body words",
+        "https://s.test/no/1", "https://s.test/ok/1"))))
+    q.processAllAvailable()
+    val f0 = spark.read.parquet(s"$fDir/next/batch=0")
+      .select("url").as[String].collect().toSet
+    assert(f0 === Set("https://s.test/ok/1"), s"batch-0 frontier: $f0")
+    // batch 1: the site DELETED its robots.txt (404) — the allow
+    // sentinel supersedes the stale disallow for the new frontier
+    input.addData((1L, warcFx(
+      graft.sources.Warc.ResponseFixture("https://s.test/robots.txt", 404,
+        contentType = "text/plain"),
+      page("https://s.test/b", "second page other tokens",
+        "https://s.test/no/2"))))
+    q.processAllAvailable()
+    q.stop()
+    val f1 = spark.read.parquet(s"$fDir/next/batch=1")
+      .select("url").as[String].collect().toSet
+    assert(f1 === Set("https://s.test/no/2"),
+      s"deleted robots must stop gating: $f1")
+    // the ledger itself: batch 0 rules, batch 1 sentinel
+    val led = spark.read.parquet(s"$fDir/robots")
+      .as[(String, String, Boolean, String, Long)].collect().toSet
+    assert(led === Set(("s.test", "*", false, "/no", 0L),
+      ("s.test", "*", true, "", 1L)), s"ledger: $led")
+  }
+
   test("landHostEdges lands the per-batch host graph; compact folds it (r15)") {
     implicit val sqlCtx = spark.sqlContext
     val base = java.nio.file.Files.createTempDirectory("crawl-edges")
