@@ -804,6 +804,31 @@ object Main {
         s"templates at >=$minUrls urls -> $out")
       spark.stop()
 
+    case "crawl-sitemap-seeds" :: sitemapsParquet :: crawledParquet ::
+        out :: rest =>
+      // page seeds from fetched sitemap bodies (urlset locs decoded +
+      // frontier-canonicalized, index bodies routed out; pass '-' for
+      // crawledParquet on a first pass; 'lastmod' adds the
+      // site-declared change signal column)
+      val withLastmod = rest.contains("lastmod")
+      val spark = session()
+      val crawled =
+        if (crawledParquet == "-")
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("url",
+                org.apache.spark.sql.types.StringType))))
+        else spark.read.parquet(crawledParquet)
+      val maps = spark.read.parquet(sitemapsParquet)
+      val seeds =
+        if (withLastmod) graft.pipeline.Sitemaps.seedsWithLastmod(maps, crawled)
+        else graft.pipeline.Sitemaps.seedsFromBytes(maps, crawled)
+      seeds.orderBy("url").write.mode("overwrite").parquet(out)
+      println(s"crawl-sitemap-seeds: ${spark.read.parquet(out).count()} " +
+        s"page seeds -> $out")
+      spark.stop()
+
     case "crawl-sitemap-children" :: sitemapsParquet :: fetchedParquet ::
         out :: Nil =>
       // sitemapindex bodies -> the child-sitemap fetch list (url,
@@ -1275,6 +1300,7 @@ object Main {
           |  crawl-robots-cache <frontierDir> <outParquet>
           |  crawl-host-edges <frontierDir> <outParquet>
           |  crawl-compact-edges <frontierDir>
+          |  crawl-sitemap-seeds <sitemapsParquet> <crawledParquet|-> <outParquet> [lastmod]
           |  crawl-sitemap-children <sitemapsParquet> <fetchedParquet|-> <outParquet>
           |  frontier-blocklist <frontierParquet> <blocklistParquet> <outParquet> [urlCol]
           |  wds-extract      <pathOrGlob> <outParquet>
