@@ -3413,6 +3413,45 @@ object SparkEntry {
       graft.pipeline.Crawl.revalidators(records).orderBy("url")
     }),
 
+    // Per-host fetch health (late r15): status classes fold per
+    // canonical host — 2xx/3xx and revisit recaptures are OK, 429
+    // throttles (paced, not suppressed), other 4xx are page-level
+    // client errors, 5xx is the host-suppression signal. One arm per
+    // id%10 class; odd groups ship gzipped.
+    "crawl_host_health" -> ((s, dir) => {
+      import s.implicits._
+      val files = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("g", floor(col("doc_id") / 25))
+        .groupBy("g")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .as[(Long, Seq[Long])]
+        .map { case (g, ids) =>
+          val recs = ids.map { id =>
+            val url = s"https://hh${id % 5}.example/p/$id"
+            val body = s"doc $id"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            (id % 10) match {
+              case 5 => graft.sources.Warc.ResponseFixture(url, 301,
+                contentType = "text/html", location = "/moved")
+              case 6 => graft.sources.Warc.ResponseFixture(url, 404,
+                contentType = "text/html")
+              case 7 => graft.sources.Warc.ResponseFixture(url, 429,
+                contentType = "text/html")
+              case 8 => graft.sources.Warc.ResponseFixture(url, 503,
+                contentType = "text/html")
+              case 9 => graft.sources.Warc.ResponseFixture(url, 200,
+                contentType = "text/plain", warcType = "revisit")
+              case _ => graft.sources.Warc.ResponseFixture(url, 200,
+                contentType = "text/html", body = body)
+            }
+          }
+          (g, graft.sources.Warc.encodeWarcFixtures(recs,
+            gzipPerRecord = g % 2 == 1))
+        }.toDF("g", "payload")
+      val records = graft.sources.Warc.warcRecords(files).toDF()
+      graft.pipeline.Crawl.hostHealth(records).orderBy("host")
+    }),
+
     // Unchanged-content recaptures as churn observations (r15): 304
     // Not Modified responses (what a conditional fetch sending the
     // revalidators gets back) and WARC `revisit` records (the Common
@@ -7869,6 +7908,18 @@ object SparkEntry {
         |      CAST(doc_id % 10 AS VARCHAR) || ':00:00 GMT'
         |    END AS last_modified
         |FROM documents WHERE doc_id % 4 <> 3 ORDER BY url""".stripMargin,
+    // the health counts replayed per host from the id%10 class lattice
+    "crawl_host_health" ->
+      """SELECT 'hh' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+        |  CAST(sum(CASE WHEN doc_id % 10 <= 5 OR doc_id % 10 = 9
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_throttle,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 6 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_client_err,
+        |  CAST(sum(CASE WHEN doc_id % 10 = 8 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_server_err
+        |FROM documents GROUP BY 1 ORDER BY host""".stripMargin,
     // the revisit arms' churn math rebuilt per url: arm 0 (304 between
     // two differing fetches) observes 3 times and counts ONE change
     // across the null-hash revisit; arm 1 (two revisits) observes 3,

@@ -759,6 +759,19 @@ object Main {
         s"pairs sharing >=$minShared hashes -> $out")
       spark.stop()
 
+    case "crawl-host-health" :: warcPath :: out :: Nil =>
+      // per-host status-class counts — the dead-host/backoff signal a
+      // fetcher joins into its scheduling policy
+      val spark = session()
+      graft.pipeline.Crawl.hostHealth(
+          spark.read.format("warc").load(warcPath))
+        .orderBy(org.apache.spark.sql.functions.col("n_server_err").desc,
+          org.apache.spark.sql.functions.col("host"))
+        .write.mode("overwrite").parquet(out)
+      println(s"crawl-host-health: ${spark.read.parquet(out).count()} " +
+        s"hosts -> $out")
+      spark.stop()
+
     case "crawl-robots-cache" :: frontierDir :: out :: Nil =>
       // the self-fed robots cache: latest outcome per host from the
       // stream's robots/batch=N ledger, in the rulesDf shape
@@ -1298,6 +1311,7 @@ object Main {
           |  crawl-mirror-hosts <frontierDir> <outParquet> [minShared] [maxHostsPerHash]
           |  crawl-soft404    <frontierDir> <outParquet> [minUrls]
           |  crawl-robots-cache <frontierDir> <outParquet>
+          |  crawl-host-health <warcPathOrGlob> <outParquet>
           |  crawl-host-edges <frontierDir> <outParquet>
           |  crawl-compact-edges <frontierDir>
           |  crawl-sitemap-seeds <sitemapsParquet> <crawledParquet|-> <outParquet> [lastmod]

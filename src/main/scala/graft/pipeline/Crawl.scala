@@ -760,6 +760,36 @@ object Crawl {
       .agg(max(col("retry_after_s")).as("retry_after_s"))
   }
 
+  /** Per-host fetch HEALTH from a batch's WARC records (late r15) —
+    * the dead-host/backoff signal [[schedule]]'s pacing inputs don't
+    * carry: (host, n_ok, n_throttle, n_client_err, n_server_err) per
+    * canonical host, where ok = 2xx/3xx (a redirect is a healthy
+    * answer), throttle = 429 (pace, don't suppress — it pairs with
+    * [[retryAfterDelays]]), client_err = other 4xx (page-level, the
+    * host itself is fine), server_err = 5xx (the suppression signal —
+    * a host answering mostly 5xx should lose fetch budget before it
+    * wastes more; revisit records count as ok, they ARE successful
+    * recaptures). A fetcher joins this into its scheduling policy at
+    * whatever threshold it wants — the counts are integer-exact and
+    * engine-portable. Map-side scan + one hosts-sized aggregate. */
+  def hostHealth(records: DataFrame): DataFrame = {
+    val st = col("http_status")
+    records.filter(col("warc_type").isin("response", "revisit"))
+      .select(UrlFilter.hostOf(col("target_uri")).as("host"),
+        col("warc_type").as("wt"), st)
+      .filter(col("host").isNotNull)
+      .groupBy("host")
+      .agg(
+        sum(when(col("wt") === "revisit" ||
+          (st >= 200 && st < 400), 1L).otherwise(0L)).as("n_ok"),
+        sum(when(col("wt") === "response" && st === 429, 1L)
+          .otherwise(0L)).as("n_throttle"),
+        sum(when(col("wt") === "response" && st >= 400 && st < 500 &&
+          st =!= 429, 1L).otherwise(0L)).as("n_client_err"),
+        sum(when(col("wt") === "response" && st >= 500 && st < 600, 1L)
+          .otherwise(0L)).as("n_server_err"))
+  }
+
   /** Conditional-fetch validators from a batch's WARC records (r15):
     * per fetched url, the RFC 9110 §8.8 cache validators its 200
     * response carried — (url, etag, last_modified), both VERBATIM

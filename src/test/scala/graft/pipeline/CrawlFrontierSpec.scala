@@ -720,6 +720,24 @@ class CrawlFrontierSpec extends SparkTestBase {
       ("https://r/refetched", 8L), ("https://r/new", 8L)))
   }
 
+  test("hostHealth: status classes fold per canonical host; -1 counts nowhere") {
+    val recs = Seq(
+      ("response", "https://A.test/1", 200), // canonical host fold
+      ("response", "https://a.test:443/2", 301),
+      ("revisit", "https://a.test/3", 200), // recapture = ok
+      ("response", "https://a.test/4", 404),
+      ("response", "https://a.test/5", 429),
+      ("response", "https://a.test/6", 503),
+      ("response", "https://a.test/7", -1), // malformed: undetermined
+      ("request", "https://a.test/8", 200), // non-response types drop
+      ("response", "https://b.test/1", 500))
+      .toDF("warc_type", "target_uri", "http_status")
+    val got = Crawl.hostHealth(recs)
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got === Set(("a.test", 3L, 1L, 1L, 1L),
+      ("b.test", 0L, 0L, 0L, 1L)))
+  }
+
   test("mirrorHosts: shared-content pairs, boilerplate guard, host canon") {
     val pages = Seq(
       // a.test and b.test mirror two pages; b.test url is a CASED
