@@ -3982,7 +3982,11 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_wet_")
       deleteRecursivelyOnExit(tmp)
       val out = tmp.toFile.getAbsolutePath
-      graft.sources.Warc.writeWetShards(docs, out, recordsPerShard = 500)
+      // writer parallelism = input partitions (the writeShards
+      // contract): a single-file parquet read would gzip every record
+      // on one core — spread the export like a real exporter does
+      graft.sources.Warc.writeWetShards(docs.repartition(32), out,
+        recordsPerShard = 500)
       s.read.format("warc").load(out)
         .filter(col("warc_type") === "conversion")
         .select(

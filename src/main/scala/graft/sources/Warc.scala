@@ -557,7 +557,10 @@ object Warc {
     * `recordsPerShard`, written FROM THE EXECUTORS (no driver collect,
     * no shuffle), immediately re-readable/splittable by this package's
     * own `format("warc")` source. The standard interchange form for a
-    * text corpus derived from a crawl. */
+    * text corpus derived from a crawl. Writer parallelism = input
+    * partitions (the [[writeShards]] contract): `repartition` a
+    * narrow-partitioned corpus first, or the per-record gzip
+    * serializes on however few partitions the scan produced. */
   def writeWetShards(docs: DataFrame, dir: String, uriCol: String = "url",
                      textCol: String = "text",
                      recordsPerShard: Int = 10000,
