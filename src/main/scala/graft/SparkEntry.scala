@@ -3542,6 +3542,46 @@ object SparkEntry {
       graft.pipeline.Crawl.recrawlChurn(s, fDir).orderBy("url")
     }),
 
+    // Ledger takedown (late r15): purgeUrls drops every row of the
+    // forget set from fetched/ AND next/ (urls + hashes + churn
+    // history are stored data about a page), preserving survivors
+    // verbatim — churn over the remainder equals never having fetched
+    // the purged urls. id%9==0 urls are forgotten mid-history (their
+    // batch-1 refetch rows go too); the frontier ledger loses its
+    // pending id%9==0 rows. Output = churn over survivors + the
+    // surviving next rows, kind-tagged.
+    "crawl_forget" -> ((s, dir) => {
+      val fd = java.nio.file.Files.createTempDirectory("graft_forget_")
+      deleteRecursivelyOnExit(fd)
+      val fDir = fd.resolve("frontier").toString
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val id = col("doc_id")
+      val url = concat(lit("https://fg.example/p/"), id)
+      def ledgerRows(batch: Int, cond: Column, key: Column) =
+        docs.filter(cond).select(url.as("url"),
+          md5(key).as("content_md5"), lit(1L).as("n_obs"),
+          lit(0L).as("n_changes"), lit(batch.toLong).as("batch"))
+      ledgerRows(0, lit(true), concat(lit("a"), id % 3))
+        .unionByName(ledgerRows(1, id % 2 === 0, concat(lit("b"), id)))
+        .write.partitionBy("batch").parquet(s"$fDir/fetched")
+      docs.filter(id % 4 === 0)
+        .select(concat(lit("https://fg.example/p/"), id + 7000000)
+          .as("url"), lit(1L).as("n_refs"), lit(0L).as("batch"))
+        .unionByName(docs.filter(id % 6 === 0).select(url.as("url"),
+          lit(2L).as("n_refs"), lit(1L).as("batch")))
+        .write.partitionBy("batch").parquet(s"$fDir/next")
+      graft.pipeline.Crawl.purgeUrls(s, fDir,
+        docs.filter(id % 9 === 0).select(url.as("url")))
+      val churn = graft.pipeline.Crawl.recrawlChurn(s, fDir)
+        .select(lit("fetched").as("kind"), col("url"),
+          col("last_batch"), col("n_obs"), col("n_changes"))
+      val next = s.read.parquet(s"$fDir/next")
+        .select(lit("next").as("kind"), col("url"),
+          col("batch").cast("long").as("last_batch"),
+          col("n_refs").as("n_obs"), lit(-1L).as("n_changes"))
+      churn.unionByName(next).orderBy("kind", "url")
+    }),
+
     // Mirror-host detection (r15): id%3==0 pages exist on BOTH their
     // m{id%5} host and a mm{id%2} mirror with identical content —
     // those 10 host pairs must surface with exact shared counts and
@@ -7939,6 +7979,36 @@ object SparkEntry {
         |  CAST(CASE WHEN doc_id % 4 = 0 OR doc_id % 4 = 2 THEN 1 ELSE 0
         |    END AS BIGINT) AS n_changes
         |FROM documents WHERE doc_id % 5 = 0 ORDER BY url""".stripMargin,
+    // the takedown replayed: id%9==0 urls vanish from BOTH ledgers;
+    // survivors' churn math is exactly as if the purged never existed
+    "crawl_forget" ->
+      """WITH fetched AS (
+        |  SELECT 'https://fg.example/p/' || CAST(doc_id AS VARCHAR)
+        |      AS url,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS last_batch,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT)
+        |      AS n_obs,
+        |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |      AS n_changes
+        |  FROM documents WHERE doc_id % 9 <> 0),
+        |nextrows AS (
+        |  SELECT 'https://fg.example/p/' ||
+        |      CAST(doc_id + 7000000 AS VARCHAR) AS url,
+        |    CAST(0 AS BIGINT) AS last_batch, CAST(1 AS BIGINT) AS n_obs,
+        |    CAST(-1 AS BIGINT) AS n_changes
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT 'https://fg.example/p/' || CAST(doc_id AS VARCHAR),
+        |    CAST(1 AS BIGINT), CAST(2 AS BIGINT), CAST(-1 AS BIGINT)
+        |  FROM documents WHERE doc_id % 6 = 0 AND doc_id % 9 <> 0)
+        |SELECT * FROM (
+        |  SELECT 'fetched' AS kind, url, last_batch, n_obs, n_changes
+        |  FROM fetched
+        |  UNION ALL
+        |  SELECT 'next', url, last_batch, n_obs, n_changes
+        |  FROM nextrows)
+        |ORDER BY kind, url""".stripMargin,
     // the mirror pairs rebuilt from the arithmetic: shared counts per
     // (m{a}, mm{b}) from the id%3/id%5/id%2 lattice; m-host totals
     // carry +1 for the boiler page (it counts as content, it just

@@ -759,6 +759,16 @@ object Main {
         s"pairs sharing >=$minShared hashes -> $out")
       spark.stop()
 
+    case "crawl-forget" :: frontierDir :: urlsParquet :: rest =>
+      // takedown: purge the given urls from the fetched + next ledgers
+      // (pair with frontier-blocklist to prevent re-acquisition)
+      val urlCol = rest.headOption.getOrElse("url")
+      val spark = session()
+      val (pf, pn) = graft.pipeline.Crawl.purgeUrls(spark, frontierDir,
+        spark.read.parquet(urlsParquet), urlCol)
+      println(s"crawl-forget: purged $pf fetched + $pn next rows")
+      spark.stop()
+
     case "crawl-host-health" :: warcPath :: out :: Nil =>
       // per-host status-class counts — the dead-host/backoff signal a
       // fetcher joins into its scheduling policy
@@ -1312,6 +1322,7 @@ object Main {
           |  crawl-soft404    <frontierDir> <outParquet> [minUrls]
           |  crawl-robots-cache <frontierDir> <outParquet>
           |  crawl-host-health <warcPathOrGlob> <outParquet>
+          |  crawl-forget     <frontierDir> <urlsParquet> [urlCol]
           |  crawl-host-edges <frontierDir> <outParquet>
           |  crawl-compact-edges <frontierDir>
           |  crawl-sitemap-seeds <sitemapsParquet> <crawledParquet|-> <outParquet> [lastmod]

@@ -1147,6 +1147,62 @@ object Crawl {
       .agg(max(col("batch")).cast("long").as("last_batch"))
       .filter(col("last_batch") < beforeBatch)
 
+  /** Takedown for the crawl ledgers (late r15) — the delete lifecycle
+    * the INDEX families have had since r10, closing the asymmetry: a
+    * forget request must also purge the `fetched/` rows (urls +
+    * content hashes + churn history ARE stored data about the page)
+    * and any pending `next/` frontier rows. Rewrites both ledgers
+    * minus the given urls, PRESERVING the per-batch partition layout
+    * and every surviving row verbatim (accumulators included — churn
+    * math over the survivors is untouched), via the atomic
+    * delete+rename swap of the compaction family; replays of
+    * pre-purge batches are out of contract afterwards (the shared
+    * convention). Returns (purged fetched rows, purged next rows).
+    *
+    * Purging makes the url REFETCHABLE by design (forget-and-
+    * reacquire): a takedown that must also prevent re-acquisition
+    * pairs this with the frontier blocklist
+    * ([[UrlFilter.dropBlockedUrls]] / the stream's `blockedDomains`)
+    * or a URL-level gate. Corpus-index rows are the index families'
+    * own tombstone lifecycle (`store.Tombstones`); host-keyed
+    * ledgers (`edges/`, `robots/`) carry no per-url rows to purge.
+    * Scale: one anti-join per ledger against the (broadcast) forget
+    * set, maintenance cadence. */
+  def purgeUrls(spark: SparkSession, frontierDir: String,
+                urls: DataFrame, urlCol: String = "url"): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val forget = broadcast(urls.select(col(urlCol).cast("string")
+      .as("url")).distinct())
+    def purge(name: String): Long = {
+      val p = new Path(s"$frontierDir/$name")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!hasCommittedData(spark, p.toString)) return 0L
+      val df = spark.read.parquet(p.toString)
+      val before = df.count()
+      val kept = df.join(forget, Seq("url"), "left_anti")
+      val keptCount = kept.count()
+      if (keptCount == before) return 0L // no hits: leave the ledger be
+      if (keptCount == 0L) {
+        // full purge = absence (an empty partitioned write would leave
+        // a dir that fails schema inference; absence reads cleanly)
+        fs.delete(p, true)
+        return before
+      }
+      val tmp = new Path(s"$frontierDir/$name._purging")
+      fs.delete(tmp, true)
+      kept.write.partitionBy("batch").parquet(tmp.toString)
+      val old = new Path(s"$frontierDir/$name._old")
+      fs.delete(old, true)
+      if (!fs.rename(p, old))
+        throw new java.io.IOException(s"purge swap-out failed: $p")
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"purge swap-in failed: $p")
+      fs.delete(old, true)
+      before - keptCount
+    }
+    (purge("fetched"), purge("next"))
+  }
+
   /** Fold every `next/batch=N` frontier partition into ONE partition
     * keyed by the highest batch id seen: ref counts SUM per url (the
     * fetch-priority signal accumulates across discoveries), and urls

@@ -782,6 +782,40 @@ class CrawlFrontierSpec extends SparkTestBase {
       "https://h1.test/real", "https://h1.test/redir"))
   }
 
+  test("purgeUrls: takedown rewrites both ledgers; full purge reads as absence") {
+    val base = java.nio.file.Files.createTempDirectory("crawl-purge")
+    base.toFile.deleteOnExit()
+    val fDir = base.resolve("frontier").toString
+    Seq(("https://p/keep", "h1", 1L, 0L, 0L),
+      ("https://p/gone", "h2", 1L, 0L, 0L),
+      ("https://p/keep", "h3", 1L, 0L, 1L))
+      .toDF("url", "content_md5", "n_obs", "n_changes", "batch")
+      .write.partitionBy("batch").parquet(s"$fDir/fetched")
+    Seq(("https://p/gone", 2L, 0L), ("https://p/fresh", 1L, 0L))
+      .toDF("url", "n_refs", "batch")
+      .write.partitionBy("batch").parquet(s"$fDir/next")
+    val (pf, pn) = Crawl.purgeUrls(spark, fDir,
+      Seq("https://p/gone", "https://p/nowhere").toDF("url"))
+    assert((pf, pn) === ((1L, 1L)))
+    // survivors verbatim, per-batch layout preserved
+    assert(spark.read.parquet(s"$fDir/fetched")
+      .select("url", "batch").as[(String, Long)].collect().toSet ===
+      Set(("https://p/keep", 0L), ("https://p/keep", 1L)))
+    assert(spark.read.parquet(s"$fDir/next")
+      .select("url").as[String].collect().toSeq === Seq("https://p/fresh"))
+    // no-hit purge is a no-op (no rewrite)
+    assert(Crawl.purgeUrls(spark, fDir,
+      Seq("https://p/absent").toDF("url")) === ((0L, 0L)))
+    // full purge of a ledger leaves ABSENCE, not an unreadable dir
+    val (pf2, pn2) = Crawl.purgeUrls(spark, fDir,
+      Seq("https://p/keep", "https://p/fresh").toDF("url"))
+    assert((pf2, pn2) === ((2L, 1L)))
+    assert(!Crawl.hasCommittedData(spark, s"$fDir/fetched"))
+    assert(!Crawl.hasCommittedData(spark, s"$fDir/next"))
+    assert(Crawl.purgeUrls(spark, fDir,
+      Seq("https://p/keep").toDF("url")) === ((0L, 0L)))
+  }
+
   test("recrawlChurn: observation counts, null gaps, compaction invariance") {
     def ledger(tag: String): String = {
       val d = java.nio.file.Files.createTempDirectory(s"crawl-churn-$tag")
