@@ -3315,6 +3315,54 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Feed seeding (late r15): RSS 2.0 (even ids) and Atom (odd ids,
+    // gzipped, href-attribute links in BOTH quote forms) entries seed
+    // the frontier with a freshness date — the shared s/{id%40} url
+    // aggregates refs and MAXES its listed days across feeds, the
+    // unique u/{id} arm carries no date, entity-escaped multi-param
+    // links decode, the channel-level prologue link and the crawled
+    // own-page entry never seed.
+    "crawl_feed_seeds" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val feeds = docs.as[Long].map { id =>
+        val own = s"https://h${id % 7}.example/page/$id"
+        val day = f"${1 + id % 28}%02d"
+        val shared = s"https://nw.example/s/${id % 40}?p=1&amp;q=${id % 3}"
+        val unique = s"https://nw.example/u/$id"
+        val xml =
+          if (id % 2 == 0)
+            s"""<?xml version="1.0"?><rss version="2.0"><channel>
+               |<link>https://nw.example/</link>
+               |<pubDate>Mon, 01 Jan 2001 00:00:00 GMT</pubDate>
+               |<item><link>$shared</link><pubDate>2026-03-$day</pubDate></item>
+               |<item><link>$unique</link></item>
+               |<item><link>$own</link><pubDate>2026-03-$day</pubDate></item>
+               |</channel></rss>""".stripMargin
+          else
+            s"""<feed xmlns="http://www.w3.org/2005/Atom">
+               |<link rel="self" href="https://nw.example/feed.xml"/>
+               |<entry><link href="$shared"/><updated>2026-03-$day</updated></entry>
+               |<entry><LINK HREF='$unique'/></entry>
+               |<entry><link href="$own"/><updated>2026-03-$day</updated></entry>
+               |</feed>""".stripMargin
+        val bytes = xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val body =
+          if (id % 2 == 0) bytes
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            g.write(bytes); g.finish()
+            bos.toByteArray
+          }
+        (id, body)
+      }.toDF("doc_id", "body")
+      val crawled = docs.select(concat(lit("https://h"), col("doc_id") % 7,
+        lit(".example/page/"), col("doc_id")).as("url"))
+      graft.pipeline.Feeds.seedsFromFeeds(feeds, crawled)
+        .orderBy("url")
+    }),
+
     // Sitemap-index routing (r15): a <sitemapindex> body's locs are
     // child SITEMAPS to fetch and re-parse, never page seeds — id%3==0
     // bodies are two-child indexes (a shared maps/{id%20} child whose
@@ -7901,6 +7949,25 @@ object SparkEntry {
         |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
         |SELECT url, CAST(count(*) AS BIGINT) AS n_refs,
         |  max(lastmod) AS lastmod
+        |FROM u GROUP BY url ORDER BY url""".stripMargin,
+    // seeds + freshness dates rebuilt from the arithmetic: s/{id%40}
+    // aggregates refs and maxes its day strings, u/{id} is dateless,
+    // the escaped query decodes, prologue and crawled arms never seed
+    "crawl_feed_seeds" ->
+      """WITH a AS (
+        |  SELECT 'https://nw.example/s/' || CAST(doc_id % 40 AS VARCHAR)
+        |      || '?p=1&q=' || CAST(doc_id % 3 AS VARCHAR) AS url,
+        |    '2026-03-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+        |      AS feed_date
+        |  FROM documents),
+        |b AS (
+        |  SELECT 'https://nw.example/u/' || CAST(doc_id AS VARCHAR)
+        |      AS url,
+        |    CAST(NULL AS VARCHAR) AS feed_date
+        |  FROM documents),
+        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
+        |SELECT url, CAST(count(*) AS BIGINT) AS n_refs,
+        |  max(feed_date) AS feed_date
         |FROM u GROUP BY url ORDER BY url""".stripMargin,
     // both hierarchy levels rebuilt from the fixture arithmetic: index
     // locs (shared child maxing its listed days, solo child null, the

@@ -37,7 +37,7 @@ object Sitemaps {
   def isIndexFromBytes(body: Array[Byte]): Boolean =
     decodeBody(body).exists(isIndex)
 
-  private def decodeBody(body: Array[Byte]): Option[String] = {
+  private[pipeline] def decodeBody(body: Array[Byte]): Option[String] = {
     if (body == null) return None
     graft.sources.Warc.gunzipAll(body).map { bytes =>
       val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()

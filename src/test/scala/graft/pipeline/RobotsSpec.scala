@@ -291,6 +291,64 @@ class RobotsSpec extends SparkTestBase {
       .as[(String, Long)].collect().toSet === Set(("https://s/page1", 1L)))
   }
 
+  test("Feeds.entries: RSS/Atom regions, first-link/first-date, prologue excluded") {
+    val rss =
+      """<?xml version="1.0"?><rss version="2.0"><channel>
+        |<title>c</title><link>https://site.example/</link>
+        |<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate>
+        |<item><title>a</title><link>https://site.example/a?x=1&amp;y=2</link>
+        |<pubDate>Tue, 05 Aug 2025 10:00:00 GMT</pubDate>
+        |<link>https://site.example/ignored-second</link></item>
+        |<item><link>https://site.example/no-date</link></item>
+        |<item><pubDate>Wed, 06 Aug 2025 11:00:00 GMT</pubDate>
+        |<link>https://site.example/date-first</link></item>
+        |<item><title>linkless</title></item>
+        |</channel></rss>""".stripMargin
+    // the channel-level link/date never count; dates pair within their
+    // region regardless of order; a linkless item emits nothing
+    assert(Feeds.entries(rss).toSeq === Seq(
+      ("https://site.example/a?x=1&amp;y=2",
+        "Tue, 05 Aug 2025 10:00:00 GMT"),
+      ("https://site.example/no-date", null),
+      ("https://site.example/date-first",
+        "Wed, 06 Aug 2025 11:00:00 GMT")))
+    val atom =
+      """<feed xmlns="http://www.w3.org/2005/Atom">
+        |<link rel="self" href="https://f.example/feed.xml"/>
+        |<ENTRY><LINK HREF='https://f.example/e1'/>
+        |<updated>2025-08-01T09:00:00Z</updated></ENTRY>
+        |<entry><link rel="alternate" href="https://f.example/e2" />
+        |<published>2025-08-02T09:00:00Z</published></entry>
+        |</feed>""".stripMargin
+    assert(Feeds.entries(atom).toSeq === Seq(
+      ("https://f.example/e1", "2025-08-01T09:00:00Z"),
+      ("https://f.example/e2", "2025-08-02T09:00:00Z")))
+    // totality on garbage
+    assert(Feeds.entries(null).isEmpty)
+    assert(Feeds.entries("<item><link>x").isEmpty) // unterminated: drops
+    assert(Feeds.entries("<items><link>u</link></items>").isEmpty,
+      "<items> must not open a region")
+    // the seeds composition: decode + canonicalize + crawled anti-join
+    // + max date; gzip bodies parse
+    def gz(s: String): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(s.getBytes("UTF-8")); g.finish()
+      out.toByteArray
+    }
+    val f1 = "<rss><channel><item><link>https://n.example/1?a=1&amp;b=2</link>" +
+      "<pubDate>2025-01-01</pubDate></item>" +
+      "<item><link>https://crawled.example/x</link></item></channel></rss>"
+    val f2 = "<feed><entry><link href=\"https://n.example/1?a=1&amp;b=2\"/>" +
+      "<updated>2025-02-02</updated></entry>" +
+      "<entry><link href=\"/relative-dropped\"/></entry></feed>"
+    val seeds = Feeds.seedsFromFeeds(
+      Seq(gz(f1), f2.getBytes("UTF-8")).toDF("body"),
+      Seq("https://crawled.example/x").toDF("url"))
+      .as[(String, Long, String)].collect().toSet
+    assert(seeds === Set(("https://n.example/1?a=1&b=2", 2L, "2025-02-02")))
+  }
+
   test("filterAllowed gates urls per host; hosts without robots allow all") {
     val robots = Seq(
       ("a.example",
