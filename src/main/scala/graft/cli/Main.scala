@@ -827,6 +827,26 @@ object Main {
         s"templates at >=$minUrls urls -> $out")
       spark.stop()
 
+    case "crawl-feed-seeds" :: feedsParquet :: crawledParquet ::
+        out :: Nil =>
+      // RSS/Atom entry links -> frontier seeds with the freshness date
+      val spark = session()
+      val crawled =
+        if (crawledParquet == "-")
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("url",
+                org.apache.spark.sql.types.StringType))))
+        else spark.read.parquet(crawledParquet)
+      graft.pipeline.Feeds.seedsFromFeeds(
+          spark.read.parquet(feedsParquet), crawled)
+        .orderBy("url")
+        .write.mode("overwrite").parquet(out)
+      println(s"crawl-feed-seeds: ${spark.read.parquet(out).count()} " +
+        s"seeds -> $out")
+      spark.stop()
+
     case "crawl-sitemap-seeds" :: sitemapsParquet :: crawledParquet ::
         out :: rest =>
       // page seeds from fetched sitemap bodies (urlset locs decoded +
@@ -1325,6 +1345,7 @@ object Main {
           |  crawl-forget     <frontierDir> <urlsParquet> [urlCol]
           |  crawl-host-edges <frontierDir> <outParquet>
           |  crawl-compact-edges <frontierDir>
+          |  crawl-feed-seeds <feedsParquet> <crawledParquet|-> <outParquet>
           |  crawl-sitemap-seeds <sitemapsParquet> <crawledParquet|-> <outParquet> [lastmod]
           |  crawl-sitemap-children <sitemapsParquet> <fetchedParquet|-> <outParquet>
           |  frontier-blocklist <frontierParquet> <blocklistParquet> <outParquet> [urlCol]
