@@ -110,20 +110,25 @@ object Feeds {
     while (true) {
       val h = lower.indexOf("href", from)
       if (h < 0) return null
-      var j = h + 4
-      while (j < attrs.length && attrs.charAt(j) == ' ') j += 1
-      if (j < attrs.length && attrs.charAt(j) == '=') {
-        j += 1
+      // attribute-name boundary: "xhref=" must not match
+      if (h > 0 && !" \t\n\r/".contains(attrs.charAt(h - 1))) {
+        from = h + 4
+      } else {
+        var j = h + 4
         while (j < attrs.length && attrs.charAt(j) == ' ') j += 1
-        if (j < attrs.length &&
-          (attrs.charAt(j) == '"' || attrs.charAt(j) == '\'')) {
-          val q = attrs.charAt(j)
-          val end = attrs.indexOf(q, j + 1)
-          if (end > 0) return attrs.substring(j + 1, end)
-          return null
+        if (j < attrs.length && attrs.charAt(j) == '=') {
+          j += 1
+          while (j < attrs.length && attrs.charAt(j) == ' ') j += 1
+          if (j < attrs.length &&
+            (attrs.charAt(j) == '"' || attrs.charAt(j) == '\'')) {
+            val q = attrs.charAt(j)
+            val end = attrs.indexOf(q, j + 1)
+            if (end > 0) return attrs.substring(j + 1, end)
+            return null
+          }
         }
+        from = h + 4
       }
-      from = h + 4
     }
     null // unreachable
   }

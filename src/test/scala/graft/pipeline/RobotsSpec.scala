@@ -328,6 +328,10 @@ class RobotsSpec extends SparkTestBase {
     assert(Feeds.entries("<item><link>x").isEmpty) // unterminated: drops
     assert(Feeds.entries("<items><link>u</link></items>").isEmpty,
       "<items> must not open a region")
+    // attribute-name boundary: xhref must not satisfy the href capture
+    assert(Feeds.entries(
+      "<entry><link xhref=\"https://bad/\" href=\"https://good/\"/></entry>")
+      .toSeq === Seq(("https://good/", null)))
     // the seeds composition: decode + canonicalize + crawled anti-join
     // + max date; gzip bodies parse
     def gz(s: String): Array[Byte] = {
