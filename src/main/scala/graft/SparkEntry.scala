@@ -1385,9 +1385,11 @@ object SparkEntry {
 
     // exact standardization stats for numeric featurization: Σx and Σx²
     // accumulate EXACTLY in decimal (order-free), convert once to
-    // double, then a fixed correctly-rounded op sequence
-    // (mean = sx/n; std = sqrt(sq/n − mean·mean)) reproduces
-    // bit-for-bit in any engine
+    // double — then the outputs ROUND to DECIMAL(18,6): the raw double
+    // chain is NOT engine-bit-stable (late-r15 sf0.1 finding — DuckDB
+    // converts decimal→double as int/scale, TWO roundings vs the JVM's
+    // correctly-rounded BigDecimal path, and the variance cancellation
+    // amplifies the ulp into repr space; 6dp is ~10^5 ulps of headroom)
     "q_scaler_stats" -> ((s, dir) => {
       val l = tbl(s, dir, "lineitem")
       def sums(c: String) = {
@@ -1398,8 +1400,9 @@ object SparkEntry {
       def meanStd(c: String, label: String) = {
         val n = col("n").cast("double")
         val mean = col(s"_sx_$c") / n
-        Seq(mean.as(s"mean_$label"),
-          sqrt(col(s"_sq_$c") / n - mean * mean).as(s"std_$label"))
+        Seq(mean.cast("decimal(18,6)").as(s"mean_$label"),
+          sqrt(col(s"_sq_$c") / n - mean * mean).cast("decimal(18,6)")
+            .as(s"std_$label"))
       }
       val aggs = sums("l_quantity") ++ sums("l_extendedprice") :+
         count(lit(1)).as("n")
@@ -6792,10 +6795,12 @@ object SparkEntry {
         |      AS DOUBLE) AS sq_p,
         |    count(*) AS n
         |  FROM lineitem)
-        |SELECT sx_q / n AS mean_qty,
-        |  sqrt(sq_q / n - (sx_q / n) * (sx_q / n)) AS std_qty,
-        |  sx_p / n AS mean_price,
-        |  sqrt(sq_p / n - (sx_p / n) * (sx_p / n)) AS std_price,
+        |SELECT CAST(sx_q / n AS DECIMAL(18,6)) AS mean_qty,
+        |  CAST(sqrt(sq_q / n - (sx_q / n) * (sx_q / n))
+        |    AS DECIMAL(18,6)) AS std_qty,
+        |  CAST(sx_p / n AS DECIMAL(18,6)) AS mean_price,
+        |  CAST(sqrt(sq_p / n - (sx_p / n) * (sx_p / n))
+        |    AS DECIMAL(18,6)) AS std_price,
         |  n
         |FROM s""".stripMargin,
     // BPE: chr(1)-joined symbols, list_zip adjacent pairs (zip pads with
