@@ -71,7 +71,17 @@ object Feeds {
         flush(); inRegion = false; i += 7
       } else if (tagAt(i, "</entry>")) {
         flush(); inRegion = false; i += 8
-      } else if (inRegion && link == null && tagAt(i, "<link")) {
+      } else if (inRegion && link == null && tagAt(i, "<link") &&
+          i + 5 < n && {
+            // tag-name boundary (r16, the ADVICE finding — the opensAt
+            // discipline): "<linked>" / "<linkage href=…>" inside an
+            // entry must not be treated as its link element. '>' opens
+            // the RSS text form, whitespace the Atom attribute form,
+            // '/' a (useless but well-formed) self-close.
+            val c = xml.charAt(i + 5)
+            c == '>' || c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
+              c == '/'
+          }) {
         // Atom form: href attribute inside the tag (self-closing or
         // not); RSS form: "<link>" then text content
         val tagClose = {
@@ -137,28 +147,219 @@ object Feeds {
   def entriesFromBytes(body: Array[Byte]): Array[(String, String)] =
     Sitemaps.decodeBody(body).map(entries).getOrElse(Array.empty)
 
+  private def epochDays(y: Int, m: Int, d: Int): Long = {
+    // Howard Hinnant's days-from-civil — integer-exact, engine-free
+    val yy = if (m <= 2) y - 1 else y
+    val era = (if (yy >= 0) yy else yy - 399) / 400
+    val yoe = yy - era * 400
+    val doy = (153 * (if (m > 2) m - 3 else m + 9) + 2) / 5 + d - 1
+    val doe = yoe.toLong * 365 + yoe / 4 - yoe / 100 + doy
+    era.toLong * 146097 + doe - 719468
+  }
+
+  private val Months = Map(
+    "jan" -> 1, "feb" -> 2, "mar" -> 3, "apr" -> 4, "may" -> 5,
+    "jun" -> 6, "jul" -> 7, "aug" -> 8, "sep" -> 9, "oct" -> 10,
+    "nov" -> 11, "dec" -> 12)
+
+  // the RFC 822 named-zone table (GMT family + the US zones the RFC
+  // defines); single-letter military zones are out of contract
+  private val Zones = Map(
+    "gmt" -> 0, "ut" -> 0, "utc" -> 0, "z" -> 0,
+    "est" -> -5 * 3600, "edt" -> -4 * 3600, "cst" -> -6 * 3600,
+    "cdt" -> -5 * 3600, "mst" -> -7 * 3600, "mdt" -> -6 * 3600,
+    "pst" -> -8 * 3600, "pdt" -> -7 * 3600)
+
+  /** Comparable recency KEY for a verbatim feed date — epoch seconds,
+    * or null when unparseable. Feeds mix two date dialects (RSS
+    * pubDate is RFC 822 letter-initial, Atom updated is RFC 3339
+    * digit-initial), so a lexicographic MAX across feeds is
+    * format-determined, never recency-determined (the r15 ADVICE
+    * finding). This parses BOTH into one epoch key:
+    *
+    *  - RFC 822/1123: optional `Www, ` weekday (skipped unvalidated —
+    *    feeds get weekdays wrong constantly), 1-2 digit day, English
+    *    3-letter month, 4-digit year, `HH:mm[:ss]`, zone = GMT/UT/
+    *    UTC/Z, `±hhmm`, or the RFC's named US zones; a MISSING zone
+    *    reads as GMT (lenient — feeds are garbage-rich). 2-digit
+    *    years and military zones are out of contract (null).
+    *  - RFC 3339 / ISO 8601: `yyyy-MM-dd`, optional `T`/space +
+    *    `HH:mm[:ss[.frac]]`, optional `Z` or `±hh[:]mm`; a bare date
+    *    reads as midnight UTC.
+    *
+    * Field ranges validate (month 1-12, day 1-31, hh ≤ 23, mm/ss ≤
+    * 59); anything else is null. Deterministic, dependency-free, never
+    * throws — FeedsSpec cross-checks a battery against java.time. */
+  def dateKey(s: String): java.lang.Long = {
+    if (s == null) return null
+    val t = s.trim
+    if (t.isEmpty) return null
+    val n = t.length
+    var i = 0
+    def digitsAt(at: Int, min: Int, max: Int): Int = {
+      // reads [min,max] digits at `at`; returns count or -1
+      var k = at
+      while (k < n && k - at < max && t.charAt(k).isDigit) k += 1
+      if (k - at < min) -1 else k - at
+    }
+    def num(at: Int, len: Int): Int = {
+      var v = 0
+      var k = at
+      while (k < at + len) { v = v * 10 + (t.charAt(k) - '0'); k += 1 }
+      v
+    }
+    def skipWs(): Unit = while (i < n && t.charAt(i) == ' ') i += 1
+    def iso(): java.lang.Long = {
+      i = 0
+      // ---- RFC 3339 / ISO 8601 ----
+      if (digitsAt(0, 4, 4) != 4) return null
+      val y = num(0, 4); i = 4
+      if (i >= n || t.charAt(i) != '-' || digitsAt(i + 1, 2, 2) != 2)
+        return null
+      val mo = num(i + 1, 2); i += 3
+      if (i >= n || t.charAt(i) != '-' || digitsAt(i + 1, 2, 2) != 2)
+        return null
+      val d = num(i + 1, 2); i += 3
+      if (mo < 1 || mo > 12 || d < 1 || d > 31) return null
+      var hh = 0; var mi = 0; var ss = 0; var off = 0
+      if (i < n) {
+        val sep = t.charAt(i)
+        if (sep != 'T' && sep != 't' && sep != ' ') return null
+        i += 1
+        if (digitsAt(i, 2, 2) != 2) return null
+        hh = num(i, 2); i += 2
+        if (i >= n || t.charAt(i) != ':' || digitsAt(i + 1, 2, 2) != 2)
+          return null
+        mi = num(i + 1, 2); i += 3
+        if (i < n && t.charAt(i) == ':') {
+          if (digitsAt(i + 1, 2, 2) != 2) return null
+          ss = num(i + 1, 2); i += 3
+          if (i < n && t.charAt(i) == '.') {
+            i += 1
+            val f = digitsAt(i, 1, 9)
+            if (f < 0) return null
+            i += f // fraction truncates: keys compare at second grain
+          }
+        }
+        if (i < n) {
+          val zc = t.charAt(i)
+          if (zc == 'Z' || zc == 'z') i += 1
+          else if (zc == '+' || zc == '-') {
+            val sign = if (zc == '-') -1 else 1
+            if (digitsAt(i + 1, 2, 2) != 2) return null
+            val oh = num(i + 1, 2); i += 3
+            var om = 0
+            if (i < n && t.charAt(i) == ':') {
+              if (digitsAt(i + 1, 2, 2) != 2) return null
+              om = num(i + 1, 2); i += 3
+            } else if (digitsAt(i, 2, 2) == 2) { om = num(i, 2); i += 2 }
+            if (oh > 23 || om > 59) return null
+            off = sign * (oh * 3600 + om * 60)
+          } else return null
+        }
+      }
+      if (i != n || hh > 23 || mi > 59 || ss > 59) return null
+      epochDays(y, mo, d) * 86400L + hh * 3600L + mi * 60L + ss - off
+    }
+    def rfc822(): java.lang.Long = {
+      i = 0
+      // ---- RFC 822 / 1123 ----
+      // optional weekday: letters then ','
+      val comma = t.indexOf(',')
+      if (comma >= 0 && comma <= 9 &&
+        (0 until comma).forall(k => t.charAt(k).isLetter)) i = comma + 1
+      skipWs()
+      val dl = digitsAt(i, 1, 2)
+      if (dl < 0) return null
+      val d = num(i, dl); i += dl
+      skipWs()
+      if (i + 3 > n) return null
+      val mo = Months.getOrElse(
+        t.substring(i, i + 3).toLowerCase(java.util.Locale.ROOT), -1)
+      if (mo < 0) return null
+      i += 3
+      skipWs()
+      if (digitsAt(i, 4, 4) != 4) return null
+      val y = num(i, 4); i += 4
+      skipWs()
+      if (digitsAt(i, 2, 2) != 2) return null
+      val hh = num(i, 2); i += 2
+      if (i >= n || t.charAt(i) != ':' || digitsAt(i + 1, 2, 2) != 2)
+        return null
+      val mi = num(i + 1, 2); i += 3
+      var ss = 0
+      if (i < n && t.charAt(i) == ':') {
+        if (digitsAt(i + 1, 2, 2) != 2) return null
+        ss = num(i + 1, 2); i += 3
+      }
+      skipWs()
+      var off = 0
+      if (i < n) {
+        val zc = t.charAt(i)
+        if (zc == '+' || zc == '-') {
+          val sign = if (zc == '-') -1 else 1
+          if (digitsAt(i + 1, 4, 4) != 4) return null
+          val oh = num(i + 1, 2); val om = num(i + 3, 2); i += 5
+          if (oh > 23 || om > 59) return null
+          off = sign * (oh * 3600 + om * 60)
+        } else {
+          val zEnd = {
+            var k = i
+            while (k < n && t.charAt(k).isLetter) k += 1
+            k
+          }
+          val z = Zones.get(
+            t.substring(i, zEnd).toLowerCase(java.util.Locale.ROOT))
+          if (z.isEmpty) return null
+          off = z.get; i = zEnd
+        }
+      }
+      if (i != n || d < 1 || d > 31 || hh > 23 || mi > 59 || ss > 59)
+        return null
+      epochDays(y, mo, d) * 86400L + hh * 3600L + mi * 60L + ss - off
+    }
+    if (!t.charAt(0).isDigit) rfc822()
+    else {
+      // digit-initial is USUALLY ISO, but the weekday-less RFC 822
+      // form ("05 Aug 2025 …") is digit-initial too — fall through
+      val k = iso()
+      if (k != null) k else rfc822()
+    }
+  }
+
   /** Seed candidates from fetched feed bodies: entry links
     * entity-decoded (RSS mandates XML escaping — `&amp;` in every
     * multi-param news url) and canonicalized exactly like the frontier
     * ([[UrlResolve.selfNormalize]] — relative/non-http(s) links null
     * out; feeds carry absolute urls by convention), anti-joined
     * against `crawled`, ref-counted across feeds, with `feed_date` =
-    * the MAX verbatim date across listings (null when none declares
-    * one) — the freshness signal a fetcher weighs against
-    * [[Crawl.recrawlChurn]] exactly like sitemap lastmod. Same output
-    * shape as [[Sitemaps.seedsWithLastmod]] modulo the column name. */
+    * the MOST RECENT date across listings, verbatim (null when none
+    * declares one) — the freshness signal a fetcher weighs against
+    * [[Crawl.recrawlChurn]] exactly like sitemap lastmod. Recency is
+    * the [[dateKey]] epoch (r16, the ADVICE finding: RSS pubDates are
+    * RFC 822 letter-initial, Atom dates RFC 3339 digit-initial, so a
+    * lexicographic MAX always preferred the RFC 822 string regardless
+    * of actual recency); the winner is `max(struct(key, date))` — an
+    * unparseable date (null key, smallest) loses to any parsed one,
+    * and among only-unparseable dates the fold degrades to the old
+    * lexicographic MAX. Same output shape as
+    * [[Sitemaps.seedsWithLastmod]] modulo the column name. */
   def seedsFromFeeds(feeds: DataFrame, crawled: DataFrame,
                      bodyCol: String = "body",
                      urlCol: String = "url"): DataFrame = {
     val pairs = udf((b: Array[Byte]) => entriesFromBytes(b))
     val canon =
       udf((s: String) => UrlResolve.selfNormalize(HtmlText.decodeAttr(s)))
+    val key = udf((s: String) => Option(dateKey(s)).map(_.longValue))
     feeds.select(explode(pairs(col(bodyCol))).as("_fe"))
       .select(canon(col("_fe._1")).as("url"), col("_fe._2").as("feed_date"))
       .filter(col("url").isNotNull)
       .join(crawled.select(col(urlCol).cast("string").as("url")),
         Seq("url"), "left_anti")
       .groupBy("url")
-      .agg(count(lit(1)).as("n_refs"), max(col("feed_date")).as("feed_date"))
+      .agg(count(lit(1)).as("n_refs"),
+        max(struct(key(col("feed_date")).as("k"), col("feed_date").as("d")))
+          .as("_fd"))
+      .select(col("url"), col("n_refs"), col("_fd.d").as("feed_date"))
   }
 }

@@ -339,11 +339,24 @@ object Robots {
     * allowed" — otherwise a site that DELETED its robots.txt keeps its
     * stale disallows forever. The sentinel is a real RFC rule (an
     * empty-prefix allow matches every path at length 0), so no
-    * consumer needs to special-case it. */
+    * consumer needs to special-case it.
+    *
+    * A 304 Not Modified robots response is NEITHER outcome (r16, the
+    * ADVICE finding): it means "your cached copy is still current", so
+    * the host's PRIOR ledger outcome must stand — emitting the
+    * ruleless sentinel for it would let a conditional robots refetch
+    * (the [[graft.pipeline.Crawl.revalidators]] loop covers
+    * /robots.txt urls too) replace a cached disallow with allow-all
+    * under the latest-wins read. 304s therefore produce no row at
+    * all; the same goes for WARC `revisit` recaptures of robots.txt
+    * (the other unchanged-content form). */
   def outcomesFromRecords(records: DataFrame, maxRedirects: Int = 5)
       : DataFrame = {
     val rules = rulesFromRecords(records, maxRedirects)
     val fetched = records.filter(col("warc_type") === "response" &&
+        // null-safe: a malformed (statusless) robots response is not a
+        // 304 and keeps its pre-r16 ruleless-sentinel behavior
+        !col("http_status").eqNullSafe(304) &&
         pathOf(col("target_uri")) === "/robots.txt")
       .select(UrlFilter.hostOf(col("target_uri")).as("host"))
       .filter(col("host").isNotNull).distinct()

@@ -332,6 +332,13 @@ class RobotsSpec extends SparkTestBase {
     assert(Feeds.entries(
       "<entry><link xhref=\"https://bad/\" href=\"https://good/\"/></entry>")
       .toSeq === Seq(("https://good/", null)))
+    // tag-name boundary (r16): <linked>/<linkage href=…> inside an
+    // entry are NOT its link element — the real <link> after them wins
+    assert(Feeds.entries(
+      "<entry><linked>https://bad/</linked>" +
+        "<linkage href=\"https://bad2/\"/>" +
+        "<link href=\"https://good2/\"/></entry>")
+      .toSeq === Seq(("https://good2/", null)))
     // the seeds composition: decode + canonicalize + crawled anti-join
     // + max date; gzip bodies parse
     def gz(s: String): Array[Byte] = {
@@ -351,6 +358,93 @@ class RobotsSpec extends SparkTestBase {
       Seq("https://crawled.example/x").toDF("url"))
       .as[(String, Long, String)].collect().toSet
     assert(seeds === Set(("https://n.example/1?a=1&b=2", 2L, "2025-02-02")))
+  }
+
+  test("Feeds.dateKey: both dialects to one epoch, java.time cross-check") {
+    import java.time.{Instant, OffsetDateTime}
+    import java.time.format.DateTimeFormatter
+    def iso(s: String): Long = Instant.parse(s).getEpochSecond
+    // RFC 3339 battery vs java.time
+    assert(Feeds.dateKey("2025-08-02T09:00:00Z") ===
+      iso("2025-08-02T09:00:00Z"))
+    assert(Feeds.dateKey("2026-03-05") === iso("2026-03-05T00:00:00Z"))
+    assert(Feeds.dateKey("1999-12-31T23:59:59.999Z") ===
+      iso("1999-12-31T23:59:59Z"), "fraction truncates")
+    assert(Feeds.dateKey("2025-08-02T09:00:00+02:00") ===
+      iso("2025-08-02T07:00:00Z"))
+    assert(Feeds.dateKey("2025-08-02 09:30:00-0130") ===
+      iso("2025-08-02T11:00:00Z"))
+    assert(Feeds.dateKey("2025-08-02T09:15") ===
+      iso("2025-08-02T09:15:00Z"), "seconds optional, zone-less = UTC")
+    // RFC 822/1123 battery vs java.time's RFC_1123 parser
+    def rfc(s: String): Long = OffsetDateTime
+      .parse(s, DateTimeFormatter.RFC_1123_DATE_TIME).toEpochSecond
+    for (s <- Seq("Tue, 05 Aug 2025 10:00:00 GMT",
+        "Mon, 5 May 2025 01:02:03 +0200",
+        "Wed, 31 Dec 2025 23:59:59 -0830"))
+      assert(Feeds.dateKey(s) === rfc(s), s)
+    // weekday optional + unvalidated; named US zones; seconds optional
+    assert(Feeds.dateKey("05 Aug 2025 10:00:00 GMT") ===
+      Feeds.dateKey("Fri, 05 Aug 2025 10:00:00 GMT"))
+    assert(Feeds.dateKey("Tue, 05 Aug 2025 10:00 EST") ===
+      iso("2025-08-05T15:00:00Z"))
+    assert(Feeds.dateKey("Tue, 05 Aug 2025 10:00:00") ===
+      iso("2025-08-05T10:00:00Z"), "missing zone reads as GMT")
+    // unparseable forms are null, never throw
+    for (bad <- Seq(null, "", "yesterday", "2025-13-01", "2025-02-3",
+        "Tue, 05 Aug 25 10:00:00 GMT", "Tue, 05 Aug 2025 10:00:00 J",
+        "2025-08-02T24:00:00Z", "Tue, 05 Xxx 2025 10:00:00 GMT"))
+      assert(Feeds.dateKey(bad) === null, s"'$bad'")
+  }
+
+  test("seedsFromFeeds: cross-dialect MAX is recency, not format") {
+    // the same url listed by an RSS feed (RFC 822, EARLIER) and an
+    // Atom feed (RFC 3339, LATER): lexicographic max would pick the
+    // letter-initial RFC 822 string ('M' > '2'); the dateKey fold must
+    // pick the Atom date. An unparseable date loses to any parsed one.
+    val rss = ("<rss><channel><item><link>https://n.example/a</link>" +
+      "<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>" +
+      "<item><link>https://n.example/b</link>" +
+      "<pubDate>garbage date</pubDate></item></channel></rss>")
+      .getBytes("UTF-8")
+    val atom = ("<feed><entry><link href=\"https://n.example/a\"/>" +
+      "<updated>2025-02-02</updated></entry>" +
+      "<entry><link href=\"https://n.example/b\"/>" +
+      "<updated>2010-01-01</updated></entry></feed>").getBytes("UTF-8")
+    val seeds = Feeds.seedsFromFeeds(
+      Seq(rss, atom).toDF("body"), Seq.empty[String].toDF("url"))
+      .as[(String, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(seeds("https://n.example/a") === ((2L, "2025-02-02")))
+    assert(seeds("https://n.example/b") === ((2L, "2010-01-01")))
+  }
+
+  test("outcomesFromRecords: 304 preserves the prior outcome (no row)") {
+    // h1 cached a disallow at batch 0; a conditional refetch answers
+    // 304 at batch 1 — the ruleless allow-all sentinel must NOT be
+    // emitted for it, or latest-wins reads would drop the disallow.
+    // A real 404 (h2) still earns the sentinel; a revisit recapture of
+    // robots.txt (h3) is the other unchanged form and also emits none.
+    def recsOf(fx: graft.sources.Warc.ResponseFixture*) =
+      graft.sources.Warc.warcRecords(
+        Seq((0L, graft.sources.Warc.encodeWarcFixtures(fx))).toDF("g", "payload"))
+        .toDF()
+    val b0 = Robots.outcomesFromRecords(recsOf(
+      graft.sources.Warc.ResponseFixture("https://h1.example/robots.txt",
+        200, contentType = "text/plain",
+        body = "User-agent: *\nDisallow: /private/\n".getBytes("UTF-8"))))
+    assert(b0.as[(String, String, Boolean, String)].collect().toSet ===
+      Set(("h1.example", "*", false, "/private/")))
+    val b1 = Robots.outcomesFromRecords(recsOf(
+      graft.sources.Warc.ResponseFixture("https://h1.example/robots.txt",
+        304, contentType = "text/plain"),
+      graft.sources.Warc.ResponseFixture("https://h2.example/robots.txt",
+        404, contentType = "text/plain"),
+      graft.sources.Warc.ResponseFixture("https://h3.example/robots.txt",
+        200, contentType = "text/plain", warcType = "revisit")))
+    assert(b1.as[(String, String, Boolean, String)].collect().toSet ===
+      Set(("h2.example", "*", true, "")),
+      "304 and revisit robots responses must emit NO outcome row")
   }
 
   test("filterAllowed gates urls per host; hosts without robots allow all") {
