@@ -542,12 +542,23 @@ object Crawl {
     * by it. A fetcher honoring crawl-delay but not Retry-After still
     * hammers a 429/503 host.
     *
+    * `broadcastPacing = false` (r16) routes the delays/retryAfter
+    * joins through the host-keyed shuffle instead of a pinned
+    * broadcast — identical output (the Decontaminate dual-path
+    * contract). The tables are rule-carrying/throttling hosts only, so
+    * the broadcast default is right in practice, but a pacing table
+    * derived from an all-hosts source must not OOM the executors just
+    * because the operator pinned the hint.
+    *
     * Output: (host, url, n_refs, round[, delay_s[, retry_after_s],
     * not_before_s]). */
   def schedule(frontier: DataFrame, maxRounds: Int,
                urlCol: String = "url", refsCol: String = "n_refs",
                delays: DataFrame = null,
-               retryAfter: DataFrame = null): DataFrame = {
+               retryAfter: DataFrame = null,
+               broadcastPacing: Boolean = true): DataFrame = {
+    def side(df: DataFrame): DataFrame =
+      if (broadcastPacing) broadcast(df) else df
     val base = graft.functions.TopK.topLabelsPerGroup(
         frontier.withColumn("host", UrlFilter.hostOf(col(urlCol)))
           .filter(col("host").isNotNull),
@@ -559,13 +570,13 @@ object Crawl {
     val paced =
       if (delays == null) base.withColumn("delay_s", lit(0.0))
       else base
-        .join(broadcast(delays.select(col("host"),
+        .join(side(delays.select(col("host"),
           col("delay_s").cast("double").as("delay_s"))), Seq("host"), "left")
         .na.fill(0.0, Seq("delay_s"))
     val withRetry =
       if (retryAfter == null) paced
       else paced
-        .join(broadcast(retryAfter.select(col("host"),
+        .join(side(retryAfter.select(col("host"),
           col("retry_after_s").cast("double").as("retry_after_s"))),
           Seq("host"), "left")
         .na.fill(0.0, Seq("retry_after_s"))
@@ -687,25 +698,32 @@ object Crawl {
     * authority). Output: schedule's columns + `host_rank_fp` +
     * `priority`; a fetcher consumes in priority order.
     *
-    * Scale: the rank table is hosts-sized (broadcast — millions of
-    * hosts ≈ tens of MB; `broadcastRanks = false` degrades PageRank's
-    * internal joins for node sets past broadcast size); the schedule
-    * itself is ≤ maxRounds·hosts rows, so the final range rank is
-    * frontier-bounded. */
+    * Scale: the rank table is hosts-sized (broadcast by default —
+    * millions of hosts ≈ tens of MB). `broadcastRanks = false` (r16:
+    * it now governs the FINAL schedule⋈ranks join too, not just
+    * PageRank's internal joins — the r15 VERDICT finding: at the
+    * 100 TB design point the rank table is EVERY host with an inlink,
+    * ~10⁸ rows, a multi-GB pinned broadcast) degrades both to
+    * host-keyed shuffles — identical output, no executor OOM. The
+    * schedule itself is ≤ maxRounds·hosts rows, so the final range
+    * rank is frontier-bounded. `broadcastPacing` forwards to
+    * [[schedule]]. */
   def scheduleRanked(frontier: DataFrame, hostEdges: DataFrame,
                      maxRounds: Int, iters: Int = 3,
                      urlCol: String = "url", refsCol: String = "n_refs",
                      delays: DataFrame = null,
                      retryAfter: DataFrame = null,
-                     broadcastRanks: Boolean = true): DataFrame = {
+                     broadcastRanks: Boolean = true,
+                     broadcastPacing: Boolean = true): DataFrame = {
     require(!frontier.columns.exists(Seq("_sr_nr", "_sr_nn").contains),
       "column names _sr_nr/_sr_nn are reserved by scheduleRanked")
     val ranks = graft.operators.PageRank.pageRank(hostEdges,
         "src_host", "dst_host", iters, broadcastRanks = broadcastRanks)
       .select(col("id").as("host"), col("rank_fp").as("host_rank_fp"))
+    val ranksSide = if (broadcastRanks) broadcast(ranks) else ranks
     val base = schedule(frontier, maxRounds, urlCol, refsCol, delays,
-      retryAfter)
-    val joined = base.join(broadcast(ranks), Seq("host"), "left")
+      retryAfter, broadcastPacing)
+    val joined = base.join(ranksSide, Seq("host"), "left")
       .na.fill(0L, Seq("host_rank_fp"))
       .withColumn("_sr_nr", negate(col("host_rank_fp")))
       .withColumn("_sr_nn", negate(col(refsCol)))
@@ -801,9 +819,17 @@ object Crawl {
     * the churn ledger as a revisit observation) instead of a full
     * transfer; at recrawl scale that is most of the bandwidth.
     * Responses without either header drop (nothing to revalidate
-    * with). Map-side scan + one batch-sized url aggregate (a batch can
-    * carry one url twice; MAX keeps the fold deterministic on any
-    * engine). */
+    * with). Map-side scan + one batch-sized url aggregate. A batch can
+    * carry one url twice: the pair folds ATOMICALLY (r16, the ADVICE
+    * finding — MAX over the (etag, last_modified) struct, so both
+    * validators always come from ONE response; independent per-column
+    * maxes could mint an (etag, last_modified) combination no server
+    * ever sent, and origins may reject such mismatched
+    * If-None-Match/If-Modified-Since pairs). Struct MAX is
+    * deterministic on any engine: field-by-field comparison, null
+    * fields smallest — so among a url's responses the one with the
+    * lexically-greatest etag (else greatest last_modified) wins
+    * whole. */
   def revalidators(records: DataFrame): DataFrame =
     records.filter(col("warc_type") === "response" &&
         col("http_status") === 200 &&
@@ -811,8 +837,9 @@ object Crawl {
       .select(col("target_uri").as("url"), col("http_etag").as("etag"),
         col("http_last_modified").as("last_modified"))
       .groupBy("url")
-      .agg(max(col("etag")).as("etag"),
-        max(col("last_modified")).as("last_modified"))
+      .agg(max(struct(col("etag"), col("last_modified"))).as("_rv_pair"))
+      .select(col("url"), col("_rv_pair.etag").as("etag"),
+        col("_rv_pair.last_modified").as("last_modified"))
 
   /** 3xx responses as (url, links = [Location]) pages — a redirect IS a
     * page with one outlink: composed with [[frontier]], the `Location`
@@ -1146,6 +1173,26 @@ object Crawl {
       .groupBy("url")
       .agg(max(col("batch")).cast("long").as("last_batch"))
       .filter(col("last_batch") < beforeBatch)
+
+  /** Conditional-fetch refresh feed (r16 — the glue the r15 pieces
+    * lacked): a refresh due-list ([[recrawlSeeds]] / [[recrawlChurn]]
+    * output, or any url-keyed frame) joined with a [[revalidators]]
+    * table, so a fetcher consumes ONE feed and sends
+    * `If-None-Match`/`If-Modified-Since` directly — an unchanged page
+    * then costs a bodiless 304 (which [[ingestBatch]] folds back into
+    * the churn ledger as a revisit observation) instead of a full
+    * transfer. LEFT join: urls without stored validators keep null
+    * etag/last_modified — an unconditional refetch, not a dropped
+    * refresh. Scale: both sides are corpus-url-sized at maintenance
+    * cadence — a url-keyed sort-merge join, deliberately NOT a pinned
+    * broadcast (the scheduleRanked lesson). */
+  def recrawlValidators(due: DataFrame, validators: DataFrame): DataFrame = {
+    require(!due.columns.contains("etag") &&
+      !due.columns.contains("last_modified"),
+      "due side must not carry etag/last_modified (the join would be ambiguous)")
+    due.join(validators.select(col("url"), col("etag"),
+      col("last_modified")), Seq("url"), "left")
+  }
 
   /** Takedown for the crawl ledgers (late r15) — the delete lifecycle
     * the INDEX families have had since r10, closing the asymmetry: a

@@ -407,7 +407,17 @@ class CrawlFrontierSpec extends SparkTestBase {
       graft.sources.Warc.ResponseFixture("https://v/bare", 200,
         contentType = "text/html", body = "z".getBytes("UTF-8")),
       graft.sources.Warc.ResponseFixture("https://v/dead", 404,
-        contentType = "text/html", etag = "\"nope\"")))))
+        contentType = "text/html", etag = "\"nope\""),
+      // refetched url: the folded pair must be ONE response's pair,
+      // never a cross-response mix (the r16 atomic-fold contract) —
+      // struct MAX picks the greatest etag WITH ITS OWN last_modified
+      graft.sources.Warc.ResponseFixture("https://v/twice", 200,
+        contentType = "text/html", etag = "\"e1\"",
+        lastModified = "Wed, 31 Dec 2025 23:59:59 GMT",
+        body = "a".getBytes("UTF-8")),
+      graft.sources.Warc.ResponseFixture("https://v/twice", 200,
+        contentType = "text/html", etag = "\"e2\"",
+        body = "b".getBytes("UTF-8"))))))
       .toDF("g", "payload")
     val recs = graft.sources.Warc.warcRecords(files).toDF()
     val got = Crawl.revalidators(recs)
@@ -416,7 +426,10 @@ class CrawlFrontierSpec extends SparkTestBase {
     assert(got === Map(
       "https://v/strong" -> ((Some("\"abc\""), None)),
       "https://v/both" -> ((Some("W/\"v7\""),
-        Some("Tue, 04 Mar 2025 09:30:00 GMT")))))
+        Some("Tue, 04 Mar 2025 09:30:00 GMT"))),
+      // a per-column max would mint ("e2", "Wed, 31 ...") — a pair no
+      // response carried; the atomic fold keeps ("e2", null) whole
+      "https://v/twice" -> ((Some("\"e2\""), None))))
   }
 
   test("robots-meta noindex pages: ledger + frontier yes, corpus no") {
@@ -525,6 +538,50 @@ class CrawlFrontierSpec extends SparkTestBase {
     assert(ghost._4 === 0L, "a host outside the graph ranks 0")
     assert(ghost._3 === 2L,
       "rank 0 sorts after every ranked round-1 host despite 99 refs")
+  }
+
+  test("scheduleRanked/schedule dual paths: unbroadcast joins, equal output") {
+    // r16 (the r15 VERDICT finding): broadcastRanks must govern the
+    // FINAL schedule⋈ranks join — at the 100 TB design point the rank
+    // table is all-hosts-sized and a pinned broadcast is an OOM class;
+    // broadcastPacing is the same dual for delays/retryAfter.
+    val pages = Seq(
+      ("https://a.example/p", Seq("https://big.example/x")),
+      ("https://big.example/p", Seq("https://a.example/y")))
+      .toDF("url", "links")
+    val frontier = Seq(
+      ("https://a.example/1", 9L), ("https://a.example/2", 8L),
+      ("https://big.example/1", 2L)).toDF("url", "n_refs")
+    val delays = Seq(("a.example", 2.5)).toDF("host", "delay_s")
+    val retry = Seq(("big.example", 60.0)).toDF("host", "retry_after_s")
+    def run(bc: Boolean) = Crawl.scheduleRanked(frontier,
+      Crawl.hostEdges(pages), maxRounds = 3, delays = delays,
+      retryAfter = retry, broadcastRanks = bc, broadcastPacing = bc)
+    // kill auto-broadcast so any BroadcastHashJoin left in a plan is a
+    // PINNED hint, not Catalyst sizing tiny test relations (the
+    // BucketingSpec discipline)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // output equality exercises the unbroadcast ranks join (PageRank
+      // internals AND the final schedule⋈ranks) end-to-end; the
+      // schedule plans below pin the hint routing — scheduleRanked's
+      // own output plan is opaque (Ranks materializes internally, the
+      // executed plan reads Scan ExistingRDD)
+      assert(run(true).collect().toSet === run(false).collect().toSet)
+      val s1 = Crawl.schedule(frontier, 3, delays = delays,
+        retryAfter = retry, broadcastPacing = true)
+      val s2 = Crawl.schedule(frontier, 3, delays = delays,
+        retryAfter = retry, broadcastPacing = false)
+      assert(s1.collect().toSet === s2.collect().toSet)
+      val planOn = s1.queryExecution.executedPlan.toString
+      val planOff = s2.queryExecution.executedPlan.toString
+      assert(planOn.contains("BroadcastHashJoin"),
+        s"broadcast pacing must pin its broadcasts:\n$planOn")
+      assert(!planOff.contains("BroadcastHashJoin"),
+        s"unbroadcast pacing must pin NO broadcast:\n$planOff")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   test("retryAfterDelays: 429/503 delta-seconds fold per host; schedule shifts") {
