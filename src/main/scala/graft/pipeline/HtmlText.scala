@@ -638,6 +638,152 @@ object HtmlText {
     u(html)
   }
 
+  /** One harvested image reference: `src` entity-decoded (raw —
+    * resolution against the page base is the caller's step, like every
+    * href), `alt`/`title` entity-decoded attribute values (null when
+    * the attribute is absent; an EMPTY alt is kept — `alt=""` is the
+    * deliberate decorative-image marker), `caption` the enclosing
+    * `<figure>`'s figcaption text (null outside a figure or when the
+    * figure has none). */
+  final case class ImageRef(src: String, alt: String, title: String,
+                            caption: String)
+
+  /** Inner text of a markup fragment: tags drop, entities decode,
+    * whitespace runs collapse to one space, edges trim; null when
+    * nothing remains. The figcaption-text discipline — a caption is a
+    * LABEL, so the block-break structure htmlToText keeps would be
+    * noise here. */
+  private def innerText(s: String): String = {
+    val n = s.length
+    val buf = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        val gt = s.indexOf('>', i + 1)
+        i = if (gt < 0) n else gt + 1
+      } else if (c == '&') {
+        val (cp, next) = entity(s, i)
+        if (cp >= 0) { buf.appendCodePoint(cp); i = next }
+        else { buf.append('&'); i += 1 }
+      } else { buf.append(c); i += 1 }
+    }
+    val t = buf.toString
+    val out = new java.lang.StringBuilder(t.length)
+    var pendingSpace = false
+    var k = 0
+    while (k < t.length) {
+      val ch = t.charAt(k)
+      if (isWsCh(ch)) pendingSpace = out.length() > 0
+      else {
+        if (pendingSpace) { out.append(' '); pendingSpace = false }
+        out.append(ch)
+      }
+      k += 1
+    }
+    if (out.length() == 0) null else out.toString
+  }
+
+  /** Image–text pair harvesting (r16): every `<img>` with a non-empty
+    * `src`, in document order, with its alt/title text and — when the
+    * img sits inside a `<figure>` — the figure's FIRST `<figcaption>`
+    * text (the caption may precede or follow the img within the
+    * figure; nested figures associate with the INNERMOST open one).
+    * This is the LAION-shape feeder a multimodal training pipeline
+    * starts from: crawled HTML → (image url, associated text) pairs →
+    * fetch/decode/dedup through the multimodal family.
+    *
+    * Parsing discipline: the tag walkers of the robots-meta family
+    * (attribute order free, both quote forms + unquoted values,
+    * quote-aware tag ends, entity-decoded values); `<!-- -->` comments
+    * and `<script>`/`<style>` raw text are SKIPPED (script-templated
+    * img markup is not a harvested image — the htmlToText rule);
+    * captions strip tags via [[innerText]]. Total, O(n), never
+    * throws. */
+  def htmlImages(html: String): Array[ImageRef] = {
+    if (html == null) return Array.empty
+    val n = html.length
+    // figures: caption per region index; stack of open region indices
+    val captions = scala.collection.mutable.ArrayBuffer.empty[String]
+    var figStack = List.empty[Int]
+    // imgs: (src, alt, title, figure index or -1)
+    val imgs =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Int)]
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (i + 3 < n && html.charAt(i + 1) == '!' &&
+          html.charAt(i + 2) == '-' && html.charAt(i + 3) == '-') {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (tagAt(html, i + 1, "script") ||
+          tagAt(html, i + 1, "style")) {
+          val closer =
+            if (tagAt(html, i + 1, "script")) "</script" else "</style"
+          val end = indexOfIgnoreCase(html, closer, i + 1)
+          i =
+            if (end < 0) n
+            else html.indexOf('>', end) match {
+              case -1 => n
+              case e => e + 1
+            }
+        } else if (i + 1 < n && html.charAt(i + 1) == '/' &&
+          tagAt(html, i + 2, "figure")) {
+          if (figStack.nonEmpty) figStack = figStack.tail
+          val gt = html.indexOf('>', i + 2)
+          i = if (gt < 0) n else gt + 1
+        } else if (tagAt(html, i + 1, "figure")) {
+          captions += null
+          figStack ::= captions.length - 1
+          i = tagEnd(html, i + 7) + 1
+        } else if (tagAt(html, i + 1, "figcaption")) {
+          val contentStart = tagEnd(html, i + 11) + 1
+          val close = indexOfIgnoreCase(html, "</figcaption", contentStart)
+          val contentEnd = if (close < 0) n else close
+          if (figStack.nonEmpty && captions(figStack.head) == null)
+            captions(figStack.head) =
+              innerText(html.substring(contentStart, contentEnd))
+          // resume INSIDE the caption: an img within it still harvests
+          // (and associates with the same figure)
+          i = contentStart
+        } else if (tagAt(html, i + 1, "img")) {
+          val end = tagEnd(html, i + 4)
+          var src: String = null
+          var alt: String = null
+          var title: String = null
+          eachAttr(html, i + 4, end + 1) { (name, value) =>
+            name match {
+              case "src" => if (src == null) src = value
+              case "alt" => if (alt == null) alt = value
+              case "title" => if (title == null) title = value
+              case _ => ()
+            }
+            false
+          }
+          if (src != null && src.nonEmpty)
+            imgs += ((decodeAttr(src),
+              if (alt == null) null else decodeAttr(alt),
+              if (title == null) null else decodeAttr(title),
+              if (figStack.isEmpty) -1 else figStack.head))
+          i = end + 1
+        } else {
+          val gt = html.indexOf('>', i + 1)
+          i = if (gt < 0) n else gt + 1
+        }
+      } else i += 1
+    }
+    imgs.map { case (src, alt, title, fig) =>
+      ImageRef(src, alt, title, if (fig < 0) null else captions(fig))
+    }.toArray
+  }
+
+  /** Column form of [[htmlImages]]: array<struct<src,alt,title,caption>>. */
+  def htmlImagesCol(html: Column): Column = {
+    val u = udf((s: String) => htmlImages(s).toSeq)
+    u(html)
+  }
+
   /** Does the attribute region `[from, until)` declare
     * `rel="…nofollow…"` (token list, case-insensitive)? */
   private def relNofollowIn(s: String, from: Int, until: Int): Boolean = {
@@ -656,10 +802,20 @@ object HtmlText {
     * href), a page-level robots-meta `nofollow` drops every anchor, and
     * the [[htmlRefresh]] target (a de-facto redirect) appends as one
     * more outlink — it rides THROUGH a robots nofollow, the way real
-    * crawlers treat refresh as a redirect rather than a link. The
-    * declared frontier queries pin each arm by fixture arithmetic (the
-    * UrlResolve oracle convention — rel parsing is not
-    * regex-replayable). Total, O(n), never throws. */
+    * crawlers treat refresh as a redirect rather than a link.
+    *
+    * r16 adds the NON-ANCHOR navigation elements real crawls still
+    * meet: `<iframe src>` / `<frame src>` (frameset-era sites put their
+    * whole content behind one) and `<area href>` (image-map
+    * navigation), captured in document order alongside the anchors.
+    * These walk the tag's attributes (the robots-meta discipline —
+    * attribute order is free, both quote forms and unquoted values),
+    * entity-decode like every href, and sit behind the SAME politeness
+    * gates: a page-level nofollow drops them all, and an `<area>`
+    * declaring `rel=nofollow` drops individually (iframe/frame carry
+    * no rel semantics). The declared frontier queries pin each arm by
+    * fixture arithmetic (the UrlResolve oracle convention — rel
+    * parsing is not regex-replayable). Total, O(n), never throws. */
   def htmlOutlinks(html: String): Array[String] = {
     if (html == null) return Array.empty
     val (robots, refreshContent) = metaSignals(html)
@@ -678,6 +834,23 @@ object HtmlText {
         val n = html.length
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
         def lower(c: Char): Char = Character.toLowerCase(c)
+        // one attribute-walked navigation tag: first `urlAttr` value,
+        // dropped when checkRel finds rel=nofollow; returns the resume
+        // index (past the tag's quote-aware end)
+        def navTag(from: Int, urlAttr: String, checkRel: Boolean): Int = {
+          val end = tagEnd(html, from)
+          var target: String = null
+          var noF = false
+          eachAttr(html, from, end + 1) { (name, value) =>
+            if (name == urlAttr && target == null) target = value
+            if (checkRel && name == "rel" &&
+              robotsTokens(value).contains("nofollow")) noF = true
+            false
+          }
+          if (target != null && target.nonEmpty && !noF)
+            out += decodeAttr(target)
+          end + 1
+        }
         var i = 0
         while (i < n - 2) {
           if (html.charAt(i) == '<' && lower(html.charAt(i + 1)) == 'a' &&
@@ -718,6 +891,13 @@ object HtmlText {
               } else j += 1
             }
             if (!matched) i = j + 1 else i += 1
+          } else if (html.charAt(i) == '<' && tagAt(html, i + 1, "area")) {
+            i = navTag(i + 5, "href", checkRel = true)
+          } else if (html.charAt(i) == '<' && tagAt(html, i + 1, "iframe")) {
+            i = navTag(i + 7, "src", checkRel = false)
+          } else if (html.charAt(i) == '<' && tagAt(html, i + 1, "frame")) {
+            // tagAt's name boundary keeps <frameset> out
+            i = navTag(i + 6, "src", checkRel = false)
           } else i += 1
         }
         out.toArray
@@ -955,7 +1135,10 @@ object HtmlText {
     * not); the refresh target still rides through a header nofollow,
     * the redirect-not-a-link rule. `canonicalCol` emits the page's
     * [[htmlCanonical]] target (raw — resolution is the caller's step)
-    * from the same pass — the URL-level dedup key. */
+    * from the same pass — the URL-level dedup key. `imagesCol` (r16)
+    * emits the page's [[htmlImages]] pairs
+    * (array<struct<src,alt,title,caption>>, srcs raw like every href)
+    * from the same pass — the image–text harvesting feeder. */
   def extractFromBodies(records: DataFrame, bodyCol: String = "body",
                         outCol: String = "text",
                         contentTypeCol: String = "http_content_type",
@@ -965,7 +1148,8 @@ object HtmlText {
                         honorRobotsMeta: Boolean = false,
                         noindexCol: String = null,
                         xRobotsCol: String = null,
-                        canonicalCol: String = null): DataFrame = {
+                        canonicalCol: String = null,
+                        imagesCol: String = null): DataFrame = {
     require(!records.columns.contains("_charset_dec"),
       "column name _charset_dec is reserved by extractFromBodies")
     val ct =
@@ -979,6 +1163,7 @@ object HtmlText {
     val wantBase = baseCol != null
     val wantNoindex = noindexCol != null
     val wantCanonical = canonicalCol != null
+    val wantImages = imagesCol != null
     val dec = udf { (contentType: String, body: Array[Byte],
                      xRobots: String) =>
       val (html, charset, fellBack) = decodeBody(contentType, body)
@@ -998,7 +1183,8 @@ object HtmlText {
         else htmlLinks(html),
         if (wantBase) htmlBase(html) else null,
         wantNoindex && noindexTokens(toks),
-        if (wantCanonical) htmlCanonical(html) else null)
+        if (wantCanonical) htmlCanonical(html) else null,
+        if (wantImages) htmlImages(html).toSeq else Seq.empty[ImageRef])
     }
     val withDec = records.withColumn("_charset_dec",
       dec(ct, col(bodyCol), xr))
@@ -1016,9 +1202,12 @@ object HtmlText {
     val withNoindex =
       if (!wantNoindex) withBase
       else withBase.withColumn(noindexCol, col("_charset_dec._6"))
-    val out =
+    val withCanonical =
       if (!wantCanonical) withNoindex
       else withNoindex.withColumn(canonicalCol, col("_charset_dec._7"))
+    val out =
+      if (!wantImages) withCanonical
+      else withCanonical.withColumn(imagesCol, col("_charset_dec._8"))
     out.drop("_charset_dec")
   }
 }

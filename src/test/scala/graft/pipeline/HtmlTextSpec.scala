@@ -412,6 +412,112 @@ class HtmlTextSpec extends SparkTestBase {
     assert(HtmlText.htmlOutlinks("<a href=\"https://no-close").isEmpty)
   }
 
+  test("htmlOutlinks: iframe/frame/area navigation links (r16)") {
+    // document order across tag kinds; frameset's name boundary holds
+    assert(HtmlText.htmlOutlinks(
+      """<frameset cols="50%,50%">
+        |<frame src="https://f/nav" name="nav">
+        |<frame src='https://f/body'>
+        |</frameset>
+        |<iframe width="10" src="https://i/embed"></iframe>
+        |<map><area shape="rect" href="https://m/1" coords="0,0,1,1">
+        |<area href='https://m/2'></map>
+        |<a href="https://a/1">a</a>""".stripMargin)
+      .toSeq === Seq("https://f/nav", "https://f/body", "https://i/embed",
+        "https://m/1", "https://m/2", "https://a/1"))
+    // area honors rel=nofollow (either attribute order); iframe/frame
+    // have no rel semantics; empty/missing src-href skip; entity decode
+    assert(HtmlText.htmlOutlinks(
+      """<area rel="nofollow" href="https://n/1">
+        |<area href="https://n/2" rel="x,NOFOLLOW">
+        |<area href="https://k/1" rel="noopener">
+        |<iframe src="https://k/q?a=1&amp;b=2"></iframe>
+        |<iframe title="no src"></iframe><frame src="">""".stripMargin)
+      .toSeq === Seq("https://k/1", "https://k/q?a=1&b=2"))
+    // page-level robots nofollow drops the new kinds too
+    assert(HtmlText.htmlOutlinks(
+      """<meta name="robots" content="nofollow">
+        |<iframe src="https://n/1"></iframe>
+        |<frame src="https://n/2"><area href="https://n/3">""".stripMargin)
+      .isEmpty)
+    // quote-aware tag end: a '>' inside a quoted attr does not truncate
+    assert(HtmlText.htmlOutlinks(
+      """<iframe title="a > b" src="https://k/1"></iframe>""")
+      .toSeq === Seq("https://k/1"))
+    // unquoted values; <frameset>/<framex> never capture
+    assert(HtmlText.htmlOutlinks(
+      "<frame src=https://k/u><frameset src=\"https://n/1\">" +
+        "<framex src=\"https://n/2\">")
+      .toSeq === Seq("https://k/u"))
+  }
+
+  test("htmlImages: src/alt/title, figure captions, quote forms (r16)") {
+    import HtmlText.ImageRef
+    // quote forms, attribute order, entity decode, missing/empty alt
+    assert(HtmlText.htmlImages(
+      """<img src="https://i/1.jpg" alt="one">
+        |<img alt='two &amp; more' src='https://i/2.png?a=1&amp;b=2'>
+        |<img src=https://i/3.gif title="t3">
+        |<img alt="no src"><img src="" alt="empty src">
+        |<img src="https://i/4" alt="">""".stripMargin).toSeq === Seq(
+      ImageRef("https://i/1.jpg", "one", null, null),
+      ImageRef("https://i/2.png?a=1&b=2", "two & more", null, null),
+      ImageRef("https://i/3.gif", null, "t3", null),
+      ImageRef("https://i/4", "", null, null)))
+    // figure association: caption before OR after the img; tags strip
+    // and whitespace collapses in the caption; outside-figure imgs
+    // carry null; nested figures associate innermost; first caption
+    // per figure wins
+    assert(HtmlText.htmlImages(
+      """<img src="https://i/out">
+        |<figure><img src="https://i/a">
+        |<figcaption> A <b>bold</b>
+        |   cap &#233; </figcaption></figure>
+        |<figure><figcaption>Pre</figcaption><img src="https://i/b"></figure>
+        |<figure><figcaption>Outer</figcaption>
+        |  <figure><figcaption>Inner</figcaption><img src="https://i/in"></figure>
+        |  <img src="https://i/outer2">
+        |</figure>
+        |<figure><img src="https://i/nocap"></figure>""".stripMargin)
+      .toSeq === Seq(
+      ImageRef("https://i/out", null, null, null),
+      ImageRef("https://i/a", null, null, "A bold cap é"),
+      ImageRef("https://i/b", null, null, "Pre"),
+      ImageRef("https://i/in", null, null, "Inner"),
+      ImageRef("https://i/outer2", null, null, "Outer"),
+      ImageRef("https://i/nocap", null, null, null)))
+    // comments and script/style raw text never harvest; quote-aware
+    // tag ends hold; total on garbage
+    assert(HtmlText.htmlImages(
+      """<!-- <img src="https://n/1"> -->
+        |<script>var s = '<img src="https://n/2">';</script>
+        |<style>.x { background: url("https://n/3") }</style>
+        |<img title="a > b" src="https://k/1">""".stripMargin).toSeq ===
+      Seq(ImageRef("https://k/1", null, "a > b", null)))
+    assert(HtmlText.htmlImages(null).isEmpty)
+    // unterminated markup stays total — attribute-WALKER semantics (the
+    // htmlCanonical family): an unclosed quote truncates at EOF rather
+    // than dropping, unlike htmlLinks' regex-contract capture
+    assert(HtmlText.htmlImages("<img src=\"https://no-close").toSeq ===
+      Seq(ImageRef("https://no-close", null, null, null)))
+    assert(HtmlText.htmlImages("<figure><img src='https://i/x'")
+      .toSeq === Seq(ImageRef("https://i/x", null, null, null)))
+  }
+
+  test("extractFromBodies emits images from the same fused decode pass") {
+    import spark.implicits._
+    val html = """<figure><img src="/rel/i.png" alt="a&amp;b">
+                 |<figcaption>Cap</figcaption></figure>""".stripMargin
+    val df = Seq(("https://h/p", html.getBytes("UTF-8")))
+      .toDF("target_uri", "body")
+    val out = HtmlText.extractFromBodies(df, "body", "text",
+        contentTypeCol = "missing", imagesCol = "images")
+      .selectExpr("explode(images) AS im")
+      .select("im.src", "im.alt", "im.title", "im.caption")
+      .as[(String, String, String, String)].collect().toSeq
+    assert(out === Seq(("/rel/i.png", "a&b", null, "Cap")))
+  }
+
   test("htmlCanonical: attribute order free, first wins, entity-decoded") {
     val c = HtmlText.htmlCanonical _
     assert(c("""<link rel="canonical" href="https://c/1">""") === "https://c/1")
