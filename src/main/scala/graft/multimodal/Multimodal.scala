@@ -65,6 +65,11 @@ object Multimodal {
                                  byte_len: Int, histogram: Array[Double],
                                  mean_luma: Double)
 
+  /** [[MediaFeatures]] + the decoded frame count (one-pass form). */
+  final case class MediaFeaturesN(id: Long, media_type: String,
+                                  byte_len: Int, histogram: Array[Double],
+                                  mean_luma: Double, n_frames: Int)
+
   final case class FrameRow(id: Long, frame_idx: Int, frame: Array[Byte])
 
   // ------------------------------------------------------------------
@@ -1392,6 +1397,42 @@ object Multimodal {
         val n = math.max(px.length, 1)
         MediaFeatures(m.id, m.meta.media_type, px.length,
           histBuf.map(_ / n), lumaSum / n)
+      }
+    }
+  }
+
+  /** [[extractFeatures]] PLUS the frame count, from ONE decode pass
+    * (r16): a consumer that wants features AND n_frames previously
+    * paired extractFeatures with a stride-1 [[sampleFrames]], decoding
+    * every payload twice — for animated GIFs the decode IS the cost.
+    * Identical feature math (same accumulation order over the frames
+    * in sequence, same max(len, 1) divisor); `n_frames` counts decoded
+    * frames with the sampleFrames floor (a corrupt/empty payload
+    * reports 1, matching the single FrameRow it would have emitted). */
+  def extractFeaturesWithFrames(media: Dataset[MediaRow])
+      : Dataset[MediaFeaturesN] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      val histBuf = new Array[Double](16)
+      rows.map { m =>
+        java.util.Arrays.fill(histBuf, 0.0)
+        val frames = decodeFrames(m.payload)
+        var total = 0
+        var lumaSum = 0.0
+        frames.foreach { px =>
+          var i = 0
+          while (i < px.length) {
+            val b = px(i) & 0xFF
+            histBuf(b >> 4) += 1.0
+            lumaSum += b
+            i += 1
+          }
+          total += px.length
+        }
+        val n = math.max(total, 1)
+        MediaFeaturesN(m.id, m.meta.media_type, total,
+          histBuf.map(_ / n), lumaSum / n, math.max(frames.length, 1))
       }
     }
   }

@@ -802,4 +802,35 @@ class MultimodalSpec extends SparkTestBase {
     }
     gifs.unpersist()
   }
+
+  test("extractFeaturesWithFrames == extractFeatures + stride-1 frame count") {
+    // the r16 one-decode form must be BIT-IDENTICAL to the two-pass
+    // pairing it replaces (same accumulation order, same divisor, same
+    // corrupt-payload floor)
+    val gifs = Multimodal.syntheticGifMedia(docs.limit(40), "doc_id", "text")
+    val corrupt = Seq(
+      Multimodal.MediaRow(90001L, Array[Byte](1, 2, 3),
+        Multimodal.MediaMeta("image", 0, 0, 0, 0)),
+      Multimodal.MediaRow(90002L, null,
+        Multimodal.MediaMeta("image", 0, 0, 0, 0))).toDS()
+    val media = gifs.union(corrupt).cache()
+    try {
+      val one = Multimodal.extractFeaturesWithFrames(media).collect()
+        .map(f => f.id ->
+          ((f.media_type, f.byte_len, f.histogram.toSeq, f.mean_luma,
+            f.n_frames))).toMap
+      val two = Multimodal.extractFeatures(media).collect()
+        .map(f => f.id ->
+          ((f.media_type, f.byte_len, f.histogram.toSeq, f.mean_luma)))
+        .toMap
+      val nf = Multimodal.sampleFrames(media, stride = 1).toDF()
+        .groupBy("id").agg(count(lit(1)).as("n"))
+        .as[(Long, Long)].collect().toMap
+      assert(one.keySet === two.keySet)
+      one.foreach { case (id, (mt, bl, hist, luma, n)) =>
+        assert(two(id) === ((mt, bl, hist, luma)), s"id $id features")
+        assert(n.toLong === nf(id), s"id $id frame count")
+      }
+    } finally media.unpersist()
+  }
 }
