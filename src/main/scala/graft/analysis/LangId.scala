@@ -1,0 +1,173 @@
+package graft.analysis
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Trained, engine-portable language identification (r16) — character
+ * n-gram nearest-centroid classification (Cavnar & Trenkle, "N-Gram-Based
+ * Text Categorization", 1994: character n-gram profiles separate
+ * languages far more robustly than word lists), routed through
+ * [[Classify]]'s integer-exact cosine so scores and argmax decisions
+ * reproduce bit-for-bit on any engine.
+ *
+ * Why: the [[TextMetrics.languageId]] heuristic (CJK share + four
+ * stopword sets) is fine dependency-free telemetry, but the corpus
+ * mix/quota/temperature operators STRATIFY on language, and a thin
+ * stopword set mislabels short docs and knows nothing beyond en/de/es/fr.
+ * This model ships 16 built-in per-language char-n-gram centroids
+ * (seeded from in-repo sample prose — swap in corpus-trained centroids
+ * via [[Classify.centroidTrain]] over the same gram kernel when larger
+ * training data exists) and falls back to the heuristic for documents
+ * sharing no gram with any centroid (emit-less cosine), so every doc
+ * gets a label.
+ *
+ * Feature kernel: per whitespace token, keep letters only, lowercase,
+ * pad `_word_`, emit every 1–3-char substring (the `_`-boundary bigrams
+ * carry most of the signal; the bare `_` unigram is dropped as
+ * all-language noise). Scripts without word spacing (CJK) ride the same
+ * path — the whole run is one "word" and its char uni/bi/trigrams are
+ * exactly the Cavnar-Trenkle profile.
+ *
+ * Scale shape = [[Classify]]'s: the model is tiny and broadcasts; the
+ * corpus-side cost is one explode+groupBy over per-doc grams (the gram
+ * stream is ~6× the letter count — the quality-classifier shape, keyed
+ * by doc id). `broadcastModel = false` degrades the lookup join,
+ * identical output.
+ */
+object LangId {
+
+  /** The gram pseudo-document the centroid machinery tokenizes: 1–3
+    * char grams of each `_`-padded lowercased letters-only token,
+    * space-joined. Deterministic, total, never throws. */
+  def charGramsText(s: String): String = {
+    if (s == null) return ""
+    val n = s.length
+    val sb = new java.lang.StringBuilder(math.min(n * 6, 1 << 22))
+    val word = new java.lang.StringBuilder(32)
+    def flush(): Unit = {
+      if (word.length() > 0) {
+        val w = "_" + word + "_"
+        val m = w.length
+        var len = 1
+        while (len <= 3) {
+          var st = 0
+          while (st + len <= m) {
+            if (!(len == 1 && w.charAt(st) == '_')) {
+              if (sb.length() > 0) sb.append(' ')
+              sb.append(w, st, st + len)
+            }
+            st += 1
+          }
+          len += 1
+        }
+        word.setLength(0)
+      }
+    }
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) flush()
+      else if (Character.isLetter(c)) word.append(Character.toLowerCase(c))
+      // digits/punctuation drop (language-neutral); they neither join
+      // nor split the surrounding letters
+      i += 1
+    }
+    flush()
+    sb.toString
+  }
+
+  /** Built-in per-language sample prose — the centroid seeds. Two
+    * register-different passages per language so no single sentence's
+    * wording dominates the profile. Codes are ISO 639-1 (ASCII — the
+    * engine-portable tie-break space). */
+  private[analysis] val TrainSamples: Seq[(String, String)] = Seq(
+    "ar" -> ("كان الطقس باردا وكانت الشوارع هادئة. فتحت النافذة ونظرت إلى البيوت القديمة بجانب النهر. " +
+      "يعتقد كثير من الناس أن قراءة الكتب في المساء هي أفضل طريقة لتعلم شيء جديد عن العالم. " +
+      "في الصيف نذهب إلى البحر ونسبح في الماء البارد كل يوم تقريبا."),
+    "de" -> ("Das Wetter war kalt und die Straßen waren ruhig. Sie öffnete das Fenster und schaute auf die alten Häuser am Fluss. " +
+      "Viele Menschen glauben, dass Lesen am Abend der beste Weg ist, etwas Neues über die Welt zu lernen. " +
+      "Im Sommer fahren wir ans Meer und schwimmen fast jeden Tag im kalten Wasser."),
+    "en" -> ("The weather was cold and the streets were quiet. She opened the window and looked at the old houses across the river. " +
+      "Many people think that reading books in the evening is the best way to learn something new about the world. " +
+      "In the summer we go to the sea and swim in the cold water almost every day."),
+    "es" -> ("El tiempo era frío y las calles estaban tranquilas. Ella abrió la ventana y miró las casas viejas junto al río. " +
+      "Mucha gente piensa que leer libros por la noche es la mejor manera de aprender algo nuevo sobre el mundo. " +
+      "En verano vamos al mar y nadamos en el agua fría casi todos los días."),
+    "fr" -> ("Le temps était froid et les rues étaient calmes. Elle a ouvert la fenêtre et regardé les vieilles maisons au bord de la rivière. " +
+      "Beaucoup de gens pensent que lire des livres le soir est la meilleure façon d'apprendre quelque chose de nouveau sur le monde. " +
+      "En été nous allons à la mer et nous nageons dans l'eau froide presque tous les jours."),
+    "hi" -> ("मौसम ठंडा था और सड़कें शांत थीं। उसने खिड़की खोली और नदी के किनारे पुराने घरों को देखा। " +
+      "बहुत से लोग सोचते हैं कि शाम को किताबें पढ़ना दुनिया के बारे में कुछ नया सीखने का सबसे अच्छा तरीका है। " +
+      "गर्मियों में हम समुद्र जाते हैं और लगभग हर दिन ठंडे पानी में तैरते हैं।"),
+    "it" -> ("Il tempo era freddo e le strade erano tranquille. Lei ha aperto la finestra e ha guardato le vecchie case lungo il fiume. " +
+      "Molte persone pensano che leggere libri la sera sia il modo migliore per imparare qualcosa di nuovo sul mondo. " +
+      "In estate andiamo al mare e nuotiamo nell'acqua fredda quasi ogni giorno."),
+    "ja" -> ("天気は寒くて通りは静かだった。彼女は窓を開けて川沿いの古い家を眺めた。" +
+      "多くの人は夜に本を読むことが世界について新しいことを学ぶ一番良い方法だと思っている。" +
+      "夏には海へ行って、ほとんど毎日冷たい水の中で泳いでいる。"),
+    "ko" -> ("날씨가 춥고 거리는 조용했다. 그녀는 창문을 열고 강가의 오래된 집들을 바라보았다. " +
+      "많은 사람들은 저녁에 책을 읽는 것이 세상에 대해 새로운 것을 배우는 가장 좋은 방법이라고 생각한다. " +
+      "여름에는 바다에 가서 거의 매일 차가운 물에서 수영을 한다."),
+    "nl" -> ("Het weer was koud en de straten waren stil. Zij opende het raam en keek naar de oude huizen aan de rivier. " +
+      "Veel mensen denken dat het lezen van boeken in de avond de beste manier is om iets nieuws over de wereld te leren. " +
+      "In de zomer gaan we naar zee en zwemmen we bijna elke dag in het koude water."),
+    "pl" -> ("Pogoda była zimna, a ulice były ciche. Otworzyła okno i spojrzała na stare domy nad rzeką. " +
+      "Wielu ludzi uważa, że czytanie książek wieczorem to najlepszy sposób, aby nauczyć się czegoś nowego o świecie. " +
+      "Latem jeździmy nad morze i prawie codziennie pływamy w zimnej wodzie."),
+    "pt" -> ("O tempo estava frio e as ruas estavam tranquilas. Ela abriu a janela e olhou para as casas antigas ao lado do rio. " +
+      "Muitas pessoas acham que ler livros à noite é a melhor maneira de aprender algo novo sobre o mundo. " +
+      "No verão vamos à praia e nadamos na água fria quase todos os dias."),
+    "ru" -> ("Погода была холодной, и улицы были тихими. Она открыла окно и посмотрела на старые дома у реки. " +
+      "Многие люди думают, что чтение книг вечером это лучший способ узнать что-то новое о мире. " +
+      "Летом мы ездим на море и почти каждый день плаваем в холодной воде."),
+    "sv" -> ("Vädret var kallt och gatorna var tysta. Hon öppnade fönstret och tittade på de gamla husen vid floden. " +
+      "Många människor tror att läsa böcker på kvällen är det bästa sättet att lära sig något nytt om världen. " +
+      "På sommaren åker vi till havet och simmar i det kalla vattnet nästan varje dag. " +
+      "Det är en vacker stad med många gamla hus och ett stort torg som alla besökare gärna vill se när de kommer hit. " +
+      "Han tog bussen in till staden men gick hela vägen hem eftersom solen fortfarande var uppe. " +
+      "Innan han åt middag ringde han sin bror och de pratade länge om allt som hade hänt under veckan."),
+    "tr" -> ("Hava soğuktu ve sokaklar sessizdi. Pencereyi açtı ve nehrin kıyısındaki eski evlere baktı. " +
+      "Birçok insan akşamları kitap okumanın dünya hakkında yeni bir şeyler öğrenmenin en iyi yolu olduğunu düşünüyor. " +
+      "Yazın denize gideriz ve neredeyse her gün soğuk suda yüzeriz."),
+    "zh" -> ("天气很冷，街道很安静。她打开窗户，看着河边的老房子。" +
+      "很多人认为晚上读书是了解世界新事物的最好方法。" +
+      "夏天我们去海边，几乎每天都在冷水里游泳。"))
+
+  /** The built-in model in [[Classify.centroidTrain]]'s (label, token,
+    * cnt) shape — gram tokens, 16 languages, a few thousand rows. */
+  def builtinModel(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val grams = udf((s: String) => charGramsText(s))
+    Classify.centroidTrain(
+      TrainSamples.toDF("label", "_lid_raw")
+        .select(col("label"), grams(col("_lid_raw")).as("_lid_grams")),
+      "_lid_grams", "label")
+  }
+
+  /** Classify every document: (idCol, lang). The centroid argmax
+    * (cosine desc, lang asc — engine-portable) wins; documents sharing
+    * no gram with any centroid (or empty after the letter filter) fall
+    * back to [[TextMetrics.languageId]], so every row labels. Pass a
+    * corpus-trained `model` to override the built-in centroids. */
+  def classify(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text",
+               model: DataFrame = null,
+               broadcastModel: Boolean = true): DataFrame = {
+    require(!docs.columns.contains("_lid_grams") &&
+      !docs.columns.contains("lang"),
+      "column names _lid_grams/lang are reserved by LangId.classify")
+    val spark = docs.sparkSession
+    val m = if (model != null) model else builtinModel(spark)
+    val grams = udf((s: String) => charGramsText(s))
+    val scored = Classify.centroidScore(
+        docs.select(col(idCol), grams(col(textCol)).as("_lid_grams")),
+        m, idCol, "_lid_grams", broadcastModel)
+      .select(col(idCol), col("label").as("_lid_hit"))
+    val heur = udf((s: String) => TextMetrics.languageId(s))
+    docs.select(col(idCol), col(textCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_lid_hit"), heur(col(textCol))).as("lang"))
+  }
+}

@@ -1,0 +1,76 @@
+package graft.analysis
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Trained char-n-gram language ID: held-out generalization across all
+  * 16 built-in languages, kernel edges, heuristic fallback, and the
+  * broadcast dual path. */
+class LangIdSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // held-out: sentences in neither the training samples nor the
+  // doc_langid fixture — generalization, not memorization
+  private val heldOut = Seq(
+    "ar" -> "أغلق الرجل العجوز الباب وانتظر حتى يتوقف المطر قبل أن يعود إلى البيت.",
+    "de" -> "Der alte Mann schloss die Tür und wartete, bis der Regen aufhörte, bevor er nach Hause ging.",
+    "en" -> "The old man closed the door and waited for the rain to stop before walking home.",
+    "es" -> "El viejo cerró la puerta y esperó a que dejara de llover antes de volver a casa.",
+    "fr" -> "Le vieil homme a fermé la porte et a attendu que la pluie s'arrête avant de rentrer chez lui.",
+    "hi" -> "बूढ़े आदमी ने दरवाज़ा बंद किया और घर जाने से पहले बारिश रुकने का इंतज़ार किया।",
+    "it" -> "Il vecchio chiuse la porta e aspettò che la pioggia smettesse prima di tornare a casa.",
+    "ja" -> "老人はドアを閉めて、家に帰る前に雨がやむのを待った。",
+    "ko" -> "노인은 문을 닫고 비가 그칠 때까지 기다렸다가 집으로 걸어갔다.",
+    "nl" -> "De oude man sloot de deur en wachtte tot de regen ophield voordat hij naar huis liep.",
+    "pl" -> "Stary człowiek zamknął drzwi i czekał, aż deszcz przestanie padać, zanim wrócił do domu.",
+    "pt" -> "O velho fechou a porta e esperou que a chuva parasse antes de voltar para casa.",
+    "ru" -> "Старик закрыл дверь и ждал, пока дождь закончится, прежде чем идти домой.",
+    "sv" -> "Den gamle mannen stängde dörren och väntade tills regnet slutade innan han gick hem.",
+    "tr" -> "Yaşlı adam kapıyı kapattı ve eve yürümeden önce yağmurun durmasını bekledi.",
+    "zh" -> "老人关上门，等雨停了才回家。")
+
+  test("charGramsText: padded 1-3 grams, letters only, total") {
+    assert(LangId.charGramsText(null) === "")
+    assert(LangId.charGramsText("  12 34 !? ") === "")
+    // "ab" -> _ab_: unigrams a b; bigrams _a ab b_; trigrams _ab ab_
+    assert(LangId.charGramsText("Ab").split(" ").toSeq.sorted ===
+      Seq("_a", "_ab", "a", "ab", "ab_", "b", "b_"))
+    // digits/punct drop inside words; ws splits
+    assert(LangId.charGramsText("a1b c") ===
+      LangId.charGramsText("ab c"))
+    // CJK: the unspaced run is one padded word with char grams
+    assert(LangId.charGramsText("天气").split(" ").contains("天气"))
+  }
+
+  test("held-out sentences classify to their language, all 16") {
+    val docs = heldOut.zipWithIndex
+      .map { case ((lang, text), i) => (i.toLong, lang, text) }
+      .toDF("doc_id", "expected", "text")
+    val got = LangId.classify(docs)
+      .join(docs.select("doc_id", "expected"), Seq("doc_id"))
+      .select("doc_id", "lang", "expected")
+      .as[(Long, String, String)].collect()
+    val wrong = got.filter(r => r._2 != r._3)
+    assert(wrong.isEmpty, s"misclassified: ${wrong.mkString(", ")}")
+  }
+
+  test("fallback: gram-less docs take the heuristic label; empty is und") {
+    val docs = Seq(
+      (1L, "12345 67890 ..."), // no letters at all -> heuristic "und"
+      (2L, ""),
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val got = LangId.classify(docs).as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "und", 2L -> "und", 3L -> "und"))
+  }
+
+  test("broadcastModel dual path: identical labels") {
+    val docs = heldOut.zipWithIndex
+      .map { case ((_, text), i) => (i.toLong, text) }
+      .toDF("doc_id", "text")
+    val a = LangId.classify(docs).as[(Long, String)].collect().toSet
+    val b = LangId.classify(docs, broadcastModel = false)
+      .as[(Long, String)].collect().toSet
+    assert(a === b)
+  }
+}
