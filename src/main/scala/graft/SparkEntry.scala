@@ -1917,6 +1917,42 @@ object SparkEntry {
         .orderBy("lang", "predicted")
     }),
 
+    // Trained char-n-gram language ID (r16): 16-language nearest-
+    // centroid classification through Classify's integer-exact cosine
+    // (LangId — Cavnar-Trenkle char 1-3 grams, DECIMAL(38,0) dots,
+    // label-asc ties). The fixture assigns each doc a HELD-OUT
+    // sentence (absent from the training centroids — generalization,
+    // not memorization) by doc_id arithmetic, with digit noise the
+    // letter filter must drop; the oracle is the true language by the
+    // same arithmetic, so any gram/cosine/tie-break defect flips
+    // labels and hash-mismatches.
+    "doc_langid_trained" -> ((s, dir) => {
+      import s.implicits._
+      val held = Vector(
+        "ar" -> "كل صباح كان الأطفال يمشون معا إلى المدرسة ويتحدثون عن ألعابهم المفضلة.",
+        "de" -> "Jeden Morgen gingen die Kinder zusammen zur Schule und sprachen über ihre Lieblingsspiele.",
+        "en" -> "Every morning the children walked to school together and talked about their favorite games.",
+        "es" -> "Cada mañana los niños caminaban juntos a la escuela y hablaban de sus juegos favoritos.",
+        "fr" -> "Chaque matin, les enfants marchaient ensemble vers l'école et parlaient de leurs jeux préférés.",
+        "hi" -> "हर सुबह बच्चे साथ में स्कूल जाते थे और अपने पसंदीदा खेलों के बारे में बात करते थे।",
+        "it" -> "Ogni mattina i bambini andavano a scuola insieme e parlavano dei loro giochi preferiti.",
+        "ja" -> "毎朝子供たちは一緒に学校へ歩いて行き、好きな遊びについて話した。",
+        "ko" -> "매일 아침 아이들은 함께 학교에 걸어가서 좋아하는 놀이에 대해 이야기했다.",
+        "nl" -> "Elke ochtend liepen de kinderen samen naar school en praatten over hun favoriete spelletjes.",
+        "pl" -> "Każdego ranka dzieci szły razem do szkoły i rozmawiały o swoich ulubionych grach.",
+        "pt" -> "Todas as manhãs as crianças caminhavam juntas para a escola e falavam sobre os seus jogos favoritos.",
+        "ru" -> "Каждое утро дети вместе шли в школу и говорили о своих любимых играх.",
+        "sv" -> "Varje morgon gick barnen tillsammans till skolan och pratade om sina favoritspel.",
+        "tr" -> "Her sabah çocuklar birlikte okula yürüdü ve en sevdikleri oyunlar hakkında konuştu.",
+        "zh" -> "每天早上孩子们一起走路去上学，谈论他们最喜欢的游戏。")
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          (id, s"${held((id % 16).toInt)._2} ${id % 97}")
+        }.toDF("doc_id", "text")
+      graft.analysis.LangId.classify(docs)
+        .orderBy("doc_id")
+    }),
+
     "doc_quality" -> ((s, dir) => {
       TextMetrics.profile(tbl(s, dir, "documents"))
         .select(col("doc_id"), col("m_quality"), col("m_stopword_ratio"),
@@ -2616,17 +2652,16 @@ object SparkEntry {
     // count from the fixture formula, so an LZW, deinterlace, palette, or
     // frame-boundary regression hash-mismatches immediately
     "media_gif_features" -> ((s, dir) => {
-      val media = Multimodal.syntheticGifMedia(
-        tbl(s, dir, "documents"), "doc_id", "text")
-      val feats = Multimodal.extractFeatures(media).toDF()
-      val nf = Multimodal.sampleFrames(media, stride = 1).toDF()
-        .groupBy("id").agg(count(lit(1)).as("n_frames"))
-      feats.join(nf, Seq("id"))
+      // ONE decode pass for features AND the frame count (r16 — the
+      // old extractFeatures + stride-1 sampleFrames pairing decoded
+      // every GIF twice; for animations the LZW decode IS the cost)
+      Multimodal.extractFeaturesWithFrames(Multimodal.syntheticGifMedia(
+          tbl(s, dir, "documents"), "doc_id", "text")).toDF()
         .select(col("id"), col("media_type"), col("byte_len"),
           col("mean_luma"),
           element_at(col("histogram"), 1).as("h_first"),
           element_at(col("histogram"), 16).as("h_last"),
-          col("n_frames"))
+          col("n_frames").cast("long").as("n_frames"))
         .orderBy("id")
     }),
 
@@ -2936,6 +2971,62 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Conditional-fetch refresh feed (r16): the recrawl due-list JOINED
+    // with the batch's stored validators — one feed a fetcher consumes
+    // to send If-None-Match/If-Modified-Since directly. The ledger is
+    // the crawl_recrawl_due fixture; the validators ride the REAL WARC
+    // parser with the crawl_revalidators arm lattice keyed to the SAME
+    // page urls (id%4: etag-only / last-modified-only / both-weak /
+    // neither — the neither arm and never-fetched urls keep NULL
+    // validators, an unconditional refetch).
+    "crawl_recrawl_validators" -> ((s, dir) => {
+      import s.implicits._
+      val fd = java.nio.file.Files.createTempDirectory("graft_rv_")
+      deleteRecursivelyOnExit(fd)
+      val fDir = fd.resolve("frontier").toString
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val url = concat(lit("https://h"), col("doc_id") % 7,
+        lit(".example/page/"), col("doc_id"))
+      docs.select(url.as("url"), (col("doc_id") % 10).as("batch"))
+        .unionByName(docs.filter(col("doc_id") % 3 === 0)
+          .select(url.as("url"), (col("doc_id") % 10 + 5).as("batch")))
+        .write.partitionBy("batch").parquet(s"$fDir/fetched")
+      val files = docs
+        .withColumn("g", floor(col("doc_id") / 25))
+        .groupBy("g")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .as[(Long, Seq[Long])]
+        .map { case (g, ids) =>
+          val recs = ids.map { id =>
+            val own = s"https://h${id % 7}.example/page/$id"
+            val body = s"doc $id"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            (id % 4) match {
+              case 0 => graft.sources.Warc.ResponseFixture(own, 200,
+                contentType = "text/html", body = body,
+                etag = s""""e${id % 9}"""")
+              case 1 => graft.sources.Warc.ResponseFixture(own, 200,
+                contentType = "text/html", body = body,
+                lastModified = s"Thu, 0${1 + id % 7} Jan 2026 12:00:00 GMT")
+              case 2 => graft.sources.Warc.ResponseFixture(own, 200,
+                contentType = "text/html", body = body,
+                etag = s"""W/"w${id % 5}"""",
+                lastModified = s"Sat, 15 Aug 2026 0${id % 10}:00:00 GMT")
+              case _ => graft.sources.Warc.ResponseFixture(own, 200,
+                contentType = "text/html", body = body)
+            }
+          }
+          (g, graft.sources.Warc.encodeWarcFixtures(recs,
+            gzipPerRecord = g % 2 == 1))
+        }.toDF("g", "payload")
+      val validators = graft.pipeline.Crawl.revalidators(
+        graft.sources.Warc.warcRecords(files).toDF())
+      graft.pipeline.Crawl.recrawlValidators(
+          graft.pipeline.Crawl.recrawlSeeds(s, fDir, beforeBatch = 7),
+          validators)
+        .orderBy("url")
+    }),
+
     // Change-aware recrawl (r15): the hashed fetched ledger counts how
     // often each url's content ACTUALLY changed across fetches, so a
     // news front page and a static TOS page stop sharing a refresh
@@ -3028,6 +3119,107 @@ object SparkEntry {
           graft.pipeline.HtmlText.htmlOutlinksCol(col("html")).as("links"))
       graft.pipeline.Crawl.frontier(pages, pages.select(col("url")))
         .select(col("url"), col("n_refs"))
+        .orderBy("url")
+    }),
+
+    // Frameset/iframe/image-map navigation (r16): <iframe src>,
+    // <frame src> and <area href> enter the frontier like anchors,
+    // behind the same politeness gates. Arms: absolute iframe (kept),
+    // root-relative single-quoted frame resolving against the page,
+    // nofollow'd area (dropped), kept area, an entity-escaped iframe
+    // query (decodes), a plain anchor (sanity), the self link
+    // (anti-joins away); a second robots-nofollow meta page carries
+    // iframe/frame/area that must ALL drop — any of them leaking in
+    // hash-mismatches.
+    "crawl_frontier_frames" -> ((s, dir) => {
+      import s.implicits._
+      val pages = tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val own = s"https://h${id % 7}.example/page/$id"
+          val fr = s"https://h${id % 7}.example/fset/$id"
+          val pageHtml =
+            s"""<iframe src="https://if.example/f/${id % 5}"></iframe>
+               |<frameset cols="50%,50%"><frame src='/fr/${id % 4}'></frameset>
+               |<map><area href="https://ar.example/a/${id % 3}" rel="nofollow">
+               |<area shape="rect" href="https://ar.example/k/${id % 6}"></map>
+               |<iframe src="https://if.example/q?x=1&amp;y=${id % 3}"></iframe>
+               |<a href="https://keep.example/k/${id % 5}">kept</a>
+               |<a href="$own">self</a>""".stripMargin
+          val frHtml =
+            s"""<meta name="robots" content="nofollow">
+               |<iframe src="https://no.example/i/${id % 4}"></iframe>
+               |<frame src="https://no.example/f/${id % 3}">
+               |<area href="https://no.example/a/${id % 5}">""".stripMargin
+          Seq((own, pageHtml), (fr, frHtml))
+        }.flatMap(identity).toDF("url", "html")
+        .select(col("url"),
+          graft.pipeline.HtmlText.htmlOutlinksCol(col("html")).as("links"))
+      graft.pipeline.Crawl.frontier(pages, pages.select(col("url")))
+        .select(col("url"), col("n_refs"))
+        .orderBy("url")
+    }),
+
+    // Image–text pair harvesting (r16): <img src> + alt/title and
+    // figure/figcaption association ride the SAME fused decode pass as
+    // the text (extractFromBodies imagesCol), then srcs resolve
+    // against the page's effective base and normalize EXACTLY like
+    // hrefs — the LAION-shape (image url, associated text) feeder the
+    // multimodal family consumes. Arms by id%5: figure caption with
+    // nested markup + entity (0), relative single-quoted src with
+    // title and no alt (1), entity-escaped query src with EMPTY alt —
+    // the decorative marker stays distinct from null (2), a declared
+    // <base> the src resolves against (3), src-less imgs skipped
+    // beside a bare kept one (4). Records ride the REAL WARC parser;
+    // odd groups gzip per-record.
+    "crawl_image_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val files = tbl(s, dir, "documents").select(col("doc_id"))
+        .withColumn("g", floor(col("doc_id") / 25))
+        .groupBy("g")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .as[(Long, Seq[Long])]
+        .map { case (g, ids) =>
+          val recs = ids.map { id =>
+            val own = s"https://h${id % 7}.example/img/$id"
+            val html = (id % 5) match {
+              case 0 =>
+                s"""<figure><img src="https://img.example/i/${id % 9}.jpg" alt="pic ${id % 7}">
+                   |<figcaption>Cap <b>${id % 4}</b> &amp; more</figcaption></figure>""".stripMargin
+              case 1 =>
+                s"""<p>intro</p><img src='/im/${id % 6}.png' title='t${id % 3}'>"""
+              case 2 =>
+                s"""<img alt="" src="https://img.example/p?a=1&amp;b=${id % 3}">"""
+              case 3 =>
+                s"""<base href="https://b.example/dir/">
+                   |<img src="r${id % 4}.gif" alt="rel ${id % 5}">""".stripMargin
+              case _ =>
+                s"""<img alt="no src"><img src="" alt="x">
+                   |<img src="https://ok.example/o/${id % 5}">""".stripMargin
+            }
+            graft.sources.Warc.ResponseFixture(own, 200,
+              contentType = "text/html",
+              body = html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          (g, graft.sources.Warc.encodeWarcFixtures(recs,
+            gzipPerRecord = g % 2 == 1))
+        }.toDF("g", "payload")
+      val records = graft.sources.Warc.warcRecords(files).toDF()
+      val ext = graft.pipeline.HtmlText.extractFromBodies(records, "body",
+          "text", "http_content_type", baseCol = "base",
+          imagesCol = "images")
+        .filter(col("warc_type") === "response")
+      val eff = coalesce(
+        graft.pipeline.UrlResolve.resolveCol(
+          col("target_uri").cast("string"), col("base")),
+        col("target_uri").cast("string"))
+      ext.select(col("target_uri").as("url"), eff.as("eff_base"),
+          explode(col("images")).as("im"))
+        .select(col("url"),
+          graft.pipeline.UrlResolve.resolveAndNormalizeCol(col("eff_base"),
+            col("im.src")).as("img_url"),
+          col("im.alt").as("alt"), col("im.title").as("title"),
+          col("im.caption").as("caption"))
+        .filter(col("img_url").isNotNull)
         .orderBy("url")
     }),
 
@@ -3318,13 +3510,18 @@ object SparkEntry {
         .orderBy("url")
     }),
 
-    // Feed seeding (late r15): RSS 2.0 (even ids) and Atom (odd ids,
-    // gzipped, href-attribute links in BOTH quote forms) entries seed
-    // the frontier with a freshness date — the shared s/{id%40} url
-    // aggregates refs and MAXES its listed days across feeds, the
-    // unique u/{id} arm carries no date, entity-escaped multi-param
-    // links decode, the channel-level prologue link and the crawled
-    // own-page entry never seed.
+    // Feed seeding (late r15, recency-keyed r16): RSS 2.0 (even ids)
+    // and Atom (odd ids, gzipped, href-attribute links in BOTH quote
+    // forms) entries seed the frontier with a freshness date — the
+    // shared s/{id%40} url aggregates refs across feeds and keeps the
+    // MOST RECENT listed date by Feeds.dateKey epoch (RSS arms carry
+    // RFC 822 10:00 GMT dates, Atom arms RFC 3339 09:00Z — a
+    // lexicographic max would ALWAYS pick the letter-initial RFC 822
+    // string, so any dialect-blind fold hash-mismatches; equal days
+    // break on the 10:00-vs-09:00 hour), the unique u/{id} arm
+    // carries no date, entity-escaped multi-param links decode, the
+    // channel-level prologue link and the crawled own-page entry
+    // never seed.
     "crawl_feed_seeds" -> ((s, dir) => {
       import s.implicits._
       val docs = tbl(s, dir, "documents").select(col("doc_id"))
@@ -3338,16 +3535,16 @@ object SparkEntry {
             s"""<?xml version="1.0"?><rss version="2.0"><channel>
                |<link>https://nw.example/</link>
                |<pubDate>Mon, 01 Jan 2001 00:00:00 GMT</pubDate>
-               |<item><link>$shared</link><pubDate>2026-03-$day</pubDate></item>
+               |<item><link>$shared</link><pubDate>Mon, $day Mar 2026 10:00:00 GMT</pubDate></item>
                |<item><link>$unique</link></item>
-               |<item><link>$own</link><pubDate>2026-03-$day</pubDate></item>
+               |<item><link>$own</link><pubDate>Mon, $day Mar 2026 10:00:00 GMT</pubDate></item>
                |</channel></rss>""".stripMargin
           else
             s"""<feed xmlns="http://www.w3.org/2005/Atom">
                |<link rel="self" href="https://nw.example/feed.xml"/>
-               |<entry><link href="$shared"/><updated>2026-03-$day</updated></entry>
+               |<entry><link href="$shared"/><updated>2026-03-${day}T09:00:00Z</updated></entry>
                |<entry><LINK HREF='$unique'/></entry>
-               |<entry><link href="$own"/><updated>2026-03-$day</updated></entry>
+               |<entry><link href="$own"/><updated>2026-03-${day}T09:00:00Z</updated></entry>
                |</feed>""".stripMargin
         val bytes = xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)
         val body =
@@ -7698,6 +7895,18 @@ object SparkEntry {
         |    ELSE 'fr' END AS predicted,
         |  count(*) AS n
         |FROM s GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    // the true language of each held-out fixture sentence, by the same
+    // doc_id arithmetic the query used to pick it (codes sorted ASCII)
+    "doc_langid_trained" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 16 AS INT)
+        |    WHEN 0 THEN 'ar' WHEN 1 THEN 'de' WHEN 2 THEN 'en'
+        |    WHEN 3 THEN 'es' WHEN 4 THEN 'fr' WHEN 5 THEN 'hi'
+        |    WHEN 6 THEN 'it' WHEN 7 THEN 'ja' WHEN 8 THEN 'ko'
+        |    WHEN 9 THEN 'nl' WHEN 10 THEN 'pl' WHEN 11 THEN 'pt'
+        |    WHEN 12 THEN 'ru' WHEN 13 THEN 'sv' WHEN 14 THEN 'tr'
+        |    ELSE 'zh' END AS lang
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_clean_pipeline" ->
       """WITH s AS (
         |  SELECT doc_id, text,
@@ -7958,22 +8167,40 @@ object SparkEntry {
     // seeds + freshness dates rebuilt from the arithmetic: s/{id%40}
     // aggregates refs and maxes its day strings, u/{id} is dateless,
     // the escaped query decodes, prologue and crawled arms never seed
+    // the recency winner replayed per shared url: each listing's key is
+    // (day, hour) — RSS arms list at 10:00 GMT, Atom at 09:00Z, so the
+    // max-epoch pick orders by day then dialect-hour (same (day, hour)
+    // only within one dialect, where the strings are identical)
     "crawl_feed_seeds" ->
       """WITH a AS (
         |  SELECT 'https://nw.example/s/' || CAST(doc_id % 40 AS VARCHAR)
         |      || '?p=1&q=' || CAST(doc_id % 3 AS VARCHAR) AS url,
-        |    '2026-03-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
-        |      AS feed_date
+        |    1 + doc_id % 28 AS day,
+        |    CASE WHEN doc_id % 2 = 0 THEN 10 ELSE 9 END AS hh,
+        |    CASE WHEN doc_id % 2 = 0
+        |      THEN 'Mon, ' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+        |        || ' Mar 2026 10:00:00 GMT'
+        |      ELSE '2026-03-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+        |        || 'T09:00:00Z' END AS feed_date
         |  FROM documents),
+        |w AS (
+        |  SELECT url, feed_date,
+        |    row_number() OVER (PARTITION BY url
+        |      ORDER BY day DESC, hh DESC) AS rn,
+        |    count(*) OVER (PARTITION BY url) AS n
+        |  FROM a),
         |b AS (
         |  SELECT 'https://nw.example/u/' || CAST(doc_id AS VARCHAR)
         |      AS url,
+        |    CAST(1 AS BIGINT) AS n_refs,
         |    CAST(NULL AS VARCHAR) AS feed_date
-        |  FROM documents),
-        |u AS (SELECT * FROM a UNION ALL SELECT * FROM b)
-        |SELECT url, CAST(count(*) AS BIGINT) AS n_refs,
-        |  max(feed_date) AS feed_date
-        |FROM u GROUP BY url ORDER BY url""".stripMargin,
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT url, CAST(n AS BIGINT) AS n_refs, feed_date
+        |  FROM w WHERE rn = 1
+        |  UNION ALL
+        |  SELECT * FROM b)
+        |ORDER BY url""".stripMargin,
     // both hierarchy levels rebuilt from the fixture arithmetic: index
     // locs (shared child maxing its listed days, solo child null, the
     // fetched child anti-joined) under kind=sitemap; urlset locs under
@@ -8321,6 +8548,29 @@ object SparkEntry {
         |  FROM documents)
         |SELECT url, CAST(last_batch AS BIGINT) AS last_batch
         |FROM f WHERE last_batch < 7 ORDER BY url""".stripMargin,
+    // the due-list replay above joined with the validator arm lattice
+    // (crawl_revalidators' CASEs keyed to the page urls); the id%4=3
+    // arm carries NULL validators — present in the feed, unconditional
+    "crawl_recrawl_validators" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/page/' || CAST(doc_id AS VARCHAR) AS url,
+        |    CASE WHEN doc_id % 3 = 0 THEN doc_id % 10 + 5
+        |         ELSE doc_id % 10 END AS last_batch
+        |  FROM documents)
+        |SELECT url, CAST(last_batch AS BIGINT) AS last_batch,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN '"e' || CAST(doc_id % 9 AS VARCHAR) || '"'
+        |    WHEN 2 THEN 'W/"w' || CAST(doc_id % 5 AS VARCHAR) || '"'
+        |    END AS etag,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 1 THEN 'Thu, 0' || CAST(1 + doc_id % 7 AS VARCHAR) ||
+        |      ' Jan 2026 12:00:00 GMT'
+        |    WHEN 2 THEN 'Sat, 15 Aug 2026 0' ||
+        |      CAST(doc_id % 10 AS VARCHAR) || ':00:00 GMT'
+        |    END AS last_modified
+        |FROM f WHERE last_batch < 7 ORDER BY url""".stripMargin,
     // churn counts rebuilt per arm: same-content refetch observes but
     // never changes (id%3=0); the twice-refetched arm changes on the
     // first refetch only when id%4>=2 ('a'||id%4 vs 'a'||id%2) and
@@ -8384,6 +8634,78 @@ object SparkEntry {
         |  WHERE c.url IS NULL)
         |SELECT url, CAST(count(*) AS BIGINT) AS n_refs
         |FROM fresh GROUP BY url ORDER BY url""".stripMargin,
+    // the frameset/iframe/area arms rebuilt from the fixture
+    // arithmetic: kept iframe/frame/area/anchor urls enter (the frame
+    // resolves onto the page host, the escaped query decodes), the
+    // nofollow'd area and the whole robots-nofollow meta page's
+    // iframe/frame/area never do, self links anti-join away
+    "crawl_frontier_frames" ->
+      """WITH crawled AS (
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/page/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/fset/' || CAST(doc_id AS VARCHAR)
+        |  FROM documents),
+        |links AS (
+        |  SELECT 'https://if.example/f/' || CAST(doc_id % 5 AS VARCHAR)
+        |         AS url
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/fr/' || CAST(doc_id % 4 AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://ar.example/k/' || CAST(doc_id % 6 AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://if.example/q?x=1&y=' || CAST(doc_id % 3 AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://keep.example/k/' || CAST(doc_id % 5 AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |         '.example/page/' || CAST(doc_id AS VARCHAR)
+        |  FROM documents),
+        |fresh AS (
+        |  SELECT l.url FROM links l
+        |  LEFT JOIN crawled c ON l.url = c.url
+        |  WHERE c.url IS NULL)
+        |SELECT url, CAST(count(*) AS BIGINT) AS n_refs
+        |FROM fresh GROUP BY url ORDER BY url""".stripMargin,
+    // every arm's (img_url, alt, title, caption) rebuilt from the
+    // fixture arithmetic: the resolved+normalized src per arm, the
+    // EMPTY-alt arm distinct from the null-alt arms, the caption with
+    // its nested tag stripped and entity decoded
+    "crawl_image_pairs" ->
+      """SELECT
+        |  'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example/img/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'https://img.example/i/' ||
+        |      CAST(doc_id % 9 AS VARCHAR) || '.jpg'
+        |    WHEN 1 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/im/' || CAST(doc_id % 6 AS VARCHAR) || '.png'
+        |    WHEN 2 THEN 'https://img.example/p?a=1&b=' ||
+        |      CAST(doc_id % 3 AS VARCHAR)
+        |    WHEN 3 THEN 'https://b.example/dir/r' ||
+        |      CAST(doc_id % 4 AS VARCHAR) || '.gif'
+        |    ELSE 'https://ok.example/o/' || CAST(doc_id % 5 AS VARCHAR)
+        |    END AS img_url,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'pic ' || CAST(doc_id % 7 AS VARCHAR)
+        |    WHEN 2 THEN ''
+        |    WHEN 3 THEN 'rel ' || CAST(doc_id % 5 AS VARCHAR)
+        |    END AS alt,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 1 THEN 't' || CAST(doc_id % 3 AS VARCHAR)
+        |    END AS title,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'Cap ' || CAST(doc_id % 4 AS VARCHAR) || ' & more'
+        |    END AS caption
+        |FROM documents ORDER BY url""".stripMargin,
     // the Bloom-routed frontier is output-identical by contract (no
     // false negatives; false positives rescued by the exact join), so
     // the oracle is crawl_frontier's SQL verbatim
