@@ -1265,6 +1265,62 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // Product quantization (r16 — the TENTH index family, the
+    // memory-bound ANN tier: 16 B/vector at m=16 vs 64 B int8 /
+    // 256 B float): per-subspace k-means codebooks, m-byte codes,
+    // ADC search (m table lookups per stored row), installment
+    // append with STORED codebooks (the batch here appends the odd
+    // half against books trained on the evens), exact float re-rank
+    // over a candidateK=256 pool — wide enough that the pool
+    // certainly contains the float top-5, so the answer equals the
+    // exact brute force row for row (the sq8_refined contract).
+    "emb_topk_pq_refined" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_pq_ref_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.index.Pq.pqBuild(e.filter(col("vec_id") % 2 === 0), idxPath,
+          m = 16, ksub = 64)
+      }
+      Phases.timed("append") {
+        graft.index.Pq.pqAppendAt(s, idxPath,
+          e.filter(col("vec_id") % 2 === 1), installment = 1)
+      }
+      graft.index.Pq.pqSearchRefined(s, idxPath, q, e, k = 5,
+        candidateK = 256)
+        .select(col("query_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // PQ delete lifecycle: tombstone every vec_id%5==0, refined search
+    // — the deleted rows must vanish from the pool AND the re-rank
+    // (takedown semantics), so the answer equals the exact float top-5
+    // over the SURVIVORS (the emb_ivf_tombstone contract).
+    "emb_pq_tombstone" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_pq_del_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.index.Pq.pqBuild(e, idxPath, m = 16, ksub = 64)
+      }
+      Phases.timed("delete") {
+        graft.index.Pq.pqDelete(s, idxPath,
+          e.filter(col("vec_id") % 5 === 0).select("vec_id"))
+      }
+      graft.index.Pq.pqSearchRefined(s, idxPath, q, e, k = 5,
+        candidateK = 256)
+        .select(col("query_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // flat-index refine (the sidecar-free sibling of sq8_refined): int8
     // candidate pool from a TWO-INSTALLMENT index, exact float re-rank
     // against the source embeddings table — candidateK=64 of 500 makes
@@ -9466,6 +9522,32 @@ object SparkEntry {
         |               c.vec_id) AS rank
         |  FROM embeddings c
         |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q) t
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // PQ refined: ADC pool (candidateK 256, two-installment stored-
+    // codebook index) + exact float re-rank ⇒ the exact float top-5,
+    // the sq8_refined contract verbatim
+    "emb_topk_pq_refined" ->
+      """SELECT query_id, vec_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings c
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q) t
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // PQ tombstones: the exact float top-5 over the SURVIVORS — the
+    // emb_ivf_tombstone contract on the tenth family
+    "emb_pq_tombstone" ->
+      """SELECT query_id, vec_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings c
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+        |  WHERE c.vec_id % 5 <> 0) t
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
     // flat-index refine: the same exact-float-top-5 contract as

@@ -329,6 +329,53 @@ object Main {
       println(s"int8-compact: $rows packed codes folded to one installment in $idx")
       spark.stop()
 
+    case "pq-build" :: vecs :: idx :: rest =>
+      val m = rest.headOption.map(_.toInt).getOrElse(8)
+      val ksub = rest.drop(1).headOption.map(_.toInt).getOrElse(256)
+      val spark = session()
+      graft.index.Pq.pqBuild(spark.read.parquet(vecs), idx, m, ksub)
+      val n = spark.read.parquet(s"$idx/codes").count()
+      println(s"pq-build: $n $m-byte code rows (ksub=$ksub) -> $idx")
+      spark.stop()
+
+    case "pq-append" :: vecs :: idx :: Nil =>
+      val spark = session()
+      graft.index.Pq.pqAppend(spark, idx, spark.read.parquet(vecs))
+      val n = spark.read.parquet(s"$idx/codes").count()
+      println(s"pq-append: index now holds $n code rows in $idx")
+      spark.stop()
+
+    case "pq-search" :: idx :: queriesPath :: out :: rest =>
+      // [k] [corpusParquetForExactRefine] [candidateK]
+      val k = rest.headOption.map(_.toInt).getOrElse(5)
+      val corpus = rest.drop(1).headOption
+      val candidateK = rest.drop(2).headOption.map(_.toInt).getOrElse(64)
+      val spark = session()
+      val q = spark.read.parquet(queriesPath)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val res = corpus match {
+        case Some(corpusPath) => // exact float re-rank over the ADC pool
+          graft.index.Pq.pqSearchRefined(spark, idx, q,
+            spark.read.parquet(corpusPath), k, candidateK)
+        case None => graft.index.Pq.pqSearch(spark, idx, q, k)
+      }
+      res.write.mode("overwrite").parquet(out)
+      println(s"pq-search: top-$k for ${q.count()} queries -> $out")
+      spark.stop()
+
+    case "pq-delete" :: idx :: idsPath :: Nil =>
+      val spark = session()
+      val inst = graft.index.Pq.pqDelete(spark, idx,
+        spark.read.parquet(idsPath))
+      println(s"pq-delete: tombstones installment $inst in $idx")
+      spark.stop()
+
+    case "pq-compact" :: idx :: Nil =>
+      val spark = session()
+      val rows = graft.index.Pq.pqCompact(spark, idx)
+      println(s"pq-compact: $rows code rows folded to one installment in $idx")
+      spark.stop()
+
     case "hard-negatives" :: idx :: vecs :: out :: rest =>
       val k = rest.headOption.map(_.toInt).getOrElse(5)
       val spark = session()
@@ -966,7 +1013,7 @@ object Main {
       // DOCS and write negative count deltas. Reads reflect the delete
       // immediately; the matching vacuum/compact folds it physically.
       val col1 = rest.headOption.getOrElse(kind match {
-        case "int8" | "ivfsq8" | "ivf" => "vec_id"
+        case "int8" | "ivfsq8" | "ivf" | "pq" => "vec_id"
         case "lm" | "span"     => "text"
         case "hamming" | "video" => "id"
         case _                 => "doc_id"
@@ -978,6 +1025,7 @@ object Main {
         case "minhash" => graft.dedup.Dedup.minhashIndexDelete(spark, idx, del, col1)
         case "bm25"    => graft.index.Bm25.bm25IndexDelete(spark, idx, del, col1)
         case "int8"    => graft.index.Quantize.int8Delete(spark, idx, del, col1)
+        case "pq"      => graft.index.Pq.pqDelete(spark, idx, del, col1)
         case "ivfsq8"  => graft.index.Quantize.ivfSq8Delete(spark, idx, del, col1)
         case "ivf"     => graft.index.SimilarityIndex.ivfDelete(spark, idx, del, col1)
         case "lm"      => graft.analysis.NgramLm.lmIndexDelete(spark, idx, del, col1)
@@ -985,7 +1033,7 @@ object Main {
         case "hamming" => graft.dedup.Dedup.hammingIndexDelete(spark, idx, del, col1)
         case "video"   => graft.dedup.Dedup.videoIndexDelete(spark, idx, del, col1)
         case other => sys.error(s"unknown index kind '$other' " +
-          "(expected minhash | bm25 | int8 | ivfsq8 | ivf | lm | span | hamming | video)")
+          "(expected minhash | bm25 | int8 | ivfsq8 | ivf | pq | lm | span | hamming | video)")
       }
       println(s"index-delete: $n rows deleted from $kind index $idx")
       spark.stop()
@@ -999,6 +1047,7 @@ object Main {
         case "minhash" => graft.dedup.Dedup.minhashIndexVacuum(spark, idx)
         case "bm25"    => graft.index.Bm25.bm25IndexVacuum(spark, idx)
         case "int8"    => graft.index.Quantize.int8Compact(spark, idx, vecIdCol)
+        case "pq"      => graft.index.Pq.pqCompact(spark, idx, vecIdCol)
         case "ivfsq8"  => graft.index.Quantize.ivfSq8Compact(spark, idx, vecIdCol)
         case "ivf"     => graft.index.SimilarityIndex.ivfCompact(spark, idx, vecIdCol)
         case "lm"      => graft.analysis.NgramLm.lmIndexCompact(spark, idx)
@@ -1006,7 +1055,7 @@ object Main {
         case "hamming" => graft.dedup.Dedup.hammingIndexCompact(spark, idx)
         case "video"   => graft.dedup.Dedup.videoIndexCompact(spark, idx)
         case other => sys.error(s"unknown index kind '$other' " +
-          "(expected minhash | bm25 | int8 | ivfsq8 | ivf | lm | span | hamming | video)")
+          "(expected minhash | bm25 | int8 | ivfsq8 | ivf | pq | lm | span | hamming | video)")
       }
       println(s"index-vacuum: $kind index folded to $rows surviving rows in $idx")
       spark.stop()
@@ -1317,8 +1366,8 @@ object Main {
           |  ivfsq8-build     <vecsParquet> <indexPath> [nlist] [storeRaw]
           |  ivfsq8-probe     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
           |  ivfsq8-prune     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
-          |  index-delete     <minhash|bm25|int8|ivfsq8|ivf|lm|span|hamming|video> <indexPath> <idsOrDocsParquet> [idOrTextCol]
-          |  index-vacuum     <minhash|bm25|int8|ivfsq8|ivf|lm|span|hamming|video> <indexPath> [vecIdCol]
+          |  index-delete     <minhash|bm25|int8|ivfsq8|ivf|pq|lm|span|hamming|video> <indexPath> <idsOrDocsParquet> [idOrTextCol]
+          |  index-vacuum     <minhash|bm25|int8|ivfsq8|ivf|pq|lm|span|hamming|video> <indexPath> [vecIdCol]
           |  video-build      <framesParquet> <indexPath> [idCol] [hashCol]
           |  video-append     <framesParquet> <indexPath> [idCol] [hashCol]
           |  video-probe      <indexPath> <framesParquet> <outParquet> [threshold] [idCol] [hashCol]
@@ -1360,6 +1409,11 @@ object Main {
           |  ivf-compact      <indexPath>
           |  ivfsq8-compact   <indexPath>
           |  int8-compact     <indexPath>
+          |  pq-build         <vecsParquet> <indexPath> [m] [ksub]
+          |  pq-append        <vecsParquet> <indexPath>
+          |  pq-search        <indexPath> <vecsParquet> <outParquet> [k] [corpusParquetForExactRefine] [candidateK]
+          |  pq-delete        <indexPath> <idsParquet>
+          |  pq-compact       <indexPath>
           |  ivfsq8-refine-search <indexPath> <vecsParquet> [k] [candidateK] [nprobe]
           |  int8-refine-search <indexPath> <vecsParquet> [k] [candidateK]
           |  hard-negatives   <indexPath> <vecsParquet> <outParquet> [k]

@@ -1,0 +1,359 @@
+package graft.index
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopK
+
+/**
+ * Product quantization (r16) — the TENTH persisted index family, and the
+ * memory-bound ANN tier below [[Quantize]]'s scalar int8: a 64-dim
+ * float32 embedding (256 B) stores as `m` bytes (8 B at m=8 — 32× less
+ * than float, 8× less than SQ8), so a 100 TB embedding corpus's codes
+ * fit where even int8 codes don't, and search scans at 1/32 of the float
+ * bandwidth. The classic construction (Jégou, Douze, Schmid, "Product
+ * Quantization for Nearest Neighbor Search", TPAMI 2011; FAISS `PQ<m>`):
+ *
+ *   - TRAIN: split the (unit-normalized) vector into `m` subvectors of
+ *     dim/m dims; per subspace, k-means `ksub` centroids (≤ 256 — one
+ *     byte per subspace). Distributed MLlib fits, one per subspace —
+ *     maintenance-cadence, never per batch.
+ *   - ENCODE: per subspace, the nearest centroid's id → one byte; the
+ *     vector becomes `m` bytes.
+ *   - SEARCH (ADC, asymmetric distance computation): per query, an
+ *     m×ksub table of subspace inner products query⋅centroid (the query
+ *     stays FULL precision — only the corpus is quantized); a stored
+ *     code scores as the sum of `m` table lookups ≈ cosine (corpus
+ *     vectors are unit-normalized before encoding, queries normalize in
+ *     the table build). No per-pair float dot — the scan cost is m
+ *     lookups per stored row.
+ *
+ * Approximation contract: ADC scores are ranking-grade, not
+ * score-parity-grade (the float-IVF family's granularity, NOT int8's
+ * bit-exactness) — the declared queries therefore pin the REFINED form
+ * ([[pqSearchRefined]]: ADC candidate pool → exact float re-rank, the
+ * FAISS IndexRefineFlat composition == [[Quantize.int8SearchRefined]]'s
+ * shape), whose answer equals the exact float top-k once the pool
+ * certainly contains it.
+ *
+ * Installment-family contracts (all four, the shared design):
+ * append-only `codes/installment=N` with STORED meta+codebooks (a batch
+ * encoded later uses the build's exact codebooks — installments can
+ * never disagree), `asOfInstallment` snapshot reads, replay-idempotent
+ * [[pqAppendAt]], and the tombstone delete lifecycle
+ * ([[graft.store.Tombstones]] — takedown semantics, physical fold at
+ * [[pqCompact]]).
+ *
+ * Scale shape: probe-path invariant throughout — queries (with their ADC
+ * tables, m·ksub doubles each) broadcast; the code scan streams map-side
+ * and never shuffles; top-k is the bounded aggregator. Codebooks are
+ * m·ksub·(dim/m) doubles (m=8, ksub=256, dim=64 → 16k doubles) — a
+ * driver-side constant, the readCentroids pattern.
+ */
+object Pq {
+
+  /** Unit-normalize a float vector to doubles; null for null/zero-norm
+    * input (zero-norm rows have no cosine and are excluded everywhere,
+    * the family rule). */
+  private def normalize(v: Seq[Float]): Array[Double] = {
+    if (v == null) return null
+    var ss = 0.0
+    var i = 0
+    while (i < v.length) { val d = v(i).toDouble; ss += d * d; i += 1 }
+    if (ss == 0.0 || ss.isNaN) return null
+    val inv = 1.0 / math.sqrt(ss)
+    val out = new Array[Double](v.length)
+    i = 0
+    while (i < v.length) { out(i) = v(i).toDouble * inv; i += 1 }
+    out
+  }
+
+  /** Fit per-subspace codebooks over unit-normalized subvectors:
+    * `[m][ksub][dim/m]`, each subspace its own seeded MLlib KMeans
+    * (deterministic — the fitCentroids discipline). */
+  private def fitCodebooks(corpus: DataFrame, vecCol: String, m: Int,
+                           ksub: Int, fitSampleFraction: Double)
+      : Array[Array[Array[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.{Vectors => MLVectors}
+    val spark = corpus.sparkSession
+    val base0 = corpus.select(col(vecCol).as("_pq_v"))
+    val base = (if (fitSampleFraction < 1.0)
+        base0.sample(withReplacement = false, fitSampleFraction, seed = 42L)
+      else base0)
+      .localCheckpoint() // m fits re-read the sample; don't re-scan corpus
+    try {
+      (0 until m).toArray.map { j =>
+        val sub = udf { (v: Seq[Float]) =>
+          val u = normalize(v)
+          if (u == null) null
+          else {
+            val dsub = u.length / m
+            MLVectors.dense(java.util.Arrays.copyOfRange(
+              u, j * dsub, (j + 1) * dsub))
+          }
+        }
+        val train = base.select(sub(col("_pq_v")).as("features"))
+          .filter(col("features").isNotNull)
+        new KMeans().setK(ksub).setSeed(42L + j).setMaxIter(10)
+          .setFeaturesCol("features").fit(train)
+          .clusterCenters.map(_.toArray)
+      }
+    } finally graft.dedup.Dedup.release(base)
+  }
+
+  /** Encode one unit-normalized vector against codebooks → m bytes;
+    * null for null/zero-norm input. */
+  private def encodeUdf(books: Array[Array[Array[Double]]]) =
+    udf { (v: Seq[Float]) =>
+      val u = normalize(v)
+      if (u == null) null
+      else {
+        val m = books.length
+        val dsub = u.length / m
+        val out = new Array[Byte](m)
+        var j = 0
+        while (j < m) {
+          val cb = books(j)
+          var best = 0
+          var bestD = Double.MaxValue
+          var c = 0
+          while (c < cb.length) {
+            val cent = cb(c)
+            var s = 0.0
+            var i = 0
+            while (i < dsub) {
+              val d = u(j * dsub + i) - cent(i)
+              s += d * d
+              i += 1
+            }
+            if (s < bestD) { bestD = s; best = c }
+            c += 1
+          }
+          out(j) = best.toByte
+          j += 1
+        }
+        out
+      }
+    }
+
+  /** Per-query ADC lookup table: flat m·ksub doubles,
+    * `table(j·ksub + c) = q_sub_j ⋅ centroid_{j,c}` over the normalized
+    * query; null for zero-norm queries. */
+  private def tableUdf(books: Array[Array[Array[Double]]], ksub: Int) =
+    udf { (v: Seq[Float]) =>
+      val u = normalize(v)
+      if (u == null) null
+      else {
+        val m = books.length
+        val dsub = u.length / m
+        val out = new Array[Double](m * ksub)
+        var j = 0
+        while (j < m) {
+          val cb = books(j)
+          var c = 0
+          while (c < cb.length) {
+            val cent = cb(c)
+            var s = 0.0
+            var i = 0
+            while (i < dsub) { s += u(j * dsub + i) * cent(i); i += 1 }
+            out(j * ksub + c) = s
+            c += 1
+          }
+          j += 1
+        }
+        out
+      }
+    }
+
+  /** ADC score: m table lookups, fixed summation order (deterministic). */
+  private val adcScoreUdf =
+    udf { (codes: Array[Byte], table: Seq[Double], ksub: Int) =>
+      if (codes == null || table == null) None
+      else {
+        var s = 0.0
+        var j = 0
+        while (j < codes.length) {
+          s += table(j * ksub + (codes(j) & 0xFF))
+          j += 1
+        }
+        Some(s)
+      }
+    }
+
+  private def readMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/meta").head()
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Codebooks may be RAGGED: k-means returns fewer than `ksub` centers
+    * when the (sampled) training set is smaller — codes are dense
+    * 0..len-1 per subspace either way, and the stored `ksub` stays the
+    * ADC table STRIDE (an upper bound on every subspace's width). */
+  private def readCodebooks(spark: SparkSession, path: String, m: Int,
+                            ksub: Int): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$path/codebooks")
+      .select("sub", "code", "centroid").collect()
+    val bySub = rows.groupBy(_.getInt(0))
+    (0 until m).toArray.map { j =>
+      val subRows = bySub.getOrElse(j, Array.empty)
+      val cb = new Array[Array[Double]](subRows.length)
+      subRows.foreach(r => cb(r.getInt(1)) = r.getSeq[Double](2).toArray)
+      cb
+    }
+  }
+
+  /**
+   * Build a PQ index: fit codebooks, encode the corpus, persist
+   * `meta/` (m, ksub, dim), `codebooks/` and `codes/installment=0`.
+   * `ksub` ≤ 256 (one byte per subspace); the vector dim must divide
+   * by `m`. A rebuild starts a new generation (tombstones clear).
+   */
+  def pqBuild(corpus: DataFrame, path: String, m: Int = 8, ksub: Int = 256,
+              corpusId: String = "vec_id", corpusVec: String = "embedding",
+              fitSampleFraction: Double = 0.5): Unit = {
+    require(m >= 1 && ksub >= 1 && ksub <= 256,
+      s"need 1 <= ksub <= 256 (one byte per subspace), got m=$m ksub=$ksub")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(col(corpusVec)).filter(col(corpusVec).isNotNull)
+      .limit(1).collect().headOption
+      .map(_.getSeq[Float](0).length)
+      .getOrElse(throw new IllegalArgumentException(
+        s"pqBuild: no non-null $corpusVec rows to size the index from"))
+    require(dim % m == 0, s"vector dim $dim must divide by m=$m")
+    val books = fitCodebooks(corpus, corpusVec, m, ksub, fitSampleFraction)
+    books.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    spark.createDataFrame(Seq((m, ksub, dim))).toDF("m", "ksub", "dim")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    corpus.select(col(corpusId),
+        encodeUdf(books)(col(corpusVec)).as("codes"))
+      .filter(col("codes").isNotNull)
+      .write.mode("overwrite").parquet(s"$path/codes/installment=0")
+    graft.store.Tombstones.clear(spark, path)
+  }
+
+  /** Encode a new batch with the STORED codebooks and append it as the
+    * next installment (new ids only — the shared append contract). */
+  def pqAppend(spark: SparkSession, path: String, newDf: DataFrame,
+               corpusId: String = "vec_id",
+               corpusVec: String = "embedding"): Unit =
+    pqAppendAt(spark, path, newDf,
+      graft.store.Installments.next(spark, s"$path/codes"),
+      corpusId, corpusVec)
+
+  /** [[pqAppend]] at an EXPLICIT installment — the replay-idempotent
+    * `*AppendAt` form: a retry overwrites exactly its own partition
+    * dir, codes can never duplicate. Callers own the numbering. */
+  def pqAppendAt(spark: SparkSession, path: String, newDf: DataFrame,
+                 installment: Int, corpusId: String = "vec_id",
+                 corpusVec: String = "embedding"): Unit = {
+    val (m, ksub, _) = readMeta(spark, path)
+    val books = readCodebooks(spark, path, m, ksub)
+    newDf.select(col(corpusId),
+        encodeUdf(books)(col(corpusVec)).as("codes"))
+      .filter(col("codes").isNotNull)
+      .write.mode("overwrite").parquet(s"$path/codes/installment=$installment")
+  }
+
+  /**
+   * ADC search: per-query lookup tables broadcast with the queries, one
+   * map-side scan of the (tombstone-filtered, optionally snapshot-pinned)
+   * stored codes, bounded top-k. Output (queryId, corpusId, score_pq,
+   * rank) — `score_pq` approximates cosine at ranking granularity.
+   */
+  def pqSearch(spark: SparkSession, path: String, queries: DataFrame,
+               k: Int, corpusId: String = "vec_id",
+               queryId: String = "query_id", queryVec: String = "query_vec",
+               asOfInstallment: Int = Int.MaxValue): DataFrame = {
+    val (m, ksub, _) = readMeta(spark, path)
+    val books = readCodebooks(spark, path, m, ksub)
+    val codes0 = spark.read.parquet(s"$path/codes")
+    val codes1 = if (asOfInstallment == Int.MaxValue) codes0
+      else codes0.filter(col("installment") <= asOfInstallment)
+    val c = graft.store.Tombstones.filter(spark, path, codes1, corpusId)
+      .select(col(corpusId), col("codes"))
+    val q = queries
+      .select(col(queryId), tableUdf(books, ksub)(col(queryVec)).as("_qt"))
+      .filter(col("_qt").isNotNull)
+    val scored = c.join(broadcast(q), lit(true))
+      .withColumn("score_pq",
+        adcScoreUdf(col("codes"), col("_qt"), lit(ksub)))
+      .select(col(queryId), col(corpusId), col("score_pq"))
+    TopK.topKPerGroup(scored, queryId, corpusId, "score_pq", k)
+  }
+
+  /**
+   * PQ search with EXACT float re-ranking — the IndexRefineFlat
+   * composition ([[Quantize.int8SearchRefined]]'s shape): the m-byte
+   * codes generate a `candidateK` pool per query at 1/32 the float scan
+   * bandwidth, then the pool re-scores against the caller's ORIGINAL
+   * float corpus by exact cosine and cuts to top-k. PQ error only
+   * shuffles ranks INSIDE the pool, so with candidateK ≫ k the answer
+   * equals the exact float top-k — full-precision results at
+   * memory-bound scan cost. Pool and query vectors broadcast into the
+   * corpus read; the corpus never shuffles.
+   */
+  def pqSearchRefined(spark: SparkSession, path: String, queries: DataFrame,
+                      corpus: DataFrame, k: Int, candidateK: Int = 64,
+                      corpusId: String = "vec_id",
+                      corpusVec: String = "embedding",
+                      queryId: String = "query_id",
+                      queryVec: String = "query_vec",
+                      asOfInstallment: Int = Int.MaxValue): DataFrame = {
+    require(candidateK >= k,
+      s"candidateK ($candidateK) must be at least k ($k)")
+    val pool = pqSearch(spark, path, queries, candidateK, corpusId,
+      queryId, queryVec, asOfInstallment)
+      .select(col(queryId), col(corpusId))
+    val rescored = corpus.select(col(corpusId), col(corpusVec))
+      .join(broadcast(pool), Seq(corpusId))
+      .join(broadcast(queries.select(col(queryId), col(queryVec))),
+        Seq(queryId))
+      .withColumn("cosine",
+        graft.functions.expressions.CosineSimilarity.cosineNative(
+          col(corpusVec), col(queryVec)))
+      .select(col(queryId), col(corpusId), col("cosine"))
+    TopK.topKPerGroup(rescored, queryId, corpusId, "cosine", k)
+  }
+
+  /** Tombstone ids out of the index (takedown semantics — applies to
+    * asOf snapshots too; [[pqCompact]] folds physically). */
+  def pqDelete(spark: SparkSession, path: String, ids: DataFrame,
+               idCol: String = "vec_id"): Int =
+    graft.store.Tombstones.append(spark, path, ids, idCol)
+
+  /** [[pqDelete]] at an EXPLICIT deletes installment — replays overwrite
+    * their own partition (the `*DeleteAt` contract). */
+  def pqDeleteAt(spark: SparkSession, path: String, ids: DataFrame,
+                 installment: Int, idCol: String = "vec_id"): Unit =
+    graft.store.Tombstones.appendAt(spark, path, ids, idCol, installment)
+
+  /** Fold every `installment=` partition into ONE, dropping tombstoned
+    * rows physically and clearing the deletes list (the int8Compact
+    * sibling — atomic side-dir swap; code bytes untouched, so search
+    * results are identical; asOf snapshots are only meaningful between
+    * compactions). Returns the surviving row count. */
+  def pqCompact(spark: SparkSession, path: String,
+                corpusId: String = "vec_id"): Long = {
+    import org.apache.hadoop.fs.Path
+    val cPath = s"$path/codes"
+    val out = new Path(cPath)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(cPath + "._compacting")
+    graft.store.Tombstones.filter(spark, path,
+        spark.read.parquet(cPath).drop("installment"), corpusId)
+      .write.mode("overwrite")
+      .parquet(new Path(tmp, "installment=0").toString)
+    val rows = spark.read.parquet(tmp.toString).count()
+    if (!fs.delete(out, true) || !fs.rename(tmp, out))
+      throw new java.io.IOException(s"compaction swap failed for $cPath")
+    spark.catalog.refreshByPath(cPath)
+    graft.store.Tombstones.clear(spark, path)
+    rows
+  }
+}

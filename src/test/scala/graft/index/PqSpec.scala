@@ -1,0 +1,176 @@
+package graft.index
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Product-quantization index family: encode determinism, refined-search
+  * exactness, the four installment contracts (stored codebooks, asOf
+  * snapshots, replay-idempotent appends, tombstone lifecycle), and the
+  * unrefined ADC recall floor. */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    .select("vec_id", "embedding")
+
+  private def tmpIdx(tag: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft_pq_$tag")
+    d.toFile.deleteOnExit()
+    d.resolve("idx").toFile.getAbsolutePath
+  }
+
+  private def queries(n: Int = 8) = embs.filter($"vec_id" < n)
+    .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+
+  test("pqBuild: codes are m bytes per row; zero/null rows drop") {
+    val path = tmpIdx("build")
+    val corpus = embs.limit(60).unionByName(Seq(
+      (900001L, Array.fill(64)(0f)),
+      (900002L, null.asInstanceOf[Array[Float]])).toDF("vec_id", "embedding"))
+    Pq.pqBuild(corpus, path, m = 8, ksub = 16)
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.count() === 60, "zero-norm and null rows must not encode")
+    val lens = codes.select(length($"codes").as("l")).distinct()
+      .as[Int].collect().toSeq
+    assert(lens === Seq(8), s"codes must be m=8 bytes, got lengths $lens")
+    val meta = spark.read.parquet(s"$path/meta").head()
+    assert((meta.getInt(0), meta.getInt(1), meta.getInt(2)) === ((8, 16, 64)))
+  }
+
+  test("refined search equals the exact float top-k (pool covers it)") {
+    val path = tmpIdx("refined")
+    Pq.pqBuild(embs, path, m = 16, ksub = 64)
+    val q = queries()
+    val got = Pq.pqSearchRefined(spark, path, q, embs, k = 5,
+        candidateK = 128)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = SimilarityIndex.bruteForceTopK(embs, q, k = 5)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === exact)
+  }
+
+  test("unrefined ADC search: self in the pool, recall floor holds") {
+    val path = tmpIdx("recall")
+    Pq.pqBuild(embs, path, m = 16, ksub = 64)
+    val q = queries()
+    val approx = Pq.pqSearch(spark, path, q, k = 5)
+      .withColumnRenamed("score_pq", "cosine")
+    val exact = SimilarityIndex.bruteForceTopK(embs, q, k = 5)
+    // floor 1 (vs int8's 3): the synthetic embeddings are near-random —
+    // PQ's worst case (no subspace cluster structure to exploit); the
+    // declared queries carry the rigor through the REFINED exact-top-k
+    // contract, this floor just pins that ADC ranking is sane
+    val report = SimilarityIndex.approxRecallReport(approx, exact,
+        recallFloor = 1)
+      .as[(Long, Long, Boolean)].collect()
+    assert(report.length === 8)
+    assert(report.forall(_._3), s"PQ recall collapsed: ${report.toSeq}")
+  }
+
+  test("append encodes with the STORED codebooks; equals one-shot build") {
+    val pathA = tmpIdx("append")
+    val pathB = tmpIdx("oneshot")
+    val evens = embs.filter($"vec_id" % 2 === 0)
+    val odds = embs.filter($"vec_id" % 2 === 1)
+    // two-installment: build on evens, append odds with frozen books
+    Pq.pqBuild(evens, pathA, m = 16, ksub = 64)
+    Pq.pqAppend(spark, pathA, odds)
+    // one-shot reference: SAME books (trained on evens), all rows at once
+    Pq.pqBuild(evens, pathB, m = 16, ksub = 64)
+    Pq.pqAppendAt(spark, pathB, embs, installment = 1)
+    val a = spark.read.parquet(s"$pathA/codes")
+      .select($"vec_id", $"codes").as[(Long, Array[Byte])].collect()
+      .map(r => r._1 -> r._2.toSeq).toMap
+    val b = spark.read.parquet(s"$pathB/codes")
+      .filter($"installment" === 1)
+      .select($"vec_id", $"codes").as[(Long, Array[Byte])].collect()
+      .map(r => r._1 -> r._2.toSeq).toMap
+    assert(embs.count() === b.size)
+    // every appended odd row's codes equal the one-shot encode of the
+    // same vector under the same stored codebooks
+    odds.select($"vec_id").as[Long].collect().foreach { id =>
+      assert(a(id) === b(id), s"vec $id codes differ between append paths")
+    }
+    // and the searched result through the two-installment index equals
+    // the exact float top-k (append rows are first-class citizens)
+    val q = queries()
+    val got = Pq.pqSearchRefined(spark, pathA, q, embs, k = 5,
+        candidateK = 128)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val exact = SimilarityIndex.bruteForceTopK(embs, q, k = 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(got === exact)
+  }
+
+  test("asOfInstallment pins the search to the pre-append snapshot") {
+    val path = tmpIdx("asof")
+    val evens = embs.filter($"vec_id" % 2 === 0)
+    Pq.pqBuild(evens, path, m = 16, ksub = 64)
+    Pq.pqAppend(spark, path, embs.filter($"vec_id" % 2 === 1))
+    val q = queries(4)
+    val snap = Pq.pqSearch(spark, path, q, k = 5, asOfInstallment = 0)
+      .select($"vec_id" % 2).distinct().as[Long].collect().toSeq
+    assert(snap === Seq(0L), "the snapshot must only see even (build) rows")
+  }
+
+  test("pqAppendAt replays overwrite their own partition (idempotent)") {
+    val path = tmpIdx("replay")
+    Pq.pqBuild(embs.filter($"vec_id" < 100), path, m = 8, ksub = 16)
+    val batch = embs.filter($"vec_id" >= 100 && $"vec_id" < 140)
+    Pq.pqAppendAt(spark, path, batch, installment = 1)
+    Pq.pqAppendAt(spark, path, batch, installment = 1) // the retry
+    assert(spark.read.parquet(s"$path/codes")
+      .filter($"installment" === 1).count() === 40)
+  }
+
+  test("tombstones drop rows from every read; compact folds physically") {
+    val path = tmpIdx("delete")
+    Pq.pqBuild(embs.filter($"vec_id" < 100), path, m = 16, ksub = 64)
+    Pq.pqAppend(spark, path, embs.filter($"vec_id" >= 100 && $"vec_id" < 160))
+    val doomed = embs.filter($"vec_id" % 5 === 0 && $"vec_id" < 160)
+      .select("vec_id")
+    Pq.pqDelete(spark, path, doomed)
+    // double-delete is a no-op on the result (DeleteAt replay form)
+    Pq.pqDeleteAt(spark, path, doomed, installment = 1)
+    val q = queries()
+    val searched = Pq.pqSearchRefined(spark, path, q,
+        embs.filter($"vec_id" < 160), k = 5, candidateK = 128)
+      .select("vec_id").distinct().as[Long].collect()
+    assert(searched.forall(_ % 5 != 0), "tombstoned ids must not surface")
+    // takedown semantics: the snapshot read drops them too
+    val snap = Pq.pqSearch(spark, path, q, k = 5, asOfInstallment = 0)
+      .select("vec_id").distinct().as[Long].collect()
+    assert(snap.forall(_ % 5 != 0))
+    // physical fold: one installment, deletes cleared, results unchanged
+    val before = Pq.pqSearchRefined(spark, path, q,
+        embs.filter($"vec_id" < 160), k = 5, candidateK = 128)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val rows = Pq.pqCompact(spark, path)
+    assert(rows === 160 - searchedDeletedCount(160))
+    val inst = spark.read.parquet(s"$path/codes")
+      .select("installment").distinct().as[Int].collect().toSeq
+    assert(inst === Seq(0))
+    val after = Pq.pqSearchRefined(spark, path, q,
+        embs.filter($"vec_id" < 160), k = 5, candidateK = 128)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(after === before)
+  }
+
+  private def searchedDeletedCount(n: Int): Long = (0 until n).count(_ % 5 == 0).toLong
+
+  test("guards: candidateK >= k, dim divisible by m, ksub bounds") {
+    val path = tmpIdx("guards")
+    Pq.pqBuild(embs.limit(50), path, m = 8, ksub = 16)
+    intercept[IllegalArgumentException] {
+      Pq.pqSearchRefined(spark, path, queries(2), embs, k = 8, candidateK = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.pqBuild(embs.limit(50), tmpIdx("baddim"), m = 7, ksub = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Pq.pqBuild(embs.limit(50), tmpIdx("badksub"), m = 8, ksub = 300)
+    }
+  }
+}

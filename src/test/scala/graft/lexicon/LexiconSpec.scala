@@ -119,6 +119,10 @@ class LexiconSpec extends SparkTestBase {
       // the refined flat search generates its candidate pool through the
       // same intentional brute scorer before the equi-join re-rank
       "emb_topk_int8_refined",
+      // the PQ ADC scan is the same deliberate flat scorer (m table
+      // lookups per stored row, queries+tables broadcast) feeding the
+      // exact re-rank's equi-join
+      "emb_topk_pq_refined", "emb_pq_tombstone",
       // cluster assignment broadcast-cross-scores the tiny SEED set
       // against the corpus by design (nearest-seed argmax; corpus side
       // never shuffles vectors)
