@@ -3949,6 +3949,62 @@ object SparkEntry {
         .orderBy("src_host", "dst_host")
     }),
 
+    // Image–text pair LEDGER (r16): two ingest lifecycles through the
+    // REAL WARC parser and ingestBatch's onImages feed — batch 0 lands
+    // every page's figure-captioned relative-src img (resolved onto
+    // the page host, caption tag-stripped + entity-decoded), a
+    // mid-history compactImages folds the partitions (must be
+    // invisible), batch 1 REFETCHES the id%3==0 pages with a new
+    // absolute image that must supersede their batch-0 pairs under the
+    // latest-per-url read. Any resolution, caption, supersession or
+    // compaction defect hash-mismatches.
+    "crawl_images_ledger" -> ((s, dir) => {
+      import s.implicits._
+      val fd = java.nio.file.Files.createTempDirectory("graft_imgled_")
+      deleteRecursivelyOnExit(fd)
+      val idxPath = fd.resolve("idx").toFile.getAbsolutePath
+      val fDir = fd.resolve("frontier").toString
+      def warcFiles(df: org.apache.spark.sql.DataFrame,
+                    html: Long => String) =
+        df.withColumn("g", floor(col("doc_id") / 25))
+          .groupBy("g")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .as[(Long, Seq[Long])]
+          .map { case (g, ids) =>
+            val recs = ids.map { id =>
+              graft.sources.Warc.ResponseFixture(
+                s"https://h${id % 7}.example/pg/$id", 200,
+                contentType = "text/html",
+                body = html(id)
+                  .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            }
+            (g, graft.sources.Warc.encodeWarcFixtures(recs,
+              gzipPerRecord = g % 2 == 1))
+          }.toDF("g", "payload")
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      def land(batch: Long)(pairs: org.apache.spark.sql.DataFrame): Unit =
+        pairs.write.mode("overwrite").parquet(s"$fDir/images/batch=$batch")
+      val recs0 = graft.sources.Warc.warcRecords(
+        warcFiles(docs, id =>
+          s"""<p>page $id body words</p>
+             |<figure><img src="/i0/${id % 5}.jpg" alt="a${id % 3}">
+             |<figcaption>C ${id % 4}</figcaption></figure>""".stripMargin))
+        .toDF()
+      graft.pipeline.Crawl.ingestBatch(s, recs0, idxPath, 0,
+        onPageLinks = _ => (), onImages = land(0)) { _.count() }
+      // maintenance fold between the batches — preservation under test
+      graft.pipeline.Crawl.compactImages(s, fDir)
+      val recs1 = graft.sources.Warc.warcRecords(
+        warcFiles(docs.filter(col("doc_id") % 3 === 0), id =>
+          s"""<p>changed $id body tokens</p>
+             |<img src="https://cdn.example/n/${id % 6}.png" alt="new">"""))
+        .toDF()
+      graft.pipeline.Crawl.ingestBatch(s, recs1, idxPath, 1,
+        onPageLinks = _ => (), onImages = land(1)) { _.count() }
+      graft.pipeline.Crawl.imagePairsLedger(s, fDir)
+        .orderBy("url")
+    }),
+
     // Within-host error templates / soft-404s (r15): each host h{k}
     // serves a "not found" template at every id%5==0 url (over the
     // minUrls=10 threshold at sf0.01 — flagged) and a small recurring
@@ -8457,6 +8513,26 @@ object SparkEntry {
         |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n
         |FROM e GROUP BY src_host, dst_host
         |ORDER BY src_host, dst_host""".stripMargin,
+    // each url's LATEST-batch pairs rebuilt from the fixture
+    // arithmetic: the id%3=0 refetch supersedes with the cdn image
+    // (no caption), everyone else keeps the batch-0 resolved relative
+    // src + tag-stripped entity-decoded caption
+    "crawl_images_ledger" ->
+      """SELECT
+        |  'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '.example/pg/' || CAST(doc_id AS VARCHAR) AS url,
+        |  CASE WHEN doc_id % 3 = 0
+        |    THEN 'https://cdn.example/n/' || CAST(doc_id % 6 AS VARCHAR)
+        |      || '.png'
+        |    ELSE 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/i0/' || CAST(doc_id % 5 AS VARCHAR) || '.jpg'
+        |    END AS img_url,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'new'
+        |    ELSE 'a' || CAST(doc_id % 3 AS VARCHAR) END AS alt,
+        |  CAST(NULL AS VARCHAR) AS title,
+        |  CASE WHEN doc_id % 3 <> 0
+        |    THEN 'C ' || CAST(doc_id % 4 AS VARCHAR) END AS caption
+        |FROM documents ORDER BY url""".stripMargin,
     // the template decision replayed: group urls per (host, template
     // class), HAVING >= 10 flags, kept = everything else + the
     // null-hash /r/ rows that pass the gate untouched

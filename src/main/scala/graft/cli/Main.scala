@@ -807,13 +807,13 @@ object Main {
       spark.stop()
 
     case "crawl-forget" :: frontierDir :: urlsParquet :: rest =>
-      // takedown: purge the given urls from the fetched + next ledgers
-      // (pair with frontier-blocklist to prevent re-acquisition)
+      // takedown: purge the given urls from the fetched + next + images
+      // ledgers (pair with frontier-blocklist to prevent re-acquisition)
       val urlCol = rest.headOption.getOrElse("url")
       val spark = session()
-      val (pf, pn) = graft.pipeline.Crawl.purgeUrls(spark, frontierDir,
+      val (pf, pn, pi) = graft.pipeline.Crawl.purgeUrls(spark, frontierDir,
         spark.read.parquet(urlsParquet), urlCol)
-      println(s"crawl-forget: purged $pf fetched + $pn next rows")
+      println(s"crawl-forget: purged $pf fetched + $pn next + $pi image rows")
       spark.stop()
 
     case "crawl-host-health" :: warcPath :: out :: Nil =>
@@ -856,6 +856,23 @@ object Main {
       val spark = session()
       val kept = graft.pipeline.Crawl.compactEdges(spark, frontierDir)
       println(s"crawl-compact-edges: folded into batch=$kept")
+      spark.stop()
+
+    case "crawl-compact-images" :: frontierDir :: Nil =>
+      // fold the images/batch=N ledger (latest pairs per url; atomic swap)
+      val spark = session()
+      val kept = graft.pipeline.Crawl.compactImages(spark, frontierDir)
+      println(s"crawl-compact-images: folded into batch=$kept")
+      spark.stop()
+
+    case "crawl-images" :: frontierDir :: out :: Nil =>
+      // the accumulated image-text pairs (latest batch per url wins) --
+      // the LAION-shape multimodal feeder a crawl with landImages built
+      val spark = session()
+      graft.pipeline.Crawl.imagePairsLedger(spark, frontierDir)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"crawl-images: $n image-text pairs -> $out")
       spark.stop()
 
     case "crawl-soft404" :: frontierDir :: out :: rest =>
@@ -1394,6 +1411,8 @@ object Main {
           |  crawl-forget     <frontierDir> <urlsParquet> [urlCol]
           |  crawl-host-edges <frontierDir> <outParquet>
           |  crawl-compact-edges <frontierDir>
+          |  crawl-images     <frontierDir> <outParquet>
+          |  crawl-compact-images <frontierDir>
           |  crawl-feed-seeds <feedsParquet> <crawledParquet|-> <outParquet>
           |  crawl-sitemap-seeds <sitemapsParquet> <crawledParquet|-> <outParquet> [lastmod]
           |  crawl-sitemap-children <sitemapsParquet> <fetchedParquet|-> <outParquet>

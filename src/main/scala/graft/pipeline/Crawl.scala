@@ -43,12 +43,14 @@ object Crawl {
     * ledger-fed; their links still feed the frontier unless nofollow'd);
     * `revisits` (r15) counts unchanged-content recaptures — WARC
     * `revisit` records and 304 Not Modified responses — that fed the
-    * churn ledger as observations without entering the corpus. */
+    * churn ledger as observations without entering the corpus;
+    * `imagePairs` (r16) counts the resolved image–text pairs handed to
+    * the `onImages` consumer (0 when that feed is off). */
   final case class BatchStats(responses: Long, charsetFallbacks: Long,
                               emptyText: Long, duplicates: Long,
                               appended: Long, redirects: Long = 0L,
                               nonText: Long = 0L, noindexed: Long = 0L,
-                              revisits: Long = 0L)
+                              revisits: Long = 0L, imagePairs: Long = 0L)
 
   /** 200-responses this TEXT pipeline extracts: HTML/XHTML and plain
     * text (a missing Content-Type gets the benefit of the doubt —
@@ -110,12 +112,26 @@ object Crawl {
                      shingleK: Int = 3, numHashes: Int = 64, bands: Int = 16,
                      broadcastMaxBytes: Long = 64L << 20,
                      onPageLinks: DataFrame => Unit = null,
-                     onRobots: DataFrame => Unit = null)
+                     onRobots: DataFrame => Unit = null,
+                     onImages: DataFrame => Unit = null)
                     (use: DataFrame => A): (A, BatchStats) = {
     // links ride the SAME fused decode pass when the caller wants them
     // (the frontier feeder) -- decoding every body twice would double
     // the dominant per-row cost of the batch
     val wantLinks = onPageLinks != null
+    // `onImages` (r16) receives the batch's image–text pairs — (url,
+    // img_url, alt, title, caption), srcs RESOLVED against each page's
+    // effective base and frontier-normalized exactly like hrefs
+    // ([[HtmlText.htmlImages]] riding the same fused decode; the
+    // LAION-shape multimodal feeder). Pairs come from extracted text
+    // 200s only — near-dup pages still report (their pairs are valid
+    // observations; a ledger keeps latest-per-url), robots-meta
+    // noindex pages do NOT (the page asked to stay out of corpora).
+    // Consumes eagerly like the other callbacks. Requires onPageLinks
+    // (the shared extraction shape).
+    val wantImages = onImages != null
+    require(!wantImages || wantLinks,
+      "onImages requires onPageLinks (the shared fused extraction)")
     // `onRobots` (late r15) receives the batch's checkpointed response
     // projection WITH robots.txt fetch records of EVERY status folded
     // in (5xx robots — the RFC 9309 complete-disallow signal — match
@@ -205,11 +221,13 @@ object Crawl {
       baseCol = if (wantLinks) "base" else null,
       honorRobotsMeta = true, noindexCol = "noindex",
       xRobotsCol = if (hasXRobots) "http_x_robots" else null,
-      canonicalCol = if (wantLinks) "canonical" else null)
+      canonicalCol = if (wantLinks) "canonical" else null,
+      imagesCol = if (wantImages) "images" else null)
     val ext = (if (wantLinks)
-        extAll.select(col("target_uri").as("url"), col("text"),
+        extAll.select(Seq(col("target_uri").as("url"), col("text"),
           col("cs_fallback"), col("noindex"), col("links"), col("base"),
-          col("canonical"))
+          col("canonical")) ++
+          (if (wantImages) Seq(col("images")) else Nil): _*)
       else extAll.select(col("target_uri").as("url"), col("text"),
         col("cs_fallback"), col("noindex")))
       .localCheckpoint() // parse+extract once: feeds stats, probe, append
@@ -277,6 +295,29 @@ object Crawl {
         // needed — release the raw-body blocks before the probe
         graft.dedup.Dedup.release(resp0)
       }
+      var imagePairCount = 0L
+      if (wantImages) {
+        // resolve+normalize srcs EXACTLY like the frontier's hrefs (the
+        // same fused kernel) against each page's effective base;
+        // noindex pages contribute nothing (they asked out of corpora)
+        val effBase = coalesce(
+          UrlResolve.resolveCol(col("url"), col("base")), col("url"))
+        val pairs = ext
+          .filter(!col("noindex") && size(col("images")) > 0)
+          .select(col("url"), effBase.as("_img_base"),
+            explode(col("images")).as("_img"))
+          .select(col("url"),
+            UrlResolve.resolveAndNormalizeCol(col("_img_base"),
+              col("_img.src")).as("img_url"),
+            col("_img.alt").as("alt"), col("_img.title").as("title"),
+            col("_img.caption").as("caption"))
+          .filter(col("img_url").isNotNull)
+          .localCheckpoint()
+        try {
+          imagePairCount = pairs.count()
+          onImages(pairs)
+        } finally graft.dedup.Dedup.release(pairs)
+      }
       val a = ext.agg(
         count(lit(1)).as("n"),
         sum(when(col("cs_fallback"), 1L).otherwise(0L)).as("fb"),
@@ -320,7 +361,7 @@ object Crawl {
         val result = use(docs)
         (result, BatchStats(responses, fallbacks, empties, 0L,
           responses - empties - noindexed, redirectCount, nonTextCount,
-          noindexed, revisitCount))
+          noindexed, revisitCount, imagePairCount))
       } else {
         val dupIds = graft.dedup.Dedup.minhashIndexProbe(spark, indexPath,
             docs, "text", "url", threshold, maxBucketSize,
@@ -336,7 +377,8 @@ object Crawl {
           val result = use(fresh)
           (result, BatchStats(responses, fallbacks, empties,
             responses - empties - noindexed - appended, appended,
-            redirectCount, nonTextCount, noindexed, revisitCount))
+            redirectCount, nonTextCount, noindexed, revisitCount,
+            imagePairCount))
         } finally graft.dedup.Dedup.release(fresh)
       }
     } finally {
@@ -679,6 +721,70 @@ object Crawl {
       throw new java.io.IOException(s"edges compact swap-out failed: $edges")
     if (!fs.rename(tmp, edges))
       throw new java.io.IOException(s"edges compact swap-in failed: $edges")
+    fs.delete(old, true)
+    maxBatch
+  }
+
+  private val ImagePairCols = Seq("url", "img_url", "alt", "title",
+    "caption")
+
+  /** The accumulated image–text pairs from a frontier dir's
+    * `images/batch=N` ledger (written by `crawlIngestStream(landImages
+    * = true)` — r16): per page url, the pairs of its LATEST batch (a
+    * refetched page fully replaces its older pairs — the
+    * rulesFromLedger cache semantics; a page whose refetch carries no
+    * images keeps nothing because it landed no newer rows, so pair
+    * supersession requires the refetch row set, which extracted pages
+    * always produce when they have any imgs). Returns an empty frame
+    * when the ledger is absent/uncommitted. Url-keyed aggregates over
+    * an images-bearing-pages-sized table. */
+  def imagePairsLedger(spark: SparkSession, frontierDir: String)
+      : DataFrame = {
+    val path = s"$frontierDir/images"
+    if (!hasCommittedData(spark, path))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(ImagePairCols.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType))))
+    val df = spark.read.parquet(path)
+    val latest = df.groupBy(col("url").as("_il_url"))
+      .agg(max(col("batch")).as("_il_max"))
+    df.join(latest, col("url") === col("_il_url") &&
+        col("batch") === col("_il_max"))
+      .select(ImagePairCols.map(col): _*)
+  }
+
+  /** Fold the `images/batch=N` partitions into ONE keyed by the highest
+    * batch id seen, keeping each url's LATEST-batch pairs (exactly the
+    * [[imagePairsLedger]] read — superseded pair sets drop physically).
+    * The [[compactNext]] sibling: same atomic delete+rename swap, same
+    * replays-out-of-contract-afterwards convention. Returns the
+    * retained batch id, or -1 when the ledger is empty/absent. */
+  def compactImages(spark: SparkSession, frontierDir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val images = new Path(s"$frontierDir/images")
+    val fs = images.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hasCommittedData(spark, images.toString)) return -1L
+    val df = spark.read.parquet(images.toString)
+    val maxBatch = df.agg(max(col("batch"))).head() match {
+      case r if r.isNullAt(0) => return -1L
+      case r => r.getAs[Number](0).longValue()
+    }
+    val latest = df.groupBy(col("url").as("_il_url"))
+      .agg(max(col("batch")).as("_il_max"))
+    val folded = df.join(latest, col("url") === col("_il_url") &&
+        col("batch") === col("_il_max"))
+      .select(ImagePairCols.map(col): _*)
+    val tmp = new Path(s"$frontierDir/images._compacting")
+    fs.delete(tmp, true)
+    folded.write.parquet(s"$tmp/batch=$maxBatch")
+    val old = new Path(s"$frontierDir/images._old")
+    fs.delete(old, true)
+    if (!fs.rename(images, old))
+      throw new java.io.IOException(s"images compact swap-out failed: $images")
+    if (!fs.rename(tmp, images))
+      throw new java.io.IOException(s"images compact swap-in failed: $images")
     fs.delete(old, true)
     maxBatch
   }
@@ -1197,14 +1303,16 @@ object Crawl {
   /** Takedown for the crawl ledgers (late r15) — the delete lifecycle
     * the INDEX families have had since r10, closing the asymmetry: a
     * forget request must also purge the `fetched/` rows (urls +
-    * content hashes + churn history ARE stored data about the page)
-    * and any pending `next/` frontier rows. Rewrites both ledgers
-    * minus the given urls, PRESERVING the per-batch partition layout
-    * and every surviving row verbatim (accumulators included — churn
-    * math over the survivors is untouched), via the atomic
-    * delete+rename swap of the compaction family; replays of
-    * pre-purge batches are out of contract afterwards (the shared
-    * convention). Returns (purged fetched rows, purged next rows).
+    * content hashes + churn history ARE stored data about the page),
+    * any pending `next/` frontier rows, and (r16) the page's
+    * `images/` pairs (image urls + alt/caption text are stored data
+    * about the page too). Rewrites the ledgers minus the given urls,
+    * PRESERVING the per-batch partition layout and every surviving
+    * row verbatim (accumulators included — churn math over the
+    * survivors is untouched), via the atomic delete+rename swap of
+    * the compaction family; replays of pre-purge batches are out of
+    * contract afterwards (the shared convention). Returns (purged
+    * fetched rows, purged next rows, purged image pairs).
     *
     * Purging makes the url REFETCHABLE by design (forget-and-
     * reacquire): a takedown that must also prevent re-acquisition
@@ -1216,7 +1324,8 @@ object Crawl {
     * Scale: one anti-join per ledger against the (broadcast) forget
     * set, maintenance cadence. */
   def purgeUrls(spark: SparkSession, frontierDir: String,
-                urls: DataFrame, urlCol: String = "url"): (Long, Long) = {
+                urls: DataFrame, urlCol: String = "url")
+      : (Long, Long, Long) = {
     import org.apache.hadoop.fs.Path
     val forget = broadcast(urls.select(col(urlCol).cast("string")
       .as("url")).distinct())
@@ -1247,7 +1356,7 @@ object Crawl {
       fs.delete(old, true)
       before - keptCount
     }
-    (purge("fetched"), purge("next"))
+    (purge("fetched"), purge("next"), purge("images"))
   }
 
   /** Fold every `next/batch=N` frontier partition into ONE partition

@@ -631,6 +631,28 @@ object EventStreams extends Serializable {
     }
 
   /**
+   * [[int8IngestStream]]'s product-quantization sibling (r16): every
+   * micro-batch encodes with the STORED codebooks and lands as one
+   * `installment = StreamInstallmentBase + batchId` partition
+   * ([[graft.index.Pq.pqAppendAt]] — replay-idempotent by the shared
+   * pure-function numbering; same single-writer contract). Searches
+   * see each batch as soon as its installment is down;
+   * `asOfInstallment` still pins snapshots. The index must exist
+   * ([[graft.index.Pq.pqBuild]] — codebooks need a fitted corpus).
+   */
+  def pqIngestStream(spark: SparkSession, vecs: DataFrame, indexPath: String,
+                     idCol: String = "vec_id", vecCol: String = "embedding")
+                    (sink: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.index.Pq.pqAppendAt(spark, indexPath, batch.toDF(),
+          StreamInstallmentBase + batchId.toInt, idCol, vecCol)
+        sink(batchId)
+        ()
+    }
+
+  /**
    * Continuous TAKEDOWN ingest — the delete mirror of the ingest loops:
    * each micro-batch of deleted ids lands as its own
    * `deletes/installment = StreamInstallmentBase + batchId` partition of
@@ -865,6 +887,14 @@ object EventStreams extends Serializable {
    * the accumulated cache ([[graft.pipeline.Robots.rulesFromLedger]] —
    * latest outcome per host wins). Precedence: `robotsPath` >
    * the ledger > `robotsRules`. Needs `frontierDir`.
+   *
+   * `landImages` (r16) lands each batch's resolved image–text pairs
+   * ([[graft.pipeline.Crawl.ingestBatch]]'s `onImages` feed — srcs
+   * resolved + normalized like hrefs, figure captions attached) as
+   * `images/batch=N`: the LAION-shape multimodal harvesting ledger.
+   * Read with [[graft.pipeline.Crawl.imagePairsLedger]] (latest batch
+   * per url wins), fold with `compactImages`, purge with `purgeUrls`.
+   * Needs `frontierDir`.
    */
   def crawlIngestStream(spark: SparkSession, warcFiles: DataFrame,
                         indexPath: String, threshold: Double = 0.8,
@@ -878,7 +908,8 @@ object EventStreams extends Serializable {
                         dropTraps: Boolean = true,
                         robotsPath: String = null,
                         landHostEdges: Boolean = false,
-                        landRobots: Boolean = false)
+                        landRobots: Boolean = false,
+                        landImages: Boolean = false)
                        (sink: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     warcFiles.writeStream.foreachBatch {
@@ -1040,10 +1071,20 @@ object EventStreams extends Serializable {
                   .parquet(s"$frontierDir/robots/batch=$batchId")
             } finally graft.dedup.Dedup.release(outcomes)
           }
+        // the image-pair ledger (r16, opt-in): the batch's resolved
+        // (url, img_url, alt, title, caption) pairs — the LAION-shape
+        // multimodal feeder — land as images/batch=N (replay-idempotent
+        // overwrite, the sibling convention); read the accumulated
+        // pairs with Crawl.imagePairsLedger (latest batch per url wins)
+        val onImagesCb: org.apache.spark.sql.DataFrame => Unit =
+          if (!landImages || frontierDir == null) null
+          else pairs => pairs.write.mode("overwrite")
+            .parquet(s"$frontierDir/images/batch=$batchId")
         val (_, stats) = graft.pipeline.Crawl.ingestBatch(spark,
           graft.sources.Warc.warcRecords(batch.toDF(), payloadCol).toDF(),
           indexPath, inst, threshold, maxBucketSize,
-          onPageLinks = onLinks, onRobots = onRobotsCb) { fresh =>
+          onPageLinks = onLinks, onRobots = onRobotsCb,
+          onImages = onImagesCb) { fresh =>
           sink(fresh, batchId)
         }
         log.info(s"crawlIngestStream batch $batchId: " +
@@ -1051,7 +1092,8 @@ object EventStreams extends Serializable {
           s"charset_fallbacks=${stats.charsetFallbacks} " +
           s"empty=${stats.emptyText} dups=${stats.duplicates} " +
           s"appended=${stats.appended} redirects=${stats.redirects} " +
-          s"non_text=${stats.nonText} noindexed=${stats.noindexed}")
+          s"non_text=${stats.nonText} noindexed=${stats.noindexed} " +
+          s"image_pairs=${stats.imagePairs}")
         ()
     }
 

@@ -839,7 +839,7 @@ class CrawlFrontierSpec extends SparkTestBase {
       "https://h1.test/real", "https://h1.test/redir"))
   }
 
-  test("purgeUrls: takedown rewrites both ledgers; full purge reads as absence") {
+  test("purgeUrls: takedown rewrites the ledgers; full purge reads as absence") {
     val base = java.nio.file.Files.createTempDirectory("crawl-purge")
     base.toFile.deleteOnExit()
     val fDir = base.resolve("frontier").toString
@@ -851,9 +851,16 @@ class CrawlFrontierSpec extends SparkTestBase {
     Seq(("https://p/gone", 2L, 0L), ("https://p/fresh", 1L, 0L))
       .toDF("url", "n_refs", "batch")
       .write.partitionBy("batch").parquet(s"$fDir/next")
-    val (pf, pn) = Crawl.purgeUrls(spark, fDir,
+    // the images ledger purges by page url too (r16)
+    Seq(("https://p/gone", "https://img/1", "a", null, null, 0L),
+      ("https://p/keep", "https://img/2", null, null, "cap", 0L))
+      .toDF("url", "img_url", "alt", "title", "caption", "batch")
+      .write.partitionBy("batch").parquet(s"$fDir/images")
+    val (pf, pn, pi) = Crawl.purgeUrls(spark, fDir,
       Seq("https://p/gone", "https://p/nowhere").toDF("url"))
-    assert((pf, pn) === ((1L, 1L)))
+    assert((pf, pn, pi) === ((1L, 1L, 1L)))
+    assert(Crawl.imagePairsLedger(spark, fDir)
+      .select("url").as[String].collect().toSeq === Seq("https://p/keep"))
     // survivors verbatim, per-batch layout preserved
     assert(spark.read.parquet(s"$fDir/fetched")
       .select("url", "batch").as[(String, Long)].collect().toSet ===
@@ -862,15 +869,16 @@ class CrawlFrontierSpec extends SparkTestBase {
       .select("url").as[String].collect().toSeq === Seq("https://p/fresh"))
     // no-hit purge is a no-op (no rewrite)
     assert(Crawl.purgeUrls(spark, fDir,
-      Seq("https://p/absent").toDF("url")) === ((0L, 0L)))
+      Seq("https://p/absent").toDF("url")) === ((0L, 0L, 0L)))
     // full purge of a ledger leaves ABSENCE, not an unreadable dir
-    val (pf2, pn2) = Crawl.purgeUrls(spark, fDir,
+    val (pf2, pn2, pi2) = Crawl.purgeUrls(spark, fDir,
       Seq("https://p/keep", "https://p/fresh").toDF("url"))
-    assert((pf2, pn2) === ((2L, 1L)))
+    assert((pf2, pn2, pi2) === ((2L, 1L, 1L)))
     assert(!Crawl.hasCommittedData(spark, s"$fDir/fetched"))
     assert(!Crawl.hasCommittedData(spark, s"$fDir/next"))
+    assert(!Crawl.hasCommittedData(spark, s"$fDir/images"))
     assert(Crawl.purgeUrls(spark, fDir,
-      Seq("https://p/keep").toDF("url")) === ((0L, 0L)))
+      Seq("https://p/keep").toDF("url")) === ((0L, 0L, 0L)))
   }
 
   test("recrawlChurn: observation counts, null gaps, compaction invariance") {

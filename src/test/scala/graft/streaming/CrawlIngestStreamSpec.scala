@@ -569,4 +569,57 @@ class CrawlIngestStreamSpec extends SparkTestBase {
     assert(blockedOut === Set(("https://mid/blocked/x", 1L)),
       s"blocklist-gated frontier: $blockedOut")
   }
+
+  test("landImages: resolved image-text pairs land per batch; latest wins (r16)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("crawl-images")
+    base.toFile.deleteOnExit()
+    val idx = base.resolve("idx").toString
+    val fDir = base.resolve("frontier").toString
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = EventStreams.crawlIngestStream(spark,
+      input.toDF().toDF("g", "payload"), idx, threshold = 0.5,
+      frontierDir = fDir, landImages = true)().start()
+    // batch 0: a figure-captioned img with a RELATIVE src, a noindex
+    // page whose img must NOT harvest
+    input.addData((0L, warcOf(
+      ("https://im.test/a", 200,
+        """<p>first page body words</p>
+          |<figure><img src="/pics/one.jpg?x=1&amp;y=2" alt="an image">
+          |<figcaption>The <b>caption</b></figcaption></figure>""".stripMargin),
+      ("https://im.test/hidden", 200,
+        """<meta name="robots" content="noindex">
+          |<p>hidden page body with enough words</p>
+          |<img src="https://cdn.test/no.png" alt="x">""".stripMargin))))
+    q.processAllAvailable()
+    // batch 1: the SAME page refetched with a different image set —
+    // the ledger read must supersede batch 0's pairs for that url
+    input.addData((1L, warcOf(
+      ("https://im.test/a", 200,
+        """<p>first page now different body tokens entirely</p>
+          |<img src="https://cdn.test/new.webp" title="t2">""".stripMargin))))
+    q.processAllAvailable()
+    q.stop()
+    val b0 = spark.read.parquet(s"$fDir/images/batch=0")
+      .select("url", "img_url", "alt", "title", "caption")
+      .as[(String, String, String, String, String)].collect().toSet
+    assert(b0 === Set(("https://im.test/a",
+      "https://im.test/pics/one.jpg?x=1&y=2", "an image", null,
+      "The caption")), s"batch 0 pairs: $b0")
+    val ledger = graft.pipeline.Crawl.imagePairsLedger(spark, fDir)
+      .as[(String, String, String, String, String)].collect().toSet
+    assert(ledger === Set(("https://im.test/a",
+      "https://cdn.test/new.webp", null, "t2", null)),
+      s"ledger must keep the LATEST batch per url: $ledger")
+    // compaction folds to one partition; the read is unchanged
+    assert(graft.pipeline.Crawl.compactImages(spark, fDir) === 1L)
+    assert(graft.pipeline.Crawl.imagePairsLedger(spark, fDir)
+      .as[(String, String, String, String, String)].collect().toSet ===
+      ledger)
+    assert(new java.io.File(s"$fDir/images").listFiles()
+      .count(_.getName.startsWith("batch=")) === 1)
+    // absent ledger reads as empty
+    assert(graft.pipeline.Crawl.imagePairsLedger(spark,
+      base.resolve("nowhere").toString).count() === 0L)
+  }
 }
