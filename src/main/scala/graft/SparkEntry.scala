@@ -1271,9 +1271,10 @@ object SparkEntry {
     // ADC search (m table lookups per stored row), installment
     // append with STORED codebooks (the batch here appends the odd
     // half against books trained on the evens), exact float re-rank
-    // over a candidateK=256 pool — wide enough that the pool
-    // certainly contains the float top-5, so the answer equals the
-    // exact brute force row for row (the sq8_refined contract).
+    // over a candidateK=1024 pool — wide enough that the pool
+    // certainly contains the float top-5 through the 10x sf1 sweep,
+    // so the answer equals the exact brute force row for row (the
+    // sq8_refined contract).
     "emb_topk_pq_refined" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
       val q = e.filter(col("vec_id") < 8)
@@ -1290,7 +1291,7 @@ object SparkEntry {
           e.filter(col("vec_id") % 2 === 1), installment = 1)
       }
       graft.index.Pq.pqSearchRefined(s, idxPath, q, e, k = 5,
-        candidateK = 256)
+        candidateK = 1024)
         .select(col("query_id"), col("vec_id"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
@@ -1299,7 +1300,13 @@ object SparkEntry {
     // PQ delete lifecycle: tombstone every vec_id%5==0, refined search
     // — the deleted rows must vanish from the pool AND the re-rank
     // (takedown semantics), so the answer equals the exact float top-5
-    // over the SURVIVORS (the emb_ivf_tombstone contract).
+    // over the SURVIVORS (the emb_ivf_tombstone contract). The pool is
+    // DELIBERATELY wide (1024): a query whose entire replica clique is
+    // deleted has only DISTANT true neighbors on this near-random
+    // synthetic data — PQ's worst case — and the exactness contract
+    // must hold through the 10x sf1 sweep, not just the gate SFs (the
+    // pool re-rank stays |q|*candidateK, trivially cheap; real
+    // clustered embeddings cover with far narrower pools).
     "emb_pq_tombstone" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
       val q = e.filter(col("vec_id") < 8)
@@ -1315,7 +1322,7 @@ object SparkEntry {
           e.filter(col("vec_id") % 5 === 0).select("vec_id"))
       }
       graft.index.Pq.pqSearchRefined(s, idxPath, q, e, k = 5,
-        candidateK = 256)
+        candidateK = 1024)
         .select(col("query_id"), col("vec_id"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
@@ -3990,17 +3997,21 @@ object SparkEntry {
              |<figure><img src="/i0/${id % 5}.jpg" alt="a${id % 3}">
              |<figcaption>C ${id % 4}</figcaption></figure>""".stripMargin))
         .toDF()
-      graft.pipeline.Crawl.ingestBatch(s, recs0, idxPath, 0,
-        onPageLinks = _ => (), onImages = land(0)) { _.count() }
+      Phases.timed("ingest0") {
+        graft.pipeline.Crawl.ingestBatch(s, recs0, idxPath, 0,
+          onPageLinks = _ => (), onImages = land(0)) { _.count() }
+      }
       // maintenance fold between the batches — preservation under test
-      graft.pipeline.Crawl.compactImages(s, fDir)
+      Phases.timed("fold") { graft.pipeline.Crawl.compactImages(s, fDir) }
       val recs1 = graft.sources.Warc.warcRecords(
         warcFiles(docs.filter(col("doc_id") % 3 === 0), id =>
           s"""<p>changed $id body tokens</p>
              |<img src="https://cdn.example/n/${id % 6}.png" alt="new">"""))
         .toDF()
-      graft.pipeline.Crawl.ingestBatch(s, recs1, idxPath, 1,
-        onPageLinks = _ => (), onImages = land(1)) { _.count() }
+      Phases.timed("ingest1") {
+        graft.pipeline.Crawl.ingestBatch(s, recs1, idxPath, 1,
+          onPageLinks = _ => (), onImages = land(1)) { _.count() }
+      }
       graft.pipeline.Crawl.imagePairsLedger(s, fDir)
         .orderBy("url")
     }),
@@ -9600,7 +9611,7 @@ object SparkEntry {
         |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q) t
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
-    // PQ refined: ADC pool (candidateK 256, two-installment stored-
+    // PQ refined: ADC pool (candidateK 1024, two-installment stored-
     // codebook index) + exact float re-rank ⇒ the exact float top-5,
     // the sq8_refined contract verbatim
     "emb_topk_pq_refined" ->

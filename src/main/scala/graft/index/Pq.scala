@@ -70,35 +70,44 @@ object Pq {
 
   /** Fit per-subspace codebooks over unit-normalized subvectors:
     * `[m][ksub][dim/m]`, each subspace its own seeded MLlib KMeans
-    * (deterministic — the fitCentroids discipline). */
+    * (deterministic — the fitCentroids discipline). The m fits are
+    * INDEPENDENT and run as concurrent Spark jobs (driver threads over
+    * one checkpointed sample — m sequential small fits were pure
+    * scheduler latency, ~0.9 s each on local[32]; results are
+    * identical, each fit is its own seeded computation). */
   private def fitCodebooks(corpus: DataFrame, vecCol: String, m: Int,
                            ksub: Int, fitSampleFraction: Double)
       : Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.{Vectors => MLVectors}
-    val spark = corpus.sparkSession
     val base0 = corpus.select(col(vecCol).as("_pq_v"))
     val base = (if (fitSampleFraction < 1.0)
         base0.sample(withReplacement = false, fitSampleFraction, seed = 42L)
       else base0)
       .localCheckpoint() // m fits re-read the sample; don't re-scan corpus
     try {
-      (0 until m).toArray.map { j =>
-        val sub = udf { (v: Seq[Float]) =>
-          val u = normalize(v)
-          if (u == null) null
-          else {
-            val dsub = u.length / m
-            MLVectors.dense(java.util.Arrays.copyOfRange(
-              u, j * dsub, (j + 1) * dsub))
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val fits = (0 until m).map { j =>
+        Future {
+          val sub = udf { (v: Seq[Float]) =>
+            val u = normalize(v)
+            if (u == null) null
+            else {
+              val dsub = u.length / m
+              MLVectors.dense(java.util.Arrays.copyOfRange(
+                u, j * dsub, (j + 1) * dsub))
+            }
           }
+          val train = base.select(sub(col("_pq_v")).as("features"))
+            .filter(col("features").isNotNull)
+          new KMeans().setK(ksub).setSeed(42L + j).setMaxIter(10)
+            .setFeaturesCol("features").fit(train)
+            .clusterCenters.map(_.toArray)
         }
-        val train = base.select(sub(col("_pq_v")).as("features"))
-          .filter(col("features").isNotNull)
-        new KMeans().setK(ksub).setSeed(42L + j).setMaxIter(10)
-          .setFeaturesCol("features").fit(train)
-          .clusterCenters.map(_.toArray)
       }
+      fits.map(Await.result(_, Duration.Inf)).toArray
     } finally graft.dedup.Dedup.release(base)
   }
 
