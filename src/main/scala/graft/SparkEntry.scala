@@ -1991,28 +1991,35 @@ object SparkEntry {
     // labels and hash-mismatches.
     "doc_langid_trained" -> ((s, dir) => {
       import s.implicits._
-      val held = Vector(
-        "ar" -> "كل صباح كان الأطفال يمشون معا إلى المدرسة ويتحدثون عن ألعابهم المفضلة.",
-        "de" -> "Jeden Morgen gingen die Kinder zusammen zur Schule und sprachen über ihre Lieblingsspiele.",
-        "en" -> "Every morning the children walked to school together and talked about their favorite games.",
-        "es" -> "Cada mañana los niños caminaban juntos a la escuela y hablaban de sus juegos favoritos.",
-        "fr" -> "Chaque matin, les enfants marchaient ensemble vers l'école et parlaient de leurs jeux préférés.",
-        "hi" -> "हर सुबह बच्चे साथ में स्कूल जाते थे और अपने पसंदीदा खेलों के बारे में बात करते थे।",
-        "it" -> "Ogni mattina i bambini andavano a scuola insieme e parlavano dei loro giochi preferiti.",
-        "ja" -> "毎朝子供たちは一緒に学校へ歩いて行き、好きな遊びについて話した。",
-        "ko" -> "매일 아침 아이들은 함께 학교에 걸어가서 좋아하는 놀이에 대해 이야기했다.",
-        "nl" -> "Elke ochtend liepen de kinderen samen naar school en praatten over hun favoriete spelletjes.",
-        "pl" -> "Każdego ranka dzieci szły razem do szkoły i rozmawiały o swoich ulubionych grach.",
-        "pt" -> "Todas as manhãs as crianças caminhavam juntas para a escola e falavam sobre os seus jogos favoritos.",
-        "ru" -> "Каждое утро дети вместе шли в школу и говорили о своих любимых играх.",
-        "sv" -> "Varje morgon gick barnen tillsammans till skolan och pratade om sina favoritspel.",
-        "tr" -> "Her sabah çocuklar birlikte okula yürüdü ve en sevdikleri oyunlar hakkında konuştu.",
-        "zh" -> "每天早上孩子们一起走路去上学，谈论他们最喜欢的游戏。")
+      val held = LangIdHeldOut
       val docs = tbl(s, dir, "documents").select(col("doc_id"))
         .as[Long].map { id =>
           (id, s"${held((id % 16).toInt)._2} ${id % 97}")
         }.toDF("doc_id", "text")
       graft.analysis.LangId.classify(docs)
+        .orderBy("doc_id")
+    }),
+
+    // The mix stratifiers re-keyed on the TRAINED classifier's output
+    // (the r15 VERDICT's composition suggestion): docs get a held-out
+    // sentence with a SKEWED language assignment (id%3==0 folds onto
+    // the first four languages, so strata sizes differ and the α=0.5
+    // temperature actually reweights), LangId.classify predicts the
+    // language, and temperatureMixSqrt samples ON THE PREDICTION — a
+    // single mislabel flips that doc's stratum threshold and
+    // hash-mismatches the sampled row set.
+    "doc_mix_langid" -> ((s, dir) => {
+      import s.implicits._
+      val held = LangIdHeldOut
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val idx = if (id % 3 == 0) (id % 4).toInt else (id % 16).toInt
+          (id, s"${held(idx)._2} ${id % 97}")
+        }.toDF("doc_id", "text")
+      Sampling.temperatureMixSqrt(
+        graft.analysis.LangId.classify(docs).select(col("doc_id"),
+          col("lang")),
+        "lang", "doc_id", targetRows = 250)
         .orderBy("doc_id")
     }),
 
@@ -4786,6 +4793,28 @@ object SparkEntry {
     * AND its tracking-param variant both land on the crawled url (two
     * `SELECT url FROM crawled` arms) — anti-joined away; mailto/
     * javascript refs never enter. */
+  /** Held-out sentences (one per built-in LangId language, ASCII-
+    * sorted codes) — absent from the training centroids, shared by
+    * the doc_langid_trained and doc_mix_langid fixtures. */
+  private val LangIdHeldOut: Vector[(String, String)] = Vector(
+        "ar" -> "كل صباح كان الأطفال يمشون معا إلى المدرسة ويتحدثون عن ألعابهم المفضلة.",
+        "de" -> "Jeden Morgen gingen die Kinder zusammen zur Schule und sprachen über ihre Lieblingsspiele.",
+        "en" -> "Every morning the children walked to school together and talked about their favorite games.",
+        "es" -> "Cada mañana los niños caminaban juntos a la escuela y hablaban de sus juegos favoritos.",
+        "fr" -> "Chaque matin, les enfants marchaient ensemble vers l'école et parlaient de leurs jeux préférés.",
+        "hi" -> "हर सुबह बच्चे साथ में स्कूल जाते थे और अपने पसंदीदा खेलों के बारे में बात करते थे।",
+        "it" -> "Ogni mattina i bambini andavano a scuola insieme e parlavano dei loro giochi preferiti.",
+        "ja" -> "毎朝子供たちは一緒に学校へ歩いて行き、好きな遊びについて話した。",
+        "ko" -> "매일 아침 아이들은 함께 학교에 걸어가서 좋아하는 놀이에 대해 이야기했다.",
+        "nl" -> "Elke ochtend liepen de kinderen samen naar school en praatten over hun favoriete spelletjes.",
+        "pl" -> "Każdego ranka dzieci szły razem do szkoły i rozmawiały o swoich ulubionych grach.",
+        "pt" -> "Todas as manhãs as crianças caminhavam juntas para a escola e falavam sobre os seus jogos favoritos.",
+        "ru" -> "Каждое утро дети вместе шли в школу и говорили о своих любимых играх.",
+        "sv" -> "Varje morgon gick barnen tillsammans till skolan och pratade om sina favoritspel.",
+        "tr" -> "Her sabah çocuklar birlikte okula yürüdü ve en sevdikleri oyunlar hakkında konuştu.",
+        "zh" -> "每天早上孩子们一起走路去上学，谈论他们最喜欢的游戏。")
+
+
   private val crawlFixtureCte: String =
     """crawled AS (
       |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
@@ -8030,6 +8059,37 @@ object SparkEntry {
         |    WHEN 12 THEN 'ru' WHEN 13 THEN 'sv' WHEN 14 THEN 'tr'
         |    ELSE 'zh' END AS lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the trained prediction replayed (the skewed arm lattice), then
+    // doc_temperature_mix's EXACT threshold arithmetic over it: sqrt
+    // quantized to DECIMAL(28,10), double ops in the same sequence,
+    // floor to BIGINT, Knuth-hash membership
+    "doc_mix_langid" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CASE CAST(CASE WHEN doc_id % 3 = 0 THEN doc_id % 4
+        |        ELSE doc_id % 16 END AS INT)
+        |      WHEN 0 THEN 'ar' WHEN 1 THEN 'de' WHEN 2 THEN 'en'
+        |      WHEN 3 THEN 'es' WHEN 4 THEN 'fr' WHEN 5 THEN 'hi'
+        |      WHEN 6 THEN 'it' WHEN 7 THEN 'ja' WHEN 8 THEN 'ko'
+        |      WHEN 9 THEN 'nl' WHEN 10 THEN 'pl' WHEN 11 THEN 'pt'
+        |      WHEN 12 THEN 'ru' WHEN 13 THEN 'sv' WHEN 14 THEN 'tr'
+        |      ELSE 'zh' END AS lang
+        |  FROM documents),
+        |st AS (SELECT lang, count(*) AS n FROM p GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |        CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(28,10)) AS sd
+        |      FROM st),
+        |tot AS (SELECT sum(sd) AS td FROM w),
+        |thr AS (
+        |  SELECT lang,
+        |    CAST(floor(least(CAST(1.0 AS DOUBLE),
+        |      (250 * (CAST(sd AS DOUBLE) / CAST(td AS DOUBLE)))
+        |        / CAST(n AS DOUBLE)) * 4294967296) AS BIGINT) AS thr
+        |  FROM w, tot)
+        |SELECT p.doc_id, p.lang
+        |FROM p JOIN thr ON p.lang = thr.lang
+        |WHERE ((p.doc_id % 2147483648) * 2654435761) % 4294967296 < thr.thr
+        |ORDER BY p.doc_id""".stripMargin,
     "doc_clean_pipeline" ->
       """WITH s AS (
         |  SELECT doc_id, text,

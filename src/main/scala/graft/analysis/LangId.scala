@@ -154,9 +154,14 @@ object LangId {
                textCol: String = "text",
                model: DataFrame = null,
                broadcastModel: Boolean = true): DataFrame = {
-    require(!docs.columns.contains("_lid_grams") &&
-      !docs.columns.contains("lang"),
-      "column names _lid_grams/lang are reserved by LangId.classify")
+    // the input is PROJECTED to (idCol, textCol) before any internal
+    // column minting, so a docs frame carrying its own `lang` data
+    // column is fine — only the projected names themselves may not
+    // collide with the minted ones
+    require(idCol != "_lid_grams" && textCol != "_lid_grams" &&
+      idCol != "lang" && idCol != "_lid_hit" && textCol != "_lid_hit",
+      "idCol/textCol may not be named _lid_grams/_lid_hit/lang " +
+        "(reserved by LangId.classify)")
     val spark = docs.sparkSession
     val m = if (model != null) model else builtinModel(spark)
     val grams = udf((s: String) => charGramsText(s))

@@ -309,6 +309,18 @@ object Main {
       println(s"classify: $n predictions -> $out")
       spark.stop()
 
+    case "langid" :: docs :: out :: rest =>
+      // trained 16-language char-n-gram language ID (heuristic fallback)
+      val idCol = rest.headOption.getOrElse("doc_id")
+      val textCol = rest.drop(1).headOption.getOrElse("text")
+      val spark = session()
+      graft.analysis.LangId.classify(spark.read.parquet(docs), idCol,
+          textCol)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"langid: $n docs labeled -> $out")
+      spark.stop()
+
     case "int8-build" :: vecs :: idx :: Nil =>
       val spark = session()
       graft.index.Quantize.int8Build(spark.read.parquet(vecs), idx)
@@ -1376,6 +1388,7 @@ object Main {
           |  pagerank         <edgesParquet> <outParquet> [srcCol] [dstCol] [iters]
           |  host-stats       <docsParquet> <outParquet> [urlCol] [idCol] [signalCol,signalCol,...]
           |  host-cap         <docsParquet> <outParquet> <k> [urlCol] [idCol]
+          |  langid           <docsParquet> <outParquet> [idCol] [textCol]
           |  int8-build       <vecsParquet> <indexPath>
           |  int8-append      <vecsParquet> <indexPath>
           |  int8-probe       <indexPath> <vecsParquet> <outParquet> [threshold]
