@@ -1271,10 +1271,14 @@ object SparkEntry {
     // ADC search (m table lookups per stored row), installment
     // append with STORED codebooks (the batch here appends the odd
     // half against books trained on the evens), exact float re-rank
-    // over a candidateK=1024 pool — wide enough that the pool
-    // certainly contains the float top-5 through the 10x sf1 sweep,
-    // so the answer equals the exact brute force row for row (the
-    // sq8_refined contract).
+    // over a pool derived from the CORPUS COUNT (r17): candidateK >=
+    // corpus rows makes the pool's coverage of the float top-5
+    // STRUCTURAL — the gate's exactness claim holds at any sweep SF
+    // by construction, not by an empirically-swept pool width (the
+    // 256-pool sf1 miss is the precedent; these near-random synthetic
+    // embeddings are PQ's worst case). Narrowed-pool ADC ranking
+    // quality is spec-pinned separately (PqSpec recall floor); real
+    // clustered corpora run candidateK ~ 8-64x k.
     "emb_topk_pq_refined" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
       val q = e.filter(col("vec_id") < 8)
@@ -1291,7 +1295,7 @@ object SparkEntry {
           e.filter(col("vec_id") % 2 === 1), installment = 1)
       }
       graft.index.Pq.pqSearchRefined(s, idxPath, q, e, k = 5,
-        candidateK = 1024)
+        candidateK = math.max(1024L, e.count()).toInt)
         .select(col("query_id"), col("vec_id"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
@@ -1301,11 +1305,11 @@ object SparkEntry {
     // — the deleted rows must vanish from the pool AND the re-rank
     // (takedown semantics), so the answer equals the exact float top-5
     // over the SURVIVORS (the emb_ivf_tombstone contract). The pool is
-    // DELIBERATELY wide (1024): a query whose entire replica clique is
-    // deleted has only DISTANT true neighbors on this near-random
-    // synthetic data — PQ's worst case — and the exactness contract
-    // must hold through the 10x sf1 sweep, not just the gate SFs (the
-    // pool re-rank stays |q|*candidateK, trivially cheap; real
+    // corpus-count-derived like emb_topk_pq_refined (r17): a query
+    // whose entire replica clique is deleted has only DISTANT true
+    // neighbors on this near-random synthetic data — PQ's worst case —
+    // so the exactness contract holds STRUCTURALLY at any sweep SF
+    // (the pool re-rank stays |q|*candidateK, trivially cheap; real
     // clustered embeddings cover with far narrower pools).
     "emb_pq_tombstone" -> ((s, dir) => {
       val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
@@ -1322,7 +1326,41 @@ object SparkEntry {
           e.filter(col("vec_id") % 5 === 0).select("vec_id"))
       }
       graft.index.Pq.pqSearchRefined(s, idxPath, q, e, k = 5,
-        candidateK = 1024)
+        candidateK = math.max(1024L, e.count()).toInt)
+        .select(col("query_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // IVF-PQ (r17 — FAISS's billion-scale default `IVF<nlist>,PQ<m>`
+    // + IndexRefineFlat): coarse k-means routing over m-byte PQ codes
+    // in the two-level list_id=X/ingest=N layout, so an ADC probe
+    // reads ~nprobe/nlist of the codes — here driven through the FULL
+    // lifecycle: build on the evens (raw/ refine sidecar stored),
+    // replay-idempotent append of the odds at ingest=1 (STORED
+    // centroids + codebooks — installments can never disagree), then
+    // refined search at nprobe = nlist with a corpus-count-derived
+    // pool: full probe + covering pool makes the answer the exact
+    // float top-5 STRUCTURALLY (the pq_refined contract). The routed
+    // nprobe << nlist shape and its pruned scan plan are spec-pinned
+    // (IvfPq arms of PqSpec) — list membership isn't SQL-replayable.
+    "emb_topk_ivfpq" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.index.Pq.ivfPqBuild(e.filter(col("vec_id") % 2 === 0),
+          idxPath, nlist = 16, m = 16, ksub = 64, storeRaw = true)
+      }
+      Phases.timed("append") {
+        graft.index.Pq.ivfPqAppendAt(s, idxPath,
+          e.filter(col("vec_id") % 2 === 1), ingest = 1)
+      }
+      graft.index.Pq.ivfPqSearchRefined(s, idxPath, q, k = 5,
+        candidateK = math.max(1024L, e.count()).toInt, nprobe = 16)
         .select(col("query_id"), col("vec_id"),
           col("rank").cast("long").as("rank"))
         .orderBy("query_id", "rank")
@@ -1452,7 +1490,11 @@ object SparkEntry {
     // chain is NOT engine-bit-stable (late-r15 sf0.1 finding — DuckDB
     // converts decimal→double as int/scale, TWO roundings vs the JVM's
     // correctly-rounded BigDecimal path, and the variance cancellation
-    // amplifies the ulp into repr space; 6dp is ~10^5 ulps of headroom)
+    // amplifies the ulp into repr space; 6dp is ~10^5 ulps of headroom).
+    // The rounded decimal then casts BACK to DOUBLE (both sides): two
+    // rounds of driver-red proved decimal OUTPUT canonicalization is
+    // harness-dependent, while decimal→double is correctly rounded in
+    // both engines — the doubles are identical bits in any harness
     "q_scaler_stats" -> ((s, dir) => {
       val l = tbl(s, dir, "lineitem")
       def sums(c: String) = {
@@ -1463,9 +1505,9 @@ object SparkEntry {
       def meanStd(c: String, label: String) = {
         val n = col("n").cast("double")
         val mean = col(s"_sx_$c") / n
-        Seq(mean.cast("decimal(18,6)").as(s"mean_$label"),
+        Seq(mean.cast("decimal(18,6)").cast("double").as(s"mean_$label"),
           sqrt(col(s"_sq_$c") / n - mean * mean).cast("decimal(18,6)")
-            .as(s"std_$label"))
+            .cast("double").as(s"std_$label"))
       }
       val aggs = sums("l_quantity") ++ sums("l_extendedprice") :+
         count(lit(1)).as("n")
@@ -1994,9 +2036,40 @@ object SparkEntry {
       val held = LangIdHeldOut
       val docs = tbl(s, dir, "documents").select(col("doc_id"))
         .as[Long].map { id =>
-          (id, s"${held((id % 16).toInt)._2} ${id % 97}")
+          (id, s"${held((id % 24).toInt)._2} ${id % 97}")
         }.toDF("doc_id", "text")
       graft.analysis.LangId.classify(docs)
+        .orderBy("doc_id")
+    }),
+
+    // LangId CONFIDENCE (r17): classifyWithConfidence over a tiny
+    // EXPLICIT corpus-trained model whose gram arithmetic is
+    // hand-enumerable — docs are single-ASCII-letter word sequences,
+    // so each letter expands to exactly 4 grams (c, _c, c_, _c_) and
+    // every cosine is the letter-count cosine with a factor-4 inside
+    // the integer sums; the margin (top1 − top2, 0 runner-up when only
+    // one class scores, NULL on heuristic fallback) replays in DuckDB
+    // with the same HUGEINT sums and double op sequence — the
+    // doc_quality_classifier pattern extended to the confidence path.
+    "doc_langid_margin" -> ((s, dir) => {
+      import s.implicits._
+      val grams = udf((t: String) => graft.analysis.LangId.charGramsText(t))
+      val model = graft.analysis.Classify.centroidTrain(
+        Seq(("aa", "a a b"), ("bb", "b b c"), ("cc", "c c a"))
+          .toDF("label", "ltext")
+          .select(col("label"), grams(col("ltext")).as("gtext")),
+        "gtext", "label")
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val text = (id % 4) match {
+            case 0 => "a a a b" // strongly aa
+            case 1 => "b b c"   // exactly the bb centroid
+            case 2 => "a b c"   // near-ambiguous: small margin
+            case _ => "z z"     // no centroid overlap: heuristic, NULL
+          }
+          (id, text)
+        }.toDF("doc_id", "text")
+      graft.analysis.LangId.classifyWithConfidence(docs, model = model)
         .orderBy("doc_id")
     }),
 
@@ -3256,15 +3329,27 @@ object SparkEntry {
                 s"""<figure><img src="https://img.example/i/${id % 9}.jpg" alt="pic ${id % 7}">
                    |<figcaption>Cap <b>${id % 4}</b> &amp; more</figcaption></figure>""".stripMargin
               case 1 =>
-                s"""<p>intro</p><img src='/im/${id % 6}.png' title='t${id % 3}'>"""
+                // srcset on the img itself (r17): the first candidate
+                // DUPLICATES src (dedupe, first wins), the second is a
+                // density variant, the third scheme-relative — all
+                // share the img's title
+                s"""<p>intro</p><img src='/im/${id % 6}.png' title='t${id % 3}'
+                   | srcset='/im/${id % 6}.png, /im/${id % 6}@2x.png 2x, //cdn${id % 2}.example/w/${id % 4}.webp 640w'>""".stripMargin
               case 2 =>
-                s"""<img alt="" src="https://img.example/p?a=1&amp;b=${id % 3}">"""
+                // <picture><source srcset> (r17): candidates separated
+                // by a comma WITHOUT whitespace; the second carries an
+                // entity-encoded query and no descriptor
+                s"""<picture><source srcset="https://img.example/hi/${id % 4}.avif 2x,https://img.example/hi/${id % 4}.jpg?x=1&amp;y=${id % 2}">
+                   |<img alt="" src="https://img.example/p?a=1&amp;b=${id % 3}"></picture>""".stripMargin
               case 3 =>
                 s"""<base href="https://b.example/dir/">
                    |<img src="r${id % 4}.gif" alt="rel ${id % 5}">""".stripMargin
               case _ =>
+                // picture-wrapped PLACEHOLDER img (r17): no src at all —
+                // only the source candidates harvest (padded srcset)
                 s"""<img alt="no src"><img src="" alt="x">
-                   |<img src="https://ok.example/o/${id % 5}">""".stripMargin
+                   |<img src="https://ok.example/o/${id % 5}">
+                   |<picture><source srcset=" https://ph.example/s/${id % 3}.webp 1x , https://ph.example/s/${id % 3}b.webp 2x "><img alt="ph"></picture>""".stripMargin
             }
             graft.sources.Warc.ResponseFixture(own, 200,
               contentType = "text/html",
@@ -3290,7 +3375,7 @@ object SparkEntry {
           col("im.alt").as("alt"), col("im.title").as("title"),
           col("im.caption").as("caption"))
         .filter(col("img_url").isNotNull)
-        .orderBy("url")
+        .orderBy("url", "img_url")
     }),
 
     // Politeness scheduling over the same frontier: per-host fetch
@@ -3963,15 +4048,20 @@ object SparkEntry {
         .orderBy("src_host", "dst_host")
     }),
 
-    // Image–text pair LEDGER (r16): two ingest lifecycles through the
-    // REAL WARC parser and ingestBatch's onImages feed — batch 0 lands
-    // every page's figure-captioned relative-src img (resolved onto
-    // the page host, caption tag-stripped + entity-decoded), a
-    // mid-history compactImages folds the partitions (must be
-    // invisible), batch 1 REFETCHES the id%3==0 pages with a new
-    // absolute image that must supersede their batch-0 pairs under the
-    // latest-per-url read. Any resolution, caption, supersession or
-    // compaction defect hash-mismatches.
+    // Image–text pair LEDGER (r16, supersession hardened r17): three
+    // ingest lifecycles through the REAL WARC parser and ingestBatch's
+    // onImages feed — batch 0 lands every page's figure-captioned
+    // relative-src img (resolved onto the page host, caption
+    // tag-stripped + entity-decoded), a mid-history compactImages
+    // folds the partitions (must be invisible), batch 1 REFETCHES the
+    // id%3==0 pages with a new absolute image that must supersede
+    // their batch-0 pairs under the latest-per-url read, and batch 2
+    // refetches the id%5==0 pages with NO images (id%10==0 turned
+    // robots-meta noindex WITH an img still in the markup — both
+    // classes harvest nothing) — their null-src sentinels must drop
+    // the urls' stale pairs entirely, across a SECOND compaction
+    // (sentinels fold to absence). Any resolution, caption,
+    // supersession or compaction defect hash-mismatches.
     "crawl_images_ledger" -> ((s, dir) => {
       import s.implicits._
       val fd = java.nio.file.Files.createTempDirectory("graft_imgled_")
@@ -4019,7 +4109,107 @@ object SparkEntry {
         graft.pipeline.Crawl.ingestBatch(s, recs1, idxPath, 1,
           onPageLinks = _ => (), onImages = land(1)) { _.count() }
       }
+      // refetch DROPS the images (id%10==0 additionally turns noindex
+      // with an img still present) — sentinels must supersede
+      val recs2 = graft.sources.Warc.warcRecords(
+        warcFiles(docs.filter(col("doc_id") % 5 === 0), id =>
+          if (id % 10 == 0)
+            s"""<meta name="robots" content="noindex">
+               |<p>private now $id</p>
+               |<img src="/still/${id % 4}.gif" alt="hidden">""".stripMargin
+          else s"<p>images removed $id plain prose</p>"))
+        .toDF()
+      Phases.timed("ingest2") {
+        graft.pipeline.Crawl.ingestBatch(s, recs2, idxPath, 2,
+          onPageLinks = _ => (), onImages = land(2)) { _.count() }
+      }
+      // second fold: sentinels + the pairs they superseded drop
+      // physically; the read after must be identical
+      Phases.timed("fold2") { graft.pipeline.Crawl.compactImages(s, fDir) }
       graft.pipeline.Crawl.imagePairsLedger(s, fDir)
+        .orderBy("url")
+    }),
+
+    // The image FETCH loop (r17 — LAION step 2 closed): harvested
+    // pairs land in the ledger through the REAL WARC parser, then
+    // imageFetchList turns distinct img_urls into a (url, n_refs)
+    // fetch frontier — the already-fetched j=0 images anti-join away
+    // against a pre-seeded fetched ledger, the blocked.example arm
+    // drops at the blocklist gate — which schedules per-host
+    // politeness rounds exactly like page fetches; the scheduled urls
+    // come back as 200 responses carrying REAL deterministic BMPs and
+    // imageBytesJoin attaches the bytes to every referencing pair for
+    // the decode chain (decodeBmp dims prove the payload routed
+    // intact). Any harvest/dedup/gating/scheduling/join defect
+    // hash-mismatches.
+    "crawl_image_fetch" -> ((s, dir) => {
+      import s.implicits._
+      val fd = java.nio.file.Files.createTempDirectory("graft_imgfetch_")
+      deleteRecursivelyOnExit(fd)
+      val idxPath = fd.resolve("idx").toFile.getAbsolutePath
+      val fDir = fd.resolve("frontier").toString
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val files = docs.withColumn("g", floor(col("doc_id") / 25))
+        .groupBy("g")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .as[(Long, Seq[Long])]
+        .map { case (g, ids) =>
+          val recs = ids.map { id =>
+            val html =
+              if (id % 5 == 4)
+                s"""<p>page $id words</p><img src="https://blocked.example/b/${id % 3}.bmp" alt="x">"""
+              else
+                s"""<p>page $id words</p><img src="/i/${id % 5}.bmp" alt="a${id % 3}">"""
+            graft.sources.Warc.ResponseFixture(
+              s"https://h${id % 7}.example/pg/$id", 200,
+              contentType = "text/html",
+              body = html.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          (g, graft.sources.Warc.encodeWarcFixtures(recs,
+            gzipPerRecord = g % 2 == 1))
+        }.toDF("g", "payload")
+      val recs0 = graft.sources.Warc.warcRecords(files).toDF()
+      Phases.timed("ingest") {
+        graft.pipeline.Crawl.ingestBatch(s, recs0, idxPath, 0,
+          onPageLinks = _ => (),
+          onImages = _.write.mode("overwrite")
+            .parquet(s"$fDir/images/batch=0")) { _.count() }
+      }
+      // an earlier fetch cycle already fetched every host's /i/0.bmp —
+      // the shared fetched ledger must gate them out
+      (0 until 7).map(k => (s"https://h$k.example/i/0.bmp",
+          null.asInstanceOf[String], 1L, 0L))
+        .toDF("url", "content_md5", "n_obs", "n_changes")
+        .withColumn("batch", lit(0L))
+        .write.partitionBy("batch").parquet(s"$fDir/fetched")
+      val fetchList = graft.pipeline.Crawl.imageFetchList(s, fDir,
+        blockedDomains = Seq("blocked.example").toDF("domain"))
+      val sched = graft.pipeline.Crawl.schedule(fetchList, maxRounds = 5)
+      // the fetcher's 200s: a REAL 24-bit BMP per scheduled url, dims
+      // derived from the url's own (host, file) arithmetic
+      val fetched = sched.select(col("url")).as[String].map { u =>
+        val k = u.charAt("https://h".length) - '0'
+        val j = u.charAt(u.length - 5) - '0'
+        val w = 4 + j
+        val h = 3 + k
+        val rgb = Array.tabulate(w * h * 3)(i =>
+          ((k * 31 + j * 7 + i) % 251).toByte)
+        ("response", u, 200, graft.multimodal.Multimodal.encodeBmp(w, h, rgb))
+      }.toDF("warc_type", "target_uri", "http_status", "body")
+      val joined = graft.pipeline.Crawl.imageBytesJoin(
+        graft.pipeline.Crawl.imagePairsLedger(s, fDir), fetched)
+      val decoded = joined.select(col("url"), col("img_url"), col("alt"),
+          col("body"))
+        .as[(String, String, String, Array[Byte])]
+        .map { case (u, iu, alt, b) =>
+          val d = graft.multimodal.Multimodal.decodeBmp(b)
+          (u, iu, alt, d.map(_._1).getOrElse(-1).toLong,
+            d.map(_._2).getOrElse(-1).toLong)
+        }.toDF("url", "img_url", "alt", "width", "height")
+      decoded.join(sched.select(col("url").as("img_url"), col("n_refs"),
+          col("round")), Seq("img_url"))
+        .select(col("url"), col("img_url"), col("alt"), col("n_refs"),
+          col("round"), col("width"), col("height"))
         .orderBy("url")
     }),
 
@@ -4812,7 +5002,17 @@ object SparkEntry {
         "ru" -> "Каждое утро дети вместе шли в школу и говорили о своих любимых играх.",
         "sv" -> "Varje morgon gick barnen tillsammans till skolan och pratade om sina favoritspel.",
         "tr" -> "Her sabah çocuklar birlikte okula yürüdü ve en sevdikleri oyunlar hakkında konuştu.",
-        "zh" -> "每天早上孩子们一起走路去上学，谈论他们最喜欢的游戏。")
+        "zh" -> "每天早上孩子们一起走路去上学，谈论他们最喜欢的游戏。",
+        // r17 breadth: appended AFTER zh so 0..15 (doc_mix_langid's
+        // arithmetic) never move; order matches LangId.TrainSamples
+        "cs" -> "Každé ráno šly děti společně do školy a povídaly si o svých oblíbených hrách.",
+        "da" -> "Hver morgen gik børnene sammen i skole og talte om deres yndlingslege.",
+        "el" -> "Κάθε πρωί τα παιδιά πήγαιναν μαζί στο σχολείο και μιλούσαν για τα αγαπημένα τους παιχνίδια.",
+        "fa" -> "هر روز صبح بچه‌ها با هم به مدرسه می‌رفتند و درباره بازی‌های مورد علاقه‌شان صحبت می‌کردند.",
+        "fi" -> "Joka aamu lapset kävelivät yhdessä kouluun ja puhuivat lempileikeistään.",
+        "hu" -> "Minden reggel a gyerekek együtt sétáltak az iskolába és a kedvenc játékaikról beszélgettek.",
+        "uk" -> "Щоранку діти разом ішли до школи й розмовляли про свої улюблені ігри.",
+        "vi" -> "Mỗi buổi sáng bọn trẻ cùng nhau đi bộ đến trường và nói về những trò chơi yêu thích của mình.")
 
 
   private val crawlFixtureCte: String =
@@ -7130,7 +7330,10 @@ object SparkEntry {
         |  count(*) AS n_events
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // scaler stats: decimal-exact Σx/Σx², one double conversion, then
-    // the identical (sq/n − (sx/n)·(sx/n)) op sequence
+    // the identical (sq/n − (sx/n)·(sx/n)) op sequence; outputs round
+    // via DECIMAL(18,6) then cast back to DOUBLE (decimal output
+    // canonicalization is harness-dependent; decimal→double is
+    // correctly rounded in both engines — bit-identical anywhere)
     "q_scaler_stats" ->
       """WITH s AS (
         |  SELECT
@@ -7144,12 +7347,12 @@ object SparkEntry {
         |      AS DOUBLE) AS sq_p,
         |    count(*) AS n
         |  FROM lineitem)
-        |SELECT CAST(sx_q / n AS DECIMAL(18,6)) AS mean_qty,
-        |  CAST(sqrt(sq_q / n - (sx_q / n) * (sx_q / n))
-        |    AS DECIMAL(18,6)) AS std_qty,
-        |  CAST(sx_p / n AS DECIMAL(18,6)) AS mean_price,
-        |  CAST(sqrt(sq_p / n - (sx_p / n) * (sx_p / n))
-        |    AS DECIMAL(18,6)) AS std_price,
+        |SELECT CAST(CAST(sx_q / n AS DECIMAL(18,6)) AS DOUBLE) AS mean_qty,
+        |  CAST(CAST(sqrt(sq_q / n - (sx_q / n) * (sx_q / n))
+        |    AS DECIMAL(18,6)) AS DOUBLE) AS std_qty,
+        |  CAST(CAST(sx_p / n AS DECIMAL(18,6)) AS DOUBLE) AS mean_price,
+        |  CAST(CAST(sqrt(sq_p / n - (sx_p / n) * (sx_p / n))
+        |    AS DECIMAL(18,6)) AS DOUBLE) AS std_price,
         |  n
         |FROM s""".stripMargin,
     // BPE: chr(1)-joined symbols, list_zip adjacent pairs (zip pads with
@@ -8048,17 +8251,68 @@ object SparkEntry {
         |  count(*) AS n
         |FROM s GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
     // the true language of each held-out fixture sentence, by the same
-    // doc_id arithmetic the query used to pick it (codes sorted ASCII)
+    // doc_id arithmetic the query used to pick it (24 languages since
+    // r17; 16..23 are the appended breadth codes)
     "doc_langid_trained" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 16 AS INT)
+        |  CASE CAST(doc_id % 24 AS INT)
         |    WHEN 0 THEN 'ar' WHEN 1 THEN 'de' WHEN 2 THEN 'en'
         |    WHEN 3 THEN 'es' WHEN 4 THEN 'fr' WHEN 5 THEN 'hi'
         |    WHEN 6 THEN 'it' WHEN 7 THEN 'ja' WHEN 8 THEN 'ko'
         |    WHEN 9 THEN 'nl' WHEN 10 THEN 'pl' WHEN 11 THEN 'pt'
         |    WHEN 12 THEN 'ru' WHEN 13 THEN 'sv' WHEN 14 THEN 'tr'
-        |    ELSE 'zh' END AS lang
+        |    WHEN 15 THEN 'zh' WHEN 16 THEN 'cs' WHEN 17 THEN 'da'
+        |    WHEN 18 THEN 'el' WHEN 19 THEN 'fa' WHEN 20 THEN 'fi'
+        |    WHEN 21 THEN 'hu' WHEN 22 THEN 'uk'
+        |    ELSE 'vi' END AS lang
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the confidence path replayed EXACTLY: per single-letter token
+    // the gram kernel emits 4 forms (c, _c, c_, _c_), so every integer
+    // sum is the letter-count sum times 4; cosines = the same HUGEINT
+    // sums + double op sequence as the engine, margin = top1 − top2
+    // (0 runner-up when one class scores), heuristic 'und' + NULL for
+    // the no-overlap arm
+    "doc_langid_margin" ->
+      """WITH cent(label, letter, c) AS (
+        |  SELECT * FROM (VALUES ('aa','a',2),('aa','b',1),('bb','b',2),
+        |    ('bb','c',1),('cc','c',2),('cc','a',1)) v),
+        |dc(arm, letter, d) AS (
+        |  SELECT * FROM (VALUES (0,'a',3),(0,'b',1),(1,'b',2),(1,'c',1),
+        |    (2,'a',1),(2,'b',1),(2,'c',1)) v),
+        |cn AS (SELECT label, 4 * sum(CAST(c AS HUGEINT) * c) AS cn
+        |  FROM cent GROUP BY label),
+        |dn AS (SELECT arm, 4 * sum(CAST(d AS HUGEINT) * d) AS dn
+        |  FROM dc GROUP BY arm),
+        |dots AS (
+        |  SELECT dc.arm, cent.label,
+        |    4 * sum(CAST(dc.d AS HUGEINT) * cent.c) AS dot
+        |  FROM dc JOIN cent ON dc.letter = cent.letter
+        |  GROUP BY dc.arm, cent.label),
+        |cosines AS (
+        |  SELECT d.arm, d.label,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(dn.dn AS DOUBLE)) * sqrt(CAST(cn.cn AS DOUBLE)))
+        |      AS cosine
+        |  FROM dots d JOIN dn ON d.arm = dn.arm
+        |  JOIN cn ON d.label = cn.label),
+        |ranked AS (
+        |  SELECT arm, label, cosine,
+        |    row_number() OVER (PARTITION BY arm
+        |      ORDER BY cosine DESC, label) AS rk
+        |  FROM cosines),
+        |arms AS (
+        |  SELECT r1.arm, r1.label AS lang,
+        |    r1.cosine - coalesce(r2.cosine, 0.0) AS confidence
+        |  FROM ranked r1
+        |  LEFT JOIN ranked r2 ON r1.arm = r2.arm AND r2.rk = 2
+        |  WHERE r1.rk = 1)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 3 THEN 'und' ELSE a.lang END AS lang,
+        |  CASE WHEN doc_id % 4 = 3 THEN NULL
+        |    ELSE a.confidence END AS confidence
+        |FROM documents
+        |LEFT JOIN arms a ON CAST(doc_id % 4 AS INT) = a.arm
+        |ORDER BY doc_id""".stripMargin,
     // the trained prediction replayed (the skewed arm lattice), then
     // doc_temperature_mix's EXACT threshold arithmetic over it: sqrt
     // quantized to DECIMAL(28,10), double ops in the same sequence,
@@ -8586,8 +8840,10 @@ object SparkEntry {
         |ORDER BY src_host, dst_host""".stripMargin,
     // each url's LATEST-batch pairs rebuilt from the fixture
     // arithmetic: the id%3=0 refetch supersedes with the cdn image
-    // (no caption), everyone else keeps the batch-0 resolved relative
-    // src + tag-stripped entity-decoded caption
+    // (no caption), the id%5=0 refetch DROPPED its images (or turned
+    // noindex) so those urls vanish entirely (sentinel supersession),
+    // everyone else keeps the batch-0 resolved relative src +
+    // tag-stripped entity-decoded caption
     "crawl_images_ledger" ->
       """SELECT
         |  'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
@@ -8603,7 +8859,37 @@ object SparkEntry {
         |  CAST(NULL AS VARCHAR) AS title,
         |  CASE WHEN doc_id % 3 <> 0
         |    THEN 'C ' || CAST(doc_id % 4 AS VARCHAR) END AS caption
-        |FROM documents ORDER BY url""".stripMargin,
+        |FROM documents WHERE doc_id % 5 <> 0 ORDER BY url""".stripMargin,
+    // the fetch loop replayed: refs per (host k, image j) over the
+    // unblocked (j<4) not-yet-fetched (j>0) images, per-host rounds by
+    // (n_refs desc, url asc), dims from the same (k, j) arithmetic the
+    // fetcher's BMPs encoded
+    "crawl_image_fetch" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 7 AS INT) AS k,
+        |    CAST(doc_id % 5 AS INT) AS j
+        |  FROM documents),
+        |refs AS (
+        |  SELECT k, j, CAST(count(*) AS BIGINT) AS n_refs
+        |  FROM d WHERE j BETWEEN 1 AND 3 GROUP BY k, j),
+        |sched AS (
+        |  SELECT k, j, n_refs,
+        |    CAST(row_number() OVER (PARTITION BY k
+        |      ORDER BY n_refs DESC,
+        |        'https://h' || CAST(k AS VARCHAR) || '.example/i/' ||
+        |          CAST(j AS VARCHAR) || '.bmp' ASC) AS BIGINT) AS round
+        |  FROM refs)
+        |SELECT
+        |  'https://h' || CAST(d.k AS VARCHAR) || '.example/pg/' ||
+        |    CAST(d.doc_id AS VARCHAR) AS url,
+        |  'https://h' || CAST(d.k AS VARCHAR) || '.example/i/' ||
+        |    CAST(d.j AS VARCHAR) || '.bmp' AS img_url,
+        |  'a' || CAST(d.doc_id % 3 AS VARCHAR) AS alt,
+        |  s.n_refs, s.round,
+        |  CAST(4 + d.j AS BIGINT) AS width,
+        |  CAST(3 + d.k AS BIGINT) AS height
+        |FROM d JOIN sched s ON d.k = s.k AND d.j = s.j
+        |ORDER BY url""".stripMargin,
     // the template decision replayed: group urls per (host, template
     // class), HAVING >= 10 flags, kept = everything else + the
     // null-hash /r/ rows that pass the gate untouched
@@ -8883,32 +9169,65 @@ object SparkEntry {
     // EMPTY-alt arm distinct from the null-alt arms, the caption with
     // its nested tag stripped and entity decoded
     "crawl_image_pairs" ->
-      """SELECT
-        |  'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
-        |    '.example/img/' || CAST(doc_id AS VARCHAR) AS url,
-        |  CASE CAST(doc_id % 5 AS INT)
-        |    WHEN 0 THEN 'https://img.example/i/' ||
-        |      CAST(doc_id % 9 AS VARCHAR) || '.jpg'
-        |    WHEN 1 THEN 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
-        |      '.example/im/' || CAST(doc_id % 6 AS VARCHAR) || '.png'
-        |    WHEN 2 THEN 'https://img.example/p?a=1&b=' ||
-        |      CAST(doc_id % 3 AS VARCHAR)
-        |    WHEN 3 THEN 'https://b.example/dir/r' ||
-        |      CAST(doc_id % 4 AS VARCHAR) || '.gif'
-        |    ELSE 'https://ok.example/o/' || CAST(doc_id % 5 AS VARCHAR)
-        |    END AS img_url,
-        |  CASE CAST(doc_id % 5 AS INT)
-        |    WHEN 0 THEN 'pic ' || CAST(doc_id % 7 AS VARCHAR)
-        |    WHEN 2 THEN ''
-        |    WHEN 3 THEN 'rel ' || CAST(doc_id % 5 AS VARCHAR)
-        |    END AS alt,
-        |  CASE CAST(doc_id % 5 AS INT)
-        |    WHEN 1 THEN 't' || CAST(doc_id % 3 AS VARCHAR)
-        |    END AS title,
-        |  CASE CAST(doc_id % 5 AS INT)
-        |    WHEN 0 THEN 'Cap ' || CAST(doc_id % 4 AS VARCHAR) || ' & more'
-        |    END AS caption
-        |FROM documents ORDER BY url""".stripMargin,
+      """WITH p AS (
+        |  SELECT doc_id, CAST(doc_id % 5 AS INT) AS arm,
+        |    'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/img/' || CAST(doc_id AS VARCHAR) AS url
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT url, 'https://img.example/i/' ||
+        |      CAST(doc_id % 9 AS VARCHAR) || '.jpg' AS img_url,
+        |    'pic ' || CAST(doc_id % 7 AS VARCHAR) AS alt,
+        |    CAST(NULL AS VARCHAR) AS title,
+        |    'Cap ' || CAST(doc_id % 4 AS VARCHAR) || ' & more' AS caption
+        |  FROM p WHERE arm = 0
+        |  UNION ALL
+        |  SELECT url, 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/im/' || CAST(doc_id % 6 AS VARCHAR) || '.png',
+        |    NULL, 't' || CAST(doc_id % 3 AS VARCHAR), NULL
+        |  FROM p WHERE arm = 1
+        |  UNION ALL
+        |  SELECT url, 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/im/' || CAST(doc_id % 6 AS VARCHAR) || '@2x.png',
+        |    NULL, 't' || CAST(doc_id % 3 AS VARCHAR), NULL
+        |  FROM p WHERE arm = 1
+        |  UNION ALL
+        |  SELECT url, 'https://cdn' || CAST(doc_id % 2 AS VARCHAR) ||
+        |      '.example/w/' || CAST(doc_id % 4 AS VARCHAR) || '.webp',
+        |    NULL, 't' || CAST(doc_id % 3 AS VARCHAR), NULL
+        |  FROM p WHERE arm = 1
+        |  UNION ALL
+        |  SELECT url, 'https://img.example/p?a=1&b=' ||
+        |      CAST(doc_id % 3 AS VARCHAR), '', NULL, NULL
+        |  FROM p WHERE arm = 2
+        |  UNION ALL
+        |  SELECT url, 'https://img.example/hi/' ||
+        |      CAST(doc_id % 4 AS VARCHAR) || '.avif', '', NULL, NULL
+        |  FROM p WHERE arm = 2
+        |  UNION ALL
+        |  SELECT url, 'https://img.example/hi/' ||
+        |      CAST(doc_id % 4 AS VARCHAR) || '.jpg?x=1&y=' ||
+        |      CAST(doc_id % 2 AS VARCHAR), '', NULL, NULL
+        |  FROM p WHERE arm = 2
+        |  UNION ALL
+        |  SELECT url, 'https://b.example/dir/r' ||
+        |      CAST(doc_id % 4 AS VARCHAR) || '.gif',
+        |    'rel ' || CAST(doc_id % 5 AS VARCHAR), NULL, NULL
+        |  FROM p WHERE arm = 3
+        |  UNION ALL
+        |  SELECT url, 'https://ok.example/o/' ||
+        |      CAST(doc_id % 5 AS VARCHAR), NULL, NULL, NULL
+        |  FROM p WHERE arm = 4
+        |  UNION ALL
+        |  SELECT url, 'https://ph.example/s/' ||
+        |      CAST(doc_id % 3 AS VARCHAR) || '.webp', 'ph', NULL, NULL
+        |  FROM p WHERE arm = 4
+        |  UNION ALL
+        |  SELECT url, 'https://ph.example/s/' ||
+        |      CAST(doc_id % 3 AS VARCHAR) || 'b.webp', 'ph', NULL, NULL
+        |  FROM p WHERE arm = 4)
+        |SELECT url, img_url, alt, title, caption FROM pairs
+        |ORDER BY url, img_url""".stripMargin,
     // the Bloom-routed frontier is output-identical by contract (no
     // false negatives; false positives rescued by the exact join), so
     // the oracle is crawl_frontier's SQL verbatim
@@ -9675,6 +9994,19 @@ object SparkEntry {
     // codebook index) + exact float re-rank ⇒ the exact float top-5,
     // the sq8_refined contract verbatim
     "emb_topk_pq_refined" ->
+      """SELECT query_id, vec_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings c
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q) t
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // IVF-PQ refined at nprobe = nlist with a covering pool: every
+    // list probed + exact float re-rank => the exact float top-5 (the
+    // pq_refined contract through the routed two-level layout)
+    "emb_topk_ivfpq" ->
       """SELECT query_id, vec_id, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
         |    row_number() OVER (PARTITION BY q.vec_id

@@ -69,7 +69,21 @@ object Classify {
    */
   def centroidScore(docs: DataFrame, model: DataFrame,
                     idCol: String = "doc_id", textCol: String = "text",
-                    broadcastModel: Boolean = true): DataFrame = {
+                    broadcastModel: Boolean = true): DataFrame =
+    centroidScoreTopK(docs, model, idCol, textCol, 1, broadcastModel)
+      .drop("rank")
+
+  /** [[centroidScore]]'s top-k form (r17): the k best classes per
+    * document with their cosines and ranks (cosine desc, label asc —
+    * the engine-portable order). k = 2 is the CONFIDENCE shape: the
+    * margin between the winner and the runner-up is the standard
+    * nearest-centroid confidence signal ([[LangId.classifyWithConfidence]]).
+    * Same emit-less rule: only classes sharing a token with the
+    * document appear, so a document may yield fewer than k rows. */
+  def centroidScoreTopK(docs: DataFrame, model: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        k: Int = 1,
+                        broadcastModel: Boolean = true): DataFrame = {
     guard(docs); guard(model)
     val m0 = model.select(col("label"), col("token"), col("cnt"))
     val m = if (broadcastModel) broadcast(m0) else m0
@@ -90,8 +104,7 @@ object Classify {
       .withColumn("cosine", col("_cx_dot").cast("double") /
         (sqrt(col("_cx_dn").cast("double")) * sqrt(col("_cx_cn").cast("double"))))
       .select(col(idCol), col("label"), col("cosine"))
-    TopK.topLabelsPerGroup(scored, idCol, "label", "cosine", 1)
-      .drop("rank")
+    TopK.topLabelsPerGroup(scored, idCol, "label", "cosine", k)
   }
 
   /**

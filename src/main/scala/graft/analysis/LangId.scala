@@ -15,12 +15,13 @@ import org.apache.spark.sql.functions._
  * stopword sets) is fine dependency-free telemetry, but the corpus
  * mix/quota/temperature operators STRATIFY on language, and a thin
  * stopword set mislabels short docs and knows nothing beyond en/de/es/fr.
- * This model ships 16 built-in per-language char-n-gram centroids
+ * This model ships 24 built-in per-language char-n-gram centroids
  * (seeded from in-repo sample prose — swap in corpus-trained centroids
  * via [[Classify.centroidTrain]] over the same gram kernel when larger
  * training data exists) and falls back to the heuristic for documents
  * sharing no gram with any centroid (emit-less cosine), so every doc
- * gets a label.
+ * gets a label. [[classifyWithConfidence]] (r17) adds the winner-vs-
+ * runner-up cosine margin as a confidence column.
  *
  * Feature kernel: per whitespace token, keep letters only, lowercase,
  * pad `_word_`, emit every 1–3-char substring (the `_`-boundary bigrams
@@ -132,7 +133,42 @@ object LangId {
       "Yazın denize gideriz ve neredeyse her gün soğuk suda yüzeriz."),
     "zh" -> ("天气很冷，街道很安静。她打开窗户，看着河边的老房子。" +
       "很多人认为晚上读书是了解世界新事物的最好方法。" +
-      "夏天我们去海边，几乎每天都在冷水里游泳。"))
+      "夏天我们去海边，几乎每天都在冷水里游泳。"),
+    // r17 breadth extension — eight more languages, APPENDED so the
+    // 0..15 indices the doc_mix_langid fixture arithmetic relies on
+    // never move (codes therefore no longer globally sorted)
+    "cs" -> ("Počasí bylo chladné a ulice byly tiché. Otevřela okno a podívala se na staré domy u řeky. " +
+      "Mnoho lidí si myslí, že čtení knih večer je nejlepší způsob, jak se naučit něco nového o světě. " +
+      "V létě jezdíme k moři a téměř každý den plaveme ve studené vodě."),
+    // Danish gets the Swedish treatment (extra register-different
+    // sentences): da/sv/nl are the closest trio in the set
+    "da" -> ("Vejret var koldt og gaderne var stille. Hun åbnede vinduet og så på de gamle huse ved floden. " +
+      "Mange mennesker tror, at det at læse bøger om aftenen er den bedste måde at lære noget nyt om verden på. " +
+      "Om sommeren tager vi til havet og svømmer i det kolde vand næsten hver dag. " +
+      "Det er en smuk by med mange gamle huse og et stort torv, som alle besøgende gerne vil se, når de kommer hertil. " +
+      "Han tog bussen ind til byen, men gik hele vejen hjem, fordi solen stadig var oppe. " +
+      "Inden han spiste aftensmad, ringede han til sin bror, og de talte længe om alt det, der var sket i løbet af ugen."),
+    "el" -> ("Ο καιρός ήταν κρύος και οι δρόμοι ήταν ήσυχοι. Άνοιξε το παράθυρο και κοίταξε τα παλιά σπίτια δίπλα στο ποτάμι. " +
+      "Πολλοί άνθρωποι πιστεύουν ότι το διάβασμα βιβλίων το βράδυ είναι ο καλύτερος τρόπος να μάθεις κάτι καινούριο για τον κόσμο. " +
+      "Το καλοκαίρι πηγαίνουμε στη θάλασσα και κολυμπάμε στο κρύο νερό σχεδόν κάθε μέρα."),
+    // Persian shares the Arabic script with `ar`: the Persian-specific
+    // letters (پ چ گ) and function words (می، که، است) carry the split
+    "fa" -> ("هوا سرد بود و خیابان‌ها آرام بودند. او پنجره را باز کرد و به خانه‌های قدیمی کنار رودخانه نگاه کرد. " +
+      "بسیاری از مردم فکر می‌کنند که خواندن کتاب در شب بهترین راه برای یادگیری چیزهای تازه درباره جهان است. " +
+      "در تابستان به دریا می‌رویم و تقریبا هر روز در آب سرد شنا می‌کنیم."),
+    "fi" -> ("Sää oli kylmä ja kadut olivat hiljaisia. Hän avasi ikkunan ja katsoi vanhoja taloja joen varrella. " +
+      "Monet ihmiset ajattelevat, että kirjojen lukeminen illalla on paras tapa oppia jotain uutta maailmasta. " +
+      "Kesällä menemme merelle ja uimme kylmässä vedessä melkein joka päivä."),
+    "hu" -> ("Az idő hideg volt és az utcák csendesek voltak. Kinyitotta az ablakot és nézte a régi házakat a folyó mellett. " +
+      "Sok ember úgy gondolja, hogy esténként könyveket olvasni a legjobb módja annak, hogy valami újat tanuljunk a világról. " +
+      "Nyáron a tengerhez megyünk és majdnem minden nap úszunk a hideg vízben."),
+    // Ukrainian vs Russian: і/ї/є and the distinct function words
+    "uk" -> ("Погода була холодна, і вулиці були тихі. Вона відчинила вікно й подивилася на старі будинки біля річки. " +
+      "Багато людей думають, що читання книжок увечері — це найкращий спосіб дізнатися щось нове про світ. " +
+      "Влітку ми їздимо до моря і майже щодня плаваємо в холодній воді."),
+    "vi" -> ("Thời tiết lạnh và đường phố yên tĩnh. Cô mở cửa sổ và nhìn những ngôi nhà cũ bên sông. " +
+      "Nhiều người nghĩ rằng đọc sách vào buổi tối là cách tốt nhất để học điều mới về thế giới. " +
+      "Vào mùa hè chúng tôi ra biển và bơi trong nước lạnh gần như mỗi ngày."))
 
   /** The built-in model in [[Classify.centroidTrain]]'s (label, token,
     * cnt) shape — gram tokens, 16 languages, a few thousand rows. */
@@ -174,5 +210,47 @@ object LangId {
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("_lid_hit"), heur(col(textCol))).as("lang"))
+  }
+
+  /** [[classify]] with a CONFIDENCE column (r17): the cosine margin
+    * between the winning centroid and the runner-up (0.0 stands in for
+    * an absent runner-up — a doc sharing grams with ONE language only
+    * is maximally unambiguous among the scored classes). Low-margin
+    * short docs can route to a fallback bucket instead of taking a
+    * hard label — the standard nearest-centroid confidence signal.
+    * Heuristic-fallback rows (no centroid evidence at all) carry a
+    * NULL confidence: the heuristic has no margin to report. Margin =
+    * one double subtraction of two correctly-rounded cosines —
+    * engine-bit-portable like the cosines themselves. */
+  def classifyWithConfidence(docs: DataFrame, idCol: String = "doc_id",
+                             textCol: String = "text",
+                             model: DataFrame = null,
+                             broadcastModel: Boolean = true): DataFrame = {
+    require(idCol != "_lid_grams" && textCol != "_lid_grams" &&
+      idCol != "lang" && idCol != "confidence" &&
+      idCol != "_lid_hit" && textCol != "_lid_hit" &&
+      idCol != "_lid_c1" && idCol != "_lid_c2",
+      "idCol/textCol may not be named _lid_grams/_lid_hit/_lid_c1/" +
+        "_lid_c2/lang/confidence (reserved by classifyWithConfidence)")
+    val spark = docs.sparkSession
+    val m = if (model != null) model else builtinModel(spark)
+    val grams = udf((s: String) => charGramsText(s))
+    val top2 = Classify.centroidScoreTopK(
+      docs.select(col(idCol), grams(col(textCol)).as("_lid_grams")),
+      m, idCol, "_lid_grams", 2, broadcastModel)
+    val best = top2.filter(col("rank") === 1)
+      .select(col(idCol), col("label").as("_lid_hit"),
+        col("cosine").as("_lid_c1"))
+    val second = top2.filter(col("rank") === 2)
+      .select(col(idCol), col("cosine").as("_lid_c2"))
+    val heur = udf((s: String) => TextMetrics.languageId(s))
+    docs.select(col(idCol), col(textCol))
+      .join(best, Seq(idCol), "left")
+      .join(second, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("_lid_hit"), heur(col(textCol))).as("lang"),
+        when(col("_lid_hit").isNotNull,
+          col("_lid_c1") - coalesce(col("_lid_c2"), lit(0.0)))
+          .as("confidence"))
   }
 }

@@ -388,6 +388,44 @@ object Main {
       println(s"pq-compact: $rows code rows folded to one installment in $idx")
       spark.stop()
 
+    case "ivfpq-build" :: vecs :: idx :: rest =>
+      val nlist = rest.headOption.map(_.toInt).getOrElse(64)
+      val m = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
+      val ksub = rest.drop(2).headOption.map(_.toInt).getOrElse(256)
+      val storeRaw = rest.drop(3).headOption.exists(_.toBoolean)
+      val spark = session()
+      graft.index.Pq.ivfPqBuild(spark.read.parquet(vecs), idx, nlist,
+        m, ksub, storeRaw = storeRaw)
+      val n = spark.read.parquet(s"$idx/codes").count()
+      println(s"ivfpq-build: $n $m-byte code rows over $nlist lists " +
+        s"(ksub=$ksub, raw=$storeRaw) -> $idx")
+      spark.stop()
+
+    case "ivfpq-append" :: vecs :: idx :: Nil =>
+      val spark = session()
+      graft.index.Pq.ivfPqAppend(spark, idx, spark.read.parquet(vecs))
+      val n = spark.read.parquet(s"$idx/codes").count()
+      println(s"ivfpq-append: index now holds $n code rows in $idx")
+      spark.stop()
+
+    case "ivfpq-search" :: idx :: queriesPath :: out :: rest =>
+      // [k] [nprobe] [candidateK -- refined via the raw/ sidecar when > 0]
+      val k = rest.headOption.map(_.toInt).getOrElse(5)
+      val nprobe = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
+      val candidateK = rest.drop(2).headOption.map(_.toInt).getOrElse(0)
+      val spark = session()
+      val q = spark.read.parquet(queriesPath)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val res =
+        if (candidateK > 0)
+          graft.index.Pq.ivfPqSearchRefined(spark, idx, q, k, candidateK,
+            nprobe)
+        else graft.index.Pq.ivfPqSearch(spark, idx, q, k, nprobe)
+      res.write.mode("overwrite").parquet(out)
+      println(s"ivfpq-search: top-$k (nprobe=$nprobe) for " +
+        s"${q.count()} queries -> $out")
+      spark.stop()
+
     case "hard-negatives" :: idx :: vecs :: out :: rest =>
       val k = rest.headOption.map(_.toInt).getOrElse(5)
       val spark = session()
@@ -1042,7 +1080,7 @@ object Main {
       // DOCS and write negative count deltas. Reads reflect the delete
       // immediately; the matching vacuum/compact folds it physically.
       val col1 = rest.headOption.getOrElse(kind match {
-        case "int8" | "ivfsq8" | "ivf" | "pq" => "vec_id"
+        case "int8" | "ivfsq8" | "ivf" | "pq" | "ivfpq" => "vec_id"
         case "lm" | "span"     => "text"
         case "hamming" | "video" => "id"
         case _                 => "doc_id"
@@ -1055,6 +1093,7 @@ object Main {
         case "bm25"    => graft.index.Bm25.bm25IndexDelete(spark, idx, del, col1)
         case "int8"    => graft.index.Quantize.int8Delete(spark, idx, del, col1)
         case "pq"      => graft.index.Pq.pqDelete(spark, idx, del, col1)
+        case "ivfpq"   => graft.index.Pq.ivfPqDelete(spark, idx, del, col1)
         case "ivfsq8"  => graft.index.Quantize.ivfSq8Delete(spark, idx, del, col1)
         case "ivf"     => graft.index.SimilarityIndex.ivfDelete(spark, idx, del, col1)
         case "lm"      => graft.analysis.NgramLm.lmIndexDelete(spark, idx, del, col1)
@@ -1062,7 +1101,7 @@ object Main {
         case "hamming" => graft.dedup.Dedup.hammingIndexDelete(spark, idx, del, col1)
         case "video"   => graft.dedup.Dedup.videoIndexDelete(spark, idx, del, col1)
         case other => sys.error(s"unknown index kind '$other' " +
-          "(expected minhash | bm25 | int8 | ivfsq8 | ivf | pq | lm | span | hamming | video)")
+          "(expected minhash | bm25 | int8 | ivfsq8 | ivf | pq | ivfpq | lm | span | hamming | video)")
       }
       println(s"index-delete: $n rows deleted from $kind index $idx")
       spark.stop()
@@ -1077,6 +1116,7 @@ object Main {
         case "bm25"    => graft.index.Bm25.bm25IndexVacuum(spark, idx)
         case "int8"    => graft.index.Quantize.int8Compact(spark, idx, vecIdCol)
         case "pq"      => graft.index.Pq.pqCompact(spark, idx, vecIdCol)
+        case "ivfpq"   => graft.index.Pq.ivfPqCompact(spark, idx, vecIdCol)
         case "ivfsq8"  => graft.index.Quantize.ivfSq8Compact(spark, idx, vecIdCol)
         case "ivf"     => graft.index.SimilarityIndex.ivfCompact(spark, idx, vecIdCol)
         case "lm"      => graft.analysis.NgramLm.lmIndexCompact(spark, idx)
@@ -1084,7 +1124,7 @@ object Main {
         case "hamming" => graft.dedup.Dedup.hammingIndexCompact(spark, idx)
         case "video"   => graft.dedup.Dedup.videoIndexCompact(spark, idx)
         case other => sys.error(s"unknown index kind '$other' " +
-          "(expected minhash | bm25 | int8 | ivfsq8 | ivf | pq | lm | span | hamming | video)")
+          "(expected minhash | bm25 | int8 | ivfsq8 | ivf | pq | ivfpq | lm | span | hamming | video)")
       }
       println(s"index-vacuum: $kind index folded to $rows surviving rows in $idx")
       spark.stop()
@@ -1396,8 +1436,8 @@ object Main {
           |  ivfsq8-build     <vecsParquet> <indexPath> [nlist] [storeRaw]
           |  ivfsq8-probe     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
           |  ivfsq8-prune     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
-          |  index-delete     <minhash|bm25|int8|ivfsq8|ivf|pq|lm|span|hamming|video> <indexPath> <idsOrDocsParquet> [idOrTextCol]
-          |  index-vacuum     <minhash|bm25|int8|ivfsq8|ivf|pq|lm|span|hamming|video> <indexPath> [vecIdCol]
+          |  index-delete     <minhash|bm25|int8|ivfsq8|ivf|pq|ivfpq|lm|span|hamming|video> <indexPath> <idsOrDocsParquet> [idOrTextCol]
+          |  index-vacuum     <minhash|bm25|int8|ivfsq8|ivf|pq|ivfpq|lm|span|hamming|video> <indexPath> [vecIdCol]
           |  video-build      <framesParquet> <indexPath> [idCol] [hashCol]
           |  video-append     <framesParquet> <indexPath> [idCol] [hashCol]
           |  video-probe      <indexPath> <framesParquet> <outParquet> [threshold] [idCol] [hashCol]
@@ -1446,6 +1486,9 @@ object Main {
           |  pq-search        <indexPath> <vecsParquet> <outParquet> [k] [corpusParquetForExactRefine] [candidateK]
           |  pq-delete        <indexPath> <idsParquet>
           |  pq-compact       <indexPath>
+          |  ivfpq-build      <vecsParquet> <indexPath> [nlist] [m] [ksub] [storeRaw]
+          |  ivfpq-append     <vecsParquet> <indexPath>
+          |  ivfpq-search     <indexPath> <vecsParquet> <outParquet> [k] [nprobe] [candidateK>0=refined]
           |  ivfsq8-refine-search <indexPath> <vecsParquet> [k] [candidateK] [nprobe]
           |  int8-refine-search <indexPath> <vecsParquet> [k] [candidateK]
           |  hard-negatives   <indexPath> <vecsParquet> <outParquet> [k]

@@ -74,15 +74,25 @@ object Pq {
     * INDEPENDENT and run as concurrent Spark jobs (driver threads over
     * one checkpointed sample — m sequential small fits were pure
     * scheduler latency, ~0.9 s each on local[32]; results are
-    * identical, each fit is its own seeded computation). */
+    * identical, each fit is its own seeded computation).
+    *
+    * The training sample is ROW-bounded, not fraction-based (r17): a
+    * fraction scales linearly with the corpus, so at the 100 TB design
+    * point a 0.5 sample is ~50 TB of training input per maintenance fit
+    * for codebooks that need ~10⁵ points per subspace (FAISS practice:
+    * ~256·ksub training points). The fraction derives from one cheap
+    * count; the seeded Bernoulli sample keeps determinism (same corpus
+    * → same count → same fraction → same sample). */
   private def fitCodebooks(corpus: DataFrame, vecCol: String, m: Int,
-                           ksub: Int, fitSampleFraction: Double)
+                           ksub: Int, maxFitRows: Long, dim: Int)
       : Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.{Vectors => MLVectors}
     val base0 = corpus.select(col(vecCol).as("_pq_v"))
-    val base = (if (fitSampleFraction < 1.0)
-        base0.sample(withReplacement = false, fitSampleFraction, seed = 42L)
+    val n = base0.count()
+    val base = (if (maxFitRows > 0 && n > maxFitRows)
+        base0.sample(withReplacement = false,
+          maxFitRows.toDouble / n, seed = 42L)
       else base0)
       .localCheckpoint() // m fits re-read the sample; don't re-scan corpus
     try {
@@ -93,9 +103,9 @@ object Pq {
         Future {
           val sub = udf { (v: Seq[Float]) =>
             val u = normalize(v)
-            if (u == null) null
+            if (u == null || u.length != dim) null
             else {
-              val dsub = u.length / m
+              val dsub = dim / m
               MLVectors.dense(java.util.Arrays.copyOfRange(
                 u, j * dsub, (j + 1) * dsub))
             }
@@ -107,19 +117,27 @@ object Pq {
             .clusterCenters.map(_.toArray)
         }
       }
-      fits.map(Await.result(_, Duration.Inf)).toArray
+      // settle ALL fits before the finally releases the checkpointed
+      // sample: awaiting sequentially, a failed fit j would free the
+      // blocks while fits j+1.. still run against them (confusing
+      // secondary failures on the error path)
+      Await.result(Future.sequence(fits), Duration.Inf).toArray
     } finally graft.dedup.Dedup.release(base)
   }
 
   /** Encode one unit-normalized vector against codebooks → m bytes;
-    * null for null/zero-norm input. */
-  private def encodeUdf(books: Array[Array[Array[Double]]]) =
+    * null for null/zero-norm input — AND for wrong-dimension input
+    * (r17): dsub derives from the STORED dim, never the row's own
+    * length, so a mis-dimensioned append row excludes (the zero-norm
+    * family rule) instead of silently encoding against wrong codebook
+    * slices. */
+  private def encodeUdf(books: Array[Array[Array[Double]]], dim: Int) =
     udf { (v: Seq[Float]) =>
       val u = normalize(v)
-      if (u == null) null
+      if (u == null || u.length != dim) null
       else {
         val m = books.length
-        val dsub = u.length / m
+        val dsub = dim / m
         val out = new Array[Byte](m)
         var j = 0
         while (j < m) {
@@ -149,13 +167,14 @@ object Pq {
   /** Per-query ADC lookup table: flat m·ksub doubles,
     * `table(j·ksub + c) = q_sub_j ⋅ centroid_{j,c}` over the normalized
     * query; null for zero-norm queries. */
-  private def tableUdf(books: Array[Array[Array[Double]]], ksub: Int) =
+  private def tableUdf(books: Array[Array[Array[Double]]], ksub: Int,
+                       dim: Int) =
     udf { (v: Seq[Float]) =>
       val u = normalize(v)
-      if (u == null) null
+      if (u == null || u.length != dim) null
       else {
         val m = books.length
-        val dsub = u.length / m
+        val dsub = dim / m
         val out = new Array[Double](m * ksub)
         var j = 0
         while (j < m) {
@@ -217,10 +236,14 @@ object Pq {
    * `meta/` (m, ksub, dim), `codebooks/` and `codes/installment=0`.
    * `ksub` ≤ 256 (one byte per subspace); the vector dim must divide
    * by `m`. A rebuild starts a new generation (tombstones clear).
+   * `maxFitRows` bounds the codebook training sample by ROW COUNT
+   * (≤ 0 = the FAISS-practice default `max(256·ksub, 10⁴)` — a
+   * corpus-independent fit cost; pass `Long.MaxValue` to train on
+   * everything).
    */
   def pqBuild(corpus: DataFrame, path: String, m: Int = 8, ksub: Int = 256,
               corpusId: String = "vec_id", corpusVec: String = "embedding",
-              fitSampleFraction: Double = 0.5): Unit = {
+              maxFitRows: Long = 0L): Unit = {
     require(m >= 1 && ksub >= 1 && ksub <= 256,
       s"need 1 <= ksub <= 256 (one byte per subspace), got m=$m ksub=$ksub")
     val spark = corpus.sparkSession
@@ -231,7 +254,9 @@ object Pq {
       .getOrElse(throw new IllegalArgumentException(
         s"pqBuild: no non-null $corpusVec rows to size the index from"))
     require(dim % m == 0, s"vector dim $dim must divide by m=$m")
-    val books = fitCodebooks(corpus, corpusVec, m, ksub, fitSampleFraction)
+    val fitRows =
+      if (maxFitRows > 0L) maxFitRows else math.max(256L * ksub, 10000L)
+    val books = fitCodebooks(corpus, corpusVec, m, ksub, fitRows, dim)
     books.zipWithIndex.flatMap { case (cb, j) =>
       cb.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
     }.toSeq.toDF("sub", "code", "centroid")
@@ -240,7 +265,7 @@ object Pq {
     spark.createDataFrame(Seq((m, ksub, dim))).toDF("m", "ksub", "dim")
       .write.mode("overwrite").parquet(s"$path/meta")
     corpus.select(col(corpusId),
-        encodeUdf(books)(col(corpusVec)).as("codes"))
+        encodeUdf(books, dim)(col(corpusVec)).as("codes"))
       .filter(col("codes").isNotNull)
       .write.mode("overwrite").parquet(s"$path/codes/installment=0")
     graft.store.Tombstones.clear(spark, path)
@@ -261,10 +286,10 @@ object Pq {
   def pqAppendAt(spark: SparkSession, path: String, newDf: DataFrame,
                  installment: Int, corpusId: String = "vec_id",
                  corpusVec: String = "embedding"): Unit = {
-    val (m, ksub, _) = readMeta(spark, path)
+    val (m, ksub, dim) = readMeta(spark, path)
     val books = readCodebooks(spark, path, m, ksub)
     newDf.select(col(corpusId),
-        encodeUdf(books)(col(corpusVec)).as("codes"))
+        encodeUdf(books, dim)(col(corpusVec)).as("codes"))
       .filter(col("codes").isNotNull)
       .write.mode("overwrite").parquet(s"$path/codes/installment=$installment")
   }
@@ -279,7 +304,7 @@ object Pq {
                k: Int, corpusId: String = "vec_id",
                queryId: String = "query_id", queryVec: String = "query_vec",
                asOfInstallment: Int = Int.MaxValue): DataFrame = {
-    val (m, ksub, _) = readMeta(spark, path)
+    val (m, ksub, dim) = readMeta(spark, path)
     val books = readCodebooks(spark, path, m, ksub)
     val codes0 = spark.read.parquet(s"$path/codes")
     val codes1 = if (asOfInstallment == Int.MaxValue) codes0
@@ -287,7 +312,8 @@ object Pq {
     val c = graft.store.Tombstones.filter(spark, path, codes1, corpusId)
       .select(col(corpusId), col("codes"))
     val q = queries
-      .select(col(queryId), tableUdf(books, ksub)(col(queryVec)).as("_qt"))
+      .select(col(queryId),
+        tableUdf(books, ksub, dim)(col(queryVec)).as("_qt"))
       .filter(col("_qt").isNotNull)
     val scored = c.join(broadcast(q), lit(true))
       .withColumn("score_pq",
@@ -362,6 +388,241 @@ object Pq {
     if (!fs.delete(out, true) || !fs.rename(tmp, out))
       throw new java.io.IOException(s"compaction swap failed for $cPath")
     spark.catalog.refreshByPath(cPath)
+    graft.store.Tombstones.clear(spark, path)
+    rows
+  }
+
+  // --------------------------------------------------------------- IVF-PQ
+
+  /**
+   * IVF-PQ (r17) — the billion-scale default composition (FAISS
+   * `IVF<nlist>,PQ<m>`, non-residual form): [[graft.index.SimilarityIndex]]'s
+   * coarse k-means routing over THIS file's m-byte PQ codes, so an ADC
+   * probe reads ~nprobe/nlist of the codes instead of scanning them
+   * all — the flat [[pqSearch]] scan cost times the IVF pruning factor,
+   * on top of PQ's 32× byte compression. The layout is the ivfSq8Build
+   * two-level contract verbatim: `centroids/` (float routing table),
+   * `codebooks/` + `meta/` (STORED — appends can never disagree),
+   * `codes/list_id=X/ingest=N/` (list pruning at the top,
+   * replay-overwritable ingest below, landed via DYNAMIC partition
+   * overwrite), an optional `raw/` refine sidecar in LOCKSTEP, and the
+   * tombstone delete lifecycle with a physical fold at [[ivfPqCompact]].
+   *
+   * Approximation contract: like flat PQ, ADC scores are ranking-grade;
+   * the declared exactness path is [[ivfPqSearchRefined]] (pool → exact
+   * float re-rank over the probed lists' raw vectors), which equals the
+   * exact float top-k over the PROBED LISTS once the pool covers it —
+   * and equals the global exact top-k at nprobe = nlist.
+   */
+  def ivfPqBuild(corpus: DataFrame, path: String, nlist: Int = 64,
+                 m: Int = 8, ksub: Int = 256,
+                 corpusId: String = "vec_id", corpusVec: String = "embedding",
+                 maxFitRows: Long = 0L, storeRaw: Boolean = false): Unit = {
+    require(m >= 1 && ksub >= 1 && ksub <= 256,
+      s"need 1 <= ksub <= 256 (one byte per subspace), got m=$m ksub=$ksub")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dim = corpus.select(col(corpusVec)).filter(col(corpusVec).isNotNull)
+      .limit(1).collect().headOption
+      .map(_.getSeq[Float](0).length)
+      .getOrElse(throw new IllegalArgumentException(
+        s"ivfPqBuild: no non-null $corpusVec rows to size the index from"))
+    require(dim % m == 0, s"vector dim $dim must divide by m=$m")
+    val fitRows =
+      if (maxFitRows > 0L) maxFitRows else math.max(256L * ksub, 10000L)
+    // coarse routing fit shares the row-bounded discipline: fraction
+    // derived from one count, seeded — corpus-independent fit cost
+    val n = corpus.select(col(corpusVec)).count()
+    val coarseFrac =
+      if (n > fitRows) fitRows.toDouble / n else 1.0
+    val centers = SimilarityIndex.fitCentroids(corpus, corpusVec, nlist,
+      coarseFrac)
+    centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+      .toDF("list_id", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    val books = fitCodebooks(corpus, corpusVec, m, ksub, fitRows, dim)
+    books.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+    }.toSeq.toDF("sub", "code", "centroid")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/codebooks")
+    spark.createDataFrame(Seq((m, ksub, dim))).toDF("m", "ksub", "dim")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    val assigned = corpus.select(col(corpusId),
+      SimilarityIndex.assignUdf(centers)(col(corpusVec)).as("list_id"),
+      col(corpusVec))
+    assigned.select(col(corpusId), col("list_id"),
+        encodeUdf(books, dim)(col(corpusVec)).as("codes"))
+      .filter(col("codes").isNotNull)
+      .withColumn("ingest", lit(0))
+      .write.mode("overwrite").partitionBy("list_id", "ingest")
+      .parquet(s"$path/codes")
+    // refine sidecar: ORIGINAL float vectors under the SAME list
+    // assignment, so the exact re-rank reads only probed lists (the
+    // ivfSq8 raw/ contract — lockstep through append and compact)
+    if (storeRaw)
+      assigned.filter(encodeUdf(books, dim)(col(corpusVec)).isNotNull)
+        .withColumn("ingest", lit(0))
+        .write.mode("overwrite").partitionBy("list_id", "ingest")
+        .parquet(s"$path/raw")
+    graft.store.Tombstones.clear(spark, path)
+  }
+
+  /** Fold a new batch in against the FROZEN centroids and codebooks
+    * (map-side assignment + encode; re-fit with [[ivfPqBuild]] when the
+    * distribution drifts). */
+  def ivfPqAppend(spark: SparkSession, path: String, newDf: DataFrame,
+                  corpusId: String = "vec_id",
+                  corpusVec: String = "embedding"): Unit =
+    ivfPqAppendAt(spark, path, newDf,
+      graft.store.Installments.nextIngest(spark, s"$path/codes"),
+      corpusId, corpusVec)
+
+  /** [[ivfPqAppend]] at an EXPLICIT ingest number — the replay-idempotent
+    * form: the batch lands as `list_id=X/ingest=N/` dirs via DYNAMIC
+    * partition overwrite, so a retry replaces exactly its own dirs and
+    * the raw/ sidecar rides the identical numbering (never drifts). */
+  def ivfPqAppendAt(spark: SparkSession, path: String, newDf: DataFrame,
+                    ingest: Int, corpusId: String = "vec_id",
+                    corpusVec: String = "embedding"): Unit = {
+    val (m, ksub, dim) = readMeta(spark, path)
+    val books = readCodebooks(spark, path, m, ksub)
+    val centers = SimilarityIndex.readCentroids(spark, path)
+    val assigned = newDf.select(col(corpusId),
+      SimilarityIndex.assignUdf(centers)(col(corpusVec)).as("list_id"),
+      col(corpusVec))
+    val enc = encodeUdf(books, dim)
+    assigned.select(col(corpusId), col("list_id"),
+        enc(col(corpusVec)).as("codes"))
+      .filter(col("codes").isNotNull)
+      .withColumn("ingest", lit(ingest))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("list_id", "ingest")
+      .parquet(s"$path/codes")
+    if (Quantize.dirExists(spark, s"$path/raw"))
+      assigned.filter(enc(col(corpusVec)).isNotNull)
+        .withColumn("ingest", lit(ingest))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("list_id", "ingest")
+        .parquet(s"$path/raw")
+  }
+
+  /** Routed ADC search: driver-resolved probe lists → partition-pruned
+    * code scan → per-query broadcast ADC tables → bounded top-k. The
+    * probe cost is ∝ the probed lists' codes, never the corpus. */
+  def ivfPqSearch(spark: SparkSession, path: String, queries: DataFrame,
+                  k: Int, nprobe: Int = 8, corpusId: String = "vec_id",
+                  queryId: String = "query_id",
+                  queryVec: String = "query_vec"): DataFrame = {
+    import spark.implicits._
+    val (m, ksub, dim) = readMeta(spark, path)
+    val books = readCodebooks(spark, path, m, ksub)
+    val centers = SimilarityIndex.readCentroids(spark, path)
+    val qProbed = queries.withColumn("list_id",
+      explode(SimilarityIndex.probeUdf(centers, nprobe)(col(queryVec))))
+    val probedLists = qProbed.select("list_id").distinct().as[Int].collect()
+      .map(_.asInstanceOf[Any])
+    val q = qProbed
+      .select(col(queryId), col("list_id"),
+        tableUdf(books, ksub, dim)(col(queryVec)).as("_qt"))
+      .filter(col("_qt").isNotNull)
+    val c = graft.store.Tombstones.filter(spark, path,
+        spark.read.parquet(s"$path/codes")
+          .filter(col("list_id").isin(probedLists: _*)),
+        corpusId)
+      .select(col(corpusId), col("list_id"), col("codes"))
+    val scored = c.join(broadcast(q), Seq("list_id"))
+      .withColumn("score_pq",
+        adcScoreUdf(col("codes"), col("_qt"), lit(ksub)))
+      .select(col(queryId), col(corpusId), col("score_pq"))
+    TopK.topKPerGroup(scored, queryId, corpusId, "score_pq", k)
+  }
+
+  /**
+   * IVF-PQ with EXACT float re-ranking — FAISS's `IVF,PQ` +
+   * `IndexRefineFlat`: the routed ADC scan generates a `candidateK`
+   * pool per query over the probed lists only, then the pool re-scores
+   * by exact cosine against the `raw/` sidecar (ALSO pruned to the
+   * probed lists) and cuts to top-k. PQ error only shuffles ranks
+   * inside the pool, so with the pool covering the probed lists' true
+   * top-k the answer equals the exact float top-k over the probed
+   * lists — and the GLOBAL exact top-k at nprobe = nlist. Pool and
+   * query vectors broadcast into the raw read; no corpus-sized side
+   * ever shuffles. Requires `storeRaw = true` at build.
+   */
+  def ivfPqSearchRefined(spark: SparkSession, path: String,
+                         queries: DataFrame, k: Int, candidateK: Int = 64,
+                         nprobe: Int = 8, corpusId: String = "vec_id",
+                         corpusVec: String = "embedding",
+                         queryId: String = "query_id",
+                         queryVec: String = "query_vec"): DataFrame = {
+    require(candidateK >= k,
+      s"candidateK ($candidateK) must be at least k ($k)")
+    require(Quantize.dirExists(spark, s"$path/raw"),
+      s"$path has no raw/ refine sidecar — build with storeRaw = true " +
+        "to enable refined search")
+    import spark.implicits._
+    val (m, ksub, dim) = readMeta(spark, path)
+    val books = readCodebooks(spark, path, m, ksub)
+    val centers = SimilarityIndex.readCentroids(spark, path)
+    val qProbed = queries.withColumn("list_id",
+      explode(SimilarityIndex.probeUdf(centers, nprobe)(col(queryVec))))
+    val probedLists = qProbed.select("list_id").distinct().as[Int].collect()
+      .map(_.asInstanceOf[Any])
+    val q = qProbed
+      .select(col(queryId), col("list_id"),
+        tableUdf(books, ksub, dim)(col(queryVec)).as("_qt"))
+      .filter(col("_qt").isNotNull)
+    val c = graft.store.Tombstones.filter(spark, path,
+        spark.read.parquet(s"$path/codes")
+          .filter(col("list_id").isin(probedLists: _*)),
+        corpusId)
+      .select(col(corpusId), col("list_id"), col("codes"))
+    val scored = c.join(broadcast(q), Seq("list_id"))
+      .withColumn("_spq", adcScoreUdf(col("codes"), col("_qt"), lit(ksub)))
+      .select(col(queryId), col(corpusId), col("_spq"))
+    val pool = TopK.topKPerGroup(scored, queryId, corpusId, "_spq",
+        candidateK)
+      .select(col(queryId), col(corpusId))
+    val raw = spark.read.parquet(s"$path/raw")
+      .filter(col("list_id").isin(probedLists: _*))
+      .select(col(corpusId), col(corpusVec))
+    val rescored = raw
+      .join(broadcast(pool), Seq(corpusId))
+      .join(broadcast(queries.select(col(queryId), col(queryVec))),
+        Seq(queryId))
+      .withColumn("cosine",
+        graft.functions.expressions.CosineSimilarity.cosineNative(
+          col(corpusVec), col(queryVec)))
+      .select(col(queryId), col(corpusId), col("cosine"))
+    TopK.topKPerGroup(rescored, queryId, corpusId, "cosine", k)
+  }
+
+  /** Tombstone ids out of the IVF-PQ index (takedown semantics;
+    * [[ivfPqCompact]] folds physically). */
+  def ivfPqDelete(spark: SparkSession, path: String, ids: DataFrame,
+                  idCol: String = "vec_id"): Int =
+    graft.store.Tombstones.append(spark, path, ids, idCol)
+
+  /** [[ivfPqDelete]] at an EXPLICIT deletes installment (the `*DeleteAt`
+    * replay contract). */
+  def ivfPqDeleteAt(spark: SparkSession, path: String, ids: DataFrame,
+                    installment: Int, idCol: String = "vec_id"): Unit =
+    graft.store.Tombstones.appendAt(spark, path, ids, idCol, installment)
+
+  /** Fold the ingest history hash-clustered by list via the shared
+    * atomic-swap [[Quantize.compactListDir]] (tombstones drop
+    * physically; the raw/ sidecar folds in lockstep or refined
+    * searches would resurrect deleted rows / lose appended ones).
+    * Returns the surviving code row count. */
+  def ivfPqCompact(spark: SparkSession, path: String,
+                   corpusId: String = "vec_id"): Long = {
+    val rows = Quantize.compactListDir(spark, path, s"$path/codes", corpusId)
+    if (Quantize.dirExists(spark, s"$path/raw"))
+      Quantize.compactListDir(spark, path, s"$path/raw", corpusId)
     graft.store.Tombstones.clear(spark, path)
     rows
   }

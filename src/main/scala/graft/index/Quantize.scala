@@ -253,7 +253,7 @@ object Quantize {
     graft.store.Tombstones.clear(spark, path)
   }
 
-  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+  private[index] def dirExists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
@@ -329,10 +329,11 @@ object Quantize {
   }
 
   /** Rewrite one `list_id=`-partitioned dir hash-clustered by list via the
-    * atomic side-dir swap (shared by codes/ and the raw/ refine sidecar),
-    * dropping tombstoned rows during the fold. */
-  private def compactListDir(spark: SparkSession, indexPath: String,
-                             dir: String, corpusId: String): Long = {
+    * atomic side-dir swap (shared by codes/ and the raw/ refine sidecar,
+    * and by [[Pq.ivfPqCompact]] — the same two-level layout), dropping
+    * tombstoned rows during the fold. */
+  private[index] def compactListDir(spark: SparkSession, indexPath: String,
+                                    dir: String, corpusId: String): Long = {
     import org.apache.hadoop.fs.Path
     val out = new Path(dir)
     val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -302,7 +302,7 @@ object Crawl {
         // noindex pages contribute nothing (they asked out of corpora)
         val effBase = coalesce(
           UrlResolve.resolveCol(col("url"), col("base")), col("url"))
-        val pairs = ext
+        val harvested = ext
           .filter(!col("noindex") && size(col("images")) > 0)
           .select(col("url"), effBase.as("_img_base"),
             explode(col("images")).as("_img"))
@@ -314,9 +314,24 @@ object Crawl {
           .filter(col("img_url").isNotNull)
           .localCheckpoint()
         try {
-          imagePairCount = pairs.count()
-          onImages(pairs)
-        } finally graft.dedup.Dedup.release(pairs)
+          imagePairCount = harvested.count()
+          // SUPERSESSION SENTINELS (r17): every extracted 200 that
+          // harvested NO pairs — zero imgs, turned noindex, or every
+          // src failed resolve — emits one (url, null img_url) row, so
+          // a refetch that DROPPED its images still supersedes the
+          // url's stale pairs under the ledger's latest-batch read
+          // (which filters null-src rows AFTER that selection).
+          // Without it an image removed from a page is served forever.
+          val nullStr = lit(null).cast("string")
+          val sentinels = ext.select(col("url"))
+            .join(harvested.select(col("url")).distinct(),
+              Seq("url"), "left_anti")
+            .select(col("url"), nullStr.as("img_url"), nullStr.as("alt"),
+              nullStr.as("title"), nullStr.as("caption"))
+          val pairs = harvested.unionByName(sentinels).localCheckpoint()
+          try onImages(pairs)
+          finally graft.dedup.Dedup.release(pairs)
+        } finally graft.dedup.Dedup.release(harvested)
       }
       val a = ext.agg(
         count(lit(1)).as("n"),
@@ -732,10 +747,12 @@ object Crawl {
     * `images/batch=N` ledger (written by `crawlIngestStream(landImages
     * = true)` — r16): per page url, the pairs of its LATEST batch (a
     * refetched page fully replaces its older pairs — the
-    * rulesFromLedger cache semantics; a page whose refetch carries no
-    * images keeps nothing because it landed no newer rows, so pair
-    * supersession requires the refetch row set, which extracted pages
-    * always produce when they have any imgs). Returns an empty frame
+    * rulesFromLedger cache semantics). Since r17 every extracted 200
+    * with ZERO harvested pairs lands a (url, null img_url) sentinel,
+    * so a refetch that dropped its images (or turned noindex)
+    * supersedes the stale pairs: the null-src rows are dropped HERE,
+    * after the latest-batch selection — never before, or the sentinel
+    * batch would lose to the older real pairs. Returns an empty frame
     * when the ledger is absent/uncommitted. Url-keyed aggregates over
     * an images-bearing-pages-sized table. */
   def imagePairsLedger(spark: SparkSession, frontierDir: String)
@@ -752,15 +769,18 @@ object Crawl {
       .agg(max(col("batch")).as("_il_max"))
     df.join(latest, col("url") === col("_il_url") &&
         col("batch") === col("_il_max"))
+      .filter(col("img_url").isNotNull)
       .select(ImagePairCols.map(col): _*)
   }
 
   /** Fold the `images/batch=N` partitions into ONE keyed by the highest
     * batch id seen, keeping each url's LATEST-batch pairs (exactly the
-    * [[imagePairsLedger]] read — superseded pair sets drop physically).
-    * The [[compactNext]] sibling: same atomic delete+rename swap, same
-    * replays-out-of-contract-afterwards convention. Returns the
-    * retained batch id, or -1 when the ledger is empty/absent. */
+    * [[imagePairsLedger]] read — superseded pair sets drop physically,
+    * and null-src supersession sentinels fold to ABSENCE: dropped after
+    * the latest-batch selection, so the pairs they superseded drop with
+    * them). The [[compactNext]] sibling: same atomic delete+rename
+    * swap, same replays-out-of-contract-afterwards convention. Returns
+    * the retained batch id, or -1 when the ledger is empty/absent. */
   def compactImages(spark: SparkSession, frontierDir: String): Long = {
     import org.apache.hadoop.fs.Path
     val images = new Path(s"$frontierDir/images")
@@ -775,6 +795,7 @@ object Crawl {
       .agg(max(col("batch")).as("_il_max"))
     val folded = df.join(latest, col("url") === col("_il_url") &&
         col("batch") === col("_il_max"))
+      .filter(col("img_url").isNotNull)
       .select(ImagePairCols.map(col): _*)
     val tmp = new Path(s"$frontierDir/images._compacting")
     fs.delete(tmp, true)
@@ -787,6 +808,62 @@ object Crawl {
       throw new java.io.IOException(s"images compact swap-in failed: $images")
     fs.delete(old, true)
     maxBatch
+  }
+
+  /** The image FETCH frontier (r17) — LAION step 2's missing glue: the
+    * pairs ledger stores (page url, img_url, text) but nothing fed the
+    * img_urls back into a fetch loop. This is the frontier's shape for
+    * images: DISTINCT img_urls from [[imagePairsLedger]] (already
+    * resolved + frontier-normalized at harvest — no re-normalize),
+    * each with `n_refs` = distinct referencing pages, anti-joined
+    * against the SHARED fetched ledger (an image fetched once — by
+    * this loop or any other — never refetches), blocklist-gated
+    * (`UrlFilter.dropBlockedUrls` host-suffix semantics) and
+    * optionally robots-gated ([[Robots.filterAllowed]] — images are
+    * fetches like any other). Output (url, n_refs) plugs STRAIGHT into
+    * [[schedule]]/[[scheduleRanked]] for per-host politeness — the
+    * machinery serves img urls unchanged. Scale shape: one
+    * pairs-ledger-sized aggregate + the ledger anti-join; nothing
+    * corpus-sized broadcasts. */
+  def imageFetchList(spark: SparkSession, frontierDir: String,
+                     blockedDomains: DataFrame = null,
+                     robotsRules: DataFrame = null,
+                     agentToken: String = "graftbot"): DataFrame = {
+    val wanted = imagePairsLedger(spark, frontierDir)
+      .groupBy(col("img_url"))
+      .agg(countDistinct(col("url")).as("n_refs"))
+      .select(col("img_url").as("url"), col("n_refs"))
+    val fetchedPath = s"$frontierDir/fetched"
+    val unfetched =
+      if (!hasCommittedData(spark, fetchedPath)) wanted
+      else wanted.join(
+        spark.read.parquet(fetchedPath).select(col("url")),
+        Seq("url"), "left_anti")
+    val unblocked =
+      if (blockedDomains == null) unfetched
+      else UrlFilter.dropBlockedUrls(unfetched, "url", blockedDomains,
+        blockedDomains.columns.head)
+    if (robotsRules == null) unblocked
+    else Robots.filterAllowed(unblocked, robotsRules, agentToken)
+  }
+
+  /** Join fetched image payloads back to their harvested pairs — the
+    * step after [[imageFetchList]]'s urls come back as WARC responses:
+    * 200-response bodies key by `target_uri` (the fetcher fetched the
+    * normalized img_url, so the keys agree by construction) and attach
+    * to every (page, img_url, text) pair referencing them, ready for
+    * the multimodal decode/phash chain. The batch of fetched records
+    * broadcasts into the pairs side by default (pairs ledger = the big
+    * side, never shuffles); pass `broadcastRecords = false` for a bulk
+    * backfill whose image bytes exceed broadcast budgets — identical
+    * output through a shuffled join. */
+  def imageBytesJoin(pairs: DataFrame, records: DataFrame,
+                     broadcastRecords: Boolean = true): DataFrame = {
+    val resp = records
+      .filter(col("warc_type") === "response" && col("http_status") === 200)
+      .select(col("target_uri").cast("string").as("img_url"), col("body"))
+    pairs.join(if (broadcastRecords) broadcast(resp) else resp,
+      Seq("img_url"))
   }
 
   /** Authority-prioritized fetch ordering (r15): [[schedule]] plus a

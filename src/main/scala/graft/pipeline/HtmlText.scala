@@ -644,15 +644,67 @@ object HtmlText {
     * the attribute is absent; an EMPTY alt is kept — `alt=""` is the
     * deliberate decorative-image marker), `caption` the enclosing
     * `<figure>`'s figcaption text (null outside a figure or when the
-    * figure has none). */
+    * figure has none). Since r17 an `<img>` tag yields one ImageRef per
+    * DISTINCT harvested url: its `src`, then its `srcset` candidates,
+    * then the enclosing `<picture>`'s `<source srcset>` candidates —
+    * all sharing the img's alt/title/caption (responsive-image markup
+    * is the dominant modern form; without it a crawl misses every
+    * high-resolution variant and every picture-wrapped image whose img
+    * src is a placeholder). */
   final case class ImageRef(src: String, alt: String, title: String,
                             caption: String)
 
-  /** Inner text of a markup fragment: tags drop, entities decode,
-    * whitespace runs collapse to one space, edges trim; null when
-    * nothing remains. The figcaption-text discipline — a caption is a
-    * LABEL, so the block-break structure htmlToText keeps would be
-    * noise here. */
+  /** Parse a `srcset` attribute value (ALREADY entity-decoded — HTML
+    * decodes attribute values before microsyntax parsing) into its
+    * candidate urls, in order, descriptors dropped. WHATWG image
+    * candidate grammar: comma-separated candidates, each a url
+    * optionally followed by whitespace + a descriptor (`2x`, `640w`);
+    * a url's own trailing commas terminate its candidate. Total, O(n),
+    * never throws. */
+  def srcsetCandidates(v: String): Array[String] = {
+    if (v == null) return Array.empty
+    val n = v.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < n) {
+      // skip whitespace and (empty-candidate) commas
+      while (i < n && (isWsCh(v.charAt(i)) || v.charAt(i) == ',')) i += 1
+      if (i < n) {
+        val start = i
+        while (i < n && !isWsCh(v.charAt(i))) i += 1
+        var end = i
+        // trailing commas belong to the separator, not the url
+        var sawComma = false
+        while (end > start && v.charAt(end - 1) == ',') {
+          end -= 1; sawComma = true
+        }
+        if (end > start) out += v.substring(start, end)
+        if (!sawComma) {
+          // consume the descriptor (until the next top-level comma)
+          var depth = 0
+          var done = false
+          while (i < n && !done) {
+            val c = v.charAt(i)
+            if (c == '(') depth += 1
+            else if (c == ')' && depth > 0) depth -= 1
+            else if (c == ',' && depth == 0) done = true
+            if (!done) i += 1
+          }
+        }
+      }
+    }
+    out.toArray
+  }
+
+  /** Inner text of a markup fragment: tags drop — and `<script>`/
+    * `<style>` elements drop WITH their raw-text content (r17: a
+    * script-templated caption must not leak JS/CSS text into the
+    * harvested label — the same rule htmlImages' outer walker and
+    * htmlToText apply), `<!-- -->` comments skip whole — entities
+    * decode, whitespace runs collapse to one space, edges trim; null
+    * when nothing remains. The figcaption-text discipline — a caption
+    * is a LABEL, so the block-break structure htmlToText keeps would
+    * be noise here. */
   private def innerText(s: String): String = {
     val n = s.length
     val buf = new java.lang.StringBuilder(n)
@@ -660,8 +712,24 @@ object HtmlText {
     while (i < n) {
       val c = s.charAt(i)
       if (c == '<') {
-        val gt = s.indexOf('>', i + 1)
-        i = if (gt < 0) n else gt + 1
+        if (i + 3 < n && s.charAt(i + 1) == '!' &&
+          s.charAt(i + 2) == '-' && s.charAt(i + 3) == '-') {
+          val end = s.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (tagAt(s, i + 1, "script") || tagAt(s, i + 1, "style")) {
+          val closer =
+            if (tagAt(s, i + 1, "script")) "</script" else "</style"
+          val end = indexOfIgnoreCase(s, closer, i + 1)
+          i =
+            if (end < 0) n
+            else s.indexOf('>', end) match {
+              case -1 => n
+              case e => e + 1
+            }
+        } else {
+          val gt = s.indexOf('>', i + 1)
+          i = if (gt < 0) n else gt + 1
+        }
       } else if (c == '&') {
         val (cp, next) = entity(s, i)
         if (cp >= 0) { buf.appendCodePoint(cp); i = next }
@@ -706,6 +774,9 @@ object HtmlText {
     // figures: caption per region index; stack of open region indices
     val captions = scala.collection.mutable.ArrayBuffer.empty[String]
     var figStack = List.empty[Int]
+    // pictures: per open <picture>, its <source srcset> candidates so
+    // far (document order — WHATWG puts sources before the img)
+    var picStack = List.empty[scala.collection.mutable.ArrayBuffer[String]]
     // imgs: (src, alt, title, figure index or -1)
     val imgs =
       scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Int)]
@@ -747,25 +818,62 @@ object HtmlText {
           // resume INSIDE the caption: an img within it still harvests
           // (and associates with the same figure)
           i = contentStart
+        } else if (i + 1 < n && html.charAt(i + 1) == '/' &&
+          tagAt(html, i + 2, "picture")) {
+          if (picStack.nonEmpty) picStack = picStack.tail
+          val gt = html.indexOf('>', i + 2)
+          i = if (gt < 0) n else gt + 1
+        } else if (tagAt(html, i + 1, "picture")) {
+          picStack ::= scala.collection.mutable.ArrayBuffer.empty[String]
+          i = tagEnd(html, i + 8) + 1
+        } else if (tagAt(html, i + 1, "source")) {
+          // <picture><source srcset=...>: candidates accumulate for the
+          // innermost open picture's img; <source> outside a picture
+          // (audio/video) has no srcset harvest
+          val end = tagEnd(html, i + 7)
+          if (picStack.nonEmpty) {
+            var ss: String = null
+            eachAttr(html, i + 7, end + 1) { (name, value) =>
+              if (name == "srcset" && ss == null) ss = value
+              false
+            }
+            if (ss != null)
+              picStack.head ++= srcsetCandidates(decodeAttr(ss))
+          }
+          i = end + 1
         } else if (tagAt(html, i + 1, "img")) {
           val end = tagEnd(html, i + 4)
           var src: String = null
+          var srcset: String = null
           var alt: String = null
           var title: String = null
           eachAttr(html, i + 4, end + 1) { (name, value) =>
             name match {
               case "src" => if (src == null) src = value
+              case "srcset" => if (srcset == null) srcset = value
               case "alt" => if (alt == null) alt = value
               case "title" => if (title == null) title = value
               case _ => ()
             }
             false
           }
-          if (src != null && src.nonEmpty)
-            imgs += ((decodeAttr(src),
-              if (alt == null) null else decodeAttr(alt),
-              if (title == null) null else decodeAttr(title),
-              if (figStack.isEmpty) -1 else figStack.head))
+          // harvested urls, in priority order: src, the img's own
+          // srcset candidates, then the enclosing picture's source
+          // candidates — deduped on the decoded url, first wins
+          val urls = scala.collection.mutable.ArrayBuffer.empty[String]
+          val seen = scala.collection.mutable.HashSet.empty[String]
+          def add(u: String): Unit =
+            if (u != null && u.nonEmpty && seen.add(u)) urls += u
+          if (src != null && src.nonEmpty) add(decodeAttr(src))
+          if (srcset != null)
+            srcsetCandidates(decodeAttr(srcset)).foreach(add)
+          if (picStack.nonEmpty) picStack.head.foreach(add)
+          if (urls.nonEmpty) {
+            val a = if (alt == null) null else decodeAttr(alt)
+            val t = if (title == null) null else decodeAttr(title)
+            val fig = if (figStack.isEmpty) -1 else figStack.head
+            urls.foreach(u => imgs += ((u, a, t, fig)))
+          }
           i = end + 1
         } else {
           val gt = html.indexOf('>', i + 1)

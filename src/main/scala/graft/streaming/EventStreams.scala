@@ -653,6 +653,29 @@ object EventStreams extends Serializable {
     }
 
   /**
+   * [[pqIngestStream]]'s IVF-routed sibling (r17): each micro-batch
+   * assigns against the STORED coarse centroids, encodes with the
+   * STORED codebooks and lands as `list_id=X/ingest=N` dirs with
+   * `N = StreamInstallmentBase + batchId`
+   * ([[graft.index.Pq.ivfPqAppendAt]] — dynamic partition overwrite
+   * makes a replay replace exactly its own dirs; the raw/ refine
+   * sidecar rides the identical numbering). The index must exist
+   * ([[graft.index.Pq.ivfPqBuild]]).
+   */
+  def ivfPqIngestStream(spark: SparkSession, vecs: DataFrame,
+                        indexPath: String, idCol: String = "vec_id",
+                        vecCol: String = "embedding")
+                       (sink: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.index.Pq.ivfPqAppendAt(spark, indexPath, batch.toDF(),
+          StreamInstallmentBase + batchId.toInt, idCol, vecCol)
+        sink(batchId)
+        ()
+    }
+
+  /**
    * Continuous TAKEDOWN ingest — the delete mirror of the ingest loops:
    * each micro-batch of deleted ids lands as its own
    * `deletes/installment = StreamInstallmentBase + batchId` partition of

@@ -4,8 +4,8 @@ import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
 /** Trained char-n-gram language ID: held-out generalization across all
-  * 16 built-in languages, kernel edges, heuristic fallback, and the
-  * broadcast dual path. */
+  * 24 built-in languages, kernel edges, heuristic fallback, the
+  * broadcast dual path, and the r17 confidence margin. */
 class LangIdSpec extends SparkTestBase {
   import spark.implicits._
 
@@ -27,7 +27,17 @@ class LangIdSpec extends SparkTestBase {
     "ru" -> "Старик закрыл дверь и ждал, пока дождь закончится, прежде чем идти домой.",
     "sv" -> "Den gamle mannen stängde dörren och väntade tills regnet slutade innan han gick hem.",
     "tr" -> "Yaşlı adam kapıyı kapattı ve eve yürümeden önce yağmurun durmasını bekledi.",
-    "zh" -> "老人关上门，等雨停了才回家。")
+    "zh" -> "老人关上门，等雨停了才回家。",
+    // r17 breadth languages — incl. every confusable pair's new side
+    // (da vs sv/nl, uk vs ru, fa vs ar, cs vs pl)
+    "cs" -> "Starý muž zavřel dveře a počkal, až déšť přestane, než se vrátil domů.",
+    "da" -> "Den gamle mand lukkede døren og ventede, til regnen holdt op, før han gik hjem.",
+    "el" -> "Ο γέρος έκλεισε την πόρτα και περίμενε να σταματήσει η βροχή πριν γυρίσει σπίτι.",
+    "fa" -> "پیرمرد در را بست و منتظر ماند تا باران بند بیاید و سپس به خانه برگشت.",
+    "fi" -> "Vanha mies sulki oven ja odotti sateen loppumista ennen kuin käveli kotiin.",
+    "hu" -> "Az öregember becsukta az ajtót és megvárta, amíg eláll az eső, mielőtt hazament.",
+    "uk" -> "Старий чоловік зачинив двері й почекав, поки дощ скінчиться, перш ніж іти додому.",
+    "vi" -> "Ông già đóng cửa và đợi mưa tạnh rồi mới đi bộ về nhà.")
 
   test("charGramsText: padded 1-3 grams, letters only, total") {
     assert(LangId.charGramsText(null) === "")
@@ -42,7 +52,7 @@ class LangIdSpec extends SparkTestBase {
     assert(LangId.charGramsText("天气").split(" ").contains("天气"))
   }
 
-  test("held-out sentences classify to their language, all 16") {
+  test("held-out sentences classify to their language, all 24") {
     val docs = heldOut.zipWithIndex
       .map { case ((lang, text), i) => (i.toLong, lang, text) }
       .toDF("doc_id", "expected", "text")
@@ -72,5 +82,39 @@ class LangIdSpec extends SparkTestBase {
     val b = LangId.classify(docs, broadcastModel = false)
       .as[(Long, String)].collect().toSet
     assert(a === b)
+  }
+
+  test("confidence: positive margins on held-out, NULL on fallback, label parity (r17)") {
+    val docs = heldOut.zipWithIndex
+      .map { case ((_, text), i) => (i.toLong, text) }
+      .toDF("doc_id", "text")
+      .unionByName(Seq((999L, "12345 ...")).toDF("doc_id", "text"))
+    val got = LangId.classifyWithConfidence(docs)
+      .as[(Long, String, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // label parity with plain classify on every row
+    val plain = LangId.classify(docs).as[(Long, String)].collect().toMap
+    got.foreach { case (id, (lang, _)) =>
+      assert(lang === plain(id), s"label drift vs classify for doc $id")
+    }
+    // centroid-scored rows: the margin is strictly positive (no exact
+    // cross-language tie exists in this fixture)
+    heldOut.indices.foreach { i =>
+      val (_, conf) = got(i.toLong)
+      assert(conf.exists(_ > 0.0), s"doc $i margin: $conf")
+    }
+    // heuristic fallback carries no margin
+    assert(got(999L)._1 === "und" && got(999L)._2.isEmpty)
+    // single-class margin: a doc sharing grams with exactly one
+    // centroid reports cos1 - 0 (the degenerate-but-defined case) —
+    // use a model with one label so only it can score
+    val tiny = Classify.centroidTrain(
+      Seq(("xx", LangId.charGramsText("qa qb")))
+        .toDF("label", "g"), "g", "label")
+    val one = LangId.classifyWithConfidence(
+      Seq((1L, "qa qa qb")).toDF("doc_id", "text"), model = tiny)
+      .as[(Long, String, Option[Double])].head()
+    assert(one._2 === "xx")
+    assert(one._3.exists(c => c > 0.9 && c <= 1.0))
   }
 }

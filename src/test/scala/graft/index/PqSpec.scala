@@ -160,6 +160,133 @@ class PqSpec extends SparkTestBase {
 
   private def searchedDeletedCount(n: Int): Long = (0 until n).count(_ % 5 == 0).toLong
 
+  test("row-bounded codebook fit is deterministic; bound leaves the codes intact") {
+    // the default fit sample is ROW-bounded (FAISS practice ~256*ksub
+    // points), not corpus-fraction-based: same corpus -> same count ->
+    // same seeded Bernoulli sample -> bit-identical codebooks
+    val pathA = tmpIdx("boundA")
+    val pathB = tmpIdx("boundB")
+    // maxFitRows far below the corpus forces the sampled path both times
+    Pq.pqBuild(embs, pathA, m = 8, ksub = 16, maxFitRows = 100L)
+    Pq.pqBuild(embs, pathB, m = 8, ksub = 16, maxFitRows = 100L)
+    def books(p: String) = spark.read.parquet(s"$p/codebooks")
+      .select($"sub", $"code", $"centroid")
+      .as[(Int, Int, Seq[Double])].collect().toSet
+    assert(books(pathA) === books(pathB),
+      "bounded fit must be deterministic across builds")
+    // every corpus row still encodes (the bound affects TRAINING only)
+    assert(spark.read.parquet(s"$pathA/codes").count() === embs.count())
+  }
+
+  test("wrong-dimension vectors exclude (null codes), never mis-encode") {
+    val path = tmpIdx("dim")
+    Pq.pqBuild(embs.limit(80), path, m = 8, ksub = 16)
+    // an append batch with a 32-dim row (stored dim is 64): the row
+    // must DROP like a zero-norm row — dsub comes from the stored dim,
+    // so a shorter vector can no longer silently encode against the
+    // wrong codebook slices
+    val bad = Seq((900010L, Array.fill(32)(0.5f)),
+      (900011L, Array.fill(64)(0.25f))).toDF("vec_id", "embedding")
+    Pq.pqAppendAt(spark, path, bad, installment = 1)
+    val appended = spark.read.parquet(s"$path/codes")
+      .filter($"installment" === 1).select("vec_id").as[Long].collect().toSeq
+    assert(appended === Seq(900011L),
+      s"only the dim-64 row may encode, got $appended")
+    // a wrong-dimension QUERY builds no ADC table -> zero result rows
+    val badQ = Seq((1L, Array.fill(32)(0.5f)))
+      .toDF("query_id", "query_vec")
+    assert(Pq.pqSearch(spark, path, badQ, k = 3).count() === 0L)
+  }
+
+  test("IVF-PQ: full-probe refined equals exact; routed probes prune the scan (r17)") {
+    val path = tmpIdx("ivfpq")
+    Pq.ivfPqBuild(embs, path, nlist = 8, m = 16, ksub = 64, storeRaw = true)
+    val q = queries()
+    // full probe + covering pool: the refined answer IS the float brute
+    // force (the declared emb_topk_ivfpq contract)
+    val full = Pq.ivfPqSearchRefined(spark, path, q, k = 5,
+        candidateK = 600, nprobe = 8)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = SimilarityIndex.bruteForceTopK(embs, q, k = 5)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(full === exact)
+    // routed: the ADC scan's physical plan prunes to the probed list
+    // partitions — the at-scale point of the composition
+    val routed = Pq.ivfPqSearch(spark, path, q, k = 5, nprobe = 2)
+    val plan = routed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("list_id"),
+      s"expected list_id partition pruning:\n$plan")
+    // routed refined self-recall: a corpus member probes its own list,
+    // and a probed-lists-covering pool makes the exact re-rank rank
+    // self first deterministically
+    val top1 = Pq.ivfPqSearchRefined(spark, path, q, k = 1,
+        candidateK = 600, nprobe = 2)
+      .filter($"rank" === 1)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+    assert(top1.length === 8)
+    assert(top1.forall(r => r._1 === r._2), s"self not top-1: ${top1.toSeq}")
+  }
+
+  test("IVF-PQ: append with FROZEN centroids+codebooks == one-shot; replays idempotent; raw/ in lockstep") {
+    val pathA = tmpIdx("ivfpq_app")
+    val pathB = tmpIdx("ivfpq_oneshot")
+    val evens = embs.filter($"vec_id" % 2 === 0)
+    val odds = embs.filter($"vec_id" % 2 === 1)
+    Pq.ivfPqBuild(evens, pathA, nlist = 8, m = 16, ksub = 64,
+      storeRaw = true)
+    Pq.ivfPqAppend(spark, pathA, odds)
+    Pq.ivfPqBuild(evens, pathB, nlist = 8, m = 16, ksub = 64,
+      storeRaw = true)
+    Pq.ivfPqAppendAt(spark, pathB, embs, ingest = 1)
+    def codesOf(p: String) = spark.read.parquet(s"$p/codes")
+      .select($"vec_id", $"list_id", $"codes")
+      .as[(Long, Int, Array[Byte])].collect()
+      .map(r => r._1 -> ((r._2, r._3.toSeq))).toMap
+    val a = codesOf(pathA)
+    val b = spark.read.parquet(s"$pathB/codes")
+      .filter($"ingest" === 1)
+      .select($"vec_id", $"list_id", $"codes")
+      .as[(Long, Int, Array[Byte])].collect()
+      .map(r => r._1 -> ((r._2, r._3.toSeq))).toMap
+    odds.select($"vec_id").as[Long].collect().foreach { id =>
+      assert(a(id) === b(id),
+        s"vec $id (list, codes) differ between append paths")
+    }
+    // a replay of the same ingest number replaces its own dirs
+    Pq.ivfPqAppendAt(spark, pathA, odds,
+      graft.store.Installments.nextIngest(spark, s"$pathA/codes") - 1)
+    assert(spark.read.parquet(s"$pathA/codes").count() === embs.count())
+    // the refine sidecar rode every append in lockstep
+    assert(spark.read.parquet(s"$pathA/raw").count() === embs.count())
+  }
+
+  test("IVF-PQ: tombstones drop from probe and re-rank; compact folds codes AND raw") {
+    val path = tmpIdx("ivfpq_del")
+    Pq.ivfPqBuild(embs, path, nlist = 8, m = 16, ksub = 64, storeRaw = true)
+    Pq.ivfPqDelete(spark, path,
+      embs.filter($"vec_id" % 5 === 0).select("vec_id"))
+    val q = queries()
+    val got = Pq.ivfPqSearchRefined(spark, path, q, k = 5,
+        candidateK = 600, nprobe = 8)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+    assert(got.forall(_._2 % 5 != 0), "tombstoned ids must not surface")
+    val before = got.toSet
+    val rows = Pq.ivfPqCompact(spark, path)
+    assert(rows === embs.count() - embs.filter($"vec_id" % 5 === 0).count())
+    assert(spark.read.parquet(s"$path/codes")
+      .select("ingest").distinct().as[Int].collect().toSeq === Seq(0))
+    // raw folds in LOCKSTEP: same survivors, same layout
+    assert(spark.read.parquet(s"$path/raw").count() === rows)
+    assert(spark.read.parquet(s"$path/raw")
+      .select("ingest").distinct().as[Int].collect().toSeq === Seq(0))
+    val after = Pq.ivfPqSearchRefined(spark, path, q, k = 5,
+        candidateK = 600, nprobe = 8)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    assert(after === before)
+  }
+
   test("guards: candidateK >= k, dim divisible by m, ksub bounds") {
     val path = tmpIdx("guards")
     Pq.pqBuild(embs.limit(50), path, m = 8, ksub = 16)

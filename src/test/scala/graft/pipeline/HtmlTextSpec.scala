@@ -494,6 +494,47 @@ class HtmlTextSpec extends SparkTestBase {
         |<style>.x { background: url("https://n/3") }</style>
         |<img title="a > b" src="https://k/1">""".stripMargin).toSeq ===
       Seq(ImageRef("https://k/1", null, "a > b", null)))
+    // srcset on the img (r17): candidates harvest in order after src,
+    // deduped on the decoded url (first wins); descriptors drop;
+    // entity-encoded commas/ampersands decode BEFORE candidate parsing
+    assert(HtmlText.htmlImages(
+      """<img src="/a.png" alt="s"
+        | srcset="/a.png, /a@2x.png 2x, //c.example/w.webp 640w">""".stripMargin)
+      .toSeq === Seq(
+      ImageRef("/a.png", "s", null, null),
+      ImageRef("/a@2x.png", "s", null, null),
+      ImageRef("//c.example/w.webp", "s", null, null)))
+    // picture-wrapped placeholder: only the <source srcset> candidates
+    // harvest, sharing the img's alt; sources outside a picture (and
+    // after its close) never attach; padded candidate lists parse
+    assert(HtmlText.htmlImages(
+      """<source srcset="https://n/1.png 1x">
+        |<picture><source srcset=" https://p/1.webp 1x , https://p/2.webp 2x ">
+        |<img alt="ph"></picture>
+        |<img src="https://after/x">""".stripMargin).toSeq === Seq(
+      ImageRef("https://p/1.webp", "ph", null, null),
+      ImageRef("https://p/2.webp", "ph", null, null),
+      ImageRef("https://after/x", null, null, null)))
+    // srcset-only img (no src) harvests; the url-trailing-comma form
+    // (candidate without a descriptor) splits, while a comma with NO
+    // whitespace stays part of the url (WHATWG: urls may contain
+    // commas; only trailing commas separate); entities decode first
+    assert(HtmlText.htmlImages(
+      """<img srcset="https://q/a?x=1&amp;y=2, https://q/b 2x" alt="q">""")
+      .toSeq === Seq(
+      ImageRef("https://q/a?x=1&y=2", "q", null, null),
+      ImageRef("https://q/b", "q", null, null)))
+    assert(HtmlText.srcsetCandidates("https://q/a,https://q/b").toSeq ===
+      Seq("https://q/a,https://q/b"))
+    // script/style RAW TEXT inside a caption drops with its element
+    // (r17): templated markup must not leak JS/CSS text into the label;
+    // comments inside captions skip whole too
+    assert(HtmlText.htmlImages(
+      """<figure><img src="https://i/t">
+        |<figcaption>Real <script>document.write('<b>x</b>');</script>label
+        |<style>.c{color:red}</style><!-- note > dash --> here</figcaption>
+        |</figure>""".stripMargin).toSeq ===
+      Seq(ImageRef("https://i/t", null, null, "Real label here")))
     assert(HtmlText.htmlImages(null).isEmpty)
     // unterminated markup stays total — attribute-WALKER semantics (the
     // htmlCanonical family): an unclosed quote truncates at EOF rather

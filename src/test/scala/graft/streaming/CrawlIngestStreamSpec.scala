@@ -599,25 +599,40 @@ class CrawlIngestStreamSpec extends SparkTestBase {
         """<p>first page now different body tokens entirely</p>
           |<img src="https://cdn.test/new.webp" title="t2">""".stripMargin))))
     q.processAllAvailable()
-    q.stop()
     val b0 = spark.read.parquet(s"$fDir/images/batch=0")
       .select("url", "img_url", "alt", "title", "caption")
       .as[(String, String, String, String, String)].collect().toSet
-    assert(b0 === Set(("https://im.test/a",
-      "https://im.test/pics/one.jpg?x=1&y=2", "an image", null,
-      "The caption")), s"batch 0 pairs: $b0")
+    // the noindex page harvests nothing but lands a null-src
+    // SUPERSESSION SENTINEL (r17) — its one ledger row for this batch
+    assert(b0 === Set(
+      ("https://im.test/a",
+        "https://im.test/pics/one.jpg?x=1&y=2", "an image", null,
+        "The caption"),
+      ("https://im.test/hidden", null, null, null, null)),
+      s"batch 0 pairs: $b0")
     val ledger = graft.pipeline.Crawl.imagePairsLedger(spark, fDir)
       .as[(String, String, String, String, String)].collect().toSet
     assert(ledger === Set(("https://im.test/a",
       "https://cdn.test/new.webp", null, "t2", null)),
       s"ledger must keep the LATEST batch per url: $ledger")
-    // compaction folds to one partition; the read is unchanged
+    // compaction folds to one partition; the read is unchanged (the
+    // hidden url's sentinel folds to ABSENCE)
     assert(graft.pipeline.Crawl.compactImages(spark, fDir) === 1L)
     assert(graft.pipeline.Crawl.imagePairsLedger(spark, fDir)
       .as[(String, String, String, String, String)].collect().toSet ===
       ledger)
     assert(new java.io.File(s"$fDir/images").listFiles()
       .count(_.getName.startsWith("batch=")) === 1)
+    // batch 2: the page refetched with its images REMOVED — the
+    // sentinel must supersede the stale batch-1 pair
+    input.addData((2L, warcOf(
+      ("https://im.test/a", 200,
+        "<p>the images are gone now plain prose only</p>"))))
+    q.processAllAvailable()
+    q.stop()
+    assert(graft.pipeline.Crawl.imagePairsLedger(spark, fDir)
+      .count() === 0L,
+      "a refetch that dropped its images must supersede the pairs")
     // absent ledger reads as empty
     assert(graft.pipeline.Crawl.imagePairsLedger(spark,
       base.resolve("nowhere").toString).count() === 0L)

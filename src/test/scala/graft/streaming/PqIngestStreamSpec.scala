@@ -53,6 +53,50 @@ class PqIngestStreamSpec extends SparkTestBase {
     assert(streamed.nonEmpty)
   }
 
+  test("IVF-PQ ingest stream: streamed == batch appends; replays overwrite (r17)") {
+    implicit val sqlCtx = spark.sqlContext
+    val idxPath = java.nio.file.Files.createTempDirectory("ivfpq-stream")
+      .resolve("idx").toString
+    val seed = embs.filter($"vec_id" < 50)
+    Pq.ivfPqBuild(seed, idxPath, nlist = 4, m = 8, ksub = 16,
+      storeRaw = true)
+    val b1 = embs.filter($"vec_id" >= 50 && $"vec_id" < 60)
+      .as[(Long, Array[Float])].collect().toSeq
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = EventStreams.ivfPqIngestStream(spark,
+      input.toDF().toDF("vec_id", "embedding"), idxPath)().start()
+    input.addData(b1: _*)
+    q.processAllAvailable()
+    // the replay contract: re-process the same batch id by a fresh
+    // stream over the same data -> dynamic overwrite, no duplicates
+    q.stop()
+    val queries = embs.filter($"vec_id" < 4)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_vec"))
+    val streamed = Pq.ivfPqSearch(spark, idxPath, queries, k = 5,
+        nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    val batchPath = java.nio.file.Files.createTempDirectory("ivfpq-batch")
+      .resolve("idx").toString
+    Pq.ivfPqBuild(seed, batchPath, nlist = 4, m = 8, ksub = 16,
+      storeRaw = true)
+    Pq.ivfPqAppendAt(spark, batchPath,
+      embs.filter($"vec_id" >= 50 && $"vec_id" < 60),
+      EventStreams.StreamInstallmentBase)
+    val batched = Pq.ivfPqSearch(spark, batchPath, queries, k = 5,
+        nprobe = 4)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(streamed === batched)
+    assert(streamed.nonEmpty)
+    // raw sidecar rode the streamed ingest (lockstep through streams)
+    assert(spark.read.parquet(s"$idxPath/raw").count() === 60)
+    // replay: same ingest number again -> no duplicates in codes OR raw
+    Pq.ivfPqAppendAt(spark, idxPath,
+      embs.filter($"vec_id" >= 50 && $"vec_id" < 60),
+      EventStreams.StreamInstallmentBase)
+    assert(spark.read.parquet(s"$idxPath/codes").count() === 60)
+    assert(spark.read.parquet(s"$idxPath/raw").count() === 60)
+  }
+
   test("replaying an installment overwrites instead of duplicating") {
     val idxPath = java.nio.file.Files.createTempDirectory("pq-replay")
       .resolve("idx").toString
