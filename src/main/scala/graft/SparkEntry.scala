@@ -1301,6 +1301,35 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ with the ROTATION quality tier (r17 — the OPQ-family lift at
+    // the same byte budget): a stored seeded random orthonormal
+    // rotation balances the subspace split; rotation preserves inner
+    // products, so the REFINED exactness contract is identical — the
+    // corpus-count pool + exact float re-rank equals the brute force
+    // row for row THROUGH the rotated two-installment index (append
+    // must encode with the STORED rotation or this hash-mismatches)
+    "emb_topk_pq_rot" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_pq_rot_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.index.Pq.pqBuild(e.filter(col("vec_id") % 2 === 0), idxPath,
+          m = 16, ksub = 64, rotate = true)
+      }
+      Phases.timed("append") {
+        graft.index.Pq.pqAppendAt(s, idxPath,
+          e.filter(col("vec_id") % 2 === 1), installment = 1)
+      }
+      graft.index.Pq.pqSearchRefined(s, idxPath, q, e, k = 5,
+        candidateK = math.max(1024L, e.count()).toInt)
+        .select(col("query_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // PQ delete lifecycle: tombstone every vec_id%5==0, refined search
     // — the deleted rows must vanish from the pool AND the re-rank
     // (takedown semantics), so the answer equals the exact float top-5
@@ -10007,6 +10036,18 @@ object SparkEntry {
     // list probed + exact float re-rank => the exact float top-5 (the
     // pq_refined contract through the routed two-level layout)
     "emb_topk_ivfpq" ->
+      """SELECT query_id, vec_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings c
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q) t
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // rotated PQ: rotation preserves inner products, so the refined
+    // answer is STILL the exact float top-5 — same oracle
+    "emb_topk_pq_rot" ->
       """SELECT query_id, vec_id, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
         |    row_number() OVER (PARTITION BY q.vec_id

@@ -310,15 +310,23 @@ object Main {
       spark.stop()
 
     case "langid" :: docs :: out :: rest =>
-      // trained 16-language char-n-gram language ID (heuristic fallback)
+      // trained 24-language char-n-gram language ID (heuristic
+      // fallback); pass "confidence" as the 3rd extra arg (after
+      // idCol textCol) to add the winner-vs-runner-up cosine margin
       val idCol = rest.headOption.getOrElse("doc_id")
       val textCol = rest.drop(1).headOption.getOrElse("text")
+      val withConf = rest.drop(2).headOption.contains("confidence")
       val spark = session()
-      graft.analysis.LangId.classify(spark.read.parquet(docs), idCol,
-          textCol)
-        .write.mode("overwrite").parquet(out)
+      val labeled =
+        if (withConf)
+          graft.analysis.LangId.classifyWithConfidence(
+            spark.read.parquet(docs), idCol, textCol)
+        else graft.analysis.LangId.classify(spark.read.parquet(docs),
+          idCol, textCol)
+      labeled.write.mode("overwrite").parquet(out)
       val n = spark.read.parquet(out).count()
-      println(s"langid: $n docs labeled -> $out")
+      println(s"langid: $n docs labeled" +
+        (if (withConf) " with confidence" else "") + s" -> $out")
       spark.stop()
 
     case "int8-build" :: vecs :: idx :: Nil =>
@@ -344,10 +352,13 @@ object Main {
     case "pq-build" :: vecs :: idx :: rest =>
       val m = rest.headOption.map(_.toInt).getOrElse(8)
       val ksub = rest.drop(1).headOption.map(_.toInt).getOrElse(256)
+      val rotate = rest.drop(2).headOption.contains("rotate")
       val spark = session()
-      graft.index.Pq.pqBuild(spark.read.parquet(vecs), idx, m, ksub)
+      graft.index.Pq.pqBuild(spark.read.parquet(vecs), idx, m, ksub,
+        rotate = rotate)
       val n = spark.read.parquet(s"$idx/codes").count()
-      println(s"pq-build: $n $m-byte code rows (ksub=$ksub) -> $idx")
+      println(s"pq-build: $n $m-byte code rows (ksub=$ksub" +
+        (if (rotate) ", rotated" else "") + s") -> $idx")
       spark.stop()
 
     case "pq-append" :: vecs :: idx :: Nil =>
@@ -393,9 +404,10 @@ object Main {
       val m = rest.drop(1).headOption.map(_.toInt).getOrElse(8)
       val ksub = rest.drop(2).headOption.map(_.toInt).getOrElse(256)
       val storeRaw = rest.drop(3).headOption.exists(_.toBoolean)
+      val rotate = rest.drop(4).headOption.contains("rotate")
       val spark = session()
       graft.index.Pq.ivfPqBuild(spark.read.parquet(vecs), idx, nlist,
-        m, ksub, storeRaw = storeRaw)
+        m, ksub, storeRaw = storeRaw, rotate = rotate)
       val n = spark.read.parquet(s"$idx/codes").count()
       println(s"ivfpq-build: $n $m-byte code rows over $nlist lists " +
         s"(ksub=$ksub, raw=$storeRaw) -> $idx")
@@ -923,6 +935,20 @@ object Main {
         .write.mode("overwrite").parquet(out)
       val n = spark.read.parquet(out).count()
       println(s"crawl-images: $n image-text pairs -> $out")
+      spark.stop()
+
+    case "crawl-image-fetchlist" :: frontierDir :: out :: rest =>
+      // the image FETCH frontier: distinct ledger img_urls + ref
+      // counts, minus already-fetched, blocklist-gated when a domains
+      // parquet is given — feed the output to crawl-schedule
+      val spark = session()
+      val blocked = rest.headOption
+        .map(p => spark.read.parquet(p))
+        .orNull
+      graft.pipeline.Crawl.imageFetchList(spark, frontierDir, blocked)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"crawl-image-fetchlist: $n image urls to fetch -> $out")
       spark.stop()
 
     case "crawl-soft404" :: frontierDir :: out :: rest =>
@@ -1465,6 +1491,7 @@ object Main {
           |  crawl-host-edges <frontierDir> <outParquet>
           |  crawl-compact-edges <frontierDir>
           |  crawl-images     <frontierDir> <outParquet>
+          |  crawl-image-fetchlist <frontierDir> <outParquet> [blockedDomainsParquet]
           |  crawl-compact-images <frontierDir>
           |  crawl-feed-seeds <feedsParquet> <crawledParquet|-> <outParquet>
           |  crawl-sitemap-seeds <sitemapsParquet> <crawledParquet|-> <outParquet> [lastmod]
@@ -1481,12 +1508,12 @@ object Main {
           |  ivf-compact      <indexPath>
           |  ivfsq8-compact   <indexPath>
           |  int8-compact     <indexPath>
-          |  pq-build         <vecsParquet> <indexPath> [m] [ksub]
+          |  pq-build         <vecsParquet> <indexPath> [m] [ksub] [rotate]
           |  pq-append        <vecsParquet> <indexPath>
           |  pq-search        <indexPath> <vecsParquet> <outParquet> [k] [corpusParquetForExactRefine] [candidateK]
           |  pq-delete        <indexPath> <idsParquet>
           |  pq-compact       <indexPath>
-          |  ivfpq-build      <vecsParquet> <indexPath> [nlist] [m] [ksub] [storeRaw]
+          |  ivfpq-build      <vecsParquet> <indexPath> [nlist] [m] [ksub] [storeRaw] [rotate]
           |  ivfpq-append     <vecsParquet> <indexPath>
           |  ivfpq-search     <indexPath> <vecsParquet> <outParquet> [k] [nprobe] [candidateK>0=refined]
           |  ivfsq8-refine-search <indexPath> <vecsParquet> [k] [candidateK] [nprobe]

@@ -49,8 +49,66 @@ import graft.functions.TopK
  * and never shuffles; top-k is the bounded aggregator. Codebooks are
  * m·ksub·(dim/m) doubles (m=8, ksub=256, dim=64 → 16k doubles) — a
  * driver-side constant, the readCentroids pattern.
+ *
+ * Optional quality tier (r17): `rotate = true` at build applies a STORED
+ * seeded random orthonormal rotation before the subspace split
+ * ([[rotationMatrix]] — the OPQ-family lift at the same byte budget);
+ * `rotation/` presence is the flag, so pre-r17 indexes read unchanged
+ * and appends/searches can never disagree with the build.
  */
 object Pq {
+
+  /** Seeded random orthonormal dim×dim rotation (r17): the
+    * subspace-balancing pre-transform of the OPQ family (Ge, He, Ke,
+    * Sun, "Optimized Product Quantization", CVPR 2013 — the full OPQ
+    * learns R iteratively; FAISS ships this RANDOM-rotation tier as
+    * `RandomRotationMatrix`, the standard cheap recall lift when a
+    * few dimensions carry most of the variance and a fixed subspace
+    * split would starve the rest). Gaussian fill + modified
+    * Gram-Schmidt; deterministic for a given dim. Rotation preserves
+    * norms and inner products, so ADC scores still approximate the
+    * cosine of the ORIGINAL vectors. */
+  private[index] def rotationMatrix(dim: Int): Array[Array[Double]] = {
+    val rnd = new java.util.Random(42L + dim)
+    val r = Array.fill(dim, dim)(rnd.nextGaussian())
+    var i = 0
+    while (i < dim) {
+      var j = 0
+      while (j < i) {
+        var d = 0.0
+        var k = 0
+        while (k < dim) { d += r(i)(k) * r(j)(k); k += 1 }
+        k = 0
+        while (k < dim) { r(i)(k) -= d * r(j)(k); k += 1 }
+        j += 1
+      }
+      var ss = 0.0
+      var k = 0
+      while (k < dim) { ss += r(i)(k) * r(i)(k); k += 1 }
+      val inv = 1.0 / math.sqrt(ss)
+      k = 0
+      while (k < dim) { r(i)(k) *= inv; k += 1 }
+      i += 1
+    }
+    r
+  }
+
+  private def applyRotation(rot: Array[Array[Double]],
+                            u: Array[Double]): Array[Double] = {
+    if (rot == null) return u
+    val n = u.length
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      val row = rot(i)
+      var s = 0.0
+      var k = 0
+      while (k < n) { s += row(k) * u(k); k += 1 }
+      out(i) = s
+      i += 1
+    }
+    out
+  }
 
   /** Unit-normalize a float vector to doubles; null for null/zero-norm
     * input (zero-norm rows have no cosine and are excluded everywhere,
@@ -84,7 +142,8 @@ object Pq {
     * count; the seeded Bernoulli sample keeps determinism (same corpus
     * → same count → same fraction → same sample). */
   private def fitCodebooks(corpus: DataFrame, vecCol: String, m: Int,
-                           ksub: Int, maxFitRows: Long, dim: Int)
+                           ksub: Int, maxFitRows: Long, dim: Int,
+                           rot: Array[Array[Double]] = null)
       : Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.{Vectors => MLVectors}
@@ -102,9 +161,10 @@ object Pq {
       val fits = (0 until m).map { j =>
         Future {
           val sub = udf { (v: Seq[Float]) =>
-            val u = normalize(v)
-            if (u == null || u.length != dim) null
+            val u0 = normalize(v)
+            if (u0 == null || u0.length != dim) null
             else {
+              val u = applyRotation(rot, u0)
               val dsub = dim / m
               MLVectors.dense(java.util.Arrays.copyOfRange(
                 u, j * dsub, (j + 1) * dsub))
@@ -131,11 +191,13 @@ object Pq {
     * length, so a mis-dimensioned append row excludes (the zero-norm
     * family rule) instead of silently encoding against wrong codebook
     * slices. */
-  private def encodeUdf(books: Array[Array[Array[Double]]], dim: Int) =
+  private def encodeUdf(books: Array[Array[Array[Double]]], dim: Int,
+                        rot: Array[Array[Double]] = null) =
     udf { (v: Seq[Float]) =>
-      val u = normalize(v)
-      if (u == null || u.length != dim) null
+      val u0 = normalize(v)
+      if (u0 == null || u0.length != dim) null
       else {
+        val u = applyRotation(rot, u0)
         val m = books.length
         val dsub = dim / m
         val out = new Array[Byte](m)
@@ -168,11 +230,12 @@ object Pq {
     * `table(j·ksub + c) = q_sub_j ⋅ centroid_{j,c}` over the normalized
     * query; null for zero-norm queries. */
   private def tableUdf(books: Array[Array[Array[Double]]], ksub: Int,
-                       dim: Int) =
+                       dim: Int, rot: Array[Array[Double]] = null) =
     udf { (v: Seq[Float]) =>
-      val u = normalize(v)
-      if (u == null || u.length != dim) null
+      val u0 = normalize(v)
+      if (u0 == null || u0.length != dim) null
       else {
+        val u = applyRotation(rot, u0)
         val m = books.length
         val dsub = dim / m
         val out = new Array[Double](m * ksub)
@@ -231,6 +294,28 @@ object Pq {
     }
   }
 
+  /** The stored rotation, or null when the index was built without one
+    * (`rotation/` absence IS the flag — pre-r17 indexes read
+    * unchanged). */
+  private def readRotation(spark: SparkSession, path: String,
+                           dim: Int): Array[Array[Double]] = {
+    if (!Quantize.dirExists(spark, s"$path/rotation")) return null
+    val rows = spark.read.parquet(s"$path/rotation")
+      .select("i", "row").collect()
+    val r = new Array[Array[Double]](dim)
+    rows.foreach(x => r(x.getInt(0)) = x.getSeq[Double](1).toArray)
+    r
+  }
+
+  private def writeRotation(spark: SparkSession, path: String,
+                            rot: Array[Array[Double]]): Unit = {
+    import spark.implicits._
+    rot.zipWithIndex.map { case (row, i) => (i, row.toSeq) }.toSeq
+      .toDF("i", "row")
+      .repartition(1)
+      .write.mode("overwrite").parquet(s"$path/rotation")
+  }
+
   /**
    * Build a PQ index: fit codebooks, encode the corpus, persist
    * `meta/` (m, ksub, dim), `codebooks/` and `codes/installment=0`.
@@ -243,7 +328,7 @@ object Pq {
    */
   def pqBuild(corpus: DataFrame, path: String, m: Int = 8, ksub: Int = 256,
               corpusId: String = "vec_id", corpusVec: String = "embedding",
-              maxFitRows: Long = 0L): Unit = {
+              maxFitRows: Long = 0L, rotate: Boolean = false): Unit = {
     require(m >= 1 && ksub >= 1 && ksub <= 256,
       s"need 1 <= ksub <= 256 (one byte per subspace), got m=$m ksub=$ksub")
     val spark = corpus.sparkSession
@@ -256,7 +341,18 @@ object Pq {
     require(dim % m == 0, s"vector dim $dim must divide by m=$m")
     val fitRows =
       if (maxFitRows > 0L) maxFitRows else math.max(256L * ksub, 10000L)
-    val books = fitCodebooks(corpus, corpusVec, m, ksub, fitRows, dim)
+    // `rotate` (r17): seeded random orthonormal pre-rotation before the
+    // subspace split (the OPQ-family recall lift at the same byte
+    // budget — see [[rotationMatrix]]); STORED like the codebooks, so
+    // appends and searches can never disagree with the build
+    val rot = if (rotate) rotationMatrix(dim) else null
+    if (rotate) writeRotation(spark, path, rot)
+    else {
+      val rp = new org.apache.hadoop.fs.Path(s"$path/rotation")
+      rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(rp, true) // a rebuild without rotation clears the old one
+    }
+    val books = fitCodebooks(corpus, corpusVec, m, ksub, fitRows, dim, rot)
     books.zipWithIndex.flatMap { case (cb, j) =>
       cb.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
     }.toSeq.toDF("sub", "code", "centroid")
@@ -265,7 +361,7 @@ object Pq {
     spark.createDataFrame(Seq((m, ksub, dim))).toDF("m", "ksub", "dim")
       .write.mode("overwrite").parquet(s"$path/meta")
     corpus.select(col(corpusId),
-        encodeUdf(books, dim)(col(corpusVec)).as("codes"))
+        encodeUdf(books, dim, rot)(col(corpusVec)).as("codes"))
       .filter(col("codes").isNotNull)
       .write.mode("overwrite").parquet(s"$path/codes/installment=0")
     graft.store.Tombstones.clear(spark, path)
@@ -288,8 +384,9 @@ object Pq {
                  corpusVec: String = "embedding"): Unit = {
     val (m, ksub, dim) = readMeta(spark, path)
     val books = readCodebooks(spark, path, m, ksub)
+    val rot = readRotation(spark, path, dim)
     newDf.select(col(corpusId),
-        encodeUdf(books, dim)(col(corpusVec)).as("codes"))
+        encodeUdf(books, dim, rot)(col(corpusVec)).as("codes"))
       .filter(col("codes").isNotNull)
       .write.mode("overwrite").parquet(s"$path/codes/installment=$installment")
   }
@@ -306,6 +403,7 @@ object Pq {
                asOfInstallment: Int = Int.MaxValue): DataFrame = {
     val (m, ksub, dim) = readMeta(spark, path)
     val books = readCodebooks(spark, path, m, ksub)
+    val rot = readRotation(spark, path, dim)
     val codes0 = spark.read.parquet(s"$path/codes")
     val codes1 = if (asOfInstallment == Int.MaxValue) codes0
       else codes0.filter(col("installment") <= asOfInstallment)
@@ -313,7 +411,7 @@ object Pq {
       .select(col(corpusId), col("codes"))
     val q = queries
       .select(col(queryId),
-        tableUdf(books, ksub, dim)(col(queryVec)).as("_qt"))
+        tableUdf(books, ksub, dim, rot)(col(queryVec)).as("_qt"))
       .filter(col("_qt").isNotNull)
     val scored = c.join(broadcast(q), lit(true))
       .withColumn("score_pq",
@@ -417,7 +515,8 @@ object Pq {
   def ivfPqBuild(corpus: DataFrame, path: String, nlist: Int = 64,
                  m: Int = 8, ksub: Int = 256,
                  corpusId: String = "vec_id", corpusVec: String = "embedding",
-                 maxFitRows: Long = 0L, storeRaw: Boolean = false): Unit = {
+                 maxFitRows: Long = 0L, storeRaw: Boolean = false,
+                 rotate: Boolean = false): Unit = {
     require(m >= 1 && ksub >= 1 && ksub <= 256,
       s"need 1 <= ksub <= 256 (one byte per subspace), got m=$m ksub=$ksub")
     val spark = corpus.sparkSession
@@ -431,17 +530,40 @@ object Pq {
     val fitRows =
       if (maxFitRows > 0L) maxFitRows else math.max(256L * ksub, 10000L)
     // coarse routing fit shares the row-bounded discipline: fraction
-    // derived from one count, seeded — corpus-independent fit cost
+    // derived from one count, seeded — corpus-independent fit cost.
+    // The coarse fit and the m codebook fits are INDEPENDENT seeded
+    // computations — run them as concurrent Spark jobs (the
+    // fitCodebooks discipline; sequentially the coarse KMeans'
+    // ~10 iterations are pure added wall-clock)
     val n = corpus.select(col(corpusVec)).count()
     val coarseFrac =
       if (n > fitRows) fitRows.toDouble / n else 1.0
-    val centers = SimilarityIndex.fitCentroids(corpus, corpusVec, nlist,
-      coarseFrac)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // rotation applies to the PQ encode only; the coarse routing stays
+    // on the ORIGINAL float vectors (rotation preserves distances, so
+    // either convention is valid — original keeps assignUdf shared and
+    // every call site consistent by construction)
+    val rot = if (rotate) rotationMatrix(dim) else null
+    if (rotate) writeRotation(spark, path, rot)
+    else {
+      val rp = new org.apache.hadoop.fs.Path(s"$path/rotation")
+      rp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(rp, true)
+    }
+    val coarseF = Future {
+      SimilarityIndex.fitCentroids(corpus, corpusVec, nlist, coarseFrac)
+    }
+    val booksF = Future {
+      fitCodebooks(corpus, corpusVec, m, ksub, fitRows, dim, rot)
+    }
+    val centers = Await.result(coarseF, Duration.Inf)
+    val books = Await.result(booksF, Duration.Inf)
     centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("list_id", "centroid")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$path/centroids")
-    val books = fitCodebooks(corpus, corpusVec, m, ksub, fitRows, dim)
     books.zipWithIndex.flatMap { case (cb, j) =>
       cb.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
     }.toSeq.toDF("sub", "code", "centroid")
@@ -453,7 +575,7 @@ object Pq {
       SimilarityIndex.assignUdf(centers)(col(corpusVec)).as("list_id"),
       col(corpusVec))
     assigned.select(col(corpusId), col("list_id"),
-        encodeUdf(books, dim)(col(corpusVec)).as("codes"))
+        encodeUdf(books, dim, rot)(col(corpusVec)).as("codes"))
       .filter(col("codes").isNotNull)
       .withColumn("ingest", lit(0))
       .write.mode("overwrite").partitionBy("list_id", "ingest")
@@ -462,7 +584,7 @@ object Pq {
     // assignment, so the exact re-rank reads only probed lists (the
     // ivfSq8 raw/ contract — lockstep through append and compact)
     if (storeRaw)
-      assigned.filter(encodeUdf(books, dim)(col(corpusVec)).isNotNull)
+      assigned.filter(encodeUdf(books, dim, rot)(col(corpusVec)).isNotNull)
         .withColumn("ingest", lit(0))
         .write.mode("overwrite").partitionBy("list_id", "ingest")
         .parquet(s"$path/raw")
@@ -488,11 +610,12 @@ object Pq {
                     corpusVec: String = "embedding"): Unit = {
     val (m, ksub, dim) = readMeta(spark, path)
     val books = readCodebooks(spark, path, m, ksub)
+    val rot = readRotation(spark, path, dim)
     val centers = SimilarityIndex.readCentroids(spark, path)
     val assigned = newDf.select(col(corpusId),
       SimilarityIndex.assignUdf(centers)(col(corpusVec)).as("list_id"),
       col(corpusVec))
-    val enc = encodeUdf(books, dim)
+    val enc = encodeUdf(books, dim, rot)
     assigned.select(col(corpusId), col("list_id"),
         enc(col(corpusVec)).as("codes"))
       .filter(col("codes").isNotNull)
@@ -520,6 +643,7 @@ object Pq {
     import spark.implicits._
     val (m, ksub, dim) = readMeta(spark, path)
     val books = readCodebooks(spark, path, m, ksub)
+    val rot = readRotation(spark, path, dim)
     val centers = SimilarityIndex.readCentroids(spark, path)
     val qProbed = queries.withColumn("list_id",
       explode(SimilarityIndex.probeUdf(centers, nprobe)(col(queryVec))))
@@ -527,7 +651,7 @@ object Pq {
       .map(_.asInstanceOf[Any])
     val q = qProbed
       .select(col(queryId), col("list_id"),
-        tableUdf(books, ksub, dim)(col(queryVec)).as("_qt"))
+        tableUdf(books, ksub, dim, rot)(col(queryVec)).as("_qt"))
       .filter(col("_qt").isNotNull)
     val c = graft.store.Tombstones.filter(spark, path,
         spark.read.parquet(s"$path/codes")
@@ -567,6 +691,7 @@ object Pq {
     import spark.implicits._
     val (m, ksub, dim) = readMeta(spark, path)
     val books = readCodebooks(spark, path, m, ksub)
+    val rot = readRotation(spark, path, dim)
     val centers = SimilarityIndex.readCentroids(spark, path)
     val qProbed = queries.withColumn("list_id",
       explode(SimilarityIndex.probeUdf(centers, nprobe)(col(queryVec))))
@@ -574,7 +699,7 @@ object Pq {
       .map(_.asInstanceOf[Any])
     val q = qProbed
       .select(col(queryId), col("list_id"),
-        tableUdf(books, ksub, dim)(col(queryVec)).as("_qt"))
+        tableUdf(books, ksub, dim, rot)(col(queryVec)).as("_qt"))
       .filter(col("_qt").isNotNull)
     val c = graft.store.Tombstones.filter(spark, path,
         spark.read.parquet(s"$path/codes")

@@ -198,6 +198,58 @@ class PqSpec extends SparkTestBase {
     assert(Pq.pqSearch(spark, path, badQ, k = 3).count() === 0L)
   }
 
+  test("rotation tier: refined exactness holds, appends use the STORED rotation, recall floor (r17)") {
+    val pathA = tmpIdx("rot")
+    val pathB = tmpIdx("rot_oneshot")
+    val evens = embs.filter($"vec_id" % 2 === 0)
+    val odds = embs.filter($"vec_id" % 2 === 1)
+    Pq.pqBuild(evens, pathA, m = 16, ksub = 64, rotate = true)
+    assert(new java.io.File(s"$pathA/rotation").exists(),
+      "rotation must persist with the index")
+    Pq.pqAppend(spark, pathA, odds)
+    // appends encode with the stored rotation: == one-shot encode
+    Pq.pqBuild(evens, pathB, m = 16, ksub = 64, rotate = true)
+    Pq.pqAppendAt(spark, pathB, embs, installment = 1)
+    val a = spark.read.parquet(s"$pathA/codes")
+      .select($"vec_id", $"codes").as[(Long, Array[Byte])].collect()
+      .map(r => r._1 -> r._2.toSeq).toMap
+    val b = spark.read.parquet(s"$pathB/codes").filter($"installment" === 1)
+      .select($"vec_id", $"codes").as[(Long, Array[Byte])].collect()
+      .map(r => r._1 -> r._2.toSeq).toMap
+    odds.select($"vec_id").as[Long].collect().foreach { id =>
+      assert(a(id) === b(id), s"vec $id codes differ under rotation")
+    }
+    // rotation preserves inner products, so the REFINED contract is
+    // untouched: exact float top-k row for row
+    val q = queries()
+    val got = Pq.pqSearchRefined(spark, pathA, q, embs, k = 5,
+        candidateK = 600)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = SimilarityIndex.bruteForceTopK(embs, q, k = 5)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got === exact)
+    // unrefined ADC under rotation keeps the sanity floor
+    val approx = Pq.pqSearch(spark, pathA, q, k = 5)
+      .withColumnRenamed("score_pq", "cosine")
+    val report = SimilarityIndex.approxRecallReport(approx,
+        SimilarityIndex.bruteForceTopK(embs, q, k = 5), recallFloor = 1)
+      .as[(Long, Long, Boolean)].collect()
+    assert(report.forall(_._3), s"rotated ADC recall: ${report.toSeq}")
+    // a rebuild WITHOUT rotation clears the stored matrix
+    Pq.pqBuild(evens, pathA, m = 16, ksub = 64)
+    assert(!new java.io.File(s"$pathA/rotation").exists(),
+      "an unrotated rebuild must clear the old rotation")
+    // the matrix is orthonormal: R·Rᵀ == I to double precision
+    val r = Pq.rotationMatrix(16)
+    for (i <- 0 until 16; j <- 0 until 16) {
+      val d = (0 until 16).map(k => r(i)(k) * r(j)(k)).sum
+      assert(math.abs(d - (if (i == j) 1.0 else 0.0)) < 1e-12,
+        s"R·Rᵀ[$i][$j] = $d")
+    }
+  }
+
   test("IVF-PQ: full-probe refined equals exact; routed probes prune the scan (r17)") {
     val path = tmpIdx("ivfpq")
     Pq.ivfPqBuild(embs, path, nlist = 8, m = 16, ksub = 64, storeRaw = true)
