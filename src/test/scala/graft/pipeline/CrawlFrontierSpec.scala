@@ -839,6 +839,70 @@ class CrawlFrontierSpec extends SparkTestBase {
       "https://h1.test/real", "https://h1.test/redir"))
   }
 
+  test("imageFetchList: refs, fetched gating, blocklist + robots arms; bytes join (r17)") {
+    val base = java.nio.file.Files.createTempDirectory("crawl-imgfetch")
+    base.toFile.deleteOnExit()
+    val fDir = base.resolve("frontier").toString
+    // pairs ledger: two pages reference img/1 (n_refs 2), one each for
+    // the others; one url already fetched, one on a blocked host, one
+    // robots-disallowed
+    Seq(("https://p/a", "https://img.test/1", 0L),
+      ("https://p/b", "https://img.test/1", 0L),
+      ("https://p/c", "https://img.test/2", 0L),
+      ("https://p/d", "https://done.test/3", 0L),
+      ("https://p/e", "https://ads.bad.test/4", 0L),
+      ("https://p/f", "https://img.test/private/5", 0L))
+      .toDF("url", "img_url", "batch")
+      .withColumn("alt", lit(null).cast("string"))
+      .withColumn("title", lit(null).cast("string"))
+      .withColumn("caption", lit(null).cast("string"))
+      .select("url", "img_url", "alt", "title", "caption", "batch")
+      .write.partitionBy("batch").parquet(s"$fDir/images")
+    // the shared fetched ledger gates ANY prior fetch — incl. a
+    // non-text 200 landed by a crawl batch (images ride the same gate)
+    Seq(("https://done.test/3", null.asInstanceOf[String], 1L, 0L, 0L))
+      .toDF("url", "content_md5", "n_obs", "n_changes", "batch")
+      .write.partitionBy("batch").parquet(s"$fDir/fetched")
+    // no gates: everything unfetched surfaces with its ref count
+    val all = Crawl.imageFetchList(spark, fDir)
+      .as[(String, Long)].collect().toMap
+    assert(all === Map("https://img.test/1" -> 2L,
+      "https://img.test/2" -> 1L, "https://ads.bad.test/4" -> 1L,
+      "https://img.test/private/5" -> 1L))
+    // blocklist (host-suffix) + robots gates compose
+    val rules = Robots.rulesDf(Seq(
+      ("img.test", "User-agent: *\nDisallow: /private/"))
+      .toDF("host", "body"), "host", "body")
+    val gated = Crawl.imageFetchList(spark, fDir,
+      blockedDomains = Seq("bad.test").toDF("domain"),
+      robotsRules = rules)
+      .select("url").as[String].collect().toSet
+    assert(gated === Set("https://img.test/1", "https://img.test/2"))
+    // bytes join: 200 bodies attach to EVERY referencing pair; non-200
+    // and unfetched pairs drop
+    val records = Seq(
+      ("response", "https://img.test/1", 200, "one".getBytes("UTF-8")),
+      ("response", "https://img.test/2", 404, "no".getBytes("UTF-8")))
+      .toDF("warc_type", "target_uri", "http_status", "body")
+    val joined = Crawl.imageBytesJoin(
+      Crawl.imagePairsLedger(spark, fDir), records)
+      .select($"url", $"img_url", $"body".cast("string"))
+      .as[(String, String, String)].collect().toSet
+    assert(joined === Set(
+      ("https://p/a", "https://img.test/1", "one"),
+      ("https://p/b", "https://img.test/1", "one")))
+    // unbroadcast dual: identical output
+    val dual = Crawl.imageBytesJoin(
+      Crawl.imagePairsLedger(spark, fDir), records,
+      broadcastRecords = false)
+      .select($"url", $"img_url", $"body".cast("string"))
+      .as[(String, String, String)].collect().toSet
+    assert(dual === joined)
+    // absent ledger -> empty fetch list, not an error
+    assert(Crawl.imageFetchList(spark,
+      base.resolve("nowhere").toString).count() === 0L)
+  }
+
   test("purgeUrls: takedown rewrites the ledgers; full purge reads as absence") {
     val base = java.nio.file.Files.createTempDirectory("crawl-purge")
     base.toFile.deleteOnExit()
