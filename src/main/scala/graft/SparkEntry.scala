@@ -1395,6 +1395,37 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-PQ in RESIDUAL mode (r17 — FAISS's by_residual default): the
+    // codes quantize (normalized vector − the assigned list's unit
+    // centroid), scoring adds the per-(query, list) q·w_list base to
+    // the ADC sum — the within-list-offset budget that makes
+    // small-nprobe IVF-PQ usable. Same full lifecycle (build evens +
+    // append odds against the STORED residual anchors) and the same
+    // structural exactness: full probe + covering pool + exact re-rank
+    // == the float brute force row for row.
+    "emb_topk_ivfpq_res" -> ((s, dir) => {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_vec"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfpqr_")
+      deleteRecursivelyOnExit(idxDir)
+      val idxPath = idxDir.resolve("idx").toFile.getAbsolutePath
+      Phases.timed("build") {
+        graft.index.Pq.ivfPqBuild(e.filter(col("vec_id") % 2 === 0),
+          idxPath, nlist = 16, m = 16, ksub = 64, storeRaw = true,
+          residual = true)
+      }
+      Phases.timed("append") {
+        graft.index.Pq.ivfPqAppendAt(s, idxPath,
+          e.filter(col("vec_id") % 2 === 1), ingest = 1)
+      }
+      graft.index.Pq.ivfPqSearchRefined(s, idxPath, q, k = 5,
+        candidateK = math.max(1024L, e.count()).toInt, nprobe = 16)
+        .select(col("query_id"), col("vec_id"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
     // flat-index refine (the sidecar-free sibling of sq8_refined): int8
     // candidate pool from a TWO-INSTALLMENT index, exact float re-rank
     // against the source embeddings table — candidateK=64 of 500 makes
@@ -2099,6 +2130,43 @@ object SparkEntry {
           (id, text)
         }.toDF("doc_id", "text")
       graft.analysis.LangId.classifyWithConfidence(docs, model = model)
+        .orderBy("doc_id")
+    }),
+
+    // Confidence-GATED mixing (r17): low-margin docs route to the
+    // 'und' fallback stratum instead of taking a hard language label,
+    // and the temperature mix samples on the ROUTED label — the
+    // production shape for short/ambiguous docs at 100 TB. The tiny
+    // explicit model makes every margin SQL-replayable (the
+    // doc_langid_margin fixture), so the τ=0.25 routing decision
+    // ITSELF is oracle-gated (arm margins 0.57/0.60/0.0/NULL straddle
+    // it), and the stratum thresholds replay doc_temperature_mix's
+    // exact arithmetic over the routed labels.
+    "doc_mix_langid_conf" -> ((s, dir) => {
+      import s.implicits._
+      val grams = udf((t: String) => graft.analysis.LangId.charGramsText(t))
+      val model = graft.analysis.Classify.centroidTrain(
+        Seq(("aa", "a a b"), ("bb", "b b c"), ("cc", "c c a"))
+          .toDF("label", "ltext")
+          .select(col("label"), grams(col("ltext")).as("gtext")),
+        "gtext", "label")
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .as[Long].map { id =>
+          val text = (id % 4) match {
+            case 0 => "a a a b"
+            case 1 => "b b c"
+            case 2 => "a b c"
+            case _ => "z z"
+          }
+          (id, text)
+        }.toDF("doc_id", "text")
+      val routed = graft.analysis.LangId
+        .classifyWithConfidence(docs, model = model)
+        .select(col("doc_id"),
+          when(col("confidence").isNull || col("confidence") < 0.25,
+            lit("und")).otherwise(col("lang")).as("lang"))
+      Sampling.temperatureMixSqrt(routed, "lang", "doc_id",
+        targetRows = 250)
         .orderBy("doc_id")
     }),
 
@@ -8342,6 +8410,65 @@ object SparkEntry {
         |FROM documents
         |LEFT JOIN arms a ON CAST(doc_id % 4 AS INT) = a.arm
         |ORDER BY doc_id""".stripMargin,
+    // the gated mix: the SAME margin replay routes low-confidence arms
+    // to 'und' (the τ comparison is in-oracle), then the exact
+    // temperature-mix threshold arithmetic runs over the routed labels
+    "doc_mix_langid_conf" ->
+      """WITH cent(label, letter, c) AS (
+        |  SELECT * FROM (VALUES ('aa','a',2),('aa','b',1),('bb','b',2),
+        |    ('bb','c',1),('cc','c',2),('cc','a',1)) v),
+        |dc(arm, letter, d) AS (
+        |  SELECT * FROM (VALUES (0,'a',3),(0,'b',1),(1,'b',2),(1,'c',1),
+        |    (2,'a',1),(2,'b',1),(2,'c',1)) v),
+        |cn AS (SELECT label, 4 * sum(CAST(c AS HUGEINT) * c) AS cn
+        |  FROM cent GROUP BY label),
+        |dn AS (SELECT arm, 4 * sum(CAST(d AS HUGEINT) * d) AS dn
+        |  FROM dc GROUP BY arm),
+        |dots AS (
+        |  SELECT dc.arm, cent.label,
+        |    4 * sum(CAST(dc.d AS HUGEINT) * cent.c) AS dot
+        |  FROM dc JOIN cent ON dc.letter = cent.letter
+        |  GROUP BY dc.arm, cent.label),
+        |cosines AS (
+        |  SELECT d.arm, d.label,
+        |    CAST(dot AS DOUBLE) /
+        |      (sqrt(CAST(dn.dn AS DOUBLE)) * sqrt(CAST(cn.cn AS DOUBLE)))
+        |      AS cosine
+        |  FROM dots d JOIN dn ON d.arm = dn.arm
+        |  JOIN cn ON d.label = cn.label),
+        |ranked AS (
+        |  SELECT arm, label, cosine,
+        |    row_number() OVER (PARTITION BY arm
+        |      ORDER BY cosine DESC, label) AS rk
+        |  FROM cosines),
+        |arms AS (
+        |  SELECT r1.arm, r1.label AS lang,
+        |    r1.cosine - coalesce(r2.cosine, 0.0) AS confidence
+        |  FROM ranked r1
+        |  LEFT JOIN ranked r2 ON r1.arm = r2.arm AND r2.rk = 2
+        |  WHERE r1.rk = 1),
+        |p AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 3 THEN 'und'
+        |      WHEN a.confidence < 0.25 THEN 'und'
+        |      ELSE a.lang END AS lang
+        |  FROM documents
+        |  LEFT JOIN arms a ON CAST(doc_id % 4 AS INT) = a.arm),
+        |st AS (SELECT lang, count(*) AS n FROM p GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |        CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(28,10)) AS sd
+        |      FROM st),
+        |tot AS (SELECT sum(sd) AS td FROM w),
+        |thr AS (
+        |  SELECT lang,
+        |    CAST(floor(least(CAST(1.0 AS DOUBLE),
+        |      (250 * (CAST(sd AS DOUBLE) / CAST(td AS DOUBLE)))
+        |        / CAST(n AS DOUBLE)) * 4294967296) AS BIGINT) AS thr
+        |  FROM w, tot)
+        |SELECT p.doc_id, p.lang
+        |FROM p JOIN thr ON p.lang = thr.lang
+        |WHERE ((p.doc_id % 2147483648) * 2654435761) % 4294967296 < thr.thr
+        |ORDER BY p.doc_id""".stripMargin,
     // the trained prediction replayed (the skewed arm lattice), then
     // doc_temperature_mix's EXACT threshold arithmetic over it: sqrt
     // quantized to DECIMAL(28,10), double ops in the same sequence,
@@ -10023,6 +10150,18 @@ object SparkEntry {
     // codebook index) + exact float re-rank ⇒ the exact float top-5,
     // the sq8_refined contract verbatim
     "emb_topk_pq_refined" ->
+      """SELECT query_id, vec_id, rank FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(c.embedding, q.embedding) DESC,
+        |               c.vec_id) AS rank
+        |  FROM embeddings c
+        |  CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q) t
+        |WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+    // residual IVF-PQ: the q·w_list + ADC(residual) decomposition is
+    // exact-invariant under the refined contract — same oracle
+    "emb_topk_ivfpq_res" ->
       """SELECT query_id, vec_id, rank FROM (
         |  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
         |    row_number() OVER (PARTITION BY q.vec_id

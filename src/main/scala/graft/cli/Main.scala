@@ -405,9 +405,12 @@ object Main {
       val ksub = rest.drop(2).headOption.map(_.toInt).getOrElse(256)
       val storeRaw = rest.drop(3).headOption.exists(_.toBoolean)
       val rotate = rest.drop(4).headOption.contains("rotate")
+      val residual = rest.drop(4).headOption.contains("residual") ||
+        rest.drop(5).headOption.contains("residual")
       val spark = session()
       graft.index.Pq.ivfPqBuild(spark.read.parquet(vecs), idx, nlist,
-        m, ksub, storeRaw = storeRaw, rotate = rotate)
+        m, ksub, storeRaw = storeRaw, rotate = rotate,
+        residual = residual)
       val n = spark.read.parquet(s"$idx/codes").count()
       println(s"ivfpq-build: $n $m-byte code rows over $nlist lists " +
         s"(ksub=$ksub, raw=$storeRaw) -> $idx")
@@ -1513,7 +1516,7 @@ object Main {
           |  pq-search        <indexPath> <vecsParquet> <outParquet> [k] [corpusParquetForExactRefine] [candidateK]
           |  pq-delete        <indexPath> <idsParquet>
           |  pq-compact       <indexPath>
-          |  ivfpq-build      <vecsParquet> <indexPath> [nlist] [m] [ksub] [storeRaw] [rotate]
+          |  ivfpq-build      <vecsParquet> <indexPath> [nlist] [m] [ksub] [storeRaw] [rotate|residual]
           |  ivfpq-append     <vecsParquet> <indexPath>
           |  ivfpq-search     <indexPath> <vecsParquet> <outParquet> [k] [nprobe] [candidateK>0=refined]
           |  ivfsq8-refine-search <indexPath> <vecsParquet> [k] [candidateK] [nprobe]

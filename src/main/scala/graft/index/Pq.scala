@@ -143,7 +143,9 @@ object Pq {
     * → same count → same fraction → same sample). */
   private def fitCodebooks(corpus: DataFrame, vecCol: String, m: Int,
                            ksub: Int, maxFitRows: Long, dim: Int,
-                           rot: Array[Array[Double]] = null)
+                           rot: Array[Array[Double]] = null,
+                           residCenters: Array[Array[Double]] = null,
+                           residAnchors: Array[Array[Double]] = null)
       : Array[Array[Array[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.{Vectors => MLVectors}
@@ -164,7 +166,19 @@ object Pq {
             val u0 = normalize(v)
             if (u0 == null || u0.length != dim) null
             else {
-              val u = applyRotation(rot, u0)
+              val u1 =
+                if (residCenters == null) u0
+                else {
+                  // residual training: subtract the training row's own
+                  // nearest list's anchor (assignment parity with the
+                  // encode path is immaterial for a training DISTRIBUTION)
+                  val anchor = residAnchors(nearestList(v, residCenters))
+                  val r = new Array[Double](dim)
+                  var i = 0
+                  while (i < dim) { r(i) = u0(i) - anchor(i); i += 1 }
+                  r
+                }
+              val u = applyRotation(rot, u1)
               val dsub = dim / m
               MLVectors.dense(java.util.Arrays.copyOfRange(
                 u, j * dsub, (j + 1) * dsub))
@@ -272,10 +286,120 @@ object Pq {
       }
     }
 
-  private def readMeta(spark: SparkSession, path: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$path/meta").head()
-    (r.getInt(0), r.getInt(1), r.getInt(2))
+  /** (m, ksub, dim, residual) — `residual` reads by NAME with a false
+    * default, so flat-PQ and pre-r17 IVF-PQ metas (3 columns) parse
+    * unchanged. */
+  private def readMeta(spark: SparkSession, path: String)
+      : (Int, Int, Int, Boolean) = {
+    val df = spark.read.parquet(s"$path/meta")
+    val r = df.head()
+    val res = df.columns.contains("residual") &&
+      r.getAs[Int]("residual") == 1
+    (r.getAs[Int]("m"), r.getAs[Int]("ksub"), r.getAs[Int]("dim"), res)
   }
+
+  /** Unit-normalized coarse centroids — the u-space anchors residual
+    * encoding subtracts. A zero-norm centroid (degenerate fit) anchors
+    * at the origin: its list's residuals are the vectors themselves. */
+  private def normCenters(centers: Array[Array[Double]])
+      : Array[Array[Double]] = centers.map { c =>
+    var ss = 0.0
+    var i = 0
+    while (i < c.length) { ss += c(i) * c(i); i += 1 }
+    if (ss == 0.0) new Array[Double](c.length)
+    else {
+      val inv = 1.0 / math.sqrt(ss)
+      c.map(_ * inv)
+    }
+  }
+
+  /** Nearest coarse list by squared distance on the RAW float vector —
+    * the training-side twin of SimilarityIndex.assignUdf (encode paths
+    * take the assigned list as an ARGUMENT instead, so stored codes can
+    * never disagree with their partition). */
+  private def nearestList(v: Seq[Float],
+                          centers: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < centers.length) {
+      val c = centers(j)
+      var s = 0.0
+      var i = 0
+      val n = math.min(v.length, c.length)
+      while (i < n) { val d = v(i) - c(i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = j }
+      j += 1
+    }
+    best
+  }
+
+  /** The nearest-centroid encode core over an (already normalized,
+    * rotated, residualized) double vector. */
+  private def encodeVec(books: Array[Array[Array[Double]]],
+                        u: Array[Double]): Array[Byte] = {
+    val m = books.length
+    val dsub = u.length / m
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val cb = books(j)
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < cb.length) {
+        val cent = cb(c)
+        var s = 0.0
+        var i = 0
+        while (i < dsub) {
+          val d = u(j * dsub + i) - cent(i)
+          s += d * d
+          i += 1
+        }
+        if (s < bestD) { bestD = s; best = c }
+        c += 1
+      }
+      out(j) = best.toByte
+      j += 1
+    }
+    out
+  }
+
+  /** Residual encode: the row's assigned list rides in as an argument
+    * (from the same assignUdf that partitions it — codes and
+    * partitions can never disagree); the normalized vector minus the
+    * list's unit-normalized centroid encodes against the residual
+    * codebooks. */
+  private def encodeResidualUdf(books: Array[Array[Array[Double]]],
+                                dim: Int,
+                                w: Array[Array[Double]]) =
+    udf { (v: Seq[Float], list: Int) =>
+      val u0 = normalize(v)
+      if (u0 == null || u0.length != dim) null
+      else {
+        val anchor = w(list)
+        val r = new Array[Double](dim)
+        var i = 0
+        while (i < dim) { r(i) = u0(i) - anchor(i); i += 1 }
+        encodeVec(books, r)
+      }
+    }
+
+  /** Per-(query, probed-list) residual base term: score = q·u =
+    * q·w_list + q·(u − w_list), and the second term is the ADC sum —
+    * this udf is the first. */
+  private def qBaseUdf(w: Array[Array[Double]], dim: Int) =
+    udf { (v: Seq[Float], list: Int) =>
+      val u = normalize(v)
+      if (u == null || u.length != dim) None
+      else {
+        val anchor = w(list)
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += u(i) * anchor(i); i += 1 }
+        Some(s)
+      }
+    }
 
   /** Codebooks may be RAGGED: k-means returns fewer than `ksub` centers
     * when the (sampled) training set is smaller — codes are dense
@@ -382,7 +506,7 @@ object Pq {
   def pqAppendAt(spark: SparkSession, path: String, newDf: DataFrame,
                  installment: Int, corpusId: String = "vec_id",
                  corpusVec: String = "embedding"): Unit = {
-    val (m, ksub, dim) = readMeta(spark, path)
+    val (m, ksub, dim, _) = readMeta(spark, path)
     val books = readCodebooks(spark, path, m, ksub)
     val rot = readRotation(spark, path, dim)
     newDf.select(col(corpusId),
@@ -401,7 +525,7 @@ object Pq {
                k: Int, corpusId: String = "vec_id",
                queryId: String = "query_id", queryVec: String = "query_vec",
                asOfInstallment: Int = Int.MaxValue): DataFrame = {
-    val (m, ksub, dim) = readMeta(spark, path)
+    val (m, ksub, dim, _) = readMeta(spark, path)
     val books = readCodebooks(spark, path, m, ksub)
     val rot = readRotation(spark, path, dim)
     val codes0 = spark.read.parquet(s"$path/codes")
@@ -516,9 +640,15 @@ object Pq {
                  m: Int = 8, ksub: Int = 256,
                  corpusId: String = "vec_id", corpusVec: String = "embedding",
                  maxFitRows: Long = 0L, storeRaw: Boolean = false,
-                 rotate: Boolean = false): Unit = {
+                 rotate: Boolean = false,
+                 residual: Boolean = false): Unit = {
     require(m >= 1 && ksub >= 1 && ksub <= 256,
       s"need 1 <= ksub <= 256 (one byte per subspace), got m=$m ksub=$ksub")
+    require(!(rotate && residual),
+      "rotate and residual do not compose here: the rotation is defined " +
+        "on the vector space, the residual codebooks on anchor offsets — " +
+        "pick one tier (FAISS's OPQ+residual needs rotated coarse " +
+        "centroids, a different layout)")
     val spark = corpus.sparkSession
     import spark.implicits._
     val dim = corpus.select(col(corpusVec)).filter(col(corpusVec).isNotNull)
@@ -555,11 +685,27 @@ object Pq {
     val coarseF = Future {
       SimilarityIndex.fitCentroids(corpus, corpusVec, nlist, coarseFrac)
     }
-    val booksF = Future {
-      fitCodebooks(corpus, corpusVec, m, ksub, fitRows, dim, rot)
-    }
-    val centers = Await.result(coarseF, Duration.Inf)
-    val books = Await.result(booksF, Duration.Inf)
+    def fitBooks(rc: Array[Array[Double]],
+                 ra: Array[Array[Double]]): Array[Array[Array[Double]]] =
+      fitCodebooks(corpus, corpusVec, m, ksub, fitRows, dim, rot, rc, ra)
+    // RESIDUAL mode (r17 — FAISS's `by_residual` default): the PQ
+    // codebooks train on (normalized vector − the assigned list's
+    // unit-normalized centroid), so codes spend their 256 cells on the
+    // WITHIN-list offsets instead of the whole sphere — the recall
+    // lift that makes small-nprobe IVF-PQ usable. Scoring: q·u =
+    // q·w_list + q·residual; the first term is one scalar per
+    // (query, probed list), the second the usual ADC sum. The codebook
+    // fit must WAIT for the coarse centers in this mode (it trains on
+    // their residuals); non-residual keeps the concurrent fits.
+    val (centers, books) =
+      if (!residual) {
+        val booksF = Future { fitBooks(null, null) }
+        val c = Await.result(coarseF, Duration.Inf)
+        (c, Await.result(booksF, Duration.Inf))
+      } else {
+        val c = Await.result(coarseF, Duration.Inf)
+        (c, fitBooks(c, normCenters(c)))
+      }
     centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
       .toDF("list_id", "centroid")
       .repartition(1)
@@ -569,13 +715,18 @@ object Pq {
     }.toSeq.toDF("sub", "code", "centroid")
       .repartition(1)
       .write.mode("overwrite").parquet(s"$path/codebooks")
-    spark.createDataFrame(Seq((m, ksub, dim))).toDF("m", "ksub", "dim")
+    spark.createDataFrame(Seq((m, ksub, dim, if (residual) 1 else 0)))
+      .toDF("m", "ksub", "dim", "residual")
       .write.mode("overwrite").parquet(s"$path/meta")
     val assigned = corpus.select(col(corpusId),
       SimilarityIndex.assignUdf(centers)(col(corpusVec)).as("list_id"),
       col(corpusVec))
-    assigned.select(col(corpusId), col("list_id"),
-        encodeUdf(books, dim, rot)(col(corpusVec)).as("codes"))
+    val enc: org.apache.spark.sql.Column =
+      if (residual)
+        encodeResidualUdf(books, dim, normCenters(centers))(
+          col(corpusVec), col("list_id"))
+      else encodeUdf(books, dim, rot)(col(corpusVec))
+    assigned.select(col(corpusId), col("list_id"), enc.as("codes"))
       .filter(col("codes").isNotNull)
       .withColumn("ingest", lit(0))
       .write.mode("overwrite").partitionBy("list_id", "ingest")
@@ -584,7 +735,7 @@ object Pq {
     // assignment, so the exact re-rank reads only probed lists (the
     // ivfSq8 raw/ contract — lockstep through append and compact)
     if (storeRaw)
-      assigned.filter(encodeUdf(books, dim, rot)(col(corpusVec)).isNotNull)
+      assigned.filter(enc.isNotNull)
         .withColumn("ingest", lit(0))
         .write.mode("overwrite").partitionBy("list_id", "ingest")
         .parquet(s"$path/raw")
@@ -608,16 +759,20 @@ object Pq {
   def ivfPqAppendAt(spark: SparkSession, path: String, newDf: DataFrame,
                     ingest: Int, corpusId: String = "vec_id",
                     corpusVec: String = "embedding"): Unit = {
-    val (m, ksub, dim) = readMeta(spark, path)
+    val (m, ksub, dim, residual) = readMeta(spark, path)
     val books = readCodebooks(spark, path, m, ksub)
     val rot = readRotation(spark, path, dim)
     val centers = SimilarityIndex.readCentroids(spark, path)
     val assigned = newDf.select(col(corpusId),
       SimilarityIndex.assignUdf(centers)(col(corpusVec)).as("list_id"),
       col(corpusVec))
-    val enc = encodeUdf(books, dim, rot)
+    val enc: org.apache.spark.sql.Column =
+      if (residual)
+        encodeResidualUdf(books, dim, normCenters(centers))(
+          col(corpusVec), col("list_id"))
+      else encodeUdf(books, dim, rot)(col(corpusVec))
     assigned.select(col(corpusId), col("list_id"),
-        enc(col(corpusVec)).as("codes"))
+        enc.as("codes"))
       .filter(col("codes").isNotNull)
       .withColumn("ingest", lit(ingest))
       .write.mode("overwrite")
@@ -625,7 +780,7 @@ object Pq {
       .partitionBy("list_id", "ingest")
       .parquet(s"$path/codes")
     if (Quantize.dirExists(spark, s"$path/raw"))
-      assigned.filter(enc(col(corpusVec)).isNotNull)
+      assigned.filter(enc.isNotNull)
         .withColumn("ingest", lit(ingest))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -641,7 +796,7 @@ object Pq {
                   queryId: String = "query_id",
                   queryVec: String = "query_vec"): DataFrame = {
     import spark.implicits._
-    val (m, ksub, dim) = readMeta(spark, path)
+    val (m, ksub, dim, residual) = readMeta(spark, path)
     val books = readCodebooks(spark, path, m, ksub)
     val rot = readRotation(spark, path, dim)
     val centers = SimilarityIndex.readCentroids(spark, path)
@@ -649,9 +804,16 @@ object Pq {
       explode(SimilarityIndex.probeUdf(centers, nprobe)(col(queryVec))))
     val probedLists = qProbed.select("list_id").distinct().as[Int].collect()
       .map(_.asInstanceOf[Any])
+    // residual base: q·u = q·w_list + ADC(residual) — one scalar per
+    // (query, probed list), riding the same broadcast row as the table
+    val qb: org.apache.spark.sql.Column =
+      if (residual)
+        qBaseUdf(normCenters(centers), dim)(col(queryVec), col("list_id"))
+      else lit(0.0)
     val q = qProbed
       .select(col(queryId), col("list_id"),
-        tableUdf(books, ksub, dim, rot)(col(queryVec)).as("_qt"))
+        tableUdf(books, ksub, dim, rot)(col(queryVec)).as("_qt"),
+        qb.as("_qb"))
       .filter(col("_qt").isNotNull)
     val c = graft.store.Tombstones.filter(spark, path,
         spark.read.parquet(s"$path/codes")
@@ -660,7 +822,7 @@ object Pq {
       .select(col(corpusId), col("list_id"), col("codes"))
     val scored = c.join(broadcast(q), Seq("list_id"))
       .withColumn("score_pq",
-        adcScoreUdf(col("codes"), col("_qt"), lit(ksub)))
+        adcScoreUdf(col("codes"), col("_qt"), lit(ksub)) + col("_qb"))
       .select(col(queryId), col(corpusId), col("score_pq"))
     TopK.topKPerGroup(scored, queryId, corpusId, "score_pq", k)
   }
@@ -689,7 +851,7 @@ object Pq {
       s"$path has no raw/ refine sidecar — build with storeRaw = true " +
         "to enable refined search")
     import spark.implicits._
-    val (m, ksub, dim) = readMeta(spark, path)
+    val (m, ksub, dim, residual) = readMeta(spark, path)
     val books = readCodebooks(spark, path, m, ksub)
     val rot = readRotation(spark, path, dim)
     val centers = SimilarityIndex.readCentroids(spark, path)
@@ -697,9 +859,14 @@ object Pq {
       explode(SimilarityIndex.probeUdf(centers, nprobe)(col(queryVec))))
     val probedLists = qProbed.select("list_id").distinct().as[Int].collect()
       .map(_.asInstanceOf[Any])
+    val qb: org.apache.spark.sql.Column =
+      if (residual)
+        qBaseUdf(normCenters(centers), dim)(col(queryVec), col("list_id"))
+      else lit(0.0)
     val q = qProbed
       .select(col(queryId), col("list_id"),
-        tableUdf(books, ksub, dim, rot)(col(queryVec)).as("_qt"))
+        tableUdf(books, ksub, dim, rot)(col(queryVec)).as("_qt"),
+        qb.as("_qb"))
       .filter(col("_qt").isNotNull)
     val c = graft.store.Tombstones.filter(spark, path,
         spark.read.parquet(s"$path/codes")
@@ -707,7 +874,8 @@ object Pq {
         corpusId)
       .select(col(corpusId), col("list_id"), col("codes"))
     val scored = c.join(broadcast(q), Seq("list_id"))
-      .withColumn("_spq", adcScoreUdf(col("codes"), col("_qt"), lit(ksub)))
+      .withColumn("_spq",
+        adcScoreUdf(col("codes"), col("_qt"), lit(ksub)) + col("_qb"))
       .select(col(queryId), col(corpusId), col("_spq"))
     val pool = TopK.topKPerGroup(scored, queryId, corpusId, "_spq",
         candidateK)

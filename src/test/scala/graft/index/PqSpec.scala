@@ -314,6 +314,66 @@ class PqSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$pathA/raw").count() === embs.count())
   }
 
+  test("IVF-PQ residual mode: refined exactness, routed self-recall, append parity, flag guards (r17)") {
+    val path = tmpIdx("ivfpq_res")
+    Pq.ivfPqBuild(embs, path, nlist = 8, m = 16, ksub = 64,
+      storeRaw = true, residual = true)
+    // the flag persists in meta (4th column; older metas read false)
+    assert(spark.read.parquet(s"$path/meta").columns.contains("residual"))
+    val q = queries()
+    // full probe + covering pool: refined == exact brute force — the
+    // residual decomposition q·u = q·w_list + ADC(residual) must not
+    // disturb the pool's coverage of the true top-k
+    val full = Pq.ivfPqSearchRefined(spark, path, q, k = 5,
+        candidateK = 600, nprobe = 8)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val exact = SimilarityIndex.bruteForceTopK(embs, q, k = 5)
+      .select($"query_id", $"vec_id", $"rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(full === exact)
+    // routed: self probes its own list, probed-lists-covering pool
+    val top1 = Pq.ivfPqSearchRefined(spark, path, q, k = 1,
+        candidateK = 600, nprobe = 2)
+      .filter($"rank" === 1)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect()
+    assert(top1.length === 8)
+    assert(top1.forall(r => r._1 === r._2), s"self not top-1: ${top1.toSeq}")
+    // unrefined residual ADC: ranking stays sane (the recall floor)
+    val approx = Pq.ivfPqSearch(spark, path, q, k = 5, nprobe = 8)
+      .withColumnRenamed("score_pq", "cosine")
+    val report = SimilarityIndex.approxRecallReport(approx,
+        SimilarityIndex.bruteForceTopK(embs, q, k = 5), recallFloor = 1)
+      .as[(Long, Long, Boolean)].collect()
+    assert(report.forall(_._3), s"residual ADC recall: ${report.toSeq}")
+    // append encodes with the STORED residual anchors == one-shot
+    val pathA = tmpIdx("ivfpq_res_app")
+    val pathB = tmpIdx("ivfpq_res_one")
+    val evens = embs.filter($"vec_id" % 2 === 0)
+    Pq.ivfPqBuild(evens, pathA, nlist = 8, m = 16, ksub = 64,
+      residual = true)
+    Pq.ivfPqAppend(spark, pathA, embs.filter($"vec_id" % 2 === 1))
+    Pq.ivfPqBuild(evens, pathB, nlist = 8, m = 16, ksub = 64,
+      residual = true)
+    Pq.ivfPqAppendAt(spark, pathB, embs, ingest = 1)
+    def codesOf(df: org.apache.spark.sql.DataFrame) = df
+      .select($"vec_id", $"list_id", $"codes")
+      .as[(Long, Int, Array[Byte])].collect()
+      .map(r => r._1 -> ((r._2, r._3.toSeq))).toMap
+    val a = codesOf(spark.read.parquet(s"$pathA/codes"))
+    val b = codesOf(spark.read.parquet(s"$pathB/codes")
+      .filter($"ingest" === 1))
+    embs.filter($"vec_id" % 2 === 1).select($"vec_id").as[Long].collect()
+      .foreach { id =>
+        assert(a(id) === b(id), s"vec $id residual codes differ")
+      }
+    // rotate+residual is an explicit non-composition
+    intercept[IllegalArgumentException] {
+      Pq.ivfPqBuild(embs.limit(50), tmpIdx("rotres"), nlist = 4, m = 8,
+        ksub = 16, rotate = true, residual = true)
+    }
+  }
+
   test("IVF-PQ: tombstones drop from probe and re-rank; compact folds codes AND raw") {
     val path = tmpIdx("ivfpq_del")
     Pq.ivfPqBuild(embs, path, nlist = 8, m = 16, ksub = 64, storeRaw = true)

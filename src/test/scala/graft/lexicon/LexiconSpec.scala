@@ -121,8 +121,9 @@ class LexiconSpec extends SparkTestBase {
       "emb_topk_int8_refined",
       // the PQ ADC scan is the same deliberate flat scorer (m table
       // lookups per stored row, queries+tables broadcast) feeding the
-      // exact re-rank's equi-join
-      "emb_topk_pq_refined", "emb_pq_tombstone",
+      // exact re-rank's equi-join; the rotated build shares it (the
+      // IVF-PQ siblings join on list_id — equi — and stay linted)
+      "emb_topk_pq_refined", "emb_pq_tombstone", "emb_topk_pq_rot",
       // cluster assignment broadcast-cross-scores the tiny SEED set
       // against the corpus by design (nearest-seed argmax; corpus side
       // never shuffles vectors)
