@@ -4310,6 +4310,40 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // CLIP-style pair filtering (r17 — LAION step 3, closing the
+    // harvest → fetch → FILTER chain): every page carries one image
+    // pair; the image and caption embeddings come from the embeddings
+    // table by doc_id arithmetic (img vec = id%500, text vec =
+    // (7·id+3)%500 — SF-stable keys), and pairEmbeddingFilter keeps
+    // pairs whose cosine crosses τ=0.05. The kept set is
+    // data-dependent (near-random embeddings straddle the threshold
+    // both ways), the score emits through the DECIMAL(18,6)→DOUBLE
+    // harness-proof rounding, and the oracle replays the joins + the
+    // τ comparison with DuckDB's own cosine.
+    "crawl_pair_clip" -> ((s, dir) => {
+      val id = col("doc_id")
+      val pairs = tbl(s, dir, "documents").select(
+        concat(lit("https://h"), id % 7, lit(".example/pg/"), id)
+          .as("url"),
+        concat(lit("https://img.example/i/"), id % 500).as("img_url"),
+        concat(lit("alt "), id % 3).as("alt"),
+        (id % 500).as("_iv_key"), ((id * 7 + 3) % 500).as("_tv_key"))
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val kept = graft.pipeline.Crawl.pairEmbeddingFilter(
+        pairs.drop("_iv_key", "_tv_key"),
+        pairs.select(col("img_url"), col("_iv_key")).distinct()
+          .join(e, col("_iv_key") === col("vec_id"))
+          .select(col("img_url"), col("embedding")),
+        pairs.select(col("url"), col("_tv_key"))
+          .join(e, col("_tv_key") === col("vec_id"))
+          .select(col("url"), col("embedding")),
+        threshold = 0.05)
+      kept.select(col("url"), col("img_url"), col("alt"),
+          col("clip_score").cast("decimal(18,6)").cast("double")
+            .as("clip_score"))
+        .orderBy("url")
+    }),
+
     // Within-host error templates / soft-404s (r15): each host h{k}
     // serves a "not found" template at every id%5==0 url (over the
     // minUrls=10 threshold at sf0.01 — flagged) and a small recurring
@@ -9016,6 +9050,33 @@ object SparkEntry {
         |  CASE WHEN doc_id % 3 <> 0
         |    THEN 'C ' || CAST(doc_id % 4 AS VARCHAR) END AS caption
         |FROM documents WHERE doc_id % 5 <> 0 ORDER BY url""".stripMargin,
+    // the CLIP gate replayed: the same arithmetic joins + the τ
+    // comparison on DuckDB's cosine over DOUBLE[] lists — on raw
+    // FLOAT[] DuckDB computes in float32 and ~1e-7 noise flips 6dp
+    // roundings (caught at sf0.01); the engine side accumulates in
+    // double, so the oracle must too (margins >> double-ulp then; the
+    // emitted score rounds through DECIMAL(18,6) to DOUBLE)
+    "crawl_pair_clip" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/pg/' || CAST(doc_id AS VARCHAR) AS url,
+        |    'https://img.example/i/' ||
+        |      CAST(doc_id % 500 AS VARCHAR) AS img_url,
+        |    'alt ' || CAST(doc_id % 3 AS VARCHAR) AS alt,
+        |    doc_id % 500 AS iv, (doc_id * 7 + 3) % 500 AS tv
+        |  FROM documents),
+        |scored AS (
+        |  SELECT p.url, p.img_url, p.alt,
+        |    list_cosine_similarity(ei.embedding::DOUBLE[],
+        |      et.embedding::DOUBLE[]) AS c
+        |  FROM p
+        |  JOIN embeddings ei ON p.iv = ei.vec_id
+        |  JOIN embeddings et ON p.tv = et.vec_id)
+        |SELECT url, img_url, alt,
+        |  CAST(CAST(c AS DECIMAL(18,6)) AS DOUBLE) AS clip_score
+        |FROM scored WHERE c >= 0.05
+        |ORDER BY url""".stripMargin,
     // the fetch loop replayed: refs per (host k, image j) over the
     // unblocked (j<4) not-yet-fetched (j>0) images, per-host rounds by
     // (n_refs desc, url asc), dims from the same (k, j) arithmetic the

@@ -866,6 +866,41 @@ object Crawl {
       Seq("img_url"))
   }
 
+  /** CLIP-style pair filtering (r17) — LAION step 3: once the fetched
+    * images and the captions have embeddings (any bi-encoder; the
+    * embedding computation itself is external to this engine), keep
+    * only the pairs whose image–text cosine crosses `threshold` — the
+    * filter that turns a raw crawl harvest into a training set. Joins
+    * are url-keyed equi-joins (pairs ⋈ imgEmb on img_url, ⋈ txtEmb on
+    * the page url) — both embedding sides may be corpus-sized, so
+    * nothing is forced broadcast; AQE picks SMJ at scale. The score
+    * rides out as `clip_score` (exact cosine via the codegen'd
+    * [[graft.functions.expressions.CosineSimilarity]] kernel); rows
+    * whose either embedding is missing or zero-norm drop (no cosine —
+    * the vector family rule). */
+  def pairEmbeddingFilter(pairs: DataFrame, imgEmb: DataFrame,
+                          txtEmb: DataFrame, threshold: Double,
+                          imgKey: String = "img_url",
+                          txtKey: String = "url",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(!pairs.columns.contains("_pef_iv") &&
+      !pairs.columns.contains("_pef_tv") &&
+      !pairs.columns.contains("clip_score"),
+      "columns _pef_iv/_pef_tv/clip_score are reserved by " +
+        "pairEmbeddingFilter")
+    val iv = imgEmb.select(col(imgKey).as("img_url"),
+      col(vecCol).as("_pef_iv"))
+    val tv = txtEmb.select(col(txtKey).as("url"),
+      col(vecCol).as("_pef_tv"))
+    pairs.join(iv, Seq("img_url"))
+      .join(tv, Seq("url"))
+      .withColumn("clip_score",
+        graft.functions.expressions.CosineSimilarity.cosineNative(
+          col("_pef_iv"), col("_pef_tv")))
+      .filter(col("clip_score") >= threshold)
+      .drop("_pef_iv", "_pef_tv")
+  }
+
   /** Authority-prioritized fetch ordering (r15): [[schedule]] plus a
     * CROSS-HOST priority — within-host politeness rounds say when a
     * host may be hit again, but say nothing about which host to spend

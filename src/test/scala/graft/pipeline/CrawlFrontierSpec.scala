@@ -903,6 +903,36 @@ class CrawlFrontierSpec extends SparkTestBase {
       base.resolve("nowhere").toString).count() === 0L)
   }
 
+  test("pairEmbeddingFilter: cosine gate, missing/zero-norm drop, guards (r17)") {
+    val pairs = Seq(
+      ("https://p/1", "https://i/a", "x"),
+      ("https://p/1", "https://i/b", "y"), // opposite-direction img
+      ("https://p/2", "https://i/a", "z"), // no text embedding
+      ("https://p/3", "https://i/z", "w"), // zero-norm img embedding
+      ("https://p/4", "https://i/none", "v")) // no img embedding
+      .toDF("url", "img_url", "alt")
+    val v1 = Array(1f, 0f, 0f, 0f)
+    val vNeg = Array(-1f, 0f, 0f, 0f)
+    val imgEmb = Seq(("https://i/a", v1), ("https://i/b", vNeg),
+      ("https://i/z", Array(0f, 0f, 0f, 0f)))
+      .toDF("img_url", "embedding")
+    val txtEmb = Seq(("https://p/1", v1), ("https://p/3", v1),
+      ("https://p/4", v1))
+      .toDF("url", "embedding")
+    val kept = Crawl.pairEmbeddingFilter(pairs, imgEmb, txtEmb,
+        threshold = 0.5)
+      .select($"url", $"img_url", $"alt", $"clip_score")
+      .as[(String, String, String, Double)].collect()
+    // only the aligned pair survives: the anti-aligned one scores -1,
+    // the missing/zero-norm rows have no cosine
+    assert(kept.toSeq === Seq(("https://p/1", "https://i/a", "x", 1.0)))
+    // reserved-column guard
+    intercept[IllegalArgumentException] {
+      Crawl.pairEmbeddingFilter(pairs.withColumn("clip_score", lit(1.0)),
+        imgEmb, txtEmb, 0.5)
+    }
+  }
+
   test("purgeUrls: takedown rewrites the ledgers; full purge reads as absence") {
     val base = java.nio.file.Files.createTempDirectory("crawl-purge")
     base.toFile.deleteOnExit()
