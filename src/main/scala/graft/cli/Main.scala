@@ -943,12 +943,23 @@ object Main {
     case "crawl-image-fetchlist" :: frontierDir :: out :: rest =>
       // the image FETCH frontier: distinct ledger img_urls + ref
       // counts, minus already-fetched, blocklist-gated when a domains
-      // parquet is given — feed the output to crawl-schedule
+      // parquet is given — feed the output to crawl-schedule. A
+      // buildFetchedBloom artifact path as the 2nd extra arg routes
+      // the fetched gate through the filter (crawl-age-proof; absent
+      // artifact falls back to the exact join with a notice)
       val spark = session()
-      val blocked = rest.headOption
+      val blocked = rest.headOption.filter(_ != "-")
         .map(p => spark.read.parquet(p))
         .orNull
-      graft.pipeline.Crawl.imageFetchList(spark, frontierDir, blocked)
+      val art = rest.drop(1).headOption.flatMap { bp =>
+        val a = graft.pipeline.Crawl.loadFetchedBloomArtifact(spark, bp)
+        if (a.isEmpty)
+          println(s"crawl-image-fetchlist: no bloom artifact at $bp " +
+            "- using the exact fetched join")
+        a
+      }.orNull
+      graft.pipeline.Crawl.imageFetchList(spark, frontierDir, blocked,
+          bloomArtifact = art)
         .write.mode("overwrite").parquet(out)
       val n = spark.read.parquet(out).count()
       println(s"crawl-image-fetchlist: $n image urls to fetch -> $out")
@@ -1494,7 +1505,7 @@ object Main {
           |  crawl-host-edges <frontierDir> <outParquet>
           |  crawl-compact-edges <frontierDir>
           |  crawl-images     <frontierDir> <outParquet>
-          |  crawl-image-fetchlist <frontierDir> <outParquet> [blockedDomainsParquet]
+          |  crawl-image-fetchlist <frontierDir> <outParquet> [blockedDomainsParquet|-] [bloomPath]
           |  crawl-compact-images <frontierDir>
           |  crawl-feed-seeds <feedsParquet> <crawledParquet|-> <outParquet>
           |  crawl-sitemap-seeds <sitemapsParquet> <crawledParquet|-> <outParquet> [lastmod]

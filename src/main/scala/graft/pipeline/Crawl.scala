@@ -824,11 +824,24 @@ object Crawl {
     * [[schedule]]/[[scheduleRanked]] for per-host politeness — the
     * machinery serves img urls unchanged. Scale shape: one
     * pairs-ledger-sized aggregate + the ledger anti-join; nothing
-    * corpus-sized broadcasts. */
+    * corpus-sized broadcasts.
+    *
+    * `bloomArtifact` (r17) is the crawl-age escape hatch the page
+    * frontier already has: with a [[buildFetchedBloom]] artifact, the
+    * fetched ledger never shuffles — bloom-negative urls only
+    * anti-join the post-`coversBelow` TRICKLE partitions (so a url
+    * fetched AFTER the bloom build still gates — a stale artifact
+    * stays CORRECT, just less selective), and the ~fpp positives
+    * rescue exactly with the ledger streaming map-side against the
+    * broadcast maybe-set. A fetched-only artifact is optimal here; a
+    * next-covering one stays correct (img urls that also appear as
+    * emitted page links rescue to "not fetched" and are kept). */
   def imageFetchList(spark: SparkSession, frontierDir: String,
                      blockedDomains: DataFrame = null,
                      robotsRules: DataFrame = null,
-                     agentToken: String = "graftbot"): DataFrame = {
+                     agentToken: String = "graftbot",
+                     bloomArtifact: FetchedBloomArtifact = null)
+      : DataFrame = {
     val wanted = imagePairsLedger(spark, frontierDir)
       .groupBy(col("img_url"))
       .agg(countDistinct(col("url")).as("n_refs"))
@@ -836,9 +849,30 @@ object Crawl {
     val fetchedPath = s"$frontierDir/fetched"
     val unfetched =
       if (!hasCommittedData(spark, fetchedPath)) wanted
-      else wanted.join(
-        spark.read.parquet(fetchedPath).select(col("url")),
-        Seq("url"), "left_anti")
+      else {
+        val fetchedDf = spark.read.parquet(fetchedPath)
+        if (bloomArtifact == null)
+          wanted.join(fetchedDf.select(col("url")), Seq("url"), "left_anti")
+        else {
+          val bc = spark.sparkContext.broadcast(bloomArtifact.bloom)
+          val might =
+            udf { (u: String) => u != null && bc.value.mightContain(u) }
+          val miss = wanted.filter(!might(col("url")))
+          val maybe = wanted.filter(might(col("url")))
+          // the bloom covers batches < coversBelow; the later trickle
+          // is read exactly (partition-pruned on batch)
+          val trickle = fetchedDf
+            .filter(col("batch") >= bloomArtifact.coversBelow)
+            .select(col("url"))
+          val missKept = miss.join(trickle, Seq("url"), "left_anti")
+          val confirmed = fetchedDf.select(col("url"))
+            .join(broadcast(maybe.select(col("url")).distinct()),
+              Seq("url"))
+            .distinct()
+          missKept.unionByName(
+            maybe.join(broadcast(confirmed), Seq("url"), "left_anti"))
+        }
+      }
     val unblocked =
       if (blockedDomains == null) unfetched
       else UrlFilter.dropBlockedUrls(unfetched, "url", blockedDomains,

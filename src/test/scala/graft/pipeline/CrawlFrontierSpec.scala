@@ -901,6 +901,34 @@ class CrawlFrontierSpec extends SparkTestBase {
     // absent ledger -> empty fetch list, not an error
     assert(Crawl.imageFetchList(spark,
       base.resolve("nowhere").toString).count() === 0L)
+
+    // ---- bloom routing (r17): output-identical, crawl-age-proof ----
+    val bloomPath = base.resolve("bf").toString
+    Crawl.buildFetchedBloom(spark, fDir, null, 100, 0.01, bloomPath,
+      includeNext = false)
+    val art = Crawl.loadFetchedBloomArtifact(spark, bloomPath).get
+    assert(!art.coversNext)
+    val routed = Crawl.imageFetchList(spark, fDir, bloomArtifact = art)
+      .as[(String, Long)].collect().toMap
+    assert(routed === all, s"bloom-routed fetch list diverged: $routed")
+    // a url fetched AFTER the bloom build lands in a trickle partition
+    // (batch >= coversBelow) — a STALE artifact must still gate it
+    Seq(("https://img.test/2", null.asInstanceOf[String], 1L, 0L))
+      .toDF("url", "content_md5", "n_obs", "n_changes")
+      .write.parquet(s"$fDir/fetched/batch=${art.coversBelow}")
+    val afterTrickle = Crawl.imageFetchList(spark, fDir,
+        bloomArtifact = art)
+      .select("url").as[String].collect().toSet
+    assert(!afterTrickle.contains("https://img.test/2"),
+      "a post-bloom fetch must gate through the trickle partitions")
+    assert(afterTrickle.contains("https://img.test/1"))
+    // forced false positive: plant a never-fetched url in the filter —
+    // the exact rescue must keep it in the fetch list
+    art.bloom.putString("https://img.test/1")
+    val rescued = Crawl.imageFetchList(spark, fDir, bloomArtifact = art)
+      .select("url").as[String].collect().toSet
+    assert(rescued.contains("https://img.test/1"),
+      "a bloom false positive must rescue via the exact join")
   }
 
   test("pairEmbeddingFilter: cosine gate, missing/zero-norm drop, guards (r17)") {
