@@ -781,17 +781,24 @@ object Main {
       // folded url bloom-positive — against one the exact join is
       // strictly better, so it is skipped with a notice, r15)
       val spark = session()
-      val bloom = rest.headOption.map { bp =>
+      val art = rest.headOption.flatMap { bp =>
         val a = graft.pipeline.Crawl.loadFetchedBloomArtifact(spark, bp)
           .getOrElse(sys.error(s"no bloom artifact at $bp"))
         if (a.coversNext) {
           println(s"crawl-compact-next: artifact at $bp covers next/ -- " +
             "every folded url is positive by construction; using the " +
             "exact join (build one with `fetched-only` to bloom-route)")
-          null
-        } else a.bloom
-      }.orNull
-      val kept = graft.pipeline.Crawl.compactNext(spark, frontierDir, bloom)
+          None
+        } else Some(a)
+      }
+      // the artifact form carries its coverage cutoff, so a filter
+      // built before the latest fetched batches stays CORRECT (the
+      // post-cutoff trickle is checked exactly)
+      val kept = art match {
+        case Some(a) =>
+          graft.pipeline.Crawl.compactNext(spark, frontierDir, a)
+        case None => graft.pipeline.Crawl.compactNext(spark, frontierDir)
+      }
       println(s"crawl-compact-next: folded into batch=$kept")
       spark.stop()
 

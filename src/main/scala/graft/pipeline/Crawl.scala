@@ -1533,7 +1533,35 @@ object Crawl {
     * otherwise the exact join is both safe and cheaper. */
   def compactNext(spark: SparkSession, frontierDir: String,
                   fetchedBloom: org.apache.spark.util.sketch.BloomFilter =
-                    null): Long = {
+                    null): Long =
+    // the bare-filter form has no recorded coverage — it trusts the
+    // caller to pass a FRESH filter (built after the last fetched
+    // batch); prefer the artifact overload, whose coverage makes a
+    // stale filter safe
+    compactNextImpl(spark, frontierDir, fetchedBloom, Long.MaxValue)
+
+  /** [[compactNext]] through a [[buildFetchedBloom]] ARTIFACT (r17):
+    * the recorded `coversBelow` closes the stale-filter hole — a url
+    * fetched AFTER the artifact was built is bloom-negative, and the
+    * bare-filter form would keep its frontier row (a guaranteed
+    * double-fetch); here the bloom-negative set still anti-joins the
+    * post-coverage TRICKLE partitions (partition-pruned on batch), so
+    * any artifact built since the previous compaction is correct.
+    * Refuses next-covering artifacts outright (every folded url is
+    * positive against one — route those callers to the exact form). */
+  def compactNext(spark: SparkSession, frontierDir: String,
+                  artifact: FetchedBloomArtifact): Long = {
+    require(!artifact.coversNext,
+      "compactNext: a next-covering artifact makes every folded url " +
+        "bloom-positive by construction — use fetchedOnlyBloom routing " +
+        "or the exact join")
+    compactNextImpl(spark, frontierDir, artifact.bloom,
+      artifact.coversBelow)
+  }
+
+  private def compactNextImpl(spark: SparkSession, frontierDir: String,
+                              fetchedBloom: org.apache.spark.util.sketch.BloomFilter,
+                              coversBelow: Long): Long = {
     import org.apache.hadoop.fs.Path
     val next = new Path(s"$frontierDir/next")
     val fs = next.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1551,17 +1579,26 @@ object Crawl {
     val folded =
       if (!hasCommittedData(spark, fetched.toString)) folded0
       else {
-        val fetchedDf = spark.read.parquet(fetched.toString).select("url")
+        val fetchedAll = spark.read.parquet(fetched.toString)
+        val fetchedDf = fetchedAll.select("url")
         if (fetchedBloom == null)
           folded0.join(fetchedDf, Seq("url"), "left_anti")
         else {
-          // bloom routing: misses are DEFINITELY unfetched; the maybe
-          // trickle rescues exactly with the fetched side streaming
-          // map-side through a broadcast join (never shuffled)
+          // bloom routing: misses are DEFINITELY unfetched below the
+          // coverage cutoff — they still check the post-cutoff trickle
+          // exactly (partition-pruned; empty at Long.MaxValue, the
+          // bare-filter form); the maybes rescue exactly with the
+          // fetched side streaming map-side through a broadcast join
+          // (never shuffled)
           val bc = spark.sparkContext.broadcast(fetchedBloom)
           val might =
             udf { (u: String) => u != null && bc.value.mightContain(u) }
-          val miss = folded0.filter(!might(col("url")))
+          val miss0 = folded0.filter(!might(col("url")))
+          val miss =
+            if (coversBelow == Long.MaxValue) miss0
+            else miss0.join(
+              fetchedAll.filter(col("batch") >= coversBelow).select("url"),
+              Seq("url"), "left_anti")
           val maybe = folded0.filter(might(col("url")))
           val confirmed = fetchedDf
             .join(broadcast(maybe.select("url").distinct()), Seq("url"))

@@ -1106,6 +1106,33 @@ class CrawlFrontierSpec extends SparkTestBase {
     // absent dir -> -1
     assert(Crawl.compactNext(spark,
       d.resolve("nothing").toString) === -1L)
+    // STALE-artifact safety (r17): a url fetched AFTER the filter was
+    // built must still drop — the artifact's coverage cutoff sends the
+    // bloom-negative set through the post-cutoff trickle partitions
+    val d3 = java.nio.file.Files.createTempDirectory("crawl-next-stale")
+    d3.toFile.deleteOnExit()
+    val fDir3 = d3.resolve("frontier").toString
+    Seq(("https://n/a", 3L), ("https://n/c", 5L)).toDF("url", "n_refs")
+      .write.parquet(s"$fDir3/next/batch=0")
+    Seq("https://n/b").toDF("url")
+      .write.parquet(s"$fDir3/fetched/batch=1")
+    // filter built NOW covers batches < 2; then 'c' is fetched at 2
+    val staleBloom = spark.read.parquet(s"$fDir3/fetched")
+      .stat.bloomFilter("url", 1000L, 0.01)
+    Seq("https://n/c").toDF("url")
+      .write.parquet(s"$fDir3/fetched/batch=2")
+    assert(Crawl.compactNext(spark, fDir3,
+      Crawl.FetchedBloomArtifact(staleBloom, coversBelow = 2L,
+        coversNext = false)) === 0L)
+    val afterStale = spark.read.parquet(s"$fDir3/next")
+      .select("url").as[String].collect().toSet
+    assert(afterStale === Set("https://n/a"),
+      s"a post-build fetch must drop via the trickle: $afterStale")
+    // a next-covering artifact is refused outright
+    intercept[IllegalArgumentException] {
+      Crawl.compactNext(spark, fDir3,
+        Crawl.FetchedBloomArtifact(staleBloom, 2L, coversNext = true))
+    }
   }
 
   test("frontier gated by robots keeps only fetchable urls") {
