@@ -3815,6 +3815,123 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Media-enclosure harvest (r17 — the audio/video discovery
+    // channel, podcast-RSS shape): every doc is one feed carrying a
+    // per-doc episode enclosure (RSS attribute-order-scrambled form on
+    // evens; UPPERCASE single-quoted Atom rel=enclosure form on odds,
+    // gzipped), the shared trailer every feed cites (n_refs = corpus
+    // count; its date dialects MIX — the one early RFC 822 string must
+    // LOSE the recency fold to later RFC 3339 dates even though
+    // letters sort above digits), an entity-encoded query-string arm,
+    // a garbage length (nulls out), already-fetched old/ urls
+    // (anti-join), prologue enclosures and rel-less links (never
+    // count).
+    "crawl_feed_enclosures" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val feeds = docs.as[Long].map { id =>
+        val day = f"${1 + id % 28}%02d"
+        val ep = s"https://media.example/ep/$id.mp3?a=1&amp;b=${id % 3}"
+        val vid = s"https://media.example/vid/$id.mp4"
+        val old = s"https://media.example/old/${id % 10}.mp3"
+        val trailerDate =
+          if (id % 40 == 2) "Wed, 01 Jan 2020 00:00:00 GMT"
+          else s"2024-03-0${1 + id % 4}T00:00:00Z"
+        val extra =
+          if (id % 97 == 0 && id % 2 == 0)
+            s"""<item><enclosure url="https://media.example/x/$id.bin" length="n/a" type="application/octet-stream"/></item>"""
+          else ""
+        val xml =
+          if (id % 2 == 0)
+            s"""<?xml version="1.0"?><rss version="2.0"><channel>
+               |<link>https://nw.example/</link>
+               |<enclosure url="https://nw.example/prologue.mp3" type="audio/mpeg"/>
+               |<item><link>https://nw.example/page/$id</link>
+               |<enclosure length="${1000 + id}" type="audio/mpeg" url="$ep"/>
+               |<pubDate>Mon, $day Jan 2024 10:00:00 GMT</pubDate></item>
+               |<item><enclosure url="$old" type="audio/mpeg"/></item>
+               |<item><enclosure url="https://media.example/trailer.mp3" type="audio/mpeg" length="777"/><pubDate>$trailerDate</pubDate></item>
+               |$extra
+               |</channel></rss>""".stripMargin
+          else
+            s"""<feed xmlns="http://www.w3.org/2005/Atom">
+               |<link rel="self" href="https://nw.example/feed.xml"/>
+               |<entry><link href="https://nw.example/page/$id"/>
+               |<LINK REL='enclosure' HREF='$vid' TYPE='video/mp4' LENGTH='${2000 + id}'/>
+               |<updated>2024-02-${day}T09:00:00Z</updated></entry>
+               |<entry><link rel="enclosure" href="$old" type="audio/mpeg"/></entry>
+               |<entry><link rel="enclosure" href="https://media.example/trailer.mp3" type="audio/mpeg" length="777"/><updated>$trailerDate</updated></entry>
+               |</feed>""".stripMargin
+        val bytes = xml.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val body =
+          if (id % 2 == 0) bytes
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            val g = new java.util.zip.GZIPOutputStream(bos)
+            g.write(bytes); g.finish()
+            bos.toByteArray
+          }
+        (id, body)
+      }.toDF("doc_id", "body")
+      val fetched = s.range(10).select(
+        concat(lit("https://media.example/old/"), col("id"), lit(".mp3"))
+          .as("url"))
+      graft.pipeline.Feeds.enclosureSeeds(feeds, fetched)
+        .orderBy("url")
+    }),
+
+    // The AUDIO fetch loop (r17 — the enclosure sibling of
+    // crawl_image_fetch, closing podcast-RSS discovery end-to-end):
+    // per-doc episode enclosures harvest into a fetch list
+    // (already-fetched old/ urls anti-join away), schedule paces the
+    // five media hosts, the scheduled urls come back as REAL 16-bit
+    // PCM WAVs whose samples derive from the url's own id arithmetic,
+    // and audioStats' exact integer triage (energy/peak/strict-
+    // alternation zero crossings through the REAL RIFF decode) joins
+    // back to the schedule. Any harvest/gating/scheduling/decode
+    // defect hash-mismatches.
+    "crawl_enclosure_fetch" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val feeds = docs.as[Long].map { id =>
+        val ep = s"https://m${id % 5}.example/ep/$id.wav"
+        val old = s"https://media.example/old/${id % 10}.wav"
+        val xml =
+          s"""<rss version="2.0"><channel>
+             |<item><enclosure url="$ep" type="audio/wav" length="${(64 + id % 32) * 2 + 44}"/></item>
+             |<item><enclosure url="$old" type="audio/wav"/></item>
+             |</channel></rss>""".stripMargin
+        (id, xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }.toDF("doc_id", "body")
+      val fetched = s.range(10).select(
+        concat(lit("https://media.example/old/"), col("id"), lit(".wav"))
+          .as("url"))
+      val list = graft.pipeline.Feeds.enclosureSeeds(feeds, fetched)
+      val sched = graft.pipeline.Crawl.schedule(
+        list.select(col("url"), col("n_refs")), maxRounds = 1 << 20)
+      val bodies = sched.select(col("url")).as[String].map { u =>
+        val id = u.substring(u.indexOf("/ep/") + 4, u.length - 4).toLong
+        val n = (64 + id % 32).toInt
+        val samples = Array.tabulate[Short](n) { i =>
+          ((((id * 31 + i * 7) % 256) - 128) << 8).toShort
+        }
+        (id, Multimodal.encodeWav(8000, samples))
+      }.toDF("id", "payload")
+      val stats = Multimodal.audioStats(
+        bodies.as[(Long, Array[Byte])].map { case (id, b) =>
+          Multimodal.MediaRow(id, b,
+            Multimodal.MediaMeta("audio", 0, 0, 0, 8000))
+        }).toDF()
+      stats
+        .withColumn("url", concat(lit("https://m"), col("id") % 5,
+          lit(".example/ep/"), col("id"), lit(".wav")))
+        .join(sched.select(col("url"), col("n_refs"), col("round")),
+          Seq("url"))
+        .select(col("url"), col("n_refs"), col("round"), col("n_samples"),
+          col("sum_sq_dev"), col("peak_dev"), col("zero_crossings"))
+        .orderBy("url")
+    }),
+
     // Sitemap-index routing (r15): a <sitemapindex> body's locs are
     // child SITEMAPS to fetch and re-parse, never page seeds — id%3==0
     // bodies are two-child indexes (a shared maps/{id%20} child whose
@@ -4344,6 +4461,83 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Perceptual pair dedup (r17 — LAION step 4, the mirror-collapse):
+    // every page cites the SAME image twice — once per mirror CDN, and
+    // the cdn-b copy is a CONTAINER SWAP (the BMP's pixels re-encoded
+    // P6, so byte-level and url-level dedup both miss it) — plus a
+    // corrupt .bin arm that must pass through untouched. The aHash,
+    // the hamming pair set (including any cross-m near-collisions the
+    // fixture happens to produce), the min-url cluster canonicals, the
+    // re-keying, and the exact fold all replay in SQL — the full
+    // media_phash_prune oracle machinery pointed at urls.
+    "crawl_image_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val page = concat(lit("https://h"), id % 7, lit(".example/pg/"), id)
+      def mirror(prefix: String) = docs.select(page.as("url"),
+        concat(lit(prefix), id % 10, lit(".bmp")).as("img_url"),
+        concat(lit("a"), id % 3).as("alt"))
+      val corrupt = Seq("https://cdn-a.example/x/bad.bin",
+          "https://cdn-b.example/x/bad.bin")
+        .map(u => docs.filter(id % 97 === 0).select(page.as("url"),
+          lit(u).as("img_url"), lit("bad").as("alt")))
+        .reduce(_ unionByName _)
+      val pairs = mirror("https://cdn-a.example/img/")
+        .unionByName(mirror("https://cdn-b.example/m/"))
+        .unionByName(corrupt)
+      val imgs = docs.select((id % 10).as("m")).distinct()
+        .as[Long].flatMap { m =>
+          val w = 16 + m.toInt
+          val h = 12 + (m % 5).toInt
+          val px = Multimodal.fixtureStream(
+            s"img $m".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+            w * h * 3)
+          Seq((s"https://cdn-a.example/img/$m.bmp",
+              Multimodal.encodeBmp(w, h, px)),
+            (s"https://cdn-b.example/m/$m.bmp",
+              Multimodal.encodePpm(w, h, px)))
+        }.toDF("img_url", "body")
+        .unionByName(Seq(
+          ("https://cdn-a.example/x/bad.bin", "NOTANIMAGE".getBytes(
+            java.nio.charset.StandardCharsets.US_ASCII)),
+          ("https://cdn-b.example/x/bad.bin", "NOTANIMAGE".getBytes(
+            java.nio.charset.StandardCharsets.US_ASCII)))
+          .toDF("img_url", "body"))
+      graft.pipeline.Crawl.dedupePairsByImage(pairs, imgs)
+        .orderBy("url", "img_url")
+    }),
+
+    // LAION-style pair quality screens (r17 — the pre-embedding
+    // gates): geometry from doc arithmetic exercises the min-dims and
+    // aspect cuts, id%53 rows are undecodable (null dims — drop),
+    // id%31 captions are too short, id%41 too long, and the id%10==7
+    // "stock photo" caption is boilerplate — its page-df crosses the
+    // threshold at the gate SFs but NOT at sf0.001 (the HAVING itself
+    // is oracle-replayed, the crawl_soft404_templates pattern, so the
+    // verdict is SF-consistent by construction).
+    "crawl_pair_quality" -> ((s, dir) => {
+      val id = col("doc_id")
+      val pairs = tbl(s, dir, "documents").select(
+        concat(lit("https://h"), id % 7, lit(".example/pg/"), id)
+          .as("url"),
+        concat(lit("https://img.example/i/"), id, lit(".jpg"))
+          .as("img_url"),
+        when(id % 10 === 7, lit("stock photo"))
+          .when(id % 31 === 0, lit("x"))
+          .when(id % 41 === 0, lit("y" * 300))
+          .otherwise(concat(lit("cap "), id)).as("alt"),
+        when(id % 53 === 0, lit(null).cast("int"))
+          .otherwise((lit(16) + id % 200).cast("int")).as("width"),
+        when(id % 53 === 0, lit(null).cast("int"))
+          .otherwise((lit(16) + id % 90).cast("int")).as("height"))
+      graft.pipeline.Crawl.pairQualityFilter(pairs,
+          minWidth = 32, minHeight = 24, maxAspect = 3.0,
+          minCaptionChars = 3, maxCaptionChars = 200,
+          maxCaptionPages = 10)
+        .orderBy("url")
+    }),
+
     // Within-host error templates / soft-404s (r15): each host h{k}
     // serves a "not found" template at every id%5==0 url (over the
     // minUrls=10 threshold at sf0.01 — flagged) and a small recurring
@@ -4498,6 +4692,50 @@ object SparkEntry {
               concat(lit(s"https://$h.example/$special/"), id).as("url")))
         }.reduce(_ unionByName _)
       graft.pipeline.Robots.filterAllowed(pages, rules, "graftbot")
+        .orderBy("url")
+    }),
+
+    // Sitemap DISCOVERY from robots.txt (r17): every host's robots
+    // body lists its doc-derived sitemap shards RELATIVE (resolved
+    // against the robots url), a host-absolute index, and the shared
+    // CDN index all seven hosts point at (n_refs must sum across
+    // hosts); s3's index is already fetched (anti-joins away), s5
+    // carries an uppercase-scheme/host arm (canonicalized, path case
+    // kept), and a 404 robots body with a Sitemap line contributes
+    // NOTHING (status gate). Feeds Sitemaps.childSitemaps/
+    // seedsFromBytes unchanged.
+    "crawl_robots_sitemaps" -> ((s, dir) => {
+      import s.implicits._
+      val files = tbl(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 11 === 0)
+        .withColumn("k", col("doc_id") % 7)
+        .groupBy("k")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .as[(Long, Seq[Long])]
+        .map { case (k, ids) =>
+          val b = new StringBuilder
+          b ++= "User-agent: *\nDisallow: /private\n"
+          ids.foreach(i => b ++= s"Sitemap: /sm/part-$i.xml\n")
+          b ++= "Sitemap: https://cdn.example/shared.xml # shared CDN index\n"
+          b ++= s"sitemap: https://s$k.example/sitemap.xml\n"
+          if (k == 5) b ++= "Sitemap: HTTPS://S5.EXAMPLE/CAPS/sm.xml\n"
+          val recs = Seq(graft.sources.Warc.ResponseFixture(
+            s"https://s$k.example/robots.txt", 200,
+            contentType = "text/plain",
+            body = b.toString.getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))) ++
+            (if (k == 1) Seq(graft.sources.Warc.ResponseFixture(
+              "https://s404.example/robots.txt", 404,
+              contentType = "text/plain",
+              body = "Sitemap: https://s404.example/never.xml".getBytes(
+                java.nio.charset.StandardCharsets.UTF_8)))
+             else Nil)
+          (k, graft.sources.Warc.encodeWarcFixtures(recs,
+            gzipPerRecord = k % 2 == 1))
+        }.toDF("k", "payload")
+      val records = graft.sources.Warc.warcRecords(files).toDF()
+      val fetched = Seq("https://s3.example/sitemap.xml").toDF("url")
+      graft.pipeline.Robots.sitemapsFromRecords(records, fetched)
         .orderBy("url")
     }),
 
@@ -4733,6 +4971,64 @@ object SparkEntry {
           col("warc_type"), col("http_status"),
           length(col("body")).cast("long").as("body_len"),
           md5(col("body")).as("body_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // WebDataset EXPORT round-trip (r17 — the write side of
+    // webdataset_ingest, closing the multimodal interchange loop):
+    // every doc becomes one sample (txt + json members, a genuine PNG
+    // for every third doc; every seventh doc's key carries a 110-char
+    // directory prefix forcing GNU long-name entries through writer
+    // AND reader), written as whole-shard-gzipped tars FROM THE
+    // EXECUTORS, then read back through binaryFile +
+    // webdatasetSamples. Lossless by the oracle: member counts, the
+    // round-tripped key length, text md5, and the PNG's decoded
+    // dims/luma all replay from the fixture formula.
+    "webdataset_export_scan" -> ((s, dir) => {
+      import s.implicits._
+      val samples = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .map { case (id, text) =>
+          val tb = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val key = if (id % 7 == 0) ("d" * 110) + s"/$id" else id.toString
+          val base = Map(
+            "txt" -> tb,
+            "json" -> s"""{"id":$id}""".getBytes(
+              java.nio.charset.StandardCharsets.US_ASCII))
+          val parts =
+            if (id % 3 == 0) {
+              val w = 16 + (id % 16).toInt
+              val h = 16 + (id % 8).toInt
+              base + ("png" -> Multimodal.encodePng(w, h,
+                Multimodal.fixtureStream(tb, w * h * 3)))
+            } else base
+          (key, parts)
+        }.toDF("key", "parts")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_wds_")
+      deleteRecursivelyOnExit(tmp)
+      val out = tmp.toFile.getAbsolutePath
+      graft.sources.WebDataset.writeWebdatasetShards(
+        samples.repartition(16), out, samplesPerShard = 25, gzip = true)
+      val files = s.read.format("binaryFile").load(out)
+      graft.sources.WebDataset.webdatasetSamples(files, payloadCol = "content")
+        .map { smp =>
+          val id = smp.key.substring(smp.key.lastIndexOf('/') + 1).toLong
+          val (iw, luma) = smp.parts.get("png") match {
+            case Some(b) => Multimodal.decodeFirstFrame(b) match {
+              case Some((w, _, px)) =>
+                var sum = 0L
+                var i = 0
+                while (i < px.length) { sum += px(i) & 0xFF; i += 1 }
+                (w, sum.toDouble / px.length)
+              case None => (-1, -1.0)
+            }
+            case None => (-1, -1.0)
+          }
+          (id, smp.key.length.toLong, smp.parts.size, smp.parts("txt"),
+            iw, luma)
+        }.toDF("doc_id", "key_len", "n_parts", "txt", "img_w", "img_luma")
+        .select(col("doc_id"), col("key_len"), col("n_parts"),
+          md5(col("txt")).as("txt_md5"), col("img_w"), col("img_luma"))
         .orderBy("doc_id")
     }),
 
@@ -8828,6 +9124,93 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT * FROM b)
         |ORDER BY url""".stripMargin,
+    // the enclosure harvest replayed: per-doc episodes (entity-decoded
+    // query string, declared length, verbatim date), the garbage
+    // length nulls out, and the shared trailer folds to corpus-count
+    // refs with its recency winner = the max RFC 3339 string (the
+    // early RFC 822 arm loses by EPOCH even though letters sort above
+    // digits — COALESCE covers the degenerate all-822 corpus)
+    "crawl_feed_enclosures" ->
+      """WITH u AS (
+        |  SELECT 'https://media.example/ep/' || CAST(doc_id AS VARCHAR)
+        |      || '.mp3?a=1&b=' || CAST(doc_id % 3 AS VARCHAR) AS url,
+        |    'audio/mpeg' AS mime_type,
+        |    CAST(1000 + doc_id AS BIGINT) AS length_bytes,
+        |    'Mon, ' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+        |      || ' Jan 2024 10:00:00 GMT' AS feed_date
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'https://media.example/vid/' || CAST(doc_id AS VARCHAR)
+        |      || '.mp4',
+        |    'video/mp4', CAST(2000 + doc_id AS BIGINT),
+        |    '2024-02-' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+        |      || 'T09:00:00Z'
+        |  FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT 'https://media.example/x/' || CAST(doc_id AS VARCHAR)
+        |      || '.bin',
+        |    'application/octet-stream', CAST(NULL AS BIGINT),
+        |    CAST(NULL AS VARCHAR)
+        |  FROM documents WHERE doc_id % 97 = 0 AND doc_id % 2 = 0),
+        |t AS (
+        |  SELECT 'https://media.example/trailer.mp3' AS url,
+        |    CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_refs,
+        |    'audio/mpeg' AS mime_type, CAST(777 AS BIGINT) AS length_bytes,
+        |    COALESCE(
+        |      (SELECT max('2024-03-0' || CAST(1 + doc_id % 4 AS VARCHAR)
+        |        || 'T00:00:00Z') FROM documents WHERE doc_id % 40 <> 2),
+        |      'Wed, 01 Jan 2020 00:00:00 GMT') AS feed_date)
+        |SELECT * FROM (
+        |  SELECT url, CAST(1 AS BIGINT) AS n_refs, mime_type,
+        |    length_bytes, feed_date
+        |  FROM u
+        |  UNION ALL
+        |  SELECT * FROM t)
+        |ORDER BY url""".stripMargin,
+    // the audio loop replayed: per-url WAV samples from the id
+    // arithmetic (dev = u8 - 128 exactly, since the 16-bit fixture is
+    // the u8 projection shifted), exact integer energy/peak, lag-based
+    // strict-alternation crossings with zeros transparent, and the
+    // politeness round = per-host row_number (all refs tie at 1)
+    "crawl_enclosure_fetch" ->
+      """WITH e AS (
+        |  SELECT doc_id, 64 + doc_id % 32 AS n FROM documents),
+        |ks AS (SELECT doc_id, n,
+        |         unnest(generate_series(0, n - 1)) AS i FROM e),
+        |d AS (SELECT doc_id, i,
+        |        ((doc_id * 31 + i * 7) % 256) - 128 AS dev FROM ks),
+        |base AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(dev * dev) AS BIGINT) AS sum_sq_dev,
+        |    CAST(max(abs(dev)) AS BIGINT) AS peak_dev
+        |  FROM d GROUP BY doc_id),
+        |nz AS (SELECT doc_id, i,
+        |         CASE WHEN dev > 0 THEN 1 ELSE -1 END AS sgn
+        |       FROM d WHERE dev <> 0),
+        |lagged AS (SELECT doc_id, sgn,
+        |             lag(sgn) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |           FROM nz),
+        |zc AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN prev IS NOT NULL AND sgn <> prev
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |       FROM lagged GROUP BY doc_id),
+        |urls AS (SELECT doc_id,
+        |    'https://m' || CAST(doc_id % 5 AS VARCHAR) || '.example/ep/'
+        |      || CAST(doc_id AS VARCHAR) || '.wav' AS url,
+        |    'm' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host
+        |  FROM documents),
+        |r AS (SELECT url,
+        |        CAST(row_number() OVER (PARTITION BY host ORDER BY url)
+        |          AS BIGINT) AS round
+        |      FROM urls)
+        |SELECT u.url, CAST(1 AS BIGINT) AS n_refs, r.round,
+        |  b.n_samples, b.sum_sq_dev, b.peak_dev,
+        |  CAST(COALESCE(z.zero_crossings, 0) AS BIGINT) AS zero_crossings
+        |FROM urls u
+        |JOIN r ON r.url = u.url
+        |JOIN base b ON b.doc_id = u.doc_id
+        |LEFT JOIN zc z ON z.doc_id = u.doc_id
+        |ORDER BY u.url""".stripMargin,
     // both hierarchy levels rebuilt from the fixture arithmetic: index
     // locs (shared child maxing its listed days, solo child null, the
     // fetched child anti-joined) under kind=sitemap; urlset locs under
@@ -9007,6 +9390,32 @@ object SparkEntry {
         |  SELECT 'https://rloop.example/private/' || CAST(doc_id AS VARCHAR)
         |  FROM documents)
         |SELECT url FROM kept ORDER BY url""".stripMargin,
+    // sitemap discovery replayed from the fixture arithmetic: per-doc
+    // relative shards resolve against their host's robots url, the
+    // host-absolute index drops for the already-fetched s3, the CDN
+    // index counts one ref per distinct host, the caps arm
+    // canonicalizes scheme+host only, and the 404 contributes nothing
+    "crawl_robots_sitemaps" ->
+      """WITH hosts AS (
+        |  SELECT DISTINCT doc_id % 7 AS k FROM documents
+        |  WHERE doc_id % 11 = 0),
+        |u AS (
+        |  SELECT 'https://s' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/sm/part-' || CAST(doc_id AS VARCHAR) || '.xml'
+        |      AS url, 1 AS n
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT 'https://s' || CAST(k AS VARCHAR) ||
+        |    '.example/sitemap.xml', 1
+        |  FROM hosts WHERE k <> 3
+        |  UNION ALL
+        |  SELECT 'https://cdn.example/shared.xml',
+        |    (SELECT CAST(count(*) AS INT) FROM hosts)
+        |  UNION ALL
+        |  SELECT 'https://s5.example/CAPS/sm.xml', 1
+        |  WHERE EXISTS (SELECT 1 FROM hosts WHERE k = 5))
+        |SELECT url, CAST(sum(n) AS BIGINT) AS n_refs
+        |FROM u GROUP BY url ORDER BY url""".stripMargin,
     // the accumulated graph replayed: twin edges (a -> 3a mod 7, one
     // per id), hub edges from both batches summed across the
     // mid-history compaction
@@ -9076,6 +9485,120 @@ object SparkEntry {
         |SELECT url, img_url, alt,
         |  CAST(CAST(c AS DECIMAL(18,6)) AS DOUBLE) AS clip_score
         |FROM scored WHERE c >= 0.05
+        |ORDER BY url""".stripMargin,
+    // the mirror-collapse replayed end-to-end: aHash per m-image from
+    // the fixture-stream formula, hamming pairs over URL nodes (both
+    // mirrors of one m share pixels, hence hash), recursive-CTE CC,
+    // min-url canonicals, LEFT-JOIN re-key, DISTINCT fold; the corrupt
+    // .bin urls never enter the node set so their pairs pass verbatim
+    "crawl_image_dedup" ->
+      """WITH RECURSIVE ms AS (
+        |  SELECT DISTINCT doc_id % 10 AS m FROM documents),
+        |seed AS (
+        |  SELECT m, 'img ' || CAST(m AS VARCHAR) AS t,
+        |    CAST(16 + m AS BIGINT) AS w, CAST(12 + m % 5 AS BIGINT) AS h
+        |  FROM ms),
+        |pixk AS (
+        |  SELECT m, t, octet_length(encode(t)) AS l, w, h,
+        |    unnest(generate_series(0, w * h - 1)) AS p
+        |  FROM seed),
+        |g AS (
+        |  SELECT m, w, h, p // w AS y, p % w AS x,
+        |    (299 * ((unicode(substr(t, CAST((3*p) % l AS INT) + 1, 1)) + 3*p) % 256)
+        |   + 587 * ((unicode(substr(t, CAST((3*p + 1) % l AS INT) + 1, 1)) + 3*p + 1) % 256)
+        |   + 114 * ((unicode(substr(t, CAST((3*p + 2) % l AS INT) + 1, 1)) + 3*p + 2) % 256)
+        |    ) // 1000 AS gr
+        |  FROM pixk),
+        |blk AS (
+        |  SELECT m, (y * 8) // h AS by, (x * 8) // w AS bx,
+        |    sum(gr) // count(*) AS bm
+        |  FROM g GROUP BY 1, 2, 3),
+        |gm AS (SELECT m, sum(bm) // 64 AS mn FROM blk GROUP BY m),
+        |bits AS (
+        |  SELECT blk.m,
+        |    sum(CASE WHEN bm > mn THEN 1::HUGEINT << CAST(by * 8 + bx AS INT)
+        |        ELSE 0::HUGEINT END) AS s
+        |  FROM blk JOIN gm ON blk.m = gm.m GROUP BY blk.m),
+        |ah AS (
+        |  SELECT m, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |    THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS h64
+        |  FROM bits),
+        |urls AS (
+        |  SELECT m, 'https://cdn-a.example/img/' || CAST(m AS VARCHAR)
+        |    || '.bmp' AS u FROM ms
+        |  UNION ALL
+        |  SELECT m, 'https://cdn-b.example/m/' || CAST(m AS VARCHAR)
+        |    || '.bmp' FROM ms),
+        |nodes AS (SELECT urls.u, ah.h64 FROM urls JOIN ah ON ah.m = urls.m),
+        |p2 AS (
+        |  SELECT a.u AS ua, b.u AS ub FROM nodes a JOIN nodes b
+        |  ON a.u < b.u WHERE bit_count(xor(a.h64, b.h64)) <= 3),
+        |e AS (SELECT ua AS u, ub AS v FROM p2
+        |      UNION SELECT ub, ua FROM p2),
+        |reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e) n
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON reach.u = e.v),
+        |lab AS (SELECT u AS id, min(r) AS rep FROM reach GROUP BY u),
+        |mapn AS (SELECT id, rep FROM lab WHERE id <> rep),
+        |basepairs AS (
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/pg/' || CAST(doc_id AS VARCHAR) AS url,
+        |    'https://cdn-a.example/img/' || CAST(doc_id % 10 AS VARCHAR)
+        |      || '.bmp' AS img_url,
+        |    'a' || CAST(doc_id % 3 AS VARCHAR) AS alt
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/pg/' || CAST(doc_id AS VARCHAR),
+        |    'https://cdn-b.example/m/' || CAST(doc_id % 10 AS VARCHAR)
+        |      || '.bmp',
+        |    'a' || CAST(doc_id % 3 AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/pg/' || CAST(doc_id AS VARCHAR),
+        |    'https://cdn-a.example/x/bad.bin', 'bad'
+        |  FROM documents WHERE doc_id % 97 = 0
+        |  UNION ALL
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/pg/' || CAST(doc_id AS VARCHAR),
+        |    'https://cdn-b.example/x/bad.bin', 'bad'
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |rekeyed AS (
+        |  SELECT b.url, COALESCE(mapn.rep, b.img_url) AS img_url, b.alt
+        |  FROM basepairs b LEFT JOIN mapn ON mapn.id = b.img_url)
+        |SELECT DISTINCT url, img_url, alt FROM rekeyed
+        |ORDER BY url, img_url""".stripMargin,
+    // every screen replayed: the caption-df guard recomputes its own
+    // threshold crossing (SF-consistent like crawl_soft404_templates),
+    // geometry gates are integer/exact-double comparisons
+    "crawl_pair_quality" ->
+      """WITH p AS (
+        |  SELECT 'https://h' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/pg/' || CAST(doc_id AS VARCHAR) AS url,
+        |    'https://img.example/i/' || CAST(doc_id AS VARCHAR)
+        |      || '.jpg' AS img_url,
+        |    CASE WHEN doc_id % 10 = 7 THEN 'stock photo'
+        |      WHEN doc_id % 31 = 0 THEN 'x'
+        |      WHEN doc_id % 41 = 0 THEN repeat('y', 300)
+        |      ELSE 'cap ' || CAST(doc_id AS VARCHAR) END AS alt,
+        |    CASE WHEN doc_id % 53 = 0 THEN NULL
+        |      ELSE CAST(16 + doc_id % 200 AS INT) END AS width,
+        |    CASE WHEN doc_id % 53 = 0 THEN NULL
+        |      ELSE CAST(16 + doc_id % 90 AS INT) END AS height
+        |  FROM documents),
+        |bp AS (
+        |  SELECT alt FROM (
+        |    SELECT alt, count(DISTINCT url) AS c FROM p GROUP BY alt)
+        |  WHERE c > 10)
+        |SELECT url, img_url, alt, width, height FROM p
+        |WHERE width IS NOT NULL AND height IS NOT NULL
+        |  AND width >= 32 AND height >= 24
+        |  AND CAST(greatest(width, height) AS DOUBLE)
+        |    <= 3.0 * least(width, height)
+        |  AND length(alt) >= 3 AND length(alt) <= 200
+        |  AND alt NOT IN (SELECT alt FROM bp)
         |ORDER BY url""".stripMargin,
     // the fetch loop replayed: refs per (host k, image j) over the
     // unblocked (j<4) not-yet-fetched (j>0) images, per-host rounds by
@@ -9629,6 +10152,37 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
         |  md5(text) AS body_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // WebDataset export round-trip: key length pins the GNU long-name
+    // path, member counts + text md5 replay directly, the PNG decode
+    // is the same lossless fixture-stream formula as webdataset_ingest
+    "webdataset_export_scan" ->
+      """WITH m AS (
+        |  SELECT doc_id, text, octet_length(encode(text)) AS l,
+        |    16 + doc_id % 16 AS w, 16 + doc_id % 8 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, w, CAST(w * h * 3 AS BIGINT) AS nb
+        |       FROM m WHERE doc_id % 3 = 0),
+        |ks AS (SELECT doc_id, w, nb,
+        |         unnest(generate_series(0, nb - 1)) AS k FROM px),
+        |d AS (SELECT ks.doc_id, ks.w, ks.nb,
+        |        CASE WHEN m.l = 0 THEN k % 256
+        |          ELSE (unicode(substr(m.text, CAST(k % m.l AS INT) + 1, 1)) + k) % 256
+        |        END AS val
+        |      FROM ks JOIN m ON m.doc_id = ks.doc_id),
+        |img AS (SELECT doc_id, CAST(max(w) AS INT) AS img_w,
+        |          CAST(sum(val) AS DOUBLE) / max(nb) AS img_luma
+        |        FROM d GROUP BY doc_id)
+        |SELECT m.doc_id,
+        |  CAST(length(CAST(m.doc_id AS VARCHAR)) +
+        |    CASE WHEN m.doc_id % 7 = 0 THEN 111 ELSE 0 END AS BIGINT)
+        |    AS key_len,
+        |  CAST(2 + CASE WHEN m.doc_id % 3 = 0 THEN 1 ELSE 0 END AS INT)
+        |    AS n_parts,
+        |  md5(m.text) AS txt_md5,
+        |  COALESCE(img.img_w, -1) AS img_w,
+        |  COALESCE(img.img_luma, -1.0) AS img_luma
+        |FROM m LEFT JOIN img ON img.doc_id = m.doc_id
+        |ORDER BY m.doc_id""".stripMargin,
     // JPEG: every payload must fully entropy-decode to its fixture dims
     "media_jpeg_meta" ->
       """SELECT doc_id AS id, CAST(16 + doc_id % 16 AS INT) AS width,

@@ -1008,6 +1008,26 @@ object Main {
         s"seeds -> $out")
       spark.stop()
 
+    case "crawl-feed-enclosures" :: feedsParquet :: fetchedParquet ::
+        out :: Nil =>
+      // RSS/Atom media enclosures -> the audio/video fetch list
+      val spark = session()
+      val fetched =
+        if (fetchedParquet == "-")
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("url",
+                org.apache.spark.sql.types.StringType))))
+        else spark.read.parquet(fetchedParquet)
+      graft.pipeline.Feeds.enclosureSeeds(
+          spark.read.parquet(feedsParquet), fetched)
+        .orderBy("url")
+        .write.mode("overwrite").parquet(out)
+      println(s"crawl-feed-enclosures: ${spark.read.parquet(out).count()} " +
+        s"media urls -> $out")
+      spark.stop()
+
     case "crawl-sitemap-seeds" :: sitemapsParquet :: crawledParquet ::
         out :: rest =>
       // page seeds from fetched sitemap bodies (urlset locs decoded +
@@ -1054,6 +1074,28 @@ object Main {
         s"child sitemaps -> $out")
       spark.stop()
 
+    case "crawl-robots-sitemaps" :: warcPath :: fetchedParquet ::
+        out :: Nil =>
+      // sitemap DISCOVERY: Sitemap: lines from the crawl's own
+      // robots.txt fetch records -> the (url, n_refs) sitemap fetch
+      // list; pass '-' for fetchedParquet on a first pass
+      val spark = session()
+      val fetched =
+        if (fetchedParquet == "-")
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("url",
+                org.apache.spark.sql.types.StringType))))
+        else spark.read.parquet(fetchedParquet)
+      graft.pipeline.Robots.sitemapsFromRecords(
+          spark.read.format("warc").load(warcPath), fetched)
+        .orderBy("url")
+        .write.mode("overwrite").parquet(out)
+      println(s"crawl-robots-sitemaps: ${spark.read.parquet(out).count()} " +
+        s"sitemap urls -> $out")
+      spark.stop()
+
     case "frontier-blocklist" :: frontierParquet :: blocklistParquet ::
         out :: rest =>
       // operator-policy gate: drop frontier urls on blocklisted hosts
@@ -1096,6 +1138,52 @@ object Main {
         .filter(org.apache.spark.sql.functions.col("warc_type") === "response")
         .count()
       println(s"warc-export: $n records -> $outDir")
+      spark.stop()
+
+    case "crawl-image-dedup" :: pairsParquet :: imagesParquet :: out :: rest =>
+      // LAION step 4: collapse pairs whose fetched images are
+      // perceptual near-dups (mirror CDNs, container swaps); images
+      // parquet carries (img_url, body)
+      val maxHamming = rest.headOption.map(_.toInt).getOrElse(3)
+      val spark = session()
+      graft.pipeline.Crawl.dedupePairsByImage(
+          spark.read.parquet(pairsParquet),
+          spark.read.parquet(imagesParquet), maxHamming)
+        .write.mode("overwrite").parquet(out)
+      println(s"crawl-image-dedup: ${spark.read.parquet(out).count()} " +
+        s"pairs kept -> $out")
+      spark.stop()
+
+    case "crawl-pair-quality" :: pairsParquet :: out :: rest =>
+      // LAION-style pre-embedding screens over (url, img_url, alt,
+      // width, height) pairs: dims, aspect, caption length,
+      // boilerplate-caption df-guard
+      val minW = rest.headOption.map(_.toInt).getOrElse(64)
+      val minH = rest.drop(1).headOption.map(_.toInt).getOrElse(64)
+      val maxA = rest.drop(2).headOption.map(_.toDouble).getOrElse(4.0)
+      val spark = session()
+      graft.pipeline.Crawl.pairQualityFilter(
+          spark.read.parquet(pairsParquet),
+          minWidth = minW, minHeight = minH, maxAspect = maxA)
+        .write.mode("overwrite").parquet(out)
+      println(s"crawl-pair-quality: ${spark.read.parquet(out).count()} " +
+        s"pairs kept -> $out")
+      spark.stop()
+
+    case "wds-export" :: samplesParquet :: outDir :: rest =>
+      // samples parquet (key + map<ext,binary> parts) -> WebDataset
+      // tar shards, written from the executors; read back by
+      // wds-extract / webdatasetSamples
+      val sps = rest.headOption.map(_.toInt).getOrElse(1000)
+      val gz = rest.drop(1).headOption.forall(_.toBoolean)
+      val spark = session()
+      graft.sources.WebDataset.writeWebdatasetShards(
+        spark.read.parquet(samplesParquet), outDir,
+        samplesPerShard = sps, gzip = gz)
+      val n = graft.sources.WebDataset.webdatasetSamples(
+        spark.read.format("binaryFile").load(outDir),
+        payloadCol = "content").count()
+      println(s"wds-export: $n samples -> $outDir")
       spark.stop()
 
     case "wds-extract" :: pathGlob :: out :: Nil =>
@@ -1515,10 +1603,15 @@ object Main {
           |  crawl-image-fetchlist <frontierDir> <outParquet> [blockedDomainsParquet|-] [bloomPath]
           |  crawl-compact-images <frontierDir>
           |  crawl-feed-seeds <feedsParquet> <crawledParquet|-> <outParquet>
+          |  crawl-feed-enclosures <feedsParquet> <fetchedParquet|-> <outParquet>
           |  crawl-sitemap-seeds <sitemapsParquet> <crawledParquet|-> <outParquet> [lastmod]
           |  crawl-sitemap-children <sitemapsParquet> <fetchedParquet|-> <outParquet>
+          |  crawl-robots-sitemaps <warcPathOrGlob> <fetchedParquet|-> <outParquet>
           |  frontier-blocklist <frontierParquet> <blocklistParquet> <outParquet> [urlCol]
           |  wds-extract      <pathOrGlob> <outParquet>
+          |  wds-export       <samplesParquet> <outDir> [samplesPerShard] [gzip]
+          |  crawl-image-dedup <pairsParquet> <imagesParquet> <outParquet> [maxHamming]
+          |  crawl-pair-quality <pairsParquet> <outParquet> [minW] [minH] [maxAspect]
           |  warc-extract     <filesParquet> <outParquet> [payloadCol]
           |  hamming-build    <hashesParquet> <indexPath> [idCol] [hashCol]
           |  hamming-append   <hashesParquet> <indexPath> [idCol] [hashCol]

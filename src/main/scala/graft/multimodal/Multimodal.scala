@@ -1579,49 +1579,91 @@ object Multimodal {
       val sums = new Array[Long](grid * (grid + 1))
       val cnts = new Array[Long](grid * (grid + 1))
       rows.flatMap { m =>
-        decodeFirstFrame(m.payload) match {
-          case Some((w, h, px)) if w >= grid + 1 && h >= grid =>
-            // dHash accumulates on the grid×(grid+1) wide grid here;
-            // aHash runs its own grid×grid pixel pass inside aHashOf (the
-            // 8-column box boundaries are NOT derivable from the 9-column
-            // grid) — two passes over the decoded pixels, which the
-            // decode cost dominates
-            java.util.Arrays.fill(sums, 0L)
-            java.util.Arrays.fill(cnts, 0L)
-            var y = 0
-            while (y < h) {
-              val by = y * grid / h
-              var x = 0
-              while (x < w) {
-                val bx = x * (grid + 1) / w
-                val p = (y * w + x) * 3
-                val g = gray(px(p) & 0xFF, px(p + 1) & 0xFF, px(p + 2) & 0xFF)
-                val i = by * (grid + 1) + bx
-                sums(i) += g
-                cnts(i) += 1
-                x += 1
-              }
-              y += 1
-            }
-            val wide = Array.tabulate(grid * (grid + 1))(i =>
-              if (cnts(i) == 0) 0L else sums(i) / cnts(i))
-            // dHash on the wide grid: horizontal gradient
-            var dh = 0L
-            var by = 0
-            while (by < grid) {
-              var bx = 0
-              while (bx < grid) {
-                if (wide(by * (grid + 1) + bx) > wide(by * (grid + 1) + bx + 1))
-                  dh |= 1L << (by * grid + bx)
-                bx += 1
-              }
-              by += 1
-            }
-            Iterator.single(PHashRow(m.id, w, h, aHashOf(w, h, px, grid), dh))
-          case _ => Iterator.empty
-        }
+        hashPayload(m.payload, grid, sums, cnts).map { case (w, h, ah, dh) =>
+          PHashRow(m.id, w, h, ah, dh)
+        }.iterator
       }
     }
+  }
+
+  /** Both perceptual hashes of one payload, or None for non-decodable /
+    * sub-grid images. `sums`/`cnts` are caller-provided scratch (length
+    * grid·(grid+1)) so partition loops allocate once. */
+  private def hashPayload(payload: Array[Byte], grid: Int,
+                          sums: Array[Long], cnts: Array[Long])
+      : Option[(Int, Int, Long, Long)] = {
+    decodeFirstFrame(payload) match {
+      case Some((w, h, px)) if w >= grid + 1 && h >= grid =>
+        // dHash accumulates on the grid×(grid+1) wide grid here;
+        // aHash runs its own grid×grid pixel pass inside aHashOf (the
+        // 8-column box boundaries are NOT derivable from the 9-column
+        // grid) — two passes over the decoded pixels, which the
+        // decode cost dominates
+        java.util.Arrays.fill(sums, 0L)
+        java.util.Arrays.fill(cnts, 0L)
+        var y = 0
+        while (y < h) {
+          val by = y * grid / h
+          var x = 0
+          while (x < w) {
+            val bx = x * (grid + 1) / w
+            val p = (y * w + x) * 3
+            val g = gray(px(p) & 0xFF, px(p + 1) & 0xFF, px(p + 2) & 0xFF)
+            val i = by * (grid + 1) + bx
+            sums(i) += g
+            cnts(i) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val wide = Array.tabulate(grid * (grid + 1))(i =>
+          if (cnts(i) == 0) 0L else sums(i) / cnts(i))
+        // dHash on the wide grid: horizontal gradient
+        var dh = 0L
+        var by = 0
+        while (by < grid) {
+          var bx = 0
+          while (bx < grid) {
+            if (wide(by * (grid + 1) + bx) > wide(by * (grid + 1) + bx + 1))
+              dh |= 1L << (by * grid + bx)
+            bx += 1
+          }
+          by += 1
+        }
+        Some((w, h, aHashOf(w, h, px, grid), dh))
+      case _ => None
+    }
+  }
+
+  final case class KeyedPHashRow(key: String, width: Int, height: Int,
+                                 ahash: Long, dhash: Long)
+
+  /** [[perceptualHashes]] keyed by an arbitrary STRING column — the
+    * form a crawl's image harvest needs, where the natural identity is
+    * the fetched img_url, not a minted long id. Same kernel, same
+    * emit-less rule for non-decodable/sub-grid payloads; output keys
+    * feed [[graft.dedup.Dedup.hammingNearDuplicates64]] /
+    * [[graft.dedup.Dedup.connectedComponents]] directly (both are
+    * id-type-agnostic — comparisons only). One mapPartitions pass, no
+    * shuffle. */
+  def perceptualHashesByKey(images: DataFrame, keyCol: String = "img_url",
+                            payloadCol: String = "body",
+                            grid: Int = 8): Dataset[KeyedPHashRow] = {
+    require(grid >= 2 && grid <= 8, s"grid must be in [2, 8], got $grid")
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col(keyCol).cast("string"),
+        col(payloadCol).cast("binary"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        val sums = new Array[Long](grid * (grid + 1))
+        val cnts = new Array[Long](grid * (grid + 1))
+        rows.flatMap { case (key, payload) =>
+          hashPayload(payload, grid, sums, cnts).map { case (w, h, ah, dh) =>
+            KeyedPHashRow(key, w, h, ah, dh)
+          }.iterator
+        }
+      }
   }
 
   /**

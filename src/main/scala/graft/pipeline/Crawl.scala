@@ -935,6 +935,109 @@ object Crawl {
       .drop("_pef_iv", "_pef_tv")
   }
 
+  /** Perceptual image dedup over a pairs corpus (r17) — LAION step 4:
+    * the same image behind many urls (mirror CDN copies, re-encoded
+    * containers, protocol/host variants the url normalizer cannot
+    * see) would otherwise dominate a training set with byte-distinct
+    * duplicates. `images` carries ONE row per fetched img_url (the
+    * [[imageBytesJoin]] record shape — target_uri + body); every
+    * decodable image hashes ([[graft.multimodal.Multimodal.perceptualHashesByKey]]),
+    * hamming near-dup urls resolve into clusters, and every pair
+    * re-keys its img_url to the cluster's canonical url — the
+    * LEXICOGRAPHIC MIN (engine-portable on ASCII urls, the ranking
+    * tie-break rule). Pairs whose re-keying made them identical fold
+    * (a page citing two mirror copies contributes its caption once);
+    * pairs of NON-decodable images pass through untouched (the
+    * phashPrune rule — only demonstrated duplicates collapse).
+    *
+    * Scale shape: hashing is one map-side pass over the fetched
+    * images (bytes never shuffle — 8 B hashes do); the pair join is
+    * the banded chunk join; CC runs on the near-dup pair list
+    * (≪ images); the url→canonical map is dup-images-sized and
+    * broadcasts into the pairs side by default (`broadcastMap =
+    * false` for the shuffled dual when the dup set itself is huge).
+    * The exact-duplicate fold is one distinct over the re-keyed pairs
+    * — strings only, the same cost class as doc_exact_dedup; pass
+    * `foldExact = false` to keep multiplicity. */
+  def dedupePairsByImage(pairs: DataFrame, images: DataFrame,
+                         maxHamming: Int = 3,
+                         imgKey: String = "img_url",
+                         payloadCol: String = "body",
+                         broadcastMap: Boolean = true,
+                         foldExact: Boolean = true): DataFrame = {
+    require(!pairs.columns.contains("_ipd_canon"),
+      "column name _ipd_canon is reserved by dedupePairsByImage")
+    val hashes = graft.multimodal.Multimodal
+      .perceptualHashesByKey(images, imgKey, payloadCol).toDF()
+      // refetched duplicates of one url hash identically; drop them
+      // on the 8-byte rows, never on the bytes
+      .select(col("key"), col("ahash")).distinct()
+    val nearDups = graft.dedup.Dedup.hammingNearDuplicates64(
+      hashes, "key", "ahash", maxHamming)
+    val labels = graft.dedup.Dedup.connectedComponents(
+      nearDups, "id_a", "id_b")
+    val mapping = labels.filter(col("id") =!= col("rep"))
+      .select(col("id").as(imgKey), col("rep").as("_ipd_canon"))
+    val mapSide = if (broadcastMap) broadcast(mapping) else mapping
+    val rekeyed = pairs.join(mapSide, Seq(imgKey), "left")
+      .withColumn(imgKey, coalesce(col("_ipd_canon"), col(imgKey)))
+      .drop("_ipd_canon")
+      .select(pairs.columns.map(col): _*) // the join fronts its key
+    // CC checkpoint blocks: call Dedup.release on the RESULT after
+    // consuming it (the phashPrune contract) — releasing here would
+    // drop blocks the lazy plan still needs
+    if (foldExact) rekeyed.distinct() else rekeyed
+  }
+
+  /** LAION-style pair quality screens (r17) — the filtering step
+    * between fetch/decode and CLIP scoring, the gates every published
+    * image-text pipeline applies before embedding cost is paid:
+    *
+    *  - geometry: `width/height` (the decode step's output columns)
+    *    must clear `minWidth`/`minHeight` (thumbnails and tracking
+    *    pixels out) and `max(w,h) ≤ maxAspect·min(w,h)` (banners and
+    *    sliver decorations out); null dims — undecodable payloads —
+    *    drop (this gate feeds the TRAINING set, not the ledger);
+    *  - caption: length in [minCaptionChars, maxCaptionChars];
+    *  - boilerplate captions: a caption string carried by more than
+    *    `maxCaptionPages` DISTINCT pages is navigation furniture
+    *    ("logo", "stock photo") — the caption-df guard, computed over
+    *    the INPUT pairs so the verdict is gate-order-independent.
+    *
+    * Scale shape: every gate but the df-guard is a map-side filter;
+    * the guard is one (caption, url)-distinct + caption-keyed count —
+    * the doc-exact-dedup cost class — and the over-threshold caption
+    * set (tiny by construction: only furniture crosses a sane
+    * threshold) broadcasts into an anti-join. */
+  def pairQualityFilter(pairs: DataFrame,
+                        minWidth: Int = 64, minHeight: Int = 64,
+                        maxAspect: Double = 4.0,
+                        minCaptionChars: Int = 5,
+                        maxCaptionChars: Int = 1000,
+                        maxCaptionPages: Long = 10,
+                        urlCol: String = "url",
+                        captionCol: String = "alt",
+                        widthCol: String = "width",
+                        heightCol: String = "height"): DataFrame = {
+    require(maxAspect >= 1.0, s"maxAspect must be >= 1, got $maxAspect")
+    val w = col(widthCol)
+    val h = col(heightCol)
+    val cap = col(captionCol)
+    val boilerplate = pairs.select(cap.as("_pqf_cap"),
+        col(urlCol).as("_pqf_url")).distinct()
+      .groupBy("_pqf_cap")
+      .agg(countDistinct(col("_pqf_url")).as("_pqf_n"))
+      .filter(col("_pqf_n") > maxCaptionPages)
+      .select(col("_pqf_cap").as(captionCol))
+    pairs
+      .filter(w.isNotNull && h.isNotNull &&
+        w >= minWidth && h >= minHeight &&
+        greatest(w, h).cast("double") <= lit(maxAspect) * least(w, h) &&
+        length(cap) >= minCaptionChars && length(cap) <= maxCaptionChars)
+      .join(broadcast(boilerplate), Seq(captionCol), "left_anti")
+      .select(pairs.columns.map(col): _*) // the join fronts its key
+  }
+
   /** Authority-prioritized fetch ordering (r15): [[schedule]] plus a
     * CROSS-HOST priority — within-host politeness rounds say when a
     * host may be hit again, but say nothing about which host to spend

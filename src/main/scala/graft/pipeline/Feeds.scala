@@ -112,19 +112,20 @@ object Feeds {
     out.toArray
   }
 
-  /** First href attribute value in an attribute region — double- or
-    * single-quoted (the [[HtmlText]] href contract). */
-  private def hrefOf(attrs: String): String = {
+  /** First `name` attribute value in an attribute region — double- or
+    * single-quoted (the [[HtmlText]] href contract), name matched
+    * case-insensitively at an attribute-name boundary ("xhref=" never
+    * matches href). */
+  private def attrOf(attrs: String, name: String): String = {
     val lower = attrs.toLowerCase(java.util.Locale.ROOT)
     var from = 0
     while (true) {
-      val h = lower.indexOf("href", from)
+      val h = lower.indexOf(name, from)
       if (h < 0) return null
-      // attribute-name boundary: "xhref=" must not match
       if (h > 0 && !" \t\n\r/".contains(attrs.charAt(h - 1))) {
-        from = h + 4
+        from = h + name.length
       } else {
-        var j = h + 4
+        var j = h + name.length
         while (j < attrs.length && attrs.charAt(j) == ' ') j += 1
         if (j < attrs.length && attrs.charAt(j) == '=') {
           j += 1
@@ -137,11 +138,130 @@ object Feeds {
             return null
           }
         }
-        from = h + 4
+        from = h + name.length
       }
     }
     null // unreachable
   }
+
+  private def hrefOf(attrs: String): String = attrOf(attrs, "href")
+
+  /** One harvested media enclosure: (url, mime type|null,
+    * declared length|null, entry date|null) — values verbatim. */
+  final case class Enclosure(url: String, mimeType: String,
+                             length: String, date: String)
+
+  /** Media enclosures per entry region — the AUDIO/VIDEO harvest the
+    * [[entries]] link scanner deliberately skips. Two forms count:
+    *
+    *  - RSS 2.0 `<enclosure url=… type=… length=…/>` (attributes any
+    *    order; url required, the rest optional) — the podcast form;
+    *  - Atom `<link rel="enclosure" href=… type=… length=…>` — the
+    *    RFC 4287 §4.2.7.2 equivalent. A `<link>` without
+    *    rel=enclosure is an ENTRY link, never media.
+    *
+    * ALL enclosures of a region emit (the RSS single-enclosure
+    * convention is widely violated by podcast feeds); each pairs with
+    * the region's first date, which may appear after it — emission
+    * happens at region close. Same tolerance discipline as
+    * [[entries]]: case-insensitive, linear, never throws, prologue
+    * (channel-level) enclosures never count. */
+  def enclosures(xml: String): Array[Enclosure] = {
+    if (xml == null) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[Enclosure]
+    val n = xml.length
+    def lower(c: Char): Char = Character.toLowerCase(c)
+    def tagAt(i: Int, t: String): Boolean = {
+      if (i + t.length > n) return false
+      var k = 0
+      while (k < t.length) {
+        if (lower(xml.charAt(i + k)) != t.charAt(k)) return false
+        k += 1
+      }
+      true
+    }
+    def opensAt(i: Int, t: String): Boolean =
+      tagAt(i, t) && i + t.length < n && {
+        val c = xml.charAt(i + t.length)
+        c == '>' || c == ' ' || c == '\t' || c == '\n' || c == '\r' ||
+          c == '/'
+      }
+    def regionOpensAt(i: Int, t: String): Boolean =
+      tagAt(i, t) && i + t.length < n && {
+        val c = xml.charAt(i + t.length)
+        c == '>' || c == ' ' || c == '\t' || c == '\n' || c == '\r'
+      }
+    var pending = List.empty[(String, String, String)]
+    var date: String = null
+    var inRegion = false
+    def flush(): Unit = {
+      if (inRegion) pending.reverse.foreach { case (u, ty, le) =>
+        out += Enclosure(u, ty, le, date)
+      }
+      pending = Nil; date = null
+    }
+    def textUntil(from: Int, close: String): (String, Int) = {
+      var j = from
+      while (j < n && xml.charAt(j) != '<') j += 1
+      if (j < n && tagAt(j, close)) (xml.substring(from, j), j + close.length)
+      else (null, j)
+    }
+    def attrsEnd(from: Int): Int = {
+      var j = from
+      while (j < n && xml.charAt(j) != '>') j += 1
+      j
+    }
+    var i = 0
+    while (i < n) {
+      if (xml.charAt(i) != '<') i += 1
+      else if (regionOpensAt(i, "<item")) {
+        flush(); inRegion = true; i += 5
+      } else if (regionOpensAt(i, "<entry")) {
+        flush(); inRegion = true; i += 6
+      } else if (tagAt(i, "</item>")) {
+        flush(); inRegion = false; i += 7
+      } else if (tagAt(i, "</entry>")) {
+        flush(); inRegion = false; i += 8
+      } else if (inRegion && opensAt(i, "<enclosure")) {
+        val end = attrsEnd(i + 10)
+        if (end < n) {
+          val attrs = xml.substring(i + 10, end)
+          val u = attrOf(attrs, "url")
+          if (u != null)
+            pending ::= ((u, attrOf(attrs, "type"), attrOf(attrs, "length")))
+        }
+        i = end + (if (end < n) 1 else 0)
+      } else if (inRegion && opensAt(i, "<link")) {
+        val end = attrsEnd(i + 5)
+        if (end < n && xml.charAt(i + 5) != '>') {
+          val attrs = xml.substring(i + 5, end)
+          val rel = attrOf(attrs, "rel")
+          if (rel != null &&
+            rel.trim.equalsIgnoreCase("enclosure")) {
+            val u = hrefOf(attrs)
+            if (u != null)
+              pending ::=
+                ((u, attrOf(attrs, "type"), attrOf(attrs, "length")))
+          }
+        }
+        i = end + (if (end < n) 1 else 0)
+      } else if (inRegion && date == null && (tagAt(i, "<pubdate>") ||
+          tagAt(i, "<updated>"))) {
+        val close = if (tagAt(i, "<pubdate>")) "</pubdate>" else "</updated>"
+        val (t, next) = textUntil(i + 9, close)
+        if (t != null) { date = t.trim; i = next } else i = next
+      } else if (inRegion && date == null && tagAt(i, "<published>")) {
+        val (t, next) = textUntil(i + 11, "</published>")
+        if (t != null) { date = t.trim; i = next } else i = next
+      } else i += 1
+    }
+    flush()
+    out.toArray
+  }
+
+  /** [[enclosures]] over a RAW (possibly gzipped) fetched body. */
+  def enclosuresFromBytes(body: Array[Byte]): Array[Enclosure] =
+    Sitemaps.decodeBody(body).map(enclosures).getOrElse(Array.empty)
 
   /** [[entries]] over a RAW (possibly gzipped) fetched body. */
   def entriesFromBytes(body: Array[Byte]): Array[(String, String)] =
@@ -361,5 +481,47 @@ object Feeds {
         max(struct(key(col("feed_date")).as("k"), col("feed_date").as("d")))
           .as("_fd"))
       .select(col("url"), col("n_refs"), col("_fd.d").as("feed_date"))
+  }
+
+  /** Media-enclosure fetch list from fetched feed bodies (r17) — the
+    * AUDIO/VIDEO sibling of [[seedsFromFeeds]], the discovery channel
+    * an audio-text pipeline starts from (podcast RSS is where
+    * narrated-speech training data lives; the enclosure IS the media
+    * url). Urls entity-decode + canonicalize exactly like entry links
+    * and anti-join the fetched set; per url: `n_refs` across feeds,
+    * `mime_type` = MAX declared type (cross-feed declarations rarely
+    * disagree; max is the deterministic fold), `length_bytes` = MAX
+    * parsed length (a size hint for fetch budgeting; non-numeric
+    * declarations null out), `feed_date` = the recency-keyed max
+    * ([[dateKey]] — the seedsFromFeeds fold). Feed-count-sized
+    * everywhere: one body parse per feed, one url-keyed aggregate. */
+  def enclosureSeeds(feeds: DataFrame, fetched: DataFrame,
+                     bodyCol: String = "body",
+                     urlCol: String = "url"): DataFrame = {
+    val encs = udf((b: Array[Byte]) => enclosuresFromBytes(b)
+      .map(e => (e.url, e.mimeType, e.length, e.date)))
+    val canon =
+      udf((s: String) => UrlResolve.selfNormalize(HtmlText.decodeAttr(s)))
+    val key = udf((s: String) => Option(dateKey(s)).map(_.longValue))
+    val lenOf = udf { (s: String) =>
+      if (s == null || s.isEmpty || !s.forall(_.isDigit) || s.length > 18)
+        None
+      else Some(s.toLong)
+    }
+    feeds.select(explode(encs(col(bodyCol))).as("_en"))
+      .select(canon(col("_en._1")).as("url"),
+        col("_en._2").as("mime_type"), lenOf(col("_en._3")).as("len"),
+        col("_en._4").as("feed_date"))
+      .filter(col("url").isNotNull)
+      .join(fetched.select(col(urlCol).cast("string").as("url")),
+        Seq("url"), "left_anti")
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_refs"),
+        max(col("mime_type")).as("mime_type"),
+        max(col("len")).as("length_bytes"),
+        max(struct(key(col("feed_date")).as("k"), col("feed_date").as("d")))
+          .as("_fd"))
+      .select(col("url"), col("n_refs"), col("mime_type"),
+        col("length_bytes"), col("_fd.d").as("feed_date"))
   }
 }

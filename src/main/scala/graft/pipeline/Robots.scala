@@ -167,6 +167,46 @@ object Robots {
     out.toSeq
   }
 
+  /** Sitemap DISCOVERY from a crawl's own robots.txt fetch records —
+    * the link between [[sitemapUrls]] (the per-body parse) and the
+    * [[Sitemaps]] ingestion loop. 200 robots bodies contribute their
+    * `Sitemap:` lines; each value resolves RFC 3986-style against the
+    * robots url itself (the directive is specified absolute at
+    * sitemaps.org, but relative values are common in the wild, and
+    * resolve is the identity on absolute ones) and normalizes to the
+    * frontier's canonical form; already-fetched sitemaps anti-join
+    * away. Output (url, n_refs) — the [[Sitemaps.childSitemaps]]
+    * fetch-list shape: fetch these, route `<sitemapindex>` bodies back
+    * through childSitemaps and `<urlset>` bodies into
+    * [[Sitemaps.seedsFromBytes]]. Everything is robots-fetch-sized:
+    * one body decode+parse per host, a left-anti against the fetched
+    * set, one url-keyed aggregate. */
+  def sitemapsFromRecords(records: DataFrame, fetched: DataFrame,
+                          urlCol: String = "url"): DataFrame = {
+    val sitemapsOf = udf { (b: Array[Byte]) =>
+      if (b == null) Array.empty[String]
+      else {
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+        sitemapUrls(
+          dec.decode(java.nio.ByteBuffer.wrap(b)).toString).toArray
+      }
+    }
+    records.filter(col("warc_type") === "response" &&
+        col("http_status") === 200 &&
+        pathOf(col("target_uri")) === "/robots.txt")
+      .select(col("target_uri").cast("string").as("_rs_base"),
+        explode(sitemapsOf(col("body"))).as("_rs_raw"))
+      .select(UrlResolve.resolveAndNormalizeCol(col("_rs_base"),
+        col("_rs_raw")).as("url"))
+      .filter(col("url").isNotNull)
+      .join(fetched.select(col(urlCol).cast("string").as("url")),
+        Seq("url"), "left_anti")
+      .groupBy("url")
+      .agg(count(lit(1)).as("n_refs"))
+  }
+
   /** RFC 9309 path-pattern match: literal chars, `*` any run, `$` end
     * anchor (only meaningful as the last char; elsewhere literal —
     * the de-facto interpretation). Two-pointer with single backtrack

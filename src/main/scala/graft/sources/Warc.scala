@@ -506,7 +506,7 @@ object Warc {
     * Hadoop's `Configuration` is not serializable; the entry map is
     * (a few hundred strings), and [[rebuildConf]] replays it once per
     * partition. */
-  private def hadoopConfEntries(df: DataFrame): Map[String, String] = {
+  private[sources] def hadoopConfEntries(df: DataFrame): Map[String, String] = {
     val c = df.sparkSession.sparkContext.hadoopConfiguration
     val it = c.iterator()
     val b = Map.newBuilder[String, String]
@@ -517,7 +517,7 @@ object Warc {
     b.result()
   }
 
-  private def rebuildConf(entries: Map[String, String])
+  private[sources] def rebuildConf(entries: Map[String, String])
       : org.apache.hadoop.conf.Configuration = {
     val c = new org.apache.hadoop.conf.Configuration()
     entries.foreach { case (k, v) => c.set(k, v) }

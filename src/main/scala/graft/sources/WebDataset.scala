@@ -102,6 +102,53 @@ object WebDataset {
     }
   }
 
+  /** [[Warc.writeWetShards]] for MULTIMODAL samples (r17): the corpus
+    * exported as WebDataset tar shards — the container image-text
+    * TRAINING data ships in — written FROM THE EXECUTORS (no driver
+    * collect, no shuffle), rolled at `samplesPerShard`, immediately
+    * re-readable by [[webdatasetSamples]]. Input: one row per sample —
+    * a key column plus a `map<string extension, binary>` parts column
+    * (e.g. `"txt" -> caption bytes, "json" -> metadata, "png" ->
+    * image`); a sample's members write CONTIGUOUSLY in sorted-extension
+    * order, satisfying the contiguity contract the reader's
+    * consecutive-run grouping relies on. Keys longer than 100 bytes
+    * ride GNU 'L' entries ([[encodeTar]]); `gzip = true` wraps each
+    * shard whole (WebDataset convention — shards are the parallelism
+    * unit, so per-member gzip buys nothing). Writer parallelism =
+    * input partitions (the writeShards contract): `repartition` a
+    * narrow-partitioned corpus first. */
+  def writeWebdatasetShards(samples: DataFrame, dir: String,
+                            keyCol: String = "key",
+                            partsCol: String = "parts",
+                            samplesPerShard: Int = 1000,
+                            gzip: Boolean = false): Unit = {
+    require(samplesPerShard > 0, "samplesPerShard must be positive")
+    val confEntries = Warc.hadoopConfEntries(samples)
+    val suffix = if (gzip) ".tar.gz" else ".tar"
+    samples.select(col(keyCol).cast("string"), col(partsCol))
+      .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val fs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(Warc.rebuildConf(confEntries))
+        var shard = 0
+        rows.grouped(samplesPerShard).foreach { chunk =>
+          val entries = chunk.flatMap { r =>
+            val key = r.getString(0)
+            r.getMap[String, Array[Byte]](1).toSeq.sortBy(_._1).map {
+              case (ext, bytes) =>
+                (if (ext == null || ext.isEmpty) key else s"$key.$ext",
+                  Option(bytes).getOrElse(Array.emptyByteArray))
+            }
+          }
+          val out = fs.create(new org.apache.hadoop.fs.Path(dir,
+            f"part-$pid%05d-$shard%04d$suffix"), true)
+          try out.write(encodeTar(entries.toSeq, gzip))
+          finally out.close()
+          shard += 1
+        }
+      }
+  }
+
   // ------------------------------------------------------------------
   // Decoder
   // ------------------------------------------------------------------

@@ -1135,6 +1135,85 @@ class CrawlFrontierSpec extends SparkTestBase {
     }
   }
 
+  test("dedupePairsByImage: container-swap mirrors collapse, corrupt passes (r17)") {
+    import graft.multimodal.Multimodal
+    // img A: constant mid-gray (ahash 0); its cdn-b copy is the SAME
+    // pixels re-encoded P6 (container swap). img B: hard vertical
+    // split -> 32 bits set, hamming 32 from A (no accidental pairing).
+    val w = 16; val h = 8
+    val pxA = Array.fill[Byte](w * h * 3)(128.toByte)
+    val pxB = Array.tabulate[Byte](w * h * 3) { i =>
+      val x = (i / 3) % w
+      if (x < w / 2) 0.toByte else 255.toByte
+    }
+    val images = Seq(
+      ("https://a.cdn/img/1.bmp", Multimodal.encodeBmp(w, h, pxA)),
+      ("https://b.cdn/m/1.bmp", Multimodal.encodePpm(w, h, pxA)),
+      ("https://a.cdn/img/2.bmp", Multimodal.encodeBmp(w, h, pxB)),
+      ("https://a.cdn/x/bad.bin", "NOTANIMAGE".getBytes("UTF-8")))
+      .toDF("img_url", "body")
+    val pairs = Seq(
+      ("https://p/A", "https://a.cdn/img/1.bmp", "cap"),
+      ("https://p/A", "https://b.cdn/m/1.bmp", "cap"), // folds with ^
+      ("https://p/B", "https://b.cdn/m/1.bmp", "other"), // re-keys
+      ("https://p/C", "https://a.cdn/img/2.bmp", "solo"),
+      ("https://p/D", "https://a.cdn/x/bad.bin", "bad"))
+      .toDF("url", "img_url", "alt")
+    val got = Crawl.dedupePairsByImage(pairs, images)
+      .as[(String, String, String)].collect().toSet
+    assert(got === Set(
+      ("https://p/A", "https://a.cdn/img/1.bmp", "cap"),
+      ("https://p/B", "https://a.cdn/img/1.bmp", "other"),
+      ("https://p/C", "https://a.cdn/img/2.bmp", "solo"),
+      ("https://p/D", "https://a.cdn/x/bad.bin", "bad")))
+    // shuffled-map dual: identical output
+    val dual = Crawl.dedupePairsByImage(pairs, images,
+      broadcastMap = false).as[(String, String, String)].collect().toSet
+    assert(dual === got)
+    // foldExact=false keeps page A's two re-keyed rows
+    val unfolded = Crawl.dedupePairsByImage(pairs, images,
+      foldExact = false).as[(String, String, String)].collect().toSeq
+    assert(unfolded.size === 5)
+    assert(unfolded.count(_ == ("https://p/A", "https://a.cdn/img/1.bmp",
+      "cap")) === 2)
+  }
+
+  test("pairQualityFilter: dims, aspect, caption length, boilerplate df (r17)") {
+    val pairs = Seq(
+      // (url, img, alt, w, h)
+      ("https://p/1", "i1", "a fine caption", 100, 80),   // keeps
+      ("https://p/2", "i2", "tiny image", 10, 80),        // minWidth
+      ("https://p/3", "i3", "short h", 100, 5),           // minHeight
+      ("https://p/4", "i4", "banner", 400, 40),           // aspect 10 > 3
+      ("https://p/5", "i5", "x", 100, 80),                // caption short
+      ("https://p/6", "i6", "y" * 999, 100, 80),          // caption long
+      ("https://p/7", "i7", "logo", 100, 80),             // boilerplate
+      ("https://p/8", "i8", "logo", 100, 80),
+      ("https://p/9", "i9", "logo", 100, 80),
+      ("https://p/10", "i10", "exact aspect 3", 240, 80)) // boundary keeps
+      .toDF("url", "img_url", "alt", "width", "height")
+      // undecodable row: null dims drop
+      .unionByName(Seq(("https://p/11", "i11", "no dims"))
+        .toDF("url", "img_url", "alt")
+        .withColumn("width", lit(null).cast("int"))
+        .withColumn("height", lit(null).cast("int")))
+    val kept = Crawl.pairQualityFilter(pairs, minWidth = 32, minHeight = 24,
+        maxAspect = 3.0, minCaptionChars = 3, maxCaptionChars = 200,
+        maxCaptionPages = 2)
+      .select("url").as[String].collect().toSet
+    assert(kept === Set("https://p/1", "https://p/10"))
+    // column order survives the anti-join
+    assert(Crawl.pairQualityFilter(pairs, maxCaptionPages = 2).columns.toSeq
+      === Seq("url", "img_url", "alt", "width", "height"))
+    // the same caption on ONE page is not boilerplate
+    val single = Seq(("https://p/1", "i1", "logo", 100, 80),
+      ("https://p/1", "i2", "logo", 100, 80))
+      .toDF("url", "img_url", "alt", "width", "height")
+    assert(Crawl.pairQualityFilter(single, minWidth = 32, minHeight = 24,
+      maxAspect = 3.0, minCaptionChars = 3, maxCaptionChars = 200,
+      maxCaptionPages = 1).count() === 2L)
+  }
+
   test("frontier gated by robots keeps only fetchable urls") {
     val pages = Seq(
       ("https://s/1", Seq("https://a.example/ok/1",

@@ -109,6 +109,35 @@ class RobotsSpec extends SparkTestBase {
     assert(Robots.sitemapUrls(null) === Seq.empty)
   }
 
+  test("sitemapsFromRecords: resolve, normalize, status gate, fetched anti-join") {
+    def rf(uri: String, status: Int, body: String) =
+      graft.sources.Warc.ResponseFixture(uri, status,
+        contentType = "text/plain",
+        body = body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val warc = graft.sources.Warc.encodeWarcFixtures(Seq(
+      rf("https://a.example/robots.txt", 200,
+        "User-agent: *\nDisallow: /x\n" +
+          "Sitemap: /rel/sm.xml\n" +                 // relative: resolves
+          "Sitemap: https://cdn.example/shared.xml\n" +
+          "sitemap: HTTPS://A.EXAMPLE/Caps/sm.xml\n"), // scheme+host lower
+      rf("https://b.example/robots.txt", 200,
+        "Sitemap: https://cdn.example/shared.xml\n" + // second ref
+          "Sitemap: https://b.example/fetched.xml\n"), // anti-joins away
+      rf("https://c.example/robots.txt", 404,
+        "Sitemap: https://c.example/never.xml\n"),     // status-gated
+      rf("https://d.example/page.html", 200,
+        "Sitemap: https://d.example/not-robots.xml\n"))) // wrong path
+    val records = graft.sources.Warc.warcRecords(
+      Seq(Tuple1(warc)).toDF("payload")).toDF()
+    val fetched = Seq("https://b.example/fetched.xml").toDF("url")
+    val got = Robots.sitemapsFromRecords(records, fetched)
+      .orderBy("url").as[(String, Long)].collect().toSeq
+    assert(got === Seq(
+      ("https://a.example/Caps/sm.xml", 1L),
+      ("https://a.example/rel/sm.xml", 1L),
+      ("https://cdn.example/shared.xml", 2L)))
+  }
+
   /** Independent evaluator for the loc kernel. */
   private def regexLocs(xml: String): Seq[String] = {
     val m = java.util.regex.Pattern.compile(Sitemaps.LocPattern).matcher(xml)
@@ -358,6 +387,57 @@ class RobotsSpec extends SparkTestBase {
       Seq("https://crawled.example/x").toDF("url"))
       .as[(String, Long, String)].collect().toSet
     assert(seeds === Set(("https://n.example/1?a=1&b=2", 2L, "2025-02-02")))
+  }
+
+  test("Feeds.enclosures: RSS + Atom forms, region dates, prologue/rel gates") {
+    val rss =
+      """<rss><channel>
+        |<enclosure url="https://m/prologue.mp3" type="audio/mpeg"/>
+        |<item><link>https://page/1</link>
+        |<enclosure length="100" type="audio/mpeg" url="https://m/a.mp3"/>
+        |<enclosure url="https://m/b.mp3"/>
+        |<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate></item>
+        |<item><enclosure type="x" length="5"/></item>
+        |</channel></rss>""".stripMargin
+    assert(Feeds.enclosures(rss).toSeq === Seq(
+      Feeds.Enclosure("https://m/a.mp3", "audio/mpeg", "100",
+        "Mon, 01 Jan 2024 00:00:00 GMT"),
+      Feeds.Enclosure("https://m/b.mp3", null, null,
+        "Mon, 01 Jan 2024 00:00:00 GMT")))
+    val atom =
+      """<feed><link rel="enclosure" href="https://m/pro.mp4"/>
+        |<entry><link href="https://page/2"/>
+        |<LINK REL='enclosure' HREF='https://m/v.mp4' TYPE='video/mp4' LENGTH='42'/>
+        |<updated>2024-02-02T00:00:00Z</updated></entry>
+        |<entry><link rel="alternate" href="https://page/3"/></entry>
+        |</feed>""".stripMargin
+    assert(Feeds.enclosures(atom).toSeq === Seq(
+      Feeds.Enclosure("https://m/v.mp4", "video/mp4", "42",
+        "2024-02-02T00:00:00Z")))
+    assert(Feeds.enclosures(null).isEmpty)
+    // unterminated region drops its pending enclosures? No — flush at
+    // end-of-input emits them (tolerant-prefix, the entries() rule
+    // differs: it requires a link; an enclosure IS the payload)
+    assert(Feeds.enclosures(
+      "<item><enclosure url=\"https://m/t.mp3\"/>").toSeq ===
+      Seq(Feeds.Enclosure("https://m/t.mp3", null, null, null)))
+    // the seeds composition: decode + canonicalize + anti-join + folds
+    val f1 = "<rss><channel><item>" +
+      "<enclosure url=\"https://m/e.mp3?a=1&amp;b=2\" type=\"audio/mpeg\" length=\"7\"/>" +
+      "<pubDate>Wed, 01 Jan 2020 00:00:00 GMT</pubDate></item>" +
+      "<item><enclosure url=\"https://m/gone.mp3\"/></item></channel></rss>"
+    val f2 = "<feed><entry>" +
+      "<link rel=\"enclosure\" href=\"https://m/e.mp3?a=1&amp;b=2\" type=\"audio/mpeg\" length=\"bad\"/>" +
+      "<updated>2024-02-02T00:00:00Z</updated></entry></feed>"
+    val got = Feeds.enclosureSeeds(
+      Seq(f1.getBytes("UTF-8"), f2.getBytes("UTF-8")).toDF("body"),
+      Seq("https://m/gone.mp3").toDF("url"))
+      .as[(String, Long, String, Option[Long], String)].collect().toSet
+    // recency: the 2024 ISO date beats the 2020 RFC 822 one by EPOCH
+    // (lexicographically 'W' > '2' would pick the wrong one); length =
+    // max parsed (the "bad" declaration nulls out)
+    assert(got === Set(("https://m/e.mp3?a=1&b=2", 2L, "audio/mpeg",
+      Some(7L), "2024-02-02T00:00:00Z")))
   }
 
   test("Feeds.dateKey: both dialects to one epoch, java.time cross-check") {

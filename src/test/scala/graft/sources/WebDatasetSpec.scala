@@ -83,4 +83,62 @@ class WebDatasetSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"sample grouping must not shuffle:\n$plan")
   }
+
+  test("writeWebdatasetShards round-trips samples, rolls shards, long keys") {
+    val tmp = java.nio.file.Files.createTempDirectory("wds_write_").toFile
+    try {
+      val longKey = ("k" * 110) + "/7"
+      val rows = (0 until 7).map { i =>
+        val key = if (i == 6) longKey else f"s/$i%03d"
+        val parts = Map(
+          "txt" -> s"caption $i".getBytes(utf8),
+          "json" -> s"""{"i":$i}""".getBytes(utf8)) ++
+          (if (i % 2 == 0)
+            Map("png" -> graft.multimodal.Multimodal.encodePng(4, 3,
+              Array.tabulate(4 * 3 * 3)(j => ((i + j) % 251).toByte)))
+          else Map.empty)
+        (key, parts)
+      }
+      val df = rows.toDF("key", "parts").repartition(2)
+      WebDataset.writeWebdatasetShards(df, tmp.getAbsolutePath,
+        samplesPerShard = 2, gzip = true)
+      val files = tmp.listFiles().filter(_.getName.endsWith(".tar.gz"))
+      // 7 samples over 2 partitions at 2/shard: at least 4 shards
+      assert(files.length >= 4, files.map(_.getName).mkString(","))
+      // members of one sample are contiguous (the writer's contract the
+      // reader's consecutive-run grouping relies on) and sorted by ext
+      files.foreach { f =>
+        val entries = WebDataset.parseTar(
+          java.nio.file.Files.readAllBytes(f.toPath))
+        val keys = entries.map(e => WebDataset.keyExt(e.name)._1)
+        val runs = keys.foldLeft(List.empty[String]) { (acc, k) =>
+          if (acc.headOption.contains(k)) acc else k :: acc
+        }
+        assert(runs.size === keys.distinct.size,
+          s"non-contiguous sample in ${f.getName}: $keys")
+        entries.groupBy(e => WebDataset.keyExt(e.name)._1).foreach {
+          case (k, es) =>
+            val exts = es.map(e => WebDataset.keyExt(e.name)._2)
+            assert(exts === exts.sorted, s"$k members not ext-sorted")
+        }
+      }
+      val got = WebDataset.webdatasetSamples(
+        spark.read.format("binaryFile").load(tmp.getAbsolutePath),
+        payloadCol = "content").collect()
+      assert(got.length === 7)
+      val byKey = got.map(s => s.key -> s.parts).toMap
+      rows.foreach { case (key, parts) =>
+        assert(byKey(key).keySet === parts.keySet, key)
+        parts.foreach { case (ext, bytes) =>
+          assert(byKey(key)(ext).toSeq === bytes.toSeq, s"$key.$ext")
+        }
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(tmp)
+    }
+  }
 }
