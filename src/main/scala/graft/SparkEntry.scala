@@ -3932,6 +3932,44 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // AUDIO-TEXT PAIRS (r17 — the LAION-Audio caption source): every
+    // feed item's TITLE captions its enclosure — entity-decoded
+    // (&amp; arm) and whitespace-collapsed (padded/newlined Atom arm);
+    // the shared trailer's identical (url, caption) folds to
+    // corpus-count refs, and a title-less item keeps its enclosure
+    // with a null caption (speech pipelines caption from the audio).
+    "crawl_audio_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val feeds = docs.as[Long].map { id =>
+        val extra =
+          if (id % 89 == 0)
+            s"""<item><enclosure url="https://media.example/n/$id.mp3" type="audio/mpeg"/></item>"""
+          else ""
+        val xml =
+          if (id % 2 == 0)
+            s"""<rss version="2.0"><channel>
+               |<title>Feed $id</title>
+               |<item><title>Ep $id &amp; notes ${id % 7}</title>
+               |<enclosure url="https://media.example/ep/$id.mp3" type="audio/mpeg"/></item>
+               |<item><title>Trailer</title>
+               |<enclosure url="https://media.example/trailer.mp3" type="audio/mpeg"/></item>
+               |$extra
+               |</channel></rss>""".stripMargin
+          else
+            s"""<feed><title>Feed $id</title>
+               |<entry><title>  Show
+               | ${id % 5} </title>
+               |<link rel="enclosure" href="https://media.example/vid/$id.mp4" type="video/mp4"/></entry>
+               |<entry><title>Trailer</title>
+               |<link rel="enclosure" href="https://media.example/trailer.mp3" type="audio/mpeg"/></entry>
+               |</feed>""".stripMargin
+        (id, xml.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }.toDF("doc_id", "body")
+      graft.pipeline.Feeds.enclosurePairs(feeds)
+        .orderBy("url")
+    }),
+
     // Sitemap-index routing (r15): a <sitemapindex> body's locs are
     // child SITEMAPS to fetch and re-parse, never page seeds — id%3==0
     // bodies are two-child indexes (a shared maps/{id%20} child whose
@@ -9211,6 +9249,33 @@ object SparkEntry {
         |JOIN base b ON b.doc_id = u.doc_id
         |LEFT JOIN zc z ON z.doc_id = u.doc_id
         |ORDER BY u.url""".stripMargin,
+    // the pairs replayed: per-item captions rebuilt with the entity
+    // replay (&amp; -> &) and the ws-collapse convention; the shared
+    // trailer folds to corpus-count refs; the title-less arm keeps a
+    // null caption
+    "crawl_audio_pairs" ->
+      """WITH u AS (
+        |  SELECT 'https://media.example/ep/' || CAST(doc_id AS VARCHAR)
+        |      || '.mp3' AS url,
+        |    'Ep ' || CAST(doc_id AS VARCHAR) || ' & notes '
+        |      || CAST(doc_id % 7 AS VARCHAR) AS caption,
+        |    'audio/mpeg' AS mime_type, 1 AS n
+        |  FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'https://media.example/vid/' || CAST(doc_id AS VARCHAR)
+        |      || '.mp4',
+        |    'Show ' || CAST(doc_id % 5 AS VARCHAR), 'video/mp4', 1
+        |  FROM documents WHERE doc_id % 2 = 1
+        |  UNION ALL
+        |  SELECT 'https://media.example/n/' || CAST(doc_id AS VARCHAR)
+        |      || '.mp3',
+        |    CAST(NULL AS VARCHAR), 'audio/mpeg', 1
+        |  FROM documents WHERE doc_id % 89 = 0 AND doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'https://media.example/trailer.mp3', 'Trailer',
+        |    'audio/mpeg', (SELECT CAST(count(*) AS INT) FROM documents))
+        |SELECT url, caption, mime_type, CAST(n AS BIGINT) AS n_refs
+        |FROM u ORDER BY url""".stripMargin,
     // both hierarchy levels rebuilt from the fixture arithmetic: index
     // locs (shared child maxing its listed days, solo child null, the
     // fetched child anti-joined) under kind=sitemap; urlset locs under

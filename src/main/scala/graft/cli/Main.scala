@@ -1154,6 +1154,28 @@ object Main {
         s"pairs kept -> $out")
       spark.stop()
 
+    case "crawl-audio-pairs" :: feedsParquet :: out :: Nil =>
+      // RSS/Atom enclosures paired with their item titles -> the
+      // audio/video-text pair corpus (LAION-Audio shape)
+      val spark = session()
+      graft.pipeline.Feeds.enclosurePairs(spark.read.parquet(feedsParquet))
+        .orderBy("url")
+        .write.mode("overwrite").parquet(out)
+      println(s"crawl-audio-pairs: ${spark.read.parquet(out).count()} " +
+        s"pairs -> $out")
+      spark.stop()
+
+    case "image-dims" :: imagesParquet :: out :: Nil =>
+      // decode step for the quality gate: (img_url, width, height)
+      // for every decodable payload
+      val spark = session()
+      graft.multimodal.Multimodal.imageDimsByKey(
+          spark.read.parquet(imagesParquet)).toDF()
+        .write.mode("overwrite").parquet(out)
+      println(s"image-dims: ${spark.read.parquet(out).count()} " +
+        s"decoded -> $out")
+      spark.stop()
+
     case "crawl-pair-quality" :: pairsParquet :: out :: rest =>
       // LAION-style pre-embedding screens over (url, img_url, alt,
       // width, height) pairs: dims, aspect, caption length,
@@ -1612,6 +1634,8 @@ object Main {
           |  wds-export       <samplesParquet> <outDir> [samplesPerShard] [gzip]
           |  crawl-image-dedup <pairsParquet> <imagesParquet> <outParquet> [maxHamming]
           |  crawl-pair-quality <pairsParquet> <outParquet> [minW] [minH] [maxAspect]
+          |  crawl-audio-pairs <feedsParquet> <outParquet>
+          |  image-dims       <imagesParquet> <outParquet>
           |  warc-extract     <filesParquet> <outParquet> [payloadCol]
           |  hamming-build    <hashesParquet> <indexPath> [idCol] [hashCol]
           |  hamming-append   <hashesParquet> <indexPath> [idCol] [hashCol]

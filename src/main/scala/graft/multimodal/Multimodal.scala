@@ -1635,6 +1635,31 @@ object Multimodal {
     }
   }
 
+  final case class KeyedDims(key: String, width: Int, height: Int)
+
+  /** Image geometry per STRING key — the decode step between a fetch
+    * and [[graft.pipeline.Crawl.pairQualityFilter]]: (key, width,
+    * height) for every payload the codec chain decodes; non-decodable
+    * keys emit nothing (pairs left-join this, and the filter's
+    * null-dims rule drops what never decoded). One mapPartitions
+    * pass, no shuffle; only the first frame's header/geometry is
+    * needed but corrupt data must not crash, so this runs the real
+    * decode (emit-less on failure, the classifier rule). */
+  def imageDimsByKey(images: DataFrame, keyCol: String = "img_url",
+                     payloadCol: String = "body"): Dataset[KeyedDims] = {
+    val spark = images.sparkSession
+    import spark.implicits._
+    images.select(col(keyCol).cast("string"), col(payloadCol).cast("binary"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (key, payload) =>
+          decodeFirstFrame(payload).map { case (w, h, _) =>
+            KeyedDims(key, w, h)
+          }.iterator
+        }
+      }
+  }
+
   final case class KeyedPHashRow(key: String, width: Int, height: Int,
                                  ahash: Long, dhash: Long)
 

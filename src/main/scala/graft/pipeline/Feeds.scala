@@ -147,9 +147,12 @@ object Feeds {
   private def hrefOf(attrs: String): String = attrOf(attrs, "href")
 
   /** One harvested media enclosure: (url, mime type|null,
-    * declared length|null, entry date|null) — values verbatim. */
+    * declared length|null, entry date|null, entry title|null) —
+    * values verbatim. The title is the caption source of an
+    * audio-text pipeline (podcast item titles caption the audio). */
   final case class Enclosure(url: String, mimeType: String,
-                             length: String, date: String)
+                             length: String, date: String,
+                             title: String)
 
   /** Media enclosures per entry region — the AUDIO/VIDEO harvest the
     * [[entries]] link scanner deliberately skips. Two forms count:
@@ -193,12 +196,13 @@ object Feeds {
       }
     var pending = List.empty[(String, String, String)]
     var date: String = null
+    var title: String = null
     var inRegion = false
     def flush(): Unit = {
       if (inRegion) pending.reverse.foreach { case (u, ty, le) =>
-        out += Enclosure(u, ty, le, date)
+        out += Enclosure(u, ty, le, date, title)
       }
-      pending = Nil; date = null
+      pending = Nil; date = null; title = null
     }
     def textUntil(from: Int, close: String): (String, Int) = {
       var j = from
@@ -245,6 +249,9 @@ object Feeds {
           }
         }
         i = end + (if (end < n) 1 else 0)
+      } else if (inRegion && title == null && tagAt(i, "<title>")) {
+        val (t, next) = textUntil(i + 7, "</title>")
+        if (t != null) { title = t.trim; i = next } else i = next
       } else if (inRegion && date == null && (tagAt(i, "<pubdate>") ||
           tagAt(i, "<updated>"))) {
         val close = if (tagAt(i, "<pubdate>")) "</pubdate>" else "</updated>"
@@ -523,5 +530,42 @@ object Feeds {
           .as("_fd"))
       .select(col("url"), col("n_refs"), col("mime_type"),
         col("length_bytes"), col("_fd.d").as("feed_date"))
+  }
+
+  /** AUDIO/VIDEO–text PAIRS from fetched feed bodies (r17) — the
+    * LAION-Audio shape, where the podcast item TITLE captions the
+    * enclosure: one row per distinct (media url, caption), captions
+    * entity-decoded and whitespace-collapsed (the html_extract
+    * convention — `\s+` → one space, trimmed; empty → null), urls
+    * canonicalized exactly like the fetch list. Cross-feed repeats of
+    * the same (url, caption) fold with `n_refs`; `mime_type` is the
+    * MAX declared type. Title-less enclosures ride through with a
+    * null caption — the consumer decides whether captionless media is
+    * usable (speech pipelines often caption from the audio itself).
+    * No fetched anti-join: pairs are corpus rows, not a frontier —
+    * gate the FETCH via [[enclosureSeeds]]. Feed-count-sized: one
+    * parse per body, one (url, caption)-keyed aggregate. */
+  def enclosurePairs(feeds: DataFrame,
+                     bodyCol: String = "body"): DataFrame = {
+    val encs = udf((b: Array[Byte]) => enclosuresFromBytes(b)
+      .map(e => (e.url, e.mimeType, e.title)))
+    val canon =
+      udf((s: String) => UrlResolve.selfNormalize(HtmlText.decodeAttr(s)))
+    val capOf = udf { (s: String) =>
+      if (s == null) None
+      else {
+        val c = HtmlText.decodeAttr(s)
+          .replaceAll("\\s+", " ").trim
+        if (c.isEmpty) None else Some(c)
+      }
+    }
+    feeds.select(explode(encs(col(bodyCol))).as("_ep"))
+      .select(canon(col("_ep._1")).as("url"),
+        col("_ep._2").as("mime_type"), capOf(col("_ep._3")).as("caption"))
+      .filter(col("url").isNotNull)
+      .groupBy("url", "caption")
+      .agg(count(lit(1)).as("n_refs"),
+        max(col("mime_type")).as("mime_type"))
+      .select(col("url"), col("caption"), col("mime_type"), col("n_refs"))
   }
 }

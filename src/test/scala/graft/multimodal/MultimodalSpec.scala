@@ -833,4 +833,25 @@ class MultimodalSpec extends SparkTestBase {
       }
     } finally media.unpersist()
   }
+
+  test("imageDimsByKey / perceptualHashesByKey: url-keyed decode, emit-less on corrupt") {
+    val images = Seq(
+      ("https://i/bmp", Multimodal.encodeBmp(12, 9,
+        Array.tabulate(12 * 9 * 3)(i => (i % 251).toByte))),
+      ("https://i/ppm", Multimodal.encodePpm(16, 8,
+        Array.fill[Byte](16 * 8 * 3)(64.toByte))),
+      ("https://i/tiny", Multimodal.encodeBmp(3, 2,
+        Array.fill[Byte](3 * 2 * 3)(0.toByte))),
+      ("https://i/bad", "garbage".getBytes("UTF-8")))
+      .toDF("img_url", "body")
+    val dims = Multimodal.imageDimsByKey(images)
+      .collect().map(d => d.key -> ((d.width, d.height))).toMap
+    // dims decode even below the phash grid minimum; corrupt emits nothing
+    assert(dims === Map("https://i/bmp" -> ((12, 9)),
+      "https://i/ppm" -> ((16, 8)), "https://i/tiny" -> ((3, 2))))
+    val hashes = Multimodal.perceptualHashesByKey(images)
+      .collect().map(_.key).toSet
+    // sub-grid (3x2) and corrupt payloads emit no hash
+    assert(hashes === Set("https://i/bmp", "https://i/ppm"))
+  }
 }

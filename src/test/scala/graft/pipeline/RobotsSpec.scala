@@ -401,9 +401,9 @@ class RobotsSpec extends SparkTestBase {
         |</channel></rss>""".stripMargin
     assert(Feeds.enclosures(rss).toSeq === Seq(
       Feeds.Enclosure("https://m/a.mp3", "audio/mpeg", "100",
-        "Mon, 01 Jan 2024 00:00:00 GMT"),
+        "Mon, 01 Jan 2024 00:00:00 GMT", null),
       Feeds.Enclosure("https://m/b.mp3", null, null,
-        "Mon, 01 Jan 2024 00:00:00 GMT")))
+        "Mon, 01 Jan 2024 00:00:00 GMT", null)))
     val atom =
       """<feed><link rel="enclosure" href="https://m/pro.mp4"/>
         |<entry><link href="https://page/2"/>
@@ -413,14 +413,21 @@ class RobotsSpec extends SparkTestBase {
         |</feed>""".stripMargin
     assert(Feeds.enclosures(atom).toSeq === Seq(
       Feeds.Enclosure("https://m/v.mp4", "video/mp4", "42",
-        "2024-02-02T00:00:00Z")))
+        "2024-02-02T00:00:00Z", null)))
     assert(Feeds.enclosures(null).isEmpty)
     // unterminated region drops its pending enclosures? No — flush at
     // end-of-input emits them (tolerant-prefix, the entries() rule
     // differs: it requires a link; an enclosure IS the payload)
     assert(Feeds.enclosures(
       "<item><enclosure url=\"https://m/t.mp3\"/>").toSeq ===
-      Seq(Feeds.Enclosure("https://m/t.mp3", null, null, null)))
+      Seq(Feeds.Enclosure("https://m/t.mp3", null, null, null, null)))
+    // the region TITLE captions every enclosure of the region, even
+    // when it appears after the enclosure; first title wins
+    assert(Feeds.enclosures(
+      "<item><enclosure url=\"https://m/c.mp3\"/>" +
+        "<title>Ep 1 &amp; intro</title><title>late</title></item>")
+      .toSeq === Seq(Feeds.Enclosure("https://m/c.mp3", null, null, null,
+        "Ep 1 &amp; intro")))
     // the seeds composition: decode + canonicalize + anti-join + folds
     val f1 = "<rss><channel><item>" +
       "<enclosure url=\"https://m/e.mp3?a=1&amp;b=2\" type=\"audio/mpeg\" length=\"7\"/>" +
@@ -438,6 +445,20 @@ class RobotsSpec extends SparkTestBase {
     // max parsed (the "bad" declaration nulls out)
     assert(got === Set(("https://m/e.mp3?a=1&b=2", 2L, "audio/mpeg",
       Some(7L), "2024-02-02T00:00:00Z")))
+    // audio-text pairs: the region title captions the enclosure
+    // (entity-decoded, ws-collapsed); cross-feed repeats fold;
+    // title-less enclosures keep a null caption
+    val f3 = "<rss><channel><item><title> Ep 9 &amp;\n  more </title>" +
+      "<enclosure url=\"https://m/e.mp3?a=1&amp;b=2\" type=\"audio/mpeg\"/>" +
+      "</item></channel></rss>"
+    val pairs = Feeds.enclosurePairs(
+      Seq(f1.getBytes("UTF-8"), f2.getBytes("UTF-8"), f3.getBytes("UTF-8"))
+        .toDF("body"))
+      .as[(String, Option[String], String, Long)].collect().toSet
+    assert(pairs === Set(
+      ("https://m/e.mp3?a=1&b=2", None, "audio/mpeg", 2L),
+      ("https://m/e.mp3?a=1&b=2", Some("Ep 9 & more"), "audio/mpeg", 1L),
+      ("https://m/gone.mp3", None, null, 1L)))
   }
 
   test("Feeds.dateKey: both dialects to one epoch, java.time cross-check") {
