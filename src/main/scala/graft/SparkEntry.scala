@@ -3970,6 +3970,33 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Index observability (r17): a build + two appends + a tombstone
+    // delete on a REAL int8 index, then Installments.stats — the
+    // compaction/vacuum dashboard (per-installment row counts + the
+    // deletes sidecar in one frame). Counts replay directly from the
+    // split arithmetic, so a numbering, partition-layout, or
+    // tombstone-dedup defect hash-mismatches.
+    "idx_stats" -> ((s, dir) => {
+      val fd = java.nio.file.Files.createTempDirectory("graft_idxstats_")
+      deleteRecursivelyOnExit(fd)
+      val idx = fd.resolve("int8").toString
+      val e = tbl(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"))
+      graft.index.Quantize.int8Build(e.filter(col("vec_id") % 4 < 2), idx)
+      graft.index.Quantize.int8Append(s, idx,
+        e.filter(col("vec_id") % 4 === 2))
+      graft.index.Quantize.int8Append(s, idx,
+        e.filter(col("vec_id") % 4 === 3))
+      // two deletes, one overlapping id set — the sidecar stores each
+      // batch distinct, so the counts pin the per-installment dedup
+      graft.index.Quantize.int8Delete(s, idx,
+        e.filter(col("vec_id") % 20 === 0).select(col("vec_id")))
+      graft.index.Quantize.int8Delete(s, idx,
+        e.filter(col("vec_id") % 30 === 0).select(col("vec_id")))
+      graft.store.Installments.stats(s, idx, Seq("codes"))
+        .orderBy("table", "installment")
+    }),
+
     // Sitemap-index routing (r15): a <sitemapindex> body's locs are
     // child SITEMAPS to fetch and re-parse, never page seeds — id%3==0
     // bodies are two-child indexes (a shared maps/{id%20} child whose
@@ -9276,6 +9303,26 @@ object SparkEntry {
         |    'audio/mpeg', (SELECT CAST(count(*) AS INT) FROM documents))
         |SELECT url, caption, mime_type, CAST(n AS BIGINT) AS n_refs
         |FROM u ORDER BY url""".stripMargin,
+    // the dashboard replayed from the split arithmetic: three codes
+    // installments (build + two appends), two deletes installments
+    // (each batch distinct within itself)
+    "idx_stats" ->
+      """WITH r AS (
+        |  SELECT 'codes' AS "table", 0 AS installment,
+        |    count(*) AS n FROM embeddings WHERE vec_id % 4 < 2
+        |  UNION ALL
+        |  SELECT 'codes', 1, count(*) FROM embeddings WHERE vec_id % 4 = 2
+        |  UNION ALL
+        |  SELECT 'codes', 2, count(*) FROM embeddings WHERE vec_id % 4 = 3
+        |  UNION ALL
+        |  SELECT 'deletes', 0, count(DISTINCT vec_id) FROM embeddings
+        |  WHERE vec_id % 20 = 0
+        |  UNION ALL
+        |  SELECT 'deletes', 1, count(DISTINCT vec_id) FROM embeddings
+        |  WHERE vec_id % 30 = 0)
+        |SELECT "table", CAST(installment AS INT) AS installment,
+        |  CAST(n AS BIGINT) AS n_rows
+        |FROM r ORDER BY "table", installment""".stripMargin,
     // both hierarchy levels rebuilt from the fixture arithmetic: index
     // locs (shared child maxing its listed days, solo child null, the
     // fetched child anti-joined) under kind=sitemap; urlset locs under

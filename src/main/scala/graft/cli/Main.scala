@@ -1230,6 +1230,36 @@ object Main {
       println(s"warc-extract: $n records -> $out")
       spark.stop()
 
+    case "index-stats" :: kind :: idx :: out :: Nil =>
+      // maintenance dashboard: per-installment row counts (+ deletes
+      // sidecar) for the flat families; per-(list, ingest) counts —
+      // the list-balance / re-train signal — for the IVF families
+      val spark = session()
+      val df = kind match {
+        case "ivf" | "ivfsq8" | "ivfpq" =>
+          graft.store.Installments.ivfStats(spark, idx)
+            .orderBy("list_id", "ingest")
+        case other =>
+          val tables = other match {
+            case "minhash"     => Seq("sets", "sizes")
+            case "bm25"        => Seq("postings", "stats", "terms")
+            case "int8" | "pq" => Seq("codes")
+            case "lm"          => Seq("uni", "bi", "tot")
+            case "span"        => Seq("wins")
+            case "hamming"     => Seq("hashes", "bands")
+            case "video"       => Seq("frames", "sizes", "dfs")
+            case o => sys.error(s"unknown index kind '$o' " +
+              "(expected minhash | bm25 | int8 | pq | lm | span | " +
+              "hamming | video | ivf | ivfsq8 | ivfpq)")
+          }
+          graft.store.Installments.stats(spark, idx, tables)
+            .orderBy("table", "installment")
+      }
+      df.write.mode("overwrite").parquet(out)
+      println(s"index-stats: ${spark.read.parquet(out).count()} " +
+        s"partitions of $kind index $idx -> $out")
+      spark.stop()
+
     case "index-delete" :: kind :: idx :: delParquet :: rest =>
       // takedown lifecycle: remove documents from a persisted index.
       // minhash | bm25 | int8 | ivfsq8 take an ID list (tombstone
@@ -1594,6 +1624,7 @@ object Main {
           |  ivfsq8-probe     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
           |  ivfsq8-prune     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
           |  index-delete     <minhash|bm25|int8|ivfsq8|ivf|pq|ivfpq|lm|span|hamming|video> <indexPath> <idsOrDocsParquet> [idOrTextCol]
+          |  index-stats      <minhash|bm25|int8|pq|lm|span|hamming|video|ivf|ivfsq8|ivfpq> <indexPath> <outParquet>
           |  index-vacuum     <minhash|bm25|int8|ivfsq8|ivf|pq|ivfpq|lm|span|hamming|video> <indexPath> [vecIdCol]
           |  video-build      <framesParquet> <indexPath> [idCol] [hashCol]
           |  video-append     <framesParquet> <indexPath> [idCol] [hashCol]

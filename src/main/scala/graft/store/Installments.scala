@@ -36,6 +36,62 @@ object Installments {
           "installment=0 from backup) before appending"))
   }
 
+  /** Maintenance observability for installment indexes (r17): per
+    * (table, installment) row counts — the compaction/health signal an
+    * operator reads BEFORE folding. Many small installments mean
+    * probe-side read amplification (every probe unions every
+    * partition), so installment count and size skew ARE the compaction
+    * trigger; the `deletes` tombstone sidecar is included automatically
+    * when present, so the deleted-fraction (the vacuum trigger) reads
+    * from the same frame. Absent tables skip silently (families differ:
+    * minhash has sets+sizes, int8 has codes, BM25 postings+stats).
+    * Counts aggregate per partition dir — column-pruned scans of the
+    * narrowest column, no data shuffle beyond the tiny counts. */
+  def stats(spark: SparkSession,
+            dir: String,
+            tables: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val present = (tables :+ "deletes").distinct.filter { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$t")
+      fs.exists(p) && fs.listStatus(p)
+        .exists(_.getPath.getName.startsWith("installment="))
+    }
+    val frames = present.map { t =>
+      spark.read.parquet(s"$dir/$t")
+        .groupBy(col("installment").cast("int").as("installment"))
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(t).as("table"), col("installment"), col("n_rows"))
+    }
+    if (frames.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("table",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("installment",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("n_rows",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    else frames.reduce(_ unionByName _)
+  }
+
+  /** [[stats]] for the IVF families' TWO-LEVEL `list_id=X/ingest=N`
+    * layout: per-(list, ingest) row counts — the LIST-BALANCE signal.
+    * Skewed lists mean skewed probe cost (a probe reads nprobe whole
+    * lists) and are the re-train trigger; the per-ingest split is the
+    * same compaction signal as [[stats]]. Reads the partition columns
+    * only. */
+  def ivfStats(spark: SparkSession,
+               dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(dir)
+      .groupBy(col("list_id").cast("int").as("list_id"),
+        col("ingest").cast("int").as("ingest"))
+      .agg(count(lit(1)).as("n_rows"))
+  }
+
   /** Next `ingest=` number for the IVF family's TWO-LEVEL layout
     * (`list_id=X/ingest=N/` — list pruning stays the top-level partition,
     * the ingest level is what makes appends replay-idempotent): one past

@@ -56,4 +56,32 @@ class TombstonesSpec extends SparkTestBase {
     assert(Tombstones.liveOnly(spark, path, Seq(1L, 2L).toDF("id"), "id", 0)
       .as[Long].collect().toSet === Set(1L, 2L))
   }
+
+  test("Installments.stats: per-table installment counts + deletes sidecar (r17)") {
+    val path = tmp() + "/idx"
+    Seq(1L, 2L, 3L).toDF("id")
+      .write.parquet(s"$path/codes/installment=0")
+    Seq(4L).toDF("id")
+      .write.parquet(s"$path/codes/installment=1")
+    Tombstones.append(spark, path, Seq(2L, 2L, 3L).toDF("id"), "id")
+    val got = Installments.stats(spark, path, Seq("codes", "absent"))
+      .as[(String, Int, Long)].collect().toSet
+    // absent tables skip; deletes installment stores its batch distinct
+    assert(got === Set(("codes", 0, 3L), ("codes", 1, 1L),
+      ("deletes", 0, 2L)))
+    // no index at all -> empty frame, correct schema
+    val empty = Installments.stats(spark, tmp() + "/nothing", Seq("codes"))
+    assert(empty.columns.toSeq === Seq("table", "installment", "n_rows"))
+    assert(empty.count() === 0L)
+  }
+
+  test("Installments.ivfStats: list-balance counts over the two-level layout (r17)") {
+    val path = tmp() + "/ivf"
+    Seq(1L, 2L).toDF("id").write.parquet(s"$path/list_id=0/ingest=0")
+    Seq(3L).toDF("id").write.parquet(s"$path/list_id=1/ingest=0")
+    Seq(4L, 5L, 6L).toDF("id").write.parquet(s"$path/list_id=1/ingest=1")
+    val got = Installments.ivfStats(spark, path)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(got === Set((0, 0, 2L), (1, 0, 1L), (1, 1, 3L)))
+  }
 }
