@@ -3997,6 +3997,62 @@ object SparkEntry {
         .orderBy("table", "installment")
     }),
 
+    // The LAION delivery step (r17): harvested pairs + their fetched
+    // image bytes (imageBytesJoin — the crawl_image_fetch shape)
+    // package into WebDataset tar shards (txt caption + json meta +
+    // the REAL BMP payload per sample) and read back through the
+    // source. Lossless by the oracle: caption md5 and the decoded
+    // dims of every image member replay from the fixture arithmetic —
+    // a writer, grouping, or codec defect hash-mismatches.
+    "crawl_pair_export" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val pairs = tbl(s, dir, "documents").select(
+        concat(lit("https://h"), id % 7, lit(".example/pg/"), id)
+          .as("url"),
+        concat(lit("https://c.example/i/"), id % 40, lit(".bmp"))
+          .as("img_url"),
+        concat(lit("alt "), id % 6).as("alt"),
+        id)
+      val fetchedRecs = tbl(s, dir, "documents")
+        .select((id % 40).as("m")).distinct()
+        .as[Long].map { m =>
+          val w = 9 + (m % 12).toInt
+          val h = 8 + (m % 5).toInt
+          val px = Multimodal.fixtureStream(
+            s"pair $m".getBytes(java.nio.charset.StandardCharsets.US_ASCII),
+            w * h * 3)
+          ("response", s"https://c.example/i/$m.bmp", 200,
+            Multimodal.encodeBmp(w, h, px))
+        }.toDF("warc_type", "target_uri", "http_status", "body")
+      val joined = graft.pipeline.Crawl.imageBytesJoin(pairs, fetchedRecs)
+      val samples = joined
+        .select(col("doc_id"), col("alt"), col("body"))
+        .as[(Long, String, Array[Byte])]
+        .map { case (docId, alt, body) =>
+          (docId.toString, Map(
+            "bmp" -> body,
+            "txt" -> alt.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            "json" -> s"""{"id":$docId}""".getBytes(
+              java.nio.charset.StandardCharsets.US_ASCII)))
+        }.toDF("key", "parts")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_pairwds_")
+      deleteRecursivelyOnExit(tmp)
+      val out = tmp.toFile.getAbsolutePath
+      graft.sources.WebDataset.writeWebdatasetShards(
+        samples.repartition(16), out, samplesPerShard = 50)
+      graft.sources.WebDataset.webdatasetSamples(
+          s.read.format("binaryFile").load(out), payloadCol = "content")
+        .map { smp =>
+          val d = Multimodal.decodeBmp(smp.parts("bmp"))
+          (smp.key.toLong, smp.parts.size, smp.parts("txt"),
+            d.map(_._1).getOrElse(-1), d.map(_._2).getOrElse(-1))
+        }.toDF("doc_id", "n_parts", "txt", "img_w", "img_h")
+        .select(col("doc_id"), col("n_parts"), md5(col("txt")).as("txt_md5"),
+          col("img_w"), col("img_h"))
+        .orderBy("doc_id")
+    }),
+
     // Sitemap-index routing (r15): a <sitemapindex> body's locs are
     // child SITEMAPS to fetch and re-parse, never page seeds — id%3==0
     // bodies are two-child indexes (a shared maps/{id%20} child whose
@@ -9323,6 +9379,15 @@ object SparkEntry {
         |SELECT "table", CAST(installment AS INT) AS installment,
         |  CAST(n AS BIGINT) AS n_rows
         |FROM r ORDER BY "table", installment""".stripMargin,
+    // the delivery step replayed: every doc's sample has its caption
+    // md5 and the m=id%40 image's exact dims
+    "crawl_pair_export" ->
+      """SELECT doc_id,
+        |  CAST(3 AS INT) AS n_parts,
+        |  md5('alt ' || CAST(doc_id % 6 AS VARCHAR)) AS txt_md5,
+        |  CAST(9 + (doc_id % 40) % 12 AS INT) AS img_w,
+        |  CAST(8 + (doc_id % 40) % 5 AS INT) AS img_h
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // both hierarchy levels rebuilt from the fixture arithmetic: index
     // locs (shared child maxing its listed days, solo child null, the
     // fetched child anti-joined) under kind=sitemap; urlset locs under

@@ -461,6 +461,29 @@ class RobotsSpec extends SparkTestBase {
       ("https://m/gone.mp3", None, null, 1L)))
   }
 
+  test("Feeds.enclosures: randomized attribute order/quotes/case round-trip") {
+    val rnd = new scala.util.Random(23)
+    for (n <- 0 until 200) {
+      val url = s"https://m/e$n.mp3"
+      val ty = if (rnd.nextBoolean()) "audio/mpeg" else null
+      val le = if (rnd.nextBoolean()) (100 + n).toString else null
+      def attr(name: String, v: String): Option[String] =
+        Option(v).map { x =>
+          val q = if (rnd.nextBoolean()) "\"" else "'"
+          val nm = if (rnd.nextBoolean()) name.toUpperCase else name
+          val sp = if (rnd.nextBoolean()) " = " else "="
+          s"$nm$sp$q$x$q"
+        }
+      val attrs = rnd.shuffle(List(
+        attr("url", url), attr("type", ty), attr("length", le),
+        Some(s"data-x='noise$n'")).flatten).mkString(" ")
+      val xml = s"<item><enclosure $attrs/><pubDate>D$n</pubDate></item>"
+      val got = Feeds.enclosures(xml)
+      assert(got.length === 1, xml)
+      assert(got(0) === Feeds.Enclosure(url, ty, le, s"D$n", null), xml)
+    }
+  }
+
   test("Feeds.dateKey: both dialects to one epoch, java.time cross-check") {
     import java.time.{Instant, OffsetDateTime}
     import java.time.format.DateTimeFormatter
