@@ -3970,6 +3970,74 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Media-pair LEDGER lifecycle (r17 — the feeds channel
+    // production-wired): batch 0 fetches every subset doc's podcast
+    // feed (rss+xml content type; episode + bonus enclosures captioned
+    // by item titles) alongside an html page (never routed to media —
+    // the xml gate); batch 1 refetches id%4==0 feeds with a CHANGED
+    // episode (the whole pair set supersedes — the bonus drops too)
+    // and id%4==1 feeds with ZERO enclosures (the supersession
+    // sentinel — the feed vanishes from the ledger); classes 2/3 keep
+    // their batch-0 pairs. compactMedia folds MID-QUERY, so the read
+    // is also pinned post-compaction.
+    "crawl_media_ledger" -> ((s, dir) => {
+      import s.implicits._
+      val fd = java.nio.file.Files.createTempDirectory("graft_medialedger_")
+      deleteRecursivelyOnExit(fd)
+      val fDir = fd.resolve("frontier").toString
+      val idxPath = fd.resolve("idx").toFile.getAbsolutePath
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+        .filter(col("doc_id") % 3 === 0)
+      def warcOf(batch: Int): DataFrame =
+        docs.withColumn("g", floor(col("doc_id") / 25))
+          .groupBy("g")
+          .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+          .as[(Long, Seq[Long])]
+          .map { case (g, ids) =>
+            val recs = ids.flatMap { id =>
+              val feedUrl = s"https://f${id % 7}.example/feed/$id.xml"
+              def feed(ct: String, xml: String) =
+                graft.sources.Warc.ResponseFixture(feedUrl, 200,
+                  contentType = ct,
+                  body = xml.getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8))
+              if (batch == 0) {
+                val page = graft.sources.Warc.ResponseFixture(
+                  s"https://f${id % 7}.example/pg/$id", 200,
+                  contentType = "text/html",
+                  body = s"<p>page $id words</p>".getBytes(
+                    java.nio.charset.StandardCharsets.UTF_8))
+                val bonus =
+                  if (id % 2 == 0)
+                    s"""<item><title>Bonus ${id % 20}</title><enclosure url="https://media.example/bonus/${id % 20}.mp3" type="audio/mpeg"/></item>"""
+                  else ""
+                Seq(page, feed("application/rss+xml",
+                  s"""<rss><channel><item><title>Ep $id</title><enclosure url="https://media.example/ep/$id.mp3" type="audio/mpeg"/></item>$bonus</channel></rss>"""))
+              } else (id % 4) match {
+                case 0 => Seq(feed("application/rss+xml",
+                  s"""<rss><channel><item><title>Ep2 $id</title><enclosure url="https://media.example/ep2/$id.mp3" type="audio/mpeg"/></item></channel></rss>"""))
+                case 1 => Seq(feed("text/xml",
+                  s"""<rss><channel><item><title>Gone $id</title></item></channel></rss>"""))
+                case _ => Seq.empty
+              }
+            }
+            (g, graft.sources.Warc.encodeWarcFixtures(recs,
+              gzipPerRecord = g % 2 == 1))
+          }.toDF("g", "payload")
+      for (b <- 0 to 1) {
+        val recs = graft.sources.Warc.warcRecords(warcOf(b)).toDF()
+        Phases.timed(s"ingest$b") {
+          graft.pipeline.Crawl.ingestBatch(s, recs, idxPath, b,
+            onPageLinks = _ => (),
+            onMedia = _.write.mode("overwrite")
+              .parquet(s"$fDir/media/batch=$b")) { _.count() }
+        }
+      }
+      Phases.timed("fold") { graft.pipeline.Crawl.compactMedia(s, fDir) }
+      graft.pipeline.Crawl.mediaPairsLedger(s, fDir)
+        .orderBy("url", "media_url")
+    }),
+
     // Index observability (r17): a build + two appends + a tombstone
     // delete on a REAL int8 index, then Installments.stats — the
     // compaction/vacuum dashboard (per-installment row counts + the
@@ -9359,6 +9427,37 @@ object SparkEntry {
         |    'audio/mpeg', (SELECT CAST(count(*) AS INT) FROM documents))
         |SELECT url, caption, mime_type, CAST(n AS BIGINT) AS n_refs
         |FROM u ORDER BY url""".stripMargin,
+    // each feed's LATEST-batch pairs rebuilt from the fixture
+    // arithmetic: id%4==0 refetches carry only the changed episode
+    // (the bonus supersedes away with the rest of the old set),
+    // id%4==1 vanishes via the sentinel, classes 2/3 keep batch 0
+    "crawl_media_ledger" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |u AS (
+        |  SELECT 'https://f' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/feed/' || CAST(doc_id AS VARCHAR) || '.xml'
+        |      AS url,
+        |    'https://media.example/ep2/' || CAST(doc_id AS VARCHAR)
+        |      || '.mp3' AS media_url,
+        |    'Ep2 ' || CAST(doc_id AS VARCHAR) AS caption,
+        |    'audio/mpeg' AS mime_type
+        |  FROM d WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT 'https://f' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/feed/' || CAST(doc_id AS VARCHAR) || '.xml',
+        |    'https://media.example/ep/' || CAST(doc_id AS VARCHAR)
+        |      || '.mp3',
+        |    'Ep ' || CAST(doc_id AS VARCHAR), 'audio/mpeg'
+        |  FROM d WHERE doc_id % 4 IN (2, 3)
+        |  UNION ALL
+        |  SELECT 'https://f' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/feed/' || CAST(doc_id AS VARCHAR) || '.xml',
+        |    'https://media.example/bonus/' || CAST(doc_id % 20 AS VARCHAR)
+        |      || '.mp3',
+        |    'Bonus ' || CAST(doc_id % 20 AS VARCHAR), 'audio/mpeg'
+        |  FROM d WHERE doc_id % 4 = 2)
+        |SELECT url, media_url, caption, mime_type FROM u
+        |ORDER BY url, media_url""".stripMargin,
     // the dashboard replayed from the split arithmetic: three codes
     // installments (build + two appends), two deletes installments
     // (each batch distinct within itself)

@@ -879,13 +879,15 @@ object Main {
       spark.stop()
 
     case "crawl-forget" :: frontierDir :: urlsParquet :: rest =>
-      // takedown: purge the given urls from the fetched + next + images
-      // ledgers (pair with frontier-blocklist to prevent re-acquisition)
+      // takedown: purge the given urls from the fetched + next +
+      // images + media ledgers (pair with frontier-blocklist to
+      // prevent re-acquisition)
       val urlCol = rest.headOption.getOrElse("url")
       val spark = session()
-      val (pf, pn, pi) = graft.pipeline.Crawl.purgeUrls(spark, frontierDir,
-        spark.read.parquet(urlsParquet), urlCol)
-      println(s"crawl-forget: purged $pf fetched + $pn next + $pi image rows")
+      val (pf, pn, pi, pm) = graft.pipeline.Crawl.purgeUrls(spark,
+        frontierDir, spark.read.parquet(urlsParquet), urlCol)
+      println(s"crawl-forget: purged $pf fetched + $pn next + $pi image " +
+        s"+ $pm media rows")
       spark.stop()
 
     case "crawl-host-health" :: warcPath :: out :: Nil =>
@@ -945,6 +947,24 @@ object Main {
         .write.mode("overwrite").parquet(out)
       val n = spark.read.parquet(out).count()
       println(s"crawl-images: $n image-text pairs -> $out")
+      spark.stop()
+
+    case "crawl-media" :: frontierDir :: out :: Nil =>
+      // the accumulated audio/video-text pairs (latest batch per feed
+      // url wins) -- the feeds-channel ledger a crawl with landMedia
+      // built
+      val spark = session()
+      graft.pipeline.Crawl.mediaPairsLedger(spark, frontierDir)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"crawl-media: $n media-text pairs -> $out")
+      spark.stop()
+
+    case "crawl-compact-media" :: frontierDir :: Nil =>
+      // fold the media/batch=N ledger to one latest-wins partition
+      val spark = session()
+      val b = graft.pipeline.Crawl.compactMedia(spark, frontierDir)
+      println(s"crawl-compact-media: folded to batch=$b")
       spark.stop()
 
     case "crawl-image-fetchlist" :: frontierDir :: out :: rest =>
@@ -1655,6 +1675,8 @@ object Main {
           |  crawl-images     <frontierDir> <outParquet>
           |  crawl-image-fetchlist <frontierDir> <outParquet> [blockedDomainsParquet|-] [bloomPath]
           |  crawl-compact-images <frontierDir>
+          |  crawl-media      <frontierDir> <outParquet>
+          |  crawl-compact-media <frontierDir>
           |  crawl-feed-seeds <feedsParquet> <crawledParquet|-> <outParquet>
           |  crawl-feed-enclosures <feedsParquet> <fetchedParquet|-> <outParquet>
           |  crawl-sitemap-seeds <sitemapsParquet> <crawledParquet|-> <outParquet> [lastmod]

@@ -50,7 +50,8 @@ object Crawl {
                               emptyText: Long, duplicates: Long,
                               appended: Long, redirects: Long = 0L,
                               nonText: Long = 0L, noindexed: Long = 0L,
-                              revisits: Long = 0L, imagePairs: Long = 0L)
+                              revisits: Long = 0L, imagePairs: Long = 0L,
+                              mediaPairs: Long = 0L)
 
   /** 200-responses this TEXT pipeline extracts: HTML/XHTML and plain
     * text (a missing Content-Type gets the benefit of the doubt —
@@ -113,7 +114,8 @@ object Crawl {
                      broadcastMaxBytes: Long = 64L << 20,
                      onPageLinks: DataFrame => Unit = null,
                      onRobots: DataFrame => Unit = null,
-                     onImages: DataFrame => Unit = null)
+                     onImages: DataFrame => Unit = null,
+                     onMedia: DataFrame => Unit = null)
                     (use: DataFrame => A): (A, BatchStats) = {
     // links ride the SAME fused decode pass when the caller wants them
     // (the frontier feeder) -- decoding every body twice would double
@@ -144,6 +146,19 @@ object Crawl {
     val wantRobots = onRobots != null
     require(!wantRobots || wantLinks,
       "onRobots requires onPageLinks (the shared records checkpoint)")
+    // `onMedia` (r17) receives the batch's audio/video–text pairs
+    // harvested from FEED bodies among the 200s — xml-typed responses
+    // (rss/atom/text/application xml; xhtml excluded — that is a PAGE)
+    // routed through [[Feeds.enclosuresBySource]], one row per
+    // (feed url, media_url, caption, mime_type) plus a (url, nulls)
+    // SUPERSESSION SENTINEL for every feed-typed 200 that harvested
+    // nothing (the images-ledger discipline — a refetched feed that
+    // dropped an episode must supersede its stale pairs). Consumes
+    // eagerly. Requires onPageLinks (the shared records checkpoint —
+    // feeds are non-text 200s and never reach extraction).
+    val wantMedia = onMedia != null
+    require(!wantMedia || wantLinks,
+      "onMedia requires onPageLinks (the shared records checkpoint)")
     // redirect targets feed the frontier too (http→https and www→apex
     // migrations are a huge slice of real crawls) — but only when the
     // records carry the http_location column (pre-r13 record shapes
@@ -209,6 +224,30 @@ object Crawl {
     // looks up final 200 bodies ([[Robots.outcomesFromRecords]]
     // filters internally)
     if (wantRobots) onRobots(resp0)
+    var mediaPairCount = 0L
+    if (wantMedia) {
+      // feed-typed 200s: any xml content-type EXCEPT xhtml (a page).
+      // The checkpoint keeps non-text 200 bodies precisely so channels
+      // like this never re-walk the WARC members.
+      val feedish = resp0.filter(col("warc_type") === "response" &&
+          col("http_status") === 200 &&
+          lower(col("http_content_type")).contains("xml") &&
+          !lower(col("http_content_type")).contains("xhtml"))
+        .select(col("target_uri").cast("string").as("url"), col("body"))
+      val harvested = Feeds.enclosuresBySource(feedish).localCheckpoint()
+      try {
+        mediaPairCount = harvested.count()
+        val nullStr = lit(null).cast("string")
+        val sentinels = feedish.select(col("url")).distinct()
+          .join(harvested.select(col("url")).distinct(),
+            Seq("url"), "left_anti")
+          .select(col("url"), nullStr.as("media_url"),
+            nullStr.as("caption"), nullStr.as("mime_type"))
+        val pairs = harvested.unionByName(sentinels).localCheckpoint()
+        try onMedia(pairs)
+        finally graft.dedup.Dedup.release(pairs)
+      } finally graft.dedup.Dedup.release(harvested)
+    }
     // only RESPONSE 200s extract: a revisit record's stored status line
     // commonly says 200, but its payload is the recapture's header
     // block with no body
@@ -376,7 +415,7 @@ object Crawl {
         val result = use(docs)
         (result, BatchStats(responses, fallbacks, empties, 0L,
           responses - empties - noindexed, redirectCount, nonTextCount,
-          noindexed, revisitCount, imagePairCount))
+          noindexed, revisitCount, imagePairCount, mediaPairCount))
       } else {
         val dupIds = graft.dedup.Dedup.minhashIndexProbe(spark, indexPath,
             docs, "text", "url", threshold, maxBucketSize,
@@ -393,7 +432,7 @@ object Crawl {
           (result, BatchStats(responses, fallbacks, empties,
             responses - empties - noindexed - appended, appended,
             redirectCount, nonTextCount, noindexed, revisitCount,
-            imagePairCount))
+            imagePairCount, mediaPairCount))
         } finally graft.dedup.Dedup.release(fresh)
       }
     } finally {
@@ -806,6 +845,69 @@ object Crawl {
       throw new java.io.IOException(s"images compact swap-out failed: $images")
     if (!fs.rename(tmp, images))
       throw new java.io.IOException(s"images compact swap-in failed: $images")
+    fs.delete(old, true)
+    maxBatch
+  }
+
+  private val MediaPairCols = Seq("url", "media_url", "caption",
+    "mime_type")
+
+  /** The accumulated audio/video–text pairs from a frontier dir's
+    * `media/batch=N` ledger (written by `crawlIngestStream(landMedia =
+    * true)` — r17): per FEED url, the pairs of its LATEST batch, with
+    * the null-media_url supersession sentinels dropped AFTER the
+    * latest-batch selection — the [[imagePairsLedger]] semantics
+    * exactly (a refetched feed that dropped an episode supersedes the
+    * stale pairs; drop earlier and the sentinel batch loses to older
+    * real pairs). Empty frame when absent/uncommitted. */
+  def mediaPairsLedger(spark: SparkSession, frontierDir: String)
+      : DataFrame = {
+    val path = s"$frontierDir/media"
+    if (!hasCommittedData(spark, path))
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(MediaPairCols.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType))))
+    val df = spark.read.parquet(path)
+    val latest = df.groupBy(col("url").as("_ml_url"))
+      .agg(max(col("batch")).as("_ml_max"))
+    df.join(latest, col("url") === col("_ml_url") &&
+        col("batch") === col("_ml_max"))
+      .filter(col("media_url").isNotNull)
+      .select(MediaPairCols.map(col): _*)
+  }
+
+  /** Fold the `media/batch=N` partitions into ONE keyed by the highest
+    * batch id seen — the [[compactImages]] sibling: latest-batch pairs
+    * per feed url, sentinels fold to absence, atomic delete+rename
+    * swap, replays out of contract afterwards. Returns the retained
+    * batch id, or -1 when the ledger is empty/absent. */
+  def compactMedia(spark: SparkSession, frontierDir: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val media = new Path(s"$frontierDir/media")
+    val fs = media.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!hasCommittedData(spark, media.toString)) return -1L
+    val df = spark.read.parquet(media.toString)
+    val maxBatch = df.agg(max(col("batch"))).head() match {
+      case r if r.isNullAt(0) => return -1L
+      case r => r.getAs[Number](0).longValue()
+    }
+    val latest = df.groupBy(col("url").as("_ml_url"))
+      .agg(max(col("batch")).as("_ml_max"))
+    val folded = df.join(latest, col("url") === col("_ml_url") &&
+        col("batch") === col("_ml_max"))
+      .filter(col("media_url").isNotNull)
+      .select(MediaPairCols.map(col): _*)
+    val tmp = new Path(s"$frontierDir/media._compacting")
+    fs.delete(tmp, true)
+    folded.write.parquet(s"$tmp/batch=$maxBatch")
+    val old = new Path(s"$frontierDir/media._old")
+    fs.delete(old, true)
+    if (!fs.rename(media, old))
+      throw new java.io.IOException(s"media compact swap-out failed: $media")
+    if (!fs.rename(tmp, media))
+      throw new java.io.IOException(s"media compact swap-in failed: $media")
     fs.delete(old, true)
     maxBatch
   }
@@ -1561,7 +1663,8 @@ object Crawl {
     * survivors is untouched), via the atomic delete+rename swap of
     * the compaction family; replays of pre-purge batches are out of
     * contract afterwards (the shared convention). Returns (purged
-    * fetched rows, purged next rows, purged image pairs).
+    * fetched rows, purged next rows, purged image pairs, purged
+    * media pairs).
     *
     * Purging makes the url REFETCHABLE by design (forget-and-
     * reacquire): a takedown that must also prevent re-acquisition
@@ -1574,7 +1677,7 @@ object Crawl {
     * set, maintenance cadence. */
   def purgeUrls(spark: SparkSession, frontierDir: String,
                 urls: DataFrame, urlCol: String = "url")
-      : (Long, Long, Long) = {
+      : (Long, Long, Long, Long) = {
     import org.apache.hadoop.fs.Path
     val forget = broadcast(urls.select(col(urlCol).cast("string")
       .as("url")).distinct())
@@ -1605,7 +1708,7 @@ object Crawl {
       fs.delete(old, true)
       before - keptCount
     }
-    (purge("fetched"), purge("next"), purge("images"))
+    (purge("fetched"), purge("next"), purge("images"), purge("media"))
   }
 
   /** Fold every `next/batch=N` frontier partition into ONE partition

@@ -568,4 +568,34 @@ object Feeds {
         max(col("mime_type")).as("mime_type"))
       .select(col("url"), col("caption"), col("mime_type"), col("n_refs"))
   }
+
+  /** The LEDGER/attribution form of [[enclosurePairs]] (r17): one row
+    * per distinct (FEED url, media_url, caption, mime_type) — no
+    * cross-feed fold, so a per-batch ledger keyed by feed url can
+    * supersede a refetched feed's pairs wholesale (the images-ledger
+    * cache semantics). Same url canonicalization and caption
+    * processing as enclosurePairs; the within-feed distinct folds a
+    * feed that lists the same enclosure twice. */
+  def enclosuresBySource(feeds: DataFrame, urlCol: String = "url",
+                         bodyCol: String = "body"): DataFrame = {
+    val encs = udf((b: Array[Byte]) => enclosuresFromBytes(b)
+      .map(e => (e.url, e.mimeType, e.title)))
+    val canon =
+      udf((s: String) => UrlResolve.selfNormalize(HtmlText.decodeAttr(s)))
+    val capOf = udf { (s: String) =>
+      if (s == null) None
+      else {
+        val c = HtmlText.decodeAttr(s)
+          .replaceAll("\\s+", " ").trim
+        if (c.isEmpty) None else Some(c)
+      }
+    }
+    feeds.select(col(urlCol).cast("string").as("url"),
+        explode(encs(col(bodyCol))).as("_ep"))
+      .select(col("url"), canon(col("_ep._1")).as("media_url"),
+        capOf(col("_ep._3")).as("caption"),
+        col("_ep._2").as("mime_type"))
+      .filter(col("media_url").isNotNull)
+      .distinct()
+  }
 }

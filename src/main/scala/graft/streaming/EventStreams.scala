@@ -918,6 +918,14 @@ object EventStreams extends Serializable {
    * Read with [[graft.pipeline.Crawl.imagePairsLedger]] (latest batch
    * per url wins), fold with `compactImages`, purge with `purgeUrls`.
    * Needs `frontierDir`.
+   *
+   * `landMedia` (r17) lands each batch's audio/video–text pairs
+   * harvested from FEED bodies among the 200s (the `onMedia` feed —
+   * podcast-RSS/Atom enclosures captioned by item titles, plus
+   * supersession sentinels for feeds that harvested nothing) as
+   * `media/batch=N`. Read with
+   * [[graft.pipeline.Crawl.mediaPairsLedger]], fold with
+   * `compactMedia`, purge with `purgeUrls`. Needs `frontierDir`.
    */
   def crawlIngestStream(spark: SparkSession, warcFiles: DataFrame,
                         indexPath: String, threshold: Double = 0.8,
@@ -932,7 +940,8 @@ object EventStreams extends Serializable {
                         robotsPath: String = null,
                         landHostEdges: Boolean = false,
                         landRobots: Boolean = false,
-                        landImages: Boolean = false)
+                        landImages: Boolean = false,
+                        landMedia: Boolean = false)
                        (sink: (DataFrame, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     warcFiles.writeStream.foreachBatch {
@@ -1103,11 +1112,19 @@ object EventStreams extends Serializable {
           if (!landImages || frontierDir == null) null
           else pairs => pairs.write.mode("overwrite")
             .parquet(s"$frontierDir/images/batch=$batchId")
+        // the media-pair ledger (r17, opt-in): the batch's enclosure
+        // pairs from feed-typed 200s land as media/batch=N (same
+        // replay-idempotent overwrite); read the accumulated pairs
+        // with Crawl.mediaPairsLedger (latest batch per feed url wins)
+        val onMediaCb: org.apache.spark.sql.DataFrame => Unit =
+          if (!landMedia || frontierDir == null) null
+          else pairs => pairs.write.mode("overwrite")
+            .parquet(s"$frontierDir/media/batch=$batchId")
         val (_, stats) = graft.pipeline.Crawl.ingestBatch(spark,
           graft.sources.Warc.warcRecords(batch.toDF(), payloadCol).toDF(),
           indexPath, inst, threshold, maxBucketSize,
           onPageLinks = onLinks, onRobots = onRobotsCb,
-          onImages = onImagesCb) { fresh =>
+          onImages = onImagesCb, onMedia = onMediaCb) { fresh =>
           sink(fresh, batchId)
         }
         log.info(s"crawlIngestStream batch $batchId: " +
@@ -1116,7 +1133,8 @@ object EventStreams extends Serializable {
           s"empty=${stats.emptyText} dups=${stats.duplicates} " +
           s"appended=${stats.appended} redirects=${stats.redirects} " +
           s"non_text=${stats.nonText} noindexed=${stats.noindexed} " +
-          s"image_pairs=${stats.imagePairs}")
+          s"image_pairs=${stats.imagePairs} " +
+          s"media_pairs=${stats.mediaPairs}")
         ()
     }
 

@@ -978,9 +978,16 @@ class CrawlFrontierSpec extends SparkTestBase {
       ("https://p/keep", "https://img/2", null, null, "cap", 0L))
       .toDF("url", "img_url", "alt", "title", "caption", "batch")
       .write.partitionBy("batch").parquet(s"$fDir/images")
-    val (pf, pn, pi) = Crawl.purgeUrls(spark, fDir,
+    // the media ledger purges by feed url too (r17)
+    Seq(("https://p/gone", "https://m/e.mp3", "cap", "audio/mpeg", 0L),
+      ("https://p/keep", "https://m/f.mp3", null, null, 0L))
+      .toDF("url", "media_url", "caption", "mime_type", "batch")
+      .write.partitionBy("batch").parquet(s"$fDir/media")
+    val (pf, pn, pi, pm) = Crawl.purgeUrls(spark, fDir,
       Seq("https://p/gone", "https://p/nowhere").toDF("url"))
-    assert((pf, pn, pi) === ((1L, 1L, 1L)))
+    assert((pf, pn, pi, pm) === ((1L, 1L, 1L, 1L)))
+    assert(Crawl.mediaPairsLedger(spark, fDir)
+      .select("url").as[String].collect().toSeq === Seq("https://p/keep"))
     assert(Crawl.imagePairsLedger(spark, fDir)
       .select("url").as[String].collect().toSeq === Seq("https://p/keep"))
     // survivors verbatim, per-batch layout preserved
@@ -991,16 +998,17 @@ class CrawlFrontierSpec extends SparkTestBase {
       .select("url").as[String].collect().toSeq === Seq("https://p/fresh"))
     // no-hit purge is a no-op (no rewrite)
     assert(Crawl.purgeUrls(spark, fDir,
-      Seq("https://p/absent").toDF("url")) === ((0L, 0L, 0L)))
+      Seq("https://p/absent").toDF("url")) === ((0L, 0L, 0L, 0L)))
     // full purge of a ledger leaves ABSENCE, not an unreadable dir
-    val (pf2, pn2, pi2) = Crawl.purgeUrls(spark, fDir,
+    val (pf2, pn2, pi2, pm2) = Crawl.purgeUrls(spark, fDir,
       Seq("https://p/keep", "https://p/fresh").toDF("url"))
-    assert((pf2, pn2, pi2) === ((2L, 1L, 1L)))
+    assert((pf2, pn2, pi2, pm2) === ((2L, 1L, 1L, 1L)))
     assert(!Crawl.hasCommittedData(spark, s"$fDir/fetched"))
     assert(!Crawl.hasCommittedData(spark, s"$fDir/next"))
     assert(!Crawl.hasCommittedData(spark, s"$fDir/images"))
+    assert(!Crawl.hasCommittedData(spark, s"$fDir/media"))
     assert(Crawl.purgeUrls(spark, fDir,
-      Seq("https://p/keep").toDF("url")) === ((0L, 0L, 0L)))
+      Seq("https://p/keep").toDF("url")) === ((0L, 0L, 0L, 0L)))
   }
 
   test("recrawlChurn: observation counts, null gaps, compaction invariance") {

@@ -637,4 +637,60 @@ class CrawlIngestStreamSpec extends SparkTestBase {
     assert(graft.pipeline.Crawl.imagePairsLedger(spark,
       base.resolve("nowhere").toString).count() === 0L)
   }
+
+  test("landMedia: feed enclosures land per batch; sentinels supersede (r17)") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("crawl-media")
+    base.toFile.deleteOnExit()
+    val idx = base.resolve("idx").toString
+    val fDir = base.resolve("frontier").toString
+    def feedWarc(recs: (String, String, String)*): Array[Byte] =
+      graft.sources.Warc.encodeWarcFixtures(
+        recs.map { case (u, ct, body) =>
+          graft.sources.Warc.ResponseFixture(u, 200, contentType = ct,
+            body = body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }, gzipPerRecord = true)
+    val input = MemoryStream[(Long, Array[Byte])]
+    val q = EventStreams.crawlIngestStream(spark,
+      input.toDF().toDF("g", "payload"), idx, threshold = 0.5,
+      frontierDir = fDir, landMedia = true)().start()
+    // batch 0: a podcast feed (two enclosures, item titles caption),
+    // an html page (never media), an xhtml page (xml-typed but a PAGE)
+    input.addData((0L, feedWarc(
+      ("https://pod.test/feed.xml", "application/rss+xml",
+        """<rss><channel><item><title>Ep 1 &amp; intro</title>
+          |<enclosure url="/audio/1.mp3" type="audio/mpeg"/></item>
+          |<item><title>Ep 2</title>
+          |<enclosure url="https://cdn.test/2.mp3" type="audio/mpeg"/></item>
+          |</channel></rss>""".stripMargin),
+      ("https://pod.test/page", "text/html",
+        "<p>a page with enough words to extract</p>"),
+      ("https://pod.test/xh", "application/xhtml+xml",
+        "<html><body><p>xhtml page not a feed</p></body></html>"))))
+    q.processAllAvailable()
+    val b0 = spark.read.parquet(s"$fDir/media/batch=0")
+      .select("url", "media_url", "caption", "mime_type")
+      .as[(String, String, String, String)].collect().toSet
+    // relative enclosure urls resolve... they DON'T (enclosuresBySource
+    // canonicalizes absolute urls only; relative nulls out) — only the
+    // absolute one lands, plus NO sentinel (the feed harvested a pair)
+    assert(b0 === Set(("https://pod.test/feed.xml",
+      "https://cdn.test/2.mp3", "Ep 2", "audio/mpeg")),
+      s"batch 0 media pairs: $b0")
+    // batch 1: the feed refetched with ZERO enclosures -> sentinel
+    input.addData((1L, feedWarc(
+      ("https://pod.test/feed.xml", "text/xml",
+        "<rss><channel><item><title>empty now</title></item></channel></rss>"))))
+    q.processAllAvailable()
+    q.stop()
+    assert(graft.pipeline.Crawl.mediaPairsLedger(spark, fDir)
+      .count() === 0L,
+      "a refetch that dropped its enclosures must supersede the pairs")
+    assert(graft.pipeline.Crawl.compactMedia(spark, fDir) === 1L)
+    assert(graft.pipeline.Crawl.mediaPairsLedger(spark, fDir)
+      .count() === 0L)
+    // absent ledger reads as empty
+    assert(graft.pipeline.Crawl.mediaPairsLedger(spark,
+      base.resolve("nowhere").toString).count() === 0L)
+  }
 }
