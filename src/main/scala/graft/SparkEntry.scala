@@ -4038,6 +4038,91 @@ object SparkEntry {
         .orderBy("url", "media_url")
     }),
 
+    // Media FETCH loop (r17 — the enclosure channel's LAION step 2,
+    // ledger-fed): the media ledger's distinct enclosure urls become a
+    // politeness-scheduled fetch list (already-fetched urls anti-join
+    // away against the SHARED fetched ledger, the a4.example host
+    // blocklists away, supersession sentinels drop at the ledger
+    // read, a shared episode referenced by every 11th feed carries
+    // corpus-count refs), the scheduled urls come back as REAL 16-bit
+    // PCM WAVs, and mediaBytesJoin + audioStats' exact integer triage
+    // attach the decoded stats to every referencing (feed, enclosure,
+    // caption) pair. Any ledger/gating/scheduling/join/decode defect
+    // hash-mismatches.
+    "crawl_media_fetch" -> ((s, dir) => {
+      import s.implicits._
+      val fd = java.nio.file.Files.createTempDirectory("graft_mediafetch_")
+      deleteRecursivelyOnExit(fd)
+      val fDir = fd.resolve("frontier").toString
+      val id = col("doc_id")
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val feedUrl = concat(lit("https://f"), id % 7,
+        lit(".example/feed/"), id, lit(".xml"))
+      val perDocUrl = concat(lit("https://a"), id % 5,
+        lit(".example/au/"), id, lit(".wav"))
+      val perDoc = docs.select(
+        feedUrl.as("url"), perDocUrl.as("media_url"),
+        concat(lit("Ep "), id % 9).as("caption"),
+        lit("audio/wav").as("mime_type"))
+      val shared = docs.filter(id % 11 === 0).select(
+        feedUrl.as("url"),
+        lit("https://a0.example/au/777777.wav").as("media_url"),
+        lit("Shared").as("caption"),
+        lit("audio/wav").as("mime_type"))
+      val sentinels = docs.filter(id % 13 === 0).select(
+        concat(lit("https://f9.example/empty/"), id, lit(".xml"))
+          .as("url"),
+        lit(null).cast("string").as("media_url"),
+        lit(null).cast("string").as("caption"),
+        lit(null).cast("string").as("mime_type"))
+      perDoc.unionByName(shared).unionByName(sentinels)
+        .write.mode("overwrite").parquet(s"$fDir/media/batch=0")
+      // the SHARED fetched ledger: the feeds themselves plus the
+      // id%10==0 enclosures an earlier loop already fetched
+      docs.select(feedUrl.as("url"))
+        .unionByName(docs.filter(id % 10 === 0)
+          .select(perDocUrl.as("url")))
+        .write.mode("overwrite").parquet(s"$fDir/fetched/batch=0")
+      val blocked = Seq("a4.example").toDF("domain")
+      val list = graft.pipeline.Crawl.mediaFetchList(s, fDir,
+        blockedDomains = blocked)
+      val sched = graft.pipeline.Crawl.schedule(
+        list.select(col("url"), col("n_refs")), maxRounds = 1 << 20)
+      def midOf(u: String): Long =
+        u.substring(u.indexOf("/au/") + 4, u.length - 4).toLong
+      val bodies = sched.select(col("url")).as[String].map { u =>
+        val mid = midOf(u)
+        val n = (48 + mid % 40).toInt
+        val samples = Array.tabulate[Short](n) { i =>
+          ((((mid * 37 + i * 11) % 256) - 128) << 8).toShort
+        }
+        ("response", u, 200, Multimodal.encodeWav(16000, samples))
+      }.toDF("warc_type", "target_uri", "http_status", "body")
+      val joined = graft.pipeline.Crawl.mediaBytesJoin(
+        graft.pipeline.Crawl.mediaPairsLedger(s, fDir), bodies)
+      val keyed = joined.select(col("media_url"), col("body"))
+        .dropDuplicates("media_url")
+        .as[(String, Array[Byte])]
+        .map { case (u, b) => (u, midOf(u), b) }
+        .toDF("media_url", "mid", "body")
+      val stats = Multimodal.audioStats(
+        keyed.select(col("mid"), col("body"))
+          .as[(Long, Array[Byte])].map { case (mid, b) =>
+            Multimodal.MediaRow(mid, b,
+              Multimodal.MediaMeta("audio", 0, 0, 0, 16000))
+          }).toDF()
+      val byUrl = keyed.select(col("media_url"), col("mid"))
+        .join(stats, col("mid") === col("id")).drop("id", "mid")
+      joined.select(col("url"), col("media_url"), col("caption"))
+        .join(byUrl, Seq("media_url"))
+        .join(sched.select(col("url").as("media_url"), col("n_refs"),
+          col("round")), Seq("media_url"))
+        .select(col("url"), col("media_url"), col("caption"),
+          col("n_refs"), col("round"), col("n_samples"),
+          col("sum_sq_dev"), col("peak_dev"), col("zero_crossings"))
+        .orderBy("url", "media_url")
+    }),
+
     // Index observability (r17): a build + two appends + a tombstone
     // delete on a REAL int8 index, then Installments.stats — the
     // compaction/vacuum dashboard (per-installment row counts + the
@@ -9458,6 +9543,77 @@ object SparkEntry {
         |  FROM d WHERE doc_id % 4 = 2)
         |SELECT url, media_url, caption, mime_type FROM u
         |ORDER BY url, media_url""".stripMargin,
+    // the fetch loop replayed: eligible = not-yet-fetched (%10) and
+    // unblocked (%5==4 is a4.example); the shared episode carries
+    // distinct-feed refs; rounds replay schedule's per-host
+    // (n_refs desc, url) rank; stats replay the WAV fixture
+    // arithmetic through the same integer triage as
+    // crawl_enclosure_fetch
+    "crawl_media_fetch" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |elig AS (
+        |  SELECT doc_id, doc_id AS mid,
+        |    'https://a' || CAST(doc_id % 5 AS VARCHAR) || '.example/au/'
+        |      || CAST(doc_id AS VARCHAR) || '.wav' AS media_url,
+        |    'a' || CAST(doc_id % 5 AS VARCHAR) || '.example' AS host,
+        |    CAST(1 AS BIGINT) AS n_refs
+        |  FROM d WHERE doc_id % 10 <> 0 AND doc_id % 5 <> 4),
+        |sh AS (SELECT CAST(count(*) AS BIGINT) AS n_refs FROM d
+        |       WHERE doc_id % 11 = 0),
+        |list AS (
+        |  SELECT media_url, host, n_refs FROM elig
+        |  UNION ALL
+        |  SELECT 'https://a0.example/au/777777.wav', 'a0.example', n_refs
+        |  FROM sh WHERE n_refs > 0),
+        |r AS (SELECT media_url, n_refs,
+        |        CAST(row_number() OVER (PARTITION BY host
+        |          ORDER BY n_refs DESC, media_url) AS BIGINT) AS round
+        |      FROM list),
+        |mids AS (
+        |  SELECT mid FROM elig
+        |  UNION ALL
+        |  SELECT CAST(777777 AS BIGINT) FROM sh WHERE n_refs > 0),
+        |ks AS (SELECT mid, 48 + mid % 40 AS n FROM mids),
+        |ki AS (SELECT mid,
+        |         unnest(generate_series(0, CAST(n - 1 AS INT))) AS i
+        |       FROM ks),
+        |dev AS (SELECT mid, i,
+        |          ((mid * 37 + i * 11) % 256) - 128 AS dev FROM ki),
+        |base AS (SELECT mid, CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(dev * dev) AS BIGINT) AS sum_sq_dev,
+        |    CAST(max(abs(dev)) AS BIGINT) AS peak_dev
+        |  FROM dev GROUP BY mid),
+        |nz AS (SELECT mid, i, CASE WHEN dev > 0 THEN 1 ELSE -1 END AS sgn
+        |       FROM dev WHERE dev <> 0),
+        |lagged AS (SELECT mid, sgn,
+        |             lag(sgn) OVER (PARTITION BY mid ORDER BY i) AS prev
+        |           FROM nz),
+        |zc AS (SELECT mid,
+        |         CAST(sum(CASE WHEN prev IS NOT NULL AND sgn <> prev
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |       FROM lagged GROUP BY mid),
+        |pairs AS (
+        |  SELECT 'https://f' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.example/feed/' || CAST(doc_id AS VARCHAR) || '.xml'
+        |      AS url,
+        |    media_url, 'Ep ' || CAST(doc_id % 9 AS VARCHAR) AS caption,
+        |    mid
+        |  FROM elig
+        |  UNION ALL
+        |  SELECT 'https://f' || CAST(doc_id % 7 AS VARCHAR)
+        |      || '.example/feed/' || CAST(doc_id AS VARCHAR) || '.xml',
+        |    'https://a0.example/au/777777.wav', 'Shared',
+        |    CAST(777777 AS BIGINT)
+        |  FROM d WHERE doc_id % 11 = 0)
+        |SELECT p.url, p.media_url, p.caption, r.n_refs, r.round,
+        |  b.n_samples, b.sum_sq_dev, b.peak_dev,
+        |  CAST(COALESCE(z.zero_crossings, 0) AS BIGINT)
+        |    AS zero_crossings
+        |FROM pairs p
+        |JOIN r ON r.media_url = p.media_url
+        |JOIN base b ON b.mid = p.mid
+        |LEFT JOIN zc z ON z.mid = p.mid
+        |ORDER BY p.url, p.media_url""".stripMargin,
     // the dashboard replayed from the split arithmetic: three codes
     // installments (build + two appends), two deletes installments
     // (each batch distinct within itself)

@@ -992,6 +992,29 @@ object Main {
       println(s"crawl-image-fetchlist: $n image urls to fetch -> $out")
       spark.stop()
 
+    case "crawl-media-fetchlist" :: frontierDir :: out :: rest =>
+      // the enclosure FETCH frontier: distinct media-ledger urls + ref
+      // counts, minus already-fetched, blocklist-gated when a domains
+      // parquet is given — feed the output to crawl-schedule. Same
+      // optional bloom-artifact routing as crawl-image-fetchlist.
+      val spark = session()
+      val blocked = rest.headOption.filter(_ != "-")
+        .map(p => spark.read.parquet(p))
+        .orNull
+      val art = rest.drop(1).headOption.flatMap { bp =>
+        val a = graft.pipeline.Crawl.loadFetchedBloomArtifact(spark, bp)
+        if (a.isEmpty)
+          println(s"crawl-media-fetchlist: no bloom artifact at $bp " +
+            "- using the exact fetched join")
+        a
+      }.orNull
+      graft.pipeline.Crawl.mediaFetchList(spark, frontierDir, blocked,
+          bloomArtifact = art)
+        .write.mode("overwrite").parquet(out)
+      val n = spark.read.parquet(out).count()
+      println(s"crawl-media-fetchlist: $n media urls to fetch -> $out")
+      spark.stop()
+
     case "crawl-soft404" :: frontierDir :: out :: rest =>
       // within-host error templates from the hashed fetched ledger:
       // (host, content_md5, n_urls) per body served at minUrls+ urls
@@ -1674,6 +1697,7 @@ object Main {
           |  crawl-compact-edges <frontierDir>
           |  crawl-images     <frontierDir> <outParquet>
           |  crawl-image-fetchlist <frontierDir> <outParquet> [blockedDomainsParquet|-] [bloomPath]
+          |  crawl-media-fetchlist <frontierDir> <outParquet> [blockedDomainsParquet|-] [bloomPath]
           |  crawl-compact-images <frontierDir>
           |  crawl-media      <frontierDir> <outParquet>
           |  crawl-compact-media <frontierDir>

@@ -948,6 +948,44 @@ object Crawl {
       .groupBy(col("img_url"))
       .agg(countDistinct(col("url")).as("n_refs"))
       .select(col("img_url").as("url"), col("n_refs"))
+    gatedFetchList(spark, wanted, frontierDir, blockedDomains,
+      robotsRules, agentToken, bloomArtifact)
+  }
+
+  /** The media (audio/video enclosure) FETCH frontier (r17) — the
+    * [[imageFetchList]] sibling over the `media/batch=N` ledger:
+    * DISTINCT media_urls from [[mediaPairsLedger]] (already
+    * selfNormalized at harvest), `n_refs` = distinct referencing
+    * feeds, the same shared-fetched-ledger anti-join (exact or
+    * bloom-trickle), blocklist and optional robots gates. Output
+    * (url, n_refs) plugs straight into [[schedule]]/[[scheduleRanked]]
+    * — enclosure fetches pace per-host like any other. */
+  def mediaFetchList(spark: SparkSession, frontierDir: String,
+                     blockedDomains: DataFrame = null,
+                     robotsRules: DataFrame = null,
+                     agentToken: String = "graftbot",
+                     bloomArtifact: FetchedBloomArtifact = null)
+      : DataFrame = {
+    val wanted = mediaPairsLedger(spark, frontierDir)
+      .groupBy(col("media_url"))
+      .agg(countDistinct(col("url")).as("n_refs"))
+      .select(col("media_url").as("url"), col("n_refs"))
+    gatedFetchList(spark, wanted, frontierDir, blockedDomains,
+      robotsRules, agentToken, bloomArtifact)
+  }
+
+  /** The shared gating tail of [[imageFetchList]]/[[mediaFetchList]]:
+    * anti-join `wanted` (url, n_refs) against the frontier dir's
+    * fetched ledger (exact, or bloom-routed with the post-coversBelow
+    * trickle read exactly — a stale artifact stays correct), then the
+    * host-suffix blocklist and the optional robots gate. */
+  private def gatedFetchList(spark: SparkSession, wanted: DataFrame,
+                             frontierDir: String,
+                             blockedDomains: DataFrame,
+                             robotsRules: DataFrame,
+                             agentToken: String,
+                             bloomArtifact: FetchedBloomArtifact)
+      : DataFrame = {
     val fetchedPath = s"$frontierDir/fetched"
     val unfetched =
       if (!hasCommittedData(spark, fetchedPath)) wanted
@@ -1000,6 +1038,23 @@ object Crawl {
       .select(col("target_uri").cast("string").as("img_url"), col("body"))
     pairs.join(if (broadcastRecords) broadcast(resp) else resp,
       Seq("img_url"))
+  }
+
+  /** Join fetched enclosure payloads back to their harvested
+    * audio/video–text pairs — the [[imageBytesJoin]] sibling for the
+    * media channel: 200-response bodies key by `target_uri` (the
+    * fetcher fetched the normalized media_url, so the keys agree by
+    * construction) and attach to every (feed, media_url, caption)
+    * pair referencing them, ready for the audio/video decode chain.
+    * Records broadcast into the pairs side by default; pass
+    * `broadcastRecords = false` for bulk backfills. */
+  def mediaBytesJoin(pairs: DataFrame, records: DataFrame,
+                     broadcastRecords: Boolean = true): DataFrame = {
+    val resp = records
+      .filter(col("warc_type") === "response" && col("http_status") === 200)
+      .select(col("target_uri").cast("string").as("media_url"), col("body"))
+    pairs.join(if (broadcastRecords) broadcast(resp) else resp,
+      Seq("media_url"))
   }
 
   /** CLIP-style pair filtering (r17) — LAION step 3: once the fetched

@@ -931,6 +931,73 @@ class CrawlFrontierSpec extends SparkTestBase {
       "a bloom false positive must rescue via the exact join")
   }
 
+  test("mediaFetchList: refs, fetched/blocklist/robots gates, bytes join (r17)") {
+    val base = java.nio.file.Files.createTempDirectory("crawl-medfetch")
+    base.toFile.deleteOnExit()
+    val fDir = base.resolve("frontier").toString
+    // media ledger: two feeds reference ep/1 (n_refs 2), one each for
+    // the others; one enclosure already fetched, one on a blocked
+    // host, one robots-disallowed; a supersession sentinel never
+    // surfaces in the fetch list
+    Seq(("https://f/a", "https://cdn.test/ep/1", "A", 0L),
+      ("https://f/b", "https://cdn.test/ep/1", "B", 0L),
+      ("https://f/c", "https://cdn.test/ep/2", "C", 0L),
+      ("https://f/d", "https://done.test/ep/3", "D", 0L),
+      ("https://f/e", "https://ads.bad.test/ep/4", "E", 0L),
+      ("https://f/f", "https://cdn.test/private/5", "F", 0L),
+      ("https://f/gone", null, null, 0L))
+      .toDF("url", "media_url", "caption", "batch")
+      .withColumn("mime_type", lit("audio/mpeg"))
+      .select("url", "media_url", "caption", "mime_type", "batch")
+      .write.partitionBy("batch").parquet(s"$fDir/media")
+    Seq(("https://done.test/ep/3", null.asInstanceOf[String], 1L, 0L, 0L))
+      .toDF("url", "content_md5", "n_obs", "n_changes", "batch")
+      .write.partitionBy("batch").parquet(s"$fDir/fetched")
+    val all = Crawl.mediaFetchList(spark, fDir)
+      .as[(String, Long)].collect().toMap
+    assert(all === Map("https://cdn.test/ep/1" -> 2L,
+      "https://cdn.test/ep/2" -> 1L, "https://ads.bad.test/ep/4" -> 1L,
+      "https://cdn.test/private/5" -> 1L))
+    val rules = Robots.rulesDf(Seq(
+      ("cdn.test", "User-agent: *\nDisallow: /private/"))
+      .toDF("host", "body"), "host", "body")
+    val gated = Crawl.mediaFetchList(spark, fDir,
+      blockedDomains = Seq("bad.test").toDF("domain"),
+      robotsRules = rules)
+      .select("url").as[String].collect().toSet
+    assert(gated === Set("https://cdn.test/ep/1", "https://cdn.test/ep/2"))
+    // bytes join: 200 bodies attach to EVERY referencing pair;
+    // non-200 and unfetched pairs drop; the unbroadcast dual agrees
+    val records = Seq(
+      ("response", "https://cdn.test/ep/1", 200, "one".getBytes("UTF-8")),
+      ("response", "https://cdn.test/ep/2", 404, "no".getBytes("UTF-8")))
+      .toDF("warc_type", "target_uri", "http_status", "body")
+    val joined = Crawl.mediaBytesJoin(
+      Crawl.mediaPairsLedger(spark, fDir), records)
+      .select($"url", $"media_url", $"body".cast("string"))
+      .as[(String, String, String)].collect().toSet
+    assert(joined === Set(
+      ("https://f/a", "https://cdn.test/ep/1", "one"),
+      ("https://f/b", "https://cdn.test/ep/1", "one")))
+    val dual = Crawl.mediaBytesJoin(
+      Crawl.mediaPairsLedger(spark, fDir), records,
+      broadcastRecords = false)
+      .select($"url", $"media_url", $"body".cast("string"))
+      .as[(String, String, String)].collect().toSet
+    assert(dual === joined)
+    // absent ledger -> empty fetch list, not an error
+    assert(Crawl.mediaFetchList(spark,
+      base.resolve("nowhere").toString).count() === 0L)
+    // bloom routing rides the shared gating tail: output-identical
+    val bloomPath = base.resolve("bf").toString
+    Crawl.buildFetchedBloom(spark, fDir, null, 100, 0.01, bloomPath,
+      includeNext = false)
+    val art = Crawl.loadFetchedBloomArtifact(spark, bloomPath).get
+    val routed = Crawl.mediaFetchList(spark, fDir, bloomArtifact = art)
+      .as[(String, Long)].collect().toMap
+    assert(routed === all, s"bloom-routed media fetch list diverged: $routed")
+  }
+
   test("pairEmbeddingFilter: cosine gate, missing/zero-norm drop, guards (r17)") {
     val pairs = Seq(
       ("https://p/1", "https://i/a", "x"),
