@@ -4123,6 +4123,87 @@ object SparkEntry {
         .orderBy("url", "media_url")
     }),
 
+    // Perceptual AUDIO pair dedup (r17 — the mirror-collapse for the
+    // enclosure channel): every feed cites the SAME episode twice —
+    // once per mirror CDN, and the cdn-b copy is a RE-CONTAINER (the
+    // identical samples re-encoded at a different header rate, so
+    // byte- and url-level dedup both miss it) — plus a corrupt .bin
+    // arm that must pass through untouched. The 65-block
+    // energy-gradient hash, the hamming pair set, the min-url cluster
+    // canonicals, the re-keying, and the exact fold all replay in SQL
+    // — the media_audio_dups hash machinery pointed at urls.
+    "crawl_audio_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val feed = concat(lit("https://f"), id % 7, lit(".example/feed/"),
+        id, lit(".xml"))
+      def mirror(prefix: String) = docs.select(feed.as("url"),
+        concat(lit(prefix), id % 8, lit(".wav")).as("media_url"),
+        concat(lit("c"), id % 3).as("caption"))
+      val corrupt = Seq("https://cdn-a.example/x/bad.bin",
+          "https://cdn-b.example/x/bad.bin")
+        .map(u => docs.filter(id % 97 === 0).select(feed.as("url"),
+          lit(u).as("media_url"), lit("bad").as("caption")))
+        .reduce(_ unionByName _)
+      val pairs = mirror("https://cdn-a.example/au/")
+        .unionByName(mirror("https://cdn-b.example/re/"))
+        .unionByName(corrupt)
+      val media = docs.select((id % 8).as("m")).distinct()
+        .as[Long].flatMap { m =>
+          val n = (130 + m * 7).toInt
+          val samples = Array.tabulate[Short](n) { k =>
+            ((((m * 13 + k * 5) % 256) - 128) << 8).toShort
+          }
+          Seq((s"https://cdn-a.example/au/$m.wav",
+              Multimodal.encodeWav(8000, samples)),
+            (s"https://cdn-b.example/re/$m.wav",
+              Multimodal.encodeWav(16000, samples)))
+        }.toDF("media_url", "body")
+        .unionByName(Seq(
+          ("https://cdn-a.example/x/bad.bin", "NOTAUDIO".getBytes(
+            java.nio.charset.StandardCharsets.US_ASCII)),
+          ("https://cdn-b.example/x/bad.bin", "NOTAUDIO".getBytes(
+            java.nio.charset.StandardCharsets.US_ASCII)))
+          .toDF("media_url", "body"))
+      graft.pipeline.Crawl.dedupePairsByAudio(pairs, media)
+        .orderBy("url", "media_url")
+    }),
+
+    // LAION-Audio-style pair quality screens (r17): duration bounds
+    // as exact integer cross-multiplication (id%12 seconds against a
+    // [1s, 8s] window), the telephony-rate cut (id%31 at 4 kHz), the
+    // digital-silence cut (id%29), null-stats drop (id%53 never
+    // decoded), null captions PASS (the title-less enclosure
+    // convention), short captions drop (id%19), and the 'Trailer'
+    // boilerplate caption crosses the feed-df threshold at the gate
+    // SFs but not sf0.001 — the HAVING is oracle-replayed so the
+    // verdict is SF-consistent by construction.
+    "crawl_audio_quality" -> ((s, dir) => {
+      val id = col("doc_id")
+      val rate = when(id % 31 === 0, lit(4000L))
+        .otherwise(lit(8000L) + (id % 3) * 4000L)
+      val pairs = tbl(s, dir, "documents").select(
+        concat(lit("https://f"), id % 7, lit(".example/feed/"), id,
+          lit(".xml")).as("url"),
+        concat(lit("https://a"), id % 5, lit(".example/ep/"), id,
+          lit(".wav")).as("media_url"),
+        when(id % 17 === 0, lit(null).cast("string"))
+          .when(id % 10 === 7, lit("Trailer"))
+          .when(id % 19 === 0, lit("x"))
+          .otherwise(concat(lit("Cap "), id % 50)).as("caption"),
+        when(id % 53 === 0, lit(null).cast("long"))
+          .otherwise(rate * (id % 12)).as("n_samples"),
+        rate.as("sample_rate"),
+        when(id % 29 === 0, lit(0L))
+          .otherwise(lit(1L) + id % 100).as("sum_sq_dev"))
+      graft.pipeline.Crawl.audioPairQualityFilter(pairs,
+          minDurS = 1L, maxDurS = 8L, minSampleRate = 8000L,
+          minCaptionChars = 3, maxCaptionChars = 200,
+          maxCaptionFeeds = 10)
+        .orderBy("url")
+    }),
+
     // Index observability (r17): a build + two appends + a tombstone
     // delete on a REAL int8 index, then Installments.stats — the
     // compaction/vacuum dashboard (per-installment row counts + the
@@ -9614,6 +9695,126 @@ object SparkEntry {
         |JOIN base b ON b.mid = p.mid
         |LEFT JOIN zc z ON z.mid = p.mid
         |ORDER BY p.url, p.media_url""".stripMargin,
+    // the mirror-collapse replayed: 65-block integer energies from the
+    // fixture samples, gradient bits packed through the HUGEINT
+    // two's-complement bridge, hamming pairs over the url nodes, CC by
+    // recursive reachability, min-url canonicals, re-key + exact fold
+    "crawl_audio_dedup" ->
+      """WITH RECURSIVE ms AS (
+        |  SELECT DISTINCT doc_id % 8 AS m FROM documents),
+        |par AS (SELECT m, CAST(130 + m * 7 AS BIGINT) AS n FROM ms),
+        |ks AS (SELECT m, n,
+        |         unnest(generate_series(0, n - 1)) AS k FROM par),
+        |dv AS (SELECT m, n, k,
+        |         ((m * 13 + k * 5) % 256) - 128 AS dev FROM ks),
+        |en AS (SELECT m, (k * 65) // n AS b, sum(dev * dev) AS e
+        |       FROM dv GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT a.m,
+        |    sum(CASE WHEN a.e > b.e THEN 1::HUGEINT << CAST(a.b AS INT)
+        |        ELSE 0::HUGEINT END) AS s
+        |  FROM en a JOIN en b ON b.m = a.m AND b.b = a.b + 1
+        |  WHERE a.b < 64 GROUP BY a.m),
+        |ah AS (
+        |  SELECT m, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |    THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT)
+        |    AS h64
+        |  FROM bits),
+        |urls AS (
+        |  SELECT m, 'https://cdn-a.example/au/' || CAST(m AS VARCHAR)
+        |    || '.wav' AS u FROM ms
+        |  UNION ALL
+        |  SELECT m, 'https://cdn-b.example/re/' || CAST(m AS VARCHAR)
+        |    || '.wav' FROM ms),
+        |nodes AS (SELECT urls.u, ah.h64 FROM urls
+        |          JOIN ah ON ah.m = urls.m),
+        |p2 AS (
+        |  SELECT a.u AS ua, b.u AS ub FROM nodes a JOIN nodes b
+        |  ON a.u < b.u WHERE bit_count(xor(a.h64, b.h64)) <= 3),
+        |e AS (SELECT ua AS u, ub AS v FROM p2
+        |      UNION SELECT ub, ua FROM p2),
+        |reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e) nn
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON reach.u = e.v),
+        |lab AS (SELECT u AS id, min(r) AS rep FROM reach GROUP BY u),
+        |mapn AS (SELECT id, rep FROM lab WHERE id <> rep),
+        |basepairs AS (
+        |  SELECT 'https://f' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/feed/' || CAST(doc_id AS VARCHAR) || '.xml'
+        |      AS url,
+        |    'https://cdn-a.example/au/' || CAST(doc_id % 8 AS VARCHAR)
+        |      || '.wav' AS media_url,
+        |    'c' || CAST(doc_id % 3 AS VARCHAR) AS caption
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://f' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/feed/' || CAST(doc_id AS VARCHAR) || '.xml',
+        |    'https://cdn-b.example/re/' || CAST(doc_id % 8 AS VARCHAR)
+        |      || '.wav',
+        |    'c' || CAST(doc_id % 3 AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://f' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/feed/' || CAST(doc_id AS VARCHAR) || '.xml',
+        |    'https://cdn-a.example/x/bad.bin', 'bad'
+        |  FROM documents WHERE doc_id % 97 = 0
+        |  UNION ALL
+        |  SELECT 'https://f' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/feed/' || CAST(doc_id AS VARCHAR) || '.xml',
+        |    'https://cdn-b.example/x/bad.bin', 'bad'
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |rekeyed AS (
+        |  SELECT b.url, COALESCE(mapn.rep, b.media_url) AS media_url,
+        |    b.caption
+        |  FROM basepairs b LEFT JOIN mapn ON mapn.id = b.media_url)
+        |SELECT DISTINCT url, media_url, caption FROM rekeyed
+        |ORDER BY url, media_url""".stripMargin,
+    // every audio screen replayed: integer duration
+    // cross-multiplication, rate and silence cuts, null captions
+    // kept, the feed-df boilerplate guard recomputes its own
+    // threshold crossing
+    "crawl_audio_quality" ->
+      """WITH p AS (
+        |  SELECT 'https://f' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/feed/' || CAST(doc_id AS VARCHAR) || '.xml'
+        |      AS url,
+        |    'https://a' || CAST(doc_id % 5 AS VARCHAR) ||
+        |      '.example/ep/' || CAST(doc_id AS VARCHAR) || '.wav'
+        |      AS media_url,
+        |    CASE WHEN doc_id % 17 = 0 THEN NULL
+        |      WHEN doc_id % 10 = 7 THEN 'Trailer'
+        |      WHEN doc_id % 19 = 0 THEN 'x'
+        |      ELSE 'Cap ' || CAST(doc_id % 50 AS VARCHAR) END AS caption,
+        |    CASE WHEN doc_id % 31 = 0 THEN 4000
+        |      ELSE 8000 + (doc_id % 3) * 4000 END AS rate,
+        |    doc_id
+        |  FROM documents),
+        |p2 AS (
+        |  SELECT url, media_url, caption,
+        |    CASE WHEN doc_id % 53 = 0 THEN NULL
+        |      ELSE CAST(rate * (doc_id % 12) AS BIGINT) END AS n_samples,
+        |    CAST(rate AS BIGINT) AS sample_rate,
+        |    CASE WHEN doc_id % 29 = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(1 + doc_id % 100 AS BIGINT) END AS sum_sq_dev
+        |  FROM p),
+        |bp AS (
+        |  SELECT caption FROM (
+        |    SELECT caption, count(DISTINCT url) AS c FROM p2
+        |    WHERE caption IS NOT NULL GROUP BY caption)
+        |  WHERE c > 10)
+        |SELECT url, media_url, caption, n_samples, sample_rate,
+        |  sum_sq_dev
+        |FROM p2
+        |WHERE n_samples IS NOT NULL AND sample_rate IS NOT NULL
+        |  AND sample_rate >= 8000
+        |  AND n_samples >= 1 * sample_rate
+        |  AND n_samples <= 8 * sample_rate
+        |  AND sum_sq_dev > 0
+        |  AND (caption IS NULL OR
+        |    (length(caption) >= 3 AND length(caption) <= 200))
+        |  AND NOT EXISTS (SELECT 1 FROM bp WHERE bp.caption = p2.caption)
+        |ORDER BY url""".stripMargin,
     // the dashboard replayed from the split arithmetic: three codes
     // installments (build + two appends), two deletes installments
     // (each batch distinct within itself)

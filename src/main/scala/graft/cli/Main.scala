@@ -1219,6 +1219,36 @@ object Main {
         s"decoded -> $out")
       spark.stop()
 
+    case "crawl-audio-dedup" :: pairsParquet :: mediaParquet :: out :: rest =>
+      // mirror-collapse for the enclosure channel: pairs whose fetched
+      // clips fingerprint as near-dups re-key to one canonical url;
+      // media parquet carries (media_url, body)
+      val maxHamming = rest.headOption.map(_.toInt).getOrElse(3)
+      val spark = session()
+      graft.pipeline.Crawl.dedupePairsByAudio(
+          spark.read.parquet(pairsParquet),
+          spark.read.parquet(mediaParquet), maxHamming)
+        .write.mode("overwrite").parquet(out)
+      println(s"crawl-audio-dedup: ${spark.read.parquet(out).count()} " +
+        s"pairs kept -> $out")
+      spark.stop()
+
+    case "crawl-audio-quality" :: pairsParquet :: out :: rest =>
+      // LAION-Audio screens over pairs joined to their decoded
+      // audioStats columns: duration window (seconds), sample-rate
+      // floor, silence cut, caption gates + feed-df guard
+      val minDur = rest.headOption.map(_.toLong).getOrElse(1L)
+      val maxDur = rest.drop(1).headOption.map(_.toLong).getOrElse(3600L)
+      val minRate = rest.drop(2).headOption.map(_.toLong).getOrElse(8000L)
+      val spark = session()
+      graft.pipeline.Crawl.audioPairQualityFilter(
+          spark.read.parquet(pairsParquet),
+          minDurS = minDur, maxDurS = maxDur, minSampleRate = minRate)
+        .write.mode("overwrite").parquet(out)
+      println(s"crawl-audio-quality: ${spark.read.parquet(out).count()} " +
+        s"pairs kept -> $out")
+      spark.stop()
+
     case "crawl-pair-quality" :: pairsParquet :: out :: rest =>
       // LAION-style pre-embedding screens over (url, img_url, alt,
       // width, height) pairs: dims, aspect, caption length,
@@ -1711,6 +1741,8 @@ object Main {
           |  wds-export       <samplesParquet> <outDir> [samplesPerShard] [gzip]
           |  crawl-image-dedup <pairsParquet> <imagesParquet> <outParquet> [maxHamming]
           |  crawl-pair-quality <pairsParquet> <outParquet> [minW] [minH] [maxAspect]
+          |  crawl-audio-dedup <pairsParquet> <mediaParquet> <outParquet> [maxHamming]
+          |  crawl-audio-quality <pairsParquet> <outParquet> [minDurS] [maxDurS] [minRate]
           |  crawl-audio-pairs <feedsParquet> <outParquet>
           |  image-dims       <imagesParquet> <outParquet>
           |  warc-extract     <filesParquet> <outParquet> [payloadCol]

@@ -1836,35 +1836,72 @@ object Multimodal {
   def audioHash64(media: Dataset[MediaRow]): Dataset[AudioHashRow] = {
     val spark = media.sparkSession
     import spark.implicits._
-    val blocks = 65
     media.mapPartitions { rows =>
-      val energy = new Array[Long](blocks)
+      val energy = new Array[Long](65)
       rows.flatMap { m =>
-        val p = m.payload
-        val isRiff = p != null && p.length >= 4 &&
-          p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F'
-        if (!isRiff) Iterator.empty
-        else decodeWav(p) match {
-          case Some(s) if s.length >= blocks =>
-            java.util.Arrays.fill(energy, 0L)
-            val n = s.length
-            var k = 0
-            while (k < n) {
-              val dev = (s(k) & 0xFF) - 128
-              energy((k.toLong * blocks / n).toInt) += dev.toLong * dev
-              k += 1
-            }
-            var h = 0L
-            var i = 0
-            while (i < blocks - 1) {
-              if (energy(i) > energy(i + 1)) h |= 1L << i
-              i += 1
-            }
-            Iterator.single(AudioHashRow(m.id, n.toLong, h))
-          case _ => Iterator.empty
-        }
+        audioHash64Of(m.payload, energy).map { case (n, h) =>
+          AudioHashRow(m.id, n, h)
+        }.iterator
       }
     }
+  }
+
+  /** The [[audioHash64]] kernel over one payload: (n_samples, hash),
+    * or None for non-RIFF / corrupt / < 65-sample payloads. `energy`
+    * is the caller's scratch block array (length = block count). */
+  private def audioHash64Of(p: Array[Byte], energy: Array[Long])
+      : Option[(Long, Long)] = {
+    val blocks = energy.length
+    val isRiff = p != null && p.length >= 4 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F'
+    if (!isRiff) None
+    else decodeWav(p) match {
+      case Some(s) if s.length >= blocks =>
+        java.util.Arrays.fill(energy, 0L)
+        val n = s.length
+        var k = 0
+        while (k < n) {
+          val dev = (s(k) & 0xFF) - 128
+          energy((k.toLong * blocks / n).toInt) += dev.toLong * dev
+          k += 1
+        }
+        var h = 0L
+        var i = 0
+        while (i < blocks - 1) {
+          if (energy(i) > energy(i + 1)) h |= 1L << i
+          i += 1
+        }
+        Some((n.toLong, h))
+      case _ => None
+    }
+  }
+
+  final case class KeyedAudioHashRow(key: String, n_samples: Long,
+                                     ahash64: Long)
+
+  /** [[audioHash64]] keyed by an arbitrary STRING column — the
+    * [[perceptualHashesByKey]] sibling for the audio modality, where a
+    * crawl's natural identity is the fetched media_url. Same kernel,
+    * same emit-less rule for non-RIFF/corrupt/short payloads; output
+    * keys feed [[graft.dedup.Dedup.hammingNearDuplicates64]] /
+    * [[graft.dedup.Dedup.connectedComponents]] directly. One
+    * mapPartitions pass, no shuffle. */
+  def audioHashesByKey(media: DataFrame, keyCol: String = "media_url",
+                       payloadCol: String = "body")
+      : Dataset[KeyedAudioHashRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(keyCol).cast("string"),
+        col(payloadCol).cast("binary"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        val energy = new Array[Long](65)
+        rows.flatMap { case (key, p) =>
+          audioHash64Of(p, energy).map { case (n, h) =>
+            KeyedAudioHashRow(key, n, h)
+          }.iterator
+        }
+      }
   }
 
   final case class AudioStats(id: Long, n_samples: Long, sum_sq_dev: Long,

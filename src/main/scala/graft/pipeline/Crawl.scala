@@ -1129,15 +1129,54 @@ object Crawl {
       // refetched duplicates of one url hash identically; drop them
       // on the 8-byte rows, never on the bytes
       .select(col("key"), col("ahash")).distinct()
+    rekeyPairsByCanon(pairs, hashes, imgKey, maxHamming, broadcastMap,
+      foldExact)
+  }
+
+  /** Perceptual audio dedup over an enclosure-pairs corpus (r17) — the
+    * [[dedupePairsByImage]] sibling for the media channel: the same
+    * episode behind many urls (mirror CDN copies, re-containered /
+    * resample-free re-encodes the url normalizer cannot see) collapses
+    * to its cluster's lexicographic-min canonical url. `media` carries
+    * ONE row per fetched media_url (the [[mediaBytesJoin]] record
+    * shape); every decodable clip fingerprints
+    * ([[graft.multimodal.Multimodal.audioHashesByKey]] — the temporal
+    * energy-gradient hash), hamming near-dup urls resolve into
+    * clusters, pairs re-key, identical re-keyed pairs fold; pairs of
+    * NON-decodable payloads pass through untouched. Same scale shape
+    * as the image twin: bytes never shuffle — 8 B fingerprints do. */
+  def dedupePairsByAudio(pairs: DataFrame, media: DataFrame,
+                         maxHamming: Int = 3,
+                         mediaKey: String = "media_url",
+                         payloadCol: String = "body",
+                         broadcastMap: Boolean = true,
+                         foldExact: Boolean = true): DataFrame = {
+    require(!pairs.columns.contains("_ipd_canon"),
+      "column name _ipd_canon is reserved by dedupePairsByAudio")
+    val hashes = graft.multimodal.Multimodal
+      .audioHashesByKey(media, mediaKey, payloadCol).toDF()
+      .select(col("key"), col("ahash64").as("ahash")).distinct()
+    rekeyPairsByCanon(pairs, hashes, mediaKey, maxHamming, broadcastMap,
+      foldExact)
+  }
+
+  /** The shared mirror-collapse tail of [[dedupePairsByImage]] /
+    * [[dedupePairsByAudio]]: hamming-cluster the (key, ahash)
+    * fingerprints, re-key every pair's `keyCol` to its cluster's
+    * lexicographic-min canonical, optionally fold exact duplicates. */
+  private def rekeyPairsByCanon(pairs: DataFrame, hashes: DataFrame,
+                                keyCol: String, maxHamming: Int,
+                                broadcastMap: Boolean,
+                                foldExact: Boolean): DataFrame = {
     val nearDups = graft.dedup.Dedup.hammingNearDuplicates64(
       hashes, "key", "ahash", maxHamming)
     val labels = graft.dedup.Dedup.connectedComponents(
       nearDups, "id_a", "id_b")
     val mapping = labels.filter(col("id") =!= col("rep"))
-      .select(col("id").as(imgKey), col("rep").as("_ipd_canon"))
+      .select(col("id").as(keyCol), col("rep").as("_ipd_canon"))
     val mapSide = if (broadcastMap) broadcast(mapping) else mapping
-    val rekeyed = pairs.join(mapSide, Seq(imgKey), "left")
-      .withColumn(imgKey, coalesce(col("_ipd_canon"), col(imgKey)))
+    val rekeyed = pairs.join(mapSide, Seq(keyCol), "left")
+      .withColumn(keyCol, coalesce(col("_ipd_canon"), col(keyCol)))
       .drop("_ipd_canon")
       .select(pairs.columns.map(col): _*) // the join fronts its key
     // CC checkpoint blocks: call Dedup.release on the RESULT after
@@ -1191,6 +1230,74 @@ object Crawl {
         w >= minWidth && h >= minHeight &&
         greatest(w, h).cast("double") <= lit(maxAspect) * least(w, h) &&
         length(cap) >= minCaptionChars && length(cap) <= maxCaptionChars)
+      .join(broadcast(boilerplate), Seq(captionCol), "left_anti")
+      .select(pairs.columns.map(col): _*) // the join fronts its key
+  }
+
+  /** LAION-Audio-style pair quality screens (r17) — the
+    * [[pairQualityFilter]] sibling for the enclosure channel, over
+    * pairs already joined to their decoded
+    * [[graft.multimodal.Multimodal.audioStats]] columns:
+    *
+    *  - duration: `minDurS·rate ≤ n_samples ≤ maxDurS·rate` — all
+    *    integer arithmetic, engine-exact (jingle stingers and
+    *    unbounded live streams out);
+    *  - fidelity: `sample_rate ≥ minSampleRate` (telephony-band and
+    *    corrupt-header clips out);
+    *  - silence: `sum_sq_dev > 0` when `dropSilent` (digital silence
+    *    carries no training signal);
+    *  - caption: length in [minCaptionChars, maxCaptionChars] —
+    *    null captions PASS unless `requireCaption` (the harvest keeps
+    *    title-less enclosures for audio-side captioning, the
+    *    [[graft.pipeline.Feeds.enclosurePairs]] convention);
+    *  - boilerplate captions: a caption carried by more than
+    *    `maxCaptionFeeds` DISTINCT feeds ("Trailer", episode-number
+    *    furniture) anti-joins away — computed over the INPUT pairs,
+    *    gate-order-independent.
+    *
+    * Null stats columns — payloads that never decoded — drop: this
+    * gate feeds the TRAINING set, not the ledger. Scale shape
+    * identical to the image twin: map-side gates + one tiny broadcast
+    * anti-join. */
+  def audioPairQualityFilter(pairs: DataFrame,
+                             minDurS: Long = 1L, maxDurS: Long = 3600L,
+                             minSampleRate: Long = 8000L,
+                             dropSilent: Boolean = true,
+                             minCaptionChars: Int = 2,
+                             maxCaptionChars: Int = 1000,
+                             requireCaption: Boolean = false,
+                             maxCaptionFeeds: Long = 10,
+                             urlCol: String = "url",
+                             captionCol: String = "caption",
+                             nSamplesCol: String = "n_samples",
+                             rateCol: String = "sample_rate",
+                             energyCol: String = "sum_sq_dev")
+      : DataFrame = {
+    require(maxDurS >= minDurS && minDurS >= 0,
+      s"need 0 <= minDurS <= maxDurS, got [$minDurS, $maxDurS]")
+    val ns = col(nSamplesCol)
+    val rate = col(rateCol)
+    val cap = col(captionCol)
+    val boilerplate = pairs.filter(cap.isNotNull)
+      .select(cap.as("_apq_cap"), col(urlCol).as("_apq_url")).distinct()
+      .groupBy("_apq_cap")
+      .agg(countDistinct(col("_apq_url")).as("_apq_n"))
+      .filter(col("_apq_n") > maxCaptionFeeds)
+      .select(col("_apq_cap").as(captionCol))
+    val capOk = {
+      val bounded = length(cap) >= minCaptionChars &&
+        length(cap) <= maxCaptionChars
+      if (requireCaption) cap.isNotNull && bounded
+      else cap.isNull || bounded
+    }
+    val silentOk =
+      if (dropSilent) col(energyCol).isNotNull && col(energyCol) > 0
+      else lit(true)
+    pairs
+      .filter(ns.isNotNull && rate.isNotNull &&
+        rate >= minSampleRate &&
+        ns >= lit(minDurS) * rate && ns <= lit(maxDurS) * rate &&
+        silentOk && capOk)
       .join(broadcast(boilerplate), Seq(captionCol), "left_anti")
       .select(pairs.columns.map(col): _*) // the join fronts its key
   }

@@ -1289,6 +1289,96 @@ class CrawlFrontierSpec extends SparkTestBase {
       maxCaptionPages = 1).count() === 2L)
   }
 
+  test("dedupePairsByAudio: re-containered mirrors collapse, corrupt passes (r17)") {
+    import graft.multimodal.Multimodal
+    // clip A: digital silence (all energies 0 -> hash 0); its cdn-b
+    // copy is the SAME samples re-encoded at a different header rate
+    // (container swap). clip B: strictly decaying block energy -> all
+    // 64 gradient bits set, hamming 64 from A (no accidental pairing).
+    val sA = Array.fill[Short](650)(0)
+    val sB = Array.tabulate[Short](650) { k =>
+      (((127 - k / 10) - 0) << 8).toShort
+    }
+    val media = Seq(
+      ("https://a.cdn/au/1.wav", Multimodal.encodeWav(8000, sA)),
+      ("https://b.cdn/re/1.wav", Multimodal.encodeWav(16000, sA)),
+      ("https://a.cdn/au/2.wav", Multimodal.encodeWav(8000, sB)),
+      ("https://a.cdn/x/bad.bin", "NOTAUDIO".getBytes("UTF-8")))
+      .toDF("media_url", "body")
+    val pairs = Seq(
+      ("https://f/A", "https://a.cdn/au/1.wav", "cap"),
+      ("https://f/A", "https://b.cdn/re/1.wav", "cap"), // folds with ^
+      ("https://f/B", "https://b.cdn/re/1.wav", "other"), // re-keys
+      ("https://f/C", "https://a.cdn/au/2.wav", "solo"),
+      ("https://f/D", "https://a.cdn/x/bad.bin", "bad"))
+      .toDF("url", "media_url", "caption")
+    val got = Crawl.dedupePairsByAudio(pairs, media)
+      .as[(String, String, String)].collect().toSet
+    assert(got === Set(
+      ("https://f/A", "https://a.cdn/au/1.wav", "cap"),
+      ("https://f/B", "https://a.cdn/au/1.wav", "other"),
+      ("https://f/C", "https://a.cdn/au/2.wav", "solo"),
+      ("https://f/D", "https://a.cdn/x/bad.bin", "bad")))
+    val dual = Crawl.dedupePairsByAudio(pairs, media,
+      broadcastMap = false).as[(String, String, String)].collect().toSet
+    assert(dual === got)
+    val unfolded = Crawl.dedupePairsByAudio(pairs, media,
+      foldExact = false).as[(String, String, String)].collect().toSeq
+    assert(unfolded.size === 5)
+    assert(unfolded.count(_ == ("https://f/A", "https://a.cdn/au/1.wav",
+      "cap")) === 2)
+  }
+
+  test("audioPairQualityFilter: duration/rate/silence/caption gates (r17)") {
+    val pairs = Seq(
+      // (url, media, caption, n_samples, rate, energy)
+      ("https://f/1", "m1", "a fine caption", 16000L, 8000L, 5L), // keeps
+      ("https://f/2", "m2", "too short clip", 4000L, 8000L, 5L),  // < 1s
+      ("https://f/3", "m3", "too long clip", 80001L, 8000L, 5L),  // > 10s
+      ("https://f/4", "m4", "phone band", 16000L, 4000L, 5L),     // rate
+      ("https://f/5", "m5", "silence", 16000L, 8000L, 0L),        // energy
+      ("https://f/6", "m6", "x", 16000L, 8000L, 5L),              // caption
+      ("https://f/7", "m7", "Trailer", 16000L, 8000L, 5L),        // df
+      ("https://f/8", "m8", "Trailer", 16000L, 8000L, 5L),
+      ("https://f/9", "m9", "Trailer", 16000L, 8000L, 5L),
+      ("https://f/10", "m10", "exactly ten s", 80000L, 8000L, 5L)) // bound
+      .toDF("url", "media_url", "caption", "n_samples", "sample_rate",
+        "sum_sq_dev")
+      // null caption keeps (title-less convention); null stats drop
+      .unionByName(Seq(("https://f/11", "m11", 16000L, 8000L, 5L))
+        .toDF("url", "media_url", "n_samples", "sample_rate",
+          "sum_sq_dev")
+        .withColumn("caption", lit(null).cast("string"))
+        .select("url", "media_url", "caption", "n_samples",
+          "sample_rate", "sum_sq_dev"))
+      .unionByName(Seq(("https://f/12", "m12", "never decoded"))
+        .toDF("url", "media_url", "caption")
+        .withColumn("n_samples", lit(null).cast("long"))
+        .withColumn("sample_rate", lit(null).cast("long"))
+        .withColumn("sum_sq_dev", lit(null).cast("long")))
+    val kept = Crawl.audioPairQualityFilter(pairs, minDurS = 1L,
+        maxDurS = 10L, minSampleRate = 8000L, minCaptionChars = 3,
+        maxCaptionChars = 200, maxCaptionFeeds = 2)
+      .select("url").as[String].collect().toSet
+    assert(kept === Set("https://f/1", "https://f/10", "https://f/11"))
+    // column order survives the anti-join
+    assert(Crawl.audioPairQualityFilter(pairs).columns.toSeq
+      === Seq("url", "media_url", "caption", "n_samples", "sample_rate",
+        "sum_sq_dev"))
+    // requireCaption drops the title-less arm; dropSilent=false keeps
+    // the silent one
+    assert(!Crawl.audioPairQualityFilter(pairs, minDurS = 1L,
+        maxDurS = 10L, minCaptionChars = 3, maxCaptionChars = 200,
+        maxCaptionFeeds = 2, requireCaption = true)
+      .select("url").as[String].collect().toSet
+      .contains("https://f/11"))
+    assert(Crawl.audioPairQualityFilter(pairs, minDurS = 1L,
+        maxDurS = 10L, minCaptionChars = 3, maxCaptionChars = 200,
+        maxCaptionFeeds = 2, dropSilent = false)
+      .select("url").as[String].collect().toSet
+      .contains("https://f/5"))
+  }
+
   test("frontier gated by robots keeps only fetchable urls") {
     val pages = Seq(
       ("https://s/1", Seq("https://a.example/ok/1",
