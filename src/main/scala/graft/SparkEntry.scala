@@ -4204,6 +4204,61 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // The LAION-Audio delivery step (r17): harvested enclosure pairs +
+    // their fetched bytes (mediaBytesJoin) package into WebDataset tar
+    // shards (wav + txt caption + json meta per sample) and read back
+    // through the source. Lossless by the oracle: caption md5 and the
+    // REAL RIFF decode's sample count replay from the fixture
+    // arithmetic — a writer, grouping, or codec defect
+    // hash-mismatches.
+    "crawl_audio_export" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val pairs = tbl(s, dir, "documents").select(
+        concat(lit("https://f"), id % 7, lit(".example/feed/"), id,
+          lit(".xml")).as("url"),
+        concat(lit("https://c.example/au/"), id % 40, lit(".wav"))
+          .as("media_url"),
+        concat(lit("cap "), id % 6).as("caption"),
+        id)
+      val fetchedRecs = tbl(s, dir, "documents")
+        .select((id % 40).as("m")).distinct()
+        .as[Long].map { m =>
+          val n = (70 + m).toInt
+          val samples = Array.tabulate[Short](n) { k =>
+            ((((m * 19 + k * 3) % 256) - 128) << 8).toShort
+          }
+          ("response", s"https://c.example/au/$m.wav", 200,
+            Multimodal.encodeWav(8000, samples))
+        }.toDF("warc_type", "target_uri", "http_status", "body")
+      val joined = graft.pipeline.Crawl.mediaBytesJoin(pairs, fetchedRecs)
+      val samples = joined.select(col("doc_id"), col("caption"),
+          col("body"))
+        .as[(Long, String, Array[Byte])]
+        .map { case (docId, cap, body) =>
+          (docId.toString, Map(
+            "wav" -> body,
+            "txt" -> cap.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            "json" -> s"""{"id":$docId}""".getBytes(
+              java.nio.charset.StandardCharsets.US_ASCII)))
+        }.toDF("key", "parts")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_audwds_")
+      deleteRecursivelyOnExit(tmp)
+      val out = tmp.toFile.getAbsolutePath
+      graft.sources.WebDataset.writeWebdatasetShards(
+        samples.repartition(16), out, samplesPerShard = 50)
+      graft.sources.WebDataset.webdatasetSamples(
+          s.read.format("binaryFile").load(out), payloadCol = "content")
+        .map { smp =>
+          val n = Multimodal.decodeWav(smp.parts("wav"))
+            .map(_.length.toLong).getOrElse(-1L)
+          (smp.key.toLong, smp.parts.size, smp.parts("txt"), n)
+        }.toDF("doc_id", "n_parts", "txt", "n_samples")
+        .select(col("doc_id"), col("n_parts"),
+          md5(col("txt")).as("txt_md5"), col("n_samples"))
+        .orderBy("doc_id")
+    }),
+
     // Index observability (r17): a build + two appends + a tombstone
     // delete on a REAL int8 index, then Installments.stats — the
     // compaction/vacuum dashboard (per-installment row counts + the
@@ -9815,6 +9870,14 @@ object SparkEntry {
         |    (length(caption) >= 3 AND length(caption) <= 200))
         |  AND NOT EXISTS (SELECT 1 FROM bp WHERE bp.caption = p2.caption)
         |ORDER BY url""".stripMargin,
+    // the audio delivery replayed: every doc's sample has its caption
+    // md5 and the m=id%40 clip's exact decoded sample count
+    "crawl_audio_export" ->
+      """SELECT doc_id,
+        |  CAST(3 AS INT) AS n_parts,
+        |  md5('cap ' || CAST(doc_id % 6 AS VARCHAR)) AS txt_md5,
+        |  CAST(70 + doc_id % 40 AS BIGINT) AS n_samples
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // the dashboard replayed from the split arithmetic: three codes
     // installments (build + two appends), two deletes installments
     // (each batch distinct within itself)
