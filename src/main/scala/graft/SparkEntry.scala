@@ -4170,6 +4170,54 @@ object SparkEntry {
         .orderBy("url", "media_url")
     }),
 
+    // Video frame-set pair dedup (r17 — the third modality's
+    // mirror-collapse, by CONTAINMENT): every feed cites its episode
+    // twice — the full 4-frame P6 stream on cdn-a and a CLIPPED
+    // 3-frame copy on cdn-b (a strict frame subset: whole-file and
+    // single-hash dedup both miss it, containment = 1.0 pairs it) —
+    // plus a corrupt arm that passes through untouched. Frame aHashes,
+    // the df guard, the containment join, CC, min-url canonicals and
+    // the fold all replay in SQL — the media_video_dups machinery
+    // pointed at urls.
+    "crawl_video_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val feed = concat(lit("https://f"), id % 7, lit(".example/feed/"),
+        id, lit(".xml"))
+      def mirror(prefix: String) = docs.select(feed.as("url"),
+        concat(lit(prefix), id % 6, lit(".ppm")).as("media_url"),
+        concat(lit("v"), id % 3).as("caption"))
+      val corrupt = docs.filter(id % 97 === 0).select(feed.as("url"),
+        lit("https://cdn-a.example/x/bad.bin").as("media_url"),
+        lit("bad").as("caption"))
+      val pairs = mirror("https://cdn-a.example/vid/")
+        .unionByName(mirror("https://cdn-b.example/cl/"))
+        .unionByName(corrupt)
+      val media = docs.select((id % 6).as("m")).distinct()
+        .as[Long].flatMap { m =>
+          val w = 16 + m.toInt
+          val h = 12 + (m % 5).toInt
+          def frame(j: Int) = Multimodal.encodePpm(w, h,
+            Multimodal.fixtureStream(
+              s"v $m $j".getBytes(
+                java.nio.charset.StandardCharsets.US_ASCII),
+              w * h * 3))
+          def cat(n: Int) = {
+            val out = new java.io.ByteArrayOutputStream()
+            (0 until n).foreach(j => out.write(frame(j)))
+            out.toByteArray
+          }
+          Seq((s"https://cdn-a.example/vid/$m.ppm", cat(4)),
+            (s"https://cdn-b.example/cl/$m.ppm", cat(3)))
+        }.toDF("media_url", "body")
+        .unionByName(Seq(("https://cdn-a.example/x/bad.bin",
+          "NOTAVIDEO".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+          .toDF("media_url", "body"))
+      graft.pipeline.Crawl.dedupePairsByVideo(pairs, media)
+        .orderBy("url", "media_url")
+    }),
+
     // LAION-Audio-style pair quality screens (r17): duration bounds
     // as exact integer cross-multiplication (id%12 seconds against a
     // [1s, 8s] window), the telephony-rate cut (id%31 at 4 kHz), the
@@ -9818,6 +9866,101 @@ object SparkEntry {
         |  SELECT 'https://f' || CAST(doc_id % 7 AS VARCHAR) ||
         |      '.example/feed/' || CAST(doc_id AS VARCHAR) || '.xml',
         |    'https://cdn-b.example/x/bad.bin', 'bad'
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |rekeyed AS (
+        |  SELECT b.url, COALESCE(mapn.rep, b.media_url) AS media_url,
+        |    b.caption
+        |  FROM basepairs b LEFT JOIN mapn ON mapn.id = b.media_url)
+        |SELECT DISTINCT url, media_url, caption FROM rekeyed
+        |ORDER BY url, media_url""".stripMargin,
+    // the frame-set collapse replayed: per-(m, frame) aHashes from the
+    // fixture pixels, the df guard, containment over distinct
+    // frame-hash sets, CC by recursive reachability, min-url
+    // canonicals, re-key + fold
+    "crawl_video_dedup" ->
+      """WITH RECURSIVE ms AS (
+        |  SELECT DISTINCT doc_id % 6 AS m FROM documents),
+        |fj AS (SELECT m, CAST(16 + m AS BIGINT) AS w,
+        |         CAST(12 + m % 5 AS BIGINT) AS h,
+        |         unnest(generate_series(0, 3)) AS j FROM ms),
+        |sd AS (SELECT m, j, w, h,
+        |         'v ' || CAST(m AS VARCHAR) || ' ' || CAST(j AS VARCHAR)
+        |           AS t
+        |       FROM fj),
+        |pixk AS (SELECT m, j, w, h, t, octet_length(encode(t)) AS l,
+        |           unnest(generate_series(0, w * h - 1)) AS p
+        |         FROM sd),
+        |g AS (
+        |  SELECT m, j, w, h, p // w AS y, p % w AS x,
+        |    (299 * ((unicode(substr(t, CAST((3*p) % l AS INT) + 1, 1)) + 3*p) % 256)
+        |   + 587 * ((unicode(substr(t, CAST((3*p + 1) % l AS INT) + 1, 1)) + 3*p + 1) % 256)
+        |   + 114 * ((unicode(substr(t, CAST((3*p + 2) % l AS INT) + 1, 1)) + 3*p + 2) % 256)
+        |    ) // 1000 AS gr
+        |  FROM pixk),
+        |blk AS (
+        |  SELECT m, j, (y * 8) // h AS by, (x * 8) // w AS bx,
+        |    sum(gr) // count(*) AS bm
+        |  FROM g GROUP BY 1, 2, 3, 4),
+        |gm AS (SELECT m, j, sum(bm) // 64 AS mn FROM blk GROUP BY 1, 2),
+        |bits AS (
+        |  SELECT blk.m, blk.j,
+        |    sum(CASE WHEN bm > mn THEN 1::HUGEINT << CAST(by * 8 + bx AS INT)
+        |        ELSE 0::HUGEINT END) AS s
+        |  FROM blk JOIN gm ON blk.m = gm.m AND blk.j = gm.j
+        |  GROUP BY 1, 2),
+        |fh AS (
+        |  SELECT m, j, CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+        |    THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT)
+        |    AS h64
+        |  FROM bits),
+        |allh AS (
+        |  SELECT DISTINCT 'https://cdn-a.example/vid/'
+        |    || CAST(m AS VARCHAR) || '.ppm' AS u, h64 FROM fh
+        |  UNION
+        |  SELECT DISTINCT 'https://cdn-b.example/cl/'
+        |    || CAST(m AS VARCHAR) || '.ppm', h64 FROM fh WHERE j < 3),
+        |sizes AS (SELECT u, CAST(count(*) AS BIGINT) AS n FROM allh
+        |          GROUP BY u),
+        |guard AS (SELECT h64 FROM allh GROUP BY h64
+        |          HAVING count(*) <= 1000),
+        |gset AS (SELECT u, h64 FROM allh
+        |         WHERE h64 IN (SELECT h64 FROM guard)),
+        |co AS (
+        |  SELECT a.u AS ua, b.u AS ub, CAST(count(*) AS BIGINT) AS shared
+        |  FROM gset a JOIN gset b ON a.h64 = b.h64 AND a.u < b.u
+        |  GROUP BY 1, 2),
+        |p2 AS (
+        |  SELECT ua, ub FROM co
+        |  JOIN sizes na ON na.u = co.ua
+        |  JOIN sizes nb ON nb.u = co.ub
+        |  WHERE CAST(shared AS DOUBLE) / least(na.n, nb.n) >= 0.9),
+        |e AS (SELECT ua AS u, ub AS v FROM p2
+        |      UNION SELECT ub, ua FROM p2),
+        |reach AS (
+        |  SELECT u, u AS r FROM (SELECT DISTINCT u FROM e) nn
+        |  UNION
+        |  SELECT e.u, reach.r FROM e JOIN reach ON reach.u = e.v),
+        |lab AS (SELECT u AS id, min(r) AS rep FROM reach GROUP BY u),
+        |mapn AS (SELECT id, rep FROM lab WHERE id <> rep),
+        |basepairs AS (
+        |  SELECT 'https://f' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/feed/' || CAST(doc_id AS VARCHAR) || '.xml'
+        |      AS url,
+        |    'https://cdn-a.example/vid/' || CAST(doc_id % 6 AS VARCHAR)
+        |      || '.ppm' AS media_url,
+        |    'v' || CAST(doc_id % 3 AS VARCHAR) AS caption
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://f' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/feed/' || CAST(doc_id AS VARCHAR) || '.xml',
+        |    'https://cdn-b.example/cl/' || CAST(doc_id % 6 AS VARCHAR)
+        |      || '.ppm',
+        |    'v' || CAST(doc_id % 3 AS VARCHAR)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'https://f' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/feed/' || CAST(doc_id AS VARCHAR) || '.xml',
+        |    'https://cdn-a.example/x/bad.bin', 'bad'
         |  FROM documents WHERE doc_id % 97 = 0),
         |rekeyed AS (
         |  SELECT b.url, COALESCE(mapn.rep, b.media_url) AS media_url,

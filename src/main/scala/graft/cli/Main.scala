@@ -1233,6 +1233,20 @@ object Main {
         s"pairs kept -> $out")
       spark.stop()
 
+    case "crawl-video-dedup" :: pairsParquet :: mediaParquet :: out :: rest =>
+      // frame-set containment collapse: pairs whose fetched clips are
+      // clipped/trimmed copies of one another re-key to one canonical
+      // url; media parquet carries (media_url, body)
+      val threshold = rest.headOption.map(_.toDouble).getOrElse(0.9)
+      val spark = session()
+      graft.pipeline.Crawl.dedupePairsByVideo(
+          spark.read.parquet(pairsParquet),
+          spark.read.parquet(mediaParquet), threshold)
+        .write.mode("overwrite").parquet(out)
+      println(s"crawl-video-dedup: ${spark.read.parquet(out).count()} " +
+        s"pairs kept -> $out")
+      spark.stop()
+
     case "crawl-audio-quality" :: pairsParquet :: out :: rest =>
       // LAION-Audio screens over pairs joined to their decoded
       // audioStats columns: duration window (seconds), sample-rate
@@ -1742,6 +1756,7 @@ object Main {
           |  crawl-image-dedup <pairsParquet> <imagesParquet> <outParquet> [maxHamming]
           |  crawl-pair-quality <pairsParquet> <outParquet> [minW] [minH] [maxAspect]
           |  crawl-audio-dedup <pairsParquet> <mediaParquet> <outParquet> [maxHamming]
+          |  crawl-video-dedup <pairsParquet> <mediaParquet> <outParquet> [threshold]
           |  crawl-audio-quality <pairsParquet> <outParquet> [minDurS] [maxDurS] [minRate]
           |  crawl-audio-pairs <feedsParquet> <outParquet>
           |  image-dims       <imagesParquet> <outParquet>

@@ -1741,46 +1741,82 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { rows =>
       rows.flatMap { m =>
-        val p = m.payload
-        if (p == null || p.length < 2) Iterator.empty
-        else if (p(0) == 'P' && p(1) == '6') {
-          val out = Vector.newBuilder[FrameHashRow]
-          var off = 0
-          var idx = 0
-          var ok = true
-          while (ok && off < p.length) {
-            decodePpm(p, off) match {
-              case Some((w, h, px, consumed)) =>
-                if (w >= grid + 1 && h >= grid)
-                  out += FrameHashRow(m.id, idx, w, h, aHashOf(w, h, px, grid))
-                idx += 1
-                off += consumed
-              case None => ok = false
-            }
-          }
-          if (ok) out.result().iterator else Iterator.empty
-        } else if (p.length >= 3 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F') {
-          // animated GIF: every composited frame hashes (the smallest
-          // real multi-frame container — clipped-copy detection works
-          // on GIF animations exactly like on P6 streams)
-          decodeGif(p) match {
-            case Some((w, h, frames)) if w >= grid + 1 && h >= grid =>
-              frames.iterator.zipWithIndex.map { case (px, idx) =>
-                FrameHashRow(m.id, idx, w, h, aHashOf(w, h, px, grid))
-              }
-            case _ => Iterator.empty
-          }
-        } else if ((p(0) == 'B' && p(1) == 'M') ||
-                   (p(0) == PngSig(0) && p(1) == PngSig(1)) ||
-                   ((p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8)) {
-          decodeFirstFrame(p) match {
-            case Some((w, h, px)) if w >= grid + 1 && h >= grid =>
-              Iterator.single(FrameHashRow(m.id, 0, w, h, aHashOf(w, h, px, grid)))
-            case _ => Iterator.empty
-          }
-        } else Iterator.empty
+        frameHashesOf(m.payload, grid).map { case (idx, w, h, ah) =>
+          FrameHashRow(m.id, idx, w, h, ah)
+        }
       }
     }
+  }
+
+  /** The [[videoFrameHashes]] kernel over one payload: (frame_idx,
+    * width, height, ahash) per hashable decoded frame; empty for
+    * non-visual/corrupt payloads. */
+  private def frameHashesOf(p: Array[Byte], grid: Int)
+      : Iterator[(Int, Int, Int, Long)] = {
+    if (p == null || p.length < 2) Iterator.empty
+    else if (p(0) == 'P' && p(1) == '6') {
+      val out = Vector.newBuilder[(Int, Int, Int, Long)]
+      var off = 0
+      var idx = 0
+      var ok = true
+      while (ok && off < p.length) {
+        decodePpm(p, off) match {
+          case Some((w, h, px, consumed)) =>
+            if (w >= grid + 1 && h >= grid)
+              out += ((idx, w, h, aHashOf(w, h, px, grid)))
+            idx += 1
+            off += consumed
+          case None => ok = false
+        }
+      }
+      if (ok) out.result().iterator else Iterator.empty
+    } else if (p.length >= 3 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F') {
+      // animated GIF: every composited frame hashes (the smallest
+      // real multi-frame container — clipped-copy detection works
+      // on GIF animations exactly like on P6 streams)
+      decodeGif(p) match {
+        case Some((w, h, frames)) if w >= grid + 1 && h >= grid =>
+          frames.iterator.zipWithIndex.map { case (px, idx) =>
+            (idx, w, h, aHashOf(w, h, px, grid))
+          }
+        case _ => Iterator.empty
+      }
+    } else if ((p(0) == 'B' && p(1) == 'M') ||
+               (p(0) == PngSig(0) && p(1) == PngSig(1)) ||
+               ((p(0) & 0xFF) == 0xFF && (p(1) & 0xFF) == 0xD8)) {
+      decodeFirstFrame(p) match {
+        case Some((w, h, px)) if w >= grid + 1 && h >= grid =>
+          Iterator.single((0, w, h, aHashOf(w, h, px, grid)))
+        case _ => Iterator.empty
+      }
+    } else Iterator.empty
+  }
+
+  final case class KeyedFrameHashRow(key: String, frame_idx: Int,
+                                     width: Int, height: Int, ahash: Long)
+
+  /** [[videoFrameHashes]] keyed by an arbitrary STRING column — the
+    * [[perceptualHashesByKey]] sibling for multi-frame payloads, where
+    * a crawl's natural identity is the fetched media_url. Same kernel,
+    * same emit-less rule; output (key, ahash) sets feed the
+    * containment machinery directly. One mapPartitions pass, no
+    * shuffle. */
+  def videoFrameHashesByKey(media: DataFrame, keyCol: String = "media_url",
+                            payloadCol: String = "body", grid: Int = 8)
+      : Dataset[KeyedFrameHashRow] = {
+    require(grid >= 2 && grid <= 8, s"grid must be in [2, 8], got $grid")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(keyCol).cast("string"),
+        col(payloadCol).cast("binary"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (key, p) =>
+          frameHashesOf(p, grid).map { case (idx, w, h, ah) =>
+            KeyedFrameHashRow(key, idx, w, h, ah)
+          }
+        }
+      }
   }
 
   /**

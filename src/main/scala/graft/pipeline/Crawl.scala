@@ -1170,8 +1170,48 @@ object Crawl {
                                 foldExact: Boolean): DataFrame = {
     val nearDups = graft.dedup.Dedup.hammingNearDuplicates64(
       hashes, "key", "ahash", maxHamming)
+    rekeyPairsFromEdges(pairs, nearDups, keyCol, broadcastMap, foldExact)
+  }
+
+  /** Video frame-set dedup over an enclosure-pairs corpus (r17) — the
+    * third modality sibling of [[dedupePairsByImage]] /
+    * [[dedupePairsByAudio]], by frame-set CONTAINMENT rather than a
+    * single hamming fingerprint: two media_urls pair when the smaller
+    * one's distinct frame-hash set is `threshold`-contained in the
+    * other's ([[graft.multimodal.Multimodal.videoFrameHashesByKey]] →
+    * [[graft.dedup.Dedup]]'s containment join) — the clipped/trimmed/
+    * re-muxed-copy signature a whole-file hash cannot see. Clusters
+    * resolve to the lexicographic-min canonical url; pairs re-key;
+    * identical re-keyed pairs fold; non-visual/corrupt payloads pass
+    * through untouched. The `maxDocFreq` guard prunes boilerplate
+    * frames (intros, black frames) before they fan out quadratically
+    * — the scale rule the video index family already follows. */
+  def dedupePairsByVideo(pairs: DataFrame, media: DataFrame,
+                         threshold: Double = 0.9,
+                         maxDocFreq: Int = 1000,
+                         mediaKey: String = "media_url",
+                         payloadCol: String = "body",
+                         broadcastMap: Boolean = true,
+                         foldExact: Boolean = true): DataFrame = {
+    require(!pairs.columns.contains("_ipd_canon"),
+      "column name _ipd_canon is reserved by dedupePairsByVideo")
+    val sets = graft.multimodal.Multimodal
+      .videoFrameHashesByKey(media, mediaKey, payloadCol).toDF()
+      .select(col("key").as("id"), col("ahash").as("h"))
+    val edges = graft.dedup.Dedup.containmentPairsFromSets(
+      sets, threshold, maxDocFreq)
+    rekeyPairsFromEdges(pairs, edges, mediaKey, broadcastMap, foldExact)
+  }
+
+  /** The shared re-key tail: cluster the duplicate-pair edge list
+    * (id_a, id_b), map every key to its cluster's lexicographic-min
+    * canonical, re-key the pairs, optionally fold exact duplicates. */
+  private def rekeyPairsFromEdges(pairs: DataFrame, edges: DataFrame,
+                                  keyCol: String,
+                                  broadcastMap: Boolean,
+                                  foldExact: Boolean): DataFrame = {
     val labels = graft.dedup.Dedup.connectedComponents(
-      nearDups, "id_a", "id_b")
+      edges, "id_a", "id_b")
     val mapping = labels.filter(col("id") =!= col("rep"))
       .select(col("id").as(keyCol), col("rep").as("_ipd_canon"))
     val mapSide = if (broadcastMap) broadcast(mapping) else mapping

@@ -1329,6 +1329,60 @@ class CrawlFrontierSpec extends SparkTestBase {
       "cap")) === 2)
   }
 
+  test("dedupePairsByVideo: clipped copies collapse by containment (r17)") {
+    import graft.multimodal.Multimodal
+    // frames with CONTROLLED distinct hashes: constant gray (hash 0),
+    // right-white (bits bx>=4), bottom-white (bits by>=4), and their
+    // complements (left-/top-white) for the disjoint clip
+    val w = 16; val h = 12
+    def px(f: (Int, Int) => Boolean) = Array.tabulate[Byte](w * h * 3) { i =>
+      val pix = i / 3
+      if (f(pix % w, pix / w)) 255.toByte else 0.toByte
+    }
+    val fG = Array.fill[Byte](w * h * 3)(128.toByte)
+    val fRight = px((x, _) => x >= w / 2)
+    val fBottom = px((_, y) => y >= h / 2)
+    val fLeft = px((x, _) => x < w / 2)
+    val fTop = px((_, y) => y < h / 2)
+    def cat(frames: Array[Byte]*) = {
+      val out = new java.io.ByteArrayOutputStream()
+      frames.foreach(f => out.write(Multimodal.encodePpm(w, h, f)))
+      out.toByteArray
+    }
+    val media = Seq(
+      ("https://a.cdn/vid/1.ppm", cat(fG, fRight, fBottom)),
+      // clipped copy: a strict 2-of-3 frame subset -> containment 1.0
+      ("https://b.cdn/cl/1.ppm", cat(fG, fRight)),
+      ("https://a.cdn/vid/2.ppm", cat(fLeft, fTop)),
+      ("https://a.cdn/x/bad.bin", "NOTAVIDEO".getBytes("UTF-8")))
+      .toDF("media_url", "body")
+    val pairs = Seq(
+      ("https://f/A", "https://a.cdn/vid/1.ppm", "cap"),
+      ("https://f/A", "https://b.cdn/cl/1.ppm", "cap"), // folds with ^
+      ("https://f/B", "https://b.cdn/cl/1.ppm", "other"), // re-keys
+      ("https://f/C", "https://a.cdn/vid/2.ppm", "solo"),
+      ("https://f/D", "https://a.cdn/x/bad.bin", "bad"))
+      .toDF("url", "media_url", "caption")
+    val got = Crawl.dedupePairsByVideo(pairs, media)
+      .as[(String, String, String)].collect().toSet
+    assert(got === Set(
+      ("https://f/A", "https://a.cdn/vid/1.ppm", "cap"),
+      ("https://f/B", "https://a.cdn/vid/1.ppm", "other"),
+      ("https://f/C", "https://a.cdn/vid/2.ppm", "solo"),
+      ("https://f/D", "https://a.cdn/x/bad.bin", "bad")))
+    // a 1-of-3 overlap (containment 1/3) must NOT pair
+    val weak = Seq(
+      ("https://a.cdn/vid/1.ppm", cat(fG, fRight, fBottom)),
+      ("https://b.cdn/ov/1.ppm", cat(fG, fLeft, fTop)))
+      .toDF("media_url", "body")
+    val wk = Crawl.dedupePairsByVideo(
+      pairs.limit(0).unionByName(Seq(
+        ("https://f/X", "https://b.cdn/ov/1.ppm", "x"))
+        .toDF("url", "media_url", "caption")), weak)
+      .as[(String, String, String)].collect().toSet
+    assert(wk === Set(("https://f/X", "https://b.cdn/ov/1.ppm", "x")))
+  }
+
   test("audioPairQualityFilter: duration/rate/silence/caption gates (r17)") {
     val pairs = Seq(
       // (url, media, caption, n_samples, rate, energy)
