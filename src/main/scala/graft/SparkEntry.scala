@@ -5521,6 +5521,38 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Exact integer resampling (r17 — the ASR 16 kHz step): every
+    // doc's 8 kHz clip converts — evens UP to 16 kHz, odds DOWN to
+    // 4 kHz — through the floor-blend linear kernel, then the REAL
+    // RIFF round-trip (re-encode at the new rate, decode, exact
+    // integer triage). The oracle replays position arithmetic, the
+    // integer blend, and every stat from the fixture samples — an
+    // off-by-one in the length formula, the endpoint rule, or the
+    // blend rounding hash-mismatches.
+    "media_audio_resample" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val base = docs.as[Long].map { id =>
+        val n = (40 + id % 30).toInt
+        val samples = Array.tabulate[Short](n) { k =>
+          ((((id * 7 + k * 3) % 256) - 128) << 8).toShort
+        }
+        Multimodal.MediaRow(id, Multimodal.encodeWav(8000, samples),
+          Multimodal.MediaMeta("audio", 0, 0, 0, 8000))
+      }
+      val up = Multimodal.audioResample(base.filter(_.id % 2 == 0), 16000)
+      val down = Multimodal.audioResample(base.filter(_.id % 2 == 1), 4000)
+      val out = up.unionByName(down)
+      val stats = Multimodal.audioStats(out).toDF()
+      out.toDF()
+        .select(col("id"), col("meta.sample_rate").as("sample_rate"))
+        .join(stats, Seq("id"))
+        .select(col("id").as("doc_id"), col("sample_rate"),
+          col("n_samples"), col("sum_sq_dev"), col("peak_dev"),
+          col("zero_crossings"))
+        .orderBy("doc_id")
+    }),
+
     // resize plumbing: fixed-length re-bucketed features; first/last
     // buckets are scalar-checkable against the oracle (ASCII corpus →
     // byte == codepoint)
@@ -9400,6 +9432,53 @@ object SparkEntry {
         |  COALESCE(zc.zero_crossings, 0) AS zero_crossings
         |FROM base b LEFT JOIN zc ON zc.doc_id = b.doc_id
         |ORDER BY id""".stripMargin,
+    // the resampler replayed: floor-blend values at rational
+    // positions, endpoint length formula, then the same integer triage
+    "media_audio_resample" ->
+      """WITH d AS (
+        |  SELECT doc_id, 40 + doc_id % 30 AS n,
+        |    CASE WHEN doc_id % 2 = 0 THEN 16000 ELSE 4000 END AS orate
+        |  FROM documents),
+        |ik AS (SELECT doc_id, n,
+        |         unnest(generate_series(0, n - 1)) AS k FROM d),
+        |v AS (SELECT doc_id, k, (doc_id * 7 + k * 3) % 256 AS v FROM ik),
+        |oi AS (SELECT doc_id, n, orate,
+        |         unnest(generate_series(0, ((n - 1) * orate) // 8000))
+        |           AS i
+        |       FROM d),
+        |ppos AS (SELECT doc_id, orate, i, (i * 8000) // orate AS k,
+        |           (i * 8000) % orate AS r FROM oi),
+        |vo AS (
+        |  SELECT p.doc_id, p.orate, p.i,
+        |    (CASE WHEN p.r = 0 THEN a.v
+        |      ELSE (a.v * (p.orate - p.r) + b.v * p.r) // p.orate END)
+        |      - 128 AS dev
+        |  FROM ppos p
+        |  JOIN v a ON a.doc_id = p.doc_id AND a.k = p.k
+        |  LEFT JOIN v b ON b.doc_id = p.doc_id AND b.k = p.k + 1),
+        |base AS (
+        |  SELECT doc_id, CAST(max(orate) AS INT) AS sample_rate,
+        |    CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(dev * dev) AS BIGINT) AS sum_sq_dev,
+        |    CAST(max(abs(dev)) AS BIGINT) AS peak_dev
+        |  FROM vo GROUP BY doc_id),
+        |nz AS (SELECT doc_id, i,
+        |         CASE WHEN dev > 0 THEN 1 ELSE -1 END AS sgn
+        |       FROM vo WHERE dev <> 0),
+        |lagged AS (SELECT doc_id, sgn,
+        |             lag(sgn) OVER (PARTITION BY doc_id ORDER BY i)
+        |               AS prev
+        |           FROM nz),
+        |zc AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN prev IS NOT NULL AND sgn <> prev
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |       FROM lagged GROUP BY doc_id)
+        |SELECT b.doc_id, b.sample_rate, b.n_samples, b.sum_sq_dev,
+        |  b.peak_dev,
+        |  CAST(COALESCE(zc.zero_crossings, 0) AS BIGINT)
+        |    AS zero_crossings
+        |FROM base b LEFT JOIN zc ON zc.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
     // GIF: gray-palette payloads decode index v to RGB (v,v,v), so every
     // fixture byte appears 3x in the decoded stream — mean/fraction
     // features equal the per-pixel values, byte_len = 3 * pixels. Even

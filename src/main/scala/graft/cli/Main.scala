@@ -1219,6 +1219,22 @@ object Main {
         s"decoded -> $out")
       spark.stop()
 
+    case "audio-resample" :: mediaParquet :: out :: rest =>
+      // exact integer linear resample to the target rate (ASR 16 kHz
+      // step); media parquet carries MediaRow-shaped (id, payload,
+      // meta) rows — non-audio/corrupt rows pass through untouched
+      val rate = rest.headOption.map(_.toInt).getOrElse(16000)
+      val spark = session()
+      val enc = org.apache.spark.sql.Encoders.product[
+        graft.multimodal.Multimodal.MediaRow]
+      graft.multimodal.Multimodal.audioResample(
+          spark.read.parquet(mediaParquet).as(enc), rate)
+        .toDF()
+        .write.mode("overwrite").parquet(out)
+      println(s"audio-resample: ${spark.read.parquet(out).count()} " +
+        s"rows at $rate Hz -> $out")
+      spark.stop()
+
     case "crawl-audio-dedup" :: pairsParquet :: mediaParquet :: out :: rest =>
       // mirror-collapse for the enclosure channel: pairs whose fetched
       // clips fingerprint as near-dups re-key to one canonical url;
@@ -1757,6 +1773,7 @@ object Main {
           |  crawl-pair-quality <pairsParquet> <outParquet> [minW] [minH] [maxAspect]
           |  crawl-audio-dedup <pairsParquet> <mediaParquet> <outParquet> [maxHamming]
           |  crawl-video-dedup <pairsParquet> <mediaParquet> <outParquet> [threshold]
+          |  audio-resample <mediaParquet> <outParquet> [rate]
           |  crawl-audio-quality <pairsParquet> <outParquet> [minDurS] [maxDurS] [minRate]
           |  crawl-audio-pairs <feedsParquet> <outParquet>
           |  image-dims       <imagesParquet> <outParquet>

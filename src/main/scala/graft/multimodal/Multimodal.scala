@@ -1940,6 +1940,65 @@ object Multimodal {
       }
   }
 
+  /**
+   * Exact integer linear resampler — the 16 kHz-mono conversion step
+   * every ASR/speech pipeline applies before feature extraction,
+   * deterministic enough for an oracle to replay bit-for-bit: output
+   * sample i sits at rational position i·inRate/outRate; with k the
+   * floor index and r = (i·inRate) mod outRate, the value is the
+   * integer-floor linear blend (v[k]·(outRate−r) + v[k+1]·r) div
+   * outRate over the decoder's unsigned-8-bit projection (r = 0 →
+   * v[k] verbatim, so a same-rate call is the identity on samples).
+   * Output length = (n−1)·outRate div inRate + 1 — endpoints map to
+   * endpoints. The result re-encodes as 16-bit PCM RIFF at `outRate`
+   * with `meta.sample_rate` updated; non-audio rows, corrupt payloads
+   * and rows without a positive recorded rate pass through UNTOUCHED
+   * (the phashPrune rule — only demonstrated audio converts). One
+   * mapPartitions pass, no shuffle; payload sizes scale by
+   * outRate/inRate.
+   */
+  def audioResample(media: Dataset[MediaRow], outRate: Int)
+      : Dataset[MediaRow] = {
+    require(outRate > 0, s"outRate must be positive, got $outRate")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        if (m.meta.media_type != "audio" || m.meta.sample_rate <= 0) m
+        else decodeWav(m.payload) match {
+          case Some(s) if s.length > 0 =>
+            val inRate = m.meta.sample_rate
+            val n = s.length
+            val outLen =
+              if (n == 1) 1
+              else ((n - 1).toLong * outRate / inRate).toInt + 1
+            val out = new Array[Short](outLen)
+            var i = 0
+            while (i < outLen) {
+              val pos = i.toLong * inRate
+              val k = (pos / outRate).toInt
+              val r = (pos % outRate).toInt
+              val a = s(k) & 0xFF
+              // r > 0 implies k+1 < n (endpoints map to endpoints);
+              // the bound check is belt-and-braces
+              val v =
+                if (r == 0 || k + 1 >= n) a
+                else {
+                  val b = s(k + 1) & 0xFF
+                  ((a.toLong * (outRate - r) + b.toLong * r) / outRate)
+                    .toInt
+                }
+              out(i) = ((v - 128) << 8).toShort
+              i += 1
+            }
+            MediaRow(m.id, encodeWav(outRate, out),
+              m.meta.copy(sample_rate = outRate))
+          case _ => m
+        }
+      }
+    }
+  }
+
   final case class AudioStats(id: Long, n_samples: Long, sum_sq_dev: Long,
                               peak_dev: Long, zero_crossings: Long)
 

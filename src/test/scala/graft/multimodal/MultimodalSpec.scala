@@ -427,6 +427,50 @@ class MultimodalSpec extends SparkTestBase {
     assert(s.zero_crossings === 3L)
   }
 
+  test("audioResample: exact blend values, endpoints, passthrough (r17)") {
+    import Multimodal._
+    // u8 values 100, 200, 150 at 8 kHz
+    val samples = Array[Short](
+      ((100 - 128) << 8).toShort, ((200 - 128) << 8).toShort,
+      ((150 - 128) << 8).toShort)
+    val rows = Seq(
+      MediaRow(1L, encodeWav(8000, samples),
+        MediaMeta("audio", 0, 0, 0, 8000)),
+      MediaRow(2L, encodeWav(8000, samples),
+        MediaMeta("image", 0, 0, 0, 0)),                 // not audio
+      MediaRow(3L, Array[Byte](1, 2, 3),
+        MediaMeta("audio", 0, 0, 0, 8000)))              // corrupt
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    // UP ×2: positions 0, .5, 1, 1.5, 2 → 100, 150, 200, 175, 150
+    val up = audioResample(ds, 16000).collect().sortBy(_.id)
+    val u1 = up.find(_.id == 1L).get
+    assert(u1.meta.sample_rate === 16000)
+    assert(decodeWav(u1.payload).get.map(_ & 0xFF).toSeq ===
+      Seq(100, 150, 200, 175, 150))
+    // non-audio and corrupt rows pass through untouched
+    assert(up.find(_.id == 2L).get.payload.toSeq ===
+      rows(1).payload.toSeq)
+    assert(up.find(_.id == 3L).get.meta.sample_rate === 8000)
+    // DOWN ÷2: positions 0, 2 → 100, 150 (endpoint maps to endpoint)
+    val d1 = audioResample(ds, 4000).collect().find(_.id == 1L).get
+    assert(decodeWav(d1.payload).get.map(_ & 0xFF).toSeq ===
+      Seq(100, 150))
+    // same-rate call is the identity on samples
+    val s1 = audioResample(ds, 8000).collect().find(_.id == 1L).get
+    assert(decodeWav(s1.payload).get.map(_ & 0xFF).toSeq ===
+      Seq(100, 200, 150))
+    // NON-divisible ratio: 8k→3k over 3 samples → out len (2*3000)//8000
+    // + 1 = 1 (just the first endpoint)
+    val t1 = audioResample(ds, 3000).collect().find(_.id == 1L).get
+    assert(decodeWav(t1.payload).get.map(_ & 0xFF).toSeq === Seq(100))
+    // and 8k→5k over 3 samples: positions 0, 8/5=1.6 →
+    // (200*(5-3)+150*3)//5 = 170
+    val f1 = audioResample(ds, 5000).collect().find(_.id == 1L).get
+    assert(decodeWav(f1.payload).get.map(_ & 0xFF).toSeq ===
+      Seq(100, 170))
+  }
+
   test("audioStats round-trips the synthetic fixture's sample count") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(60)
     val stats = Multimodal.audioStats(
