@@ -5553,6 +5553,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Audio conditioning (r17 — edge-trim + gain staging): each clip
+    // carries id%5 leading and id%4 trailing silent samples around an
+    // arithmetic body (whose own edge values may be zero — the trim
+    // bound is the first/last NONZERO dev of the whole stream, exactly
+    // what the oracle computes); trim strips them, peak-normalize
+    // scales to |dev|=127 through the sign-split floor division, and
+    // the exact triage of the conditioned stream comes out. Any
+    // off-by-one in the trim bounds or a truncate-vs-floor slip in the
+    // gain hash-mismatches.
+    "media_audio_condition" -> ((s, dir) => {
+      import s.implicits._
+      val docs = tbl(s, dir, "documents").select(col("doc_id"))
+      val base = docs.as[Long].map { id =>
+        val lead = (id % 5).toInt
+        val trail = (id % 4).toInt
+        val nb = (30 + id % 20).toInt
+        val devs = Array.tabulate(lead + nb + trail) { k =>
+          if (k < lead || k >= lead + nb) 0
+          else (((id * 11 + (k - lead) * 7) % 255) - 127).toInt
+        }
+        Multimodal.MediaRow(id,
+          Multimodal.encodeWav(8000, devs.map(d => (d << 8).toShort)),
+          Multimodal.MediaMeta("audio", 0, 0, 0, 8000))
+      }
+      val conditioned = Multimodal.audioNormalizePeak(
+        Multimodal.audioTrimSilence(base), 127)
+      Multimodal.audioStats(conditioned).toDF()
+        .select(col("id").as("doc_id"), col("n_samples"),
+          col("sum_sq_dev"), col("peak_dev"), col("zero_crossings"))
+        .orderBy("doc_id")
+    }),
+
     // resize plumbing: fixed-length re-bucketed features; first/last
     // buckets are scalar-checkable against the oracle (ASCII corpus →
     // byte == codepoint)
@@ -9475,6 +9507,54 @@ object SparkEntry {
         |       FROM lagged GROUP BY doc_id)
         |SELECT b.doc_id, b.sample_rate, b.n_samples, b.sum_sq_dev,
         |  b.peak_dev,
+        |  CAST(COALESCE(zc.zero_crossings, 0) AS BIGINT)
+        |    AS zero_crossings
+        |FROM base b LEFT JOIN zc ON zc.doc_id = b.doc_id
+        |ORDER BY b.doc_id""".stripMargin,
+    // trim + gain replayed: first/last nonzero dev bounds the kept
+    // range, the sign-split floor gain rescales, the triage recomputes
+    "media_audio_condition" ->
+      """WITH d AS (
+        |  SELECT doc_id, doc_id % 5 AS lead, doc_id % 4 AS trail,
+        |    30 + doc_id % 20 AS nb
+        |  FROM documents),
+        |ks AS (SELECT doc_id, lead, nb,
+        |         unnest(generate_series(0, lead + nb + trail - 1)) AS k
+        |       FROM d),
+        |dv AS (SELECT doc_id, k,
+        |         CASE WHEN k < lead OR k >= lead + nb THEN 0
+        |           ELSE ((doc_id * 11 + (k - lead) * 7) % 255) - 127
+        |         END AS dev
+        |       FROM ks),
+        |bnd AS (SELECT doc_id, min(k) AS f, max(k) AS l FROM dv
+        |        WHERE dev <> 0 GROUP BY doc_id),
+        |tr AS (SELECT dv.doc_id, dv.k, dv.dev FROM dv
+        |       JOIN bnd ON bnd.doc_id = dv.doc_id
+        |         AND dv.k BETWEEN bnd.f AND bnd.l),
+        |pk AS (SELECT doc_id, max(abs(dev)) AS peak FROM tr
+        |       GROUP BY doc_id),
+        |nm AS (SELECT tr.doc_id, tr.k,
+        |         CASE WHEN tr.dev < 0
+        |           THEN -((-tr.dev * 127) // pk.peak)
+        |           ELSE (tr.dev * 127) // pk.peak END AS dev
+        |       FROM tr JOIN pk ON pk.doc_id = tr.doc_id),
+        |base AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_samples,
+        |    CAST(sum(dev * dev) AS BIGINT) AS sum_sq_dev,
+        |    CAST(max(abs(dev)) AS BIGINT) AS peak_dev
+        |  FROM nm GROUP BY doc_id),
+        |nz AS (SELECT doc_id, k,
+        |         CASE WHEN dev > 0 THEN 1 ELSE -1 END AS sgn
+        |       FROM nm WHERE dev <> 0),
+        |lagged AS (SELECT doc_id, sgn,
+        |             lag(sgn) OVER (PARTITION BY doc_id ORDER BY k)
+        |               AS prev
+        |           FROM nz),
+        |zc AS (SELECT doc_id,
+        |         CAST(sum(CASE WHEN prev IS NOT NULL AND sgn <> prev
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |       FROM lagged GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_samples, b.sum_sq_dev, b.peak_dev,
         |  CAST(COALESCE(zc.zero_crossings, 0) AS BIGINT)
         |    AS zero_crossings
         |FROM base b LEFT JOIN zc ON zc.doc_id = b.doc_id

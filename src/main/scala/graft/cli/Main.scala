@@ -1235,6 +1235,23 @@ object Main {
         s"rows at $rate Hz -> $out")
       spark.stop()
 
+    case "audio-condition" :: mediaParquet :: out :: rest =>
+      // edge-trim silence then peak-normalize (gain staging); media
+      // parquet carries MediaRow-shaped rows
+      val threshold = rest.headOption.map(_.toInt).getOrElse(0)
+      val target = rest.drop(1).headOption.map(_.toInt).getOrElse(127)
+      val spark = session()
+      val enc = org.apache.spark.sql.Encoders.product[
+        graft.multimodal.Multimodal.MediaRow]
+      graft.multimodal.Multimodal.audioNormalizePeak(
+          graft.multimodal.Multimodal.audioTrimSilence(
+            spark.read.parquet(mediaParquet).as(enc), threshold), target)
+        .toDF()
+        .write.mode("overwrite").parquet(out)
+      println(s"audio-condition: ${spark.read.parquet(out).count()} " +
+        s"rows conditioned -> $out")
+      spark.stop()
+
     case "crawl-audio-dedup" :: pairsParquet :: mediaParquet :: out :: rest =>
       // mirror-collapse for the enclosure channel: pairs whose fetched
       // clips fingerprint as near-dups re-key to one canonical url;
@@ -1774,6 +1791,7 @@ object Main {
           |  crawl-audio-dedup <pairsParquet> <mediaParquet> <outParquet> [maxHamming]
           |  crawl-video-dedup <pairsParquet> <mediaParquet> <outParquet> [threshold]
           |  audio-resample <mediaParquet> <outParquet> [rate]
+          |  audio-condition <mediaParquet> <outParquet> [silenceThreshold] [targetPeak]
           |  crawl-audio-quality <pairsParquet> <outParquet> [minDurS] [maxDurS] [minRate]
           |  crawl-audio-pairs <feedsParquet> <outParquet>
           |  image-dims       <imagesParquet> <outParquet>

@@ -1999,6 +1999,97 @@ object Multimodal {
     }
   }
 
+  /**
+   * Trim leading/trailing silence — the edge-trim every ASR corpus
+   * applies before packing: keep the sample range [first, last] whose
+   * |dev| (dev = u8 − 128) exceeds `threshold`, re-encoded at the
+   * recorded rate. A clip that never crosses the threshold trims to
+   * ZERO samples (a valid empty RIFF — downstream stats are emit-less
+   * on it, so fully-silent clips vanish from the corpus observably).
+   * Non-audio rows, corrupt payloads and rows without a positive
+   * recorded rate pass through UNTOUCHED. Integer-exact end-to-end.
+   */
+  def audioTrimSilence(media: Dataset[MediaRow], threshold: Int = 0)
+      : Dataset[MediaRow] = {
+    require(threshold >= 0, s"threshold must be >= 0, got $threshold")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        if (m.meta.media_type != "audio" || m.meta.sample_rate <= 0) m
+        else decodeWav(m.payload) match {
+          case Some(s) if s.length > 0 =>
+            var first = 0
+            while (first < s.length &&
+              math.abs((s(first) & 0xFF) - 128) <= threshold) first += 1
+            var last = s.length - 1
+            while (last >= first &&
+              math.abs((s(last) & 0xFF) - 128) <= threshold) last -= 1
+            val out =
+              if (first > last) new Array[Short](0)
+              else {
+                val o = new Array[Short](last - first + 1)
+                var i = 0
+                while (i < o.length) {
+                  o(i) = ((((s(first + i) & 0xFF) - 128)) << 8).toShort
+                  i += 1
+                }
+                o
+              }
+            MediaRow(m.id, encodeWav(m.meta.sample_rate, out), m.meta)
+          case _ => m
+        }
+      }
+    }
+  }
+
+  /**
+   * Peak-normalize — scale every sample so the clip's peak |dev|
+   * becomes `targetPeak` (gain staging before packing; the RMS/LUFS
+   * cousins need float pipelines, the peak form stays integer-exact):
+   * dev′ = sign(dev) · (|dev|·targetPeak div peak) — sign-split floor
+   * division so the SAME bits come out of any engine (a plain signed
+   * division truncates toward zero on the JVM but floors in SQL).
+   * Already-silent clips (peak 0) and empty payloads pass through
+   * unchanged, as do non-audio/corrupt/rate-less rows.
+   */
+  def audioNormalizePeak(media: Dataset[MediaRow], targetPeak: Int = 127)
+      : Dataset[MediaRow] = {
+    require(targetPeak >= 1 && targetPeak <= 127,
+      s"targetPeak must be in [1, 127], got $targetPeak")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { rows =>
+      rows.map { m =>
+        if (m.meta.media_type != "audio" || m.meta.sample_rate <= 0) m
+        else decodeWav(m.payload) match {
+          case Some(s) if s.length > 0 =>
+            var peak = 0
+            var i = 0
+            while (i < s.length) {
+              val a = math.abs((s(i) & 0xFF) - 128)
+              if (a > peak) peak = a
+              i += 1
+            }
+            if (peak == 0) m
+            else {
+              val out = new Array[Short](s.length)
+              i = 0
+              while (i < s.length) {
+                val dev = (s(i) & 0xFF) - 128
+                val a = (math.abs(dev) * targetPeak) / peak
+                val nd = if (dev < 0) -a else a
+                out(i) = (nd << 8).toShort
+                i += 1
+              }
+              MediaRow(m.id, encodeWav(m.meta.sample_rate, out), m.meta)
+            }
+          case _ => m
+        }
+      }
+    }
+  }
+
   final case class AudioStats(id: Long, n_samples: Long, sum_sq_dev: Long,
                               peak_dev: Long, zero_crossings: Long)
 

@@ -471,6 +471,45 @@ class MultimodalSpec extends SparkTestBase {
       Seq(100, 170))
   }
 
+  test("audioTrimSilence + audioNormalizePeak: bounds, sign-split gain (r17)") {
+    import Multimodal._
+    def wav(devs: Int*) =
+      encodeWav(8000, devs.map(d => ((d << 8)).toShort).toArray)
+    def devsOf(m: MediaRow) =
+      decodeWav(m.payload).get.map(b => (b & 0xFF) - 128).toSeq
+    val rows = Seq(
+      MediaRow(1L, wav(0, 0, 3, 0, -6, 0), MediaMeta("audio", 0, 0, 0, 8000)),
+      MediaRow(2L, wav(0, 0, 0), MediaMeta("audio", 0, 0, 0, 8000)), // silent
+      MediaRow(3L, wav(5, -5), MediaMeta("image", 0, 0, 0, 0)))      // not audio
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[MediaRow])
+    val trimmed = audioTrimSilence(ds).collect().sortBy(_.id)
+    // edges strip, INTERIOR zero survives
+    assert(devsOf(trimmed(0)) === Seq(3, 0, -6))
+    // fully-silent clip trims to zero samples (stats emit-less on it)
+    assert(devsOf(trimmed(1)) === Seq())
+    assert(audioStats(spark.createDataset(trimmed.toSeq)(
+      org.apache.spark.sql.Encoders.product[MediaRow]))
+      .collect().map(_.id).toSeq === Seq(1L))
+    // non-audio untouched
+    assert(trimmed(2).payload.toSeq === rows(2).payload.toSeq)
+    // normalize: peak 6 -> 127; 3*127/6 = 63 (floor), -6 -> -127;
+    // the sign-split floor keeps +3 and -3 symmetric
+    val norm = audioNormalizePeak(
+      spark.createDataset(trimmed.toSeq)(
+        org.apache.spark.sql.Encoders.product[MediaRow]), 127)
+      .collect().sortBy(_.id)
+    assert(devsOf(norm(0)) === Seq(63, 0, -127))
+    // silent/empty + non-audio pass through
+    assert(devsOf(norm(1)) === Seq())
+    assert(norm(2).payload.toSeq === rows(2).payload.toSeq)
+    // symmetric rounding: +3/-3 at peak 7 both map to magnitude 54
+    val sym = audioNormalizePeak(spark.createDataset(Seq(
+      MediaRow(9L, wav(3, -3, 7), MediaMeta("audio", 0, 0, 0, 8000))))(
+      org.apache.spark.sql.Encoders.product[MediaRow]), 127).collect()
+    assert(devsOf(sym(0)) === Seq(54, -54, 127))
+  }
+
   test("audioStats round-trips the synthetic fixture's sample count") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(60)
     val stats = Multimodal.audioStats(
