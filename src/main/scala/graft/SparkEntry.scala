@@ -993,6 +993,35 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // IVF drift observability (r17 — the RE-TRAIN signal): centroids
+    // are PLANTED one-hot axis vectors (the open layout), so the
+    // Euclidean assignment (argmax of the first four components,
+    // first-wins ties) and every per-list mean cosine replay exactly
+    // in SQL; two ivfAppendAt ingests split the corpus by parity, and
+    // the dashboard reads per-(list, ingest) counts + the
+    // DECIMAL-summed mean cosine through the q_scaler_stats
+    // DOUBLE-output protocol. An assignment, rounding, or
+    // partition-layout defect hash-mismatches.
+    "emb_ivf_drift" -> ((s, dir) => {
+      import s.implicits._
+      val fd = java.nio.file.Files.createTempDirectory("graft_ivfdrift_")
+      deleteRecursivelyOnExit(fd)
+      val idx = fd.resolve("ivf").toFile.getAbsolutePath
+      (0 until 4).map(i =>
+          (i, Array.tabulate(64)(k => if (k == i) 1.0 else 0.0)))
+        .toDF("list_id", "centroid")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$idx/centroids")
+      val e = tbl(s, dir, "embeddings").select(col("vec_id"),
+        col("embedding"))
+      graft.index.SimilarityIndex.ivfAppendAt(s, idx,
+        e.filter(col("vec_id") % 2 === 0), 0)
+      graft.index.SimilarityIndex.ivfAppendAt(s, idx,
+        e.filter(col("vec_id") % 2 === 1), 1)
+      graft.index.SimilarityIndex.ivfDriftStats(s, idx)
+        .orderBy("list_id", "ingest")
+    }),
+
     // the FLOAT-IVF DELETE path (takedown lifecycle — the one index
     // family the r10 tombstone sweep missed): build over the whole
     // corpus, tombstone the vec_id % 5 == 0 vectors (one id-list append;
@@ -11740,6 +11769,37 @@ object SparkEntry {
         |  WHERE c.vec_id % 5 <> 0) t
         |WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // drift dashboard replayed: planted one-hot centroids make the
+    // Euclidean assignment argmax-of-first-four (first-wins ties) and
+    // the per-list cosine v[i]/|v|; DECIMAL(18,6)-rounded cosines sum
+    // order-free, mean derives double/count through the DOUBLE
+    // protocol
+    "emb_ivf_drift" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    CASE WHEN vec_id % 2 = 0 THEN 0 ELSE 1 END AS ingest
+        |  FROM embeddings),
+        |a AS (
+        |  SELECT vec_id, ingest, v,
+        |    CASE WHEN v[1] >= v[2] AND v[1] >= v[3] AND v[1] >= v[4]
+        |        THEN 0
+        |      WHEN v[2] >= v[3] AND v[2] >= v[4] THEN 1
+        |      WHEN v[3] >= v[4] THEN 2
+        |      ELSE 3 END AS list_id,
+        |    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+        |  FROM e),
+        |c AS (
+        |  SELECT list_id, ingest,
+        |    CAST(v[list_id + 1] / nrm AS DECIMAL(18,6)) AS cd
+        |  FROM a WHERE nrm > 0)
+        |SELECT CAST(list_id AS INT) AS list_id,
+        |  CAST(ingest AS INT) AS ingest,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_scored,
+        |  CAST(CAST(CAST(sum(cd) AS DOUBLE) / count(*) AS DECIMAL(18,6))
+        |    AS DOUBLE) AS mean_cos
+        |FROM c GROUP BY 1, 2
+        |ORDER BY list_id, ingest""".stripMargin,
     // IVF-SQ8: identical deterministic self-recall contract — the
     // member's own int8 code dots to its exact squared norm, cosine 1
     "emb_topk_ivfsq8" ->

@@ -1350,6 +1350,19 @@ object Main {
       println(s"warc-extract: $n records -> $out")
       spark.stop()
 
+    case "ivf-drift" :: idx :: out :: Nil =>
+      // the float-IVF RE-TRAIN signal: per-(list, ingest) row counts +
+      // mean cosine of every stored vector to its own centroid — a
+      // falling mean on later ingests says the frozen centroids no
+      // longer fit the distribution; re-fit with ivfBuild
+      val spark = session()
+      graft.index.SimilarityIndex.ivfDriftStats(spark, idx)
+        .orderBy("list_id", "ingest")
+        .write.mode("overwrite").parquet(out)
+      println(s"ivf-drift: ${spark.read.parquet(out).count()} " +
+        s"(list, ingest) rows -> $out")
+      spark.stop()
+
     case "index-stats" :: kind :: idx :: out :: Nil =>
       // maintenance dashboard: per-installment row counts (+ deletes
       // sidecar) for the flat families; per-(list, ingest) counts —
@@ -1745,6 +1758,7 @@ object Main {
           |  ivfsq8-prune     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
           |  index-delete     <minhash|bm25|int8|ivfsq8|ivf|pq|ivfpq|lm|span|hamming|video> <indexPath> <idsOrDocsParquet> [idOrTextCol]
           |  index-stats      <minhash|bm25|int8|pq|lm|span|hamming|video|ivf|ivfsq8|ivfpq> <indexPath> <outParquet>
+          |  ivf-drift        <indexPath> <outParquet>
           |  index-vacuum     <minhash|bm25|int8|ivfsq8|ivf|pq|ivfpq|lm|span|hamming|video> <indexPath> [vecIdCol]
           |  video-build      <framesParquet> <indexPath> [idCol] [hashCol]
           |  video-append     <framesParquet> <indexPath> [idCol] [hashCol]

@@ -297,6 +297,63 @@ object SimilarityIndex {
       .parquet(s"$path/assignments")
   }
 
+  /** Assignment-quality drift stats for the float IVF index (r17) —
+    * the RE-TRAIN signal the append contract's "re-fit when the
+    * distribution drifts" doc line asks for, as a dashboard frame: per
+    * (list_id, ingest), the row count and the MEAN COSINE of each
+    * stored vector to its own list centroid. Build rows (ingest 0)
+    * fit the centroids, so their mean is the baseline; appended
+    * ingests assigned against FROZEN centroids read directly against
+    * it — a falling mean_cos on later ingests is the drift, a
+    * lopsided n_rows the imbalance ([[graft.store.Installments.ivfStats]]
+    * gives counts alone without scanning vectors).
+    *
+    * Oracle-stable by construction: each cosine rounds to
+    * DECIMAL(18,6) BEFORE the sum (decimal addition is
+    * order-independent), and the mean derives double ÷ long →
+    * DECIMAL(18,6) → DOUBLE (the q_scaler_stats protocol — never emit
+    * DECIMAL). Null/zero-norm/dimension-mismatched vectors score no
+    * cosine (excluded from `n_scored`/mean, counted in `n_rows`).
+    * One scan of the assignments, centroids broadcast; nothing
+    * corpus-sized shuffles beyond the (list, ingest) aggregate. */
+  def ivfDriftStats(spark: SparkSession, path: String,
+                    vecCol: String = "embedding"): DataFrame = {
+    val centers = readCentroids(spark, path)
+    val bc = spark.sparkContext.broadcast(centers)
+    val cosUdf = udf { (lid: Int, v: Seq[Float]) =>
+      val cs = bc.value
+      if (v == null || lid < 0 || lid >= cs.length ||
+          v.length != cs(lid).length) null.asInstanceOf[java.lang.Double]
+      else {
+        val c = cs(lid)
+        var dot = 0.0; var nv = 0.0; var nc = 0.0; var i = 0
+        while (i < c.length) {
+          dot += v(i) * c(i)
+          nv += v(i).toDouble * v(i)
+          nc += c(i) * c(i)
+          i += 1
+        }
+        if (nv == 0.0 || nc == 0.0) null.asInstanceOf[java.lang.Double]
+        else java.lang.Double.valueOf(
+          dot / (math.sqrt(nv) * math.sqrt(nc)))
+      }
+    }
+    spark.read.parquet(s"$path/assignments")
+      .select(col("list_id").cast("int").as("list_id"),
+        col("ingest").cast("int").as("ingest"),
+        cosUdf(col("list_id"), col(vecCol)).as("_c"))
+      .withColumn("_cd", col("_c").cast("decimal(18,6)"))
+      .groupBy("list_id", "ingest")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("_cd")).as("n_scored"),
+        sum(col("_cd")).as("_s"))
+      .withColumn("mean_cos",
+        when(col("n_scored") > 0,
+          (col("_s").cast("double") / col("n_scored"))
+            .cast("decimal(18,6)").cast("double")))
+      .drop("_s")
+  }
+
   /**
    * IVF index maintenance — the small-file compaction the append-only
    * contract promises (the bm25IndexCompact/minhashIndexCompactSizes

@@ -379,6 +379,39 @@ class SimilarityIndexSpec extends SparkTestBase {
       s"expected list_id partition pruning in:\n$plan")
   }
 
+  test("ivfDriftStats: per-(list, ingest) mean cosine; null/mismatch excluded (r17)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_drift").toString
+    // planted one-hot centroids: assignment and cosines are hand-checkable
+    Seq((0, Array(1.0, 0.0, 0.0, 0.0)), (1, Array(0.0, 1.0, 0.0, 0.0)))
+      .toDF("list_id", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    // ingest 0: two axis-aligned rows (cos 1) and one diagonal
+    // (cos 1/sqrt(2) -> 0.707107 at DECIMAL(18,6))
+    SimilarityIndex.ivfAppendAt(spark, dir, Seq(
+      (1L, Array(2.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 3.0f, 0.0f, 0.0f)),
+      (3L, Array(1.0f, 1.0f, 0.0f, 0.0f))) // ties to list 0 (first-wins)
+      .toDF("vec_id", "embedding"), 0)
+    // ingest 1: an orthogonal row in list 0's direction space (cos 0
+    // to list 1? no — assigns to list 0 with cos 1) plus a zero vector
+    // (n_rows counts it, n_scored does not)
+    SimilarityIndex.ivfAppendAt(spark, dir, Seq(
+      (4L, Array(5.0f, 0.0f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding"), 1)
+    val got = SimilarityIndex.ivfDriftStats(spark, dir)
+      .orderBy("list_id", "ingest")
+      .as[(Int, Int, Long, Long, Option[Double])].collect().toSeq
+    val c707 = BigDecimal(1.0 / math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mean00 = BigDecimal((1.0 + c707) / 2)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got === Seq(
+      (0, 0, 2L, 2L, Some(mean00)),
+      (0, 1, 2L, 1L, Some(1.0)),
+      (1, 0, 1L, 1L, Some(1.0))))
+  }
+
   test("ivfCompact: identical search results, fewer files per list") {
     val mk = (base: Array[Float], eps: Float) => base.zipWithIndex.map {
       case (v, i) => if (i == 0) v + eps else v }
