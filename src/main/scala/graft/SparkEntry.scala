@@ -4281,6 +4281,60 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Video pair quality screens (r17 — the third modality's gates,
+    // off the REAL decode): every clip m=id%12 is a multi-frame P6
+    // stream whose dims/frame count come from arithmetic, so the
+    // min-dims (m=0), aspect (m=10,11), single-frame (m%5==0) and
+    // too-many-frames (m%5==4) cuts all replay; id%37 pairs reference
+    // a corrupt payload (no meta — drop), null captions pass, short
+    // captions drop, and the 'Trailer' feed-df guard recomputes its
+    // own threshold crossing.
+    "crawl_video_quality" -> ((s, dir) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val m = id % 12
+      val pairs = tbl(s, dir, "documents").select(
+        concat(lit("https://f"), id % 7, lit(".example/feed/"), id,
+          lit(".xml")).as("url"),
+        when(id % 37 === 0, lit("https://v.example/bad/x.bin"))
+          .otherwise(concat(lit("https://v.example/clip/"), m,
+            lit(".ppm"))).as("media_url"),
+        when(id % 17 === 0, lit(null).cast("string"))
+          .when(id % 10 === 7, lit("Trailer"))
+          .when(id % 19 === 0, lit("x"))
+          .otherwise(concat(lit("Vid "), id % 40)).as("caption"))
+      val media = tbl(s, dir, "documents").select((id % 12).as("m"))
+        .distinct()
+        .as[Long].map { mm =>
+          val w = 24 + mm.toInt * 8
+          val h = 48
+          val nf = 1 + (mm % 5).toInt
+          val out = new java.io.ByteArrayOutputStream()
+          (0 until nf).foreach { j =>
+            out.write(Multimodal.encodePpm(w, h,
+              Multimodal.fixtureStream(
+                s"vq $mm $j".getBytes(
+                  java.nio.charset.StandardCharsets.US_ASCII),
+                w * h * 3)))
+          }
+          (s"https://v.example/clip/$mm.ppm", out.toByteArray)
+        }.toDF("media_url", "body")
+        .unionByName(Seq(("https://v.example/bad/x.bin",
+          "NOTAVIDEO".getBytes(java.nio.charset.StandardCharsets.US_ASCII)))
+          .toDF("media_url", "body"))
+      val meta = Multimodal.videoMetaByKey(media).toDF()
+        .select(col("key").as("media_url"), col("width"), col("height"),
+          col("n_frames"))
+      val joined = pairs.join(meta, Seq("media_url"), "left")
+        .select(col("url"), col("media_url"), col("caption"),
+          col("width"), col("height"), col("n_frames"))
+      graft.pipeline.Crawl.videoPairQualityFilter(joined,
+          minWidth = 32, minHeight = 32, maxAspect = 2.0,
+          minFrames = 2, maxFrames = 4, minCaptionChars = 3,
+          maxCaptionChars = 200, maxCaptionFeeds = 10)
+        .orderBy("url")
+    }),
+
     // The LAION-Audio delivery step (r17): harvested enclosure pairs +
     // their fetched bytes (mediaBytesJoin) package into WebDataset tar
     // shards (wav + txt caption + json meta per sample) and read back
@@ -10200,6 +10254,44 @@ object SparkEntry {
         |  AND (caption IS NULL OR
         |    (length(caption) >= 3 AND length(caption) <= 200))
         |  AND NOT EXISTS (SELECT 1 FROM bp WHERE bp.caption = p2.caption)
+        |ORDER BY url""".stripMargin,
+    // every video screen replayed: dims/frames from the m=id%12
+    // arithmetic, corrupt pairs get null meta, the feed-df guard
+    // recomputes its threshold
+    "crawl_video_quality" ->
+      """WITH p AS (
+        |  SELECT 'https://f' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '.example/feed/' || CAST(doc_id AS VARCHAR) || '.xml'
+        |      AS url,
+        |    CASE WHEN doc_id % 37 = 0 THEN 'https://v.example/bad/x.bin'
+        |      ELSE 'https://v.example/clip/' ||
+        |        CAST(doc_id % 12 AS VARCHAR) || '.ppm' END AS media_url,
+        |    CASE WHEN doc_id % 17 = 0 THEN NULL
+        |      WHEN doc_id % 10 = 7 THEN 'Trailer'
+        |      WHEN doc_id % 19 = 0 THEN 'x'
+        |      ELSE 'Vid ' || CAST(doc_id % 40 AS VARCHAR) END AS caption,
+        |    CASE WHEN doc_id % 37 = 0 THEN NULL
+        |      ELSE CAST(24 + (doc_id % 12) * 8 AS INT) END AS width,
+        |    CASE WHEN doc_id % 37 = 0 THEN NULL
+        |      ELSE CAST(48 AS INT) END AS height,
+        |    CASE WHEN doc_id % 37 = 0 THEN NULL
+        |      ELSE CAST(1 + (doc_id % 12) % 5 AS INT) END AS n_frames
+        |  FROM documents),
+        |bp AS (
+        |  SELECT caption FROM (
+        |    SELECT caption, count(DISTINCT url) AS c FROM p
+        |    WHERE caption IS NOT NULL GROUP BY caption)
+        |  WHERE c > 10)
+        |SELECT url, media_url, caption, width, height, n_frames FROM p
+        |WHERE width IS NOT NULL AND height IS NOT NULL
+        |  AND n_frames IS NOT NULL
+        |  AND width >= 32 AND height >= 32
+        |  AND CAST(greatest(width, height) AS DOUBLE)
+        |    <= 2.0 * least(width, height)
+        |  AND n_frames >= 2 AND n_frames <= 4
+        |  AND (caption IS NULL OR
+        |    (length(caption) >= 3 AND length(caption) <= 200))
+        |  AND NOT EXISTS (SELECT 1 FROM bp WHERE bp.caption = p.caption)
         |ORDER BY url""".stripMargin,
     // the audio delivery replayed: every doc's sample has its caption
     // md5 and the m=id%40 clip's exact decoded sample count

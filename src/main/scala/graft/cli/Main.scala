@@ -1219,6 +1219,33 @@ object Main {
         s"decoded -> $out")
       spark.stop()
 
+    case "video-meta" :: mediaParquet :: out :: Nil =>
+      // decode step for the video quality gate: (media_url, width,
+      // height, n_frames) for every decodable payload
+      val spark = session()
+      graft.multimodal.Multimodal.videoMetaByKey(
+          spark.read.parquet(mediaParquet)).toDF()
+        .write.mode("overwrite").parquet(out)
+      println(s"video-meta: ${spark.read.parquet(out).count()} " +
+        s"decoded -> $out")
+      spark.stop()
+
+    case "crawl-video-quality" :: pairsParquet :: out :: rest =>
+      // video enclosure screens over pairs joined to their videoMeta
+      // columns: dims/aspect, frame-count window, caption gates +
+      // feed-df guard
+      val minW = rest.headOption.map(_.toInt).getOrElse(64)
+      val minH = rest.drop(1).headOption.map(_.toInt).getOrElse(64)
+      val minF = rest.drop(2).headOption.map(_.toInt).getOrElse(2)
+      val spark = session()
+      graft.pipeline.Crawl.videoPairQualityFilter(
+          spark.read.parquet(pairsParquet),
+          minWidth = minW, minHeight = minH, minFrames = minF)
+        .write.mode("overwrite").parquet(out)
+      println(s"crawl-video-quality: ${spark.read.parquet(out).count()} " +
+        s"pairs kept -> $out")
+      spark.stop()
+
     case "audio-resample" :: mediaParquet :: out :: rest =>
       // exact integer linear resample to the target rate (ASR 16 kHz
       // step); media parquet carries MediaRow-shaped (id, payload,
@@ -1806,6 +1833,8 @@ object Main {
           |  crawl-video-dedup <pairsParquet> <mediaParquet> <outParquet> [threshold]
           |  audio-resample <mediaParquet> <outParquet> [rate]
           |  audio-condition <mediaParquet> <outParquet> [silenceThreshold] [targetPeak]
+          |  video-meta <mediaParquet> <outParquet>
+          |  crawl-video-quality <pairsParquet> <outParquet> [minW] [minH] [minFrames]
           |  crawl-audio-quality <pairsParquet> <outParquet> [minDurS] [maxDurS] [minRate]
           |  crawl-audio-pairs <feedsParquet> <outParquet>
           |  image-dims       <imagesParquet> <outParquet>

@@ -1660,6 +1660,37 @@ object Multimodal {
       }
   }
 
+  final case class KeyedVideoMeta(key: String, width: Int, height: Int,
+                                  n_frames: Int)
+
+  /** Video geometry + frame count per STRING key — the decode step
+    * between a media fetch and
+    * [[graft.pipeline.Crawl.videoPairQualityFilter]]'s gates:
+    * (key, width, height, n_frames) for every payload the codec chain
+    * decodes (multi-frame P6 streams and animated GIFs count every
+    * frame; single-frame codecs count 1). Non-decodable keys emit
+    * nothing — the [[imageDimsByKey]] rule: pairs left-join this and
+    * the filter's null-meta rule drops what never decoded. One
+    * mapPartitions pass, no shuffle. */
+  def videoMetaByKey(media: DataFrame, keyCol: String = "media_url",
+                     payloadCol: String = "body")
+      : Dataset[KeyedVideoMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(keyCol).cast("string"),
+        col(payloadCol).cast("binary"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (key, p) =>
+          val frames = decodeFrames(p)
+          if (frames.isEmpty) Iterator.empty
+          else decodeFirstFrame(p).map { case (w, h, _) =>
+            KeyedVideoMeta(key, w, h, frames.length)
+          }.iterator
+        }
+      }
+  }
+
   final case class KeyedPHashRow(key: String, width: Int, height: Int,
                                  ahash: Long, dhash: Long)
 

@@ -1259,18 +1259,76 @@ object Crawl {
     val w = col(widthCol)
     val h = col(heightCol)
     val cap = col(captionCol)
-    val boilerplate = pairs.select(cap.as("_pqf_cap"),
-        col(urlCol).as("_pqf_url")).distinct()
-      .groupBy("_pqf_cap")
-      .agg(countDistinct(col("_pqf_url")).as("_pqf_n"))
-      .filter(col("_pqf_n") > maxCaptionPages)
-      .select(col("_pqf_cap").as(captionCol))
     pairs
       .filter(w.isNotNull && h.isNotNull &&
         w >= minWidth && h >= minHeight &&
         greatest(w, h).cast("double") <= lit(maxAspect) * least(w, h) &&
         length(cap) >= minCaptionChars && length(cap) <= maxCaptionChars)
-      .join(broadcast(boilerplate), Seq(captionCol), "left_anti")
+      .join(broadcast(captionDfGuard(pairs, urlCol, captionCol,
+        maxCaptionPages)), Seq(captionCol), "left_anti")
+      .select(pairs.columns.map(col): _*) // the join fronts its key
+  }
+
+  /** The shared boilerplate-caption df guard: captions carried by more
+    * than `maxN` DISTINCT urls over the INPUT pairs (navigation
+    * furniture — "logo", "Trailer"), as a one-column frame the quality
+    * filters anti-join away. Null captions never count. */
+  private def captionDfGuard(pairs: DataFrame, urlCol: String,
+                             captionCol: String, maxN: Long): DataFrame =
+    pairs.filter(col(captionCol).isNotNull)
+      .select(col(captionCol).as("_pqf_cap"),
+        col(urlCol).as("_pqf_url")).distinct()
+      .groupBy("_pqf_cap")
+      .agg(countDistinct(col("_pqf_url")).as("_pqf_n"))
+      .filter(col("_pqf_n") > maxN)
+      .select(col("_pqf_cap").as(captionCol))
+
+  /** LAION-style pair quality screens for the VIDEO enclosure channel
+    * (r17) — the [[pairQualityFilter]] sibling over pairs joined to
+    * their decoded [[graft.multimodal.Multimodal.videoMetaByKey]]
+    * columns: the image geometry gates (min dims, aspect) plus a
+    * frame-count window — `minFrames` drops single-frame "videos"
+    * (thumbnails served as clips) and `maxFrames` bounds unsplit
+    * livestream dumps; caption length bounds with null captions
+    * passing unless `requireCaption` (the enclosure convention), and
+    * the shared feed-df boilerplate guard. Null meta columns — never
+    * decoded — drop (the training-set rule). Map-side gates + one
+    * broadcast anti-join, the family shape. */
+  def videoPairQualityFilter(pairs: DataFrame,
+                             minWidth: Int = 64, minHeight: Int = 64,
+                             maxAspect: Double = 4.0,
+                             minFrames: Int = 2,
+                             maxFrames: Int = Int.MaxValue,
+                             minCaptionChars: Int = 2,
+                             maxCaptionChars: Int = 1000,
+                             requireCaption: Boolean = false,
+                             maxCaptionFeeds: Long = 10,
+                             urlCol: String = "url",
+                             captionCol: String = "caption",
+                             widthCol: String = "width",
+                             heightCol: String = "height",
+                             framesCol: String = "n_frames")
+      : DataFrame = {
+    require(maxAspect >= 1.0, s"maxAspect must be >= 1, got $maxAspect")
+    require(maxFrames >= minFrames && minFrames >= 1,
+      s"need 1 <= minFrames <= maxFrames, got [$minFrames, $maxFrames]")
+    val w = col(widthCol)
+    val h = col(heightCol)
+    val nf = col(framesCol)
+    val cap = col(captionCol)
+    val capOk = {
+      val bounded = length(cap) >= minCaptionChars &&
+        length(cap) <= maxCaptionChars
+      if (requireCaption) cap.isNotNull && bounded
+      else cap.isNull || bounded
+    }
+    pairs
+      .filter(w.isNotNull && h.isNotNull && nf.isNotNull &&
+        w >= minWidth && h >= minHeight &&
+        greatest(w, h).cast("double") <= lit(maxAspect) * least(w, h) &&
+        nf >= minFrames && nf <= maxFrames && capOk)
+      .join(broadcast(captionDfGuard(pairs, urlCol, captionCol,
+        maxCaptionFeeds)), Seq(captionCol), "left_anti")
       .select(pairs.columns.map(col): _*) // the join fronts its key
   }
 

@@ -1433,6 +1433,46 @@ class CrawlFrontierSpec extends SparkTestBase {
       .contains("https://f/5"))
   }
 
+  test("videoPairQualityFilter: dims/aspect/frames/caption gates (r17)") {
+    val pairs = Seq(
+      // (url, media, caption, w, h, nf)
+      ("https://f/1", "v1", "a fine clip", 100, 80, 3),   // keeps
+      ("https://f/2", "v2", "tiny", 10, 80, 3),           // minWidth
+      ("https://f/3", "v3", "banner clip", 400, 40, 3),   // aspect
+      ("https://f/4", "v4", "thumbnail", 100, 80, 1),     // minFrames
+      ("https://f/5", "v5", "livestream", 100, 80, 99),   // maxFrames
+      ("https://f/6", "v6", "x", 100, 80, 3),             // caption short
+      ("https://f/7", "v7", "Trailer", 100, 80, 3),       // df
+      ("https://f/8", "v8", "Trailer", 100, 80, 3),
+      ("https://f/9", "v9", "Trailer", 100, 80, 3))
+      .toDF("url", "media_url", "caption", "width", "height", "n_frames")
+      .unionByName(Seq(("https://f/10", "v10", 100, 80, 3))
+        .toDF("url", "media_url", "width", "height", "n_frames")
+        .withColumn("caption", lit(null).cast("string"))
+        .select("url", "media_url", "caption", "width", "height",
+          "n_frames"))                                    // null cap keeps
+      .unionByName(Seq(("https://f/11", "v11", "no meta"))
+        .toDF("url", "media_url", "caption")
+        .withColumn("width", lit(null).cast("int"))
+        .withColumn("height", lit(null).cast("int"))
+        .withColumn("n_frames", lit(null).cast("int")))   // never decoded
+    val kept = Crawl.videoPairQualityFilter(pairs, minWidth = 32,
+        minHeight = 24, maxAspect = 3.0, minFrames = 2, maxFrames = 10,
+        minCaptionChars = 3, maxCaptionChars = 200, maxCaptionFeeds = 2)
+      .select("url").as[String].collect().toSet
+    assert(kept === Set("https://f/1", "https://f/10"))
+    // column order survives; requireCaption drops the null-cap arm
+    assert(Crawl.videoPairQualityFilter(pairs).columns.toSeq
+      === Seq("url", "media_url", "caption", "width", "height",
+        "n_frames"))
+    assert(!Crawl.videoPairQualityFilter(pairs, minWidth = 32,
+        minHeight = 24, maxAspect = 3.0, minFrames = 2, maxFrames = 10,
+        minCaptionChars = 3, maxCaptionChars = 200, maxCaptionFeeds = 2,
+        requireCaption = true)
+      .select("url").as[String].collect().toSet
+      .contains("https://f/10"))
+  }
+
   test("frontier gated by robots keeps only fetchable urls") {
     val pages = Seq(
       ("https://s/1", Seq("https://a.example/ok/1",
