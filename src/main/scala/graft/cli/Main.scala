@@ -1345,10 +1345,12 @@ object Main {
       // wds-extract / webdatasetSamples
       val sps = rest.headOption.map(_.toInt).getOrElse(1000)
       val gz = rest.drop(1).headOption.forall(_.toBoolean)
+      val bps = rest.drop(2).headOption.map(_.toLong)
+        .getOrElse(Long.MaxValue)
       val spark = session()
       graft.sources.WebDataset.writeWebdatasetShards(
         spark.read.parquet(samplesParquet), outDir,
-        samplesPerShard = sps, gzip = gz)
+        samplesPerShard = sps, gzip = gz, bytesPerShard = bps)
       val n = graft.sources.WebDataset.webdatasetSamples(
         spark.read.format("binaryFile").load(outDir),
         payloadCol = "content").count()
@@ -1826,7 +1828,7 @@ object Main {
           |  crawl-robots-sitemaps <warcPathOrGlob> <fetchedParquet|-> <outParquet>
           |  frontier-blocklist <frontierParquet> <blocklistParquet> <outParquet> [urlCol]
           |  wds-extract      <pathOrGlob> <outParquet>
-          |  wds-export       <samplesParquet> <outDir> [samplesPerShard] [gzip]
+          |  wds-export       <samplesParquet> <outDir> [samplesPerShard] [gzip] [bytesPerShard]
           |  crawl-image-dedup <pairsParquet> <imagesParquet> <outParquet> [maxHamming]
           |  crawl-pair-quality <pairsParquet> <outParquet> [minW] [minH] [maxAspect]
           |  crawl-audio-dedup <pairsParquet> <mediaParquet> <outParquet> [maxHamming]

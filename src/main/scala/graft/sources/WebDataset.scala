@@ -68,29 +68,56 @@ object WebDataset {
     h
   }
 
+  /** Streaming tar writer — members write entry-by-entry to `os`
+    * (header + data + padding; GNU 'L' entries for long names), no
+    * whole-shard buffering: a 1 GB shard costs O(member) heap, not
+    * O(shard). `finish()` writes the two-zero-block terminator; the
+    * caller owns closing the stream. */
+  private final class TarStream(os: java.io.OutputStream) {
+    private var written = 0L
+    private def raw(b: Array[Byte]): Unit = {
+      os.write(b); written += b.length
+    }
+    private def pad(): Unit = {
+      val rem = (written % 512).toInt
+      if (rem != 0) raw(new Array[Byte](512 - rem))
+    }
+    def write(name: String, bytes: Array[Byte]): Unit = {
+      val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      if (nameB.length > 100) { // GNU long-name entry carries the name
+        val withNul = java.util.Arrays.copyOf(nameB, nameB.length + 1)
+        raw(header("././@LongLink", withNul.length, 'L'))
+        raw(withNul)
+        pad()
+        raw(header(name.take(100), bytes.length, '0'))
+      } else raw(header(name, bytes.length, '0'))
+      raw(bytes)
+      pad()
+    }
+    def finish(): Unit = raw(new Array[Byte](1024))
+  }
+
+  /** Uncompressed tar footprint of one member: header block(s) +
+    * 512-padded data — what [[writeWebdatasetShards]]'s byte-budget
+    * rolling accounts per sample. */
+  private def tarFootprint(name: String, dataLen: Int): Long = {
+    val nameB = name.getBytes(
+      java.nio.charset.StandardCharsets.UTF_8).length
+    val base = 512L + ((dataLen + 511L) / 512L) * 512L
+    if (nameB > 100)
+      base + 512L + ((nameB + 1 + 511L) / 512L) * 512L
+    else base
+  }
+
   /** Encode a tar shard from (name, bytes) members — real ustar with
     * checksums, GNU 'L' entries for names over 100 bytes, and the
     * two-zero-block terminator. `gzip = true` wraps the whole shard. */
   def encodeTar(entries: Seq[(String, Array[Byte])],
                 gzip: Boolean = false): Array[Byte] = {
     val raw = new java.io.ByteArrayOutputStream()
-    def pad(): Unit = {
-      val rem = raw.size() % 512
-      if (rem != 0) raw.write(new Array[Byte](512 - rem))
-    }
-    entries.foreach { case (name, bytes) =>
-      val nameB = name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-      if (nameB.length > 100) { // GNU long-name entry carries the name
-        val withNul = java.util.Arrays.copyOf(nameB, nameB.length + 1)
-        raw.write(header("././@LongLink", withNul.length, 'L'))
-        raw.write(withNul)
-        pad()
-        raw.write(header(name.take(100), bytes.length, '0'))
-      } else raw.write(header(name, bytes.length, '0'))
-      raw.write(bytes)
-      pad()
-    }
-    raw.write(new Array[Byte](1024)) // two zero blocks
+    val ts = new TarStream(raw)
+    entries.foreach { case (name, bytes) => ts.write(name, bytes) }
+    ts.finish()
     val out = raw.toByteArray
     if (!gzip) out
     else {
@@ -121,8 +148,10 @@ object WebDataset {
                             keyCol: String = "key",
                             partsCol: String = "parts",
                             samplesPerShard: Int = 1000,
-                            gzip: Boolean = false): Unit = {
+                            gzip: Boolean = false,
+                            bytesPerShard: Long = Long.MaxValue): Unit = {
     require(samplesPerShard > 0, "samplesPerShard must be positive")
+    require(bytesPerShard > 0, "bytesPerShard must be positive")
     val confEntries = Warc.hadoopConfEntries(samples)
     val suffix = if (gzip) ".tar.gz" else ".tar"
     samples.select(col(keyCol).cast("string"), col(partsCol))
@@ -131,21 +160,49 @@ object WebDataset {
         val fs = new org.apache.hadoop.fs.Path(dir)
           .getFileSystem(Warc.rebuildConf(confEntries))
         var shard = 0
-        rows.grouped(samplesPerShard).foreach { chunk =>
-          val entries = chunk.flatMap { r =>
-            val key = r.getString(0)
-            r.getMap[String, Array[Byte]](1).toSeq.sortBy(_._1).map {
-              case (ext, bytes) =>
-                (if (ext == null || ext.isEmpty) key else s"$key.$ext",
-                  Option(bytes).getOrElse(Array.emptyByteArray))
-            }
-          }
-          val out = fs.create(new org.apache.hadoop.fs.Path(dir,
+        var outRaw: org.apache.hadoop.fs.FSDataOutputStream = null
+        var gzOs: java.util.zip.GZIPOutputStream = null
+        var ts: TarStream = null
+        var nSamples = 0
+        var nBytes = 0L
+        def openShard(): Unit = {
+          outRaw = fs.create(new org.apache.hadoop.fs.Path(dir,
             f"part-$pid%05d-$shard%04d$suffix"), true)
-          try out.write(encodeTar(entries.toSeq, gzip))
-          finally out.close()
+          gzOs = if (gzip) new java.util.zip.GZIPOutputStream(outRaw)
+                 else null
+          ts = new TarStream(if (gzip) gzOs else outRaw)
+          nSamples = 0
+          nBytes = 0L
+        }
+        def closeShard(): Unit = if (ts != null) {
+          ts.finish()
+          if (gzip) gzOs.finish()
+          outRaw.close()
+          ts = null
           shard += 1
         }
+        try {
+          rows.foreach { r =>
+            val key = r.getString(0)
+            val members = r.getMap[String, Array[Byte]](1).toSeq
+              .sortBy(_._1).map { case (ext, bytes) =>
+                (if (ext == null || ext.isEmpty) key else s"$key.$ext",
+                  Option(bytes).getOrElse(Array.emptyByteArray))
+              }
+            val sampleBytes = members.iterator
+              .map(m => tarFootprint(m._1, m._2.length)).sum
+            // roll at the count limit OR when the next sample would
+            // cross the byte budget (a shard always takes >= 1 sample,
+            // so an over-budget single sample still ships)
+            if (ts != null && (nSamples >= samplesPerShard ||
+                (nBytes > 0L && nBytes + sampleBytes > bytesPerShard)))
+              closeShard()
+            if (ts == null) openShard()
+            members.foreach { case (n, b) => ts.write(n, b) }
+            nSamples += 1
+            nBytes += sampleBytes
+          }
+        } finally closeShard()
       }
   }
 

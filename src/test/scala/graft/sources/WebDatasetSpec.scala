@@ -141,4 +141,59 @@ class WebDatasetSpec extends SparkTestBase {
       rm(tmp)
     }
   }
+
+  test("writeWebdatasetShards: byte-budget rolling (r17)") {
+    val tmp = java.nio.file.Files.createTempDirectory("wds_bytes_").toFile
+    try {
+      // each sample = one 1000-byte member -> tar footprint 512 header
+      // + 1024 padded data = 1536; budget 4000 fits exactly two
+      val rows = (0 until 5).map { i =>
+        (f"b/$i%03d", Map("bin" -> Array.tabulate[Byte](1000)(j =>
+          ((i * 7 + j) % 251).toByte)))
+      }
+      val df = rows.toDF("key", "parts").repartition(1)
+      WebDataset.writeWebdatasetShards(df, tmp.getAbsolutePath,
+        samplesPerShard = 1000, bytesPerShard = 4000L)
+      val files = tmp.listFiles().filter(_.getName.endsWith(".tar"))
+        .sortBy(_.getName)
+      // 5 samples at 2 per budget -> shards of 2, 2, 1
+      assert(files.length === 3, files.map(_.getName).mkString(","))
+      val perShard = files.map(f => WebDataset.parseTar(
+        java.nio.file.Files.readAllBytes(f.toPath)).length)
+      assert(perShard.toSeq === Seq(2, 2, 1))
+      // a single over-budget sample still ships alone
+      val big = Seq(("big/0", Map("bin" -> new Array[Byte](5000))))
+        .toDF("key", "parts").repartition(1)
+      val dir2 = java.nio.file.Files.createTempDirectory("wds_big_").toFile
+      try {
+        WebDataset.writeWebdatasetShards(big, dir2.getAbsolutePath,
+          samplesPerShard = 1000, bytesPerShard = 4000L)
+        val bf = dir2.listFiles().filter(_.getName.endsWith(".tar"))
+        assert(bf.length === 1)
+        assert(WebDataset.parseTar(
+          java.nio.file.Files.readAllBytes(bf(0).toPath)).length === 1)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(dir2)
+      }
+      // read-back integrity through the source
+      val got = WebDataset.webdatasetSamples(
+        spark.read.format("binaryFile").load(tmp.getAbsolutePath),
+        payloadCol = "content").collect()
+      assert(got.length === 5)
+      val byKey = got.map(s => s.key -> s.parts).toMap
+      rows.foreach { case (key, parts) =>
+        assert(byKey(key)("bin").toSeq === parts("bin").toSeq, key)
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(tmp)
+    }
+  }
 }
