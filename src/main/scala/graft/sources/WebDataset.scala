@@ -161,6 +161,7 @@ object WebDataset {
           .getFileSystem(Warc.rebuildConf(confEntries))
         var shard = 0
         var outRaw: org.apache.hadoop.fs.FSDataOutputStream = null
+        var buf: java.io.BufferedOutputStream = null
         var gzOs: java.util.zip.GZIPOutputStream = null
         var ts: TarStream = null
         var nSamples = 0
@@ -168,15 +169,19 @@ object WebDataset {
         def openShard(): Unit = {
           outRaw = fs.create(new org.apache.hadoop.fs.Path(dir,
             f"part-$pid%05d-$shard%04d$suffix"), true)
-          gzOs = if (gzip) new java.util.zip.GZIPOutputStream(outRaw)
+          // the tar stream emits many small writes (512 B headers,
+          // pads) — buffer them before the checksummed FS stream
+          buf = new java.io.BufferedOutputStream(outRaw, 1 << 16)
+          gzOs = if (gzip) new java.util.zip.GZIPOutputStream(buf)
                  else null
-          ts = new TarStream(if (gzip) gzOs else outRaw)
+          ts = new TarStream(if (gzip) gzOs else buf)
           nSamples = 0
           nBytes = 0L
         }
         def closeShard(): Unit = if (ts != null) {
           ts.finish()
           if (gzip) gzOs.finish()
+          buf.flush()
           outRaw.close()
           ts = null
           shard += 1
