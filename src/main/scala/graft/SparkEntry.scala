@@ -2125,7 +2125,7 @@ object SparkEntry {
       val held = LangIdHeldOut
       val docs = tbl(s, dir, "documents").select(col("doc_id"))
         .as[Long].map { id =>
-          (id, s"${held((id % 24).toInt)._2} ${id % 97}")
+          (id, s"${held((id % 32).toInt)._2} ${id % 97}")
         }.toDF("doc_id", "text")
       graft.analysis.LangId.classify(docs)
         .orderBy("doc_id")
@@ -6044,7 +6044,16 @@ object SparkEntry {
         "fi" -> "Joka aamu lapset kävelivät yhdessä kouluun ja puhuivat lempileikeistään.",
         "hu" -> "Minden reggel a gyerekek együtt sétáltak az iskolába és a kedvenc játékaikról beszélgettek.",
         "uk" -> "Щоранку діти разом ішли до школи й розмовляли про свої улюблені ігри.",
-        "vi" -> "Mỗi buổi sáng bọn trẻ cùng nhau đi bộ đến trường và nói về những trò chơi yêu thích của mình.")
+        "vi" -> "Mỗi buổi sáng bọn trẻ cùng nhau đi bộ đến trường và nói về những trò chơi yêu thích của mình.",
+        // r17 third session: eight more, appended in TrainSamples order
+        "th" -> "ทุกเช้าเด็กๆ เดินไปโรงเรียนด้วยกันและพูดคุยเกี่ยวกับเกมที่พวกเขาชอบ",
+        "he" -> "בכל בוקר הילדים הלכו יחד לבית הספר ודיברו על המשחקים האהובים עליהם.",
+        "bn" -> "প্রতিদিন সকালে শিশুরা একসাথে স্কুলে হেঁটে যেত এবং তাদের প্রিয় খেলা নিয়ে কথা বলত।",
+        "ta" -> "ஒவ்வொரு காலையிலும் குழந்தைகள் ஒன்றாக பள்ளிக்கு நடந்து சென்று தங்களுக்குப் பிடித்த விளையாட்டுகளைப் பற்றி பேசினர்.",
+        "id" -> "Setiap pagi anak-anak berjalan bersama ke sekolah dan berbicara tentang permainan favorit mereka.",
+        "ro" -> "În fiecare dimineață copiii mergeau împreună la școală și vorbeau despre jocurile lor preferate.",
+        "sw" -> "Kila asubuhi watoto walitembea pamoja kwenda shuleni na kuzungumza kuhusu michezo wanayoipenda.",
+        "bg" -> "Всяка сутрин децата вървяха заедно до училище и говореха за любимите си игри.")
 
 
   private val crawlFixtureCte: String =
@@ -9283,11 +9292,11 @@ object SparkEntry {
         |  count(*) AS n
         |FROM s GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
     // the true language of each held-out fixture sentence, by the same
-    // doc_id arithmetic the query used to pick it (24 languages since
+    // doc_id arithmetic the query used to pick it (32 languages since
     // r17; 16..23 are the appended breadth codes)
     "doc_langid_trained" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 24 AS INT)
+        |  CASE CAST(doc_id % 32 AS INT)
         |    WHEN 0 THEN 'ar' WHEN 1 THEN 'de' WHEN 2 THEN 'en'
         |    WHEN 3 THEN 'es' WHEN 4 THEN 'fr' WHEN 5 THEN 'hi'
         |    WHEN 6 THEN 'it' WHEN 7 THEN 'ja' WHEN 8 THEN 'ko'
@@ -9295,8 +9304,11 @@ object SparkEntry {
         |    WHEN 12 THEN 'ru' WHEN 13 THEN 'sv' WHEN 14 THEN 'tr'
         |    WHEN 15 THEN 'zh' WHEN 16 THEN 'cs' WHEN 17 THEN 'da'
         |    WHEN 18 THEN 'el' WHEN 19 THEN 'fa' WHEN 20 THEN 'fi'
-        |    WHEN 21 THEN 'hu' WHEN 22 THEN 'uk'
-        |    ELSE 'vi' END AS lang
+        |    WHEN 21 THEN 'hu' WHEN 22 THEN 'uk' WHEN 23 THEN 'vi'
+        |    WHEN 24 THEN 'th' WHEN 25 THEN 'he' WHEN 26 THEN 'bn'
+        |    WHEN 27 THEN 'ta' WHEN 28 THEN 'id' WHEN 29 THEN 'ro'
+        |    WHEN 30 THEN 'sw'
+        |    ELSE 'bg' END AS lang
         |FROM documents ORDER BY doc_id""".stripMargin,
     // the confidence path replayed EXACTLY: per single-letter token
     // the gram kernel emits 4 forms (c, _c, c_, _c_), so every integer

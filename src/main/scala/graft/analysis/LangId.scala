@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
  * stopword sets) is fine dependency-free telemetry, but the corpus
  * mix/quota/temperature operators STRATIFY on language, and a thin
  * stopword set mislabels short docs and knows nothing beyond en/de/es/fr.
- * This model ships 24 built-in per-language char-n-gram centroids
+ * This model ships 32 built-in per-language char-n-gram centroids
  * (seeded from in-repo sample prose — swap in corpus-trained centroids
  * via [[Classify.centroidTrain]] over the same gram kernel when larger
  * training data exists) and falls back to the heuristic for documents
@@ -95,9 +95,14 @@ object LangId {
     "es" -> ("El tiempo era frío y las calles estaban tranquilas. Ella abrió la ventana y miró las casas viejas junto al río. " +
       "Mucha gente piensa que leer libros por la noche es la mejor manera de aprender algo nuevo sobre el mundo. " +
       "En verano vamos al mar y nadamos en el agua fría casi todos los días."),
+    // French gets the Swedish treatment since r17's third session:
+    // fr/ro/it are the closest Romance trio in the set
     "fr" -> ("Le temps était froid et les rues étaient calmes. Elle a ouvert la fenêtre et regardé les vieilles maisons au bord de la rivière. " +
       "Beaucoup de gens pensent que lire des livres le soir est la meilleure façon d'apprendre quelque chose de nouveau sur le monde. " +
-      "En été nous allons à la mer et nous nageons dans l'eau froide presque tous les jours."),
+      "En été nous allons à la mer et nous nageons dans l'eau froide presque tous les jours. " +
+      "C'est une belle ville avec beaucoup de vieilles maisons et une grande place que tous les visiteurs veulent voir quand ils arrivent ici. " +
+      "Il a pris le bus pour aller en ville mais il est rentré à pied parce que le soleil brillait encore. " +
+      "Avant de dîner, il a appelé son frère et ils ont longtemps parlé de tout ce qui s'était passé pendant la semaine."),
     "hi" -> ("मौसम ठंडा था और सड़कें शांत थीं। उसने खिड़की खोली और नदी के किनारे पुराने घरों को देखा। " +
       "बहुत से लोग सोचते हैं कि शाम को किताबें पढ़ना दुनिया के बारे में कुछ नया सीखने का सबसे अच्छा तरीका है। " +
       "गर्मियों में हम समुद्र जाते हैं और लगभग हर दिन ठंडे पानी में तैरते हैं।"),
@@ -119,9 +124,15 @@ object LangId {
     "pt" -> ("O tempo estava frio e as ruas estavam tranquilas. Ela abriu a janela e olhou para as casas antigas ao lado do rio. " +
       "Muitas pessoas acham que ler livros à noite é a melhor maneira de aprender algo novo sobre o mundo. " +
       "No verão vamos à praia e nadamos na água fria quase todos os dias."),
+    // Russian gets the Swedish treatment since r17's third session:
+    // ru/uk/bg are the closest Cyrillic trio in the set
     "ru" -> ("Погода была холодной, и улицы были тихими. Она открыла окно и посмотрела на старые дома у реки. " +
       "Многие люди думают, что чтение книг вечером это лучший способ узнать что-то новое о мире. " +
-      "Летом мы ездим на море и почти каждый день плаваем в холодной воде."),
+      "Летом мы ездим на море и почти каждый день плаваем в холодной воде. " +
+      "Это красивый город со многими старыми домами и большой площадью, которую все гости хотят увидеть, когда приезжают сюда. " +
+      "Он поехал в город на автобусе, но домой шёл пешком, потому что солнце ещё светило. " +
+      "Перед ужином он позвонил брату, и они долго говорили обо всём, что случилось за неделю. " +
+      "Вечером пошёл сильный дождь, и он закрыл все окна и двери, прежде чем лечь спать."),
     "sv" -> ("Vädret var kallt och gatorna var tysta. Hon öppnade fönstret och tittade på de gamla husen vid floden. " +
       "Många människor tror att läsa böcker på kvällen är det bästa sättet att lära sig något nytt om världen. " +
       "På sommaren åker vi till havet och simmar i det kalla vattnet nästan varje dag. " +
@@ -162,16 +173,55 @@ object LangId {
     "hu" -> ("Az idő hideg volt és az utcák csendesek voltak. Kinyitotta az ablakot és nézte a régi házakat a folyó mellett. " +
       "Sok ember úgy gondolja, hogy esténként könyveket olvasni a legjobb módja annak, hogy valami újat tanuljunk a világról. " +
       "Nyáron a tengerhez megyünk és majdnem minden nap úszunk a hideg vízben."),
-    // Ukrainian vs Russian: і/ї/є and the distinct function words
+    // Ukrainian vs Russian: і/ї/є and the distinct function words;
+    // extra register sentences since r17's third session (the whole
+    // ru/uk/bg trio gets the Swedish treatment symmetrically)
     "uk" -> ("Погода була холодна, і вулиці були тихі. Вона відчинила вікно й подивилася на старі будинки біля річки. " +
       "Багато людей думають, що читання книжок увечері — це найкращий спосіб дізнатися щось нове про світ. " +
-      "Влітку ми їздимо до моря і майже щодня плаваємо в холодній воді."),
+      "Влітку ми їздимо до моря і майже щодня плаваємо в холодній воді. " +
+      "Це красиве місто з багатьма старими будинками та великою площею, яку всі гості хочуть побачити, коли приїжджають сюди. " +
+      "Він поїхав до міста автобусом, але додому йшов пішки, бо сонце ще світило. " +
+      "Перед вечерею він зателефонував братові, і вони довго розмовляли про все, що сталося за тиждень. " +
+      "Увечері пішов сильний дощ, і він зачинив усі вікна й двері, перш ніж лягти спати."),
     "vi" -> ("Thời tiết lạnh và đường phố yên tĩnh. Cô mở cửa sổ và nhìn những ngôi nhà cũ bên sông. " +
       "Nhiều người nghĩ rằng đọc sách vào buổi tối là cách tốt nhất để học điều mới về thế giới. " +
-      "Vào mùa hè chúng tôi ra biển và bơi trong nước lạnh gần như mỗi ngày."))
+      "Vào mùa hè chúng tôi ra biển và bơi trong nước lạnh gần như mỗi ngày."),
+    // r17 third-session breadth — eight more, again APPENDED (the
+    // 0..23 indices existing fixtures rely on never move); four are
+    // script-unique (th/he/bn/ta), four Latin/Cyrillic additions with
+    // distinctive profiles (id/ro/sw/bg)
+    "th" -> ("อากาศหนาวและถนนก็เงียบสงบ เธอเปิดหน้าต่างและมองดูบ้านเก่าริมแม่น้ำ " +
+      "หลายคนคิดว่าการอ่านหนังสือตอนเย็นเป็นวิธีที่ดีที่สุดในการเรียนรู้สิ่งใหม่เกี่ยวกับโลก " +
+      "ในฤดูร้อนเราไปทะเลและว่ายน้ำในน้ำเย็นเกือบทุกวัน"),
+    "he" -> ("מזג האוויר היה קר והרחובות היו שקטים. היא פתחה את החלון והביטה בבתים הישנים ליד הנהר. " +
+      "אנשים רבים חושבים שקריאת ספרים בערב היא הדרך הטובה ביותר ללמוד משהו חדש על העולם. " +
+      "בקיץ אנחנו נוסעים לים ושוחים במים הקרים כמעט כל יום."),
+    "bn" -> ("আবহাওয়া ঠান্ডা ছিল এবং রাস্তাগুলো শান্ত ছিল। সে জানালা খুলে নদীর ধারের পুরনো বাড়িগুলোর দিকে তাকাল। " +
+      "অনেকে মনে করেন সন্ধ্যায় বই পড়া পৃথিবী সম্পর্কে নতুন কিছু শেখার সবচেয়ে ভালো উপায়। " +
+      "গ্রীষ্মে আমরা সমুদ্রে যাই এবং প্রায় প্রতিদিন ঠান্ডা পানিতে সাঁতার কাটি।"),
+    "ta" -> ("வானிலை குளிராக இருந்தது, தெருக்கள் அமைதியாக இருந்தன. அவள் ஜன்னலைத் திறந்து ஆற்றின் அருகிலுள்ள பழைய வீடுகளைப் பார்த்தாள். " +
+      "மாலையில் புத்தகங்கள் படிப்பது உலகத்தைப் பற்றி புதியது கற்க சிறந்த வழி என்று பலர் நினைக்கிறார்கள். " +
+      "கோடையில் நாங்கள் கடலுக்குச் சென்று கிட்டத்தட்ட ஒவ்வொரு நாளும் குளிர்ந்த நீரில் நீந்துகிறோம்."),
+    "id" -> ("Cuacanya dingin dan jalan-jalan sepi. Dia membuka jendela dan melihat rumah-rumah tua di tepi sungai. " +
+      "Banyak orang berpikir bahwa membaca buku di malam hari adalah cara terbaik untuk belajar sesuatu yang baru tentang dunia. " +
+      "Pada musim panas kami pergi ke laut dan berenang di air dingin hampir setiap hari."),
+    "ro" -> ("Vremea era rece și străzile erau liniștite. Ea a deschis fereastra și a privit casele vechi de lângă râu. " +
+      "Mulți oameni cred că cititul cărților seara este cel mai bun mod de a învăța ceva nou despre lume. " +
+      "Vara mergem la mare și înotăm în apa rece aproape în fiecare zi."),
+    "sw" -> ("Hali ya hewa ilikuwa baridi na barabara zilikuwa kimya. Alifungua dirisha na kutazama nyumba za zamani kando ya mto. " +
+      "Watu wengi wanafikiri kwamba kusoma vitabu jioni ndiyo njia bora ya kujifunza jambo jipya kuhusu dunia. " +
+      "Wakati wa kiangazi tunaenda baharini na kuogelea katika maji baridi karibu kila siku."),
+    // Bulgarian gets the Danish treatment (extra register-different
+    // sentences): bg/ru/uk are the closest Cyrillic trio in the set
+    "bg" -> ("Времето беше студено и улиците бяха тихи. Тя отвори прозореца и погледна старите къщи край реката. " +
+      "Много хора смятат, че четенето на книги вечер е най-добрият начин да научиш нещо ново за света. " +
+      "През лятото ходим на морето и плуваме в студената вода почти всеки ден. " +
+      "Това е красив град с много стари къщи и голям площад, който всички гости искат да видят, когато дойдат тук. " +
+      "Той взе автобуса до града, но се прибра пеша, защото слънцето още грееше. " +
+      "Преди да вечеря, се обади на брат си и дълго говориха за всичко, което се беше случило през седмицата."))
 
   /** The built-in model in [[Classify.centroidTrain]]'s (label, token,
-    * cnt) shape — gram tokens, 16 languages, a few thousand rows. */
+    * cnt) shape — gram tokens, 32 languages, a few thousand rows. */
   def builtinModel(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val grams = udf((s: String) => charGramsText(s))

@@ -310,7 +310,7 @@ object Main {
       spark.stop()
 
     case "langid" :: docs :: out :: rest =>
-      // trained 24-language char-n-gram language ID (heuristic
+      // trained 32-language char-n-gram language ID (heuristic
       // fallback); pass "confidence" as the 3rd extra arg (after
       // idCol textCol) to add the winner-vs-runner-up cosine margin
       val idCol = rest.headOption.getOrElse("doc_id")
@@ -1379,13 +1379,16 @@ object Main {
       println(s"warc-extract: $n records -> $out")
       spark.stop()
 
-    case "ivf-drift" :: idx :: out :: Nil =>
+    case "ivf-drift" :: idx :: out :: rest =>
       // the float-IVF RE-TRAIN signal: per-(list, ingest) row counts +
       // mean cosine of every stored vector to its own centroid — a
       // falling mean on later ingests says the frozen centroids no
-      // longer fit the distribution; re-fit with ivfBuild
+      // longer fit the distribution; re-fit with ivfBuild. Pass
+      // "raw" as the table to read an IVF-SQ8 index's refine sidecar.
+      val table = rest.headOption.getOrElse("assignments")
       val spark = session()
-      graft.index.SimilarityIndex.ivfDriftStats(spark, idx)
+      graft.index.SimilarityIndex.ivfDriftStats(spark, idx,
+          table = table)
         .orderBy("list_id", "ingest")
         .write.mode("overwrite").parquet(out)
       println(s"ivf-drift: ${spark.read.parquet(out).count()} " +
@@ -1787,7 +1790,7 @@ object Main {
           |  ivfsq8-prune     <indexPath> <vecsParquet> <outParquet> [threshold] [nprobe]
           |  index-delete     <minhash|bm25|int8|ivfsq8|ivf|pq|ivfpq|lm|span|hamming|video> <indexPath> <idsOrDocsParquet> [idOrTextCol]
           |  index-stats      <minhash|bm25|int8|pq|lm|span|hamming|video|ivf|ivfsq8|ivfpq> <indexPath> <outParquet>
-          |  ivf-drift        <indexPath> <outParquet>
+          |  ivf-drift        <indexPath> <outParquet> [assignments|raw]
           |  index-vacuum     <minhash|bm25|int8|ivfsq8|ivf|pq|ivfpq|lm|span|hamming|video> <indexPath> [vecIdCol]
           |  video-build      <framesParquet> <indexPath> [idCol] [hashCol]
           |  video-append     <framesParquet> <indexPath> [idCol] [hashCol]

@@ -315,9 +315,14 @@ object SimilarityIndex {
     * DECIMAL). Null/zero-norm/dimension-mismatched vectors score no
     * cosine (excluded from `n_scored`/mean, counted in `n_rows`).
     * One scan of the assignments, centroids broadcast; nothing
-    * corpus-sized shuffles beyond the (list, ingest) aggregate. */
+    * corpus-sized shuffles beyond the (list, ingest) aggregate.
+    * `table = "raw"` points the same dashboard at an IVF-SQ8 index's
+    * refine sidecar (identical two-level layout + float vectors), so
+    * the quantized family gets the re-train signal too — when built
+    * with `storeRaw = true`. */
   def ivfDriftStats(spark: SparkSession, path: String,
-                    vecCol: String = "embedding"): DataFrame = {
+                    vecCol: String = "embedding",
+                    table: String = "assignments"): DataFrame = {
     val centers = readCentroids(spark, path)
     val bc = spark.sparkContext.broadcast(centers)
     val cosUdf = udf { (lid: Int, v: Seq[Float]) =>
@@ -338,7 +343,7 @@ object SimilarityIndex {
           dot / (math.sqrt(nv) * math.sqrt(nc)))
       }
     }
-    spark.read.parquet(s"$path/assignments")
+    spark.read.parquet(s"$path/$table")
       .select(col("list_id").cast("int").as("list_id"),
         col("ingest").cast("int").as("ingest"),
         cosUdf(col("list_id"), col(vecCol)).as("_c"))

@@ -4,7 +4,7 @@ import graft.SparkTestBase
 import org.apache.spark.sql.functions._
 
 /** Trained char-n-gram language ID: held-out generalization across all
-  * 24 built-in languages, kernel edges, heuristic fallback, the
+  * 32 built-in languages, kernel edges, heuristic fallback, the
   * broadcast dual path, and the r17 confidence margin. */
 class LangIdSpec extends SparkTestBase {
   import spark.implicits._
@@ -37,7 +37,17 @@ class LangIdSpec extends SparkTestBase {
     "fi" -> "Vanha mies sulki oven ja odotti sateen loppumista ennen kuin käveli kotiin.",
     "hu" -> "Az öregember becsukta az ajtót és megvárta, amíg eláll az eső, mielőtt hazament.",
     "uk" -> "Старий чоловік зачинив двері й почекав, поки дощ скінчиться, перш ніж іти додому.",
-    "vi" -> "Ông già đóng cửa và đợi mưa tạnh rồi mới đi bộ về nhà.")
+    "vi" -> "Ông già đóng cửa và đợi mưa tạnh rồi mới đi bộ về nhà.",
+    // r17 third-session breadth — incl. the new confusable sides
+    // (ro vs fr/it, bg vs ru/uk, id vs nl, sw alone)
+    "th" -> "ชายชราปิดประตูและรอให้ฝนหยุดก่อนจะเดินกลับบ้าน",
+    "he" -> "האיש הזקן סגר את הדלת וחיכה שהגשם ייפסק לפני שהלך הביתה.",
+    "bn" -> "বৃদ্ধ লোকটি দরজা বন্ধ করে বৃষ্টি থামার অপেক্ষায় ছিল, তারপর বাড়ি ফিরে গেল।",
+    "ta" -> "முதியவர் கதவை மூடி, மழை நிற்கும் வரை காத்திருந்து பிறகு வீட்டிற்கு நடந்து சென்றார்.",
+    "id" -> "Orang tua itu menutup pintu dan menunggu hujan berhenti sebelum berjalan pulang.",
+    "ro" -> "Bătrânul a închis ușa și a așteptat să se oprească ploaia înainte de a merge acasă.",
+    "sw" -> "Mzee alifunga mlango na kusubiri mvua ikome kabla ya kutembea kwenda nyumbani.",
+    "bg" -> "Старецът затвори вратата и изчака дъждът да спре, преди да тръгне към къщи.")
 
   test("charGramsText: padded 1-3 grams, letters only, total") {
     assert(LangId.charGramsText(null) === "")
@@ -52,7 +62,7 @@ class LangIdSpec extends SparkTestBase {
     assert(LangId.charGramsText("天气").split(" ").contains("天气"))
   }
 
-  test("held-out sentences classify to their language, all 24") {
+  test("held-out sentences classify to their language, all 32") {
     val docs = heldOut.zipWithIndex
       .map { case ((lang, text), i) => (i.toLong, lang, text) }
       .toDF("doc_id", "expected", "text")

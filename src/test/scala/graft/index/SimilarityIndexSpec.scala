@@ -410,6 +410,16 @@ class SimilarityIndexSpec extends SparkTestBase {
       (0, 0, 2L, 2L, Some(mean00)),
       (0, 1, 2L, 1L, Some(1.0)),
       (1, 0, 1L, 1L, Some(1.0))))
+    // table="raw": the same dashboard over an IVF-SQ8-style refine
+    // sidecar (identical two-level layout)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$dir/assignments"),
+      new org.apache.hadoop.fs.Path(s"$dir/raw"))
+    val rawGot = SimilarityIndex.ivfDriftStats(spark, dir, table = "raw")
+      .orderBy("list_id", "ingest")
+      .as[(Int, Int, Long, Long, Option[Double])].collect().toSeq
+    assert(rawGot === got)
   }
 
   test("ivfCompact: identical search results, fewer files per list") {
