@@ -147,56 +147,51 @@ object Pq {
                            residCenters: Array[Array[Double]] = null,
                            residAnchors: Array[Array[Double]] = null)
       : Array[Array[Array[Double]]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vectors => MLVectors}
-    val base0 = corpus.select(col(vecCol).as("_pq_v"))
-    val n = base0.count()
-    val base = (if (maxFitRows > 0 && n > maxFitRows)
-        base0.sample(withReplacement = false,
-          maxFitRows.toDouble / n, seed = 42L)
-      else base0)
-      .localCheckpoint() // m fits re-read the sample; don't re-scan corpus
-    try {
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val fits = (0 until m).map { j =>
-        Future {
-          val sub = udf { (v: Seq[Float]) =>
-            val u0 = normalize(v)
-            if (u0 == null || u0.length != dim) null
+    // ONE hash-ranked bounded collect (r17 optimization round — see
+    // [[KMeansLocal]]): the sample is ≤ maxFitRows points by design, so
+    // the m per-subspace fits are pure driver math over slices of it.
+    // The replaced shape paid a count() pass (Bernoulli fraction), a
+    // localCheckpoint, and m concurrent MLlib fits of ~15 scheduler
+    // round-trips each — all for a driver-side-constant training set.
+    val sample = KMeansLocal.boundedSample(
+      corpus.select(col(vecCol).as("_pq_v")), "_pq_v", maxFitRows)
+    val dsub = dim / m
+    // normalize → (residual subtract) → rotate, once per sample row —
+    // the exact transform chain of the encode path; zero-norm and
+    // wrong-dim rows drop (the family rule)
+    val prepped = new scala.collection.mutable.ArrayBuffer[Array[Double]](sample.length)
+    sample.foreach { a =>
+      if (a.length == dim) {
+        var ss = 0.0
+        var i = 0
+        while (i < dim) { ss += a(i) * a(i); i += 1 }
+        if (ss != 0.0 && !ss.isNaN) {
+          val inv = 1.0 / math.sqrt(ss)
+          val u0 = new Array[Double](dim)
+          i = 0
+          while (i < dim) { u0(i) = a(i) * inv; i += 1 }
+          val u1 =
+            if (residCenters == null) u0
             else {
-              val u1 =
-                if (residCenters == null) u0
-                else {
-                  // residual training: subtract the training row's own
-                  // nearest list's anchor (assignment parity with the
-                  // encode path is immaterial for a training DISTRIBUTION)
-                  val anchor = residAnchors(nearestList(v, residCenters))
-                  val r = new Array[Double](dim)
-                  var i = 0
-                  while (i < dim) { r(i) = u0(i) - anchor(i); i += 1 }
-                  r
-                }
-              val u = applyRotation(rot, u1)
-              val dsub = dim / m
-              MLVectors.dense(java.util.Arrays.copyOfRange(
-                u, j * dsub, (j + 1) * dsub))
+              // residual training: subtract the training row's own
+              // nearest list's anchor (assignment parity with the
+              // encode path is immaterial for a training DISTRIBUTION)
+              val anchor = residAnchors(nearestListD(a, residCenters))
+              val r = new Array[Double](dim)
+              var t = 0
+              while (t < dim) { r(t) = u0(t) - anchor(t); t += 1 }
+              r
             }
-          }
-          val train = base.select(sub(col("_pq_v")).as("features"))
-            .filter(col("features").isNotNull)
-          new KMeans().setK(ksub).setSeed(42L + j).setMaxIter(10)
-            .setFeaturesCol("features").fit(train)
-            .clusterCenters.map(_.toArray)
+          prepped += applyRotation(rot, u1)
         }
       }
-      // settle ALL fits before the finally releases the checkpointed
-      // sample: awaiting sequentially, a failed fit j would free the
-      // blocks while fits j+1.. still run against them (confusing
-      // secondary failures on the error path)
-      Await.result(Future.sequence(fits), Duration.Inf).toArray
-    } finally graft.dedup.Dedup.release(base)
+    }
+    val pts = prepped.toArray
+    (0 until m).map { j =>
+      val sub = pts.map(u =>
+        java.util.Arrays.copyOfRange(u, j * dsub, (j + 1) * dsub))
+      KMeansLocal.fit(sub, ksub, seed = 42L + j, maxIter = 10)
+    }.toArray
   }
 
   /** Encode one unit-normalized vector against codebooks → m bytes;
@@ -317,6 +312,26 @@ object Pq {
     * the training-side twin of SimilarityIndex.assignUdf (encode paths
     * take the assigned list as an ARGUMENT instead, so stored codes can
     * never disagree with their partition). */
+  /** [[nearestList]] over an already-converted double vector (the
+    * driver-local fit path) — identical arithmetic: the float variant
+    * promotes each element to double before subtracting. */
+  private def nearestListD(v: Array[Double],
+                           centers: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var j = 0
+    while (j < centers.length) {
+      val c = centers(j)
+      var s = 0.0
+      var i = 0
+      val n = math.min(v.length, c.length)
+      while (i < n) { val d = v(i) - c(i); s += d * d; i += 1 }
+      if (s < bestD) { bestD = s; best = j }
+      j += 1
+    }
+    best
+  }
+
   private def nearestList(v: Seq[Float],
                           centers: Array[Array[Double]]): Int = {
     var best = 0

