@@ -33,7 +33,7 @@ import graft.functions.TopK
  */
 object Classify {
 
-  private val Reserved = Seq("_cx_d", "_cx_dn", "_cx_cn", "_cx_dot")
+  private val Reserved = Seq("_cx_d", "_cx_dn", "_cx_cn", "_cx_dot", "_cx_tc")
 
   private def guard(df: DataFrame): Unit = {
     val clash = df.columns.toSet.intersect(Reserved.toSet)
@@ -41,6 +41,69 @@ object Classify {
   }
 
   private val Dec = DecimalType(38, 0)
+
+  /** Per-row exact token-count map + squared norm (r17 optimization
+    * round): one pass over [[TextMetrics.wsTokenArr]] (char-identical to
+    * the wsTokens Column tokenization) replaces the former
+    * explode → groupBy(id, token) count → groupBy(id) norm chain — a
+    * corpus-TOKEN-sized exchange plus a per-doc aggregation and its
+    * re-join, all for values that are a pure per-row function (guide
+    * §2.3 "aggregate before you shuffle", taken to its limit). The
+    * squared norm Σd² fits a Long EXACTLY for any real document
+    * (Σd ≤ string length ≤ 2³¹ ⇒ Σd² ≤ (Σd)² < 2⁶³) and casts to the
+    * same DECIMAL(38,0)/double the aggregated form produced, so every
+    * cosine is bit-identical. Null text → null (emit-less downstream,
+    * matching wsTokens-on-null). */
+  private[analysis] val tokCountsUdf =
+    org.apache.spark.sql.functions.udf { (s: String) =>
+      if (s == null) null
+      else {
+        val t = TextMetrics.wsTokenArr(s)
+        val hm = new java.util.HashMap[String, java.lang.Long]()
+        var i = 0
+        while (i < t.length) {
+          hm.merge(t(i), 1L, (a, b) => a + b)
+          i += 1
+        }
+        var dn = 0L
+        val it = hm.values().iterator()
+        while (it.hasNext) { val d = it.next().longValue(); dn += d * d }
+        val b = Map.newBuilder[String, Long]
+        val es = hm.entrySet().iterator()
+        while (es.hasNext) {
+          val e = es.next()
+          b += ((e.getKey, e.getValue.longValue()))
+        }
+        (b.result(), dn)
+      }
+    }
+
+  /** The scoring tail shared by [[centroidScoreTopK]] and the fused
+    * tokenizer paths ([[graft.analysis.LangId]]): input is the EXPLODED
+    * per-(doc, token) exact counts with the per-doc squared norm riding
+    * every row — `(idCol, token, _cx_d, _cx_dn)` — so the only
+    * corpus-sized exchange left is the per-(doc, label) dot aggregation
+    * (the norm is max-folded through it: constant within the group). */
+  private[analysis] def scoreCountsTopK(toks: DataFrame, model: DataFrame,
+                                        idCol: String, k: Int,
+                                        broadcastModel: Boolean): DataFrame = {
+    guard(model)
+    val m0 = model.select(col("label"), col("token"), col("cnt"))
+    val m = if (broadcastModel) broadcast(m0) else m0
+    // per-class squared norm — class-count-sized aggregate, broadcast
+    val cn = m0.groupBy("label")
+      .agg(sum(col("cnt").cast(Dec) * col("cnt")).as("_cx_cn"))
+    val dots = toks.join(m, Seq("token"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("_cx_d").cast(Dec) * col("cnt")).as("_cx_dot"),
+        max(col("_cx_dn")).as("_cx_dn"))
+    val scored = dots
+      .join(broadcast(cn), Seq("label"))
+      .withColumn("cosine", col("_cx_dot").cast("double") /
+        (sqrt(col("_cx_dn").cast(Dec).cast("double")) * sqrt(col("_cx_cn").cast("double"))))
+      .select(col(idCol), col("label"), col("cosine"))
+    TopK.topLabelsPerGroup(scored, idCol, "label", "cosine", k)
+  }
 
   /**
    * Train: per-class token-count centroids over the canonical
@@ -84,27 +147,17 @@ object Classify {
                         idCol: String = "doc_id", textCol: String = "text",
                         k: Int = 1,
                         broadcastModel: Boolean = true): DataFrame = {
-    guard(docs); guard(model)
-    val m0 = model.select(col("label"), col("token"), col("cnt"))
-    val m = if (broadcastModel) broadcast(m0) else m0
-    // per-class squared norm — class-count-sized aggregate, broadcast
-    val cn = m0.groupBy("label")
-      .agg(sum(col("cnt").cast(Dec) * col("cnt")).as("_cx_cn"))
+    guard(docs)
+    // per-row exact counts (see [[tokCountsUdf]]): the former
+    // explode → groupBy(id, token) → groupBy(id) chain shuffled the
+    // whole token stream twice and re-joined the norm; counts and norm
+    // are per-row functions, so the first corpus-wide exchange is now
+    // the per-(doc, label) dot aggregation inside [[scoreCountsTopK]]
     val toks = docs
-      .select(col(idCol), explode(TextMetrics.wsTokens(col(textCol))).as("token"))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("_cx_d"))
-    val dn = toks.groupBy(idCol)
-      .agg(sum(col("_cx_d").cast(Dec) * col("_cx_d")).as("_cx_dn"))
-    val dots = toks.join(m, Seq("token"))
-      .groupBy(col(idCol), col("label"))
-      .agg(sum(col("_cx_d").cast(Dec) * col("cnt")).as("_cx_dot"))
-    val scored = dots
-      .join(broadcast(cn), Seq("label"))
-      .join(dn, Seq(idCol))
-      .withColumn("cosine", col("_cx_dot").cast("double") /
-        (sqrt(col("_cx_dn").cast("double")) * sqrt(col("_cx_cn").cast("double"))))
-      .select(col(idCol), col("label"), col("cosine"))
-    TopK.topLabelsPerGroup(scored, idCol, "label", "cosine", k)
+      .select(col(idCol), tokCountsUdf(col(textCol)).as("_cx_tc"))
+      .select(col(idCol), col("_cx_tc").getField("_2").as("_cx_dn"),
+        explode(col("_cx_tc").getField("_1")).as(Seq("token", "_cx_d")))
+    scoreCountsTopK(toks, model, idCol, k, broadcastModel)
   }
 
   /**

@@ -220,15 +220,78 @@ object LangId {
       "Той взе автобуса до града, но се прибра пеша, защото слънцето още грееше. " +
       "Преди да вечеря, се обади на брат си и дълго говориха за всичко, което се беше случило през седмицата."))
 
+  /** Exact gram-count map + squared norm of [[charGramsText]]'s token
+    * multiset in ONE pass, never materializing the ~6×-size gram string
+    * (r17 optimization round): build-string → re-split → explode →
+    * distributed-count was per-row work plus a corpus-token-sized
+    * exchange for values that are a pure per-row function. Same
+    * emission rules as [[charGramsText]] char for char (letters-only
+    * lowercased words, `_`-padded, 1–3-gram substrings, bare `_`
+    * unigram dropped; digits/punct neither join nor split); the norm
+    * Σd² fits a Long exactly (Σd ≤ string length). Null → null. */
+  private[analysis] def gramCounts(s: String): (Map[String, Long], Long) = {
+    if (s == null) return null
+    val hm = new java.util.HashMap[String, java.lang.Long]()
+    val word = new java.lang.StringBuilder(32)
+    def flush(): Unit = {
+      if (word.length() > 0) {
+        val w = "_" + word + "_"
+        val m = w.length
+        var len = 1
+        while (len <= 3) {
+          var st = 0
+          while (st + len <= m) {
+            if (!(len == 1 && w.charAt(st) == '_'))
+              hm.merge(w.substring(st, st + len), 1L, (a, b) => a + b)
+            st += 1
+          }
+          len += 1
+        }
+        word.setLength(0)
+      }
+    }
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) flush()
+      else if (Character.isLetter(c)) word.append(Character.toLowerCase(c))
+      // digits/punctuation drop (language-neutral); they neither join
+      // nor split the surrounding letters
+      i += 1
+    }
+    flush()
+    var dn = 0L
+    val vs = hm.values().iterator()
+    while (vs.hasNext) { val d = vs.next().longValue(); dn += d * d }
+    val b = Map.newBuilder[String, Long]
+    val es = hm.entrySet().iterator()
+    while (es.hasNext) { val e = es.next(); b += ((e.getKey, e.getValue.longValue())) }
+    (b.result(), dn)
+  }
+
+  /** The exploded (idCol, _cx_dn, token, _cx_d) frame
+    * [[Classify.scoreCountsTopK]] consumes, via [[gramCounts]]. */
+  private def gramToks(docs: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    val g = udf((s: String) => gramCounts(s))
+    docs.select(col(idCol), g(col(textCol)).as("_lid_tc"))
+      .select(col(idCol), col("_lid_tc").getField("_2").as("_cx_dn"),
+        explode(col("_lid_tc").getField("_1")).as(Seq("token", "_cx_d")))
+  }
+
   /** The built-in model in [[Classify.centroidTrain]]'s (label, token,
-    * cnt) shape — gram tokens, 32 languages, a few thousand rows. */
+    * cnt) shape — gram tokens, 32 languages, a few thousand rows.
+    * Computed DRIVER-SIDE (r17 optimization round): the model is a pure
+    * function of the in-repo seed prose (a few hundred KB), so the
+    * former per-call explode+groupBy Spark jobs were scheduler latency
+    * for a driver-sized constant. Values are identical — integer counts
+    * of the same gram multiset ([[gramCounts]] ≡ charGramsText +
+    * wsTokens counting, spec-pinned). */
   def builtinModel(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    val grams = udf((s: String) => charGramsText(s))
-    Classify.centroidTrain(
-      TrainSamples.toDF("label", "_lid_raw")
-        .select(col("label"), grams(col("_lid_raw")).as("_lid_grams")),
-      "_lid_grams", "label")
+    TrainSamples.flatMap { case (label, prose) =>
+      gramCounts(prose)._1.iterator.map { case (tok, cnt) => (label, tok, cnt) }
+    }.toDF("label", "token", "cnt")
   }
 
   /** Classify every document: (idCol, lang). The centroid argmax
@@ -250,10 +313,8 @@ object LangId {
         "(reserved by LangId.classify)")
     val spark = docs.sparkSession
     val m = if (model != null) model else builtinModel(spark)
-    val grams = udf((s: String) => charGramsText(s))
-    val scored = Classify.centroidScore(
-        docs.select(col(idCol), grams(col(textCol)).as("_lid_grams")),
-        m, idCol, "_lid_grams", broadcastModel)
+    val scored = Classify.scoreCountsTopK(
+        gramToks(docs, idCol, textCol), m, idCol, 1, broadcastModel)
       .select(col(idCol), col("label").as("_lid_hit"))
     val heur = udf((s: String) => TextMetrics.languageId(s))
     docs.select(col(idCol), col(textCol))
@@ -284,10 +345,8 @@ object LangId {
         "_lid_c2/lang/confidence (reserved by classifyWithConfidence)")
     val spark = docs.sparkSession
     val m = if (model != null) model else builtinModel(spark)
-    val grams = udf((s: String) => charGramsText(s))
-    val top2 = Classify.centroidScoreTopK(
-      docs.select(col(idCol), grams(col(textCol)).as("_lid_grams")),
-      m, idCol, "_lid_grams", 2, broadcastModel)
+    val top2 = Classify.scoreCountsTopK(
+      gramToks(docs, idCol, textCol), m, idCol, 2, broadcastModel)
     val best = top2.filter(col("rank") === 1)
       .select(col(idCol), col("label").as("_lid_hit"),
         col("cosine").as("_lid_c1"))
