@@ -11,13 +11,23 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
+    // profiling aid (r17 optimization round): SPARK_GRAFT_EVENTLOG=<dir>
+    // writes the standard Spark event log for per-job/stage attribution
+    // of a query's time. Inert when unset — the timed methodology is
+    // unchanged; never set it for comparison runs.
+    val spark = sys.env.get("SPARK_GRAFT_EVENTLOG").filter(_.nonEmpty)
+      .fold(builder) { d =>
+        new java.io.File(d).mkdirs()
+        builder.config("spark.eventLog.enabled", "true")
+          .config("spark.eventLog.dir", d)
+      }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen/parquet-committer paths once so the first timed

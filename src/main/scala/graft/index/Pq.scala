@@ -492,17 +492,30 @@ object Pq {
         .delete(rp, true) // a rebuild without rotation clears the old one
     }
     val books = fitCodebooks(corpus, corpusVec, m, ksub, fitRows, dim, rot)
-    books.zipWithIndex.flatMap { case (cb, j) =>
-      cb.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
-    }.toSeq.toDF("sub", "code", "centroid")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$path/codebooks")
-    spark.createDataFrame(Seq((m, ksub, dim))).toDF("m", "ksub", "dim")
-      .write.mode("overwrite").parquet(s"$path/meta")
-    corpus.select(col(corpusId),
-        encodeUdf(books, dim, rot)(col(corpusVec)).as("codes"))
-      .filter(col("codes").isNotNull)
-      .write.mode("overwrite").parquet(s"$path/codes/installment=0")
+    // the three writes are independent given (books, rot) — overlap
+    // them (guide §2.6); all awaited before return
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val w = Seq(
+      Future {
+        books.zipWithIndex.flatMap { case (cb, j) =>
+          cb.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+        }.toSeq.toDF("sub", "code", "centroid")
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$path/codebooks")
+      },
+      Future {
+        spark.createDataFrame(Seq((m, ksub, dim))).toDF("m", "ksub", "dim")
+          .write.mode("overwrite").parquet(s"$path/meta")
+      },
+      Future {
+        corpus.select(col(corpusId),
+            encodeUdf(books, dim, rot)(col(corpusVec)).as("codes"))
+          .filter(col("codes").isNotNull)
+          .write.mode("overwrite").parquet(s"$path/codes/installment=0")
+      })
+    Await.result(Future.sequence(w), Duration.Inf)
     graft.store.Tombstones.clear(spark, path)
   }
 
@@ -721,18 +734,6 @@ object Pq {
         val c = Await.result(coarseF, Duration.Inf)
         (c, fitBooks(c, normCenters(c)))
       }
-    centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-      .toDF("list_id", "centroid")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    books.zipWithIndex.flatMap { case (cb, j) =>
-      cb.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
-    }.toSeq.toDF("sub", "code", "centroid")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$path/codebooks")
-    spark.createDataFrame(Seq((m, ksub, dim, if (residual) 1 else 0)))
-      .toDF("m", "ksub", "dim", "residual")
-      .write.mode("overwrite").parquet(s"$path/meta")
     val assigned = corpus.select(col(corpusId),
       SimilarityIndex.assignUdf(centers)(col(corpusVec)).as("list_id"),
       col(corpusVec))
@@ -741,19 +742,46 @@ object Pq {
         encodeResidualUdf(books, dim, normCenters(centers))(
           col(corpusVec), col("list_id"))
       else encodeUdf(books, dim, rot)(col(corpusVec))
-    assigned.select(col(corpusId), col("list_id"), enc.as("codes"))
-      .filter(col("codes").isNotNull)
-      .withColumn("ingest", lit(0))
-      .write.mode("overwrite").partitionBy("list_id", "ingest")
-      .parquet(s"$path/codes")
-    // refine sidecar: ORIGINAL float vectors under the SAME list
-    // assignment, so the exact re-rank reads only probed lists (the
-    // ivfSq8 raw/ contract — lockstep through append and compact)
-    if (storeRaw)
-      assigned.filter(enc.isNotNull)
-        .withColumn("ingest", lit(0))
-        .write.mode("overwrite").partitionBy("list_id", "ingest")
-        .parquet(s"$path/raw")
+    // the five writes are independent given (centers, books) — overlap
+    // them (guide §2.6, the concurrent-fits precedent above); all
+    // awaited before return, so the on-disk contract is unchanged
+    val writes = Seq(
+      Future {
+        centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+          .toDF("list_id", "centroid")
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$path/centroids")
+      },
+      Future {
+        books.zipWithIndex.flatMap { case (cb, j) =>
+          cb.zipWithIndex.map { case (cent, c) => (j, c, cent.toSeq) }
+        }.toSeq.toDF("sub", "code", "centroid")
+          .repartition(1)
+          .write.mode("overwrite").parquet(s"$path/codebooks")
+      },
+      Future {
+        spark.createDataFrame(Seq((m, ksub, dim, if (residual) 1 else 0)))
+          .toDF("m", "ksub", "dim", "residual")
+          .write.mode("overwrite").parquet(s"$path/meta")
+      },
+      Future {
+        assigned.select(col(corpusId), col("list_id"), enc.as("codes"))
+          .filter(col("codes").isNotNull)
+          .withColumn("ingest", lit(0))
+          .write.mode("overwrite").partitionBy("list_id", "ingest")
+          .parquet(s"$path/codes")
+      }) ++
+      // refine sidecar: ORIGINAL float vectors under the SAME list
+      // assignment, so the exact re-rank reads only probed lists (the
+      // ivfSq8 raw/ contract — lockstep through append and compact)
+      (if (storeRaw) Seq(Future {
+        assigned.filter(enc.isNotNull)
+          .withColumn("ingest", lit(0))
+          .write.mode("overwrite").partitionBy("list_id", "ingest")
+          .parquet(s"$path/raw")
+      })
+      else Nil)
+    Await.result(Future.sequence(writes), Duration.Inf)
     graft.store.Tombstones.clear(spark, path)
   }
 

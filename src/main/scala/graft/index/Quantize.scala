@@ -221,34 +221,57 @@ object Quantize {
                   storeRaw: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // the fit, the scale pass, and the four writes below are
+    // independent except through (centers, scale) — overlap them
+    // (guide §2.6; the ivfPqBuild concurrent-fits precedent): fit ∥
+    // maxAbs first, then centroids/meta/codes/raw writes concurrently.
+    // All awaited before return — the on-disk contract is unchanged.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val scaleF = Future { maxAbs(corpus, corpusVec) / 127.0 }
     val centers = SimilarityIndex.fitCentroids(corpus, corpusVec, nlist,
       fitSampleFraction)
-    centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
-      .toDF("list_id", "centroid")
-      .repartition(1)
-      .write.mode("overwrite").parquet(s"$path/centroids")
-    val scale = maxAbs(corpus, corpusVec) / 127.0
-    spark.createDataFrame(Seq(Tuple1(scale))).toDF("scale")
-      .write.mode("overwrite").parquet(s"$path/meta")
+    val centroidsF = Future {
+      centers.zipWithIndex.map { case (c, i) => (i, c) }.toSeq
+        .toDF("list_id", "centroid")
+        .repartition(1)
+        .write.mode("overwrite").parquet(s"$path/centroids")
+    }
+    val scale = Await.result(scaleF, Duration.Inf)
+    val metaF = Future {
+      spark.createDataFrame(Seq(Tuple1(scale))).toDF("scale")
+        .write.mode("overwrite").parquet(s"$path/meta")
+    }
     val assigned = corpus.select(col(corpusId),
       SimilarityIndex.assignUdf(centers)(col(corpusVec)).as("list_id"),
       col(corpusVec))
     // two-level layout (the ivfBuild contract): list_id stays the top
     // partition for probe pruning; the ingest level makes appends
     // replay-idempotent and foldable
-    assigned.select(col(corpusId), col("list_id"),
-        packCodesUdf(codesUdf(scale)(col(corpusVec))).as("codes"))
-      .withColumn("ingest", lit(0))
-      .write.mode("overwrite").partitionBy("list_id", "ingest")
-      .parquet(s"$path/codes")
+    val codesF = Future {
+      assigned.select(col(corpusId), col("list_id"),
+          packCodesUdf(codesUdf(scale)(col(corpusVec))).as("codes"))
+        .withColumn("ingest", lit(0))
+        .write.mode("overwrite").partitionBy("list_id", "ingest")
+        .parquet(s"$path/codes")
+    }
     // refine sidecar: the ORIGINAL float vectors, partitioned by the SAME
     // list assignment, so an exact re-rank reads only probed lists (see
     // ivfSq8SearchRefined). Costs the full-precision bytes back at rest —
     // opt in only when the refine path is wanted.
-    if (storeRaw)
-      assigned.withColumn("ingest", lit(0))
-        .write.mode("overwrite").partitionBy("list_id", "ingest")
-        .parquet(s"$path/raw")
+    val rawF =
+      if (storeRaw) Some(Future {
+        assigned.withColumn("ingest", lit(0))
+          .write.mode("overwrite").partitionBy("list_id", "ingest")
+          .parquet(s"$path/raw")
+      })
+      else None
+    // settle EVERYTHING before returning (and before an error
+    // propagates — Future.sequence fails fast but the residual writes
+    // run to completion against a corpus frame the caller still owns)
+    Await.result(Future.sequence(
+      Seq(centroidsF, metaF, codesF) ++ rawF.toSeq), Duration.Inf)
     // rebuild = new generation: stale tombstones must not filter it
     graft.store.Tombstones.clear(spark, path)
   }

@@ -274,6 +274,17 @@ object Crawl {
       // inside the try: a failing frontier write must still release the
       // checkpoint blocks (a streaming retry loop would otherwise
       // accumulate leaked storage on every failed attempt)
+      def extStats() =
+        ext.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("cs_fallback"), 1L).otherwise(0L)).as("fb"),
+          sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("empty"),
+          sum(length(col("text")).cast("long")).as("bytes"),
+          // noindex counts only where it EXCLUDES a would-be corpus doc
+          // (empty-text noindex pages are already in `empty`)
+          sum(when(col("noindex") && length(col("text")) > 0, 1L)
+            .otherwise(0L)).as("noidx"))
+          .head()
       var redirectCount = 0L
       var nonTextCount = 0L
       var revisitCount = 0L
@@ -299,14 +310,30 @@ object Crawl {
           .select(col("target_uri").as("url"),
             array().cast("array<string>").as("links"), noBase, noCanon,
             noMd5, noRevisit)
-        nonTextCount = nonText.count()
         // unchanged-content recaptures: one observation row, no links
         // (the capture they duplicate already fed its links), null hash
         val revisitRows = resp0.filter(revisitCond)
           .select(col("target_uri").as("url"),
             array().cast("array<string>").as("links"), noBase, noCanon,
             noMd5, lit(true).as("revisit"))
-        revisitCount = revisitRows.count()
+        // the three ledger-class tallies were three separate .count()
+        // actions over the same resp0 checkpoint — each paying its own
+        // planning/scheduling round-trip for a conditional sum; ONE
+        // aggregate job returns all of them (redirectLinks is
+        // filter+select, so its count is the same conditional sum).
+        val countCols = Seq(
+          sum(when(isResponse && col("http_status") === 200 && !textish,
+            1L).otherwise(0L)),
+          sum(when(revisitCond, 1L).otherwise(0L))) ++
+          (if (wantRedirects)
+            Seq(sum(when(isResponse && redirect3xx &&
+              col("http_location").isNotNull, 1L).otherwise(0L)))
+          else Nil)
+        val cRow = resp0.agg(countCols.head, countCols.tail: _*).head()
+        nonTextCount = if (cRow.isNullAt(0)) 0L else cRow.getLong(0)
+        revisitCount = if (cRow.isNullAt(1)) 0L else cRow.getLong(1)
+        if (wantRedirects)
+          redirectCount = if (cRow.isNullAt(2)) 0L else cRow.getLong(2)
         val extPages =
           ext.select(col("url"), col("links"), col("base"), col("canonical"),
             // the change observation: hash of the extracted text (the
@@ -324,7 +351,6 @@ object Crawl {
                .withColumn("canonical", lit(null).cast("string"))
                .withColumn("content_md5", lit(null).cast("string"))
                .withColumn("revisit", lit(false))
-             redirectCount = redir.count()
              extPages.unionByName(redir)
            }).unionByName(dead).unionByName(nonText)
             .unionByName(revisitRows)
@@ -372,16 +398,7 @@ object Crawl {
           finally graft.dedup.Dedup.release(pairs)
         } finally graft.dedup.Dedup.release(harvested)
       }
-      val a = ext.agg(
-        count(lit(1)).as("n"),
-        sum(when(col("cs_fallback"), 1L).otherwise(0L)).as("fb"),
-        sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("empty"),
-        sum(length(col("text")).cast("long")).as("bytes"),
-        // noindex counts only where it EXCLUDES a would-be corpus doc
-        // (empty-text noindex pages are already in `empty`)
-        sum(when(col("noindex") && length(col("text")) > 0, 1L)
-          .otherwise(0L)).as("noidx"))
-        .head()
+      val a = extStats()
       val responses = a.getLong(0)
       val fallbacks = if (a.isNullAt(1)) 0L else a.getLong(1)
       val empties = if (a.isNullAt(2)) 0L else a.getLong(2)
