@@ -324,11 +324,16 @@ object Robots {
       }
     }
     val resp = records.filter(col("warc_type") === "response")
+    // materialized once (robots-fetch-sized — tiny): four branches below
+    // (direct bodies, chain sources, 5xx hosts, and the rule parse) each
+    // re-embedded the caller's records subtree otherwise — for a raw
+    // WARC batch that is four re-parses and a ~4× plan (guide §3.3)
     val robots = resp.filter(pathOf(col("target_uri")) === "/robots.txt")
       .select(UrlFilter.hostOf(col("target_uri")).as("host"),
         col("target_uri").cast("string").as("url"),
         col("http_status").as("status"), col("body"))
       .filter(col("host").isNotNull)
+      .localCheckpoint()
     val direct = robots.filter(col("status") === 200)
       .groupBy("host").agg(max(decode(col("body"))).as("_direct"))
     // the whole batch's redirect graph: a robots chain may hop through
