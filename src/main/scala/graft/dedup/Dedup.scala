@@ -1077,15 +1077,23 @@ object Dedup {
                                        broadcastDrop: Boolean): DataFrame = {
     val pairs = stored.unionByName(internal)
     val labels = connectedComponents(pairs, "id_a", "id_b")
+    // when the caller declares the dup set broadcastable, the pair-id
+    // and anchored-rep sets are broadcastable a fortiori (both are
+    // bounded by the pair set) — say so EXPLICITLY instead of leaving
+    // the planner to sort-merge statless checkpoint-backed frames
+    // (r17 optimization round: the routed prune's static plan carried
+    // 24 SortMergeJoins of probe-bounded sides; guide §3.1 "use an
+    // explicit broadcast hint when you know a side is small")
+    def maybeB(df: DataFrame): DataFrame =
+      if (broadcastDrop) broadcast(df) else df
     val storedIds = stored.select(col("id_a").as("id")).distinct()
-    val anchoredReps = labels.join(storedIds, Seq("id"))
+    val anchoredReps = labels.join(maybeB(storedIds), Seq("id"))
       .select(col("rep")).distinct().withColumn("_pp_anchored", lit(true))
-    val drop = labels.join(storedIds, Seq("id"), "left_anti")
-      .join(anchoredReps, Seq("rep"), "left")
+    val drop = labels.join(maybeB(storedIds), Seq("id"), "left_anti")
+      .join(maybeB(anchoredReps), Seq("rep"), "left")
       .filter(col("_pp_anchored") || col("id") =!= col("rep"))
       .select(col("id").as(idCol))
-    newRows.join(if (broadcastDrop) broadcast(drop) else drop,
-      Seq(idCol), "left_anti")
+    newRows.join(maybeB(drop), Seq(idCol), "left_anti")
   }
 
   // -------------------------------------- persisted video frame-hash index
