@@ -1638,15 +1638,13 @@ object Crawl {
     * re-scans cheaply and needs nothing. */
   def resolveRedirects(edges: DataFrame, maxHops: Int = 4): DataFrame = {
     require(maxHops >= 1, s"maxHops must be >= 1, got $maxHops")
-    // materialize the (redirect-sized, small) edge set ONCE: the unroll
-    // below references it maxHops+1 times, and without truncation each
-    // reference re-embeds the caller's whole upstream subtree — a WARC
-    // batch's parse+resolve appeared 5× in crawl_robots_outcomes' plan
-    // (258 Exchange nodes before this; guide §3.3 "very wide plans:
-    // materialise an intermediate"). Blocks back the returned frame and
-    // free via ContextCleaner when the caller drops it (the CC-final-
-    // round precedent).
-    val e = edges.select(col("url"), col("target")).localCheckpoint()
+    // NOTE (r17 optimization round): the unroll below references the
+    // edge set maxHops+1 times, so each reference re-embeds the
+    // caller's upstream subtree — a caller whose edges are EXPENSIVE
+    // (a WARC batch parse) should hand in a materialized frame
+    // (localCheckpoint), as Robots.rulesFromRecords does; this
+    // operator itself stays cache-free (the PersistHygieneSpec pin).
+    val e = edges.select(col("url"), col("target"))
     var cur = e.select(col("url"), col("target").as("final_url"),
       lit(1L).as("hops"))
     for (_ <- 2 to maxHops) {

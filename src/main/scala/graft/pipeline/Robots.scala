@@ -344,7 +344,15 @@ object Robots {
         robots.limit(0).select(col("url"),
           col("url").as("final_url"), lit(true).as("resolved"))
       else graft.pipeline.Crawl.resolveRedirects(
-        graft.pipeline.Crawl.redirectEdges(resp), maxRedirects)
+        // materialized ONCE (redirect-sized): the chain unroll
+        // references its edges maxRedirects+1 times, and each
+        // reference would otherwise re-embed the whole records
+        // subtree — a raw WARC batch re-parsed five times
+        // (crawl_robots_outcomes carried 258 Exchange nodes before
+        // this; guide §3.3). Blocks free via ContextCleaner when the
+        // result drops (the minhashIndexProbe lifetime contract).
+        graft.pipeline.Crawl.redirectEdges(resp).localCheckpoint(),
+        maxRedirects)
     val wanted = robots
       .filter(col("status").isin(301, 302, 303, 307, 308))
       .select(col("host"), col("url"))
