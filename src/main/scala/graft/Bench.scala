@@ -106,10 +106,12 @@ object Bench {
       scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")
         .take(3).mkString("[", ",", "]")).getOrElse("[]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"phases":$phasesJson,"errors":$errJson,"loadavg":$loadavg,"sf":"$sfDir"}"""
-    println(json)
     // the driver's stdout capture has truncated this line before (the
-    // BENCH_r10 tail) — persist it to a file too so every round's
-    // per-query record stays parseable. Path overridable for local runs.
+    // BENCH_r10 and BENCH_r16 tails) — persist it to a file FIRST so
+    // every round's per-query record stays parseable even if stdout is
+    // clipped, then print it as the very LAST stdout line (after
+    // spark.stop(), so no shutdown logging can follow it). Path
+    // overridable for local runs.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_last.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -117,5 +119,6 @@ object Bench {
       System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
     }
     spark.stop()
+    println(json)
   }
 }

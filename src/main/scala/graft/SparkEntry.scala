@@ -4113,8 +4113,13 @@ object SparkEntry {
           .select(perDocUrl.as("url")))
         .write.mode("overwrite").parquet(s"$fDir/fetched/batch=0")
       val blocked = Seq("a4.example").toDF("domain")
+      // r18: ONE materialized ledger read shared by the fetch list and
+      // the bytes join (each consumer formerly re-embedded the ledger
+      // scan + latest-batch join in its own plan)
+      val ledger = graft.pipeline.Crawl.mediaPairsLedger(s, fDir)
+        .localCheckpoint()
       val list = graft.pipeline.Crawl.mediaFetchList(s, fDir,
-        blockedDomains = blocked)
+        blockedDomains = blocked, pairsLedger = ledger)
       val sched = graft.pipeline.Crawl.schedule(
         list.select(col("url"), col("n_refs")), maxRounds = 1 << 20)
       def midOf(u: String): Long =
@@ -4127,8 +4132,7 @@ object SparkEntry {
         }
         ("response", u, 200, Multimodal.encodeWav(16000, samples))
       }.toDF("warc_type", "target_uri", "http_status", "body")
-      val joined = graft.pipeline.Crawl.mediaBytesJoin(
-        graft.pipeline.Crawl.mediaPairsLedger(s, fDir), bodies)
+      val joined = graft.pipeline.Crawl.mediaBytesJoin(ledger, bodies)
       val keyed = joined.select(col("media_url"), col("body"))
         .dropDuplicates("media_url")
         .as[(String, Array[Byte])]
@@ -4937,8 +4941,13 @@ object SparkEntry {
         .toDF("url", "content_md5", "n_obs", "n_changes")
         .withColumn("batch", lit(0L))
         .write.partitionBy("batch").parquet(s"$fDir/fetched")
+      // r18: ONE materialized ledger read shared by the fetch list and
+      // the bytes join (the crawl_media_fetch rationale)
+      val ledger = graft.pipeline.Crawl.imagePairsLedger(s, fDir)
+        .localCheckpoint()
       val fetchList = graft.pipeline.Crawl.imageFetchList(s, fDir,
-        blockedDomains = Seq("blocked.example").toDF("domain"))
+        blockedDomains = Seq("blocked.example").toDF("domain"),
+        pairsLedger = ledger)
       val sched = graft.pipeline.Crawl.schedule(fetchList, maxRounds = 5)
       // the fetcher's 200s: a REAL 24-bit BMP per scheduled url, dims
       // derived from the url's own (host, file) arithmetic
@@ -4951,8 +4960,7 @@ object SparkEntry {
           ((k * 31 + j * 7 + i) % 251).toByte)
         ("response", u, 200, graft.multimodal.Multimodal.encodeBmp(w, h, rgb))
       }.toDF("warc_type", "target_uri", "http_status", "body")
-      val joined = graft.pipeline.Crawl.imageBytesJoin(
-        graft.pipeline.Crawl.imagePairsLedger(s, fDir), fetched)
+      val joined = graft.pipeline.Crawl.imageBytesJoin(ledger, fetched)
       val decoded = joined.select(col("url"), col("img_url"), col("alt"),
           col("body"))
         .as[(String, String, String, Array[Byte])]

@@ -33,7 +33,8 @@ import graft.functions.TopK
  */
 object Classify {
 
-  private val Reserved = Seq("_cx_d", "_cx_dn", "_cx_cn", "_cx_dot", "_cx_tc")
+  private val Reserved = Seq("_cx_d", "_cx_dn", "_cx_cn", "_cx_dot", "_cx_tc",
+    "_cx_pos", "_cx_s")
 
   private def guard(df: DataFrame): Unit = {
     val clash = df.columns.toSet.intersect(Reserved.toSet)
@@ -77,6 +78,145 @@ object Classify {
         (b.result(), dn)
       }
     }
+
+  /** The model in driver-local form (r18): per-token postings into the
+    * label space plus the per-label norm PRECONVERTED through the exact
+    * same decimal→double path the aggregated plan takes
+    * (sum cnt² in exact integers, BigDecimal.doubleValue — what
+    * Decimal(38,0).cast("double") runs — then Math.sqrt). Duplicate
+    * (label, token) rows are kept as separate postings: the scoring
+    * join would have multiplied them too. */
+  private[analysis] final case class LocalModel(
+      labels: Array[String],
+      cnSqrt: Array[Double],
+      postings: java.util.HashMap[String, (Array[Int], Array[Long])])
+    extends Serializable
+
+  private[analysis] def buildLocalModel(
+      rows: Iterable[(String, String, Long)]): LocalModel = {
+    val labelIdx = new java.util.LinkedHashMap[String, Integer]()
+    rows.foreach { case (l, _, _) =>
+      if (!labelIdx.containsKey(l)) labelIdx.put(l, labelIdx.size())
+    }
+    val nL = labelIdx.size()
+    val labels = new Array[String](nL)
+    labelIdx.forEach((l, i) => labels(i) = l)
+    val cn = Array.fill(nL)(java.math.BigInteger.ZERO)
+    val byTok =
+      new java.util.HashMap[String, (scala.collection.mutable.ArrayBuffer[Int],
+        scala.collection.mutable.ArrayBuffer[Long])]()
+    rows.foreach { case (l, t, c) =>
+      val li = labelIdx.get(l).intValue()
+      val bc = java.math.BigInteger.valueOf(c)
+      cn(li) = cn(li).add(bc.multiply(bc))
+      val e = byTok.computeIfAbsent(t, _ =>
+        (scala.collection.mutable.ArrayBuffer.empty[Int],
+          scala.collection.mutable.ArrayBuffer.empty[Long]))
+      e._1 += li
+      e._2 += c
+    }
+    val postings = new java.util.HashMap[String, (Array[Int], Array[Long])](
+      byTok.size() * 2)
+    byTok.forEach((t, e) => postings.put(t, (e._1.toArray, e._2.toArray)))
+    // the EXACT double the aggregated plan's sqrt(cn.cast("double"))
+    // sees: Decimal(38,0) → double is BigDecimal.doubleValue
+    val cnSqrt = cn.map(b =>
+      Math.sqrt(new java.math.BigDecimal(b).doubleValue()))
+    LocalModel(labels, cnSqrt, postings)
+  }
+
+  private[analysis] def collectLocalModel(model: DataFrame): LocalModel =
+    buildLocalModel(
+      model.select(col("label"), col("token"), col("cnt")).collect()
+        .map(r => (r.getString(0), r.getString(1),
+          r.getAs[Number](2).longValue())))
+
+  /** Score ONE document's exact token-count map against every centroid
+    * of a [[LocalModel]] — the per-row kernel of the driver-local
+    * scoring dual (r18). Bit-identical to the aggregated plan: dots are
+    * exact integer sums (Long with overflow promotion to BigInteger —
+    * integer addition is order-free, so any accumulation order yields
+    * the aggregated sum), converted to double through the same
+    * BigDecimal path as Decimal(38,0).cast("double"), divided by the
+    * same sqrt(dn)·sqrt(cn) product, and ranked with
+    * [[graft.functions.TopK]]'s exact comparator (score desc via
+    * Double.compare, label asc on ties). Labels sharing no token with
+    * the document do not emit (the emit-less rule). */
+  private[analysis] def scoreRowTopK(lm: LocalModel, counts: Map[String, Long],
+                                     dn: Long, k: Int): Seq[(String, Double)] = {
+    val nL = lm.labels.length
+    val dotL = new Array[Long](nL)
+    var dotB: Array[java.math.BigInteger] = null
+    val touched = new Array[Boolean](nL)
+    counts.foreach { case (tok, d) =>
+      val hit = lm.postings.get(tok)
+      if (hit != null) {
+        val (lis, cs) = hit
+        var i = 0
+        while (i < lis.length) {
+          val li = lis(i)
+          touched(li) = true
+          if (dotB != null && dotB(li) != null)
+            dotB(li) = dotB(li).add(java.math.BigInteger.valueOf(d)
+              .multiply(java.math.BigInteger.valueOf(cs(i))))
+          else
+            try dotL(li) = Math.addExact(dotL(li),
+              Math.multiplyExact(d, cs(i)))
+            catch { case _: ArithmeticException =>
+              if (dotB == null) dotB = new Array[java.math.BigInteger](nL)
+              dotB(li) = java.math.BigInteger.valueOf(dotL(li))
+                .add(java.math.BigInteger.valueOf(d)
+                  .multiply(java.math.BigInteger.valueOf(cs(i))))
+            }
+          i += 1
+        }
+      }
+    }
+    val sDn = Math.sqrt(java.math.BigDecimal.valueOf(dn).doubleValue())
+    val cand = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    var li = 0
+    while (li < nL) {
+      if (touched(li)) {
+        val dotD =
+          if (dotB != null && dotB(li) != null)
+            new java.math.BigDecimal(dotB(li)).doubleValue()
+          else java.math.BigDecimal.valueOf(dotL(li)).doubleValue()
+        cand += ((lm.labels(li), dotD / (sDn * lm.cnSqrt(li))))
+      }
+      li += 1
+    }
+    cand.sortWith { case ((l1, s1), (l2, s2)) =>
+      val c = java.lang.Double.compare(s1 + 0.0, s2 + 0.0)
+      c > 0 || (c == 0 && l1.compareTo(l2) < 0)
+    }.take(k).toSeq
+  }
+
+  /** Driver-local scoring dual of [[scoreCountsTopK]] (r18 optimization
+    * round): in the `broadcastModel = true` regime the model was already
+    * shipped whole to every executor as a broadcast join side, so it is
+    * by definition driver-collectable — score each document IN ITS ROW
+    * against all centroids instead. The per-(doc, label) dot
+    * aggregation, the per-class-norm broadcast join and the TopK
+    * regroup — the plan's only corpus-sized exchanges — disappear
+    * (guide §2.4). Input is the per-row (idCol, (counts map, squared
+    * norm)) struct BEFORE explosion; output matches
+    * [[TopK.topLabelsPerGroup]]'s (idCol, label, cosine, rank) exactly
+    * (ClassifySpec pins local == shuffled-path equivalence). */
+  private[analysis] def scoreTcTopKLocal(tc: DataFrame, model: DataFrame,
+                                         idCol: String, k: Int): DataFrame = {
+    val lm = collectLocalModel(model)
+    val bc = tc.sparkSession.sparkContext.broadcast(lm)
+    val score = udf { (m: Map[String, Long], dn: Long) =>
+      scoreRowTopK(bc.value, m, dn, k)
+    }
+    tc.filter(col("_cx_tc").isNotNull)
+      .select(col(idCol),
+        posexplode(score(col("_cx_tc").getField("_1"),
+          col("_cx_tc").getField("_2"))).as(Seq("_cx_pos", "_cx_s")))
+      .select(col(idCol), col("_cx_s").getField("_1").as("label"),
+        col("_cx_s").getField("_2").as("cosine"),
+        (col("_cx_pos") + 1).cast("int").as("rank"))
+  }
 
   /** The scoring tail shared by [[centroidScoreTopK]] and the fused
     * tokenizer paths ([[graft.analysis.LangId]]): input is the EXPLODED
@@ -151,13 +291,23 @@ object Classify {
     // per-row exact counts (see [[tokCountsUdf]]): the former
     // explode → groupBy(id, token) → groupBy(id) chain shuffled the
     // whole token stream twice and re-joined the norm; counts and norm
-    // are per-row functions, so the first corpus-wide exchange is now
-    // the per-(doc, label) dot aggregation inside [[scoreCountsTopK]]
-    val toks = docs
-      .select(col(idCol), tokCountsUdf(col(textCol)).as("_cx_tc"))
-      .select(col(idCol), col("_cx_tc").getField("_2").as("_cx_dn"),
-        explode(col("_cx_tc").getField("_1")).as(Seq("token", "_cx_d")))
-    scoreCountsTopK(toks, model, idCol, k, broadcastModel)
+    // are per-row functions. In the broadcastModel regime (r18) the
+    // SCORING is per-row too ([[scoreTcTopKLocal]] — the model was
+    // already executor-resident, so the dot aggregation and TopK
+    // regroup were pure exchange overhead); `broadcastModel = false`
+    // keeps the shuffled dual for a vocabulary too large to collect —
+    // identical output (spec-pinned), the Decontaminate dual-path
+    // contract.
+    if (broadcastModel) {
+      val tc = docs.select(col(idCol), tokCountsUdf(col(textCol)).as("_cx_tc"))
+      scoreTcTopKLocal(tc, model, idCol, k)
+    } else {
+      val toks = docs
+        .select(col(idCol), tokCountsUdf(col(textCol)).as("_cx_tc"))
+        .select(col(idCol), col("_cx_tc").getField("_2").as("_cx_dn"),
+          explode(col("_cx_tc").getField("_1")).as(Seq("token", "_cx_d")))
+      scoreCountsTopK(toks, model, idCol, k, broadcastModel)
+    }
   }
 
   /**

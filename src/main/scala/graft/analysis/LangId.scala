@@ -228,7 +228,13 @@ object LangId {
     * emission rules as [[charGramsText]] char for char (letters-only
     * lowercased words, `_`-padded, 1–3-gram substrings, bare `_`
     * unigram dropped; digits/punct neither join nor split); the norm
-    * Σd² fits a Long exactly (Σd ≤ string length). Null → null. */
+    * Σd² fits a Long exactly: gram emissions are ~3× the letter count
+    * (each word of length w yields ~3w+1 grams), so Σd ≤ ~3n for an
+    * n-char string, but any SINGLE gram's count is ≤ n (each occurrence
+    * consumes ≥1 char), hence Σd² ≤ max(d)·Σd ≤ 3n² < 2⁶³ for every
+    * n ≤ ~1.7e9 — i.e. every JVM-representable document shy of the
+    * 2³¹-char String cap, and real text spreads counts across ≥4
+    * distinct grams per word, far below the bound. Null → null. */
   private[analysis] def gramCounts(s: String): (Map[String, Long], Long) = {
     if (s == null) return null
     val hm = new java.util.HashMap[String, java.lang.Long]()
@@ -294,11 +300,33 @@ object LangId {
     }.toDF("label", "token", "cnt")
   }
 
+  /** The built-in centroids in [[Classify.LocalModel]] form — a pure
+    * function of the in-repo seed prose, computed once per JVM (r18:
+    * the per-row scoring path's model; identical rows to
+    * [[builtinModel]], spec-pinned). */
+  private lazy val builtinLocal: Classify.LocalModel =
+    Classify.buildLocalModel(TrainSamples.flatMap { case (label, prose) =>
+      gramCounts(prose)._1.iterator.map { case (t, c) => (label, t, c) }
+    })
+
+  private def localModelOf(model: DataFrame): Classify.LocalModel =
+    if (model == null) builtinLocal else Classify.collectLocalModel(model)
+
   /** Classify every document: (idCol, lang). The centroid argmax
     * (cosine desc, lang asc — engine-portable) wins; documents sharing
     * no gram with any centroid (or empty after the letter filter) fall
     * back to [[TextMetrics.languageId]], so every row labels. Pass a
-    * corpus-trained `model` to override the built-in centroids. */
+    * corpus-trained `model` to override the built-in centroids.
+    *
+    * Scale shape (r18): with `broadcastModel = true` (default) the
+    * whole classification — gram counting, centroid scoring, argmax,
+    * heuristic fallback — is ONE per-row UDF over a broadcast
+    * [[Classify.LocalModel]]: zero exchanges, zero joins (the model was
+    * executor-resident before as a broadcast join side; the dot
+    * aggregation, TopK regroup and fallback left-join were pure
+    * exchange overhead). `broadcastModel = false` keeps the shuffled
+    * scoring dual + join-back for a vocabulary too large to collect —
+    * identical output (LangIdSpec pins the two paths). */
   def classify(docs: DataFrame, idCol: String = "doc_id",
                textCol: String = "text",
                model: DataFrame = null,
@@ -312,15 +340,26 @@ object LangId {
       "idCol/textCol may not be named _lid_grams/_lid_hit/lang " +
         "(reserved by LangId.classify)")
     val spark = docs.sparkSession
-    val m = if (model != null) model else builtinModel(spark)
-    val scored = Classify.scoreCountsTopK(
-        gramToks(docs, idCol, textCol), m, idCol, 1, broadcastModel)
-      .select(col(idCol), col("label").as("_lid_hit"))
-    val heur = udf((s: String) => TextMetrics.languageId(s))
-    docs.select(col(idCol), col(textCol))
-      .join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("_lid_hit"), heur(col(textCol))).as("lang"))
+    if (broadcastModel) {
+      val bc = spark.sparkContext.broadcast(localModelOf(model))
+      val lang = udf { (s: String) =>
+        val gc = gramCounts(s)
+        val top =
+          if (gc == null) Nil else Classify.scoreRowTopK(bc.value, gc._1, gc._2, 1)
+        if (top.isEmpty) TextMetrics.languageId(s) else top.head._1
+      }
+      docs.select(col(idCol), lang(col(textCol)).as("lang"))
+    } else {
+      val m = if (model != null) model else builtinModel(spark)
+      val scored = Classify.scoreCountsTopK(
+          gramToks(docs, idCol, textCol), m, idCol, 1, broadcastModel)
+        .select(col(idCol), col("label").as("_lid_hit"))
+      val heur = udf((s: String) => TextMetrics.languageId(s))
+      docs.select(col(idCol), col(textCol))
+        .join(scored, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("_lid_hit"), heur(col(textCol))).as("lang"))
+    }
   }
 
   /** [[classify]] with a CONFIDENCE column (r17): the cosine margin
@@ -340,26 +379,45 @@ object LangId {
     require(idCol != "_lid_grams" && textCol != "_lid_grams" &&
       idCol != "lang" && idCol != "confidence" &&
       idCol != "_lid_hit" && textCol != "_lid_hit" &&
-      idCol != "_lid_c1" && idCol != "_lid_c2",
+      idCol != "_lid_c1" && idCol != "_lid_c2" && idCol != "_lid_s",
       "idCol/textCol may not be named _lid_grams/_lid_hit/_lid_c1/" +
-        "_lid_c2/lang/confidence (reserved by classifyWithConfidence)")
+        "_lid_c2/_lid_s/lang/confidence (reserved by " +
+        "classifyWithConfidence)")
     val spark = docs.sparkSession
-    val m = if (model != null) model else builtinModel(spark)
-    val top2 = Classify.scoreCountsTopK(
-      gramToks(docs, idCol, textCol), m, idCol, 2, broadcastModel)
-    val best = top2.filter(col("rank") === 1)
-      .select(col(idCol), col("label").as("_lid_hit"),
-        col("cosine").as("_lid_c1"))
-    val second = top2.filter(col("rank") === 2)
-      .select(col(idCol), col("cosine").as("_lid_c2"))
-    val heur = udf((s: String) => TextMetrics.languageId(s))
-    docs.select(col(idCol), col(textCol))
-      .join(best, Seq(idCol), "left")
-      .join(second, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("_lid_hit"), heur(col(textCol))).as("lang"),
-        when(col("_lid_hit").isNotNull,
-          col("_lid_c1") - coalesce(col("_lid_c2"), lit(0.0)))
-          .as("confidence"))
+    if (broadcastModel) {
+      // one per-row UDF, zero exchanges (the classify note applies);
+      // margin = the SAME one double subtraction of the two
+      // correctly-rounded cosines the join form computed
+      val bc = spark.sparkContext.broadcast(localModelOf(model))
+      val scored = udf { (s: String) =>
+        val gc = gramCounts(s)
+        val top =
+          if (gc == null) Nil else Classify.scoreRowTopK(bc.value, gc._1, gc._2, 2)
+        if (top.isEmpty) (TextMetrics.languageId(s), None: Option[Double])
+        else (top.head._1,
+          Some(top.head._2 - (if (top.size > 1) top(1)._2 else 0.0)))
+      }
+      docs.select(col(idCol), scored(col(textCol)).as("_lid_s"))
+        .select(col(idCol), col("_lid_s").getField("_1").as("lang"),
+          col("_lid_s").getField("_2").as("confidence"))
+    } else {
+      val m = if (model != null) model else builtinModel(spark)
+      val top2 = Classify.scoreCountsTopK(
+        gramToks(docs, idCol, textCol), m, idCol, 2, broadcastModel)
+      val best = top2.filter(col("rank") === 1)
+        .select(col(idCol), col("label").as("_lid_hit"),
+          col("cosine").as("_lid_c1"))
+      val second = top2.filter(col("rank") === 2)
+        .select(col(idCol), col("cosine").as("_lid_c2"))
+      val heur = udf((s: String) => TextMetrics.languageId(s))
+      docs.select(col(idCol), col(textCol))
+        .join(best, Seq(idCol), "left")
+        .join(second, Seq(idCol), "left")
+        .select(col(idCol),
+          coalesce(col("_lid_hit"), heur(col(textCol))).as("lang"),
+          when(col("_lid_hit").isNotNull,
+            col("_lid_c1") - coalesce(col("_lid_c2"), lit(0.0)))
+            .as("confidence"))
+    }
   }
 }

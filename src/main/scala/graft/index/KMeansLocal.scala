@@ -38,23 +38,38 @@ private[graft] object KMeansLocal {
   /** Hash-ranked bounded sample of a float-vector column, collected to
     * the driver and deterministically ordered. One narrow scan of `df`
     * (TakeOrderedAndProject — every partition keeps ≤ bound candidate
-    * rows, the driver merges); null rows are excluded. */
+    * rows, the driver merges); null rows are excluded in the scan, and
+    * vectors carrying a non-finite element are dropped DRIVER-SIDE
+    * after the take (r18 — a single NaN point poisons every restart's
+    * wcss, mirroring the PQ fit path's guard; filtering on the driver
+    * keeps the distributed pass free of per-row UDF cost — a
+    * pathological NaN row can displace one sample slot, which is fine
+    * for a bounded heuristic sample). The distributed take orders by
+    * (hash, vector), not the hash alone, so even a true 64-bit hash
+    * collision at the cutoff selects the same rows on any layout. */
   def boundedSample(df: DataFrame, vecCol: String, bound: Long): Array[Array[Double]] = {
     val lim = math.min(bound, Int.MaxValue.toLong).toInt
     require(lim > 0, s"sample bound must be positive, got $bound")
     val rows = df.select(col(vecCol).as("_km_v"))
       .where(col("_km_v").isNotNull)
       .withColumn("_km_h", xxhash64(col("_km_v")))
-      .orderBy(col("_km_h"))
+      .orderBy(col("_km_h"), col("_km_v"))
       .limit(lim)
       .select(col("_km_h"), col("_km_v"))
       .collect()
-    val pts: Array[(Long, Array[Double])] = rows.map { r =>
+    val pts: Array[(Long, Array[Double])] = rows.flatMap { r =>
       val s = r.getSeq[Float](1)
       val a = new Array[Double](s.length)
       var i = 0
-      while (i < s.length) { a(i) = s(i).toDouble; i += 1 }
-      (r.getLong(0), a)
+      var finite = true
+      while (i < s.length) {
+        val d = s(i).toDouble
+        if (java.lang.Double.isNaN(d) || java.lang.Double.isInfinite(d))
+          finite = false
+        a(i) = d
+        i += 1
+      }
+      if (finite) Some((r.getLong(0), a)) else None
     }
     // pin the ORDER (the init RNG walks it): hash asc, then elementwise —
     // equal-hash rows are almost always identical vectors, but a true
@@ -110,7 +125,11 @@ private[graft] object KMeansLocal {
     while (r < restarts) {
       val c = fitOnce(points, k, seed + r, maxIter)
       val cost = wcss(points, c)
-      if (cost < bestCost) { bestCost = cost; best = c } // strict <: earliest seed wins ties
+      // strict <: earliest seed wins ties; `best == null` guards the
+      // degenerate all-restarts-at-sentinel-cost case (r18) so a valid
+      // center set is always returned — identical selection on any
+      // finite-cost input
+      if (best == null || cost < bestCost) { bestCost = cost; best = c }
       r += 1
     }
     if (best == null) Array.empty else best

@@ -67,6 +67,18 @@ object Crawl {
       col("http_content_type")
         .rlike("(?i)^\\s*(text/(html|plain)|application/xhtml)")
 
+  /** Read one long metric from an [[org.apache.spark.sql.Observation]]
+    * whose action has already run (r18: per-batch tallies ride the
+    * localCheckpoint materializations as observed metrics instead of
+    * paying their own aggregate actions — guide §2.6 fewer actions).
+    * SQL sums over zero rows are null → 0. */
+  private def obsLong(obs: org.apache.spark.sql.Observation,
+                      name: String): Long =
+    obs.get.get(name) match {
+      case Some(v: java.lang.Number) => v.longValue()
+      case _ => 0L
+    }
+
   /** Run one crawl batch against the MinHash corpus index at `indexPath`.
     *
     * `records` is any DataFrame in the [[graft.sources.Warc.WarcRecord]]
@@ -195,6 +207,13 @@ object Crawl {
     val ledgerDeadCond =
       if (hasLocation) deadCond || (redirect3xx && col("http_location").isNull)
       else deadCond
+    // the three ledger-class tallies (non-text 200s, revisits, followable
+    // redirects) ride the checkpoint's own materialization as OBSERVED
+    // metrics (r18): the former one-aggregate job over the checkpointed
+    // frame was a full extra action — planning + scheduling round-trip —
+    // for conditional sums the checkpoint pass computes for free.
+    val classObs = org.apache.spark.sql.Observation()
+    val isResponse0 = col("warc_type") === "response"
     val resp0 =
       if (!wantLinks) respBase.filter(col("http_status") === 200 && textish)
       else {
@@ -217,6 +236,13 @@ object Crawl {
           .filter(col("http_status") === 200 || redirectCond ||
             ledgerDeadCond || revisitCond || robotsCond)
           .select(cols: _*)
+          .observe(classObs,
+            sum(when(isResponse0 && col("http_status") === 200 && !textish,
+              1L).otherwise(0L)).as("non_text"),
+            sum(when(revisitCond, 1L).otherwise(0L)).as("revisits"),
+            sum(when(isResponse0 && redirect3xx &&
+              (if (hasLocation) col("http_location").isNotNull
+               else lit(false)), 1L).otherwise(0L)).as("redirects"))
           .localCheckpoint()
       }
     // the WHOLE projection, not just robots-path rows: outcome
@@ -234,19 +260,23 @@ object Crawl {
           lower(col("http_content_type")).contains("xml") &&
           !lower(col("http_content_type")).contains("xhtml"))
         .select(col("target_uri").cast("string").as("url"), col("body"))
-      val harvested = Feeds.enclosuresBySource(feedish).localCheckpoint()
+      // ONE PASS with sentinels fused (r18): the former shape was
+      // checkpoint(harvest) + count action + sentinel anti-join +
+      // checkpoint(pairs) — four driver round-trips per batch. The
+      // explode_outer form emits a feed's enclosures OR one all-null
+      // sentinel row in the same projection, and the pair count rides
+      // the pairs checkpoint as an observed metric. Every ledger
+      // read/compaction drops null-media_url rows AFTER its
+      // latest-batch selection, so sentinel multiplicity never shows.
+      val mObs = org.apache.spark.sql.Observation()
+      val pairs = Feeds.enclosuresBySourceWithSentinels(feedish)
+        .observe(mObs, sum(when(col("media_url").isNotNull, 1L)
+          .otherwise(0L)).as("pairs"))
+        .localCheckpoint()
       try {
-        mediaPairCount = harvested.count()
-        val nullStr = lit(null).cast("string")
-        val sentinels = feedish.select(col("url")).distinct()
-          .join(harvested.select(col("url")).distinct(),
-            Seq("url"), "left_anti")
-          .select(col("url"), nullStr.as("media_url"),
-            nullStr.as("caption"), nullStr.as("mime_type"))
-        val pairs = harvested.unionByName(sentinels).localCheckpoint()
-        try onMedia(pairs)
-        finally graft.dedup.Dedup.release(pairs)
-      } finally graft.dedup.Dedup.release(harvested)
+        mediaPairCount = obsLong(mObs, "pairs")
+        onMedia(pairs)
+      } finally graft.dedup.Dedup.release(pairs)
     }
     // only RESPONSE 200s extract: a revisit record's stored status line
     // commonly says 200, but its payload is the recapture's header
@@ -262,6 +292,10 @@ object Crawl {
       xRobotsCol = if (hasXRobots) "http_x_robots" else null,
       canonicalCol = if (wantLinks) "canonical" else null,
       imagesCol = if (wantImages) "images" else null)
+    // extraction tallies ride the ext checkpoint as observed metrics
+    // (r18) — the former extStats() aggregate was one more full action
+    // over the checkpointed frame
+    val extObs = org.apache.spark.sql.Observation()
     val ext = (if (wantLinks)
         extAll.select(Seq(col("target_uri").as("url"), col("text"),
           col("cs_fallback"), col("noindex"), col("links"), col("base"),
@@ -269,22 +303,20 @@ object Crawl {
           (if (wantImages) Seq(col("images")) else Nil): _*)
       else extAll.select(col("target_uri").as("url"), col("text"),
         col("cs_fallback"), col("noindex")))
+      .observe(extObs,
+        count(lit(1)).as("n"),
+        sum(when(col("cs_fallback"), 1L).otherwise(0L)).as("fb"),
+        sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("empty"),
+        sum(length(col("text")).cast("long")).as("bytes"),
+        // noindex counts only where it EXCLUDES a would-be corpus doc
+        // (empty-text noindex pages are already in `empty`)
+        sum(when(col("noindex") && length(col("text")) > 0, 1L)
+          .otherwise(0L)).as("noidx"))
       .localCheckpoint() // parse+extract once: feeds stats, probe, append
     try {
       // inside the try: a failing frontier write must still release the
       // checkpoint blocks (a streaming retry loop would otherwise
       // accumulate leaked storage on every failed attempt)
-      def extStats() =
-        ext.agg(
-          count(lit(1)).as("n"),
-          sum(when(col("cs_fallback"), 1L).otherwise(0L)).as("fb"),
-          sum(when(length(col("text")) === 0, 1L).otherwise(0L)).as("empty"),
-          sum(length(col("text")).cast("long")).as("bytes"),
-          // noindex counts only where it EXCLUDES a would-be corpus doc
-          // (empty-text noindex pages are already in `empty`)
-          sum(when(col("noindex") && length(col("text")) > 0, 1L)
-            .otherwise(0L)).as("noidx"))
-          .head()
       var redirectCount = 0L
       var nonTextCount = 0L
       var revisitCount = 0L
@@ -316,24 +348,14 @@ object Crawl {
           .select(col("target_uri").as("url"),
             array().cast("array<string>").as("links"), noBase, noCanon,
             noMd5, lit(true).as("revisit"))
-        // the three ledger-class tallies were three separate .count()
-        // actions over the same resp0 checkpoint — each paying its own
-        // planning/scheduling round-trip for a conditional sum; ONE
-        // aggregate job returns all of them (redirectLinks is
-        // filter+select, so its count is the same conditional sum).
-        val countCols = Seq(
-          sum(when(isResponse && col("http_status") === 200 && !textish,
-            1L).otherwise(0L)),
-          sum(when(revisitCond, 1L).otherwise(0L))) ++
-          (if (wantRedirects)
-            Seq(sum(when(isResponse && redirect3xx &&
-              col("http_location").isNotNull, 1L).otherwise(0L)))
-          else Nil)
-        val cRow = resp0.agg(countCols.head, countCols.tail: _*).head()
-        nonTextCount = if (cRow.isNullAt(0)) 0L else cRow.getLong(0)
-        revisitCount = if (cRow.isNullAt(1)) 0L else cRow.getLong(1)
-        if (wantRedirects)
-          redirectCount = if (cRow.isNullAt(2)) 0L else cRow.getLong(2)
+        // the three ledger-class tallies were observed on resp0's own
+        // checkpoint pass (r17 folded three count() actions into one
+        // aggregate job; r18 folds that job into the checkpoint itself —
+        // zero extra actions; redirectLinks is filter+select, so its
+        // count is the same conditional sum)
+        nonTextCount = obsLong(classObs, "non_text")
+        revisitCount = obsLong(classObs, "revisits")
+        if (wantRedirects) redirectCount = obsLong(classObs, "redirects")
         val extPages =
           ext.select(col("url"), col("links"), col("base"), col("canonical"),
             // the change observation: hash of the extracted text (the
@@ -364,46 +386,49 @@ object Crawl {
       if (wantImages) {
         // resolve+normalize srcs EXACTLY like the frontier's hrefs (the
         // same fused kernel) against each page's effective base;
-        // noindex pages contribute nothing (they asked out of corpora)
+        // noindex pages contribute nothing (they asked out of corpora).
+        // ONE PASS with sentinels fused (r18): explode_outer emits each
+        // page's images — or ONE null row for a page with nothing to
+        // harvest (noindex pages' arrays are nulled first) — so the
+        // former harvest checkpoint + count action + sentinel anti-join
+        // + second checkpoint collapse into a single projection whose
+        // pair count rides the checkpoint as an observed metric.
+        // SUPERSESSION SENTINELS (r17 semantics preserved): every
+        // extracted 200 that harvested NO pairs — zero imgs, turned
+        // noindex, or a src that failed resolve — emits a (url, null
+        // img_url) all-null row, so a refetch that DROPPED its images
+        // still supersedes the url's stale pairs under the ledger's
+        // latest-batch read (which filters null-src rows AFTER that
+        // selection — a failed-resolve null row beside real pairs is
+        // equally invisible to every ledger read and compaction).
         val effBase = coalesce(
           UrlResolve.resolveCol(col("url"), col("base")), col("url"))
-        val harvested = ext
-          .filter(!col("noindex") && size(col("images")) > 0)
+        val iObs = org.apache.spark.sql.Observation()
+        val pairs = ext
           .select(col("url"), effBase.as("_img_base"),
-            explode(col("images")).as("_img"))
+            explode_outer(when(!col("noindex"), col("images"))).as("_img"))
           .select(col("url"),
             UrlResolve.resolveAndNormalizeCol(col("_img_base"),
               col("_img.src")).as("img_url"),
             col("_img.alt").as("alt"), col("_img.title").as("title"),
             col("_img.caption").as("caption"))
-          .filter(col("img_url").isNotNull)
+          .select(col("url"), col("img_url"),
+            when(col("img_url").isNotNull, col("alt")).as("alt"),
+            when(col("img_url").isNotNull, col("title")).as("title"),
+            when(col("img_url").isNotNull, col("caption")).as("caption"))
+          .observe(iObs, sum(when(col("img_url").isNotNull, 1L)
+            .otherwise(0L)).as("pairs"))
           .localCheckpoint()
         try {
-          imagePairCount = harvested.count()
-          // SUPERSESSION SENTINELS (r17): every extracted 200 that
-          // harvested NO pairs — zero imgs, turned noindex, or every
-          // src failed resolve — emits one (url, null img_url) row, so
-          // a refetch that DROPPED its images still supersedes the
-          // url's stale pairs under the ledger's latest-batch read
-          // (which filters null-src rows AFTER that selection).
-          // Without it an image removed from a page is served forever.
-          val nullStr = lit(null).cast("string")
-          val sentinels = ext.select(col("url"))
-            .join(harvested.select(col("url")).distinct(),
-              Seq("url"), "left_anti")
-            .select(col("url"), nullStr.as("img_url"), nullStr.as("alt"),
-              nullStr.as("title"), nullStr.as("caption"))
-          val pairs = harvested.unionByName(sentinels).localCheckpoint()
-          try onImages(pairs)
-          finally graft.dedup.Dedup.release(pairs)
-        } finally graft.dedup.Dedup.release(harvested)
+          imagePairCount = obsLong(iObs, "pairs")
+          onImages(pairs)
+        } finally graft.dedup.Dedup.release(pairs)
       }
-      val a = extStats()
-      val responses = a.getLong(0)
-      val fallbacks = if (a.isNullAt(1)) 0L else a.getLong(1)
-      val empties = if (a.isNullAt(2)) 0L else a.getLong(2)
-      val textBytes = if (a.isNullAt(3)) 0L else a.getLong(3)
-      val noindexed = if (a.isNullAt(4)) 0L else a.getLong(4)
+      val responses = obsLong(extObs, "n")
+      val fallbacks = obsLong(extObs, "fb")
+      val empties = obsLong(extObs, "empty")
+      val textBytes = obsLong(extObs, "bytes")
+      val noindexed = obsLong(extObs, "noidx")
       // broadcast the batch through the probe only when it is actually
       // broadcastable: the probe ships the batch's SHINGLE SETS (several
       // times the text bytes) to every executor, so a bulk backfill batch
@@ -439,12 +464,17 @@ object Crawl {
             broadcastBatch = broadcastBatch,
             asOfInstallment = installment - 1)
           .select(col("new_id").as("url")).distinct()
+        // the survivor count rides the fresh checkpoint as an observed
+        // metric (r18) — the former fresh.count() was one more action
+        // over blocks the checkpoint had just materialized
+        val fObs = org.apache.spark.sql.Observation()
         val fresh = docs.join(dupIds, Seq("url"), "left_anti")
+          .observe(fObs, count(lit(1)).as("n"))
           .localCheckpoint()
         try {
           graft.dedup.Dedup.minhashIndexAppendAt(spark, indexPath, fresh,
             installment, "text", "url")
-          val appended = fresh.count()
+          val appended = obsLong(fObs, "n")
           val result = use(fresh)
           (result, BatchStats(responses, fallbacks, empties,
             responses - empties - noindexed - appended, appended,
@@ -959,9 +989,23 @@ object Crawl {
                      blockedDomains: DataFrame = null,
                      robotsRules: DataFrame = null,
                      agentToken: String = "graftbot",
-                     bloomArtifact: FetchedBloomArtifact = null)
+                     bloomArtifact: FetchedBloomArtifact = null,
+                     pairsLedger: DataFrame = null)
       : DataFrame = {
-    val wanted = imagePairsLedger(spark, frontierDir)
+    // `pairsLedger` (r18, opt-in): a caller-materialized
+    // [[imagePairsLedger]] read. The fetch loop's callers typically
+    // need the pairs ledger TWICE — once here for the fetch list, once
+    // in [[imageBytesJoin]] — and without sharing, each consumer
+    // re-embeds the ledger read (scan + latest-batch join) in its own
+    // plan; at crawl-age ledger sizes that re-read scales with the
+    // ledger while a shared localCheckpoint does not (guide §3.3).
+    // Default null = read the ledger here (unchanged behavior — at
+    // small ledgers the extra materialization action can cost more
+    // than the duplicate read, so sharing is the caller's call).
+    val led =
+      if (pairsLedger != null) pairsLedger
+      else imagePairsLedger(spark, frontierDir)
+    val wanted = led
       .groupBy(col("img_url"))
       .agg(countDistinct(col("url")).as("n_refs"))
       .select(col("img_url").as("url"), col("n_refs"))
@@ -981,9 +1025,16 @@ object Crawl {
                      blockedDomains: DataFrame = null,
                      robotsRules: DataFrame = null,
                      agentToken: String = "graftbot",
-                     bloomArtifact: FetchedBloomArtifact = null)
+                     bloomArtifact: FetchedBloomArtifact = null,
+                     pairsLedger: DataFrame = null)
       : DataFrame = {
-    val wanted = mediaPairsLedger(spark, frontierDir)
+    // `pairsLedger` (r18, opt-in): a caller-materialized
+    // [[mediaPairsLedger]] read shared with [[mediaBytesJoin]] — the
+    // [[imageFetchList]] knob, same default-off rationale.
+    val led =
+      if (pairsLedger != null) pairsLedger
+      else mediaPairsLedger(spark, frontierDir)
+    val wanted = led
       .groupBy(col("media_url"))
       .agg(countDistinct(col("url")).as("n_refs"))
       .select(col("media_url").as("url"), col("n_refs"))

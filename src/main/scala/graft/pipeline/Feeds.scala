@@ -598,4 +598,43 @@ object Feeds {
       .filter(col("media_url").isNotNull)
       .distinct()
   }
+
+  /** [[enclosuresBySource]] with the ingest ledger's SUPERSESSION
+    * SENTINELS fused into the same pass (r18): a feed that harvests no
+    * pair — zero enclosures, or every url failing canonicalization —
+    * emits ONE all-null (url, null, null, null) row instead of being
+    * anti-joined in afterwards, via explode_outer over the parsed
+    * enclosure array. A feed with BOTH real pairs and failed-canon
+    * enclosures additionally folds its failures into one all-null row;
+    * every ledger read/compaction drops null-media_url rows AFTER its
+    * latest-batch selection, so the extra sentinel is invisible there
+    * (FeedsSpec pins the row-level equivalence to
+    * enclosuresBySource ∪ sentinels). Real pairs are byte-identical to
+    * [[enclosuresBySource]]'s — same parse, canonicalization, caption
+    * processing and within-feed distinct. */
+  def enclosuresBySourceWithSentinels(feeds: DataFrame,
+                                      urlCol: String = "url",
+                                      bodyCol: String = "body"): DataFrame = {
+    val encs = udf((b: Array[Byte]) => enclosuresFromBytes(b)
+      .map(e => (e.url, e.mimeType, e.title)))
+    val canon =
+      udf((s: String) => UrlResolve.selfNormalize(HtmlText.decodeAttr(s)))
+    val capOf = udf { (s: String) =>
+      if (s == null) None
+      else {
+        val c = HtmlText.decodeAttr(s)
+          .replaceAll("\\s+", " ").trim
+        if (c.isEmpty) None else Some(c)
+      }
+    }
+    feeds.select(col(urlCol).cast("string").as("url"),
+        explode_outer(encs(col(bodyCol))).as("_ep"))
+      .select(col("url"), canon(col("_ep._1")).as("media_url"),
+        capOf(col("_ep._3")).as("caption"),
+        col("_ep._2").as("mime_type"))
+      .select(col("url"), col("media_url"),
+        when(col("media_url").isNotNull, col("caption")).as("caption"),
+        when(col("media_url").isNotNull, col("mime_type")).as("mime_type"))
+      .distinct()
+  }
 }

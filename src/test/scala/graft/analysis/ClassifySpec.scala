@@ -118,13 +118,93 @@ class ClassifySpec extends SparkTestBase {
     }
   }
 
-  test("scoring plan broadcasts the model, not the corpus") {
+  test("scoring plan never shuffles or joins the corpus") {
+    // r18: the broadcast-model path scores per row against a
+    // driver-collected model — the scoring plan must carry NO join and
+    // NO exchange at all (the former shape was a broadcast equi-join
+    // plus the per-(doc, label) dot aggregation and TopK regroup)
     val plan = Classify.centroidClassify(docs, labeled)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"),
-      s"model lookup must be a broadcast equi-join:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.contains("CartesianProduct"),
-      s"no nested-loop/cartesian in the classifier plan:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"per-row scoring must be map-only:\n$plan")
+    // the shuffled dual (vocabulary too large to collect) keeps the
+    // equi-join shape and must never degrade to nested-loop/cartesian
+    val dual = Classify.centroidScore(docs,
+        Classify.centroidTrain(labeled), broadcastModel = false)
+      .queryExecution.executedPlan.toString
+    assert(!dual.contains("BroadcastNestedLoopJoin") &&
+      !dual.contains("CartesianProduct"),
+      s"no nested-loop/cartesian in the dual path:\n$dual")
+  }
+
+  test("tokCountsUdf equals the explode/groupBy counting chain (r18 pin)") {
+    // the per-row token-count kernel vs the chain it replaced (r17):
+    // same counts, same squared norm, over edge-heavy fixtures —
+    // nulls, empty, whitespace runs, tab/newline-leading, CJK, repeats
+    val fixtures = Seq(
+      (1L, "ball goal ball"),
+      (2L, "\tleading tabodd"),
+      (3L, "  "),
+      (4L, null.asInstanceOf[String]),
+      (5L, "天气 很 天气 冷\n多行"),
+      (6L, "a a a a a b"),
+      (7L, "x"),
+      (8L, "ümlaut Ümlaut ümlaut"))
+    val df = fixtures.toDF("doc_id", "text")
+    val viaUdf = df.select(col("doc_id"),
+        Classify.tokCountsUdf(col("text")).as("tc"))
+      .as[(Long, Option[(Map[String, Long], Long)])].collect().toMap
+    val viaChain = df
+      .select(col("doc_id"),
+        explode(TextMetrics.wsTokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("cnt"))
+      .as[(Long, String, Long)].collect()
+      .groupBy(_._1)
+      .map { case (id, rows) =>
+        id -> rows.map(r => r._2 -> r._3).toMap
+      }
+    fixtures.foreach { case (id, text) =>
+      val udfSide = viaUdf(id)
+      if (text == null) assert(udfSide.isEmpty, s"doc $id: null text")
+      else {
+        val (counts, dn) = udfSide.get
+        assert(counts === viaChain.getOrElse(id, Map.empty[String, Long]),
+          s"doc $id counts")
+        assert(dn === counts.values.map(d => d * d).sum, s"doc $id norm")
+      }
+    }
+  }
+
+  test("driver-local scoring equals the shuffled path bit for bit (r18 pin)") {
+    // randomized corpora: every (id, label, cosine, rank) row from the
+    // per-row scorer must equal the exchange path's EXACTLY (cosine by
+    // bitwise double equality — the arithmetic contract), including
+    // ties, k > classes, and docs with partial class overlap
+    val rnd = new scala.util.Random(1817)
+    val vocab = Vector("ball", "goal", "cake", "bread", "net", "oven",
+      "press", "wheel", "天气", "кот")
+    val labeledRows = (0 until 60).map { i =>
+      val lab = s"c${i % 4}"
+      val text = Seq.fill(1 + rnd.nextInt(8))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (text, lab)
+    }
+    val docRows = (0 until 80).map { i =>
+      val text =
+        if (i % 17 == 0) ""
+        else Seq.fill(1 + rnd.nextInt(10))(
+          vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      (i.toLong, text)
+    }
+    val model = Classify.centroidTrain(labeledRows.toDF("text", "label"))
+    val docsDf = docRows.toDF("doc_id", "text")
+    Seq(1, 2, 7).foreach { k =>
+      val local = Classify.centroidScoreTopK(docsDf, model, k = k)
+        .as[(Long, String, Double, Int)].collect().toSet
+      val shuffled = Classify.centroidScoreTopK(docsDf, model, k = k,
+          broadcastModel = false)
+        .as[(Long, String, Double, Int)].collect().toSet
+      assert(local === shuffled, s"k=$k local != shuffled")
+    }
   }
 }

@@ -127,4 +127,53 @@ class LangIdSpec extends SparkTestBase {
     assert(one._2 === "xx")
     assert(one._3.exists(c => c > 0.9 && c <= 1.0))
   }
+
+  test("gramCounts equals counting charGramsText's tokens (r18 pin)") {
+    // the per-row gram-count kernel vs the build-string + split chain
+    // it replaced (r17): same multiset counts and same squared norm,
+    // char for char, over edge-heavy fixtures
+    val fixtures = Seq(
+      null.asInstanceOf[String], "", "  12 34 !? ", "Ab", "a1b c",
+      "天气 很 天气", "tab\tsplit\nnewline", "ümlaut ÜMLAUT",
+      "x", "aaaa", "word word word mixed-punct!! word")
+    fixtures.foreach { s =>
+      val gc = LangId.gramCounts(s)
+      if (s == null) assert(gc == null, "null text must map to null")
+      else {
+        val toks = LangId.charGramsText(s).split(" ").filter(_.nonEmpty)
+        val want = toks.groupBy(identity).map { case (t, g) =>
+          t -> g.length.toLong
+        }
+        assert(gc._1 === want, s"counts drift for '$s'")
+        assert(gc._2 === want.values.map(d => d * d).sum,
+          s"norm drift for '$s'")
+      }
+    }
+  }
+
+  test("confidence dual path: bitwise-identical margins (r18 pin)") {
+    // the per-row local scorer vs the shuffled scoring + join-back
+    // form: labels AND margins must agree exactly (double equality —
+    // both compute the same one subtraction of the same two cosines)
+    val docs = heldOut.zipWithIndex
+      .map { case ((_, text), i) => (i.toLong, text) }
+      .toDF("doc_id", "text")
+      .unionByName(Seq((999L, "12345 ..."), (1000L, ""),
+        (1001L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val a = LangId.classifyWithConfidence(docs)
+      .as[(Long, String, Option[Double])].collect().toSet
+    val b = LangId.classifyWithConfidence(docs, broadcastModel = false)
+      .as[(Long, String, Option[Double])].collect().toSet
+    assert(a === b)
+  }
+
+  test("classify plan is map-only on the broadcast path (r18)") {
+    val docs = heldOut.take(3).zipWithIndex
+      .map { case ((_, text), i) => (i.toLong, text) }
+      .toDF("doc_id", "text")
+    val plan = LangId.classify(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"),
+      s"per-row classification must be map-only:\n$plan")
+  }
 }

@@ -869,6 +869,12 @@ class CrawlFrontierSpec extends SparkTestBase {
     assert(all === Map("https://img.test/1" -> 2L,
       "https://img.test/2" -> 1L, "https://ads.bad.test/4" -> 1L,
       "https://img.test/private/5" -> 1L))
+    // the shared-materialization knob (r18): a caller-provided ledger
+    // read must produce the identical fetch list
+    val viaShared = Crawl.imageFetchList(spark, fDir,
+        pairsLedger = Crawl.imagePairsLedger(spark, fDir).localCheckpoint())
+      .as[(String, Long)].collect().toMap
+    assert(viaShared === all, "pairsLedger knob diverged")
     // blocklist (host-suffix) + robots gates compose
     val rules = Robots.rulesDf(Seq(
       ("img.test", "User-agent: *\nDisallow: /private/"))
@@ -958,6 +964,11 @@ class CrawlFrontierSpec extends SparkTestBase {
     assert(all === Map("https://cdn.test/ep/1" -> 2L,
       "https://cdn.test/ep/2" -> 1L, "https://ads.bad.test/ep/4" -> 1L,
       "https://cdn.test/private/5" -> 1L))
+    // the shared-materialization knob (r18): identical output
+    val viaShared = Crawl.mediaFetchList(spark, fDir,
+        pairsLedger = Crawl.mediaPairsLedger(spark, fDir).localCheckpoint())
+      .as[(String, Long)].collect().toMap
+    assert(viaShared === all, "pairsLedger knob diverged")
     val rules = Robots.rulesDf(Seq(
       ("cdn.test", "User-agent: *\nDisallow: /private/"))
       .toDF("host", "body"), "host", "body")

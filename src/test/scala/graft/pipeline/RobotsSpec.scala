@@ -712,4 +712,48 @@ class RobotsSpec extends SparkTestBase {
     assert(got === Set(("a.example", 2.0), ("b.example", 3.0),
       ("d.example", 4.0), ("e.example", 6.0)))
   }
+  test("enclosuresBySourceWithSentinels == enclosuresBySource + sentinels (r18 pin)") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // fixtures: a two-enclosure feed, a zero-enclosure feed, a feed
+    // whose ONLY enclosure fails canonicalization (relative url), a
+    // feed mixing a good and a failing enclosure, and a DUPLICATE feed
+    // url fetched twice in the batch
+    def b(s: String) = s.getBytes("UTF-8")
+    val feeds = Seq(
+      ("https://f/two", b("<rss><channel><item><title>One</title>" +
+        "<enclosure url=\"https://m/1.mp3\" type=\"audio/mpeg\"/></item>" +
+        "<item><title>Two</title>" +
+        "<enclosure url=\"https://m/2.mp3\" type=\"audio/mpeg\"/></item>" +
+        "</channel></rss>")),
+      ("https://f/none", b("<rss><channel><item><title>dry</title>" +
+        "</item></channel></rss>")),
+      ("https://f/rel", b("<rss><channel><item><title>rel</title>" +
+        "<enclosure url=\"/only/relative.mp3\"/></item></channel></rss>")),
+      ("https://f/mixed", b("<rss><channel><item><title>mix</title>" +
+        "<enclosure url=\"https://m/ok.mp3\"/>" +
+        "<enclosure url=\"also-relative.mp3\"/></item></channel></rss>")),
+      ("https://f/none", b("<feed></feed>"))
+    ).toDF("url", "body")
+    val fused = Feeds.enclosuresBySourceWithSentinels(feeds)
+      .as[(String, Option[String], Option[String], Option[String])]
+      .collect().toSet
+    val plain = Feeds.enclosuresBySource(feeds)
+      .as[(String, Option[String], Option[String], Option[String])]
+      .collect().toSet
+    // real pairs: byte-identical to enclosuresBySource
+    assert(fused.filter(_._2.isDefined) === plain)
+    // sentinels: one all-null row per feed url that harvested nothing,
+    // PLUS one for the mixed feed (its failing enclosure folds to a
+    // sentinel row the ledger reads drop) -- never for clean feeds
+    val sentinels = fused.filter(_._2.isEmpty).map(_._1)
+    assert(sentinels === Set("https://f/none", "https://f/rel",
+      "https://f/mixed"))
+    fused.filter(_._2.isEmpty).foreach { r =>
+      assert(r._3.isEmpty && r._4.isEmpty, s"sentinel must be all-null: $r")
+    }
+    // and the ledger-read semantics are invariant: dropping null
+    // media_url AFTER any latest-batch selection sees identical rows
+    assert(fused.filter(_._2.isDefined).map(r => (r._1, r._2.get)) ===
+      plain.map(r => (r._1, r._2.get)))
+  }
 }

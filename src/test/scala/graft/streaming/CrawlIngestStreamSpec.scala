@@ -673,10 +673,21 @@ class CrawlIngestStreamSpec extends SparkTestBase {
       .as[(String, String, String, String)].collect().toSet
     // relative enclosure urls resolve... they DON'T (enclosuresBySource
     // canonicalizes absolute urls only; relative nulls out) — only the
-    // absolute one lands, plus NO sentinel (the feed harvested a pair)
-    assert(b0 === Set(("https://pod.test/feed.xml",
-      "https://cdn.test/2.mp3", "Ep 2", "audio/mpeg")),
+    // absolute one lands. r18 (one-pass sentinel fusion): the failed
+    // relative enclosure folds to ONE all-null row beside the real
+    // pair; every ledger read/compaction drops null-media_url rows
+    // AFTER the latest-batch selection, so it is invisible downstream
+    // (the ledger assertion below proves it)
+    assert(b0 === Set(
+      ("https://pod.test/feed.xml",
+        "https://cdn.test/2.mp3", "Ep 2", "audio/mpeg"),
+      ("https://pod.test/feed.xml", null, null, null)),
       s"batch 0 media pairs: $b0")
+    // the READ drops the null row: exactly the real pair
+    assert(graft.pipeline.Crawl.mediaPairsLedger(spark, fDir)
+      .as[(String, String, String, String)].collect().toSet ===
+      Set(("https://pod.test/feed.xml",
+        "https://cdn.test/2.mp3", "Ep 2", "audio/mpeg")))
     // batch 1: the feed refetched with ZERO enclosures -> sentinel
     input.addData((1L, feedWarc(
       ("https://pod.test/feed.xml", "text/xml",
